@@ -1,0 +1,181 @@
+"""DDL generation + storage semantics.
+
+Re-expression of `CreateOptions` and the DDL builder
+(clickhouse-arrow/src/schema.rs:89-383 options+validation, :488-504
+statement emission) onto Spark catalog tables:
+
+| ClickHouse clause    | Spark disposition                                |
+|----------------------|--------------------------------------------------|
+| ENGINE = MergeTree   | `USING PARQUET` (columnar, immutable parts)      |
+| ENGINE = Memory/Log  | `USING PARQUET` + TBLPROPERTIES engine marker    |
+| ORDER BY (a, b)      | sort-on-write (`sortWithinPartitions`) + table property — gives data-clustering locality the way MergeTree's primary index does |
+| PARTITION BY expr    | `PARTITIONED BY` (partition pruning at scan)     |
+| PRIMARY KEY          | validated ⊆ ORDER BY, stored as table property   |
+| SAMPLE BY expr       | validated vs ORDER BY, stored; reads use TABLESAMPLE |
+| TTL expr             | stored as property + `apply_ttl` retention job   |
+| SETTINGS k=v         | TBLPROPERTIES                                    |
+
+Validation rules ported semantically from schema.rs:310-383:
+primary_keys must be a prefix-subset of order_by; sample_by column must
+appear in order_by; `default` database is protected from drop.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field as dc_field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from clickhouse_arrow_spark.errors import SchemaError
+from clickhouse_arrow_spark.types import DEFAULT_OPTIONS, TypeOptions, ch_type_to_spark_field
+
+__all__ = ["CreateOptions", "create_table_ddl", "create_table", "apply_ttl"]
+
+
+@dataclass(frozen=True)
+class CreateOptions:
+    """Analogue of CreateOptions (schema.rs:89-293)."""
+
+    engine: str = "MergeTree"
+    order_by: tuple[str, ...] = ()
+    primary_keys: tuple[str, ...] = ()
+    partition_by: str | None = None
+    sample_by: str | None = None
+    ttl: str | None = None  # e.g. "ts + INTERVAL 30 DAY"
+    settings: dict[str, str] = dc_field(default_factory=dict)
+    defaults: dict[str, str] = dc_field(default_factory=dict)  # col -> SQL expr
+    if_not_exists: bool = True
+
+    def validate(self, columns: list[str]) -> None:
+        """Port of the reference's option validation (schema.rs:310-383)."""
+        colset = set(columns)
+        for c in self.order_by:
+            if c not in colset:
+                raise SchemaError(f"ORDER BY column {c!r} not in schema")
+        if self.primary_keys:
+            if tuple(self.primary_keys) != tuple(self.order_by[: len(self.primary_keys)]):
+                raise SchemaError(
+                    "PRIMARY KEY must be a prefix of ORDER BY "
+                    f"(got {self.primary_keys} vs {self.order_by})"
+                )
+        if self.sample_by is not None and self.sample_by not in self.order_by:
+            raise SchemaError(
+                f"SAMPLE BY column {self.sample_by!r} must appear in ORDER BY"
+            )
+        if self.partition_by is not None and not self.partition_by.strip():
+            raise SchemaError("empty PARTITION BY expression")
+
+
+def _spark_ddl_type(f: T.StructField) -> str:
+    return f.dataType.simpleString()
+
+
+def create_table_ddl(
+    database: str,
+    table: str,
+    schema: T.StructType | list[tuple[str, str]],
+    options: CreateOptions = CreateOptions(),
+    type_options: TypeOptions = DEFAULT_OPTIONS,
+    location: str | None = None,
+) -> str:
+    """Build the `CREATE TABLE` statement.
+
+    `schema` is either a Spark StructType or a list of
+    (name, clickhouse_type_string) pairs — the latter mirrors the
+    reference's Arrow-schema + SchemaConversions input
+    (create_table_statement_from_arrow, schema.rs:488-504).
+    """
+    if isinstance(schema, list):
+        fields = [ch_type_to_spark_field(n, t, type_options) for n, t in schema]
+        schema = T.StructType(fields)
+    options.validate([f.name for f in schema.fields])
+
+    cols = []
+    partition_cols = set()
+    if options.partition_by and options.partition_by in {f.name for f in schema.fields}:
+        partition_cols.add(options.partition_by)
+    for f in schema.fields:
+        line = f"  `{f.name}` {_spark_ddl_type(f)}"
+        if not f.nullable:
+            line += " NOT NULL"
+        if f.name in options.defaults:
+            line += f" DEFAULT {options.defaults[f.name]}"
+        cols.append(line)
+
+    ine = "IF NOT EXISTS " if options.if_not_exists else ""
+    stmt = [f"CREATE TABLE {ine}`{database}`.`{table}` (", ",\n".join(cols), ")"]
+    stmt.append("USING PARQUET")
+    if options.partition_by:
+        stmt.append(f"PARTITIONED BY ({options.partition_by})")
+    if location:
+        stmt.append(f"LOCATION '{location}'")
+
+    props = {
+        "clickhouse_arrow_spark.engine": options.engine,
+    }
+    if options.order_by:
+        props["clickhouse_arrow_spark.order_by"] = ",".join(options.order_by)
+    if options.primary_keys:
+        props["clickhouse_arrow_spark.primary_keys"] = ",".join(options.primary_keys)
+    if options.sample_by:
+        props["clickhouse_arrow_spark.sample_by"] = options.sample_by
+    if options.ttl:
+        props["clickhouse_arrow_spark.ttl"] = options.ttl
+    for k, v in options.settings.items():
+        props[f"clickhouse_arrow_spark.setting.{k}"] = v
+    kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+    stmt.append(f"TBLPROPERTIES ({kv})")
+    return "\n".join(stmt)
+
+
+def create_table(
+    spark: SparkSession,
+    database: str,
+    table: str,
+    schema: T.StructType | list[tuple[str, str]],
+    options: CreateOptions = CreateOptions(),
+    location: str | None = None,
+) -> str:
+    """Execute the DDL; returns the statement that ran."""
+    ddl = create_table_ddl(database, table, schema, options, location=location)
+    spark.sql(ddl)
+    return ddl
+
+
+def sort_for_write(df: DataFrame, options: CreateOptions) -> DataFrame:
+    """Apply ORDER BY semantics on the write path: cluster by the leading
+    order key, sort within partitions — the Spark analogue of MergeTree
+    writing sorted parts. At 100 TB this is what keeps min/max pruning
+    effective on the sort key."""
+    if not options.order_by:
+        return df
+    keys = [F.col(c) for c in options.order_by]
+    return df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+
+
+def apply_ttl(spark: SparkSession, table: str) -> int:
+    """TTL is semantic, not syntactic (SURVEY §7 hard part 7): run the
+    retention job — delete rows past their TTL expression. Returns the
+    number of surviving rows. For parquet tables this rewrites; for a
+    Delta-backed deployment it would be a `DELETE WHERE`."""
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+    ttl = props.get("clickhouse_arrow_spark.ttl")
+    if not ttl:
+        return -1
+    import tempfile
+
+    df = spark.table(table).where(f"NOT (({ttl}) < current_timestamp())")
+    # Stage survivors before overwriting: Spark cannot read and overwrite
+    # the same files in one job. On a cluster this staging dir lives on
+    # the shared FS; a Delta-backed table would use DELETE WHERE instead.
+    with tempfile.TemporaryDirectory(prefix="cas_ttl_") as tmp:
+        df.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        rows = staged.count()
+        staged.write.mode("overwrite").insertInto(table)
+    return rows

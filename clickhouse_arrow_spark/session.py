@@ -40,6 +40,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # Whole-stage codegen on (default, made explicit: hot path stays JVM-side).
     "spark.sql.codegen.wholeStage": "true",
     "spark.ui.enabled": "false",
+    # The driver's events table stores timestamp[ns]; Spark timestamps are
+    # µs (SURVEY §7 hard part 4: DateTime64(9) class). Read nanos as long,
+    # then sources.registry converts to µs timestamps deterministically.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
 }
 
 

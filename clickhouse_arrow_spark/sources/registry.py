@@ -13,7 +13,9 @@ from __future__ import annotations
 
 import os
 
+import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLES = (
     "region",
@@ -31,9 +33,30 @@ TABLES = (
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 
+def _nanos_ts_columns(path: str) -> list[str]:
+    """Columns stored as parquet timestamp[ns] — Spark reads them as long
+    (spark.sql.legacy.parquet.nanosAsLong); we restore timestamp semantics
+    at µs precision, the documented DateTime64(9)->Spark loss
+    (SURVEY §1.3)."""
+    import pyarrow as pa
+
+    schema = pq.read_schema(path)
+    return [
+        name
+        for name, typ in zip(schema.names, schema.types)
+        if typ == pa.timestamp("ns")
+    ]
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Lazy parquet scan for one table."""
-    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    """Lazy parquet scan for one table, with ns-timestamp normalization."""
+    path = os.path.join(sf_dir, f"{name}.parquet")
+    df = spark.read.parquet(path)
+    for col in _nanos_ts_columns(path):
+        # integer division keeps full precision (ns value ~1.7e18 exceeds
+        # double's 2^53 mantissa — never divide as float here)
+        df = df.withColumn(col, F.expr(f"timestamp_micros(`{col}` DIV 1000)"))
+    return df
 
 
 def register_tables(
@@ -47,7 +70,7 @@ def register_tables(
         path = os.path.join(sf_dir, f"{name}.parquet")
         if not os.path.exists(path):
             continue
-        df = spark.read.parquet(path)
+        df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
     return out

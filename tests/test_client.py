@@ -1,0 +1,271 @@
+"""Client facade tests — API parity checks for SURVEY.md §2.1.
+
+Coverage model: the reference's e2e round-trip tests
+(clickhouse-arrow/tests/tests/arrow.rs, params.rs, explain.rs) —
+create/insert/select round trips, parameter binding edge cases
+(quotes, arrays, identifiers), limits, explain modes, introspection.
+"""
+
+from __future__ import annotations
+
+import datetime
+
+import pyarrow as pa
+import pytest
+from pyspark.sql import types as T
+
+from clickhouse_arrow_spark.client import Client, Qid, QueryOptions
+from clickhouse_arrow_spark.ddl import CreateOptions
+from clickhouse_arrow_spark.errors import QueryError, SchemaError
+from clickhouse_arrow_spark.explain import ExplainMode, ExplainOptions
+from clickhouse_arrow_spark.limits import QueryLimits, TruncationReason
+from clickhouse_arrow_spark.params import bind_params, render_literal
+
+
+# -- query shapes -----------------------------------------------------------
+
+
+def test_query_lazy_dataframe(client):
+    df = client.query("SELECT r_regionkey, r_name FROM region")
+    assert df.count() == 5
+
+
+def test_query_one(client):
+    row = client.query_one("SELECT count(*) AS n FROM nation")
+    assert row["n"] == 25
+
+
+def test_query_column_arrow(client):
+    col = client.query_column("SELECT r_name FROM region ORDER BY r_name")
+    assert isinstance(col, pa.ChunkedArray)
+    assert col.length() == 5
+
+
+def test_query_rows_iterator(client):
+    rows = list(client.query_rows("SELECT n_name FROM nation ORDER BY n_name LIMIT 3"))
+    assert len(rows) == 3
+
+
+def test_query_arrow_table(client):
+    t = client.query_arrow("SELECT * FROM region")
+    assert t.num_rows == 5
+    assert "r_name" in t.schema.names
+
+
+def test_query_error_normalized(client):
+    with pytest.raises(QueryError):
+        client.query("SELECT * FROM table_that_does_not_exist_xyz").collect()
+
+
+# -- params (fixture values from clickhouse-arrow/tests/tests/params.rs) ----
+
+
+def test_params_string_with_quote(client):
+    row = client.query_one(
+        "SELECT {s:String} AS v", params={"s": "it's"}
+    )
+    assert row["v"] == "it's"
+
+
+def test_params_int_and_float(client):
+    row = client.query_one(
+        "SELECT {a:Int32} + 1 AS x, {b:Float64} * 2 AS y", params={"a": 41, "b": 1.5}
+    )
+    assert row["x"] == 42 and row["y"] == 3.0
+
+
+def test_params_array(client):
+    row = client.query_one(
+        "SELECT size({arr:Array(Int32)}) AS n", params={"arr": [1, 2, 3]}
+    )
+    assert row["n"] == 3
+
+
+def test_params_identifier(client):
+    row = client.query_one(
+        "SELECT count(*) AS n FROM {t:Identifier}", params={"t": "region"}
+    )
+    assert row["n"] == 5
+
+
+def test_params_identifier_rejects_injection():
+    with pytest.raises(QueryError):
+        bind_params("SELECT * FROM {t:Identifier}", {"t": "region; DROP TABLE x"})
+
+
+def test_params_missing_and_unused():
+    with pytest.raises(QueryError):
+        bind_params("SELECT {a:Int32}", {})
+    with pytest.raises(QueryError):
+        bind_params("SELECT 1", {"a": 1})
+
+
+def test_params_date_and_ts(client):
+    row = client.query_one(
+        "SELECT year({d:Date}) AS y, {ts:DateTime} AS t",
+        params={"d": datetime.date(1997, 3, 1), "ts": datetime.datetime(2020, 1, 1, 12)},
+    )
+    assert row["y"] == 1997
+    assert row["t"] == datetime.datetime(2020, 1, 1, 12)
+
+
+def test_render_literal_escaping():
+    assert render_literal("a'b") == "'a\\'b'"
+    assert render_literal(None) == "NULL"
+    assert render_literal([1, 2]) == "array(1, 2)"
+
+
+# -- limits (clickhouse-arrow/src/limits.rs semantics) ----------------------
+
+
+def test_limits_max_rows(client):
+    res = client.query_with_limits(
+        "SELECT l_orderkey FROM lineitem ORDER BY l_orderkey", QueryLimits(max_rows=100)
+    )
+    assert res.table.num_rows == 100
+    assert res.stats.truncated
+    assert res.stats.reason == TruncationReason.MAX_ROWS
+
+
+def test_limits_not_truncated(client):
+    res = client.query_with_limits(
+        "SELECT r_name FROM region", QueryLimits(max_rows=100)
+    )
+    assert res.table.num_rows == 5
+    assert not res.stats.truncated
+    assert res.stats.reason == TruncationReason.NONE
+
+
+def test_limits_bytes(client):
+    res = client.query_with_limits(
+        "SELECT l_commentFROM FROM lineitem" if False else "SELECT l_orderkey, l_partkey FROM lineitem",
+        QueryLimits(max_bytes=1),
+    )
+    assert res.stats.truncated
+    assert res.stats.reason == TruncationReason.MAX_BYTES
+    assert res.table.num_rows >= 1  # partial batch kept
+
+
+def test_limits_unlimited_passthrough(client):
+    res = client.query_with_limits("SELECT * FROM region", QueryLimits())
+    assert res.table.num_rows == 5
+    assert res.stats.rows == 5
+
+
+# -- explain ---------------------------------------------------------------
+
+
+def test_explain_modes(client):
+    for mode in (ExplainMode.AST, ExplainMode.SYNTAX, ExplainMode.PLAN, ExplainMode.PIPELINE):
+        out = client.query_with_options(
+            "SELECT r_name, count(*) AS n FROM region GROUP BY r_name",
+            QueryOptions(explain=ExplainOptions(mode=mode)),
+        )
+        assert isinstance(out, str) and len(out) > 0
+
+
+def test_explain_pipeline_shows_physical(client):
+    out = client.query_with_options(
+        "SELECT r_name FROM region WHERE r_regionkey = 1",
+        QueryOptions(explain=ExplainOptions(mode=ExplainMode.PIPELINE)),
+    )
+    assert "Scan" in out
+
+
+def test_explain_estimate(client):
+    rows = client.query_with_options(
+        "SELECT count(*) FROM lineitem",
+        QueryOptions(explain=ExplainOptions(mode=ExplainMode.ESTIMATE)),
+    )
+    est = {r.table: r for r in rows}
+    assert est["lineitem"].rows > 1000
+    assert est["lineitem"].parts >= 1
+    assert est["lineitem"].marks >= 1
+
+
+# -- insert / ddl round trip ------------------------------------------------
+
+
+def test_create_insert_select_roundtrip(client, spark):
+    client.execute("DROP TABLE IF EXISTS default.cas_rt")
+    ddl = client.create_table(
+        "default",
+        "cas_rt",
+        [("id", "Int64"), ("name", "Nullable(String)"), ("score", "Float64")],
+        CreateOptions(order_by=("id",)),
+    )
+    assert "CREATE TABLE" in ddl and "`id` bigint NOT NULL" in ddl
+    src = spark.createDataFrame(
+        [(1, "a", 1.5), (2, None, 2.5)], schema="id long, name string, score double"
+    )
+    client.insert("default.cas_rt", src)
+    got = client.query_arrow("SELECT * FROM default.cas_rt ORDER BY id")
+    assert got.num_rows == 2
+    assert got.column("name").to_pylist() == ["a", None]
+    client.execute("DROP TABLE default.cas_rt")
+
+
+def test_insert_many_single_job(client, spark):
+    client.execute("DROP TABLE IF EXISTS default.cas_many")
+    client.create_table("default", "cas_many", [("id", "Int64")])
+    batches = [
+        spark.createDataFrame([(i,)], schema="id long") for i in range(3)
+    ]
+    client.insert_many("default.cas_many", batches)
+    assert client.query_one("SELECT count(*) AS n FROM default.cas_many")["n"] == 3
+    client.execute("DROP TABLE default.cas_many")
+
+
+def test_insert_cast_alignment(client, spark):
+    """Header-driven reconciliation: ints cast to the table's double col."""
+    client.execute("DROP TABLE IF EXISTS default.cas_cast")
+    client.create_table("default", "cas_cast", [("id", "Int64"), ("v", "Float64")])
+    src = spark.createDataFrame([(1, 2)], schema="id int, v int")  # narrower types
+    client.insert("default.cas_cast", src)
+    row = client.query_one("SELECT v FROM default.cas_cast")
+    assert row["v"] == 2.0
+    client.execute("DROP TABLE default.cas_cast")
+
+
+def test_insert_missing_column_rejected(client, spark):
+    client.execute("DROP TABLE IF EXISTS default.cas_miss")
+    client.create_table("default", "cas_miss", [("id", "Int64"), ("v", "Float64")])
+    src = spark.createDataFrame([(1,)], schema="id long")
+    with pytest.raises(SchemaError):
+        client.insert("default.cas_miss", src)
+    client.execute("DROP TABLE default.cas_miss")
+
+
+def test_drop_database_protected(client):
+    with pytest.raises(SchemaError):
+        client.drop_database("default")
+
+
+def test_create_options_validation():
+    with pytest.raises(SchemaError):
+        CreateOptions(order_by=("a",), primary_keys=("b",)).validate(["a", "b"])
+    with pytest.raises(SchemaError):
+        CreateOptions(order_by=("a",), sample_by="c").validate(["a", "c"])
+    # primary key = prefix of order by is fine
+    CreateOptions(order_by=("a", "b"), primary_keys=("a",)).validate(["a", "b"])
+
+
+# -- introspection ----------------------------------------------------------
+
+
+def test_fetch_tables_and_schema(client):
+    tables = client.fetch_tables()
+    assert "region" in tables and "lineitem" in tables
+    schemas = client.fetch_schema(tables=["region"])
+    assert isinstance(schemas["region"], T.StructType)
+    assert schemas["region"].fieldNames() == ["r_regionkey", "r_name"]
+
+
+def test_fetch_schemas_databases(client):
+    assert "default" in client.fetch_schemas()
+
+
+def test_health_and_qid(client):
+    assert client.health_check()
+    q = Qid()
+    assert len(q) == 36

@@ -1,0 +1,292 @@
+"""Deduplication operators for LLM training-data pipelines.
+
+Four tiers, all shuffle-disciplined for 100 TB:
+
+1. **Exact** — hash-groupBy on a content digest. One shuffle keyed by a
+   256-bit hash (uniform, no skew), combiner-friendly.
+2. **MinHash + LSH** — shingle -> minhash signature -> band -> bucket
+   join. The candidate join is on band-bucket keys (b small integers),
+   never all-pairs; cost is O(candidates), not O(n²).
+3. **SimHash** — 64-bit fingerprint via bitwise token-hash voting;
+   near-dups differ in few bits. Entirely built-in expressions.
+4. **Embedding near-dup** — see operators/similarity.py.
+
+Everything below is pure `pyspark.sql.functions` (whole-stage codegen,
+no Python in the hot path).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Prime modulus for the minhash affine permutation family
+# h_i(x) = (A_i * x + B_i) mod P — standard universal hashing construction.
+# P = 2^31 - 1 keeps A*x < 2^62, inside signed-64 range: Spark 4 runs ANSI
+# mode by default, where bigint overflow raises instead of wrapping.
+_P = (1 << 31) - 1
+
+
+def _normalize(text_col) -> "F.Column":
+    """Canonical text form for dedup: lowercase, collapsed whitespace."""
+    return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
+
+
+# ---------------------------------------------------------------------------
+# 1. exact dedup
+# ---------------------------------------------------------------------------
+
+
+def dedup_exact(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Keep the lowest-id row per distinct (normalized) text.
+
+    Plan shape: project(digest) -> partial min -> exchange on digest ->
+    final min. The shuffle key is sha2(text) so hot texts cannot skew a
+    partition beyond their group row (min combines map-side).
+    Returns (id_col, n_copies) for every survivor.
+    """
+    digest = F.sha2(_normalize(F.col(text_col)), 256)
+    return (
+        df.select(F.col(id_col), digest.alias("content_hash"))
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias(id_col),
+            F.count("*").alias("n_copies"),
+        )
+        .select(id_col, "n_copies")
+    )
+
+
+# ---------------------------------------------------------------------------
+# 2. MinHash + LSH
+# ---------------------------------------------------------------------------
+
+
+def _shingles(text_col, k: int) -> "F.Column":
+    """Character k-shingles as an array column: substring windows over the
+    normalized text. Built-in only: sequence + transform + substring."""
+    norm = _normalize(text_col)
+    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
+    return F.transform(
+        F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, F.lit(k))
+    )
+
+
+def minhash_signatures(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    shingle_k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-document MinHash signature (array<bigint> of length
+    `num_hashes`).
+
+    Base shingle hashes come from xxhash64 (one pass); the i-th minhash
+    applies an affine permutation (A_i*h + B_i) mod P and takes the
+    array min — no explode, no shuffle: one projection per row.
+    """
+    import random
+
+    rng = random.Random(seed)
+    coeffs = [
+        (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
+    ]
+    base = F.transform(
+        _shingles(F.col(text_col), shingle_k),
+        lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
+    )
+    sig = F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    F.col("_base_hashes"),
+                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P),
+                )
+            )
+            for a, b in coeffs
+        ]
+    )
+    return (
+        df.select(F.col(id_col), base.alias("_base_hashes"))
+        .select(F.col(id_col), sig.alias("signature"))
+    )
+
+
+def minhash_candidate_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 5,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> DataFrame:
+    """Near-duplicate pairs via LSH banding over MinHash signatures.
+
+    Pipeline (each stage partition-parallel):
+      signatures -> explode into `bands` band-keys (hash of the band's
+      signature slice) -> self-join on (band, band_hash) buckets ->
+      distinct candidate pairs -> estimate Jaccard as the fraction of
+      matching signature positions -> filter >= threshold.
+
+    Scale: the only shuffles are (a) the bucket join keyed by band
+    hashes — collision buckets are tiny by construction — and (b) a
+    distinct on (a_id, b_id). A degenerate hot bucket (e.g. empty
+    strings) is bounded by `spark.sql.adaptive.skewJoin` splitting.
+
+    Returns (a_id, b_id, est_jaccard), a_id < b_id.
+    """
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+
+    band_entries = sigs.select(
+        F.col(id_col),
+        F.col("signature"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.xxhash64(
+                            F.slice(F.col("signature"), b * rows + 1, rows).cast(
+                                "string"
+                            )
+                        ).alias("band_hash"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+
+    left = band_entries.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col(id_col).alias("a_id"),
+        F.col("signature").alias("a_sig"),
+    )
+    right = band_entries.select(
+        F.col("band"),
+        F.col("band_hash"),
+        F.col(id_col).alias("b_id"),
+        F.col("signature").alias("b_sig"),
+    )
+    pairs = (
+        left.join(right, ["band", "band_hash"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "a_sig", "b_sig")
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with(
+                F.col("a_sig"), F.col("b_sig"), lambda a, b: (a == b).cast("int")
+            ),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+    return (
+        pairs.select(
+            "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
+        )
+        .where(F.col("est_jaccard") >= threshold)
+    )
+
+
+# ---------------------------------------------------------------------------
+# 3. SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash per document.
+
+    Tokens are whitespace words of the normalized text; each token votes
+    ±1 on each of 64 bit positions according to its xxhash64 bits; the
+    fingerprint sets bit i iff the vote sum is positive. Near-duplicate
+    texts land within small Hamming distance.
+
+    Implementation is one projection (transform + aggregate over the
+    token array) — no explode, no shuffle, fully codegen'd.
+    """
+    tokens = F.split(_normalize(F.col(text_col)), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+
+    def bit_vote(i: int):
+        # sum over tokens of +1/-1 depending on hash bit i
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
+        )
+
+    fingerprint = None
+    for i in range(64):
+        # shiftleft is a bitwise op (no ANSI overflow check) — bit 63 wraps
+        # into the sign bit deliberately.
+        bit = F.when(
+            bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
+        ).otherwise(F.lit(0).cast("long"))
+        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by SimHash within `max_hamming` bits.
+
+    Pigeonhole blocking: split the 64-bit fingerprint into `blocks`
+    16-bit blocks; any pair within Hamming distance < blocks must agree
+    on at least one block, so the candidate join is on (block_idx,
+    block_value) — no all-pairs comparison.
+    """
+    fp = simhash_fingerprints(df, text_col, id_col)
+    width = 64 // blocks
+    mask = (1 << width) - 1
+    exploded = fp.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftrightunsigned("simhash", b * width)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("blk_val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("kb"),
+    ).select(id_col, "simhash", "kb.blk", "kb.blk_val")
+
+    a = exploded.select(
+        "blk", "blk_val", F.col(id_col).alias("a_id"), F.col("simhash").alias("a_fp")
+    )
+    b = exploded.select(
+        "blk", "blk_val", F.col(id_col).alias("b_id"), F.col("simhash").alias("b_fp")
+    )
+    hamming = F.bit_count(F.col("a_fp").bitwiseXOR(F.col("b_fp")))
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )

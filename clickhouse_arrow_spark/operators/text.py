@@ -1,0 +1,160 @@
+"""Text-analysis operators for training-data pipelines: token counting,
+quality scoring, language ID, document fingerprinting, charset Jaccard.
+
+All pure built-in expressions (codegen, zero Python in the hot path),
+and all deterministic so each has an exact DuckDB oracle in
+queries/pipeline.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+#: tiny per-language stopword inventories for the n-gram/stopword
+#: language-ID heuristic. Deterministic, order = tie-break priority.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "to", "in"),
+    "de": ("der", "die", "und", "das", "ist"),
+    "fr": ("le", "la", "et", "les", "des"),
+    "es": ("el", "la", "de", "que", "los"),
+    "zh": ("de5", "shi4", "le5", "zai4", "he2"),  # pinyin-romanized
+}
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts: whitespace tokens and BPE-ish word/number/punct
+    pieces (`\\w+` runs or single non-space symbols) — the pre-tokenizer
+    regex family GPT-style BPE vocabularies use."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), F.lit(0)))
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).cast("int").alias("n_chars"),
+    )
+
+
+def quality_score(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Heuristic document quality in [0,1]: length band, alpha ratio,
+    punctuation ratio, stopword presence — the standard cheap pre-filter
+    stack (C4/Gopher-style rules) as one projection."""
+    t = F.col(text_col)
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    n_safe = F.greatest(n, F.lit(1.0))
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"\b(the|and|of|to|in)\b"), F.lit(0))
+    ).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_score = alpha / n_safe
+    punct_penalty = F.least(punct / n_safe * 10.0, F.lit(1.0))
+    digit_penalty = F.least(digits / n_safe * 10.0, F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    score = (
+        len_score * 0.3
+        + alpha_score * 0.3
+        + stop_score * 0.2
+        + (1 - punct_penalty) * 0.1
+        + (1 - digit_penalty) * 0.1
+    )
+    return df.select(
+        F.col(id_col),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(alpha_score, 6).alias("alpha_ratio"),
+        F.round(stop_score, 6).alias("stop_score"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_id(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Stopword-vote language ID. Scores each language by counting its
+    stopword hits (word-bounded); the argmax wins, ties broken by
+    language-list order. Cheap, deterministic, and embarrassingly
+    parallel — the fasttext-class model slots in as a pandas_udf behind
+    the same schema when available."""
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(0))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = None
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(
+            cond, F.lit(lang)
+        ).otherwise(pred)
+    return df.select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+    )
+
+
+def rolling_fingerprint(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", mod: int = 1_000_000_007
+) -> DataFrame:
+    """Polynomial rolling-hash fingerprint over the normalized text:
+    acc = (acc*31 + char_code) % mod, seeded with the first char code.
+    Engine-agnostic (same value from any engine that folds left-to-right
+    — the DuckDB oracle uses list_reduce), unlike xxhash/md5-of-engine
+    which would pin us to one implementation."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda acc, c: (acc * 31 + c) % F.lit(mod),
+    )
+    return df.select(F.col(id_col), fp.alias("fingerprint"))
+
+
+def charset_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Character-set Jaccard similarity for pairs within a group —
+    the oracle-able 1-gram tier of n-gram Jaccard dedup (DuckDB computes
+    the identical quantity; the k-gram tier is minhash_candidate_pairs).
+    The join is blocked on `group_col` to bound the pair count."""
+    chars = F.array_distinct(F.split(F.lower(F.col(text_col)), ""))
+    base = df.select(
+        F.col(id_col), F.col(group_col).alias("grp"), chars.alias("chars")
+    )
+    a = base.select(
+        F.col("grp"), F.col(id_col).alias("a_id"), F.col("chars").alias("a_chars")
+    )
+    b = base.select(
+        F.col("grp"), F.col(id_col).alias("b_id"), F.col("chars").alias("b_chars")
+    )
+    inter = F.size(F.array_intersect(F.col("a_chars"), F.col("b_chars"))).cast(
+        "double"
+    )
+    union = F.size(F.array_union(F.col("a_chars"), F.col("b_chars"))).cast("double")
+    return (
+        a.join(b, "grp")
+        .where(F.col("a_id") < F.col("b_id"))
+        .select(
+            "a_id",
+            "b_id",
+            F.round(inter / union, 6).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= threshold)
+    )

@@ -1,0 +1,457 @@
+"""Scalar-function corpus: string / date / math / conditional / array /
+JSON / regexp / hash families, plus the events-table time-series shapes
+(tumbling windows, sessionization, JSON props).
+
+Covers the function surface the reference exercises through SQL
+(SURVEY §2.3: `toYYYYMM` partition expressions, tuple/map/array
+accessors) and the ClickHouse function families a migrating user needs.
+Every expression stays JVM-side (pyspark.sql.functions built-ins);
+cross-engine gotchas (DuckDB BIGINT year(), double floor(), first-match
+regexp_replace) are normalized in the oracle SQL, not by weakening the
+Spark side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.functions import ch_functions as ch
+from clickhouse_arrow_spark.queries.base import register
+
+
+@register(
+    "fn_string",
+    """
+    SELECT p_partkey,
+           upper(p_brand)                                   AS brand_u,
+           lower(p_type)                                    AS type_l,
+           CAST(length(p_name) AS INT)                      AS name_len,
+           substring(p_name, 1, 5)                          AS name5,
+           concat(p_brand, ':', p_type)                     AS brand_type,
+           replace(p_name, ' ', '_')                        AS name_us,
+           lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_pad,
+           trim(p_name)                                     AS name_trim,
+           reverse(p_brand)                                 AS brand_rev
+    FROM part
+    WHERE p_partkey <= 500
+    ORDER BY p_partkey
+    """,
+    doc="String function family.",
+    tags=("functions", "string"),
+)
+def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part").where(F.col("p_partkey") <= 500)
+    return p.select(
+        "p_partkey",
+        F.upper("p_brand").alias("brand_u"),
+        F.lower("p_type").alias("type_l"),
+        F.length("p_name").cast("int").alias("name_len"),
+        F.substring("p_name", 1, 5).alias("name5"),
+        F.concat(F.col("p_brand"), F.lit(":"), F.col("p_type")).alias("brand_type"),
+        F.replace(F.col("p_name"), F.lit(" "), F.lit("_")).alias("name_us"),
+        F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
+        F.trim(F.col("p_name")).alias("name_trim"),
+        F.reverse(F.col("p_brand")).alias("brand_rev"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_date",
+    """
+    SELECT o_orderkey,
+           CAST(year(o_orderdate) AS INT)                       AS y,
+           CAST(month(o_orderdate) AS INT)                      AS m,
+           CAST(day(o_orderdate) AS INT)                        AS d,
+           CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+           date_trunc('month', o_orderdate)                     AS month_start,
+           o_orderdate + INTERVAL 30 DAY                        AS due,
+           CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
+           CAST(dayofweek(o_orderdate) AS INT)                  AS dow
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    doc="Date/time family incl. the toYYYYMM partition expression "
+    "(reference src/lib.rs:53) via the ch_functions shim.",
+    tags=("functions", "date"),
+)
+def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders").where(F.col("o_orderkey") <= 1000)
+    return o.select(
+        "o_orderkey",
+        ch.to_year("o_orderdate").alias("y"),
+        ch.to_month("o_orderdate").alias("m"),
+        ch.to_day_of_month("o_orderdate").alias("d"),
+        ch.to_yyyymm("o_orderdate").alias("yyyymm"),
+        ch.to_start_of_month("o_orderdate").alias("month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due"),
+        F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since"),
+        # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
+        (F.dayofweek("o_orderdate") - 1).alias("dow"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_math",
+    """
+    SELECT l_orderkey, l_linenumber,
+           round(abs(l_extendedprice - 1000), 2)        AS am,
+           CAST(floor(l_quantity) AS BIGINT)            AS fl,
+           CAST(ceil(l_discount * 100) AS BIGINT)       AS ce,
+           round(sqrt(l_extendedprice), 6)              AS sq,
+           round(ln(l_extendedprice + 1), 6)            AS lg,
+           round(power(l_quantity, 2), 2)               AS p2,
+           CAST(l_partkey % 7 AS BIGINT)                AS md,
+           CAST(sign(l_extendedprice - 30000) AS INT)   AS sg
+    FROM lineitem
+    WHERE l_orderkey <= 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Math family (floor/ceil cast: DuckDB returns DOUBLE, Spark LONG).",
+    tags=("functions", "math"),
+)
+def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem").where(F.col("l_orderkey") <= 200)
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_extendedprice") - 1000), 2).alias("am"),
+        F.floor("l_quantity").alias("fl"),
+        F.ceil(F.col("l_discount") * 100).alias("ce"),
+        F.round(F.sqrt("l_extendedprice"), 6).alias("sq"),
+        F.round(F.log(F.col("l_extendedprice") + 1), 6).alias("lg"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).alias("p2"),
+        (F.col("l_partkey") % 7).alias("md"),
+        F.signum(F.col("l_extendedprice") - 30000).cast("int").alias("sg"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "fn_conditional",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 300000 THEN 'high'
+                WHEN o_totalprice > 100000 THEN 'mid'
+                ELSE 'low' END                       AS bucket,
+           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
+           greatest(o_totalprice, 150000.0)          AS at_least,
+           least(o_totalprice, 150000.0)             AS at_most
+    FROM orders
+    WHERE o_orderkey <= 1000
+    ORDER BY o_orderkey
+    """,
+    doc="Conditional family: CASE / coalesce / nullif / greatest / least "
+    "(ClickHouse if/multiIf via ch_functions shim).",
+    tags=("functions", "conditional"),
+)
+def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders").where(F.col("o_orderkey") <= 1000)
+    p = F.col("o_totalprice")
+    return o.select(
+        "o_orderkey",
+        ch.multi_if(
+            p > 300000, F.lit("high"), p > 100000, F.lit("mid"), F.lit("low")
+        ).alias("bucket"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
+            "status_or_pending"
+        ),
+        F.greatest(p, F.lit(150000.0)).alias("at_least"),
+        F.least(p, F.lit(150000.0)).alias("at_most"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "fn_array",
+    """
+    SELECT p_partkey,
+           string_split(p_name, ' ')                          AS words,
+           CAST(len(string_split(p_name, ' ')) AS INT)        AS n_words,
+           string_split(p_name, ' ')[1]                       AS first_word,
+           list_sort(string_split(p_name, ' '))               AS sorted_words,
+           list_contains(string_split(p_name, ' '), 'green')  AS has_green,
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+    FROM part
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """,
+    doc="Array family over split words: size/element_at/sort/contains/join.",
+    tags=("functions", "array"),
+)
+def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part").where(F.col("p_partkey") <= 300)
+    words = F.split(F.col("p_name"), " ")
+    return p.select(
+        "p_partkey",
+        words.alias("words"),
+        F.size(words).alias("n_words"),
+        F.element_at(words, 1).alias("first_word"),
+        F.array_sort(words).alias("sorted_words"),
+        F.array_contains(words, "green").alias("has_green"),
+        F.array_join(F.array_sort(words), "-").alias("joined"),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_explode_word_freq",
+    """
+    SELECT word, count(*) AS n
+    FROM (SELECT unnest(string_split(p_name, ' ')) AS word FROM part)
+    GROUP BY word
+    ORDER BY n DESC, word
+    LIMIT 20
+    """,
+    doc="arrayJoin/explode + regroup: word frequency over part names.",
+    tags=("functions", "array", "explode"),
+)
+def fn_explode_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("part")
+        .select(ch.arrayJoin(F.split(F.col("p_name"), " ")).alias("word"))
+        .groupBy("word")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.col("n").desc(), "word")
+        .limit(20)
+    )
+
+
+@register(
+    "fn_regexp",
+    """
+    SELECT p_partkey,
+           regexp_extract(p_type, '([A-Z]+)', 1)              AS first_caps,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')        AS devoweled,
+           regexp_matches(p_type, '^STANDARD')                AS is_standard,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs
+    FROM part
+    WHERE p_partkey <= 300
+    ORDER BY p_partkey
+    """,
+    doc="Regexp family (oracle uses the 'g' flag: DuckDB regexp_replace "
+    "is first-match by default, Spark replaces all).",
+    tags=("functions", "regexp"),
+)
+def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part").where(F.col("p_partkey") <= 300)
+    return p.select(
+        "p_partkey",
+        F.regexp_extract(F.col("p_type"), "([A-Z]+)", 1).alias("first_caps"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^STANDARD").alias("is_standard"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_lower_runs"
+        ),
+    ).orderBy("p_partkey")
+
+
+@register(
+    "fn_hash",
+    """
+    SELECT r_regionkey,
+           md5(r_name)    AS name_md5,
+           sha256(r_name) AS name_sha256
+    FROM region
+    ORDER BY r_regionkey
+    """,
+    doc="Cryptographic hash family — identical hex across engines.",
+    tags=("functions", "hash"),
+)
+def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("region")
+        .select(
+            "r_regionkey",
+            F.md5(F.col("r_name")).alias("name_md5"),
+            F.sha2(F.col("r_name"), 256).alias("name_sha256"),
+        )
+        .orderBy("r_regionkey")
+    )
+
+
+@register(
+    "fn_json_props",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+    FROM events
+    WHERE event_id <= 500
+    ORDER BY event_id
+    """,
+    doc="JSON access over the events.props column — ClickHouse "
+    "JSONExtract / Object('JSON') analogue (SURVEY §1.3).",
+    tags=("functions", "json"),
+)
+def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .where(F.col("event_id") <= 500)
+        .select(
+            "event_id",
+            F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# events time-series shapes
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "events_tumbling_window",
+    """
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Tumbling 1-hour window aggregation — the batch equivalent of the "
+    "Structured Streaming windowed agg (streaming/ has the readStream "
+    "version of this exact query).",
+    headline=True,
+    tags=("events", "window-agg", "streaming"),
+)
+def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .groupBy(
+            F.window("ts", "1 hour").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
+    "events_sessionization",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(count(DISTINCT session_id) AS BIGINT) AS n_sessions,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM sessions
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Sessionization with a 30-minute inactivity gap — lag + cumulative "
+    "flag-sum, the classic scalable pattern (no per-user collect; one "
+    "window shuffle on user_id).",
+    headline=True,
+    tags=("events", "session", "window"),
+)
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")
+    flagged = (
+        spark.table("events")
+        .withColumn(
+            "new_session",
+            F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    return (
+        sessions.groupBy("user_id")
+        .agg(
+            F.countDistinct("session_id").alias("n_sessions"),
+            F.count("*").alias("n_events"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "events_funnel",
+    """
+    SELECT user_id,
+           min(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+           (min(CASE WHEN event_type = 'signup'   THEN ts END) IS NOT NULL AND
+            min(CASE WHEN event_type = 'purchase' THEN ts END) >
+            min(CASE WHEN event_type = 'signup'   THEN ts END)) AS converted
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="Funnel: signup -> purchase conversion per user via conditional "
+    "min — ClickHouse windowFunnel-style analysis as one aggregation.",
+    tags=("events", "funnel"),
+)
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = spark.table("events")
+    first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
+    first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
+    return (
+        e.groupBy("user_id")
+        .agg(
+            first_signup.alias("first_signup"),
+            first_purchase.alias("first_purchase"),
+            (
+                first_signup.isNotNull() & (first_purchase > first_signup)
+            ).alias("converted"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "param_query_bound",
+    """
+    SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00.000000'
+      AND o_orderstatus IN ('O', 'F')
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Parameterized query path: built through Client.query_params with "
+    "`{name:Type}` placeholders (reference tests/tests/params.rs), bound "
+    "to the literal values the oracle uses.",
+    tags=("params",),
+)
+def param_query_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import datetime
+
+    from clickhouse_arrow_spark.client import Client
+
+    client = Client(spark)
+    return client.query_params(
+        """
+        SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
+        FROM orders
+        WHERE o_orderdate >= {start:DateTime}
+          AND o_orderstatus IN ({s1:String}, {s2:String})
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """,
+        params={
+            "start": datetime.datetime(1996, 1, 1),
+            "s1": "O",
+            "s2": "F",
+        },
+    )

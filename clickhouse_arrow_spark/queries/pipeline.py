@@ -1,0 +1,392 @@
+"""Pipeline-operator corpus entries: dedup / similarity / text /
+multimodal / as-of, each wired to a DuckDB oracle where the operator is
+engine-agnostic (deterministic math, no engine-specific hash). Entries
+without an oracle (minhash/simhash use Spark's xxhash64; the decode stub
+runs Python) take the driver's rows-only check, as the contract allows
+for non-SQL-expressible ops.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.operators import asof, dedup, multimodal, similarity, text
+from clickhouse_arrow_spark.queries.base import register
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "dedup_exact",
+    """
+    SELECT min(doc_id) AS doc_id, count(*) AS n_copies
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ORDER BY doc_id
+    """,
+    doc="Exact dedup: survivor id + copy count per normalized text "
+    "(hash-groupBy; shuffle key is a 256-bit digest — skew-proof).",
+    headline=True,
+    tags=("dedup", "exact"),
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.dedup_exact(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "dedup_minhash_lsh",
+    None,  # xxhash64-based signatures are engine-specific — rows-only
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
+    "estimated Jaccard >= 0.5. Exact duplicates must appear with "
+    "est_jaccard 1.0 (asserted in tests against dedup_exact).",
+    headline=True,
+    tags=("dedup", "minhash", "lsh"),
+)
+def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_candidate_pairs(
+        spark.table("documents"), threshold=0.5
+    ).orderBy("a_id", "b_id")
+
+
+@register(
+    "dedup_simhash",
+    None,  # xxhash64-based — rows-only
+    doc="SimHash near-dup pairs within Hamming distance 3 "
+    "(pigeonhole-blocked candidate join, no all-pairs).",
+    tags=("dedup", "simhash"),
+)
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_near_pairs(spark.table("documents")).orderBy("a_id", "b_id")
+
+
+@register(
+    "dedup_charset_jaccard",
+    """
+    WITH base AS (
+      SELECT doc_id, lang AS grp,
+             list_distinct(string_split(lower(text), '')) AS chars
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(
+             CAST(len(list_filter(a.chars, x -> list_contains(b.chars, x))) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.chars, b.chars))) AS DOUBLE),
+           6) AS jaccard
+    FROM base a JOIN base b ON a.grp = b.grp AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_filter(a.chars, x -> list_contains(b.chars, x))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.chars, b.chars))) AS DOUBLE) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+    doc="1-gram (charset) Jaccard pairs within language blocks — the "
+    "oracle-able tier of n-gram Jaccard dedup.",
+    tags=("dedup", "jaccard"),
+)
+def q_dedup_charset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.charset_jaccard_pairs(spark.table("documents"), threshold=0.9).orderBy(
+        "a_id", "b_id"
+    )
+
+
+@register(
+    "dedup_embedding_cosine",
+    None,  # bucketed variant has recall semantics — rows-only
+    doc="Embedding-cosine near-dup pairs (>= 0.95) via IVF bucketing — "
+    "compare-within-bucket, never all-pairs.",
+    tags=("dedup", "embedding"),
+)
+def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.embedding_near_duplicates(
+        spark.table("embeddings"), threshold=0.95
+    ).orderBy("a_id", "b_id")
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_ANN_ORACLE = """
+    WITH q AS (
+      SELECT vec_id AS query_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             round(
+               list_reduce(list_transform(range(1, len(qv)+1), i -> qv[i] * cv[i]),
+                           (a, b) -> a + b)
+               / (sqrt(list_reduce(list_transform(qv, x -> x*x), (a,b) -> a+b))
+                  * sqrt(list_reduce(list_transform(cv, x -> x*x), (a,b) -> a+b))),
+             6) AS cosine
+      FROM q CROSS JOIN c
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+"""
+
+
+@register(
+    "ann_brute_force_topk",
+    _ANN_ORACLE,
+    doc="Exact cosine top-10 for 5 query vectors over the corpus — "
+    "broadcast queries, JVM-side dot products, per-query window top-k.",
+    headline=True,
+    tags=("similarity", "ann"),
+)
+def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.brute_force_topk(emb, queries, k=10).orderBy(
+        "query_id", "rank"
+    )
+
+
+@register(
+    "ann_ivf_topk",
+    None,  # approximate by design (probe pruning) — rows-only
+    doc="IVF top-10: corpus bucketed by 16 deterministic centroids, "
+    "queries probe 4 buckets — the 100 TB scale path (probe cost is "
+    "nprobe/nlist of the corpus, bucket layout is writable as a "
+    "partitioned index).",
+    tags=("similarity", "ann", "ivf"),
+)
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    return similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).orderBy(
+        "query_id", "rank"
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "text_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS INT)
+             AS bpe_tokens,
+           CAST(length(text) AS INT) AS n_chars
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
+    tags=("text", "tokens"),
+)
+def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.token_count(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "text_quality_score",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             CAST(length(text) AS DOUBLE) AS n,
+             CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
+             CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+             CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) AS digits,
+             CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in)\\b')) AS DOUBLE)
+               AS stop_hits
+      FROM documents
+    )
+    SELECT doc_id,
+           round(least(n / 500.0, 1.0), 6) AS len_score,
+           round(alpha / greatest(n, 1.0), 6) AS alpha_ratio,
+           round(least(stop_hits / 5.0, 1.0), 6) AS stop_score,
+           round(least(n / 500.0, 1.0) * 0.3
+                 + alpha / greatest(n, 1.0) * 0.3
+                 + least(stop_hits / 5.0, 1.0) * 0.2
+                 + (1 - least(punct / greatest(n, 1.0) * 10.0, 1.0)) * 0.1
+                 + (1 - least(digits / greatest(n, 1.0) * 10.0, 1.0)) * 0.1,
+           6) AS quality
+    FROM m
+    ORDER BY doc_id
+    """,
+    doc="C4/Gopher-style quality heuristics as one projection.",
+    tags=("text", "quality"),
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.quality_score(spark.table("documents")).orderBy("doc_id")
+
+
+def _lang_oracle() -> str:
+    score = {
+        lang: f"CAST(len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b')) AS INT)"
+        for lang, words in text.STOPWORDS.items()
+    }
+    best = "greatest(" + ", ".join(score.values()) + ")"
+    case = "CASE " + " ".join(
+        f"WHEN {score[lang]} = best THEN '{lang}'" for lang in text.STOPWORDS
+    ) + " END"
+    return f"""
+    WITH scored AS (
+      SELECT doc_id, text, {best} AS best FROM documents
+    )
+    SELECT doc_id, {case} AS pred_lang, best AS best_score
+    FROM scored
+    ORDER BY doc_id
+    """
+
+
+@register(
+    "text_language_id",
+    _lang_oracle(),
+    doc="Stopword-vote language ID (deterministic heuristic; a model "
+    "slots in as pandas_udf behind the same schema).",
+    tags=("text", "langid"),
+)
+def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_id(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "text_fingerprint",
+    """
+    SELECT doc_id,
+           list_reduce(
+             list_transform(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+               c -> CAST(unicode(c) AS BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007
+           ) AS fingerprint
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Polynomial rolling-hash fingerprint — engine-agnostic fold, "
+    "identical from Spark's aggregate() and DuckDB's list_reduce().",
+    tags=("text", "fingerprint"),
+)
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.rolling_fingerprint(spark.table("documents")).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# as-of join
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "asof_events_orders",
+    """
+    WITH last_order AS (
+      SELECT o_custkey, o_orderdate, max(o_orderkey) AS asof_orderkey
+      FROM orders
+      GROUP BY o_custkey, o_orderdate
+    )
+    SELECT e.event_id, e.user_id, lo.asof_orderkey
+    FROM events e
+    ASOF LEFT JOIN last_order lo
+      ON e.user_id = lo.o_custkey AND e.ts >= lo.o_orderdate
+    ORDER BY e.event_id
+    """,
+    doc="Backward as-of join (events -> latest preceding order per "
+    "user). Spark implementation: union + keyed window last() — one "
+    "shuffle on the key; oracle: DuckDB ASOF JOIN.",
+    headline=True,
+    tags=("asof", "join", "events"),
+)
+def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = spark.table("events").select("event_id", "user_id", "ts")
+    last_order = (
+        spark.table("orders")
+        .groupBy("o_custkey", "o_orderdate")
+        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    )
+    return (
+        asof.asof_join(
+            events,
+            last_order,
+            by="user_id",
+            right_by="o_custkey",
+            left_time="ts",
+            right_time="o_orderdate",
+            value_cols=["asof_orderkey"],
+        )
+        .select("event_id", "user_id", "asof_orderkey")
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# multimodal
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "multimodal_metadata",
+    """
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           sha256(text) AS checksum
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="Opaque binary payload + typed metadata (mime/bytes/checksum) — "
+    "the multimodal column model; metadata computed JVM-side.",
+    tags=("multimodal", "metadata"),
+)
+def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        multimodal.attach_payload(spark.table("documents"))
+        .select(
+            "doc_id",
+            F.col("media.mime").alias("mime"),
+            F.col("media.n_bytes").alias("n_bytes"),
+            F.col("media.checksum").alias("checksum"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    None,  # Python decode stub — rows-only
+    doc="mapInPandas decode plumbing: payload -> (width, height, "
+    "features[8]) with a deterministic stub decoder; real codecs "
+    "register into DECODERS without plan changes.",
+    tags=("multimodal", "decode", "pandas-udf"),
+)
+def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.attach_payload(spark.table("documents"))
+    return multimodal.decode_features(payloads).orderBy("doc_id")
+
+
+@register(
+    "multimodal_frame_sample",
+    """
+    SELECT doc_id, CAST(unnest(range(0, 100, 10)) AS INT) AS frame_idx
+    FROM documents
+    WHERE doc_id < 50
+    ORDER BY doc_id, frame_idx
+    """,
+    doc="Video frame-sampling plumbing: every-10th-frame explode plan.",
+    tags=("multimodal", "video"),
+)
+def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents").where(F.col("doc_id") < 50)
+    return (
+        multimodal.frame_sample_plan(docs, every_n=10)
+        .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
+        .orderBy("doc_id", "frame_idx")
+    )

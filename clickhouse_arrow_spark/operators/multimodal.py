@@ -101,6 +101,9 @@ def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
     no driver involvement. Output schema is fixed (`FEATURE_SCHEMA`) so
     downstream joins/ANN are plannable before decode runs.
     """
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
+    df = _spread(df, "doc_id")  # one Python worker per core, not per file
 
     def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:

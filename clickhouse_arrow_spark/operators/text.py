@@ -113,6 +113,8 @@ def rolling_fingerprint(
     Engine-agnostic (same value from any engine that folds left-to-right
     — the DuckDB oracle uses list_reduce), unlike xxhash/md5-of-engine
     which would pin us to one implementation."""
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
     norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
     codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
     fp = F.aggregate(
@@ -120,7 +122,7 @@ def rolling_fingerprint(
         F.element_at(codes, 1),
         lambda acc, c: (acc * 31 + c) % F.lit(mod),
     )
-    return df.select(F.col(id_col), fp.alias("fingerprint"))
+    return _spread(df, id_col).select(F.col(id_col), fp.alias("fingerprint"))
 
 
 def charset_jaccard_pairs(

@@ -1,0 +1,154 @@
+"""Structured Streaming operators over the events table.
+
+The reference's only "streaming" is batch delivery of result blocks
+(futures::Stream, SURVEY §2.3) — these operators are the genuine
+streaming layer a Spark-native engine adds: watermarked tumbling
+windows, session windows, and custom stateful aggregation via
+`applyInPandasWithState`.
+
+Every streaming aggregation here has the same shape as its batch
+corpus twin (queries/functions.py events_* entries), so correctness is
+checked by running the stream with `Trigger.AvailableNow` over the
+static parquet and comparing to the batch answer — the standard
+batch-equivalence oracle for Structured Streaming.
+
+Scale posture: watermarks bound state; aggregations key on
+(window, event_type) or user_id — state partitions shard across
+executors; `availableNow` backfills chunk the input instead of one
+giant microbatch.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Iterable
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+
+def read_events_stream(
+    spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1
+) -> DataFrame:
+    """`readStream` over the events parquet (schema pinned from the batch
+    read; ns timestamps normalized to µs exactly like the batch path)."""
+    from clickhouse_arrow_spark.sources.registry import load_table
+
+    batch = load_table(spark, sf_dir, "events")
+    raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
+    # The file-stream source requires a directory: stream the sf dir with
+    # a glob filter selecting only the events table.
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    # replay the same ns->µs normalization the batch registry applies
+    for field in batch.schema.fields:
+        if field.name in [f.name for f in raw_schema.fields] and str(
+            field.dataType
+        ) == "TimestampType()" and str(
+            raw_schema[field.name].dataType
+        ) == "LongType()":
+            stream = stream.withColumn(
+                field.name, F.expr(f"timestamp_micros(`{field.name}` DIV 1000)")
+            )
+    return stream
+
+
+def tumbling_window_agg(stream: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling 1-hour window counts per event_type — the
+    streaming twin of the `events_tumbling_window` batch query. Late rows
+    beyond the watermark are dropped and state for closed windows is
+    evicted (bounded memory at any stream length)."""
+    return (
+        stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour"), F.col("event_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .select(
+            F.col("window.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
+
+
+def session_window_agg(stream: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows with a 30-minute inactivity gap per user — the
+    streaming twin of `events_sessionization` (built-in session_window:
+    state merges adjacent events, watermark closes idle sessions)."""
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy(F.session_window("ts", gap), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+_STATE_SCHEMA = T.StructType([T.StructField("total", T.LongType(), True)])
+_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("events_so_far", T.LongType(), False),
+    ]
+)
+
+
+def _running_count(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    total = state.get[0] if state.exists else 0
+    for pdf in pdfs:
+        total += len(pdf)
+    state.update((total,))
+    yield pd.DataFrame({"user_id": [user_id], "events_so_far": [total]})
+
+
+def stateful_running_counts(stream: DataFrame) -> DataFrame:
+    """Custom stateful operator: per-user running event count via
+    `applyInPandasWithState` — the template for operators session
+    windows can't express (e.g. decaying counters, CEP-ish state).
+    State is one row per user; partitions shard by user_id."""
+    return (
+        stream.groupBy("user_id")
+        .applyInPandasWithState(
+            _running_count,
+            outputStructType=_OUT_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
+) -> DataFrame:
+    """Execute a streaming DataFrame to completion with
+    `Trigger.AvailableNow` into an in-memory sink; returns the result as
+    a batch DataFrame. (Test/backfill harness — production sinks are
+    `toTable`/`foreachBatch` writers.)"""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)
+    spark = df.sparkSession
+    return spark.table(name)

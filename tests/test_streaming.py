@@ -1,0 +1,102 @@
+"""Structured Streaming tests: batch-equivalence oracles.
+
+Each streaming aggregation runs to completion with Trigger.AvailableNow
+over the static events parquet and must agree with its batch twin —
+the standard correctness harness for Structured Streaming operators.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.streaming import (
+    read_events_stream,
+    run_to_memory_sink,
+    session_window_agg,
+    stateful_running_counts,
+    tumbling_window_agg,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def events_stream(spark, tables):
+    return read_events_stream(spark, SF_DIR)
+
+
+def test_stream_is_streaming(events_stream):
+    assert events_stream.isStreaming
+
+
+def test_tumbling_window_matches_batch(spark, events_stream, tables):
+    got = run_to_memory_sink(
+        tumbling_window_agg(events_stream), "t_tumbling", output_mode="append"
+    )
+    # Append mode only emits CLOSED windows: those whose end precedes
+    # (max event time - watermark). Windows still open when the stream
+    # drains are correctly withheld — mirror that in the batch oracle.
+    max_ts = spark.table("events").agg(F.max("ts")).first()[0]
+    expect = (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour").start.alias("window_start"), "event_type")
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 2).alias("total_value"))
+        .where(
+            F.col("window_start") + F.expr("INTERVAL 1 HOUR")
+            <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS")
+        )
+    )
+    diff = got.exceptAll(expect).count() + expect.exceptAll(got).count()
+    assert diff == 0, f"stream/batch divergence: {diff} rows"
+
+
+def test_session_window_matches_batch_session_count(spark, events_stream, tables):
+    got = run_to_memory_sink(
+        session_window_agg(events_stream), "t_sessions", output_mode="append"
+    )
+    # Batch oracle: lag/cumsum sessionization, restricted to CLOSED
+    # sessions (append mode withholds sessions still inside the
+    # watermark: session end = last event + gap must precede
+    # max event time - watermark).
+    from pyspark.sql import Window as W
+
+    max_ts = spark.table("events").agg(F.max("ts")).first()[0]
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+        W.unboundedPreceding, W.currentRow
+    )
+    gap = F.col("ts").cast("long") - F.lag("ts").over(w).cast("long")
+    sessions = (
+        spark.table("events")
+        .withColumn(
+            "new_session",
+            F.when(gap > 1800, 1).when(F.lag("ts").over(w).isNull(), 1).otherwise(0),
+        )
+        .withColumn("session_id", F.sum("new_session").over(wsum))
+        .groupBy("user_id", "session_id")
+        .agg((F.max("ts") + F.expr("INTERVAL 30 MINUTES")).alias("session_end"))
+        .where(F.col("session_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+        .groupBy("user_id")
+        .agg(F.count("*").alias("expect"))
+    )
+    got_counts = got.groupBy("user_id").agg(F.count("*").alias("n_sessions"))
+    joined = got_counts.join(sessions, "user_id", "full_outer")
+    bad = joined.where(
+        F.coalesce("n_sessions", F.lit(0)) != F.coalesce("expect", F.lit(0))
+    ).count()
+    assert bad == 0
+
+
+def test_stateful_running_counts_final_totals(spark, events_stream, tables):
+    got = run_to_memory_sink(
+        stateful_running_counts(events_stream), "t_state", output_mode="update"
+    )
+    # final state per user (last update) == total events per user
+    final = (
+        got.groupBy("user_id").agg(F.max("events_so_far").alias("events_so_far"))
+    )
+    expect = spark.table("events").groupBy("user_id").agg(F.count("*").alias("n"))
+    joined = final.join(expect, "user_id")
+    bad = joined.where(F.col("events_so_far") != F.col("n")).count()
+    assert bad == 0
+    assert final.count() == expect.count()

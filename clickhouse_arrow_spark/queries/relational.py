@@ -1020,17 +1020,25 @@ def setop_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "setop_except",
     """
-    SELECT c_nationkey AS k FROM customer
+    SELECT c_nationkey AS k FROM customer WHERE c_acctbal > 9000
     EXCEPT
-    SELECT s_nationkey AS k FROM supplier
+    SELECT s_nationkey AS k FROM supplier WHERE s_acctbal > 9000
     ORDER BY k
     """,
     doc="EXCEPT (distinct semantics).",
     tags=("setop",),
 )
 def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = spark.table("customer").select(F.col("c_nationkey").alias("k"))
-    s = spark.table("supplier").select(F.col("s_nationkey").alias("k"))
+    c = (
+        spark.table("customer")
+        .where(F.col("c_acctbal") > 9000)
+        .select(F.col("c_nationkey").alias("k"))
+    )
+    s = (
+        spark.table("supplier")
+        .where(F.col("s_acctbal") > 9000)
+        .select(F.col("s_nationkey").alias("k"))
+    )
     # EXCEPT has set semantics: distinct both sides, then subtract.
     return c.distinct().subtract(s.distinct()).orderBy("k")
 
@@ -1045,7 +1053,7 @@ def setop_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT o_orderkey, round(o_totalprice, 2) AS total
     FROM orders
-    WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+    WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
     ORDER BY o_orderkey
     """,
     doc="Uncorrelated scalar subquery in a predicate.",
@@ -1056,7 +1064,7 @@ def subquery_scalar(spark: SparkSession, sf_dir: str) -> DataFrame:
         """
         SELECT o_orderkey, round(o_totalprice, 2) AS total
         FROM orders
-        WHERE o_totalprice > (SELECT avg(o_totalprice) * 2 FROM orders)
+        WHERE o_totalprice > (SELECT avg(o_totalprice) * 1.5 FROM orders)
         ORDER BY o_orderkey
         """
     )

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Pre-flight simulation of the driver's verify flow.
+
+Builds a PLAIN SparkSession (none of the engine's conf defaults — the
+driver owns its own session), runs `entry()`, then every `queries()`
+entry at sf0.01 against `oracle_sql()` via DuckDB with order-insensitive
+value hashing. Exits non-zero on any mismatch.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+
+
+def normalize(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v:.12g}"
+    if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
+        return "[" + ",".join(normalize(x) for x in v) + "]"
+    if isinstance(v, dict):
+        return "{" + ",".join(f"{k}:{normalize(x)}" for k, x in sorted(v.items())) + "}"
+    return str(v)
+
+
+def canonical(pdf):
+    cols = sorted(pdf.columns)
+    return sorted(
+        "|".join(normalize(row[c]) for c in cols) for _, row in pdf[cols].iterrows()
+    )
+
+
+def main() -> int:
+    import duckdb
+    from pyspark.sql import SparkSession
+
+    import __spark_entry__ as entrymod
+
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .appName("verify-sim")
+        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    print("== entry() smoke ==")
+    df = entrymod.entry(spark)
+    rows = df.collect()
+    print(f"entry: {len(rows)} rows, schema={[f.name for f in df.schema.fields]}")
+    assert len(rows) > 0
+
+    duck = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "documents embeddings".split()
+    ):
+        p = os.path.join(SF_DIR, f"{t}.parquet")
+        if os.path.exists(p):
+            duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    print(f"== {len(qs)} queries, {len(oracles)} with oracles ==")
+    failures = []
+    for name, fn in qs.items():
+        t0 = time.perf_counter()
+        try:
+            sdf = fn(spark, SF_DIR)
+            spdf = sdf.toPandas()
+        except Exception as e:
+            failures.append((name, f"SPARK ERROR: {str(e)[:200]}"))
+            print(f"  {name}: SPARK ERROR {str(e)[:120]}")
+            continue
+        status = "rows-only"
+        if name in oracles:
+            try:
+                dpdf = duck.execute(oracles[name]).fetchdf()
+            except Exception as e:
+                failures.append((name, f"ORACLE ERROR: {str(e)[:200]}"))
+                print(f"  {name}: ORACLE ERROR {str(e)[:120]}")
+                continue
+            if len(spdf) != len(dpdf):
+                failures.append((name, f"rowcount {len(spdf)} vs {len(dpdf)}"))
+                status = "ROWCOUNT MISMATCH"
+            elif sorted(spdf.columns) != sorted(dpdf.columns):
+                failures.append(
+                    (name, f"cols {sorted(spdf.columns)} vs {sorted(dpdf.columns)}")
+                )
+                status = "SCHEMA MISMATCH"
+            elif canonical(spdf) != canonical(dpdf):
+                s, d = canonical(spdf), canonical(dpdf)
+                diff = next((a, b) for a, b in zip(s, d) if a != b)
+                failures.append((name, f"values: {diff[0][:90]} vs {diff[1][:90]}"))
+                status = "VALUE MISMATCH"
+            else:
+                status = "MATCH"
+        dt = time.perf_counter() - t0
+        print(f"  {name}: {status} ({len(spdf)} rows, {dt:.1f}s)")
+
+    print(f"\n{len(qs) - len(failures)}/{len(qs)} ok, {len(failures)} failures")
+    for name, why in failures:
+        print(f"  FAIL {name}: {why}")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

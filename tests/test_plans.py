@@ -91,7 +91,8 @@ def test_whole_stage_codegen_active(spark, tables):
     df = REGISTRY["q1_pricing_summary"].build(spark, SF_DIR)
     df.collect()
     plan = str(df._jdf.queryExecution().executedPlan())
-    assert "WholeStageCodegen" in plan
+    # codegen stages print as '*(n) Operator' in the executed tree
+    assert "*(" in plan, f"no WholeStageCodegen stage in:\n{plan[:500]}"
 
 
 def test_partition_pruning_events_window(spark, tables):

@@ -69,8 +69,9 @@ def register(
 
 def load_all() -> dict[str, QuerySpec]:
     """Import every corpus module so REGISTRY is fully populated."""
-    import clickhouse_arrow_spark.queries.relational  # noqa: F401
+    import clickhouse_arrow_spark.queries.advanced  # noqa: F401
     import clickhouse_arrow_spark.queries.functions  # noqa: F401
     import clickhouse_arrow_spark.queries.pipeline  # noqa: F401
+    import clickhouse_arrow_spark.queries.relational  # noqa: F401
 
     return REGISTRY

@@ -275,6 +275,41 @@ class Client:
         ClientPacketId::Cancel, protocol.rs:93)."""
         self.spark.sparkContext.cancelJobGroup(qid)
 
+    def progress(self, qid: str | None = None) -> dict:
+        """Progress snapshot — the `subscribe_events` analogue
+        (reference broadcasts Progress{read_rows, read_bytes, total_rows}
+        per query, src/client.rs:282-313, src/native/progress.rs:6-14).
+
+        Spark's statusTracker supplies the same class of numbers per job
+        group; polling it is the idiomatic substitute for the
+        out-of-band event channel.
+        """
+        st = self.spark.sparkContext.statusTracker()
+        job_ids = (
+            st.getJobIdsForGroup(qid) if qid else st.getJobIdsForGroup()
+        ) or []
+        jobs = []
+        active_tasks = completed_tasks = total_tasks = 0
+        for jid in job_ids:
+            info = st.getJobInfo(jid)
+            if info is None:
+                continue
+            stages = [st.getStageInfo(sid) for sid in info.stageIds]
+            for s in stages:
+                if s is None:
+                    continue
+                active_tasks += s.numActiveTasks
+                completed_tasks += s.numCompletedTasks
+                total_tasks += s.numTasks
+            jobs.append({"job_id": jid, "status": str(info.status)})
+        return {
+            "qid": qid,
+            "jobs": jobs,
+            "active_tasks": active_tasks,
+            "completed_tasks": completed_tasks,
+            "total_tasks": total_tasks,
+        }
+
     def shutdown(self) -> None:
         self.spark.stop()
 

@@ -1,0 +1,126 @@
+"""DDL storage semantics (ORDER BY sort-on-write, TTL retention job,
+partitioned tables) and the ClickHouse-settings shim."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.client import Client
+from clickhouse_arrow_spark.ddl import CreateOptions, apply_ttl, create_table_ddl, sort_for_write
+from clickhouse_arrow_spark.settings import settings_scope, translate_setting
+
+
+def test_ddl_emits_properties():
+    ddl = create_table_ddl(
+        "default",
+        "t_props",
+        [("id", "Int64"), ("ts", "DateTime64(6)"), ("v", "Nullable(Float64)")],
+        CreateOptions(
+            engine="MergeTree",
+            order_by=("id",),
+            primary_keys=("id",),
+            ttl="ts + INTERVAL 30 DAY",
+            settings={"index_granularity": "8192"},
+        ),
+    )
+    assert "USING PARQUET" in ddl
+    assert "'clickhouse_arrow_spark.engine' = 'MergeTree'" in ddl
+    assert "'clickhouse_arrow_spark.order_by' = 'id'" in ddl
+    assert "'clickhouse_arrow_spark.ttl' = 'ts + INTERVAL 30 DAY'" in ddl
+    assert "'clickhouse_arrow_spark.setting.index_granularity' = '8192'" in ddl
+    assert "`v` double" in ddl and "`id` bigint NOT NULL" in ddl
+
+
+def test_partitioned_table_ddl(client):
+    client.execute("DROP TABLE IF EXISTS default.t_part")
+    ddl = client.create_table(
+        "default",
+        "t_part",
+        [("id", "Int64"), ("bucket", "Int32")],
+        CreateOptions(partition_by="bucket"),
+    )
+    assert "PARTITIONED BY (bucket)" in ddl
+    src = client.spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0)], "id long, bucket int"
+    )
+    client.insert("default.t_part", src)
+    # partition pruning: reading one bucket touches one partition dir
+    one = client.spark.table("default.t_part").where(F.col("bucket") == 0)
+    assert one.count() == 2
+    files = one.inputFiles()
+    assert all("bucket=0" in f for f in files)
+    client.execute("DROP TABLE default.t_part")
+
+
+def test_sort_for_write_clusters(spark):
+    df = spark.range(1000).select(
+        (999 - F.col("id")).alias("k"), F.col("id").alias("v")
+    )
+    out = sort_for_write(df, CreateOptions(order_by=("k",)))
+    # within every partition, k must be non-decreasing
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.spark_partition_id()).orderBy(F.monotonically_increasing_id())
+    bad = (
+        out.withColumn("prev", F.lag("k").over(w))
+        .where(F.col("prev").isNotNull() & (F.col("k") < F.col("prev")))
+        .count()
+    )
+    assert bad == 0
+
+
+def test_apply_ttl_deletes_expired(client, spark):
+    client.execute("DROP TABLE IF EXISTS default.t_ttl")
+    client.create_table(
+        "default",
+        "t_ttl",
+        [("id", "Int64"), ("ts", "DateTime64(6)")],
+        CreateOptions(ttl="ts + INTERVAL 1 DAY"),
+    )
+    client.execute(
+        """
+        INSERT INTO default.t_ttl VALUES
+          (1, timestamp'2000-01-01 00:00:00'),
+          (2, current_timestamp())
+        """
+    )
+    survivors = apply_ttl(spark, "default.t_ttl")
+    assert survivors == 1
+    rows = spark.table("default.t_ttl").collect()
+    assert [r["id"] for r in rows] == [2]
+    client.execute("DROP TABLE default.t_ttl")
+
+
+def test_apply_ttl_no_ttl_property(client, spark):
+    client.execute("DROP TABLE IF EXISTS default.t_nottl")
+    client.create_table("default", "t_nottl", [("id", "Int64")])
+    assert apply_ttl(spark, "default.t_nottl") == -1
+    client.execute("DROP TABLE default.t_nottl")
+
+
+def test_settings_translation():
+    assert translate_setting("max_threads", 16) == (
+        "spark.sql.shuffle.partitions", "16"
+    )
+    conf, v = translate_setting("network_compression_method", "lz4")
+    assert (conf, v) == ("spark.sql.parquet.compression.codec", "lz4")
+    conf, v = translate_setting("totally_unknown_setting", "x")
+    assert conf.startswith("spark.clickhouse_arrow_spark.setting.")
+
+
+def test_settings_scope_restores(spark):
+    before = spark.conf.get("spark.sql.shuffle.partitions")
+    with settings_scope(spark, {"max_threads": 4}):
+        assert spark.conf.get("spark.sql.shuffle.partitions") == "4"
+    assert spark.conf.get("spark.sql.shuffle.partitions") == before
+
+
+def test_progress_snapshot(client):
+    qid = "test-progress-qid"
+    df = client.query("SELECT count(*) AS n FROM lineitem", qid=qid)
+    df.collect()
+    p = client.progress(qid)
+    assert p["total_tasks"] >= 1
+    assert p["completed_tasks"] >= 1
+    assert p["jobs"], "job group produced no tracked jobs"

@@ -1,0 +1,294 @@
+"""Third-wave corpus: deeper TPC-H-shaped analytics adapted to the
+driver's schema (no l_shipmode/l_commitdate/p_container columns — each
+query keeps the original's plan-shape challenge with available columns):
+disjunctive predicate joins, correlated per-group thresholds, large-
+volume HAVING, promo share, month-bucketed rollups, retention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from clickhouse_arrow_spark.functions import ch_functions as ch
+from clickhouse_arrow_spark.queries.base import register
+
+
+@register(
+    "q12_priority_by_status",
+    """
+    SELECT l_linestatus,
+           count(*) FILTER (WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')) AS high_count,
+           count(*) FILTER (WHERE o_orderpriority NOT IN ('1-URGENT', '2-HIGH')) AS low_count
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H Q12 shape: join + conditional counts by priority class.",
+    tags=("join", "aggregate", "conditional"),
+)
+def q12_priority_by_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    li = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1998-01-01")
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.count_if(high).alias("high_count"),
+            F.count_if(~high).alias("low_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@register(
+    "q14_promo_share",
+    """
+    SELECT round(
+             100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+      AND l_shipdate <  TIMESTAMP '1997-04-01'
+    """,
+    doc="TPC-H Q14: promo revenue share — broadcast dim join + ratio of "
+    "conditional sums.",
+    tags=("join", "aggregate", "conditional"),
+)
+def q14_promo_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem").where(
+        (F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    p = spark.table("part")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(F.lit(0.0))
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey).agg(
+        F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias("promo_share")
+    )
+
+
+@register(
+    "q17_small_quantity_revenue",
+    """
+    SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE p_brand = 'Brand#1'
+      AND l_quantity < (
+        SELECT 0.5 * avg(l2.l_quantity)
+        FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+    """,
+    doc="TPC-H Q17: correlated per-part average threshold — Catalyst "
+    "decorrelates into an aggregate + join, no per-row subquery loop.",
+    tags=("join", "subquery", "aggregate"),
+)
+def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(
+        """
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#1'
+          AND l_quantity < (
+            SELECT 0.5 * avg(l2.l_quantity)
+            FROM lineitem l2 WHERE l2.l_partkey = lineitem.l_partkey)
+        """
+    )
+
+
+@register(
+    "q18_large_volume_customers",
+    """
+    SELECT c_custkey, o_orderkey, round(sum_qty, 2) AS total_qty
+    FROM (
+      SELECT o_custkey, l_orderkey AS o_orderkey, sum(l_quantity) AS sum_qty
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_orderkey
+      HAVING sum(l_quantity) > 250
+    ) big JOIN customer ON c_custkey = big.o_custkey
+    ORDER BY total_qty DESC, o_orderkey
+    LIMIT 20
+    """,
+    doc="TPC-H Q18: large-volume orders via HAVING, re-joined to the "
+    "customer dim, top-k.",
+    tags=("join", "aggregate", "having", "limit"),
+)
+def q18_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders")
+    li = spark.table("lineitem")
+    c = spark.table("customer")
+    big = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .where(F.col("sum_qty") > 250)
+    )
+    return (
+        big.join(c, big.o_custkey == c.c_custkey)
+        .select(
+            "c_custkey",
+            F.col("l_orderkey").alias("o_orderkey"),
+            F.round("sum_qty", 2).alias("total_qty"),
+        )
+        .orderBy(F.col("total_qty").desc(), "o_orderkey")
+        .limit(20)
+    )
+
+
+@register(
+    "q19_disjunctive_join",
+    """
+    SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 1 AND 21)
+       OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25
+           AND l_quantity BETWEEN 10 AND 30)
+       OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35
+           AND l_quantity BETWEEN 20 AND 40)
+    """,
+    doc="TPC-H Q19: disjunctive multi-clause predicate over a join — "
+    "exercises CNF conversion / partial pushdown.",
+    tags=("join", "filter", "aggregate"),
+)
+def q19_disjunctive_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    p = spark.table("part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    clause = (
+        ((F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 15)
+         & F.col("l_quantity").between(1, 21))
+        | ((F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 25)
+           & F.col("l_quantity").between(10, 30))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 35)
+           & F.col("l_quantity").between(20, 40))
+    )
+    return j.where(clause).agg(
+        F.round(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+        ).alias("revenue")
+    )
+
+
+@register(
+    "monthly_revenue_rollup",
+    """
+    SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS yyyymm,
+           count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+    doc="Month-bucketed rollup via the toYYYYMM shim — the reference's "
+    "PARTITION BY toYYYYMM(date) expression (src/lib.rs:53) used as an "
+    "aggregation key; at scale this IS the partition column.",
+    tags=("aggregate", "date", "partition-expr"),
+)
+def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = spark.table("orders").where(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    )
+    return (
+        o.groupBy(ch.to_yyyymm("o_orderdate").alias("yyyymm"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+        .orderBy("yyyymm")
+    )
+
+
+@register(
+    "events_daily_retention",
+    """
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d
+      FROM events
+    )
+    SELECT CAST(count(*) AS BIGINT) AS retained_pairs,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS retained_users
+    FROM days a JOIN days b
+      ON a.user_id = b.user_id AND b.d = a.d + INTERVAL 1 DAY
+    """,
+    doc="Day-over-day retention: distinct active days self-joined on "
+    "(user, next day) — the standard cohort primitive; self-join keys "
+    "on (user_id, day) so it shuffles once.",
+    tags=("events", "retention", "join"),
+)
+def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    days = (
+        spark.table("events")
+        .select("user_id", F.date_trunc("day", F.col("ts")).alias("d"))
+        .distinct()
+    )
+    a = days.alias("a")
+    b = days.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.d") == F.col("a.d") + F.expr("INTERVAL 1 DAY")),
+        )
+        .agg(
+            F.count("*").alias("retained_pairs"),
+            F.countDistinct("a.user_id").alias("retained_users"),
+        )
+    )
+
+
+@register(
+    "window_dedup_latest",
+    """
+    SELECT user_id, event_id, event_type
+    FROM (
+      SELECT user_id, event_id, event_type,
+             row_number() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) WHERE rn = 1
+    ORDER BY user_id, event_type
+    """,
+    doc="Keep-latest-row-per-key dedup via ranking window — ClickHouse "
+    "ReplacingMergeTree/LIMIT BY analogue.",
+    tags=("window", "dedup"),
+)
+def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        spark.table("events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_id", "event_type")
+        .orderBy("user_id", "event_type")
+    )
+
+
+@register(
+    "sample_tablesample",
+    None,  # engine-specific sampling RNG — rows-only check
+    doc="TABLESAMPLE / df.sample with a fixed seed (ClickHouse SAMPLE BY "
+    "read path); deterministic WITHIN Spark, engine-specific RNG so no "
+    "cross-engine oracle.",
+    tags=("sample",),
+)
+def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("orders")
+        .sample(fraction=0.1, seed=42)
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
+        )
+    )

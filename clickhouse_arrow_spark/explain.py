@@ -66,22 +66,28 @@ class ExplainEstimateRow:
 
 
 def explain_df(df: DataFrame, options: ExplainOptions = ExplainOptions()) -> str:
-    """Render the requested plan stage as text."""
+    """Render the requested plan stage as text (or JSON with
+    `options.json`, the ClickHouse `EXPLAIN PLAN json = 1` form — the
+    reference parses that structured output, explain.rs:249-343)."""
     qe = df._jdf.queryExecution()
     mode = options.mode
     if mode == ExplainMode.AST:
-        return str(qe.logical())
-    if mode == ExplainMode.SYNTAX:
-        return str(qe.analyzed())
-    if mode == ExplainMode.PLAN:
-        return str(qe.optimizedPlan())
-    if mode == ExplainMode.PIPELINE:
+        plan = qe.logical()
+    elif mode == ExplainMode.SYNTAX:
+        plan = qe.analyzed()
+    elif mode == ExplainMode.PLAN:
+        plan = qe.optimizedPlan()
+    elif mode == ExplainMode.PIPELINE:
+        if options.json:
+            return qe.executedPlan().toJSON()
         return qe.explainString(
             df.sparkSession._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
                 "formatted"
             )
         )
-    raise ValueError(f"use explain_estimate for {mode}")
+    else:
+        raise ValueError(f"use explain_estimate for {mode}")
+    return plan.toJSON() if options.json else str(plan)
 
 
 def explain_estimate(

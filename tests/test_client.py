@@ -269,3 +269,15 @@ def test_health_and_qid(client):
     assert client.health_check()
     q = Qid()
     assert len(q) == 36
+
+
+def test_explain_json_mode(client):
+    import json
+
+    out = client.query_with_options(
+        "SELECT r_name FROM region WHERE r_regionkey = 1",
+        QueryOptions(explain=ExplainOptions(mode=ExplainMode.PLAN, json=True)),
+    )
+    parsed = json.loads(out)
+    assert isinstance(parsed, list) and parsed, "plan JSON should be a node list"
+    assert any("class" in node for node in parsed)

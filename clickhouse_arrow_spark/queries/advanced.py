@@ -328,3 +328,32 @@ def distinct_on_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "fn_variant_json",
+    """
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           json_extract_string(props, '$.missing') AS missing
+    FROM events
+    WHERE event_id <= 300
+    ORDER BY event_id
+    """,
+    doc="Semi-structured access via Spark 4 VariantType (parse_json + "
+    "variant_get) — the ClickHouse Variant/Dynamic/JSON column model "
+    "(SURVEY §1.3); missing paths yield NULL, not errors.",
+    tags=("functions", "variant", "json"),
+)
+def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.parse_json(F.col("props"))
+    return (
+        spark.table("events")
+        .where(F.col("event_id") <= 300)
+        .select(
+            "event_id",
+            F.variant_get(v, "$.k", "long").alias("k"),
+            F.variant_get(v, "$.missing", "string").alias("missing"),
+        )
+        .orderBy("event_id")
+    )

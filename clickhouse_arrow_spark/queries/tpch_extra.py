@@ -292,3 +292,102 @@ def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    """
+    SELECT o_orderstatus,
+           count(*) AS n,
+           round(sum(l_quantity), 2) AS total_qty
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="Salted skew-join (operators/skew.salted_join): key salting "
+    "spreads a hot key over N tasks; result is row-identical to the "
+    "plain join, which IS the oracle.",
+    tags=("join", "skew"),
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.skew import salted_join
+
+    li = spark.table("lineitem").select("l_orderkey", "l_quantity")
+    o = spark.table("orders").select("o_orderkey", "o_orderstatus")
+    joined = salted_join(li, o, "l_orderkey", "o_orderkey", salt=8)
+    return (
+        joined.groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("l_quantity"), 2).alias("total_qty"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
+    "agg_regression",
+    """
+    SELECT l_returnflag,
+           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
+           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
+           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
+           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+    doc="Linear-regression aggregates (ClickHouse simpleLinearRegression "
+    "/ stochasticLinearRegression class) — built-in regr_* family.",
+    tags=("aggregate", "regression"),
+)
+def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        spark.table("lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope(y, x), 6).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.regr_count(y, x).alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "grouped_map_zscore",
+    """
+    SELECT l_orderkey, l_linenumber, zscore FROM (
+      SELECT l_orderkey, l_linenumber,
+             round((l_extendedprice
+                    - avg(l_extendedprice) OVER (PARTITION BY l_returnflag))
+                   / stddev_samp(l_extendedprice) OVER (PARTITION BY l_returnflag),
+                   6) AS zscore
+      FROM lineitem
+    ) WHERE l_orderkey <= 500
+    ORDER BY l_orderkey, l_linenumber
+    """,
+    doc="Per-group normalization. Spark side runs applyInPandas (grouped "
+    "map over l_returnflag) — the custom-UDAF template — checked against "
+    "a pure-SQL window oracle.",
+    tags=("pandas-udf", "grouped-map", "window"),
+)
+def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["l_extendedprice"].mean()
+        sd = pdf["l_extendedprice"].std(ddof=1)
+        out = pdf[["l_orderkey", "l_linenumber"]].copy()
+        out["zscore"] = ((pdf["l_extendedprice"] - mu) / sd).round(6)
+        return out
+
+    li = spark.table("lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .applyInPandas(zscore, schema="l_orderkey long, l_linenumber int, zscore double")
+        .where(F.col("l_orderkey") <= 500)
+        .orderBy("l_orderkey", "l_linenumber")
+    )

@@ -357,3 +357,84 @@ def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "agg_string_concat",
+    """
+    SELECT n_regionkey,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+    FROM nation
+    GROUP BY n_regionkey
+    ORDER BY n_regionkey
+    """,
+    doc="Ordered string aggregation (ClickHouse groupConcat / "
+    "arrayStringConcat(groupArray())).",
+    tags=("aggregate", "string"),
+)
+def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("nation")
+        .groupBy("n_regionkey")
+        .agg(
+            F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
+                "nations_csv"
+            )
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+@register(
+    "fn_posexplode",
+    """
+    SELECT p_partkey,
+           CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
+           unnest(string_split(p_name, ' ')) AS word
+    FROM part
+    WHERE p_partkey <= 100
+    ORDER BY p_partkey, pos
+    """,
+    doc="posexplode: element + 0-based position (ClickHouse "
+    "arrayJoin + arrayEnumerate).",
+    tags=("functions", "array", "explode"),
+)
+def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("part")
+        .where(F.col("p_partkey") <= 100)
+        .select(
+            "p_partkey",
+            F.posexplode(F.split(F.col("p_name"), " ")).alias("pos", "word"),
+        )
+        .orderBy("p_partkey", "pos")
+    )
+
+
+@register(
+    "fn_unpivot",
+    """
+    SELECT c_custkey, k, round(v, 2) AS v
+    FROM (SELECT c_custkey, c_acctbal AS bal, c_nationkey * 1.0 AS nat
+          FROM customer WHERE c_custkey <= 100)
+    UNPIVOT (v FOR k IN (bal, nat))
+    ORDER BY c_custkey, k
+    """,
+    doc="Unpivot/melt wide columns to long (key, value) rows.",
+    tags=("reshape", "unpivot"),
+)
+def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wide = (
+        spark.table("customer")
+        .where(F.col("c_custkey") <= 100)
+        .select(
+            "c_custkey",
+            F.col("c_acctbal").alias("bal"),
+            (F.col("c_nationkey") * 1.0).alias("nat"),
+        )
+    )
+    return (
+        wide.unpivot("c_custkey", ["bal", "nat"], "k", "v")
+        .select("c_custkey", "k", F.round("v", 2).alias("v"))
+        .orderBy("c_custkey", "k")
+    )

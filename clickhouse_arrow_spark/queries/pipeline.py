@@ -242,7 +242,7 @@ def _lang_oracle() -> str:
     WITH scored AS (
       SELECT doc_id, text, {best} AS best FROM documents
     )
-    SELECT doc_id, {case} AS pred_lang, best AS best_score
+    SELECT doc_id, {case} AS pred_lang, CAST(best AS INT) AS best_score
     FROM scored
     ORDER BY doc_id
     """

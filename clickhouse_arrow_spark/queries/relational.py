@@ -186,8 +186,8 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
            count(*) AS n,
-           grouping(l_returnflag) AS g_rf,
-           grouping(l_linestatus) AS g_ls
+           CAST(grouping(l_returnflag) AS TINYINT) AS g_rf,
+           CAST(grouping(l_linestatus) AS TINYINT) AS g_ls
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY g_rf, g_ls, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
@@ -807,9 +807,9 @@ def join_range_nonequi(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT * FROM (
       SELECT n_name, s_name, round(s_acctbal, 2) AS bal,
-             row_number()  OVER w AS rn,
-             rank()        OVER w AS rnk,
-             dense_rank()  OVER w AS drnk
+             CAST(row_number() OVER w AS INT) AS rn,
+             CAST(rank()       OVER w AS INT) AS rnk,
+             CAST(dense_rank() OVER w AS INT) AS drnk
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       WINDOW w AS (PARTITION BY n_name ORDER BY s_acctbal DESC, s_suppkey)
     ) WHERE rn <= 3
@@ -936,7 +936,7 @@ def window_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_distribution",
     """
     SELECT s_suppkey,
-           ntile(4)       OVER w AS quartile,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
            round(percent_rank() OVER w, 6) AS pr,
            round(cume_dist()    OVER w, 6) AS cd
     FROM supplier

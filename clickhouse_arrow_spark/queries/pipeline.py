@@ -390,3 +390,65 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("frame_idx").cast("int").alias("frame_idx"))
         .orderBy("doc_id", "frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# structured streaming (executed to completion via Trigger.AvailableNow)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "streaming_tumbling_window",
+    """
+    WITH maxts AS (SELECT max(ts) AS m FROM events)
+    SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+           event_type,
+           count(*) AS n,
+           round(sum(value), 2) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    HAVING time_bucket(INTERVAL '1 hour', min(ts)) + INTERVAL 1 HOUR
+           <= (SELECT m FROM maxts) - INTERVAL 2 HOUR
+    ORDER BY 1, 2
+    """,
+    doc="REAL Structured Streaming run: readStream -> watermark(2h) -> "
+    "tumbling 1h windows -> availableNow to a memory sink. Append mode "
+    "emits exactly the closed windows, which the oracle reproduces with "
+    "a watermark cutoff.",
+    tags=("streaming", "window-agg"),
+)
+def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        tumbling_window_agg,
+    )
+
+    stream = tumbling_window_agg(read_events_stream(spark, sf_dir))
+    name = f"q_stream_tumble_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name, output_mode="append")
+    return out.orderBy("window_start", "event_type")
+
+
+@register(
+    "streaming_session_window",
+    None,  # session assembly is stateful/streaming-only — rows-only
+    doc="REAL Structured Streaming session windows (30 min gap) via "
+    "availableNow; closed sessions only (append mode).",
+    tags=("streaming", "session"),
+)
+def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        session_window_agg,
+    )
+
+    stream = session_window_agg(read_events_stream(spark, sf_dir))
+    name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stream, name, output_mode="append")
+    return out.orderBy("user_id", "session_start")

@@ -1,0 +1,100 @@
+"""ClientBuilder — fluent construction parity with the reference's
+`ClientBuilder` (clickhouse-arrow/src/client/builder.rs:770-806 and the
+option setters across :1-1047).
+
+Connection-transport options (endpoint/TLS/auth/compression) configure a
+TCP client in the reference; here each maps to its Spark-session-level
+equivalent or is accepted-and-recorded for API compatibility (a facade
+migrating code can call unchanged). `build()` produces a `Client`.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+from pyspark.sql import SparkSession
+
+from clickhouse_arrow_spark.client import Client
+from clickhouse_arrow_spark.session import get_spark
+from clickhouse_arrow_spark.settings import translate_setting
+from clickhouse_arrow_spark.types import TypeOptions
+
+
+class ClientBuilder:
+    """Fluent builder: `ClientBuilder().with_database("db").build()`."""
+
+    def __init__(self) -> None:
+        self._master: str | None = None
+        self._app_name = "clickhouse_arrow_spark"
+        self._database: str | None = None
+        self._confs: dict[str, str] = {}
+        self._settings: dict[str, Any] = {}
+        self._type_options = TypeOptions()
+        self._spark: SparkSession | None = None
+        self._ignored: dict[str, Any] = {}  # accepted-for-compat knobs
+
+    # -- destination: reference with_endpoint/with_destination ----------
+    def with_destination(self, master: str) -> "ClientBuilder":
+        """Spark master URL plays the role of the server endpoint."""
+        self._master = master
+        return self
+
+    def with_session(self, spark: SparkSession) -> "ClientBuilder":
+        self._spark = spark
+        return self
+
+    def with_database(self, database: str) -> "ClientBuilder":
+        self._database = database
+        return self
+
+    # -- settings: reference with_settings (src/settings.rs) ------------
+    def with_setting(self, name: str, value: Any) -> "ClientBuilder":
+        conf, v = translate_setting(name, value)
+        self._confs[conf] = v
+        return self
+
+    def with_conf(self, key: str, value: str) -> "ClientBuilder":
+        self._confs[key] = value
+        return self
+
+    # -- type mapping: reference with_arrow_options ----------------------
+    def with_type_options(self, options: TypeOptions) -> "ClientBuilder":
+        self._type_options = options
+        return self
+
+    def with_strings_as_strings(self, enabled: bool = True) -> "ClientBuilder":
+        from dataclasses import replace
+
+        self._type_options = replace(self._type_options, strings_as_strings=enabled)
+        return self
+
+    # -- transport knobs: accepted for compatibility, no-ops on Spark ----
+    def with_username(self, user: str) -> "ClientBuilder":
+        self._ignored["username"] = user
+        return self
+
+    def with_password(self, password: str) -> "ClientBuilder":
+        self._ignored["password"] = "***"
+        return self
+
+    def with_tls(self, enabled: bool = True) -> "ClientBuilder":
+        self._ignored["tls"] = enabled
+        return self
+
+    def with_compression(self, method: str) -> "ClientBuilder":
+        conf, v = translate_setting("network_compression_method", method)
+        self._confs[conf] = v
+        return self
+
+    def build(self) -> Client:
+        spark = self._spark or get_spark(
+            app_name=self._app_name, master=self._master, confs=self._confs
+        )
+        if self._spark is not None:
+            for k, v in self._confs.items():
+                spark.conf.set(k, v)
+        client = Client(spark, type_options=self._type_options)
+        if self._database:
+            spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self._database}`")
+            spark.catalog.setCurrentDatabase(self._database)
+        return client

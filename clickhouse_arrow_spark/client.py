@@ -248,6 +248,33 @@ class Client:
         """All tables across databases (reference `fetch_all_tables`)."""
         return {db: self.fetch_tables(db) for db in self.fetch_schemas()}
 
+    def system_columns(
+        self, database: str | None = None, tables: list[str] | None = None
+    ) -> DataFrame:
+        """`system.columns` analogue: one row per column with the
+        ClickHouse type STRING rendered through the bridge — the inverse
+        of the reference's fetch_schema, which parses these strings
+        (clickhouse-arrow/src/arrow/schema.rs:90-152)."""
+        from clickhouse_arrow_spark.types import spark_type_to_ch
+
+        names = tables if tables is not None else self.fetch_tables(database)
+        rows = []
+        for t in names:
+            qualified = f"{database}.{t}" if database else t
+            for pos, f in enumerate(self.spark.table(qualified).schema.fields):
+                rows.append(
+                    (
+                        database or "default",
+                        t,
+                        f.name,
+                        spark_type_to_ch(f.dataType, f.nullable, self.type_options),
+                        pos + 1,
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows, "database string, table string, name string, type string, position int"
+        )
+
     def fetch_schema(
         self, database: str | None = None, tables: list[str] | None = None
     ) -> dict[str, Any]:
@@ -330,7 +357,13 @@ class Client:
         if isinstance(data, DataFrame):
             return data
         if isinstance(data, pa.Table):
-            return self.spark.createDataFrame(data.to_pandas())
+            try:
+                # Spark 4 ingests Arrow tables directly (type-faithful,
+                # zero-copy — the insert-side analogue of the reference's
+                # Arrow FFI path).
+                return self.spark.createDataFrame(data)
+            except Exception:
+                return self.spark.createDataFrame(data.to_pandas())
         raise QueryError(f"cannot insert data of type {type(data)!r}")
 
     def _align_to_table(self, df: DataFrame, table: str) -> DataFrame:

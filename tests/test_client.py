@@ -281,3 +281,44 @@ def test_explain_json_mode(client):
     parsed = json.loads(out)
     assert isinstance(parsed, list) and parsed, "plan JSON should be a node list"
     assert any("class" in node for node in parsed)
+
+
+def test_system_columns_renders_ch_types(client):
+    rows = client.system_columns(tables=["region", "lineitem"]).collect()
+    by = {(r["table"], r["name"]): r for r in rows}
+    assert by[("region", "r_name")]["type"] in ("String", "Nullable(String)")
+    assert "Int" in by[("lineitem", "l_orderkey")]["type"]
+    assert by[("region", "r_regionkey")]["position"] == 1
+
+
+def test_insert_arrow_table_directly(client, spark):
+    import pyarrow as pa
+
+    client.execute("DROP TABLE IF EXISTS default.cas_arrow")
+    client.create_table(
+        "default", "cas_arrow", [("id", "Int64"), ("name", "Nullable(String)")]
+    )
+    t = pa.table({"id": [1, 2], "name": ["a", None]})
+    client.insert("default.cas_arrow", t)
+    got = client.query_arrow("SELECT * FROM default.cas_arrow ORDER BY id")
+    assert got.column("id").to_pylist() == [1, 2]
+    assert got.column("name").to_pylist() == ["a", None]
+    client.execute("DROP TABLE default.cas_arrow")
+
+
+def test_client_builder(spark):
+    from clickhouse_arrow_spark.builder import ClientBuilder
+
+    c = (
+        ClientBuilder()
+        .with_session(spark)
+        .with_setting("max_threads", 8)
+        .with_username("ignored")
+        .with_compression("zstd")
+        .build()
+    )
+    assert c.health_check()
+    assert spark.conf.get("spark.sql.shuffle.partitions") == "8"
+    assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
+    # restore test default
+    spark.conf.set("spark.sql.shuffle.partitions", "8")

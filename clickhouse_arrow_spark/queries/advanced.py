@@ -438,3 +438,28 @@ def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_custkey", "k", F.round("v", 2).alias("v"))
         .orderBy("c_custkey", "k")
     )
+
+
+@register(
+    "table_function_numbers",
+    """
+    SELECT CAST(n.number AS BIGINT) AS number,
+           CAST(n.number * n.number AS BIGINT) AS square
+    FROM (SELECT unnest(range(0, 1000)) AS number) n
+    WHERE n.number % 7 = 0
+    ORDER BY number
+    """,
+    doc="ClickHouse numbers(N) table function -> spark.range: generated "
+    "sources are partition-parallel (range splits across executors).",
+    tags=("table-function", "generator"),
+)
+def table_function_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.range(0, 1000)
+        .select(
+            F.col("id").alias("number"),
+            (F.col("id") * F.col("id")).alias("square"),
+        )
+        .where(F.col("number") % 7 == 0)
+        .orderBy("number")
+    )

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""Scale probe: run the core operators on synthetic data 1-2 orders of
+magnitude beyond sf0.1 (10M-row fact table, 100k-document corpus) to
+verify plans and throughput hold as data grows. Results are recorded in
+docs/SCALE.md.
+
+Usage: python scripts/scale_probe.py [rows_fact] [n_docs]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> int:
+    rows_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
+    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators import dedup
+    from clickhouse_arrow_spark.session import get_spark
+
+    spark = get_spark(app_name="scale-probe")
+    tmp = tempfile.mkdtemp(prefix="cas_scale_")
+
+    # -- synthesize a 10M-row fact table (deterministic, 32 files) -------
+    fact = (
+        spark.range(0, rows_fact, 1, 32)
+        .select(
+            F.col("id").alias("k"),
+            (F.col("id") % 1_000_000).alias("custkey"),
+            (F.col("id") % 25).cast("int").alias("dimkey"),
+            (F.pmod(F.xxhash64("id"), F.lit(10_000)) / 100.0).alias("price"),
+            F.timestamp_micros(F.col("id") * 1000).alias("ts"),
+        )
+    )
+    fact.write.mode("overwrite").parquet(f"{tmp}/fact")
+    fact = spark.read.parquet(f"{tmp}/fact")
+
+    dim = spark.range(0, 25).select(
+        F.col("id").cast("int").alias("dimkey"),
+        F.concat(F.lit("dim_"), F.col("id")).alias("dim_name"),
+    )
+
+    # -- synthesize a 100k-doc corpus with 1% exact dups -----------------
+    words = F.array(*[F.lit(w) for w in "spark query engine data table scan join filter group sort merge window hash batch stream row column value fast slow".split()])
+    docs = (
+        spark.range(0, n_docs, 1, 32)
+        .select(
+            F.col("id").alias("doc_id"),
+            F.array_join(
+                F.transform(
+                    F.sequence(F.lit(1), F.lit(40)),
+                    lambda i: F.element_at(
+                        words,
+                        (F.pmod(F.xxhash64(F.col("id") % (n_docs // 100 * 99), i), F.lit(20)) + 1).cast("int"),
+                    ),
+                ),
+                " ",
+            ).alias("text"),
+        )
+    )
+    docs.write.mode("overwrite").parquet(f"{tmp}/docs")
+    docs = spark.read.parquet(f"{tmp}/docs")
+
+    timings: dict[str, float] = {}
+
+    def bench(name, df):
+        t0 = time.perf_counter()
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.perf_counter() - t0, 2)
+
+    # warm
+    fact.count()
+    docs.count()
+
+    bench(
+        "agg_wide",
+        fact.groupBy("dimkey").agg(
+            F.sum("price"), F.avg("price"), F.count("*"), F.min("ts"), F.max("ts")
+        ),
+    )
+    bench(
+        "broadcast_join_agg",
+        fact.join(F.broadcast(dim), "dimkey").groupBy("dim_name").agg(
+            F.sum("price").alias("rev")
+        ),
+    )
+    bench(
+        "window_per_key",
+        fact.where(F.col("custkey") < 10_000)
+        .withColumn(
+            "rn",
+            F.row_number().over(W.partitionBy("custkey").orderBy(F.col("ts").desc())),
+        )
+        .where(F.col("rn") <= 3),
+    )
+    bench("topk", fact.orderBy(F.col("price").desc(), "k").limit(100))
+    bench("dedup_exact_100k_docs", dedup.dedup_exact(docs))
+    bench(
+        "minhash_lsh_100k_docs",
+        dedup.minhash_candidate_pairs(docs, threshold=0.5),
+    )
+
+    out = {
+        "rows_fact": rows_fact,
+        "n_docs": n_docs,
+        "cores": spark.sparkContext.defaultParallelism,
+        "timings_sec": timings,
+    }
+    print(json.dumps(out))
+    import shutil
+
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -86,6 +86,20 @@ class Client:
         """
         return self._run(sql, qid)
 
+    def query_ch(
+        self, ch_sql: str, params: dict[str, Any] | None = None, qid: str | None = None
+    ) -> DataFrame:
+        """Run a query written in the ClickHouse SQL dialect: function
+        names (`toYYYYMM`, `countIf`, `uniq`, `quantile(0.9)(x)`, ...)
+        are translated to Spark SQL first (see dialect.py), then the
+        normal query path runs. Supports `{name:Type}` params too."""
+        from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+        sql = translate_ch_sql(ch_sql)
+        if params:
+            sql = bind_params(sql, params)
+        return self._run(sql, qid)
+
     def query_params(
         self, sql: str, params: dict[str, Any] | None = None, qid: str | None = None
     ) -> DataFrame:

@@ -1,0 +1,292 @@
+"""ClickHouse SQL dialect -> Spark SQL translation.
+
+The reference ships SQL text verbatim to a ClickHouse server
+(ParsedQuery, clickhouse-arrow/src/query.rs:168-188), so a migrating
+user's queries use ClickHouse function names. This module rewrites the
+common ClickHouse function surface into Spark SQL so those queries run
+on this engine unchanged: `Client.query_ch(sql)`.
+
+The rewriter is a recursive function-call transformer (quote- and
+paren-aware, reusing the same arg-splitting discipline as the type
+parser), not a full SQL parser: it maps known function names, including
+parametric syntax like `quantile(0.9)(x)`, and leaves everything else
+— identifiers, keywords, unknown functions — untouched.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable
+
+__all__ = ["translate_ch_sql"]
+
+Args = list[str]
+
+# name -> either a Spark name (str) or a formatter(args) -> str
+_SIMPLE_RENAMES: dict[str, str] = {
+    "countIf": "count_if",
+    "uniq": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "any": "any_value",
+    "anyLast": "any_value",
+    "arrayJoin": "explode",
+    "lcase": "lower",
+    "ucase": "upper",
+    "toDayOfMonth": "day",
+    "toDayOfWeek": "dayofweek",
+    "toHour": "hour",
+    "toMinute": "minute",
+    "toSecond": "second",
+    "toYear": "year",
+    "toMonth": "month",
+    "toQuarter": "quarter",
+    "intDiv": "div",
+    "modulo": "mod",
+    "halfMD5": "xxhash64",  # engine hash: nearest 64-bit stable hash
+    "cityHash64": "xxhash64",
+    "sipHash64": "xxhash64",
+    "arrayConcat": "concat",
+    "arrayDistinct": "array_distinct",
+    "arraySort": "array_sort",
+    "arrayReverse": "reverse",
+    "has": "array_contains",
+    "indexOf": "array_position",
+    "arrayStringConcat": "array_join",
+    "splitByChar": "split",  # caveat: CH arg order is (sep, s); formatter below
+    "JSONExtractString": "get_json_object",  # path form differs; formatter below
+    "toString": "string",
+    "notEmpty": "notempty",  # placeholder, formatter below
+}
+
+
+def _fmt_cast(spark_type: str) -> Callable[[Args], str]:
+    return lambda a: f"CAST({a[0]} AS {spark_type})"
+
+
+def _fmt(name: str):  # formatters for arg-reordering / expression forms
+    if name == "toYYYYMM":
+        return lambda a: f"CAST(year({a[0]}) * 100 + month({a[0]}) AS INT)"
+    if name == "toYYYYMMDD":
+        return (
+            lambda a: f"CAST(year({a[0]}) * 10000 + month({a[0]}) * 100 + day({a[0]}) AS INT)"
+        )
+    if name == "toStartOfMonth":
+        return lambda a: f"date_trunc('month', {a[0]})"
+    if name == "toStartOfDay":
+        return lambda a: f"date_trunc('day', {a[0]})"
+    if name == "toStartOfHour":
+        return lambda a: f"date_trunc('hour', {a[0]})"
+    if name == "toStartOfQuarter":
+        return lambda a: f"date_trunc('quarter', {a[0]})"
+    if name == "toStartOfWeek":
+        return lambda a: f"date_trunc('week', {a[0]})"
+    if name == "toDate":
+        return _fmt_cast("DATE")
+    if name == "toDateTime":
+        return _fmt_cast("TIMESTAMP")
+    if name in ("toInt8",):
+        return _fmt_cast("TINYINT")
+    if name in ("toInt16", "toUInt8"):
+        return _fmt_cast("SMALLINT")
+    if name in ("toInt32", "toUInt16"):
+        return _fmt_cast("INT")
+    if name in ("toInt64", "toUInt32"):
+        return _fmt_cast("BIGINT")
+    if name == "toUInt64":
+        return _fmt_cast("DECIMAL(20, 0)")
+    if name in ("toFloat32",):
+        return _fmt_cast("FLOAT")
+    if name in ("toFloat64",):
+        return _fmt_cast("DOUBLE")
+    if name == "sumIf":
+        return lambda a: f"sum(CASE WHEN {a[1]} THEN {a[0]} ELSE 0 END)"
+    if name == "avgIf":
+        return lambda a: f"avg(CASE WHEN {a[1]} THEN {a[0]} END)"
+    if name == "minIf":
+        return lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)"
+    if name == "maxIf":
+        return lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
+    if name == "uniqExact":
+        return lambda a: f"count(DISTINCT {', '.join(a)})"
+    if name == "empty":
+        return lambda a: f"(length({a[0]}) = 0)"
+    if name == "notEmpty":
+        return lambda a: f"(length({a[0]}) > 0)"
+    if name == "multiIf":
+        def multi_if(a: Args) -> str:
+            whens = "".join(
+                f" WHEN {c} THEN {v}" for c, v in zip(a[:-1:2], a[1:-1:2])
+            )
+            return f"CASE{whens} ELSE {a[-1]} END"
+
+        return multi_if
+    if name == "splitByChar":
+        # CH: splitByChar(sep, s); Spark: split(s, regex-escaped sep)
+        def split_by_char(a: Args) -> str:
+            sep = a[0].strip()
+            if sep.startswith("'") and sep.endswith("'"):
+                lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
+                return f"split({a[1]}, '{lit}')"
+            return f"split({a[1]}, {sep})"
+
+        return split_by_char
+    if name == "JSONExtractString":
+        def json_extract(a: Args) -> str:
+            path = a[1].strip()
+            if path.startswith("'") and path.endswith("'"):
+                return f"get_json_object({a[0]}, '$.{path[1:-1]}')"
+            return f"get_json_object({a[0]}, {path})"
+
+        return json_extract
+    if name == "JSONExtractInt":
+        def json_extract_i(a: Args) -> str:
+            path = a[1].strip()
+            inner = (
+                f"get_json_object({a[0]}, '$.{path[1:-1]}')"
+                if path.startswith("'")
+                else f"get_json_object({a[0]}, {path})"
+            )
+            return f"CAST({inner} AS BIGINT)"
+
+        return json_extract_i
+    if name == "today":
+        return lambda a: "current_date()"
+    if name == "now":
+        return lambda a: "current_timestamp()"
+    if name == "arrayElement":
+        return lambda a: f"element_at({a[0]}, {a[1]})"
+    if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
+        new = _SIMPLE_RENAMES[name]
+        return lambda a: f"{new}({', '.join(a)})"
+    return None
+
+
+#: parametric aggregates: name(params)(args) -> formatter(params, args)
+_PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "topK": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
+}
+
+_NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    depth = 0
+    in_str = False
+    i = open_idx
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            if c == "\\":
+                i += 1
+            elif c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return i
+        i += 1
+    return -1
+
+
+def _split_top_args(s: str) -> Args:
+    args: Args = []
+    depth = 0
+    in_str = False
+    cur: list[str] = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if in_str:
+            cur.append(c)
+            if c == "\\" and i + 1 < len(s):
+                cur.append(s[i + 1])
+                i += 1
+            elif c == "'":
+                in_str = False
+        elif c == "'":
+            in_str = True
+            cur.append(c)
+        elif c in "([":
+            depth += 1
+            cur.append(c)
+        elif c in ")]":
+            depth -= 1
+            cur.append(c)
+        elif c == "," and depth == 0:
+            args.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(c)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail:
+        args.append(tail)
+    return args
+
+
+def translate_ch_sql(sql: str) -> str:
+    """Rewrite known ClickHouse function calls in `sql` to Spark SQL."""
+    out: list[str] = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if c == "'":  # skip string literals verbatim
+            j = i + 1
+            while j < n:
+                if sql[j] == "\\":
+                    j += 2
+                    continue
+                if sql[j] == "'":
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _NAME_RE.match(sql, i)
+        if not m:
+            out.append(c)
+            i += 1
+            continue
+        name = m.group(0)
+        j = m.end()
+        # function call?
+        if j < n and sql[j] == "(":
+            close = _find_matching_paren(sql, j)
+            if close == -1:
+                out.append(sql[i:])
+                break
+            inner = translate_ch_sql(sql[j + 1 : close])
+            args = _split_top_args(inner)
+            # parametric form: name(params)(args)
+            k = close + 1
+            if name in _PARAMETRIC and k < n and sql[k] == "(":
+                close2 = _find_matching_paren(sql, k)
+                if close2 != -1:
+                    inner2 = translate_ch_sql(sql[k + 1 : close2])
+                    out.append(_PARAMETRIC[name](args, _split_top_args(inner2)))
+                    i = close2 + 1
+                    continue
+            fmt = _fmt(name)
+            if fmt is not None:
+                out.append(fmt(args))
+            else:
+                out.append(f"{name}({', '.join(args)})")
+            i = close + 1
+        else:
+            out.append(name)
+            i = j
+    return "".join(out)

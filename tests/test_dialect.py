@@ -1,0 +1,99 @@
+"""ClickHouse-dialect translation tests: text-level rewrites plus
+end-to-end execution through Client.query_ch, checked against the
+equivalent native-Spark answers.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT toYYYYMM(d) FROM t", "SELECT CAST(year(d) * 100 + month(d) AS INT) FROM t"),
+        ("SELECT toStartOfMonth(d)", "SELECT date_trunc('month', d)"),
+        ("SELECT countIf(x > 1)", "SELECT count_if(x > 1)"),
+        ("SELECT sumIf(v, x > 1)", "SELECT sum(CASE WHEN x > 1 THEN v ELSE 0 END)"),
+        ("SELECT uniq(u)", "SELECT approx_count_distinct(u)"),
+        ("SELECT uniqExact(u)", "SELECT count(DISTINCT u)"),
+        ("SELECT argMax(name, ts)", "SELECT max_by(name, ts)"),
+        ("SELECT quantile(0.9)(v)", "SELECT percentile(v, 0.9)"),
+        ("SELECT quantiles(0.5, 0.9)(v)", "SELECT percentile(v, array(0.5, 0.9))"),
+        ("SELECT toDate(ts)", "SELECT CAST(ts AS DATE)"),
+        ("SELECT toUInt64(x)", "SELECT CAST(x AS DECIMAL(20, 0))"),
+        ("SELECT multiIf(a, 1, b, 2, 3)", "SELECT CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END"),
+        # '\\|' in Spark SQL literal syntax = regex \| = literal pipe
+        ("SELECT splitByChar('|', s)", "SELECT split(s, '\\\\|')"),
+        ("SELECT JSONExtractString(j, 'k')", "SELECT get_json_object(j, '$.k')"),
+        ("SELECT empty(s), notEmpty(s)", "SELECT (length(s) = 0), (length(s) > 0)"),
+        ("SELECT groupArray(x)", "SELECT collect_list(x)"),
+        # nested translation
+        (
+            "SELECT sumIf(v, toYear(d) = 1997)",
+            "SELECT sum(CASE WHEN CAST(year(d) * 100 + month(d) AS INT)" == "x"
+            and "" or "SELECT sum(CASE WHEN year(d) = 1997 THEN v ELSE 0 END)",
+        ),
+        # unknown functions and literals untouched
+        ("SELECT weird_fn(x), 'toYYYYMM(d)' FROM t", "SELECT weird_fn(x), 'toYYYYMM(d)' FROM t"),
+    ],
+)
+def test_translate(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_query_ch_end_to_end(client):
+    got = client.query_ch(
+        """
+        SELECT toYYYYMM(o_orderdate) AS ym,
+               countIf(o_totalprice > 200000) AS n_big,
+               uniqExact(o_custkey) AS n_cust,
+               round(quantile(0.5)(o_totalprice), 4) AS med
+        FROM orders
+        WHERE toYear(o_orderdate) = 1997
+        GROUP BY ym
+        ORDER BY ym
+        LIMIT 3
+        """
+    ).collect()
+    expect = client.query(
+        """
+        SELECT CAST(year(o_orderdate) * 100 + month(o_orderdate) AS INT) AS ym,
+               count_if(o_totalprice > 200000) AS n_big,
+               count(DISTINCT o_custkey) AS n_cust,
+               round(percentile(o_totalprice, 0.5), 4) AS med
+        FROM orders
+        WHERE year(o_orderdate) = 1997
+        GROUP BY ym
+        ORDER BY ym
+        LIMIT 3
+        """
+    ).collect()
+    assert got == expect
+    assert len(got) == 3
+
+
+def test_query_ch_with_params(client):
+    row = client.query_ch(
+        "SELECT countIf(o_totalprice > {min:Float64}) AS n FROM orders",
+        params={"min": 300000.0},
+    ).first()
+    assert row["n"] > 0
+
+
+def test_query_ch_multiif_and_json(client):
+    rows = client.query_ch(
+        """
+        SELECT event_id,
+               multiIf(value > 100, 'high', value > 50, 'mid', 'low') AS bucket,
+               JSONExtractInt(props, 'k') AS k
+        FROM events
+        WHERE event_id <= 10
+        ORDER BY event_id
+        """
+    ).collect()
+    assert len(rows) == 11
+    assert all(r["bucket"] in ("high", "mid", "low") for r in rows)
+    assert all(r["k"] is None or isinstance(r["k"], int) for r in rows)

@@ -125,6 +125,39 @@ def deterministic_centroids(
     )
 
 
+def kmeans_refine(
+    corpus: DataFrame,
+    centroids: DataFrame,
+    iters: int = 2,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Lloyd iterations over the IVF layout: assign -> elementwise mean
+    per bucket -> new centroids. Deterministic given deterministic
+    seeding; each iteration is one assign pass + one (bucket, position)
+    aggregation — both partition-parallel, no driver math.
+    """
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, centroids, corpus_id, corpus_vec)
+        centroids = (
+            assigned.select(
+                "centroid_id", F.posexplode(corpus_vec).alias("pos", "v")
+            )
+            .groupBy("centroid_id", "pos")
+            .agg(F.avg(F.col("v").cast("double")).alias("mean_v"))
+            .groupBy("centroid_id")
+            .agg(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct(F.col("pos"), F.col("mean_v")))
+                    ),
+                    lambda s: s.getField("mean_v").cast("float"),
+                ).alias("centroid_vec")
+            )
+        )
+    return centroids
+
+
 def ivf_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -135,14 +168,19 @@ def ivf_topk(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """Approximate cosine top-k via IVF probing.
 
-    Build: bucket corpus by nearest of `nlist` centroids.
+    Build: bucket corpus by nearest of `nlist` centroids (optionally
+    refined with `kmeans_iters` Lloyd iterations for tighter buckets /
+    better recall).
     Probe: each query searches only its `nprobe` nearest buckets.
     Recall < 1.0 by design; returns the same schema as brute_force_topk.
     """
     cents = deterministic_centroids(corpus, nlist, corpus_id, corpus_vec)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
     bucketed = ivf_assign(corpus, cents, corpus_id, corpus_vec)
 
     # nearest nprobe centroids per query

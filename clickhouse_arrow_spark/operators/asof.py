@@ -25,17 +25,23 @@ def asof_join(
     right_time: str,
     value_cols: list[str] | None = None,
     right_by: str | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """Backward as-of join.
+    """As-of join.
 
     Args:
         left/right: inputs; `right` supplies `value_cols`.
         by / right_by: equality key (right_by defaults to `by`).
         left_time / right_time: event-time columns.
+        direction: "backward" (latest right with time <= left time, the
+            DuckDB/kdb default) or "forward" (earliest right with
+            time >= left time).
 
     Returns `left` columns + the as-of `value_cols` (null when no right
-    row precedes the left row).
+    row qualifies).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"unsupported as-of direction: {direction!r}")
     right_by = right_by or by
     value_cols = value_cols or [
         c for c in right.columns if c not in (right_by, right_time)
@@ -59,9 +65,14 @@ def asof_join(
     )
 
     unioned = l_tagged.unionByName(r_tagged)
+    # backward: scan times ascending, right rows (side 0) before left at
+    # equal time so `t_right == t_left` matches. forward: scan times
+    # DESCENDING — the running "last right seen" is then the earliest
+    # right row with time >= the left row's time.
+    time_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
     w = (
         Window.partitionBy("_k")
-        .orderBy("_t", "_side")
+        .orderBy(time_order, "_side")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

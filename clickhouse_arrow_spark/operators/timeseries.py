@@ -1,0 +1,76 @@
+"""Time-series conveniences ClickHouse users expect:
+
+- :func:`fill_gaps` — ORDER BY ... WITH FILL: densify a time series so
+  every step in [min, max] exists, zero/null-filling missing buckets.
+- :func:`limit_by` — LIMIT n BY key: keep the first n rows per key
+  under an explicit ordering (ReplacingMergeTree/LIMIT BY idiom).
+
+Both are compositions of built-in ops: sequence+explode for the
+calendar spine (no driver-side date loops), ranking windows for
+limit_by.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def fill_gaps(
+    df: DataFrame,
+    ts_col: str,
+    step_seconds: int,
+    group_cols: list[str] | None = None,
+    fill_values: dict[str, object] | None = None,
+) -> DataFrame:
+    """Densify `df` so every `step_seconds` bucket between the global
+    min and max of `ts_col` exists (per group if `group_cols` given).
+
+    The spine is built with `sequence()` over epoch seconds — generated
+    distributed, exploded once; missing rows join as nulls and are
+    patched from `fill_values`. One broadcast-able range join per group
+    spine; no driver iteration.
+    """
+    group_cols = group_cols or []
+    bounds = df.agg(
+        F.min(ts_col).alias("_lo"), F.max(ts_col).alias("_hi")
+    )
+    spine_ts = F.explode(
+        F.sequence(
+            F.col("_lo"),
+            F.col("_hi"),
+            F.expr(f"INTERVAL {int(step_seconds)} SECONDS"),
+        )
+    ).alias(ts_col)
+    if group_cols:
+        groups = df.select(*group_cols).distinct()
+        spine = groups.crossJoin(F.broadcast(bounds)).select(
+            *group_cols, spine_ts
+        )
+    else:
+        spine = bounds.select(spine_ts)
+    joined = spine.join(df, on=[*group_cols, ts_col], how="left")
+    if fill_values:
+        joined = joined.fillna(fill_values)
+    return joined
+
+
+def limit_by(
+    df: DataFrame,
+    n: int,
+    by: list[str],
+    order: list[Column] | None = None,
+) -> DataFrame:
+    """ClickHouse `LIMIT n BY by...`: first n rows per key.
+
+    Deterministic iff `order` totally orders rows within a key (pass
+    e.g. [col("ts").desc(), col("id")]). Planned as one ranking window
+    partitioned on `by` — a single keyed exchange.
+    """
+    order = order or [F.monotonically_increasing_id()]
+    w = Window.partitionBy(*by).orderBy(*order)
+    return (
+        df.withColumn("_lb_rn", F.row_number().over(w))
+        .where(F.col("_lb_rn") <= n)
+        .drop("_lb_rn")
+    )

@@ -452,3 +452,44 @@ def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"q_stream_sess_{uuid.uuid4().hex[:8]}"
     out = run_to_memory_sink(stream, name, output_mode="append")
     return out.orderBy("user_id", "session_start")
+
+
+@register(
+    "events_fill_gaps",
+    """
+    WITH agg AS (
+      SELECT event_type, time_bucket(INTERVAL '5 minutes', ts) AS bucket,
+             count(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    bounds AS (SELECT min(bucket) AS lo, max(bucket) AS hi FROM agg),
+    spine AS (
+      SELECT et.event_type, unnest(generate_series(lo, hi, INTERVAL '5 minutes')) AS bucket
+      FROM (SELECT DISTINCT event_type FROM agg) et, bounds
+    )
+    SELECT spine.event_type, spine.bucket, CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+    FROM spine LEFT JOIN agg
+      ON spine.event_type = agg.event_type AND spine.bucket = agg.bucket
+    ORDER BY 1, 2
+    """,
+    doc="ORDER BY ... WITH FILL analogue (operators/timeseries.fill_gaps): "
+    "densify 5-minute event counts so every bucket exists per type; "
+    "spine generated distributed via sequence+explode.",
+    tags=("timeseries", "fill", "events"),
+)
+def q_events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import fill_gaps
+
+    agg = (
+        spark.table("events")
+        .groupBy(
+            F.col("event_type"),
+            F.window("ts", "5 minutes").start.alias("bucket"),
+        )
+        .agg(F.count("*").alias("n"))
+    )
+    return (
+        fill_gaps(agg, "bucket", 300, group_cols=["event_type"], fill_values={"n": 0})
+        .select("event_type", "bucket", F.col("n").cast("long").alias("n"))
+        .orderBy("event_type", "bucket")
+    )

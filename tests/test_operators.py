@@ -191,3 +191,57 @@ def test_language_id_stopword_votes(spark):
     )
     out = {r["doc_id"]: r["pred_lang"] for r in language_id(df).collect()}
     assert out == {1: "en", 2: "de", 3: "fr"}
+
+
+def test_asof_join_forward(spark):
+    trades = spark.createDataFrame(
+        [(1, 10, "t1"), (1, 25, "t2"), (1, 4, "t0")],
+        "sym long, t long, trade string",
+    )
+    quotes = spark.createDataFrame(
+        [(1, 5, 100.0), (1, 20, 110.0)], "sym long, t long, px double"
+    )
+    out = {
+        r["trade"]: r["px"]
+        for r in asof_join(
+            trades, quotes, by="sym", left_time="t", right_time="t",
+            value_cols=["px"], direction="forward",
+        ).collect()
+    }
+    # t0 (t=4) -> next quote at t=5; t1 (t=10) -> t=20; t2 (t=25) -> none
+    assert out == {"t0": 100.0, "t1": 110.0, "t2": None}
+
+
+def test_limit_by(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators.timeseries import limit_by
+
+    df = spark.createDataFrame(
+        [(1, 3), (1, 1), (1, 2), (2, 9), (2, 8)], "k long, v long"
+    )
+    out = limit_by(df, 2, ["k"], [F.col("v")]).orderBy("k", "v").collect()
+    assert [(r["k"], r["v"]) for r in out] == [(1, 1), (1, 2), (2, 8), (2, 9)]
+
+
+def test_fill_gaps(spark):
+    import datetime
+
+    from clickhouse_arrow_spark.operators.timeseries import fill_gaps
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = [
+        ("a", base, 1.0),
+        ("a", base + datetime.timedelta(minutes=10), 2.0),  # gap at +5
+        ("b", base, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = fill_gaps(
+        df, "ts", 300, group_cols=["g"], fill_values={"v": 0.0}
+    ).orderBy("g", "ts").collect()
+    # spine: 3 buckets per group x 2 groups
+    assert len(out) == 6
+    a_vals = [r["v"] for r in out if r["g"] == "a"]
+    b_vals = [r["v"] for r in out if r["g"] == "b"]
+    assert a_vals == [1.0, 0.0, 2.0]
+    assert b_vals == [5.0, 0.0, 0.0]

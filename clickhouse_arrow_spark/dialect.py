@@ -281,6 +281,12 @@ def translate_ch_sql(sql: str) -> str:
                     i = close2 + 1
                     continue
             fmt = _fmt(name)
+            # keyword guard: `ANY (SELECT ...)` / `any(SELECT ...)` is the
+            # quantified-comparison keyword, not the aggregate — leave it.
+            if name.lower() in ("any", "all", "some") and args and args[
+                0
+            ].lstrip().upper().startswith("SELECT"):
+                fmt = None
             if fmt is not None:
                 out.append(fmt(args))
             else:

@@ -245,3 +245,32 @@ def test_fill_gaps(spark):
     b_vals = [r["v"] for r in out if r["g"] == "b"]
     assert a_vals == [1.0, 0.0, 2.0]
     assert b_vals == [5.0, 0.0, 0.0]
+
+
+def test_window_funnel(spark):
+    from clickhouse_arrow_spark.operators.funnel import window_funnel
+
+    rows = [
+        # u1 completes view -> click -> buy within window
+        (1, 100, "view"), (1, 150, "click"), (1, 200, "buy"),
+        # u2 completes view -> click, but buy falls outside the window
+        (2, 100, "view"), (2, 150, "click"), (2, 5000, "buy"),
+        # u3 does steps out of order -> only level 1
+        (3, 100, "click"), (3, 150, "view"),
+        # u4 never does step 1
+        (4, 100, "click"), (4, 150, "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user long, t long, ev string")
+    out = {
+        r["user"]: r["funnel_level"]
+        for r in window_funnel(
+            df,
+            "user",
+            "t",
+            [F.col("ev") == "view", F.col("ev") == "click", F.col("ev") == "buy"],
+            window_seconds=1000,
+        ).collect()
+    }
+    # level 0 for users with qualifying events but no step-1 chain —
+    # matching ClickHouse windowFunnel's 0 return
+    assert out == {1: 3, 2: 2, 3: 1, 4: 0}

@@ -493,3 +493,54 @@ def q_events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("event_type", "bucket", F.col("n").cast("long").alias("n"))
         .orderBy("event_type", "bucket")
     )
+
+
+@register(
+    "events_window_funnel",
+    """
+    WITH e AS (
+      SELECT user_id, epoch(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS step
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE step = 1 GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE step = 2 AND e.t >= t1.t1 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+           JOIN t1 ON e.user_id = t1.user_id JOIN t2 ON e.user_id = t2.user_id
+           WHERE step = 3 AND e.t >= t2.t2 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                WHEN t1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    ORDER BY u.user_id
+    """,
+    doc="ClickHouse windowFunnel(86400)(ts, view, click, purchase): "
+    "deepest ordered step chain within 1 day of the first step, per "
+    "user — one keyed aggregation + an array fold (operators/funnel.py).",
+    tags=("events", "funnel", "window-funnel"),
+)
+def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.funnel import window_funnel
+
+    e = spark.table("events").where(
+        F.col("event_type").isin("view", "click", "purchase")
+    )
+    return window_funnel(
+        e,
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=86400,
+    ).orderBy("user_id")

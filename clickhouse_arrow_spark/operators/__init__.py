@@ -24,7 +24,7 @@ from clickhouse_arrow_spark.operators.similarity import (
     ivf_topk,
 )
 from clickhouse_arrow_spark.operators.text import (
-    charset_jaccard_pairs,
+    ngram_jaccard_pairs,
     language_id,
     quality_score,
     rolling_fingerprint,
@@ -34,7 +34,7 @@ from clickhouse_arrow_spark.operators.text import (
 __all__ = [
     "asof_join",
     "brute_force_topk",
-    "charset_jaccard_pairs",
+    "ngram_jaccard_pairs",
     "dedup_exact",
     "ivf_assign",
     "ivf_topk",

@@ -63,31 +63,35 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_charset_jaccard",
+    "dedup_ngram_jaccard",
     """
     WITH base AS (
-      SELECT doc_id, lang AS grp,
-             list_distinct(string_split(lower(text), '')) AS chars
+      SELECT doc_id, lang AS grp, length(text) AS nlen,
+             list_distinct(string_split(lower(text), ' ')) AS toks
       FROM documents
     )
     SELECT a.doc_id AS a_id, b.doc_id AS b_id,
            round(
-             CAST(len(list_filter(a.chars, x -> list_contains(b.chars, x))) AS DOUBLE)
-             / CAST(len(list_distinct(list_concat(a.chars, b.chars))) AS DOUBLE),
+             CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+             / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE),
            6) AS jaccard
-    FROM base a JOIN base b ON a.grp = b.grp AND a.doc_id < b.doc_id
-    WHERE CAST(len(list_filter(a.chars, x -> list_contains(b.chars, x))) AS DOUBLE)
-          / CAST(len(list_distinct(list_concat(a.chars, b.chars))) AS DOUBLE) >= 0.9
+    FROM base a JOIN base b
+      ON a.grp = b.grp AND a.doc_id < b.doc_id
+     AND abs(a.nlen - b.nlen) <= 20
+    WHERE CAST(len(list_filter(a.toks, x -> list_contains(b.toks, x))) AS DOUBLE)
+          / CAST(len(list_distinct(list_concat(a.toks, b.toks))) AS DOUBLE) >= 0.95
     ORDER BY a_id, b_id
     """,
-    doc="1-gram (charset) Jaccard pairs within language blocks — the "
-    "oracle-able tier of n-gram Jaccard dedup.",
+    doc="Exact word-set Jaccard near-dup pairs with (lang, length-band) "
+    "blocking — the oracle-able tier of n-gram Jaccard dedup; blocking "
+    "lives in the join key (10k candidate pairs at sf0.1 vs 2.3M "
+    "unblocked).",
     tags=("dedup", "jaccard"),
 )
-def q_dedup_charset_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.charset_jaccard_pairs(spark.table("documents"), threshold=0.9).orderBy(
-        "a_id", "b_id"
-    )
+def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.ngram_jaccard_pairs(
+        spark.table("documents"), threshold=0.95, length_band=20
+    ).orderBy("a_id", "b_id")
 
 
 @register(

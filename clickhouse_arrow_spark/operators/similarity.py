@@ -209,6 +209,51 @@ def ivf_topk(
     )
 
 
+def quantize_embeddings(
+    corpus: DataFrame,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """Symmetric int8 scalar quantization: v_q = round(v / scale * 127)
+    with per-vector scale = max(|v|). 4× memory/IO cut for the ANN
+    index at ~1% cosine error — the standard first compression tier for
+    corpus-scale vector search. Returns (id, qembedding array<tinyint>,
+    qscale float); dequantize with v ≈ q * scale / 127.
+    """
+    v = F.col(corpus_vec)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x)))
+    scale_safe = F.greatest(scale, F.lit(1e-30))
+    q = F.transform(
+        v, lambda x: F.round(x / scale_safe * 127.0).cast("tinyint")
+    )
+    return corpus.select(
+        F.col(corpus_id),
+        q.alias("qembedding"),
+        scale_safe.cast("float").alias("qscale"),
+    )
+
+
+def dequantized_cosine(qa, sa, qb, sb):
+    """Cosine over two quantized vectors — scales cancel in cosine, so
+    this is the int8 dot normalized by int8 norms (computed in double)."""
+    qd = F.aggregate(
+        F.zip_with(qa, qb, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0).cast("double"),
+        lambda acc, v: acc + v,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            qa, F.lit(0.0).cast("double"), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            qb, F.lit(0.0).cast("double"), lambda a, x: a + x.cast("double") * x.cast("double")
+        )
+    )
+    return qd / (na * nb)
+
+
 def embedding_near_duplicates(
     corpus: DataFrame,
     threshold: float = 0.95,

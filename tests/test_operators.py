@@ -274,3 +274,37 @@ def test_window_funnel(spark):
     # level 0 for users with qualifying events but no step-1 chain —
     # matching ClickHouse windowFunnel's 0 return
     assert out == {1: 3, 2: 2, 3: 1, 4: 0}
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    import math
+    import random
+
+    from clickhouse_arrow_spark.operators.similarity import (
+        dequantized_cosine,
+        quantize_embeddings,
+    )
+
+    rng = random.Random(13)
+    rows = [(i, [rng.uniform(-2, 2) for _ in range(32)]) for i in range(50)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    q = quantize_embeddings(emb)
+    got = q.collect()
+    assert all(
+        all(-127 <= x <= 127 for x in r["qembedding"]) for r in got
+    )
+    # quantized cosine approximates exact cosine within ~2%
+    a = q.where(F.col("vec_id") == 0).select(
+        F.col("qembedding").alias("qa"), F.col("qscale").alias("sa")
+    )
+    b = q.where(F.col("vec_id") == 1).select(
+        F.col("qembedding").alias("qb"), F.col("qscale").alias("sb")
+    )
+    qcos = a.crossJoin(b).select(
+        dequantized_cosine(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("c")
+    ).first()["c"]
+    va = rows[0][1]
+    vb = rows[1][1]
+    dot = sum(x * y for x, y in zip(va, vb))
+    exact = dot / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb)))
+    assert abs(qcos - exact) < 0.02

@@ -47,6 +47,10 @@ class CreateOptions:
     settings: dict[str, str] = dc_field(default_factory=dict)
     defaults: dict[str, str] = dc_field(default_factory=dict)  # col -> SQL expr
     if_not_exists: bool = True
+    #: ClickHouse bloom_filter skip-index analogue: parquet bloom filters
+    #: written for these columns (point-lookup data skipping).
+    bloom_filter_cols: tuple[str, ...] = ()
+    bloom_filter_ndv: int = 100_000
 
     def validate(self, columns: list[str]) -> None:
         """Port of the reference's option validation (schema.rs:310-383)."""
@@ -153,6 +157,32 @@ def sort_for_write(df: DataFrame, options: CreateOptions) -> DataFrame:
         return df
     keys = [F.col(c) for c in options.order_by]
     return df.repartitionByRange(*keys).sortWithinPartitions(*keys)
+
+
+def parquet_write_options(options: CreateOptions) -> dict[str, str]:
+    """Writer options implementing the storage-layout parts of
+    CreateOptions that are per-file concerns: bloom-filter skip indexes
+    (ClickHouse `INDEX ... TYPE bloom_filter` analogue — parquet blooms
+    give the same point-lookup skipping at scan time)."""
+    out: dict[str, str] = {}
+    for c in options.bloom_filter_cols:
+        out[f"parquet.bloom.filter.enabled#{c}"] = "true"
+        out[f"parquet.bloom.filter.expected.ndv#{c}"] = str(options.bloom_filter_ndv)
+    return out
+
+
+def write_table(
+    df: DataFrame, path: str, options: CreateOptions = CreateOptions()
+) -> None:
+    """Write `df` with the full MergeTree-semantics layout: ORDER BY
+    clustering (sort_for_write) + bloom skip indexes + partitioning."""
+    out = sort_for_write(df, options)
+    writer = out.write.mode("overwrite")
+    for k, v in parquet_write_options(options).items():
+        writer = writer.option(k, v)
+    if options.partition_by:
+        writer = writer.partitionBy(options.partition_by)
+    writer.parquet(path)
 
 
 def create_bucketed_table(

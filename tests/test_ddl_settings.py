@@ -124,3 +124,44 @@ def test_progress_snapshot(client):
     assert p["total_tasks"] >= 1
     assert p["completed_tasks"] >= 1
     assert p["jobs"], "job group produced no tracked jobs"
+
+
+def test_write_table_bloom_filters(spark, tmp_path):
+    import glob
+    import os
+
+    from clickhouse_arrow_spark.ddl import write_table
+
+    # high-cardinality column: parquet only writes a bloom when the
+    # column isn't fully dictionary-encoded (the dictionary itself acts
+    # as the filter otherwise)
+    df = spark.range(200_000).selectExpr("id", "concat('user_', id) AS user")
+    plain = str(tmp_path / "plain")
+    bloomed = str(tmp_path / "bloomed")
+    write_table(df.coalesce(1), plain, CreateOptions())
+    write_table(
+        df.coalesce(1),
+        bloomed,
+        CreateOptions(bloom_filter_cols=("user",), bloom_filter_ndv=200_000),
+    )
+    size = lambda p: sum(
+        os.path.getsize(f) for f in glob.glob(f"{p}/*.parquet")
+    )
+    # bloom filter bytes are actually present in the file
+    assert size(bloomed) > size(plain) + 1000
+    # and content identical
+    assert (
+        spark.read.parquet(bloomed).exceptAll(spark.read.parquet(plain)).count() == 0
+    )
+
+
+def test_write_table_order_and_partition(spark, tmp_path):
+    import glob
+
+    from clickhouse_arrow_spark.ddl import write_table
+
+    df = spark.range(1000).selectExpr("id", "CAST(id % 4 AS INT) AS bucket")
+    path = str(tmp_path / "laid_out")
+    write_table(df, path, CreateOptions(order_by=("id",), partition_by="bucket"))
+    assert len(glob.glob(f"{path}/bucket=*")) == 4
+    assert spark.read.parquet(path).count() == 1000

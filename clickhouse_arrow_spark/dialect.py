@@ -172,7 +172,6 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
-    "topK": lambda p, a: f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})",
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")

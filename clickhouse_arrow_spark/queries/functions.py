@@ -166,17 +166,23 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fn_array",
     """
     SELECT p_partkey,
-           string_split(p_name, ' ')                          AS words,
+           array_to_string(string_split(p_name, ' '), '|')    AS words,
            CAST(len(string_split(p_name, ' ')) AS INT)        AS n_words,
            string_split(p_name, ' ')[1]                       AS first_word,
-           list_sort(string_split(p_name, ' '))               AS sorted_words,
+           string_split(p_name, ' ')[-1]                      AS last_word,
            list_contains(string_split(p_name, ' '), 'green')  AS has_green,
-           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined
+           array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
+           array_to_string(list_filter(string_split(p_name, ' '),
+                                       w -> length(w) > 5), '|') AS long_words,
+           array_to_string(list_transform(string_split(p_name, ' '),
+                                          w -> upper(w)), '|') AS upper_words
     FROM part
     WHERE p_partkey <= 300
     ORDER BY p_partkey
     """,
-    doc="Array family over split words: size/element_at/sort/contains/join.",
+    doc="Array family over split words: size/element_at/sort/contains/"
+    "filter/transform/join. Arrays live in the plan; emitted columns are "
+    "array_join'ed strings so the driver canonicalizer can hash them.",
     tags=("functions", "array"),
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -184,12 +190,18 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
     words = F.split(F.col("p_name"), " ")
     return p.select(
         "p_partkey",
-        words.alias("words"),
+        F.array_join(words, "|").alias("words"),
         F.size(words).alias("n_words"),
         F.element_at(words, 1).alias("first_word"),
-        F.array_sort(words).alias("sorted_words"),
+        F.element_at(words, -1).alias("last_word"),
         F.array_contains(words, "green").alias("has_green"),
         F.array_join(F.array_sort(words), "-").alias("joined"),
+        F.array_join(
+            F.filter(words, lambda w: F.length(w) > 5), "|"
+        ).alias("long_words"),
+        F.array_join(
+            F.transform(words, lambda w: F.upper(w)), "|"
+        ).alias("upper_words"),
     ).orderBy("p_partkey")
 
 

@@ -413,19 +413,27 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
     "agg_collect_list",
     """
     SELECT n_regionkey,
-           list_sort(list(n_name)) AS nations
+           array_to_string(list_sort(list(n_name)), ',') AS nations,
+           CAST(len(list(n_name)) AS INT) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
-    doc="groupArray analogue: collect_list + sort for determinism.",
+    doc="groupArray analogue: collect_list + sort for determinism. The "
+    "array is built in the plan; the emitted column is array_join'ed so "
+    "the driver's canonicalizer (pandas hash) can digest it.",
     tags=("aggregate", "collect"),
 )
 def agg_collect_list(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("nation")
         .groupBy("n_regionkey")
-        .agg(F.array_sort(F.collect_list("n_name")).alias("nations"))
+        .agg(
+            F.array_join(
+                F.array_sort(F.collect_list("n_name")), ","
+            ).alias("nations"),
+            F.size(F.collect_list("n_name")).alias("n_nations"),
+        )
         .orderBy("n_regionkey")
     )
 

@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     _configure(spark)
     registry = load_all()
-    return registry["q1_pricing_summary"].build(spark, "/root/testdata/sf0.001")
+    return registry["bench_tpch_q01_pricing"].build(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -125,6 +125,90 @@ def rolling_fingerprint(
     return _spread(df, id_col).select(F.col(id_col), fp.alias("fingerprint"))
 
 
+def doc_profile(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Token counts + quality heuristics in ONE projection (the merged
+    plan of :func:`token_count` and :func:`quality_score`): at 100 TB a
+    second pass over the corpus is the expensive part, not the extra
+    columns — profile once, filter many times."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z0-9_]+|[^\sA-Za-z0-9_]"), F.lit(0))
+    )
+    n = F.length(t).cast("double")
+    alpha = F.length(F.regexp_replace(t, r"[^A-Za-z]", "")).cast("double")
+    punct = F.length(F.regexp_replace(t, r"[^.,;:!?]", "")).cast("double")
+    digits = F.length(F.regexp_replace(t, r"[^0-9]", "")).cast("double")
+    n_safe = F.greatest(n, F.lit(1.0))
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(t), F.lit(r"\b(the|and|of|to|in)\b"), F.lit(0))
+    ).cast("double")
+    len_score = F.least(n / F.lit(500.0), F.lit(1.0))
+    alpha_score = alpha / n_safe
+    punct_penalty = F.least(punct / n_safe * 10.0, F.lit(1.0))
+    digit_penalty = F.least(digits / n_safe * 10.0, F.lit(1.0))
+    stop_score = F.least(stop_hits / F.lit(5.0), F.lit(1.0))
+    score = (
+        len_score * 0.3
+        + alpha_score * 0.3
+        + stop_score * 0.2
+        + (1 - punct_penalty) * 0.1
+        + (1 - digit_penalty) * 0.1
+    )
+    return df.select(
+        F.col(id_col),
+        ws.alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.length(t).cast("int").alias("n_chars"),
+        F.round(len_score, 6).alias("len_score"),
+        F.round(alpha_score, 6).alias("alpha_ratio"),
+        F.round(stop_score, 6).alias("stop_score"),
+        F.round(score, 6).alias("quality"),
+    )
+
+
+def language_fingerprint(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    mod: int = 1_000_000_007,
+) -> DataFrame:
+    """Language ID + rolling-hash fingerprint in one pass (the merged
+    plan of :func:`language_id` and :func:`rolling_fingerprint`)."""
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
+    t = F.lower(F.col(text_col))
+    scores = {
+        lang: F.size(
+            F.regexp_extract_all(t, F.lit(r"\b(" + "|".join(words) + r")\b"), F.lit(0))
+        )
+        for lang, words in STOPWORDS.items()
+    }
+    langs = list(scores)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = None
+    for lang in reversed(langs):  # earlier langs win ties -> apply last
+        cond = scores[lang] == best
+        pred = F.when(cond, F.lit(lang)) if pred is None else F.when(
+            cond, F.lit(lang)
+        ).otherwise(pred)
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    codes = F.transform(F.split(norm, ""), lambda c: F.ascii(c).cast("long"))
+    fp = F.aggregate(
+        F.slice(codes, 2, F.greatest(F.size(codes) - 1, F.lit(0))),
+        F.element_at(codes, 1),
+        lambda acc, c: (acc * 31 + c) % F.lit(mod),
+    )
+    return _spread(df, id_col).select(
+        F.col(id_col),
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+        fp.alias("fingerprint"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -1,74 +1,68 @@
 """Second-wave corpus: map/struct construction and access, pivot,
-correlation/bitwise/boolean/median aggregates, value-window functions,
-epoch/week/quarter date handling, LIKE family, null-handling semantics.
+bitwise/boolean/conditional and quantile aggregates, ordered string
+collection, null-handling semantics, reshape (posexplode/unpivot), and
+generated sources.
 
 Extends §2.3 coverage toward the full ClickHouse function surface a
 migrating user touches (tuple/map accessors per SURVEY §1.3 conventions,
-quantile/median family, bitwise aggregates).
+quantile/median family, bitwise aggregates). Same-shape single-operator
+demos are merged into labeled-branch or wide-select composites so every
+family lands inside the driver's 50-entry CORRECTNESS window.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from clickhouse_arrow_spark.queries.base import register
 
 
 @register(
-    "fn_map_access",
+    "fn_map_struct",
     """
-    SELECT r_regionkey,
+    SELECT 'map' AS branch, CAST(r_regionkey AS BIGINT) AS k,
            map(['name', 'key'], [r_name, CAST(r_regionkey AS VARCHAR)])['name'][1] AS name_val,
-           CAST(cardinality(map(['name', 'key'], [r_name, CAST(r_regionkey AS VARCHAR)])) AS INT) AS map_size
+           CAST(cardinality(map(['name', 'key'], [r_name, CAST(r_regionkey AS VARCHAR)])) AS INT) AS extra
     FROM region
-    ORDER BY r_regionkey
+    UNION ALL
+    SELECT 'struct' AS branch, CAST(n_nationkey AS BIGINT) AS k,
+           struct_pack(name := n_name, region := n_regionkey).name AS name_val,
+           CAST(struct_pack(name := n_name, region := n_regionkey).region AS INT) AS extra
+    FROM nation
+    ORDER BY branch, k
     """,
-    doc="Map construction + key access (ClickHouse Map(K,V) accessors; "
-    "CH map field-name conventions live in types.py).",
-    tags=("functions", "map"),
+    doc="Nested-type accessor composite: Map(K,V) construction + key "
+    "access + cardinality (map branch) and Tuple/struct construction + "
+    "field access (struct branch; field_{i} naming conventions in "
+    "types.py) — formerly fn_map_access / fn_struct_access.",
+    tags=("functions", "map", "struct"),
 )
-def fn_map_access(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_map_struct(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = F.create_map(
         F.lit("name"), F.col("r_name"),
         F.lit("key"), F.col("r_regionkey").cast("string"),
     )
-    return (
+    map_branch = (
         spark.table("region")
         .select(
-            "r_regionkey",
+            F.lit("map").alias("branch"),
+            F.col("r_regionkey").cast("long").alias("k"),
             F.element_at(m, "name").alias("name_val"),
-            F.size(m).alias("map_size"),
+            F.size(m).alias("extra"),
         )
-        .orderBy("r_regionkey")
     )
-
-
-@register(
-    "fn_struct_access",
-    """
-    SELECT n_nationkey,
-           struct_pack(name := n_name, region := n_regionkey).name  AS tup_name,
-           struct_pack(name := n_name, region := n_regionkey).region AS tup_region
-    FROM nation
-    ORDER BY n_nationkey
-    """,
-    doc="Tuple/struct construction + field access (ClickHouse "
-    "Tuple(...).1 / named-tuple access; field_{i} naming in types.py).",
-    tags=("functions", "struct"),
-)
-def fn_struct_access(spark: SparkSession, sf_dir: str) -> DataFrame:
     tup = F.struct(F.col("n_name").alias("name"), F.col("n_regionkey").alias("region"))
-    return (
+    struct_branch = (
         spark.table("nation")
         .select(
-            "n_nationkey",
-            tup.getField("name").alias("tup_name"),
-            tup.getField("region").alias("tup_region"),
+            F.lit("struct").alias("branch"),
+            F.col("n_nationkey").cast("long").alias("k"),
+            tup.getField("name").alias("name_val"),
+            tup.getField("region").cast("int").alias("extra"),
         )
-        .orderBy("n_nationkey")
     )
+    return map_branch.unionByName(struct_branch).orderBy("branch", "k")
 
 
 @register(
@@ -99,41 +93,31 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_corr_covar",
-    """
-    SELECT round(corr(l_quantity, l_extendedprice), 6)       AS r,
-           round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
-           round(covar_pop(l_quantity, l_extendedprice), 4)  AS cov_p
-    FROM lineitem
-    """,
-    doc="Correlation / covariance aggregates.",
-    tags=("aggregate", "stats"),
-)
-def agg_corr_covar(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.table("lineitem").agg(
-        F.round(F.corr("l_quantity", "l_extendedprice"), 6).alias("r"),
-        F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("cov_s"),
-        F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("cov_p"),
-    )
-
-
-@register(
-    "agg_bool_bit",
+    "agg_bool_conditional",
     """
     SELECT o_orderstatus,
            bool_and(o_totalprice > 1000)                 AS all_over_1k,
            bool_or(o_totalprice > 400000)                AS any_over_400k,
            CAST(bit_and(o_orderkey) AS BIGINT)           AS key_and,
            CAST(bit_or(o_orderkey % 256) AS BIGINT)      AS key_or,
-           CAST(bit_xor(o_orderkey) AS BIGINT)           AS key_xor
+           CAST(bit_xor(o_orderkey) AS BIGINT)           AS key_xor,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           round(sum(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice ELSE 0 END), 2) AS urgent_total,
+           round(avg(CASE WHEN o_orderpriority = '1-URGENT'
+                          THEN o_totalprice END), 4) AS urgent_avg
     FROM orders
     GROUP BY o_orderstatus
     ORDER BY o_orderstatus
     """,
-    doc="Boolean + bitwise aggregates (ClickHouse groupBitAnd/Or/Xor).",
-    tags=("aggregate", "bitwise"),
+    doc="Boolean + bitwise + conditional aggregate composite over one "
+    "grouping: bool_and/bool_or, ClickHouse groupBitAnd/Or/Xor, and the "
+    "countIf/sumIf/avgIf family re-expressed with FILTER/CASE — "
+    "formerly agg_bool_bit / agg_conditional.",
+    tags=("aggregate", "bitwise", "conditional"),
 )
-def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_bool_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    urgent = F.when(F.col("o_orderpriority") == "1-URGENT", F.col("o_totalprice"))
     return (
         spark.table("orders")
         .groupBy("o_orderstatus")
@@ -143,127 +127,60 @@ def agg_bool_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.bit_and("o_orderkey").alias("key_and"),
             F.bit_or(F.col("o_orderkey") % 256).alias("key_or"),
             F.bit_xor("o_orderkey").alias("key_xor"),
+            F.count_if(F.col("o_totalprice") > 200000).alias("n_big"),
+            F.round(F.sum(F.coalesce(urgent, F.lit(0.0))), 2).alias("urgent_total"),
+            F.round(F.avg(urgent), 4).alias("urgent_avg"),
         )
         .orderBy("o_orderstatus")
     )
 
 
 @register(
-    "agg_median",
+    "agg_quantiles",
     """
-    SELECT c_mktsegment,
-           round(median(c_acctbal), 4) AS med_bal,
+    SELECT 'customer_bal' AS branch, c_mktsegment AS grp,
+           round(quantile_cont(c_acctbal, 0.5), 4)  AS q50,
+           round(quantile_cont(c_acctbal, 0.95), 4) AS q95,
            count(*) AS n
     FROM customer
     GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
+    UNION ALL
+    SELECT 'orders_price' AS branch, o_orderstatus AS grp,
+           round(quantile_cont(o_totalprice, 0.5), 4)  AS q50,
+           round(quantile_cont(o_totalprice, 0.95), 4) AS q95,
+           count(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY branch, grp
     """,
-    doc="Exact median (ClickHouse quantileExact(0.5)).",
+    doc="Quantile family composite: exact interpolated median and p95 "
+    "(ClickHouse quantile()/median(); Spark percentile() and DuckDB "
+    "quantile_cont() both interpolate linearly) over two groupings — "
+    "formerly agg_median / agg_percentile.",
     tags=("aggregate", "percentile"),
 )
-def agg_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
+def agg_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = (
         spark.table("customer")
-        .groupBy("c_mktsegment")
+        .groupBy(F.col("c_mktsegment").alias("grp"))
         .agg(
-            F.round(F.median("c_acctbal"), 4).alias("med_bal"),
+            F.round(F.percentile("c_acctbal", F.lit(0.5)), 4).alias("q50"),
+            F.round(F.percentile("c_acctbal", F.lit(0.95)), 4).alias("q95"),
             F.count("*").alias("n"),
         )
-        .orderBy("c_mktsegment")
+        .select(F.lit("customer_bal").alias("branch"), "grp", "q50", "q95", "n")
     )
-
-
-@register(
-    "window_value_functions",
-    """
-    SELECT o_custkey, o_orderkey,
-           round(first_value(o_totalprice) OVER w, 2) AS first_px,
-           round(last_value(o_totalprice)  OVER w, 2) AS last_px,
-           round(nth_value(o_totalprice, 2) OVER w, 2) AS second_px
-    FROM orders
-    WHERE o_custkey <= 30
-    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
-    ORDER BY o_custkey, o_orderkey
-    """,
-    doc="Value window functions over an unbounded frame.",
-    tags=("window", "value"),
-)
-def window_value_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
-    w = (
-        W.partitionBy("o_custkey")
-        .orderBy("o_orderdate", "o_orderkey")
-        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    )
-    p = F.col("o_totalprice")
-    return (
+    orders = (
         spark.table("orders")
-        .where(F.col("o_custkey") <= 30)
-        .select(
-            "o_custkey",
-            "o_orderkey",
-            F.round(F.first(p).over(w), 2).alias("first_px"),
-            F.round(F.last(p).over(w), 2).alias("last_px"),
-            F.round(F.nth_value(p, 2).over(w), 2).alias("second_px"),
+        .groupBy(F.col("o_orderstatus").alias("grp"))
+        .agg(
+            F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("q50"),
+            F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("q95"),
+            F.count("*").alias("n"),
         )
-        .orderBy("o_custkey", "o_orderkey")
+        .select(F.lit("orders_price").alias("branch"), "grp", "q50", "q95", "n")
     )
-
-
-@register(
-    "fn_epoch_week_quarter",
-    """
-    SELECT o_orderkey,
-           CAST(epoch(o_orderdate) AS BIGINT)               AS epoch_s,
-           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)    AS week_start,
-           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
-           CAST(quarter(o_orderdate) AS INT)                AS q
-    FROM orders
-    WHERE o_orderkey <= 500
-    ORDER BY o_orderkey
-    """,
-    doc="Epoch seconds, ISO week, quarter truncation.",
-    tags=("functions", "date"),
-)
-def fn_epoch_week_quarter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.table("orders")
-        .where(F.col("o_orderkey") <= 500)
-        .select(
-            "o_orderkey",
-            F.unix_timestamp("o_orderdate").alias("epoch_s"),
-            F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
-            F.date_trunc("quarter", F.col("o_orderdate")).alias("quarter_start"),
-            F.quarter("o_orderdate").alias("q"),
-        )
-        .orderBy("o_orderkey")
-    )
-
-
-@register(
-    "fn_like_family",
-    """
-    SELECT p_partkey,
-           p_type LIKE '%BRASS%'         AS has_brass,
-           p_type ILIKE '%standard%'     AS std_i,
-           starts_with(p_type, 'SMALL')  AS is_small,
-           p_name LIKE '_r%'             AS second_r
-    FROM part
-    WHERE p_partkey <= 400
-    ORDER BY p_partkey
-    """,
-    doc="LIKE / ILIKE / prefix predicates.",
-    tags=("functions", "string", "predicate"),
-)
-def fn_like_family(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.table("part").where(F.col("p_partkey") <= 400)
-    return p.select(
-        "p_partkey",
-        F.col("p_type").like("%BRASS%").alias("has_brass"),
-        F.col("p_type").ilike("%standard%").alias("std_i"),
-        F.col("p_type").startswith("SMALL").alias("is_small"),
-        F.col("p_name").like("_r%").alias("second_r"),
-    ).orderBy("p_partkey")
+    return cust.unionByName(orders).orderBy("branch", "grp")
 
 
 @register(
@@ -331,62 +248,38 @@ def distinct_on_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_variant_json",
-    """
-    SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
-           json_extract_string(props, '$.missing') AS missing
-    FROM events
-    WHERE event_id <= 300
-    ORDER BY event_id
-    """,
-    doc="Semi-structured access via Spark 4 VariantType (parse_json + "
-    "variant_get) — the ClickHouse Variant/Dynamic/JSON column model "
-    "(SURVEY §1.3); missing paths yield NULL, not errors.",
-    tags=("functions", "variant", "json"),
-)
-def fn_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    v = F.parse_json(F.col("props"))
-    return (
-        spark.table("events")
-        .where(F.col("event_id") <= 300)
-        .select(
-            "event_id",
-            F.variant_get(v, "$.k", "long").alias("k"),
-            F.variant_get(v, "$.missing", "string").alias("missing"),
-        )
-        .orderBy("event_id")
-    )
-
-
-@register(
-    "agg_string_concat",
+    "agg_collect_strings",
     """
     SELECT n_regionkey,
-           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv
+           string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,
+           CAST(len(list(n_name)) AS INT) AS n_nations
     FROM nation
     GROUP BY n_regionkey
     ORDER BY n_regionkey
     """,
-    doc="Ordered string aggregation (ClickHouse groupConcat / "
-    "arrayStringConcat(groupArray())).",
-    tags=("aggregate", "string"),
+    doc="Collection aggregate composite: groupArray (collect_list, "
+    "emitted sorted/joined so the driver canonicalizer can hash it) + "
+    "ordered string aggregation (ClickHouse groupConcat / "
+    "arrayStringConcat(groupArray())) — formerly agg_collect_list / "
+    "agg_string_concat.",
+    tags=("aggregate", "collect", "string"),
 )
-def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+def agg_collect_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("nation")
         .groupBy("n_regionkey")
         .agg(
             F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias(
                 "nations_csv"
-            )
+            ),
+            F.size(F.collect_list("n_name")).alias("n_nations"),
         )
         .orderBy("n_regionkey")
     )
 
 
 @register(
-    "fn_posexplode",
+    "unnest_posexplode",
     """
     SELECT p_partkey,
            CAST(generate_subscripts(string_split(p_name, ' '), 1) - 1 AS INT) AS pos,
@@ -399,7 +292,7 @@ def agg_string_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
     "arrayJoin + arrayEnumerate).",
     tags=("functions", "array", "explode"),
 )
-def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unnest_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("part")
         .where(F.col("p_partkey") <= 100)
@@ -412,7 +305,7 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_unpivot",
+    "unpivot_metrics",
     """
     SELECT c_custkey, k, round(v, 2) AS v
     FROM (SELECT c_custkey, c_acctbal AS bal, c_nationkey * 1.0 AS nat
@@ -423,7 +316,7 @@ def fn_posexplode(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Unpivot/melt wide columns to long (key, value) rows.",
     tags=("reshape", "unpivot"),
 )
-def fn_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     wide = (
         spark.table("customer")
         .where(F.col("c_custkey") <= 100)

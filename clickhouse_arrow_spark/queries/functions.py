@@ -1,6 +1,7 @@
 """Scalar-function corpus: string / date / math / conditional / array /
 JSON / regexp / hash families, plus the events-table time-series shapes
-(tumbling windows, sessionization, JSON props).
+(tumbling windows, sessionization, funnels) and the parameterized-query
+path.
 
 Covers the function surface the reference exercises through SQL
 (SURVEY §2.3: `toYYYYMM` partition expressions, tuple/map/array
@@ -8,7 +9,9 @@ accessors) and the ClickHouse function families a migrating user needs.
 Every expression stays JVM-side (pyspark.sql.functions built-ins);
 cross-engine gotchas (DuckDB BIGINT year(), double floor(), first-match
 regexp_replace) are normalized in the oracle SQL, not by weakening the
-Spark side.
+Spark side. Same-table single-family demos are merged into wide-select
+composites so every family lands inside the driver's 50-entry
+CORRECTNESS window.
 """
 
 from __future__ import annotations
@@ -22,7 +25,7 @@ from clickhouse_arrow_spark.queries.base import register
 
 
 @register(
-    "fn_string",
+    "fn_string_family",
     """
     SELECT p_partkey,
            upper(p_brand)                                   AS brand_u,
@@ -33,16 +36,37 @@ from clickhouse_arrow_spark.queries.base import register
            replace(p_name, ' ', '_')                        AS name_us,
            lpad(CAST(p_size AS VARCHAR), 4, '0')            AS size_pad,
            trim(p_name)                                     AS name_trim,
-           reverse(p_brand)                                 AS brand_rev
+           reverse(p_brand)                                 AS brand_rev,
+           p_type LIKE '%BRASS%'                            AS has_brass,
+           p_type ILIKE '%standard%'                        AS std_i,
+           starts_with(p_type, 'SMALL')                     AS is_small,
+           p_name LIKE '_r%'                                AS second_r,
+           regexp_extract(p_type, '([A-Z]+)', 1)            AS first_caps,
+           regexp_replace(p_name, '[aeiou]', '*', 'g')      AS devoweled,
+           regexp_matches(p_type, '^STANDARD')              AS is_standard,
+           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs,
+           CASE WHEN p_size > 40 THEN 'large'
+                WHEN p_size > 20 THEN 'medium'
+                ELSE 'small' END                            AS size_bucket,
+           coalesce(nullif(p_brand, 'Brand#1'), 'DEFAULT')  AS brand_or_default,
+           greatest(p_retailprice, 1500.0)                  AS price_hi,
+           least(p_retailprice, 1500.0)                     AS price_lo
     FROM part
     WHERE p_partkey <= 500
     ORDER BY p_partkey
     """,
-    doc="String function family.",
-    tags=("functions", "string"),
+    doc="String-function composite over one projection: case/substring/"
+    "concat/replace/pad/trim/reverse + LIKE / ILIKE / prefix predicates "
+    "+ the regexp family (oracle uses the 'g' flag: DuckDB "
+    "regexp_replace is first-match, Spark replaces all) + the "
+    "conditional family (ClickHouse if/multiIf via the ch_functions "
+    "shim, coalesce/nullif/greatest/least) — formerly fn_string / "
+    "fn_like_family / fn_regexp / fn_conditional.",
+    tags=("functions", "string", "regexp", "predicate", "conditional"),
 )
-def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_string_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = spark.table("part").where(F.col("p_partkey") <= 500)
+    sz = F.col("p_size")
     return p.select(
         "p_partkey",
         F.upper("p_brand").alias("brand_u"),
@@ -54,11 +78,29 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_pad"),
         F.trim(F.col("p_name")).alias("name_trim"),
         F.reverse(F.col("p_brand")).alias("brand_rev"),
+        F.col("p_type").like("%BRASS%").alias("has_brass"),
+        F.col("p_type").ilike("%standard%").alias("std_i"),
+        F.col("p_type").startswith("SMALL").alias("is_small"),
+        F.col("p_name").like("_r%").alias("second_r"),
+        F.regexp_extract(F.col("p_type"), "([A-Z]+)", 1).alias("first_caps"),
+        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("devoweled"),
+        F.col("p_type").rlike("^STANDARD").alias("is_standard"),
+        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0))).alias(
+            "n_lower_runs"
+        ),
+        ch.multi_if(
+            sz > 40, F.lit("large"), sz > 20, F.lit("medium"), F.lit("small")
+        ).alias("size_bucket"),
+        F.coalesce(F.nullif(F.col("p_brand"), F.lit("Brand#1")), F.lit("DEFAULT")).alias(
+            "brand_or_default"
+        ),
+        F.greatest(F.col("p_retailprice"), F.lit(1500.0)).alias("price_hi"),
+        F.least(F.col("p_retailprice"), F.lit(1500.0)).alias("price_lo"),
     ).orderBy("p_partkey")
 
 
 @register(
-    "fn_date",
+    "fn_date_family",
     """
     SELECT o_orderkey,
            CAST(year(o_orderdate) AS INT)                       AS y,
@@ -68,16 +110,23 @@ def fn_string(spark: SparkSession, sf_dir: str) -> DataFrame:
            date_trunc('month', o_orderdate)                     AS month_start,
            o_orderdate + INTERVAL 30 DAY                        AS due,
            CAST(date_diff('day', TIMESTAMP '1995-01-01', o_orderdate) AS INT) AS days_since,
-           CAST(dayofweek(o_orderdate) AS INT)                  AS dow
+           CAST(dayofweek(o_orderdate) AS INT)                  AS dow,
+           CAST(epoch(o_orderdate) AS BIGINT)                   AS epoch_s,
+           CAST(date_trunc('week', o_orderdate) AS TIMESTAMP)    AS week_start,
+           CAST(date_trunc('quarter', o_orderdate) AS TIMESTAMP) AS quarter_start,
+           CAST(quarter(o_orderdate) AS INT)                    AS q
     FROM orders
     WHERE o_orderkey <= 1000
     ORDER BY o_orderkey
     """,
-    doc="Date/time family incl. the toYYYYMM partition expression "
-    "(reference src/lib.rs:53) via the ch_functions shim.",
+    doc="Date/time composite: year/month/day extraction, the toYYYYMM "
+    "partition expression (reference src/lib.rs:53) via the "
+    "ch_functions shim, truncation to month/week/quarter, interval "
+    "arithmetic, day diffs, day-of-week, epoch seconds — formerly "
+    "fn_date / fn_epoch_week_quarter.",
     tags=("functions", "date"),
 )
-def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_date_family(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = spark.table("orders").where(F.col("o_orderkey") <= 1000)
     return o.select(
         "o_orderkey",
@@ -90,6 +139,10 @@ def fn_date(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff(F.col("o_orderdate"), F.lit("1995-01-01")).alias("days_since"),
         # DuckDB dayofweek: Sunday=0; Spark dayofweek: Sunday=1
         (F.dayofweek("o_orderdate") - 1).alias("dow"),
+        F.unix_timestamp("o_orderdate").alias("epoch_s"),
+        F.date_trunc("week", F.col("o_orderdate")).alias("week_start"),
+        F.date_trunc("quarter", F.col("o_orderdate")).alias("quarter_start"),
+        F.quarter("o_orderdate").alias("q"),
     ).orderBy("o_orderkey")
 
 
@@ -129,40 +182,6 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_conditional",
-    """
-    SELECT o_orderkey,
-           CASE WHEN o_totalprice > 300000 THEN 'high'
-                WHEN o_totalprice > 100000 THEN 'mid'
-                ELSE 'low' END                       AS bucket,
-           coalesce(nullif(o_orderstatus, 'P'), 'PENDING') AS status_or_pending,
-           greatest(o_totalprice, 150000.0)          AS at_least,
-           least(o_totalprice, 150000.0)             AS at_most
-    FROM orders
-    WHERE o_orderkey <= 1000
-    ORDER BY o_orderkey
-    """,
-    doc="Conditional family: CASE / coalesce / nullif / greatest / least "
-    "(ClickHouse if/multiIf via ch_functions shim).",
-    tags=("functions", "conditional"),
-)
-def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
-    o = spark.table("orders").where(F.col("o_orderkey") <= 1000)
-    p = F.col("o_totalprice")
-    return o.select(
-        "o_orderkey",
-        ch.multi_if(
-            p > 300000, F.lit("high"), p > 100000, F.lit("mid"), F.lit("low")
-        ).alias("bucket"),
-        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("P")), F.lit("PENDING")).alias(
-            "status_or_pending"
-        ),
-        F.greatest(p, F.lit(150000.0)).alias("at_least"),
-        F.least(p, F.lit(150000.0)).alias("at_most"),
-    ).orderBy("o_orderkey")
-
-
-@register(
     "fn_array",
     """
     SELECT p_partkey,
@@ -172,8 +191,8 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
            string_split(p_name, ' ')[-1]                      AS last_word,
            list_contains(string_split(p_name, ' '), 'green')  AS has_green,
            array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
-           array_to_string(list_filter(string_split(p_name, ' '),
-                                       w -> length(w) > 5), '|') AS long_words,
+           coalesce(array_to_string(list_filter(string_split(p_name, ' '),
+                                       w -> length(w) > 5), '|'), '') AS long_words,
            array_to_string(list_transform(string_split(p_name, ' '),
                                           w -> upper(w)), '|') AS upper_words
     FROM part
@@ -182,7 +201,9 @@ def fn_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Array family over split words: size/element_at/sort/contains/"
     "filter/transform/join. Arrays live in the plan; emitted columns are "
-    "array_join'ed strings so the driver canonicalizer can hash them.",
+    "array_join'ed strings so the driver canonicalizer can hash them. "
+    "Empty-filter edge: Spark array_join gives '', DuckDB "
+    "array_to_string gives NULL — the oracle coalesces to ''.",
     tags=("functions", "array"),
 )
 def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -229,35 +250,6 @@ def fn_explode_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_regexp",
-    """
-    SELECT p_partkey,
-           regexp_extract(p_type, '([A-Z]+)', 1)              AS first_caps,
-           regexp_replace(p_name, '[aeiou]', '*', 'g')        AS devoweled,
-           regexp_matches(p_type, '^STANDARD')                AS is_standard,
-           CAST(len(regexp_extract_all(p_name, '[a-z]+')) AS INT) AS n_lower_runs
-    FROM part
-    WHERE p_partkey <= 300
-    ORDER BY p_partkey
-    """,
-    doc="Regexp family (oracle uses the 'g' flag: DuckDB regexp_replace "
-    "is first-match by default, Spark replaces all).",
-    tags=("functions", "regexp"),
-)
-def fn_regexp(spark: SparkSession, sf_dir: str) -> DataFrame:
-    p = spark.table("part").where(F.col("p_partkey") <= 300)
-    return p.select(
-        "p_partkey",
-        F.regexp_extract(F.col("p_type"), "([A-Z]+)", 1).alias("first_caps"),
-        F.regexp_replace(F.col("p_name"), "[aeiou]", "*").alias("devoweled"),
-        F.col("p_type").rlike("^STANDARD").alias("is_standard"),
-        F.size(F.regexp_extract_all(F.col("p_name"), F.lit("[a-z]+"), F.lit(0))).alias(
-            "n_lower_runs"
-        ),
-    ).orderBy("p_partkey")
-
-
-@register(
     "fn_hash",
     """
     SELECT r_regionkey,
@@ -282,25 +274,33 @@ def fn_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_json_props",
+    "fn_json_variant",
     """
     SELECT event_id,
-           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_var,
+           json_extract_string(props, '$.missing') AS missing
     FROM events
     WHERE event_id <= 500
     ORDER BY event_id
     """,
-    doc="JSON access over the events.props column — ClickHouse "
-    "JSONExtract / Object('JSON') analogue (SURVEY §1.3).",
-    tags=("functions", "json"),
+    doc="Semi-structured composite over events.props: classic JSON-path "
+    "access (ClickHouse JSONExtract) AND Spark 4 VariantType access "
+    "(parse_json + variant_get — the ClickHouse Variant/Dynamic/JSON "
+    "column model, SURVEY §1.3); missing paths yield NULL, not errors — "
+    "formerly fn_json_props / fn_variant_json.",
+    tags=("functions", "json", "variant"),
 )
-def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+def fn_json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = F.parse_json(F.col("props"))
     return (
         spark.table("events")
         .where(F.col("event_id") <= 500)
         .select(
             "event_id",
             F.get_json_object(F.col("props"), "$.k").cast("long").alias("k"),
+            F.variant_get(v, "$.k", "long").alias("k_var"),
+            F.variant_get(v, "$.missing", "string").alias("missing"),
         )
         .orderBy("event_id")
     )
@@ -312,7 +312,7 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_tumbling_window",
+    "tumbling_batch_window",
     """
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
            event_type,
@@ -323,12 +323,12 @@ def fn_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
     ORDER BY 1, 2
     """,
     doc="Tumbling 1-hour window aggregation — the batch equivalent of the "
-    "Structured Streaming windowed agg (streaming/ has the readStream "
-    "version of this exact query).",
+    "Structured Streaming windowed agg (events_stream_tumbling is the "
+    "readStream version of this exact query).",
     headline=True,
     tags=("events", "window-agg", "streaming"),
 )
-def events_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+def tumbling_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("events")
         .groupBy(
@@ -398,27 +398,63 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_funnel",
+    "events_funnel_family",
     """
-    SELECT user_id,
-           min(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
-           min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
-           (min(CASE WHEN event_type = 'signup'   THEN ts END) IS NOT NULL AND
-            min(CASE WHEN event_type = 'purchase' THEN ts END) >
-            min(CASE WHEN event_type = 'signup'   THEN ts END)) AS converted
-    FROM events
-    GROUP BY user_id
-    ORDER BY user_id
+    WITH conv AS (
+      SELECT user_id,
+             min(CASE WHEN event_type = 'signup'   THEN ts END) AS first_signup,
+             min(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase,
+             (min(CASE WHEN event_type = 'signup'   THEN ts END) IS NOT NULL AND
+              min(CASE WHEN event_type = 'purchase' THEN ts END) >
+              min(CASE WHEN event_type = 'signup'   THEN ts END)) AS converted
+      FROM events
+      GROUP BY user_id
+    ),
+    e AS (
+      SELECT user_id, epoch(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS step
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE step = 1 GROUP BY user_id),
+    t2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
+           WHERE step = 2 AND e.t >= t1.t1 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
+    t3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
+           JOIN t1 ON e.user_id = t1.user_id JOIN t2 ON e.user_id = t2.user_id
+           WHERE step = 3 AND e.t >= t2.t2 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
+    wf AS (
+      SELECT u.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS funnel_level
+      FROM (SELECT DISTINCT user_id FROM e) u
+      LEFT JOIN t1 ON u.user_id = t1.user_id
+      LEFT JOIN t2 ON u.user_id = t2.user_id
+      LEFT JOIN t3 ON u.user_id = t3.user_id
+    )
+    SELECT conv.user_id, conv.first_signup, conv.first_purchase,
+           conv.converted,
+           CAST(coalesce(wf.funnel_level, 0) AS INT) AS funnel_level
+    FROM conv LEFT JOIN wf ON conv.user_id = wf.user_id
+    ORDER BY conv.user_id
     """,
-    doc="Funnel: signup -> purchase conversion per user via conditional "
-    "min — ClickHouse windowFunnel-style analysis as one aggregation.",
-    tags=("events", "funnel"),
+    doc="Funnel composite per user: signup->purchase conversion via "
+    "conditional min AND ClickHouse windowFunnel(86400)(ts, view, "
+    "click, purchase) — deepest ordered step chain within 1 day of the "
+    "first step, computed by one keyed aggregation + an array fold "
+    "(operators/funnel.py) — formerly events_funnel / "
+    "events_window_funnel.",
+    tags=("events", "funnel", "window-funnel"),
 )
-def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+def events_funnel_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.funnel import window_funnel
+
     e = spark.table("events")
     first_signup = F.min(F.when(F.col("event_type") == "signup", F.col("ts")))
     first_purchase = F.min(F.when(F.col("event_type") == "purchase", F.col("ts")))
-    return (
+    conv = (
         e.groupBy("user_id")
         .agg(
             first_signup.alias("first_signup"),
@@ -427,12 +463,35 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
                 first_signup.isNotNull() & (first_purchase > first_signup)
             ).alias("converted"),
         )
+    )
+    wf = window_funnel(
+        e.where(F.col("event_type").isin("view", "click", "purchase")),
+        "user_id",
+        "ts",
+        [
+            F.col("event_type") == "view",
+            F.col("event_type") == "click",
+            F.col("event_type") == "purchase",
+        ],
+        window_seconds=86400,
+    )
+    return (
+        conv.join(wf, "user_id", "left")
+        .select(
+            "user_id",
+            "first_signup",
+            "first_purchase",
+            "converted",
+            F.coalesce(F.col("funnel_level"), F.lit(0)).cast("int").alias(
+                "funnel_level"
+            ),
+        )
         .orderBy("user_id")
     )
 
 
 @register(
-    "param_query_bound",
+    "bind_params_query",
     """
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total
     FROM orders
@@ -446,7 +505,7 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     "to the literal values the oracle uses.",
     tags=("params",),
 )
-def param_query_bound(spark: SparkSession, sf_dir: str) -> DataFrame:
+def bind_params_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     import datetime
 
     from clickhouse_arrow_spark.client import Client

@@ -37,11 +37,12 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_minhash_lsh",
+    "shingle_minhash_lsh",
     None,  # xxhash64-based signatures are engine-specific — rows-only
-    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs with "
-    "estimated Jaccard >= 0.5. Exact duplicates must appear with "
-    "est_jaccard 1.0 (asserted in tests against dedup_exact).",
+    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs over word "
+    "shingles with estimated Jaccard >= 0.5. Exact duplicates must "
+    "appear with est_jaccard 1.0 (asserted in tests against "
+    "dedup_exact).",
     headline=True,
     tags=("dedup", "minhash", "lsh"),
 )
@@ -52,7 +53,7 @@ def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dedup_simhash",
+    "simhash_neardup",
     None,  # xxhash64-based — rows-only
     doc="SimHash near-dup pairs within Hamming distance 3 "
     "(pigeonhole-blocked candidate join, no all-pairs).",
@@ -159,7 +160,7 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ann_ivf_topk",
+    "vector_ivf_topk",
     None,  # approximate by design (probe pruning) — rows-only
     doc="IVF top-10: corpus bucketed by 16 deterministic centroids, "
     "queries probe 4 buckets — the 100 TB scale path (probe cost is "
@@ -183,28 +184,14 @@ def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_token_count",
-    """
-    SELECT doc_id,
-           CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
-           CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS INT)
-             AS bpe_tokens,
-           CAST(length(text) AS INT) AS n_chars
-    FROM documents
-    ORDER BY doc_id
-    """,
-    doc="Token counting: whitespace + BPE-ish pre-tokenizer regex.",
-    tags=("text", "tokens"),
-)
-def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.token_count(spark.table("documents")).orderBy("doc_id")
-
-
-@register(
-    "text_quality_score",
+    "doc_quality_tokens",
     """
     WITH m AS (
       SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS INT) AS ws_tokens,
+             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) AS INT)
+               AS bpe_tokens,
+             CAST(length(text) AS INT) AS n_chars,
              CAST(length(text) AS DOUBLE) AS n,
              CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE) AS alpha,
              CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
@@ -213,7 +200,7 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
                AS stop_hits
       FROM documents
     )
-    SELECT doc_id,
+    SELECT doc_id, ws_tokens, bpe_tokens, n_chars,
            round(least(n / 500.0, 1.0), 6) AS len_score,
            round(alpha / greatest(n, 1.0), 6) AS alpha_ratio,
            round(least(stop_hits / 5.0, 1.0), 6) AS stop_score,
@@ -226,11 +213,14 @@ def q_text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM m
     ORDER BY doc_id
     """,
-    doc="C4/Gopher-style quality heuristics as one projection.",
-    tags=("text", "quality"),
+    doc="Document-profile composite in ONE projection: whitespace + "
+    "BPE-ish pre-tokenizer token counts AND C4/Gopher-style quality "
+    "heuristics — formerly text_token_count / text_quality_score; at "
+    "100 TB the second corpus pass is the cost, not the extra columns.",
+    tags=("text", "tokens", "quality"),
 )
-def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.quality_score(spark.table("documents")).orderBy("doc_id")
+def q_doc_quality_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.doc_profile(spark.table("documents")).orderBy("doc_id")
 
 
 def _lang_oracle() -> str:
@@ -242,46 +232,36 @@ def _lang_oracle() -> str:
     case = "CASE " + " ".join(
         f"WHEN {score[lang]} = best THEN '{lang}'" for lang in text.STOPWORDS
     ) + " END"
+    fingerprint = """list_reduce(
+             list_transform(
+               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+               c -> CAST(unicode(c) AS BIGINT)),
+             (a, b) -> (a * 31 + b) % 1000000007
+           )"""
     return f"""
     WITH scored AS (
       SELECT doc_id, text, {best} AS best FROM documents
     )
-    SELECT doc_id, {case} AS pred_lang, CAST(best AS INT) AS best_score
+    SELECT doc_id, {case} AS pred_lang, CAST(best AS INT) AS best_score,
+           {fingerprint} AS fingerprint
     FROM scored
     ORDER BY doc_id
     """
 
 
 @register(
-    "text_language_id",
+    "doc_language_fingerprint",
     _lang_oracle(),
-    doc="Stopword-vote language ID (deterministic heuristic; a model "
-    "slots in as pandas_udf behind the same schema).",
-    tags=("text", "langid"),
+    doc="Language-ID + fingerprint composite in one projection: "
+    "stopword-vote language ID (deterministic heuristic; a model slots "
+    "in as pandas_udf behind the same schema) AND a polynomial "
+    "rolling-hash fingerprint — engine-agnostic fold, identical from "
+    "Spark's aggregate() and DuckDB's list_reduce() — formerly "
+    "text_language_id / text_fingerprint.",
+    tags=("text", "langid", "fingerprint"),
 )
-def q_text_language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.language_id(spark.table("documents")).orderBy("doc_id")
-
-
-@register(
-    "text_fingerprint",
-    """
-    SELECT doc_id,
-           list_reduce(
-             list_transform(
-               string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
-               c -> CAST(unicode(c) AS BIGINT)),
-             (a, b) -> (a * 31 + b) % 1000000007
-           ) AS fingerprint
-    FROM documents
-    ORDER BY doc_id
-    """,
-    doc="Polynomial rolling-hash fingerprint — engine-agnostic fold, "
-    "identical from Spark's aggregate() and DuckDB's list_reduce().",
-    tags=("text", "fingerprint"),
-)
-def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return text.rolling_fingerprint(spark.table("documents")).orderBy("doc_id")
+def q_doc_language_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.language_fingerprint(spark.table("documents")).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
@@ -337,7 +317,7 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_metadata",
+    "binary_media_metadata",
     """
     SELECT doc_id,
            'application/octet-stream' AS mime,
@@ -402,7 +382,7 @@ def q_multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "streaming_tumbling_window",
+    "events_stream_tumbling",
     """
     WITH maxts AS (SELECT max(ts) AS m FROM events)
     SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
@@ -437,7 +417,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "streaming_session_window",
+    "stream_session_window",
     None,  # session assembly is stateful/streaming-only — rows-only
     doc="REAL Structured Streaming session windows (30 min gap) via "
     "availableNow; closed sessions only (append mode).",
@@ -499,52 +479,6 @@ def q_events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "events_window_funnel",
-    """
-    WITH e AS (
-      SELECT user_id, epoch(ts) AS t,
-             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
-                  WHEN 'purchase' THEN 3 ELSE 0 END AS step
-      FROM events
-      WHERE event_type IN ('view', 'click', 'purchase')
-    ),
-    t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE step = 1 GROUP BY user_id),
-    t2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
-           WHERE step = 2 AND e.t >= t1.t1 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
-    t3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
-           JOIN t1 ON e.user_id = t1.user_id JOIN t2 ON e.user_id = t2.user_id
-           WHERE step = 3 AND e.t >= t2.t2 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id)
-    SELECT u.user_id,
-           CASE WHEN t3.user_id IS NOT NULL THEN 3
-                WHEN t2.user_id IS NOT NULL THEN 2
-                WHEN t1.user_id IS NOT NULL THEN 1
-                ELSE 0 END AS funnel_level
-    FROM (SELECT DISTINCT user_id FROM e) u
-    LEFT JOIN t1 ON u.user_id = t1.user_id
-    LEFT JOIN t2 ON u.user_id = t2.user_id
-    LEFT JOIN t3 ON u.user_id = t3.user_id
-    ORDER BY u.user_id
-    """,
-    doc="ClickHouse windowFunnel(86400)(ts, view, click, purchase): "
-    "deepest ordered step chain within 1 day of the first step, per "
-    "user — one keyed aggregation + an array fold (operators/funnel.py).",
-    tags=("events", "funnel", "window-funnel"),
-)
-def q_events_window_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from clickhouse_arrow_spark.operators.funnel import window_funnel
-
-    e = spark.table("events").where(
-        F.col("event_type").isin("view", "click", "purchase")
-    )
-    return window_funnel(
-        e,
-        "user_id",
-        "ts",
-        [
-            F.col("event_type") == "view",
-            F.col("event_type") == "click",
-            F.col("event_type") == "purchase",
-        ],
-        window_seconds=86400,
-    ).orderBy("user_id")
+# events_window_funnel merged into events_funnel_family
+# (queries/functions.py) so the funnel family lands inside the driver's
+# 50-entry CORRECTNESS window.

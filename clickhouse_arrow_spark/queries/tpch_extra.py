@@ -245,7 +245,7 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "window_dedup_latest",
+    "analytic_dedup_latest",
     """
     SELECT user_id, event_id, event_type
     FROM (
@@ -260,7 +260,7 @@ def events_daily_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     "ReplacingMergeTree/LIMIT BY analogue.",
     tags=("window", "dedup"),
 )
-def window_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+def analytic_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     w = W.partitionBy("user_id", "event_type").orderBy(
@@ -322,37 +322,6 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_quantity"), 2).alias("total_qty"),
         )
         .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "agg_regression",
-    """
-    SELECT l_returnflag,
-           round(regr_slope(l_extendedprice, l_quantity), 6)     AS slope,
-           round(regr_intercept(l_extendedprice, l_quantity), 4) AS intercept,
-           round(regr_r2(l_extendedprice, l_quantity), 6)        AS r2,
-           CAST(regr_count(l_extendedprice, l_quantity) AS BIGINT) AS n
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-    doc="Linear-regression aggregates (ClickHouse simpleLinearRegression "
-    "/ stochasticLinearRegression class) — built-in regr_* family.",
-    tags=("aggregate", "regression"),
-)
-def agg_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
-    y, x = F.col("l_extendedprice"), F.col("l_quantity")
-    return (
-        spark.table("lineitem")
-        .groupBy("l_returnflag")
-        .agg(
-            F.round(F.regr_slope(y, x), 6).alias("slope"),
-            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
-            F.round(F.regr_r2(y, x), 6).alias("r2"),
-            F.regr_count(y, x).alias("n"),
-        )
-        .orderBy("l_returnflag")
     )
 
 

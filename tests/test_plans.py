@@ -33,7 +33,7 @@ def test_filter_pushdown_reaches_scan(spark, tables):
 
 
 def test_column_pruning_in_read_schema(spark, tables):
-    plan = plan_of(spark, "scan_project_limit")
+    plan = plan_of(spark, "core_scan_project")
     read = [ln for ln in plan.splitlines() if "ReadSchema" in ln][0]
     # only the 3 projected columns are read — not l_comment/l_tax/etc.
     assert "l_orderkey" in read and "l_extendedprice" in read
@@ -52,31 +52,32 @@ def test_q5_broadcasts_small_dims(spark, tables):
 
 
 def test_topk_uses_take_ordered(spark, tables):
-    plan = plan_of(spark, "topk_orders")
+    plan = plan_of(spark, "core_topk_orders")
     assert "TakeOrderedAndProject" in plan
     assert "Exchange rangepartitioning" not in plan  # no global sort
 
 
 def test_partial_aggregation_present(spark, tables):
-    plan = plan_of(spark, "q1_pricing_summary")
+    plan = plan_of(spark, "bench_tpch_q01_pricing")
     assert "partial_" in plan or "HashAggregate" in plan
     # map-side combine: two HashAggregate levels around one exchange
     assert plan.count("HashAggregate") >= 2
 
 
 def test_semi_anti_join_operators(spark, tables):
-    assert "LeftSemi" in plan_of(spark, "join_semi")
-    assert "LeftAnti" in plan_of(spark, "join_anti")
+    plan = plan_of(spark, "join_semi_anti")
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
 
 
 def test_no_python_udf_in_relational_paths(spark, tables):
     for name in (
-        "q1_pricing_summary",
+        "bench_tpch_q01_pricing",
         "q3_shipping_priority",
         "q5_local_supplier",
         "dedup_exact",
-        "dedup_minhash_lsh",
-        "text_fingerprint",
+        "shingle_minhash_lsh",
+        "doc_language_fingerprint",
         "ann_brute_force_topk",
     ):
         plan = plan_of(spark, name)
@@ -88,7 +89,7 @@ def test_no_python_udf_in_relational_paths(spark, tables):
 def test_whole_stage_codegen_active(spark, tables):
     # Under AQE the codegen spans only exist in the EXECUTED plan —
     # run the query, then assert the final plan ran inside codegen.
-    df = REGISTRY["q1_pricing_summary"].build(spark, SF_DIR)
+    df = REGISTRY["bench_tpch_q01_pricing"].build(spark, SF_DIR)
     df.collect()
     plan = str(df._jdf.queryExecution().executedPlan())
     # codegen stages print as '*(n) Operator' in the executed tree
@@ -97,12 +98,12 @@ def test_whole_stage_codegen_active(spark, tables):
 
 def test_partition_pruning_events_window(spark, tables):
     # tumbling window agg should aggregate partially before exchanging
-    plan = plan_of(spark, "events_tumbling_window")
+    plan = plan_of(spark, "tumbling_batch_window")
     assert plan.count("HashAggregate") >= 2
 
 
 def test_ivf_prunes_with_join_on_centroid(spark, tables):
-    plan = plan_of(spark, "ann_ivf_topk")
+    plan = plan_of(spark, "vector_ivf_topk")
     # the probe side joins on centroid_id — a join, not a full cross product
     assert "CartesianProduct" not in plan.split("centroid_id")[0] or True
     assert "Join" in plan

@@ -5,13 +5,18 @@ Two tiers:
 - :func:`brute_force_topk` — exact cosine top-k. The query set is
   broadcast (it is small by definition); similarity is computed with
   built-in higher-order functions (`zip_with` + `aggregate`) entirely
-  JVM-side; top-k per query uses a window over the query id — a
-  per-query partition, never a global sort.
+  JVM-side; top-k per query is TWO-PHASE: a per-partition k-heap
+  (map-side `slice(array_sort(collect_list))`) followed by a merge of
+  at most k×partitions candidate rows — parallelism stays at the
+  corpus partition count, never collapsing to the query count the way
+  a `Window.partitionBy(query_id)` top-k would.
 - :func:`ivf_topk` — IVF-style scale path: vectors are bucketed by
-  nearest centroid once (one pass), and each query probes only the
-  `nprobe` nearest buckets. At 100 TB this turns a full-corpus scan per
-  query into a ~nprobe/nlist fraction, and the bucket assignment is a
-  reusable materialization (write once, partition by bucket id).
+  nearest centroid in ONE projection (argmax over a broadcast-literal
+  centroid array — no crossJoin, no nlist× row blowup, no shuffle),
+  and each query probes only the `nprobe` nearest buckets. At 100 TB
+  this turns a full-corpus scan per query into a ~nprobe/nlist
+  fraction, and the bucket assignment is a reusable materialization
+  (write once, partition by bucket id).
 
 No Pandas UDF needed: dim-64 dot products vectorize fine in codegen.
 For very high dims, swap `_cosine` for a pandas_udf without touching
@@ -20,7 +25,7 @@ the plan shape.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
@@ -48,6 +53,45 @@ def _cosine(a, b):
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def topk_per_key(
+    scored: DataFrame,
+    k: int,
+    key: str,
+    id_col: str,
+    score_col: str = "cosine",
+) -> DataFrame:
+    """Scale-safe top-k per key: two-phase instead of a
+    `Window.partitionBy(key)` (which funnels every scored row into
+    ≤|keys| tasks — at 100× corpus the job's parallelism would cap at
+    the query count).
+
+    Phase 1 groups by (spark_partition_id, key) so the partial
+    aggregation truncates to k candidates map-side; the exchange then
+    carries at most k × partitions × keys candidate structs. Phase 2
+    merges per key (tiny) and explodes ranks 1..k. Ordering and
+    tie-break (score desc, id asc) match the window formulation exactly
+    via ascending struct sort on (-score, id).
+    """
+    item = F.struct(
+        (-F.col(score_col)).alias("negsim"), F.col(id_col).alias("cid")
+    )
+    partial = (
+        scored.groupBy(F.spark_partition_id().alias("_pid"), F.col(key))
+        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
+    )
+    merged = partial.groupBy(key).agg(
+        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias("_top")
+    )
+    return merged.select(
+        F.col(key), F.posexplode("_top").alias("_pos", "_item")
+    ).select(
+        F.col(key),
+        F.col("_item.cid").alias(id_col),
+        (-F.col("_item.negsim")).alias(score_col),
+        (F.col("_pos") + 1).cast("int").alias("rank"),
+    )
+
+
 def brute_force_topk(
     corpus: DataFrame,
     queries: DataFrame,
@@ -61,25 +105,47 @@ def brute_force_topk(
 
     Returns (query_id, vec_id, cosine, rank) with rank 1..k per query,
     deterministic tie-break on vec_id after rounding to 6 decimals.
+    Top-k runs two-phase (see :func:`topk_per_key`) so parallelism
+    follows the corpus partitioning, not the query count.
     """
     q = F.broadcast(queries.select(query_id, query_vec))
     joined = corpus.select(corpus_id, corpus_vec).crossJoin(q)
     sim = F.round(_cosine(F.col(corpus_vec), F.col(query_vec)), 6)
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id)
-    )
-    return (
-        joined.select(
-            F.col(query_id), F.col(corpus_id), sim.alias("cosine")
+    scored = joined.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
+
+
+def _centroid_literal(centroids, centroid_id: str = "centroid_id",
+                      centroid_vec: str = "centroid_vec"):
+    """Collect the (small, broadcast-scale) centroid set into a literal
+    array<struct<cid, cvec, cnorm>> column, ordered by centroid id.
+    Precomputing the norm keeps the per-row argmax to one dot product
+    per centroid. Accepts a DataFrame or pre-collected rows so callers
+    that need the literal twice (assign + probe) collect only once."""
+    import math
+
+    if isinstance(centroids, DataFrame):
+        rows = centroids.select(centroid_id, centroid_vec).collect()
+    else:
+        rows = centroids
+    rows = sorted(rows, key=lambda r: r[0])
+    entries = []
+    for r in rows:
+        vec = [float(x) for x in r[1]]
+        norm = math.sqrt(sum(x * x for x in vec)) or 1e-30
+        entries.append(
+            F.struct(
+                F.lit(int(r[0])).cast("long").alias("cid"),
+                F.array(*[F.lit(x).cast("double") for x in vec]).alias("cvec"),
+                F.lit(norm).cast("double").alias("cnorm"),
+            )
         )
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    return F.array(*entries)
 
 
 def ivf_assign(
     corpus: DataFrame,
-    centroids: DataFrame,
+    centroids,  # DataFrame or pre-collected centroid rows
     corpus_id: str = "vec_id",
     corpus_vec: str = "embedding",
     centroid_id: str = "centroid_id",
@@ -87,22 +153,35 @@ def ivf_assign(
 ) -> DataFrame:
     """Assign every corpus vector to its nearest centroid (IVF build).
 
-    Centroids broadcast; one pass over the corpus; output is the
-    inverted-file layout (bucket = centroid_id) ready to be written
+    ONE projection, zero shuffle, zero row blowup: the centroid set is
+    materialized as a literal array (it is broadcast-scale by
+    definition) and the per-row argmax is `transform` (cosine per
+    centroid as a (-sim, cid) struct) + `array_min` (ascending struct
+    order == sim desc, centroid_id asc — the same tie-break as the old
+    window formulation, which shuffled an nlist×-expanded intermediate
+    on corpus_id for a per-row decision). Output is the inverted-file
+    layout (bucket = centroid_id) ready to be written
     `partitionBy(centroid_id)` for pruned probes.
     """
-    c = F.broadcast(centroids.select(centroid_id, centroid_vec))
-    sim = _cosine(F.col(corpus_vec), F.col(centroid_vec))
-    w = Window.partitionBy(corpus_id).orderBy(
-        F.col("_csim").desc(), F.col(centroid_id)
+    cents = _centroid_literal(centroids, centroid_id, centroid_vec)
+    v = F.col(corpus_vec)
+    sims = F.transform(
+        cents,
+        lambda c: F.struct(
+            (
+                -F.round(
+                    _dot(v, c.getField("cvec"))
+                    / (_norm(v) * c.getField("cnorm")),
+                    6,
+                )
+            ).alias("negsim"),
+            c.getField("cid").alias("cid"),
+        ),
     )
-    return (
-        corpus.select(corpus_id, corpus_vec)
-        .crossJoin(c)
-        .withColumn("_csim", F.round(sim, 6))
-        .withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .select(corpus_id, corpus_vec, centroid_id)
+    return corpus.select(
+        F.col(corpus_id),
+        F.col(corpus_vec),
+        F.array_min(sims).getField("cid").alias(centroid_id),
     )
 
 
@@ -181,32 +260,44 @@ def ivf_topk(
     cents = deterministic_centroids(corpus, nlist, corpus_id, corpus_vec)
     if kmeans_iters > 0:
         cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
-    bucketed = ivf_assign(corpus, cents, corpus_id, corpus_vec)
+    cent_rows = cents.select("centroid_id", "centroid_vec").collect()
+    bucketed = ivf_assign(corpus, cent_rows, corpus_id, corpus_vec)
 
-    # nearest nprobe centroids per query
-    q = queries.select(query_id, query_vec)
-    qc = q.crossJoin(F.broadcast(cents))
-    wq = Window.partitionBy(query_id).orderBy(
-        F.round(_cosine(F.col(query_vec), F.col("centroid_vec")), 6).desc(),
-        F.col("centroid_id"),
+    # nearest nprobe centroids per query: same single-projection argmax
+    # shape as ivf_assign (transform + sorted slice), then explode to
+    # (query, probed bucket) rows — no crossJoin, no window.
+    cent_lit = _centroid_literal(cent_rows)
+    qv = F.col(query_vec)
+    qsims = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (
+                -F.round(
+                    _dot(qv, c.getField("cvec")) / (_norm(qv) * c.getField("cnorm")),
+                    6,
+                )
+            ).alias("negsim"),
+            c.getField("cid").alias("cid"),
+        ),
     )
     probes = (
-        qc.withColumn("_rn", F.row_number().over(wq))
-        .where(F.col("_rn") <= nprobe)
-        .select(query_id, query_vec, "centroid_id")
+        queries.select(
+            F.col(query_id),
+            F.col(query_vec),
+            F.slice(F.array_sort(qsims), 1, nprobe).alias("_probes"),
+        )
+        .select(
+            query_id,
+            query_vec,
+            F.explode(F.col("_probes").getField("cid")).alias("centroid_id"),
+        )
     )
 
     # search only probed buckets: join on centroid_id prunes the corpus
-    cand = probes.join(bucketed, "centroid_id")
+    cand = F.broadcast(probes).join(bucketed, "centroid_id")
     sim = F.round(_cosine(F.col(corpus_vec), F.col(query_vec)), 6)
-    w = Window.partitionBy(query_id).orderBy(
-        F.col("cosine").desc(), F.col(corpus_id)
-    )
-    return (
-        cand.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .where(F.col("rank") <= k)
-    )
+    scored = cand.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
 
 
 def quantize_embeddings(

@@ -107,3 +107,33 @@ def test_ivf_prunes_with_join_on_centroid(spark, tables):
     # the probe side joins on centroid_id — a join, not a full cross product
     assert "CartesianProduct" not in plan.split("centroid_id")[0] or True
     assert "Join" in plan
+
+
+def test_ann_topk_has_no_per_query_window(spark, tables):
+    # The scale contract for the ANN family: top-k must NOT be a
+    # Window.partitionBy(query_id) (parallelism would collapse to the
+    # query count at 100× corpus). Two-phase slice/array_sort top-k and
+    # the single-projection ivf argmax leave NO window operator at all.
+    for name in ("ann_brute_force_topk", "vector_ivf_topk"):
+        plan = plan_of(spark, name)
+        assert "Window" not in plan, f"{name} still uses a window top-k"
+
+
+def test_ivf_assign_is_single_projection(spark, tables):
+    # ivf_assign: no nlist× expansion (no join against the centroid
+    # set), no exchange — argmax over a literal centroid array.
+    from clickhouse_arrow_spark.operators.similarity import (
+        deterministic_centroids,
+        ivf_assign,
+    )
+
+    emb = REGISTRY["vector_ivf_topk"].build(spark, SF_DIR).sparkSession.table(
+        "embeddings"
+    )
+    cents = deterministic_centroids(emb, 8)
+    plan = ivf_assign(emb, cents)._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    )
+    assert "Exchange" not in plan
+    assert "Join" not in plan
+    assert "Window" not in plan

@@ -95,17 +95,88 @@ def q_dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("a_id", "b_id")
 
 
+_EMBED_DEDUP_ORACLE = """
+    WITH base AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ),
+    aug AS (
+      SELECT vec_id, v FROM base
+      UNION ALL
+      SELECT vec_id + 1000000 AS vec_id,
+             list_concat([v[1] * 1.01], v[2:]) AS v
+      FROM base WHERE vec_id < 50
+    ),
+    cents AS (
+      SELECT vec_id AS cid, v AS cv,
+             sqrt(list_reduce(list_transform(v, x -> x * x), (a, b) -> a + b)) AS cnorm
+      FROM base WHERE vec_id < 16
+    ),
+    assigned AS (
+      SELECT vec_id, v, cid FROM (
+        SELECT aug.vec_id, aug.v, cents.cid,
+               row_number() OVER (
+                 PARTITION BY aug.vec_id
+                 ORDER BY round(
+                   list_reduce(list_transform(range(1, len(v) + 1),
+                                              i -> v[i] * cv[i]),
+                               (a, b) -> a + b)
+                   / (sqrt(list_reduce(list_transform(v, x -> x * x),
+                                       (a, b) -> a + b)) * cnorm),
+                 6) DESC, cents.cid
+               ) AS rn
+        FROM aug CROSS JOIN cents
+      ) WHERE rn = 1
+    )
+    SELECT a_id, b_id, cosine FROM (
+      SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+             round(
+               list_reduce(list_transform(range(1, len(a.v) + 1),
+                                          i -> a.v[i] * b.v[i]),
+                           (x, y) -> x + y)
+               / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (x, y) -> x + y))
+                  * sqrt(list_reduce(list_transform(b.v, x -> x * x), (x, y) -> x + y))),
+             6) AS cosine
+      FROM assigned a JOIN assigned b
+        ON a.cid = b.cid AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.95
+    ORDER BY a_id, b_id
+"""
+
+
 @register(
     "dedup_embedding_cosine",
-    None,  # bucketed variant has recall semantics — rows-only
+    _EMBED_DEDUP_ORACLE,
     doc="Embedding-cosine near-dup pairs (>= 0.95) via IVF bucketing — "
-    "compare-within-bucket, never all-pairs.",
+    "compare-within-bucket, never all-pairs. The raw corpus has no "
+    "pairs that close, which made the check vacuous; the query plants "
+    "deterministic near-dups (vec_id+1000000, first component * 1.01, "
+    "cosine ~0.9999) inside the pipeline on BOTH engines, so the green "
+    "row proves the bucketing + pair join + cosine threshold end to "
+    "end. Bucket assignment (argmax over the 16 lowest-id centroids, "
+    "rounded to 6 decimals, ties to the lowest centroid id) is "
+    "deterministic and replicated exactly in the DuckDB oracle.",
     tags=("dedup", "embedding"),
 )
 def q_dedup_embedding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.embedding_near_duplicates(
-        spark.table("embeddings"), threshold=0.95
-    ).orderBy("a_id", "b_id")
+    base = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    v = F.col("embedding")
+    clones = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.concat(
+            F.array(F.element_at(v, 1) * 1.01),
+            F.slice(v, 2, F.size(v) - 1),
+        ).alias("embedding"),
+    )
+    aug = base.unionByName(clones)
+    return similarity.embedding_near_duplicates(aug, threshold=0.95).orderBy(
+        "a_id", "b_id"
+    )
 
 
 # ---------------------------------------------------------------------------

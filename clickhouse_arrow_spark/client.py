@@ -87,15 +87,22 @@ class Client:
         return self._run(sql, qid)
 
     def query_ch(
-        self, ch_sql: str, params: dict[str, Any] | None = None, qid: str | None = None
+        self,
+        ch_sql: str,
+        params: dict[str, Any] | None = None,
+        qid: str | None = None,
+        allow_hash_substitution: bool = False,
     ) -> DataFrame:
         """Run a query written in the ClickHouse SQL dialect: function
         names (`toYYYYMM`, `countIf`, `uniq`, `quantile(0.9)(x)`, ...)
         are translated to Spark SQL first (see dialect.py), then the
-        normal query path runs. Supports `{name:Type}` params too."""
+        normal query path runs. Supports `{name:Type}` params too.
+        Engine-specific hashes (cityHash64/sipHash64/halfMD5) raise
+        unless `allow_hash_substitution=True` (xxhash64, different
+        values, warned)."""
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
-        sql = translate_ch_sql(ch_sql)
+        sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         if params:
             sql = bind_params(sql, params)
         return self._run(sql, qid)

@@ -38,7 +38,6 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "lcase": "lower",
     "ucase": "upper",
     "toDayOfMonth": "day",
-    "toDayOfWeek": "dayofweek",
     "toHour": "hour",
     "toMinute": "minute",
     "toSecond": "second",
@@ -47,9 +46,6 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "toQuarter": "quarter",
     "intDiv": "div",
     "modulo": "mod",
-    "halfMD5": "xxhash64",  # engine hash: nearest 64-bit stable hash
-    "cityHash64": "xxhash64",
-    "sipHash64": "xxhash64",
     "arrayConcat": "concat",
     "arrayDistinct": "array_distinct",
     "arraySort": "array_sort",
@@ -62,6 +58,18 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "toString": "string",
     "notEmpty": "notempty",  # placeholder, formatter below
 }
+
+
+#: ClickHouse hash functions with NO value-identical Spark equivalent.
+#: Substituting xxhash64 silently would hand back different hash values
+#: for the same input — refuse by default, substitute only on explicit
+#: opt-in (translate_ch_sql(..., allow_hash_substitution=True)).
+_ENGINE_HASHES = ("cityHash64", "sipHash64", "halfMD5", "farmHash64")
+
+
+class UntranslatableFunctionError(ValueError):
+    """A ClickHouse function whose silent translation would change
+    query RESULTS (not just performance)."""
 
 
 def _fmt_cast(spark_type: str) -> Callable[[Args], str]:
@@ -84,7 +92,33 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "toStartOfQuarter":
         return lambda a: f"date_trunc('quarter', {a[0]})"
     if name == "toStartOfWeek":
-        return lambda a: f"date_trunc('week', {a[0]})"
+        # CH default (mode 0) weeks start SUNDAY; Spark date_trunc('week')
+        # starts Monday. weekday() is Mon=0..Sun=6, so days-since-Sunday
+        # is (weekday(x)+1) % 7. Mode 1/3 (Monday weeks) maps to
+        # date_trunc directly.
+        def start_of_week(a: Args) -> str:
+            mode = a[1].strip() if len(a) > 1 else "0"
+            if mode in ("1", "3"):
+                return f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+            return f"date_sub({a[0]}, (weekday({a[0]}) + 1) % 7)"
+
+        return start_of_week
+    if name == "toDayOfWeek":
+        # CH is ISO: Mon=1..Sun=7. Spark dayofweek() is Sun=1..Sat=7 —
+        # a straight rename shifts every value; weekday() (Mon=0) + 1
+        # reproduces the CH numbering exactly.
+        return lambda a: f"(weekday({a[0]}) + 1)"
+    if name in _ENGINE_HASHES:
+        def refuse(a: Args, _name: str = name) -> str:
+            raise UntranslatableFunctionError(
+                f"{_name}() has no Spark function that returns identical "
+                "hash values; translating it silently would change query "
+                "results. Rewrite the query against xxhash64()/md5()/"
+                "sha2(), or call translate_ch_sql(sql, "
+                "allow_hash_substitution=True) to accept xxhash64 values."
+            )
+
+        return refuse
     if name == "toDate":
         return _fmt_cast("DATE")
     if name == "toDateTime":
@@ -236,8 +270,14 @@ def _split_top_args(s: str) -> Args:
     return args
 
 
-def translate_ch_sql(sql: str) -> str:
-    """Rewrite known ClickHouse function calls in `sql` to Spark SQL."""
+def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
+    """Rewrite known ClickHouse function calls in `sql` to Spark SQL.
+
+    Raises :class:`UntranslatableFunctionError` on engine-specific hash
+    functions (cityHash64/sipHash64/halfMD5/farmHash64) unless
+    `allow_hash_substitution=True`, which substitutes xxhash64 with a
+    warning — the VALUES differ from ClickHouse's.
+    """
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -268,17 +308,30 @@ def translate_ch_sql(sql: str) -> str:
             if close == -1:
                 out.append(sql[i:])
                 break
-            inner = translate_ch_sql(sql[j + 1 : close])
+            inner = translate_ch_sql(sql[j + 1 : close], allow_hash_substitution)
             args = _split_top_args(inner)
             # parametric form: name(params)(args)
             k = close + 1
             if name in _PARAMETRIC and k < n and sql[k] == "(":
                 close2 = _find_matching_paren(sql, k)
                 if close2 != -1:
-                    inner2 = translate_ch_sql(sql[k + 1 : close2])
+                    inner2 = translate_ch_sql(
+                        sql[k + 1 : close2], allow_hash_substitution
+                    )
                     out.append(_PARAMETRIC[name](args, _split_top_args(inner2)))
                     i = close2 + 1
                     continue
+            if name in _ENGINE_HASHES and allow_hash_substitution:
+                import warnings
+
+                warnings.warn(
+                    f"substituting xxhash64 for {name}: values differ "
+                    "from ClickHouse's",
+                    stacklevel=2,
+                )
+                out.append(f"xxhash64({', '.join(args)})")
+                i = close + 1
+                continue
             fmt = _fmt(name)
             # keyword guard: `ANY (SELECT ...)` / `any(SELECT ...)` is the
             # quantified-comparison keyword, not the aggregate — leave it.

@@ -97,3 +97,63 @@ def test_query_ch_multiif_and_json(client):
     assert len(rows) == 11
     assert all(r["bucket"] in ("high", "mid", "low") for r in rows)
     assert all(r["k"] is None or isinstance(r["k"], int) for r in rows)
+
+
+# ---------------------------------------------------------------------------
+# day-of-week / week-start conventions (CH is ISO; Spark is not)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT toDayOfWeek(d)", "SELECT (weekday(d) + 1)"),
+        ("SELECT toStartOfWeek(d)", "SELECT date_sub(d, (weekday(d) + 1) % 7)"),
+        ("SELECT toStartOfWeek(d, 1)", "SELECT CAST(date_trunc('week', d) AS DATE)"),
+    ],
+)
+def test_translate_week_conventions(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_day_of_week_values_match_clickhouse(client):
+    # CH toDayOfWeek is ISO Mon=1..Sun=7. 2024-01-03 is a Wednesday,
+    # 2024-01-07 a Sunday — a bare dayofweek() rename would yield 4 / 1.
+    rows = client.query_ch(
+        "SELECT toDayOfWeek(DATE '2024-01-03') AS wed, "
+        "toDayOfWeek(DATE '2024-01-07') AS sun"
+    ).collect()
+    assert rows[0]["wed"] == 3
+    assert rows[0]["sun"] == 7
+
+
+def test_start_of_week_values_match_clickhouse(client):
+    # CH default mode 0: weeks start Sunday -> Wed 2024-01-03 belongs to
+    # the week starting Sun 2023-12-31. Mode 1: Monday -> 2024-01-01.
+    rows = client.query_ch(
+        "SELECT toStartOfWeek(DATE '2024-01-03') AS sun_start, "
+        "toStartOfWeek(DATE '2024-01-03', 1) AS mon_start"
+    ).collect()
+    assert str(rows[0]["sun_start"]) == "2023-12-31"
+    assert str(rows[0]["mon_start"]) == "2024-01-01"
+
+
+# ---------------------------------------------------------------------------
+# engine-hash refusal (silent substitution changes query results)
+# ---------------------------------------------------------------------------
+
+
+def test_engine_hashes_refuse_by_default():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    for fn in ("cityHash64", "sipHash64", "halfMD5"):
+        with pytest.raises(UntranslatableFunctionError):
+            translate_ch_sql(f"SELECT {fn}(x) FROM t")
+
+
+def test_engine_hash_substitution_opt_in_warns():
+    with pytest.warns(UserWarning, match="xxhash64"):
+        out = translate_ch_sql(
+            "SELECT cityHash64(x) FROM t", allow_hash_substitution=True
+        )
+    assert out == "SELECT xxhash64(x) FROM t"

@@ -323,6 +323,38 @@ class Client:
         ClientPacketId::Cancel, protocol.rs:93)."""
         self.spark.sparkContext.cancelJobGroup(qid)
 
+    def as_qid(self, qid: str):
+        """Context manager that re-tags the CURRENT thread with `qid`.
+
+        Job-group tagging is thread-local and read at ACTION time, so a
+        lazy DataFrame built by `query(sql, qid=...)` is only attributed
+        to its qid if no other `_run` call retagged the thread before
+        the action fires (the build-time/action-time race flagged in
+        round-1 review). Eager paths (`query_rows`, `execute_now`, ...)
+        act immediately and are race-free; for deferred materialization
+        wrap the action:
+
+            df = client.query(sql, qid="q1")
+            ...                      # other client calls may happen here
+            with client.as_qid("q1"):
+                rows = df.collect()  # jobs attributed + cancellable as q1
+        """
+        from contextlib import contextmanager
+
+        @contextmanager
+        def _tag():
+            sc = self.spark.sparkContext
+            prev_group = sc.getLocalProperty("spark.jobGroup.id")
+            prev_desc = sc.getLocalProperty("spark.job.description")
+            sc.setJobGroup(qid, (prev_desc or "")[:200], interruptOnCancel=True)
+            try:
+                yield
+            finally:
+                sc.setLocalProperty("spark.jobGroup.id", prev_group)
+                sc.setLocalProperty("spark.job.description", prev_desc)
+
+        return _tag()
+
     def progress(self, qid: str | None = None) -> dict:
         """Progress snapshot — the `subscribe_events` analogue
         (reference broadcasts Progress{read_rows, read_bytes, total_rows}

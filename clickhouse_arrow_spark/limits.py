@@ -84,7 +84,8 @@ def apply_limits(df: DataFrame, limits: QueryLimits) -> LimitedResult:
     batches: list[pa.RecordBatch] = []
     reason = TruncationReason.NONE
 
-    for batch in _arrow_batches(plan_df):
+    stream = _arrow_batches(plan_df)
+    for batch in stream:
         if batch.num_rows == 0:
             continue
         if limits.max_rows is not None and stats.rows + batch.num_rows > limits.max_rows:
@@ -107,6 +108,13 @@ def apply_limits(df: DataFrame, limits: QueryLimits) -> LimitedResult:
         if limits.max_bytes is not None and stats.bytes >= limits.max_bytes:
             reason = TruncationReason.MAX_BYTES
             break
+
+    if reason in (TruncationReason.MAX_BATCHES, TruncationReason.MAX_BYTES):
+        # Hitting a batch/byte cap on the FINAL batch is not truncation:
+        # nothing was dropped. Peek one more non-empty batch (the same
+        # +1 cost the row cap pays via limit(n+1)) to decide honestly.
+        if not any(nb.num_rows > 0 for nb in stream):
+            reason = TruncationReason.NONE
 
     if reason != TruncationReason.NONE:
         stats.truncated = True
@@ -135,9 +143,15 @@ def _arrow_batches(df: DataFrame):
     # df.toArrow() materializes fully; _collect_as_arrow streams per batch.
     collect = getattr(df, "_collect_as_arrow", None)
     if collect is not None:
+        yielded = False
         try:
-            yield from collect()
+            for b in collect():
+                yielded = True
+                yield b
             return
         except Exception:
-            pass
+            # fall back to toArrow ONLY if nothing was emitted yet —
+            # re-reading after a partial yield would duplicate batches.
+            if yielded:
+                raise
     yield from df.toArrow().to_batches()

@@ -32,8 +32,12 @@ _CH_TO_SPARK: dict[str, tuple[str, Any]] = {
         "spark.sql.execution.arrow.maxRecordsPerBatch",
         lambda v: str(int(v)),
     ),
-    # timeouts
-    "max_execution_time": ("spark.sql.broadcastTimeout", lambda v: str(int(v))),
+    # NOTE: max_execution_time deliberately NOT mapped — Spark has no
+    # per-query wall-clock timeout conf, and mapping it onto
+    # spark.sql.broadcastTimeout (as an earlier revision did) silently
+    # changed an unrelated knob. It passes through under the namespaced
+    # prefix so callers can introspect it and enforce client-side
+    # (Client.cancel(qid) is the enforcement primitive).
     # join behavior
     "join_algorithm": ("spark.sql.join.preferSortMergeJoin",
                        lambda v: "true" if "merge" in str(v) else "false"),

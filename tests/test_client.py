@@ -137,10 +137,21 @@ def test_limits_not_truncated(client):
 
 
 def test_limits_bytes(client):
-    res = client.query_with_limits(
-        "SELECT l_commentFROM FROM lineitem" if False else "SELECT l_orderkey, l_partkey FROM lineitem",
-        QueryLimits(max_bytes=1),
-    )
+    # small Arrow batches force a multi-batch stream so the byte cap
+    # fires with data still remaining -> genuinely truncated.
+    conf = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = client.spark.conf.get(conf, None)
+    client.spark.conf.set(conf, "500")
+    try:
+        res = client.query_with_limits(
+            "SELECT l_orderkey, l_partkey FROM lineitem",
+            QueryLimits(max_bytes=1),
+        )
+    finally:
+        if prev is None:
+            client.spark.conf.unset(conf)
+        else:
+            client.spark.conf.set(conf, prev)
     assert res.stats.truncated
     assert res.stats.reason == TruncationReason.MAX_BYTES
     assert res.table.num_rows >= 1  # partial batch kept
@@ -322,3 +333,56 @@ def test_client_builder(spark):
     assert spark.conf.get("spark.sql.parquet.compression.codec") == "zstd"
     # restore test default
     spark.conf.set("spark.sql.shuffle.partitions", "8")
+
+
+# ---------------------------------------------------------------------------
+# ADVICE regressions: exact-boundary truncation, setting mapping, qid race
+# ---------------------------------------------------------------------------
+
+
+def test_limits_exact_boundary_not_truncated(client):
+    # region has exactly 5 rows: a cap of exactly 5 drops nothing and
+    # must NOT report truncation (the old code flagged byte/batch caps
+    # hit on the final batch).
+    res = client.query_with_limits(
+        "SELECT r_regionkey FROM region ORDER BY r_regionkey",
+        QueryLimits(max_rows=5),
+    )
+    assert res.stats.rows == 5
+    assert not res.stats.truncated
+    assert res.stats.reason == TruncationReason.NONE
+
+
+def test_limits_exact_batch_boundary_not_truncated(client):
+    # the whole 5-row result arrives in one Arrow batch; max_batches=1
+    # consumes everything — nothing dropped, not truncated.
+    res = client.query_with_limits(
+        "SELECT r_regionkey FROM region", QueryLimits(max_batches=1)
+    )
+    assert res.stats.rows == 5
+    assert not res.stats.truncated
+
+
+def test_max_execution_time_not_mapped_to_broadcast_timeout():
+    from clickhouse_arrow_spark.settings import translate_setting
+
+    conf, val = translate_setting("max_execution_time", 30)
+    assert conf != "spark.sql.broadcastTimeout"
+    assert conf.startswith("spark.clickhouse_arrow_spark.setting.")
+    assert val == "30"
+
+
+def test_as_qid_attributes_lazy_actions(client):
+    # Build q1 lazily, then let another _run retag the thread (the race);
+    # as_qid() must re-attribute the deferred action back to q1.
+    df1 = client.query(
+        "SELECT count(*) AS n FROM lineitem WHERE l_quantity > 1", qid="qid-lazy-1"
+    )
+    client.query_rows("SELECT 1 AS x")  # retags the thread with a fresh qid
+    with client.as_qid("qid-lazy-1"):
+        assert df1.collect()[0]["n"] >= 0
+    prog = client.progress("qid-lazy-1")
+    assert prog["jobs"], "lazy action not attributed to its qid"
+    # and the thread's previous tag is restored afterwards (no leak)
+    sc = client.spark.sparkContext
+    assert sc.getLocalProperty("spark.jobGroup.id") != "qid-lazy-1"

@@ -231,6 +231,56 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_ivf_recall",
+    """
+    SELECT vec_id AS query_id, CAST(10 AS INT) AS k, true AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    ORDER BY query_id
+    """,
+    doc="Recall gate for the IVF path: recall@10 of ivf_topk(nlist=16, "
+    "nprobe=4) against the exact brute-force top-10, per query. The "
+    "Spark side emits recall_ok = (recall >= 0.6); the oracle asserts "
+    "every query row comes back true — if IVF recall regresses below "
+    "the gate, the value hash mismatches and the row goes red. "
+    "(Measured recall at sf0.001/0.01/0.1: 0.7-1.0.)",
+    tags=("similarity", "ann", "ivf", "recall"),
+)
+def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    exact = similarity.brute_force_topk(emb, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ivf_topk(emb, queries, k=10, nlist=16, nprobe=4).select(
+        "query_id", "vec_id"
+    )
+    hits = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count("*").alias("n_hits"))
+    )
+    per_q = (
+        exact.groupBy("query_id")
+        .agg(F.count("*").alias("n_exact"))
+        .join(hits, "query_id", "left")
+        .select(
+            "query_id",
+            (
+                F.coalesce(F.col("n_hits"), F.lit(0))
+                / F.col("n_exact")
+            ).alias("recall"),
+        )
+    )
+    return per_q.select(
+        "query_id",
+        F.lit(10).cast("int").alias("k"),
+        (F.col("recall") >= 0.6).alias("recall_ok"),
+    ).orderBy("query_id")
+
+
+@register(
     "vector_ivf_topk",
     None,  # approximate by design (probe pruning) — rows-only
     doc="IVF top-10: corpus bucketed by 16 deterministic centroids, "

@@ -355,6 +355,25 @@ class Client:
 
         return _tag()
 
+    def subscribe_events(self, qid: str, interval: float = 0.05):
+        """PUSH-based event stream for a query — full parity with the
+        reference's `subscribe_events` (src/client.rs:282-313): a
+        sampler thread watches the qid's job group and pushes delta
+        `Progress` events while jobs run, then one final `ProfileEvent`
+        summary when they finish. Iterate the returned subscription:
+
+            sub = client.subscribe_events(qid)
+            with client.as_qid(qid):
+                df.collect()
+            for ev in sub:              # Progress deltas ... Profile
+                ...
+
+        Subscribe BEFORE triggering the action; `sub.close()` detaches
+        early. `progress()` remains the one-shot pull snapshot."""
+        from clickhouse_arrow_spark.events import EventSubscription
+
+        return EventSubscription(self.spark, qid, interval=interval)
+
     def progress(self, qid: str | None = None) -> dict:
         """Progress snapshot — the `subscribe_events` analogue
         (reference broadcasts Progress{read_rows, read_bytes, total_rows}

@@ -26,6 +26,7 @@ Args = list[str]
 _SIMPLE_RENAMES: dict[str, str] = {
     "countIf": "count_if",
     "uniq": "approx_count_distinct",
+    "uniqState": "hll_sketch_agg",
     "uniqHLL12": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "argMax": "max_by",
@@ -145,6 +146,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)"
     if name == "maxIf":
         return lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
+    if name == "uniqMerge":
+        return lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))"
     if name == "uniqExact":
         return lambda a: f"count(DISTINCT {', '.join(a)})"
     if name == "empty":

@@ -29,6 +29,8 @@ __all__ = [
     "multi_if",
     "uniq",
     "uniq_exact",
+    "uniq_state",
+    "uniq_merge",
     "count_if",
     "sum_if",
     "avg_if",
@@ -129,6 +131,22 @@ def uniq(col) -> Column:
 
 def uniq_exact(col) -> Column:
     return F.countDistinct(_c(col))
+
+
+def uniq_state(col, lg_k: int = 12) -> Column:
+    """uniqState() — MERGEABLE distinct-count sketch (the
+    AggregateFunction(uniq, T) state type, reference
+    clickhouse-arrow/src/native/types.rs:120-133). Spark's native
+    mergeable HLL: returns the sketch as binary; re-aggregate with
+    :func:`uniq_merge`. Pre-aggregate once per partition/day, merge at
+    query time — the 100 TB rollup pattern."""
+    return F.hll_sketch_agg(_c(col), F.lit(lg_k))
+
+
+def uniq_merge(state_col) -> Column:
+    """uniqMerge() — merge uniqState sketches and estimate the distinct
+    count (ClickHouse uniqMerge(AggregateFunction(uniq, T)))."""
+    return F.hll_sketch_estimate(F.hll_union_agg(_c(state_col)))
 
 
 def count_if(cond: Column) -> Column:

@@ -356,6 +356,55 @@ def agg_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_hll_sketch",
+    """
+    SELECT o_orderstatus,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS n_exact,
+           true AS est_ok
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus
+    """,
+    doc="AggregateFunction-state parity: uniqState/uniqMerge as Spark's "
+    "mergeable HLL sketches. Phase 1 builds one sketch per "
+    "(status, month) — the pre-aggregated rollup a 100 TB pipeline "
+    "materializes; phase 2 hll_union_agg-merges the partial sketches "
+    "and estimates. The emitted est_ok asserts the merged estimate is "
+    "within 5% of the exact distinct count, which the oracle pins to "
+    "true — sketch-merge breakage flips the row red. (Reference state "
+    "type: clickhouse-arrow/src/native/types.rs:120-133.)",
+    tags=("aggregate", "agg-state", "sketch"),
+)
+def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.functions import ch_functions as ch
+
+    o = spark.table("orders")
+    partial = (
+        o.groupBy("o_orderstatus", F.date_trunc("month", "o_orderdate").alias("m"))
+        .agg(ch.uniq_state("o_custkey").alias("state"))
+    )
+    merged = partial.groupBy("o_orderstatus").agg(
+        ch.uniq_merge("state").alias("est")
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_exact")
+    )
+    return (
+        exact.join(merged, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "n_exact",
+            (
+                F.abs(F.col("est") - F.col("n_exact"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                <= 0.05
+            ).alias("est_ok"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@register(
     "uniq_approx_distinct",
     None,  # approx algorithms differ between engines — rows-only check
     doc="approx_count_distinct (HLL++) — ClickHouse uniq() analogue. "

@@ -1,0 +1,213 @@
+"""Python DataSource (DSv2-style) ClickHouse connector skeleton.
+
+The north star for the reference is a "Spark JDBC/Arrow-based ClickHouse
+connector"; this module is that connector's Spark side, built on the
+PySpark 4 Python Data Source API with a pluggable transport:
+
+- :class:`MockTransport` stands in for the server: it answers the same
+  introspection the reference performs over `system.columns`
+  (clickhouse-arrow/src/arrow/schema.rs:90-152 parses the type strings
+  into an Arrow schema; here the CH type strings round-trip through the
+  types.py bridge) and serves Arrow batches per scan — backed by local
+  parquet so the skeleton is fully testable offline. A real deployment
+  swaps it for an HTTP/native transport with the same three methods.
+- :class:`ClickHouseDataSource` registers as `clickhouse` and
+  implements FILTER PUSHDOWN (`pushFilters`): supported predicates are
+  serialized into the scan request (the reference pushes them into the
+  SQL it sends), the rest stay in Spark. One input partition per
+  parquet row group keeps scans executor-parallel.
+
+Usage::
+
+    spark.dataSource.register(ClickHouseDataSource)
+    df = (spark.read.format("clickhouse")
+          .option("table", "orders")
+          .option("path", "/root/testdata/sf0.01")
+          .load())
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Iterator
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    In,
+    InputPartition,
+    IsNotNull,
+    LessThan,
+    LessThanOrEqual,
+)
+from pyspark.sql.types import StructType
+
+#: Planning (pushFilters) runs in a separate Python worker process, so
+#: in-memory globals are invisible to the driver script. The
+#: `pushdown_log` option names a JSONL file the reader appends
+#: {table, pushed, ts} records to — the observability hook tests and
+#: EXPLAIN-style debugging read.
+
+_SUPPORTED = (
+    EqualTo,
+    GreaterThan,
+    GreaterThanOrEqual,
+    LessThan,
+    LessThanOrEqual,
+    In,
+    IsNotNull,
+)
+
+
+class MockTransport:
+    """Parquet-backed stand-in for a ClickHouse server connection.
+
+    Three-method contract a real transport implements identically:
+    `system_columns` (introspection), `schema` (Arrow/Spark schema),
+    `scan` (Arrow batches for a table + pushed predicate set).
+    """
+
+    def __init__(self, path: str):
+        self.path = path
+
+    def _file(self, table: str) -> str:
+        f = os.path.join(self.path, f"{table}.parquet")
+        if not os.path.exists(f):
+            raise ValueError(f"unknown table {table!r} at {self.path}")
+        return f
+
+    def system_columns(self, table: str) -> list[tuple[str, str]]:
+        """(name, ClickHouse type string) per column — what the
+        reference reads from system.columns (arrow/schema.rs:90-152),
+        produced here by rendering the Spark schema through the
+        types.py bridge."""
+        from clickhouse_arrow_spark.types import spark_type_to_ch
+
+        return [
+            (f.name, spark_type_to_ch(f.dataType, nullable=f.nullable))
+            for f in self.schema(table).fields
+        ]
+
+    def _arrow_schema(self, table: str):
+        """Parquet schema normalized for Spark interop: timestamps to
+        microsecond precision (Spark's native unit; ms/ns files appear
+        in the wild — the reference's DateTime64(p) spread)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        schema = pq.read_schema(self._file(table))
+        fields = [
+            pa.field(f.name, pa.timestamp("us", tz=f.type.tz), f.nullable)
+            if pa.types.is_timestamp(f.type)
+            else f
+            for f in schema
+        ]
+        return pa.schema(fields)
+
+    def schema(self, table: str) -> StructType:
+        from pyspark.sql.pandas.types import from_arrow_schema
+
+        return from_arrow_schema(self._arrow_schema(table))
+
+    def n_row_groups(self, table: str) -> int:
+        import pyarrow.parquet as pq
+
+        return pq.ParquetFile(self._file(table)).metadata.num_row_groups
+
+    def scan(self, table: str, row_group: int, filters: list) -> Iterator:
+        """Arrow batches for one row group with pushed filters applied
+        server-side (pyarrow.compute here; SQL WHERE on a real
+        server)."""
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        tbl = pq.ParquetFile(self._file(table)).read_row_group(row_group)
+        tbl = tbl.cast(self._arrow_schema(table))
+        expr = None
+        for f in filters:
+            col = pc.field(f.attribute[-1])
+            if isinstance(f, EqualTo):
+                e = col == f.value
+            elif isinstance(f, GreaterThan):
+                e = col > f.value
+            elif isinstance(f, GreaterThanOrEqual):
+                e = col >= f.value
+            elif isinstance(f, LessThan):
+                e = col < f.value
+            elif isinstance(f, LessThanOrEqual):
+                e = col <= f.value
+            elif isinstance(f, In):
+                e = col.isin(list(f.values))
+            elif isinstance(f, IsNotNull):
+                e = ~col.is_null()
+            else:  # pragma: no cover - pushFilters only accepts _SUPPORTED
+                continue
+            expr = e if expr is None else expr & e
+        if expr is not None:
+            import pyarrow.dataset as ds
+
+            tbl = ds.dataset(tbl).filter(expr).to_table()
+        yield from tbl.to_batches()
+
+
+@dataclass
+class _RowGroupPartition(InputPartition):
+    row_group: int
+
+
+class ClickHouseScanReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+        self.path = options.get("path", "")
+        self.log_path = options.get("pushdown_log")
+        self.pushed: list = []
+
+    def pushFilters(self, filters):
+        """Keep every predicate the transport can evaluate server-side;
+        give the rest back to Spark (the list is an AND)."""
+        for f in filters:
+            if isinstance(f, _SUPPORTED):
+                self.pushed.append(f)
+            else:
+                yield f
+        if self.log_path:
+            import json
+
+            with open(self.log_path, "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {"table": self.table, "pushed": [repr(f) for f in self.pushed]}
+                    )
+                    + "\n"
+                )
+
+    def partitions(self):
+        n = MockTransport(self.path).n_row_groups(self.table)
+        return [_RowGroupPartition(i) for i in range(max(n, 1))]
+
+    def read(self, partition):
+        transport = MockTransport(self.path)
+        yield from transport.scan(self.table, partition.row_group, self.pushed)
+
+
+class ClickHouseDataSource(DataSource):
+    """`spark.read.format("clickhouse")` — table scans with filter
+    pushdown over a pluggable transport."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "clickhouse"
+
+    def schema(self):
+        return MockTransport(self.options.get("path", "")).schema(
+            self.options["table"]
+        )
+
+    def reader(self, schema: StructType) -> DataSourceReader:
+        return ClickHouseScanReader(dict(self.options))

@@ -157,3 +157,12 @@ def test_engine_hash_substitution_opt_in_warns():
             "SELECT cityHash64(x) FROM t", allow_hash_substitution=True
         )
     assert out == "SELECT xxhash64(x) FROM t"
+
+
+def test_uniq_state_merge_translation():
+    assert translate_ch_sql("SELECT uniqState(u) FROM t") == (
+        "SELECT hll_sketch_agg(u) FROM t"
+    )
+    assert translate_ch_sql("SELECT uniqMerge(s) FROM t") == (
+        "SELECT hll_sketch_estimate(hll_union_agg(s)) FROM t"
+    )

@@ -1,0 +1,80 @@
+"""Python DataSource (DSv2) connector tests: schema introspection
+through the CH type bridge, filter pushdown recorded and applied,
+row-group partitioning, and result parity with the plain parquet scan."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from clickhouse_arrow_spark.sources.dsv2 import ClickHouseDataSource, MockTransport
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def ds_spark(spark):
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(ClickHouseDataSource)
+    return spark
+
+
+def _load(ds_spark, table, log=None):
+    r = (
+        ds_spark.read.format("clickhouse")
+        .option("table", table)
+        .option("path", SF_DIR)
+    )
+    if log:
+        r = r.option("pushdown_log", log)
+    return r.load()
+
+
+def test_schema_matches_parquet(ds_spark):
+    got = _load(ds_spark, "part").schema
+    want = ds_spark.read.parquet(f"{SF_DIR}/part.parquet").schema
+    assert [f.name for f in got.fields] == [f.name for f in want.fields]
+
+
+def test_system_columns_renders_ch_types():
+    cols = dict(MockTransport(SF_DIR).system_columns("orders"))
+    assert cols["o_orderkey"] == "Nullable(Int64)"
+    assert cols["o_orderstatus"] == "Nullable(String)"
+    assert cols["o_totalprice"] == "Nullable(Float64)"
+
+
+def test_filters_pushed_and_results_match(ds_spark, tmp_path):
+    log = str(tmp_path / "pushdown.jsonl")
+    df = _load(ds_spark, "orders", log=log)
+    pred = "o_totalprice > 400000 AND o_orderstatus = 'O'"
+    got = df.where(pred).count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/orders.parquet").where(pred).count()
+    assert got == want and got > 0
+    records = [json.loads(ln) for ln in open(log)]
+    pushed = [p for r in records if r["table"] == "orders" for p in r["pushed"]]
+    assert any("o_totalprice" in p and "GreaterThan" in p for p in pushed)
+    assert any("o_orderstatus" in p and "EqualTo" in p for p in pushed)
+
+
+def test_unsupported_filter_stays_in_spark(ds_spark, tmp_path):
+    log = str(tmp_path / "pushdown2.jsonl")
+    df = _load(ds_spark, "part", log=log)
+    # disjunctions are not pushable per the AND-list contract
+    pred = "p_size = 1 OR p_size = 50"
+    got = df.where(pred).count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/part.parquet").where(pred).count()
+    assert got == want and got > 0
+    # Spark either skips pushFilters entirely (no convertible filters)
+    # or calls it with an empty list — either way nothing was pushed.
+    import os
+
+    if os.path.exists(log):
+        records = [json.loads(ln) for ln in open(log)]
+        pushed = [p for r in records if r["table"] == "part" for p in r["pushed"]]
+        assert not any("p_size" in p for p in pushed)
+
+
+def test_full_scan_row_parity(ds_spark):
+    got = _load(ds_spark, "customer").count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
+    assert got == want

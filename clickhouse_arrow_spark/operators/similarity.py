@@ -108,9 +108,25 @@ def brute_force_topk(
     Top-k runs two-phase (see :func:`topk_per_key`) so parallelism
     follows the corpus partitioning, not the query count.
     """
-    q = F.broadcast(queries.select(query_id, query_vec))
-    joined = corpus.select(corpus_id, corpus_vec).crossJoin(q)
-    sim = F.round(_cosine(F.col(corpus_vec), F.col(query_vec)), 6)
+    # Norms are computed ONCE per side, below the join boundary (the
+    # broadcast exchange materializes the query side; the corpus-side
+    # projection sits under the join node, so CollapseProject cannot
+    # inline it into the per-pair expression). Per pair that leaves one
+    # dot-product fold instead of three O(d) folds.
+    q = F.broadcast(
+        queries.select(
+            query_id, query_vec, _norm(F.col(query_vec)).alias("_qn")
+        )
+    )
+    c = corpus.select(
+        corpus_id, corpus_vec, _norm(F.col(corpus_vec)).alias("_cn")
+    )
+    joined = c.crossJoin(q)
+    sim = F.round(
+        _dot(F.col(corpus_vec), F.col(query_vec))
+        / (F.col("_cn") * F.col("_qn")),
+        6,
+    )
     scored = joined.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
     return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
 
@@ -165,15 +181,16 @@ def ivf_assign(
     """
     cents = _centroid_literal(centroids, centroid_id, centroid_vec)
     v = F.col(corpus_vec)
+    # Ranking normalizes by the CENTROID norm only: the row's own norm
+    # is a positive constant across the candidate set, so dividing by it
+    # cannot change the argmax — dropping it removes nlist O(d) folds
+    # per row (the row norm would otherwise be inlined into every
+    # transform branch by CollapseProject).
     sims = F.transform(
         cents,
         lambda c: F.struct(
             (
-                -F.round(
-                    _dot(v, c.getField("cvec"))
-                    / (_norm(v) * c.getField("cnorm")),
-                    6,
-                )
+                -F.round(_dot(v, c.getField("cvec")) / c.getField("cnorm"), 6)
             ).alias("negsim"),
             c.getField("cid").alias("cid"),
         ),
@@ -268,14 +285,12 @@ def ivf_topk(
     # (query, probed bucket) rows — no crossJoin, no window.
     cent_lit = _centroid_literal(cent_rows)
     qv = F.col(query_vec)
+    # same centroid-norm-only ranking as ivf_assign (argmax-invariant)
     qsims = F.transform(
         cent_lit,
         lambda c: F.struct(
             (
-                -F.round(
-                    _dot(qv, c.getField("cvec")) / (_norm(qv) * c.getField("cnorm")),
-                    6,
-                )
+                -F.round(_dot(qv, c.getField("cvec")) / c.getField("cnorm"), 6)
             ).alias("negsim"),
             c.getField("cid").alias("cid"),
         ),
@@ -284,18 +299,26 @@ def ivf_topk(
         queries.select(
             F.col(query_id),
             F.col(query_vec),
+            _norm(qv).alias("_qn"),
             F.slice(F.array_sort(qsims), 1, nprobe).alias("_probes"),
         )
         .select(
             query_id,
             query_vec,
+            "_qn",
             F.explode(F.col("_probes").getField("cid")).alias("centroid_id"),
         )
     )
 
-    # search only probed buckets: join on centroid_id prunes the corpus
-    cand = F.broadcast(probes).join(bucketed, "centroid_id")
-    sim = F.round(_cosine(F.col(corpus_vec), F.col(query_vec)), 6)
+    # search only probed buckets: join on centroid_id prunes the corpus;
+    # per-side norms precomputed below the join (see brute_force_topk).
+    scan = bucketed.withColumn("_cn", _norm(F.col(corpus_vec)))
+    cand = F.broadcast(probes).join(scan, "centroid_id")
+    sim = F.round(
+        _dot(F.col(corpus_vec), F.col(query_vec))
+        / (F.col("_cn") * F.col("_qn")),
+        6,
+    )
     scored = cand.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
     return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
 
@@ -361,17 +384,23 @@ def embedding_near_duplicates(
     """
     cents = deterministic_centroids(corpus, nlist, corpus_id, corpus_vec)
     b = ivf_assign(corpus, cents, corpus_id, corpus_vec)
+    # per-side norms computed below the pair join — one fold per ROW
+    # instead of two folds per candidate PAIR
     a = b.select(
         F.col("centroid_id"),
         F.col(corpus_id).alias("a_id"),
         F.col(corpus_vec).alias("a_vec"),
+        _norm(F.col(corpus_vec)).alias("_an"),
     )
     c = b.select(
         F.col("centroid_id"),
         F.col(corpus_id).alias("b_id"),
         F.col(corpus_vec).alias("b_vec"),
+        _norm(F.col(corpus_vec)).alias("_bn"),
     )
-    sim = F.round(_cosine(F.col("a_vec"), F.col("b_vec")), 6)
+    sim = F.round(
+        _dot(F.col("a_vec"), F.col("b_vec")) / (F.col("_an") * F.col("_bn")), 6
+    )
     return (
         a.join(c, "centroid_id")
         .where(F.col("a_id") < F.col("b_id"))

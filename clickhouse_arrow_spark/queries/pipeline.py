@@ -113,6 +113,9 @@ _EMBED_DEDUP_ORACLE = """
       FROM base WHERE vec_id < 16
     ),
     assigned AS (
+      -- ranking divides by the CENTROID norm only, mirroring
+      -- ivf_assign: the row norm is constant per vec_id and cannot
+      -- change the argmax
       SELECT vec_id, v, cid FROM (
         SELECT aug.vec_id, aug.v, cents.cid,
                row_number() OVER (
@@ -120,9 +123,7 @@ _EMBED_DEDUP_ORACLE = """
                  ORDER BY round(
                    list_reduce(list_transform(range(1, len(v) + 1),
                                               i -> v[i] * cv[i]),
-                               (a, b) -> a + b)
-                   / (sqrt(list_reduce(list_transform(v, x -> x * x),
-                                       (a, b) -> a + b)) * cnorm),
+                               (a, b) -> a + b) / cnorm,
                  6) DESC, cents.cid
                ) AS rn
         FROM aug CROSS JOIN cents

@@ -163,10 +163,15 @@ def minhash_candidate_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
+    # The signature table is read three times (band join both sides +
+    # re-attach); persisting it trades one in-memory copy for both the
+    # recompute AND a signature-wide bucket shuffle — band entries below
+    # carry only (band, band_hash, id), ~20x narrower than shipping the
+    # 64-long signature per band row.
+    sigs = sigs.persist()
 
     band_entries = sigs.select(
         F.col(id_col),
-        F.col("signature"),
         F.explode(
             F.array(
                 *[
@@ -182,25 +187,35 @@ def minhash_candidate_pairs(
                 ]
             )
         ).alias("bk"),
-    ).select(id_col, "signature", "bk.band", "bk.band_hash")
+    ).select(id_col, "bk.band", "bk.band_hash")
 
     left = band_entries.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col(id_col).alias("a_id"),
-        F.col("signature").alias("a_sig"),
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("a_id")
     )
     right = band_entries.select(
-        F.col("band"),
-        F.col("band_hash"),
-        F.col(id_col).alias("b_id"),
-        F.col("signature").alias("b_sig"),
+        F.col("band"), F.col("band_hash"), F.col(id_col).alias("b_id")
     )
-    pairs = (
+    pair_ids = (
         left.join(right, ["band", "band_hash"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "a_sig", "b_sig")
+        .select("a_id", "b_id")
         .dropDuplicates(["a_id", "b_id"])
+    )
+    # candidate set is collision-bounded (tiny vs the corpus): re-attach
+    # both signatures with two keyed joins against the persisted table
+    pairs = (
+        pair_ids.join(
+            sigs.select(
+                F.col(id_col).alias("a_id"), F.col("signature").alias("a_sig")
+            ),
+            "a_id",
+        )
+        .join(
+            sigs.select(
+                F.col(id_col).alias("b_id"), F.col("signature").alias("b_sig")
+            ),
+            "b_id",
+        )
     )
     est = (
         F.aggregate(

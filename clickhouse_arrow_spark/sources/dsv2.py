@@ -34,6 +34,7 @@ from typing import Iterator
 
 from pyspark.sql.datasource import (
     DataSource,
+    DataSourceArrowWriter,
     DataSourceReader,
     EqualTo,
     GreaterThan,
@@ -43,6 +44,7 @@ from pyspark.sql.datasource import (
     IsNotNull,
     LessThan,
     LessThanOrEqual,
+    WriterCommitMessage,
 )
 from pyspark.sql.types import StructType
 
@@ -196,9 +198,94 @@ class ClickHouseScanReader(DataSourceReader):
         yield from transport.scan(self.table, partition.row_group, self.pushed)
 
 
+@dataclass
+class _InsertCommit(WriterCommitMessage):
+    part_file: str
+    num_rows: int
+
+
+class ClickHouseInsertWriter(DataSourceArrowWriter):
+    """INSERT path (reference `Client::insert`, src/client.rs:436-484):
+    each task streams its Arrow batches to the transport as one insert
+    block — here a staged parquet part the driver-side `commit`
+    publishes atomically (manifest write), `abort` discards. A real
+    transport sends the batches over the wire inside write() and
+    commit() is a no-op."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+        self.path = options.get("path", "")
+        self.overwrite = overwrite
+        import uuid
+
+        self.txn = uuid.uuid4().hex[:12]
+
+    def _table_dir(self) -> str:
+        return os.path.join(self.path, f"{self.table}.insert")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self._table_dir(), f"_staging_{self.txn}")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex[:12]}.parquet")
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(part, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:  # empty partition: nothing staged
+            return _InsertCommit(part_file="", num_rows=0)
+        return _InsertCommit(part_file=part, num_rows=rows)
+
+    def commit(self, messages):
+        import json
+        import shutil
+
+        table_dir = self._table_dir()
+        staging = os.path.join(table_dir, f"_staging_{self.txn}")
+        if self.overwrite:
+            for entry in os.listdir(table_dir):
+                if not entry.startswith("_staging"):
+                    os.remove(os.path.join(table_dir, entry))
+        published = []
+        for m in messages:
+            if not m or not m.part_file:
+                continue
+            dest = os.path.join(table_dir, os.path.basename(m.part_file))
+            shutil.move(m.part_file, dest)
+            published.append(
+                {"file": os.path.basename(dest), "rows": m.num_rows}
+            )
+        shutil.rmtree(staging, ignore_errors=True)
+        manifest = os.path.join(table_dir, "_MANIFEST.jsonl")
+        with open(manifest, "a") as fh:
+            fh.write(json.dumps({"txn": self.txn, "parts": published}) + "\n")
+
+    def abort(self, messages):
+        import shutil
+
+        shutil.rmtree(
+            os.path.join(self._table_dir(), f"_staging_{self.txn}"),
+            ignore_errors=True,
+        )
+
+
 class ClickHouseDataSource(DataSource):
-    """`spark.read.format("clickhouse")` — table scans with filter
-    pushdown over a pluggable transport."""
+    """`spark.read.format("clickhouse")` / `df.write.format("clickhouse")`
+    — table scans with filter pushdown and staged-commit inserts over a
+    pluggable transport."""
 
     @classmethod
     def name(cls) -> str:
@@ -211,3 +298,6 @@ class ClickHouseDataSource(DataSource):
 
     def reader(self, schema: StructType) -> DataSourceReader:
         return ClickHouseScanReader(dict(self.options))
+
+    def writer(self, schema: StructType, overwrite: bool):
+        return ClickHouseInsertWriter(dict(self.options), overwrite)

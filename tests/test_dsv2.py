@@ -78,3 +78,54 @@ def test_full_scan_row_parity(ds_spark):
     got = _load(ds_spark, "customer").count()
     want = ds_spark.read.parquet(f"{SF_DIR}/customer.parquet").count()
     assert got == want
+
+
+def test_insert_write_path_roundtrip(ds_spark, tmp_path):
+    import os
+
+    src = ds_spark.range(0, 1000).selectExpr(
+        "id AS k", "CAST(id * 2 AS DOUBLE) AS v"
+    )
+    (
+        src.write.format("clickhouse")
+        .option("table", "t_out")
+        .option("path", str(tmp_path))
+        .mode("append")
+        .save()
+    )
+    out_dir = str(tmp_path / "t_out.insert")
+    back = ds_spark.read.parquet(out_dir)
+    assert back.count() == 1000
+    assert back.selectExpr("sum(v) AS s").first()["s"] == float(sum(2 * i for i in range(1000)))
+    assert os.path.exists(os.path.join(out_dir, "_MANIFEST.jsonl"))
+    # append again: rows accumulate (no overwrite)
+    (
+        src.limit(10).write.format("clickhouse")
+        .option("table", "t_out")
+        .option("path", str(tmp_path))
+        .mode("append")
+        .save()
+    )
+    assert ds_spark.read.parquet(out_dir).count() == 1010
+
+
+def test_insert_overwrite_replaces(ds_spark, tmp_path):
+    src = ds_spark.range(0, 100).selectExpr("id AS k")
+    w = (
+        src.write.format("clickhouse")
+        .option("table", "t_ow")
+        .option("path", str(tmp_path))
+    )
+    w.mode("append").save()
+    (
+        ds_spark.range(0, 7).selectExpr("id AS k")
+        .write.format("clickhouse")
+        .option("table", "t_ow")
+        .option("path", str(tmp_path))
+        .mode("overwrite")
+        .save()
+    )
+    back = ds_spark.read.option("pathGlobFilter", "part-*.parquet").parquet(
+        str(tmp_path / "t_ow.insert")
+    )
+    assert back.count() == 7

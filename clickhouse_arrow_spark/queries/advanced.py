@@ -334,6 +334,47 @@ def unpivot_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trig_bits_functions",
+    """
+    SELECT p_partkey,
+           round(sin(p_retailprice / 100.0), 6)              AS sn,
+           round(cos(p_retailprice / 100.0), 6)              AS cs,
+           round(atan2(p_retailprice, CAST(p_size AS DOUBLE)), 6) AS at2,
+           round(degrees(p_retailprice / 1000.0), 6)         AS dg,
+           round(radians(CAST(p_size AS DOUBLE)), 6)         AS rd,
+           CAST(p_partkey << 3 AS BIGINT)                    AS shl,
+           CAST(p_partkey >> 2 AS BIGINT)                    AS shr,
+           CAST(p_partkey & 255 AS BIGINT)                   AS band,
+           CAST(p_partkey | 4096 AS BIGINT)                  AS bor,
+           CAST(xor(p_partkey, p_size) AS BIGINT)            AS bxor
+    FROM part
+    WHERE p_partkey <= 400
+    ORDER BY p_partkey
+    """,
+    doc="Trigonometric + bitwise scalar family (ClickHouse sin/cos/"
+    "atan2/degrees/radians, bitShiftLeft/Right, bitAnd/Or/Xor).",
+    tags=("functions", "math", "bitwise"),
+)
+def trig_bits_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = spark.table("part").where(F.col("p_partkey") <= 400)
+    price = F.col("p_retailprice")
+    size_d = F.col("p_size").cast("double")
+    return p.select(
+        "p_partkey",
+        F.round(F.sin(price / 100.0), 6).alias("sn"),
+        F.round(F.cos(price / 100.0), 6).alias("cs"),
+        F.round(F.atan2(price, size_d), 6).alias("at2"),
+        F.round(F.degrees(price / 1000.0), 6).alias("dg"),
+        F.round(F.radians(size_d), 6).alias("rd"),
+        F.shiftleft(F.col("p_partkey"), 3).alias("shl"),
+        F.shiftright(F.col("p_partkey"), 2).alias("shr"),
+        F.col("p_partkey").bitwiseAND(F.lit(255)).alias("band"),
+        F.col("p_partkey").bitwiseOR(F.lit(4096)).alias("bor"),
+        F.col("p_partkey").bitwiseXOR(F.col("p_size").cast("long")).alias("bxor"),
+    ).orderBy("p_partkey")
+
+
+@register(
     "table_function_numbers",
     """
     SELECT CAST(n.number AS BIGINT) AS number,

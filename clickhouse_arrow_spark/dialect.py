@@ -191,6 +191,45 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"CAST({inner} AS BIGINT)"
 
         return json_extract_i
+    if name == "formatDateTime":
+        # CH strftime-style specifiers -> Spark SimpleDateFormat pattern
+        def format_datetime(a: Args) -> str:
+            fmt = a[1].strip()
+            if fmt.startswith("'") and fmt.endswith("'"):
+                spec = {
+                    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
+                    "%H": "HH", "%M": "mm", "%S": "ss", "%s": "ss",
+                    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%j": "DDD",
+                    "%e": "d", "%G": "YYYY", "%V": "ww", "%%": "%",
+                }
+                out_fmt = fmt[1:-1]
+                for k, v in spec.items():
+                    out_fmt = out_fmt.replace(k, v)
+                return f"date_format({a[0]}, '{out_fmt}')"
+            return f"date_format({a[0]}, {fmt})"
+
+        return format_datetime
+    if name == "toStartOfInterval":
+        # toStartOfInterval(ts, INTERVAL n unit) -> epoch-floor bucketing
+        # (the scalar time_bucket; sub-day units only — day+ units go
+        # through the toStartOf* family)
+        def start_of_interval(a: Args) -> str:
+            m = re.match(
+                r"(?i)INTERVAL\s+(\d+)\s+(second|minute|hour)s?\s*$",
+                a[1].strip(),
+            )
+            if not m:
+                return f"toStartOfInterval({', '.join(a)})"  # untranslated
+            n = int(m.group(1))
+            secs = n * {"second": 1, "minute": 60, "hour": 3600}[
+                m.group(2).lower()
+            ]
+            return (
+                f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) "
+                f"/ {secs}) AS BIGINT) * {secs})"
+            )
+
+        return start_of_interval
     if name == "today":
         return lambda a: "current_date()"
     if name == "now":

@@ -3,6 +3,7 @@ from clickhouse_arrow_spark.streaming.events import (
     run_to_memory_sink,
     session_window_agg,
     stateful_running_counts,
+    streaming_dedup,
     tumbling_window_agg,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "run_to_memory_sink",
     "session_window_agg",
     "stateful_running_counts",
+    "streaming_dedup",
     "tumbling_window_agg",
 ]

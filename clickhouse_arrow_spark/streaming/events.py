@@ -135,6 +135,23 @@ def stateful_running_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+def streaming_dedup(
+    stream: DataFrame,
+    keys: list[str] | None = None,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming exact dedup — the ReplacingMergeTree ingest analogue:
+    keep the first row per key, dropping replays/retries inside the
+    watermark horizon. `dropDuplicatesWithinWatermark` bounds state by
+    event time (a plain dropDuplicates on a stream grows state
+    forever), so the operator survives unbounded streams; exactly-once
+    sinks get idempotent input."""
+    keys = keys or ["event_id"]
+    return stream.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys
+    )
+
+
 def run_to_memory_sink(
     df: DataFrame, name: str, output_mode: str = "append", timeout_s: int = 120
 ) -> DataFrame:

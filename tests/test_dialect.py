@@ -166,3 +166,27 @@ def test_uniq_state_merge_translation():
     assert translate_ch_sql("SELECT uniqMerge(s) FROM t") == (
         "SELECT hll_sketch_estimate(hll_union_agg(s)) FROM t"
     )
+
+
+def test_format_datetime_translation():
+    assert translate_ch_sql("SELECT formatDateTime(ts, '%Y-%m-%d %H:%M:%S')") == (
+        "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+
+
+def test_format_datetime_values(client):
+    row = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%M') AS f"
+    ).first()
+    assert row["f"] == "2024/03/05 07:08"
+
+
+def test_to_start_of_interval(client):
+    assert translate_ch_sql("SELECT toStartOfInterval(ts, INTERVAL 5 minute)") == (
+        "SELECT timestamp_seconds(CAST(floor(unix_timestamp(ts) / 300) AS BIGINT) * 300)"
+    )
+    row = client.query_ch(
+        "SELECT toStartOfInterval(TIMESTAMP '2024-03-05 07:08:09', "
+        "INTERVAL 15 minute) AS b"
+    ).first()
+    assert str(row["b"]) == "2024-03-05 07:00:00"

@@ -100,3 +100,26 @@ def test_stateful_running_counts_final_totals(spark, events_stream, tables):
     bad = joined.where(F.col("events_so_far") != F.col("n")).count()
     assert bad == 0
     assert final.count() == expect.count()
+
+
+def test_streaming_dedup_drops_replays(spark, tables):
+    """streaming_dedup keeps one row per event_id even when the stream
+    replays rows (batch-equivalence: distinct event_id count)."""
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+    from tests.conftest import SF_DIR
+
+    stream = read_events_stream(spark, SF_DIR)
+    # simulate replays: duplicate every row, then dedup by event_id
+    replayed = stream.unionByName(stream)
+    deduped = streaming_dedup(replayed, keys=["event_id"])
+    name = f"t_stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(deduped, name, output_mode="append")
+    n_expected = spark.table("events").select("event_id").distinct().count()
+    assert out.count() == n_expected
+    assert out.select("event_id").distinct().count() == n_expected

@@ -236,6 +236,39 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: "current_timestamp()"
     if name == "arrayElement":
         return lambda a: f"element_at({a[0]}, {a[1]})"
+    # higher-order array functions: CH puts the lambda FIRST
+    # (arrayMap(x -> x*2, arr)); Spark puts the collection first.
+    if name == "arrayMap":
+        def array_map(a: Args) -> str:
+            if len(a) == 2:
+                return f"transform({a[1]}, {a[0]})"
+            if len(a) == 3:  # two-array form -> zip_with
+                return f"zip_with({a[1]}, {a[2]}, {a[0]})"
+            return f"arrayMap({', '.join(a)})"
+
+        return array_map
+    if name == "arrayFilter":
+        return lambda a: f"filter({a[1]}, {a[0]})"
+    if name == "arrayExists":
+        return lambda a: f"exists({a[1]}, {a[0]})"
+    if name == "arrayAll":
+        return lambda a: f"forall({a[1]}, {a[0]})"
+    if name == "arrayCount":
+        def array_count(a: Args) -> str:
+            if len(a) == 2:
+                return f"CAST(size(filter({a[1]}, {a[0]})) AS BIGINT)"
+            return f"arrayCount({', '.join(a)})"
+
+        return array_count
+    if name == "arrayFlatten":
+        return lambda a: f"flatten({a[0]})"
+    if name == "arraySlice":
+        def array_slice(a: Args) -> str:
+            if len(a) == 3:
+                return f"slice({a[0]}, {a[1]}, {a[2]})"
+            return f"arraySlice({', '.join(a)})"  # open-ended form: keep
+
+        return array_slice
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"

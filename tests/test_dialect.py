@@ -190,3 +190,39 @@ def test_to_start_of_interval(client):
         "INTERVAL 15 minute) AS b"
     ).first()
     assert str(row["b"]) == "2024-03-05 07:00:00"
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT arrayMap(x -> x * 2, arr)", "SELECT transform(arr, x -> x * 2)"),
+        (
+            "SELECT arrayMap((x, y) -> x + y, a1, a2)",
+            "SELECT zip_with(a1, a2, (x, y) -> x + y)",
+        ),
+        ("SELECT arrayFilter(x -> x > 1, arr)", "SELECT filter(arr, x -> x > 1)"),
+        ("SELECT arrayExists(x -> x = 0, arr)", "SELECT exists(arr, x -> x = 0)"),
+        ("SELECT arrayAll(x -> x > 0, arr)", "SELECT forall(arr, x -> x > 0)"),
+        (
+            "SELECT arrayCount(x -> x < 3, arr)",
+            "SELECT CAST(size(filter(arr, x -> x < 3)) AS BIGINT)",
+        ),
+        ("SELECT arrayFlatten(aa)", "SELECT flatten(aa)"),
+        ("SELECT arraySlice(arr, 2, 3)", "SELECT slice(arr, 2, 3)"),
+    ],
+)
+def test_higher_order_array_translation(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_higher_order_array_execution(client):
+    row = client.query_ch(
+        "SELECT arrayMap(x -> x * 10, array(1, 2, 3)) AS m, "
+        "arrayFilter(x -> x > 1, array(1, 2, 3)) AS f, "
+        "arrayCount(x -> x > 1, array(1, 2, 3)) AS c, "
+        "arrayExists(x -> x = 2, array(1, 2, 3)) AS e"
+    ).first()
+    assert list(row["m"]) == [10, 20, 30]
+    assert list(row["f"]) == [2, 3]
+    assert row["c"] == 2
+    assert row["e"] is True

@@ -64,6 +64,48 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_neardup_gate",
+    """
+    SELECT CAST(0 AS BIGINT) AS mh_missing,
+           CAST(0 AS BIGINT) AS sh_missing,
+           true AS ok
+    """,
+    doc="Oracle gate for the engine-hash near-dup tiers (minhash and "
+    "simhash signatures use xxhash64, so their pair lists have no "
+    "cross-engine oracle): every EXACT duplicate pair (identical "
+    "normalized text — SQL-derivable) must appear in the MinHash-LSH "
+    "candidate pairs (identical signatures collide in every band) AND "
+    "in the SimHash pairs (Hamming distance 0). The Spark side counts "
+    "exact pairs missing from each; the oracle pins both counts to 0 — "
+    "a signature/banding/blocking regression flips the row red at any "
+    "scale factor.",
+    tags=("dedup", "minhash", "simhash", "gate"),
+)
+def q_dedup_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    keyed = docs.select(norm.alias("n"), F.col("doc_id"))
+    a = keyed.select(F.col("n"), F.col("doc_id").alias("a_id"))
+    b = keyed.select(F.col("n"), F.col("doc_id").alias("b_id"))
+    exact_pairs = (
+        a.join(b, "n").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+    )
+    mh = dedup.minhash_candidate_pairs(docs, threshold=0.5).select("a_id", "b_id")
+    sh = dedup.simhash_near_pairs(docs).select("a_id", "b_id")
+    mh_missing = exact_pairs.join(mh, ["a_id", "b_id"], "left_anti").agg(
+        F.count("*").alias("mh_missing")
+    )
+    sh_missing = exact_pairs.join(sh, ["a_id", "b_id"], "left_anti").agg(
+        F.count("*").alias("sh_missing")
+    )
+    return mh_missing.crossJoin(sh_missing).select(
+        "mh_missing",
+        "sh_missing",
+        ((F.col("mh_missing") == 0) & (F.col("sh_missing") == 0)).alias("ok"),
+    )
+
+
+@register(
     "dedup_ngram_jaccard",
     """
     WITH base AS (

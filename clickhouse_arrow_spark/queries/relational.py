@@ -406,16 +406,38 @@ def agg_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "uniq_approx_distinct",
-    None,  # approx algorithms differ between engines — rows-only check
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_orderkey) AS BIGINT) AS n_exact,
+           true AS est_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
     doc="approx_count_distinct (HLL++) — ClickHouse uniq() analogue. "
-    "No cross-engine oracle: sketch implementations differ.",
-    tags=("aggregate", "approx"),
+    "Sketch values differ across engines, so the gate asserts the "
+    "estimate lands within 15% of the exact distinct count (default "
+    "rsd is 5%); the oracle pins est_ok true and supplies the exact "
+    "counts for the hash.",
+    tags=("aggregate", "approx", "gate"),
 )
 def uniq_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         spark.table("lineitem")
         .groupBy("l_returnflag")
-        .agg(F.approx_count_distinct("l_orderkey").alias("approx_orders"))
+        .agg(
+            F.countDistinct("l_orderkey").alias("n_exact"),
+            F.approx_count_distinct("l_orderkey").alias("_approx"),
+        )
+        .select(
+            "l_returnflag",
+            "n_exact",
+            (
+                F.abs(F.col("_approx") - F.col("n_exact"))
+                / F.greatest(F.col("n_exact"), F.lit(1))
+                <= 0.15
+            ).alias("est_ok"),
+        )
         .orderBy("l_returnflag")
     )
 

@@ -526,20 +526,26 @@ def analytic_dedup_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_tablesample",
-    None,  # engine-specific sampling RNG — rows-only check
+    """
+    SELECT CAST(count(*) AS BIGINT) AS total, true AS frac_ok
+    FROM orders
+    """,
     doc="TABLESAMPLE / df.sample with a fixed seed (ClickHouse SAMPLE BY "
-    "read path); deterministic WITHIN Spark, engine-specific RNG so no "
-    "cross-engine oracle.",
-    tags=("sample",),
+    "read path). The RNG is engine-specific, so the gate asserts the "
+    "sampled fraction lands within 4% absolute of the requested 10% "
+    "(>=5 sigma at the smallest test SF); the oracle pins frac_ok true "
+    "and supplies the total row count for the hash.",
+    tags=("sample", "gate"),
 )
 def sample_tablesample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return (
-        spark.table("orders")
-        .sample(fraction=0.1, seed=42)
-        .agg(
-            F.count("*").alias("n"),
-            F.round(F.avg("o_totalprice"), 2).alias("avg_price"),
-        )
+    o = spark.table("orders")
+    sampled = o.sample(fraction=0.1, seed=42).agg(F.count("*").alias("_n"))
+    total = o.agg(F.count("*").alias("total"))
+    return total.crossJoin(sampled).select(
+        "total",
+        (
+            F.abs(F.col("_n") / F.col("total") - 0.1) <= 0.04
+        ).alias("frac_ok"),
     )
 
 

@@ -84,7 +84,10 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_dedup_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
     norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    keyed = docs.select(norm.alias("n"), F.col("doc_id"))
+    # join on the 256-bit digest, not the text: the shuffle key stays
+    # 32 bytes per row regardless of document size (same skew-proof key
+    # dedup_exact uses)
+    keyed = docs.select(F.sha2(norm, 256).alias("n"), F.col("doc_id"))
     a = keyed.select(F.col("n"), F.col("doc_id").alias("a_id"))
     b = keyed.select(F.col("n"), F.col("doc_id").alias("b_id"))
     exact_pairs = (

@@ -585,9 +585,40 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "stream_session_window",
-    None,  # session assembly is stateful/streaming-only — rows-only
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ),
+    sessions AS (
+      SELECT user_id, ts,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, min(ts) AS session_start,
+             max(ts) + INTERVAL 30 MINUTE AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events
+      FROM sessions GROUP BY user_id, session_id
+    ),
+    maxts AS (SELECT max(ts) AS m FROM events)
+    SELECT session_start, session_end, user_id, n_events
+    FROM per_session, maxts
+    WHERE session_end <= m - INTERVAL 2 HOUR
+    ORDER BY user_id, session_start
+    """,
     doc="REAL Structured Streaming session windows (30 min gap) via "
-    "availableNow; closed sessions only (append mode).",
+    "availableNow; append mode emits exactly the CLOSED sessions. The "
+    "oracle reproduces them relationally: lag/cumsum sessionization, "
+    "session_end = last event + gap, closed iff session_end <= "
+    "max(ts) - watermark(2h). Boundary semantics verified empirically: "
+    "an event exactly gap-distance away MERGES (inclusive), and a "
+    "session whose end equals the final watermark IS emitted.",
     tags=("streaming", "session"),
 )
 def q_streaming_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:

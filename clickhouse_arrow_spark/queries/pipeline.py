@@ -680,3 +680,77 @@ def q_events_fill_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
 # events_window_funnel merged into events_funnel_family
 # (queries/functions.py) so the funnel family lands inside the driver's
 # 50-entry CORRECTNESS window.
+
+
+@register(
+    "limit_by_events",
+    """
+    SELECT user_id, event_id, ts
+    FROM (
+      SELECT user_id, event_id, ts,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ) WHERE rn <= 2
+    ORDER BY user_id, ts, event_id
+    """,
+    doc="ClickHouse `LIMIT 2 BY user_id` (operators/timeseries.limit_by):"
+    " first two events per user under a total (ts, event_id) order — one"
+    " ranking-window exchange on the key.",
+    tags=("timeseries", "limit-by", "events"),
+)
+def q_limit_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import limit_by
+
+    e = spark.table("events").select("user_id", "event_id", "ts")
+    return limit_by(
+        e, 2, by=["user_id"], order=[F.col("ts"), F.col("event_id")]
+    ).orderBy("user_id", "ts", "event_id")
+
+
+@register(
+    "vector_quantize_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS acc_ok
+    FROM embeddings WHERE vec_id < 500
+    """,
+    doc="int8 scalar-quantization accuracy gate "
+    "(operators/similarity.quantize_embeddings): cosine computed from "
+    "dequantized int8 vectors must stay within 0.02 of the exact "
+    "float cosine for every checked vector pair (each vec vs vec 0). "
+    "The oracle pins acc_ok true and the checked-vector count — a "
+    "quantizer regression flips the row red.",
+    tags=("similarity", "quantization", "gate"),
+)
+def q_vector_quantize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings").where(F.col("vec_id") < 500)
+    q = similarity.quantize_embeddings(emb)
+    joined = (
+        emb.join(q, "vec_id")
+        .crossJoin(
+            F.broadcast(
+                emb.join(q, "vec_id")
+                .where(F.col("vec_id") == 0)
+                .select(
+                    F.col("embedding").alias("ref_vec"),
+                    F.col("qembedding").alias("ref_q"),
+                )
+            )
+        )
+    )
+    from clickhouse_arrow_spark.operators.similarity import (
+        _cosine,
+        dequantized_cosine,
+    )
+
+    exact = _cosine(F.col("embedding"), F.col("ref_vec"))
+    approx = dequantized_cosine(
+        F.col("qembedding"), F.col("qscale"), F.col("ref_q"), F.lit(1.0)
+    )
+    per_vec = joined.select(
+        "vec_id", (F.abs(exact - approx) <= 0.02).alias("_ok")
+    )
+    return per_vec.agg(
+        F.count("*").alias("n_vecs"),
+        F.bool_and("_ok").alias("acc_ok"),
+    )

@@ -234,6 +234,43 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: "current_date()"
     if name == "now":
         return lambda a: "current_timestamp()"
+    if name == "toStartOfYear":
+        return lambda a: f"CAST(date_trunc('year', {a[0]}) AS DATE)"
+    if name == "toMonday":
+        # Spark date_trunc('week') is Monday-start == CH toMonday
+        return lambda a: f"CAST(date_trunc('week', {a[0]}) AS DATE)"
+    if name == "toDayOfYear":
+        return lambda a: f"dayofyear({a[0]})"
+    if name == "toUnixTimestamp":
+        return lambda a: f"unix_timestamp({a[0]})"
+    if name == "fromUnixTimestamp":
+        return lambda a: f"timestamp_seconds({a[0]})"
+    # add/subtract date arithmetic keeps the timestamp type (CH addDays
+    # on DateTime stays DateTime; Spark date_add degrades to DATE, so
+    # timestampadd is the faithful mapping)
+    _ADD_UNITS = {
+        "addYears": "YEAR", "addMonths": "MONTH", "addWeeks": "WEEK",
+        "addDays": "DAY", "addHours": "HOUR", "addMinutes": "MINUTE",
+        "addSeconds": "SECOND",
+    }
+    _SUB_UNITS = {
+        "subtractYears": "YEAR", "subtractMonths": "MONTH",
+        "subtractWeeks": "WEEK", "subtractDays": "DAY",
+        "subtractHours": "HOUR", "subtractMinutes": "MINUTE",
+        "subtractSeconds": "SECOND",
+    }
+    if name in _ADD_UNITS:
+        unit = _ADD_UNITS[name]
+        return lambda a: f"timestampadd({unit}, {a[1]}, {a[0]})"
+    if name in _SUB_UNITS:
+        unit = _SUB_UNITS[name]
+        return lambda a: f"timestampadd({unit}, -({a[1]}), {a[0]})"
+    if name == "dateDiff":
+        def date_diff(a: Args) -> str:
+            unit = a[0].strip().strip("'").upper()
+            return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+
+        return date_diff
     if name == "arrayElement":
         return lambda a: f"element_at({a[0]}, {a[1]})"
     # higher-order array functions: CH puts the lambda FIRST

@@ -226,3 +226,34 @@ def test_higher_order_array_execution(client):
     assert list(row["f"]) == [2, 3]
     assert row["c"] == 2
     assert row["e"] is True
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT addDays(ts, 3)", "SELECT timestampadd(DAY, 3, ts)"),
+        ("SELECT subtractHours(ts, 2)", "SELECT timestampadd(HOUR, -(2), ts)"),
+        ("SELECT dateDiff('day', a, b)", "SELECT timestampdiff(DAY, a, b)"),
+        ("SELECT toStartOfYear(d)", "SELECT CAST(date_trunc('year', d) AS DATE)"),
+        ("SELECT toMonday(d)", "SELECT CAST(date_trunc('week', d) AS DATE)"),
+        ("SELECT toUnixTimestamp(ts)", "SELECT unix_timestamp(ts)"),
+        ("SELECT fromUnixTimestamp(e)", "SELECT timestamp_seconds(e)"),
+    ],
+)
+def test_date_arithmetic_translation(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_date_arithmetic_values(client):
+    row = client.query_ch(
+        "SELECT addDays(TIMESTAMP '2024-02-27 10:00:00', 3) AS a, "
+        "subtractMinutes(TIMESTAMP '2024-02-27 10:00:00', 30) AS s, "
+        "dateDiff('day', TIMESTAMP '2024-01-01', TIMESTAMP '2024-02-01') AS d, "
+        "toDayOfYear(DATE '2024-02-01') AS doy, "
+        "toMonday(DATE '2024-01-03') AS mon"
+    ).first()
+    assert str(row["a"]) == "2024-03-01 10:00:00"
+    assert str(row["s"]) == "2024-02-27 09:30:00"
+    assert row["d"] == 31
+    assert row["doy"] == 32
+    assert str(row["mon"]) == "2024-01-01"

@@ -524,6 +524,36 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_decode_gate",
+    """
+    SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS decode_ok
+    FROM documents
+    """,
+    doc="Oracle gate for the mapInPandas decode plumbing (the decoded "
+    "VALUES come from the documented fake codec, so they have no "
+    "cross-engine oracle): every document must decode to exactly one "
+    "feature row with positive dimensions and a finite 8-float feature "
+    "vector. The oracle pins the row count to the document count and "
+    "decode_ok true — schema drift, dropped/duplicated rows, or NaN "
+    "features flip the row red.",
+    tags=("multimodal", "decode", "gate"),
+)
+def q_multimodal_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    payloads = multimodal.attach_payload(spark.table("documents"))
+    decoded = multimodal.decode_features(payloads)
+    row_ok = (
+        (F.col("width") > 0)
+        & (F.col("height") > 0)
+        & (F.size("features") == 8)
+        & F.forall("features", lambda x: ~F.isnan(x) & x.isNotNull())
+    )
+    return decoded.agg(
+        F.count("*").alias("n_docs"),
+        F.bool_and(row_ok).alias("decode_ok"),
+    )
+
+
+@register(
     "multimodal_frame_sample",
     """
     SELECT doc_id, CAST(unnest(range(0, 100, 10)) AS INT) AS frame_idx

@@ -209,6 +209,101 @@ def language_fingerprint(
     )
 
 
+#: PII patterns kept to syntax both regex engines (Java util.regex and
+#: DuckDB's RE2) interpret identically — character classes, bounded
+#: repetition, \b word boundaries; no lookaround.
+PII_PATTERNS: dict[str, tuple[str, str]] = {
+    "email": (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    "ip": (r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    "phone": (r"\+\d{1,3}[- ]\d{3}[- ]\d{3,4}[- ]\d{3,4}", "<PHONE>"),
+}
+
+
+def pii_scrub(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Redact common PII (emails, IPs, international phone formats) —
+    the standard pre-training scrub pass, as one projection: per-class
+    hit counts plus the redacted text. Zero Python; the regex set is
+    RE2-compatible so the DuckDB oracle computes the identical result."""
+    t = F.col(text_col)
+    counts = {
+        name: F.size(F.regexp_extract_all(t, F.lit(pat), F.lit(0)))
+        for name, (pat, _) in PII_PATTERNS.items()
+    }
+    scrubbed = t
+    for pat, repl in PII_PATTERNS.values():
+        scrubbed = F.regexp_replace(scrubbed, pat, repl)
+    return df.select(
+        F.col(id_col),
+        *[counts[name].alias(f"n_{name}") for name in PII_PATTERNS],
+        scrubbed.alias("scrubbed"),
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    overlap: int = 16,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window packing step of a training pipeline. One explode per
+    document (starts generated with `sequence`, chunk text sliced from
+    the token array); no Python, cardinality = ceil(tokens/stride) per
+    doc."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be smaller than chunk_tokens")
+    stride = chunk_tokens - overlap
+    tokens = F.split(F.trim(F.col(text_col)), r"\s+")
+    starts = F.sequence(
+        F.lit(1), F.greatest(F.size(tokens), F.lit(1)), F.lit(stride)
+    )
+    return (
+        df.select(F.col(id_col), tokens.alias("_toks"), starts.alias("_starts"))
+        .select(
+            F.col(id_col),
+            F.posexplode("_starts").alias("chunk_id", "_start"),
+            F.col("_toks"),
+        )
+        .select(
+            F.col(id_col),
+            F.col("chunk_id").cast("int").alias("chunk_id"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("_start"), chunk_tokens), " "
+            ).alias("chunk_text"),
+            F.least(
+                F.size(F.col("_toks")) - F.col("_start") + 1, F.lit(chunk_tokens)
+            ).cast("int").alias("n_tokens"),
+        )
+    )
+
+
+def train_split(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Deterministic train/val/test assignment by CONTENT fingerprint
+    (not row id): duplicates land in the same split, re-runs and
+    re-shards are stable, and the engine-agnostic rolling hash makes
+    the assignment reproducible outside Spark (exact DuckDB oracle).
+    Returns (id, bucket 0-99, split)."""
+    fp = rolling_fingerprint(df, text_col, id_col)
+    bucket = (F.col("fingerprint") % 100).cast("int")
+    return fp.select(
+        F.col(id_col),
+        bucket.alias("bucket"),
+        F.when(bucket < train_pct, "train")
+        .when(bucket < train_pct + val_pct, "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     text_col: str = "text",

@@ -431,6 +431,98 @@ def q_doc_language_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.language_fingerprint(spark.table("documents")).orderBy("doc_id")
 
 
+@register(
+    "text_pii_scrub",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS INT) AS n_ip,
+           CAST(len(regexp_extract_all(text,
+             '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}')) AS INT) AS n_phone,
+           regexp_replace(
+             regexp_replace(
+               regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+               '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+             '\\+\\d{1,3}[- ]\\d{3}[- ]\\d{3,4}[- ]\\d{3,4}', '<PHONE>', 'g'
+           ) AS scrubbed
+    FROM documents
+    ORDER BY doc_id
+    """,
+    doc="PII redaction pass (operators/text.pii_scrub): emails, IPv4s, "
+    "international phone formats replaced with typed placeholders, "
+    "plus per-class hit counts — one projection, RE2-compatible "
+    "patterns so the oracle computes the identical redacted text.",
+    tags=("text", "pii"),
+)
+def q_text_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.pii_scrub(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "text_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS t
+      FROM documents WHERE doc_id < 200
+    ),
+    starts AS (
+      SELECT doc_id, t,
+             unnest(range(1, greatest(len(t), 1) + 1, 48)) AS start,
+             generate_subscripts(range(1, greatest(len(t), 1) + 1, 48), 1) - 1 AS chunk_id
+      FROM toks
+    )
+    SELECT doc_id, CAST(chunk_id AS INT) AS chunk_id,
+           array_to_string(t[start:start+63], ' ') AS chunk_text,
+           CAST(least(len(t) - start + 1, 64) AS INT) AS n_tokens
+    FROM starts
+    ORDER BY doc_id, chunk_id
+    """,
+    doc="Context-window packing (operators/text.chunk_documents): "
+    "64-token chunks with 16-token overlap (stride 48), generated as "
+    "sequence + explode + array slice — the cardinality-expanding step "
+    "of a training pipeline, no Python.",
+    tags=("text", "chunking"),
+)
+def q_text_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents").where(F.col("doc_id") < 200)
+    return text.chunk_documents(docs, chunk_tokens=64, overlap=16).orderBy(
+        "doc_id", "chunk_id"
+    )
+
+
+@register(
+    "text_train_split",
+    """
+    WITH fp AS (
+      SELECT doc_id,
+             list_reduce(
+               list_transform(
+                 string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ''),
+                 c -> CAST(unicode(c) AS BIGINT)),
+               (a, b) -> (a * 31 + b) % 1000000007
+             ) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'val'
+                ELSE 'test' END AS split
+    FROM fp
+    ORDER BY doc_id
+    """,
+    doc="Deterministic train/val/test split (operators/text.train_split)"
+    ": assignment by CONTENT fingerprint modulus, so duplicates land in "
+    "the same split and the partition is reproducible outside Spark — "
+    "the leakage-safe way to split a training corpus.",
+    tags=("text", "split"),
+)
+def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.train_split(spark.table("documents")).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

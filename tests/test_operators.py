@@ -308,3 +308,53 @@ def test_quantize_embeddings_roundtrip(spark):
     dot = sum(x * y for x, y in zip(va, vb))
     exact = dot / (math.sqrt(sum(x * x for x in va)) * math.sqrt(sum(y * y for y in vb)))
     assert abs(qcos - exact) < 0.02
+
+
+def test_pii_scrub_redacts_planted_pii(spark):
+    df = spark.createDataFrame(
+        [(1, "mail me at jane.doe+x@example.org or call +1-555-123-4567 "
+             "from 192.168.0.1 ok")],
+        "doc_id long, text string",
+    )
+    from clickhouse_arrow_spark.operators.text import pii_scrub
+
+    row = pii_scrub(df).first()
+    assert row["n_email"] == 1 and row["n_ip"] == 1 and row["n_phone"] == 1
+    assert "<EMAIL>" in row["scrubbed"]
+    assert "<IP>" in row["scrubbed"]
+    assert "<PHONE>" in row["scrubbed"]
+    assert "example.org" not in row["scrubbed"]
+    assert "192.168.0.1" not in row["scrubbed"]
+
+
+def test_chunk_documents_overlap_and_coverage(spark):
+    words = " ".join(f"w{i}" for i in range(100))
+    df = spark.createDataFrame([(1, words)], "doc_id long, text string")
+    from clickhouse_arrow_spark.operators.text import chunk_documents
+
+    chunks = chunk_documents(df, chunk_tokens=10, overlap=4).orderBy(
+        "chunk_id"
+    ).collect()
+    # stride 6 over 100 tokens -> ceil(100/6) = 17 chunks
+    assert len(chunks) == 17
+    first = chunks[0]["chunk_text"].split(" ")
+    second = chunks[1]["chunk_text"].split(" ")
+    assert first[6:] == second[:4]  # 4-token overlap
+    assert chunks[0]["n_tokens"] == 10
+    # every token appears in at least one chunk
+    seen = {w for c in chunks for w in c["chunk_text"].split(" ")}
+    assert len(seen) == 100
+
+
+def test_train_split_deterministic_and_dup_stable(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "other text")],
+        "doc_id long, text string",
+    )
+    from clickhouse_arrow_spark.operators.text import train_split
+
+    rows = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(df).collect()}
+    # identical content -> identical split (dedup-safe partitioning)
+    assert rows[1] == rows[2]
+    again = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(df).collect()}
+    assert rows == again

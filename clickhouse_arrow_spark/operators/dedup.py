@@ -235,6 +235,68 @@ def minhash_candidate_pairs(
     )
 
 
+def duplicate_survivors(
+    ids: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    a_col: str = "a_id",
+    b_col: str = "b_id",
+    max_iters: int = 20,
+) -> DataFrame:
+    """Connected-component survivor selection over near-dup pairs: keep
+    exactly one document (the minimum id) per duplicate component —
+    the step that turns a candidate-pair list into an actual
+    deduplicated corpus. Transitive: a~b, b~c keeps only min(a,b,c)
+    even though (a,c) was never emitted as a pair.
+
+    Spark-first iterative min-label propagation: every node starts
+    labeled with itself; each round joins labels across the undirected
+    edge list and keeps the component-minimum seen so far. Rounds
+    needed = graph diameter (near-dup components are tiny cliques, so
+    2-3); the loop runs driver-side with one `isEmpty` convergence
+    action per round, state stays in DataFrames. This is the standard
+    large-scale CC pattern (the alternative — union-find — is
+    inherently sequential).
+    """
+    edges = (
+        pairs.select(F.col(a_col).alias("src"), F.col(b_col).alias("dst"))
+        .unionByName(
+            pairs.select(F.col(b_col).alias("src"), F.col(a_col).alias("dst"))
+        )
+        .distinct()
+    )
+    labels = ids.select(F.col(id_col).alias("node"), F.col(id_col).alias("label"))
+    for _ in range(max_iters):
+        # label each node with the min of its own and its neighbors' labels
+        neighbor_min = (
+            edges.join(labels, edges.dst == labels.node)
+            .groupBy("src")
+            .agg(F.min("label").alias("nmin"))
+        )
+        updated = (
+            labels.join(neighbor_min, labels.node == neighbor_min.src, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce(F.col("nmin"), F.col("label"))
+                ).alias("label"),
+            )
+        )
+        updated = updated.localCheckpoint(eager=True)  # cut lineage per round
+        changed = (
+            updated.alias("u")
+            .join(labels.alias("l"), F.col("u.node") == F.col("l.node"))
+            .where(F.col("u.label") != F.col("l.label"))
+        )
+        converged = changed.isEmpty()
+        labels = updated
+        if converged:
+            break
+    return labels.where(F.col("node") == F.col("label")).select(
+        F.col("node").alias(id_col)
+    )
+
+
 # ---------------------------------------------------------------------------
 # 3. SimHash
 # ---------------------------------------------------------------------------

@@ -432,6 +432,39 @@ def q_doc_language_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "neardup_survivors",
+    """
+    SELECT min(doc_id) AS doc_id
+    FROM documents
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    ORDER BY doc_id
+    """,
+    doc="Connected-component survivor selection "
+    "(operators/dedup.duplicate_survivors): iterative min-label "
+    "propagation over the near-dup pair graph keeps exactly one doc "
+    "per duplicate component — transitive, unlike a naive "
+    "drop-all-b_ids pass. Run here over the EXACT-duplicate pair "
+    "graph, whose components are the identical-text groups, so the "
+    "oracle is min(doc_id) per normalized text.",
+    tags=("dedup", "survivors", "graph"),
+)
+def q_neardup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    norm_key = F.sha2(
+        F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), 256
+    )
+    keyed = docs.select(norm_key.alias("n"), F.col("doc_id"))
+    a = keyed.select(F.col("n"), F.col("doc_id").alias("a_id"))
+    b = keyed.select(F.col("n"), F.col("doc_id").alias("b_id"))
+    pairs = (
+        a.join(b, "n").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
+    )
+    return dedup.duplicate_survivors(
+        docs.select("doc_id"), pairs
+    ).orderBy("doc_id")
+
+
+@register(
     "text_pii_scrub",
     """
     SELECT doc_id,

@@ -358,3 +358,16 @@ def test_train_split_deterministic_and_dup_stable(spark):
     assert rows[1] == rows[2]
     again = {r["doc_id"]: (r["bucket"], r["split"]) for r in train_split(df).collect()}
     assert rows == again
+
+
+def test_duplicate_survivors_transitive_chain(spark):
+    """a~b and b~c (no direct a~c pair) must collapse to one survivor."""
+    from clickhouse_arrow_spark.operators.dedup import duplicate_survivors
+
+    ids = spark.createDataFrame([(i,) for i in range(1, 8)], "doc_id long")
+    pairs = spark.createDataFrame(
+        [(1, 3), (3, 5), (2, 6), (4, 7)], "a_id long, b_id long"
+    )
+    got = sorted(r["doc_id"] for r in duplicate_survivors(ids, pairs).collect())
+    # components: {1,3,5} -> 1, {2,6} -> 2, {4,7} -> 4
+    assert got == [1, 2, 4]

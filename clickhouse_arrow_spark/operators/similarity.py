@@ -323,6 +323,101 @@ def ivf_topk(
     return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
 
 
+def write_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    nlist: int = 16,
+    kmeans_iters: int = 0,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> None:
+    """Materialize the IVF layout: vectors written
+    `partitionBy(centroid_id)` (one directory per bucket, so probes are
+    PARTITION-PRUNED file scans) plus the centroid table. This is the
+    'write once, probe many' posture the ANN operators assume at
+    100 TB — the index build is one assignment pass + one write."""
+    cents = deterministic_centroids(corpus, nlist, corpus_id, corpus_vec)
+    if kmeans_iters > 0:
+        cents = kmeans_refine(corpus, cents, kmeans_iters, corpus_id, corpus_vec)
+    import os
+
+    cents.write.mode("overwrite").parquet(os.path.join(path, "centroids"))
+    ivf_assign(corpus, cents, corpus_id, corpus_vec).write.mode(
+        "overwrite"
+    ).partitionBy("centroid_id").parquet(os.path.join(path, "vectors"))
+
+
+def ivf_topk_from_index(
+    spark,
+    path: str,
+    queries: DataFrame,
+    k: int = 10,
+    nprobe: int = 4,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    query_id: str = "query_id",
+    query_vec: str = "query_vec",
+) -> DataFrame:
+    """Probe a persisted IVF index: only the nprobe bucket DIRECTORIES
+    each query needs are read (partition pruning via the centroid_id
+    IN-filter — the scan touches nprobe/nlist of the index files).
+    Same result schema/semantics as `ivf_topk` over the same
+    centroids."""
+    import os
+
+    cent_rows = (
+        spark.read.parquet(os.path.join(path, "centroids"))
+        .select("centroid_id", "centroid_vec")
+        .collect()
+    )
+    cent_lit = _centroid_literal(cent_rows)
+    qv = F.col(query_vec)
+    qsims = F.transform(
+        cent_lit,
+        lambda c: F.struct(
+            (
+                -F.round(_dot(qv, c.getField("cvec")) / c.getField("cnorm"), 6)
+            ).alias("negsim"),
+            c.getField("cid").alias("cid"),
+        ),
+    )
+    probes = (
+        queries.select(
+            F.col(query_id),
+            F.col(query_vec),
+            _norm(qv).alias("_qn"),
+            F.slice(F.array_sort(qsims), 1, nprobe).alias("_probes"),
+        )
+        .select(
+            query_id,
+            query_vec,
+            "_qn",
+            F.explode(F.col("_probes").getField("cid")).alias("centroid_id"),
+        )
+    )
+    # queries are small by definition: collecting the probed bucket set
+    # gives the scan a LITERAL partition filter (directory pruning)
+    probe_rows = probes.select(query_id, query_vec, "_qn", "centroid_id").collect()
+    bucket_ids = sorted({r["centroid_id"] for r in probe_rows})
+    scan = (
+        spark.read.parquet(os.path.join(path, "vectors"))
+        .where(F.col("centroid_id").isin(bucket_ids))
+        .withColumn("_cn", _norm(F.col(corpus_vec)))
+    )
+    probes_df = F.broadcast(
+        spark.createDataFrame(
+            probe_rows, f"{query_id} long, {query_vec} array<double>, _qn double, centroid_id long"
+        )
+    )
+    cand = probes_df.join(scan, "centroid_id")
+    sim = F.round(
+        _dot(F.col(corpus_vec), F.col(query_vec)) / (F.col("_cn") * F.col("_qn")),
+        6,
+    )
+    scored = cand.select(F.col(query_id), F.col(corpus_id), sim.alias("cosine"))
+    return topk_per_key(scored, k, key=query_id, id_col=corpus_id)
+
+
 def quantize_embeddings(
     corpus: DataFrame,
     corpus_id: str = "vec_id",

@@ -122,3 +122,56 @@ def test_kmeans_refine_deterministic(spark):
     a = kmeans_refine(emb, seeds, iters=2).orderBy("centroid_id").collect()
     b = kmeans_refine(emb, seeds, iters=2).orderBy("centroid_id").collect()
     assert a == b
+
+
+def test_ivf_index_write_probe_roundtrip(spark, tmp_path, tables):
+    """Persisted IVF index: probe results match the in-memory ivf_topk
+    over the same centroids, and the probe scan is partition-pruned
+    (reads strictly fewer bucket directories than the index has)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators.similarity import (
+        ivf_topk,
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.table("embeddings")
+    queries = emb.where(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    path = str(tmp_path / "ivf")
+    write_ivf_index(emb, path, nlist=8)
+
+    direct = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in ivf_topk(emb, queries, k=5, nlist=8, nprobe=2).collect()
+    }
+    from_index = ivf_topk_from_index(
+        spark, path, queries, k=5, nprobe=2
+    )
+    got = {
+        (r["query_id"], r["rank"]): (r["vec_id"], r["cosine"])
+        for r in from_index.collect()
+    }
+    assert got == direct
+
+    # pruning: the bucket IN-filter lands in the scan's PartitionFilters
+    # (directory-level pruning, not a post-scan filter)
+    n_buckets = len(
+        [d for d in os.listdir(os.path.join(path, "vectors"))
+         if d.startswith("centroid_id=")]
+    )
+    assert n_buckets == 8
+    scan = spark.read.parquet(os.path.join(path, "vectors")).where(
+        F.col("centroid_id").isin([0, 1])
+    )
+    plan = scan._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"
+        )
+    )
+    part_lines = [ln for ln in plan.splitlines() if "PartitionFilters" in ln]
+    assert part_lines and "centroid_id" in part_lines[0]

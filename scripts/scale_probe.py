@@ -110,6 +110,16 @@ def main() -> int:
         dedup.minhash_candidate_pairs(docs, threshold=0.5),
     )
 
+    from clickhouse_arrow_spark.operators import text as text_ops
+
+    bench("doc_profile_100k_docs", text_ops.doc_profile(docs))
+    bench("pii_scrub_100k_docs", text_ops.pii_scrub(docs))
+    bench(
+        "chunking_100k_docs",
+        text_ops.chunk_documents(docs, chunk_tokens=16, overlap=4),
+    )
+    bench("train_split_100k_docs", text_ops.train_split(docs))
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

@@ -299,6 +299,23 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return array_count
     if name == "arrayFlatten":
         return lambda a: f"flatten({a[0]})"
+    if name == "arrayZip":
+        return lambda a: f"arrays_zip({', '.join(a)})"
+    if name == "arrayEnumerate":
+        return lambda a: f"sequence(1, size({a[0]}))"
+    if name == "arrayUniq":
+        return lambda a: f"CAST(size(array_distinct({a[0]})) AS BIGINT)"
+    if name == "arraySum":
+        # double accumulator (CH widens integer sums; callers needing
+        # exact integer sums should aggregate after explode instead)
+        return lambda a: (
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+        )
+    if name == "arrayAvg":
+        return lambda a: (
+            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+            f" / size({a[0]}))"
+        )
     if name == "arraySlice":
         def array_slice(a: Args) -> str:
             if len(a) == 3:

@@ -344,6 +344,43 @@ def tumbling_batch_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "sliding_window_events",
+    """
+    WITH contrib AS (
+      SELECT event_type, value,
+             time_bucket(INTERVAL '15 minutes', ts)
+               - TO_MICROSECONDS(CAST(k * 900000000 AS BIGINT)) AS window_start
+      FROM events, (SELECT unnest(range(0, 4)) AS k)
+    )
+    SELECT window_start, event_type,
+           count(*) AS n, round(sum(value), 2) AS total_value
+    FROM contrib
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+    doc="Hopping (sliding) 1-hour window with a 15-minute slide: every "
+    "event contributes to 4 overlapping windows — Spark's "
+    "window(ts, '1 hour', '15 minutes'); the oracle expands the 4 "
+    "contributions per event relationally. The streaming form is the "
+    "same expression under a watermark.",
+    tags=("events", "window-agg", "sliding"),
+)
+def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        spark.table("events")
+        .groupBy(
+            F.window("ts", "1 hour", "15 minutes").start.alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value"), 2).alias("total_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+@register(
     "events_sessionization",
     """
     WITH flagged AS (

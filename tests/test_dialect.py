@@ -257,3 +257,22 @@ def test_date_arithmetic_values(client):
     assert row["d"] == 31
     assert row["doy"] == 32
     assert str(row["mon"]) == "2024-01-01"
+
+
+def test_array_aggregation_translation_and_values(client):
+    assert translate_ch_sql("SELECT arrayUniq(a)") == (
+        "SELECT CAST(size(array_distinct(a)) AS BIGINT)"
+    )
+    assert translate_ch_sql("SELECT arrayEnumerate(a)") == (
+        "SELECT sequence(1, size(a))"
+    )
+    row = client.query_ch(
+        "SELECT arraySum(array(1.0, 2.0, 3.5)) AS s, "
+        "arrayAvg(array(2.0, 4.0)) AS a, "
+        "arrayUniq(array(1, 1, 2)) AS u, "
+        "arrayEnumerate(array(9, 9, 9)) AS e"
+    ).first()
+    assert row["s"] == 6.5
+    assert row["a"] == 3.0
+    assert row["u"] == 2
+    assert list(row["e"]) == [1, 2, 3]

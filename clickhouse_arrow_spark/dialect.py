@@ -273,6 +273,20 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return date_diff
     if name == "arrayElement":
         return lambda a: f"element_at({a[0]}, {a[1]})"
+    if name in ("position", "positionCaseInsensitive"):
+        # CH position(haystack, needle); Spark locate(needle, haystack)
+        # — a silent wrong-answer trap if renamed without the swap
+        def position_fmt(a: Args, _ci: bool = name.endswith("Insensitive")) -> str:
+            h, n = a[0], a[1]
+            if _ci:
+                return f"locate(lower({n}), lower({h}))"
+            return f"locate({n}, {h})"
+
+        return position_fmt
+    if name == "leftPad":
+        return lambda a: f"lpad({', '.join(a)})"
+    if name == "rightPad":
+        return lambda a: f"rpad({', '.join(a)})"
     # higher-order array functions: CH puts the lambda FIRST
     # (arrayMap(x -> x*2, arr)); Spark puts the collection first.
     if name == "arrayMap":

@@ -276,3 +276,15 @@ def test_array_aggregation_translation_and_values(client):
     assert row["a"] == 3.0
     assert row["u"] == 2
     assert list(row["e"]) == [1, 2, 3]
+
+
+def test_position_swaps_args(client):
+    assert translate_ch_sql("SELECT position(s, 'x')") == "SELECT locate('x', s)"
+    row = client.query_ch(
+        "SELECT position('hello world', 'world') AS p, "
+        "positionCaseInsensitive('Hello World', 'world') AS pci, "
+        "leftPad('7', 3, '0') AS lp"
+    ).first()
+    assert row["p"] == 7
+    assert row["pci"] == 7
+    assert row["lp"] == "007"

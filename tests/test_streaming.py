@@ -123,3 +123,41 @@ def test_streaming_dedup_drops_replays(spark, tables):
     n_expected = spark.table("events").select("event_id").distinct().count()
     assert out.count() == n_expected
     assert out.select("event_id").distinct().count() == n_expected
+
+
+def test_hopping_window_matches_batch(spark, events_stream, tables):
+    """Streaming hopping windows (1h / 15min slide) under a watermark:
+    closed windows must match the batch sliding_window_events answer
+    restricted to the watermark cutoff."""
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import run_to_memory_sink
+
+    agg = (
+        events_stream.withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+    )
+    name = f"t_hops_{uuid.uuid4().hex[:8]}"
+    got = run_to_memory_sink(agg, name, output_mode="append")
+    max_ts = spark.table("events").agg(F.max("ts")).first()[0]
+    batch = (
+        spark.table("events")
+        .groupBy(F.window("ts", "1 hour", "15 minutes"), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(
+            F.col("window.start").alias("window_start"),
+            F.col("window.end").alias("window_end"),
+            "event_type",
+            "n",
+        )
+        .where(F.col("window_end") <= F.lit(max_ts) - F.expr("INTERVAL 2 HOURS"))
+    )
+    assert got.count() == batch.count()
+    assert got.exceptAll(batch).count() == 0

@@ -39,17 +39,24 @@ def main() -> int:
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
     for name, spec in headline.items():
-        df = spec.build(spark, sf_dir)
+        # Time build + materialize together: some operators (e.g. the
+        # LSH signature cache) legitimately run an eager job during
+        # build, and excluding it would under-report the query cost.
         t0 = time.perf_counter()
+        df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        # second run on a fresh plan build: codegen/file-listing caches
-        # are warm, so this is the steady-state engine throughput — the
-        # number that extrapolates to a long-running cluster.
-        df2 = spec.build(spark, sf_dir)
+        # second run on a fresh plan build: codegen/JIT/file-listing and
+        # any operator-level caches are warm, so this is the repeat-query
+        # throughput of a long-running session — the number that
+        # extrapolates to a warmed-up cluster.
         t0 = time.perf_counter()
+        df2 = spec.build(spark, sf_dir)
         df2.write.format("noop").mode("overwrite").save()
         steady[name] = round(time.perf_counter() - t0, 4)
+        # drop per-operator caches so the next query's cold timing is
+        # actually cold
+        spark.catalog.clearCache()
 
     total = round(sum(timings.values()), 4)
     print(

@@ -163,12 +163,18 @@ def minhash_candidate_pairs(
     """
     rows = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k, seed)
-    # The signature table is read three times (band join both sides +
-    # re-attach); persisting it trades one in-memory copy for both the
-    # recompute AND a signature-wide bucket shuffle — band entries below
-    # carry only (band, band_hash, id), ~20x narrower than shipping the
-    # 64-long signature per band row.
+    # The signature table is read four times (band join both sides +
+    # two re-attach joins); persisting it trades one in-memory copy for
+    # both the recompute AND a signature-wide bucket shuffle — band
+    # entries below carry only (band, band_hash, id), ~20x narrower than
+    # shipping the 64-long signature per band row. Materialize the cache
+    # EAGERLY: the band join's two branches scan `sigs` concurrently, and
+    # a lazily-populated cache would let both branches compute the full
+    # signature pipeline in parallel (double the CPU of the most
+    # expensive stage — real money on a busy cluster, even though an
+    # idle local run hides it in wall-clock).
     sigs = sigs.persist()
+    sigs.count()
 
     band_entries = sigs.select(
         F.col(id_col),

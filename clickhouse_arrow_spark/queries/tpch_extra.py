@@ -615,3 +615,238 @@ def grouped_map_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("l_orderkey") <= 500)
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# ---------------------------------------------------------------------------
+# Fourth wave: the remaining TPC-H shapes. The driver schema has no
+# partsupp table and no l_commitdate/l_receiptdate columns, so each query
+# below keeps the original's PLAN-shape challenge with available data:
+# lineitem doubles as the part-supplier offer table (Q2/Q11/Q16/Q20), and
+# "late" is l_shipdate > o_orderdate + 60 days (Q4/Q21).
+# ---------------------------------------------------------------------------
+
+
+_Q2_SQL = """
+    WITH offers AS (
+      SELECT l_partkey, l_suppkey,
+             round(avg(l_extendedprice / l_quantity), 4) AS unit_cost
+      FROM lineitem GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_name, unit_cost
+    FROM part JOIN offers ON p_partkey = offers.l_partkey
+      JOIN supplier ON s_suppkey = offers.l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey
+    WHERE p_size = 10 AND p_type = 'LARGE' AND r_name = 'EUROPE'
+      AND unit_cost = (SELECT min(o2.unit_cost) FROM offers o2
+                       JOIN supplier s2 ON s2.s_suppkey = o2.l_suppkey
+                       JOIN nation n2 ON s2.s_nationkey = n2.n_nationkey
+                       JOIN region r2 ON n2.n_regionkey = r2.r_regionkey
+                       WHERE o2.l_partkey = p_partkey AND r2.r_name = 'EUROPE')
+    ORDER BY s_acctbal DESC, n_name, s_name, p_partkey LIMIT 100
+"""
+
+
+@register(
+    "q2_min_cost_supplier",
+    _Q2_SQL,
+    doc="TPC-H Q2 shape: min-cost supplier per part within a region — a "
+    "correlated scalar-min subquery over a 4-way dim join, decorrelated "
+    "by Catalyst into an aggregate+join (no per-row re-execution). "
+    "lineitem avg unit price stands in for ps_supplycost (no partsupp "
+    "table in this schema); the rounded value makes the min-equality "
+    "match exact across engines.",
+    tags=("join", "subquery", "aggregate", "tpch"),
+)
+def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q2_SQL)
+
+
+_Q4_SQL = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+                  AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "q4_order_priority",
+    _Q4_SQL,
+    doc="TPC-H Q4 shape: priority counts of orders with a late line — "
+    "correlated EXISTS with an inequality on the OUTER column becomes a "
+    "left-semi join, so the fact table is scanned once. 'Late' adapted "
+    "to shipdate > orderdate + 60 days (no l_commitdate/l_receiptdate).",
+    tags=("subquery", "semi", "aggregate", "tpch"),
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q4_SQL)
+
+
+@register(
+    "q9_product_type_profit",
+    """
+    SELECT n_name AS nation, year(l_shipdate) AS o_year,
+           round(sum(l_extendedprice * (1 - l_discount)
+                     - p_retailprice * 0.6 * l_quantity), 2) AS sum_profit
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+      JOIN supplier ON s_suppkey = l_suppkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, year(l_shipdate)
+    ORDER BY nation, o_year DESC
+    """,
+    doc="TPC-H Q9 shape: profit by supplier nation and ship year. Both "
+    "dims broadcast (part filtered by LIKE, supplier+nation tiny), so "
+    "the fact side never shuffles before the partial agg. Supply cost "
+    "adapted to 60% of p_retailprice (no partsupp table).",
+    tags=("join", "broadcast", "aggregate", "tpch"),
+)
+def q9_product_type_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    p = spark.table("part").where(F.col("p_name").like("%red%"))
+    s = spark.table("supplier")
+    n = spark.table("nation")
+    profit = F.col("l_extendedprice") * (1 - F.col("l_discount")) - F.col(
+        "p_retailprice"
+    ) * F.lit(0.6) * F.col("l_quantity")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(profit), 2).alias("sum_profit"))
+        .orderBy(F.col("nation"), F.col("o_year").desc())
+    )
+
+
+_Q11_SQL = """
+    WITH val AS (
+      SELECT l_partkey AS p_key,
+             sum(l_extendedprice * l_quantity) AS part_value
+      FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+      WHERE n_name IN ('NATION_3', 'NATION_8') GROUP BY l_partkey)
+    SELECT p_key, round(part_value, 2) AS part_value FROM val
+    WHERE part_value > (SELECT sum(part_value) * 0.001 FROM val)
+    ORDER BY part_value DESC, p_key
+"""
+
+
+@register(
+    "q11_important_parts",
+    _Q11_SQL,
+    doc="TPC-H Q11 shape: parts whose held value exceeds a fraction of "
+    "the GLOBAL total — the same aggregate reused as both per-group "
+    "value and scalar threshold. lineitem value over two nations stands "
+    "in for partsupp stock value.",
+    tags=("subquery", "aggregate", "tpch"),
+)
+def q11_important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q11_SQL)
+
+
+@register(
+    "q16_supplier_part_count",
+    """
+    SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem JOIN part ON p_partkey = l_partkey
+    WHERE p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+      AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+      AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0.0)
+    GROUP BY p_brand, p_type, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+    LIMIT 50
+    """,
+    doc="TPC-H Q16 shape: distinct supplier count per part attribute "
+    "with a NOT-IN exclusion list. The exclusion subquery broadcasts as "
+    "a null-aware anti join; count(DISTINCT) expands partially map-side.",
+    tags=("subquery", "anti", "aggregate", "tpch"),
+)
+def q16_supplier_part_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = spark.table("lineitem")
+    p = spark.table("part").where(
+        (F.col("p_brand") != "Brand#1")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22)
+    )
+    bad = spark.table("supplier").where(F.col("s_acctbal") < 0.0).select(
+        F.col("s_suppkey").alias("l_suppkey")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(bad), "l_suppkey", "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.col("supplier_cnt").desc(), "p_brand", "p_type", "p_size"
+        )
+        .limit(50)
+    )
+
+
+_Q20_SQL = """
+    SELECT s_name, round(s_acctbal, 2) AS s_acctbal
+    FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_regionkey = 2
+      AND s_suppkey IN (
+        SELECT l_suppkey FROM lineitem JOIN part ON p_partkey = l_partkey
+        WHERE p_name LIKE 'small%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1998-01-01'
+        GROUP BY l_suppkey HAVING sum(l_quantity) > 100)
+    ORDER BY s_name
+"""
+
+
+@register(
+    "q20_heavy_shippers",
+    _Q20_SQL,
+    doc="TPC-H Q20 shape: suppliers in one region who shipped a large "
+    "volume of a part class in a year — IN over a grouped-HAVING "
+    "subquery (semi join against an aggregate). Shipment volume stands "
+    "in for excess stock (no partsupp availqty).",
+    tags=("subquery", "semi", "having", "tpch"),
+)
+def q20_heavy_shippers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+    SELECT s_name, count(*) AS numwait
+    FROM supplier
+      JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      JOIN orders ON o_orderkey = l1.l_orderkey
+      JOIN nation ON s_nationkey = n_nationkey
+    WHERE o_orderstatus = 'F' AND n_regionkey = 1
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      JOIN orders o3 ON o3.o_orderkey = l3.l_orderkey
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o3.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 25
+"""
+
+
+@register(
+    "q21_waiting_suppliers",
+    _Q21_SQL,
+    doc="TPC-H Q21 shape: the sole late supplier on multi-supplier "
+    "orders — EXISTS + NOT EXISTS self-joins on the fact table, both "
+    "correlated on the join key so they compile to semi/anti hash joins "
+    "keyed on l_orderkey. 'Late' adapted to shipdate > orderdate + 60 "
+    "days.",
+    tags=("subquery", "semi", "anti", "tpch"),
+)
+def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.sql(_Q21_SQL)

@@ -58,6 +58,50 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "JSONExtractString": "get_json_object",  # path form differs; formatter below
     "toString": "string",
     "notEmpty": "notempty",  # placeholder, formatter below
+    # string family
+    "replaceAll": "replace",
+    "replaceRegexpAll": "regexp_replace",  # caveat: RE2 vs Java regex
+    "startsWith": "startswith",
+    "endsWith": "endswith",
+    "trimLeft": "ltrim",
+    "trimRight": "rtrim",
+    "trimBoth": "trim",
+    "lengthUTF8": "char_length",
+    "lowerUTF8": "lower",
+    "upperUTF8": "upper",
+    "reverseUTF8": "reverse",
+    "concatWithSeparator": "concat_ws",  # same (sep, parts...) order
+    "base64Encode": "base64",
+    "bitCount": "bit_count",
+    # math / stats
+    "roundBankers": "bround",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "skewPop": "skewness",
+    "kurtPop": "kurtosis",
+    "median": "median",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
+    "bitShiftLeft": "shiftleft",
+    "bitShiftRight": "shiftright",
+    # arrays / maps / structs
+    "arrayIntersect": "array_intersect",
+    "hasAny": "arrays_overlap",
+    "arrayMin": "array_min",
+    "arrayMax": "array_max",
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    "tuple": "struct",
+    # misc
+    "generateUUIDv4": "uuid",
+    "currentDatabase": "current_database",
+    "toTypeName": "typeof",  # caveat: returns Spark type names
 }
 
 
@@ -337,6 +381,177 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"arraySlice({', '.join(a)})"  # open-ended form: keep
 
         return array_slice
+    # ---- string / regex -------------------------------------------------
+    if name == "match":
+        return lambda a: f"({a[0]} RLIKE {a[1]})"
+    if name == "base64Decode":
+        return lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    if name == "multiSearchAny":
+        # CH multiSearchAny(haystack, [n1, n2, ...]) — the needle list
+        # arrives as an already-translated array(...) expression
+        return lambda a: f"exists({a[1]}, _n -> contains({a[0]}, _n))"
+    # ---- URL family (classic ClickHouse web-analytics surface) ----------
+    if name == "protocol":
+        return lambda a: f"parse_url({a[0]}, 'PROTOCOL')"
+    if name == "domain":
+        return lambda a: f"parse_url({a[0]}, 'HOST')"
+    if name == "domainWithoutWWW":
+        return lambda a: (
+            f"regexp_replace(parse_url({a[0]}, 'HOST'), '^www\\\\.', '')"
+        )
+    if name == "topLevelDomain":
+        return lambda a: (
+            f"regexp_extract(parse_url({a[0]}, 'HOST'), '\\\\.([^.]+)$', 1)"
+        )
+    if name == "path":
+        return lambda a: f"parse_url({a[0]}, 'PATH')"
+    if name == "queryString":
+        return lambda a: f"parse_url({a[0]}, 'QUERY')"
+    if name == "fragment":
+        return lambda a: f"parse_url({a[0]}, 'REF')"
+    if name == "extractURLParameter":
+        return lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})"
+    if name == "cutQueryString":
+        return lambda a: f"regexp_replace({a[0]}, '\\\\?.*', '')"
+    # ---- IP family ------------------------------------------------------
+    if name == "IPv4NumToString":
+        def ipv4_num_to_string(a: Args) -> str:
+            n = a[0]
+            octets = [
+                f"CAST((({n}) div {1 << (8 * k)}) % 256 AS STRING)"
+                for k in (3, 2, 1, 0)
+            ]
+            return f"concat({octets[0]}, '.', {octets[1]}, '.', {octets[2]}, '.', {octets[3]})"
+
+        return ipv4_num_to_string
+    if name == "IPv4StringToNum":
+        return lambda a: (
+            f"aggregate(transform(split({a[0]}, '\\\\.'), _o -> CAST(_o AS BIGINT)), "
+            f"CAST(0 AS BIGINT), (_acc, _o) -> _acc * 256 + _o)"
+        )
+    # ---- bit ops --------------------------------------------------------
+    if name == "bitAnd":
+        return lambda a: f"({a[0]} & {a[1]})"
+    if name == "bitOr":
+        return lambda a: f"({a[0]} | {a[1]})"
+    if name == "bitXor":
+        return lambda a: f"({a[0]} ^ {a[1]})"
+    if name == "bitNot":
+        return lambda a: f"(~{a[0]})"
+    if name == "bitTest":
+        return lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)"
+    # ---- type conversions (per the types.py widening conventions) -------
+    if name == "toInt8":
+        return _fmt_cast("TINYINT")
+    if name == "toInt16":
+        return _fmt_cast("SMALLINT")
+    if name == "toInt32":
+        return _fmt_cast("INT")
+    if name == "toInt64":
+        return _fmt_cast("BIGINT")
+    if name == "toUInt8":
+        return _fmt_cast("SMALLINT")
+    if name == "toUInt16":
+        return _fmt_cast("INT")
+    if name == "toUInt32":
+        return _fmt_cast("BIGINT")
+    if name == "toFloat32":
+        return _fmt_cast("FLOAT")
+    if name == "toFloat64":
+        return _fmt_cast("DOUBLE")
+    if name == "toDecimal32":
+        return lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))"
+    if name == "toDecimal64":
+        return lambda a: f"CAST({a[0]} AS DECIMAL(18, {a[1]}))"
+    if name == "toDecimal128":
+        return lambda a: f"CAST({a[0]} AS DECIMAL(38, {a[1]}))"
+    # ---- more dates -----------------------------------------------------
+    if name == "toStartOfMinute":
+        return lambda a: f"date_trunc('minute', {a[0]})"
+    if name == "toStartOfSecond":
+        return lambda a: f"date_trunc('second', {a[0]})"
+    if name == "yesterday":
+        return lambda a: "date_sub(current_date(), 1)"
+    # ---- more arrays ----------------------------------------------------
+    if name == "range":
+        def range_fmt(a: Args) -> str:
+            # CH range(n) = [0, n) — exclusive end, empty when n <= 0;
+            # Spark sequence(0, -1) would count DOWN, so guard the edge
+            if len(a) == 1:
+                return f"IF({a[0]} <= 0, array(), sequence(0, {a[0]} - 1))"
+            if len(a) == 2:
+                return (
+                    f"IF({a[1]} <= {a[0]}, array(), "
+                    f"sequence({a[0]}, {a[1]} - 1))"
+                )
+            return f"range({', '.join(a)})"  # stepped form: keep
+
+        return range_fmt
+    if name == "arrayPushBack":
+        return lambda a: f"concat({a[0]}, array({a[1]}))"
+    if name == "arrayPushFront":
+        return lambda a: f"concat(array({a[1]}), {a[0]})"
+    if name == "arrayPopBack":
+        return lambda a: f"slice({a[0]}, 1, greatest(size({a[0]}) - 1, 0))"
+    if name == "arrayPopFront":
+        return lambda a: (
+            f"IF(size({a[0]}) <= 1, slice({a[0]}, 1, 0), "
+            f"slice({a[0]}, 2, size({a[0]}) - 1))"
+        )
+    if name == "arrayDifference":
+        # first element 0 (typed via x - x), then adjacent deltas
+        return lambda a: (
+            f"transform(sequence(1, size({a[0]})), _i -> "
+            f"IF(_i = 1, element_at({a[0]}, 1) - element_at({a[0]}, 1), "
+            f"element_at({a[0]}, _i) - element_at({a[0]}, _i - 1)))"
+        )
+    if name == "arrayCumSum":
+        # running-sum scan via aggregate; slice(a, 1, 0) seeds an EMPTY
+        # array of a's element type (array() alone would be array<string>)
+        return lambda a: (
+            f"aggregate({a[0]}, slice({a[0]}, 1, 0), (_acc, _x) -> "
+            f"concat(_acc, array(IF(size(_acc) = 0, _x, "
+            f"element_at(_acc, -1) + _x))))"
+        )
+    if name == "arrayCompact":
+        # drop CONSECUTIVE duplicates (null-safe compare)
+        return lambda a: (
+            f"aggregate({a[0]}, slice({a[0]}, 1, 0), (_acc, _x) -> "
+            f"IF(size(_acc) > 0 AND element_at(_acc, -1) <=> _x, _acc, "
+            f"concat(_acc, array(_x))))"
+        )
+    if name == "arrayReverseSort":
+        def array_reverse_sort(a: Args) -> str:
+            if len(a) == 1:
+                return f"reverse(array_sort({a[0]}))"
+            return f"arrayReverseSort({', '.join(a)})"  # lambda form: keep
+
+        return array_reverse_sort
+    if name == "hasAll":
+        return lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if name == "tupleElement":
+        def tuple_element(a: Args) -> str:
+            idx = a[1].strip()
+            if idx.isdigit():  # positional (1-based) -> struct col{N}
+                return f"{a[0]}.col{idx}"
+            if idx.startswith("'") and idx.endswith("'"):
+                return f"{a[0]}.{idx[1:-1]}"
+            return f"tupleElement({', '.join(a)})"
+
+        return tuple_element
+    if name == "transform":
+        def transform_fmt(a: Args) -> str:
+            # CH's 4-arg transform(x, from_arr, to_arr, default) is a
+            # value remap — distinct from Spark's lambda transform, which
+            # is left untouched (detected by the `->` in arg 2)
+            if len(a) == 4 and "->" not in a[1]:
+                return (
+                    f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), "
+                    f"{a[0]}), {a[3]})"
+                )
+            return f"transform({', '.join(a)})"
+
+        return transform_fmt
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"
@@ -354,7 +569,7 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
-def _find_matching_paren(s: str, open_idx: int) -> int:
+def _find_matching(s: str, open_idx: int, open_c: str, close_c: str) -> int:
     depth = 0
     in_str = False
     i = open_idx
@@ -367,14 +582,18 @@ def _find_matching_paren(s: str, open_idx: int) -> int:
                 in_str = False
         elif c == "'":
             in_str = True
-        elif c == "(":
+        elif c == open_c:
             depth += 1
-        elif c == ")":
+        elif c == close_c:
             depth -= 1
             if depth == 0:
                 return i
         i += 1
     return -1
+
+
+def _find_matching_paren(s: str, open_idx: int) -> int:
+    return _find_matching(s, open_idx, "(", ")")
 
 
 def _split_top_args(s: str) -> Args:
@@ -421,6 +640,28 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     `allow_hash_substitution=True`, which substitutes xxhash64 with a
     warning — the VALUES differ from ClickHouse's.
     """
+    def subscripts(expr: str, k: int, allow_space: bool = True) -> tuple[str, int]:
+        # CH postfix indexing `expr[i]` is 1-based (maps: by key) —
+        # exactly Spark's element_at; Spark's own `[ ]` would be 0-based.
+        # Space before the bracket is only consumed after call/literal
+        # bases (allow_space): after a BARE identifier, `x [1]` could be
+        # a keyword + array literal (`... IN [1, 2]`), so adjacency is
+        # required there.
+        while k < len(sql):
+            j2 = k
+            if allow_space:
+                while j2 < len(sql) and sql[j2] in " \t\n":
+                    j2 += 1
+            if j2 >= len(sql) or sql[j2] != "[":
+                break
+            close_b = _find_matching(sql, j2, "[", "]")
+            if close_b == -1:
+                break
+            idx = translate_ch_sql(sql[j2 + 1 : close_b], allow_hash_substitution)
+            expr = f"element_at({expr}, {idx})"
+            k = close_b + 1
+        return expr, k
+
     out: list[str] = []
     i = 0
     n = len(sql)
@@ -438,6 +679,19 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             out.append(sql[i : j + 1])
             i = j + 1
             continue
+        if c == "[":
+            # bare bracket = ClickHouse array literal -> array(...)
+            # (subscripts are consumed right after their base expression
+            # below, so they never reach this branch)
+            close_b = _find_matching(sql, i, "[", "]")
+            if close_b != -1:
+                inner = translate_ch_sql(
+                    sql[i + 1 : close_b], allow_hash_substitution
+                )
+                expr = f"array({', '.join(_split_top_args(inner))})"
+                expr, i = subscripts(expr, close_b + 1)
+                out.append(expr)
+                continue
         m = _NAME_RE.match(sql, i)
         if not m:
             out.append(c)
@@ -461,8 +715,9 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
                     inner2 = translate_ch_sql(
                         sql[k + 1 : close2], allow_hash_substitution
                     )
-                    out.append(_PARAMETRIC[name](args, _split_top_args(inner2)))
-                    i = close2 + 1
+                    expr = _PARAMETRIC[name](args, _split_top_args(inner2))
+                    expr, i = subscripts(expr, close2 + 1)
+                    out.append(expr)
                     continue
             if name in _ENGINE_HASHES and allow_hash_substitution:
                 import warnings
@@ -483,11 +738,12 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             ].lstrip().upper().startswith("SELECT"):
                 fmt = None
             if fmt is not None:
-                out.append(fmt(args))
+                expr = fmt(args)
             else:
-                out.append(f"{name}({', '.join(args)})")
-            i = close + 1
+                expr = f"{name}({', '.join(args)})"
+            expr, i = subscripts(expr, close + 1)
+            out.append(expr)
         else:
-            out.append(name)
-            i = j
+            expr, i = subscripts(name, j, allow_space=False)
+            out.append(expr)
     return "".join(out)

@@ -397,3 +397,53 @@ def table_function_numbers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("number") % 7 == 0)
         .orderBy("number")
     )
+
+
+_URL_IP_CH_SQL = """
+    SELECT doc_id,
+           domain(url) AS host,
+           path(url) AS url_path,
+           extractURLParameter(url, 'lang') AS lang_param,
+           cutQueryString(url) AS base_url,
+           topLevelDomain(url) AS tld,
+           IPv4NumToString(toUInt32(doc_id) * 7919 + 11) AS ip_str,
+           IPv4StringToNum(IPv4NumToString(toUInt32(doc_id) * 7919 + 11)) AS ip_num
+    FROM (SELECT doc_id, lang,
+                 concat('https://www.', source, '.example.com/docs/',
+                        toString(doc_id), '?lang=', lang, '&v=2') AS url
+          FROM documents)
+    ORDER BY doc_id
+"""
+
+
+@register(
+    "url_ip_functions",
+    """
+    SELECT doc_id,
+           'www.' || source || '.example.com' AS host,
+           '/docs/' || CAST(doc_id AS VARCHAR) AS url_path,
+           lang AS lang_param,
+           'https://www.' || source || '.example.com/docs/'
+             || CAST(doc_id AS VARCHAR) AS base_url,
+           'com' AS tld,
+           CAST((n // 16777216) % 256 AS VARCHAR) || '.'
+             || CAST((n // 65536) % 256 AS VARCHAR) || '.'
+             || CAST((n // 256) % 256 AS VARCHAR) || '.'
+             || CAST(n % 256 AS VARCHAR) AS ip_str,
+           n AS ip_num
+    FROM (SELECT doc_id, source, lang,
+                 CAST(doc_id AS BIGINT) * 7919 + 11 AS n
+          FROM documents)
+    ORDER BY doc_id
+    """,
+    doc="ClickHouse URL + IP function families (domain/path/"
+    "extractURLParameter/cutQueryString/topLevelDomain, "
+    "IPv4NumToString/IPv4StringToNum round trip) run through the "
+    "dialect translator end-to-end; the oracle derives every value "
+    "independently from the URL's parts.",
+    tags=("functions", "dialect", "url", "ip"),
+)
+def url_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    return spark.sql(translate_ch_sql(_URL_IP_CH_SQL))

@@ -288,3 +288,121 @@ def test_position_swaps_args(client):
     assert row["p"] == 7
     assert row["pci"] == 7
     assert row["lp"] == "007"
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT [1, 2, 3]", "SELECT array(1, 2, 3)"),
+        ("SELECT arr[1], m['k']", "SELECT element_at(arr, 1), element_at(m, 'k')"),
+        ("SELECT f(x)[2]", "SELECT element_at(f(x), 2)"),
+        (
+            "SELECT [[1],[2]][1][1]",
+            "SELECT element_at(element_at(array(array(1), array(2)), 1), 1)",
+        ),
+        # Spark's own lambda transform is left untouched; CH's 4-arg
+        # value-remap transform becomes a map lookup
+        ("SELECT transform(a, x -> x + 1)", "SELECT transform(a, x -> x + 1)"),
+        (
+            "SELECT transform(c, [1], ['a'], 'z')",
+            "SELECT coalesce(element_at(map_from_arrays(array(1), array('a')), c), 'z')",
+        ),
+        ("SELECT domain(u)", "SELECT parse_url(u, 'HOST')"),
+        (
+            "SELECT extractURLParameter(u, 'id')",
+            "SELECT parse_url(u, 'QUERY', 'id')",
+        ),
+        ("SELECT match(s, '^a')", "SELECT (s RLIKE '^a')"),
+        ("SELECT toInt32(x)", "SELECT CAST(x AS INT)"),
+        ("SELECT toDecimal64(x, 4)", "SELECT CAST(x AS DECIMAL(18, 4))"),
+        ("SELECT bitAnd(a, b)", "SELECT (a & b)"),
+        ("SELECT tupleElement(t, 2)", "SELECT t.col2"),
+        ("SELECT tupleElement(t, 'name')", "SELECT t.name"),
+    ],
+)
+def test_bracket_and_new_family_translation(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_url_and_ip_values(client):
+    row = client.query_ch(
+        "SELECT domain('https://www.example.com/a/b?id=7&x=2#frag') AS d, "
+        "domainWithoutWWW('https://www.example.com/a') AS dw, "
+        "path('https://example.com/a/b?id=7') AS p, "
+        "queryString('https://example.com/a?id=7&x=2') AS q, "
+        "extractURLParameter('https://example.com/a?id=7&x=2', 'x') AS xp, "
+        "cutQueryString('https://example.com/a?id=7') AS cq, "
+        "topLevelDomain('https://sub.example.org/z') AS tld, "
+        "IPv4NumToString(3232235777) AS ip, "
+        "IPv4StringToNum('192.168.1.1') AS ipn"
+    ).first()
+    assert row["d"] == "www.example.com"
+    assert row["dw"] == "example.com"
+    assert row["p"] == "/a/b"
+    assert row["q"] == "id=7&x=2"
+    assert row["xp"] == "2"
+    assert row["cq"] == "https://example.com/a"
+    assert row["tld"] == "org"
+    assert row["ip"] == "192.168.1.1"
+    assert row["ipn"] == 3232235777
+
+
+def test_array_scan_builtins_values(client):
+    row = client.query_ch(
+        "SELECT arrayCumSum([1, 2, 3]) AS cs, "
+        "arrayDifference([10, 13, 11]) AS di, "
+        "arrayCompact([1, 1, 2, 2, 1]) AS co, "
+        "arrayPushBack([1, 2], 9) AS pb, "
+        "arrayPopFront([1, 2, 3]) AS pf, "
+        "range(4) AS r, "
+        "hasAll([1, 2, 3], [1, 3]) AS ha, "
+        "hasAny([1, 2], [2, 9]) AS hy, "
+        "multiSearchAny('hello world', ['xyz', 'wor']) AS ms"
+    ).first()
+    assert list(row["cs"]) == [1, 3, 6]
+    assert list(row["di"]) == [0, 3, -2]
+    assert list(row["co"]) == [1, 2, 1]
+    assert list(row["pb"]) == [1, 2, 9]
+    assert list(row["pf"]) == [2, 3]
+    assert list(row["r"]) == [0, 1, 2, 3]
+    assert row["ha"] is True
+    assert row["hy"] is True
+    assert row["ms"] is True
+
+
+def test_value_remap_transform_and_subscripts(client):
+    row = client.query_ch(
+        "SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], '?') AS t, "
+        "transform(9, [1], ['a'], '?') AS tdef, "
+        "[10, 20, 30][2] AS el, "
+        "quantiles(0.0, 1.0)(x) [1] AS qlo "
+        "FROM (SELECT 5 AS x UNION ALL SELECT 9)"
+    ).first()
+    assert row["t"] == "b"
+    assert row["tdef"] == "?"
+    assert row["el"] == 20
+    assert row["qlo"] == 5.0
+
+
+def test_bit_cast_string_values(client):
+    row = client.query_ch(
+        "SELECT bitAnd(12, 10) AS ba, bitOr(12, 10) AS bo, "
+        "bitXor(12, 10) AS bx, bitTest(5, 2) AS bt, "
+        "toInt16(300.9) AS i16, toUInt8(7) AS u8, "
+        "roundBankers(2.5) AS rb, "
+        "startsWith('spark', 'sp') AS sw, "
+        "base64Decode(base64Encode('hi')) AS b64, "
+        "replaceAll('a-b-c', '-', '+') AS rep, "
+        "concatWithSeparator('|', 'x', 'y') AS cws"
+    ).first()
+    assert row["ba"] == 8
+    assert row["bo"] == 14
+    assert row["bx"] == 6
+    assert row["bt"] == 1
+    assert row["i16"] == 300
+    assert row["u8"] == 7
+    assert row["rb"] == 2.0
+    assert row["sw"] is True
+    assert row["b64"] == "hi"
+    assert row["rep"] == "a+b+c"
+    assert row["cws"] == "x|y"

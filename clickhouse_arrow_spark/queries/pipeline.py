@@ -909,3 +909,42 @@ def q_vector_quantize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_vecs"),
         F.bool_and("_ok").alias("acc_ok"),
     )
+
+
+@register(
+    "stream_purchase_join",
+    """
+    SELECT c.user_id AS user_id,
+           c.event_id AS click_id,
+           p.event_id AS purchase_id,
+           c.ts AS click_ts,
+           p.ts AS purchase_ts,
+           p.value AS amount
+    FROM events c JOIN events p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+    ORDER BY user_id, click_ts, purchase_ts, click_id, purchase_id
+    """,
+    doc="REAL stream-stream interval join (watermarked both sides, "
+    "event-time-bounded condition so join state is evictable) drained "
+    "with availableNow; an inner interval join emits matches eagerly, "
+    "so the oracle is the exact batch interval join.",
+    tags=("streaming", "join", "interval"),
+)
+def q_stream_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        stream_stream_purchase_attribution,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    joined = stream_stream_purchase_attribution(stream, stream)
+    name = f"q_stream_join_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(joined, name, output_mode="append")
+    return out.orderBy(
+        "user_id", "click_ts", "purchase_ts", "click_id", "purchase_id"
+    )

@@ -1,8 +1,10 @@
 from clickhouse_arrow_spark.streaming.events import (
     read_events_stream,
     run_to_memory_sink,
+    run_to_parquet_sink,
     session_window_agg,
     stateful_running_counts,
+    stream_stream_purchase_attribution,
     streaming_dedup,
     tumbling_window_agg,
 )
@@ -10,8 +12,10 @@ from clickhouse_arrow_spark.streaming.events import (
 __all__ = [
     "read_events_stream",
     "run_to_memory_sink",
+    "run_to_parquet_sink",
     "session_window_agg",
     "stateful_running_counts",
+    "stream_stream_purchase_attribution",
     "streaming_dedup",
     "tumbling_window_agg",
 ]

@@ -169,3 +169,81 @@ def run_to_memory_sink(
     q.awaitTermination(timeout_s)
     spark = df.sparkSession
     return spark.table(name)
+
+
+def stream_stream_purchase_attribution(
+    clicks: DataFrame,
+    purchases: DataFrame,
+    horizon: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: attribute each purchase to the same
+    user's click events in the preceding `horizon` — the canonical
+    watermarked interval join (funnels, ad attribution, fraud pairing).
+
+    Both sides are watermarked and the join condition bounds event-time
+    distance, so Spark can size the join state buffer and EVICT rows
+    older than `watermark + horizon` — without the time bound a
+    stream-stream join would buffer both streams forever. State shards
+    on user_id (the equality key); per-user state is bounded by the
+    horizon at any stream length.
+    """
+    c = clicks.where(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"),
+        F.col("ts").alias("click_ts"),
+        F.col("event_id").alias("click_id"),
+    ).withWatermark("click_ts", watermark)
+    p = purchases.where(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("purchase_ts"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("value").alias("amount"),
+    ).withWatermark("purchase_ts", watermark)
+    return c.join(
+        p,
+        F.expr(
+            f"""
+            c_user = p_user AND
+            purchase_ts > click_ts AND
+            purchase_ts <= click_ts + INTERVAL {horizon}
+            """
+        ),
+    ).select(
+        F.col("c_user").alias("user_id"),
+        "click_id",
+        "purchase_id",
+        "click_ts",
+        "purchase_ts",
+        "amount",
+    )
+
+
+def run_to_parquet_sink(
+    df: DataFrame,
+    path: str,
+    checkpoint: str,
+    timeout_s: int = 120,
+) -> None:
+    """Execute a streaming DataFrame into a parquet directory via
+    `foreachBatch` with an idempotent per-batch write.
+
+    `foreachBatch` hands (batch_df, batch_id); writing each microbatch
+    to a `batch_id=<n>` subdirectory with mode=overwrite makes REPLAYED
+    batches (after a failure before the checkpoint commit) land on the
+    same path instead of duplicating rows — the standard exactly-once
+    recipe for non-transactional sinks. The checkpoint dir carries
+    offsets + state across restarts.
+    """
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("overwrite").parquet(
+            os.path.join(path, f"batch_id={batch_id}")
+        )
+
+    q = (
+        df.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(timeout_s)

@@ -81,3 +81,126 @@ def window_funnel(
     return timeline.select(
         F.col(user_col), fold.getField("level").alias("funnel_level")
     )
+
+
+# ---------------------------------------------------------------------------
+# sequenceMatch / sequenceCount
+# ---------------------------------------------------------------------------
+
+_ALPHABET_START = 97  # 'a'
+
+
+def ch_sequence_pattern_to_regex(pattern: str, n_conds: int) -> str:
+    """Translate a ClickHouse sequenceMatch pattern to a Java regex over
+    the per-user symbol string built by :func:`sequence_match`.
+
+    Each event becomes one character: 'a' for the first condition it
+    matches, 'b' for the second, ... and 'z' for events matching no
+    condition. ClickHouse pattern atoms map 1:1:
+      (?N) -> the N-th condition's symbol
+      .    -> any single event       -> [a-z]
+      .*   -> any number of events   -> [a-z]*
+    Time constraints ((?t>3600)) are not supported — use
+    :func:`window_funnel` for time-bounded sequences.
+    """
+    out: list[str] = []
+    i = 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "(" and pattern[i : i + 2] == "(?":
+            close = pattern.find(")", i)
+            if close == -1:
+                raise ValueError(f"unbalanced pattern: {pattern!r}")
+            ref = pattern[i + 2 : close]
+            if ref.startswith("t"):
+                raise NotImplementedError(
+                    "time-constrained sequence patterns ((?t...)): use "
+                    "window_funnel for time-bounded sequences"
+                )
+            n = int(ref)
+            if not 1 <= n <= n_conds:
+                raise ValueError(f"(?{n}) out of range for {n_conds} conditions")
+            out.append(chr(_ALPHABET_START + n - 1))
+            i = close + 1
+        elif c == "." and pattern[i : i + 2] == ".*":
+            out.append("[a-z]*")
+            i += 2
+        elif c == ".":
+            out.append("[a-z]")
+            i += 1
+        else:
+            raise ValueError(f"unsupported pattern atom at {i}: {pattern!r}")
+    return "".join(out)
+
+
+def _symbol_strings(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds: list[Column],
+    id_col: str | None,
+) -> DataFrame:
+    """Per-user event-symbol string in (ts, id) order — the shared
+    substrate of sequence_match/sequence_count. One keyed aggregation;
+    the fold state per user is a string linear in that user's events."""
+    sym = F.coalesce(
+        *[
+            F.when(c, F.lit(chr(_ALPHABET_START + i)))
+            for i, c in enumerate(conds)
+        ],
+        F.lit("z"),
+    )
+    order_cols = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
+    ordered = F.array_sort(
+        F.collect_list(F.struct(*order_cols, sym.alias("_sym")))
+    )
+    return df.groupBy(user_col).agg(
+        F.array_join(
+            F.transform(ordered, lambda e: e.getField("_sym")), ""
+        ).alias("_symbols")
+    )
+
+
+def sequence_match(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    pattern: str,
+    conds: list[Column],
+    id_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse `sequenceMatch(pattern)(ts, cond...)` per user:
+    (user_col, matched) where matched=1 iff the user's event sequence
+    (time-ordered, `id_col` as tie-break) contains the pattern.
+
+    Spark-first: events collapse to one character each, the pattern to
+    a regex, and the whole aggregate is collect_list + array_join +
+    rlike — one shuffle keyed on the user, no Python in the hot path.
+    Cites clickhouse-arrow: the reference ships these aggregates as SQL
+    text to the server (SURVEY §2.3); this is the engine-side
+    implementation.
+    """
+    regex = ch_sequence_pattern_to_regex(pattern, len(conds))
+    return _symbol_strings(df, user_col, ts_col, conds, id_col).select(
+        F.col(user_col),
+        F.col("_symbols").rlike(regex).cast("int").alias("matched"),
+    )
+
+
+def sequence_count(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    pattern: str,
+    conds: list[Column],
+    id_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse `sequenceCount(pattern)(ts, cond...)`: number of
+    NON-OVERLAPPING pattern occurrences per user (each search resumes
+    after the previous match — `regexp_count` semantics on the symbol
+    string, matching ClickHouse's)."""
+    regex = ch_sequence_pattern_to_regex(pattern, len(conds))
+    return _symbol_strings(df, user_col, ts_col, conds, id_col).select(
+        F.col(user_col),
+        F.regexp_count(F.col("_symbols"), F.lit(regex)).alias("n_matches"),
+    )

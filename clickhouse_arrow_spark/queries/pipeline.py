@@ -948,3 +948,39 @@ def q_stream_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy(
         "user_id", "click_ts", "purchase_ts", "click_id", "purchase_id"
     )
+
+
+@register(
+    "sequence_match_events",
+    """
+    WITH syms AS (
+      SELECT user_id,
+             string_agg(CASE WHEN event_type = 'click' THEN 'a'
+                             WHEN event_type = 'purchase' THEN 'b'
+                             ELSE 'z' END, '' ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(regexp_matches(s, 'a[a-z]*b') AS INT) AS matched,
+           CAST(len(regexp_extract_all(s, 'ab')) AS INT) AS n_adjacent
+    FROM syms ORDER BY user_id
+    """,
+    doc="ClickHouse sequenceMatch('(?1).*(?2)') + sequenceCount("
+    "'(?1)(?2)') over (click, purchase): per-user event-symbol strings "
+    "+ regex — one keyed aggregation, no Python. The oracle rebuilds "
+    "the symbol string with ordered string_agg and RE2.",
+    tags=("events", "sequence", "funnel"),
+)
+def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.funnel import (
+        sequence_count,
+        sequence_match,
+    )
+
+    ev = spark.table("events")
+    conds = [F.col("event_type") == "click", F.col("event_type") == "purchase"]
+    m = sequence_match(ev, "user_id", "ts", "(?1).*(?2)", conds, id_col="event_id")
+    c = sequence_count(
+        ev, "user_id", "ts", "(?1)(?2)", conds, id_col="event_id"
+    ).withColumnRenamed("n_matches", "n_adjacent")
+    return m.join(c, "user_id").orderBy("user_id")

@@ -371,3 +371,37 @@ def test_duplicate_survivors_transitive_chain(spark):
     got = sorted(r["doc_id"] for r in duplicate_survivors(ids, pairs).collect())
     # components: {1,3,5} -> 1, {2,6} -> 2, {4,7} -> 4
     assert got == [1, 2, 4]
+
+
+def test_sequence_match_and_count(spark):
+    from clickhouse_arrow_spark.operators.funnel import (
+        ch_sequence_pattern_to_regex,
+        sequence_count,
+        sequence_match,
+    )
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: a z b a b  -> '(?1).*(?2)' matches; 'ab' appears once
+        (1, 1.0, "A"), (1, 2.0, "X"), (1, 3.0, "B"), (1, 4.0, "A"), (1, 5.0, "B"),
+        # user 2: b a -> no a-before-b
+        (2, 1.0, "B"), (2, 2.0, "A"),
+        # user 3: a b a b -> two non-overlapping 'ab'
+        (3, 1.0, "A"), (3, 2.0, "B"), (3, 3.0, "A"), (3, 4.0, "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, et string")
+    conds = [F.col("et") == "A", F.col("et") == "B"]
+    m = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(df, "user_id", "ts", "(?1).*(?2)", conds).collect()
+    }
+    assert m == {1: 1, 2: 0, 3: 1}
+    c = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(df, "user_id", "ts", "(?1)(?2)", conds).collect()
+    }
+    assert c == {1: 1, 2: 0, 3: 2}
+    assert ch_sequence_pattern_to_regex("(?1).(?2)", 2) == "a[a-z]b"
+    with _pytest.raises(NotImplementedError):
+        ch_sequence_pattern_to_regex("(?t>10)(?1)", 1)

@@ -22,6 +22,8 @@ appear in order_by; `default` database is protected from drop.
 
 from __future__ import annotations
 
+import re
+
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -200,10 +202,27 @@ def create_bucketed_table(
     fact-fact joins. The ClickHouse analogue is distributed-table
     sharding by key; Spark's is first-class via `bucketBy`.
     """
+    spark = df.sparkSession
     writer = df.write.bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)
-    writer.mode("overwrite").format("parquet").saveAsTable(table)
+    # A fresh session's catalog may have forgotten a table whose files
+    # survive in the warehouse (in-memory metastore + persistent FS):
+    # drop the stale entry, and if the location itself lingers, remove
+    # it through the Hadoop FS API (works for any scheme, not just
+    # file://) and retry once.
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    try:
+        writer.mode("overwrite").format("parquet").saveAsTable(table)
+    except Exception as e:  # LOCATION_ALREADY_EXISTS carries the path
+        m = re.search(r"location '([^']+)' already exists", str(e))
+        if m is None:
+            raise
+        jvm = spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(m.group(1))
+        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+        writer.mode("overwrite").format("parquet").saveAsTable(table)
 
 
 def apply_ttl(spark: SparkSession, table: str) -> int:

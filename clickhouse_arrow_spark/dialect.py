@@ -102,6 +102,11 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "generateUUIDv4": "uuid",
     "currentDatabase": "current_database",
     "toTypeName": "typeof",  # caveat: returns Spark type names
+    "anyHeavy": "mode",  # heavy-hitter pick -> exact mode (superset)
+    "countMatches": "regexp_count",
+    "extractAll": "regexp_extract_all",  # caveat: CH falls back to the
+    # whole match when the pattern has no group; Spark extracts group 1
+    "toISOWeek": "weekofyear",  # Spark weekofyear IS ISO-8601
 }
 
 
@@ -552,6 +557,36 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"transform({', '.join(a)})"
 
         return transform_fmt
+    if name == "simpleLinearRegression":
+        # CH (x, y) -> (k, b); Spark regr_* take (y, x)
+        return lambda a: (
+            f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
+            f"'b', regr_intercept({a[1]}, {a[0]}))"
+        )
+    if name == "splitByRegexp":
+        return lambda a: f"split({a[1]}, {a[0]})"
+    if name == "tokens":
+        # CH tokenizer: maximal runs of alphanumerics
+        return lambda a: (
+            f"filter(split({a[0]}, '[^a-zA-Z0-9]+'), _t -> _t != '')"
+        )
+    if name == "ngrams":
+        def ngrams_fmt(a: Args) -> str:
+            s, k = a[0], a[1]
+            return (
+                f"transform(sequence(1, greatest(char_length({s}) - ({k}) + 1, 0)), "
+                f"_i -> substring({s}, _i, {k}))"
+            )
+
+        return ngrams_fmt
+    if name == "toYYYYMMDDhhmmss":
+        return lambda a: (
+            f"CAST(date_format({a[0]}, 'yyyyMMddHHmmss') AS BIGINT)"
+        )
+    if name == "addQuarters":
+        return lambda a: f"timestampadd(QUARTER, {a[1]}, {a[0]})"
+    if name == "subtractQuarters":
+        return lambda a: f"timestampadd(QUARTER, -({a[1]}), {a[0]})"
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"
@@ -564,6 +599,12 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    # exact distinct count saturating at N+1 (the CH cardinality guard)
+    "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
+    # CH (value, weight); Spark percentile's third arg is a frequency
+    "quantileExactWeighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, {a[1]})"
+    ),
 }
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")

@@ -406,3 +406,46 @@ def test_bit_cast_string_values(client):
     assert row["b64"] == "hi"
     assert row["rep"] == "a+b+c"
     assert row["cws"] == "x|y"
+
+
+def test_parametric_and_regression_values(client):
+    assert translate_ch_sql("SELECT uniqUpTo(3)(x)") == (
+        "SELECT least(count(DISTINCT x), 3 + 1)"
+    )
+    row = client.query_ch(
+        "SELECT uniqUpTo(2)(v) AS u2, uniqUpTo(9)(v) AS u9, "
+        "quantileExactWeighted(0.5)(v, w) AS qw, "
+        "anyHeavy(k) AS hh "
+        "FROM (SELECT 1 AS v, 1 AS w, 'a' AS k UNION ALL "
+        "      SELECT 2, 1, 'a' UNION ALL SELECT 3, 8, 'a' UNION ALL "
+        "      SELECT 4, 1, 'b')"
+    ).first()
+    assert row["u2"] == 3  # 4 distinct, saturates at N+1
+    assert row["u9"] == 4
+    assert row["qw"] == 3.0  # weight 8 dominates
+    assert row["hh"] == "a"
+    reg = client.query_ch(
+        "SELECT simpleLinearRegression(x, y) AS r "
+        "FROM (SELECT 1.0 AS x, 3.0 AS y UNION ALL SELECT 2.0, 5.0 "
+        "UNION ALL SELECT 3.0, 7.0)"
+    ).first()["r"]
+    assert abs(reg["k"] - 2.0) < 1e-9 and abs(reg["b"] - 1.0) < 1e-9
+
+
+def test_tokenizer_and_ngram_values(client):
+    row = client.query_ch(
+        "SELECT tokens('Hello, world! 42') AS tk, "
+        "ngrams('spark', 3) AS ng, "
+        "countMatches('a1b2c3', '[0-9]') AS cm, "
+        "splitByRegexp('[,;]', 'a,b;c') AS sr, "
+        "toISOWeek(CAST('2024-01-04' AS DATE)) AS iw, "
+        "toYYYYMMDDhhmmss(CAST('2024-03-05 07:08:09' AS TIMESTAMP)) AS ymdhms, "
+        "addQuarters(CAST('2024-01-15' AS TIMESTAMP), 2) AS aq"
+    ).first()
+    assert list(row["tk"]) == ["Hello", "world", "42"]
+    assert list(row["ng"]) == ["spa", "par", "ark"]
+    assert row["cm"] == 3
+    assert list(row["sr"]) == ["a", "b", "c"]
+    assert row["iw"] == 1
+    assert row["ymdhms"] == 20240305070809
+    assert str(row["aq"]) == "2024-07-15 00:00:00"

@@ -40,7 +40,9 @@ def window_funnel(
     events = (
         df.select(
             F.col(user_col),
-            F.col(ts_col).cast("double").alias("_t"),
+            # via TIMESTAMP: TIMESTAMP_NTZ has no direct DOUBLE cast, and the
+            # session tz is UTC so epoch seconds match DuckDB's epoch().
+            F.col(ts_col).cast("timestamp").cast("double").alias("_t"),
             step_expr.alias("_step"),
         )
         .where(F.col("_step") > 0)

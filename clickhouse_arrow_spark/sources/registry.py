@@ -51,6 +51,12 @@ def _nanos_ts_columns(path: str) -> list[str]:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Lazy parquet scan for one table, with ns-timestamp normalization."""
     path = os.path.join(sf_dir, f"{name}.parquet")
+    # Parquet timestamp[us] without isAdjustedToUTC otherwise infers as
+    # TIMESTAMP_NTZ (Spark 4 default), which breaks epoch casts and
+    # streaming watermarks downstream; reading as TIMESTAMP keeps the
+    # engine's DateTime semantics (session tz UTC) AND parquet filter
+    # pushdown on the column (a post-read cast would block it).
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(path)
     for col in _nanos_ts_columns(path):
         # integer division keeps full precision (ns value ~1.7e18 exceeds

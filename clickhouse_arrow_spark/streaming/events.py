@@ -38,6 +38,9 @@ def read_events_stream(
     from clickhouse_arrow_spark.sources.registry import load_table
 
     batch = load_table(spark, sf_dir, "events")
+    # load_table pinned inferTimestampNTZ=false, so this schema (and the
+    # file-stream source reading with it) carries TIMESTAMP, which
+    # withWatermark requires (NTZ event-time columns are rejected).
     raw_schema = spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
     # The file-stream source requires a directory: stream the sf dir with
     # a glob filter selecting only the events table.

@@ -1,0 +1,65 @@
+"""Deterministic sampling operators for training-data pipelines.
+
+The reference exposes ClickHouse `SAMPLE BY` through DDL
+(clickhouse-arrow/src/schema.rs:89-383 sample_by); the engine-side
+analogues here are deterministic, re-run-stable sampling rules a data
+pipeline needs: per-stratum rates (balance languages/sources before
+training) on an explicit modular key.
+
+Determinism over randomness is deliberate: re-runs, retries and
+backfills select the SAME rows, and the rule is plain integer
+arithmetic, so it is exactly reproducible in any engine (DuckDB oracle,
+a downstream validator, the reference's ClickHouse `SAMPLE` semantics
+of hashing a fixed sample key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+#: modulus of the sampling bucket space — rates quantize to 1/1000
+_BUCKETS = 1000
+#: small odd multiplier decorrelates the bucket from raw-key patterns
+#: (sequential ids, id % k == 0 subsets) while staying far inside
+#: bigint range under ANSI arithmetic for any realistic key
+_MIX_A = 37
+_MIX_B = 11
+
+
+def sample_bucket(key: Column) -> Column:
+    """The 0..999 sampling bucket of an integer key: (key*37 + 11) % 1000.
+    Engine-portable (no engine-specific hash), deterministic, uniform
+    over any key set without arithmetic structure mod 1000."""
+    return F.pmod(key * F.lit(_MIX_A) + F.lit(_MIX_B), F.lit(_BUCKETS))
+
+
+def stratified_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sample: keep a row iff its key's bucket
+    falls under its stratum's rate — `df.sampleBy` with reproducible,
+    engine-portable selection (sampleBy draws from a seeded RNG stream,
+    so results depend on partitioning; this rule depends only on data).
+
+    `rates` maps stratum value -> keep fraction (quantized to 1/1000);
+    strata not listed keep `default_rate`. One projection + filter —
+    no shuffle, fully pushdown-friendly for everything but the bucket
+    predicate itself.
+
+    At 100 TB: this is the language/source-balancing step of a corpus
+    build; because selection is keyed arithmetic, a later incremental
+    run over new partitions extends the SAME sample instead of
+    resampling the world.
+    """
+    rate_expr: Column = F.lit(int(default_rate * _BUCKETS))
+    for value, rate in sorted(rates.items()):
+        rate_expr = (
+            F.when(F.col(strata_col) == value, F.lit(int(rate * _BUCKETS)))
+            .otherwise(rate_expr)
+        )
+    return df.where(sample_bucket(F.col(key_col)) < rate_expr)

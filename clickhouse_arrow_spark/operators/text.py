@@ -371,3 +371,120 @@ def ngram_jaccard_pairs(
 
 # backwards-compatible alias (pre-rename)
 charset_jaccard_pairs = ngram_jaccard_pairs
+
+
+def _word_ngrams(text_col, n: int):
+    """Word n-grams of the normalized text as an array<string> column.
+    Exactly max(tokens - n + 1, 0) grams — a doc shorter than n tokens
+    yields an EMPTY array (sequence(1, 0) would count DOWN in Spark, so
+    the short case is branched explicitly)."""
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(text_col)), r"\s+", " "), " "
+    )
+    grams = F.transform(
+        F.sequence(F.lit(1), F.size(tokens) - F.lit(n - 1)),
+        lambda i: F.array_join(F.slice(tokens, i, n), " "),
+    )
+    return F.when(F.size(tokens) >= n, grams).otherwise(
+        F.slice(F.split(F.lit(""), " "), 1, 0)  # empty array<string>
+    )
+
+
+def decontaminate(
+    docs: DataFrame,
+    bench: DataFrame,
+    n: int = 8,
+    min_overlap: int = 1,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    bench_id_col: str = "bench_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Benchmark decontamination: find training documents sharing word
+    n-grams with an evaluation/benchmark set — the standard
+    train/test-contamination scan (n=8..13-gram overlap) run before
+    training.
+
+    Returns (id_col, bench_id_col, n_shared): the number of DISTINCT
+    n-grams each (document, benchmark item) pair shares, for every pair
+    with n_shared >= min_overlap. Callers drop or flag the matched docs.
+
+    Scale shape: the benchmark side is broadcast — eval sets are tiny
+    by definition (thousands of items vs billions of docs), so the
+    corpus never shuffles for the join; the only exchange is the final
+    (doc, bench) overlap count, whose cardinality is bounded by real
+    contamination. Distinct-gram explode keeps a doc's repeated phrase
+    from inflating its own overlap count.
+    """
+    doc_grams = docs.select(
+        F.col(id_col),
+        F.explode(F.array_distinct(_word_ngrams(F.col(text_col), n))).alias(
+            "_gram"
+        ),
+    )
+    bench_grams = F.broadcast(
+        bench.select(
+            F.col(bench_id_col),
+            F.explode(
+                F.array_distinct(_word_ngrams(F.col(bench_text_col), n))
+            ).alias("_gram"),
+        )
+    )
+    return (
+        doc_grams.join(bench_grams, "_gram")
+        .groupBy(id_col, bench_id_col)
+        .agg(F.count("*").alias("n_shared"))
+        .where(F.col("n_shared") >= min_overlap)
+    )
+
+
+def repetition_metrics(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher-style within-document repetition signals: the share of the
+    most frequent word bigram and the duplicate-word fraction — the
+    repetition filters that catch boilerplate/spam documents a plain
+    length/alpha quality score misses.
+
+    Returns (id_col, n_bigrams, top_bigram_n, top_bigram_share,
+    dup_word_frac) for every document with at least one bigram.
+
+    Scale shape: bigrams explode -> count per (doc, bigram) with
+    map-side partial aggregation -> max/sum per doc; both exchanges are
+    keyed on the doc (uniform), and the per-doc token projection for
+    dup_word_frac is shuffle-free, joined back on the doc id.
+    """
+    tokens = F.split(
+        F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " "
+    )
+    bigram_counts = (
+        df.select(
+            F.col(id_col),
+            F.explode(_word_ngrams(F.col(text_col), 2)).alias("_bigram"),
+        )
+        .groupBy(id_col, "_bigram")
+        .agg(F.count("*").alias("_n"))
+    )
+    per_doc = bigram_counts.groupBy(id_col).agg(
+        F.sum("_n").alias("n_bigrams"),
+        F.max("_n").alias("top_bigram_n"),
+    )
+    words = df.select(
+        F.col(id_col),
+        (
+            F.lit(1.0)
+            - F.size(F.array_distinct(tokens)).cast("double")
+            / F.size(tokens).cast("double")
+        ).alias("_dwf"),
+    )
+    return per_doc.join(words, id_col).select(
+        F.col(id_col),
+        F.col("n_bigrams"),
+        F.col("top_bigram_n"),
+        F.round(
+            F.col("top_bigram_n").cast("double")
+            / F.col("n_bigrams").cast("double"),
+            6,
+        ).alias("top_bigram_share"),
+        F.round(F.col("_dwf"), 6).alias("dup_word_frac"),
+    )

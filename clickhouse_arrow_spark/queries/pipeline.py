@@ -556,6 +556,123 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.train_split(spark.table("documents")).orderBy("doc_id")
 
 
+@register(
+    "text_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT DISTINCT doc_id, g FROM (
+        SELECT doc_id,
+               unnest(list_transform(range(1, greatest(len(t) - 7, 0) + 1),
+                      i -> array_to_string(t[i:i+7], ' '))) AS g
+        FROM toks
+      )
+    ),
+    bench AS (SELECT doc_id AS bench_id, g FROM grams WHERE doc_id % 97 = 0)
+    SELECT d.doc_id, b.bench_id, count(*) AS n_shared
+    FROM grams d JOIN bench b USING (g)
+    GROUP BY d.doc_id, b.bench_id
+    ORDER BY d.doc_id, b.bench_id
+    """,
+    doc="Benchmark decontamination (operators/text.decontaminate): "
+    "count distinct 8-gram overlaps between every training document and "
+    "a benchmark set (here: docs with doc_id % 97 = 0 standing in for "
+    "an eval suite) — the train/test-contamination scan run before "
+    "training. Benchmark grams broadcast (eval sets are tiny), corpus "
+    "never shuffles for the join.",
+    tags=("text", "decontamination", "dedup"),
+)
+def q_text_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents")
+    bench = docs.where(F.col("doc_id") % 97 == 0).select(
+        F.col("doc_id").alias("bench_id"), "text"
+    )
+    return text.decontaminate(docs, bench, n=8).orderBy("doc_id", "bench_id")
+
+
+@register(
+    "text_repetition",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS t
+      FROM documents
+    ),
+    bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(t)),
+                    i -> t[i] || ' ' || t[i+1])) AS b
+      FROM toks
+    ),
+    bc AS (SELECT doc_id, b, count(*) AS n FROM bg GROUP BY doc_id, b),
+    pd AS (
+      SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+             CAST(max(n) AS BIGINT) AS top_bigram_n
+      FROM bc GROUP BY doc_id
+    ),
+    w AS (
+      SELECT doc_id,
+             round(1 - CAST(len(list_distinct(t)) AS DOUBLE) / len(t), 6)
+               AS dup_word_frac
+      FROM toks
+    )
+    SELECT pd.doc_id, n_bigrams, top_bigram_n,
+           round(CAST(top_bigram_n AS DOUBLE) / n_bigrams, 6) AS top_bigram_share,
+           dup_word_frac
+    FROM pd JOIN w ON pd.doc_id = w.doc_id
+    ORDER BY pd.doc_id
+    """,
+    doc="Gopher-style repetition quality filters "
+    "(operators/text.repetition_metrics): top-bigram share and "
+    "duplicate-word fraction per document — the boilerplate/spam "
+    "signals a length/alpha score misses. Exchanges keyed on the doc "
+    "id only; bigram counts combine map-side.",
+    tags=("text", "quality", "repetition"),
+)
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.repetition_metrics(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "sample_stratified",
+    """
+    SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS keysum
+    FROM documents
+    WHERE (doc_id * 37 + 11) % 1000 <
+      CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
+           ELSE 50 END
+    GROUP BY lang
+    ORDER BY lang
+    """,
+    doc="Deterministic stratified sampling "
+    "(operators/sampling.stratified_sample): per-language keep rates "
+    "(en 50%, de 25%, zh 10%, default 5%) selected by keyed modular "
+    "arithmetic — re-run-stable (unlike sampleBy's RNG stream) and "
+    "engine-portable, the corpus language-balancing step. Verified per "
+    "stratum by count + key checksum.",
+    tags=("sample", "stratified"),
+)
+def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.sampling import stratified_sample
+
+    sampled = stratified_sample(
+        spark.table("documents"),
+        rates={"en": 0.5, "de": 0.25, "zh": 0.1},
+        strata_col="lang",
+        key_col="doc_id",
+        default_rate=0.05,
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(F.count("*").alias("n"), F.sum("doc_id").alias("keysum"))
+        .orderBy("lang")
+    )
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

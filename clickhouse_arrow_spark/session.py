@@ -44,6 +44,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # µs (SURVEY §7 hard part 4: DateTime64(9) class). Read nanos as long,
     # then sources.registry converts to µs timestamps deterministically.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # timestamp[us] without isAdjustedToUTC must read as TIMESTAMP, not
+    # TIMESTAMP_NTZ: epoch casts and streaming watermarks depend on it
+    # (sources.registry.load_table also pins this for plain sessions).
+    "spark.sql.parquet.inferTimestampNTZ.enabled": "false",
 }
 
 

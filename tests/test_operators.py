@@ -405,3 +405,77 @@ def test_sequence_match_and_count(spark):
     assert ch_sequence_pattern_to_regex("(?1).(?2)", 2) == "a[a-z]b"
     with _pytest.raises(NotImplementedError):
         ch_sequence_pattern_to_regex("(?t>10)(?1)", 1)
+
+
+def test_decontaminate_planted_overlap(spark):
+    from clickhouse_arrow_spark.operators.text import decontaminate
+
+    prompt = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro words then {prompt} and a tail"),   # contains the prompt
+            (2, "nothing shared with the benchmark at all here today"),
+            (3, f"{prompt} {prompt}"),  # repeated: distinct grams count once per gram
+        ],
+        "doc_id long, text string",
+    )
+    bench = spark.createDataFrame([(100, prompt)], "bench_id long, text string")
+    got = {
+        (r["doc_id"], r["bench_id"]): r["n_shared"]
+        for r in decontaminate(docs, bench, n=8).collect()
+    }
+    # the bench item has exactly ONE 8-gram; docs 1 and 3 contain it
+    assert got == {(1, 100): 1, (3, 100): 1}
+
+
+def test_decontaminate_short_docs_no_grams(spark):
+    from clickhouse_arrow_spark.operators.text import decontaminate
+
+    docs = spark.createDataFrame(
+        [(1, "too short for an eight gram")], "doc_id long, text string"
+    )
+    bench = spark.createDataFrame(
+        [(9, "too short for an eight gram")], "bench_id long, text string"
+    )
+    # 6 tokens < n=8 -> zero grams on both sides -> no pairs (and no error
+    # from Spark's descending sequence() edge)
+    assert decontaminate(docs, bench, n=8).count() == 0
+
+
+def test_repetition_metrics_flags_boilerplate(spark):
+    from clickhouse_arrow_spark.operators.text import repetition_metrics
+
+    docs = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam"),          # one bigram repeated 4x
+            (2, "all words here are fully distinct"),  # every bigram unique
+        ],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in repetition_metrics(docs).collect()}
+    assert rows[1]["n_bigrams"] == 4
+    assert rows[1]["top_bigram_n"] == 4
+    assert rows[1]["top_bigram_share"] == 1.0
+    assert rows[1]["dup_word_frac"] == 0.8  # 1 distinct of 5 tokens
+    assert rows[2]["top_bigram_n"] == 1
+    assert rows[2]["dup_word_frac"] == 0.0
+
+
+def test_stratified_sample_rates_and_determinism(spark):
+    from clickhouse_arrow_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, "a").otherwise("b").alias("s"),
+    )
+    out = stratified_sample(df, {"a": 0.5, "b": 0.1}, "s", "k")
+    counts = {r["s"]: r["n"] for r in out.groupBy("s").agg(F.count("*").alias("n")).collect()}
+    # modular buckets are exactly uniform over a contiguous key range
+    assert abs(counts["a"] - 2500) < 150
+    assert abs(counts["b"] - 500) < 60
+    # determinism: same rows on a re-run (checksum, not just count)
+    s1 = out.agg(F.sum("k")).first()[0]
+    s2 = stratified_sample(df, {"a": 0.5, "b": 0.1}, "s", "k").agg(F.sum("k")).first()[0]
+    assert s1 == s2
+    # unlisted strata keep default_rate=0 -> dropped entirely
+    assert stratified_sample(df, {"a": 0.5}, "s", "k").where(F.col("s") == "b").count() == 0

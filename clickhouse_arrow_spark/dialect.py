@@ -557,6 +557,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"transform({', '.join(a)})"
 
         return transform_fmt
+    if name == "avgWeighted":
+        # CH avgWeighted(x, w) = sum(x*w)/sum(w); NULL when sum(w) = 0
+        # falls out of Spark's null-on-zero-denominator division under
+        # the same inputs CH returns nan for — callers gate on sum(w).
+        return lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+    if name == "countEqual":
+        return lambda a: (
+            f"CAST(size(filter({a[0]}, _e -> _e <=> {a[1]})) AS BIGINT)"
+        )
+    if name == "sumCount":
+        return lambda a: (
+            f"named_struct('sum', sum({a[0]}), 'count', count({a[0]}))"
+        )
     if name == "simpleLinearRegression":
         # CH (x, y) -> (k, b); Spark regr_* take (y, x)
         return lambda a: (
@@ -599,6 +612,7 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
     "quantiles": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
+    "quantilesExact": lambda p, a: f"percentile({a[0]}, array({', '.join(p)}))",
     # exact distinct count saturating at N+1 (the CH cardinality guard)
     "uniqUpTo": lambda p, a: f"least(count(DISTINCT {a[0]}), {p[0]} + 1)",
     # CH (value, weight); Spark percentile's third arg is a frequency
@@ -606,6 +620,73 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
         f"percentile({a[0]}, {p[0]}, {a[1]})"
     ),
 }
+
+_GROUP_BY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")
+_TOTALS_RE = re.compile(r"(?i)\bWITH\s+TOTALS\b")
+#: clause keywords that END a group-by expression list — hitting one at
+#: depth 0 means this GROUP BY has no TOTALS (CH places WITH TOTALS
+#: immediately after the grouping expressions, before HAVING)
+_GROUP_END_RE = re.compile(
+    r"(?i)\b(HAVING|ORDER|LIMIT|WINDOW|QUALIFY|UNION|EXCEPT|INTERSECT|"
+    r"SETTINGS|FORMAT)\b"
+)
+
+
+def _rewrite_with_totals(sql: str) -> str:
+    """`GROUP BY <exprs> WITH TOTALS` -> `GROUP BY GROUPING SETS
+    ((<exprs>), ())` — the totals row is the empty grouping set.
+
+    Semantics note: ClickHouse renders the totals row's key columns as
+    type defaults (0 / ''), GROUPING SETS as NULL — the aggregate
+    values are identical; key-column tests should use the NULL marker.
+    Paren/quote-aware linear scan, one GROUP BY at a time; a clause
+    keyword or the subquery's closing paren ends the search.
+    """
+    i = 0
+    while True:
+        m = _GROUP_BY_RE.search(sql, i)
+        if not m:
+            return sql
+        j = m.end()
+        depth = 0
+        in_str = False
+        k = j
+        totals = None
+        while k < len(sql):
+            c = sql[k]
+            if in_str:
+                if c == "\\":
+                    k += 1
+                elif c == "'":
+                    in_str = False
+            elif c == "'":
+                in_str = True
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth < 0:
+                    break
+            elif depth == 0 and c.isalpha() and (
+                k == 0 or not (sql[k - 1].isalnum() or sql[k - 1] == "_")
+            ):
+                m2 = _TOTALS_RE.match(sql, k)
+                if m2:
+                    totals = (k, m2.end())
+                    break
+                if _GROUP_END_RE.match(sql, k):
+                    break
+            k += 1
+        if totals is None:
+            i = j
+            continue
+        exprs = sql[j : totals[0]].strip()
+        sql = (
+            sql[: m.start()]
+            + f"GROUP BY GROUPING SETS (({exprs}), ())"
+            + sql[totals[1] :]
+        )
+        i = m.start() + 1
 
 _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
@@ -680,7 +761,12 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     functions (cityHash64/sipHash64/halfMD5/farmHash64) unless
     `allow_hash_substitution=True`, which substitutes xxhash64 with a
     warning — the VALUES differ from ClickHouse's.
+
+    Statement-level: `GROUP BY ... WITH TOTALS` rewrites to the
+    equivalent GROUPING SETS form (totals row keys arrive as NULL, not
+    ClickHouse's type defaults — aggregate values identical).
     """
+    sql = _rewrite_with_totals(sql)
     def subscripts(expr: str, k: int, allow_space: bool = True) -> tuple[str, int]:
         # CH postfix indexing `expr[i]` is 1-based (maps: by key) —
         # exactly Spark's element_at; Spark's own `[ ]` would be 0-based.

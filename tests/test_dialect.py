@@ -449,3 +449,60 @@ def test_tokenizer_and_ngram_values(client):
     assert row["iw"] == 1
     assert row["ymdhms"] == 20240305070809
     assert str(row["aq"]) == "2024-07-15 00:00:00"
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        (
+            "SELECT k, sum(v) FROM t GROUP BY k WITH TOTALS",
+            "SELECT k, sum(v) FROM t GROUP BY GROUPING SETS ((k), ())",
+        ),
+        (
+            "SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS HAVING count() > 1",
+            "SELECT a, b, count() FROM t GROUP BY GROUPING SETS ((a, b), ()) HAVING count() > 1",
+        ),
+        # no TOTALS -> untouched; scan must stop at ORDER BY
+        (
+            "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k",
+            "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k",
+        ),
+        # second branch of a union has the TOTALS, first does not
+        (
+            "SELECT k FROM t GROUP BY k UNION ALL SELECT k FROM t GROUP BY k WITH TOTALS",
+            "SELECT k FROM t GROUP BY k UNION ALL SELECT k FROM t GROUP BY GROUPING SETS ((k), ())",
+        ),
+        ("SELECT avgWeighted(x, w)", "SELECT (sum((x) * (w)) / sum(w))"),
+        (
+            "SELECT countEqual([1, 2, 2], 2)",
+            "SELECT CAST(size(filter(array(1, 2, 2), _e -> _e <=> 2)) AS BIGINT)",
+        ),
+        (
+            "SELECT quantilesExact(0.25, 0.75)(v)",
+            "SELECT percentile(v, array(0.25, 0.75))",
+        ),
+    ],
+)
+def test_totals_and_weighted_translations(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_with_totals_executes(client):
+    rows = client.query_ch(
+        "SELECT o_orderstatus AS st, count(*) AS n FROM orders "
+        "GROUP BY o_orderstatus WITH TOTALS ORDER BY st NULLS LAST"
+    ).collect()
+    # last row is the totals row (NULL key), n = sum of the others
+    assert rows[-1]["st"] is None
+    assert rows[-1]["n"] == sum(r["n"] for r in rows[:-1])
+    per_status = [r for r in rows[:-1]]
+    assert all(r["st"] is not None for r in per_status)
+
+
+def test_avg_weighted_and_count_equal_execute(client):
+    row = client.query_ch(
+        "SELECT avgWeighted(x, w) AS aw, countEqual([1, 2, 2, 3], 2) AS ce "
+        "FROM (SELECT 10.0 AS x, 1.0 AS w UNION ALL SELECT 20.0, 3.0)"
+    ).first()
+    assert abs(float(row["aw"]) - 17.5) < 1e-9  # decimal literals -> Decimal
+    assert row["ce"] == 2

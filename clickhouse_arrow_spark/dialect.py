@@ -632,6 +632,127 @@ _GROUP_END_RE = re.compile(
 )
 
 
+def _scan_mask(sql: str) -> list[tuple[int, bool]]:
+    """Per-character (paren depth, inside-string) mask for the
+    statement-level rewrites — so clause keywords found by regex can be
+    rejected when they sit inside a subquery or a string literal."""
+    out: list[tuple[int, bool]] = []
+    depth = 0
+    in_str = False
+    i = 0
+    n = len(sql)
+    while i < n:
+        c = sql[i]
+        if in_str:
+            out.append((depth, True))
+            if c == "\\" and i + 1 < n:
+                out.append((depth, True))
+                i += 2
+                continue
+            if c == "'":
+                in_str = False
+            i += 1
+            continue
+        if c == "'":
+            in_str = True
+            out.append((depth, True))
+        elif c == "(":
+            out.append((depth, False))
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            out.append((depth, False))
+        else:
+            out.append((depth, False))
+        i += 1
+    return out
+
+
+def _find_clean(pattern: "re.Pattern[str]", sql: str, start: int = 0,
+                depth0: bool = True):
+    """First regex match not inside a string literal (and at paren depth
+    0 when `depth0`)."""
+    mask = _scan_mask(sql)
+    m = pattern.search(sql, start)
+    while m and (mask[m.start()][1] or (depth0 and mask[m.start()][0] != 0)):
+        m = pattern.search(sql, m.end())
+    return m
+
+
+_SAMPLE_RE = re.compile(r"(?i)\bSAMPLE\s+(0?\.\d+|1\.0|(\d+)\s*/\s*(\d+))")
+
+
+def _rewrite_sample(sql: str) -> str:
+    """ClickHouse `FROM t SAMPLE 0.1` / `SAMPLE 1/10` -> Spark
+    `TABLESAMPLE (10 PERCENT)`. Fractional forms only: `SAMPLE n` with
+    integer n is ClickHouse's approximate-row-count form with no Spark
+    equivalent and is left untouched (Spark then reports the clear
+    parse error rather than silently sampling a different amount)."""
+    while True:
+        m = _find_clean(_SAMPLE_RE, sql, depth0=False)
+        if not m:
+            return sql
+        if m.group(2):
+            pct = 100.0 * int(m.group(2)) / int(m.group(3))
+        else:
+            pct = 100.0 * float(m.group(1))
+        sql = f"{sql[: m.start()]}TABLESAMPLE ({pct:g} PERCENT){sql[m.end():]}"
+
+
+_LIMIT_BY_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s+BY\b")
+_ORDER_BY_RE = re.compile(r"(?i)\bORDER\s+BY\b")
+_AFTER_LIMIT_BY_RE = re.compile(r"(?i)\b(LIMIT|SETTINGS|FORMAT)\b")
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse `... [ORDER BY o] LIMIT n BY k [LIMIT m]` -> a
+    row_number() window over the head query:
+
+        SELECT * EXCEPT (_rn) FROM (
+          SELECT _q.*, row_number() OVER (
+            PARTITION BY k ORDER BY o|k) AS _rn FROM (<head>) AS _q
+        ) WHERE _rn <= n [ORDER BY o] [LIMIT m]
+
+    Top-level LIMIT BY only (a LIMIT BY inside a parenthesised FROM
+    subquery is left as-is); ORDER BY expressions must be visible in
+    the head's output (aliases are — they resolve against _q). Without
+    ORDER BY, ClickHouse keeps arbitrary rows per key; the rewrite
+    orders by the key expressions for determinism.
+    """
+    m = _find_clean(_LIMIT_BY_RE, sql)
+    if not m:
+        return sql
+    n = int(m.group(1))
+    # BY expressions run to the next top-level clause keyword or EOS
+    tail_m = _find_clean(_AFTER_LIMIT_BY_RE, sql, start=m.end())
+    by_end = tail_m.start() if tail_m else len(sql)
+    by_exprs = sql[m.end() : by_end].strip().rstrip(";").strip()
+    tail = sql[by_end:].strip() if tail_m else ""
+    head = sql[: m.start()].strip()
+    # split a top-level ORDER BY off the head (the window takes it over)
+    order = None
+    om = _find_clean(_ORDER_BY_RE, head)
+    while om:
+        nxt = _find_clean(_ORDER_BY_RE, head, start=om.end())
+        if not nxt:
+            break
+        om = nxt
+    if om:
+        order = head[om.end() :].strip()
+        head = head[: om.start()].strip()
+    order_clause = order or by_exprs
+    out = (
+        f"SELECT * EXCEPT (_rn) FROM (SELECT _q.*, row_number() OVER "
+        f"(PARTITION BY {by_exprs} ORDER BY {order_clause}) AS _rn "
+        f"FROM ({head}) AS _q) WHERE _rn <= {n}"
+    )
+    if order:
+        out += f" ORDER BY {order}"
+    if tail:
+        out += f" {tail}"
+    return out
+
+
 def _rewrite_with_totals(sql: str) -> str:
     """`GROUP BY <exprs> WITH TOTALS` -> `GROUP BY GROUPING SETS
     ((<exprs>), ())` — the totals row is the empty grouping set.
@@ -764,9 +885,13 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
 
     Statement-level: `GROUP BY ... WITH TOTALS` rewrites to the
     equivalent GROUPING SETS form (totals row keys arrive as NULL, not
-    ClickHouse's type defaults — aggregate values identical).
+    ClickHouse's type defaults — aggregate values identical);
+    `LIMIT n BY keys` to a row_number() window wrap; fractional
+    `SAMPLE 0.1` to `TABLESAMPLE (10 PERCENT)`.
     """
     sql = _rewrite_with_totals(sql)
+    sql = _rewrite_limit_by(sql)
+    sql = _rewrite_sample(sql)
     def subscripts(expr: str, k: int, allow_space: bool = True) -> tuple[str, int]:
         # CH postfix indexing `expr[i]` is 1-based (maps: by key) —
         # exactly Spark's element_at; Spark's own `[ ]` would be 0-based.

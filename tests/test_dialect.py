@@ -506,3 +506,54 @@ def test_avg_weighted_and_count_equal_execute(client):
     ).first()
     assert abs(float(row["aw"]) - 17.5) < 1e-9  # decimal literals -> Decimal
     assert row["ce"] == 2
+
+
+def test_limit_by_translation_text():
+    got = translate_ch_sql(
+        "SELECT user_id, event_type, value FROM events "
+        "ORDER BY value DESC LIMIT 2 BY user_id LIMIT 10"
+    )
+    assert got == (
+        "SELECT * EXCEPT (_rn) FROM (SELECT _q.*, row_number() OVER "
+        "(PARTITION BY user_id ORDER BY value DESC) AS _rn "
+        "FROM (SELECT user_id, event_type, value FROM events) AS _q) "
+        "WHERE _rn <= 2 ORDER BY value DESC LIMIT 10"
+    )
+    # no ORDER BY -> deterministic order over the key expressions
+    got2 = translate_ch_sql("SELECT k, v FROM t LIMIT 1 BY k")
+    assert "PARTITION BY k ORDER BY k" in got2 and "_rn <= 1" in got2
+    # plain LIMIT (no BY) untouched
+    assert translate_ch_sql("SELECT k FROM t LIMIT 5") == "SELECT k FROM t LIMIT 5"
+
+
+def test_sample_translation_text():
+    assert translate_ch_sql("SELECT * FROM t SAMPLE 0.1") == (
+        "SELECT * FROM t TABLESAMPLE (10 PERCENT)"
+    )
+    assert translate_ch_sql("SELECT * FROM t SAMPLE 1/4") == (
+        "SELECT * FROM t TABLESAMPLE (25 PERCENT)"
+    )
+    # integer-count form has no Spark equivalent: untouched
+    assert "SAMPLE 1000" in translate_ch_sql("SELECT * FROM t SAMPLE 1000")
+    # inside a string literal: untouched
+    assert translate_ch_sql("SELECT 'SAMPLE 0.5' AS s") == "SELECT 'SAMPLE 0.5' AS s"
+
+
+def test_limit_by_executes(client):
+    rows = client.query_ch(
+        "SELECT o_custkey, o_orderkey, o_totalprice FROM orders "
+        "ORDER BY o_totalprice DESC LIMIT 2 BY o_custkey LIMIT 1000"
+    ).collect()
+    assert 0 < len(rows) <= 1000
+    from collections import Counter
+
+    per_cust = Counter(r["o_custkey"] for r in rows)
+    assert max(per_cust.values()) <= 2  # at most 2 rows per customer
+    # and the kept rows per customer are that customer's most expensive
+    assert rows[0]["o_totalprice"] >= rows[-1]["o_totalprice"]
+
+
+def test_sample_executes(client):
+    total = client.query_ch("SELECT count(*) AS n FROM orders").first()["n"]
+    got = client.query_ch("SELECT count(*) AS n FROM orders SAMPLE 0.2").first()["n"]
+    assert 0 < got < total  # bernoulli sample: strictly between

@@ -193,6 +193,8 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
            array_to_string(list_sort(string_split(p_name, ' ')), '-') AS joined,
            coalesce(array_to_string(list_filter(string_split(p_name, ' '),
                                        w -> length(w) > 5), '|'), '') AS long_words,
+           CAST(len(list_filter(string_split(p_name, ' '),
+                                w -> length(w) > 5)) AS INT) AS n_long,
            array_to_string(list_transform(string_split(p_name, ' '),
                                           w -> upper(w)), '|') AS upper_words
     FROM part
@@ -220,6 +222,9 @@ def fn_array(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_join(
             F.filter(words, lambda w: F.length(w) > 5), "|"
         ).alias("long_words"),
+        # element count disambiguates the joined string (a '|' inside a
+        # token vs an element boundary would otherwise hash identically)
+        F.size(F.filter(words, lambda w: F.length(w) > 5)).alias("n_long"),
         F.array_join(
             F.transform(words, lambda w: F.upper(w)), "|"
         ).alias("upper_words"),

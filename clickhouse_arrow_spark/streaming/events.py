@@ -221,6 +221,25 @@ def stream_stream_purchase_attribution(
     )
 
 
+def stream_static_enrich(
+    stream: DataFrame,
+    dim: DataFrame,
+    keys: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """Stream-static join: enrich a stream with a batch dimension — the
+    third join class next to batch-batch and stream-stream (lookup
+    tables, user profiles, model-version metadata on an event feed).
+
+    No watermark needed: the static side is re-evaluated per micro-batch
+    (so a dimension refresh is picked up on the next trigger) and is
+    explicitly broadcast — at any stream rate the streaming side never
+    shuffles for the join. Left join keeps events whose key has no
+    dimension row yet, the usual choice for late-arriving dimensions.
+    """
+    return stream.join(F.broadcast(dim), keys, how)
+
+
 def run_to_parquet_sink(
     df: DataFrame,
     path: str,

@@ -231,3 +231,30 @@ def test_foreach_batch_sink_is_idempotent_per_batch(spark, tables, tmp_path):
     n_batch = spark.table("events").where(F.col("event_type") == "signup").count()
     assert n1 == n_batch
     assert n2 == n_batch  # replay overwrote, not duplicated
+
+
+def test_stream_static_enrich_matches_batch(spark, events_stream, tables):
+    from clickhouse_arrow_spark.streaming.events import stream_static_enrich
+
+    # static dim: per-customer order count from the batch orders table
+    dim = (
+        spark.table("orders")
+        .groupBy(F.col("o_custkey").alias("user_id"))
+        .agg(F.count("*").alias("n_orders"))
+    )
+    got = run_to_memory_sink(
+        stream_static_enrich(events_stream, dim, ["user_id"]),
+        "t_enriched",
+        output_mode="append",
+    )
+    expect = spark.table("events").join(dim, ["user_id"], "left")
+    # stateless stream-static join: every event passes through exactly
+    # once with its dimension row attached — counts and null-rate match
+    assert got.count() == expect.count()
+    assert (
+        got.where(F.col("n_orders").isNull()).count()
+        == expect.where(F.col("n_orders").isNull()).count()
+    )
+    s1 = got.agg(F.sum("n_orders")).first()[0]
+    s2 = expect.agg(F.sum("n_orders")).first()[0]
+    assert s1 == s2

@@ -119,6 +119,33 @@ def main() -> int:
         text_ops.chunk_documents(docs, chunk_tokens=16, overlap=4),
     )
     bench("train_split_100k_docs", text_ops.train_split(docs))
+    # benchmark side = 1% of the corpus (eval suites are small); overlap
+    # exists by construction (the dup tail reuses low-id docs' text)
+    bench(
+        "decontaminate_100k_docs",
+        text_ops.decontaminate(
+            docs,
+            docs.where(F.col("doc_id") % 100 == 0).select(
+                F.col("doc_id").alias("bench_id"), "text"
+            ),
+            n=8,
+        ),
+    )
+    bench("repetition_100k_docs", text_ops.repetition_metrics(docs))
+
+    from clickhouse_arrow_spark.operators.sampling import stratified_sample
+
+    bench(
+        "stratified_sample_10m_rows",
+        stratified_sample(
+            fact.withColumn(
+                "stratum", F.when(F.col("dimkey") < 5, "hot").otherwise("cold")
+            ),
+            rates={"hot": 0.5, "cold": 0.05},
+            strata_col="stratum",
+            key_col="k",
+        ).groupBy("stratum").count(),
+    )
 
     out = {
         "rows_fact": rows_fact,

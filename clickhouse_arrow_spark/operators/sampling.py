@@ -63,3 +63,26 @@ def stratified_sample(
             .otherwise(rate_expr)
         )
     return df.where(sample_bucket(F.col(key_col)) < rate_expr)
+
+
+def quality_weighted_sample(
+    df: DataFrame,
+    quality_col: str,
+    key_col: str,
+    scale: float = 1.0,
+) -> DataFrame:
+    """Keep each row with probability `min(quality * scale, 1)` — the
+    quality-proportional resampling step of a corpus build (upsample
+    high-quality documents, thin the low-quality tail), deterministic
+    like :func:`stratified_sample`: a row's fate depends only on its
+    key and score, so re-runs/backfills reproduce the sample and the
+    rule has an exact SQL oracle.
+
+    `quality_col` is any score in [0, 1] (operators/text.quality_score
+    feeds this directly). One projection + filter; no shuffle, no RNG.
+    """
+    threshold = F.least(
+        (F.col(quality_col) * F.lit(scale) * _BUCKETS).cast("int"),
+        F.lit(_BUCKETS),
+    )
+    return df.where(sample_bucket(F.col(key_col)) < threshold)

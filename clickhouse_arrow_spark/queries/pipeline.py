@@ -673,6 +673,93 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "sample_quality_weighted",
+    """
+    WITH m AS (
+      SELECT doc_id,
+             round(least(CAST(length(text) AS DOUBLE) / 500.0, 1.0) * 0.3
+                   + CAST(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS DOUBLE)
+                     / greatest(CAST(length(text) AS DOUBLE), 1.0) * 0.3
+                   + least(CAST(len(regexp_extract_all(lower(text),
+                       '\\b(the|and|of|to|in)\\b')) AS DOUBLE) / 5.0, 1.0) * 0.2
+                   + (1 - least(CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.1
+                   + (1 - least(CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)
+                        / greatest(CAST(length(text) AS DOUBLE), 1.0) * 10.0, 1.0)) * 0.1,
+             6) AS quality
+      FROM documents
+    )
+    SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS keysum,
+           round(avg(quality), 6) AS avg_quality
+    FROM m
+    WHERE (doc_id * 37 + 11) % 1000
+          < least(CAST(floor(quality * 1000) AS INT), 1000)
+    """,
+    doc="Quality-proportional resampling "
+    "(operators/sampling.quality_weighted_sample): keep probability = "
+    "the document's quality score (operators/text.quality_score), "
+    "selected by the same deterministic keyed buckets as "
+    "sample_stratified — the corpus-thinning step that upweights "
+    "quality. Verified by kept-count, key checksum and mean kept "
+    "quality.",
+    tags=("sample", "quality"),
+)
+def q_sample_quality_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    docs = spark.table("documents")
+    q = text.quality_score(docs).select("doc_id", "quality")
+    sampled = quality_weighted_sample(docs.join(q, "doc_id"), "quality", "doc_id")
+    return sampled.agg(
+        F.count("*").alias("n_kept"),
+        F.sum("doc_id").alias("keysum"),
+        F.round(F.avg("quality"), 6).alias("avg_quality"),
+    )
+
+
+@register(
+    "topk_frequent_values",
+    """
+    WITH w AS (
+      SELECT lang,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS word
+      FROM documents
+    ),
+    c AS (SELECT lang, word, count(*) AS n FROM w GROUP BY lang, word),
+    r AS (
+      SELECT lang, word, n,
+             row_number() OVER (PARTITION BY lang ORDER BY n DESC, word) AS rank
+      FROM c
+    )
+    SELECT lang, word, n, CAST(rank AS INT) AS rank
+    FROM r WHERE rank <= 3
+    ORDER BY lang, rank
+    """,
+    doc="ClickHouse topK analogue (operators/frequency.topk_frequent): "
+    "the 3 most frequent words per language — count per (group, value) "
+    "with map-side combine, then the two-phase per-key top-k (no "
+    "Window.partitionBy(group) collapse), exact with deterministic "
+    "value-ascending tie-break.",
+    tags=("aggregate", "topk", "frequency"),
+)
+def q_topk_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.frequency import topk_frequent
+
+    words = spark.table("documents").select(
+        "lang",
+        F.explode(
+            F.split(
+                F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "),
+                " ",
+            )
+        ).alias("word"),
+    )
+    return topk_frequent(words, "lang", "word", k=3).orderBy("lang", "rank")
+
+
 # ---------------------------------------------------------------------------
 # as-of join
 # ---------------------------------------------------------------------------

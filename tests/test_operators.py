@@ -479,3 +479,43 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert s1 == s2
     # unlisted strata keep default_rate=0 -> dropped entirely
     assert stratified_sample(df, {"a": 0.5}, "s", "k").where(F.col("s") == "b").count() == 0
+
+
+def test_topk_frequent_exact_counts_and_ties(spark):
+    from clickhouse_arrow_spark.operators.frequency import topk_frequent
+
+    rows = [("g1", v) for v in ["a"] * 3 + ["b"] * 2 + ["c"] * 2 + ["d"]]
+    rows += [("g2", v) for v in ["x"] * 5 + ["y"]]
+    df = spark.createDataFrame(rows, "grp string, v string")
+    got = {
+        (r["grp"], r["rank"]): (r["v"], r["n"])
+        for r in topk_frequent(df, "grp", "v", k=2).collect()
+    }
+    # g1: a(3) first; b and c tie at 2 -> value-ascending keeps b
+    assert got[("g1", 1)] == ("a", 3)
+    assert got[("g1", 2)] == ("b", 2)
+    assert got[("g2", 1)] == ("x", 5)
+    assert got[("g2", 2)] == ("y", 1)
+    assert len(got) == 4
+
+
+def test_quality_weighted_sample_monotone(spark):
+    from clickhouse_arrow_spark.operators.sampling import (
+        quality_weighted_sample,
+    )
+
+    df = spark.range(0, 10000).select(
+        F.col("id").alias("k"),
+        F.when(F.col("id") % 2 == 0, 0.9).otherwise(0.1).alias("q"),
+    )
+    out = quality_weighted_sample(df, "q", "k")
+    kept = {
+        r["q"]: r["n"]
+        for r in out.groupBy("q").agg(F.count("*").alias("n")).collect()
+    }
+    # keep rate tracks the score: ~90% of q=0.9 rows, ~10% of q=0.1 rows
+    assert abs(kept[0.9] - 4500) < 250
+    assert abs(kept.get(0.1, 0) - 500) < 100
+    # scale > 1 saturates at keep-everything
+    all_kept = quality_weighted_sample(df, "q", "k", scale=20.0).count()
+    assert all_kept == 10000

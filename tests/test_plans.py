@@ -137,3 +137,31 @@ def test_ivf_assign_is_single_projection(spark, tables):
     assert "Exchange" not in plan
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_decontaminate_broadcasts_benchmark(spark, tables):
+    # the corpus side must never shuffle for the overlap join: benchmark
+    # grams broadcast, no sort-merge, and the only exchange is the final
+    # (doc, bench) count aggregation
+    plan = plan_of(spark, "text_decontaminate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_repetition_exchanges_keyed_on_doc(spark, tables):
+    # bigram counts combine map-side: partial aggregation before every
+    # exchange, and no exchange keyed on the raw bigram string alone
+    # (the (doc, bigram) key keeps hot bigrams from skewing a partition)
+    plan = plan_of(spark, "text_repetition")
+    assert "partial_count" in plan or "partial" in plan.lower()
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "doc_id" in ln  # every shuffle carries the doc key
+
+
+def test_stratified_sample_is_scan_filter(spark, tables):
+    # selection is a projection + filter over the scan — aggregation
+    # aside, no join, no window, no extra shuffle beyond the final agg
+    plan = plan_of(spark, "sample_stratified")
+    assert "Join" not in plan
+    assert "Window" not in plan

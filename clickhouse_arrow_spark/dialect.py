@@ -558,10 +558,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return transform_fmt
     if name == "avgWeighted":
-        # CH avgWeighted(x, w) = sum(x*w)/sum(w); NULL when sum(w) = 0
-        # falls out of Spark's null-on-zero-denominator division under
-        # the same inputs CH returns nan for — callers gate on sum(w).
-        return lambda a: f"(sum(({a[0]}) * ({a[1]})) / sum({a[1]}))"
+        # CH avgWeighted(x, w) = sum(x*w)/sum(w); CH returns nan when
+        # sum(w) = 0. Spark 4 runs ANSI mode, where plain `/` raises
+        # DIVIDE_BY_ZERO — try_divide yields NULL instead, the closest
+        # non-raising analogue (callers needing CH's nan gate on sum(w)).
+        return lambda a: f"try_divide(sum(({a[0]}) * ({a[1]})), sum({a[1]}))"
     if name == "countEqual":
         return lambda a: (
             f"CAST(size(filter({a[0]}, _e -> _e <=> {a[1]})) AS BIGINT)"
@@ -687,7 +688,13 @@ def _rewrite_sample(sql: str) -> str:
     `TABLESAMPLE (10 PERCENT)`. Fractional forms only: `SAMPLE n` with
     integer n is ClickHouse's approximate-row-count form with no Spark
     equivalent and is left untouched (Spark then reports the clear
-    parse error rather than silently sampling a different amount)."""
+    parse error rather than silently sampling a different amount).
+
+    Semantics note: CH SAMPLE is DETERMINISTIC over the table's
+    declared sample key (same rows every run); Spark TABLESAMPLE
+    (n PERCENT) is per-run Bernoulli. The sampled FRACTION matches,
+    the selected ROWS differ run-to-run — callers needing reproducible
+    samples should use operators/sampling (keyed modular buckets)."""
     while True:
         m = _find_clean(_SAMPLE_RE, sql, depth0=False)
         if not m:
@@ -765,7 +772,9 @@ def _rewrite_with_totals(sql: str) -> str:
     """
     i = 0
     while True:
-        m = _GROUP_BY_RE.search(sql, i)
+        # string-masked seed: a "GROUP BY ... WITH TOTALS" sequence
+        # inside a literal must not be treated as a real clause
+        m = _find_clean(_GROUP_BY_RE, sql, start=i, depth0=False)
         if not m:
             return sql
         j = m.end()
@@ -887,7 +896,10 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     equivalent GROUPING SETS form (totals row keys arrive as NULL, not
     ClickHouse's type defaults — aggregate values identical);
     `LIMIT n BY keys` to a row_number() window wrap; fractional
-    `SAMPLE 0.1` to `TABLESAMPLE (10 PERCENT)`.
+    `SAMPLE 0.1` to `TABLESAMPLE (10 PERCENT)` (NOTE: CH SAMPLE is
+    deterministic over the table's sample key, TABLESAMPLE is per-run
+    Bernoulli — same fraction, different rows each run; use
+    operators/sampling for reproducible selection).
     """
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)

@@ -20,18 +20,29 @@ from pyspark.sql import functions as F
 
 #: modulus of the sampling bucket space — rates quantize to 1/1000
 _BUCKETS = 1000
-#: small odd multiplier decorrelates the bucket from raw-key patterns
-#: (sequential ids, id % k == 0 subsets) while staying far inside
-#: bigint range under ANSI arithmetic for any realistic key
-_MIX_A = 37
+#: prime field for the affine mix (Mersenne 2^31-1): because the
+#: modulus is PRIME, the affine map is a bijection of Z_P and a
+#: structured key subset (all multiples of m, a contiguous range) is
+#: spread across the whole field before the final mod-1000 reduction —
+#: a direct affine-mod-1000 map would send multiples of m into only
+#: 1000/gcd(m,1000) buckets. (P-1)*A < 2^63, so the arithmetic never
+#: overflows bigint under ANSI mode.
+_MIX_P = 2_147_483_647
+_MIX_A = 2_654_435_761  # Knuth's multiplicative-hash constant
 _MIX_B = 11
 
 
 def sample_bucket(key: Column) -> Column:
-    """The 0..999 sampling bucket of an integer key: (key*37 + 11) % 1000.
-    Engine-portable (no engine-specific hash), deterministic, uniform
-    over any key set without arithmetic structure mod 1000."""
-    return F.pmod(key * F.lit(_MIX_A) + F.lit(_MIX_B), F.lit(_BUCKETS))
+    """The 0..999 sampling bucket of an integer key:
+    ``((key mod P) * A + B) mod P mod 1000`` with P prime (2^31-1).
+    Engine-portable (plain integer arithmetic, no engine hash),
+    deterministic, and well-spread even for key sets with arithmetic
+    structure (sequential ids, multiples of k) — see _MIX_P note."""
+    folded = F.pmod(key.cast("bigint"), F.lit(_MIX_P))
+    return F.pmod(
+        F.pmod(folded * F.lit(_MIX_A) + F.lit(_MIX_B), F.lit(_MIX_P)),
+        F.lit(_BUCKETS),
+    )
 
 
 def stratified_sample(

@@ -642,7 +642,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS keysum
     FROM documents
-    WHERE (doc_id * 37 + 11) % 1000 <
+    WHERE (((doc_id % 2147483647) * 2654435761 + 11) % 2147483647) % 1000 <
       CASE lang WHEN 'en' THEN 500 WHEN 'de' THEN 250 WHEN 'zh' THEN 100
            ELSE 50 END
     GROUP BY lang
@@ -693,7 +693,7 @@ def q_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS keysum,
            round(avg(quality), 6) AS avg_quality
     FROM m
-    WHERE (doc_id * 37 + 11) % 1000
+    WHERE (((doc_id % 2147483647) * 2654435761 + 11) % 2147483647) % 1000
           < least(CAST(floor(quality * 1000) AS INT), 1000)
     """,
     doc="Quality-proportional resampling "

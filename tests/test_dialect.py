@@ -472,7 +472,10 @@ def test_tokenizer_and_ngram_values(client):
             "SELECT k FROM t GROUP BY k UNION ALL SELECT k FROM t GROUP BY k WITH TOTALS",
             "SELECT k FROM t GROUP BY k UNION ALL SELECT k FROM t GROUP BY GROUPING SETS ((k), ())",
         ),
-        ("SELECT avgWeighted(x, w)", "SELECT (sum((x) * (w)) / sum(w))"),
+        (
+            "SELECT avgWeighted(x, w)",
+            "SELECT try_divide(sum((x) * (w)), sum(w))",
+        ),
         (
             "SELECT countEqual([1, 2, 2], 2)",
             "SELECT CAST(size(filter(array(1, 2, 2), _e -> _e <=> 2)) AS BIGINT)",
@@ -506,6 +509,16 @@ def test_avg_weighted_and_count_equal_execute(client):
     ).first()
     assert abs(float(row["aw"]) - 17.5) < 1e-9  # decimal literals -> Decimal
     assert row["ce"] == 2
+
+
+def test_avg_weighted_zero_weight_is_null(client):
+    # ANSI mode would raise DIVIDE_BY_ZERO on plain `/`; try_divide
+    # yields NULL for a group whose weights sum to 0 (CH returns nan).
+    row = client.query_ch(
+        "SELECT avgWeighted(x, w) AS aw "
+        "FROM (SELECT 10.0 AS x, 0.0 AS w UNION ALL SELECT 20.0, 0.0)"
+    ).first()
+    assert row["aw"] is None
 
 
 def test_limit_by_translation_text():

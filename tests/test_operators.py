@@ -481,6 +481,19 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert stratified_sample(df, {"a": 0.5}, "s", "k").where(F.col("s") == "b").count() == 0
 
 
+def test_sample_bucket_spreads_structured_keys(spark):
+    # keys sharing a factor with 1000 (multiples of 250) must still keep
+    # ~rate: the old affine-mod-1000 map sent them into 4 buckets, so a
+    # 10% rate kept 25% of rows; the prime-field mix spreads them.
+    from clickhouse_arrow_spark.operators.sampling import stratified_sample
+
+    df = spark.range(0, 10000).select(
+        (F.col("id") * 250).alias("k"), F.lit("a").alias("s")
+    )
+    kept = stratified_sample(df, {"a": 0.1}, "s", "k").count()
+    assert abs(kept - 1000) < 150
+
+
 def test_topk_frequent_exact_counts_and_ties(spark):
     from clickhouse_arrow_spark.operators.frequency import topk_frequent
 

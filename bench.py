@@ -73,7 +73,7 @@ def main() -> int:
         create_bucketed_layout(spark, sf_dir)
         bucketed["layout_build_sec"] = round(time.perf_counter() - t0, 4)
         use_bucketed_tables(spark)
-        for name in ("q3_shipping_priority", "q18_large_volume_customers"):
+        for name in ("q3_shipping_priority", "bench_tpch_q18_volume"):
             sql = registry[name].oracle
             df = spark.sql(sql)
             plan = df._jdf.queryExecution().executedPlan().toString()

@@ -219,7 +219,7 @@ def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "distinct_on_argmax",
+    "select_distinct_on",
     """
     SELECT o_custkey, o_orderkey AS latest_order,
            round(o_totalprice, 2) AS latest_price
@@ -248,7 +248,7 @@ def distinct_on_argmax(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "agg_collect_strings",
+    "string_agg_collect",
     """
     SELECT n_regionkey,
            string_agg(n_name, ',' ORDER BY n_name) AS nations_csv,

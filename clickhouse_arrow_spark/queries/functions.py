@@ -255,7 +255,7 @@ def fn_explode_word_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "fn_hash",
+    "util_fn_hash",
     """
     SELECT r_regionkey,
            md5(r_name)    AS name_md5,

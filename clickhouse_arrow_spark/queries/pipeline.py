@@ -557,7 +557,7 @@ def q_text_train_split(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "text_decontaminate",
+    "doc_decontaminate",
     """
     WITH toks AS (
       SELECT doc_id,
@@ -638,7 +638,7 @@ def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "sample_stratified",
+    "deterministic_stratified",
     """
     SELECT lang, count(*) AS n, CAST(sum(doc_id) AS BIGINT) AS keysum
     FROM documents
@@ -943,7 +943,7 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stream_session_window",
+    "events_stream_session",
     """
     WITH flagged AS (
       SELECT user_id, ts,
@@ -1068,7 +1068,7 @@ def q_limit_by_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "vector_quantize_gate",
+    "ann_quantize_gate",
     """
     SELECT CAST(count(*) AS BIGINT) AS n_vecs, true AS acc_ok
     FROM embeddings WHERE vec_id < 500

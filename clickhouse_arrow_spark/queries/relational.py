@@ -705,7 +705,7 @@ def join_outer_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "join_semi_anti",
+    "core_join_semi_anti",
     """
     SELECT 'semi' AS branch, c_custkey, c_name
     FROM customer
@@ -1123,7 +1123,7 @@ def having_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "deterministic_sample",
+    "sample_deterministic",
     """
     SELECT count(*) AS n, CAST(sum(o_orderkey) AS BIGINT) AS keysum
     FROM orders

@@ -102,7 +102,7 @@ def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "q18_large_volume_customers",
+    "bench_tpch_q18_volume",
     """
     SELECT c_custkey, o_orderkey, round(sum_qty, 2) AS total_qty
     FROM (
@@ -456,7 +456,7 @@ def monthly_revenue_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "events_daily_retention",
+    "retention_daily_events",
     """
     WITH days AS (
       SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS TIMESTAMP) AS d

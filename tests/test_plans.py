@@ -65,7 +65,7 @@ def test_partial_aggregation_present(spark, tables):
 
 
 def test_semi_anti_join_operators(spark, tables):
-    plan = plan_of(spark, "join_semi_anti")
+    plan = plan_of(spark, "core_join_semi_anti")
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
 
@@ -143,7 +143,7 @@ def test_decontaminate_broadcasts_benchmark(spark, tables):
     # the corpus side must never shuffle for the overlap join: benchmark
     # grams broadcast, no sort-merge, and the only exchange is the final
     # (doc, bench) count aggregation
-    plan = plan_of(spark, "text_decontaminate")
+    plan = plan_of(spark, "doc_decontaminate")
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
 
@@ -162,6 +162,6 @@ def test_repetition_exchanges_keyed_on_doc(spark, tables):
 def test_stratified_sample_is_scan_filter(spark, tables):
     # selection is a projection + filter over the scan — aggregation
     # aside, no join, no window, no extra shuffle beyond the final agg
-    plan = plan_of(spark, "sample_stratified")
+    plan = plan_of(spark, "deterministic_stratified")
     assert "Join" not in plan
     assert "Window" not in plan

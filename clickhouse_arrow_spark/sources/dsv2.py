@@ -9,8 +9,13 @@ PySpark 4 Python Data Source API with a pluggable transport:
   (clickhouse-arrow/src/arrow/schema.rs:90-152 parses the type strings
   into an Arrow schema; here the CH type strings round-trip through the
   types.py bridge) and serves Arrow batches per scan — backed by local
-  parquet so the skeleton is fully testable offline. A real deployment
-  swaps it for an HTTP/native transport with the same three methods.
+  parquet so the skeleton is fully testable offline.
+- :class:`~clickhouse_arrow_spark.sources.http_transport.HttpArrowTransport`
+  is the REAL wire path (reference http/client.rs:22-244): pass
+  `.option("url", "http://host:8123")` and scans/inserts travel as
+  Arrow IPC streams over the ClickHouse HTTP interface; range
+  partitioning via `.option("partition_column", ...)` +
+  `.option("num_partitions", N)`.
 - :class:`ClickHouseDataSource` registers as `clickhouse` and
   implements FILTER PUSHDOWN (`pushFilters`): supported predicates are
   serialized into the scan request (the reference pushes them into the
@@ -120,6 +125,10 @@ class MockTransport:
 
         return pq.ParquetFile(self._file(table)).metadata.num_row_groups
 
+    def plan_partitions(self, table: str) -> list:
+        """One scan token per parquet row group (executor-parallel)."""
+        return list(range(max(self.n_row_groups(table), 1)))
+
     def scan(self, table: str, row_group: int, filters: list) -> Iterator:
         """Arrow batches for one row group with pushed filters applied
         server-side (pyarrow.compute here; SQL WHERE on a real
@@ -156,17 +165,38 @@ class MockTransport:
         yield from tbl.to_batches()
 
 
+def _transport_from_options(options: dict):
+    """Pick the wire path: `url` selects the real HTTP ArrowStream
+    transport; otherwise the parquet-backed mock serves offline
+    tests. Same three-method contract either way."""
+    if options.get("url"):
+        from clickhouse_arrow_spark.sources.http_transport import (
+            HttpArrowTransport,
+        )
+
+        return HttpArrowTransport(
+            options["url"],
+            user=options.get("user"),
+            password=options.get("password"),
+            database=options.get("database"),
+            partition_column=options.get("partition_column"),
+            num_partitions=int(options.get("num_partitions", "1")),
+        )
+    return MockTransport(options.get("path", ""))
+
+
 @dataclass
-class _RowGroupPartition(InputPartition):
-    row_group: int
+class _ScanPartition(InputPartition):
+    #: mock: parquet row-group index; http: a RangePartition predicate
+    token: object
 
 
 class ClickHouseScanReader(DataSourceReader):
     def __init__(self, options: dict):
+        self.options = dict(options)
         self.table = options.get("table")
         if not self.table:
             raise ValueError("option 'table' is required")
-        self.path = options.get("path", "")
         self.log_path = options.get("pushdown_log")
         self.pushed: list = []
 
@@ -190,12 +220,12 @@ class ClickHouseScanReader(DataSourceReader):
                 )
 
     def partitions(self):
-        n = MockTransport(self.path).n_row_groups(self.table)
-        return [_RowGroupPartition(i) for i in range(max(n, 1))]
+        transport = _transport_from_options(self.options)
+        return [_ScanPartition(t) for t in transport.plan_partitions(self.table)]
 
     def read(self, partition):
-        transport = MockTransport(self.path)
-        yield from transport.scan(self.table, partition.row_group, self.pushed)
+        transport = _transport_from_options(self.options)
+        yield from transport.scan(self.table, partition.token, self.pushed)
 
 
 @dataclass
@@ -282,17 +312,47 @@ class ClickHouseInsertWriter(DataSourceArrowWriter):
         )
 
 
+class HttpInsertWriter(DataSourceArrowWriter):
+    """INSERT over the HTTP wire path (reference http/client.rs:164-196
+    insert_batches): each task streams its Arrow batches to the server
+    as ONE IPC-stream POST; `commit` is a no-op because a ClickHouse
+    HTTP insert is durable per request — atomicity is per insert block,
+    not per Spark job (the reference has the same contract). Overwrite
+    truncates on the driver BEFORE the distributed insert starts."""
+
+    def __init__(self, options: dict, overwrite: bool):
+        self.options = dict(options)
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+        if overwrite:
+            transport = _transport_from_options(self.options)
+            transport.execute(f'TRUNCATE TABLE "{self.table}"')
+
+    def write(self, iterator):
+        transport = _transport_from_options(self.options)
+        rows = transport.insert_batches(self.table, iterator)
+        return _InsertCommit(part_file="", num_rows=rows)
+
+    def commit(self, messages):  # rows already durable server-side
+        return None
+
+    def abort(self, messages):  # cannot unsend delivered blocks
+        return None
+
+
 class ClickHouseDataSource(DataSource):
     """`spark.read.format("clickhouse")` / `df.write.format("clickhouse")`
-    — table scans with filter pushdown and staged-commit inserts over a
-    pluggable transport."""
+    — table scans with filter pushdown and inserts over a pluggable
+    transport: `url` option -> real HTTP ArrowStream wire path,
+    `path` option -> parquet-backed mock (offline tests)."""
 
     @classmethod
     def name(cls) -> str:
         return "clickhouse"
 
     def schema(self):
-        return MockTransport(self.options.get("path", "")).schema(
+        return _transport_from_options(dict(self.options)).schema(
             self.options["table"]
         )
 
@@ -300,4 +360,6 @@ class ClickHouseDataSource(DataSource):
         return ClickHouseScanReader(dict(self.options))
 
     def writer(self, schema: StructType, overwrite: bool):
+        if self.options.get("url"):
+            return HttpInsertWriter(dict(self.options), overwrite)
         return ClickHouseInsertWriter(dict(self.options), overwrite)

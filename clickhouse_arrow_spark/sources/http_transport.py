@@ -1,0 +1,286 @@
+"""HTTP ArrowStream transport — the real (non-mock) connector wire path.
+
+Mirrors the reference's HTTP client semantics
+(clickhouse-arrow/src/http/client.rs:22-244, the ClickHouse HTTP
+interface speaking the ArrowStream format):
+
+- SELECT: request with a ``query`` URL parameter whose SQL ends in
+  ``FORMAT ArrowStream``; the response body is an Arrow IPC stream
+  (src/http/client.rs:80-99 + arrow_stream.rs:36-55 deserialize).
+- DDL / commands: POST with the ``query`` parameter, empty body
+  (src/http/client.rs:101-127).
+- INSERT: POST with ``query=INSERT INTO t FORMAT ArrowStream`` and the
+  request body an Arrow IPC stream of the rows
+  (src/http/client.rs:129-196, arrow_stream.rs:17-33 serialize).
+- Identity travels in ``X-ClickHouse-User`` / ``X-ClickHouse-Key`` /
+  ``X-ClickHouse-Database`` headers (src/http/client.rs:43-67).
+- Non-2xx responses carry the server error as text
+  (src/http/client.rs:199-213 handle_response).
+
+Scale posture: one HTTP round trip per *partition*, not per row or
+batch — the driver plans partitions once (a single bounds query for
+range splits, Spark's JDBC-connector pattern), then each executor task
+streams exactly its own slice. Pushed filters are rendered into the
+per-partition SQL so the server prunes before bytes hit the wire; at a
+1000-executor scale the fan-out is 1000 independent range scans against
+the server's own sharding, with no driver-side data movement.
+
+The transport implements the same three-method contract as
+``MockTransport`` (``system_columns`` / ``schema`` / ``scan``) plus
+``insert_batches`` for the writer, so the DSv2 surface in
+:mod:`clickhouse_arrow_spark.sources.dsv2` is transport-agnostic.
+Everything here is stdlib ``urllib`` + ``pyarrow`` — usable from Spark
+Python workers with no extra dependencies.
+"""
+
+from __future__ import annotations
+
+import io
+import urllib.parse
+import urllib.request
+from dataclasses import dataclass
+from typing import Iterable, Iterator
+
+from pyspark.sql.types import StructType
+
+
+class TransportError(RuntimeError):
+    """Server-side failure surfaced with the server's error text
+    (reference Error::Server, http/client.rs:120-126)."""
+
+
+def _quote_ident(name: str) -> str:
+    return '"' + name.replace('"', '""') + '"'
+
+
+def _sql_literal(v) -> str:
+    """Render a pushed-filter value as a portable SQL literal."""
+    import datetime as dt
+
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return f"TIMESTAMP '{v.strftime('%Y-%m-%d %H:%M:%S.%f')}'"
+    if isinstance(v, dt.date):
+        return f"DATE '{v.isoformat()}'"
+    s = str(v).replace("\\", "\\\\").replace("'", "''")
+    return f"'{s}'"
+
+
+def filters_to_where(filters: list) -> str:
+    """Render the pushed predicate set (an AND list of the DSv2 filter
+    dataclasses) as a SQL WHERE fragment — the reference pushes
+    predicates into the SQL it sends, so filtering happens server-side
+    before any bytes are serialized. Returns '' when nothing pushed."""
+    from pyspark.sql.datasource import (
+        EqualTo,
+        GreaterThan,
+        GreaterThanOrEqual,
+        In,
+        IsNotNull,
+        LessThan,
+        LessThanOrEqual,
+    )
+
+    parts = []
+    for f in filters:
+        col = _quote_ident(f.attribute[-1])
+        if isinstance(f, EqualTo):
+            parts.append(f"{col} = {_sql_literal(f.value)}")
+        elif isinstance(f, GreaterThan):
+            parts.append(f"{col} > {_sql_literal(f.value)}")
+        elif isinstance(f, GreaterThanOrEqual):
+            parts.append(f"{col} >= {_sql_literal(f.value)}")
+        elif isinstance(f, LessThan):
+            parts.append(f"{col} < {_sql_literal(f.value)}")
+        elif isinstance(f, LessThanOrEqual):
+            parts.append(f"{col} <= {_sql_literal(f.value)}")
+        elif isinstance(f, In):
+            vals = ", ".join(_sql_literal(v) for v in f.values)
+            parts.append(f"{col} IN ({vals})")
+        elif isinstance(f, IsNotNull):
+            parts.append(f"{col} IS NOT NULL")
+        else:  # pragma: no cover — pushFilters only accepts supported ones
+            raise ValueError(f"unsupported pushed filter {f!r}")
+    return " AND ".join(parts)
+
+
+@dataclass(frozen=True)
+class RangePartition:
+    """One executor task's slice: a WHERE fragment ('' = whole table).
+    Planned ONCE on the driver so workers never repeat the bounds
+    query."""
+
+    where: str
+
+
+class HttpArrowTransport:
+    """ClickHouse-HTTP-dialect ArrowStream transport.
+
+    `partition_column` + `num_partitions` enable JDBC-style range
+    splitting: the driver runs one min/max bounds query and hands each
+    task a half-open range predicate. Without them a scan is a single
+    partition (still filter-pushed)."""
+
+    def __init__(
+        self,
+        url: str,
+        user: str | None = None,
+        password: str | None = None,
+        database: str | None = None,
+        partition_column: str | None = None,
+        num_partitions: int = 1,
+        timeout: float = 30.0,
+    ):
+        self.url = url.rstrip("/")
+        self.user = user
+        self.password = password
+        self.database = database
+        self.partition_column = partition_column
+        self.num_partitions = max(int(num_partitions), 1)
+        self.timeout = timeout
+
+    # -- raw HTTP ----------------------------------------------------
+
+    def _headers(self) -> dict[str, str]:
+        h: dict[str, str] = {}
+        if self.user:
+            h["X-ClickHouse-User"] = self.user
+        if self.password:
+            h["X-ClickHouse-Key"] = self.password
+        if self.database:
+            h["X-ClickHouse-Database"] = self.database
+        return h
+
+    def _request(self, sql: str, body: bytes | None = None) -> bytes:
+        qs = urllib.parse.urlencode({"query": sql})
+        req = urllib.request.Request(
+            f"{self.url}/?{qs}",
+            data=body,
+            headers={
+                **self._headers(),
+                **(
+                    {"Content-Type": "application/octet-stream"}
+                    if body is not None
+                    else {}
+                ),
+            },
+            method="POST" if body is not None else "GET",
+        )
+        try:
+            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
+                return resp.read()
+        except urllib.error.HTTPError as e:
+            text = e.read().decode("utf-8", "replace")
+            raise TransportError(f"HTTP {e.code}: {text}") from None
+
+    def query_batches(self, sql: str) -> list:
+        """SELECT returning Arrow record batches (FORMAT ArrowStream
+        appended exactly as build_query_url does, http/client.rs:69-78).
+        A fully empty body means zero batches — ClickHouse sends no
+        stream header for some empty results (arrow_stream.rs:37-39)."""
+        import pyarrow as pa
+
+        data = self._request(f"{sql} FORMAT ArrowStream")
+        if not data:
+            return []
+        with pa.ipc.open_stream(io.BytesIO(data)) as reader:
+            return list(reader)
+
+    def execute(self, sql: str) -> None:
+        """DDL / command with no result set (http/client.rs:101-127)."""
+        self._request(sql, body=b"")
+
+    def insert_batches(self, table: str, batches: Iterable) -> int:
+        """One POST per call: all batches serialized into a single Arrow
+        IPC stream request body (http/client.rs:164-196
+        insert_batches + serialize_batches). Returns rows sent."""
+        import pyarrow as pa
+
+        batches = list(batches)
+        if not batches:
+            return 0
+        buf = io.BytesIO()
+        with pa.ipc.new_stream(buf, batches[0].schema) as writer:
+            for b in batches:
+                writer.write_batch(b)
+        rows = sum(b.num_rows for b in batches)
+        self._request(
+            f"INSERT INTO {_quote_ident(table)} FORMAT ArrowStream",
+            body=buf.getvalue(),
+        )
+        return rows
+
+    # -- MockTransport contract --------------------------------------
+
+    def system_columns(self, table: str) -> list[tuple[str, str]]:
+        """(name, ClickHouse type string) per column from
+        system.columns — the same introspection the reference performs
+        before building an Arrow schema (src/arrow/schema.rs:90-152)."""
+        t = str(table).replace("'", "''")
+        batches = self.query_batches(
+            "SELECT name, type FROM system.columns "
+            f"WHERE table = '{t}' ORDER BY position"
+        )
+        out: list[tuple[str, str]] = []
+        for b in batches:
+            names = b.column(0).to_pylist()
+            types = b.column(1).to_pylist()
+            out.extend(zip(names, types))
+        if not out:
+            raise TransportError(f"unknown table {table!r} (no system.columns rows)")
+        return out
+
+    def schema(self, table: str) -> StructType:
+        """Spark schema derived from the server's ClickHouse type
+        strings through the types.py bridge — the wire path exercises
+        the same CH->Spark mapping the batch tests cover."""
+        from clickhouse_arrow_spark.types import ch_type_to_spark_field
+
+        return StructType(
+            [ch_type_to_spark_field(n, t) for n, t in self.system_columns(table)]
+        )
+
+    def plan_partitions(self, table: str) -> list[RangePartition]:
+        """Driver-side split plan. With a partition column: ONE bounds
+        query, then `num_partitions` half-open ranges (last one closed
+        at max, NULLs folded into the first slice so no row is lost).
+        Otherwise a single whole-table partition."""
+        if not self.partition_column or self.num_partitions == 1:
+            return [RangePartition("")]
+        col = _quote_ident(self.partition_column)
+        rows = self.query_batches(
+            f"SELECT min({col}) AS lo, max({col}) AS hi FROM {_quote_ident(table)}"
+        )
+        lo = rows[0].column(0).to_pylist()[0] if rows else None
+        hi = rows[0].column(1).to_pylist()[0] if rows else None
+        if lo is None or hi is None or lo == hi:
+            return [RangePartition("")]
+        lo, hi = int(lo), int(hi)
+        n = min(self.num_partitions, hi - lo + 1)
+        step = (hi - lo + 1) / n
+        parts = []
+        for i in range(n):
+            a = lo + int(i * step)
+            b = lo + int((i + 1) * step)
+            if i == 0:
+                # first slice keeps NULL keys: range splits must not
+                # silently drop rows the bounds query can't see
+                w = f"({col} < {b} OR {col} IS NULL)"
+            elif i == n - 1:
+                w = f"{col} >= {a}"
+            else:
+                w = f"({col} >= {a} AND {col} < {b})"
+            parts.append(RangePartition(w))
+        return parts
+
+    def scan(self, table: str, partition: RangePartition, filters: list) -> Iterator:
+        """Arrow batches for one partition with pushed filters rendered
+        into the SQL — predicate evaluation happens server-side."""
+        where_parts = [w for w in (partition.where, filters_to_where(filters)) if w]
+        sql = f"SELECT * FROM {_quote_ident(table)}"
+        if where_parts:
+            sql += " WHERE " + " AND ".join(where_parts)
+        yield from self.query_batches(sql)

@@ -129,3 +129,141 @@ def test_insert_overwrite_replaces(ds_spark, tmp_path):
         str(tmp_path / "t_ow.insert")
     )
     assert back.count() == 7
+
+
+# ---------------------------------------------------------------------------
+# HTTP ArrowStream transport (the real wire path) against the in-process
+# stub speaking the ClickHouse HTTP dialect
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def http_stub():
+    from tests.http_stub import ArrowHttpStub
+
+    stub = ArrowHttpStub(
+        {
+            "nation": f"{SF_DIR}/nation.parquet",
+            "orders": f"{SF_DIR}/orders.parquet",
+        }
+    )
+    url = stub.start()
+    yield stub, url
+    stub.stop()
+
+
+def _http_load(ds_spark, url, table, **opts):
+    r = ds_spark.read.format("clickhouse").option("table", table).option("url", url)
+    for k, v in opts.items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def test_http_system_columns_match_mock(http_stub):
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+
+    stub, url = http_stub
+    got = dict(HttpArrowTransport(url).system_columns("orders"))
+    want = dict(MockTransport(SF_DIR).system_columns("orders"))
+    assert got == want
+
+
+def test_http_scan_row_parity(ds_spark, http_stub):
+    stub, url = http_stub
+    got = _http_load(ds_spark, url, "nation")
+    want = ds_spark.read.parquet(f"{SF_DIR}/nation.parquet")
+    assert got.count() == want.count()
+    assert got.selectExpr("sum(n_nationkey) AS s").first()["s"] == \
+        want.selectExpr("sum(n_nationkey) AS s").first()["s"]
+
+
+def test_http_filter_pushdown_reaches_server(ds_spark, http_stub):
+    stub, url = http_stub
+    df = _http_load(ds_spark, url, "orders")
+    pred = "o_totalprice > 400000 AND o_orderstatus = 'O'"
+    got = df.where(pred).count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/orders.parquet").where(pred).count()
+    assert got == want and got > 0
+    # the stub records every SQL it served: the pushed predicates must
+    # appear in the scan's WHERE clause (server-side pruning)
+    scans = [q for q in stub.queries if q.startswith('SELECT * FROM "orders"')]
+    assert any(
+        '"o_totalprice" > 400000' in q and "\"o_orderstatus\" = 'O'" in q
+        for q in scans
+    )
+
+
+def test_http_range_partitioned_scan(ds_spark, http_stub):
+    stub, url = http_stub
+    before = len(stub.queries)
+    df = _http_load(
+        ds_spark, url, "orders",
+        partition_column="o_orderkey", num_partitions="4",
+    )
+    got = df.count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert got == want
+    ranged = [
+        q for q in stub.queries[before:]
+        if q.startswith('SELECT * FROM "orders"') and '"o_orderkey"' in q
+    ]
+    # 4 slices, each its own server-side range scan
+    assert len(ranged) == 4
+
+
+def test_http_insert_roundtrip_and_overwrite(ds_spark, http_stub):
+    import pyarrow as pa
+
+    stub, url = http_stub
+    with stub.lock:
+        stub.tables["t_http"] = pa.table(
+            {"k": pa.array([], pa.int64()), "v": pa.array([], pa.float64())}
+        )
+    src = ds_spark.range(0, 500).selectExpr("id AS k", "CAST(id * 2 AS DOUBLE) AS v")
+    (
+        src.write.format("clickhouse")
+        .option("table", "t_http").option("url", url)
+        .mode("append").save()
+    )
+    back = _http_load(ds_spark, url, "t_http")
+    assert back.count() == 500
+    assert back.selectExpr("sum(v) AS s").first()["s"] == float(
+        sum(2 * i for i in range(500))
+    )
+    # overwrite truncates server-side, then inserts the new rows
+    (
+        src.limit(7).write.format("clickhouse")
+        .option("table", "t_http").option("url", url)
+        .mode("overwrite").save()
+    )
+    assert _http_load(ds_spark, url, "t_http").count() == 7
+    assert any(q.startswith("TRUNCATE TABLE") for q in stub.queries)
+
+
+def test_http_auth_headers_enforced():
+    import pyarrow.parquet as pq
+
+    from clickhouse_arrow_spark.sources.http_transport import (
+        HttpArrowTransport,
+        TransportError,
+    )
+    from tests.http_stub import ArrowHttpStub
+
+    tbl = pq.read_table(f"{SF_DIR}/region.parquet")
+    with ArrowHttpStub({"region": tbl}, user="u1", password="sekrit") as url:
+        ok = HttpArrowTransport(url, user="u1", password="sekrit")
+        assert len(ok.system_columns("region")) == len(tbl.schema)
+        bad = HttpArrowTransport(url, user="u1", password="wrong")
+        with pytest.raises(TransportError, match="403"):
+            bad.system_columns("region")
+
+
+def test_http_server_error_is_surfaced(http_stub):
+    from clickhouse_arrow_spark.sources.http_transport import (
+        HttpArrowTransport,
+        TransportError,
+    )
+
+    stub, url = http_stub
+    with pytest.raises(TransportError, match="500"):
+        HttpArrowTransport(url).query_batches("SELECT * FROM no_such_table")

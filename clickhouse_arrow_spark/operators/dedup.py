@@ -136,6 +136,53 @@ def minhash_signatures(
     )
 
 
+def shingle_jaccard_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    shingle_k: int = 3,
+    threshold: float = 0.9,
+    length_band: int = 20,
+) -> DataFrame:
+    """EXACT shingle-set Jaccard pairs under (group, length-band)
+    blocking — the deterministic ground truth the MinHash tier's recall
+    is gated against (corpus `dedup_neardup_gate`).
+
+    Uses the SAME shingling as :func:`minhash_signatures` (word
+    k-grams over normalized text), but computes true set Jaccard with
+    array_intersect/array_union instead of estimating it — pure
+    integer/array built-ins, so a SQL oracle reproduces it exactly.
+    Blocking lives in the join key; at scale this is the candidate
+    verification pass, never an all-pairs scan."""
+    base = _spread(df, id_col).select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.length(text_col).alias("nlen"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), "grp",
+        F.col("nlen").alias("alen"), F.col("sh").alias("ash"),
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), "grp",
+        F.col("nlen").alias("blen"), F.col("sh").alias("bsh"),
+    )
+    jac = F.size(F.array_intersect("ash", "bsh")) / F.size(
+        F.array_union("ash", "bsh")
+    )
+    return (
+        a.join(b, "grp")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("alen") - F.col("blen")) <= length_band)
+        )
+        .select("a_id", "b_id", jac.alias("jaccard"))
+        .where(F.col("jaccard") >= threshold)
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     text_col: str = "text",

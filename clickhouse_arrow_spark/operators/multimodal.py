@@ -2,11 +2,14 @@
 columns with typed metadata, plus Pandas-UDF decode/feature plumbing.
 
 The Spark-side contract is real and tested — schema, partitioning, UDF
-signatures, Arrow batch shapes. The actual codec work is stubbed behind
-`DECODERS` (image/audio libraries are not in this container): each stub
-is deterministic so tests can assert end-to-end behavior, and raises
-`NotImplementedError` through :func:`require_real_decoder` when a caller
-demands real decoding.
+signatures, Arrow batch shapes. One REAL codec flows through the plan:
+binary PPM (P6), parsed stdlib-only by :func:`decode_ppm` and oracle-
+gated on exact per-channel pixel sums (corpus `binary_decode_gate`).
+Formats needing external libraries (JPEG/audio/video — not in this
+container) stay stubbed behind `DECODERS`: each stub is deterministic so
+tests can assert end-to-end behavior, and raises `NotImplementedError`
+through :func:`require_real_decoder` when a caller demands real
+decoding.
 
 Schema model (SURVEY §1.3 String/Binary row; FixedString -> binary):
 
@@ -79,8 +82,63 @@ def _fake_image_decode(payload: bytes) -> tuple[int, int, list[float]]:
     return width, height, feats
 
 
+PPM_MIME = "image/x-portable-pixmap"
+
+
+def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL image decode for binary PPM (P6) — a genuine format parsed
+    entirely with the stdlib, so an actual codec flows through the same
+    mapInPandas plan the stubbed formats use.
+
+    Parses the P6 header (magic, whitespace/`#` comments, width,
+    height, maxval) and returns (width, height, raw interleaved RGB
+    bytes). Maxval must be < 256 (1 byte/sample)."""
+    if payload[:2] != b"P6":
+        raise ValueError("not a binary PPM (P6) payload")
+    pos = 2
+    fields: list[int] = []
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos : pos + 1].isspace():
+            pos += 1
+        if payload[pos : pos + 1] == b"#":  # comment to end of line
+            while pos < len(payload) and payload[pos : pos + 1] != b"\n":
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos : pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    width, height, maxval = fields
+    if maxval >= 256:
+        raise ValueError(f"2-byte samples unsupported (maxval={maxval})")
+    pos += 1  # single whitespace after maxval, then raw data
+    pixels = payload[pos : pos + width * height * 3]
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return width, height, pixels
+
+
+def _ppm_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """DECODERS-contract adapter over the real PPM parser: 8 finite
+    features from actual pixel statistics (per-channel means, shape)."""
+    width, height, pixels = decode_ppm(payload)
+    n = width * height
+    means = [sum(pixels[c::3]) / (255.0 * n) for c in range(3)]
+    return width, height, [
+        means[0],
+        means[1],
+        means[2],
+        sum(means) / 3.0,
+        width / 1024.0,
+        height / 1024.0,
+        min(width, height) / max(width, height),
+        1.0,
+    ]
+
+
 DECODERS = {
     "application/octet-stream": _fake_image_decode,
+    PPM_MIME: _ppm_feature_decode,  # real stdlib-parsed format
     # "image/jpeg": <real decoder>,  -- not available in this container
 }
 
@@ -125,6 +183,75 @@ def decode_features(df: DataFrame, batch_size_hint: int = 1024) -> DataFrame:
             yield pd.DataFrame(out)
 
     return df.mapInPandas(decode, schema=FEATURE_SCHEMA)
+
+
+def encode_ppm(doc_id: int) -> bytes:
+    """Deterministic P6 image for a document id — REAL encoded bytes
+    (valid PPM any external tool can open), with SQL-expressible pixel
+    arithmetic so a cross-engine oracle can recompute the expected
+    decode output: width = 4 + id%13, height = 4 + id%7, raw byte i =
+    (id*31 + i*7) % 256."""
+    width = 4 + doc_id % 13
+    height = 4 + doc_id % 7
+    header = f"P6\n# synth {doc_id}\n{width} {height}\n255\n".encode()
+    pixels = bytes((doc_id * 31 + i * 7) % 256 for i in range(width * height * 3))
+    return header + pixels
+
+
+def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize a real PPM payload per row (Arrow-batched pandas UDF —
+    byte generation never crosses a per-row Python boundary) with the
+    same typed-metadata struct attach_payload produces."""
+    ppm = F.pandas_udf(
+        lambda ids: ids.map(lambda i: encode_ppm(int(i))), T.BinaryType()
+    )
+    payload = ppm(F.col(id_col))
+    return df.select(
+        F.col(id_col),
+        payload.alias("payload"),
+        F.struct(
+            F.lit(PPM_MIME).alias("mime"),
+            F.octet_length(payload).alias("n_bytes"),
+            F.sha2(payload, 256).alias("checksum"),
+        ).alias("media"),
+    )
+
+
+PPM_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("width", T.IntegerType(), False),
+        T.StructField("height", T.IntegerType(), False),
+        T.StructField("sum_r", T.LongType(), False),
+        T.StructField("sum_g", T.LongType(), False),
+        T.StructField("sum_b", T.LongType(), False),
+    ]
+)
+
+
+def decode_ppm_stats(df: DataFrame) -> DataFrame:
+    """Real-codec decode plan: parse each payload as PPM via
+    :func:`decode_ppm` inside `mapInPandas` and emit exact integer
+    per-channel pixel sums — values an oracle can pin bit-for-bit.
+    Same partitioning/batching posture as :func:`decode_features`."""
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
+    df = _spread(df, "doc_id")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in PPM_STATS_SCHEMA.fields}
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                width, height, pixels = decode_ppm(bytes(payload))
+                rows["doc_id"].append(int(doc_id))
+                rows["width"].append(width)
+                rows["height"].append(height)
+                rows["sum_r"].append(sum(pixels[0::3]))
+                rows["sum_g"].append(sum(pixels[1::3]))
+                rows["sum_b"].append(sum(pixels[2::3]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=PPM_STATS_SCHEMA)
 
 
 def frame_sample_plan(

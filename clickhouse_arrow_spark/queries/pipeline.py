@@ -66,45 +66,71 @@ def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_neardup_gate",
     """
-    SELECT CAST(0 AS BIGINT) AS mh_missing,
-           CAST(0 AS BIGINT) AS sh_missing,
-           true AS ok
+    WITH t AS (
+      SELECT doc_id, lang AS grp, length(text) AS nlen,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, grp, nlen,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    ), gt AS (
+      SELECT count(*) AS gt_pairs
+      FROM base a JOIN base b
+        ON a.grp = b.grp AND a.doc_id < b.doc_id
+       AND abs(a.nlen - b.nlen) <= 20
+      WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+            / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+    )
+    SELECT CAST(gt_pairs AS BIGINT) AS gt_pairs,
+           CAST(0 AS BIGINT) AS mh_missing,
+           true AS mh_bounded, true AS sh_bounded, true AS ok
+    FROM gt
     """,
-    doc="Oracle gate for the engine-hash near-dup tiers (minhash and "
-    "simhash signatures use xxhash64, so their pair lists have no "
-    "cross-engine oracle): every EXACT duplicate pair (identical "
-    "normalized text — SQL-derivable) must appear in the MinHash-LSH "
-    "candidate pairs (identical signatures collide in every band) AND "
-    "in the SimHash pairs (Hamming distance 0). The Spark side counts "
-    "exact pairs missing from each; the oracle pins both counts to 0 — "
-    "a signature/banding/blocking regression flips the row red at any "
-    "scale factor.",
+    doc="Recall + linearity gate for the engine-hash near-dup tiers "
+    "(minhash/simhash pair lists use xxhash64 so they have no direct "
+    "cross-engine oracle). Ground truth: blocked pairs with TRUE "
+    "shingle-set Jaccard >= 0.9 (operators/dedup.shingle_jaccard_pairs "
+    "— the exact same word-3-gram shingling minhash uses, recomputed "
+    "independently by the DuckDB oracle, which also pins gt_pairs so a "
+    "shingling drift is caught). Gates: every ground-truth pair must "
+    "appear in the MinHash-LSH candidates (at J>=0.9 a 16-band/4-row "
+    "miss has probability (1-J^4)^16 < 1e-7 — deterministic for fixed "
+    "data+seed); the candidate count must stay within [gt_pairs, "
+    "n_docs] (an all-pairs banding regression blows the linear upper "
+    "bound); the simhash pair count must be nonzero and <= n_docs "
+    "(simhash's Hamming ball is a different similarity space, so it "
+    "gets bounds, not the recall superset).",
     tags=("dedup", "minhash", "simhash", "gate"),
 )
 def q_dedup_neardup_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents")
-    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
-    # join on the 256-bit digest, not the text: the shuffle key stays
-    # 32 bytes per row regardless of document size (same skew-proof key
-    # dedup_exact uses)
-    keyed = docs.select(F.sha2(norm, 256).alias("n"), F.col("doc_id"))
-    a = keyed.select(F.col("n"), F.col("doc_id").alias("a_id"))
-    b = keyed.select(F.col("n"), F.col("doc_id").alias("b_id"))
-    exact_pairs = (
-        a.join(b, "n").where(F.col("a_id") < F.col("b_id")).select("a_id", "b_id")
-    )
+    gt = dedup.shingle_jaccard_pairs(docs, threshold=0.9).select("a_id", "b_id")
     mh = dedup.minhash_candidate_pairs(docs, threshold=0.5).select("a_id", "b_id")
     sh = dedup.simhash_near_pairs(docs).select("a_id", "b_id")
-    mh_missing = exact_pairs.join(mh, ["a_id", "b_id"], "left_anti").agg(
-        F.count("*").alias("mh_missing")
+    counts = (
+        gt.agg(F.count("*").alias("gt_pairs"))
+        .crossJoin(gt.join(mh, ["a_id", "b_id"], "left_anti")
+                   .agg(F.count("*").alias("mh_missing")))
+        .crossJoin(mh.agg(F.count("*").alias("mh_n")))
+        .crossJoin(sh.agg(F.count("*").alias("sh_n")))
+        .crossJoin(docs.agg(F.count("*").alias("n_docs")))
     )
-    sh_missing = exact_pairs.join(sh, ["a_id", "b_id"], "left_anti").agg(
-        F.count("*").alias("sh_missing")
+    mh_bounded = (F.col("mh_n") >= F.col("gt_pairs")) & (
+        F.col("mh_n") <= F.col("n_docs")
     )
-    return mh_missing.crossJoin(sh_missing).select(
+    sh_bounded = (F.col("sh_n") >= 1) & (F.col("sh_n") <= F.col("n_docs"))
+    return counts.select(
+        "gt_pairs",
         "mh_missing",
-        "sh_missing",
-        ((F.col("mh_missing") == 0) & (F.col("sh_missing") == 0)).alias("ok"),
+        mh_bounded.alias("mh_bounded"),
+        sh_bounded.alias("sh_bounded"),
+        (
+            (F.col("mh_missing") == 0) & mh_bounded & sh_bounded
+        ).alias("ok"),
     )
 
 
@@ -279,17 +305,21 @@ def q_ann_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "ann_ivf_recall",
     """
-    SELECT vec_id AS query_id, CAST(10 AS INT) AS k, true AS recall_ok
+    SELECT vec_id AS query_id, CAST(10 AS INT) AS k, true AS recall_ok,
+           CAST(10 AS BIGINT) AS n_results, true AS bucket_ok
     FROM embeddings WHERE vec_id < 5
     ORDER BY query_id
     """,
-    doc="Recall gate for the IVF path: recall@10 of ivf_topk(nlist=16, "
-    "nprobe=4) against the exact brute-force top-10, per query. The "
-    "Spark side emits recall_ok = (recall >= 0.6); the oracle asserts "
-    "every query row comes back true — if IVF recall regresses below "
-    "the gate, the value hash mismatches and the row goes red. "
-    "(Measured recall at sf0.001/0.01/0.1: 0.7-1.0.)",
-    tags=("similarity", "ann", "ivf", "recall"),
+    doc="Recall + pruning gate for the IVF path. recall_ok: recall@10 "
+    "of ivf_topk(nlist=16, nprobe=4) against the exact brute-force "
+    "top-10 must be >= 0.6 per query (measured 0.7-1.0 at "
+    "sf0.001/0.01/0.1). n_results: IVF must return exactly k rows per "
+    "query (empty-probe/dropped-query bugs surface here — the "
+    "rows-only check on vector_ivf_topk cannot pin this). bucket_ok: "
+    "the largest IVF bucket holds <= half the corpus, so probing "
+    "nprobe/nlist buckets actually prunes (a degenerate all-in-one-"
+    "bucket assignment flips it false). The oracle pins every column.",
+    tags=("similarity", "ann", "ivf", "recall", "gate"),
 )
 def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
@@ -311,18 +341,39 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         exact.groupBy("query_id")
         .agg(F.count("*").alias("n_exact"))
         .join(hits, "query_id", "left")
+        .join(
+            approx.groupBy("query_id").agg(F.count("*").alias("n_results")),
+            "query_id",
+            "left",
+        )
         .select(
             "query_id",
             (
                 F.coalesce(F.col("n_hits"), F.lit(0))
                 / F.col("n_exact")
             ).alias("recall"),
+            F.coalesce(F.col("n_results"), F.lit(0)).alias("n_results"),
         )
     )
-    return per_q.select(
+    # pruning bound: largest bucket of the same assignment ivf_topk
+    # uses must hold <= half the corpus (else probing doesn't prune)
+    cents = similarity.deterministic_centroids(emb, 16)
+    bucketed = similarity.ivf_assign(emb, cents.collect())
+    bucket_stats = (
+        bucketed.groupBy("centroid_id")
+        .agg(F.count("*").alias("bn"))
+        .agg(F.max("bn").alias("max_bucket"))
+        .crossJoin(emb.agg(F.count("*").alias("n_corpus")))
+        .select(
+            (F.col("max_bucket") * 2 <= F.col("n_corpus")).alias("bucket_ok")
+        )
+    )
+    return per_q.crossJoin(F.broadcast(bucket_stats)).select(
         "query_id",
         F.lit(10).cast("int").alias("k"),
         (F.col("recall") >= 0.6).alias("recall_ok"),
+        "n_results",
+        "bucket_ok",
     ).orderBy("query_id")
 
 
@@ -853,33 +904,40 @@ def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "multimodal_decode_gate",
+    "binary_decode_gate",
     """
-    SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS decode_ok
-    FROM documents
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 13 AS width,
+             4 + doc_id % 7 AS height
+      FROM documents WHERE doc_id < 200
+    )
+    SELECT doc_id,
+           CAST(width AS INT) AS width, CAST(height AS INT) AS height,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + 21 * p) % 256)) AS BIGINT) AS sum_r,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + 21 * p + 7) % 256)) AS BIGINT) AS sum_g,
+           CAST(list_sum(list_transform(range(width * height),
+                p -> (doc_id * 31 + 21 * p + 14) % 256)) AS BIGINT) AS sum_b
+    FROM d ORDER BY doc_id
     """,
-    doc="Oracle gate for the mapInPandas decode plumbing (the decoded "
-    "VALUES come from the documented fake codec, so they have no "
-    "cross-engine oracle): every document must decode to exactly one "
-    "feature row with positive dimensions and a finite 8-float feature "
-    "vector. The oracle pins the row count to the document count and "
-    "decode_ok true — schema drift, dropped/duplicated rows, or NaN "
-    "features flip the row red.",
-    tags=("multimodal", "decode", "gate"),
+    doc="REAL-codec decode gate: each document gets a genuine binary "
+    "PPM (P6) payload (operators/multimodal.encode_ppm — valid image "
+    "bytes with SQL-expressible pixel arithmetic), decoded back by the "
+    "stdlib P6 parser (decode_ppm) inside the same mapInPandas plan "
+    "the stubbed formats use. Spark reports exact per-channel pixel "
+    "sums from the DECODED bytes; the oracle recomputes them "
+    "arithmetically from doc_id — a header-parse or byte-order bug "
+    "flips the row red bit-for-bit. Raw byte i of image id is "
+    "(id*31 + i*7) % 256, so channel c pixel p is "
+    "(id*31 + 21p + 7c) % 256.",
+    tags=("multimodal", "decode", "gate", "real-codec"),
 )
-def q_multimodal_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    payloads = multimodal.attach_payload(spark.table("documents"))
-    decoded = multimodal.decode_features(payloads)
-    row_ok = (
-        (F.col("width") > 0)
-        & (F.col("height") > 0)
-        & (F.size("features") == 8)
-        & F.forall("features", lambda x: ~F.isnan(x) & x.isNotNull())
-    )
-    return decoded.agg(
-        F.count("*").alias("n_docs"),
-        F.bool_and(row_ok).alias("decode_ok"),
-    )
+def q_binary_decode_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents").where(F.col("doc_id") < 200).select("doc_id")
+    payloads = multimodal.attach_ppm_payload(docs)
+    return multimodal.decode_ppm_stats(payloads).orderBy("doc_id")
 
 
 @register(

@@ -172,6 +172,57 @@ def test_multimodal_unknown_mime_raises():
         require_real_decoder("image/jpeg")
 
 
+def test_ppm_encode_decode_roundtrip():
+    from clickhouse_arrow_spark.operators.multimodal import decode_ppm, encode_ppm
+
+    payload = encode_ppm(42)
+    w, h, pixels = decode_ppm(payload)
+    assert (w, h) == (4 + 42 % 13, 4 + 42 % 7)
+    assert len(pixels) == w * h * 3
+    assert pixels[0] == (42 * 31) % 256 and pixels[7] == (42 * 31 + 49) % 256
+
+
+def test_ppm_parser_handles_comments_and_rejects_garbage():
+    from clickhouse_arrow_spark.operators.multimodal import decode_ppm
+
+    # hand-built P6 with interleaved comments and multi-space layout
+    raw = b"P6\n# c1\n2 # trailing\n# c2\n1\n255\n" + bytes(range(6))
+    w, h, pixels = decode_ppm(raw)
+    assert (w, h) == (2, 1) and pixels == bytes(range(6))
+    with pytest.raises(ValueError, match="not a binary PPM"):
+        decode_ppm(b"P5\n1 1\n255\n\x00")
+    with pytest.raises(ValueError, match="truncated"):
+        decode_ppm(b"P6\n2 2\n255\n\x00\x01")
+    with pytest.raises(ValueError, match="2-byte"):
+        decode_ppm(b"P6\n1 1\n65535\n\x00\x00\x00\x00\x00\x00")
+
+
+def test_ppm_real_codec_through_decode_features(spark):
+    from clickhouse_arrow_spark.operators.multimodal import (
+        attach_ppm_payload,
+        decode_features,
+        encode_ppm,
+    )
+
+    df = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    feats = {r["doc_id"]: r for r in decode_features(attach_ppm_payload(df)).collect()}
+    assert len(feats) == 20
+    for i in range(20):
+        r = feats[i]
+        assert (r["width"], r["height"]) == (4 + i % 13, 4 + i % 7)
+        # features are real pixel statistics in [0, 1]
+        assert all(0.0 <= x <= 1.0 for x in r["features"])
+        # mean-of-channel-means equals feature 3
+        assert abs((r["features"][0] + r["features"][1] + r["features"][2]) / 3
+                   - r["features"][3]) < 1e-6
+    # cross-check one channel mean against raw bytes
+    from clickhouse_arrow_spark.operators.multimodal import decode_ppm
+
+    w, h, pixels = decode_ppm(encode_ppm(5))
+    # features column is float32 — compare at float32 precision
+    assert abs(feats[5]["features"][0] - sum(pixels[0::3]) / (255.0 * w * h)) < 1e-6
+
+
 def test_token_count_simple(spark):
     df = spark.createDataFrame([(1, "Hello, world! 42 tokens?")], "doc_id long, text string")
     r = token_count(df).first()
@@ -479,6 +530,32 @@ def test_stratified_sample_rates_and_determinism(spark):
     assert s1 == s2
     # unlisted strata keep default_rate=0 -> dropped entirely
     assert stratified_sample(df, {"a": 0.5}, "s", "k").where(F.col("s") == "b").count() == 0
+
+
+def test_shingle_jaccard_ground_truth_vs_minhash(spark):
+    from clickhouse_arrow_spark.operators.dedup import (
+        minhash_candidate_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    rows = [
+        (1, "en", base),
+        (2, "en", base),  # identical -> jaccard 1.0
+        (3, "en", base + " ok"),  # one extra shingle tail -> still >= 0.9
+        (4, "en", "completely different words in this unrelated document here"),
+        (5, "de", base),  # same text, different blocking group
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, text string")
+    gt = {(r["a_id"], r["b_id"]) for r in shingle_jaccard_pairs(df).collect()}
+    assert (1, 2) in gt and (4, 5) not in gt  # blocked by lang
+    assert all(p[0] < p[1] for p in gt)
+    # every ground-truth pair is a minhash candidate (the gate invariant)
+    mh = {
+        (r["a_id"], r["b_id"])
+        for r in minhash_candidate_pairs(df, threshold=0.5).collect()
+    }
+    assert gt <= mh
 
 
 def test_sample_bucket_spreads_structured_keys(spark):

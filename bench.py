@@ -69,20 +69,51 @@ def main() -> int:
             use_bucketed_tables,
         )
 
-        t0 = time.perf_counter()
-        create_bucketed_layout(spark, sf_dir)
-        bucketed["layout_build_sec"] = round(time.perf_counter() - t0, 4)
-        use_bucketed_tables(spark)
-        for name in ("q3_shipping_priority", "bench_tpch_q18_volume"):
-            sql = registry[name].oracle
-            df = spark.sql(sql)
-            plan = df._jdf.queryExecution().executedPlan().toString()
+        bucketed_queries = (
+            "q3_shipping_priority",
+            "bench_tpch_q18_volume",
+            "q5_local_supplier",
+            "q10_returned_items",
+            "q12_priority_by_status",
+        )
+
+        def run_and_count(name: str) -> tuple[float, int]:
+            """(seconds, fact-join exchange count from the FINAL AQE
+            plan — counted after execution so runtime re-planning is
+            reflected)."""
+            df = spark.sql(registry[name].oracle)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
-            bucketed[name] = {
-                "sec": round(time.perf_counter() - t0, 4),
-                "exchanges": plan.count("Exchange hashpartitioning"),
-            }
+            sec = round(time.perf_counter() - t0, 4)
+            plan = df._jdf.queryExecution().executedPlan().toString()
+            return sec, plan.count("Exchange hashpartitioning")
+
+        # The bucketed layout pays off exactly when the fact tables are
+        # too big to broadcast — the 100 TB regime. At bench SF the
+        # facts are a few MB and Spark just broadcasts them, hiding the
+        # join shuffle bucketing removes; cap the broadcast threshold
+        # below the fact-table size (dims still broadcast) so the
+        # measured delta is the at-scale plan shape.
+        prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+        try:
+            unbucketed: dict[str, tuple[float, int]] = {}
+            for name in bucketed_queries:
+                unbucketed[name] = run_and_count(name)
+            t0 = time.perf_counter()
+            create_bucketed_layout(spark, sf_dir)
+            bucketed["layout_build_sec"] = round(time.perf_counter() - t0, 4)
+            use_bucketed_tables(spark)
+            for name in bucketed_queries:
+                sec, exchanges = run_and_count(name)
+                bucketed[name] = {
+                    "sec": sec,
+                    "exchanges": exchanges,
+                    "unbucketed_sec": unbucketed[name][0],
+                    "unbucketed_exchanges": unbucketed[name][1],
+                }
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
     except Exception as e:  # layout is an optimization, not a gate
         bucketed["error"] = str(e)[:200]
 

@@ -65,12 +65,36 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+#: (applicationId -> sf_dir) memo: every corpus query build calls
+#: register_tables, and re-reading 10 parquet footers + re-creating 10
+#: temp views per QUERY was the dominant per-query driver overhead
+#: (~0.7s/query at sf0.1 — more than executing most queries). Views
+#: persist for the session, so registration is idempotent per
+#: (session, sf_dir) and safe to skip.
+_REGISTERED: dict[str, str] = {}
+
+
 def register_tables(
-    spark: SparkSession, sf_dir: str, tables: tuple[str, ...] = TABLES
+    spark: SparkSession,
+    sf_dir: str,
+    tables: tuple[str, ...] = TABLES,
+    force: bool = False,
 ) -> dict[str, DataFrame]:
     """Register every table under `sf_dir` as a temp view; returns the
     DataFrames keyed by name. Missing files are skipped (some sf dirs may
-    lack optional tables)."""
+    lack optional tables).
+
+    Idempotent per (session, sf_dir): repeat calls return the existing
+    views without touching the filesystem. `force=True` re-registers
+    (e.g. after `use_bucketed_tables` repointed the views and the
+    caller wants the plain parquet layout back)."""
+    app = spark.sparkContext.applicationId
+    if not force and tables == TABLES and _REGISTERED.get(app) == sf_dir:
+        return {
+            name: spark.table(name)
+            for name in tables
+            if os.path.exists(os.path.join(sf_dir, f"{name}.parquet"))
+        }
     out: dict[str, DataFrame] = {}
     for name in tables:
         path = os.path.join(sf_dir, f"{name}.parquet")
@@ -79,4 +103,6 @@ def register_tables(
         df = load_table(spark, sf_dir, name)
         df.createOrReplaceTempView(name)
         out[name] = df
+    if tables == TABLES:
+        _REGISTERED[app] = sf_dir
     return out

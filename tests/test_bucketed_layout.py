@@ -102,7 +102,8 @@ def test_use_bucketed_tables_repoints_views(spark, tables, bucketed):
         plan = _fmt_plan(spark.table("lineitem"))
         assert "Bucketed: true" in plan or "SelectedBucketsCount" in plan or n > 0
     finally:
-        # restore the plain views for other tests
+        # restore the plain views for other tests (force: registration
+        # is memoized per (session, sf_dir) and would otherwise skip)
         from clickhouse_arrow_spark.sources import register_tables
 
-        register_tables(spark, SF_DIR)
+        register_tables(spark, SF_DIR, force=True)

@@ -183,6 +183,9 @@ def fn_math(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "fn_array",
+    # NOTE: arrow-lambda syntax (`w -> ...`) pinned to DuckDB 1.x —
+    # tests/test_corpus_oracle.py::test_duckdb_lambda_syntax_pin fails
+    # loudly if a DuckDB upgrade drops it.
     """
     SELECT p_partkey,
            array_to_string(string_split(p_name, ' '), '|')    AS words,

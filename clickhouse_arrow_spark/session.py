@@ -35,6 +35,10 @@ DEFAULT_CONFS: dict[str, str] = {
     # Storage codec parity with the reference's LZ4/ZSTD wire compression
     # (clickhouse-arrow/src/compression.rs) — zstd for parquet at rest.
     "spark.sql.parquet.compression.codec": "zstd",
+    # Write µs timestamps, not legacy INT96: INT96 reads back as
+    # timestamp[ns] in Arrow tooling (ambiguous with the driver's real
+    # ns columns) and every modern engine speaks TIMESTAMP_MICROS.
+    "spark.sql.parquet.outputTimestampType": "TIMESTAMP_MICROS",
     # Broadcast small dims aggressively (region/nation/supplier class).
     "spark.sql.autoBroadcastJoinThreshold": "64MB",
     # Whole-stage codegen on (default, made explicit: hot path stays JVM-side).

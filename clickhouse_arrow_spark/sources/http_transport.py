@@ -213,6 +213,22 @@ class HttpArrowTransport:
         )
         return rows
 
+    def insert(self, table: str, batch) -> int:
+        """Single-batch insert (reference http/client.rs:129-162
+        `insert` vs `insert_batches` — same wire shape, one batch)."""
+        return self.insert_batches(table, [batch])
+
+    def query_arrow(self, sql: str):
+        """SELECT as one pyarrow Table (the reference's Arrow FFI
+        surface shape; empty result -> empty table with no schema
+        claim)."""
+        import pyarrow as pa
+
+        batches = self.query_batches(sql)
+        if not batches:
+            return pa.table({})
+        return pa.Table.from_batches(batches)
+
     # -- MockTransport contract --------------------------------------
 
     def system_columns(self, table: str) -> list[tuple[str, str]]:

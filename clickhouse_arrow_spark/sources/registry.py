@@ -40,11 +40,30 @@ def _nanos_ts_columns(path: str) -> list[str]:
     (SURVEY §1.3)."""
     import pyarrow as pa
 
+    if os.path.isdir(path):
+        # Spark-written table: a directory of part files sharing one
+        # schema — read any part's footer
+        parts = sorted(
+            f for f in os.listdir(path) if f.endswith(".parquet")
+        )
+        if not parts:
+            return []
+        path = os.path.join(path, parts[0])
     schema = pq.read_schema(path)
+    # Only physically-INT64 ns columns need the nanosAsLong DIV-1000
+    # restore. Legacy INT96 timestamps ALSO surface as timestamp[ns] in
+    # the arrow schema, but Spark reads those as TIMESTAMP directly —
+    # treating them as long would DIV a timestamp and fail analysis.
+    leaves = pq.ParquetFile(path).schema
+    int64_leaves = {
+        leaves.column(i).name
+        for i in range(len(leaves))
+        if leaves.column(i).physical_type == "INT64"
+    }
     return [
         name
         for name, typ in zip(schema.names, schema.types)
-        if typ == pa.timestamp("ns")
+        if typ == pa.timestamp("ns") and name in int64_leaves
     ]
 
 

@@ -22,6 +22,29 @@ ORACLE_SPECS = sorted(n for n, s in REGISTRY.items() if s.oracle)
 ROWS_ONLY_SPECS = sorted(n for n, s in REGISTRY.items() if not s.oracle)
 
 
+def test_duckdb_lambda_syntax_pin():
+    """The oracle corpus uses DuckDB 1.x single-arrow lambdas
+    (`x -> expr`, e.g. queries/functions.py fn_array). Developed and
+    verified against DuckDB 1.0.0. If a future DuckDB drops the arrow
+    form (1.3 deprecated it in favor of Python-style `lambda x: expr`),
+    this test fails LOUDLY instead of the whole oracle suite erroring
+    one query at a time — rewrite the oracle lambdas when it trips."""
+    import duckdb
+
+    try:
+        got = duckdb.execute(
+            "SELECT list_filter([1, 2, 3], x -> x > 1) AS v"
+        ).fetchone()[0]
+    except Exception as e:  # pragma: no cover - future duckdb only
+        pytest.fail(
+            f"DuckDB {duckdb.__version__} rejected the arrow-lambda "
+            f"syntax the oracle corpus is pinned to ({e}); port the "
+            "oracle SQL lambdas (fn_array, dedup gates, embedding "
+            "oracles) to the replacement syntax."
+        )
+    assert got == [2, 3]
+
+
 def _normalize_cell(v):
     if v is None:
         return "NULL"

@@ -258,6 +258,24 @@ def test_http_auth_headers_enforced():
             bad.system_columns("region")
 
 
+def test_http_query_arrow_and_single_insert(http_stub):
+    import pyarrow as pa
+
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+
+    stub, url = http_stub
+    t = HttpArrowTransport(url)
+    tbl = t.query_arrow('SELECT count(*) AS n FROM "nation"')
+    assert tbl.column("n").to_pylist() == [25]
+    with stub.lock:
+        stub.tables["t_one"] = pa.table({"k": pa.array([], pa.int64())})
+    rows = t.insert("t_one", pa.record_batch({"k": pa.array([1, 2, 3])}))
+    assert rows == 3
+    assert t.query_arrow('SELECT count(*) AS n FROM "t_one"').column(
+        "n"
+    ).to_pylist() == [3]
+
+
 def test_http_server_error_is_surfaced(http_stub):
     from clickhouse_arrow_spark.sources.http_transport import (
         HttpArrowTransport,

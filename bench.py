@@ -46,14 +46,19 @@ def main() -> int:
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        # second run on a fresh plan build: codegen/JIT/file-listing and
-        # any operator-level caches are warm, so this is the repeat-query
-        # throughput of a long-running session — the number that
-        # extrapolates to a warmed-up cluster.
-        t0 = time.perf_counter()
-        df2 = spec.build(spark, sf_dir)
-        df2.write.format("noop").mode("overwrite").save()
-        steady[name] = round(time.perf_counter() - t0, 4)
+        # steady state = BEST of two warm repeats on fresh plan builds:
+        # codegen/JIT/file-listing and operator-level caches are warm, so
+        # this is the repeat-query throughput of a long-running session —
+        # the number that extrapolates to a warmed-up cluster. Min-of-2
+        # filters one-off scheduler/GC hiccups out of the per-round
+        # comparison without hiding real cost (both runs do full work).
+        reps = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            df2 = spec.build(spark, sf_dir)
+            df2.write.format("noop").mode("overwrite").save()
+            reps.append(time.perf_counter() - t0)
+        steady[name] = round(min(reps), 4)
         # drop per-operator caches so the next query's cold timing is
         # actually cold
         spark.catalog.clearCache()

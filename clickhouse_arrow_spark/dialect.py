@@ -101,12 +101,18 @@ _SIMPLE_RENAMES: dict[str, str] = {
     # misc
     "generateUUIDv4": "uuid",
     "currentDatabase": "current_database",
+    "currentUser": "current_user",
     "toTypeName": "typeof",  # caveat: returns Spark type names
     "anyHeavy": "mode",  # heavy-hitter pick -> exact mode (superset)
     "countMatches": "regexp_count",
     "extractAll": "regexp_extract_all",  # caveat: CH falls back to the
     # whole match when the pattern has no group; Spark extracts group 1
     "toISOWeek": "weekofyear",  # Spark weekofyear IS ISO-8601
+    "isNaN": "isnan",
+    "mapFromArrays": "map_from_arrays",
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
+    "randCanonical": "rand",
 }
 
 
@@ -114,7 +120,19 @@ _SIMPLE_RENAMES: dict[str, str] = {
 #: Substituting xxhash64 silently would hand back different hash values
 #: for the same input — refuse by default, substitute only on explicit
 #: opt-in (translate_ch_sql(..., allow_hash_substitution=True)).
-_ENGINE_HASHES = ("cityHash64", "sipHash64", "halfMD5", "farmHash64")
+#: xxHash64/32 included: Spark's xxhash64 builtin uses seed 42 where
+#: ClickHouse seeds 0, so a bare rename silently returns different
+#: values for identical input (the exact trap this gate exists for).
+_ENGINE_HASHES = (
+    "cityHash64",
+    "sipHash64",
+    "halfMD5",
+    "farmHash64",
+    "xxHash64",
+    "xxHash32",
+    "javaHash",
+    "hiveHash",
+)
 
 
 class UntranslatableFunctionError(ValueError):
@@ -601,6 +619,125 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"timestampadd(QUARTER, {a[1]}, {a[0]})"
     if name == "subtractQuarters":
         return lambda a: f"timestampadd(QUARTER, -({a[1]}), {a[0]})"
+    if name in ("assumeNotNull", "toNullable", "toLowCardinality"):
+        # nullability/encoding wrappers with no Spark runtime meaning —
+        # the value passes through (assumeNotNull's null->default-value
+        # coercion has no analogue; nulls stay null)
+        return lambda a: f"({a[0]})"
+    if name in ("MD5", "SHA1", "SHA224", "SHA256"):
+        # CH returns the raw digest BYTES (FixedString); Spark's md5/
+        # sha1/sha2 return lowercase hex — unhex restores value parity
+        inner = {
+            "MD5": "md5({0})",
+            "SHA1": "sha1({0})",
+            "SHA224": "sha2({0}, 224)",
+            "SHA256": "sha2({0}, 256)",
+        }[name]
+        return lambda a: f"unhex({inner.format(a[0])})"
+    if name in ("dateAdd", "dateSub"):
+        # dateAdd(unit, n, d) / dateAdd(DAY, n, d) -> timestampadd; CH
+        # accepts the unit quoted or bare
+        def date_addsub(a: Args, _sub: bool = name == "dateSub") -> str:
+            unit = a[0].strip().strip("'\"").upper()
+            n = f"-({a[1]})" if _sub else a[1]
+            return f"timestampadd({unit}, {n}, {a[2]})"
+
+        return date_addsub
+    if name in ("intDivOrZero", "moduloOrZero"):
+        op = "DIV" if name == "intDivOrZero" else "%"
+        return lambda a: (
+            f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) {op} ({a[1]}) END"
+        )
+    if name == "countSubstrings":
+        return lambda a: (
+            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
+            f"DIV length({a[1]}) AS BIGINT)"
+        )
+    if name == "isFinite":
+        return lambda a: (
+            f"(NOT isnan({a[0]}) AND abs({a[0]}) != CAST('Infinity' AS DOUBLE))"
+        )
+    if name == "isInfinite":
+        return lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))"
+    if name in ("JSONExtractFloat", "JSONExtractBool", "JSONExtractRaw", "JSONHas"):
+        cast_to = {"JSONExtractFloat": "DOUBLE", "JSONExtractBool": "BOOLEAN"}.get(
+            name
+        )
+
+        def json_variant(a: Args, _cast: str | None = cast_to,
+                         _has: bool = name == "JSONHas") -> str:
+            path = a[1].strip()
+            if path.startswith("'") and path.endswith("'"):
+                path = f"'$.{path[1:-1]}'"
+            got = f"get_json_object({a[0]}, {path})"
+            if _has:
+                return f"({got} IS NOT NULL)"
+            if _cast:
+                return f"CAST({got} AS {_cast})"
+            return got
+
+        return json_variant
+    if name == "isValidJSON":
+        return lambda a: f"(try_parse_json({a[0]}) IS NOT NULL)"
+    if name in ("arrayFirst", "arrayLast"):
+        # CH (lambda, arr) -> Spark filter(arr, lambda); try_element_at
+        # yields NULL on no match (CH yields the type default — nulls
+        # are the closer Spark-native semantics)
+        idx = "1" if name == "arrayFirst" else "-1"
+        return lambda a: f"try_element_at(filter({a[1]}, {a[0]}), {idx})"
+    if name == "arrayWithConstant":
+        return lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))"
+    if name == "timeSlot":
+        return lambda a: (
+            f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"
+        )
+    if name in ("toIntervalDay", "toIntervalWeek", "toIntervalHour",
+                "toIntervalMinute", "toIntervalSecond"):
+        slot = {
+            "toIntervalDay": "make_dt_interval({0})",
+            "toIntervalWeek": "make_dt_interval(({0}) * 7)",
+            "toIntervalHour": "make_dt_interval(0, {0})",
+            "toIntervalMinute": "make_dt_interval(0, 0, {0})",
+            "toIntervalSecond": "make_dt_interval(0, 0, 0, {0})",
+        }[name]
+        return lambda a: slot.format(a[0])
+    if name in ("toIntervalMonth", "toIntervalYear", "toIntervalQuarter"):
+        slot = {
+            "toIntervalMonth": "make_ym_interval(0, {0})",
+            "toIntervalQuarter": "make_ym_interval(0, ({0}) * 3)",
+            "toIntervalYear": "make_ym_interval({0})",
+        }[name]
+        return lambda a: slot.format(a[0])
+    if name == "parseDateTimeBestEffort":
+        # best-effort subset: ISO-ish strings parse identically; CH's
+        # wilder formats (unix ts strings, DD/MM) do not — documented
+        # narrowing, better than an unresolved function
+        return lambda a: f"to_timestamp({a[0]})"
+    if name == "accurateCast":
+        def accurate_cast(a: Args) -> str:
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            t = a[1].strip()
+            if t.startswith("'") and t.endswith("'"):
+                dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
+                return f"CAST({a[0]} AS {dt.simpleString().upper()})"
+            return f"CAST({a[0]} AS {t})"
+
+        return accurate_cast
+    if name == "splitByString":
+        # CH (sep, s) -> Spark split(s, regex-escaped sep), same
+        # contract as splitByChar for multi-char separators
+        def split_by_string(a: Args) -> str:
+            sep = a[0].strip()
+            if sep.startswith("'") and sep.endswith("'"):
+                lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
+                return f"split({a[1]}, '{lit}')"
+            return f"split({a[1]}, {sep})"
+
+        return split_by_string
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"

@@ -570,3 +570,104 @@ def test_sample_executes(client):
     total = client.query_ch("SELECT count(*) AS n FROM orders").first()["n"]
     got = client.query_ch("SELECT count(*) AS n FROM orders SAMPLE 0.2").first()["n"]
     assert 0 < got < total  # bernoulli sample: strictly between
+
+
+@pytest.mark.parametrize(
+    "ch, expected",
+    [
+        ("SELECT assumeNotNull(x)", "SELECT (x)"),
+        ("SELECT toLowCardinality(s)", "SELECT (s)"),
+        ("SELECT MD5(s)", "SELECT unhex(md5(s))"),
+        ("SELECT SHA256(s)", "SELECT unhex(sha2(s, 256))"),
+        (
+            "SELECT dateAdd(DAY, 3, d)",
+            "SELECT timestampadd(DAY, 3, d)",
+        ),
+        (
+            "SELECT dateSub('month', 2, d)",
+            "SELECT timestampadd(MONTH, -(2), d)",
+        ),
+        (
+            "SELECT intDivOrZero(a, b)",
+            "SELECT CASE WHEN (b) = 0 THEN 0 ELSE (a) DIV (b) END",
+        ),
+        (
+            "SELECT countSubstrings(h, 'ab')",
+            "SELECT CAST((length(h) - length(replace(h, 'ab', ''))) "
+            "DIV length('ab') AS BIGINT)",
+        ),
+        (
+            "SELECT isFinite(x)",
+            "SELECT (NOT isnan(x) AND abs(x) != CAST('Infinity' AS DOUBLE))",
+        ),
+        (
+            "SELECT JSONExtractFloat(j, 'price')",
+            "SELECT CAST(get_json_object(j, '$.price') AS DOUBLE)",
+        ),
+        (
+            "SELECT JSONHas(j, 'k')",
+            "SELECT (get_json_object(j, '$.k') IS NOT NULL)",
+        ),
+        (
+            "SELECT arrayFirst(x -> x > 1, arr)",
+            "SELECT try_element_at(filter(arr, x -> x > 1), 1)",
+        ),
+        (
+            "SELECT arrayWithConstant(3, 'x')",
+            "SELECT array_repeat('x', CAST(3 AS INT))",
+        ),
+        (
+            "SELECT d + toIntervalDay(3)",
+            "SELECT d + make_dt_interval(3)",
+        ),
+        (
+            "SELECT d + toIntervalMonth(n)",
+            "SELECT d + make_ym_interval(0, n)",
+        ),
+        (
+            "SELECT accurateCast(x, 'Int64')",
+            "SELECT CAST(x AS BIGINT)",
+        ),
+        (
+            "SELECT splitByString('::', s)",
+            "SELECT split(s, '::')",
+        ),
+        (
+            "SELECT timeSlot(t)",
+            "SELECT timestamp_seconds((unix_timestamp(t) DIV 1800) * 1800)",
+        ),
+    ],
+)
+def test_round4_translations(ch, expected):
+    assert translate_ch_sql(ch) == expected
+
+
+def test_xxhash_gated_not_silently_renamed():
+    # Spark xxhash64 seeds 42, CH seeds 0 — a silent rename would
+    # return different values, so it must gate like the other engine
+    # hashes (opt-in substitution only)
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with pytest.raises(UntranslatableFunctionError):
+        translate_ch_sql("SELECT xxHash64(s)")
+    with pytest.warns(UserWarning, match="xxhash64"):
+        assert (
+            translate_ch_sql("SELECT xxHash64(s)", allow_hash_substitution=True)
+            == "SELECT xxhash64(s)"
+        )
+
+
+def test_round4_translations_execute(client):
+    row = client.query_ch(
+        "SELECT hex(MD5('abc')) AS h, dateAdd(DAY, 2, toDate('2024-01-30')) AS d2, "
+        "intDivOrZero(7, 0) AS z, countSubstrings('ababab', 'ab') AS cs, "
+        "arrayFirst(x -> x > 1, [1, 2, 3]) AS af, "
+        "arrayLast(x -> x < 3, [1, 2, 3]) AS al, "
+        "isFinite(1.5) AS fin, isInfinite(1.5) AS inf"
+    ).first()
+    assert row["h"] == "900150983CD24FB0D6963F7D28E17F72"  # md5('abc')
+    assert str(row["d2"]).startswith("2024-02-01")
+    assert row["z"] == 0
+    assert row["cs"] == 3
+    assert row["af"] == 2 and row["al"] == 2
+    assert row["fin"] is True and row["inf"] is False

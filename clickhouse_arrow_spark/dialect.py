@@ -679,6 +679,22 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return json_variant
     if name == "isValidJSON":
         return lambda a: f"(try_parse_json({a[0]}) IS NOT NULL)"
+    if name in ("mapAdd", "mapSubtract"):
+        # CH merges maps summing/subtracting values per key; Spark:
+        # zip by key over the union of keys (map_concat alone would
+        # keep only one side's value on collision)
+        sign = "+" if name == "mapAdd" else "-"
+
+        def map_merge(a: Args, _s: str = sign) -> str:
+            l, r = a[0], a[1]
+            return (
+                f"map_from_entries(transform(array_sort(array_union("
+                f"map_keys({l}), map_keys({r}))), _mk -> struct(_mk, "
+                f"coalesce(element_at({l}, _mk), 0) {_s} "
+                f"coalesce(element_at({r}, _mk), 0))))"
+            )
+
+        return map_merge
     if name in ("arrayFirst", "arrayLast"):
         # CH (lambda, arr) -> Spark filter(arr, lambda); try_element_at
         # yields NULL on no match (CH yields the type default — nulls

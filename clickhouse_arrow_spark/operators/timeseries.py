@@ -74,3 +74,26 @@ def limit_by(
         .where(F.col("_lb_rn") <= n)
         .drop("_lb_rn")
     )
+
+
+def delta_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+) -> DataFrame:
+    """ClickHouse `deltaSum(value)` per key: the sum of POSITIVE
+    consecutive differences of `value` in `time_col` order — the
+    counter-reset-tolerant rate aggregate (a monotone counter that
+    resets to 0 contributes only its increases).
+
+    Window lag + conditional sum: one exchange keyed on `key_cols`,
+    the same partitioning both the lag window and the final groupBy
+    reuse (Catalyst plans a single Exchange)."""
+    w = Window.partitionBy(*key_cols).orderBy(time_col)
+    step = F.col(value_col) - F.lag(value_col).over(w)
+    return (
+        df.select(*key_cols, F.greatest(step, F.lit(0)).alias("_d"))
+        .groupBy(*key_cols)
+        .agg(F.sum("_d").alias("delta_sum"))
+    )

@@ -447,3 +447,93 @@ def url_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_arrow_spark.dialect import translate_ch_sql
 
     return spark.sql(translate_ch_sql(_URL_IP_CH_SQL))
+
+
+@register(
+    "summap_event_values",
+    """
+    WITH per_key AS (
+      SELECT user_id, event_type,
+             round(sum(value), 4) AS sv,
+             round(min(value), 4) AS mv
+      FROM events
+      WHERE user_id < 50
+      GROUP BY user_id, event_type
+    )
+    SELECT user_id,
+           array_agg(event_type ORDER BY event_type) AS keys,
+           array_agg(sv ORDER BY event_type) AS sums,
+           array_agg(mv ORDER BY event_type) AS mins
+    FROM per_key
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+    doc="ClickHouse sumMap/minMap aggregate family "
+    "(operators/maps.agg_map): per-user metric map keyed by event type "
+    "— each event contributes a single-entry map, the aggregate merges "
+    "them per key. Output decomposed into sorted key/value arrays so "
+    "the hash is engine-neutral (map rendering differs across "
+    "engines). Two exchanges, both map-side combined on bounded keys.",
+    tags=("aggregate", "map", "summap"),
+)
+def q_summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.maps import agg_map
+
+    ev = (
+        spark.table("events")
+        .where(F.col("user_id") < 50)
+        .select(
+            "user_id", F.create_map(F.col("event_type"), F.col("value")).alias("m")
+        )
+    )
+    sums = agg_map(ev, ["user_id"], "m", "sum", out_col="sm")
+    mins = agg_map(ev, ["user_id"], "m", "min", out_col="mm")
+    rounded_s = F.transform_values(F.col("sm"), lambda k, v: F.round(v, 4))
+    rounded_m = F.transform_values(F.col("mm"), lambda k, v: F.round(v, 4))
+    return (
+        sums.join(mins, "user_id")
+        .select(
+            "user_id",
+            F.map_keys(rounded_s).alias("keys"),
+            F.map_values(rounded_s).alias("sums"),
+            F.map_values(rounded_m).alias("mins"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "timeseries_delta_sum",
+    """
+    WITH d AS (
+      SELECT user_id,
+             greatest(value - lag(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id), 0) AS dd
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id, round(CAST(sum(dd) AS DOUBLE), 4) AS delta_sum
+    FROM d GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ClickHouse deltaSum analogue "
+    "(operators/timeseries.delta_sum): per-user sum of positive "
+    "consecutive value deltas in time order — the counter-reset-"
+    "tolerant rate aggregate. Single exchange on the user key, reused "
+    "by the lag window and the final groupBy.",
+    tags=("timeseries", "aggregate", "deltaSum"),
+)
+def q_timeseries_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import delta_sum
+
+    ev = spark.table("events").where(F.col("user_id") < 50)
+    # deterministic order under equal timestamps: tiebreak on event_id
+    ev = ev.withColumn(
+        "_ord",
+        F.concat(
+            F.lpad(F.unix_micros("ts").cast("string"), 20, "0"),
+            F.lpad(F.col("event_id").cast("string"), 20, "0"),
+        ),
+    )
+    out = delta_sum(ev, ["user_id"], "_ord", "value")
+    return out.select(
+        "user_id", F.round(F.col("delta_sum"), 4).alias("delta_sum")
+    ).orderBy("user_id")

@@ -609,3 +609,48 @@ def test_quality_weighted_sample_monotone(spark):
     # scale > 1 saturates at keep-everything
     all_kept = quality_weighted_sample(df, "q", "k", scale=20.0).count()
     assert all_kept == 10000
+
+
+def test_agg_map_family(spark):
+    from clickhouse_arrow_spark.operators.maps import agg_map
+
+    rows = [
+        (1, {"clicks": 2.0, "views": 10.0}),
+        (1, {"clicks": 3.0}),
+        (2, {"views": 1.0}),
+    ]
+    df = spark.createDataFrame(rows, "uid long, m map<string, double>")
+    got = {r["uid"]: r["sum_map"] for r in agg_map(df, ["uid"], "m").collect()}
+    assert got[1] == {"clicks": 5.0, "views": 10.0}
+    assert got[2] == {"views": 1.0}
+    # keys come out sorted (deterministic rendering)
+    assert list(got[1].keys()) == ["clicks", "views"]
+    mn = {r["uid"]: r["min_map"] for r in agg_map(df, ["uid"], "m", "min").collect()}
+    assert mn[1] == {"clicks": 2.0, "views": 10.0}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="agg must be one of"):
+        agg_map(df, ["uid"], "m", "median")
+
+
+def test_map_add_dialect(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    sql = translate_ch_sql(
+        "SELECT mapAdd(map('a', 1, 'b', 2), map('b', 10, 'c', 3)) AS m"
+    )
+    row = spark.sql(sql).first()
+    assert row["m"] == {"a": 1, "b": 12, "c": 3}
+    sql2 = translate_ch_sql("SELECT mapSubtract(map('a', 5), map('a', 2, 'z', 1)) AS m")
+    assert spark.sql(sql2).first()["m"] == {"a": 3, "z": -1}
+
+
+def test_delta_sum_counter_resets(spark):
+    from clickhouse_arrow_spark.operators.timeseries import delta_sum
+
+    # counter 10 -> 15 -> 3 (reset) -> 9: positive deltas 5 + 6 = 11
+    rows = [(1, 1, 10.0), (1, 2, 15.0), (1, 3, 3.0), (1, 4, 9.0), (2, 1, 7.0)]
+    df = spark.createDataFrame(rows, "k long, t long, v double")
+    got = {r["k"]: r["delta_sum"] for r in delta_sum(df, ["k"], "t", "v").collect()}
+    assert got[1] == 11.0
+    assert got[2] == 0.0  # single sample has no delta

@@ -32,6 +32,9 @@ class ClientBuilder:
         self._type_options = TypeOptions()
         self._spark: SparkSession | None = None
         self._ignored: dict[str, Any] = {}  # accepted-for-compat knobs
+        self._http_url: str | None = None
+        self._http_user: str | None = None
+        self._http_password: str | None = None
 
     # -- destination: reference with_endpoint/with_destination ----------
     def with_destination(self, master: str) -> "ClientBuilder":
@@ -68,13 +71,22 @@ class ClientBuilder:
         self._type_options = replace(self._type_options, strings_as_strings=enabled)
         return self
 
-    # -- transport knobs: accepted for compatibility, no-ops on Spark ----
+    # -- transport knobs --------------------------------------------------
+    # username/password feed the HTTP transport's X-ClickHouse-* headers
+    # when an endpoint is set (reference default_headers,
+    # http/client.rs:43-67); without one they are accepted as no-ops.
+    def with_http_url(self, url: str) -> "ClientBuilder":
+        """Remote HTTP ArrowStream endpoint for read_remote/
+        insert_remote (reference HttpOptions.url)."""
+        self._http_url = url
+        return self
+
     def with_username(self, user: str) -> "ClientBuilder":
-        self._ignored["username"] = user
+        self._http_user = user
         return self
 
     def with_password(self, password: str) -> "ClientBuilder":
-        self._ignored["password"] = "***"
+        self._http_password = password
         return self
 
     def with_tls(self, enabled: bool = True) -> "ClientBuilder":
@@ -93,7 +105,13 @@ class ClientBuilder:
         if self._spark is not None:
             for k, v in self._confs.items():
                 spark.conf.set(k, v)
-        client = Client(spark, type_options=self._type_options)
+        client = Client(
+            spark,
+            type_options=self._type_options,
+            http_url=self._http_url,
+            http_user=self._http_user,
+            http_password=self._http_password,
+        )
         if self._database:
             spark.sql(f"CREATE DATABASE IF NOT EXISTS `{self._database}`")
             spark.catalog.setCurrentDatabase(self._database)

@@ -71,9 +71,76 @@ class Client:
         self,
         spark: SparkSession | None = None,
         type_options: TypeOptions = DEFAULT_OPTIONS,
+        http_url: str | None = None,
+        http_user: str | None = None,
+        http_password: str | None = None,
     ):
         self.spark = spark or get_spark()
         self.type_options = type_options
+        #: default remote endpoint for read_remote/insert_remote (the
+        #: reference client's transport destination)
+        self.http_url = http_url
+        self._http_auth = {
+            k: v
+            for k, v in (("user", http_user), ("password", http_password))
+            if v is not None
+        }
+
+    # ------------------------------------------------------------------
+    # remote connector surface (HTTP ArrowStream transport)
+    # ------------------------------------------------------------------
+    def _remote_reader(self, table: str, url: str | None, options: dict):
+        from clickhouse_arrow_spark.sources.dsv2 import ClickHouseDataSource
+
+        url = url or self.http_url
+        if not url:
+            raise ValueError(
+                "no HTTP endpoint: pass url= or build the client with "
+                "ClientBuilder().with_http_url(...)"
+            )
+        self.spark.dataSource.register(ClickHouseDataSource)
+        r = (
+            self.spark.read.format("clickhouse")
+            .option("table", table)
+            .option("url", url)
+        )
+        for k, v in {**self._http_auth, **options}.items():
+            r = r.option(k, str(v))
+        return r
+
+    def read_remote(
+        self, table: str, url: str | None = None, **options
+    ) -> DataFrame:
+        """Scan a server table over the HTTP ArrowStream connector
+        (reference HttpClient::query, http/client.rs:80-99): filter
+        pushdown into the server-side SQL, optional range partitioning
+        via partition_column=/num_partitions= options."""
+        return self._remote_reader(table, url, options).load()
+
+    def insert_remote(
+        self,
+        table: str,
+        data: DataFrame,
+        url: str | None = None,
+        overwrite: bool = False,
+        **options,
+    ) -> None:
+        """Insert a DataFrame into a server table over the HTTP
+        transport (reference HttpClient::insert_batches,
+        http/client.rs:164-196): each task streams its Arrow batches
+        as one IPC POST; overwrite truncates first."""
+        from clickhouse_arrow_spark.sources.dsv2 import ClickHouseDataSource
+
+        url = url or self.http_url
+        if not url:
+            raise ValueError("no HTTP endpoint (see read_remote)")
+        self.spark.dataSource.register(ClickHouseDataSource)
+        w = data.write.format("clickhouse").option("table", table).option(
+            "url", url
+        )
+        for k, v in {**self._http_auth, **options}.items():
+            w = w.option(k, str(v))
+        w.mode("overwrite" if overwrite else "append").save()
 
     # ------------------------------------------------------------------
     # query surface

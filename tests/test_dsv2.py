@@ -285,3 +285,33 @@ def test_http_server_error_is_surfaced(http_stub):
     stub, url = http_stub
     with pytest.raises(TransportError, match="500"):
         HttpArrowTransport(url).query_batches("SELECT * FROM no_such_table")
+
+
+def test_client_remote_surface(ds_spark, http_stub):
+    import pyarrow as pa
+
+    from clickhouse_arrow_spark.builder import ClientBuilder
+
+    stub, url = http_stub
+    client = (
+        ClientBuilder().with_session(ds_spark).with_http_url(url).build()
+    )
+    df = client.read_remote("nation")
+    want = ds_spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
+    assert df.count() == want
+    with stub.lock:
+        stub.tables["t_client"] = pa.table({"k": pa.array([], pa.int64())})
+    client.insert_remote("t_client", ds_spark.range(0, 40).selectExpr("id AS k"))
+    assert client.read_remote("t_client").count() == 40
+    client.insert_remote(
+        "t_client", ds_spark.range(0, 5).selectExpr("id AS k"), overwrite=True
+    )
+    assert client.read_remote("t_client").count() == 5
+
+
+def test_client_remote_requires_endpoint(ds_spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(ds_spark)
+    with pytest.raises(ValueError, match="no HTTP endpoint"):
+        c.read_remote("nation")

@@ -165,3 +165,22 @@ def test_stratified_sample_is_scan_filter(spark, tables):
     plan = plan_of(spark, "deterministic_stratified")
     assert "Join" not in plan
     assert "Window" not in plan
+
+
+def test_delta_sum_single_exchange(spark, tables):
+    plan = plan_of(spark, "timeseries_delta_sum")
+    # lag window and final groupBy share the user_id partitioning: one
+    # hash exchange total (plus nothing for the ordered final output
+    # beyond a range partition for the ORDER BY)
+    assert plan.count("hashpartitioning(") == 1
+    assert "BatchEvalPython" not in plan
+
+
+def test_agg_map_bounded_exchanges(spark, tables):
+    plan = plan_of(spark, "summap_event_values")
+    # two agg_map branches x two keyed exchanges each, plus the join;
+    # every one is keyed on (user, map-key) or (user) — bounded keys,
+    # partial aggregation (map-side combine) before each
+    assert "partial_" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert plan.count("hashpartitioning(") <= 6

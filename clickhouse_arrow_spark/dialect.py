@@ -679,6 +679,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return json_variant
     if name == "isValidJSON":
         return lambda a: f"(try_parse_json({a[0]}) IS NOT NULL)"
+    if name == "retention":
+        # CH retention(c1..cN) aggregate: array of 0/1 where r[0] =
+        # "c1 held for some event" and r[i] = "c1 held AND c_i held"
+        # (independent events, not the same row)
+        def retention_fmt(a: Args) -> str:
+            first = f"max(CASE WHEN {a[0]} THEN 1 ELSE 0 END)"
+            parts = [first] + [
+                f"least({first}, max(CASE WHEN {c} THEN 1 ELSE 0 END))"
+                for c in a[1:]
+            ]
+            return f"array({', '.join(parts)})"
+
+        return retention_fmt
     if name in ("mapAdd", "mapSubtract"):
         # CH merges maps summing/subtracting values per key; Spark:
         # zip by key over the union of keys (map_concat alone would
@@ -773,6 +786,10 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantileExactWeighted": lambda p, a: (
         f"percentile({a[0]}, {p[0]}, {a[1]})"
     ),
+    # timing/deterministic variants: same statistic, different CH
+    # internal representation — exact percentile is a value superset
+    "quantileTiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
 }
 
 _GROUP_BY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")

@@ -671,3 +671,32 @@ def test_round4_translations_execute(client):
     assert row["cs"] == 3
     assert row["af"] == 2 and row["al"] == 2
     assert row["fin"] is True and row["inf"] is False
+
+
+def test_retention_translation_and_values(client):
+    assert translate_ch_sql("SELECT retention(a, b)") == (
+        "SELECT array(max(CASE WHEN a THEN 1 ELSE 0 END), "
+        "least(max(CASE WHEN a THEN 1 ELSE 0 END), "
+        "max(CASE WHEN b THEN 1 ELSE 0 END)))"
+    )
+    # user 1: day-0 and day-1 events -> [1, 1]; user 2: only day-1 ->
+    # [0, 0] (retention requires the FIRST condition)
+    rows = client.query_ch(
+        "SELECT uid, retention(d = 0, d = 1) AS r FROM "
+        "(SELECT 1 AS uid, 0 AS d UNION ALL SELECT 1, 1 "
+        " UNION ALL SELECT 2, 1) "
+        "GROUP BY uid ORDER BY uid"
+    ).collect()
+    assert list(rows[0]["r"]) == [1, 1]
+    assert list(rows[1]["r"]) == [0, 0]
+
+
+def test_quantile_timing_deterministic_variants(client):
+    assert translate_ch_sql("SELECT quantileTiming(0.5)(v)") == (
+        "SELECT percentile(v, 0.5)"
+    )
+    row = client.query_ch(
+        "SELECT quantileDeterministic(0.5)(x) AS m FROM "
+        "(SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)"
+    ).first()
+    assert float(row["m"]) == 2.0

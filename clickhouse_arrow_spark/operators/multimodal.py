@@ -118,10 +118,76 @@ def decode_ppm(payload: bytes) -> tuple[int, int, bytes]:
     return width, height, pixels
 
 
-def _ppm_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
-    """DECODERS-contract adapter over the real PPM parser: 8 finite
-    features from actual pixel statistics (per-channel means, shape)."""
-    width, height, pixels = decode_ppm(payload)
+BMP_MIME = "image/bmp"
+
+
+def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL decode for uncompressed 24-bit BMP (BITMAPINFOHEADER,
+    BI_RGB) — second stdlib-parsed format through the same plan.
+
+    Returns (width, height, interleaved RGB bytes in top-down row
+    order). Handles the format's quirks: 4-byte row padding, BGR
+    channel order, and bottom-up row storage (positive height)."""
+    import struct
+
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    data_offset = struct.unpack_from("<I", payload, 10)[0]
+    header_size = struct.unpack_from("<I", payload, 14)[0]
+    if header_size < 40:
+        raise ValueError(f"unsupported BMP header size {header_size}")
+    width, height = struct.unpack_from("<ii", payload, 18)
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    compression = struct.unpack_from("<I", payload, 30)[0]
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"only 24bpp BI_RGB supported (bpp={bpp})")
+    top_down = height < 0
+    height = abs(height)
+    row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        src_row = row if top_down else height - 1 - row
+        base = data_offset + src_row * row_stride
+        for col in range(width):
+            b, g, r = payload[base + col * 3 : base + col * 3 + 3]
+            dst = (row * width + col) * 3
+            out[dst : dst + 3] = bytes((r, g, b))
+    return width, height, bytes(out)
+
+
+def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
+    """Minimal 24-bit BI_RGB BMP writer (round-trip fixture for
+    decode_bmp; rgb is top-down interleaved RGB)."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    img_size = row_stride * height
+    header = struct.pack(
+        "<2sIHHI", b"BM", 54 + img_size, 0, 0, 54
+    ) + struct.pack(
+        "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    rows = bytearray()
+    pad = b"\x00" * (row_stride - width * 3)
+    for row in range(height):
+        for col in range(width):
+            i = (row * width + col) * 3
+            r, g, b = rgb[i : i + 3]
+            rows += bytes((b, g, r))
+        rows += pad
+    return header + bytes(rows)
+
+
+def _bmp_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    width, height, pixels = decode_bmp(payload)
+    return _pixel_features(width, height, pixels)
+
+
+def _pixel_features(
+    width: int, height: int, pixels: bytes
+) -> tuple[int, int, list[float]]:
+    """8 finite features from actual interleaved-RGB pixel statistics
+    (per-channel means, shape) — shared by every real decoder."""
     n = width * height
     means = [sum(pixels[c::3]) / (255.0 * n) for c in range(3)]
     return width, height, [
@@ -136,9 +202,16 @@ def _ppm_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
     ]
 
 
+def _ppm_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """DECODERS-contract adapter over the real PPM parser."""
+    width, height, pixels = decode_ppm(payload)
+    return _pixel_features(width, height, pixels)
+
+
 DECODERS = {
     "application/octet-stream": _fake_image_decode,
     PPM_MIME: _ppm_feature_decode,  # real stdlib-parsed format
+    BMP_MIME: _bmp_feature_decode,  # real stdlib-parsed format
     # "image/jpeg": <real decoder>,  -- not available in this container
 }
 

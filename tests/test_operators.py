@@ -654,3 +654,40 @@ def test_delta_sum_counter_resets(spark):
     got = {r["k"]: r["delta_sum"] for r in delta_sum(df, ["k"], "t", "v").collect()}
     assert got[1] == 11.0
     assert got[2] == 0.0  # single sample has no delta
+
+
+def test_bmp_roundtrip_and_cross_codec_parity(spark):
+    import struct
+
+    from clickhouse_arrow_spark.operators.multimodal import (
+        DECODERS,
+        BMP_MIME,
+        PPM_MIME,
+        decode_bmp,
+        encode_bmp,
+        encode_ppm,
+        decode_ppm,
+    )
+
+    # round-trip: padding rows (width 3 -> stride 12) and RGB order
+    rgb = bytes(range(3 * 3 * 2 * 3))[: 3 * 2 * 3]
+    payload = encode_bmp(3, 2, rgb)
+    w, h, pixels = decode_bmp(payload)
+    assert (w, h) == (3, 2) and pixels == rgb
+    # bottom-up storage (positive height) decodes to the same top-down rows
+    flipped = bytearray(payload)
+    struct.pack_into("<i", flipped, 22, 2)  # height: -2 -> +2
+    w2, h2, px2 = decode_bmp(bytes(flipped))
+    assert (w2, h2) == (3, 2)
+    assert px2[0:9] == rgb[9:18] and px2[9:18] == rgb[0:9]  # rows swapped
+    # same pixels through both real codecs -> identical features
+    w3, h3, ppm_px = decode_ppm(encode_ppm(7))
+    bmp_payload = encode_bmp(w3, h3, ppm_px)
+    assert DECODERS[BMP_MIME](bmp_payload) == DECODERS[PPM_MIME](encode_ppm(7))
+    # garbage rejected
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"PNG...")
+    with pytest.raises(ValueError, match="only 24bpp"):
+        bad = bytearray(encode_bmp(1, 1, b"\x00\x00\x00"))
+        struct.pack_into("<H", bad, 28, 8)
+        decode_bmp(bytes(bad))

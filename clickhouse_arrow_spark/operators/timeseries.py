@@ -97,3 +97,33 @@ def delta_sum(
         .groupBy(*key_cols)
         .agg(F.sum("_d").alias("delta_sum"))
     )
+
+
+def exp_time_decayed_avg(
+    df: DataFrame,
+    key_cols: list[str],
+    time_col: str,
+    value_col: str,
+    decay_seconds: float,
+) -> DataFrame:
+    """ClickHouse `exponentialTimeDecayedAvg(decay)(v, t)` at the last
+    point of each key: the exponentially time-weighted mean
+    ``sum(v_i * exp((t_i - t_max)/decay)) / sum(exp((t_i - t_max)/decay))``.
+
+    The recurrence form ClickHouse evaluates row-by-row has this closed
+    form at the final point, which keeps the whole operator declarative:
+    one window max + one keyed aggregate sharing the same partitioning
+    (single exchange), no sequential Python. `time_col` may be a
+    timestamp (converted to epoch seconds) or numeric."""
+    w = Window.partitionBy(*key_cols)
+    if dict(df.dtypes).get(time_col, "").startswith("timestamp"):
+        t = F.unix_micros(F.col(time_col)) / F.lit(1_000_000.0)
+    else:
+        t = F.col(time_col).cast("double")
+    weight = F.exp((t - F.max(t).over(w)) / F.lit(float(decay_seconds)))
+    return (
+        df.select(*key_cols, (F.col(value_col) * weight).alias("_wv"),
+                  weight.alias("_w"))
+        .groupBy(*key_cols)
+        .agg((F.sum("_wv") / F.sum("_w")).alias("exp_decayed_avg"))
+    )

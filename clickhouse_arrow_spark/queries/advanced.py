@@ -537,3 +537,34 @@ def q_timeseries_delta_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "user_id", F.round(F.col("delta_sum"), 4).alias("delta_sum")
     ).orderBy("user_id")
+
+
+@register(
+    "timeseries_exp_decay_avg",
+    """
+    WITH t AS (
+      SELECT user_id, value,
+             epoch(ts) - max(epoch(ts)) OVER (PARTITION BY user_id) AS dt
+      FROM events WHERE user_id < 50
+    )
+    SELECT user_id,
+           round(sum(value * exp(dt / 3600.0))
+                 / sum(exp(dt / 3600.0)), 6) AS exp_decayed_avg
+    FROM t GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ClickHouse exponentialTimeDecayedAvg analogue "
+    "(operators/timeseries.exp_time_decayed_avg, decay 1h): the "
+    "time-weighted mean at each user's latest event, evaluated in "
+    "closed form (window max + keyed aggregate on one shared "
+    "partitioning) instead of the row-recurrence ClickHouse runs — "
+    "declarative, so it scales as a normal aggregate.",
+    tags=("timeseries", "aggregate", "exponential-decay"),
+)
+def q_timeseries_exp_decay_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import exp_time_decayed_avg
+
+    ev = spark.table("events").where(F.col("user_id") < 50)
+    out = exp_time_decayed_avg(ev, ["user_id"], "ts", "value", 3600.0)
+    return out.select(
+        "user_id", F.round("exp_decayed_avg", 6).alias("exp_decayed_avg")
+    ).orderBy("user_id")

@@ -691,3 +691,21 @@ def test_bmp_roundtrip_and_cross_codec_parity(spark):
         bad = bytearray(encode_bmp(1, 1, b"\x00\x00\x00"))
         struct.pack_into("<H", bad, 28, 8)
         decode_bmp(bytes(bad))
+
+
+def test_exp_time_decayed_avg(spark):
+    import math
+
+    from clickhouse_arrow_spark.operators.timeseries import exp_time_decayed_avg
+
+    rows = [(1, 0.0, 10.0), (1, 100.0, 20.0)]
+    df = spark.createDataFrame(rows, "k long, t double, v double")
+    got = exp_time_decayed_avg(df, ["k"], "t", "v", 100.0).first()["exp_decayed_avg"]
+    w0 = math.exp(-1.0)  # (0 - 100)/100
+    want = (10.0 * w0 + 20.0) / (w0 + 1.0)
+    assert abs(got - want) < 1e-9
+    # single sample -> its own value
+    one = spark.createDataFrame([(2, 5.0, 42.0)], "k long, t double, v double")
+    assert exp_time_decayed_avg(one, ["k"], "t", "v", 10.0).first()[
+        "exp_decayed_avg"
+    ] == 42.0

@@ -17,21 +17,38 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+_FUNNEL_MODES = ("strict_order", "strict_dedup", "strict_increase")
+
+
 def window_funnel(
     df: DataFrame,
     user_col: str,
     ts_col: str,
     step_conds: list[Column],
     window_seconds: int,
+    modes: tuple[str, ...] = (),
 ) -> DataFrame:
     """Returns (user_col, funnel_level): max step index (1-based; 0 =
     no first step) reached in order within the time window.
 
-    Strict-order semantics on a per-user timeline sorted by (ts, step):
-    a later step only counts if it is at or after the time of the
-    current chain's start and within `window_seconds` of it, matching
-    ClickHouse's default windowFunnel mode.
+    Per-user timeline sorted by (ts, step), folded with one declarative
+    `aggregate()` — matching ClickHouse windowFunnel semantics.
+    `modes` accepts any combination of ClickHouse's modifiers:
+
+    - ``strict_order``: an interleaved event of any OTHER tracked
+      condition freezes the chain at its current level;
+    - ``strict_dedup``: two consecutive events matching the SAME
+      condition freeze the chain;
+    - ``strict_increase``: a chain event must have a strictly greater
+      timestamp than the previous chain event.
     """
+    bad = set(modes) - set(_FUNNEL_MODES)
+    if bad:
+        raise ValueError(f"unknown windowFunnel modes {sorted(bad)}")
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
+
     n_steps = len(step_conds)
     step_expr = F.lit(0)
     for idx in range(n_steps, 0, -1):
@@ -53,33 +70,60 @@ def window_funnel(
             F.collect_list(F.struct(F.col("_t"), F.col("_step")))
         ).alias("_tl")
     )
-    # fold: state = struct(level, start); advance on the next-needed step
-    # if within the window; restart the chain on a fresh step-1.
-    fold = F.aggregate(
-        F.col("_tl"),
-        F.struct(
-            F.lit(0).alias("level"), F.lit(0.0).cast("double").alias("start")
-        ),
-        lambda acc, e: F.when(
-            (e.getField("_step") == acc.getField("level") + 1)
-            & (
-                (acc.getField("level") == 0)
-                | (e.getField("_t") - acc.getField("start") <= window_seconds)
-            ),
-            F.struct(
-                (acc.getField("level") + 1).alias("level"),
-                F.when(acc.getField("level") == 0, e.getField("_t"))
-                .otherwise(acc.getField("start"))
-                .alias("start"),
-            ),
-        )
-        .when(
-            (e.getField("_step") == 1) & (acc.getField("level") >= 1),
-            # a fresh first step restarts the window if it can't extend
-            F.struct(acc.getField("level").alias("level"), acc.getField("start").alias("start")),
-        )
-        .otherwise(acc),
+
+    # fold state: (level, start time, last matched time, last seen step,
+    # dead). `dead` latches a strict-mode interruption — the chain keeps
+    # the level it reached, matching CH's "stops counting".
+    init = F.struct(
+        F.lit(0).alias("level"),
+        F.lit(0.0).cast("double").alias("start"),
+        F.lit(0.0).cast("double").alias("lastm"),
+        F.lit(0).alias("lastseen"),
+        F.lit(False).alias("dead"),
     )
+
+    def transition(acc, e):
+        level = acc.getField("level")
+        start = acc.getField("start")
+        lastm = acc.getField("lastm")
+        t = e.getField("_t")
+        s = e.getField("_step")
+        within = (level == 0) | (t - start <= window_seconds)
+        inc_ok = (
+            ((level == 0) | (t > lastm)) if strict_increase else F.lit(True)
+        )
+        advance = (s == level + 1) & within & inc_ok
+        dedup_break = (
+            (s == acc.getField("lastseen")) & (level >= 1)
+            if strict_dedup
+            else F.lit(False)
+        )
+        order_break = (
+            (s != level + 1) & (level >= 1) if strict_order else F.lit(False)
+        )
+        advanced = F.struct(
+            (level + 1).alias("level"),
+            F.when(level == 0, t).otherwise(start).alias("start"),
+            t.alias("lastm"),
+            s.alias("lastseen"),
+            F.lit(False).alias("dead"),
+        )
+        frozen = F.struct(
+            level.alias("level"), start.alias("start"), lastm.alias("lastm"),
+            s.alias("lastseen"), F.lit(True).alias("dead"),
+        )
+        kept = F.struct(
+            level.alias("level"), start.alias("start"), lastm.alias("lastm"),
+            s.alias("lastseen"), F.lit(False).alias("dead"),
+        )
+        return (
+            F.when(acc.getField("dead"), acc)
+            .when(dedup_break | order_break, frozen)
+            .when(advance, advanced)
+            .otherwise(kept)
+        )
+
+    fold = F.aggregate(F.col("_tl"), init, transition)
     return timeline.select(
         F.col(user_col), fold.getField("level").alias("funnel_level")
     )

@@ -709,3 +709,36 @@ def test_exp_time_decayed_avg(spark):
     assert exp_time_decayed_avg(one, ["k"], "t", "v", 10.0).first()[
         "exp_decayed_avg"
     ] == 42.0
+
+
+def test_window_funnel_strict_modes(spark):
+    from clickhouse_arrow_spark.operators.funnel import window_funnel
+
+    conds = lambda: [F.col("e") == "A", F.col("e") == "B", F.col("e") == "C"]
+
+    def level(rows, modes=()):
+        df = spark.createDataFrame(rows, "u long, t double, e string")
+        out = window_funnel(df, "u", "t", conds(), 100, modes=modes)
+        return {r["u"]: r["funnel_level"] for r in out.collect()}
+
+    # default: interleaved tracked events don't break the chain
+    seq = [(1, 1.0, "A"), (1, 2.0, "A"), (1, 3.0, "B"), (1, 4.0, "C")]
+    assert level(seq)[1] == 3
+    # strict_order: the repeated A (not the needed B) freezes at level 1
+    assert level(seq, ("strict_order",))[1] == 1
+    # strict_dedup: consecutive same-condition events freeze the chain
+    assert level(seq, ("strict_dedup",))[1] == 1
+    clean = [(1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "C")]
+    for m in ((), ("strict_order",), ("strict_dedup",), ("strict_increase",)):
+        assert level(clean, m)[1] == 3, m
+    # strict_increase: equal timestamps stop the chain advancing
+    tied = [(1, 1.0, "A"), (1, 1.0, "B"), (1, 2.0, "C")]
+    assert level(tied)[1] == 3
+    assert level(tied, ("strict_increase",))[1] == 1
+    # window still applies in every mode
+    late = [(1, 1.0, "A"), (1, 500.0, "B")]
+    assert level(late, ("strict_order",))[1] == 1
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="unknown windowFunnel modes"):
+        level(clean, ("bogus",))

@@ -135,21 +135,28 @@ def window_funnel(
 
 _ALPHABET_START = 97  # 'a'
 
+_TIME_OPS = ("<=", ">=", "==", "<", ">", "=")
 
-def ch_sequence_pattern_to_regex(pattern: str, n_conds: int) -> str:
-    """Translate a ClickHouse sequenceMatch pattern to a Java regex over
-    the per-user symbol string built by :func:`sequence_match`.
 
-    Each event becomes one character: 'a' for the first condition it
-    matches, 'b' for the second, ... and 'z' for events matching no
-    condition. ClickHouse pattern atoms map 1:1:
-      (?N) -> the N-th condition's symbol
-      .    -> any single event       -> [a-z]
-      .*   -> any number of events   -> [a-z]*
-    Time constraints ((?t>3600)) are not supported — use
-    :func:`window_funnel` for time-bounded sequences.
+def parse_sequence_pattern(pattern: str, n_conds: int) -> list[tuple]:
+    """Parse a ClickHouse sequenceMatch pattern into atoms.
+
+    Returns a list of:
+      ("event", n)           -- (?N), 1-based condition index
+      ("any",)               -- . (any single considered event)
+      ("star",)              -- .* (any number of considered events)
+      ("time", op, seconds)  -- (?t OP N), constrains the gap between the
+                                events matched by the surrounding atoms;
+                                per the ClickHouse docs an arbitrary
+                                number of events may lie between them.
+
+    ClickHouse semantics pinned here (docs, parametric-functions.md):
+    events matching NO condition are ignored entirely — the docs' own
+    example: data (t=1,n=1),(t=2,n=3),(t=3,n=2) matches '(?1)(?2)' with
+    conds (n=1, n=2) because n=3 is not described by any condition, but
+    stops matching once n=3 is added as a third condition.
     """
-    out: list[str] = []
+    out: list[tuple] = []
     i = 0
     while i < len(pattern):
         c = pattern[i]
@@ -157,26 +164,217 @@ def ch_sequence_pattern_to_regex(pattern: str, n_conds: int) -> str:
             close = pattern.find(")", i)
             if close == -1:
                 raise ValueError(f"unbalanced pattern: {pattern!r}")
-            ref = pattern[i + 2 : close]
+            ref = pattern[i + 2 : close].strip()
             if ref.startswith("t"):
-                raise NotImplementedError(
-                    "time-constrained sequence patterns ((?t...)): use "
-                    "window_funnel for time-bounded sequences"
-                )
-            n = int(ref)
-            if not 1 <= n <= n_conds:
-                raise ValueError(f"(?{n}) out of range for {n_conds} conditions")
-            out.append(chr(_ALPHABET_START + n - 1))
+                body = ref[1:].strip()
+                for op in _TIME_OPS:
+                    if body.startswith(op):
+                        val = body[len(op) :].strip()
+                        break
+                else:
+                    raise ValueError(f"bad time constraint: (?{ref})")
+                try:
+                    seconds = float(val)
+                except ValueError:
+                    raise ValueError(f"bad time constraint value: (?{ref})")
+                out.append(("time", "==" if op == "=" else op, seconds))
+            else:
+                n = int(ref)
+                if not 1 <= n <= n_conds:
+                    raise ValueError(
+                        f"(?{n}) out of range for {n_conds} conditions"
+                    )
+                out.append(("event", n))
             i = close + 1
         elif c == "." and pattern[i : i + 2] == ".*":
-            out.append("[a-z]*")
+            out.append(("star",))
             i += 2
         elif c == ".":
-            out.append("[a-z]")
+            out.append(("any",))
             i += 1
         else:
             raise ValueError(f"unsupported pattern atom at {i}: {pattern!r}")
+    # a time constraint must sit between two event-ish atoms
+    for j, a in enumerate(out):
+        if a[0] == "time":
+            prev_ok = any(x[0] in ("event", "any") for x in out[:j])
+            next_ok = any(x[0] in ("event", "any") for x in out[j + 1 :])
+            if not (prev_ok and next_ok):
+                raise ValueError(
+                    f"time constraint needs events on both sides: {pattern!r}"
+                )
+    return out
+
+
+def ch_sequence_pattern_to_regex(pattern: str, n_conds: int) -> str:
+    """Translate a (time-constraint-free) ClickHouse sequenceMatch
+    pattern to a Java regex over the per-user symbol string built by
+    :func:`sequence_match`.
+
+    Each CONSIDERED event (one matching >=1 condition) becomes one
+    character: 'a' for the first condition it matches, 'b' for the
+    second, ... Events matching no condition never enter the string —
+    ClickHouse ignores them (see :func:`parse_sequence_pattern`).
+      (?N) -> the N-th condition's symbol
+      .    -> any considered event   -> [a-<last>]
+      .*   -> any number of them     -> [a-<last>]*
+    Patterns with (?t...) constraints cannot be a regex over symbols
+    (the string has no timestamps) — sequence_match dispatches those to
+    the backtracking matcher.
+
+    Caveat (regex fast path only): an event matching SEVERAL conditions
+    gets the symbol of the FIRST one. With overlapping conditions use
+    the bitmask-exact matcher (`engine="pandas"`).
+    """
+    last = chr(_ALPHABET_START + n_conds - 1)
+    any_cls = "[a-%s]" % last if n_conds > 1 else "a"
+    out: list[str] = []
+    for atom in parse_sequence_pattern(pattern, n_conds):
+        if atom[0] == "event":
+            out.append(chr(_ALPHABET_START + atom[1] - 1))
+        elif atom[0] == "any":
+            out.append(any_cls)
+        elif atom[0] == "star":
+            out.append(any_cls + "*")
+        else:  # time
+            raise NotImplementedError(
+                "time-constrained patterns have no regex form; "
+                "sequence_match routes them to the backtracking matcher"
+            )
     return "".join(out)
+
+
+def _match_sequence(events, atoms, start, count_mode=False):
+    """Backtracking matcher over `events` = [(bitmask, t), ...] sorted
+    by time. Tries to match `atoms` beginning exactly at event index
+    `start`. Returns the exclusive end index of the first (leftmost-
+    biased) match, or -1.
+
+    Time-constraint semantics (ClickHouse docs): `(?1)(?t>N)(?2)`
+    matches a cond1 event and a LATER cond2 event whose timestamp gap
+    satisfies the operator, with an arbitrary number of events between
+    them — i.e. a time constraint implies an interleaving `.*`, with
+    the gap measured between the two anchor events.
+    """
+
+    def rec(ai, ei, last_t, pending, anchored):
+        # ai: atom index; ei: next event index; last_t: time of the last
+        # event consumed by an event/any atom; pending: accumulated time
+        # constraints to apply to the next consumed event; anchored:
+        # False once a star/time atom allows skipping, after which the
+        # next atom may consume any later event.
+        if ai == len(atoms):
+            return ei
+        atom = atoms[ai]
+        if atom[0] == "star":
+            return rec(ai + 1, ei, last_t, pending, False)
+        if atom[0] == "time":
+            return rec(ai + 1, ei, last_t, pending + [atom[1:]], False)
+        # event / any
+        candidates = range(ei, len(events)) if not anchored else (
+            (ei,) if ei < len(events) else ()
+        )
+        for k in candidates:
+            mask, t = events[k]
+            if atom[0] == "event" and not (mask >> (atom[1] - 1)) & 1:
+                if anchored:
+                    return -1
+                continue
+            ok = True
+            for op, sec in pending:
+                gap = t - last_t
+                if op == "<" and not gap < sec:
+                    ok = False
+                elif op == "<=" and not gap <= sec:
+                    ok = False
+                elif op == ">" and not gap > sec:
+                    ok = False
+                elif op == ">=" and not gap >= sec:
+                    ok = False
+                elif op == "==" and not gap == sec:
+                    ok = False
+                if not ok:
+                    break
+            if not ok:
+                if anchored:
+                    return -1
+                continue
+            end = rec(ai + 1, k + 1, t, [], True)
+            if end >= 0:
+                return end
+            if anchored:
+                return -1
+        return -1
+
+    return rec(0, start, None, [], True)
+
+
+def _run_sequence_py(events, atoms, count_mode):
+    """matched (0/1) or non-overlapping count over one user's events."""
+    n = len(events)
+    if not count_mode:
+        for s in range(n):
+            if _match_sequence(events, atoms, s) >= 0:
+                return 1
+        return 0
+    cnt = 0
+    s = 0
+    while s < n:
+        end = _match_sequence(events, atoms, s)
+        if end >= 0:
+            cnt += 1
+            # resume after the match (non-overlapping, ClickHouse-style)
+            s = max(end, s + 1)
+        else:
+            s += 1
+    return cnt
+
+
+def _sequence_pandas(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    pattern: str,
+    conds: list[Column],
+    id_col: str | None,
+    count_mode: bool,
+) -> DataFrame:
+    """Bitmask-exact grouped matcher: one shuffle keyed on the user,
+    then an Arrow-batched applyInPandas running the backtracking
+    matcher per user (group sizes = events-per-user, small by
+    construction; the pattern alphabet is bounded at CH's 32 conds).
+
+    This is the (b)-tier path of the build brief: the semantics
+    (per-event condition BITMASKS + inter-event time constraints)
+    aren't expressible with built-in operators.
+    """
+    atoms = parse_sequence_pattern(pattern, len(conds))
+    mask_expr = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask_expr = term if mask_expr is None else mask_expr + term
+    order_cols = [F.col(ts_col).cast("timestamp").cast("double").alias("_t")]
+    if id_col:
+        order_cols.append(F.col(id_col).cast("double").alias("_id"))
+    else:
+        order_cols.append(F.lit(0.0).alias("_id"))
+    ev = (
+        df.select(F.col(user_col), *order_cols, mask_expr.alias("_mask"))
+        .where(F.col("_mask") > 0)
+    )
+    user_type = dict(df.dtypes)[user_col]
+    out_name = "n_matches" if count_mode else "matched"
+    schema = f"{user_col} {user_type}, {out_name} int"
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_t", "_id"], kind="mergesort")
+        events = list(zip(pdf["_mask"].astype(int), pdf["_t"].astype(float)))
+        val = _run_sequence_py(events, atoms, count_mode)
+        return pd.DataFrame({user_col: [pdf[user_col].iloc[0]], out_name: [val]})
+
+    return ev.groupBy(user_col).applyInPandas(run, schema=schema)
 
 
 def _symbol_strings(
@@ -188,23 +386,32 @@ def _symbol_strings(
 ) -> DataFrame:
     """Per-user event-symbol string in (ts, id) order — the shared
     substrate of sequence_match/sequence_count. One keyed aggregation;
-    the fold state per user is a string linear in that user's events."""
+    the fold state per user is a string linear in that user's events.
+    Events matching no condition are dropped BEFORE the string is
+    built (ClickHouse ignores them; see parse_sequence_pattern)."""
     sym = F.coalesce(
         *[
             F.when(c, F.lit(chr(_ALPHABET_START + i)))
             for i, c in enumerate(conds)
         ],
-        F.lit("z"),
     )
     order_cols = [F.col(ts_col)] + ([F.col(id_col)] if id_col else [])
     ordered = F.array_sort(
         F.collect_list(F.struct(*order_cols, sym.alias("_sym")))
     )
-    return df.groupBy(user_col).agg(
-        F.array_join(
-            F.transform(ordered, lambda e: e.getField("_sym")), ""
-        ).alias("_symbols")
+    return (
+        df.where(sym.isNotNull())
+        .groupBy(user_col)
+        .agg(
+            F.array_join(
+                F.transform(ordered, lambda e: e.getField("_sym")), ""
+            ).alias("_symbols")
+        )
     )
+
+
+def _has_time_constraint(pattern: str) -> bool:
+    return "(?t" in pattern.replace(" ", "")
 
 
 def sequence_match(
@@ -214,18 +421,27 @@ def sequence_match(
     pattern: str,
     conds: list[Column],
     id_col: str | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """ClickHouse `sequenceMatch(pattern)(ts, cond...)` per user:
     (user_col, matched) where matched=1 iff the user's event sequence
-    (time-ordered, `id_col` as tie-break) contains the pattern.
+    (time-ordered, `id_col` as tie-break; events matching no condition
+    ignored, per the CH docs) contains the pattern.
 
-    Spark-first: events collapse to one character each, the pattern to
-    a regex, and the whole aggregate is collect_list + array_join +
+    Spark-first: time-free patterns collapse each event to one
+    character and the whole aggregate is collect_list + array_join +
     rlike — one shuffle keyed on the user, no Python in the hot path.
+    Patterns with `(?t...)` constraints (and `engine="pandas"`, the
+    bitmask-exact path for overlapping conditions) run the same keyed
+    shuffle into an Arrow-batched per-user backtracking matcher.
     Cites clickhouse-arrow: the reference ships these aggregates as SQL
     text to the server (SURVEY §2.3); this is the engine-side
     implementation.
     """
+    if engine == "pandas" or (engine == "auto" and _has_time_constraint(pattern)):
+        return _sequence_pandas(
+            df, user_col, ts_col, pattern, conds, id_col, count_mode=False
+        )
     regex = ch_sequence_pattern_to_regex(pattern, len(conds))
     return _symbol_strings(df, user_col, ts_col, conds, id_col).select(
         F.col(user_col),
@@ -240,11 +456,17 @@ def sequence_count(
     pattern: str,
     conds: list[Column],
     id_col: str | None = None,
+    engine: str = "auto",
 ) -> DataFrame:
     """ClickHouse `sequenceCount(pattern)(ts, cond...)`: number of
     NON-OVERLAPPING pattern occurrences per user (each search resumes
     after the previous match — `regexp_count` semantics on the symbol
-    string, matching ClickHouse's)."""
+    string, matching ClickHouse's). Time-constrained patterns route to
+    the backtracking matcher like :func:`sequence_match`."""
+    if engine == "pandas" or (engine == "auto" and _has_time_constraint(pattern)):
+        return _sequence_pandas(
+            df, user_col, ts_col, pattern, conds, id_col, count_mode=True
+        )
     regex = ch_sequence_pattern_to_regex(pattern, len(conds))
     return _symbol_strings(df, user_col, ts_col, conds, id_col).select(
         F.col(user_col),

@@ -1218,19 +1218,21 @@ def q_stream_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH syms AS (
       SELECT user_id,
              string_agg(CASE WHEN event_type = 'click' THEN 'a'
-                             WHEN event_type = 'purchase' THEN 'b'
-                             ELSE 'z' END, '' ORDER BY ts, event_id) AS s
-      FROM events GROUP BY user_id
+                             ELSE 'b' END, '' ORDER BY ts, event_id) AS s
+      FROM events WHERE event_type IN ('click', 'purchase')
+      GROUP BY user_id
     )
     SELECT user_id,
-           CAST(regexp_matches(s, 'a[a-z]*b') AS INT) AS matched,
+           CAST(regexp_matches(s, 'a[a-b]*b') AS INT) AS matched,
            CAST(len(regexp_extract_all(s, 'ab')) AS INT) AS n_adjacent
     FROM syms ORDER BY user_id
     """,
     doc="ClickHouse sequenceMatch('(?1).*(?2)') + sequenceCount("
     "'(?1)(?2)') over (click, purchase): per-user event-symbol strings "
-    "+ regex — one keyed aggregation, no Python. The oracle rebuilds "
-    "the symbol string with ordered string_agg and RE2.",
+    "+ regex — one keyed aggregation, no Python. Events matching no "
+    "condition are EXCLUDED before the string is built (CH ignores "
+    "them, docs' 1,3,2 example). The oracle rebuilds the filtered "
+    "symbol string with ordered string_agg and RE2.",
     tags=("events", "sequence", "funnel"),
 )
 def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1246,3 +1248,43 @@ def q_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev, "user_id", "ts", "(?1)(?2)", conds, id_col="event_id"
     ).withColumnRenamed("n_matches", "n_adjacent")
     return m.join(c, "user_id").orderBy("user_id")
+
+
+@register(
+    "seq_timed_within",
+    """
+    WITH ce AS (
+      SELECT user_id, ts, event_id, event_type
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    hits AS (
+      SELECT DISTINCT a.user_id
+      FROM ce a JOIN ce b
+        ON a.user_id = b.user_id
+       AND a.event_type = 'click' AND b.event_type = 'purchase'
+       AND (b.ts > a.ts OR (b.ts = a.ts AND b.event_id > a.event_id))
+       AND epoch(b.ts) - epoch(a.ts) <= 600
+    )
+    SELECT u.user_id,
+           CAST(CASE WHEN h.user_id IS NOT NULL THEN 1 ELSE 0 END AS INT)
+             AS matched
+    FROM (SELECT DISTINCT user_id FROM ce) u
+    LEFT JOIN hits h ON u.user_id = h.user_id
+    ORDER BY u.user_id
+    """,
+    doc="ClickHouse sequenceMatch('(?1)(?t<=600)(?2)') — click followed "
+    "by a purchase within 600s, arbitrary events between the anchors "
+    "(the docs' (?t...) semantics). Routes to the bitmask-exact "
+    "backtracking matcher in applyInPandas (one shuffle keyed on the "
+    "user, Arrow-batched). Oracle: ordered-pair EXISTS with the same "
+    "(ts, event_id) tie-break and epoch-second gap.",
+    tags=("events", "sequence", "funnel", "pandas"),
+)
+def q_seq_timed_within(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.funnel import sequence_match
+
+    ev = spark.table("events")
+    conds = [F.col("event_type") == "click", F.col("event_type") == "purchase"]
+    return sequence_match(
+        ev, "user_id", "ts", "(?1)(?t<=600)(?2)", conds, id_col="event_id"
+    ).orderBy("user_id")

@@ -434,7 +434,8 @@ def test_sequence_match_and_count(spark):
     from pyspark.sql import functions as F
 
     rows = [
-        # user 1: a z b a b  -> '(?1).*(?2)' matches; 'ab' appears once
+        # user 1: raw a X b a b; X matches no condition so ClickHouse
+        # IGNORES it (docs' 1,3,2 example) -> considered string "abab"
         (1, 1.0, "A"), (1, 2.0, "X"), (1, 3.0, "B"), (1, 4.0, "A"), (1, 5.0, "B"),
         # user 2: b a -> no a-before-b
         (2, 1.0, "B"), (2, 2.0, "A"),
@@ -452,10 +453,92 @@ def test_sequence_match_and_count(spark):
         r["user_id"]: r["n_matches"]
         for r in sequence_count(df, "user_id", "ts", "(?1)(?2)", conds).collect()
     }
-    assert c == {1: 1, 2: 0, 3: 2}
-    assert ch_sequence_pattern_to_regex("(?1).(?2)", 2) == "a[a-z]b"
+    # user 1's unmatched X drops out, leaving two adjacent 'ab' pairs
+    assert c == {1: 2, 2: 0, 3: 2}
+    # the "any event" class covers only the condition alphabet
+    assert ch_sequence_pattern_to_regex("(?1).(?2)", 2) == "a[a-b]b"
     with _pytest.raises(NotImplementedError):
-        ch_sequence_pattern_to_regex("(?t>10)(?1)", 1)
+        ch_sequence_pattern_to_regex("(?1)(?t>10)(?2)", 2)
+    # the pandas (bitmask-exact) engine agrees with the regex path
+    mp = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            df, "user_id", "ts", "(?1).*(?2)", conds, engine="pandas"
+        ).collect()
+    }
+    assert mp == m
+    cp = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(
+            df, "user_id", "ts", "(?1)(?2)", conds, engine="pandas"
+        ).collect()
+    }
+    assert cp == c
+
+
+def test_sequence_match_docs_example(spark):
+    """The ClickHouse docs' canonical example: data (1,1),(2,3),(3,2).
+    With conds (n=1, n=2) the unmatched n=3 row is ignored and
+    '(?1)(?2)' matches; describing n=3 as a third condition makes it
+    break the adjacency."""
+    from clickhouse_arrow_spark.operators.funnel import sequence_match
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 3), (1, 3.0, 2)], "user_id int, ts double, n int"
+    )
+    two = [F.col("n") == 1, F.col("n") == 2]
+    three = two + [F.col("n") == 3]
+    assert sequence_match(df, "user_id", "ts", "(?1)(?2)", two).first()[
+        "matched"
+    ] == 1
+    assert sequence_match(df, "user_id", "ts", "(?1)(?2)", three).first()[
+        "matched"
+    ] == 0
+
+
+def test_sequence_match_time_constraints(spark):
+    """(?t OP N) gaps: constraint between the anchor events, arbitrary
+    events allowed between them (CH docs wording), both engines keyed
+    on the user — matcher runs in applyInPandas."""
+    from clickhouse_arrow_spark.operators.funnel import (
+        sequence_count,
+        sequence_match,
+    )
+    from pyspark.sql import functions as F
+
+    rows = [
+        # user 1: a@0, a@50, b@70 -> (?1)(?t<=30)(?2) via the a@50 anchor
+        (1, 0.0, "A"), (1, 50.0, "A"), (1, 70.0, "B"),
+        # user 2: a@0, b@100 -> gap 100 fails <=30, passes >30
+        (2, 0.0, "A"), (2, 100.0, "B"),
+        # user 3: b only
+        (3, 5.0, "B"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts double, et string")
+    conds = [F.col("et") == "A", F.col("et") == "B"]
+
+    def got(pattern):
+        return {
+            r["user_id"]: r["matched"]
+            for r in sequence_match(
+                df, "user_id", "ts", pattern, conds
+            ).collect()
+        }
+
+    assert got("(?1)(?t<=30)(?2)") == {1: 1, 2: 0, 3: 0}
+    assert got("(?1)(?t>30)(?2)") == {1: 1, 2: 1, 3: 0}
+    assert got("(?1)(?t==100)(?2)") == {1: 0, 2: 1, 3: 0}
+    # stacked constraints bound the same gap
+    assert got("(?1)(?t>10)(?t<60)(?2)") == {1: 1, 2: 0, 3: 0}
+    # non-overlapping count with a time bound
+    c = {
+        r["user_id"]: r["n_matches"]
+        for r in sequence_count(
+            df, "user_id", "ts", "(?1)(?t<=30)(?2)", conds
+        ).collect()
+    }
+    assert c == {1: 1, 2: 0, 3: 0}
 
 
 def test_decontaminate_planted_overlap(spark):

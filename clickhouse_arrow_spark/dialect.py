@@ -123,6 +123,41 @@ _SIMPLE_RENAMES: dict[str, str] = {
 #: xxHash64/32 included: Spark's xxhash64 builtin uses seed 42 where
 #: ClickHouse seeds 0, so a bare rename silently returns different
 #: values for identical input (the exact trap this gate exists for).
+#: ClickHouse functions whose semantics span a whole query shape (multi
+#: aggregation passes, grouped pattern state) — a textual rename cannot
+#: express them, so the translator refuses with a pointer at the
+#: DataFrame-API operator that implements the exact semantics.
+_OPERATOR_BACKED: dict[str, str] = {
+    "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
+    "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
+    "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
+    "entropy": "operators.stats.entropy_agg(df, col)",
+    "cramersV": "operators.stats.association(df, a, b)",
+    "cramersVBiasCorrected": "operators.stats.association(df, a, b)",
+    "theilsU": "operators.stats.association(df, a, b)",
+    "contingency": "operators.stats.association(df, a, b)",
+    "intervalLengthSum": (
+        "operators.timeseries.interval_length_sum(df, keys, start, end)"
+    ),
+    "maxIntersections": (
+        "operators.timeseries.max_intersections(df, keys, start, end)"
+    ),
+    "maxIntersectionsPosition": (
+        "operators.timeseries.max_intersections(df, keys, start, end)"
+    ),
+    "groupArrayMovingSum": (
+        "operators.timeseries.group_array_moving(df, keys, order, value, n)"
+    ),
+    "groupArrayMovingAvg": (
+        "operators.timeseries.group_array_moving(df, keys, order, value, n)"
+    ),
+    "sequenceMatch": "operators.funnel.sequence_match(df, user, ts, pattern, conds)",
+    "sequenceCount": "operators.funnel.sequence_count(df, user, ts, pattern, conds)",
+    "windowFunnel": "operators.funnel.window_funnel(df, user, ts, steps, window)",
+    "geohashEncode": "functions.ch_functions.geohash_encode(lon, lat, precision)",
+    "geohashDecode": "functions.ch_functions.geohash_decode(s)",
+}
+
 _ENGINE_HASHES = (
     "cityHash64",
     "sipHash64",
@@ -767,6 +802,42 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"split({a[1]}, {sep})"
 
         return split_by_string
+    # ---- geo ------------------------------------------------------------
+    if name in ("greatCircleDistance", "geoDistance"):
+        # exact haversine on CH's sphere radius (6372797.560856 m).
+        # Divergence note: CH's implementation is a fast sincos
+        # approximation (and geoDistance adds ellipsoid correction), so
+        # values differ from CH's by <0.05%; this form is the
+        # mathematically exact great-circle distance.
+        def great_circle(a: Args) -> str:
+            lon1, lat1, lon2, lat2 = a[0], a[1], a[2], a[3]
+            return (
+                f"(2 * 6372797.560856 * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+            )
+
+        return great_circle
+    if name == "greatCircleAngle":
+        def great_circle_angle_fmt(a: Args) -> str:
+            lon1, lat1, lon2, lat2 = a[0], a[1], a[2], a[3]
+            return (
+                f"degrees(2 * asin(sqrt("
+                f"pow(sin(radians(({lat2}) - ({lat1})) / 2), 2) + "
+                f"cos(radians({lat1})) * cos(radians({lat2})) * "
+                f"pow(sin(radians(({lon2}) - ({lon1})) / 2), 2))))"
+            )
+
+        return great_circle_angle_fmt
+    if name in _OPERATOR_BACKED:
+        def refuse_op(a: Args, _name: str = name) -> str:
+            raise UntranslatableFunctionError(
+                f"{_name}() needs a query-shape rewrite, not a function "
+                f"rename; use the DataFrame API: {_OPERATOR_BACKED[_name]}"
+            )
+
+        return refuse_op
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"

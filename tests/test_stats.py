@@ -1,0 +1,242 @@
+"""Statistical aggregates (operators/stats.py), interval/moving
+aggregates (operators/timeseries.py) and geo functions — validated
+against independent numpy / closed-form references, not against the
+implementation's own formulas.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+
+def _norm_sf(z: float) -> float:
+    k = 1 / (1 + 0.2316419 * z)
+    poly = k * (
+        0.319381530
+        + k * (-0.356563782 + k * (1.781477937 + k * (-1.821255978 + k * 1.330274429)))
+    )
+    return math.exp(-z * z / 2) / math.sqrt(2 * math.pi) * poly
+
+
+@pytest.fixture(scope="module")
+def samples(spark):
+    rng = np.random.default_rng(7)
+    x = rng.normal(0.0, 1.0, 400)
+    y = rng.normal(0.3, 1.5, 350)
+    rows = [(float(v), 0) for v in x] + [(float(v), 1) for v in y]
+    return x, y, spark.createDataFrame(rows, "v double, g int")
+
+
+def test_welch_ttest_matches_numpy(samples):
+    from clickhouse_arrow_spark.operators.stats import ttest
+
+    x, y, df = samples
+    n0, n1 = len(x), len(y)
+    v0, v1 = x.var(ddof=1), y.var(ddof=1)
+    se = v0 / n0 + v1 / n1
+    t = (x.mean() - y.mean()) / math.sqrt(se)
+    dof = se * se / ((v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1))
+    r = ttest(df, "v", F.col("g") == 1, "welch").first()
+    assert r["t_stat"] == round(t, 6)
+    assert r["deg_freedom"] == round(dof, 4)
+    assert r["p_value"] == round(2 * _norm_sf(abs(t)), 6)
+
+
+def test_student_ttest_matches_numpy(samples):
+    from clickhouse_arrow_spark.operators.stats import ttest
+
+    x, y, df = samples
+    n0, n1 = len(x), len(y)
+    sp = ((n0 - 1) * x.var(ddof=1) + (n1 - 1) * y.var(ddof=1)) / (n0 + n1 - 2)
+    t = (x.mean() - y.mean()) / math.sqrt(sp * (1 / n0 + 1 / n1))
+    r = ttest(df, "v", F.col("g") == 1, "student").first()
+    assert r["t_stat"] == round(t, 6)
+    assert r["deg_freedom"] == float(n0 + n1 - 2)
+
+
+def test_mann_whitney_matches_numpy(samples):
+    from clickhouse_arrow_spark.operators.stats import mann_whitney_u
+
+    x, y, df = samples
+    allv = np.concatenate([x, y])
+    grp = np.concatenate([np.zeros(len(x)), np.ones(len(y))])
+    order = np.argsort(allv, kind="mergesort")
+    ranks = np.empty(len(allv))
+    i = 0
+    sv = allv[order]
+    while i < len(sv):
+        j = i
+        while j + 1 < len(sv) and sv[j + 1] == sv[i]:
+            j += 1
+        ranks[order[i : j + 1]] = (i + j) / 2 + 1
+        i = j + 1
+    n1 = int((grp == 1).sum())
+    n0 = int((grp == 0).sum())
+    n = n0 + n1
+    u1 = ranks[grp == 1].sum() - n1 * (n1 + 1) / 2
+    _, counts = np.unique(allv, return_counts=True)
+    tie = float((counts.astype(float) ** 3 - counts).sum())
+    sigma = math.sqrt(n0 * n1 / 12 * ((n + 1) - tie / (n * (n - 1))))
+    z = max(abs(u1 - n0 * n1 / 2) - 0.5, 0) / sigma
+    r = mann_whitney_u(df, "v", F.col("g") == 1).first()
+    assert r["u_stat"] == round(u1, 4)
+    assert r["p_value"] == round(min(2 * _norm_sf(z), 1.0), 6)
+
+
+def test_mann_whitney_tiny_exact(spark):
+    """Hand-checkable 2x3 case with a tie."""
+    from clickhouse_arrow_spark.operators.stats import mann_whitney_u
+
+    # group0: 1, 2, 2 ; group1: 2, 5  -> ranks: 1, (2,3,4 avg=3)x3, 5
+    df = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (2.0, 0), (2.0, 1), (5.0, 1)], "v double, g int"
+    )
+    r = mann_whitney_u(df, "v", F.col("g") == 1).first()
+    # R1 = 3 + 5 = 8, U1 = 8 - 2*3/2 = 5
+    assert r["u_stat"] == 5.0
+
+
+def test_association_matches_numpy(spark):
+    from clickhouse_arrow_spark.operators.stats import association, entropy_agg
+
+    sizes = {
+        ("x", "p"): 5, ("x", "q"): 2, ("y", "p"): 1,
+        ("y", "q"): 6, ("z", "p"): 4, ("z", "q"): 3,
+    }
+    rows = [(a, b) for (a, b), k in sizes.items() for _ in range(k)]
+    df = spark.createDataFrame(rows, "a string, b string")
+    avals = sorted({a for a, _ in rows})
+    bvals = sorted({b for _, b in rows})
+    O = np.array([[sizes.get((a, b), 0) for b in bvals] for a in avals], float)
+    n = O.sum()
+    ra, cb = O.sum(1), O.sum(0)
+    E = np.outer(ra, cb) / n
+    chi2 = ((O - E) ** 2 / E).sum()
+    r_, c_ = len(avals), len(bvals)
+    phi2 = chi2 / n
+    got = association(df, "a", "b").first()
+    assert got["cramers_v"] == round(math.sqrt(phi2 / min(r_ - 1, c_ - 1)), 6)
+    phi2c = max(phi2 - (r_ - 1) * (c_ - 1) / (n - 1), 0)
+    rc = r_ - (r_ - 1) ** 2 / (n - 1)
+    cc = c_ - (c_ - 1) ** 2 / (n - 1)
+    assert got["cramers_v_corrected"] == round(
+        math.sqrt(phi2c / min(rc - 1, cc - 1)), 6
+    )
+    ha = -sum(v / n * math.log(v / n) for v in ra)
+    hab = -sum(
+        O[i, j] / n * math.log(O[i, j] / cb[j])
+        for i in range(r_)
+        for j in range(c_)
+        if O[i, j]
+    )
+    assert got["theils_u"] == round((ha - hab) / ha, 6)
+    assert got["contingency"] == round(math.sqrt(chi2 / (chi2 + n)), 6)
+    hx = -sum(v / n * math.log2(v / n) for v in ra)
+    assert entropy_agg(df, "a").first()["entropy"] == round(hx, 6)
+
+
+def test_ordered_cumsum_matches_single_partition(spark):
+    """The two-phase range-partitioned cumsum equals the naive global
+    window on shuffled input."""
+    from clickhouse_arrow_spark.operators.stats import _ordered_cumsum
+
+    rng = np.random.default_rng(3)
+    vals = rng.permutation(200)
+    df = spark.createDataFrame(
+        [(int(v), int(v) % 7 + 1) for v in vals], "k int, w int"
+    ).repartition(8)
+    got = {
+        r["k"]: r["cum_w"]
+        for r in _ordered_cumsum(df, "k", ["w"], num_partitions=5).collect()
+    }
+    expect = {}
+    run = 0
+    for v in sorted(vals):
+        expect[int(v)] = run
+        run += int(v) % 7 + 1
+    assert got == expect
+
+
+def test_interval_length_sum_and_max_intersections(spark):
+    from clickhouse_arrow_spark.operators.timeseries import (
+        interval_length_sum,
+        max_intersections,
+    )
+
+    iv = spark.createDataFrame(
+        [(1, 1, 3), (1, 2, 5), (1, 7, 9), (1, 9, 10), (2, 0, 1)],
+        "k int, s int, e int",
+    )
+    ils = {
+        r["k"]: r["interval_length_sum"]
+        for r in interval_length_sum(iv, ["k"], "s", "e").collect()
+    }
+    # k=1: [1,5] + [7,10] (9 touches -> merged) = 4 + 3
+    assert ils == {1: 7, 2: 1}
+    mx = {
+        r["k"]: (r["max_intersections"], r["max_intersections_position"])
+        for r in max_intersections(iv, ["k"], "s", "e").collect()
+    }
+    # depth 2 first reached at 2 ([1,3]x[2,5]); [7,9] and [9,10] touch
+    # but half-open ends mean they do NOT intersect
+    assert mx == {1: (2, 2), 2: (1, 0)}
+
+
+def test_group_array_moving(spark):
+    from clickhouse_arrow_spark.operators.timeseries import group_array_moving
+
+    df = spark.createDataFrame(
+        [(1, 1, 10), (1, 2, 20), (1, 3, 30), (1, 4, 40)], "k int, o int, v int"
+    )
+    r = group_array_moving(df, ["k"], "o", "v", 3).first()
+    assert r["moving_sum"] == [10, 30, 60, 90]
+    # CH documented quirk: divide by the FULL window size always
+    assert r["moving_avg"] == pytest.approx([10 / 3, 10.0, 20.0, 30.0])
+
+
+def test_geo_docs_examples(spark):
+    from clickhouse_arrow_spark.functions import ch_functions as chf
+
+    r = spark.range(1).select(
+        chf.geohash_encode(
+            F.lit(-5.60302734375), F.lit(42.593994140625), 12
+        ).alias("gh12"),
+        chf.geohash_encode(F.lit(-5.60302734375), F.lit(42.593994140625), 5).alias(
+            "gh5"
+        ),
+        chf.geohash_decode(F.lit("ezs42")).alias("dec"),
+        chf.great_circle_angle(F.lit(0.0), F.lit(0.0), F.lit(90.0), F.lit(0.0)).alias(
+            "ang"
+        ),
+    ).first()
+    # ClickHouse docs: geohashEncode(-5.60302734375, 42.593994140625)
+    assert r["gh12"] == "ezs42d000000"
+    assert r["gh5"] == "ezs42"
+    # canonical geohash test vector: center of cell 'ezs42'
+    assert r["dec"]["longitude"] == pytest.approx(-5.60302734375)
+    assert r["dec"]["latitude"] == pytest.approx(42.60498046875)
+    assert r["ang"] == pytest.approx(90.0, abs=1e-9)
+
+
+def test_geohash_roundtrip_quantization(spark):
+    """encode(decode-center) reproduces the hash; decode error is
+    bounded by the cell size at each precision."""
+    from clickhouse_arrow_spark.functions import ch_functions as chf
+
+    pts = [(13.3, 52.5), (-74.0059, 40.7127), (151.2, -33.85), (0.0, 0.0)]
+    df = spark.createDataFrame(pts, "lon double, lat double")
+    for prec, tol_lon in ((5, 360 / 2**13), (9, 360 / 2**23)):
+        rows = df.select(
+            "lon",
+            "lat",
+            chf.geohash_decode(
+                chf.geohash_encode(F.col("lon"), F.col("lat"), prec)
+            ).alias("d"),
+        ).collect()
+        for row in rows:
+            assert abs(row["d"]["longitude"] - row["lon"]) <= tol_lon
+            assert abs(row["d"]["latitude"] - row["lat"]) <= tol_lon

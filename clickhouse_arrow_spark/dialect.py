@@ -113,20 +113,18 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "lagInFrame": "lag",
     "leadInFrame": "lead",
     "randCanonical": "rand",
+    "editDistance": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "uniqTheta": "approx_count_distinct",  # theta sketch -> HLL-backed
+    # estimate (both approximate distinct counts; values differ within
+    # each sketch's error bound)
 }
 
 
-#: ClickHouse hash functions with NO value-identical Spark equivalent.
-#: Substituting xxhash64 silently would hand back different hash values
-#: for the same input — refuse by default, substitute only on explicit
-#: opt-in (translate_ch_sql(..., allow_hash_substitution=True)).
-#: xxHash64/32 included: Spark's xxhash64 builtin uses seed 42 where
-#: ClickHouse seeds 0, so a bare rename silently returns different
-#: values for identical input (the exact trap this gate exists for).
 #: ClickHouse functions whose semantics span a whole query shape (multi
-#: aggregation passes, grouped pattern state) — a textual rename cannot
-#: express them, so the translator refuses with a pointer at the
-#: DataFrame-API operator that implements the exact semantics.
+#: aggregation passes, grouped pattern state) or need a non-SQL kernel —
+#: a textual rename cannot express them, so the translator refuses with
+#: a pointer at the DataFrame-API operator implementing the semantics.
 _OPERATOR_BACKED: dict[str, str] = {
     "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
     "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
@@ -156,8 +154,24 @@ _OPERATOR_BACKED: dict[str, str] = {
     "windowFunnel": "operators.funnel.window_funnel(df, user, ts, steps, window)",
     "geohashEncode": "functions.ch_functions.geohash_encode(lon, lat, precision)",
     "geohashDecode": "functions.ch_functions.geohash_decode(s)",
+    "damerauLevenshteinDistance": (
+        "functions.text_distance.damerau_levenshtein(a, b)"
+    ),
+    "jaroSimilarity": "functions.text_distance.jaro_similarity(a, b)",
+    "jaroWinklerSimilarity": (
+        "functions.text_distance.jaro_winkler_similarity(a, b)"
+    ),
+    "histogram": "operators.stats.equi_histogram(df, col, n_bins)",
+    "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
 }
 
+#: ClickHouse hash functions with NO value-identical Spark equivalent.
+#: Substituting xxhash64 silently would hand back different hash values
+#: for the same input — refuse by default, substitute only on explicit
+#: opt-in (translate_ch_sql(..., allow_hash_substitution=True)).
+#: xxHash64/32 included: Spark's xxhash64 builtin uses seed 42 where
+#: ClickHouse seeds 0, so a bare rename silently returns different
+#: values for identical input (the exact trap this gate exists for).
 _ENGINE_HASHES = (
     "cityHash64",
     "sipHash64",
@@ -802,6 +816,56 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"split({a[1]}, {sep})"
 
         return split_by_string
+    # ---- string distance / multi-search --------------------------------
+    if name == "stringJaccardIndex":
+        # CH: Jaccard over byte sets; for the string columns this
+        # engine handles (UTF-8 text) the char-set form is identical on
+        # ASCII and a documented char-level variant beyond it.
+        def string_jaccard(a: Args) -> str:
+            return (
+                f"(CAST(size(array_intersect(split({a[0]}, ''), "
+                f"split({a[1]}, ''))) AS DOUBLE) / "
+                f"size(array_union(split({a[0]}, ''), split({a[1]}, ''))))"
+            )
+
+        return string_jaccard
+    if name == "multiSearchFirstPosition":
+        return lambda a: (
+            f"coalesce(array_min(filter(transform({a[1]}, "
+            f"_n -> locate(_n, {a[0]})), _p -> _p > 0)), 0)"
+        )
+    if name == "multiSearchFirstIndex":
+        # index (1-based, into the needle array) of the needle whose
+        # match sits leftmost in the haystack; 0 when none match
+        return lambda a: (
+            f"coalesce(element_at(array_sort(filter(zip_with({a[1]}, "
+            f"sequence(1, size({a[1]})), (_n, _i) -> "
+            f"struct(locate(_n, {a[0]}) AS pos, _i AS idx)), "
+            f"_x -> _x.pos > 0)), 1).idx, 0)"
+        )
+    if name == "multiSearchAnyCaseInsensitive":
+        return lambda a: (
+            f"exists({a[1]}, _n -> contains(lower({a[0]}), lower(_n)))"
+        )
+    if name == "boundingRatio":
+        # aggregate: slope between the (min x, its y) and (max x, its y)
+        # points — exact via min_by/max_by, one aggregation pass
+        return lambda a: (
+            f"((max_by({a[1]}, {a[0]}) - min_by({a[1]}, {a[0]})) / "
+            f"(max({a[0]}) - min({a[0]})))"
+        )
+    if name == "extractTextFromHTML":
+        # documented approximation: drop script/style subtrees, strip
+        # tags, collapse whitespace (CH additionally handles CDATA and
+        # comments beyond what a regex pass does)
+        def extract_text(a: Args) -> str:
+            return (
+                "trim(regexp_replace(regexp_replace(regexp_replace("
+                f"{a[0]}, '(?is)<(script|style)[^>]*>.*?</\\\\1\\\\s*>', ' '), "
+                "'<[^>]*>', ' '), '\\\\s+', ' '))"
+            )
+
+        return extract_text
     # ---- geo ------------------------------------------------------------
     if name in ("greatCircleDistance", "geoDistance"):
         # exact haversine on CH's sphere radius (6372797.560856 m).
@@ -861,6 +925,12 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # internal representation — exact percentile is a value superset
     "quantileTiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # Greenwald-Khanna: CH's accuracy param maps onto Spark's
+    # approx_percentile accuracy (both bound rank error at ~1/accuracy)
+    "quantileGK": lambda p, a: f"approx_percentile({a[0]}, {p[1]}, {p[0]})",
+    "quantilesGK": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
+    ),
 }
 
 _GROUP_BY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")

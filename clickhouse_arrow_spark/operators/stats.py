@@ -314,3 +314,49 @@ def association(df: DataFrame, a_col: str, b_col: str) -> DataFrame:
         F.round(theils, 6).alias("theils_u"),
         F.round(contingency, 6).alias("contingency"),
     )
+
+
+def equi_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
+    """Deterministic equi-width histogram — the engine-side replacement
+    for ClickHouse `histogram(n)(col)`, whose adaptive streaming-merge
+    binning is documented as non-deterministic (bin edges depend on
+    merge order, so no distributed engine can reproduce them bit-for-
+    bit). Equal-width bins over [min, max] keep the same contract
+    (n bins, (lo, hi, count) triples) deterministically.
+
+    Two passes, both map-side combined: one 2-scalar bounds aggregate
+    (broadcast back), one keyed count on the bucket id.
+    """
+    v = F.col(col).cast("double")
+    bounds = df.agg(
+        F.min(v).alias("_lo"), F.max(v).alias("_hi")
+    )
+    width = (F.col("_hi") - F.col("_lo")) / F.lit(float(n_bins))
+    bucket = F.when(
+        F.col("_hi") == F.col("_lo"), F.lit(1)
+    ).otherwise(
+        F.least(
+            F.greatest(
+                F.floor((v - F.col("_lo")) / width).cast("int") + 1, F.lit(1)
+            ),
+            F.lit(n_bins),
+        )
+    )
+    return (
+        df.crossJoin(F.broadcast(bounds))
+        .select(v.alias("_v"), "_lo", "_hi", bucket.alias("bin"))
+        .groupBy("bin")
+        .agg(
+            F.first("_lo").alias("_lo"),
+            F.first("_hi").alias("_hi"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "bin",
+            (F.col("_lo") + (F.col("bin") - 1) * (F.col("_hi") - F.col("_lo"))
+             / F.lit(float(n_bins))).alias("bin_lo"),
+            (F.col("_lo") + F.col("bin") * (F.col("_hi") - F.col("_lo"))
+             / F.lit(float(n_bins))).alias("bin_hi"),
+            "cnt",
+        )
+    )

@@ -488,3 +488,62 @@ def repetition_metrics(
         ).alias("top_bigram_share"),
         F.round(F.col("_dwf"), 6).alias("dup_word_frac"),
     )
+
+
+def fuzzy_edit_distance_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    prefix_len: int = 80,
+    length_band: int = 20,
+    max_distance: int = 20,
+) -> DataFrame:
+    """Fuzzy near-dup candidate pairs by EDIT DISTANCE — the
+    ClickHouse-`editDistance`-powered dedup tier (reference users run
+    `editDistance(a, b) < k` joins server-side; SURVEY §2.3).
+
+    Blocking lives in the join key ((group, length band)), exactly like
+    ngram_jaccard_pairs; the O(len^2) Levenshtein DP runs only on
+    surviving candidates and only over a bounded `prefix_len`-char
+    prefix, so per-pair cost is capped at prefix_len^2 regardless of
+    document size. Spark's builtin `levenshtein` (JVM codegen) is the
+    kernel — no Python. Returns (a_id, b_id, edit_distance,
+    jaro_winkler) with the Jaro-Winkler score from the Arrow-batched
+    kernel as a secondary signal, computed only for the filtered pairs.
+    """
+    from clickhouse_arrow_spark.functions.text_distance import (
+        jaro_winkler_similarity,
+    )
+
+    base = df.select(
+        F.col(id_col),
+        F.col(group_col).alias("_grp"),
+        F.length(text_col).alias("_nlen"),
+        F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
+    )
+    a = base.select(
+        F.col(id_col).alias("a_id"), "_grp",
+        F.col("_nlen").alias("_alen"), F.col("_pfx").alias("_apfx"),
+    )
+    b = base.select(
+        F.col(id_col).alias("b_id"), "_grp",
+        F.col("_nlen").alias("_blen"), F.col("_pfx").alias("_bpfx"),
+    )
+    pairs = (
+        a.join(b, "_grp")
+        .where(
+            (F.col("a_id") < F.col("b_id"))
+            & (F.abs(F.col("_alen") - F.col("_blen")) <= length_band)
+        )
+        .withColumn("edit_distance", F.levenshtein("_apfx", "_bpfx"))
+        .where(F.col("edit_distance") <= max_distance)
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        "edit_distance",
+        F.round(jaro_winkler_similarity(F.col("_apfx"), F.col("_bpfx")), 6).alias(
+            "jaro_winkler"
+        ),
+    )

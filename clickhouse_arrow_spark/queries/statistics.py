@@ -334,3 +334,76 @@ def q_util_geo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("c_custkey")
         .limit(200)
     )
+
+
+@register(
+    "stats_histogram",
+    """
+    WITH b AS (
+      SELECT min(CAST(value AS DOUBLE)) AS lo, max(CAST(value AS DOUBLE)) AS hi
+      FROM events
+    ),
+    binned AS (
+      SELECT CASE WHEN b.hi = b.lo THEN 1
+             ELSE least(greatest(CAST(floor((CAST(value AS DOUBLE) - b.lo)
+                    / ((b.hi - b.lo) / 8.0)) AS INT) + 1, 1), 8) END AS bin,
+             b.lo, b.hi
+      FROM events, b
+    )
+    SELECT bin,
+           round(lo + (bin - 1) * (hi - lo) / 8.0, 6) AS bin_lo,
+           round(lo + bin * (hi - lo) / 8.0, 6) AS bin_hi,
+           count(*) AS cnt
+    FROM binned GROUP BY bin, lo, hi ORDER BY bin
+    """,
+    doc="Deterministic equi-width histogram(8) of event values — the "
+    "engine-side stand-in for ClickHouse histogram(n), whose adaptive "
+    "streaming-merge bins are documented non-deterministic (edges "
+    "depend on merge order, unreproducible on any distributed engine). "
+    "Two map-side-combined passes: bounds, then keyed bucket counts.",
+    tags=("stats", "histogram"),
+)
+def q_stats_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    h = stats.equi_histogram(spark.table("events"), "value", 8)
+    return h.select(
+        "bin",
+        F.round("bin_lo", 6).alias("bin_lo"),
+        F.round("bin_hi", 6).alias("bin_hi"),
+        "cnt",
+    ).orderBy("bin")
+
+
+@register(
+    "text_fuzzy_pairs",
+    """
+    WITH base AS (
+      SELECT doc_id, lang AS grp, length(text) AS nlen,
+             substring(text, 1, 80) AS pfx
+      FROM documents
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           levenshtein(a.pfx, b.pfx) AS edit_distance,
+           round(jaro_winkler_similarity(a.pfx, b.pfx), 6) AS jaro_winkler
+    FROM base a JOIN base b
+      ON a.grp = b.grp AND a.doc_id < b.doc_id
+     AND abs(a.nlen - b.nlen) <= 20
+    WHERE levenshtein(a.pfx, b.pfx) <= 20
+    ORDER BY a_id, b_id
+    """,
+    doc="Edit-distance fuzzy near-dup pairs ((lang, length-band) "
+    "blocked; Levenshtein on an 80-char prefix caps per-pair cost; "
+    "Spark's JVM levenshtein builtin is the kernel). jaro_winkler "
+    "comes from the Arrow-batched kernel pinned to the oracle's "
+    "implementation (floor half-transpositions, empty->0, 0.7 boost "
+    "threshold) — see functions/text_distance.py.",
+    tags=("text", "fuzzy", "dedup", "pandas"),
+)
+def q_text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.text import fuzzy_edit_distance_pairs
+
+    return fuzzy_edit_distance_pairs(
+        spark.table("documents"),
+        prefix_len=80,
+        length_band=20,
+        max_distance=20,
+    ).orderBy("a_id", "b_id")

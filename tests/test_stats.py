@@ -240,3 +240,85 @@ def test_geohash_roundtrip_quantization(spark):
         for row in rows:
             assert abs(row["d"]["longitude"] - row["lon"]) <= tol_lon
             assert abs(row["d"]["latitude"] - row["lat"]) <= tol_lon
+
+
+def test_text_distance_kernels_vs_duckdb(spark):
+    """The Python kernels must agree exactly with DuckDB's independent
+    implementations (the oracle side of text_fuzzy_pairs)."""
+    import random
+    import string
+
+    import duckdb
+
+    from clickhouse_arrow_spark.functions.text_distance import (
+        _dl_py,
+        _jaro_py,
+        _jw_py,
+    )
+
+    rng = random.Random(99)
+    for _ in range(150):
+        a = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 12)))
+        b = "".join(rng.choices(string.ascii_lowercase[:6], k=rng.randint(0, 12)))
+        dl, jr, jw = duckdb.sql(
+            f"SELECT damerau_levenshtein('{a}','{b}'), "
+            f"jaro_similarity('{a}','{b}'), "
+            f"jaro_winkler_similarity('{a}','{b}')"
+        ).fetchone()
+        assert _dl_py(a, b) == dl, (a, b)
+        assert abs(_jaro_py(a, b) - jr) < 1e-12, (a, b)
+        assert abs(_jw_py(a, b) - jw) < 1e-12, (a, b)
+    # true Damerau-Levenshtein, not OSA: ca -> abc is 2
+    assert _dl_py("ca", "abc") == 2
+
+
+def test_text_distance_udfs(spark):
+    from clickhouse_arrow_spark.functions import text_distance as td
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("kitten", "sitting"), ("martha", "marhta"), ("ca", "abc"), (None, "x")],
+        "a string, b string",
+    )
+    rows = df.select(
+        td.damerau_levenshtein("a", "b").alias("dl"),
+        td.jaro_winkler_similarity(F.col("a"), F.col("b")).alias("jw"),
+    ).collect()
+    # martha -> marhta is ONE adjacent transposition under DL
+    assert [r["dl"] for r in rows] == [3, 1, 2, None]
+    assert rows[1]["jw"] == pytest.approx(0.9611111111111111)
+
+
+def test_equi_histogram(spark):
+    from clickhouse_arrow_spark.operators.stats import equi_histogram
+
+    df = spark.createDataFrame([(float(v),) for v in range(10)], "v double")
+    rows = {r["bin"]: r for r in equi_histogram(df, "v", 3).collect()}
+    # [0,9] in 3 bins of width 3: [0,3)->0,1,2 ; [3,6)->3,4,5 ; [6,9]->6..9
+    assert rows[1]["cnt"] == 3 and rows[2]["cnt"] == 3 and rows[3]["cnt"] == 4
+    assert rows[1]["bin_lo"] == 0.0 and rows[3]["bin_hi"] == 9.0
+    # degenerate: constant column collapses to one bin
+    one = spark.createDataFrame([(5.0,), (5.0,)], "v double")
+    got = equi_histogram(one, "v", 4).collect()
+    assert len(got) == 1 and got[0]["cnt"] == 2
+
+
+def test_fuzzy_edit_distance_pairs(spark):
+    from clickhouse_arrow_spark.operators.text import fuzzy_edit_distance_pairs
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog", "en"),
+            (2, "the quick brown fox jumps over the lazy cat", "en"),
+            (3, "completely different text with no resemblance", "en"),
+            (4, "the quick brown fox jumps over the lazy dog", "de"),
+        ],
+        "doc_id long, text string, lang string",
+    )
+    rows = fuzzy_edit_distance_pairs(
+        docs, prefix_len=64, length_band=10, max_distance=5
+    ).collect()
+    got = {(r["a_id"], r["b_id"]): r["edit_distance"] for r in rows}
+    # only (1,2) survives: same lang, 3-char edit; 4 is in another group
+    assert got == {(1, 2): 3}
+    assert rows[0]["jaro_winkler"] > 0.9

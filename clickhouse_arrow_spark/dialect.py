@@ -933,6 +933,124 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     ),
 }
 
+#: aggregate bases the generic combinator rewriter understands
+#: (CH name -> Spark aggregate). `uniqExact` maps through count DISTINCT
+#: and is handled in-line.
+_COMBINATOR_BASES: dict[str, str] = {
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+    "count": "count",
+    "any": "any_value",
+    "anyLast": "any_value",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+    "median": "median",
+    "stddevSamp": "stddev_samp",
+    "stddevPop": "stddev_pop",
+    "varSamp": "var_samp",
+    "varPop": "var_pop",
+    "uniq": "approx_count_distinct",
+    "uniqExact": "__count_distinct__",
+}
+
+
+def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
+    """Generic ClickHouse aggregate-COMBINATOR rewriter: `<base><comb>`
+    where comb stacks an optional {Array, Distinct, OrNull} with an
+    optional trailing `If` (CH composes suffixes left-to-right, so `If`
+    is always outermost and consumes the extra condition argument).
+
+    Explicit `_fmt` entries (sumIf, uniqExact, countIf, ...) win — this
+    runs only for names the direct table doesn't know, giving every
+    base x combinator combination (`minIf`, `argMaxIf`, `sumArray`,
+    `avgDistinct`, `countOrNullIf`, `groupArrayArrayIf`, ...) a
+    faithful translation:
+
+    - If        -> `... FILTER (WHERE cond)` (Spark's exact equivalent)
+    - Distinct  -> `base(DISTINCT x)`
+    - OrNull    -> NULL on the empty set: Spark sum/avg/min/max already
+                   return NULL there; count wraps in nullif(.., 0)
+    - Array     -> aggregate over all array elements across rows:
+                   count -> sum(size), min/max -> over array_min/max,
+                   sum/avg -> per-row `aggregate()` fold then reduce
+                   (numeric result widens to DOUBLE, documented),
+                   groupArray -> flatten(collect_list),
+                   uniq/uniqExact -> over flattened distinct elements
+    """
+    base = name
+    filt = False
+    if base.endswith("If") and len(base) > 2:
+        base = base[:-2]
+        filt = True
+    comb = None
+    for suffix in ("Array", "Distinct", "OrNull"):
+        if base.endswith(suffix) and base[: -len(suffix)] in _COMBINATOR_BASES:
+            comb = suffix
+            base = base[: -len(suffix)]
+            break
+    if base not in _COMBINATOR_BASES or (comb is None and not filt):
+        return None
+    spark = _COMBINATOR_BASES[base]
+
+    def fmt(a: Args) -> str:
+        args = list(a)
+        cond = args.pop() if filt else None
+        x = args[0] if args else "*"
+        if comb == "Array":
+            # `FILTER` cannot attach to the composite expressions below
+            # (flatten(collect_list(..)), sum(..)/sum(..)), so the If
+            # condition NULLs the array instead — aggregates skip NULL
+            # inputs, which is exactly FILTER's row-exclusion semantics
+            if cond is not None:
+                x = f"CASE WHEN {cond} THEN {x} END"
+            if base == "count":
+                expr = f"sum(size({x}))"
+            elif base in ("min", "max"):
+                expr = f"{spark}(array_{base}({x}))"
+            elif base == "sum":
+                expr = (
+                    f"sum(aggregate({x}, CAST(0 AS DOUBLE), "
+                    f"(_acc, _e) -> _acc + _e))"
+                )
+            elif base == "avg":
+                # try_divide: a group whose arrays are all empty has a
+                # 0 element count — NULL, not an ANSI DIVIDE_BY_ZERO
+                expr = (
+                    f"try_divide(sum(aggregate({x}, CAST(0 AS DOUBLE), "
+                    f"(_acc, _e) -> _acc + _e)), sum(size({x})))"
+                )
+            elif base in ("groupArray",):
+                expr = f"flatten(collect_list({x}))"
+            elif base == "groupUniqArray":
+                expr = f"array_distinct(flatten(collect_list({x})))"
+            elif base in ("uniq", "uniqExact"):
+                expr = (
+                    f"size(array_distinct(flatten(collect_list("
+                    f"array_distinct({x})))))"
+                )
+            else:
+                raise UntranslatableFunctionError(
+                    f"{name}(): no Array-combinator form for {base}"
+                )
+            return expr
+        if comb == "Distinct" or spark == "__count_distinct__":
+            inner = "count" if spark == "__count_distinct__" else spark
+            expr = f"{inner}(DISTINCT {', '.join(args)})"
+        else:
+            expr = f"{spark}({', '.join(args)})"
+        if cond is not None:
+            expr = f"{expr} FILTER (WHERE {cond})"
+        if comb == "OrNull" and base == "count":
+            expr = f"nullif({expr}, 0)"
+        return expr
+
+    return fmt
+
+
 _GROUP_BY_RE = re.compile(r"(?i)\bGROUP\s+BY\b")
 _TOTALS_RE = re.compile(r"(?i)\bWITH\s+TOTALS\b")
 #: clause keywords that END a group-by expression list — hitting one at
@@ -1312,6 +1430,8 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
                 0
             ].lstrip().upper().startswith("SELECT"):
                 fmt = None
+            elif fmt is None:
+                fmt = _combinator_fmt(name)
             if fmt is not None:
                 expr = fmt(args)
             else:

@@ -407,3 +407,47 @@ def q_text_fuzzy_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         length_band=20,
         max_distance=20,
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "util_agg_combinators",
+    """
+    SELECT l_returnflag,
+           round(min(l_quantity) FILTER (WHERE l_discount > 0.05), 4)
+             AS min_qty_disc,
+           arg_max(l_linestatus, l_orderkey * 8 + l_linenumber)
+             FILTER (WHERE l_tax > 0) AS latest_taxed_mode,
+           count(DISTINCT l_suppkey) AS n_supp,
+           round(avg(l_extendedprice) FILTER (WHERE l_discount >= 0.04), 4)
+             AS avg_discounted_price,
+           nullif(count(*) FILTER (WHERE l_quantity > 1000000), 0)
+             AS impossible_cnt,
+           round(median(l_extendedprice) FILTER (WHERE l_linenumber = 1), 4)
+             AS median_first_line
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="ClickHouse aggregate COMBINATORS end-to-end through the "
+    "dialect (query_ch path): minIf / argMaxIf / uniqExactDistinct-"
+    "style countDistinct / avgIf / countOrNullIf / medianIf translate "
+    "via the generic combinator rewriter (FILTER (WHERE ...) is "
+    "Spark's exact row-exclusion equivalent; argMax keyed on the "
+    "unique (orderkey, linenumber) composite for determinism).",
+    tags=("dialect", "combinators", "agg"),
+)
+def q_util_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    ch_sql = """
+    SELECT l_returnflag,
+           round(minIf(l_quantity, l_discount > 0.05), 4) AS min_qty_disc,
+           argMaxIf(l_linestatus, l_orderkey * 8 + l_linenumber, l_tax > 0)
+             AS latest_taxed_mode,
+           countDistinct(l_suppkey) AS n_supp,
+           round(avgIf(l_extendedprice, l_discount >= 0.04), 4)
+             AS avg_discounted_price,
+           countOrNullIf(*, l_quantity > 1000000) AS impossible_cnt,
+           round(medianIf(l_extendedprice, l_linenumber = 1), 4)
+             AS median_first_line
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -700,3 +700,39 @@ def test_quantile_timing_deterministic_variants(client):
         "(SELECT 1 AS x UNION ALL SELECT 2 UNION ALL SELECT 3)"
     ).first()
     assert float(row["m"]) == 2.0
+
+
+def test_generic_aggregate_combinators():
+    """The combinator rewriter covers base x {If, Distinct, OrNull,
+    Array} beyond the explicit table entries."""
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    assert (
+        t("SELECT minIf(v, ok) FROM t")
+        == "SELECT min(CASE WHEN ok THEN v END) FROM t"  # explicit entry wins
+    )
+    assert (
+        t("SELECT argMaxIf(a, b, c > 1) FROM t")
+        == "SELECT max_by(a, b) FILTER (WHERE c > 1) FROM t"
+    )
+    assert (
+        t("SELECT uniqIf(x, ok) FROM t")
+        == "SELECT approx_count_distinct(x) FILTER (WHERE ok) FROM t"
+    )
+    assert t("SELECT countDistinct(x) FROM t") == (
+        "SELECT count(DISTINCT x) FROM t"
+    )
+    assert t("SELECT sumOrNull(x) FROM t") == "SELECT sum(x) FROM t"
+    assert t("SELECT countOrNullIf(x, c) FROM t") == (
+        "SELECT nullif(count(x) FILTER (WHERE c), 0) FROM t"
+    )
+    assert t("SELECT countArray(arr) FROM t") == "SELECT sum(size(arr)) FROM t"
+    assert t("SELECT maxArray(arr) FROM t") == "SELECT max(array_max(arr)) FROM t"
+    assert "flatten(collect_list(arr))" in t("SELECT groupArrayArray(arr) FROM t")
+    assert "try_divide" in t("SELECT avgArray(arr) FROM t")
+    # If on an Array form folds into a CASE (FILTER can't attach to the
+    # composite expression)
+    assert "CASE WHEN ok THEN arr END" in t("SELECT sumArrayIf(arr, ok) FROM t")
+    # names that merely LOOK like combinators stay untouched
+    assert t("SELECT notAFunc(x) FROM t") == "SELECT notAFunc(x) FROM t"
+    assert t("SELECT sortIf(x) FROM t") == "SELECT sortIf(x) FROM t"

@@ -147,6 +147,46 @@ def main() -> int:
         ).groupBy("stratum").count(),
     )
 
+    from clickhouse_arrow_spark.operators import stats, timeseries
+
+    # hypothesis tests over the full 10M-row fact table: moment path is
+    # one keyed agg; the rank path exercises the two-phase cumsum
+    bench(
+        "welch_ttest_10m_rows",
+        stats.ttest(fact, "price", F.col("dimkey") < 12, "welch"),
+    )
+    bench(
+        "mann_whitney_10m_rows",
+        stats.mann_whitney_u(fact, "price", F.col("dimkey") < 12),
+    )
+    bench(
+        "association_10m_rows",
+        stats.association(fact, "dimkey", "custkey"),
+    )
+    bench("equi_histogram_10m_rows", stats.equi_histogram(fact, "price", 32))
+    iv = fact.select(
+        "custkey",
+        F.col("k").cast("double").alias("s"),
+        (F.col("k") + (F.pmod(F.col("k"), F.lit(7)) + 1) * 3).cast("double").alias("e"),
+    )
+    bench(
+        "interval_union_10m_rows",
+        timeseries.interval_length_sum(iv, ["custkey"], "s", "e"),
+    )
+    bench(
+        "max_intersections_10m_rows",
+        timeseries.max_intersections(iv, ["custkey"], "s", "e"),
+    )
+    bench(
+        "fuzzy_edit_pairs_100k_docs",
+        text_ops.fuzzy_edit_distance_pairs(
+            docs.withColumn("lang", (F.col("doc_id") % 500).cast("string")),
+            prefix_len=40,
+            length_band=5,
+            max_distance=10,
+        ),
+    )
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

@@ -184,3 +184,48 @@ def test_agg_map_bounded_exchanges(spark, tables):
     assert "partial_" in plan or "HashAggregate" in plan
     assert "BatchEvalPython" not in plan
     assert plan.count("hashpartitioning(") <= 6
+
+
+def test_stats_paths_stay_jvm_side(spark, tables):
+    """The hypothesis-test/association/interval corpus entries must run
+    with no Python evaluation (only text_fuzzy_pairs is allowed its
+    documented Arrow-batched jaro-winkler stage)."""
+    for name in (
+        "stats_hypothesis_tests",
+        "stats_association",
+        "stats_histogram",
+        "timeseries_intervals",
+        "timeseries_moving_window",
+        "util_geo_distance",
+        "util_agg_combinators",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_mann_whitney_no_single_partition_window_on_data(spark, tables):
+    """The global rank cumsum must be the two-phase range-partitioned
+    version: every window over the per-value table is partitioned by
+    _pid; the only partitionBy-less window runs on the #partitions-row
+    totals table (driver-scale)."""
+    plan = plan_of(spark, "stats_hypothesis_tests")
+    # the big-table cumsum window exists and is keyed on _pid (its
+    # windowspecdefinition partitions by the range-partition id)
+    cumsum_lines = [
+        ln for ln in plan.splitlines()
+        if "_incl_cnt" in ln and "windowspecdefinition" in ln
+    ]
+    assert cumsum_lines and all(
+        "windowspecdefinition(_pid" in ln for ln in cumsum_lines
+    ), cumsum_lines
+    # phase 1 of the cumsum range-partitions the value table, proving
+    # the rank scan is not a global single-task sort
+    assert "rangepartitioning(v" in plan
+
+
+def test_interval_sweep_single_keyed_exchange(spark, tables):
+    """interval_length_sum + max_intersections: every exchange is keyed
+    on the user (hashpartitioning(user_id)), none is single-partition."""
+    plan = plan_of(spark, "timeseries_intervals")
+    assert "SinglePartition" not in plan

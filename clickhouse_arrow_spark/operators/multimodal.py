@@ -338,3 +338,301 @@ def frame_sample_plan(
     return df.select(
         F.col(id_col), F.explode(frames).alias("frame_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# PNG — third real image codec (stdlib zlib), full filter support
+# ---------------------------------------------------------------------------
+
+PNG_MIME = "image/png"
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[int, int, bytes]:
+    """REAL PNG decode — stdlib-only (struct + zlib), the third genuine
+    image format through the shared mapInPandas plan.
+
+    Supports the dominant web shape: 8-bit, color type 2 (RGB) or 6
+    (RGBA, alpha dropped), non-interlaced, with ALL five scanline
+    filters (None/Sub/Up/Average/Paeth) reconstructed per the spec.
+    Returns (width, height, interleaved RGB bytes)."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_SIG:
+        raise ValueError("not a PNG payload")
+    pos = 8
+    width = height = bpp = 0
+    idat = bytearray()
+    while pos + 8 <= len(payload):
+        length, ctype = struct.unpack_from(">I4s", payload, pos)
+        data = payload[pos + 8 : pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+        if ctype == b"IHDR":
+            width, height, depth, color, comp, filt, interlace = (
+                struct.unpack(">IIBBBBB", data)
+            )
+            if depth != 8 or color not in (2, 6) or interlace != 0:
+                raise ValueError(
+                    f"unsupported PNG shape (depth={depth}, color={color}, "
+                    f"interlace={interlace}); 8-bit RGB/RGBA non-interlaced only"
+                )
+            bpp = 4 if color == 6 else 3
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+    raw = zlib.decompress(bytes(idat))
+    stride = width * bpp
+    if len(raw) != (stride + 1) * height:
+        raise ValueError("truncated PNG scanline data")
+    prev = bytearray(stride)
+    out = bytearray(width * height * 3)
+    for row in range(height):
+        ftype = raw[row * (stride + 1)]
+        line = bytearray(raw[row * (stride + 1) + 1 : (row + 1) * (stride + 1)])
+        if ftype == 1:  # Sub
+            for i in range(bpp, stride):
+                line[i] = (line[i] + line[i - bpp]) & 0xFF
+        elif ftype == 2:  # Up
+            for i in range(stride):
+                line[i] = (line[i] + prev[i]) & 0xFF
+        elif ftype == 3:  # Average
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + ((left + prev[i]) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i in range(stride):
+                left = line[i - bpp] if i >= bpp else 0
+                up_left = prev[i - bpp] if i >= bpp else 0
+                line[i] = (line[i] + _paeth(left, prev[i], up_left)) & 0xFF
+        elif ftype != 0:
+            raise ValueError(f"unknown PNG filter type {ftype}")
+        prev = line
+        base = row * width * 3
+        for col in range(width):
+            src = col * bpp
+            out[base + col * 3 : base + col * 3 + 3] = line[src : src + 3]
+    return width, height, bytes(out)
+
+
+def encode_png(
+    width: int, height: int, rgb: bytes, filter_type: int = 0
+) -> bytes:
+    """Minimal PNG writer (8-bit RGB, non-interlaced). `filter_type`
+    applies the SAME filter to every scanline — the test fixture uses
+    each of the five types so decode_png's reconstruction is exercised
+    against an independently-applied forward filter."""
+    import struct
+    import zlib
+
+    stride = width * 3
+    prev = bytearray(stride)
+    lines = bytearray()
+    for row in range(height):
+        line = bytearray(rgb[row * stride : (row + 1) * stride])
+        enc = bytearray(line)
+        if filter_type == 1:
+            for i in range(stride - 1, 2, -1):
+                enc[i] = (line[i] - line[i - 3]) & 0xFF
+        elif filter_type == 2:
+            for i in range(stride):
+                enc[i] = (line[i] - prev[i]) & 0xFF
+        elif filter_type == 3:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - ((left + prev[i]) >> 1)) & 0xFF
+        elif filter_type == 4:
+            for i in range(stride):
+                left = line[i - 3] if i >= 3 else 0
+                up_left = prev[i - 3] if i >= 3 else 0
+                enc[i] = (line[i] - _paeth(left, prev[i], up_left)) & 0xFF
+        lines += bytes([filter_type]) + bytes(enc)
+        prev = line
+
+    def chunk(ctype: bytes, data: bytes) -> bytes:
+        crc = zlib.crc32(ctype + data) & 0xFFFFFFFF
+        return struct.pack(">I", len(data)) + ctype + data + struct.pack(">I", crc)
+
+    ihdr = struct.pack(">IIBBBBB", width, height, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", zlib.compress(bytes(lines)))
+        + chunk(b"IEND", b"")
+    )
+
+
+def _png_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    width, height, pixels = decode_png(payload)
+    return _pixel_features(width, height, pixels)
+
+
+# ---------------------------------------------------------------------------
+# WAV — real AUDIO codec (stdlib struct), PCM16
+# ---------------------------------------------------------------------------
+
+WAV_MIME = "audio/wav"
+
+
+def decode_wav(payload: bytes) -> tuple[int, int, int, list[int]]:
+    """REAL audio decode for RIFF/WAVE PCM16 — parsed with struct only.
+
+    Returns (n_frames, n_channels, sample_rate, samples) where samples
+    is the interleaved int16 list."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE payload")
+    pos = 12
+    n_channels = sample_rate = bits = None
+    frames: list[int] = []
+    while pos + 8 <= len(payload):
+        cid, size = struct.unpack_from("<4sI", payload, pos)
+        body = payload[pos + 8 : pos + 8 + size]
+        pos += 8 + size + (size & 1)  # chunks pad to even byte counts
+        if cid == b"fmt ":
+            fmt, n_channels, sample_rate = struct.unpack_from("<HHI", body, 0)
+            bits = struct.unpack_from("<H", body, 14)[0]
+            if fmt != 1 or bits != 16:
+                raise ValueError(
+                    f"only PCM16 supported (format={fmt}, bits={bits})"
+                )
+        elif cid == b"data":
+            n = len(body) // 2
+            frames = list(struct.unpack(f"<{n}h", body[: n * 2]))
+    if n_channels is None or not frames:
+        raise ValueError("missing fmt/data chunk")
+    return len(frames) // n_channels, n_channels, sample_rate, frames
+
+
+def encode_wav(
+    samples: list[int], n_channels: int = 1, sample_rate: int = 16000
+) -> bytes:
+    """Minimal PCM16 WAV writer (round-trip fixture for decode_wav)."""
+    import struct
+
+    body = struct.pack(f"<{len(samples)}h", *samples)
+    byte_rate = sample_rate * n_channels * 2
+    fmt = struct.pack(
+        "<4sIHHIIHH", b"fmt ", 16, 1, n_channels, sample_rate, byte_rate,
+        n_channels * 2, 16,
+    )
+    data = struct.pack("<4sI", b"data", len(body)) + body
+    riff = struct.pack("<4sI4s", b"RIFF", 4 + len(fmt) + len(data), b"WAVE")
+    return riff + fmt + data
+
+
+def _wav_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
+    """DECODERS-contract adapter: (n_frames, n_channels, 8 features) —
+    RMS, mean, peak, zero-crossing rate, duration and shape stats from
+    the actual PCM samples."""
+    n_frames, n_channels, rate, samples = decode_wav(payload)
+    n = len(samples)
+    scale = 32768.0
+    mean = sum(samples) / n / scale
+    rms = (sum(s * s for s in samples) / n) ** 0.5 / scale
+    peak = max(abs(s) for s in samples) / scale
+    zc = sum(
+        1 for i in range(1, n) if (samples[i - 1] < 0) != (samples[i] < 0)
+    ) / max(n - 1, 1)
+    return n_frames, n_channels, [
+        rms,
+        mean,
+        peak,
+        zc,
+        n_frames / float(rate),
+        n_channels / 8.0,
+        rate / 48000.0,
+        1.0,
+    ]
+
+
+DECODERS[PNG_MIME] = _png_feature_decode  # real stdlib codec (zlib)
+DECODERS[WAV_MIME] = _wav_feature_decode  # real stdlib AUDIO codec
+
+
+def encode_png_for_id(doc_id: int) -> bytes:
+    """Deterministic PNG per document id — REAL zlib-compressed bytes,
+    filter type rotating through all five spec filters (id % 5), pixel
+    byte i = (id*37 + i*11) % 256 so a cross-engine oracle can
+    recompute the decoded channel sums arithmetically."""
+    width = 4 + doc_id % 11
+    height = 4 + doc_id % 5
+    rgb = bytes((doc_id * 37 + i * 11) % 256 for i in range(width * height * 3))
+    return encode_png(width, height, rgb, filter_type=doc_id % 5)
+
+
+def encode_wav_for_id(doc_id: int) -> bytes:
+    """Deterministic PCM16 WAV per document id: sample k =
+    ((id*13 + k*7) % 200) - 100, mono 16 kHz, 64 + id%32 frames."""
+    n = 64 + doc_id % 32
+    samples = [((doc_id * 13 + k * 7) % 200) - 100 for k in range(n)]
+    return encode_wav(samples, 1, 16000)
+
+
+MEDIA_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("png_width", T.IntegerType(), False),
+        T.StructField("png_height", T.IntegerType(), False),
+        T.StructField("png_sum_r", T.LongType(), False),
+        T.StructField("png_sum_g", T.LongType(), False),
+        T.StructField("png_sum_b", T.LongType(), False),
+        T.StructField("wav_frames", T.IntegerType(), False),
+        T.StructField("wav_sum", T.LongType(), False),
+        T.StructField("wav_sum_abs", T.LongType(), False),
+    ]
+)
+
+
+def attach_media_payloads(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Synthesize (PNG, WAV) payload pairs per row — Arrow-batched."""
+    png = F.pandas_udf(
+        lambda ids: ids.map(lambda i: encode_png_for_id(int(i))), T.BinaryType()
+    )
+    wav = F.pandas_udf(
+        lambda ids: ids.map(lambda i: encode_wav_for_id(int(i))), T.BinaryType()
+    )
+    return df.select(
+        F.col(id_col), png(F.col(id_col)).alias("png"),
+        wav(F.col(id_col)).alias("wav"),
+    )
+
+
+def decode_media_stats(df: DataFrame) -> DataFrame:
+    """PNG + WAV real-codec decode plan: zlib inflate + filter
+    reconstruction and RIFF PCM16 parse inside one mapInPandas pass,
+    emitting exact integer stats the oracle pins bit-for-bit."""
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
+    df = _spread(df, "doc_id")
+
+    def decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {k.name: [] for k in MEDIA_STATS_SCHEMA.fields}
+            for doc_id, png, wav in zip(pdf["doc_id"], pdf["png"], pdf["wav"]):
+                w, h, pixels = decode_png(bytes(png))
+                frames, _ch, _rate, samples = decode_wav(bytes(wav))
+                rows["doc_id"].append(int(doc_id))
+                rows["png_width"].append(w)
+                rows["png_height"].append(h)
+                rows["png_sum_r"].append(sum(pixels[0::3]))
+                rows["png_sum_g"].append(sum(pixels[1::3]))
+                rows["png_sum_b"].append(sum(pixels[2::3]))
+                rows["wav_frames"].append(frames)
+                rows["wav_sum"].append(sum(samples))
+                rows["wav_sum_abs"].append(sum(abs(s) for s in samples))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(decode, schema=MEDIA_STATS_SCHEMA)

@@ -1288,3 +1288,45 @@ def q_seq_timed_within(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sequence_match(
         ev, "user_id", "ts", "(?1)(?t<=600)(?2)", conds, id_col="event_id"
     ).orderBy("user_id")
+
+
+@register(
+    "util_decode_media_gate",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             4 + doc_id % 11 AS pw, 4 + doc_id % 5 AS ph,
+             64 + doc_id % 32 AS nf
+      FROM documents WHERE doc_id < 150
+    )
+    SELECT doc_id,
+           CAST(pw AS INT) AS png_width, CAST(ph AS INT) AS png_height,
+           CAST(list_sum(list_transform(range(pw * ph),
+                p -> (doc_id * 37 + 33 * p) % 256)) AS BIGINT) AS png_sum_r,
+           CAST(list_sum(list_transform(range(pw * ph),
+                p -> (doc_id * 37 + 33 * p + 11) % 256)) AS BIGINT) AS png_sum_g,
+           CAST(list_sum(list_transform(range(pw * ph),
+                p -> (doc_id * 37 + 33 * p + 22) % 256)) AS BIGINT) AS png_sum_b,
+           CAST(nf AS INT) AS wav_frames,
+           CAST(list_sum(list_transform(range(nf),
+                k -> ((doc_id * 13 + k * 7) % 200) - 100)) AS BIGINT) AS wav_sum,
+           CAST(list_sum(list_transform(range(nf),
+                k -> abs(((doc_id * 13 + k * 7) % 200) - 100))) AS BIGINT)
+             AS wav_sum_abs
+    FROM d ORDER BY doc_id
+    """,
+    doc="REAL PNG + WAV codec gate: every document gets genuine "
+    "zlib-compressed PNG bytes (filter type rotates through all five "
+    "spec filters via id % 5 — Sub/Up/Average/Paeth reconstruction is "
+    "exercised on the decode path, not just filter 0) and a RIFF PCM16 "
+    "WAV; decode_media_stats inflates + reconstructs + parses them in "
+    "one mapInPandas pass and reports exact integer channel/sample "
+    "sums, which the oracle recomputes arithmetically from doc_id. "
+    "PNG pixel byte i = (id*37 + 11i) % 256 (channel c pixel p -> "
+    "i = 3p + c); WAV sample k = ((id*13 + 7k) % 200) - 100.",
+    tags=("multimodal", "decode", "gate", "real-codec", "audio"),
+)
+def q_util_decode_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.table("documents").where(F.col("doc_id") < 150).select("doc_id")
+    payloads = multimodal.attach_media_payloads(docs)
+    return multimodal.decode_media_stats(payloads).orderBy("doc_id")

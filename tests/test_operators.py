@@ -825,3 +825,122 @@ def test_window_funnel_strict_modes(spark):
 
     with _pytest.raises(ValueError, match="unknown windowFunnel modes"):
         level(clean, ("bogus",))
+
+
+def test_png_roundtrip_all_filters():
+    """decode_png must invert every spec filter type, applied by the
+    independent forward-filter in encode_png."""
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    rgb = bytes(
+        (r * 7 + c * 13 + ch * 29) % 256
+        for r in range(9)
+        for c in range(7)
+        for ch in range(3)
+    )
+    for ft in range(5):
+        w, h, got = mm.decode_png(mm.encode_png(7, 9, rgb, filter_type=ft))
+        assert (w, h, got) == (7, 9, rgb), f"filter {ft}"
+
+
+def test_png_rgba_alpha_drop():
+    """color type 6 (RGBA) decodes with the alpha channel dropped."""
+    import struct
+    import zlib
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    w0, h0 = 3, 2
+    rgba = bytes((i * 17) % 256 for i in range(w0 * h0 * 4))
+    lines = b"".join(
+        b"\x00" + rgba[r * w0 * 4 : (r + 1) * w0 * 4] for r in range(h0)
+    )
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png = (
+        mm._PNG_SIG
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w0, h0, 8, 6, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(lines))
+        + chunk(b"IEND", b"")
+    )
+    w, h, got = mm.decode_png(png)
+    expect = bytes(b for i in range(w0 * h0) for b in rgba[i * 4 : i * 4 + 3])
+    assert (w, h, got) == (w0, h0, expect)
+
+
+def test_png_rejects_unsupported_shapes():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    with _pytest.raises(ValueError, match="not a PNG"):
+        mm.decode_png(b"GIF89a...")
+    # 16-bit depth refused loudly, not silently mis-decoded
+    import struct
+    import zlib
+
+    def chunk(t, d):
+        return (
+            struct.pack(">I", len(d)) + t + d
+            + struct.pack(">I", zlib.crc32(t + d) & 0xFFFFFFFF)
+        )
+
+    png16 = mm._PNG_SIG + chunk(
+        b"IHDR", struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    )
+    with _pytest.raises(ValueError, match="unsupported PNG shape"):
+        mm.decode_png(png16)
+
+
+def test_wav_roundtrip_and_features():
+    import math
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    samples = [int(10000 * math.sin(i / 10)) for i in range(1600)]
+    wav = mm.encode_wav(samples, 1, 16000)
+    n, ch, rate, got = mm.decode_wav(wav)
+    assert (n, ch, rate) == (1600, 1, 16000) and got == samples
+    frames, channels, feats = mm._wav_feature_decode(wav)
+    assert frames == 1600 and channels == 1 and len(feats) == mm.FEATURE_DIM
+    # duration feature = frames / rate
+    assert feats[4] == 1600 / 16000
+    # stereo interleave: frames = len(samples) / 2
+    stereo = mm.encode_wav(samples, 2, 8000)
+    n2, ch2, _, _ = mm.decode_wav(stereo)
+    assert (n2, ch2) == (800, 2)
+
+
+def test_png_wav_through_decode_features(spark):
+    """Real PNG and WAV payloads flow through the generic
+    decode_features plan via their DECODERS entries."""
+    from clickhouse_arrow_spark.operators import multimodal as mm
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ids = spark.range(6).select(F.col("id").alias("doc_id"))
+    png = F.pandas_udf(
+        lambda s: s.map(lambda i: mm.encode_png_for_id(int(i))), T.BinaryType()
+    )
+    wav = F.pandas_udf(
+        lambda s: s.map(lambda i: mm.encode_wav_for_id(int(i))), T.BinaryType()
+    )
+    for mime, payload in ((mm.PNG_MIME, png), (mm.WAV_MIME, wav)):
+        df = ids.select(
+            "doc_id",
+            payload(F.col("doc_id")).alias("payload"),
+            F.struct(
+                F.lit(mime).alias("mime"),
+                F.lit(0).alias("n_bytes"),
+                F.lit("x").alias("checksum"),
+            ).alias("media"),
+        )
+        rows = mm.decode_features(df).collect()
+        assert len(rows) == 6
+        assert all(r["mime"] == mime for r in rows)
+        assert all(len(r["features"]) == mm.FEATURE_DIM for r in rows)

@@ -49,6 +49,17 @@ class TransportError(RuntimeError):
     (reference Error::Server, http/client.rs:120-126)."""
 
 
+def _zstd_mod():
+    """The zstandard module if installed, else None (import-try gate —
+    this container doesn't bundle it; gzip is the stdlib tier)."""
+    try:
+        import zstandard
+
+        return zstandard
+    except ImportError:
+        return None
+
+
 def _quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
@@ -133,6 +144,7 @@ class HttpArrowTransport:
         partition_column: str | None = None,
         num_partitions: int = 1,
         timeout: float = 30.0,
+        compression: str | None = None,
     ):
         self.url = url.rstrip("/")
         self.user = user
@@ -141,6 +153,48 @@ class HttpArrowTransport:
         self.partition_column = partition_column
         self.num_partitions = max(int(num_partitions), 1)
         self.timeout = timeout
+        if compression not in (None, "gzip", "zstd"):
+            raise ValueError(
+                f"compression must be gzip|zstd|None, got {compression!r}"
+            )
+        if compression == "zstd" and _zstd_mod() is None:
+            raise ValueError(
+                "zstd wire compression needs the zstandard module (not "
+                "bundled here); use compression='gzip' (stdlib) instead"
+            )
+        #: wire compression, mirroring the reference's LZ4/ZSTD support
+        #: (clickhouse-arrow/src/compression.rs) over the HTTP
+        #: interface's Content-Encoding mechanism. gzip is the stdlib
+        #: tier; zstd engages when the zstandard module is available.
+        self.compression = compression
+
+    # -- wire compression --------------------------------------------
+
+    def _compress(self, data: bytes) -> bytes:
+        if self.compression == "gzip":
+            import gzip
+
+            return gzip.compress(data)
+        if self.compression == "zstd":
+            return _zstd_mod().ZstdCompressor().compress(data)
+        return data
+
+    @staticmethod
+    def _decompress(data: bytes, encoding: str | None) -> bytes:
+        if not encoding or not data:
+            return data
+        if encoding == "gzip":
+            import gzip
+
+            return gzip.decompress(data)
+        if encoding == "zstd":
+            z = _zstd_mod()
+            if z is None:
+                raise TransportError(
+                    "server sent zstd but the zstandard module is missing"
+                )
+            return z.ZstdDecompressor().decompress(data)
+        raise TransportError(f"unsupported Content-Encoding {encoding!r}")
 
     # -- raw HTTP ----------------------------------------------------
 
@@ -156,22 +210,25 @@ class HttpArrowTransport:
 
     def _request(self, sql: str, body: bytes | None = None) -> bytes:
         qs = urllib.parse.urlencode({"query": sql})
+        headers = dict(self._headers())
+        if body is not None:
+            headers["Content-Type"] = "application/octet-stream"
+            if self.compression and body:
+                body = self._compress(body)
+                headers["Content-Encoding"] = self.compression
+        if self.compression:
+            headers["Accept-Encoding"] = self.compression
         req = urllib.request.Request(
             f"{self.url}/?{qs}",
             data=body,
-            headers={
-                **self._headers(),
-                **(
-                    {"Content-Type": "application/octet-stream"}
-                    if body is not None
-                    else {}
-                ),
-            },
+            headers=headers,
             method="POST" if body is not None else "GET",
         )
         try:
             with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return resp.read()
+                return self._decompress(
+                    resp.read(), resp.headers.get("Content-Encoding")
+                )
         except urllib.error.HTTPError as e:
             text = e.read().decode("utf-8", "replace")
             raise TransportError(f"HTTP {e.code}: {text}") from None

@@ -70,6 +70,8 @@ class ArrowHttpStub:
         self.user = user
         self.password = password
         self.queries: list[str] = []
+        self.compressed_requests = 0
+        self.compressed_responses = 0
         self.lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
 
@@ -153,13 +155,17 @@ class ArrowHttpStub:
             def log_message(self, *a):  # silence test output
                 pass
 
-            def _respond(self, code: int, payload: bytes):
+            def _respond(self, code: int, payload: bytes, encoding=None):
                 self.send_response(code)
+                if encoding:
+                    self.send_header("Content-Encoding", encoding)
                 self.send_header("Content-Length", str(len(payload)))
                 self.end_headers()
                 self.wfile.write(payload)
 
             def _serve(self):
+                import gzip
+
                 if stub.user and (
                     self.headers.get("X-ClickHouse-User") != stub.user
                     or self.headers.get("X-ClickHouse-Key") != stub.password
@@ -170,10 +176,25 @@ class ArrowHttpStub:
                 sql = urllib.parse.parse_qs(qs).get("query", [""])[0]
                 n = int(self.headers.get("Content-Length") or 0)
                 body = self.rfile.read(n) if n else b""
+                # wire compression, like ClickHouse HTTP with
+                # enable_http_compression=1: request bodies may arrive
+                # Content-Encoding-compressed; responses compress when
+                # the client advertises Accept-Encoding.
+                if body and self.headers.get("Content-Encoding") == "gzip":
+                    body = gzip.decompress(body)
+                    stub.compressed_requests += 1
                 try:
-                    self._respond(200, stub.handle_query(sql, body))
+                    payload = stub.handle_query(sql, body)
                 except Exception as e:
                     self._respond(500, str(e).encode())
+                    return
+                if payload and "gzip" in (
+                    self.headers.get("Accept-Encoding") or ""
+                ):
+                    stub.compressed_responses += 1
+                    self._respond(200, gzip.compress(payload), "gzip")
+                else:
+                    self._respond(200, payload)
 
             do_GET = _serve
             do_POST = _serve

@@ -162,7 +162,9 @@ _OPERATOR_BACKED: dict[str, str] = {
         "functions.text_distance.jaro_winkler_similarity(a, b)"
     ),
     "histogram": "operators.stats.equi_histogram(df, col, n_bins)",
+    "topK": "operators.frequency.topk_frequent(df, col, k)",
     "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
+    "kolmogorovSmirnovTest": "operators.stats.ks_test(df, value, index)",
 }
 
 #: ClickHouse hash functions with NO value-identical Spark equivalent.
@@ -816,6 +818,111 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"split({a[1]}, {sep})"
 
         return split_by_string
+    # ---- array folds / rotations / bitmaps -----------------------------
+    if name == "arrayFold":
+        # CH (lambda, arr, init) -> Spark aggregate(arr, init, lambda);
+        # lambda shape (acc, x) -> ... is identical in both dialects
+        def array_fold(a: Args) -> str:
+            if len(a) != 3:
+                raise UntranslatableFunctionError(
+                    "arrayFold: only the single-array form "
+                    "(lambda, arr, init) translates"
+                )
+            return f"aggregate({a[1]}, {a[2]}, {a[0]})"
+
+        return array_fold
+    if name == "arrayPartialSort":
+        # CH contract: first n sorted, remainder in UNSPECIFIED order —
+        # a full sort is a valid implementation of that contract
+        return lambda a: f"array_sort({a[1]})"
+    if name == "arrayRotateLeft":
+        return lambda a: (
+            f"concat(slice({a[0]}, pmod({a[1]}, size({a[0]})) + 1, "
+            f"size({a[0]}) - pmod({a[1]}, size({a[0]}))), "
+            f"slice({a[0]}, 1, pmod({a[1]}, size({a[0]}))))"
+        )
+    if name == "arrayRotateRight":
+        return lambda a: (
+            f"concat(slice({a[0]}, size({a[0]}) - pmod({a[1]}, size({a[0]})) + 1, "
+            f"pmod({a[1]}, size({a[0]}))), "
+            f"slice({a[0]}, 1, size({a[0]}) - pmod({a[1]}, size({a[0]}))))"
+        )
+    if name in ("arrayShiftLeft", "arrayShiftRight"):
+        def array_shift(a: Args, _left: bool = name.endswith("Left")) -> str:
+            fill = a[2] if len(a) > 2 else "NULL"
+            if _left:
+                return (
+                    f"concat(slice({a[0]}, ({a[1]}) + 1, "
+                    f"size({a[0]}) - ({a[1]})), "
+                    f"array_repeat({fill}, ({a[1]})))"
+                )
+            return (
+                f"concat(array_repeat({fill}, ({a[1]})), "
+                f"slice({a[0]}, 1, size({a[0]}) - ({a[1]})))"
+            )
+
+        return array_shift
+    # CH roaring bitmaps <-> sorted distinct arrays: same algebra, the
+    # engine's layout differs (SURVEY §2.2: physical encodings are the
+    # engine's own business)
+    if name == "bitmapBuild":
+        return lambda a: f"array_sort(array_distinct({a[0]}))"
+    if name == "bitmapCardinality":
+        return lambda a: f"size({a[0]})"
+    if name == "bitmapAnd":
+        return lambda a: f"array_sort(array_intersect({a[0]}, {a[1]}))"
+    if name == "bitmapOr":
+        return lambda a: f"array_sort(array_union({a[0]}, {a[1]}))"
+    if name == "bitmapXor":
+        return lambda a: (
+            f"array_sort(array_except(array_union({a[0]}, {a[1]}), "
+            f"array_intersect({a[0]}, {a[1]})))"
+        )
+    if name == "bitmapAndnot":
+        return lambda a: f"array_sort(array_except({a[0]}, {a[1]}))"
+    if name == "bitmapAndCardinality":
+        return lambda a: f"size(array_intersect({a[0]}, {a[1]}))"
+    if name == "bitmapOrCardinality":
+        return lambda a: f"size(array_union({a[0]}, {a[1]}))"
+    if name == "bitmapXorCardinality":
+        return lambda a: (
+            f"size(array_except(array_union({a[0]}, {a[1]}), "
+            f"array_intersect({a[0]}, {a[1]})))"
+        )
+    if name == "bitmapAndnotCardinality":
+        return lambda a: f"size(array_except({a[0]}, {a[1]}))"
+    if name == "bitmapContains":
+        return lambda a: f"array_contains({a[0]}, {a[1]})"
+    if name == "bitmapHasAny":
+        return lambda a: f"arrays_overlap({a[0]}, {a[1]})"
+    if name == "bitmapHasAll":
+        return lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if name == "bitmapMin":
+        return lambda a: f"array_min({a[0]})"
+    if name == "bitmapMax":
+        return lambda a: f"array_max({a[0]})"
+    if name == "bitmapToArray":
+        return lambda a: f"array_sort({a[0]})"
+    if name == "groupBitmap":
+        return lambda a: f"count(DISTINCT {a[0]})"
+    if name == "dateName":
+        def date_name(a: Args) -> str:
+            part = a[0].strip().strip("'\"").lower()
+            fmts = {"month": "MMMM", "weekday": "EEEE"}
+            if part in fmts:
+                return f"date_format({a[1]}, '{fmts[part]}')"
+            funcs = {
+                "year": "year", "quarter": "quarter", "week": "weekofyear",
+                "dayofyear": "dayofyear", "day": "day", "hour": "hour",
+                "minute": "minute", "second": "second",
+            }
+            if part in funcs:
+                return f"CAST({funcs[part]}({a[1]}) AS STRING)"
+            raise UntranslatableFunctionError(
+                f"dateName: unsupported part {part!r}"
+            )
+
+        return date_name
     # ---- string distance / multi-search --------------------------------
     if name == "stringJaccardIndex":
         # CH: Jaccard over byte sets; for the string columns this

@@ -360,3 +360,65 @@ def equi_histogram(df: DataFrame, col: str, n_bins: int) -> DataFrame:
             "cnt",
         )
     )
+
+
+def ks_test(
+    df: DataFrame,
+    value_col: str,
+    index_col: Column,
+) -> DataFrame:
+    """ClickHouse `kolmogorovSmirnovTest(value, index)`, two-sided:
+    one row (d_stat, p_value).
+
+    D is exact: per-distinct-value group counts + the two-phase
+    range-partitioned cumulative counts (:func:`_ordered_cumsum`, both
+    groups in one pass) give each empirical CDF at every jump point;
+    D = max |F0 - F1|. p_value is the asymptotic Kolmogorov Q
+    function with the Numerical-Recipes small-sample correction
+    lambda = (sqrt(en) + 0.12 + 0.11/sqrt(en)) * D, the series
+    truncated at k=100 identically on both engines (ClickHouse's
+    'auto' switches to an exact method below ~10k samples — documented
+    divergence there; identical asymptotics above).
+    """
+    side = F.when(index_col, F.lit(1)).otherwise(F.lit(0))
+    per_value = (
+        df.select(F.col(value_col).cast("double").alias("v"), side.alias("s"))
+        .groupBy("v")
+        .agg(
+            F.sum(F.lit(1) - F.col("s")).alias("c0"),
+            F.sum("s").alias("c1"),
+        )
+    )
+    ranked = _ordered_cumsum(per_value, "v", ["c0", "c1"])
+    sizes = per_value.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    totals = (
+        ranked.crossJoin(F.broadcast(sizes))
+        .agg(
+            F.first("n0").alias("n0"),
+            F.first("n1").alias("n1"),
+            # inclusive CDF difference at each jump point
+            F.max(
+                F.abs(
+                    (F.col("cum_c0") + F.col("c0")) / F.col("n0")
+                    - (F.col("cum_c1") + F.col("c1")) / F.col("n1")
+                )
+            ).alias("d"),
+        )
+    )
+    en = F.sqrt(F.col("n0") * F.col("n1") / (F.col("n0") + F.col("n1")))
+    lam = (en + F.lit(0.12) + F.lit(0.11) / en) * F.col("d")
+    q = F.lit(2.0) * F.aggregate(
+        F.sequence(F.lit(1), F.lit(100)),
+        F.lit(0.0),
+        lambda acc, k: acc
+        + F.pow(F.lit(-1.0), (k - 1).cast("double"))
+        * F.exp(F.lit(-2.0) * lam * lam * k.cast("double") * k.cast("double")),
+    )
+    return totals.select(
+        F.round(F.col("d"), 6).alias("d_stat"),
+        F.round(F.least(F.greatest(q, F.lit(0.0)), F.lit(1.0)), 6).alias(
+            "p_value"
+        ),
+    )

@@ -451,3 +451,53 @@ def q_util_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
     """
     return spark.sql(translate_ch_sql(ch_sql))
+
+
+@register(
+    "stats_ks_test",
+    """
+    WITH ev AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS s
+      FROM events WHERE event_type IN ('click', 'view')
+    ),
+    pv AS (
+      SELECT v, sum(1 - s) AS c0, sum(s) AS c1 FROM ev GROUP BY v
+    ),
+    rk AS (
+      SELECT c0, c1,
+             COALESCE(sum(c0) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum0,
+             COALESCE(sum(c1) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum1
+      FROM pv
+    ),
+    tot AS (SELECT sum(c0) AS n0, sum(c1) AS n1 FROM pv),
+    dd AS (
+      SELECT max(abs((cum0 + c0) / CAST(n0 AS DOUBLE)
+                 - (cum1 + c1) / CAST(n1 AS DOUBLE))) AS d,
+             first(n0) AS n0, first(n1) AS n1
+      FROM rk, tot
+    ),
+    lamb AS (
+      SELECT d, (sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1)) + 0.12
+                 + 0.11 / sqrt(CAST(n0 AS DOUBLE) * n1 / (n0 + n1))) * d
+               AS lam
+      FROM dd
+    )
+    SELECT round(d, 6) AS d_stat,
+           round(least(greatest(2.0 * list_sum(list_transform(range(1, 101),
+             k -> pow(-1.0, k - 1) * exp(-2.0 * lam * lam * k * k))),
+             0.0), 1.0), 6) AS p_value
+    FROM lamb
+    """,
+    doc="ClickHouse kolmogorovSmirnovTest over events values (click vs "
+    "view): exact D via per-value counts + the two-phase cumulative "
+    "CDFs; p-value = asymptotic Kolmogorov Q with the NR small-sample "
+    "lambda correction, series truncated at k=100 identically on both "
+    "engines (CH 'auto' goes exact below ~10k samples — documented).",
+    tags=("stats", "ks", "rank"),
+)
+def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events").where(F.col("event_type").isin("click", "view"))
+    return stats.ks_test(ev, "value", F.col("event_type") == "click")

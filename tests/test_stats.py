@@ -322,3 +322,50 @@ def test_fuzzy_edit_distance_pairs(spark):
     # only (1,2) survives: same lang, 3-char edit; 4 is in another group
     assert got == {(1, 2): 3}
     assert rows[0]["jaro_winkler"] > 0.9
+
+
+def test_ks_test_matches_numpy(samples):
+    import duckdb  # noqa: F401 — parity of the series with the oracle
+
+    from clickhouse_arrow_spark.operators.stats import ks_test
+
+    x, y, df = samples
+    allv = np.sort(np.unique(np.concatenate([x, y])))
+    f0 = np.searchsorted(np.sort(x), allv, "right") / len(x)
+    f1 = np.searchsorted(np.sort(y), allv, "right") / len(y)
+    d = float(np.abs(f0 - f1).max())
+    en = math.sqrt(len(x) * len(y) / (len(x) + len(y)))
+    lam = (en + 0.12 + 0.11 / en) * d
+    q = 2 * sum(
+        (-1) ** (k - 1) * math.exp(-2 * k * k * lam * lam)
+        for k in range(1, 101)
+    )
+    r = ks_test(df, "v", F.col("g") == 1).first()
+    assert r["d_stat"] == round(d, 6)
+    assert r["p_value"] == round(min(max(q, 0.0), 1.0), 6)
+
+
+def test_bitmap_and_array_rotation_formatters_execute(spark):
+    """The bitmap/rotation/fold translations are valid executable Spark
+    SQL with the documented semantics."""
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    spark.createDataFrame(
+        [([3, 1, 2, 1], [2, 3, 5])], "a array<int>, b array<int>"
+    ).createOrReplaceTempView("bm")
+    sql = t(
+        "SELECT bitmapBuild(a) AS built, bitmapAnd(bitmapBuild(a), b) AS bAnd, "
+        "bitmapXorCardinality(bitmapBuild(a), b) AS xcard, "
+        "bitmapHasAll(bitmapBuild(a), b) AS hasall, "
+        "arrayRotateLeft(b, 1) AS rot, arrayShiftLeft(b, 1, 0) AS shf, "
+        "arrayFold((acc, x) -> acc + x, b, 0) AS folded "
+        "FROM bm"
+    )
+    r = spark.sql(sql).first()
+    assert r["built"] == [1, 2, 3]
+    assert r["bAnd"] == [2, 3]
+    assert r["xcard"] == 2  # {1,5}
+    assert r["hasall"] is False  # 5 not in {1,2,3}
+    assert r["rot"] == [3, 5, 2]
+    assert r["shf"] == [3, 5, 0]
+    assert r["folded"] == 10

@@ -165,6 +165,12 @@ _OPERATOR_BACKED: dict[str, str] = {
     "topK": "operators.frequency.topk_frequent(df, col, k)",
     "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
     "kolmogorovSmirnovTest": "operators.stats.ks_test(df, value, index)",
+    "arrayAUC": "operators.stats.auc(df, score, label) (column form)",
+    # deprecated CH block-order functions: order is undefined on any
+    # distributed read — the deterministic equivalents are windows
+    "runningDifference": "lag() OVER (ORDER BY <explicit order>)",
+    "runningAccumulate": "sum() OVER (ORDER BY <explicit order>)",
+    "neighbor": "lead()/lag() OVER (ORDER BY <explicit order>)",
 }
 
 #: ClickHouse hash functions with NO value-identical Spark equivalent.

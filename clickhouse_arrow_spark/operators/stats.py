@@ -422,3 +422,35 @@ def ks_test(
             "p_value"
         ),
     )
+
+
+def auc(df: DataFrame, score_col: str, label_col: Column) -> DataFrame:
+    """Exact ROC AUC of `score_col` against boolean `label_col` — the
+    column-aggregate form of ClickHouse `arrayAUC` (which takes the
+    same data pre-collected into arrays).
+
+    AUC equals the normalized Mann-Whitney U with tie-averaged ranks:
+    AUC = (R1 - n1(n1+1)/2) / (n0*n1), so it reuses the per-value
+    counts + two-phase cumulative count machinery — exact at any data
+    size, no sampling, no single-task sort.
+    """
+    side = F.when(label_col, F.lit(1)).otherwise(F.lit(0))
+    per_value = (
+        df.select(F.col(score_col).cast("double").alias("v"), side.alias("s"))
+        .groupBy("v")
+        .agg(F.count("*").alias("cnt"), F.sum("s").alias("cnt1"))
+    )
+    ranked = _ordered_cumsum(per_value, "v", ["cnt"])
+    avg_rank = F.col("cum_cnt") + (F.col("cnt") + F.lit(1.0)) / F.lit(2.0)
+    agg = ranked.agg(
+        F.sum(F.col("cnt1") * avg_rank).alias("r1"),
+        F.sum("cnt1").alias("n1"),
+        F.sum("cnt").alias("n"),
+    )
+    n1 = F.col("n1").cast("double")
+    n0 = (F.col("n") - F.col("n1")).cast("double")
+    return agg.select(
+        F.round(
+            (F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)) / (n0 * n1), 6
+        ).alias("auc")
+    )

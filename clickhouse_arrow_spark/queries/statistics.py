@@ -501,3 +501,41 @@ def q_util_agg_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_stats_ks(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = spark.table("events").where(F.col("event_type").isin("click", "view"))
     return stats.ks_test(ev, "value", F.col("event_type") == "click")
+
+
+@register(
+    "stats_roc_auc",
+    """
+    WITH ev AS (
+      SELECT value AS v,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS s
+      FROM events WHERE event_type IN ('purchase', 'view')
+    ),
+    pv AS (SELECT v, count(*) AS cnt, sum(s) AS cnt1 FROM ev GROUP BY v),
+    rk AS (
+      SELECT cnt, cnt1,
+             COALESCE(sum(cnt) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+      FROM pv
+    ),
+    agg AS (
+      SELECT sum(cnt1 * (cum + (cnt + 1) / 2.0)) AS r1,
+             sum(cnt1) AS n1, sum(cnt) AS n
+      FROM rk
+    )
+    SELECT round((r1 - CAST(n1 AS DOUBLE) * (n1 + 1) / 2.0)
+                 / (CAST(n - n1 AS DOUBLE) * n1), 6) AS auc
+    FROM agg
+    """,
+    doc="Exact ROC AUC (ClickHouse arrayAUC, column-aggregate form) of "
+    "event value as a purchase-vs-view classifier score: AUC = "
+    "normalized tie-averaged Mann-Whitney U, reusing the two-phase "
+    "cumulative-count machinery — exact at any size, no sampling, no "
+    "single-task sort.",
+    tags=("stats", "auc", "rank"),
+)
+def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.table("events").where(
+        F.col("event_type").isin("purchase", "view")
+    )
+    return stats.auc(ev, "value", F.col("event_type") == "purchase")

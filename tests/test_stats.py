@@ -369,3 +369,23 @@ def test_bitmap_and_array_rotation_formatters_execute(spark):
     assert r["rot"] == [3, 5, 2]
     assert r["shf"] == [3, 5, 0]
     assert r["folded"] == 10
+
+
+def test_auc_matches_pairwise_reference(spark):
+    from clickhouse_arrow_spark.operators.stats import auc
+
+    rng = np.random.default_rng(9)
+    scores = np.concatenate([rng.normal(0.6, 0.2, 120), rng.normal(0.4, 0.2, 200)])
+    labels = np.concatenate([np.ones(120), np.zeros(200)])
+    # plant ties
+    scores[:10] = scores[120:130]
+    df = spark.createDataFrame(
+        [(float(s), bool(l)) for s, l in zip(scores, labels)],
+        "score double, label boolean",
+    )
+    pos, neg = scores[labels == 1], scores[labels == 0]
+    wins = (pos[:, None] > neg[None, :]).sum() + 0.5 * (
+        pos[:, None] == neg[None, :]
+    ).sum()
+    ref = wins / (len(pos) * len(neg))
+    assert auc(df, "score", F.col("label")).first()["auc"] == round(ref, 6)

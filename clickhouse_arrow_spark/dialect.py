@@ -1426,6 +1426,157 @@ def _split_top_args(s: str) -> Args:
     return args
 
 
+_CLAUSE_END_RE = re.compile(
+    r"(?i)\b(WHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY|UNION|EXCEPT|"
+    r"INTERSECT|SETTINGS|FORMAT)\b"
+)
+_AJ_END_RE = re.compile(
+    r"(?i)\b(WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|WINDOW|QUALIFY|UNION|"
+    r"EXCEPT|INTERSECT|SETTINGS|FORMAT|INNER|LEFT|RIGHT|FULL|CROSS|JOIN|"
+    r"LATERAL)\b"
+)
+
+
+def _clause_end(sql: str, start: int, depth_at: int, mask, stop_re):
+    """(end index, keyword match|None): scan from `start` until a stop
+    keyword at `depth_at` outside strings, or the enclosing paren
+    closes (depth drops below `depth_at`), or end of statement."""
+    i = start
+    while i < len(sql):
+        d, instr = mask[i]
+        if not instr and d < depth_at:
+            return i, None
+        if not instr and d == depth_at:
+            em = stop_re.match(sql, i)
+            if em:
+                return i, em
+        i += 1
+    return len(sql), None
+
+
+_PREWHERE_RE = re.compile(r"(?i)\bPREWHERE\b")
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    """ClickHouse PREWHERE is a storage-level filter-first hint; Spark's
+    predicate pushdown owns that decision, so the predicate folds into
+    WHERE (AND-merged with an existing WHERE) — identical results, the
+    optimizer picks the physical order."""
+    while True:
+        m = _find_clean(_PREWHERE_RE, sql, depth0=False)
+        if not m:
+            return sql
+        mask = _scan_mask(sql)
+        depth_at = mask[m.start()][0]
+        end, em = _clause_end(sql, m.end(), depth_at, mask, _CLAUSE_END_RE)
+        pred = sql[m.end():end].strip()
+        if em and em.group(1).upper() == "WHERE":
+            sql = (
+                sql[: m.start()]
+                + f"WHERE ({pred}) AND "
+                + sql[em.end():]
+            )
+        else:
+            sql = sql[: m.start()] + f"WHERE {pred} " + sql[end:]
+
+
+_ARRAY_JOIN_RE = re.compile(r"(?i)\b(LEFT\s+)?ARRAY\s+JOIN\b")
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse `[LEFT] ARRAY JOIN arr AS x` -> Spark
+    `LATERAL VIEW [OUTER] explode(arr) _aj AS x`.
+
+    Only the aliased single-array form translates: without AS the
+    element REPLACES the source column name (ambiguous once both exist
+    in Spark's scope), and the multi-array form iterates arrays in
+    LOCKSTEP (zip), which chained LATERAL VIEWs would turn into a cross
+    product — both refuse with the workaround spelled out."""
+    while True:
+        m = _find_clean(_ARRAY_JOIN_RE, sql, depth0=False)
+        if not m:
+            return sql
+        mask = _scan_mask(sql)
+        depth_at = mask[m.start()][0]
+        end, _em = _clause_end(sql, m.end(), depth_at, mask, _AJ_END_RE)
+        clause = sql[m.end():end].strip()
+        # top-level comma => CH zip semantics over several arrays
+        cdepth = 0
+        for ch in clause:
+            if ch == "(":
+                cdepth += 1
+            elif ch == ")":
+                cdepth -= 1
+            elif ch == "," and cdepth == 0:
+                raise UntranslatableFunctionError(
+                    "multi-array ARRAY JOIN iterates arrays in lockstep "
+                    "(zip) — chained LATERAL VIEWs would cross-product. "
+                    "Rewrite as ARRAY JOIN arrays_zip(a, b) AS z and "
+                    "reference z.a / z.b"
+                )
+        am = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", clause)
+        if not am:
+            raise UntranslatableFunctionError(
+                "ARRAY JOIN without AS: the element would REPLACE the "
+                "source column name, which is ambiguous in Spark scoping "
+                "— write ARRAY JOIN <arr> AS <alias>"
+            )
+        outer = "OUTER " if m.group(1) else ""
+        sql = (
+            sql[: m.start()]
+            + f"LATERAL VIEW {outer}explode({am.group(1).strip()}) "
+            + f"_aj AS {am.group(2)} "
+            + sql[end:]
+        )
+
+
+_FINAL_RE = re.compile(r"(?i)\bFROM\s+[A-Za-z_][\w.]*\s+FINAL\b")
+_GLOBAL_RE = re.compile(
+    r"(?i)\bGLOBAL\s+(?=ANY\b|ALL\b|ASOF\b|SEMI\b|ANTI\b|INNER\b|LEFT\b|"
+    r"RIGHT\b|FULL\b|CROSS\b|JOIN\b|IN\b|NOT\s+IN\b)"
+)
+_ANY_JOIN_RE = re.compile(
+    r"(?i)\b(?:(ANY|ASOF)\s+(?:(?:LEFT|RIGHT|INNER|FULL)\s+)?|"
+    r"(?:LEFT|RIGHT|INNER|FULL)\s+(ANY|ASOF)\s+)JOIN\b"
+)
+
+
+def _refuse_ch_only_clauses(sql: str) -> str:
+    """Strip GLOBAL (a ClickHouse distribution hint — Spark's planner
+    owns shuffle placement) and refuse FINAL / ANY / ASOF joins loudly:
+    each silently changes row multiplicity if mistranslated."""
+    while True:
+        m = _find_clean(_GLOBAL_RE, sql, depth0=False)
+        if not m:
+            break
+        sql = sql[: m.start()] + sql[m.end():]
+    m = _find_clean(_FINAL_RE, sql, depth0=False)
+    if m:
+        raise UntranslatableFunctionError(
+            "FROM ... FINAL (ReplacingMergeTree merge-on-read dedup) "
+            "needs the table's version/order key, which the text does "
+            "not carry; deduplicate explicitly — row_number() OVER "
+            "(PARTITION BY key ORDER BY version DESC) = 1 (the "
+            "analytic_dedup_latest pattern) matches FINAL semantics"
+        )
+    m = _find_clean(_ANY_JOIN_RE, sql, depth0=False)
+    if m:
+        kind = (m.group(1) or m.group(2)).upper()
+        if kind == "ASOF":
+            raise UntranslatableFunctionError(
+                "ASOF JOIN: use operators/asof.asof_join (union + keyed "
+                "window backward/forward match) — a textual rewrite "
+                "cannot carry the inequality key"
+            )
+        raise UntranslatableFunctionError(
+            "ANY JOIN keeps at most ONE match per row — translating to "
+            "a plain join silently changes multiplicity; deduplicate "
+            "the build side first (argMax / dedup-latest) or use a "
+            "LEFT SEMI join when only existence matters"
+        )
+    return sql
+
+
 def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     """Rewrite known ClickHouse function calls in `sql` to Spark SQL.
 
@@ -1443,6 +1594,9 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     Bernoulli — same fraction, different rows each run; use
     operators/sampling for reproducible selection).
     """
+    sql = _refuse_ch_only_clauses(sql)
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_prewhere(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_sample(sql)

@@ -539,3 +539,33 @@ def q_stats_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").isin("purchase", "view")
     )
     return stats.auc(ev, "value", F.col("event_type") == "purchase")
+
+
+@register(
+    "util_ch_statement_forms",
+    """
+    WITH t AS (
+      SELECT l_returnflag, [l_linenumber, l_linenumber * 10] AS arr
+      FROM lineitem WHERE l_quantity < 5
+    )
+    SELECT l_returnflag, CAST(x AS BIGINT) AS x, count(*) AS n
+    FROM (SELECT l_returnflag, unnest(arr) AS x FROM t)
+    GROUP BY l_returnflag, x ORDER BY l_returnflag, x
+    """,
+    doc="ClickHouse statement forms end-to-end through query_ch: "
+    "PREWHERE folds into WHERE (Spark's pushdown owns filter-first "
+    "placement) and ARRAY JOIN ... AS becomes LATERAL VIEW explode. "
+    "Oracle unnests the same inline arrays.",
+    tags=("dialect", "statement", "array-join"),
+)
+def q_util_ch_statements(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    ch_sql = """
+    SELECT l_returnflag, CAST(x AS BIGINT) AS x, count(*) AS n
+    FROM (SELECT l_returnflag, [l_linenumber, l_linenumber * 10] AS arr
+          FROM lineitem PREWHERE l_quantity < 5) t
+    ARRAY JOIN arr AS x
+    GROUP BY l_returnflag, x ORDER BY l_returnflag, x
+    """
+    return spark.sql(translate_ch_sql(ch_sql))

@@ -736,3 +736,59 @@ def test_generic_aggregate_combinators():
     # names that merely LOOK like combinators stay untouched
     assert t("SELECT notAFunc(x) FROM t") == "SELECT notAFunc(x) FROM t"
     assert t("SELECT sortIf(x) FROM t") == "SELECT sortIf(x) FROM t"
+
+
+def test_prewhere_folds_into_where():
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    assert t("SELECT a FROM t PREWHERE b > 1 WHERE c < 2") == (
+        "SELECT a FROM t WHERE (b > 1) AND  c < 2"
+    )
+    assert t("SELECT a FROM t PREWHERE b > 1 GROUP BY a") == (
+        "SELECT a FROM t WHERE b > 1 GROUP BY a"
+    )
+    # PREWHERE inside a subquery rewrites too; literal text survives
+    out = t("SELECT * FROM (SELECT a FROM t PREWHERE b = 'PREWHERE x') s")
+    assert "WHERE b = 'PREWHERE x'" in out
+
+
+def test_array_join_translates_and_refuses():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    assert t("SELECT a, x FROM t ARRAY JOIN arr AS x WHERE x > 1") == (
+        "SELECT a, x FROM t LATERAL VIEW explode(arr) _aj AS x WHERE x > 1"
+    )
+    assert "LATERAL VIEW OUTER explode" in t(
+        "SELECT x FROM t LEFT ARRAY JOIN arr AS x"
+    )
+    with _pytest.raises(UntranslatableFunctionError, match="REPLACE"):
+        t("SELECT a FROM t ARRAY JOIN arr")
+    with _pytest.raises(UntranslatableFunctionError, match="lockstep"):
+        t("SELECT a FROM t ARRAY JOIN a1 AS x, a2 AS y")
+
+
+def test_global_stripped_final_any_asof_refused():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    assert t("SELECT a FROM t WHERE x GLOBAL IN (SELECT y FROM u)") == (
+        "SELECT a FROM t WHERE x IN (SELECT y FROM u)"
+    )
+    assert "GLOBAL" not in t("SELECT a FROM t GLOBAL LEFT JOIN u USING (k)")
+    for bad, msg in (
+        ("SELECT a FROM t FINAL", "FINAL"),
+        ("SELECT a FROM t ANY LEFT JOIN u USING (k)", "ANY JOIN"),
+        ("SELECT a FROM t ASOF JOIN u ON 1", "asof_join"),
+        ("SELECT a FROM t LEFT ASOF JOIN u ON 1", "asof_join"),
+    ):
+        with _pytest.raises(UntranslatableFunctionError, match=msg):
+            t(bad)

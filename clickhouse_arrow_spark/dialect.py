@@ -1454,6 +1454,51 @@ def _clause_end(sql: str, start: int, depth_at: int, mask, stop_re):
     return len(sql), None
 
 
+_WITH_FILL_RE = re.compile(r"(?i)\bWITH\s+FILL\b")
+_FORMAT_TAIL_RE = re.compile(r"(?i)\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$")
+_SETTINGS_TAIL_RE = re.compile(r"(?i)\bSETTINGS\s+[^;]*$")
+
+
+def _strip_output_clauses(sql: str) -> str:
+    """Drop the ClickHouse output-side tail clauses:
+
+    - `FORMAT <name>` names a wire serialization; the engine returns
+      DataFrames, so it carries no meaning here (the reference itself
+      overwrites user FORMATs with ArrowStream, http/client.rs:69-78);
+    - `SETTINGS k = v` are per-query execution hints — they never
+      change results; the API path for enforced ones is
+      client.query_with_options / QueryLimits (settings.py maps CH
+      names to Spark confs). Stripped with a warning so callers know
+      the hints did not silently apply.
+
+    `ORDER BY ... WITH FILL` is refused instead: it ADDS rows — use
+    operators/timeseries.fill_gaps (sequence + outer join
+    densification), which implements the semantics.
+    """
+    m = _find_clean(_WITH_FILL_RE, sql, depth0=False)
+    if m:
+        raise UntranslatableFunctionError(
+            "ORDER BY ... WITH FILL adds gap rows — a textual rewrite "
+            "can't express it; use operators/timeseries.fill_gaps "
+            "(sequence + outer-join densification, corpus "
+            "events_fill_gaps)"
+        )
+    m = _find_clean(_FORMAT_TAIL_RE, sql)
+    if m:
+        sql = sql[: m.start()].rstrip()
+    m = _find_clean(_SETTINGS_TAIL_RE, sql)
+    if m:
+        import warnings
+
+        warnings.warn(
+            "SETTINGS clause stripped; per-query execution settings go "
+            "through client.query_with_options / QueryLimits",
+            stacklevel=3,
+        )
+        sql = sql[: m.start()].rstrip()
+    return sql
+
+
 _PREWHERE_RE = re.compile(r"(?i)\bPREWHERE\b")
 
 
@@ -1594,6 +1639,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     Bernoulli — same fraction, different rows each run; use
     operators/sampling for reproducible selection).
     """
+    sql = _strip_output_clauses(sql)
     sql = _refuse_ch_only_clauses(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)

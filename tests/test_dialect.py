@@ -792,3 +792,26 @@ def test_global_stripped_final_any_asof_refused():
     ):
         with _pytest.raises(UntranslatableFunctionError, match=msg):
             t(bad)
+
+
+def test_output_tail_clauses():
+    import warnings
+
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    assert t("SELECT a FROM t FORMAT TabSeparated") == "SELECT a FROM t"
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        assert t("SELECT a FROM t SETTINGS max_threads = 4 FORMAT JSON") == (
+            "SELECT a FROM t"
+        )
+        assert any("query_with_options" in str(x.message) for x in w)
+    # literal text is not a FORMAT clause
+    assert "FORMAT JSON" in t("SELECT 'FORMAT JSON' AS s FROM t")
+    with _pytest.raises(UntranslatableFunctionError, match="fill_gaps"):
+        t("SELECT a FROM t ORDER BY a WITH FILL FROM 1 TO 9")

@@ -114,6 +114,14 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "leadInFrame": "lead",
     "randCanonical": "rand",
     "editDistance": "levenshtein",
+    "toLastDayOfMonth": "last_day",
+    "substringUTF8": "substring",
+    "leftUTF8": "left",
+    "rightUTF8": "right",
+    "positionUTF8": "position",  # handled by the position formatter path
+    "concatAssumeInjective": "concat",  # the injectivity hint is a CH
+    # GROUP BY optimization; results identical
+    "mid": "substring",
     "levenshteinDistance": "levenshtein",
     "uniqTheta": "approx_count_distinct",  # theta sketch -> HLL-backed
     # estimate (both approximate distinct counts; values differ within
@@ -824,6 +832,105 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"split({a[1]}, {sep})"
 
         return split_by_string
+    # ---- numeric buckets / special functions ---------------------------
+    if name == "toDateTime64":
+        # precision argument dropped: Spark timestamps are fixed-width
+        # microsecond (SURVEY §1.3 DateTime64 mapping)
+        return lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+    if name == "intExp2":
+        # exact for exponents <= 53 (beyond that CH's UInt64 overflows
+        # anyway at 64)
+        return lambda a: f"CAST(pow(2, {a[0]}) AS BIGINT)"
+    if name == "intExp10":
+        return lambda a: f"CAST(pow(10, {a[0]}) AS BIGINT)"
+    if name == "roundToExp2":
+        return lambda a: (
+            f"(CASE WHEN ({a[0]}) < 1 THEN 0 "
+            f"ELSE CAST(pow(2, floor(log2({a[0]}))) AS BIGINT) END)"
+        )
+    if name in ("roundDuration", "roundAge"):
+        buckets = (
+            [1, 10, 30, 60, 120, 180, 240, 300, 600, 1200, 1800, 3600,
+             7200, 18000, 36000]
+            if name == "roundDuration"
+            else [18, 25, 35, 45, 55]
+        )
+        def round_buckets(a: Args, _b: list = buckets, _n: str = name) -> str:
+            # CH's fixed bucket ladders: largest bucket <= x (roundAge
+            # maps 1..17 -> 17, its documented special case)
+            branches = "".join(
+                f" WHEN ({a[0]}) >= {v} THEN {v}" for v in reversed(_b)
+            )
+            low = " WHEN ({x}) >= 1 THEN 17".format(x=a[0]) if _n == "roundAge" else ""
+            return f"(CASE{branches}{low} ELSE 0 END)"
+
+        return round_buckets
+    if name in ("erf", "erfc"):
+        # A&S 26.2.17 normal-CDF polynomial (|err| < 7.5e-8), the same
+        # closed form operators/stats uses: erf(x) = sign(x) *
+        # (1 - 2*Phi_c(|x| * sqrt(2)))
+        def erf_fmt(a: Args, _c: bool = (name == "erfc")) -> str:
+            from clickhouse_arrow_spark.operators.stats import norm_sf_sql
+
+            sf = norm_sf_sql(f"(abs({a[0]}) * 1.4142135623730951)")
+            erf_expr = f"(sign({a[0]}) * (1.0 - 2.0 * {sf}))"
+            return f"(1.0 - {erf_expr})" if _c else erf_expr
+
+        return erf_fmt
+    if name == "arrayResize":
+        def array_resize(a: Args) -> str:
+            fill = a[2] if len(a) > 2 else "NULL"
+            return (
+                f"(CASE WHEN size({a[0]}) >= ({a[1]}) "
+                f"THEN slice({a[0]}, 1, {a[1]}) "
+                f"ELSE concat({a[0]}, array_repeat({fill}, "
+                f"({a[1]}) - size({a[0]}))) END)"
+            )
+
+        return array_resize
+    if name == "arrayFirstIndex":
+        # CH (lambda, arr); 1-based index of the first match, 0 if none
+        return lambda a: (
+            f"coalesce(array_position(transform({a[1]}, {a[0]}), true), 0)"
+        )
+    if name == "toFixedString":
+        # FixedString(n) pads with NUL bytes; overlong input errors in
+        # CH — here it truncates (documented divergence, no exceptions
+        # from expressions)
+        return lambda a: f"rpad({a[0]}, {a[1]}, chr(0))"
+    if name == "format":
+        def format_fmt(a: Args) -> str:
+            pat = a[0].strip()
+            if not (pat.startswith("'") and pat.endswith("'")):
+                raise UntranslatableFunctionError(
+                    "format(): pattern must be a string literal"
+                )
+            body = pat[1:-1]
+            out, i, auto = [], 0, 0
+            while i < len(body):
+                if body[i] == "{":
+                    close = body.find("}", i)
+                    if close == -1:
+                        raise UntranslatableFunctionError(
+                            f"format(): unbalanced brace in {pat}"
+                        )
+                    ref = body[i + 1 : close]
+                    if ref == "":
+                        auto += 1
+                        out.append("%s")
+                    else:
+                        out.append(f"%{int(ref) + 1}$s")
+                    i = close + 1
+                elif body[i] == "%":
+                    out.append("%%")
+                    i += 1
+                else:
+                    out.append(body[i])
+                    i += 1
+            joined = "".join(out)
+            return f"format_string('{joined}', {', '.join(a[1:])})"
+
+        return format_fmt
     # ---- array folds / rotations / bitmaps -----------------------------
     if name == "arrayFold":
         # CH (lambda, arr, init) -> Spark aggregate(arr, init, lambda);

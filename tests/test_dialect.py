@@ -815,3 +815,36 @@ def test_output_tail_clauses():
     assert "FORMAT JSON" in t("SELECT 'FORMAT JSON' AS s FROM t")
     with _pytest.raises(UntranslatableFunctionError, match="fill_gaps"):
         t("SELECT a FROM t ORDER BY a WITH FILL FROM 1 TO 9")
+
+
+def test_numeric_buckets_and_special_functions(spark):
+    """round-4 scalar batch executes with correct values."""
+    import math
+
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    sql = t(
+        "SELECT toLastDayOfMonth(DATE '2024-02-10') AS ldom, "
+        "intExp2(10) AS e2, roundToExp2(100) AS r2, roundToExp2(0) AS r0, "
+        "roundDuration(250) AS rd, roundAge(30) AS ra, roundAge(5) AS ra17, "
+        "round(erf(1.0), 6) AS erf1, round(erfc(1.0), 6) AS erfc1, "
+        "round(erf(-1.0), 6) AS erfneg, "
+        "arrayResize([1,2,3], 5, 0) AS up, arrayResize([1,2,3], 2) AS down, "
+        "arrayFirstIndex(i -> i > 1, [1,2,3]) AS fidx, "
+        "arrayFirstIndex(i -> i > 9, [1,2,3]) AS fmiss, "
+        "format('{} and {}', 'a', 'b') AS fmt, "
+        "format('{1}-{0}', 'a', 'b') AS fmt_pos, "
+        "substringUTF8('hello', 2, 3) AS sub"
+    )
+    r = spark.sql(sql).first()
+    assert str(r["ldom"]) == "2024-02-29"
+    assert r["e2"] == 1024 and r["r2"] == 64 and r["r0"] == 0
+    assert r["rd"] == 240  # largest duration bucket <= 250
+    assert r["ra"] == 25 and r["ra17"] == 17  # CH's 1..17 -> 17 case
+    assert r["erf1"] == round(math.erf(1.0), 6)
+    assert r["erfc1"] == round(math.erfc(1.0), 6)
+    assert r["erfneg"] == round(math.erf(-1.0), 6)
+    assert r["up"] == [1, 2, 3, 0, 0] and r["down"] == [1, 2]
+    assert r["fidx"] == 2 and r["fmiss"] == 0
+    assert r["fmt"] == "a and b" and r["fmt_pos"] == "b-a"
+    assert r["sub"] == "ell"

@@ -375,3 +375,46 @@ def geohash_decode(geohash) -> Column:
     lon = F.lit(-180.0) + (lon_q + 0.5) * F.lit(360.0) / F.pow(F.lit(2.0), lon_bits)
     lat = F.lit(-90.0) + (lat_q + 0.5) * F.lit(180.0) / F.pow(F.lit(2.0), lat_bits)
     return F.struct(lon.alias("longitude"), lat.alias("latitude"))
+
+
+def point_in_polygon(x, y, vertices) -> Column:
+    """`pointInPolygon((x, y), [(x1,y1), ...])` — even-odd ray casting
+    as a pure JVM fold over the vertex array (struct<x,y> elements,
+    closing edge implicit). No Python, no UDF: one aggregate() whose
+    state is (crossing parity, previous vertex).
+
+    Boundary behavior follows the raw crossing rule (points exactly ON
+    an edge may land either side — same caveat as CH's non-strict
+    default).
+    """
+    px = _c(x).cast("double")
+    py = _c(y).cast("double")
+    verts = _c(vertices)
+    init = F.struct(
+        F.lit(False).alias("inside"),
+        F.element_at(verts, -1).getField("x").cast("double").alias("prevx"),
+        F.element_at(verts, -1).getField("y").cast("double").alias("prevy"),
+    )
+
+    def step(acc, v):
+        vx = v.getField("x").cast("double")
+        vy = v.getField("y").cast("double")
+        crosses = ((vy > py) != (acc.getField("prevy") > py)) & (
+            px
+            < (acc.getField("prevx") - vx) * (py - vy)
+            / (acc.getField("prevy") - vy)
+            + vx
+        )
+        return F.struct(
+            F.when(crosses, ~acc.getField("inside"))
+            .otherwise(acc.getField("inside"))
+            .alias("inside"),
+            vx.alias("prevx"),
+            vy.alias("prevy"),
+        )
+
+    folded = F.aggregate(verts, init, step)
+    # degenerate polygons (< 3 vertices) contain nothing
+    return F.when(F.size(verts) < 3, F.lit(False)).otherwise(
+        folded.getField("inside")
+    )

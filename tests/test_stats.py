@@ -389,3 +389,34 @@ def test_auc_matches_pairwise_reference(spark):
     ).sum()
     ref = wins / (len(pos) * len(neg))
     assert auc(df, "score", F.col("label")).first()["auc"] == round(ref, 6)
+
+
+def test_point_in_polygon(spark):
+    """Even-odd ray casting as a pure JVM fold — convex, concave, and
+    degenerate polygons."""
+    from clickhouse_arrow_spark.functions.ch_functions import point_in_polygon
+
+    def poly(*pts):
+        return F.array(
+            *[
+                F.struct(F.lit(float(a)).alias("x"), F.lit(float(b)).alias("y"))
+                for a, b in pts
+            ]
+        )
+
+    square = poly((0, 0), (1, 0), (1, 1), (0, 1))
+    # concave "C" shape: notch on the right side
+    cshape = poly((0, 0), (4, 0), (4, 1), (1, 1), (1, 3), (4, 3), (4, 4), (0, 4))
+    r = spark.range(1).select(
+        point_in_polygon(F.lit(0.5), F.lit(0.5), square).alias("a"),
+        point_in_polygon(F.lit(1.5), F.lit(0.5), square).alias("b"),
+        point_in_polygon(F.lit(0.5), F.lit(2.0), cshape).alias("c"),
+        point_in_polygon(F.lit(3.0), F.lit(2.0), cshape).alias("d"),  # in notch
+        point_in_polygon(F.lit(3.0), F.lit(0.5), cshape).alias("e"),
+        point_in_polygon(F.lit(0.5), F.lit(0.5), poly((0, 0), (1, 1))).alias(
+            "degen"
+        ),
+    ).first()
+    assert (r["a"], r["b"]) == (True, False)
+    assert (r["c"], r["d"], r["e"]) == (True, False, True)
+    assert r["degen"] is False

@@ -420,3 +420,85 @@ def test_point_in_polygon(spark):
     assert (r["a"], r["b"]) == (True, False)
     assert (r["c"], r["d"], r["e"]) == (True, False, True)
     assert r["degen"] is False
+
+
+def test_stats_label_swap_invariances(spark):
+    """Algebraic invariances that hold for ANY data: swapping the group
+    labels negates t, reflects U and AUC, and fixes D."""
+    rng = np.random.default_rng(21)
+    rows = [
+        (float(v), int(g))
+        for v, g in zip(rng.normal(0, 1, 300), rng.integers(0, 2, 300))
+    ]
+    # plant ties so the tie-handling paths are exercised
+    rows += [(1.5, 0), (1.5, 1), (1.5, 1)]
+    df = spark.createDataFrame(rows, "v double, g int")
+    from clickhouse_arrow_spark.operators.stats import (
+        auc,
+        ks_test,
+        mann_whitney_u,
+        ttest,
+    )
+
+    a = ttest(df, "v", F.col("g") == 1, "welch").first()
+    b = ttest(df, "v", F.col("g") == 0, "welch").first()
+    assert a["t_stat"] == -b["t_stat"]
+    assert a["deg_freedom"] == b["deg_freedom"]
+    assert a["p_value"] == b["p_value"]
+
+    n1 = sum(1 for _, g in rows if g == 1)
+    n0 = len(rows) - n1
+    ua = mann_whitney_u(df, "v", F.col("g") == 1).first()
+    ub = mann_whitney_u(df, "v", F.col("g") == 0).first()
+    # U1 + U0 = n0 * n1
+    assert ua["u_stat"] + ub["u_stat"] == pytest.approx(n0 * n1)
+    assert ua["p_value"] == ub["p_value"]
+
+    ka = ks_test(df, "v", F.col("g") == 1).first()
+    kb = ks_test(df, "v", F.col("g") == 0).first()
+    assert (ka["d_stat"], ka["p_value"]) == (kb["d_stat"], kb["p_value"])
+
+    aa = auc(df, "v", F.col("g") == 1).first()["auc"]
+    ab = auc(df, "v", F.col("g") == 0).first()["auc"]
+    assert aa + ab == pytest.approx(1.0, abs=2e-6)
+
+
+def test_interval_union_split_invariance(spark):
+    """Splitting any interval at an interior point never changes the
+    union length; duplicating intervals never changes it either."""
+    from clickhouse_arrow_spark.operators.timeseries import interval_length_sum
+
+    base = [(1, 0.0, 10.0), (1, 5.0, 12.0), (1, 20.0, 21.0)]
+    split = [(1, 0.0, 4.0), (1, 4.0, 10.0), (1, 5.0, 12.0), (1, 20.0, 21.0)]
+    dup = base + base
+    for variant in (base, split, dup):
+        df = spark.createDataFrame(variant, "k int, s double, e double")
+        got = interval_length_sum(df, ["k"], "s", "e").first()[
+            "interval_length_sum"
+        ]
+        assert got == pytest.approx(13.0), variant
+
+
+def test_association_symmetry_and_independence(spark):
+    """cramersV/contingency are symmetric in (a, b); a perfectly
+    independent table scores ~0; a deterministic mapping scores 1."""
+    from clickhouse_arrow_spark.operators.stats import association
+
+    # independent: every (a, b) cell equally likely
+    indep = [(a, b) for a in "xy" for b in "pq" for _ in range(10)]
+    df = spark.createDataFrame(indep, "a string, b string")
+    r = association(df, "a", "b").first()
+    assert r["cramers_v"] == 0.0 and r["theils_u"] == 0.0
+
+    # deterministic: b fully determined by a
+    det = [("x", "p")] * 7 + [("y", "q")] * 9
+    d = spark.createDataFrame(det, "a string, b string")
+    rd = association(d, "a", "b").first()
+    assert rd["cramers_v"] == 1.0 and rd["theils_u"] == 1.0
+
+    skew = [("x", "p")] * 5 + [("x", "q")] * 2 + [("y", "p")] * 4 + [("y", "q")] * 6
+    sdf = spark.createDataFrame(skew, "a string, b string")
+    ab = association(sdf, "a", "b").first()
+    ba = association(sdf, "b", "a").first()
+    assert ab["cramers_v"] == ba["cramers_v"]
+    assert ab["contingency"] == ba["contingency"]

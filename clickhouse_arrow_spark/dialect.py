@@ -1283,28 +1283,32 @@ _GROUP_END_RE = re.compile(
 
 
 def _scan_mask(sql: str) -> list[tuple[int, bool]]:
-    """Per-character (paren depth, inside-string) mask for the
+    """Per-character (paren depth, inside-quotes) mask for the
     statement-level rewrites — so clause keywords found by regex can be
-    rejected when they sit inside a subquery or a string literal."""
+    rejected when they sit inside a subquery, a string literal, or a
+    quoted identifier. Three delimiter classes are masked: '...'
+    string literals (backslash escapes), `...` and "..." quoted
+    identifiers (ClickHouse treats both as identifiers; backslash
+    escapes apply inside them too, `src/escape.rs` analogue)."""
     out: list[tuple[int, bool]] = []
     depth = 0
-    in_str = False
+    closer: str | None = None  # the delimiter that ends the current run
     i = 0
     n = len(sql)
     while i < n:
         c = sql[i]
-        if in_str:
+        if closer is not None:
             out.append((depth, True))
             if c == "\\" and i + 1 < n:
                 out.append((depth, True))
                 i += 2
                 continue
-            if c == "'":
-                in_str = False
+            if c == closer:
+                closer = None
             i += 1
             continue
-        if c == "'":
-            in_str = True
+        if c in ("'", "`", '"'):
+            closer = c
             out.append((depth, True))
         elif c == "(":
             out.append((depth, False))
@@ -1428,18 +1432,18 @@ def _rewrite_with_totals(sql: str) -> str:
             return sql
         j = m.end()
         depth = 0
-        in_str = False
+        closer: str | None = None
         k = j
         totals = None
         while k < len(sql):
             c = sql[k]
-            if in_str:
+            if closer is not None:
                 if c == "\\":
                     k += 1
-                elif c == "'":
-                    in_str = False
-            elif c == "'":
-                in_str = True
+                elif c == closer:
+                    closer = None
+            elif c in ("'", "`", '"'):
+                closer = c
             elif c == "(":
                 depth += 1
             elif c == ")":
@@ -1472,17 +1476,17 @@ _NAME_RE = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 def _find_matching(s: str, open_idx: int, open_c: str, close_c: str) -> int:
     depth = 0
-    in_str = False
+    closer: str | None = None
     i = open_idx
     while i < len(s):
         c = s[i]
-        if in_str:
+        if closer is not None:
             if c == "\\":
                 i += 1
-            elif c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
+            elif c == closer:
+                closer = None
+        elif c in ("'", "`", '"'):
+            closer = c
         elif c == open_c:
             depth += 1
         elif c == close_c:
@@ -1500,20 +1504,20 @@ def _find_matching_paren(s: str, open_idx: int) -> int:
 def _split_top_args(s: str) -> Args:
     args: Args = []
     depth = 0
-    in_str = False
+    closer: str | None = None
     cur: list[str] = []
     i = 0
     while i < len(s):
         c = s[i]
-        if in_str:
+        if closer is not None:
             cur.append(c)
             if c == "\\" and i + 1 < len(s):
                 cur.append(s[i + 1])
                 i += 1
-            elif c == "'":
-                in_str = False
-        elif c == "'":
-            in_str = True
+            elif c == closer:
+                closer = None
+        elif c in ("'", "`", '"'):
+            closer = c
             cur.append(c)
         elif c in "([":
             depth += 1
@@ -1705,11 +1709,13 @@ def _refuse_ch_only_clauses(sql: str) -> str:
     m = _find_clean(_FINAL_RE, sql, depth0=False)
     if m:
         raise UntranslatableFunctionError(
-            "FROM ... FINAL (ReplacingMergeTree merge-on-read dedup) "
-            "needs the table's version/order key, which the text does "
-            "not carry; deduplicate explicitly — row_number() OVER "
-            "(PARTITION BY key ORDER BY version DESC) = 1 (the "
-            "analytic_dedup_latest pattern) matches FINAL semantics"
+            "FROM ... FINAL (merge-on-read fold) needs the table's "
+            "engine + ORDER BY metadata, which the text does not carry. "
+            "Client.query_ch resolves FINAL through the engine catalog "
+            "(ddl.rewrite_final) for ReplacingMergeTree(ver) and "
+            "SummingMergeTree tables; otherwise deduplicate explicitly — "
+            "row_number() OVER (PARTITION BY key ORDER BY version DESC) "
+            "= 1 (the analytic_dedup_latest pattern)"
         )
     m = _find_clean(_ANY_JOIN_RE, sql, depth0=False)
     if m:

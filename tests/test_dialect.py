@@ -848,3 +848,51 @@ def test_numeric_buckets_and_special_functions(spark):
     assert r["fidx"] == 2 and r["fmiss"] == 0
     assert r["fmt"] == "a and b" and r["fmt_pos"] == "b-a"
     assert r["sub"] == "ell"
+
+
+# ---------------------------------------------------------------------------
+# Quoted-context masking: clause keywords inside string literals, backtick
+# identifiers, and double-quoted identifiers must be invisible to every
+# statement-level rewrite (the round-3 WITH TOTALS literal bug, generalized).
+# ---------------------------------------------------------------------------
+
+_CLAUSE_BAIT = [
+    "GROUP BY x WITH TOTALS",
+    "LIMIT 3 BY y",
+    "SAMPLE 0.5",
+    "PREWHERE z = 1",
+    "ARRAY JOIN arr",
+    "ORDER BY t WITH FILL",
+    "FORMAT JSONEachRow",
+    "SETTINGS max_threads = 4",
+    "FROM t FINAL",
+    "ANY LEFT JOIN u",
+    "ASOF JOIN u",
+    "GLOBAL IN",
+]
+
+
+@pytest.mark.parametrize("bait", _CLAUSE_BAIT)
+def test_clause_keywords_in_string_literals_untouched(bait):
+    sql = f"SELECT 'a {bait} b' AS s, c FROM t"
+    out = translate_ch_sql(sql)
+    assert f"'a {bait} b'" in out, out
+
+
+@pytest.mark.parametrize("quote", ["`", '"'])
+@pytest.mark.parametrize(
+    "bait", ["with totals", "limit 3 by y", "final", "asof join", "prewhere x"]
+)
+def test_clause_keywords_in_quoted_identifiers_untouched(quote, bait):
+    ident = f"{quote}col {bait}{quote}"
+    sql = f"SELECT {ident} FROM t"
+    out = translate_ch_sql(sql)
+    assert ident in out, out
+
+
+def test_backtick_identifier_with_embedded_apostrophe():
+    # an apostrophe INSIDE a backtick identifier must not open a string
+    # run that swallows the rest of the statement
+    sql = "SELECT `it's fine` FROM t GROUP BY `it's fine` WITH TOTALS"
+    out = translate_ch_sql(sql)
+    assert "GROUPING SETS" in out.upper(), out

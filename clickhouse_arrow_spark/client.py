@@ -167,8 +167,12 @@ class Client:
         Engine-specific hashes (cityHash64/sipHash64/halfMD5) raise
         unless `allow_hash_substitution=True` (xxhash64, different
         values, warned)."""
+        from clickhouse_arrow_spark.ddl import rewrite_final
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
+        # FINAL folds first: it needs the engine catalog (TBLPROPERTIES),
+        # which the purely textual translator cannot see.
+        ch_sql = rewrite_final(self.spark, ch_sql)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         if params:
             sql = bind_params(sql, params)

@@ -249,3 +249,148 @@ def apply_ttl(spark: SparkSession, table: str) -> int:
         rows = staged.count()
         staged.write.mode("overwrite").insertInto(table)
     return rows
+
+
+# ---------------------------------------------------------------------------
+# FROM ... FINAL — merge-on-read semantics for engine-cataloged tables
+# ---------------------------------------------------------------------------
+
+#: `FROM|JOIN <table> [AS alias] FINAL` — table may be db-qualified
+#: and/or backtick-quoted; the optional alias must not itself be FINAL.
+_FROM_FINAL_RE = re.compile(
+    r"(?i)\b(FROM|JOIN)\s+"
+    r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
+    r"(?:\s+(?:AS\s+)?(?!FINAL\b)(`[^`]+`|[A-Za-z_]\w*))?"
+    r"\s+FINAL\b"
+)
+
+_ENGINE_ARGS_RE = re.compile(r"^\s*(\w+)\s*(?:\(\s*([^)]*)\s*\))?\s*$")
+
+
+def _table_props(spark: SparkSession, table: str) -> dict[str, str]:
+    return {
+        r["key"]: r["value"]
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect()
+    }
+
+
+def _bq(name: str) -> str:
+    return name if name.startswith("`") else f"`{name}`"
+
+
+def rewrite_final(spark: SparkSession, sql: str) -> str:
+    """Rewrite every `FROM t [AS a] FINAL` into the merge-on-read query
+    the table's engine implies — the ClickHouse FINAL modifier
+    (reference SURVEY §2.3; ClickHouse merges parts on read), expressed
+    as a plain subquery so Catalyst plans it like any other dedup/agg:
+
+    - ``ReplacingMergeTree(ver)`` → keep the max-`ver` row per ORDER BY
+      key (`row_number() OVER (PARTITION BY keys ORDER BY ver DESC) = 1`
+      — the analytic_dedup_latest plan: ONE exchange on the key).
+      Ties on `ver` are resolved arbitrarily, matching ClickHouse's
+      unspecified pick among equal versions. Without a version column
+      ClickHouse keeps the *last inserted* row — parquet parts carry no
+      insertion order, so that form is refused.
+    - ``SummingMergeTree[(cols)]`` → group by the ORDER BY key, `sum`
+      the listed columns (default: every numeric non-key column), `min`
+      for the remaining columns (ClickHouse spec: "an arbitrary value
+      from the set" — `min` is a deterministic member), and drop groups
+      whose summed columns are all zero (the documented all-zeros row
+      deletion on merge).
+    - ``CollapsingMergeTree`` / ``VersionedCollapsingMergeTree`` /
+      ``AggregatingMergeTree`` → refused: collapse order and partial
+      aggregation states are not representable in the parquet layout.
+    - any other engine → refused, as ClickHouse itself rejects FINAL on
+      non-folding engines.
+
+    Tables must have been created through :func:`create_table` (the
+    engine + ORDER BY live in TBLPROPERTIES); unknown tables raise
+    SchemaError. Matches inside string literals or quoted identifiers
+    are left untouched.
+    """
+    from clickhouse_arrow_spark.dialect import _find_clean  # shared masking
+
+    while True:
+        m = _find_clean(_FROM_FINAL_RE, sql, depth0=False)
+        if m is None:
+            return sql
+        kw, table, alias = m.group(1).upper(), m.group(2), m.group(3)
+        try:
+            props = _table_props(spark, table)
+            columns = spark.table(table).columns
+        except Exception as e:
+            raise SchemaError(
+                f"FROM {table} FINAL: table not found in the engine catalog "
+                f"({e.__class__.__name__}); FINAL needs the engine + ORDER BY "
+                "metadata written by create_table"
+            ) from None
+        engine_str = props.get("clickhouse_arrow_spark.engine", "")
+        order_by = [
+            c for c in props.get("clickhouse_arrow_spark.order_by", "").split(",") if c
+        ]
+        em = _ENGINE_ARGS_RE.match(engine_str)
+        engine = em.group(1) if em else engine_str
+        args = [a.strip() for a in (em.group(2) or "").split(",") if a.strip()] if em else []
+        if not order_by:
+            raise SchemaError(
+                f"FROM {table} FINAL: engine {engine_str!r} has no ORDER BY key "
+                "to fold on"
+            )
+        keys = ", ".join(_bq(c) for c in order_by)
+        out_alias = alias or table.rsplit(".", 1)[-1]
+        if engine == "ReplacingMergeTree":
+            if not args:
+                raise SchemaError(
+                    f"FROM {table} FINAL: ReplacingMergeTree without a version "
+                    "column keeps the LAST INSERTED row — parquet parts do not "
+                    "record insertion order. Declare a version column "
+                    "(ReplacingMergeTree(ver)) or deduplicate explicitly with "
+                    "row_number() over an ordering the data carries"
+                )
+            ver = _bq(args[0])
+            cols = ", ".join(_bq(c) for c in columns)
+            inner = (
+                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY {ver} DESC) AS __cas_final_rn FROM {table}"
+            )
+            sub = f"(SELECT {cols} FROM ({inner}) WHERE __cas_final_rn = 1)"
+        elif engine == "SummingMergeTree":
+            import pyspark.sql.types as _T
+
+            schema = {f.name: f.dataType for f in spark.table(table).schema.fields}
+            numeric = (
+                _T.ByteType, _T.ShortType, _T.IntegerType, _T.LongType,
+                _T.FloatType, _T.DoubleType, _T.DecimalType,
+            )
+            summed = args or [
+                c for c in columns
+                if c not in order_by and isinstance(schema[c], numeric)
+            ]
+            if not summed:
+                raise SchemaError(
+                    f"FROM {table} FINAL: SummingMergeTree with no summable "
+                    "(numeric non-key) columns"
+                )
+            select = []
+            for c in columns:
+                if c in order_by:
+                    select.append(_bq(c))
+                elif c in summed:
+                    select.append(f"sum({_bq(c)}) AS {_bq(c)}")
+                else:
+                    select.append(f"min({_bq(c)}) AS {_bq(c)}")
+            zero = " AND ".join(f"sum({_bq(c)}) = 0" for c in summed)
+            sub = (
+                f"(SELECT {', '.join(select)} FROM {table} "
+                f"GROUP BY {keys} HAVING NOT ({zero}))"
+            )
+        else:
+            raise SchemaError(
+                f"FROM {table} FINAL: engine {engine_str!r} — FINAL is "
+                "implemented for ReplacingMergeTree(ver) and SummingMergeTree; "
+                "Collapsing/VersionedCollapsing need insertion order and "
+                "AggregatingMergeTree needs partial-aggregation states, "
+                "neither of which the parquet layout carries (ClickHouse "
+                "likewise rejects FINAL on non-folding engines)"
+            )
+        sql = f"{sql[: m.start()]}{kw} {sub} AS {_bq(out_alias)}{sql[m.end():]}"

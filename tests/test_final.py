@@ -1,0 +1,137 @@
+"""FROM ... FINAL merge-on-read semantics (ddl.rewrite_final).
+
+The ClickHouse FINAL modifier folds a *MergeTree table to its
+post-merge state at read time (reference SURVEY §2.3; ClickHouse docs
+SELECT ... FINAL). Here the fold is a catalog-metadata-driven rewrite
+to a plain subquery: ReplacingMergeTree(ver) → dedup-latest window,
+SummingMergeTree → keyed sum with all-zeros row deletion.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.ddl import CreateOptions, create_table, rewrite_final
+from clickhouse_arrow_spark.errors import SchemaError
+
+
+@pytest.fixture(scope="module")
+def final_tables(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS finaldb")
+    create_table(
+        spark,
+        "finaldb",
+        "replacing",
+        [("k", "UInt32"), ("payload", "String"), ("ver", "UInt64")],
+        CreateOptions(engine="ReplacingMergeTree(ver)", order_by=("k",)),
+    )
+    client.insert(
+        "finaldb.replacing",
+        client.spark.createDataFrame(
+            [(1, "old", 1), (1, "new", 3), (1, "mid", 2), (2, "only", 7)],
+            "k INT, payload STRING, ver BIGINT",
+        ),
+    )
+    create_table(
+        spark,
+        "finaldb",
+        "summing",
+        [("k", "UInt32"), ("label", "String"), ("hits", "Int64"), ("amount", "Float64")],
+        CreateOptions(engine="SummingMergeTree", order_by=("k",)),
+    )
+    client.insert(
+        "finaldb.summing",
+        client.spark.createDataFrame(
+            [
+                (1, "b", 2, 1.5),
+                (1, "a", 3, 2.5),
+                (2, "z", 5, -1.0),
+                (3, "gone", 4, 0.0),
+                (3, "gone2", -4, 0.0),
+            ],
+            "k INT, label STRING, hits BIGINT, amount DOUBLE",
+        ),
+    )
+    create_table(
+        spark,
+        "finaldb",
+        "replacing_nover",
+        [("k", "UInt32"), ("v", "String")],
+        CreateOptions(engine="ReplacingMergeTree", order_by=("k",)),
+    )
+    create_table(
+        spark,
+        "finaldb",
+        "plain",
+        [("k", "UInt32"), ("v", "String")],
+        CreateOptions(engine="MergeTree", order_by=("k",)),
+    )
+    yield
+    spark.sql("DROP DATABASE IF EXISTS finaldb CASCADE")
+
+
+def test_replacing_final_keeps_max_version(client, final_tables):
+    rows = {
+        r["k"]: (r["payload"], r["ver"])
+        for r in client.query_ch(
+            "SELECT k, payload, ver FROM finaldb.replacing FINAL"
+        ).collect()
+    }
+    assert rows == {1: ("new", 3), 2: ("only", 7)}
+
+
+def test_replacing_final_with_alias_and_filter(client, final_tables):
+    rows = client.query_ch(
+        "SELECT r.payload FROM finaldb.replacing AS r FINAL WHERE r.k = 1"
+    ).collect()
+    assert [r["payload"] for r in rows] == ["new"]
+
+
+def test_final_composes_with_ch_dialect(client, final_tables):
+    # FINAL folds first, then the CH→Spark function translation runs on
+    # the rewritten text
+    rows = client.query_ch(
+        "SELECT uniqExact(payload) AS u FROM finaldb.replacing FINAL"
+    ).collect()
+    assert rows[0]["u"] == 2
+
+
+def test_summing_final_sums_and_drops_zero_rows(client, final_tables):
+    got = {
+        r["k"]: (r["label"], r["hits"], r["amount"])
+        for r in client.query_ch(
+            "SELECT k, label, hits, amount FROM finaldb.summing FINAL"
+        ).collect()
+    }
+    # k=1: hits summed, amount summed, label = deterministic min of the set
+    # k=3: both summed columns are zero → row deleted (CH all-zeros rule)
+    assert got == {1: ("a", 5, 4.0), 2: ("z", 5, -1.0)}
+
+
+def test_replacing_without_version_refused(client, final_tables):
+    with pytest.raises(SchemaError, match="insertion order"):
+        client.query_ch("SELECT * FROM finaldb.replacing_nover FINAL")
+
+
+def test_plain_mergetree_final_refused(client, final_tables):
+    with pytest.raises(SchemaError, match="non-folding"):
+        client.query_ch("SELECT * FROM finaldb.plain FINAL")
+
+
+def test_unknown_table_final_raises_schema_error(client, final_tables):
+    with pytest.raises(SchemaError, match="engine catalog"):
+        client.query_ch("SELECT * FROM finaldb.does_not_exist FINAL")
+
+
+def test_final_in_string_literal_untouched(spark, final_tables):
+    sql = "SELECT 'FROM t FINAL' AS s FROM finaldb.plain"
+    assert rewrite_final(spark, sql) == sql
+
+
+def test_join_final_folds_joined_side(client, final_tables):
+    rows = client.query_ch(
+        "SELECT p.k, r.payload FROM finaldb.plain p "
+        "JOIN finaldb.replacing r FINAL ON p.k = r.k"
+    )
+    # plain is empty — the point is the rewrite + plan resolve cleanly
+    assert rows.collect() == []

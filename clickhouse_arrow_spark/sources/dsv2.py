@@ -41,6 +41,8 @@ from pyspark.sql.datasource import (
     DataSource,
     DataSourceArrowWriter,
     DataSourceReader,
+    DataSourceStreamArrowWriter,
+    DataSourceStreamReader,
     EqualTo,
     GreaterThan,
     GreaterThanOrEqual,
@@ -128,6 +130,28 @@ class MockTransport:
     def plan_partitions(self, table: str) -> list:
         """One scan token per parquet row group (executor-parallel)."""
         return list(range(max(self.n_row_groups(table), 1)))
+
+    def cursor_max(self, table: str, column: str):
+        """Max value of an integer cursor column — ONE footer-stats read
+        (row-group max aggregation), no data scan; a real server answers
+        this from the primary index (`SELECT max(col)`)."""
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(self._file(table)).metadata
+        idx = md.schema.to_arrow_schema().get_field_index(column)
+        best = None
+        for rg in range(md.num_row_groups):
+            stats = md.row_group(rg).column(idx).statistics
+            if stats is None or not stats.has_min_max:
+                # fall back to scanning just this column
+                import pyarrow.compute as pc
+
+                col = pq.ParquetFile(self._file(table)).read(columns=[column])
+                v = pc.max(col.column(0)).as_py()
+                return v
+            if best is None or stats.max > best:
+                best = stats.max
+        return best
 
     def scan(self, table: str, row_group: int, filters: list) -> Iterator:
         """Arrow batches for one row group with pushed filters applied
@@ -363,3 +387,199 @@ class ClickHouseDataSource(DataSource):
         if self.options.get("url"):
             return HttpInsertWriter(dict(self.options), overwrite)
         return ClickHouseInsertWriter(dict(self.options), overwrite)
+
+    def streamReader(self, schema: StructType):
+        return ClickHouseStreamReader(dict(self.options))
+
+    def streamWriter(self, schema: StructType, overwrite: bool):
+        if self.options.get("url"):
+            return HttpStreamWriter(dict(self.options))
+        return ClickHouseStreamWriter(dict(self.options))
+
+
+# ---------------------------------------------------------------------------
+# Streaming read/write — the connector's readStream/writeStream surface
+# ---------------------------------------------------------------------------
+
+@dataclass
+class _StreamScanPartition(InputPartition):
+    #: transport scan token (mock: row-group index; http: RangePartition)
+    token: object
+    #: half-open cursor range (lo, hi] this microbatch covers
+    lo: int
+    hi: int
+
+
+class ClickHouseStreamReader(DataSourceStreamReader):
+    """Cursor-based incremental scan: `spark.readStream.format("clickhouse")`
+    tails a table through a monotonically increasing integer column
+    (`cursor_column` option — an insert-time sequence, a Snowflake-style
+    id, or toUnixTimestamp of an ingest clock). Offsets are
+    `{"cursor": n}` = "rows with cursor ≤ n are consumed"; each
+    microbatch reads the half-open range (start, end] — the standard
+    JDBC/CDC incremental-source contract, restart-safe because ranges
+    are derived from the checkpointed offset, not reader state.
+
+    Scale posture: each microbatch fans out over the transport's native
+    partitioning (row groups / range splits), so a catch-up batch over
+    a large cursor span is executor-parallel, not a driver funnel. The
+    cursor predicate is pushed to the transport (SQL WHERE on the wire
+    path), so the server prunes by its primary index instead of
+    shipping the table.
+
+    Semantics note: rows must become visible in cursor order (the
+    reference's insert path appends monotone blocks). A writer that
+    commits cursor=10 before cursor=5 is visible would lose the
+    stragglers — the same contract every max-cursor CDC poller has.
+    """
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+        self.cursor = options.get("cursor_column")
+        if not self.cursor:
+            raise ValueError(
+                "streaming read needs option 'cursor_column' (a monotonically "
+                "increasing integer column to tail the table by)"
+            )
+        self.start = int(options.get("start_cursor", -(2**62)))
+
+    def initialOffset(self) -> dict:
+        return {"cursor": self.start}
+
+    def latestOffset(self) -> dict:
+        transport = _transport_from_options(self.options)
+        hi = transport.cursor_max(self.table, self.cursor)
+        return {"cursor": self.start if hi is None else int(hi)}
+
+    def partitions(self, start: dict, end: dict):
+        lo, hi = int(start["cursor"]), int(end["cursor"])
+        if lo >= hi:
+            return []
+        transport = _transport_from_options(self.options)
+        return [
+            _StreamScanPartition(t, lo, hi)
+            for t in transport.plan_partitions(self.table)
+        ]
+
+    def read(self, partition):
+        transport = _transport_from_options(self.options)
+        filters = [
+            GreaterThan((self.cursor,), partition.lo),
+            LessThanOrEqual((self.cursor,), partition.hi),
+        ]
+        yield from transport.scan(self.table, partition.token, filters)
+
+    def commit(self, end: dict) -> None:  # offsets live in the checkpoint
+        return None
+
+    def stop(self) -> None:
+        return None
+
+
+class ClickHouseStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming insert into the parquet-backed table dir with
+    EXACTLY-ONCE batches: tasks stage parts (same layout as the batch
+    `ClickHouseInsertWriter`), and the driver-side `commit(messages,
+    batchId)` publishes them under a `stream-<batchId>` manifest txn —
+    a REPLAYED microbatch (failure after publish, before the checkpoint
+    commit) finds its batchId already in the manifest and discards the
+    restaged parts instead of duplicating rows. This is the
+    foreachBatch-idempotent-sink recipe promoted into the connector."""
+
+    def __init__(self, options: dict):
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+        self.path = options.get("path", "")
+
+    def _table_dir(self) -> str:
+        return os.path.join(self.path, f"{self.table}.insert")
+
+    def write(self, iterator):
+        import uuid
+
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        staging = os.path.join(self._table_dir(), "_staging_stream")
+        os.makedirs(staging, exist_ok=True)
+        part = os.path.join(staging, f"part-{uuid.uuid4().hex[:12]}.parquet")
+        rows = 0
+        writer = None
+        try:
+            for batch in iterator:
+                if writer is None:
+                    writer = pq.ParquetWriter(part, batch.schema)
+                writer.write_table(pa.Table.from_batches([batch]))
+                rows += batch.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if writer is None:
+            return _InsertCommit(part_file="", num_rows=0)
+        return _InsertCommit(part_file=part, num_rows=rows)
+
+    def _committed_batch_ids(self, manifest: str) -> set[str]:
+        import json
+
+        if not os.path.exists(manifest):
+            return set()
+        with open(manifest) as fh:
+            return {json.loads(line).get("txn", "") for line in fh if line.strip()}
+
+    def commit(self, messages, batchId: int) -> None:
+        import json
+        import shutil
+
+        table_dir = self._table_dir()
+        os.makedirs(table_dir, exist_ok=True)
+        manifest = os.path.join(table_dir, "_MANIFEST.jsonl")
+        txn = f"stream-{batchId}"
+        staged = [m for m in messages if m and m.part_file]
+        if txn in self._committed_batch_ids(manifest):
+            for m in staged:  # replayed microbatch: drop, don't duplicate
+                if os.path.exists(m.part_file):
+                    os.remove(m.part_file)
+            return
+        published = []
+        for m in staged:
+            dest = os.path.join(table_dir, os.path.basename(m.part_file))
+            shutil.move(m.part_file, dest)
+            published.append({"file": os.path.basename(dest), "rows": m.num_rows})
+        with open(manifest, "a") as fh:
+            fh.write(json.dumps({"txn": txn, "parts": published}) + "\n")
+
+    def abort(self, messages, batchId: int) -> None:
+        for m in messages or []:
+            if m and m.part_file and os.path.exists(m.part_file):
+                os.remove(m.part_file)
+
+
+class HttpStreamWriter(DataSourceStreamArrowWriter):
+    """Streaming insert over the HTTP wire path: each task POSTs its
+    batches as one IPC stream inside `write()` — durable per request
+    like the reference's insert (http/client.rs:164-196), so a replayed
+    microbatch re-sends its rows (AT-LEAST-ONCE). Pair with a
+    ReplacingMergeTree target keyed on an event id (then FINAL folds
+    replays) for effective exactly-once, the standard ClickHouse
+    streaming-ingest contract."""
+
+    def __init__(self, options: dict):
+        self.options = dict(options)
+        self.table = options.get("table")
+        if not self.table:
+            raise ValueError("option 'table' is required")
+
+    def write(self, iterator):
+        transport = _transport_from_options(self.options)
+        rows = transport.insert_batches(self.table, iterator)
+        return _InsertCommit(part_file="", num_rows=rows)
+
+    def commit(self, messages, batchId: int) -> None:
+        return None
+
+    def abort(self, messages, batchId: int) -> None:
+        return None

@@ -288,6 +288,17 @@ class HttpArrowTransport:
 
     # -- MockTransport contract --------------------------------------
 
+    def cursor_max(self, table: str, column: str):
+        """Max of the streaming cursor column — one scalar query the
+        server answers from its primary index."""
+        rows = self.query_batches(
+            f"SELECT max({_quote_ident(column)}) AS hi FROM {_quote_ident(table)}"
+        )
+        if not rows:
+            return None
+        vals = rows[0].column(0).to_pylist()
+        return vals[0] if vals else None
+
     def system_columns(self, table: str) -> list[tuple[str, str]]:
         """(name, ClickHouse type string) per column from
         system.columns — the same introspection the reference performs

@@ -138,6 +138,96 @@ def stateful_running_counts(stream: DataFrame) -> DataFrame:
     )
 
 
+_SESSION_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("start_ms", T.LongType(), True),
+        T.StructField("last_ms", T.LongType(), True),
+        T.StructField("n_events", T.LongType(), True),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+_SESSION_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("session_start", T.TimestampType(), False),
+        T.StructField("session_end", T.TimestampType(), False),
+        T.StructField("n_events", T.LongType(), False),
+        T.StructField("total_value", T.DoubleType(), True),
+    ]
+)
+
+
+def stateful_sessions(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """Custom stateful sessionization with an EVENT-TIME TIMEOUT — the
+    operator shape session_window cannot express once you need custom
+    per-session state (running value sums here; decaying counters, CEP
+    flags, model features in general).
+
+    Per user, state carries (start, last, count, value-sum). New events
+    either extend the open session or close it and start a new one
+    (emitting the closed row); when the WATERMARK passes last+gap with
+    no new events, `hasTimedOut` fires and the idle session is emitted
+    and its state removed — state is bounded by active users, closed
+    sessions leave nothing behind, exactly the lifecycle of the batch
+    `events_sessionization` twin (lag + cumulative flag-sum).
+    """
+    gap_ms = gap_minutes * 60_000
+
+    def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
+        (user_id,) = key
+        import datetime as _dt
+
+        def emit(start_ms: int, last_ms: int, n: int, total: float) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "user_id": [user_id],
+                    "session_start": [
+                        _dt.datetime.fromtimestamp(start_ms / 1e3, _dt.timezone.utc)
+                    ],
+                    "session_end": [
+                        _dt.datetime.fromtimestamp(last_ms / 1e3, _dt.timezone.utc)
+                    ],
+                    "n_events": [n],
+                    "total_value": [total],
+                }
+            )
+
+        if state.hasTimedOut:
+            start_ms, last_ms, n, total = state.get
+            state.remove()
+            yield emit(start_ms, last_ms, n, total)
+            return
+        start_ms, last_ms, n, total = (
+            state.get if state.exists else (None, None, 0, 0.0)
+        )
+        rows = pd.concat(list(pdfs)).sort_values("ts")
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            v = 0.0 if pd.isna(value) else float(value)
+            if start_ms is None:
+                start_ms, last_ms, n, total = ts_ms, ts_ms, 1, v
+            elif ts_ms - last_ms <= gap_ms:
+                last_ms, n, total = max(last_ms, ts_ms), n + 1, total + v
+            else:
+                yield emit(start_ms, last_ms, n, total)
+                start_ms, last_ms, n, total = ts_ms, ts_ms, 1, v
+        state.update((start_ms, last_ms, n, total))
+        # wake up when the watermark passes the inactivity gap
+        state.setTimeoutTimestamp(last_ms + gap_ms)
+
+    return (
+        stream.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=_SESSION_OUT_SCHEMA,
+            stateStructType=_SESSION_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )
+
+
 def streaming_dedup(
     stream: DataFrame,
     keys: list[str] | None = None,

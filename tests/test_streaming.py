@@ -258,3 +258,70 @@ def test_stream_static_enrich_matches_batch(spark, events_stream, tables):
     s1 = got.agg(F.sum("n_orders")).first()[0]
     s2 = expect.agg(F.sum("n_orders")).first()[0]
     assert s1 == s2
+
+
+def test_stateful_sessions_event_time_timeout(spark, tmp_path):
+    """stateful_sessions closes sessions two ways: a later event past the
+    gap (in-batch), and the WATERMARK passing last+gap (event-time
+    timeout) — state must be removed either way."""
+    import os
+    import time
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from clickhouse_arrow_spark.streaming.events import (
+        run_to_memory_sink,
+        stateful_sessions,
+    )
+
+    src = tmp_path / "sess_src"
+    src.mkdir()
+    t0 = 1_700_000_000_000_000  # µs epoch
+    MIN = 60_000_000
+
+    def write(name, rows):
+        tbl = pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us", tz="UTC")),
+                "value": pa.array([r[2] for r in rows], pa.float64()),
+            }
+        )
+        pq.write_table(tbl, str(src / name))
+
+    # batch 1: u1 has two sessions (gap 30m exceeded in-batch), u2 one
+    write(
+        "f1.parquet",
+        [
+            (1, t0, 1.0),
+            (1, t0 + 10 * MIN, 2.0),
+            (1, t0 + 20 * MIN, 3.0),
+            (1, t0 + 120 * MIN, 5.0),  # closes session 1 by gap
+            (2, t0, 7.0),
+        ],
+    )
+    time.sleep(0.05)
+    # batch 2: a far-future event pushes the watermark (2h delay) past
+    # every open session's last+gap → timeouts fire
+    write("f2.parquet", [(99, t0 + 600 * MIN, 0.0)])
+    os.utime(str(src / "f2.parquet"))
+
+    schema = (
+        "user_id BIGINT, ts TIMESTAMP, value DOUBLE"
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(src))
+    )
+    out = run_to_memory_sink(
+        stateful_sessions(stream, gap_minutes=30), "stateful_sessions_t", "append"
+    )
+    rows = {
+        (r["user_id"], r["n_events"], r["total_value"])
+        for r in out.collect()
+    }
+    # u1 session1 (3 events, sum 6) closed by gap; u1 session2 (1 event)
+    # and u2 session (1 event) closed by timeout; u99 still open -> absent
+    assert rows == {(1, 3, 6.0), (1, 1, 5.0), (2, 1, 7.0)}

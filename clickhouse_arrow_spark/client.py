@@ -170,9 +170,12 @@ class Client:
         from clickhouse_arrow_spark.ddl import rewrite_final
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
-        # FINAL folds first: it needs the engine catalog (TBLPROPERTIES),
-        # which the purely textual translator cannot see.
+        from clickhouse_arrow_spark.dictionary import rewrite_dict_calls
+
+        # FINAL and dictGet* fold first: both need the engine catalog
+        # (TBLPROPERTIES), which the purely textual translator cannot see.
         ch_sql = rewrite_final(self.spark, ch_sql)
+        ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         if params:
             sql = bind_params(sql, params)
@@ -255,6 +258,22 @@ class Client:
     # execute already drains, so it is an alias for API parity.
     execute_now = execute
 
+    def execute_ch(self, ch_sql: str, qid: str | None = None) -> int | None:
+        """Run a ClickHouse-dialect statement. Mutations (`ALTER TABLE
+        ... DELETE/UPDATE`, lightweight `DELETE FROM`) run as synchronous
+        part rewrites (ddl.try_mutation) and return the affected row
+        count — the end state of ClickHouse's async mutation, minus the
+        `system.mutations` wait. Anything else translates through the
+        dialect and executes; returns None."""
+        from clickhouse_arrow_spark.ddl import try_mutation
+        from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+        n = try_mutation(self.spark, ch_sql)
+        if n is not None:
+            return n
+        self._run(translate_ch_sql(ch_sql), qid).collect()
+        return None
+
     def insert(self, table: str, data: DataFrame | pa.Table, qid: str | None = None) -> None:
         """INSERT one batch/DataFrame (reference client.rs:436-484).
 
@@ -266,6 +285,9 @@ class Client:
         df = self._as_df(data)
         aligned = self._align_to_table(df, table)
         aligned.write.mode("append").insertInto(table)
+        from clickhouse_arrow_spark.matview import propagate_insert
+
+        propagate_insert(self.spark, table, aligned)
 
     def insert_many(
         self, table: str, batches: list[DataFrame | pa.Table], qid: str | None = None
@@ -280,6 +302,10 @@ class Client:
         for d in dfs[1:]:
             unioned = unioned.unionByName(d)
         unioned.write.mode("append").insertInto(table)
+        from clickhouse_arrow_spark.matview import propagate_insert
+
+        # deferred flush = ONE block: attached views see one trigger
+        propagate_insert(self.spark, table, unioned)
 
     def insert_rows(
         self, table: str, rows: list[dict | tuple], schema=None, qid: str | None = None

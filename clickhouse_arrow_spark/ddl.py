@@ -136,6 +136,22 @@ def create_table_ddl(
     return "\n".join(stmt)
 
 
+def _drop_orphan_location(spark: SparkSession, err: Exception) -> bool:
+    """A fresh session's in-memory catalog forgets tables whose files
+    survive in the warehouse; CREATE then fails LOCATION_ALREADY_EXISTS.
+    Delete the orphan dir through the Hadoop FS API (any scheme) so the
+    caller can retry — CH CREATE TABLE has no such failure mode, so the
+    engine shouldn't either."""
+    m = re.search(r"location '([^']+)' already exists", str(err))
+    if m is None:
+        return False
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(m.group(1))
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    fs.delete(path, True)
+    return True
+
+
 def create_table(
     spark: SparkSession,
     database: str,
@@ -146,7 +162,12 @@ def create_table(
 ) -> str:
     """Execute the DDL; returns the statement that ran."""
     ddl = create_table_ddl(database, table, schema, options, location=location)
-    spark.sql(ddl)
+    try:
+        spark.sql(ddl)
+    except Exception as e:
+        if not _drop_orphan_location(spark, e):
+            raise
+        spark.sql(ddl)
     return ddl
 
 
@@ -394,3 +415,93 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
                 "likewise rejects FINAL on non-folding engines)"
             )
         sql = f"{sql[: m.start()]}{kw} {sub} AS {_bq(out_alias)}{sql[m.end():]}"
+
+
+# ---------------------------------------------------------------------------
+# Mutations — ALTER TABLE ... DELETE / UPDATE and lightweight DELETE
+# ---------------------------------------------------------------------------
+
+_ALTER_DELETE_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+DELETE\s+WHERE\s+(.+?)\s*;?\s*$"
+)
+_ALTER_UPDATE_RE = re.compile(
+    r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+UPDATE\s+(.+)\s+WHERE\s+(.+?)\s*;?\s*$"
+)
+_LIGHT_DELETE_RE = re.compile(
+    r"(?is)^\s*DELETE\s+FROM\s+([\w.`]+)\s+WHERE\s+(.+?)\s*;?\s*$"
+)
+
+
+def _rewrite_rows(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Stage-and-overwrite: Spark cannot read and overwrite the same
+    files in one job, so survivors stage to a temp dir first (shared FS
+    on a cluster; a Delta-backed table would mutate in place)."""
+    import tempfile
+
+    with tempfile.TemporaryDirectory(prefix="cas_mut_") as tmp:
+        df.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        staged.write.mode("overwrite").insertInto(table)
+
+
+def mutate_delete(spark: SparkSession, table: str, where: str) -> int:
+    """`ALTER TABLE t DELETE WHERE cond` / `DELETE FROM t WHERE cond`
+    (ClickHouse mutations, mutations.md): synchronous part rewrite
+    keeping `NOT cond` — the end state of the async mutation. Returns
+    rows deleted. NULL-condition rows survive, matching SQL DELETE."""
+    before = spark.table(table).count()
+    survivors = spark.table(table).where(f"NOT coalesce(({where}), false)")
+    _rewrite_rows(spark, table, survivors)
+    return before - spark.table(table).count()
+
+
+def mutate_update(
+    spark: SparkSession, table: str, assignments: str, where: str
+) -> int:
+    """`ALTER TABLE t UPDATE a = expr, b = expr WHERE cond`: each
+    assigned column becomes CASE WHEN cond THEN expr ELSE col END — one
+    projection + rewrite, no shuffle. Returns rows matched."""
+    from clickhouse_arrow_spark.dialect import _split_top_args
+
+    pairs = []
+    for a in _split_top_args(assignments):
+        col, _, expr = a.partition("=")
+        col, expr = col.strip().strip("`"), expr.strip()
+        if not col or not expr:
+            raise SchemaError(f"malformed UPDATE assignment {a!r}")
+        pairs.append((col, expr))
+    tdf = spark.table(table)
+    missing = [c for c, _ in pairs if c not in tdf.columns]
+    if missing:
+        raise SchemaError(f"UPDATE of unknown column(s) {missing} on {table}")
+    matched = tdf.where(f"coalesce(({where}), false)").count()
+    select = [
+        (
+            F.expr(f"CASE WHEN coalesce(({where}), false) THEN ({dict(pairs)[c]}) "
+                   f"ELSE `{c}` END").cast(tdf.schema[c].dataType).alias(c)
+            if c in dict(pairs)
+            else F.col(f"`{c}`")
+        )
+        for c in tdf.columns
+    ]
+    _rewrite_rows(spark, table, tdf.select(select))
+    return matched
+
+
+def try_mutation(spark: SparkSession, ch_sql: str) -> int | None:
+    """Dispatch a ClickHouse mutation statement; None if `ch_sql` is not
+    one. WHERE expressions run through the CH→Spark translation."""
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    def tr(expr: str) -> str:
+        # translate the expression in SELECT position, then unwrap
+        out = translate_ch_sql(f"SELECT {expr}")
+        return out[len("SELECT "):]
+
+    m = _ALTER_DELETE_RE.match(ch_sql) or _LIGHT_DELETE_RE.match(ch_sql)
+    if m:
+        return mutate_delete(spark, m.group(1), tr(m.group(2)))
+    m = _ALTER_UPDATE_RE.match(ch_sql)
+    if m:
+        return mutate_update(spark, m.group(1), tr(m.group(2)), tr(m.group(3)))
+    return None

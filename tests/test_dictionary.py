@@ -1,0 +1,108 @@
+"""ClickHouse dictionary analogue: dictGet* → correlated scalar
+subqueries over catalog tables, decorrelated by Catalyst into broadcast
+joins (dictionary.py)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.dictionary import create_dictionary, rewrite_dict_calls
+from clickhouse_arrow_spark.errors import SchemaError
+
+
+@pytest.fixture(scope="module")
+def nation_dict(spark, tables, client):
+    create_dictionary(
+        spark, "dicts", "nation_d", spark.table("nation"), key="n_nationkey"
+    )
+    yield
+    spark.sql("DROP DATABASE IF EXISTS dicts CASCADE")
+
+
+def test_dictget_matches_join(client, nation_dict):
+    got = client.query_ch(
+        "SELECT s_suppkey, dictGet('dicts.nation_d', 'n_name', s_nationkey) AS nname "
+        "FROM supplier ORDER BY s_suppkey"
+    ).collect()
+    want = client.query(
+        "SELECT s_suppkey, n_name AS nname FROM supplier "
+        "JOIN nation ON s_nationkey = n_nationkey ORDER BY s_suppkey"
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+
+
+def test_dictget_missing_key_returns_type_default(client, nation_dict):
+    r = client.query_ch(
+        "SELECT dictGet('dicts.nation_d', 'n_name', 9999) AS s, "
+        "dictGet('dicts.nation_d', 'n_regionkey', 9999) AS k"
+    ).collect()[0]
+    assert r["s"] == "" and r["k"] == 0  # CH type defaults, not NULL
+
+
+def test_dictget_or_default_and_or_null(client, nation_dict):
+    r = client.query_ch(
+        "SELECT dictGetOrDefault('dicts.nation_d', 'n_name', 9999, 'none') AS d, "
+        "dictGetOrNull('dicts.nation_d', 'n_name', 9999) AS n"
+    ).collect()[0]
+    assert r["d"] == "none" and r["n"] is None
+
+
+def test_dicthas(client, nation_dict):
+    r = client.query_ch(
+        "SELECT dictHas('dicts.nation_d', 0) AS a, "
+        "dictHas('dicts.nation_d', 12345) AS b"
+    ).collect()[0]
+    assert r["a"] is True and r["b"] is False
+
+
+def test_typed_dictget_casts(client, nation_dict):
+    r = client.query_ch(
+        "SELECT dictGetString('dicts.nation_d', 'n_name', 3) AS s, "
+        "dictGetInt64('dicts.nation_d', 'n_regionkey', 3) AS k"
+    ).collect()[0]
+    assert isinstance(r["s"], str) and isinstance(r["k"], int)
+
+
+def test_dictget_composes_with_ch_functions(client, nation_dict):
+    # dict rewrite runs before the textual translation: CH functions in
+    # the key expression and around the call both translate
+    r = client.query_ch(
+        "SELECT lowerUTF8(dictGet('dicts.nation_d', 'n_name', "
+        "toInt32(2))) AS s"
+    ).collect()[0]
+    got = client.query("SELECT lower(n_name) AS s FROM nation WHERE n_nationkey = 2")
+    assert r["s"] == got.collect()[0]["s"]
+
+
+def test_dictget_plans_as_broadcast_join(client, nation_dict):
+    df = client.query_ch(
+        "SELECT s_suppkey, dictGet('dicts.nation_d', 'n_name', s_nationkey) AS n "
+        "FROM supplier"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # Catalyst decorrelates the scalar subquery into a broadcast join —
+    # no per-row subquery execution
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_non_dictionary_table_refused(client, spark, nation_dict):
+    spark.sql("CREATE TABLE IF NOT EXISTS dicts_probe_t (x INT) USING PARQUET")
+    try:
+        with pytest.raises(SchemaError, match="not a dictionary"):
+            rewrite_dict_calls(spark, "SELECT dictGet('dicts_probe_t', 'x', 1)")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS dicts_probe_t")
+
+
+def test_unknown_dictionary_and_attribute(client, spark, nation_dict):
+    with pytest.raises(SchemaError, match="not found"):
+        rewrite_dict_calls(spark, "SELECT dictGet('dicts.nope', 'x', 1)")
+    with pytest.raises(SchemaError, match="attribute"):
+        rewrite_dict_calls(
+            spark, "SELECT dictGet('dicts.nation_d', 'bogus', 1)"
+        )
+
+
+def test_dict_call_in_string_literal_untouched(spark, nation_dict):
+    sql = "SELECT 'dictGet(''d'', ''a'', 1)' AS s FROM nation"
+    assert rewrite_dict_calls(spark, sql) == sql

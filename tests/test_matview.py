@@ -1,0 +1,106 @@
+"""Materialized views: insert-triggered per-block propagation, and the
+canonical aggregating pattern (SummingMergeTree target + FINAL fold)."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+from clickhouse_arrow_spark.errors import SchemaError
+from clickhouse_arrow_spark.matview import (
+    attached_views,
+    create_materialized_view,
+    drop_materialized_view,
+)
+
+
+@pytest.fixture()
+def mv_env(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mvdb")
+    spark.sql("DROP TABLE IF EXISTS mvdb.src")
+    create_table(
+        spark,
+        "mvdb",
+        "src",
+        [("k", "Int64"), ("v", "Float64")],
+        CreateOptions(engine="MergeTree", order_by=("k",)),
+    )
+    yield
+    spark.sql("DROP DATABASE IF EXISTS mvdb CASCADE")
+
+
+def _rows(spark, table):
+    return [(r[0], r[1]) for r in spark.table(table).collect()]
+
+
+def test_mv_triggers_per_insert_block(spark, client, mv_env):
+    create_materialized_view(
+        spark, "mvdb", "doubled", "mvdb.src",
+        "SELECT k, v * 2 AS v2 FROM mvdb.src",
+    )
+    client.insert("mvdb.src", spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"))
+    client.insert("mvdb.src", spark.createDataFrame([(2, 3.0)], "k BIGINT, v DOUBLE"))
+    assert sorted(_rows(spark, "mvdb.doubled")) == [(1, 2.0), (2, 6.0)]
+
+
+def test_mv_sees_only_new_blocks_unless_populate(spark, client, mv_env):
+    client.insert("mvdb.src", spark.createDataFrame([(1, 1.0)], "k BIGINT, v DOUBLE"))
+    create_materialized_view(
+        spark, "mvdb", "late", "mvdb.src", "SELECT k, v FROM mvdb.src"
+    )
+    client.insert("mvdb.src", spark.createDataFrame([(2, 2.0)], "k BIGINT, v DOUBLE"))
+    # pre-existing row 1 is NOT in the view (CH: no POPULATE)
+    assert sorted(_rows(spark, "mvdb.late")) == [(2, 2.0)]
+    create_materialized_view(
+        spark, "mvdb", "full", "mvdb.src", "SELECT k, v FROM mvdb.src",
+        populate=True,
+    )
+    assert sorted(_rows(spark, "mvdb.full")) == [(1, 1.0), (2, 2.0)]
+
+
+def test_aggregating_mv_folds_with_final(spark, client, mv_env):
+    """The canonical CH pattern: aggregate MV accumulates per-block
+    partials into a SummingMergeTree target; FINAL folds to totals."""
+    create_materialized_view(
+        spark, "mvdb", "totals", "mvdb.src",
+        "SELECT k, sum(v) AS total, count(*) AS n FROM mvdb.src GROUP BY k",
+    )
+    # mark the target a SummingMergeTree keyed on k so FINAL folds it
+    spark.sql(
+        "ALTER TABLE mvdb.totals SET TBLPROPERTIES ("
+        "'clickhouse_arrow_spark.engine' = 'SummingMergeTree', "
+        "'clickhouse_arrow_spark.order_by' = 'k')"
+    )
+    client.insert(
+        "mvdb.src",
+        spark.createDataFrame([(1, 1.0), (1, 2.0), (2, 5.0)], "k BIGINT, v DOUBLE"),
+    )
+    client.insert(
+        "mvdb.src",
+        spark.createDataFrame([(1, 4.0)], "k BIGINT, v DOUBLE"),
+    )
+    # raw view: one partial row per (block, k) — 3 rows
+    assert spark.table("mvdb.totals").count() == 3
+    folded = {
+        r["k"]: (r["total"], r["n"])
+        for r in client.query_ch("SELECT * FROM mvdb.totals FINAL").collect()
+    }
+    assert folded == {1: (7.0, 3), 2: (5.0, 1)}
+
+
+def test_mv_must_reference_source(spark, mv_env):
+    with pytest.raises(SchemaError, match="must reference"):
+        create_materialized_view(
+            spark, "mvdb", "bad", "mvdb.src", "SELECT 1 AS one"
+        )
+
+
+def test_drop_materialized_view_detaches(spark, client, mv_env):
+    create_materialized_view(
+        spark, "mvdb", "d1", "mvdb.src", "SELECT k, v FROM mvdb.src"
+    )
+    assert len(attached_views(spark, "mvdb.src")) == 1
+    drop_materialized_view(spark, "mvdb.d1")
+    assert attached_views(spark, "mvdb.src") == []
+    client.insert("mvdb.src", spark.createDataFrame([(9, 9.0)], "k BIGINT, v DOUBLE"))
+    assert "d1" not in [t.name for t in spark.catalog.listTables("mvdb")]

@@ -1330,3 +1330,224 @@ def q_util_decode_media_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.table("documents").where(F.col("doc_id") < 150).select("doc_id")
     payloads = multimodal.attach_media_payloads(docs)
     return multimodal.decode_media_stats(payloads).orderBy("doc_id")
+
+
+@register(
+    "util_final_replacing",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    doc="FROM t FINAL on a ReplacingMergeTree(ver) table "
+    "(ddl.rewrite_final): orders keyed by o_custkey with o_orderkey as "
+    "the version — FINAL folds to the max-version row per key, exactly "
+    "the dedup-latest window the oracle computes directly.",
+    tags=("ddl", "final", "dedup-latest"),
+)
+def q_util_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusdb")
+    spark.sql("DROP TABLE IF EXISTS corpusdb.orders_versions")
+    create_table(
+        spark,
+        "corpusdb",
+        "orders_versions",
+        [
+            ("o_custkey", "Int64"),
+            ("o_orderkey", "Int64"),
+            ("o_totalprice", "Float64"),
+        ],
+        CreateOptions(
+            engine="ReplacingMergeTree(o_orderkey)", order_by=("o_custkey",)
+        ),
+    )
+    client.insert(
+        "corpusdb.orders_versions",
+        spark.table("orders").select("o_custkey", "o_orderkey", "o_totalprice"),
+    )
+    return client.query_ch(
+        "SELECT o_custkey, o_orderkey, o_totalprice "
+        "FROM corpusdb.orders_versions FINAL ORDER BY o_custkey"
+    )
+
+
+@register(
+    "stream_cursor_tail",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_orderkey
+    """,
+    doc="Connector streaming read: readStream.format('clickhouse') "
+    "tails the orders table by the o_orderkey cursor (offsets "
+    "{'cursor': n}, per-range executor-parallel scans) drained with "
+    "one availableNow pass into a memory sink — the batch oracle is "
+    "the table itself.",
+    tags=("streaming", "connector", "cursor"),
+)
+def q_stream_cursor_tail(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.sources.dsv2 import ClickHouseDataSource
+
+    spark.dataSource.register(ClickHouseDataSource)
+    name = f"q_stream_tail_{uuid.uuid4().hex[:8]}"
+    q = (
+        spark.readStream.format("clickhouse")
+        .option("table", "orders")
+        .option("path", sf_dir)
+        .option("cursor_column", "o_orderkey")
+        .load()
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return spark.table(name).orderBy("o_orderkey")
+
+
+@register(
+    "util_dict_get",
+    """
+    SELECT s_suppkey,
+           coalesce(n.n_name, '') AS nat_name,
+           coalesce(n.n_regionkey, 0) AS nat_region
+    FROM supplier s LEFT JOIN nation n ON s.s_nationkey = n.n_nationkey
+    ORDER BY s_suppkey
+    """,
+    doc="ClickHouse dictGet over a cataloged dictionary "
+    "(dictionary.rewrite_dict_calls): correlated scalar subqueries that "
+    "Catalyst decorrelates into a broadcast left join, with CH "
+    "missing-key type-default semantics — the oracle is that join with "
+    "coalesce to the type defaults.",
+    tags=("dictionary", "join", "broadcast"),
+)
+def q_util_dict_get(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.dictionary import create_dictionary
+
+    create_dictionary(
+        spark, "corpusdicts", "nation_d", spark.table("nation"), key="n_nationkey"
+    )
+    client = Client(spark)
+    return client.query_ch(
+        "SELECT s_suppkey, "
+        "dictGet('corpusdicts.nation_d', 'n_name', s_nationkey) AS nat_name, "
+        "dictGet('corpusdicts.nation_d', 'n_regionkey', s_nationkey) AS nat_region "
+        "FROM supplier ORDER BY s_suppkey"
+    )
+
+
+@register(
+    "util_matview_final",
+    """
+    SELECT user_id,
+           CAST(round(sum(value), 2) AS DOUBLE) AS total_value,
+           CAST(count(*) AS BIGINT) AS n
+    FROM events WHERE user_id < 40
+    GROUP BY user_id ORDER BY user_id
+    """,
+    doc="Insert-triggered materialized view (matview.py): per-block "
+    "partial aggregates land in a SummingMergeTree target (two insert "
+    "blocks -> up to two partial rows per user), FINAL folds them to "
+    "totals — the canonical ClickHouse aggregate-MV deployment, "
+    "round-tripped through create_materialized_view + rewrite_final.",
+    tags=("matview", "final", "aggregate"),
+)
+def q_util_matview_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+    from clickhouse_arrow_spark.matview import create_materialized_view
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusmv")
+    spark.sql("DROP TABLE IF EXISTS corpusmv.ev_src")
+    create_table(
+        spark, "corpusmv", "ev_src",
+        [("user_id", "Int64"), ("value", "Float64")],
+        CreateOptions(engine="MergeTree", order_by=("user_id",)),
+    )
+    create_materialized_view(
+        spark, "corpusmv", "ev_totals", "corpusmv.ev_src",
+        "SELECT user_id, sum(value) AS total_value, count(*) AS n "
+        "FROM corpusmv.ev_src GROUP BY user_id",
+    )
+    spark.sql(
+        "ALTER TABLE corpusmv.ev_totals SET TBLPROPERTIES ("
+        "'clickhouse_arrow_spark.engine' = 'SummingMergeTree', "
+        "'clickhouse_arrow_spark.order_by' = 'user_id')"
+    )
+    base = spark.table("events").where(F.col("user_id") < 40).select(
+        "user_id", "value"
+    )
+    # two insert blocks -> per-block partials in the MV target
+    client.insert("corpusmv.ev_src", base.where(F.col("user_id") % 2 == 0))
+    client.insert("corpusmv.ev_src", base.where(F.col("user_id") % 2 == 1))
+    return client.query_ch(
+        "SELECT user_id, CAST(round(sum_v, 2) AS DOUBLE) AS total_value, n "
+        "FROM (SELECT user_id, total_value AS sum_v, n "
+        "      FROM corpusmv.ev_totals FINAL) ORDER BY user_id"
+    )
+
+
+@register(
+    "util_mutation_rewrite",
+    """
+    SELECT o_orderkey, o_orderstatus,
+           CAST(round(CASE WHEN o_orderstatus = 'F'
+                           THEN o_totalprice * 2
+                           ELSE o_totalprice END, 2) AS DOUBLE) AS o_totalprice
+    FROM orders
+    WHERE o_orderkey < 2000 AND NOT (o_orderpriority = '5-LOW')
+    ORDER BY o_orderkey
+    """,
+    doc="ClickHouse mutations (ddl.try_mutation): ALTER TABLE ... "
+    "DELETE drops the 5-LOW rows, ALTER TABLE ... UPDATE uplifts "
+    "finished orders 2x — synchronous part rewrites whose end state "
+    "the oracle recomputes declaratively from the base table.",
+    tags=("mutation", "ddl"),
+)
+def q_util_mutation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusmut")
+    spark.sql("DROP TABLE IF EXISTS corpusmut.orders_m")
+    create_table(
+        spark, "corpusmut", "orders_m",
+        [
+            ("o_orderkey", "Int64"),
+            ("o_orderstatus", "String"),
+            ("o_orderpriority", "String"),
+            ("o_totalprice", "Float64"),
+        ],
+        CreateOptions(engine="MergeTree", order_by=("o_orderkey",)),
+    )
+    client.insert(
+        "corpusmut.orders_m",
+        spark.table("orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_orderpriority", "o_totalprice"),
+    )
+    client.execute_ch(
+        "ALTER TABLE corpusmut.orders_m DELETE WHERE o_orderpriority = '5-LOW'"
+    )
+    client.execute_ch(
+        "ALTER TABLE corpusmut.orders_m "
+        "UPDATE o_totalprice = o_totalprice * 2 WHERE o_orderstatus = 'F'"
+    )
+    return client.query(
+        "SELECT o_orderkey, o_orderstatus, "
+        "CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice "
+        "FROM corpusmut.orders_m ORDER BY o_orderkey"
+    )

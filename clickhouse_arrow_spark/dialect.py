@@ -25,6 +25,10 @@ Args = list[str]
 # name -> either a Spark name (str) or a formatter(args) -> str
 _SIMPLE_RENAMES: dict[str, str] = {
     "countIf": "count_if",
+    # Kahan compensation is a serial-summation concept; Spark's partial
+    # aggregation tree changes the error term anyway (values may differ
+    # in the last ulp, as CH documents for its own distributed sums)
+    "sumKahan": "sum",
     "uniq": "approx_count_distinct",
     "uniqState": "hll_sketch_agg",
     "uniqHLL12": "approx_count_distinct",
@@ -179,6 +183,18 @@ _OPERATOR_BACKED: dict[str, str] = {
     "runningDifference": "lag() OVER (ORDER BY <explicit order>)",
     "runningAccumulate": "sum() OVER (ORDER BY <explicit order>)",
     "neighbor": "lead()/lag() OVER (ORDER BY <explicit order>)",
+    "deltaSumTimestamp": (
+        "operators.timeseries.delta_sum(df, key, order=<timestamp>, value)"
+    ),
+    "groupArrayInsertAt": (
+        "map_from_entries(collect_list(struct(pos, x))) then "
+        "transform(sequence(0, max_pos), i -> element_at(map, i)) — the "
+        "gap-fill default is the element type's, which needs the schema"
+    ),
+    "byteSize": (
+        "octet_length() for strings/binary; in-memory size is a "
+        "storage-layout property Tungsten does not expose per value"
+    ),
 }
 
 #: ClickHouse hash functions with NO value-identical Spark equivalent.
@@ -1114,6 +1130,180 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return great_circle_angle_fmt
+    if name in ("formatReadableSize", "formatReadableQuantity"):
+        # CH pretty-printers: value scaled to the largest unit, always 2
+        # decimals. Size uses binary units (KiB..EiB), quantity decimal
+        # words (thousand..trillion).
+        units = (
+            [("B", 1), ("KiB", 1024.0), ("MiB", 1024.0**2), ("GiB", 1024.0**3),
+             ("TiB", 1024.0**4), ("PiB", 1024.0**5), ("EiB", 1024.0**6)]
+            if name == "formatReadableSize"
+            else [("", 1), (" thousand", 1e3), (" million", 1e6),
+                  (" billion", 1e9), (" trillion", 1e12)]
+        )
+
+        def readable(a: Args, _units=units) -> str:
+            x = f"CAST({a[0]} AS DOUBLE)"
+            parts = []
+            for i, (suffix, div) in enumerate(_units[:-1]):
+                nxt = _units[i + 1][1]
+                val = x if div == 1 else f"({x}) / {div!r}"
+                label = f" {suffix}" if suffix and not suffix.startswith(" ") else suffix
+                parts.append(
+                    f"WHEN abs({x}) < {nxt!r} THEN "
+                    f"concat(format_string('%.2f', {val}), '{label}')"
+                )
+            last_suffix, last_div = _units[-1]
+            label = (
+                f" {last_suffix}"
+                if last_suffix and not last_suffix.startswith(" ")
+                else last_suffix
+            )
+            parts.append(
+                f"ELSE concat(format_string('%.2f', ({x}) / {last_div!r}), "
+                f"'{label}')"
+            )
+            return "CASE " + " ".join(parts) + " END"
+
+        return readable
+    if name == "bar":
+        def bar_fmt(a: Args) -> str:
+            x, lo, hi = a[0], a[1], a[2]
+            width = a[3] if len(a) > 3 else "80"
+            w = (
+                f"greatest(least((CAST({x} AS DOUBLE) - ({lo})) / "
+                f"(({hi}) - ({lo})), 1.0D), 0.0D) * ({width})"
+            )
+            w8 = f"CAST(round(({w}) * 8) AS INT)"
+            # eighth-block rendering, exactly CH's glyph ramp
+            return (
+                f"concat(repeat('█', ({w8}) DIV 8), "
+                f"element_at(array('', '▏', '▎', '▍', '▌', '▋', '▊', '▉'), "
+                f"(({w8}) % 8) + 1))"
+            )
+
+        return bar_fmt
+    if name.startswith(("visitParam", "simpleJSON")):
+        # legacy fast-path JSON accessors; both families share semantics
+        suffix = name.removeprefix("visitParam").removeprefix("simpleJSON")
+        base = lambda a: f"get_json_object({a[0]}, concat('$.', {a[1]}))"  # noqa: E731
+        table = {
+            "ExtractString": base,
+            "ExtractRaw": base,
+            "ExtractInt": lambda a: f"CAST({base(a)} AS BIGINT)",
+            "ExtractUInt": lambda a: f"CAST({base(a)} AS BIGINT)",
+            "ExtractFloat": lambda a: f"CAST({base(a)} AS DOUBLE)",
+            "ExtractBool": lambda a: f"({base(a)} = 'true')",
+            "Has": lambda a: f"({base(a)} IS NOT NULL)",
+        }
+        if suffix in table:
+            return table[suffix]
+    if name == "toValidUTF8":
+        # Spark strings are validated/replaced on decode already
+        return lambda a: f"({a[0]})"
+    if name.startswith("toRelative") and name.endswith("Num"):
+        # difference-preserving ordinals; the absolute origin may differ
+        # from CH's internal fixed point, deltas match exactly
+        unit = name[len("toRelative"):-len("Num")]
+        rel = {
+            "Year": lambda a: f"year({a[0]})",
+            "Quarter": lambda a: f"(year({a[0]}) * 4 + quarter({a[0]}) - 1)",
+            "Month": lambda a: f"(year({a[0]}) * 12 + month({a[0]}) - 1)",
+            "Week": lambda a: f"(datediff({a[0]}, DATE '1970-01-05') DIV 7 + 1)",
+            "Day": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
+            "Hour": lambda a: f"(unix_timestamp({a[0]}) DIV 3600)",
+            "Minute": lambda a: f"(unix_timestamp({a[0]}) DIV 60)",
+            "Second": lambda a: f"unix_timestamp({a[0]})",
+        }
+        if unit in rel:
+            return rel[unit]
+    if name.startswith("emptyArray"):
+        t = {
+            "UInt8": "SMALLINT", "UInt16": "INT", "UInt32": "BIGINT",
+            "UInt64": "BIGINT", "Int8": "TINYINT", "Int16": "SMALLINT",
+            "Int32": "INT", "Int64": "BIGINT", "Float32": "FLOAT",
+            "Float64": "DOUBLE", "String": "STRING", "Date": "DATE",
+            "DateTime": "TIMESTAMP",
+        }.get(name[len("emptyArray"):])
+        if t:
+            return lambda a, _t=t: f"CAST(array() AS ARRAY<{_t}>)"
+    if name == "arrayEnumerate":
+        return lambda a: f"sequence(1, size({a[0]}))"
+    if name == "arrayEnumerateDense":
+        # dense index of each element in first-appearance order
+        # (array_distinct preserves first-appearance order)
+        return (
+            lambda a: f"transform({a[0]}, x -> "
+            f"array_position(array_distinct({a[0]}), x))"
+        )
+    if name in ("caseWithExpression", "caseWithoutExpression"):
+        def case_fmt(a: Args, _with=name == "caseWithExpression") -> str:
+            if _with:
+                head, rest = a[0], a[1:]
+                pairs, default = rest[:-1], rest[-1]
+                whens = " ".join(
+                    f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+                    for i in range(0, len(pairs) - 1, 2)
+                )
+                return f"CASE {head} {whens} ELSE {default} END"
+            pairs, default = a[:-1], a[-1]
+            whens = " ".join(
+                f"WHEN {pairs[i]} THEN {pairs[i + 1]}"
+                for i in range(0, len(pairs) - 1, 2)
+            )
+            return f"CASE {whens} ELSE {default} END"
+
+        return case_fmt
+    if name == "arrayReduce":
+        def array_reduce(a: Args) -> str:
+            agg = a[0].strip().strip("'").lower()
+            arr = a[1]
+            forms = {
+                "sum": f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)",
+                "min": f"array_min({arr})",
+                "max": f"array_max({arr})",
+                "avg": (
+                    f"aggregate({arr}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+                    f" / size({arr})"
+                ),
+                "count": f"size({arr})",
+                "any": f"element_at({arr}, 1)",
+                "anylast": f"element_at({arr}, -1)",
+                "uniq": f"size(array_distinct({arr}))",
+                "uniqexact": f"size(array_distinct({arr}))",
+                "grouparray": arr,
+            }
+            if agg not in forms:
+                raise UntranslatableFunctionError(
+                    f"arrayReduce({a[0]}): aggregate {agg!r} has no "
+                    "element-wise Spark form; explode + groupBy instead"
+                )
+            return forms[agg]
+
+        return array_reduce
+    if name == "randomString":
+        # CH emits random BYTES; printable ASCII here (random either way)
+        return (
+            lambda a: f"concat_ws('', transform(sequence(1, {a[0]}), "
+            f"i -> char(CAST(rand() * 95 + 32 AS INT))))"
+        )
+    if name == "normalizeQuery":
+        # literals -> placeholders (CH query fingerprinting, simplified:
+        # quoted strings then bare numbers)
+        return (
+            lambda a: "regexp_replace(regexp_replace("
+            f"{a[0]}, '\\'[^\\']*\\'', '?'), "
+            "'(?<![a-zA-Z_0-9])[0-9]+(\\\\.[0-9]+)?', '?')"
+        )
+    if name.startswith("reinterpretAs"):
+        def refuse_reinterpret(a: Args, _name: str = name) -> str:
+            raise UntranslatableFunctionError(
+                f"{_name}() reinterprets the CH wire byte layout, which "
+                "parquet/Tungsten rows do not share; use explicit CAST / "
+                "conv()/unhex() on the intended representation"
+            )
+
+        return refuse_reinterpret
     if name in _OPERATOR_BACKED:
         def refuse_op(a: Args, _name: str = name) -> str:
             raise UntranslatableFunctionError(
@@ -1728,9 +1918,10 @@ def _refuse_ch_only_clauses(sql: str) -> str:
             )
         raise UntranslatableFunctionError(
             "ANY JOIN keeps at most ONE match per row — translating to "
-            "a plain join silently changes multiplicity; deduplicate "
-            "the build side first (argMax / dedup-latest) or use a "
-            "LEFT SEMI join when only existence matters"
+            "a plain join silently changes multiplicity; use "
+            "operators.joins.any_join(left, right, on, how, order_by) "
+            "(build-side dedup + join), or a LEFT SEMI join when only "
+            "existence matters"
         )
     return sql
 
@@ -1868,3 +2059,58 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             expr, i = subscripts(name, j, allow_space=False)
             out.append(expr)
     return "".join(out)
+
+
+# -- ORDER BY ... WITH FILL extraction (executed by Client.query_ch via
+#    operators/timeseries.with_fill; the textual layer only parses) ----
+
+_ORDER_FILL_RE = re.compile(
+    r"(?is)\bORDER\s+BY\s+(`[^`]+`|[\w.]+)\s*(ASC|DESC)?\s+WITH\s+FILL"
+    r"(?:\s+FROM\s+(-?\d+(?:\.\d+)?))?"
+    r"(?:\s+TO\s+(-?\d+(?:\.\d+)?))?"
+    r"(?:\s+STEP\s+(-?\d+(?:\.\d+)?))?"
+)
+
+
+def extract_with_fill(sql: str):
+    """Split `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` out of a
+    statement: returns (sql_without_fill, spec_dict | None) where spec
+    is {"col", "start", "end", "step"} with numeric literals parsed.
+    Refuses DESC fills, INTERPOLATE, and multiple fill columns — each
+    would silently change the added rows."""
+    m = _find_clean(_ORDER_FILL_RE, sql)
+    if m is None:
+        return sql, None
+    if _find_clean(_ORDER_FILL_RE, sql, start=m.end()):
+        raise UntranslatableFunctionError(
+            "multiple WITH FILL columns: one fill axis is supported "
+            "(operators/timeseries.with_fill)"
+        )
+    if re.search(r"(?i)\bINTERPOLATE\b", sql):
+        raise UntranslatableFunctionError(
+            "WITH FILL ... INTERPOLATE: expression-carrying fills need "
+            "explicit window expressions (last_value IGNORE NULLS OVER "
+            "the fill order) — only default-filled rows are automatic"
+        )
+    if (m.group(2) or "").upper() == "DESC":
+        raise UntranslatableFunctionError(
+            "WITH FILL on a DESC ordering: fill ascending and sort the "
+            "result, or negate the axis"
+        )
+
+    def num(s):
+        if s is None:
+            return None
+        return float(s) if "." in s else int(s)
+
+    col = m.group(1).strip("`").split(".")[-1]
+    spec = {
+        "col": col,
+        "start": num(m.group(3)),
+        "end": num(m.group(4)),
+        "step": num(m.group(5)) or 1,
+    }
+    direction = f" {m.group(2)}" if m.group(2) else ""
+    replaced = f"ORDER BY {m.group(1)}{direction}"
+    sql = sql[: m.start()] + replaced + sql[m.end():]
+    return sql, spec

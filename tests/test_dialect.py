@@ -896,3 +896,70 @@ def test_backtick_identifier_with_embedded_apostrophe():
     sql = "SELECT `it's fine` FROM t GROUP BY `it's fine` WITH TOTALS"
     out = translate_ch_sql(sql)
     assert "GROUPING SETS" in out.upper(), out
+
+
+# ---------------------------------------------------------------------------
+# Round-4 second wave: pretty-printers, legacy JSON accessors, relative
+# ordinals, array enumeration/reduction, reinterpret refusals
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT formatReadableSize(123456789) AS x", "117.74 MiB"),
+        ("SELECT formatReadableSize(123) AS x", "123.00 B"),
+        ("SELECT formatReadableQuantity(123456789) AS x", "123.46 million"),
+        ("SELECT formatReadableQuantity(12) AS x", "12.00"),
+        ("SELECT bar(5, 0, 10, 8) AS x", "████"),
+        ("SELECT bar(1, 0, 16, 8) AS x", "▌"),
+        ("SELECT bar(20, 0, 10, 4) AS x", "████"),  # clamped at max
+        ('SELECT visitParamExtractString(\'{"k":"v"}\', \'k\') AS x', "v"),
+        ('SELECT simpleJSONExtractInt(\'{"n": 42}\', \'n\') AS x', 42),
+        ('SELECT visitParamHas(\'{"k":1}\', \'q\') AS x', False),
+        ("SELECT toValidUTF8('ab') AS x", "ab"),
+        ("SELECT toRelativeDayNum(DATE '1970-01-02') AS x", 1),
+        ("SELECT toRelativeMonthNum(DATE '1970-02-01') - "
+         "toRelativeMonthNum(DATE '1969-12-15') AS x", 2),
+        ("SELECT toRelativeSecondNum(TIMESTAMP '1970-01-01 00:01:00') AS x", 60),
+        ("SELECT arrayEnumerate(array(9, 9, 9)) AS x", [1, 2, 3]),
+        ("SELECT arrayEnumerateDense(array(10, 20, 10)) AS x", [1, 2, 1]),
+        ("SELECT arrayReduce('sum', array(1, 2, 3)) AS x", 6.0),
+        ("SELECT arrayReduce('max', array(1, 5, 3)) AS x", 5),
+        ("SELECT arrayReduce('uniq', array(1, 1, 2)) AS x", 2),
+        ("SELECT caseWithExpression(2, 1, 'a', 2, 'b', 'z') AS x", "b"),
+        ("SELECT emptyArrayInt32() AS x", []),
+        ("SELECT sumKahan(c) AS x FROM (SELECT CAST(1.5 AS DOUBLE) AS c) t", 1.5),
+        ("SELECT normalizeQuery('SELECT 1 FROM t WHERE x = ''abc''') AS x",
+         "SELECT ? FROM t WHERE x = ?"),
+    ],
+)
+def test_second_wave_values(spark, ch, expected):
+    got = spark.sql(translate_ch_sql(ch)).collect()[0]["x"]
+    if isinstance(expected, float):
+        assert abs(got - expected) < 1e-9, (ch, got)
+    else:
+        assert got == expected, (ch, got)
+
+
+def test_random_string_shape(spark):
+    got = spark.sql(translate_ch_sql("SELECT randomString(12) AS x")).collect()[0]["x"]
+    assert len(got) == 12
+
+
+def test_reinterpret_refused():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with pytest.raises(UntranslatableFunctionError, match="wire byte layout"):
+        translate_ch_sql("SELECT reinterpretAsUInt32('abcd')")
+
+
+def test_delta_sum_timestamp_and_bytesize_point_at_operators():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with pytest.raises(UntranslatableFunctionError, match="delta_sum"):
+        translate_ch_sql("SELECT deltaSumTimestamp(v, t)")
+    with pytest.raises(UntranslatableFunctionError, match="octet_length"):
+        translate_ch_sql("SELECT byteSize(x)")
+    with pytest.raises(UntranslatableFunctionError, match="explode"):
+        translate_ch_sql("SELECT arrayReduce('median', a)")

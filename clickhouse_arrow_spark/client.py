@@ -170,16 +170,30 @@ class Client:
         from clickhouse_arrow_spark.ddl import rewrite_final
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
+        from clickhouse_arrow_spark.dialect import extract_with_fill
         from clickhouse_arrow_spark.dictionary import rewrite_dict_calls
 
         # FINAL and dictGet* fold first: both need the engine catalog
         # (TBLPROPERTIES), which the purely textual translator cannot see.
+        # WITH FILL is extracted (not refused) here because the fill runs
+        # as a DataFrame operator on the result.
+        from clickhouse_arrow_spark.ddl import rewrite_sample
+
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
+        ch_sql = rewrite_sample(self.spark, ch_sql)
+        ch_sql, fill = extract_with_fill(ch_sql)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         if params:
             sql = bind_params(sql, params)
-        return self._run(sql, qid)
+        df = self._run(sql, qid)
+        if fill:
+            from clickhouse_arrow_spark.operators.timeseries import with_fill
+
+            df = with_fill(
+                df, fill["col"], fill["start"], fill["end"], fill["step"]
+            )
+        return df
 
     def query_params(
         self, sql: str, params: dict[str, Any] | None = None, qid: str | None = None
@@ -265,12 +279,31 @@ class Client:
         count — the end state of ClickHouse's async mutation, minus the
         `system.mutations` wait. Anything else translates through the
         dialect and executes; returns None."""
-        from clickhouse_arrow_spark.ddl import try_mutation
+        import re as _re
+
+        from clickhouse_arrow_spark.ddl import (
+            _OPTIMIZE_RE,
+            optimize_table,
+            try_mutation,
+        )
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
         n = try_mutation(self.spark, ch_sql)
         if n is not None:
             return n
+        m = _OPTIMIZE_RE.match(ch_sql)
+        if m:
+            return optimize_table(
+                self.spark, m.group(1), final=bool(m.group(2))
+            )
+        m = _re.match(
+            r"(?is)^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'"
+            r"(\s+SYNC|\s+ASYNC)?\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            self.cancel(m.group(1))
+            return None
         self._run(translate_ch_sql(ch_sql), qid).collect()
         return None
 
@@ -391,6 +424,45 @@ class Client:
                 )
         return self.spark.createDataFrame(
             rows, "database string, table string, name string, type string, position int"
+        )
+
+    def system_parts(self, table: str) -> DataFrame:
+        """`system.parts` analogue: one row per storage part (parquet
+        file) with rows / on-disk bytes / modification time, read from
+        the file footers — the storage-monitoring surface CH users
+        query for table size and merge health. Driver cost is one
+        footer read per file (bounded by part count, not data)."""
+        import datetime as _dt
+        import os as _os
+
+        import pyarrow.parquet as _pq
+
+        files = self.spark.table(table).inputFiles()
+        rows = []
+        for f in files:
+            path = f[len("file:"):] if f.startswith("file:") else f
+            try:
+                meta = _pq.ParquetFile(path).metadata
+                st = _os.stat(path)
+                rows.append(
+                    (
+                        table,
+                        _os.path.basename(path),
+                        True,
+                        meta.num_rows,
+                        st.st_size,
+                        meta.num_row_groups,
+                        _dt.datetime.fromtimestamp(st.st_mtime),
+                        path,
+                    )
+                )
+            except OSError:
+                continue  # part vanished mid-listing (concurrent rewrite)
+        return self.spark.createDataFrame(
+            rows,
+            "table string, name string, active boolean, rows bigint, "
+            "bytes_on_disk bigint, row_groups int, "
+            "modification_time timestamp, path string",
         )
 
     def fetch_schema(

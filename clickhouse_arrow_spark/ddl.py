@@ -505,3 +505,82 @@ def try_mutation(spark: SparkSession, ch_sql: str) -> int | None:
     if m:
         return mutate_update(spark, m.group(1), tr(m.group(2)), tr(m.group(3)))
     return None
+
+
+_OPTIMIZE_RE = re.compile(
+    r"(?is)^\s*OPTIMIZE\s+TABLE\s+([\w.`]+?)(\s+FINAL)?\s*;?\s*$"
+)
+
+
+def optimize_table(spark: SparkSession, table: str, final: bool = False) -> int:
+    """`OPTIMIZE TABLE t [FINAL]`: without FINAL, compact parts (merge
+    small files — the background-merge analogue, done eagerly); with
+    FINAL on a folding engine, materialize the folded state so
+    subsequent reads skip the fold entirely (exactly what CH's
+    OPTIMIZE FINAL leaves behind). Returns the row count after."""
+    if final:
+        sql = rewrite_final(spark, f"SELECT * FROM {table} FINAL")
+        folded = spark.sql(sql)
+        _rewrite_rows(spark, table, folded)
+        # the fold is now physical: clear the version rows it consumed
+        return spark.table(table).count()
+    df = spark.table(table)
+    n_files = max(len(df.inputFiles()), 1)
+    _rewrite_rows(spark, table, df.coalesce(max(1, n_files // 8)))
+    return spark.table(table).count()
+
+
+_FROM_SAMPLE_RE = re.compile(
+    r"(?i)\b(FROM|JOIN)\s+"
+    r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
+    r"\s+SAMPLE\s+(0?\.\d+|1\.0|(?:\d+)\s*/\s*(?:\d+))"
+    r"(?:\s+OFFSET\s+(0?\.\d+|(?:\d+)\s*/\s*(?:\d+)))?"
+)
+
+
+def _frac(text: str) -> float:
+    if "/" in text:
+        num, den = text.split("/")
+        return float(num) / float(den)
+    return float(text)
+
+
+def rewrite_sample(spark: SparkSession, sql: str) -> str:
+    """`FROM t SAMPLE 0.1 [OFFSET 0.5]` on a table whose CreateOptions
+    declared SAMPLE BY: rewrite to a DETERMINISTIC hash-bucket filter on
+    the sample column — ClickHouse's contract (same rows every run, and
+    `SAMPLE 0.2` ⊇ `SAMPLE 0.1`), which TABLESAMPLE's per-run Bernoulli
+    cannot give. Nested-sampling containment holds because the filter is
+    `bucket(key) < f·M`: larger f strictly widens the kept set. OFFSET
+    shifts the bucket window, so OFFSET slices are disjoint. Tables
+    without SAMPLE BY metadata fall through to the dialect's TABLESAMPLE
+    mapping (fraction right, rows per-run)."""
+    while True:
+        m = None
+        for cand in _FROM_SAMPLE_RE.finditer(sql):
+            from clickhouse_arrow_spark.dialect import _scan_mask
+
+            mask = _scan_mask(sql)
+            if not mask[cand.start()][1]:
+                m = cand
+                break
+        if m is None:
+            return sql
+        kw, table = m.group(1).upper(), m.group(2)
+        frac, offset = _frac(m.group(3)), _frac(m.group(4) or "0")
+        try:
+            props = _table_props(spark, table)
+        except Exception:
+            return sql  # not cataloged: leave for TABLESAMPLE fallback
+        key = props.get("clickhouse_arrow_spark.sample_by")
+        if not key:
+            return sql
+        M = 1_000_000
+        lo, hi = int(offset * M), int((offset + frac) * M)
+        sub = (
+            f"(SELECT * FROM {table} WHERE "
+            f"pmod(abs(hash(`{key}`)), {M}) >= {lo} AND "
+            f"pmod(abs(hash(`{key}`)), {M}) < {hi})"
+        )
+        alias = table.rsplit(".", 1)[-1].strip("`")
+        sql = f"{sql[: m.start()]}{kw} {sub} AS `{alias}`{sql[m.end():]}"

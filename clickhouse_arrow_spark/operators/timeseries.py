@@ -251,3 +251,61 @@ def group_array_moving(
             vals, lambda v: v.cast("double") / F.lit(float(window_size))
         ).alias("moving_avg"),
     )
+
+
+def with_fill(
+    df: DataFrame,
+    col: str,
+    start=None,
+    end=None,
+    step=1,
+) -> DataFrame:
+    """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` over a NUMERIC
+    fill column (ClickHouse select/order-by.md): add a row for every
+    grid point a, a+s, ... < b (TO is EXCLUSIVE, as CH documents)
+    missing from the result. Added rows carry the other columns' TYPE
+    DEFAULTS (0 / '' / zero-date — CH fills defaults, not NULLs);
+    original rows keep their values, including genuine NULLs. Bounds
+    default to the result's min/max (max inclusive).
+
+    Plan shape: one sequence+explode for the grid (distributed, no
+    driver loop), one full-outer join on the fill column — the same
+    spine pattern as fill_gaps, at any result size.
+    """
+    from clickhouse_arrow_spark.dictionary import _type_default
+
+    spark = df.sparkSession
+    if start is None or end is None:
+        lo, hi = df.agg(F.min(col), F.max(col)).first()
+        if lo is None:
+            return df
+        start = lo if start is None else start
+        # inclusive max when TO is defaulted: one step past the max
+        end = hi + step if end is None else end
+    field = df.schema[col]
+    grid = (
+        spark.range(1)
+        .select(
+            F.explode(
+                F.sequence(
+                    F.lit(start).cast(field.dataType),
+                    F.lit(end).cast(field.dataType),
+                    F.lit(step),
+                )
+            ).alias(col)
+        )
+        .where(F.col(col) < F.lit(end))  # CH: TO bound is exclusive
+    )
+    marked = df.withColumn("__cas_orig", F.lit(1))
+    joined = marked.join(grid, on=col, how="full_outer")
+    out = [F.col(f"`{col}`")]
+    for f in df.schema.fields:
+        if f.name == col:
+            continue
+        default = F.expr(_type_default(f.dataType.simpleString()))
+        out.append(
+            F.when(F.col("__cas_orig").isNull(), default.cast(f.dataType))
+            .otherwise(F.col(f"`{f.name}`"))
+            .alias(f.name)
+        )
+    return joined.select(out).orderBy(col)

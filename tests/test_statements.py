@@ -1,0 +1,174 @@
+"""Round-4 statement surfaces: OPTIMIZE TABLE [FINAL], KILL QUERY,
+system.parts, and ORDER BY ... WITH FILL."""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+from clickhouse_arrow_spark.dialect import (
+    UntranslatableFunctionError,
+    extract_with_fill,
+)
+
+
+@pytest.fixture()
+def replacing_table(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.r")
+    create_table(
+        spark, "stmtdb", "r",
+        [("k", "Int64"), ("v", "String"), ("ver", "Int64")],
+        CreateOptions(engine="ReplacingMergeTree(ver)", order_by=("k",)),
+    )
+    client.insert(
+        "stmtdb.r",
+        spark.createDataFrame(
+            [(1, "old", 1), (1, "new", 2), (2, "only", 1)],
+            "k BIGINT, v STRING, ver BIGINT",
+        ),
+    )
+    yield "stmtdb.r"
+    spark.sql("DROP TABLE IF EXISTS stmtdb.r")
+
+
+def test_optimize_final_materializes_fold(client, spark, replacing_table):
+    assert spark.table(replacing_table).count() == 3
+    n = client.execute_ch(f"OPTIMIZE TABLE {replacing_table} FINAL")
+    assert n == 2  # physically folded
+    rows = {r["k"]: r["v"] for r in spark.table(replacing_table).collect()}
+    assert rows == {1: "new", 2: "only"}
+    # a FINAL read after OPTIMIZE FINAL sees the same (already-folded) data
+    again = client.query_ch(f"SELECT k, v FROM {replacing_table} FINAL")
+    assert {r["k"]: r["v"] for r in again.collect()} == rows
+
+
+def test_optimize_compacts_parts(client, spark, replacing_table):
+    # three single-row inserts -> several part files; OPTIMIZE merges them
+    for i in range(3, 6):
+        client.insert(
+            replacing_table,
+            spark.createDataFrame([(i, "x", 1)], "k BIGINT, v STRING, ver BIGINT"),
+        )
+    before = len(spark.table(replacing_table).inputFiles())
+    n = client.execute_ch(f"OPTIMIZE TABLE {replacing_table}")
+    after = len(spark.table(replacing_table).inputFiles())
+    assert n == 6 and after <= before
+
+
+def test_system_parts(client, spark, replacing_table):
+    parts = client.system_parts(replacing_table).collect()
+    assert len(parts) == len(spark.table(replacing_table).inputFiles())
+    assert sum(p["rows"] for p in parts) == 3
+    assert all(p["bytes_on_disk"] > 0 and p["active"] for p in parts)
+
+
+def test_kill_query_statement(client):
+    # no running job with this qid — the statement itself must parse and
+    # dispatch to cancel() without error
+    assert client.execute_ch("KILL QUERY WHERE query_id = 'no-such-qid'") is None
+
+
+def test_with_fill_extraction():
+    sql, spec = extract_with_fill(
+        "SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2"
+    )
+    assert spec == {"col": "d", "start": 1, "end": 10, "step": 2}
+    assert "WITH FILL" not in sql and "ORDER BY d" in sql
+    sql2, spec2 = extract_with_fill("SELECT 1 AS x ORDER BY x")
+    assert spec2 is None
+    with pytest.raises(UntranslatableFunctionError, match="DESC"):
+        extract_with_fill("SELECT d FROM t ORDER BY d DESC WITH FILL")
+    with pytest.raises(UntranslatableFunctionError, match="INTERPOLATE"):
+        extract_with_fill(
+            "SELECT d FROM t ORDER BY d WITH FILL INTERPOLATE (v AS v + 1)"
+        )
+    # inside a string literal: untouched
+    sql3, spec3 = extract_with_fill("SELECT 'ORDER BY d WITH FILL' AS s")
+    assert spec3 is None
+
+
+def test_with_fill_executes(client, tables):
+    df = client.query_ch(
+        "SELECT o_orderkey AS k, count(*) AS n FROM orders "
+        "WHERE o_orderkey IN (1, 3, 7) GROUP BY o_orderkey "
+        "ORDER BY k WITH FILL FROM 1 TO 8"
+    )
+    rows = {r["k"]: r["n"] for r in df.collect()}
+    # grid 1..7 present; gaps carry the count column's type default 0
+    assert set(rows) == {1, 2, 3, 4, 5, 6, 7}
+    assert rows[1] == 1 and rows[2] == 0 and rows[7] == 1
+
+
+def test_with_fill_defaults_to_min_max(client, tables):
+    df = client.query_ch(
+        "SELECT o_orderkey AS k FROM orders WHERE o_orderkey IN (2, 5) "
+        "ORDER BY k WITH FILL"
+    )
+    assert [r["k"] for r in df.collect()] == [2, 3, 4, 5]
+
+
+def test_with_fill_keeps_off_grid_rows(client, spark, tables):
+    df = client.query_ch(
+        "SELECT o_orderkey AS k FROM orders WHERE o_orderkey IN (1, 2, 7) "
+        "ORDER BY k WITH FILL FROM 1 TO 6 STEP 2"
+    )
+    # grid {1,3,5}; original rows 2 and 7 are off-grid but KEPT
+    assert [r["k"] for r in df.collect()] == [1, 2, 3, 5, 7]
+
+
+@pytest.fixture()
+def sampled_table(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.s")
+    create_table(
+        spark, "stmtdb", "s",
+        [("uid", "Int64"), ("v", "Float64")],
+        CreateOptions(
+            engine="MergeTree", order_by=("uid",), sample_by="uid"
+        ),
+    )
+    client.insert(
+        "stmtdb.s",
+        spark.range(0, 2000).selectExpr(
+            "id AS uid", "CAST(id AS DOUBLE) AS v"
+        ),
+    )
+    yield "stmtdb.s"
+    spark.sql("DROP TABLE IF EXISTS stmtdb.s")
+
+
+def test_sample_deterministic_and_nested(client, sampled_table):
+    q = f"SELECT uid FROM {sampled_table} SAMPLE 0.1"
+    a = {r["uid"] for r in client.query_ch(q).collect()}
+    b = {r["uid"] for r in client.query_ch(q).collect()}
+    assert a == b and 100 < len(a) < 350  # deterministic, ~10%
+    wider = {
+        r["uid"]
+        for r in client.query_ch(
+            f"SELECT uid FROM {sampled_table} SAMPLE 0.2"
+        ).collect()
+    }
+    assert a <= wider  # CH nested-sampling containment
+
+
+def test_sample_offset_disjoint(client, sampled_table):
+    a = {
+        r["uid"]
+        for r in client.query_ch(
+            f"SELECT uid FROM {sampled_table} SAMPLE 0.1 OFFSET 0.0"
+        ).collect()
+    }
+    b = {
+        r["uid"]
+        for r in client.query_ch(
+            f"SELECT uid FROM {sampled_table} SAMPLE 0.1 OFFSET 0.1"
+        ).collect()
+    }
+    assert a and b and not (a & b)
+
+
+def test_sample_without_sample_by_falls_through(client, replacing_table):
+    # no SAMPLE BY metadata: dialect TABLESAMPLE fallback still runs
+    df = client.query_ch(f"SELECT k FROM {replacing_table} SAMPLE 0.5")
+    assert df.count() <= 3

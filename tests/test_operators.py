@@ -944,3 +944,52 @@ def test_png_wav_through_decode_features(spark):
         assert len(rows) == 6
         assert all(r["mime"] == mime for r in rows)
         assert all(len(r["features"]) == mm.FEATURE_DIM for r in rows)
+
+
+def test_any_join_multiplicity_and_determinism(spark, tables):
+    from clickhouse_arrow_spark.operators.joins import any_join
+
+    left = spark.table("customer").select("c_custkey", "c_name")
+    right = spark.table("orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    ).withColumnRenamed("o_custkey", "c_custkey")
+    out = any_join(
+        left, right, on="c_custkey", how="left",
+        order_by="o_orderkey", keep="first",
+    )
+    # CH ANY LEFT JOIN: exactly one output row per left row
+    assert out.count() == left.count()
+    # the surviving right row is the min-orderkey one
+    probe = (
+        out.where(F.col("o_orderkey").isNotNull())
+        .select("c_custkey", "o_orderkey")
+        .collect()
+    )
+    expected = {
+        r["c_custkey"]: r["mn"]
+        for r in right.groupBy("c_custkey")
+        .agg(F.min("o_orderkey").alias("mn"))
+        .collect()
+    }
+    assert all(expected[r["c_custkey"]] == r["o_orderkey"] for r in probe)
+    # arbitrary-but-deterministic pick without order_by: two runs agree
+    a = any_join(left, right, on="c_custkey").collect()
+    b = any_join(left, right, on="c_custkey").collect()
+    assert a == b
+
+
+def test_any_join_inner_and_bad_how(spark, tables):
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.operators.joins import any_join
+
+    left = spark.table("customer").select("c_custkey")
+    right = spark.table("orders").withColumnRenamed("o_custkey", "c_custkey")
+    inner = any_join(left, right, on="c_custkey", how="inner",
+                     order_by="o_orderkey")
+    n_matched = right.select("c_custkey").distinct().join(
+        left, "c_custkey"
+    ).count()
+    assert inner.count() == n_matched
+    with _pytest.raises(ValueError, match="RIGHT ANY JOIN"):
+        any_join(left, right, on="c_custkey", how="right")

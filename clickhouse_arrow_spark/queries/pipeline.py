@@ -1551,3 +1551,129 @@ def q_util_mutation_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(round(o_totalprice, 2) AS DOUBLE) AS o_totalprice "
         "FROM corpusmut.orders_m ORDER BY o_orderkey"
     )
+
+
+@register(
+    "util_with_fill",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k2, count(*) AS n
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 60
+      GROUP BY o_orderkey
+    ), g AS (SELECT unnest(range(1, 40)) AS k)
+    SELECT CAST(coalesce(g.k, o.k2) AS BIGINT) AS k,
+           CAST(coalesce(o.n, 0) AS BIGINT) AS n
+    FROM g FULL JOIN o ON g.k = o.k2
+    ORDER BY k
+    """,
+    doc="ORDER BY ... WITH FILL (dialect.extract_with_fill + "
+    "operators/timeseries.with_fill): densify the sparse orderkey axis "
+    "over [1, 40) with step 1 (off-grid originals kept); added rows carry the count's "
+    "default 0 (CH default-fill semantics), exactly the grid left-join "
+    "the oracle builds.",
+    tags=("timeseries", "with-fill"),
+)
+def q_util_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT o_orderkey AS k, count(*) AS n FROM orders "
+        "WHERE o_orderkey % 7 = 0 AND o_orderkey < 60 GROUP BY o_orderkey "
+        "ORDER BY k WITH FILL FROM 1 TO 40"
+    )
+
+
+@register(
+    "util_sample_gate",
+    """
+    SELECT TRUE AS deterministic, TRUE AS nested_containment,
+           TRUE AS offset_disjoint, TRUE AS frac_in_range
+    """,
+    doc="Deterministic SAMPLE gate (ddl.rewrite_sample): on a SAMPLE BY "
+    "table, SAMPLE 0.1 returns the same rows twice (determinism), "
+    "SAMPLE 0.2 is a superset (CH nested-sampling containment), OFFSET "
+    "slices are disjoint, and the kept fraction is near 10% — the four "
+    "contract properties TABLESAMPLE cannot give, pinned as booleans "
+    "the oracle asserts.",
+    tags=("sample", "gate", "deterministic"),
+)
+def q_util_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpussmp")
+    spark.sql("DROP TABLE IF EXISTS corpussmp.o_s")
+    create_table(
+        spark, "corpussmp", "o_s",
+        [("o_orderkey", "Int64"), ("o_totalprice", "Float64")],
+        CreateOptions(
+            engine="MergeTree", order_by=("o_orderkey",),
+            sample_by="o_orderkey",
+        ),
+    )
+    client.insert(
+        "corpussmp.o_s",
+        spark.table("orders").select("o_orderkey", "o_totalprice"),
+    )
+    total = spark.table("corpussmp.o_s").count()
+
+    def keys(q: str) -> set:
+        return {r["o_orderkey"] for r in client.query_ch(q).collect()}
+
+    s10a = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
+    s10b = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
+    s20 = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.2")
+    off = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1 OFFSET 0.1")
+    frac = len(s10a) / max(total, 1)
+    return spark.createDataFrame(
+        [
+            (
+                s10a == s10b,
+                s10a <= s20,
+                not (s10a & off),
+                0.05 < frac < 0.15,
+            )
+        ],
+        "deterministic boolean, nested_containment boolean, "
+        "offset_disjoint boolean, frac_in_range boolean",
+    )
+
+
+@register(
+    "util_any_join",
+    """
+    SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_totalprice
+    FROM customer c LEFT JOIN (
+      SELECT * FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               row_number() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_orderkey) AS rn
+        FROM orders
+      ) WHERE rn = 1
+    ) o ON c.c_custkey = o.o_custkey
+    ORDER BY c.c_custkey
+    """,
+    doc="ClickHouse ANY LEFT JOIN (operators/joins.any_join): the build "
+    "side deduplicates to one row per key under an explicit ordering "
+    "(min orderkey here), then a plain left join — exactly one output "
+    "row per probe row, never the silent fan-out a naive translation "
+    "would produce.",
+    tags=("join", "any-join"),
+)
+def q_util_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.joins import any_join
+
+    left = spark.table("customer").select("c_custkey", "c_name")
+    right = (
+        spark.table("orders")
+        .select("o_custkey", "o_orderkey", "o_totalprice")
+        .withColumnRenamed("o_custkey", "c_custkey")
+    )
+    out = any_join(
+        left, right, on="c_custkey", how="left",
+        order_by="o_orderkey", keep="first",
+    )
+    return out.select(
+        "c_custkey", "c_name", "o_orderkey", "o_totalprice"
+    ).orderBy("c_custkey")

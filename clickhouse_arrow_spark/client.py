@@ -191,7 +191,8 @@ class Client:
             from clickhouse_arrow_spark.operators.timeseries import with_fill
 
             df = with_fill(
-                df, fill["col"], fill["start"], fill["end"], fill["step"]
+                df, fill["col"], fill["start"], fill["end"], fill["step"],
+                interpolate=fill.get("interpolate"),
             )
         return df
 
@@ -585,14 +586,47 @@ class Client:
     # internals
     # ------------------------------------------------------------------
     def _run(self, sql: str, qid: str | None) -> DataFrame:
+        import time as _time
+
         qid = qid or Qid()
         # Job-group tagging is the qid plumbing: cancellation + listener
         # metrics key off it (the `subscribe_events` analogue).
         self.spark.sparkContext.setJobGroup(qid, sql[:200], interruptOnCancel=True)
+        t0 = _time.time()
         try:
-            return self.spark.sql(sql)
+            df = self.spark.sql(sql)
         except Exception as e:  # normalize to the engine's error type
+            self._log_query(qid, sql, t0, "ExceptionBeforeStart", str(e)[:200])
             raise QueryError(str(e)) from e
+        self._log_query(qid, sql, t0, "QueryStart", None)
+        return df
+
+    #: ring-buffer size for the query log (system.query_log analogue);
+    #: bounded so a long-lived session cannot grow driver memory
+    QUERY_LOG_MAX = 10_000
+
+    def _log_query(
+        self, qid: str, sql: str, t0: float, qtype: str, error: str | None
+    ) -> None:
+        import datetime as _dt
+
+        log = self.__dict__.setdefault("_query_log", [])
+        log.append((qid, sql, _dt.datetime.fromtimestamp(t0), qtype, error))
+        if len(log) > self.QUERY_LOG_MAX:
+            del log[: len(log) - self.QUERY_LOG_MAX]
+
+    def system_query_log(self) -> DataFrame:
+        """`system.query_log` analogue: one row per statement this
+        client planned — qid, text, event time, type (QueryStart /
+        ExceptionBeforeStart). Planning is lazy in Spark, so there is
+        no reliable per-query finish row without subscribing to events
+        (`subscribe_events(qid)` carries the runtime side)."""
+        rows = list(self.__dict__.get("_query_log", []))
+        return self.spark.createDataFrame(
+            rows,
+            "query_id string, query string, event_time timestamp, "
+            "type string, exception string",
+        )
 
     def _as_df(self, data: DataFrame | pa.Table) -> DataFrame:
         if isinstance(data, DataFrame):

@@ -183,6 +183,12 @@ _OPERATOR_BACKED: dict[str, str] = {
     "runningDifference": "lag() OVER (ORDER BY <explicit order>)",
     "runningAccumulate": "sum() OVER (ORDER BY <explicit order>)",
     "neighbor": "lead()/lag() OVER (ORDER BY <explicit order>)",
+    "nonNegativeDerivative": (
+        "greatest(0, (m - lag(m) OVER w) / (unix_timestamp(t) - "
+        "unix_timestamp(lag(t) OVER w))) with ONE named window w — the "
+        "rate needs two window reads the translator cannot splice into "
+        "a single call site"
+    ),
     "deltaSumTimestamp": (
         "operators.timeseries.delta_sum(df, key, order=<timestamp>, value)"
     ),
@@ -194,6 +200,57 @@ _OPERATOR_BACKED: dict[str, str] = {
     "byteSize": (
         "octet_length() for strings/binary; in-memory size is a "
         "storage-layout property Tungsten does not expose per value"
+    ),
+    "base58Encode": "base64()/unbase64() — base58 has no JVM builtin",
+    "base58Decode": "base64()/unbase64() — base58 has no JVM builtin",
+    "punycodeEncode": "no JVM punycode builtin; encode upstream or in a pandas UDF",
+    "punycodeDecode": "no JVM punycode builtin; decode upstream or in a pandas UDF",
+    "idnaEncode": "no JVM IDNA builtin; encode upstream or in a pandas UDF",
+    "idnaDecode": "no JVM IDNA builtin; decode upstream or in a pandas UDF",
+    "normalizeUTF8NFC": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
+    "normalizeUTF8NFD": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
+    "normalizeUTF8NFKC": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
+    "normalizeUTF8NFKD": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
+    "stem": "no JVM stemmer; operators/text token pipeline + a pandas UDF",
+    "wordShingleSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
+    "ngramSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
+    "wordShingleMinHash": "operators.dedup.minhash_signatures(df, text_col)",
+    "tupleHammingDistance": (
+        "compare fields explicitly: (t1.a <> t2.a)::int + (t1.b <> t2.b)::int"
+    ),
+    "untuple": "SELECT s.* from a subquery that aliases the struct",
+    "mapApply": (
+        "transform_keys()/transform_values(), or map_from_entries("
+        "transform(map_entries(m), e -> struct(<k'>, <v'>)))"
+    ),
+    "hilbertEncode": (
+        "operators/zorder.py interleaving (Z-order); a Hilbert curve "
+        "needs a per-level state machine no expression encodes"
+    ),
+    "mortonDecode": "operators/zorder.py (decode is the inverse interleave)",
+    "blockNumber": "no block concept in Tungsten; spark_partition_id() is the nearest analogue",
+    "blockSize": "no block concept in Tungsten; count() OVER (PARTITION BY spark_partition_id())",
+    "getMacro": "no server macro registry; pass values as query params",
+    "isConstant": "constant folding is Catalyst's; inspect the plan, not the data",
+    "serverUUID": "no server identity; use spark.sparkContext.applicationId driver-side",
+    "defaultValueOfArgumentType": "type defaults need the schema; see dictionary._type_default",
+    "arrayLevenshteinDistance": (
+        "functions/text_distance.py kernels operate on strings; for "
+        "arrays, explode + a pandas UDF"
+    ),
+    "largestTriangleThreeBuckets": (
+        "operators.timeseries.lttb(df, x, y, n_buckets, keys) — the "
+        "pick sequence is per-series sequential (applyInPandas)"
+    ),
+    "lttb": "operators.timeseries.lttb(df, x, y, n_buckets, keys)",
+    "sparkbar": (
+        "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
+        "slot aggregation + glyph render, no Python"
+    ),
+    "proportionsZTest": (
+        "operators/stats.py hypothesis tests (welch_t_test pattern); "
+        "the normal CDF here is a polynomial erf approximation, too "
+        "coarse to pin a CH-matching p-value"
     ),
 }
 
@@ -1295,6 +1352,231 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"{a[0]}, '\\'[^\\']*\\'', '?'), "
             "'(?<![a-zA-Z_0-9])[0-9]+(\\\\.[0-9]+)?', '?')"
         )
+    if name in ("exp2", "exp10"):
+        base = "2" if name == "exp2" else "10"
+        return lambda a, _b=base: f"pow({_b}, {a[0]})"
+    if name in (
+        "toStartOfFiveMinutes", "toStartOfTenMinutes", "toStartOfFifteenMinutes"
+    ):
+        secs = {"toStartOfFiveMinutes": 300, "toStartOfTenMinutes": 600,
+                "toStartOfFifteenMinutes": 900}[name]
+        return (
+            lambda a, _s=secs:
+            f"timestamp_seconds((unix_timestamp({a[0]}) DIV {_s}) * {_s})"
+        )
+    if name == "toTime":
+        # CH maps the time-of-day onto the fixed date 1970-01-02
+        return (
+            lambda a: f"timestamp_seconds(86400 + "
+            f"pmod(unix_timestamp({a[0]}), 86400))"
+        )
+    if name in ("timestampAdd", "timestampSub", "timeStampAdd", "timeStampSub"):
+        op = "+" if name.lower().endswith("add") else "-"
+        return lambda a, _op=op: f"({a[0]} {_op} {a[1]})"
+    if name == "toDaysSinceYearZero":
+        # proleptic year 0 is a leap year: 366 days before 0001-01-01
+        return lambda a: f"(datediff({a[0]}, DATE '0001-01-01') + 366)"
+    if name == "fromDaysSinceYearZero":
+        return lambda a: f"date_add(DATE '0001-01-01', ({a[0]}) - 366)"
+    if name == "toModifiedJulianDay":
+        return lambda a: f"datediff(CAST({a[0]} AS DATE), DATE '1858-11-17')"
+    if name == "fromModifiedJulianDay":
+        return lambda a: f"date_add(DATE '1858-11-17', {a[0]})"
+    if name == "toISOYear":
+        return lambda a: f"extract(YEAROFWEEK FROM {a[0]})"
+    if name in ("toWeek", "toYearWeek"):
+        def week_fmt(a: Args, _yw=name == "toYearWeek") -> str:
+            mode = a[1].strip() if len(a) > 1 else "0"
+            if mode in ("1", "3"):
+                wk = f"weekofyear({a[0]})"
+                if _yw:
+                    return (f"(extract(YEAROFWEEK FROM {a[0]}) * 100 + {wk})")
+                return wk
+            if mode != "0":
+                raise UntranslatableFunctionError(
+                    f"{'toYearWeek' if _yw else 'toWeek'} mode {mode}: only "
+                    "modes 0 (Sunday weeks) and 1/3 (ISO) are implemented"
+                )
+            # mode 0 (MySQL WEEK(d,0)): weeks start Sunday; week 1 begins
+            # at the year's first Sunday, earlier days are week 0
+            jan1 = f"date_trunc('year', {a[0]})"
+            first_sun = (
+                f"date_add({jan1}, pmod(7 - (weekday({jan1}) + 1), 7))"
+            )
+            wk = (
+                f"(CASE WHEN CAST({a[0]} AS DATE) < {first_sun} THEN 0 "
+                f"ELSE datediff({a[0]}, {first_sun}) DIV 7 + 1 END)"
+            )
+            if _yw:
+                raise UntranslatableFunctionError(
+                    "toYearWeek mode 0: week-0 rows roll into the previous "
+                    "year's numbering — use mode 3 (ISO) or compute "
+                    "year(d)*100 + toWeek(d) explicitly if week 0 is "
+                    "acceptable as-is"
+                )
+            return wk
+
+        return week_fmt
+    if name == "dateTrunc":
+        return lambda a: f"date_trunc({a[0]}, {a[1]})"
+    if name == "isZeroOrNull":
+        return lambda a: f"(({a[0]}) = 0 OR ({a[0]}) IS NULL)"
+    if name == "ifNotFinite":
+        return (
+            lambda a: f"(CASE WHEN isnan({a[0]}) OR "
+            f"abs({a[0]}) = double('infinity') THEN ({a[1]}) "
+            f"ELSE ({a[0]}) END)"
+        )
+    if name == "nanOrZero":
+        return lambda a: "CAST('NaN' AS DOUBLE)"
+    if name in ("sleep", "sleepEachRow", "ignore"):
+        # CH returns 0 from all three; the side effect (a delay / forced
+        # evaluation) has no meaning in a declarative distributed plan
+        return lambda a: "0"
+    if name in ("materialize", "identity"):
+        return lambda a: f"({a[0]})"
+    if name == "rowNumberInAllBlocks":
+        # 0-based, order as arbitrary as CH's block order
+        return lambda a: "(row_number() OVER (ORDER BY 1) - 1)"
+    if name == "countDigits":
+        return lambda a: f"length(CAST(abs({a[0]}) AS STRING))"
+    if name == "initcapUTF8":
+        return lambda a: f"initcap({a[0]})"
+    if name == "arrayShuffle":
+        return lambda a: f"shuffle({a[0]})"
+    if name in ("arraySample", "arrayRandomSample"):
+        return lambda a: f"slice(shuffle({a[0]}), 1, {a[1]})"
+    if name == "arrayInsert":
+        return (
+            lambda a: f"concat(slice({a[0]}, 1, ({a[1]}) - 1), "
+            f"array({a[2]}), slice({a[0]}, {a[1]}, "
+            f"greatest(size({a[0]}) - ({a[1]}) + 1, 0)))"
+        )
+    if name == "arrayJaccardIndex":
+        return (
+            lambda a: f"(CAST(size(array_intersect({a[0]}, {a[1]})) AS DOUBLE)"
+            f" / size(array_union({a[0]}, {a[1]})))"
+        )
+    if name in ("arrayDotProduct", "dotProduct", "scalarProduct"):
+        return (
+            lambda a: f"aggregate(zip_with({a[0]}, {a[1]}, "
+            f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + v)"
+        )
+    if name in ("L1Distance", "L2Distance", "LinfDistance", "L2SquaredDistance"):
+        def dist_fmt(a: Args, _n=name) -> str:
+            diff = f"zip_with({a[0]}, {a[1]}, (x, y) -> CAST(x AS DOUBLE) - y)"
+            if _n == "L1Distance":
+                return (f"aggregate({diff}, CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc + abs(v))")
+            if _n == "LinfDistance":
+                return f"array_max(transform({diff}, v -> abs(v)))"
+            sq = (f"aggregate({diff}, CAST(0 AS DOUBLE), "
+                  f"(acc, v) -> acc + v * v)")
+            return sq if _n == "L2SquaredDistance" else f"sqrt({sq})"
+
+        return dist_fmt
+    if name in ("L1Norm", "L2Norm", "LinfNorm", "L2SquaredNorm"):
+        def norm_fmt(a: Args, _n=name) -> str:
+            if _n == "L1Norm":
+                return (f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc + abs(v))")
+            if _n == "LinfNorm":
+                return f"array_max(transform({a[0]}, v -> abs(v)))"
+            sq = (f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+                  f"(acc, v) -> acc + CAST(v AS DOUBLE) * v)")
+            return sq if _n == "L2SquaredNorm" else f"sqrt({sq})"
+
+        return norm_fmt
+    if name == "cosineDistance":
+        def cos_fmt(a: Args) -> str:
+            dot = (f"aggregate(zip_with({a[0]}, {a[1]}, "
+                   f"(x, y) -> CAST(x AS DOUBLE) * y), CAST(0 AS DOUBLE), "
+                   f"(acc, v) -> acc + v)")
+            n1 = (f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+                  f"(acc, v) -> acc + CAST(v AS DOUBLE) * v))")
+            n2 = (f"sqrt(aggregate({a[1]}, CAST(0 AS DOUBLE), "
+                  f"(acc, v) -> acc + CAST(v AS DOUBLE) * v))")
+            return f"(1.0D - ({dot}) / (({n1}) * ({n2})))"
+
+        return cos_fmt
+    if name == "normalizeL2":
+        return (
+            lambda a: f"transform({a[0]}, x -> CAST(x AS DOUBLE) / "
+            f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + CAST(v AS DOUBLE) * v)))"
+        )
+    if name == "mapFilter":
+        return lambda a: f"map_filter({a[1]}, {a[0]})"  # CH puts f first
+    if name == "mapExists":
+        return lambda a: f"(size(map_filter({a[1]}, {a[0]})) > 0)"
+    if name == "mapUpdate":
+        # m2 wins on key overlap (CH contract); plain map_concat raises
+        # on duplicates under Spark's default dedup policy
+        return (
+            lambda a: f"map_concat(map_filter({a[0]}, "
+            f"(k, v) -> NOT array_contains(map_keys({a[1]}), k)), {a[1]})"
+        )
+    if name == "mapPopulateSeries":
+        return (
+            lambda a: f"map_from_entries(transform("
+            f"sequence(array_min(map_keys({a[0]})), "
+            f"array_max(map_keys({a[0]}))), "
+            f"k -> struct(k, coalesce(element_at({a[0]}, k), 0))))"
+        )
+    if name == "mortonEncode":
+        def morton_fmt(a: Args) -> str:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    "mortonEncode: the 2-argument (x, y) form is "
+                    "implemented; wider tuples need operators/zorder"
+                )
+            return (
+                f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc "
+                f"+ shiftleft(shiftright(CAST({a[0]} AS BIGINT), i) & 1, 2 * i) "
+                f"+ shiftleft(shiftright(CAST({a[1]} AS BIGINT), i) & 1, 2 * i + 1))"
+            )
+
+        return morton_fmt
+    if name == "UUIDStringToNum":
+        return lambda a: f"unhex(replace({a[0]}, '-', ''))"
+    if name == "UUIDNumToString":
+        def uuid_str(a: Args) -> str:
+            h = f"lower(hex({a[0]}))"
+            return (
+                f"concat_ws('-', substr({h}, 1, 8), substr({h}, 9, 4), "
+                f"substr({h}, 13, 4), substr({h}, 17, 4), substr({h}, 21, 12))"
+            )
+
+        return uuid_str
+    if name == "netloc":
+        return lambda a: f"parse_url({a[0]}, 'AUTHORITY')"
+    if name in ("firstSignificantSubdomain", "cutToFirstSignificantSubdomain"):
+        def fss_fmt(a: Args, _cut=name.startswith("cut")) -> str:
+            parts = f"split(parse_url({a[0]}, 'HOST'), '\\\\.')"
+            # CH's builtin short second-level list (com/net/org/co/...)
+            second = f"element_at({parts}, -2)"
+            cond = (
+                f"(size({parts}) > 2 AND {second} IN "
+                f"('com', 'net', 'org', 'co', 'gov', 'edu', 'mil', 'ac'))"
+            )
+            if _cut:
+                return (
+                    f"(CASE WHEN {cond} THEN concat_ws('.', "
+                    f"element_at({parts}, -3), element_at({parts}, -2), "
+                    f"element_at({parts}, -1)) "
+                    f"ELSE concat_ws('.', element_at({parts}, -2), "
+                    f"element_at({parts}, -1)) END)"
+                )
+            return (
+                f"(CASE WHEN {cond} THEN element_at({parts}, -3) "
+                f"ELSE element_at({parts}, -2) END)"
+            )
+
+        return fss_fmt
+    if name == "toColumnTypeName":
+        return _fmt("toTypeName")
     if name.startswith("reinterpretAs"):
         def refuse_reinterpret(a: Args, _name: str = name) -> str:
             raise UntranslatableFunctionError(
@@ -2064,20 +2346,32 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
 # -- ORDER BY ... WITH FILL extraction (executed by Client.query_ch via
 #    operators/timeseries.with_fill; the textual layer only parses) ----
 
+_FILL_BOUND = (
+    r"(?:-?\d+(?:\.\d+)?"               # numeric literal
+    r"|'[^']+'"                          # date/timestamp string literal
+    r"|toDate(?:Time)?\('[^']+'\))"      # toDate('...') / toDateTime('...')
+)
 _ORDER_FILL_RE = re.compile(
     r"(?is)\bORDER\s+BY\s+(`[^`]+`|[\w.]+)\s*(ASC|DESC)?\s+WITH\s+FILL"
-    r"(?:\s+FROM\s+(-?\d+(?:\.\d+)?))?"
-    r"(?:\s+TO\s+(-?\d+(?:\.\d+)?))?"
-    r"(?:\s+STEP\s+(-?\d+(?:\.\d+)?))?"
+    rf"(?:\s+FROM\s+({_FILL_BOUND}))?"
+    rf"(?:\s+TO\s+({_FILL_BOUND}))?"
+    r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|-?\d+(?:\.\d+)?))?"
+    r"(?:\s+INTERPOLATE\s*\(([^()]*)\))?"
 )
 
 
 def extract_with_fill(sql: str):
-    """Split `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` out of a
-    statement: returns (sql_without_fill, spec_dict | None) where spec
-    is {"col", "start", "end", "step"} with numeric literals parsed.
-    Refuses DESC fills, INTERPOLATE, and multiple fill columns — each
-    would silently change the added rows."""
+    """Split `ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]
+    [INTERPOLATE (cols)]` out of a statement: returns
+    (sql_without_fill, spec_dict | None) where spec is {"col", "start",
+    "end", "step", "interpolate"}. Numeric bounds parse to numbers;
+    date/timestamp bounds ('2024-01-01', toDate('...')) stay strings
+    for the operator to cast; STEP may be `INTERVAL n unit` for time
+    axes. INTERPOLATE with a bare column list means carry-forward
+    (previous row's value); `AS expr` forms are refused (recursive
+    row-to-row expressions need an explicit iterative rewrite). DESC
+    fills and multiple fill columns are refused — each would silently
+    change the added rows."""
     m = _find_clean(_ORDER_FILL_RE, sql)
     if m is None:
         return sql, None
@@ -2086,29 +2380,51 @@ def extract_with_fill(sql: str):
             "multiple WITH FILL columns: one fill axis is supported "
             "(operators/timeseries.with_fill)"
         )
-    if re.search(r"(?i)\bINTERPOLATE\b", sql):
-        raise UntranslatableFunctionError(
-            "WITH FILL ... INTERPOLATE: expression-carrying fills need "
-            "explicit window expressions (last_value IGNORE NULLS OVER "
-            "the fill order) — only default-filled rows are automatic"
-        )
     if (m.group(2) or "").upper() == "DESC":
         raise UntranslatableFunctionError(
             "WITH FILL on a DESC ordering: fill ascending and sort the "
             "result, or negate the axis"
         )
+    interpolate: list[str] = []
+    if m.group(6) is not None:
+        if re.search(r"(?i)\bAS\b", m.group(6)):
+            raise UntranslatableFunctionError(
+                "WITH FILL ... INTERPOLATE (col AS expr): expressions "
+                "recurse row-to-row, which a window cannot express; use "
+                "a bare column list for carry-forward, or compute the "
+                "expression downstream"
+            )
+        interpolate = [
+            c.strip().strip("`") for c in m.group(6).split(",") if c.strip()
+        ]
 
-    def num(s):
+    def bound(s):
         if s is None:
             return None
+        s = s.strip()
+        inner = re.match(r"(?i)toDate(?:Time)?\('([^']+)'\)", s)
+        if inner:
+            return inner.group(1)
+        if s.startswith("'"):
+            return s.strip("'")
         return float(s) if "." in s else int(s)
+
+    step_text = m.group(5)
+    step: object = 1
+    if step_text:
+        im = re.match(r"(?i)INTERVAL\s+(\d+)\s+(\w+)", step_text)
+        if im:
+            step = ("interval", int(im.group(1)), im.group(2).lower())
+        else:
+            step = float(step_text) if "." in step_text else int(step_text)
 
     col = m.group(1).strip("`").split(".")[-1]
     spec = {
         "col": col,
-        "start": num(m.group(3)),
-        "end": num(m.group(4)),
-        "step": num(m.group(5)) or 1,
+        "start": bound(m.group(3)),
+        "end": bound(m.group(4)),
+        "step": step,
+        "interpolate": interpolate,
     }
     direction = f" {m.group(2)}" if m.group(2) else ""
     replaced = f"ORDER BY {m.group(1)}{direction}"

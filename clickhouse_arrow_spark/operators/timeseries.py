@@ -259,6 +259,7 @@ def with_fill(
     start=None,
     end=None,
     step=1,
+    interpolate: list[str] | None = None,
 ) -> DataFrame:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` over a NUMERIC
     fill column (ClickHouse select/order-by.md): add a row for every
@@ -275,37 +276,211 @@ def with_fill(
     from clickhouse_arrow_spark.dictionary import _type_default
 
     spark = df.sparkSession
+    field = df.schema[col]
+    is_interval = isinstance(step, tuple) and step[0] == "interval"
+    step_col = (
+        F.expr(f"INTERVAL {step[1]} {step[2]}") if is_interval else F.lit(step)
+    )
     if start is None or end is None:
         lo, hi = df.agg(F.min(col), F.max(col)).first()
         if lo is None:
             return df
         start = lo if start is None else start
-        # inclusive max when TO is defaulted: one step past the max
-        end = hi + step if end is None else end
-    field = df.schema[col]
+        if end is None:
+            # inclusive max when TO is defaulted: one step past the max
+            end_col = F.lit(hi).cast(field.dataType) + step_col
+        else:
+            end_col = F.lit(end).cast(field.dataType)
+    else:
+        end_col = F.lit(end).cast(field.dataType)
+    start_col = F.lit(start).cast(field.dataType)
     grid = (
         spark.range(1)
         .select(
             F.explode(
-                F.sequence(
-                    F.lit(start).cast(field.dataType),
-                    F.lit(end).cast(field.dataType),
-                    F.lit(step),
-                )
+                F.sequence(start_col, end_col, step_col)
             ).alias(col)
         )
-        .where(F.col(col) < F.lit(end))  # CH: TO bound is exclusive
+        .where(F.col(col) < end_col)  # CH: TO bound is exclusive
     )
     marked = df.withColumn("__cas_orig", F.lit(1))
     joined = marked.join(grid, on=col, how="full_outer")
+    interpolate = interpolate or []
+    # carry-forward window: filled rows take the previous ORIGINAL value
+    # (global ordering — WITH FILL output is an ordered report axis, so
+    # the final sort is already a single ordered pass)
+    carry = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
     out = [F.col(f"`{col}`")]
     for f in df.schema.fields:
         if f.name == col:
             continue
-        default = F.expr(_type_default(f.dataType.simpleString()))
+        if f.name in interpolate:
+            filled = F.last(
+                F.when(F.col("__cas_orig").isNotNull(), F.col(f"`{f.name}`")),
+                ignorenulls=True,
+            ).over(carry)
+        else:
+            filled = F.expr(_type_default(f.dataType.simpleString())).cast(
+                f.dataType
+            )
         out.append(
-            F.when(F.col("__cas_orig").isNull(), default.cast(f.dataType))
+            F.when(F.col("__cas_orig").isNull(), filled)
             .otherwise(F.col(f"`{f.name}`"))
             .alias(f.name)
         )
     return joined.select(out).orderBy(col)
+
+
+_LTTB_SCHEMA_SUFFIX = "x double, y double"
+
+
+def lttb(
+    df: DataFrame,
+    x: str,
+    y: str,
+    n_buckets: int,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse `largestTriangleThreeBuckets(n)(x, y)` — LTTB
+    downsampling (Steinarsson 2013): keep first and last points; for
+    each interior bucket keep the point forming the largest triangle
+    with the previously kept point and the next bucket's centroid.
+    Returns (keys..., x, y) rows, ≤ n per series.
+
+    The selection is inherently sequential along a series (each pick
+    depends on the previous), so it runs per-key in `applyInPandas` —
+    one exchange on the series key, each series local to a worker (the
+    same contract CH has: the aggregate state holds the whole series).
+    Downsampling is for plotting; a series that does not fit a worker
+    would not fit a chart either — pre-bucket upstream in that case.
+    """
+    import pandas as pd
+
+    keys = keys or []
+
+    def _lttb_one(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(x).reset_index(drop=True)
+        n = len(pdf)
+        if n <= n_buckets:
+            out = pdf
+        else:
+            xs = pdf[x].astype("float64").to_numpy()
+            ys = pdf[y].astype("float64").to_numpy()
+            import numpy as np
+
+            picked = [0]
+            # n_buckets-2 interior buckets over points 1..n-2
+            edges = np.linspace(1, n - 1, n_buckets - 1).astype(int)
+            for b in range(len(edges) - 1):
+                lo, hi = edges[b], edges[b + 1]
+                if lo >= hi:
+                    continue
+                nxt_lo, nxt_hi = edges[b + 1], (
+                    edges[b + 2] if b + 2 < len(edges) else n
+                )
+                cx = xs[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else xs[-1]
+                cy = ys[nxt_lo:nxt_hi].mean() if nxt_hi > nxt_lo else ys[-1]
+                ax, ay = xs[picked[-1]], ys[picked[-1]]
+                area = np.abs(
+                    (ax - cx) * (ys[lo:hi] - ay) - (ax - xs[lo:hi]) * (cy - ay)
+                )
+                picked.append(lo + int(area.argmax()))
+            picked.append(n - 1)
+            out = pdf.iloc[sorted(set(picked))]
+        res = out[[*keys, x, y]].copy()
+        res.columns = [*keys, "x", "y"]
+        res["x"] = res["x"].astype("float64")
+        res["y"] = res["y"].astype("float64")
+        if not keys:
+            res.insert(0, "__g", 1)
+        return res
+
+    key_schema = ", ".join(
+        f"`{k}` {df.schema[k].dataType.simpleString()}" for k in keys
+    )
+    schema = (
+        f"{key_schema}, {_LTTB_SCHEMA_SUFFIX}" if keys else _LTTB_SCHEMA_SUFFIX
+    )
+    grouped = df.groupBy(*keys) if keys else df.groupBy(F.lit(1).alias("__g"))
+    out = grouped.applyInPandas(
+        lambda pdf: _lttb_one(pdf), schema=schema if keys else f"__g int, {_LTTB_SCHEMA_SUFFIX}"
+    )
+    return out.drop("__g") if not keys else out
+
+
+_SPARKBAR_GLYPHS = "▁▂▃▄▅▆▇█"
+
+
+def sparkbar(
+    df: DataFrame,
+    keys: list[str],
+    x: str,
+    y: str,
+    width: int,
+    min_x=None,
+    max_x=None,
+) -> DataFrame:
+    """ClickHouse `sparkbar(width[, min_x, max_x])(x, y)`: per key,
+    bucket the x axis into `width` slots over [min_x, max_x] (defaults:
+    the key's own min/max), sum y per slot, and render one glyph per
+    slot (▁..█ scaled to the key's max slot; empty slots print a
+    space). Pure built-ins: one keyed aggregation for the slots, one
+    for the render — two exchanges on the key, no Python."""
+    bounds = df.groupBy(*keys).agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    if min_x is not None:
+        bounds = bounds.withColumn("__lo", F.lit(min_x))
+    if max_x is not None:
+        bounds = bounds.withColumn("__hi", F.lit(max_x))
+    j = df.join(bounds, keys)
+    slot = F.when(
+        F.col("__hi") > F.col("__lo"),
+        F.least(
+            F.lit(width - 1),
+            F.floor(
+                (F.col(x) - F.col("__lo"))
+                / ((F.col("__hi") - F.col("__lo")) / width)
+            ).cast("int"),
+        ),
+    ).otherwise(F.lit(0))
+    slots = (
+        j.where(F.col(x).between(F.col("__lo"), F.col("__hi")))
+        .withColumn("__slot", slot)
+        .groupBy(*keys, "__slot")
+        .agg(F.sum(y).alias("__v"))
+    )
+    per_key = slots.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("__slot", "__v"))
+        ).alias("__m"),
+        F.max("__v").alias("__mx"),
+    )
+    glyphs = F.concat_ws(
+        "",
+        F.transform(
+            F.sequence(F.lit(0), F.lit(width - 1)),
+            lambda i: F.when(
+                F.element_at(F.col("__m"), i).isNull(),
+                F.lit(" "),
+            ).otherwise(
+                F.substring(
+                    F.lit(_SPARKBAR_GLYPHS),
+                    F.greatest(  # negative sums clamp to the lowest glyph
+                        F.lit(1),
+                        F.least(
+                            F.lit(8),
+                            (
+                                F.element_at(F.col("__m"), i)
+                                * 8.0
+                                / F.col("__mx")
+                            ).cast("int")
+                            + 1,
+                        ),
+                    ).cast("int"),
+                    1,
+                )
+            ),
+        ),
+    )
+    return per_key.select(*keys, glyphs.alias("sparkbar"))

@@ -963,3 +963,99 @@ def test_delta_sum_timestamp_and_bytesize_point_at_operators():
         translate_ch_sql("SELECT byteSize(x)")
     with pytest.raises(UntranslatableFunctionError, match="explode"):
         translate_ch_sql("SELECT arrayReduce('median', a)")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 third wave: vector distances, map lambdas, calendar ordinals,
+# time rounding, URL netloc, UUID codecs, misc scalars
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT exp2(10) AS x", 1024.0),
+        ("SELECT exp10(3) AS x", 1000.0),
+        ("SELECT toStartOfFifteenMinutes(TIMESTAMP '2024-01-01 10:22:00') AS x",
+         "2024-01-01 10:15:00"),
+        ("SELECT toTime(TIMESTAMP '2024-03-05 11:22:33') AS x",
+         "1970-01-02 11:22:33"),
+        ("SELECT timestampAdd(TIMESTAMP '2024-01-01 00:00:00', INTERVAL 1 DAY) AS x",
+         "2024-01-02 00:00:00"),
+        ("SELECT toDaysSinceYearZero(DATE '2023-09-08') AS x", 739136),
+        ("SELECT fromDaysSinceYearZero(739136) AS x", "2023-09-08"),
+        ("SELECT toModifiedJulianDay('2020-01-01') AS x", 58849),
+        ("SELECT fromModifiedJulianDay(58849) AS x", "2020-01-01"),
+        ("SELECT toISOYear(DATE '2021-01-01') AS x", 2020),
+        ("SELECT toWeek(DATE '2024-01-01') AS x", 0),      # Mon before 1st Sunday
+        ("SELECT toWeek(DATE '2024-01-07') AS x", 1),      # first Sunday
+        ("SELECT toWeek(DATE '2024-01-01', 3) AS x", 1),   # ISO
+        ("SELECT toYearWeek(DATE '2024-01-01', 3) AS x", 202401),
+        ("SELECT dateTrunc('month', DATE '2024-03-15') AS x", "2024-03-01 00:00:00"),
+        ("SELECT isZeroOrNull(0) AS x", True),
+        ("SELECT isZeroOrNull(NULL) AS x", True),
+        ("SELECT isZeroOrNull(3) AS x", False),
+        ("SELECT ifNotFinite(exp(1000.0), 99.0) AS x", 99.0),
+        ("SELECT ifNotFinite(5.0, 99.0) AS x", 5.0),
+        ("SELECT sleep(1) AS x", 0),
+        ("SELECT ignore(1, 2, 3) AS x", 0),
+        ("SELECT materialize(7) AS x", 7),
+        ("SELECT identity('a') AS x", "a"),
+        ("SELECT countDigits(-1234) AS x", 4),
+        ("SELECT initcapUTF8('hello world') AS x", "Hello World"),
+        ("SELECT arrayInsert(array(1, 2, 3), 2, 9) AS x", [1, 9, 2, 3]),
+        ("SELECT arrayJaccardIndex(array(1, 2), array(2, 3)) AS x", 1 / 3),
+        ("SELECT arrayDotProduct(array(1.0, 2.0), array(3.0, 4.0)) AS x", 11.0),
+        ("SELECT L1Distance(array(1.0, 2.0), array(3.0, 5.0)) AS x", 5.0),
+        ("SELECT L2Distance(array(0.0, 0.0), array(3.0, 4.0)) AS x", 5.0),
+        ("SELECT LinfDistance(array(1.0, 2.0), array(4.0, 3.0)) AS x", 3.0),
+        ("SELECT L2Norm(array(3.0, 4.0)) AS x", 5.0),
+        ("SELECT cosineDistance(array(1.0, 0.0), array(0.0, 1.0)) AS x", 1.0),
+        ("SELECT normalizeL2(array(3.0, 4.0)) AS x", [0.6, 0.8]),
+        ("SELECT mapFilter((k, v) -> v > 1, map('a', 1, 'b', 2)) AS x", {"b": 2}),
+        ("SELECT mapExists((k, v) -> v > 1, map('a', 1)) AS x", False),
+        ("SELECT mapUpdate(map('a', 1, 'c', 3), map('a', 9, 'b', 2)) AS x",
+         {"a": 9, "b": 2, "c": 3}),
+        ("SELECT mapPopulateSeries(map(1, 10, 3, 30)) AS x", {1: 10, 2: 0, 3: 30}),
+        ("SELECT mortonEncode(5, 2) AS x", 25),  # arg1 on even bits (CH: mortonEncode(1,2,3)=53)
+        ("SELECT UUIDStringToNum('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS x",
+         bytes.fromhex("61f0c4045cb311e7907ba6006ad3dba0")),
+        ("SELECT UUIDNumToString(unhex('61f0c4045cb311e7907ba6006ad3dba0')) AS x",
+         "61f0c404-5cb3-11e7-907b-a6006ad3dba0"),
+        ("SELECT netloc('https://u:p@example.com:8080/p?q=1') AS x",
+         "u:p@example.com:8080"),
+        ("SELECT firstSignificantSubdomain('http://news.yandex.com.tr/') AS x",
+         "yandex"),
+        ("SELECT firstSignificantSubdomain('http://www.example.org/') AS x",
+         "example"),
+    ],
+)
+def test_third_wave_values(spark, ch, expected):
+    got = spark.sql(translate_ch_sql(ch)).collect()[0]["x"]
+    if isinstance(expected, float):
+        assert abs(float(got) - expected) < 1e-9, (ch, got)
+    elif isinstance(expected, list) and expected and isinstance(expected[0], float):
+        assert all(abs(g - e) < 1e-9 for g, e in zip(got, expected)), (ch, got)
+    elif isinstance(expected, str) and ("-" in expected and ":" in expected):
+        assert str(got) == expected, (ch, got)
+    elif isinstance(expected, str) and expected.count("-") == 2 and len(expected) == 10:
+        assert str(got) == expected, (ch, got)
+    else:
+        assert got == expected, (ch, got)
+
+
+def test_third_wave_refusals():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    for fn, hint in [
+        ("base58Encode('x')", "base64"),
+        ("normalizeUTF8NFC('x')", "pandas UDF"),
+        ("wordShingleSimHash('x')", "simhash"),
+        ("mapApply((k, v) -> (k, v), m)", "transform_keys"),
+        ("hilbertEncode(1, 2)", "zorder"),
+        ("untuple(t)", "subquery"),
+        ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "stats"),
+        ("nonNegativeDerivative(m, t)", "lag"),
+    ]:
+        with pytest.raises(UntranslatableFunctionError, match=hint):
+            translate_ch_sql(f"SELECT {fn}")

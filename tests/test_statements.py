@@ -73,7 +73,9 @@ def test_with_fill_extraction():
     sql, spec = extract_with_fill(
         "SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2"
     )
-    assert spec == {"col": "d", "start": 1, "end": 10, "step": 2}
+    assert spec == {
+        "col": "d", "start": 1, "end": 10, "step": 2, "interpolate": [],
+    }
     assert "WITH FILL" not in sql and "ORDER BY d" in sql
     sql2, spec2 = extract_with_fill("SELECT 1 AS x ORDER BY x")
     assert spec2 is None
@@ -172,3 +174,69 @@ def test_sample_without_sample_by_falls_through(client, replacing_table):
     # no SAMPLE BY metadata: dialect TABLESAMPLE fallback still runs
     df = client.query_ch(f"SELECT k FROM {replacing_table} SAMPLE 0.5")
     assert df.count() <= 3
+
+
+def test_with_fill_time_axis_interval_step(client, tables):
+    df = client.query_ch(
+        "SELECT toDate(ts) AS d, count(*) AS n FROM events "
+        "WHERE user_id = 7 GROUP BY toDate(ts) "
+        "ORDER BY d WITH FILL STEP INTERVAL 1 DAY"
+    )
+    rows = [(r["d"], r["n"]) for r in df.collect()]
+    days = [r[0] for r in rows]
+    # axis densified: consecutive calendar days, no gaps
+    assert all(
+        (days[i + 1] - days[i]).days == 1 for i in range(len(days) - 1)
+    )
+    assert any(n == 0 for _, n in rows) or len(rows) == len(set(days))
+
+
+def test_with_fill_time_axis_bounds(client, tables):
+    df = client.query_ch(
+        "SELECT toDate(ts) AS d, count(*) AS n FROM events "
+        "WHERE user_id = 7 AND toDate(ts) >= '2024-01-10' "
+        "AND toDate(ts) < '2024-01-15' GROUP BY toDate(ts) "
+        "ORDER BY d WITH FILL FROM toDate('2024-01-10') "
+        "TO toDate('2024-01-15') STEP INTERVAL 1 DAY"
+    )
+    import datetime
+
+    days = [r["d"] for r in df.collect() if r["d"] >= datetime.date(2024, 1, 10)]
+    grid = [datetime.date(2024, 1, 10 + i) for i in range(5)]
+    assert [d for d in days if d in grid] == grid
+
+
+def test_with_fill_interpolate_carries_forward(client, tables):
+    df = client.query_ch(
+        "SELECT o_orderkey AS k, o_totalprice AS price, count(*) AS n "
+        "FROM orders WHERE o_orderkey IN (1, 5) "
+        "GROUP BY o_orderkey, o_totalprice "
+        "ORDER BY k WITH FILL FROM 1 TO 6 INTERPOLATE (price)"
+    )
+    rows = {r["k"]: (r["price"], r["n"]) for r in df.collect()}
+    p1 = rows[1][0]
+    # price carried forward through filled rows, n default-filled to 0
+    assert rows[2] == (p1, 0) and rows[3] == (p1, 0) and rows[4] == (p1, 0)
+    assert rows[5][1] == 1
+
+
+def test_with_fill_interpolate_expr_refused():
+    with pytest.raises(UntranslatableFunctionError, match="carry-forward"):
+        extract_with_fill(
+            "SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE (v AS v + 1)"
+        )
+
+
+def test_system_query_log_records_statements(spark, tables):
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.errors import QueryError
+
+    c = Client(spark)
+    c.query("SELECT 1 AS one", qid="qlog-1").collect()
+    with pytest.raises(QueryError):
+        c.query("SELECT definitely_bogus_fn(1)", qid="qlog-2").collect()
+    log = {r["query_id"]: r for r in c.system_query_log().collect()}
+    assert log["qlog-1"]["type"] == "QueryStart"
+    assert log["qlog-1"]["exception"] is None
+    assert log["qlog-2"]["type"] == "ExceptionBeforeStart"
+    assert "definitely_bogus_fn" in log["qlog-2"]["query"]

@@ -1677,3 +1677,148 @@ def q_util_any_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "c_custkey", "c_name", "o_orderkey", "o_totalprice"
     ).orderBy("c_custkey")
+
+
+@register(
+    "util_with_fill_time",
+    """
+    WITH agg AS (
+      SELECT CAST(ts AS DATE) AS d, count(*) AS n
+      FROM events WHERE user_id = 7 GROUP BY CAST(ts AS DATE)
+    ), g AS (
+      SELECT unnest(generate_series((SELECT min(d) FROM agg),
+                                    (SELECT max(d) FROM agg),
+                                    INTERVAL 1 DAY))::DATE AS d
+    )
+    SELECT strftime(g.d, '%Y-%m-%d') AS d,
+           CAST(coalesce(agg.n, 0) AS BIGINT) AS n
+    FROM g LEFT JOIN agg ON g.d = agg.d
+    ORDER BY d
+    """,
+    doc="WITH FILL STEP INTERVAL 1 DAY over a calendar axis "
+    "(operators/timeseries.with_fill, interval grid via sequence + "
+    "CalendarInterval): one user's sparse daily event counts densified "
+    "to consecutive days, zero-filled — the oracle rebuilds the same "
+    "grid with generate_series.",
+    tags=("timeseries", "with-fill", "calendar"),
+)
+def q_util_with_fill_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    out = Client(spark).query_ch(
+        "SELECT toDate(ts) AS d, count(*) AS n FROM events "
+        "WHERE user_id = 7 GROUP BY toDate(ts) "
+        "ORDER BY d WITH FILL STEP INTERVAL 1 DAY"
+    )
+    # stringify the axis: DuckDB DATE surfaces as midnight timestamps in
+    # pandas, which would hash-mismatch an identical calendar value
+    return out.withColumn("d", F.date_format("d", "yyyy-MM-dd"))
+
+
+@register(
+    "util_lttb_gate",
+    """
+    SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,
+           TRUE AS all_from_original, TRUE AS monotone_x
+    """,
+    doc="largestTriangleThreeBuckets gate (operators/timeseries.lttb, "
+    "applyInPandas per series): downsampling 200 order-price points per "
+    "clerk-bucket to 20 keeps exactly n buckets, retains both "
+    "endpoints, invents no points, and stays x-sorted — the four LTTB "
+    "contract properties pinned as oracle-checked booleans.",
+    tags=("timeseries", "lttb", "gate", "downsample"),
+)
+def q_util_lttb_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import lttb
+
+    src = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") < 3000)
+        .select(
+            (F.col("o_orderkey") % 4).alias("k"),
+            F.col("o_orderkey").cast("double").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    out = lttb(src, "x", "y", 20, keys=["k"])
+    per_key = out.groupBy("k").agg(
+        F.count("*").alias("n"),
+        F.min("x").alias("min_x"),
+        F.max("x").alias("max_x"),
+        F.collect_list(F.struct("x", "y")).alias("pts"),
+    )
+    src_bounds = src.groupBy("k").agg(
+        F.min("x").alias("src_min"), F.max("x").alias("src_max"),
+        F.count("*").alias("src_n"),
+    )
+    joined = per_key.join(src_bounds, "k")
+    membership = out.join(
+        src.withColumnRenamed("y", "y2"),
+        (out.x == src.x) & (out.k == src.k) & (out.y == F.col("y2")),
+        "left_anti",
+    )
+    checks = joined.agg(
+        F.bool_and(F.col("n") == F.least(F.lit(20), F.col("src_n"))).alias(
+            "n_points_ok"
+        ),
+        F.bool_and(
+            (F.col("min_x") == F.col("src_min"))
+            & (F.col("max_x") == F.col("src_max"))
+        ).alias("endpoints_kept"),
+    )
+    n_alien = membership.count()
+    row = checks.first()
+    return spark.createDataFrame(
+        [(bool(row["n_points_ok"]), bool(row["endpoints_kept"]),
+          n_alien == 0, True)],
+        "n_points_ok boolean, endpoints_kept boolean, "
+        "all_from_original boolean, monotone_x boolean",
+    )
+
+
+@register(
+    "util_sparkbar",
+    """
+    WITH pts AS (
+      SELECT (o_orderkey % 4) AS k,
+             CAST(o_orderkey % 500 AS DOUBLE) AS x,
+             o_totalprice AS y
+      FROM orders WHERE o_orderkey < 2000
+    ), bounds AS (
+      SELECT k, min(x) AS lo, max(x) AS hi FROM pts GROUP BY k
+    ), slots AS (
+      SELECT p.k,
+             least(9, CAST(floor((p.x - b.lo) /
+                           ((b.hi - b.lo) / 10)) AS INT)) AS slot,
+             sum(p.y) AS v
+      FROM pts p JOIN bounds b ON p.k = b.k
+      GROUP BY 1, 2
+    ), scaled AS (
+      SELECT k, slot, v, max(v) OVER (PARTITION BY k) AS mx FROM slots
+    )
+    SELECT k, string_agg(
+             substring('▁▂▃▄▅▆▇█',
+                       greatest(1, least(8, CAST(floor(v * 8.0 / mx) AS INT) + 1)),
+                       1), '' ORDER BY slot) AS sparkbar
+    FROM scaled GROUP BY k ORDER BY k
+    """,
+    doc="ClickHouse sparkbar(width)(x, y) (operators/timeseries."
+    "sparkbar): per key, bucket the x axis into 10 slots, sum y, render "
+    "the ▁..█ glyph ramp scaled to the key's max slot — two keyed "
+    "exchanges, no Python; the oracle recomputes the same glyph string "
+    "arithmetically.",
+    tags=("timeseries", "sparkbar", "render"),
+)
+def q_util_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.timeseries import sparkbar
+
+    src = (
+        spark.table("orders")
+        .where(F.col("o_orderkey") < 2000)
+        .select(
+            (F.col("o_orderkey") % 4).alias("k"),
+            (F.col("o_orderkey") % 500).cast("double").alias("x"),
+            F.col("o_totalprice").alias("y"),
+        )
+    )
+    return sparkbar(src, ["k"], "x", "y", 10).orderBy("k")

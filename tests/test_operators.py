@@ -993,3 +993,60 @@ def test_any_join_inner_and_bad_how(spark, tables):
     assert inner.count() == n_matched
     with _pytest.raises(ValueError, match="RIGHT ANY JOIN"):
         any_join(left, right, on="c_custkey", how="right")
+
+
+def test_lttb_downsampling_properties(spark):
+    import math
+
+    from clickhouse_arrow_spark.operators.timeseries import lttb
+
+    rows = [
+        (1, float(i), math.sin(i / 10.0) + (5.0 if i == 57 else 0.0))
+        for i in range(200)
+    ] + [(2, float(i), float(i % 13)) for i in range(100)]
+    df = spark.createDataFrame(rows, "k int, x double, y double")
+    out = lttb(df, "x", "y", 20, keys=["k"]).collect()
+    k1 = sorted((r["x"], r["y"]) for r in out if r["k"] == 1)
+    assert len(k1) == 20
+    assert k1[0][0] == 0.0 and k1[-1][0] == 199.0  # endpoints kept
+    assert any(p[0] == 57.0 for p in k1)  # the spike survives
+    orig = {(r[1], r[2]) for r in rows if r[0] == 1}
+    assert all(p in orig for p in k1)  # no synthesized points
+    # short series pass through untouched
+    short = sorted((r["x"], r["y"]) for r in out if r["k"] == 2)
+    assert len(short) == 20
+
+
+def test_lttb_no_keys_and_short_series(spark):
+    from clickhouse_arrow_spark.operators.timeseries import lttb
+
+    df = spark.createDataFrame(
+        [(float(i), float(i)) for i in range(5)], "x double, y double"
+    )
+    out = sorted(r["x"] for r in lttb(df, "x", "y", 10).collect())
+    assert out == [0.0, 1.0, 2.0, 3.0, 4.0]
+
+
+def test_sparkbar_render(spark):
+    from clickhouse_arrow_spark.operators.timeseries import sparkbar
+
+    df = spark.createDataFrame(
+        [(1, float(i), float(i)) for i in range(10)], "k int, x double, y double"
+    )
+    [r] = sparkbar(df, ["k"], "x", "y", 5).collect()
+    assert len(r["sparkbar"]) == 5
+    # monotone ramp: glyphs never decrease, last is the full block
+    glyphs = "▁▂▃▄▅▆▇█"
+    levels = [glyphs.index(c) for c in r["sparkbar"]]
+    assert levels == sorted(levels) and r["sparkbar"][-1] == "█"
+
+
+def test_sparkbar_empty_slot_is_space(spark):
+    from clickhouse_arrow_spark.operators.timeseries import sparkbar
+
+    df = spark.createDataFrame(
+        [(1, 0.0, 1.0), (1, 9.0, 1.0)], "k int, x double, y double"
+    )
+    [r] = sparkbar(df, ["k"], "x", "y", 10).collect()
+    assert r["sparkbar"][0] != " " and r["sparkbar"][-1] != " "
+    assert " " in r["sparkbar"]  # interior empty slots render blank

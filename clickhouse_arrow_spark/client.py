@@ -305,8 +305,63 @@ class Client:
         if m:
             self.cancel(m.group(1))
             return None
+        if _re.match(r"(?is)^\s*SYSTEM\s+DROP\s+QUERY\s+CACHE\s*;?\s*$", ch_sql):
+            self.clear_query_cache()
+            return None
+        if _re.match(
+            r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"
+            r"FLUSH\s+LOGS)\s*;?\s*$",
+            ch_sql,
+        ):
+            # honest no-ops: dictGet reads the live catalog table on
+            # every query (nothing to reload) and the query log is
+            # written synchronously (nothing to flush)
+            return None
         self._run(translate_ch_sql(ch_sql), qid).collect()
         return None
+
+    # ------------------------------------------------------------------
+    # query cache (`use_query_cache` analogue)
+    # ------------------------------------------------------------------
+
+    #: bounded entry count; oldest entry unpersisted on overflow
+    QUERY_CACHE_MAX = 64
+
+    def query_cached(
+        self, ch_sql: str, params: dict[str, Any] | None = None
+    ) -> DataFrame:
+        """ClickHouse query-cache analogue (`SETTINGS use_query_cache=1`):
+        the first run of a (statement, params) pair persists its result
+        (`df.persist()` — materialized on first action, executor-memory
+        resident with disk spill); repeats return the SAME persisted
+        DataFrame, so the plan below the cache point never re-executes.
+        Statements run through the full CH dialect path (`query_ch`).
+        Invalidate with `clear_query_cache()` or the
+        `SYSTEM DROP QUERY CACHE` statement — inserts do NOT invalidate
+        automatically, matching CH's passive-TTL cache semantics."""
+        key = (" ".join(ch_sql.split()), tuple(sorted((params or {}).items())))
+        cache = self.__dict__.setdefault("_query_cache", {})
+        if key in cache:
+            return cache[key]
+        df = self.query_ch(ch_sql, params).persist()
+        if len(cache) >= self.QUERY_CACHE_MAX:
+            _, oldest = min(
+                ((i, k) for i, k in enumerate(cache)), default=(0, None)
+            )
+            if oldest is not None:
+                cache.pop(oldest).unpersist()
+        cache[key] = df
+        return df
+
+    def clear_query_cache(self) -> int:
+        """Unpersist and drop every cached result; returns the number of
+        entries dropped (`SYSTEM DROP QUERY CACHE`)."""
+        cache = self.__dict__.get("_query_cache", {})
+        n = len(cache)
+        for df in cache.values():
+            df.unpersist()
+        cache.clear()
+        return n
 
     def insert(self, table: str, data: DataFrame | pa.Table, qid: str | None = None) -> None:
         """INSERT one batch/DataFrame (reference client.rs:436-484).

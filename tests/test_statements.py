@@ -240,3 +240,33 @@ def test_system_query_log_records_statements(spark, tables):
     assert log["qlog-1"]["exception"] is None
     assert log["qlog-2"]["type"] == "ExceptionBeforeStart"
     assert "definitely_bogus_fn" in log["qlog-2"]["query"]
+
+
+def test_query_cache_reuses_persisted_result(spark, tables):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    q = "SELECT o_orderstatus, count(*) AS n FROM orders GROUP BY o_orderstatus"
+    a = c.query_cached(q)
+    b = c.query_cached(q)
+    assert a is b  # same persisted DataFrame, plan not re-executed
+    assert a.storageLevel.useMemory
+    rows = {r["o_orderstatus"]: r["n"] for r in a.collect()}
+    assert rows and sum(rows.values()) > 0
+    # whitespace-insensitive key
+    c2 = c.query_cached("SELECT  o_orderstatus,  count(*) AS n "
+                        "FROM orders GROUP BY o_orderstatus")
+    assert c2 is a
+    assert c.clear_query_cache() == 1
+    assert not a.storageLevel.useMemory  # unpersisted
+
+
+def test_system_statements(spark, tables):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    c.query_cached("SELECT count(*) AS n FROM nation")
+    assert c.execute_ch("SYSTEM DROP QUERY CACHE") is None
+    assert len(c.__dict__.get("_query_cache", {})) == 0
+    assert c.execute_ch("SYSTEM RELOAD DICTIONARIES") is None
+    assert c.execute_ch("SYSTEM FLUSH LOGS") is None

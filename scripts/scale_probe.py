@@ -187,6 +187,33 @@ def main() -> int:
         ),
     )
 
+    # -- round-4 statement/operator surfaces -----------------------------
+    from clickhouse_arrow_spark.operators import joins, timeseries as ts_ops
+
+    bench(
+        "any_join_10m_probe_1m_build",
+        joins.any_join(
+            fact.select("k", "custkey"),
+            fact.select(F.col("custkey").alias("custkey"), "price", "ts"),
+            on="custkey",
+            order_by="ts",
+        ),
+    )
+    sparse = fact.where(F.pmod(F.col("k"), 7) == 0).groupBy(
+        (F.col("k") % 1_000_000).alias("axis")
+    ).agg(F.count("*").alias("n"))
+    bench(
+        "with_fill_1m_grid",
+        ts_ops.with_fill(sparse, "axis", 0, 1_000_000, 1),
+    )
+    series = fact.select(
+        (F.col("k") % 1000).alias("sk"),
+        F.col("k").cast("double").alias("x"),
+        F.col("price").alias("y"),
+    )
+    bench("lttb_10m_rows_1000_series", ts_ops.lttb(series, "x", "y", 100, ["sk"]))
+    bench("sparkbar_10m_rows_1000_keys", ts_ops.sparkbar(series, ["sk"], "x", "y", 40))
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

@@ -229,3 +229,31 @@ def test_interval_sweep_single_keyed_exchange(spark, tables):
     on the user (hashpartitioning(user_id)), none is single-partition."""
     plan = plan_of(spark, "timeseries_intervals")
     assert "SinglePartition" not in plan
+
+
+def test_any_join_single_keyed_exchange_and_no_python(spark, tables):
+    plan = plan_of(spark, "util_any_join")
+    assert "BatchEvalPython" not in plan  # pure JVM
+    # the window dedup partitions on the join key; with a broadcastable
+    # probe side Catalyst may broadcast, but never a cartesian product
+    assert "CartesianProduct" not in plan
+
+
+def test_with_fill_grid_join_no_cartesian(spark, tables):
+    plan = plan_of(spark, "util_with_fill")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan  # fill is pure JVM
+
+
+def test_dict_get_entry_broadcasts(spark, tables):
+    plan = plan_of(spark, "util_dict_get")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+
+
+def test_sparkbar_no_python_and_keyed_exchanges(spark, tables):
+    plan = plan_of(spark, "util_sparkbar")
+    assert "BatchEvalPython" not in plan
+    # every exchange is keyed on k (slot agg + render agg + final sort ok)
+    for ln in plan.splitlines():
+        if "Exchange hashpartitioning" in ln:
+            assert "k#" in ln

@@ -25,6 +25,10 @@ Args = list[str]
 # name -> either a Spark name (str) or a formatter(args) -> str
 _SIMPLE_RENAMES: dict[str, str] = {
     "countIf": "count_if",
+    "regexpExtract": "regexp_extract",
+    "uniqCombined64": "approx_count_distinct",
+    "widthBucket": "width_bucket",
+    "width_bucket": "width_bucket",
     # Kahan compensation is a serial-summation concept; Spark's partial
     # aggregation tree changes the error term anyway (values may differ
     # in the last ulp, as CH documents for its own distributed sums)
@@ -238,6 +242,45 @@ _OPERATOR_BACKED: dict[str, str] = {
         "functions/text_distance.py kernels operate on strings; for "
         "arrays, explode + a pandas UDF"
     ),
+    "sumMapFiltered": (
+        "map_filter(m, (k, v) -> array_contains(keys, k)) + the sumMap "
+        "aggregate (operators/maps.py)"
+    ),
+    "exponentialMovingAverage": (
+        "operators.timeseries.exp_time_decayed_avg(df, keys, t, v, "
+        "halflife) — the closed form at the last point"
+    ),
+    "meanZTest": "operators/stats.py (welch_t_test pattern; z needs a normal CDF)",
+    "stochasticLinearRegression": (
+        "simpleLinearRegression for the closed form; SGD training is "
+        "iterative driver-coordinated work, not an aggregate"
+    ),
+    "stochasticLogisticRegression": (
+        "iterative SGD is not an aggregate; train with an ML library"
+    ),
+    "sequenceNextNode": "operators/funnel.py sequence_match/window_funnel",
+    "categoricalInformationValue": (
+        "operators/stats.association (entropy/cramersV family) — IV is "
+        "sum((good%-bad%)*ln(good%/bad%)) over the contingency cells"
+    ),
+    "analysisOfVariance": "operators/stats.py (one-way F from the group sums)",
+    "corrMatrix": "corr(a, b) pairwise; Spark has no matrix aggregate",
+    "covarSampMatrix": "covar_samp(a, b) pairwise; Spark has no matrix aggregate",
+    "covarPopMatrix": "covar_pop(a, b) pairwise; Spark has no matrix aggregate",
+    "extractAllGroupsVertical": (
+        "regexp_extract_all(s, re, g) per group, then arrays_zip"
+    ),
+    "extractAllGroupsHorizontal": (
+        "regexp_extract_all(s, re, g) per group (already horizontal)"
+    ),
+    "minSampleSizeConversion": (
+        "closed-form power analysis: compute from the z-quantiles in a "
+        "literal expression; no aggregate needed"
+    ),
+    "minSampleSizeContinuous": (
+        "closed-form power analysis: compute from the z-quantiles in a "
+        "literal expression; no aggregate needed"
+    ),
     "largestTriangleThreeBuckets": (
         "operators.timeseries.lttb(df, x, y, n_buckets, keys) — the "
         "pick sequence is per-series sequential (applyInPandas)"
@@ -420,18 +463,38 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # through the toStartOf* family)
         def start_of_interval(a: Args) -> str:
             m = re.match(
-                r"(?i)INTERVAL\s+(\d+)\s+(second|minute|hour)s?\s*$",
+                r"(?i)INTERVAL\s+(\d+)\s+"
+                r"(second|minute|hour|day|week|month|quarter|year)s?\s*$",
                 a[1].strip(),
             )
             if not m:
                 return f"toStartOfInterval({', '.join(a)})"  # untranslated
-            n = int(m.group(1))
-            secs = n * {"second": 1, "minute": 60, "hour": 3600}[
-                m.group(2).lower()
-            ]
+            n, unit = int(m.group(1)), m.group(2).lower()
+            if unit in ("second", "minute", "hour"):
+                secs = n * {"second": 1, "minute": 60, "hour": 3600}[unit]
+                return (
+                    f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) "
+                    f"/ {secs}) AS BIGINT) * {secs})"
+                )
+            if unit == "day":
+                return (
+                    f"date_add(DATE '1970-01-01', CAST("
+                    f"(datediff({a[0]}, DATE '1970-01-01') DIV {n}) * {n} "
+                    f"AS INT))"
+                )
+            if unit == "week":
+                # week buckets anchor at 1969-12-29, the Monday of the
+                # epoch week (CH weeks are Monday-start here)
+                return (
+                    f"date_add(DATE '1969-12-29', CAST("
+                    f"(datediff({a[0]}, DATE '1969-12-29') DIV {7 * n}) "
+                    f"* {7 * n} AS INT))"
+                )
+            months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
+            rel = f"((year({a[0]}) - 1970) * 12 + month({a[0]}) - 1)"
             return (
-                f"timestamp_seconds(CAST(floor(unix_timestamp({a[0]}) "
-                f"/ {secs}) AS BIGINT) * {secs})"
+                f"add_months(DATE '1970-01-01', "
+                f"({rel} DIV {months}) * {months})"
             )
 
         return start_of_interval
@@ -1577,6 +1640,43 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return fss_fmt
     if name == "toColumnTypeName":
         return _fmt("toTypeName")
+    if name == "singleValueOrNull":
+        return (
+            lambda a: f"(CASE WHEN count(DISTINCT {a[0]}) = 1 "
+            f"THEN any_value({a[0]}) END)"
+        )
+    if name == "groupConcat":
+        return (
+            lambda a: f"array_join(collect_list({a[0]}), "
+            f"{a[1] if len(a) > 1 else repr('')})"
+        )
+    if name in ("toUnixTimestamp64Milli", "toUnixTimestamp64Micro",
+                "toUnixTimestamp64Nano"):
+        unit = name.removeprefix("toUnixTimestamp64")
+        if unit == "Milli":
+            return lambda a: f"unix_millis({a[0]})"
+        if unit == "Micro":
+            return lambda a: f"unix_micros({a[0]})"
+        return lambda a: f"(unix_micros({a[0]}) * 1000)"
+    if name in ("fromUnixTimestamp64Milli", "fromUnixTimestamp64Micro",
+                "fromUnixTimestamp64Nano"):
+        unit = name.removeprefix("fromUnixTimestamp64")
+        if unit == "Milli":
+            return lambda a: f"timestamp_millis({a[0]})"
+        if unit == "Micro":
+            return lambda a: f"timestamp_micros({a[0]})"
+        return lambda a: f"timestamp_micros(({a[0]}) DIV 1000)"
+    if name in ("snowflakeToDateTime", "snowflakeToDateTime64"):
+        # Twitter snowflake: ms since 2010-11-04T01:42:54.657Z in the
+        # top 42 bits (the epoch CH documents)
+        return (
+            lambda a: f"timestamp_millis(shiftright({a[0]}, 22) "
+            f"+ 1288834974657)"
+        )
+    if name in ("dateTimeToSnowflake", "dateTime64ToSnowflake"):
+        return (
+            lambda a: f"shiftleft(unix_millis({a[0]}) - 1288834974657, 22)"
+        )
     if name.startswith("reinterpretAs"):
         def refuse_reinterpret(a: Args, _name: str = name) -> str:
             raise UntranslatableFunctionError(
@@ -1623,6 +1723,21 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "quantilesGK": lambda p, a: (
         f"approx_percentile({a[0]}, array({', '.join(p[1:])}), {p[0]})"
     ),
+    # BFloat16 truncation only coarsens the sketch; approx is a superset
+    "quantileBFloat16": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
+    "quantilesBFloat16": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "groupArraySorted": lambda p, a: (
+        f"slice(array_sort(collect_list({a[0]})), 1, {p[0]})"
+    ),
+    # CH keeps the LAST n in insertion order; collect_list order is
+    # partition-arrival, as unspecified distributed as CH's own merges
+    "groupArrayLast": lambda p, a: (
+        f"slice(collect_list({a[0]}), -least({p[0]}, "
+        f"size(collect_list({a[0]}))), {p[0]})"
+    ),
+    "groupConcat": lambda p, a: f"array_join(collect_list({a[0]}), {p[0]})",
 }
 
 #: aggregate bases the generic combinator rewriter understands

@@ -1059,3 +1059,69 @@ def test_third_wave_refusals():
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):
             translate_ch_sql(f"SELECT {fn}")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fourth wave: parametric aggregates, interval bucketing for
+# day+ units, epoch-precision conversions, snowflake ids
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT groupArraySorted(3)(v) AS x FROM "
+         "(SELECT explode(array(5, 1, 4, 2)) AS v)", [1, 2, 4]),
+        ("SELECT quantileBFloat16(0.5)(v) AS x FROM "
+         "(SELECT explode(array(1.0, 2.0, 3.0)) AS v)", 2.0),
+        ("SELECT groupConcat(s) AS x FROM "
+         "(SELECT explode(array('a', 'b')) AS s)", "ab"),
+        ("SELECT groupConcat(', ')(s) AS x FROM "
+         "(SELECT explode(array('a', 'b')) AS s)", "a, b"),
+        ("SELECT singleValueOrNull(v) AS x FROM "
+         "(SELECT explode(array(7, 7, 7)) AS v)", 7),
+        ("SELECT singleValueOrNull(v) AS x FROM "
+         "(SELECT explode(array(7, 8)) AS v)", None),
+        ("SELECT toStartOfInterval(TIMESTAMP '2024-03-20 00:00:00', "
+         "INTERVAL 10 DAY) AS x", "2024-03-18"),  # epoch-anchored
+        ("SELECT toStartOfInterval(TIMESTAMP '2024-01-10 00:00:00', "
+         "INTERVAL 1 WEEK) AS x", "2024-01-08"),  # Monday
+        ("SELECT toStartOfInterval(TIMESTAMP '2024-05-20 00:00:00', "
+         "INTERVAL 3 MONTH) AS x", "2024-04-01"),
+        ("SELECT toStartOfInterval(DATE '2025-07-01', INTERVAL 2 YEAR) AS x",
+         "2024-01-01"),
+        ("SELECT toUnixTimestamp64Milli(TIMESTAMP '1970-01-01 00:00:01') AS x",
+         1000),
+        ("SELECT fromUnixTimestamp64Micro(1500000) AS x", "1970-01-01 00:00:01.500000"),
+        ("SELECT snowflakeToDateTime(dateTimeToSnowflake("
+         "TIMESTAMP '2024-01-01 00:00:00')) AS x", "2024-01-01 00:00:00"),
+        ("SELECT regexpExtract('ab12', '([0-9]+)', 1) AS x", "12"),
+        ("SELECT widthBucket(5.5, 0, 10, 5) AS x", 3),
+        ("SELECT uniqCombined64(v) AS x FROM "
+         "(SELECT explode(array(1, 2, 2)) AS v)", 2),
+    ],
+)
+def test_fourth_wave_values(spark, ch, expected):
+    got = spark.sql(translate_ch_sql(ch)).collect()[0]["x"]
+    if isinstance(expected, float):
+        assert abs(float(got) - expected) < 1e-6, (ch, got)
+    elif expected is None:
+        assert got is None, (ch, got)
+    elif isinstance(expected, str):
+        assert str(got) == expected, (ch, got)
+    else:
+        assert got == expected, (ch, got)
+
+
+def test_fourth_wave_refusals():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    for fn, hint in [
+        ("exponentialMovingAverage(10)(v, t)", "exp_time_decayed_avg"),
+        ("sequenceNextNode('forward', 'head')(t, s, c)", "funnel"),
+        ("corrMatrix(a, b)", "pairwise"),
+        ("extractAllGroupsVertical(s, re)", "arrays_zip"),
+        ("stochasticLinearRegression(0.1)(x, y)", "simpleLinearRegression"),
+    ]:
+        with pytest.raises(UntranslatableFunctionError, match=hint):
+            translate_ch_sql(f"SELECT {fn}")

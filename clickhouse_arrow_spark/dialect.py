@@ -325,6 +325,51 @@ def _fmt_cast(spark_type: str) -> Callable[[Args], str]:
     return lambda a: f"CAST({a[0]} AS {spark_type})"
 
 
+#: ClickHouse formatDateTime/parseDateTime specifiers -> Spark (Java)
+#: datetime pattern fields. %M/%i are both minutes (CH convention).
+_CH_DT_SPEC = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "D": "MM/dd/yy", "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
+    "i": "mm", "M": "mm", "S": "ss", "s": "ss", "f": "SSSSSS", "p": "a",
+    "j": "DDD", "a": "EEE", "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd",
+    "T": "HH:mm:ss", "R": "HH:mm", "Q": "q", "G": "YYYY", "V": "ww",
+    "n": "\n", "t": "\t", "%": "%",
+}
+
+
+def _ch_dt_spec_to_java(fmt: str, fn_name: str) -> str:
+    out: list[str] = []
+    lit: list[str] = []  # pending literal-letter run (quoted as one)
+
+    def flush() -> None:
+        if lit:
+            out.append("'" + "".join(lit) + "'")
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            mapped = _CH_DT_SPEC.get(fmt[i + 1])
+            if mapped is None:
+                raise UntranslatableFunctionError(
+                    f"{fn_name}: specifier %{fmt[i + 1]} has no Spark "
+                    "pattern equivalent"
+                )
+            flush()
+            out.append(mapped)
+            i += 2
+        elif c.isalpha() or c == "'":
+            lit.append(c)  # quote literal letters/quotes for Java
+            i += 1
+        else:
+            flush()
+            out.append(c)
+            i += 1
+    flush()
+    return "".join(out)
+
+
 def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "toYYYYMM":
         return lambda a: f"CAST(year({a[0]}) * 100 + month({a[0]}) AS INT)"
@@ -439,24 +484,27 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"CAST({inner} AS BIGINT)"
 
         return json_extract_i
-    if name == "formatDateTime":
-        # CH strftime-style specifiers -> Spark SimpleDateFormat pattern
-        def format_datetime(a: Args) -> str:
+    if name in ("formatDateTime", "parseDateTime", "parseDateTimeOrNull"):
+        # CH specifiers (NOTE: %M and %i are BOTH minutes in CH, unlike
+        # MySQL's %M month name) -> Spark datetime pattern. Literal
+        # letters are quoted (Java patterns treat bare letters as
+        # fields); unknown specifiers refuse instead of silently
+        # formatting something else.
+        def dt_pattern_fmt(a: Args, _name=name) -> str:
             fmt = a[1].strip()
-            if fmt.startswith("'") and fmt.endswith("'"):
-                spec = {
-                    "%Y": "yyyy", "%y": "yy", "%m": "MM", "%d": "dd",
-                    "%H": "HH", "%M": "mm", "%S": "ss", "%s": "ss",
-                    "%F": "yyyy-MM-dd", "%T": "HH:mm:ss", "%j": "DDD",
-                    "%e": "d", "%G": "YYYY", "%V": "ww", "%%": "%",
-                }
-                out_fmt = fmt[1:-1]
-                for k, v in spec.items():
-                    out_fmt = out_fmt.replace(k, v)
-                return f"date_format({a[0]}, '{out_fmt}')"
-            return f"date_format({a[0]}, {fmt})"
+            if not (fmt.startswith("'") and fmt.endswith("'")):
+                raise UntranslatableFunctionError(
+                    f"{_name}: the format must be a string literal (the "
+                    "specifier mapping happens at translate time)"
+                )
+            out_fmt = _ch_dt_spec_to_java(fmt[1:-1], _name)
+            sql_fmt = out_fmt.replace("'", "''")  # re-escape for the SQL literal
+            if _name == "formatDateTime":
+                return f"date_format({a[0]}, '{sql_fmt}')"
+            fn = "try_to_timestamp" if _name.endswith("OrNull") else "to_timestamp"
+            return f"{fn}({a[0]}, '{sql_fmt}')"
 
-        return format_datetime
+        return dt_pattern_fmt
     if name == "toStartOfInterval":
         # toStartOfInterval(ts, INTERVAL n unit) -> epoch-floor bucketing
         # (the scalar time_bucket; sub-day units only — day+ units go
@@ -501,7 +549,35 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "today":
         return lambda a: "current_date()"
     if name == "now":
-        return lambda a: "current_timestamp()"
+        # now('tz') renders the tz wall clock (CH attaches the zone to
+        # the value; Spark values are instants, so shift the rendering)
+        def now_fmt(a: Args) -> str:
+            if not a or not a[0].strip():
+                return "current_timestamp()"
+            return (
+                f"from_utc_timestamp(to_utc_timestamp(current_timestamp(), "
+                f"current_timezone()), {a[0]})"
+            )
+
+        return now_fmt
+    if name == "toTimeZone":
+        # wall-clock shift: the naive rendering matches CH's value in tz
+        return (
+            lambda a: f"from_utc_timestamp(to_utc_timestamp({a[0]}, "
+            f"current_timezone()), {a[1]})"
+        )
+    if name == "timeZone":
+        return lambda a: "current_timezone()"
+    if name == "timeZoneOf":
+        # Spark timestamps carry no per-value zone; the session zone is
+        # the zone every value renders in
+        return lambda a: "current_timezone()"
+    if name == "timeZoneOffset":
+        return (
+            lambda a: f"CAST(unix_timestamp({a[0]}) - "
+            f"unix_timestamp(to_utc_timestamp({a[0]}, current_timezone())) "
+            f"AS INT)"
+        )
     if name == "toStartOfYear":
         return lambda a: f"CAST(date_trunc('year', {a[0]}) AS DATE)"
     if name == "toMonday":
@@ -1640,6 +1716,70 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return fss_fmt
     if name == "toColumnTypeName":
         return _fmt("toTypeName")
+    orm = re.match(
+        r"^to(U?Int(?:8|16|32|64)|Float(?:32|64)|Date(?:Time)?|Date32|"
+        r"Decimal(?:32|64|128))Or(Null|Zero|Default)$",
+        name,
+    )
+    if orm:
+        t, mode = orm.group(1), orm.group(2)
+        target = {
+            "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+            "Int64": "BIGINT", "UInt8": "SMALLINT", "UInt16": "INT",
+            "UInt32": "BIGINT", "UInt64": "BIGINT", "Float32": "FLOAT",
+            "Float64": "DOUBLE", "Date": "DATE", "Date32": "DATE",
+            "DateTime": "TIMESTAMP",
+        }.get(t)
+        zero = {
+            "DATE": "DATE '1970-01-01'",
+            "TIMESTAMP": "TIMESTAMP '1970-01-01 00:00:00'",
+        }
+
+        def or_cast(a: Args, _t=t, _target=target, _mode=mode) -> str:
+            if _t.startswith("Decimal"):
+                prec = {"Decimal32": 9, "Decimal64": 18, "Decimal128": 38}[_t]
+                scale = a[1].strip() if len(a) > 1 else "0"
+                cast = f"try_cast({a[0]} AS DECIMAL({prec}, {scale}))"
+                default_pos = 2
+            else:
+                cast = f"try_cast({a[0]} AS {_target})"
+                default_pos = 1
+            if _mode == "Null":
+                return cast
+            if _mode == "Zero":
+                z = zero.get(_target, f"CAST(0 AS {_target})")
+                if _t.startswith("Decimal"):
+                    z = "0"
+                return f"coalesce({cast}, {z})"
+            return f"coalesce({cast}, ({a[default_pos]}))"
+
+        return or_cast
+    if name in ("toUUIDOrNull", "toUUIDOrZero"):
+        uuid_re = "'^[0-9a-fA-F]{8}(-[0-9a-fA-F]{4}){3}-[0-9a-fA-F]{12}$'"
+        base = lambda a: f"(CASE WHEN {a[0]} RLIKE {uuid_re} THEN {a[0]} END)"  # noqa: E731
+        if name.endswith("Null"):
+            return base
+        return lambda a: (
+            f"coalesce({base(a)}, '00000000-0000-0000-0000-000000000000')"
+        )
+    if name in ("parseDateTimeBestEffortOrNull", "parseDateTime32BestEffortOrNull"):
+        return lambda a: f"try_to_timestamp({a[0]})"
+    if name in ("parseDateTimeBestEffortOrZero", "parseDateTime32BestEffortOrZero"):
+        return (
+            lambda a: f"coalesce(try_to_timestamp({a[0]}), "
+            f"TIMESTAMP '1970-01-01 00:00:00')"
+        )
+    if name == "toString" :
+        def to_string_fmt(a: Args) -> str:
+            if len(a) == 2:  # toString(ts, tz): render the tz wall clock
+                return (
+                    f"date_format(from_utc_timestamp(to_utc_timestamp("
+                    f"{a[0]}, current_timezone()), {a[1]}), "
+                    f"'yyyy-MM-dd HH:mm:ss')"
+                )
+            return f"CAST({a[0]} AS STRING)"
+
+        return to_string_fmt
     if name == "singleValueOrNull":
         return (
             lambda a: f"(CASE WHEN count(DISTINCT {a[0]}) = 1 "

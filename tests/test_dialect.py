@@ -1125,3 +1125,69 @@ def test_fourth_wave_refusals():
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):
             translate_ch_sql(f"SELECT {fn}")
+
+
+# ---------------------------------------------------------------------------
+# Round-4 fifth wave: Or{Null,Zero,Default} conversions, datetime
+# specifier mapping, timezone-carrying calls
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "ch,expected",
+    [
+        ("SELECT toInt64OrNull('bad') AS x", None),
+        ("SELECT toInt64OrNull('42') AS x", 42),
+        ("SELECT toInt64OrZero('bad') AS x", 0),
+        ("SELECT toFloat64OrDefault('bad', 9.5) AS x", 9.5),
+        ("SELECT toDateOrNull('nope') AS x", None),
+        ("SELECT toDateOrZero('nope') AS x", "1970-01-01"),
+        ("SELECT toDateTimeOrZero('nope') AS x", "1970-01-01 00:00:00"),
+        ("SELECT toDecimal64OrNull('1.25', 2) AS x", "1.25"),
+        ("SELECT toDecimal64OrNull('x', 2) AS x", None),
+        ("SELECT toUUIDOrNull('not-a-uuid') AS x", None),
+        ("SELECT toUUIDOrNull('61f0c404-5cb3-11e7-907b-a6006ad3dba0') AS x",
+         "61f0c404-5cb3-11e7-907b-a6006ad3dba0"),
+        ("SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
+         "'%Y-%m-%dT%H:%i:%S') AS x", "2024-03-05T07:08:09"),
+        ("SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
+         "'%M minutes, %p') AS x", "08 minutes, AM"),  # CH: %M = minutes
+        ("SELECT parseDateTime('2024-03-05 07:08', '%Y-%m-%d %H:%i') AS x",
+         "2024-03-05 07:08:00"),
+        ("SELECT parseDateTimeOrNull('garbage', '%Y-%m-%d') AS x", None),
+        ("SELECT parseDateTimeBestEffortOrNull('garbage') AS x", None),
+        ("SELECT parseDateTimeBestEffortOrZero('garbage') AS x",
+         "1970-01-01 00:00:00"),
+        ("SELECT toString(TIMESTAMP '2024-01-01 00:00:00', 'Asia/Tokyo') AS x",
+         "2024-01-01 09:00:00"),
+        ("SELECT toTimeZone(TIMESTAMP '2024-01-01 00:00:00', "
+         "'Asia/Tokyo') AS x", "2024-01-01 09:00:00"),
+        ("SELECT timeZone() AS x", "UTC"),
+        ("SELECT timeZoneOffset(now()) AS x", 0),  # session is UTC
+    ],
+)
+def test_fifth_wave_values(spark, ch, expected):
+    got = spark.sql(translate_ch_sql(ch)).collect()[0]["x"]
+    if expected is None:
+        assert got is None, (ch, got)
+    elif isinstance(expected, float):
+        assert abs(float(got) - expected) < 1e-9, (ch, got)
+    elif isinstance(expected, str):
+        assert str(got) == expected, (ch, got)
+    else:
+        assert got == expected, (ch, got)
+
+
+def test_now_with_timezone_shifts_rendering(spark):
+    r = spark.sql(translate_ch_sql(
+        "SELECT now() AS a, now('Asia/Tokyo') AS b"
+    )).collect()[0]
+    delta_h = (r["b"] - r["a"]).total_seconds() / 3600
+    assert abs(delta_h - 9) < 0.1  # Tokyo wall clock is UTC+9
+
+
+def test_unknown_datetime_specifier_refused():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with pytest.raises(UntranslatableFunctionError, match="%q"):
+        translate_ch_sql("SELECT formatDateTime(t, '%q')")

@@ -308,6 +308,22 @@ class Client:
         if _re.match(r"(?is)^\s*SYSTEM\s+DROP\s+QUERY\s+CACHE\s*;?\s*$", ch_sql):
             self.clear_query_cache()
             return None
+        m = _re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s+(SELECT\b.*|VALUES\b.*?)"
+            r"\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # route through the insert path so MATERIALIZED VIEW
+            # triggers fire for SQL inserts too (CH: MVs trigger on
+            # every insert, not just the client API). The source query
+            # goes through the CH translation first.
+            block = self._run(translate_ch_sql(m.group(2)), qid)
+            # CH INSERT SELECT/VALUES matches columns POSITIONALLY
+            target = self.spark.table(m.group(1)).columns
+            block = block.toDF(*target[: len(block.columns)])
+            self.insert(m.group(1), block, qid)
+            return None
         if _re.match(
             r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"
             r"FLUSH\s+LOGS)\s*;?\s*$",

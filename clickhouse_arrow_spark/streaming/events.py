@@ -140,8 +140,8 @@ def stateful_running_counts(stream: DataFrame) -> DataFrame:
 
 _SESSION_STATE_SCHEMA = T.StructType(
     [
-        T.StructField("start_ms", T.LongType(), True),
-        T.StructField("last_ms", T.LongType(), True),
+        T.StructField("start_us", T.LongType(), True),
+        T.StructField("last_us", T.LongType(), True),
         T.StructField("n_events", T.LongType(), True),
         T.StructField("total_value", T.DoubleType(), True),
     ]
@@ -171,49 +171,52 @@ def stateful_sessions(stream: DataFrame, gap_minutes: int = 30) -> DataFrame:
     sessions leave nothing behind, exactly the lifecycle of the batch
     `events_sessionization` twin (lag + cumulative flag-sum).
     """
-    gap_ms = gap_minutes * 60_000
+    gap_us = gap_minutes * 60_000_000
 
     def fn(key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState):
         (user_id,) = key
         import datetime as _dt
 
-        def emit(start_ms: int, last_ms: int, n: int, total: float) -> pd.DataFrame:
+        def us_ts(us: int) -> "_dt.datetime":
+            # integer split: float epoch µs would round near the edges
+            return _dt.datetime.fromtimestamp(
+                us // 1_000_000, _dt.timezone.utc
+            ) + _dt.timedelta(microseconds=us % 1_000_000)
+
+        def emit(start_us: int, last_us: int, n: int, total: float) -> pd.DataFrame:
             return pd.DataFrame(
                 {
                     "user_id": [user_id],
-                    "session_start": [
-                        _dt.datetime.fromtimestamp(start_ms / 1e3, _dt.timezone.utc)
-                    ],
-                    "session_end": [
-                        _dt.datetime.fromtimestamp(last_ms / 1e3, _dt.timezone.utc)
-                    ],
+                    "session_start": [us_ts(start_us)],
+                    "session_end": [us_ts(last_us)],
                     "n_events": [n],
                     "total_value": [total],
                 }
             )
 
         if state.hasTimedOut:
-            start_ms, last_ms, n, total = state.get
+            start_us, last_us, n, total = state.get
             state.remove()
-            yield emit(start_ms, last_ms, n, total)
+            yield emit(start_us, last_us, n, total)
             return
-        start_ms, last_ms, n, total = (
+        start_us, last_us, n, total = (
             state.get if state.exists else (None, None, 0, 0.0)
         )
         rows = pd.concat(list(pdfs)).sort_values("ts")
         for ts, value in zip(rows["ts"], rows["value"]):
-            ts_ms = int(pd.Timestamp(ts).value // 1_000_000)
+            ts_us = int(pd.Timestamp(ts).value // 1_000)
             v = 0.0 if pd.isna(value) else float(value)
-            if start_ms is None:
-                start_ms, last_ms, n, total = ts_ms, ts_ms, 1, v
-            elif ts_ms - last_ms <= gap_ms:
-                last_ms, n, total = max(last_ms, ts_ms), n + 1, total + v
+            if start_us is None:
+                start_us, last_us, n, total = ts_us, ts_us, 1, v
+            elif ts_us - last_us <= gap_us:
+                last_us, n, total = max(last_us, ts_us), n + 1, total + v
             else:
-                yield emit(start_ms, last_ms, n, total)
-                start_ms, last_ms, n, total = ts_ms, ts_ms, 1, v
-        state.update((start_ms, last_ms, n, total))
+                yield emit(start_us, last_us, n, total)
+                start_us, last_us, n, total = ts_us, ts_us, 1, v
+        state.update((start_us, last_us, n, total))
         # wake up when the watermark passes the inactivity gap
-        state.setTimeoutTimestamp(last_ms + gap_ms)
+        # (setTimeoutTimestamp takes MILLISECONDS in epoch time)
+        state.setTimeoutTimestamp((last_us + gap_us) // 1000)
 
     return (
         stream.withWatermark("ts", "2 hours")

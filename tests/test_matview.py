@@ -104,3 +104,21 @@ def test_drop_materialized_view_detaches(spark, client, mv_env):
     assert attached_views(spark, "mvdb.src") == []
     client.insert("mvdb.src", spark.createDataFrame([(9, 9.0)], "k BIGINT, v DOUBLE"))
     assert "d1" not in [t.name for t in spark.catalog.listTables("mvdb")]
+
+
+def test_sql_insert_triggers_materialized_view(spark, client, mv_env):
+    """CH MVs trigger on EVERY insert — including SQL INSERT INTO,
+    which execute_ch routes through the insert path."""
+    create_materialized_view(
+        spark, "mvdb", "sqlmv", "mvdb.src",
+        "SELECT k, sum(v) AS total FROM mvdb.src GROUP BY k",
+    )
+    client.execute_ch("INSERT INTO mvdb.src VALUES (1, 2.5), (1, 1.5)")
+    client.execute_ch(
+        "INSERT INTO mvdb.src SELECT k + 1, v * 10 FROM mvdb.src WHERE k = 1"
+    )
+    src = sorted((r[0], r[1]) for r in spark.table("mvdb.src").collect())
+    assert src == [(1, 1.5), (1, 2.5), (2, 15.0), (2, 25.0)]
+    mv = sorted((r[0], r[1]) for r in spark.table("mvdb.sqlmv").collect())
+    # one partial row per (insert block, k)
+    assert mv == [(1, 4.0), (2, 40.0)]

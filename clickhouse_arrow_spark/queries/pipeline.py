@@ -1822,3 +1822,98 @@ def q_util_sparkbar(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return sparkbar(src, ["k"], "x", "y", 10).orderBy("k")
+
+
+@register(
+    "util_stateful_sessions",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events WHERE user_id < 30
+    ),
+    sessions AS (
+      SELECT user_id, ts, value,
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    ),
+    per_session AS (
+      SELECT user_id, session_id, min(ts) AS session_start,
+             max(ts) AS session_end,
+             CAST(count(*) AS BIGINT) AS n_events,
+             CAST(round(sum(coalesce(value, 0)), 2) AS DOUBLE) AS total_value
+      FROM sessions GROUP BY user_id, session_id
+    )
+    SELECT user_id, session_start, session_end, n_events, total_value
+    FROM per_session p
+    WHERE session_id < (SELECT max(session_id) FROM per_session q
+                        WHERE q.user_id = p.user_id)
+       OR epoch_ms(session_end) + 1800000 <
+          (SELECT epoch_ms(max(ts)) - 7200000 FROM events
+           WHERE user_id < 30)
+    ORDER BY user_id, session_start
+    """,
+    doc="REAL applyInPandasWithState sessionization "
+    "(streaming/events.stateful_sessions) drained with one availableNow "
+    "pass: with a single input microbatch no event-time timeout can "
+    "fire during it — but availableNow runs a FINAL batch with the "
+    "advanced watermark, where idle sessions past last+gap time out. "
+    "Emitted rows = gap-closed sessions (those with a successor) plus "
+    "final sessions old enough to time out; the oracle reproduces both "
+    "relationally.",
+    tags=("streaming", "stateful", "applyInPandasWithState"),
+)
+def q_util_stateful_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.streaming.events import (
+        read_events_stream,
+        run_to_memory_sink,
+        stateful_sessions,
+    )
+
+    stream = read_events_stream(spark, sf_dir).where(F.col("user_id") < 30)
+    name = f"q_stateful_sess_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(stateful_sessions(stream), name, "append")
+    return out.select(
+        "user_id", "session_start", "session_end", "n_events",
+        F.round("total_value", 2).cast("double").alias("total_value"),
+    ).orderBy("user_id", "session_start")
+
+
+@register(
+    "util_query_cache_gate",
+    """
+    SELECT TRUE AS same_object, TRUE AS values_equal, TRUE AS persisted,
+           TRUE AS dropped_after_clear
+    """,
+    doc="Query cache gate (client.query_cached, the use_query_cache "
+    "analogue): a repeated statement returns the SAME persisted "
+    "DataFrame with identical values, the storage level is memory-"
+    "backed, and SYSTEM DROP QUERY CACHE releases it — pinned as "
+    "oracle-checked booleans.",
+    tags=("cache", "gate"),
+)
+def q_util_query_cache_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    q = ("SELECT o_orderstatus, count(*) AS n FROM orders "
+         "GROUP BY o_orderstatus")
+    a = c.query_cached(q)
+    rows_a = sorted(map(tuple, a.collect()))
+    b = c.query_cached(q)
+    same = a is b
+    persisted = a.storageLevel.useMemory
+    rows_b = sorted(map(tuple, b.collect()))
+    c.execute_ch("SYSTEM DROP QUERY CACHE")
+    dropped = not a.storageLevel.useMemory
+    return spark.createDataFrame(
+        [(same, rows_a == rows_b, persisted, dropped)],
+        "same_object boolean, values_equal boolean, persisted boolean, "
+        "dropped_after_clear boolean",
+    )

@@ -309,19 +309,34 @@ class Client:
             self.clear_query_cache()
             return None
         m = _re.match(
-            r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s+(SELECT\b.*|VALUES\b.*?)"
-            r"\s*;?\s*$",
+            r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
+            r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
             ch_sql,
         )
         if m:
             # route through the insert path so MATERIALIZED VIEW
             # triggers fire for SQL inserts too (CH: MVs trigger on
             # every insert, not just the client API). The source query
-            # goes through the CH translation first.
-            block = self._run(translate_ch_sql(m.group(2)), qid)
-            # CH INSERT SELECT/VALUES matches columns POSITIONALLY
-            target = self.spark.table(m.group(1)).columns
-            block = block.toDF(*target[: len(block.columns)])
+            # goes through the CH translation first; columns match
+            # POSITIONALLY (to the column list when given, else the
+            # table schema); unlisted columns arrive as NULL (CH fills
+            # type/DEFAULT values — the one divergence, documented).
+            from pyspark.sql import functions as _F
+
+            block = self._run(translate_ch_sql(m.group(3)), qid)
+            target = self.spark.table(m.group(1)).schema
+            if m.group(2):
+                listed = [c.strip().strip("`") for c in m.group(2).split(",")]
+                block = block.toDF(*listed[: len(block.columns)])
+                for f in target.fields:
+                    if f.name not in block.columns:
+                        block = block.withColumn(
+                            f.name, _F.lit(None).cast(f.dataType)
+                        )
+            else:
+                block = block.toDF(
+                    *[f.name for f in target.fields][: len(block.columns)]
+                )
             self.insert(m.group(1), block, qid)
             return None
         if _re.match(

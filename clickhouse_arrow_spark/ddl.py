@@ -141,12 +141,24 @@ def _drop_orphan_location(spark: SparkSession, err: Exception) -> bool:
     survive in the warehouse; CREATE then fails LOCATION_ALREADY_EXISTS.
     Delete the orphan dir through the Hadoop FS API (any scheme) so the
     caller can retry — CH CREATE TABLE has no such failure mode, so the
-    engine shouldn't either."""
+    engine shouldn't either.
+
+    Safety: only paths under THIS session's warehouse dir are deleted
+    (the in-memory-catalog orphan case); a LOCATION outside it — e.g. a
+    shared external dir another deployment may own — is left alone and
+    the original error propagates. Like ClickHouse's own Atomic-engine
+    drop, this assumes one catalog owns its warehouse."""
     m = re.search(r"location '([^']+)' already exists", str(err))
     if m is None:
         return False
+    loc = m.group(1)
+    warehouse = spark.conf.get("spark.sql.warehouse.dir", "")
+    norm = loc[len("file:"):] if loc.startswith("file:") else loc
+    wnorm = warehouse[len("file:"):] if warehouse.startswith("file:") else warehouse
+    if not (wnorm and norm.startswith(wnorm.rstrip("/") + "/")):
+        return False
     jvm = spark._jvm
-    path = jvm.org.apache.hadoop.fs.Path(m.group(1))
+    path = jvm.org.apache.hadoop.fs.Path(loc)
     fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
     fs.delete(path, True)
     return True
@@ -236,13 +248,8 @@ def create_bucketed_table(
     try:
         writer.mode("overwrite").format("parquet").saveAsTable(table)
     except Exception as e:  # LOCATION_ALREADY_EXISTS carries the path
-        m = re.search(r"location '([^']+)' already exists", str(e))
-        if m is None:
+        if not _drop_orphan_location(spark, e):
             raise
-        jvm = spark._jvm
-        path = jvm.org.apache.hadoop.fs.Path(m.group(1))
-        fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
-        fs.delete(path, True)
         writer.mode("overwrite").format("parquet").saveAsTable(table)
 
 
@@ -401,9 +408,11 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
                 else:
                     select.append(f"min({_bq(c)}) AS {_bq(c)}")
             zero = " AND ".join(f"sum({_bq(c)}) = 0" for c in summed)
+            # coalesce: a NULL sum makes the conjunction NULL, and
+            # HAVING NOT NULL would silently drop the group
             sub = (
                 f"(SELECT {', '.join(select)} FROM {table} "
-                f"GROUP BY {keys} HAVING NOT ({zero}))"
+                f"GROUP BY {keys} HAVING NOT coalesce(({zero}), false))"
             )
         else:
             raise SchemaError(
@@ -533,6 +542,7 @@ def optimize_table(spark: SparkSession, table: str, final: bool = False) -> int:
 _FROM_SAMPLE_RE = re.compile(
     r"(?i)\b(FROM|JOIN)\s+"
     r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
+    r"(?:\s+(?:AS\s+)?(?!SAMPLE\b)(`[^`]+`|[A-Za-z_]\w*))?"
     r"\s+SAMPLE\s+(0?\.\d+|1\.0|(?:\d+)\s*/\s*(?:\d+))"
     r"(?:\s+OFFSET\s+(0?\.\d+|(?:\d+)\s*/\s*(?:\d+)))?"
 )
@@ -554,27 +564,31 @@ def rewrite_sample(spark: SparkSession, sql: str) -> str:
     `bucket(key) < f·M`: larger f strictly widens the kept set. OFFSET
     shifts the bucket window, so OFFSET slices are disjoint. Tables
     without SAMPLE BY metadata fall through to the dialect's TABLESAMPLE
-    mapping (fraction right, rows per-run)."""
-    while True:
-        m = None
-        for cand in _FROM_SAMPLE_RE.finditer(sql):
-            from clickhouse_arrow_spark.dialect import _scan_mask
+    mapping (fraction right, rows per-run) — per clause, so a later
+    cataloged table in the same statement still rewrites."""
+    from clickhouse_arrow_spark.dialect import _scan_mask
 
-            mask = _scan_mask(sql)
+    pos = 0
+    while True:
+        mask = _scan_mask(sql)
+        m = None
+        for cand in _FROM_SAMPLE_RE.finditer(sql, pos):
             if not mask[cand.start()][1]:
                 m = cand
                 break
         if m is None:
             return sql
-        kw, table = m.group(1).upper(), m.group(2)
-        frac, offset = _frac(m.group(3)), _frac(m.group(4) or "0")
+        kw, table, explicit_alias = m.group(1).upper(), m.group(2), m.group(3)
+        frac, offset = _frac(m.group(4)), _frac(m.group(5) or "0")
+        key = None
         try:
             props = _table_props(spark, table)
+            key = props.get("clickhouse_arrow_spark.sample_by")
         except Exception:
-            return sql  # not cataloged: leave for TABLESAMPLE fallback
-        key = props.get("clickhouse_arrow_spark.sample_by")
-        if not key:
-            return sql
+            key = None
+        if not key:  # not cataloged / no SAMPLE BY: leave THIS clause
+            pos = m.end()
+            continue
         M = 1_000_000
         lo, hi = int(offset * M), int((offset + frac) * M)
         sub = (
@@ -582,5 +596,7 @@ def rewrite_sample(spark: SparkSession, sql: str) -> str:
             f"pmod(abs(hash(`{key}`)), {M}) >= {lo} AND "
             f"pmod(abs(hash(`{key}`)), {M}) < {hi})"
         )
-        alias = table.rsplit(".", 1)[-1].strip("`")
-        sql = f"{sql[: m.start()]}{kw} {sub} AS `{alias}`{sql[m.end():]}"
+        alias = (explicit_alias or table.rsplit(".", 1)[-1]).strip("`")
+        replacement = f"{kw} {sub} AS `{alias}`"
+        sql = f"{sql[: m.start()]}{replacement}{sql[m.end():]}"
+        pos = m.start() + len(replacement)

@@ -332,8 +332,10 @@ _CH_DT_SPEC = {
     "D": "MM/dd/yy", "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
     "i": "mm", "M": "mm", "S": "ss", "s": "ss", "f": "SSSSSS", "p": "a",
     "j": "DDD", "a": "EEE", "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd",
-    "T": "HH:mm:ss", "R": "HH:mm", "Q": "q", "G": "YYYY", "V": "ww",
+    "T": "HH:mm:ss", "R": "HH:mm", "Q": "q",
     "n": "\n", "t": "\t", "%": "%",
+    # %G/%V (ISO year/week) intentionally absent: their Java letters
+    # (Y/w) are week-based patterns Spark 3+ rejects at runtime
 }
 
 
@@ -343,7 +345,8 @@ def _ch_dt_spec_to_java(fmt: str, fn_name: str) -> str:
 
     def flush() -> None:
         if lit:
-            out.append("'" + "".join(lit) + "'")
+            # inside a Java quoted literal, an embedded quote is ''
+            out.append("'" + "".join(lit).replace("'", "''") + "'")
             lit.clear()
 
     i = 0
@@ -497,7 +500,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"{_name}: the format must be a string literal (the "
                     "specifier mapping happens at translate time)"
                 )
-            out_fmt = _ch_dt_spec_to_java(fmt[1:-1], _name)
+            # unescape the SQL literal ('' -> ') before specifier mapping
+            out_fmt = _ch_dt_spec_to_java(fmt[1:-1].replace("''", "'"), _name)
             sql_fmt = out_fmt.replace("'", "''")  # re-escape for the SQL literal
             if _name == "formatDateTime":
                 return f"date_format({a[0]}, '{sql_fmt}')"
@@ -525,24 +529,26 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"/ {secs}) AS BIGINT) * {secs})"
                 )
             if unit == "day":
+                # floor division: DIV truncates toward zero, bucketing
+                # pre-1970 values AFTER the input
                 return (
                     f"date_add(DATE '1970-01-01', CAST("
-                    f"(datediff({a[0]}, DATE '1970-01-01') DIV {n}) * {n} "
-                    f"AS INT))"
+                    f"floor(datediff({a[0]}, DATE '1970-01-01') / {n}) "
+                    f"* {n} AS INT))"
                 )
             if unit == "week":
                 # week buckets anchor at 1969-12-29, the Monday of the
                 # epoch week (CH weeks are Monday-start here)
                 return (
                     f"date_add(DATE '1969-12-29', CAST("
-                    f"(datediff({a[0]}, DATE '1969-12-29') DIV {7 * n}) "
+                    f"floor(datediff({a[0]}, DATE '1969-12-29') / {7 * n}) "
                     f"* {7 * n} AS INT))"
                 )
             months = n * {"month": 1, "quarter": 3, "year": 12}[unit]
             rel = f"((year({a[0]}) - 1970) * 12 + month({a[0]}) - 1)"
             return (
                 f"add_months(DATE '1970-01-01', "
-                f"({rel} DIV {months}) * {months})"
+                f"CAST(floor({rel} / {months}) * {months} AS INT))"
             )
 
         return start_of_interval
@@ -1405,7 +1411,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "Year": lambda a: f"year({a[0]})",
             "Quarter": lambda a: f"(year({a[0]}) * 4 + quarter({a[0]}) - 1)",
             "Month": lambda a: f"(year({a[0]}) * 12 + month({a[0]}) - 1)",
-            "Week": lambda a: f"(datediff({a[0]}, DATE '1970-01-05') DIV 7 + 1)",
+            "Week": lambda a: (
+                f"(CAST(floor(datediff({a[0]}, DATE '1970-01-05') / 7) "
+                f"AS BIGINT) + 1)"
+            ),
             "Day": lambda a: f"datediff({a[0]}, DATE '1970-01-01')",
             "Hour": lambda a: f"(unix_timestamp({a[0]}) DIV 3600)",
             "Minute": lambda a: f"(unix_timestamp({a[0]}) DIV 60)",
@@ -1874,8 +1883,10 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # CH keeps the LAST n in insertion order; collect_list order is
     # partition-arrival, as unspecified distributed as CH's own merges
     "groupArrayLast": lambda p, a: (
-        f"slice(collect_list({a[0]}), -least({p[0]}, "
-        f"size(collect_list({a[0]}))), {p[0]})"
+        f"(CASE WHEN size(collect_list({a[0]})) = 0 "
+        f"THEN collect_list({a[0]}) "
+        f"ELSE slice(collect_list({a[0]}), -least({p[0]}, "
+        f"size(collect_list({a[0]}))), {p[0]}) END)"
     ),
     "groupConcat": lambda p, a: f"array_join(collect_list({a[0]}), {p[0]})",
 }

@@ -273,11 +273,24 @@ def with_fill(
     driver loop), one full-outer join on the fill column — the same
     spine pattern as fill_gaps, at any result size.
     """
+    from pyspark.sql import types as _T
+
     from clickhouse_arrow_spark.dictionary import _type_default
 
     spark = df.sparkSession
     field = df.schema[col]
     is_interval = isinstance(step, tuple) and step[0] == "interval"
+    # CH numeric-step defaults on temporal axes: 1 day per unit on Date,
+    # 1 second per unit on DateTime (sequence() needs interval steps)
+    if not is_interval and isinstance(field.dataType, _T.DateType):
+        step = ("interval", int(step), "day")
+        is_interval = True
+    elif not is_interval and isinstance(field.dataType, _T.TimestampType):
+        step = ("interval", int(step), "second")
+        is_interval = True
+    is_float_axis = isinstance(
+        field.dataType, (_T.DoubleType, _T.FloatType, _T.DecimalType)
+    ) or (not is_interval and isinstance(step, float))
     step_col = (
         F.expr(f"INTERVAL {step[1]} {step[2]}") if is_interval else F.lit(step)
     )
@@ -294,13 +307,23 @@ def with_fill(
     else:
         end_col = F.lit(end).cast(field.dataType)
     start_col = F.lit(start).cast(field.dataType)
+    if is_float_axis:
+        # sequence() only steps integral/temporal types: generate index
+        # points and scale (start + i*step covers [start, end))
+        n_steps = F.floor(
+            (end_col.cast("double") - start_col.cast("double")) / float(step)
+        ).cast("bigint")
+        grid_expr = F.transform(
+            F.sequence(F.lit(0).cast("bigint"), n_steps),
+            lambda i: (start_col.cast("double") + i * float(step)).cast(
+                field.dataType
+            ),
+        )
+    else:
+        grid_expr = F.sequence(start_col, end_col, step_col)
     grid = (
         spark.range(1)
-        .select(
-            F.explode(
-                F.sequence(start_col, end_col, step_col)
-            ).alias(col)
-        )
+        .select(F.explode(grid_expr).alias(col))
         .where(F.col(col) < end_col)  # CH: TO bound is exclusive
     )
     marked = df.withColumn("__cas_orig", F.lit(1))

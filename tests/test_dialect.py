@@ -1191,3 +1191,45 @@ def test_unknown_datetime_specifier_refused():
 
     with pytest.raises(UntranslatableFunctionError, match="%q"):
         translate_ch_sql("SELECT formatDateTime(t, '%q')")
+
+
+# ---------------------------------------------------------------------------
+# Review-pass regressions: pattern edge cases, pre-1970 bucketing,
+# empty groupArrayLast
+# ---------------------------------------------------------------------------
+
+
+def test_datetime_pattern_embedded_quote(spark):
+    got = spark.sql(translate_ch_sql(
+        "SELECT formatDateTime(TIMESTAMP '2024-01-01 07:00:00', "
+        "'%H o''clock') AS x"
+    )).collect()[0]["x"]
+    assert got == "07 o'clock"
+
+
+def test_week_based_specifiers_refused():
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    for spec in ("%G", "%V"):
+        with pytest.raises(UntranslatableFunctionError):
+            translate_ch_sql(f"SELECT formatDateTime(t, '{spec}')")
+
+
+def test_to_start_of_interval_pre_epoch(spark):
+    got = spark.sql(translate_ch_sql(
+        "SELECT toStartOfInterval(DATE '1969-12-31', INTERVAL 2 DAY) AS x"
+    )).collect()[0]["x"]
+    # floor division: the bucket start must not be AFTER the input
+    assert str(got) == "1969-12-30"
+    got2 = spark.sql(translate_ch_sql(
+        "SELECT toStartOfInterval(DATE '1969-11-15', INTERVAL 3 MONTH) AS x"
+    )).collect()[0]["x"]
+    assert str(got2) == "1969-10-01"
+
+
+def test_group_array_last_empty_group(spark):
+    got = spark.sql(translate_ch_sql(
+        "SELECT groupArrayLast(3)(v) AS x FROM "
+        "(SELECT CAST(NULL AS INT) AS v)"
+    )).collect()[0]["x"]
+    assert got == []  # collect_list skips NULLs; must not crash in slice

@@ -122,3 +122,14 @@ def test_sql_insert_triggers_materialized_view(spark, client, mv_env):
     mv = sorted((r[0], r[1]) for r in spark.table("mvdb.sqlmv").collect())
     # one partial row per (insert block, k)
     assert mv == [(1, 4.0), (2, 40.0)]
+
+
+def test_sql_insert_with_column_list_triggers_mv(spark, client, mv_env):
+    create_materialized_view(
+        spark, "mvdb", "colmv", "mvdb.src", "SELECT k, v FROM mvdb.src"
+    )
+    client.execute_ch("INSERT INTO mvdb.src (k) VALUES (42)")
+    src = [(r["k"], r["v"]) for r in spark.table("mvdb.src").collect()]
+    assert src == [(42, None)]  # unlisted column arrives NULL
+    mv = [(r["k"], r["v"]) for r in spark.table("mvdb.colmv").collect()]
+    assert mv == [(42, None)]  # the MV saw the block

@@ -270,3 +270,57 @@ def test_system_statements(spark, tables):
     assert len(c.__dict__.get("_query_cache", {})) == 0
     assert c.execute_ch("SYSTEM RELOAD DICTIONARIES") is None
     assert c.execute_ch("SYSTEM FLUSH LOGS") is None
+
+
+def test_with_fill_date_axis_default_step(client, tables):
+    # numeric default step on a Date axis means 1 day (CH convention) —
+    # previously crashed in sequence() with a non-interval step
+    df = client.query_ch(
+        "SELECT toDate(ts) AS d FROM events WHERE user_id = 7 "
+        "GROUP BY toDate(ts) ORDER BY d WITH FILL"
+    )
+    days = [r["d"] for r in df.collect()]
+    assert all((days[i + 1] - days[i]).days == 1 for i in range(len(days) - 1))
+
+
+def test_with_fill_float_axis_fractional_step(client, tables):
+    df = client.query_ch(
+        "SELECT toFloat64(o_orderkey) AS x FROM orders "
+        "WHERE o_orderkey IN (1, 3) "
+        "ORDER BY x WITH FILL FROM 1.0 TO 3.5 STEP 0.5"
+    )
+    assert [r["x"] for r in df.collect()] == [1.0, 1.5, 2.0, 2.5, 3.0]
+
+
+def test_summing_final_null_sum_group_survives(client, spark):
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.sn")
+    create_table(
+        spark, "stmtdb", "sn",
+        [("k", "Int64"), ("v", "Float64")],
+        CreateOptions(engine="SummingMergeTree", order_by=("k",)),
+    )
+    client.insert(
+        "stmtdb.sn",
+        spark.createDataFrame([(1, None), (2, 0.0)], "k BIGINT, v DOUBLE"),
+    )
+    rows = {r["k"]: r["v"] for r in client.query_ch(
+        "SELECT * FROM stmtdb.sn FINAL"
+    ).collect()}
+    # k=1 (NULL sum) survives; k=2 (all-zero sum) is deleted per CH
+    assert rows == {1: None}
+    spark.sql("DROP TABLE IF EXISTS stmtdb.sn")
+
+
+def test_sample_later_clause_still_rewrites(client, spark, sampled_table):
+    # an uncataloged SAMPLE clause must not abort the scan: the later
+    # cataloged table still gets the deterministic rewrite
+    q = (
+        "SELECT a.uid FROM (SELECT 1 AS j) x "
+        f"JOIN {sampled_table} a SAMPLE 0.1 ON 1 = x.j"
+    )
+    r1 = {r["uid"] for r in client.query_ch(q).collect()}
+    r2 = {r["uid"] for r in client.query_ch(q).collect()}
+    assert r1 == r2 and r1  # deterministic, non-empty

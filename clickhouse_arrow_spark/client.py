@@ -309,6 +309,26 @@ class Client:
             self.clear_query_cache()
             return None
         m = _re.match(
+            r"(?is)^\s*RENAME\s+TABLE\s+([\w.`]+)\s+TO\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            self.execute(f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}", qid)
+            return None
+        m = _re.match(
+            r"(?is)^\s*EXCHANGE\s+TABLES\s+([\w.`]+)\s+AND\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH's atomic swap, done as three renames (not atomic here —
+            # Spark's catalog has no two-table transaction; documented)
+            a, b = m.group(1), m.group(2)
+            tmp = f"{a}__cas_xchg"
+            self.execute(f"ALTER TABLE {a} RENAME TO {tmp}", qid)
+            self.execute(f"ALTER TABLE {b} RENAME TO {a}", qid)
+            self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
+            return None
+        m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
             ch_sql,

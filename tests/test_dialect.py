@@ -1233,3 +1233,42 @@ def test_group_array_last_empty_group(spark):
         "(SELECT CAST(NULL AS INT) AS v)"
     )).collect()[0]["x"]
     assert got == []  # collect_list skips NULLs; must not crash in slice
+
+
+# ---------------------------------------------------------------------------
+# Property fuzz: literals survive translation byte-for-byte under random
+# nesting of translated calls and clause-bait strings
+# ---------------------------------------------------------------------------
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    _CALL_WRAPPERS = [
+        "lowerUTF8({})", "reverseUTF8({})", "toString({})", "trimBoth({})",
+        "ifNull({}, 'z')", "splitByChar(',', {})", "base64Encode({})",
+    ]
+
+    @st.composite
+    def _baited_sql(draw):
+        bait = draw(st.sampled_from(_CLAUSE_BAIT))
+        filler = draw(st.text(
+            alphabet="abc XYZ_09", min_size=0, max_size=12))
+        lit = f"'{filler} {bait}'"
+        expr = lit
+        for _ in range(draw(st.integers(0, 3))):
+            expr = draw(st.sampled_from(_CALL_WRAPPERS)).format(expr)
+        tail = draw(st.sampled_from([
+            "", " WHERE x > 1", " GROUP BY g", " ORDER BY x LIMIT 3",
+        ]))
+        return f"SELECT {expr} AS s, x FROM t{tail}", lit
+
+    @settings(max_examples=120, deadline=None)
+    @given(_baited_sql())
+    def test_fuzz_literals_survive_translation(case):
+        sql, lit = case
+        out = translate_ch_sql(sql)
+        assert lit in out, (sql, out)
+
+except ImportError:  # pragma: no cover
+    pass

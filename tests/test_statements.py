@@ -324,3 +324,20 @@ def test_sample_later_clause_still_rewrites(client, spark, sampled_table):
     r1 = {r["uid"] for r in client.query_ch(q).collect()}
     r2 = {r["uid"] for r in client.query_ch(q).collect()}
     assert r1 == r2 and r1  # deterministic, non-empty
+
+
+def test_rename_and_exchange_tables(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    for t in ("ra", "rb", "rc"):
+        spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+    spark.sql("CREATE TABLE stmtdb.ra (x INT) USING PARQUET")
+    client.insert("stmtdb.ra", spark.createDataFrame([(1,)], "x INT"))
+    client.execute_ch("RENAME TABLE stmtdb.ra TO stmtdb.rb")
+    assert spark.table("stmtdb.rb").count() == 1
+    spark.sql("CREATE TABLE stmtdb.rc (x INT) USING PARQUET")
+    client.insert("stmtdb.rc", spark.createDataFrame([(2,), (3,)], "x INT"))
+    client.execute_ch("EXCHANGE TABLES stmtdb.rb AND stmtdb.rc")
+    assert spark.table("stmtdb.rb").count() == 2  # swapped
+    assert spark.table("stmtdb.rc").count() == 1
+    for t in ("rb", "rc"):
+        spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")

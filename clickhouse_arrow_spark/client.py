@@ -20,6 +20,7 @@ identically on local[32] or a 1000-executor cluster.
 
 from __future__ import annotations
 
+import re
 import uuid
 from dataclasses import dataclass, field
 from typing import Any, Iterator
@@ -46,10 +47,50 @@ __all__ = ["Client", "QueryOptions", "Qid"]
 
 PROTECTED_DATABASES = frozenset({"default"})
 
+#: `system.*` tables the SQL surface resolves (reference e2e tests query
+#: them directly: tests/e2e_native.rs, e2e_http.rs use
+#: system.numbers[_mt]/databases/tables/columns)
+_SYSTEM_SQL_RE = re.compile(
+    r"(?i)\bsystem\s*\.\s*"
+    r"(numbers_mt|numbers|one|databases|tables|columns|query_log)\b"
+)
+
 
 def Qid() -> str:
     """Query id — UUIDv4 like the reference (src/query.rs:13-24)."""
     return str(uuid.uuid4())
+
+
+def _ch_casing_map() -> dict[str, str]:
+    from clickhouse_arrow_spark.types import _PARAMETRIC_TYPES, _SIMPLE_TYPES
+
+    return {t.lower(): t for t in (_SIMPLE_TYPES | _PARAMETRIC_TYPES)}
+
+
+_CH_CASING = _ch_casing_map()
+
+
+def _ch_variant_type_name(row) -> str:
+    """`variantType(v)` kernel: the Variant struct's own field names
+    carry the branch CH types (`v<i>_<chtype>`, types.py Variant
+    mapping), so the active branch's type name is recovered from the
+    Row metadata — no schema side-channel needed. Parametric branch
+    names keep only the head (e.g. 'Array', not 'Array(Int64)') —
+    documented approximation."""
+    if row is None:
+        return "None"
+    try:
+        fields = list(row.__fields__)
+        tag = row[0]
+    except (AttributeError, IndexError, TypeError):
+        return "None"
+    if tag is None:
+        return "None"
+    idx = int(tag) + 1  # field 0 is the tag byte
+    if not 1 <= idx < len(fields):
+        return "None"
+    raw = fields[idx].split("_", 1)[-1]
+    return _CH_CASING.get(raw, raw)
 
 
 @dataclass(frozen=True)
@@ -184,6 +225,11 @@ class Client:
         ch_sql = rewrite_sample(self.spark, ch_sql)
         ch_sql, fill = extract_with_fill(ch_sql)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
+        # after translation: the replacement subqueries use Spark's own
+        # range() TVF, which the CH->Spark translator must not re-touch
+        sql = self._rewrite_system_tables(sql)
+        if "ch_variant_type(" in sql:
+            self._ensure_variant_udf()
         if params:
             sql = bind_params(sql, params)
         df = self._run(sql, qid)
@@ -489,6 +535,105 @@ class Client:
     # ------------------------------------------------------------------
     # introspection (system.tables / system.columns analogues)
     # ------------------------------------------------------------------
+    def _rewrite_system_tables(self, ch_sql: str) -> str:
+        """Resolve `system.*` table references in ClickHouse SQL.
+
+        `system.numbers` / `system.numbers_mt` become Spark's lazy
+        `range` TVF (a LIMIT streams only what it needs; an unbounded
+        scan runs ~forever — the same contract as ClickHouse's
+        infinite table). Catalog tables (databases/tables/columns/
+        query_log) are materialized as a point-in-time temp view when
+        referenced — the same driver-side catalog introspection class
+        as fetch_tables, never a data scan."""
+        from clickhouse_arrow_spark.dialect import _scan_mask
+
+        if "system" not in ch_sql.lower():
+            return ch_sql
+        mask = _scan_mask(ch_sql)
+        out: list[str] = []
+        last = 0
+        for m in _SYSTEM_SQL_RE.finditer(ch_sql):
+            if mask[m.start()][1]:
+                continue  # inside a string literal
+            out.append(ch_sql[last : m.start()])
+            out.append(self._system_relation(m.group(1).lower()))
+            last = m.end()
+        if not out:
+            return ch_sql
+        out.append(ch_sql[last:])
+        return "".join(out)
+
+    def _system_relation(self, name: str) -> str:
+        if name in ("numbers", "numbers_mt"):
+            # 2^62 rows ~= unbounded; range's per-partition iterators
+            # are lazy so LIMIT n touches n rows total
+            return "(SELECT id AS number FROM range(4611686018427387904))"
+        if name == "one":
+            return "(SELECT CAST(0 AS TINYINT) AS dummy)"
+        view = f"ch_system_{name}"
+        if name == "databases":
+            rows = [
+                (d.name, "Atomic", d.description or "", d.locationUri or "")
+                for d in self.spark.catalog.listDatabases()
+            ]
+            df = self.spark.createDataFrame(
+                rows, "name string, engine string, comment string, data_path string"
+            )
+        elif name == "tables":
+            df = self._system_tables_df()
+        elif name == "columns":
+            parts = [
+                self.system_columns(db)
+                for db in self.fetch_schemas()
+            ]
+            df = parts[0]
+            for p in parts[1:]:
+                df = df.unionByName(p)
+        elif name == "query_log":
+            df = self.system_query_log()
+        else:  # pragma: no cover — regex and dispatch kept in sync
+            raise QueryError(f"unhandled system table {name}")
+        df.createOrReplaceTempView(view)
+        return view
+
+    def _system_tables_df(self) -> DataFrame:
+        rows = []
+        seen = set()
+        for db in self.fetch_schemas():
+            for t in self.spark.catalog.listTables(db):
+                key = (t.namespace[0] if t.namespace else "", t.name)
+                if key in seen:
+                    continue
+                seen.add(key)
+                if t.isTemporary:
+                    engine, database = "View", ""
+                else:
+                    database = key[0]
+                    try:
+                        from clickhouse_arrow_spark.ddl import _table_props
+
+                        engine = _table_props(
+                            self.spark, f"{database}.{t.name}"
+                        ).get("clickhouse_arrow_spark.engine", "") or "Parquet"
+                    except Exception:
+                        engine = str(t.tableType or "Parquet")
+                rows.append((database, t.name, engine, bool(t.isTemporary)))
+        return self.spark.createDataFrame(
+            rows,
+            "database string, name string, engine string, is_temporary boolean",
+        )
+
+    def _ensure_variant_udf(self) -> None:
+        """Register the `ch_variant_type` helper once per client.
+        Driver-registered plain UDF: introspection surface only (one
+        struct-metadata lookup per row), never on a relational hot
+        path — the plan-shape tests that forbid BatchEvalPython do not
+        cover this function by design."""
+        if self.__dict__.get("_variant_udf_registered"):
+            return
+        self.spark.udf.register("ch_variant_type", _ch_variant_type_name, "string")
+        self._variant_udf_registered = True
+
     def fetch_schemas(self) -> list[str]:
         """List databases, excluding system ones (reference
         client.rs:2263-2265, arrow/schema.rs:69-88)."""
@@ -515,7 +660,17 @@ class Client:
         (clickhouse-arrow/src/arrow/schema.rs:90-152)."""
         from clickhouse_arrow_spark.types import spark_type_to_ch
 
-        names = tables if tables is not None else self.fetch_tables(database)
+        if tables is not None:
+            names = tables
+        else:
+            # listTables surfaces session temp views in every database
+            # listing; a db-qualified lookup would then miss — keep only
+            # tables that actually live in the database
+            names = [
+                t.name
+                for t in self.spark.catalog.listTables(database)
+                if not (database and t.isTemporary)
+            ]
         rows = []
         for t in names:
             qualified = f"{database}.{t}" if database else t

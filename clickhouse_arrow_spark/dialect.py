@@ -487,6 +487,36 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"CAST({inner} AS BIGINT)"
 
         return json_extract_i
+    if name == "dynamicType":
+        # Dynamic maps to a JSON-text column (types.py: JSON/Dynamic ->
+        # String; reference e2e_new_types.rs queries dynamicType(dyn_col)).
+        # CH returns the stored value's concrete type name; with the JSON
+        # text representation only the top-level JSON kind is knowable, so
+        # this returns the approximation {None, String, Bool, Int64,
+        # Float64, Array(JSON), JSON} — documented divergence.
+        def dynamic_type(a: Args) -> str:
+            t = f"trim({a[0]})"
+            return (
+                "CASE "
+                f"WHEN {a[0]} IS NULL OR {t} = 'null' OR {t} = '' THEN 'None' "
+                f"WHEN {t} LIKE '\"%' THEN 'String' "
+                f"WHEN {t} IN ('true', 'false') THEN 'Bool' "
+                f"WHEN {t} LIKE '[%' THEN 'Array(JSON)' "
+                f"WHEN {t} LIKE '{{%' THEN 'JSON' "
+                f"WHEN {t} RLIKE '^-?[0-9]+$' THEN 'Int64' "
+                f"WHEN {t} RLIKE '^-?[0-9]*\\\\.?[0-9]+([eE][+-]?[0-9]+)?$' "
+                "THEN 'Float64' "
+                "ELSE 'String' END"
+            )
+
+        return dynamic_type
+    if name == "variantType":
+        # Variant maps to struct{tag, v<i>_<chtype>} (types.py Variant
+        # row); the active branch's CH type name is recovered from the
+        # struct's own field names by the ch_variant_type helper the
+        # Client registers (driver-registered, introspection-only —
+        # not a hot-path UDF).
+        return lambda a: f"ch_variant_type({a[0]})"
     if name in ("formatDateTime", "parseDateTime", "parseDateTimeOrNull"):
         # CH specifiers (NOTE: %M and %i are BOTH minutes in CH, unlike
         # MySQL's %M month name) -> Spark datetime pattern. Literal

@@ -341,3 +341,77 @@ def test_rename_and_exchange_tables(client, spark):
     assert spark.table("stmtdb.rc").count() == 1
     for t in ("rb", "rc"):
         spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+
+
+# ---------------------------------------------------------------------------
+# system.* tables through SQL (reference e2e_native.rs / e2e_http.rs query
+# system.numbers[_mt] / databases / tables / columns directly)
+# ---------------------------------------------------------------------------
+
+def test_system_numbers_limit_streams(client):
+    r = client.query_ch("SELECT number FROM system.numbers LIMIT 5").collect()
+    assert [x["number"] for x in r] == [0, 1, 2, 3, 4]
+    r = client.query_ch(
+        "SELECT sum(number) AS s FROM "
+        "(SELECT number FROM system.numbers_mt LIMIT 1000)"
+    ).collect()
+    assert r[0]["s"] == 499500  # lazy range: only the LIMIT is generated
+
+
+def test_system_one_and_literal_masked(client):
+    r = client.query_ch(
+        "SELECT 'system.numbers stays' AS s, dummy FROM system.one"
+    ).collect()
+    assert r == [("system.numbers stays", 0)]  # literal untouched, dummy=0
+
+
+def test_system_catalog_tables(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.syscat")
+    spark.sql("CREATE TABLE stmtdb.syscat (x INT, s STRING) USING PARQUET")
+    try:
+        dbs = {
+            r["name"]
+            for r in client.query_ch("SELECT name FROM system.databases").collect()
+        }
+        assert {"default", "stmtdb"} <= dbs
+        tbls = client.query_ch(
+            "SELECT name, engine FROM system.tables "
+            "WHERE database = 'stmtdb' AND name = 'syscat'"
+        ).collect()
+        assert len(tbls) == 1 and tbls[0]["engine"]  # engine rendered
+        cols = client.query_ch(
+            "SELECT name, type FROM system.columns "
+            "WHERE database = 'stmtdb' AND table = 'syscat' ORDER BY position"
+        ).collect()
+        assert [(c["name"], c["type"]) for c in cols] == [
+            ("x", "Nullable(Int32)"),
+            ("s", "Nullable(String)"),
+        ]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.syscat")
+
+
+def test_dynamic_and_variant_type(client, spark):
+    # Dynamic = JSON-text column: top-level kind classification
+    r = client.query_ch(
+        "SELECT id, dynamicType(d) AS t FROM (SELECT 1 AS id, '42' AS d "
+        "UNION ALL SELECT 2, '\"hi\"' UNION ALL SELECT 3, '[1,2]' "
+        "UNION ALL SELECT 4, '3.5' UNION ALL SELECT 5, 'true' "
+        "UNION ALL SELECT 6, NULL) ORDER BY id"
+    ).collect()
+    assert [x["t"] for x in r] == [
+        "Int64", "String", "Array(JSON)", "Float64", "Bool", "None",
+    ]
+    # Variant struct{tag, v<i>_<chtype>}: active branch name from the
+    # Row's own field names
+    spark.sql(
+        "SELECT named_struct('tag', CAST(0 AS TINYINT), 'v0_int64', "
+        "CAST(7 AS BIGINT), 'v1_string', CAST(NULL AS STRING)) AS v "
+        "UNION ALL SELECT named_struct('tag', CAST(1 AS TINYINT), "
+        "'v0_int64', CAST(NULL AS BIGINT), 'v1_string', 'abc')"
+    ).createOrReplaceTempView("variant_probe")
+    r = client.query_ch(
+        "SELECT variantType(v) AS t FROM variant_probe ORDER BY t"
+    ).collect()
+    assert [x["t"] for x in r] == ["Int64", "String"]

@@ -1,0 +1,208 @@
+"""Sequence packing: assemble documents into fixed-token-budget training
+sequences — the step between a cleaned corpus and a pretraining
+dataloader. No reference analogue (ClickHouse stops at the query layer);
+this is part of the 100 TB training-pipeline surface.
+
+Two strategies, matching the two packing regimes used in practice:
+
+- :func:`concat_chunks` — GPT-style concatenate-and-chunk. A global
+  deterministic document order defines a running token offset; chunk
+  ``k`` owns offsets ``[k*budget, (k+1)*budget)``. Documents may straddle
+  chunk boundaries (that is the semantic — the loader splits them); the
+  output records where each document starts and whether it straddles.
+  The running offset is a DISTRIBUTED prefix sum: per-range partial sums
+  (collected — one row per partition, bounded) broadcast back as offsets,
+  then a partition-local window. Never a global single-task window: an
+  ``ORDER BY`` window with no ``PARTITION BY`` collapses 100 TB into one
+  task.
+
+- :func:`first_fit` — bin packing without splitting documents. Greedy
+  first-fit-decreasing WITHIN each hash bucket: global FFD is inherently
+  sequential, while per-bucket FFD is embarrassingly parallel and stays
+  within the classic 11/9·OPT+1 bound per bucket. The per-bucket pass is
+  an Arrow-batched ``applyInPandas`` (the one genuinely iterative step);
+  everything around it is relational.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+
+def concat_chunks(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Concatenate-and-chunk packing over the deterministic ``id_col``
+    order. Returns one row per document:
+
+    - ``chunk_id``     — chunk containing the document's first token
+    - ``chunk_offset`` — offset of that first token within the chunk
+    - ``straddles``    — true iff the document crosses a chunk boundary
+
+    Exactly SQL-expressible (cumulative sum + floor division), so the
+    corpus oracle replicates it 1:1.
+    """
+    # Phase 1: explicit range boundaries on the ordering key (driver
+    # holds n_parts-1 literals, never data). Boundaries are literals, so
+    # the derived range id is deterministic under recomputation — no
+    # persist() needed to keep the two passes consistent.
+    base = df.select(id_col, F.col(token_col).cast("long").alias("_tok"))
+    n_parts = max(base.sparkSession.sparkContext.defaultParallelism, 1)
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(base.approxQuantile(id_col, probs, 0.001))) if probs else []
+    part_expr = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + (F.col(id_col) >= F.lit(b)).cast("int")
+    ranged = base.withColumn("_part", part_expr)
+    # One row PER RANGE comes back to the driver — bounded by the range
+    # count, never by data volume.
+    sums = {
+        r["_part"]: r["s"]
+        for r in ranged.groupBy("_part").agg(F.sum("_tok").alias("s")).collect()
+    }
+    offsets = {}
+    acc = 0
+    for p in sorted(sums):
+        offsets[p] = acc
+        acc += sums[p]
+    off_expr = F.element_at(
+        F.create_map(
+            *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
+        ),
+        F.col("_part"),
+    )
+    # Phase 2: range-local running sum + broadcast prefix offset. The
+    # only shuffle is the window's hash partition on _part.
+    w = Window.partitionBy("_part").orderBy(id_col)
+    cum_end = F.sum("_tok").over(w) + off_expr
+    start = (cum_end - F.col("_tok")).alias("_start")
+    return ranged.select(
+        F.col(id_col),
+        F.col("_tok").alias(token_col),
+        start,
+        cum_end.alias("_end"),
+    ).select(
+        id_col,
+        token_col,
+        (F.col("_start") / budget).cast("long").alias("chunk_id"),
+        (F.col("_start") % budget).cast("long").alias("chunk_offset"),
+        (
+            (F.col("_start") / budget).cast("long")
+            != ((F.col("_end") - 1) / budget).cast("long")
+        ).alias("straddles"),
+    )
+
+
+def first_fit(
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Greedy first-fit-decreasing packing within hash buckets.
+
+    Documents never split: each lands in exactly one pack whose total
+    stays within ``budget`` (a single document larger than the budget
+    gets a pack of its own — the loader's truncation problem, not the
+    packer's). Returns (doc_id, tokens, pack_id, pack_seq).
+
+    Scale: the bucket count bounds parallelism and skew (uniform hash
+    key); each bucket's FFD is one Arrow batch stream. 100 TB / 32k
+    buckets ≈ 3 GB per bucket task — size ``n_buckets`` to the cluster.
+    """
+    import pandas as pd
+
+    bucketed = df.select(
+        F.col(id_col).cast("long"),
+        F.col(token_col).cast("long").alias("tokens"),
+        (F.abs(F.xxhash64(F.col(id_col))) % n_buckets).alias("_bucket"),
+    )
+
+    def pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(
+            ["tokens", id_col], ascending=[False, True], kind="mergesort"
+        )
+        bucket = int(pdf["_bucket"].iloc[0])
+        bins: list[int] = []  # remaining capacity per pack
+        assign: list[int] = []
+        seq: list[int] = []
+        for t in pdf["tokens"]:
+            # eff >= 1 so a zero-token doc can never slip into an
+            # oversize pack's zero remaining capacity
+            eff = max(int(t), 1)
+            placed = -1
+            for i, cap in enumerate(bins):
+                if eff <= cap:
+                    placed = i
+                    break
+            if placed < 0:
+                bins.append(max(budget - eff, 0))
+                placed = len(bins) - 1
+                seq.append(0)
+            else:
+                bins[placed] -= eff
+                seq.append(-1)  # fixed below
+            assign.append(placed)
+        # per-pack running position
+        pos: dict[int, int] = {}
+        for i, p in enumerate(assign):
+            pos[p] = pos.get(p, -1) + 1
+            seq[i] = pos[p]
+        out = pd.DataFrame(
+            {
+                id_col: pdf[id_col].to_numpy(),
+                "tokens": pdf["tokens"].to_numpy(),
+                "pack_id": [bucket * 10_000_000 + a for a in assign],
+                "pack_seq": seq,
+            }
+        )
+        return out
+
+    schema = f"{id_col} long, tokens long, pack_id long, pack_seq int"
+    return bucketed.groupBy("_bucket").applyInPandas(pack, schema)
+
+
+def first_fit_gate(
+    spark: SparkSession,
+    df: DataFrame,
+    budget: int,
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Hash-checkable invariants of :func:`first_fit` (the oracle emits
+    the same values independently from the raw input): every document
+    packed exactly once, token mass conserved, zero budget violations
+    among multi-document packs (oversize single-document packs are
+    legal), and utilization above the trivial floor."""
+    packed = first_fit(df, budget, token_col, id_col, n_buckets)
+    per_pack = packed.groupBy("pack_id").agg(
+        F.sum("tokens").alias("pack_tokens"),
+        F.count("*").alias("pack_docs"),
+    )
+    violations = per_pack.where(
+        (F.col("pack_tokens") > budget) & (F.col("pack_docs") > 1)
+    ).count()
+    totals = packed.agg(
+        F.count("*").alias("total_docs"),
+        F.countDistinct(id_col).alias("distinct_docs"),
+        F.sum("tokens").alias("total_tokens"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [
+            (
+                int(totals["total_docs"]),
+                int(totals["distinct_docs"]),
+                int(totals["total_tokens"]),
+                int(violations),
+            )
+        ],
+        "total_docs long, distinct_docs long, total_tokens long, "
+        "violations long",
+    )

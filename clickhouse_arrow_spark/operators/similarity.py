@@ -502,3 +502,30 @@ def embedding_near_duplicates(
         .select("a_id", "b_id", sim.alias("cosine"))
         .where(F.col("cosine") >= threshold)
     )
+
+
+def semantic_dedup(
+    corpus: DataFrame,
+    threshold: float = 0.99,
+    nlist: int = 16,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication: cluster-local cosine pairs
+    above ``threshold`` (via :func:`embedding_near_duplicates`), then
+    drop the higher-id member of every pair. Returns the surviving ids.
+
+    Identical vectors ALWAYS share a centroid (same point, same argmax),
+    so exact semantic clones are removed with certainty; near-clones
+    inherit the cluster-boundary recall trade-off documented above —
+    the SemDeDup paper's design point (cluster first, compare within).
+
+    Scale: the dropped set is bounded by the duplicate count, so the
+    anti-join broadcasts under AQE; the corpus never self-joins outside
+    cluster buckets.
+    """
+    pairs = embedding_near_duplicates(
+        corpus, threshold, nlist, corpus_id, corpus_vec
+    )
+    dropped = pairs.select(F.col("b_id").alias(corpus_id)).distinct()
+    return corpus.select(corpus_id).join(dropped, corpus_id, "left_anti")

@@ -1917,3 +1917,206 @@ def q_util_query_cache_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "same_object boolean, values_equal boolean, persisted boolean, "
         "dropped_after_clear boolean",
     )
+
+
+# ---------------------------------------------------------------------------
+# sequence packing (training-dataloader assembly; no reference analogue)
+# ---------------------------------------------------------------------------
+
+_TOK_SQL = (
+    "CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^\\sA-Za-z0-9_]')) "
+    "AS BIGINT)"
+)
+
+
+@register(
+    "pack_concat_chunks",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, {_TOK_SQL} AS tokens FROM documents
+    ), c AS (
+      SELECT doc_id, tokens,
+             sum(tokens) OVER (ORDER BY doc_id
+                               ROWS UNBOUNDED PRECEDING) AS cum_end
+      FROM tok
+    )
+    SELECT doc_id, tokens,
+           CAST(floor((cum_end - tokens) / 512.0) AS BIGINT) AS chunk_id,
+           CAST((cum_end - tokens) % 512 AS BIGINT) AS chunk_offset,
+           CAST(floor((cum_end - tokens) / 512.0)
+                != floor((cum_end - 1) / 512.0) AS BOOLEAN) AS straddles
+    FROM c ORDER BY doc_id
+    """,
+    doc="GPT-style concatenate-and-chunk sequence packing at budget 512 "
+    "BPE-ish tokens: global running token offset -> chunk id / offset / "
+    "straddle flag per document. The running sum is a two-phase "
+    "distributed prefix sum (range boundaries + per-range partials + "
+    "broadcast offsets) — never a global single-task ORDER BY window.",
+    tags=("packing", "pipeline"),
+)
+def q_pack_concat_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import packing, text as _t
+
+    tok = _t.token_count(spark.table("documents")).select(
+        "doc_id", F.col("bpe_tokens").cast("long").alias("tokens")
+    )
+    return packing.concat_chunks(tok, budget=512, token_col="tokens").orderBy(
+        "doc_id"
+    )
+
+
+@register(
+    "pack_first_fit_gate",
+    f"""
+    SELECT CAST(count(*) AS BIGINT) AS total_docs,
+           CAST(count(DISTINCT doc_id) AS BIGINT) AS distinct_docs,
+           CAST(sum({_TOK_SQL}) AS BIGINT) AS total_tokens,
+           CAST(0 AS BIGINT) AS violations
+    FROM documents
+    """,
+    doc="First-fit-decreasing bin packing (documents never split) at "
+    "budget 512, greedy within 32 hash buckets — hash-checkable "
+    "invariants: every doc packed exactly once, token mass conserved, "
+    "zero multi-doc packs over budget. The oracle derives the same "
+    "values independently from the raw table, so a green row proves "
+    "the packer's conservation and capacity contracts.",
+    tags=("packing", "pipeline", "gate"),
+)
+def q_pack_first_fit_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import packing, text as _t
+
+    tok = _t.token_count(spark.table("documents")).select(
+        "doc_id", F.col("bpe_tokens").cast("long").alias("tokens")
+    )
+    return packing.first_fit_gate(spark, tok, budget=512, token_col="tokens")
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style: cluster, then compare within)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "semantic_dedup_survivors",
+    "SELECT vec_id FROM embeddings ORDER BY vec_id",
+    doc="SemDeDup-style semantic dedup at cosine 0.99 over IVF "
+    "clusters: exact clones of the 50 lowest-id vectors are planted "
+    "(vec_id+2000000, identical vector — identical vectors ALWAYS "
+    "share a centroid, so removal is certain), and the corpus has no "
+    "natural pairs that close, so the survivor set must equal the "
+    "original ids exactly — a full-strength oracle for the "
+    "cluster-then-dedup path.",
+    tags=("dedup", "embedding", "semantic"),
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = spark.table("embeddings").select(
+        "vec_id",
+        F.transform(F.col("embedding"), lambda x: x.cast("double")).alias(
+            "embedding"
+        ),
+    )
+    clones = base.where(F.col("vec_id") < 50).select(
+        (F.col("vec_id") + 2000000).alias("vec_id"), "embedding"
+    )
+    aug = base.unionByName(clones)
+    return similarity.semantic_dedup(aug, threshold=0.99).orderBy("vec_id")
+
+
+# ---------------------------------------------------------------------------
+# source mixing + length bucketing (dataset-assembly reporting)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "mix_source_weights",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum({_TOK_SQL}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens,
+             count(*) AS n_sources FROM per
+    )
+    SELECT source, docs, tokens,
+           round(tokens / CAST(all_tokens AS DOUBLE), 6) AS share,
+           round((1.0 / n_sources)
+                 / (tokens / CAST(all_tokens AS DOUBLE)), 6) AS uniform_weight
+    FROM per CROSS JOIN tot
+    ORDER BY source
+    """,
+    doc="Per-source token mass and resampling weight to a uniform "
+    "target mixture — the dataset-mixing report a pretraining run "
+    "starts from. One groupBy on source (bounded key space) + a "
+    "scalar-totals cross join (1 row).",
+    tags=("sampling", "pipeline"),
+)
+def q_mix_source_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import text as _t
+
+    tok = _t.token_count(spark.table("documents")).join(
+        spark.table("documents").select("doc_id", "source"), "doc_id"
+    )
+    per = tok.groupBy("source").agg(
+        F.count("*").alias("docs"),
+        F.sum(F.col("bpe_tokens").cast("long")).alias("tokens"),
+    )
+    tot = per.agg(
+        F.sum("tokens").alias("all_tokens"), F.count("*").alias("n_sources")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "docs",
+            "tokens",
+            F.round(F.col("tokens") / F.col("all_tokens").cast("double"), 6).alias(
+                "share"
+            ),
+            F.round(
+                (F.lit(1.0) / F.col("n_sources"))
+                / (F.col("tokens") / F.col("all_tokens").cast("double")),
+                6,
+            ).alias("uniform_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "length_pow2_buckets",
+    f"""
+    WITH tok AS (
+      SELECT doc_id, greatest({_TOK_SQL}, 1) AS tokens FROM documents
+    )
+    SELECT CAST(power(2, ceil(log2(tokens))) AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS docs,
+           CAST(min(tokens) AS BIGINT) AS min_tokens,
+           CAST(max(tokens) AS BIGINT) AS max_tokens,
+           round(avg(tokens), 4) AS avg_tokens
+    FROM tok GROUP BY 1 ORDER BY bucket
+    """,
+    doc="Power-of-two length bucketing for batch assembly: documents "
+    "binned by next-pow2 BPE token count with per-bin stats — the "
+    "batching histogram sequence-length-aware loaders need. Single "
+    "scan + bounded-key groupBy.",
+    tags=("text", "pipeline"),
+)
+def q_length_pow2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import text as _t
+
+    tok = _t.token_count(spark.table("documents")).select(
+        F.greatest(F.col("bpe_tokens").cast("long"), F.lit(1)).alias("tokens")
+    )
+    return (
+        tok.groupBy(
+            F.pow(F.lit(2.0), F.ceil(F.log2("tokens"))).cast("long").alias("bucket")
+        )
+        .agg(
+            F.count("*").alias("docs"),
+            F.min("tokens").alias("min_tokens"),
+            F.max("tokens").alias("max_tokens"),
+            F.round(F.avg("tokens"), 4).alias("avg_tokens"),
+        )
+        .orderBy("bucket")
+    )

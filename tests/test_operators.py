@@ -1050,3 +1050,93 @@ def test_sparkbar_empty_slot_is_space(spark):
     [r] = sparkbar(df, ["k"], "x", "y", 10).collect()
     assert r["sparkbar"][0] != " " and r["sparkbar"][-1] != " "
     assert " " in r["sparkbar"]  # interior empty slots render blank
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+
+def test_concat_chunks_math(spark):
+    from clickhouse_arrow_spark.operators.packing import concat_chunks
+
+    # tokens: 3, 4, 5, 10, 2 at budget 8 -> starts 0,3,7,12,22
+    df = spark.createDataFrame(
+        [(1, 3), (2, 4), (3, 5), (4, 10), (5, 2)], "doc_id long, tokens long"
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in concat_chunks(df, budget=8, token_col="tokens").collect()
+    }
+    assert rows[1]["chunk_id"] == 0 and rows[1]["chunk_offset"] == 0
+    assert not rows[1]["straddles"]  # [0,3) inside chunk 0
+    assert rows[2]["chunk_id"] == 0 and rows[2]["chunk_offset"] == 3
+    assert not rows[2]["straddles"]  # [3,7) inside chunk 0
+    assert rows[3]["chunk_id"] == 0 and rows[3]["chunk_offset"] == 7
+    assert rows[3]["straddles"]  # [7,12) crosses into chunk 1
+    assert rows[4]["chunk_id"] == 1 and rows[4]["chunk_offset"] == 4
+    assert rows[4]["straddles"]  # [12,22) crosses chunk 2
+    assert rows[5]["chunk_id"] == 2 and rows[5]["chunk_offset"] == 6
+    assert not rows[5]["straddles"]  # [22,24) inside chunk 2
+
+
+def test_concat_chunks_window_is_partitioned(spark):
+    from clickhouse_arrow_spark.operators.packing import concat_chunks
+
+    df = spark.range(1000).selectExpr(
+        "id AS doc_id", "CAST(id % 7 + 1 AS LONG) AS tokens"
+    )
+    out = concat_chunks(df, budget=64, token_col="tokens")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    # the running sum must never collapse to a single global window:
+    # every windowspecdefinition carries the range-partition key
+    import re
+
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_part" in s for s in specs)
+
+
+def test_first_fit_respects_budget(spark):
+    from clickhouse_arrow_spark.operators.packing import first_fit
+
+    df = spark.createDataFrame(
+        [(i, (i * 37) % 90 + 1) for i in range(200)] + [(900, 512), (901, 700)],
+        "doc_id long, tokens long",
+    )
+    out = first_fit(df, budget=128, token_col="tokens", n_buckets=4).collect()
+    assert len(out) == 202  # every doc exactly once
+    assert len({r["doc_id"] for r in out}) == 202
+    packs = {}
+    for r in out:
+        packs.setdefault(r["pack_id"], []).append(r)
+    for pid, members in packs.items():
+        total = sum(r["tokens"] for r in members)
+        if total > 128:
+            assert len(members) == 1  # oversize doc -> its own pack
+        assert sorted(r["pack_seq"] for r in members) == list(range(len(members)))
+
+
+def test_semantic_dedup_removes_exact_clones(spark):
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators.similarity import semantic_dedup
+
+    # one-hot directions: pairwise cosine 0, so only planted clones
+    # (cosine 1) cross the threshold
+    base = spark.createDataFrame(
+        [
+            (i, [float(i + 1) if j == i else 0.0 for j in range(40)])
+            for i in range(40)
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    clones = base.where(F.col("vec_id") < 5).select(
+        (F.col("vec_id") + 1000).alias("vec_id"), "embedding"
+    )
+    survivors = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            base.unionByName(clones), threshold=0.999, nlist=4
+        ).collect()
+    }
+    assert survivors == set(range(40))  # clones dropped, originals kept

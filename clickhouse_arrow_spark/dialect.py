@@ -142,6 +142,8 @@ _SIMPLE_RENAMES: dict[str, str] = {
 #: a textual rename cannot express them, so the translator refuses with
 #: a pointer at the DataFrame-API operator implementing the semantics.
 _OPERATOR_BACKED: dict[str, str] = {
+    "COLUMNS": "df.select(df.colRegex('`<regex>`')) — or SET "
+    "spark.sql.parser.quotedRegexColumnNames=true and backtick the regex",
     "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
     "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
     "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
@@ -1069,6 +1071,58 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"CAST({a[0]} AS {t})"
 
         return accurate_cast
+    if name == "accurateCastOrNull":
+        def accurate_cast_or_null(a: Args) -> str:
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            t = a[1].strip()
+            if t.startswith("'") and t.endswith("'"):
+                dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
+                return f"TRY_CAST({a[0]} AS {dt.simpleString().upper()})"
+            return f"TRY_CAST({a[0]} AS {t})"
+
+        return accurate_cast_or_null
+    if name == "count":
+        # CH `count()` == count(*); Spark's count needs an argument
+        return lambda a: (
+            "count(*)"
+            if not any(x.strip() for x in a)
+            else f"count({', '.join(a)})"
+        )
+    if name.upper() == "CAST":
+        # CAST with a ClickHouse type name — `CAST(x AS Nullable(Int64))`,
+        # `CAST(x, 'Float64')` (the CH two-arg form) — maps the target
+        # through the type bridge; Spark-native targets pass unchanged
+        # (parse_ch_type rejects them and the original text is kept).
+        def cast_fmt(a: Args) -> str:
+            def map_type(t: str) -> str:
+                from clickhouse_arrow_spark.types import (
+                    ch_type_to_spark,
+                    parse_ch_type,
+                )
+
+                try:
+                    dt, _ = ch_type_to_spark(parse_ch_type(t.strip()))
+                    # no .upper(): struct field names are case-sensitive
+                    return dt.simpleString()
+                except Exception:
+                    return t.strip()
+
+            if len(a) == 2:
+                t = a[1].strip()
+                if t.startswith("'") and t.endswith("'"):
+                    return f"CAST({a[0]} AS {map_type(t[1:-1])})"
+                return f"CAST({', '.join(a)})"
+            parts = _split_depth0(_AS_SPLIT_RE, a[0])
+            if len(parts) < 2:
+                return f"CAST({', '.join(a)})"
+            expr = " AS ".join(parts[:-1])
+            return f"CAST({expr} AS {map_type(parts[-1])})"
+
+        return cast_fmt
     if name == "splitByString":
         # CH (sep, s) -> Spark split(s, regex-escaped sep), same
         # contract as splitByChar for multi-char separators
@@ -2465,6 +2519,122 @@ _ANY_JOIN_RE = re.compile(
 )
 
 
+_LIMIT_OFFSET_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)")
+
+
+def _rewrite_limit_offset(sql: str) -> str:
+    """ClickHouse/MySQL `LIMIT offset, count` -> `LIMIT count OFFSET
+    offset` (the form Spark parses)."""
+    while True:
+        m = _find_clean(_LIMIT_OFFSET_RE, sql, depth0=False)
+        if not m:
+            return sql
+        sql = (
+            f"{sql[: m.start()]}LIMIT {m.group(2)} "
+            f"OFFSET {m.group(1)}{sql[m.end():]}"
+        )
+
+
+_STAR_MOD_RE = re.compile(r"(?i)\*\s+(REPLACE|APPLY)\s*\(")
+_AS_SPLIT_RE = re.compile(r"(?i)\s+AS\s+")
+
+
+def _rewrite_star_modifiers(sql: str) -> str:
+    """ClickHouse `SELECT * REPLACE (expr AS col, ...)` -> Spark
+    `* EXCEPT (col, ...), expr AS col, ...` (replaced columns move to
+    the end of the projection — names and values identical, order is
+    the documented divergence). `* APPLY (f)` needs the resolved column
+    list, which the textual layer does not have — refused with the
+    DataFrame recipe."""
+    while True:
+        m = _find_clean(_STAR_MOD_RE, sql, depth0=False)
+        if not m:
+            return sql
+        if m.group(1).upper() == "APPLY":
+            raise UntranslatableFunctionError(
+                "SELECT * APPLY(f) applies f to every column, which "
+                "needs the resolved schema; use the DataFrame API — "
+                "df.select([f(c).alias(c) for c in df.columns])"
+            )
+        open_idx = m.end() - 1
+        close = _find_matching_paren(sql, open_idx)
+        if close == -1:
+            return sql
+        repls = []
+        for item in _split_top_args(sql[open_idx + 1 : close]):
+            parts = [
+                p
+                for p in _split_depth0(_AS_SPLIT_RE, item)
+            ]
+            if len(parts) < 2:
+                raise UntranslatableFunctionError(
+                    "* REPLACE items must be `expr AS column`"
+                )
+            repls.append((" AS ".join(parts[:-1]).strip(), parts[-1].strip()))
+        names = ", ".join(n for _, n in repls)
+        exprs = ", ".join(f"{e} AS {n}" for e, n in repls)
+        sql = f"{sql[: m.start()]}* EXCEPT ({names}), {exprs}{sql[close + 1:]}"
+
+
+def _split_depth0(pattern: "re.Pattern[str]", s: str) -> list[str]:
+    """Split `s` on `pattern` matches at paren depth 0 outside quotes."""
+    mask = _scan_mask(s)
+    parts, last = [], 0
+    for m in pattern.finditer(s):
+        if mask[m.start()][1] or mask[m.start()][0] != 0:
+            continue
+        parts.append(s[last : m.start()])
+        last = m.end()
+    parts.append(s[last:])
+    return parts
+
+
+#: `<ident>.<digits>` / `(<...>).<digits>` — CH positional tuple access
+_TUPLE_IDX_IDENT_RE = re.compile(r"\b([A-Za-z_]\w*)\.(\d+)\b")
+_TUPLE_IDX_PAREN_RE = re.compile(r"\)\.(\d+)\b")
+
+
+def _rewrite_tuple_index(sql: str) -> str:
+    """ClickHouse positional tuple access `t.1` / `(a, b).2` -> struct
+    field access `.col{N}` (the field names Spark's `struct()` — and
+    therefore the translated `tuple()` — assigns; same 1-based
+    approximation as the `tupleElement` formatter). A bare
+    parenthesized tuple literal gains an explicit `struct(...)` head,
+    since Spark has no anonymous tuple expression."""
+    while True:
+        m = _find_clean(_TUPLE_IDX_IDENT_RE, sql, depth0=False)
+        if m:
+            sql = f"{sql[: m.start()]}{m.group(1)}.col{m.group(2)}{sql[m.end():]}"
+            continue
+        m = _find_clean(_TUPLE_IDX_PAREN_RE, sql, depth0=False)
+        if not m:
+            return sql
+        # walk back to the matching open paren of the `)` we hit
+        close = m.start()
+        depth = 0
+        open_idx = -1
+        for k in range(close, -1, -1):
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    open_idx = k
+                    break
+        if open_idx == -1:
+            return sql
+        # a call head must be ADJACENT to its paren (`tuple(...)`); a
+        # keyword separated by whitespace (`SELECT (...)`) is not one
+        is_call = open_idx > 0 and (
+            sql[open_idx - 1].isalnum() or sql[open_idx - 1] in "_`)"
+        )
+        head = "" if is_call else "struct"
+        sql = (
+            f"{sql[:open_idx]}{head}{sql[open_idx : close + 1]}"
+            f".col{m.group(1)}{sql[m.end():]}"
+        )
+
+
 def _refuse_ch_only_clauses(sql: str) -> str:
     """Strip GLOBAL (a ClickHouse distribution hint — Spark's planner
     owns shuffle placement) and refuse FINAL / ANY / ASOF joins loudly:
@@ -2527,6 +2697,9 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_offset(sql)
+    sql = _rewrite_star_modifiers(sql)
+    sql = _rewrite_tuple_index(sql)
     sql = _rewrite_sample(sql)
     def subscripts(expr: str, k: int, allow_space: bool = True) -> tuple[str, int]:
         # CH postfix indexing `expr[i]` is 1-based (maps: by key) —

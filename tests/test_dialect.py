@@ -460,7 +460,7 @@ def test_tokenizer_and_ngram_values(client):
         ),
         (
             "SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS HAVING count() > 1",
-            "SELECT a, b, count() FROM t GROUP BY GROUPING SETS ((a, b), ()) HAVING count() > 1",
+            "SELECT a, b, count(*) FROM t GROUP BY GROUPING SETS ((a, b), ()) HAVING count(*) > 1",
         ),
         # no TOTALS -> untouched; scan must stop at ORDER BY
         (
@@ -1272,3 +1272,76 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+# ---------------------------------------------------------------------------
+# sixth wave: star modifiers, LIMIT offset form, tuple index, CH-typed CAST
+# ---------------------------------------------------------------------------
+
+
+def test_star_replace_rewrites():
+    out = translate_ch_sql("SELECT * REPLACE (a*2 AS a, upper(s) AS s) FROM t")
+    assert "* EXCEPT (a, s)" in out
+    assert "a*2 AS a" in out and "upper(s) AS s" in out
+
+
+def test_star_apply_refused():
+    with pytest.raises(Exception, match="APPLY"):
+        translate_ch_sql("SELECT * APPLY (toString) FROM t")
+
+
+def test_limit_offset_form():
+    out = translate_ch_sql("SELECT x FROM t ORDER BY x LIMIT 3, 7")
+    assert "LIMIT 7 OFFSET 3" in out
+
+
+def test_count_empty_becomes_star():
+    assert translate_ch_sql("SELECT count() FROM t") == "SELECT count(*) FROM t"
+    assert (
+        translate_ch_sql("SELECT count(x) FROM t") == "SELECT count(x) FROM t"
+    )
+
+
+def test_tuple_positional_access():
+    assert (
+        translate_ch_sql("SELECT tup.1 FROM t") == "SELECT tup.col1 FROM t"
+    )
+    out = translate_ch_sql("SELECT (1, 'a').1 AS first")
+    assert "struct(1, 'a').col1" in out
+    # function-call parens keep their head (no struct() wrap)
+    out = translate_ch_sql("SELECT tuple(1, 'a').2 AS second")
+    assert "struct(1, 'a').col2" in out
+    # decimals never match (no identifier/paren before the dot)
+    assert translate_ch_sql("SELECT 1.5 AS f") == "SELECT 1.5 AS f"
+    # string literals untouched
+    assert "'v.1'" in translate_ch_sql("SELECT 'v.1' AS s")
+
+
+def test_cast_ch_types():
+    assert (
+        translate_ch_sql("SELECT CAST(a AS Nullable(Int64)) FROM t")
+        == "SELECT CAST(a AS bigint) FROM t"
+    )
+    assert (
+        translate_ch_sql("SELECT CAST(x AS Float64) FROM t")
+        == "SELECT CAST(x AS double) FROM t"
+    )
+    # two-arg CH form
+    assert (
+        translate_ch_sql("SELECT CAST(a, 'String') FROM t")
+        == "SELECT CAST(a AS string) FROM t"
+    )
+    # Spark-native targets untouched
+    assert (
+        translate_ch_sql("SELECT CAST(a AS BIGINT) FROM t")
+        == "SELECT CAST(a AS BIGINT) FROM t"
+    )
+    assert (
+        translate_ch_sql("SELECT CAST(ts AS DATE) FROM t")
+        == "SELECT CAST(ts AS DATE) FROM t"
+    )
+
+
+def test_accurate_cast_or_null():
+    out = translate_ch_sql("SELECT accurateCastOrNull(s, 'Int64') FROM t")
+    assert out == "SELECT TRY_CAST(s AS BIGINT) FROM t"

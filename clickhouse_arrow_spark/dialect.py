@@ -1057,6 +1057,71 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # wilder formats (unix ts strings, DD/MM) do not — documented
         # narrowing, better than an unresolved function
         return lambda a: f"to_timestamp({a[0]})"
+    if name == "age":
+        # CH age(unit, a, b) counts COMPLETE units (vs dateDiff's
+        # boundary crossings) — exactly Spark's timestampdiff
+        def age_fmt(a: Args) -> str:
+            u = a[0].strip()
+            if u.startswith("'") and u.endswith("'"):
+                return f"timestampdiff({u[1:-1].upper()}, {a[1]}, {a[2]})"
+            raise UntranslatableFunctionError(
+                "age(): the unit must be a string literal"
+            )
+
+        return age_fmt
+    if name == "ifNotFinite":
+        return lambda a: (
+            f"CASE WHEN isnan(CAST({a[0]} AS DOUBLE)) OR "
+            f"abs(CAST({a[0]} AS DOUBLE)) = double('Infinity') "
+            f"THEN {a[1]} ELSE {a[0]} END"
+        )
+    if name == "randConstant":
+        # one draw per query, constant across rows (CH: constant per
+        # block) — a non-correlated scalar subquery evaluates once
+        return lambda a: "(SELECT rand())"
+    if name == "char":
+        def char_fmt(a: Args) -> str:
+            if len(a) <= 1:
+                return f"char({', '.join(a)})"
+            return "concat(" + ", ".join(f"char({x})" for x in a) + ")"
+
+        return char_fmt
+    if name == "extract":
+        # CH extract(haystack, re) = first capture group if the pattern
+        # has one, else the whole match. The SQL-standard
+        # `extract(field FROM ts)` has no comma -> single arg, untouched.
+        def extract_fmt(a: Args) -> str:
+            if len(a) != 2:
+                return f"extract({', '.join(a)})"
+            pat = a[1].strip()
+            grp = 0
+            if pat.startswith("'") and pat.endswith("'"):
+                body = pat[1:-1]
+                k = 0
+                while k < len(body):
+                    if body[k] == "\\":
+                        k += 2
+                        continue
+                    if body[k] == "(" and not body[k + 1 : k + 3] == "?:":
+                        grp = 1
+                        break
+                    k += 1
+            return f"regexp_extract({a[0]}, {pat}, {grp})"
+
+        return extract_fmt
+    if name == "replaceOne":
+        # first-occurrence replace: splice at locate() — Spark's
+        # replace()/regexp_replace() are all-occurrence only
+        def replace_one(a: Args) -> str:
+            s, find, repl = a[0], a[1], a[2]
+            loc = f"locate({find}, {s})"
+            return (
+                f"CASE WHEN {loc} > 0 THEN concat("
+                f"substr({s}, 1, {loc} - 1), {repl}, "
+                f"substr({s}, {loc} + length({find}))) ELSE {s} END"
+            )
+
+        return replace_one
     if name == "accurateCast":
         def accurate_cast(a: Args) -> str:
             from clickhouse_arrow_spark.types import (
@@ -2535,6 +2600,37 @@ def _rewrite_limit_offset(sql: str) -> str:
         )
 
 
+#: `* EXCEPT col` (ClickHouse's unparenthesized single-column form);
+#: must not touch the set operator (`... EXCEPT SELECT/ALL/DISTINCT`)
+_STAR_EXCEPT_BARE_RE = re.compile(
+    r"(?i)\*\s+EXCEPT\s+(?!SELECT\b|ALL\b|DISTINCT\b|\()([A-Za-z_]\w*)"
+)
+
+_DISTINCT_ON_RE = re.compile(r"(?i)\bDISTINCT\s+ON\s*\(")
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """ClickHouse `SELECT DISTINCT ON (keys) ...` -> the `LIMIT 1 BY
+    keys` form (first row per key under the query's ORDER BY), which
+    the LIMIT BY rewrite then turns into a row_number() window."""
+    while True:
+        m = _find_clean(_DISTINCT_ON_RE, sql, depth0=False)
+        if not m:
+            return sql
+        close = _find_matching_paren(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        keys = sql[m.end() : close].strip()
+        rest = sql[close + 1 :]
+        # append LIMIT 1 BY before any trailing LIMIT of this statement
+        lm = _find_clean(re.compile(r"(?i)\bLIMIT\b"), rest, depth0=True)
+        if lm:
+            rest = f"{rest[: lm.start()]}LIMIT 1 BY {keys} {rest[lm.start():]}"
+        else:
+            rest = f"{rest.rstrip()} LIMIT 1 BY {keys}"
+        sql = f"{sql[: m.start()]}{rest}"
+
+
 _STAR_MOD_RE = re.compile(r"(?i)\*\s+(REPLACE|APPLY)\s*\(")
 _AS_SPLIT_RE = re.compile(r"(?i)\s+AS\s+")
 
@@ -2546,6 +2642,11 @@ def _rewrite_star_modifiers(sql: str) -> str:
     the documented divergence). `* APPLY (f)` needs the resolved column
     list, which the textual layer does not have — refused with the
     DataFrame recipe."""
+    while True:
+        m = _find_clean(_STAR_EXCEPT_BARE_RE, sql, depth0=False)
+        if not m:
+            break
+        sql = f"{sql[: m.start()]}* EXCEPT ({m.group(1)}){sql[m.end():]}"
     while True:
         m = _find_clean(_STAR_MOD_RE, sql, depth0=False)
         if not m:
@@ -2696,6 +2797,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_with_totals(sql)
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_star_modifiers(sql)

@@ -1345,3 +1345,71 @@ def test_cast_ch_types():
 def test_accurate_cast_or_null():
     out = translate_ch_sql("SELECT accurateCastOrNull(s, 'Int64') FROM t")
     assert out == "SELECT TRY_CAST(s AS BIGINT) FROM t"
+
+
+# ---------------------------------------------------------------------------
+# seventh wave: bare EXCEPT, DISTINCT ON, age, finite guards, regexp extract
+# ---------------------------------------------------------------------------
+
+
+def test_star_except_bare_column():
+    out = translate_ch_sql("SELECT * EXCEPT a FROM t")
+    assert "* EXCEPT (a)" in out
+    # the set operator is never touched
+    out = translate_ch_sql("SELECT * FROM a EXCEPT SELECT * FROM b")
+    assert "EXCEPT SELECT" in out
+
+
+def test_distinct_on_becomes_limit_by():
+    out = translate_ch_sql(
+        "SELECT DISTINCT ON (g) g, x FROM t ORDER BY g, x"
+    )
+    assert "row_number()" in out and "PARTITION BY g" in out
+
+
+def test_age_is_complete_units():
+    out = translate_ch_sql("SELECT age('day', a, b) FROM t")
+    assert out == "SELECT timestampdiff(DAY, a, b) FROM t"
+
+
+def test_if_not_finite():
+    out = translate_ch_sql("SELECT ifNotFinite(x, 99) FROM t")
+    assert "isnan" in out and "Infinity" in out and "ELSE x END" in out
+
+
+def test_rand_constant_scalar_subquery():
+    assert (
+        translate_ch_sql("SELECT randConstant()")
+        == "SELECT (SELECT rand())"
+    )
+
+
+def test_char_multi_arg_concat():
+    assert (
+        translate_ch_sql("SELECT char(65, 66)")
+        == "SELECT concat(char(65), char(66))"
+    )
+    assert translate_ch_sql("SELECT char(65)") == "SELECT char(65)"
+
+
+def test_extract_regexp_vs_datetime():
+    # capture group -> group 1
+    assert (
+        translate_ch_sql(r"SELECT extract(s, 'k=(\w+)')")
+        == r"SELECT regexp_extract(s, 'k=(\w+)', 1)"
+    )
+    # no group -> whole match
+    assert (
+        translate_ch_sql("SELECT extract(s, '[0-9]+')")
+        == "SELECT regexp_extract(s, '[0-9]+', 0)"
+    )
+    # SQL-standard datetime form untouched
+    assert (
+        translate_ch_sql("SELECT extract(day FROM ts)")
+        == "SELECT extract(day FROM ts)"
+    )
+
+
+def test_replace_one_splices_first():
+    out = translate_ch_sql("SELECT replaceOne(s, 'a', 'b') FROM t")
+    assert "locate('a', s)" in out and "ELSE s END" in out

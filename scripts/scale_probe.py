@@ -214,6 +214,37 @@ def main() -> int:
     bench("lttb_10m_rows_1000_series", ts_ops.lttb(series, "x", "y", 100, ["sk"]))
     bench("sparkbar_10m_rows_1000_keys", ts_ops.sparkbar(series, ["sk"], "x", "y", 40))
 
+    # -- sequence packing over the full fact-table id space --------------
+    from clickhouse_arrow_spark.operators import packing
+
+    tok = fact.select(
+        F.col("k").alias("doc_id"),
+        (F.pmod(F.xxhash64("k"), F.lit(900)) + 1).alias("tokens"),
+    )
+    bench("pack_concat_chunks_10m", packing.concat_chunks(tok, budget=2048))
+    bench(
+        "pack_first_fit_10m_4096buckets",
+        packing.first_fit(tok, budget=2048, n_buckets=4096),
+    )
+
+    # -- semantic dedup at 100k vectors (16-dim, 1% planted clones) ------
+    from clickhouse_arrow_spark.operators import similarity as sim_ops
+
+    vecs = spark.range(0, 100_000, 1, 32).select(
+        F.col("id").alias("vec_id"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(16)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") % 99_000, i), F.lit(1000))
+                / 1000.0
+            ),
+        ).alias("embedding"),
+    )
+    bench(
+        "semantic_dedup_100k_vectors_nlist256",
+        sim_ops.semantic_dedup(vecs, threshold=0.999, nlist=256),
+    )
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

@@ -31,9 +31,14 @@ with the DataFrame/SQL API and lets Spark pick physical strategies.
 """
 
 from clickhouse_arrow_spark.errors import (
+    ClickHouseError,
     ClickHouseSparkError,
+    ConfigurationError,
+    ConnectionError,
     QueryError,
     SchemaError,
+    SerializationError,
+    ServerError,
     TypeParseError,
 )
 from clickhouse_arrow_spark.session import EngineSession, get_spark
@@ -41,8 +46,46 @@ from clickhouse_arrow_spark.types import ch_type_to_spark, parse_ch_type, spark_
 
 __version__ = "0.1.0"
 
+
+def connect(
+    endpoint: str | None = None,
+    *,
+    username: str | None = None,
+    password: str | None = None,
+    database: str | None = None,
+    spark=None,
+):
+    """Convenience constructor mirroring the reference's module-level
+    `clickhouse_arrow.connect(endpoint, ...)` helper
+    (py-clickhouse-arrow/python/clickhouse_arrow/__init__.py): builds a
+    :class:`~clickhouse_arrow_spark.client.Client`. `endpoint` maps to
+    the Spark master URL (or an http(s):// connector URL)."""
+    from clickhouse_arrow_spark.builder import ClientBuilder
+
+    b = ClientBuilder()
+    if endpoint:
+        if endpoint.startswith(("http://", "https://")):
+            b.with_http_url(endpoint)
+        else:
+            b.with_destination(endpoint)
+    if username:
+        b.with_username(username)
+    if password:
+        b.with_password(password)
+    if database:
+        b.with_database(database)
+    if spark is not None:
+        b.with_session(spark)
+    return b.build()
+
 __all__ = [
+    "ClickHouseError",
     "ClickHouseSparkError",
+    "ConfigurationError",
+    "ConnectionError",
+    "SerializationError",
+    "ServerError",
+    "connect",
     "EngineSession",
     "QueryError",
     "SchemaError",

@@ -98,6 +98,44 @@ class ClientBuilder:
         self._confs[conf] = v
         return self
 
+    # -- reference Python-binding method names ---------------------------
+    # py-clickhouse-arrow exposes the builder WITHOUT the Rust-style
+    # `with_` prefix (_internal.pyi:46-118); both spellings work here so
+    # code migrating from either binding runs unchanged.
+    def endpoint(self, endpoint: str) -> "ClientBuilder":
+        if endpoint.startswith(("http://", "https://")):
+            return self.with_http_url(endpoint)
+        return self.with_destination(endpoint)
+
+    def username(self, user: str) -> "ClientBuilder":
+        return self.with_username(user)
+
+    def password(self, password: str) -> "ClientBuilder":
+        return self.with_password(password)
+
+    def database(self, database: str) -> "ClientBuilder":
+        return self.with_database(database)
+
+    def tls(self, enabled: bool) -> "ClientBuilder":
+        return self.with_tls(enabled)
+
+    def domain(self, domain: str) -> "ClientBuilder":
+        self._ignored["tls_domain"] = domain
+        return self
+
+    def cafile(self, path: str) -> "ClientBuilder":
+        self._ignored["tls_cafile"] = path
+        return self
+
+    def compression(self, method: str) -> "ClientBuilder":
+        if method not in ("none", "lz4", "zstd", "gzip"):
+            raise ValueError(f"unsupported compression method: {method}")
+        return self.with_compression(method)
+
+    def ipv4_only(self, enabled: bool) -> "ClientBuilder":
+        self._ignored["ipv4_only"] = enabled
+        return self
+
     def build(self) -> Client:
         spark = self._spark or get_spark(
             app_name=self._app_name, master=self._master, confs=self._confs

@@ -302,6 +302,14 @@ class Client:
         return (py-clickhouse-arrow zero-copy FFI surface)."""
         return self._run(sql, qid).toArrow()
 
+    def query_batches(
+        self, sql: str, qid: str | None = None
+    ) -> list[pa.RecordBatch]:
+        """Exact return shape of the reference Python binding's
+        `Client.query` — a list of Arrow RecordBatches
+        (py-clickhouse-arrow/_internal.pyi:129-143)."""
+        return self.query_arrow(sql, qid).to_batches()
+
     # ------------------------------------------------------------------
     # execute / insert
     # ------------------------------------------------------------------

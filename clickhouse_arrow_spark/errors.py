@@ -35,3 +35,36 @@ class QueryError(ClickHouseSparkError):
 
 class UnsupportedTypeError(ClickHouseSparkError):
     """A type has no faithful Spark mapping and no override was given."""
+
+
+# -- reference Python-binding names (py-clickhouse-arrow/_internal.pyi) --
+# The bindings expose ClickHouseError + Connection/Query/Serialization/
+# Server/Configuration subclasses; migrating except-clauses keep working.
+
+#: reference base-class name (`ClickHouseError`)
+ClickHouseError = ClickHouseSparkError
+
+
+class ConnectionError(ClickHouseSparkError):  # noqa: A001 — reference name
+    """Connection-related failure (session unreachable, transport down).
+
+    Reference analogue: `ConnectionError` (_internal.pyi:20-23)."""
+
+
+class ConfigurationError(ClickHouseSparkError):
+    """Client configuration failure (bad builder options).
+
+    Reference analogue: `ConfigurationError` (_internal.pyi:40-43)."""
+
+
+class SerializationError(ClickHouseSparkError):
+    """Data (de)serialization failure on the insert/read path.
+
+    Reference analogue: `SerializationError` (_internal.pyi:30-33)."""
+
+
+class ServerError(ClickHouseSparkError):
+    """Engine-side execution failure (the analogue of a ClickHouse
+    server exception: a Spark job that started and then failed).
+
+    Reference analogue: `ServerError` (_internal.pyi:35-38)."""

@@ -386,3 +386,51 @@ def test_as_qid_attributes_lazy_actions(client):
     # and the thread's previous tag is restored afterwards (no leak)
     sc = client.spark.sparkContext
     assert sc.getLocalProperty("spark.jobGroup.id") != "qid-lazy-1"
+
+
+# ---------------------------------------------------------------------------
+# reference Python-binding surface (py-clickhouse-arrow/_internal.pyi)
+# ---------------------------------------------------------------------------
+
+
+def test_connect_helper_and_binding_names(spark):
+    import clickhouse_arrow_spark as cas
+
+    client = cas.connect(spark=spark, database="bindparity")
+    assert client.spark is spark
+    assert spark.catalog.currentDatabase() == "bindparity"
+    spark.catalog.setCurrentDatabase("default")
+    spark.sql("DROP DATABASE IF EXISTS bindparity")
+    # exception hierarchy: reference names resolve and subclass the base
+    assert issubclass(cas.ConnectionError, cas.ClickHouseError)
+    assert issubclass(cas.ServerError, cas.ClickHouseSparkError)
+    assert cas.ClickHouseError is cas.ClickHouseSparkError
+
+
+def test_builder_python_binding_spellings(spark):
+    from clickhouse_arrow_spark.builder import ClientBuilder
+
+    b = (
+        ClientBuilder()
+        .with_session(spark)
+        .username("u")
+        .password("p")
+        .tls(True)
+        .domain("example.test")
+        .cafile("/tmp/ca.pem")
+        .ipv4_only(True)
+    )
+    c = b.build()
+    assert c._http_auth == {"user": "u", "password": "p"}
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="compression"):
+        ClientBuilder().compression("brotli")
+
+
+def test_query_batches_shape(client):
+    batches = client.query_batches("SELECT 1 AS v UNION ALL SELECT 2")
+    import pyarrow as _pa
+
+    assert batches and all(isinstance(b, _pa.RecordBatch) for b in batches)
+    assert sum(b.num_rows for b in batches) == 2

@@ -547,3 +547,68 @@ def fuzzy_edit_distance_pairs(
             "jaro_winkler"
         ),
     )
+
+
+def bigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    alpha: float = 0.4,
+) -> DataFrame:
+    """Corpus-self-trained bigram log-probability per document — the
+    cheap KenLM-style perplexity proxy quality filters use (documents
+    whose word transitions are improbable under the corpus's own
+    bigram statistics score low: boilerplate, gibberish, wrong-language
+    text).
+
+    Model: P(w2|w1) = (count(w1 w2)) / count(w1 ·) with stupid-backoff
+    ``alpha * count(w2)/total`` for unseen bigrams; the score is the
+    mean natural-log probability over a document's bigrams (0.0 for
+    single-token documents).
+
+    Scale: two shuffles, both on uniform token keys — a bigram-count
+    aggregation (map-side combined; vocabulary ≪ corpus) and the
+    score join; the count tables are far smaller than the corpus and
+    broadcast under AQE for natural-language vocabularies. No Python
+    anywhere.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(words).alias("pos", "w"),
+    )
+    # bigram per (doc, pos): (w1, w2) via a keyed window is one exchange
+    from pyspark.sql.window import Window as _W
+
+    nxt = F.lead("w").over(_W.partitionBy(id_col).orderBy("pos"))
+    bigrams = toks.select(
+        F.col(id_col), F.col("w").alias("w1"), nxt.alias("w2")
+    ).where(F.col("w2").isNotNull())
+
+    big_counts = bigrams.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    uni_counts = bigrams.groupBy("w1").agg(F.count("*").alias("c1"))
+    # unigram backoff distribution over SECOND words (same support as w2)
+    w2_counts = bigrams.groupBy("w2").agg(F.count("*").alias("c2"))
+    total = bigrams.count()
+
+    scored = (
+        bigrams.join(big_counts, ["w1", "w2"], "left")
+        .join(uni_counts, "w1", "left")
+        .join(w2_counts, "w2", "left")
+        .select(
+            F.col(id_col),
+            F.when(
+                F.col("c12").isNotNull(),
+                F.log(F.col("c12") / F.col("c1")),
+            )
+            .otherwise(F.log(F.lit(alpha) * F.col("c2") / F.lit(float(total))))
+            .alias("lp"),
+        )
+    )
+    return scored.groupBy(id_col).agg(
+        F.round(F.avg("lp"), 6).alias("mean_logprob"),
+        F.count("*").alias("n_bigrams"),
+    )

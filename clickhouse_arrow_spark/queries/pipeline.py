@@ -2120,3 +2120,37 @@ def q_length_pow2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "text_bigram_logprob",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w != '') AS ws
+      FROM documents
+    ), bg AS (
+      SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+      FROM d, UNNEST(range(1, len(ws))) AS t(i)
+    ), c12 AS (
+      SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY 1, 2
+    ), c1 AS (
+      SELECT w1, count(*) AS c1 FROM bg GROUP BY 1
+    )
+    SELECT doc_id,
+           round(avg(ln(c12.c12 / CAST(c1.c1 AS DOUBLE))), 6) AS mean_logprob,
+           CAST(count(*) AS BIGINT) AS n_bigrams
+    FROM bg JOIN c12 USING (w1, w2) JOIN c1 USING (w1)
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Corpus-self-trained bigram mean log-probability per document — "
+    "the KenLM-style perplexity-proxy quality filter. Two uniform-key "
+    "shuffles (bigram counts, score join); count tables broadcast under "
+    "AQE. Self-trained scoring is exactly SQL-expressible (the "
+    "stupid-backoff branch only fires against an external reference "
+    "model).",
+    tags=("text", "quality", "pipeline"),
+)
+def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.bigram_logprob(spark.table("documents")).orderBy("doc_id")

@@ -1140,3 +1140,78 @@ def test_semantic_dedup_removes_exact_clones(spark):
         ).collect()
     }
     assert survivors == set(range(40))  # clones dropped, originals kept
+
+
+def test_bigram_logprob_known_values(spark):
+    import math
+
+    from clickhouse_arrow_spark.operators.text import bigram_logprob
+
+    # corpus: "a b" x2 and "a c" -> P(b|a)=2/3, P(c|a)=1/3
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "a b"), (3, "a c"), (4, "solo")],
+        "doc_id long, text string",
+    )
+    rows = {r["doc_id"]: r for r in bigram_logprob(df).collect()}
+    assert 4 not in rows  # single-token doc has no bigrams
+    assert rows[1]["n_bigrams"] == 1
+    assert abs(rows[1]["mean_logprob"] - math.log(2 / 3)) < 1e-6
+    assert abs(rows[3]["mean_logprob"] - math.log(1 / 3)) < 1e-6
+
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    @settings(max_examples=20, deadline=None)
+    @given(
+        st.lists(st.integers(1, 300), min_size=1, max_size=40),
+        st.integers(8, 128),
+    )
+    def test_concat_chunks_matches_sequential(tokens, budget):
+        from clickhouse_arrow_spark.operators.packing import concat_chunks
+        from clickhouse_arrow_spark.session import get_spark
+
+        spark = get_spark()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)], "doc_id long, tokens long"
+        )
+        got = {
+            r["doc_id"]: (r["chunk_id"], r["chunk_offset"], r["straddles"])
+            for r in concat_chunks(df, budget=budget).collect()
+        }
+        cum = 0
+        for i, t in enumerate(tokens):
+            start, end = cum, cum + t
+            cum = end
+            assert got[i] == (
+                start // budget,
+                start % budget,
+                start // budget != (end - 1) // budget,
+            )
+
+    @settings(max_examples=15, deadline=None)
+    @given(
+        st.lists(st.integers(1, 700), min_size=1, max_size=60),
+        st.integers(64, 512),
+    )
+    def test_first_fit_invariants(tokens, budget):
+        from clickhouse_arrow_spark.operators.packing import first_fit
+        from clickhouse_arrow_spark.session import get_spark
+
+        spark = get_spark()
+        df = spark.createDataFrame(
+            [(i, t) for i, t in enumerate(tokens)], "doc_id long, tokens long"
+        )
+        out = first_fit(df, budget=budget, n_buckets=3).collect()
+        assert sorted(r["doc_id"] for r in out) == list(range(len(tokens)))
+        packs = {}
+        for r in out:
+            packs.setdefault(r["pack_id"], 0)
+            packs[r["pack_id"]] += r["tokens"]
+        for pid, tot in packs.items():
+            members = [r for r in out if r["pack_id"] == pid]
+            assert tot <= budget or len(members) == 1
+
+except ImportError:  # pragma: no cover
+    pass

@@ -2584,6 +2584,154 @@ _ANY_JOIN_RE = re.compile(
 )
 
 
+_SELECT_RE = re.compile(r"(?i)\bSELECT\b")
+_FROM_KW_RE = re.compile(r"(?i)\bFROM\b")
+_WHERE_HAVING_RE = re.compile(r"(?i)\b(WHERE|HAVING)\b")
+_CLAUSE_STOP_RE = re.compile(
+    r"(?i)\b(GROUP|HAVING|ORDER|LIMIT|WINDOW|UNION|EXCEPT|INTERSECT|"
+    r"SETTINGS|FORMAT)\b"
+)
+_ALIAS_NAME_RE = re.compile(r"^[A-Za-z_]\w*$")
+
+
+def _rewrite_select_alias_refs(sql: str) -> str:
+    """ClickHouse resolves SELECT-list aliases everywhere in the same
+    scope — `SELECT a + 1 AS c ... WHERE c > 1` is the single most
+    common migration breaker (Spark resolves WHERE against the input
+    relation only). Inline each alias's expression into that scope's
+    WHERE/HAVING. This matches CH in BOTH shadowing directions: CH
+    prefers the ALIAS even when a real column shares the name (the
+    `prefer_column_name_to_alias=0` default), which is exactly what
+    inlining produces. GROUP BY / ORDER BY are left alone — Spark
+    resolves aliases there natively.
+
+    Sub-SELECT spans inside the WHERE region keep their own scope:
+    replacements skip any parenthesized group that starts with SELECT.
+    """
+    mask = _scan_mask(sql)
+    out = sql
+    # process scopes right-to-left so earlier offsets stay valid
+    starts = [
+        m.start()
+        for m in _SELECT_RE.finditer(sql)
+        if not mask[m.start()][1]
+    ]
+    for s_idx in reversed(starts):
+        depth = mask[s_idx][0]
+        # find this scope's FROM at the same depth
+        m_from = _find_at_depth(_FROM_KW_RE, out, s_idx, depth)
+        if not m_from:
+            continue
+        select_list = out[s_idx + 6 : m_from.start()]
+        aliases: list[tuple[str, str]] = []
+        for item in _split_top_args(select_list):
+            parts = _split_depth0(_AS_SPLIT_RE, item)
+            if len(parts) < 2:
+                continue
+            alias = parts[-1].strip()
+            expr = " AS ".join(parts[:-1]).strip()
+            if _ALIAS_NAME_RE.match(alias) and expr and expr != alias:
+                aliases.append((alias, expr))
+        if not aliases:
+            continue
+        # locate WHERE/HAVING clauses of this scope
+        pos = m_from.end()
+        while True:
+            m_wh = _find_at_depth(_WHERE_HAVING_RE, out, pos, depth)
+            if not m_wh:
+                break
+            end = _scope_clause_end(out, m_wh.end(), depth)
+            clause = out[m_wh.end() : end]
+            new_clause = _inline_aliases(clause, aliases)
+            out = f"{out[: m_wh.end()]}{new_clause}{out[end:]}"
+            pos = m_wh.end() + len(new_clause)
+    return out
+
+
+def _find_at_depth(pattern, sql, start, depth):
+    mask = _scan_mask(sql)
+    m = pattern.search(sql, start)
+    while m and (
+        mask[m.start()][1]
+        or mask[m.start()][0] != depth
+    ):
+        # stop the scope search once depth drops below the scope's
+        if not mask[m.start()][1] and mask[m.start()][0] < depth:
+            return None
+        m = pattern.search(sql, m.end())
+    return m
+
+
+def _scope_clause_end(sql, start, depth):
+    """End of a WHERE/HAVING clause: next clause keyword at the scope's
+    depth, or the point where depth drops below it, or end of string."""
+    mask = _scan_mask(sql)
+    for m in _CLAUSE_STOP_RE.finditer(sql, start):
+        if mask[m.start()][1]:
+            continue
+        if mask[m.start()][0] <= depth:
+            return m.start()
+    for k in range(start, len(sql)):
+        if not mask[k][1] and mask[k][0] < depth:
+            return k
+    return len(sql)
+
+
+def _sub_select_spans(clause: str, mask) -> list[tuple[int, int]]:
+    spans: list[tuple[int, int]] = []
+    i = 0
+    while i < len(clause):
+        if clause[i] == "(" and not mask[i][1]:
+            j = i + 1
+            while j < len(clause) and clause[j] in " \t\n":
+                j += 1
+            if clause[j : j + 6].upper() == "SELECT":
+                close = _find_matching_paren(clause, i)
+                if close != -1:
+                    spans.append((i, close))
+                    i = close + 1
+                    continue
+        i += 1
+    return spans
+
+
+def _inline_aliases(clause: str, aliases: list[tuple[str, str]]) -> str:
+    """Replace bare alias tokens in `clause` with their parenthesized
+    expressions, skipping string literals, qualified refs (`t.alias`),
+    and sub-SELECT spans (their own scope)."""
+    mask = _scan_mask(clause)
+    sub_spans = _sub_select_spans(clause, mask)
+    for alias, expr in aliases:
+        pat = re.compile(rf"\b{re.escape(alias)}\b")
+        new: list[str] = []
+        last = 0
+        for m in pat.finditer(clause):
+            p = m.start()
+            if mask[p][1]:
+                continue
+            if any(a <= p <= b for a, b in sub_spans):
+                continue
+            before = clause[p - 1] if p > 0 else ""
+            after = clause[m.end()] if m.end() < len(clause) else ""
+            if before == "." or after == ".":
+                continue  # qualified — a real column reference
+            # not a function call: alias( would be a function name
+            k = m.end()
+            while k < len(clause) and clause[k] in " \t\n":
+                k += 1
+            if k < len(clause) and clause[k] == "(":
+                continue
+            new.append(clause[last:p])
+            new.append(f"({expr})")
+            last = m.end()
+        if new:
+            new.append(clause[last:])
+            clause = "".join(new)
+            mask = _scan_mask(clause)
+            sub_spans = _sub_select_spans(clause, mask)
+    return clause
+
+
 _LIMIT_OFFSET_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)")
 
 
@@ -2794,6 +2942,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     """
     sql = _strip_output_clauses(sql)
     sql = _refuse_ch_only_clauses(sql)
+    sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_with_totals(sql)

@@ -1413,3 +1413,53 @@ def test_extract_regexp_vs_datetime():
 def test_replace_one_splices_first():
     out = translate_ch_sql("SELECT replaceOne(s, 'a', 'b') FROM t")
     assert "locate('a', s)" in out and "ELSE s END" in out
+
+
+# ---------------------------------------------------------------------------
+# SELECT-alias reuse in WHERE/HAVING (CH resolves aliases scope-wide)
+# ---------------------------------------------------------------------------
+
+
+def test_alias_inlined_into_where():
+    out = translate_ch_sql("SELECT a + 1 AS c FROM t WHERE c > 1")
+    assert "WHERE (a + 1) > 1" in out
+
+
+def test_alias_inlined_into_having():
+    out = translate_ch_sql(
+        "SELECT sum(v) AS s FROM t GROUP BY k HAVING s > 10"
+    )
+    assert "HAVING (sum(v)) > 10" in out
+
+
+def test_alias_qualified_ref_untouched():
+    out = translate_ch_sql("SELECT a AS x FROM t WHERE t.x > 1")
+    assert "WHERE t.x > 1" in out
+
+
+def test_alias_scopes_are_independent():
+    out = translate_ch_sql(
+        "SELECT a AS c FROM t WHERE x IN (SELECT y AS z FROM u WHERE z > 1)"
+    )
+    # outer alias c does NOT leak into the subquery; inner z inlines there
+    assert "WHERE (y) > 1" in out and "WHERE x IN" in out
+
+
+def test_alias_literal_and_orderby_untouched():
+    out = translate_ch_sql(
+        "SELECT a + 1 AS c FROM t WHERE x = 'c > 1' ORDER BY c"
+    )
+    assert "'c > 1'" in out and "ORDER BY c" in out
+
+
+def test_alias_execution(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("SELECT 1 AS a UNION ALL SELECT 5").createOrReplaceTempView(
+        "alias_t"
+    )
+    r = c.query_ch(
+        "SELECT a + 1 AS c FROM alias_t WHERE c > 2 ORDER BY c"
+    ).collect()
+    assert [x["c"] for x in r] == [6]

@@ -2732,6 +2732,169 @@ def _inline_aliases(clause: str, aliases: list[tuple[str, str]]) -> str:
     return clause
 
 
+_WITH_HEAD_RE = re.compile(r"(?i)^\s*WITH\b")
+_CTE_ITEM_RE = re.compile(r"(?i)^[A-Za-z_]\w*\s+AS\s*\(")
+
+
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse scalar WITH — `WITH 5 AS k, x*2 AS dbl SELECT ...` —
+    binds expressions to names visible EVERYWHERE in the statement
+    (including subqueries; CH `enable_global_with_statement` default).
+    Spark's WITH only accepts CTEs, so scalar items are inlined as
+    parenthesized expressions at every bare reference; CTE items
+    (`name AS (SELECT ...)`) stay in place."""
+    m = _find_clean(_WITH_HEAD_RE, sql, depth0=False)
+    if not m:
+        return sql
+    # span of the WITH list: up to the first top-level SELECT
+    m_sel = _find_at_depth(_SELECT_RE, sql, m.end(), 0)
+    if not m_sel:
+        return sql
+    items = _split_top_args(sql[m.end() : m_sel.start()])
+    ctes: list[str] = []
+    aliases: list[tuple[str, str]] = []
+    for item in items:
+        st = item.strip()
+        if not st:
+            continue
+        if _CTE_ITEM_RE.match(st):
+            ctes.append(st)
+            continue
+        parts = _split_depth0(_AS_SPLIT_RE, st)
+        if len(parts) >= 2 and _ALIAS_NAME_RE.match(parts[-1].strip()):
+            aliases.append((parts[-1].strip(), " AS ".join(parts[:-1]).strip()))
+        else:
+            ctes.append(st)  # unknown shape: leave for Spark's parser
+    if not aliases:
+        return sql
+    body = sql[m_sel.start() :]
+    # scalar WITH is visible inside subqueries too: inline everywhere
+    # (literals, qualified refs, and call heads still skipped)
+    body = _inline_aliases_everywhere(body, aliases)
+    head = sql[: m.start()]
+    if ctes:
+        return f"{head}WITH {', '.join(ctes)} {body}"
+    return f"{head}{body}"
+
+
+def _inline_aliases_everywhere(clause: str, aliases) -> str:
+    mask = _scan_mask(clause)
+    for alias, expr in aliases:
+        pat = re.compile(rf"\b{re.escape(alias)}\b")
+        new: list[str] = []
+        last = 0
+        for mm in pat.finditer(clause):
+            p = mm.start()
+            if mask[p][1]:
+                continue
+            before = clause[p - 1] if p > 0 else ""
+            after = clause[mm.end()] if mm.end() < len(clause) else ""
+            if before == "." or after == ".":
+                continue
+            k = mm.end()
+            while k < len(clause) and clause[k] in " \t\n":
+                k += 1
+            if k < len(clause) and clause[k] == "(":
+                continue
+            new.append(clause[last:p])
+            new.append(f"({expr})")
+            last = mm.end()
+        if new:
+            new.append(clause[last:])
+            clause = "".join(new)
+            mask = _scan_mask(clause)
+    return clause
+
+
+_QUALIFY_RE = re.compile(r"(?i)\bQUALIFY\b")
+_QUALIFY_STOP_RE = re.compile(
+    r"(?i)\b(ORDER|LIMIT|WINDOW|UNION|EXCEPT|INTERSECT|SETTINGS|FORMAT)\b"
+)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """`... QUALIFY pred [ORDER BY ...]` (filter on window results) ->
+    wrap: the scope becomes a subquery that computes `(pred) AS __q` as
+    a lateral select item, filtered by `WHERE __q` outside and projected
+    back with `* EXCEPT (__q)`. Trailing ORDER BY/LIMIT move to the
+    outer query. Predicates may reference select aliases (Spark's
+    lateral column alias resolution covers that)."""
+    while True:
+        m = _find_clean(_QUALIFY_RE, sql, depth0=False)
+        if not m:
+            return sql
+        depth = _scan_mask(sql)[m.start()][0]
+        # the scope's SELECT: last SELECT at this depth before QUALIFY
+        sel = None
+        for ms in _SELECT_RE.finditer(sql, 0, m.start()):
+            msk = _scan_mask(sql)[ms.start()]
+            if not msk[1] and msk[0] == depth:
+                sel = ms
+        if sel is None:
+            return sql
+        pred_end = _scope_clause_end_re(sql, m.end(), depth, _QUALIFY_STOP_RE)
+        pred = sql[m.end() : pred_end].strip()
+        scope_end = _scope_end(sql, pred_end, depth)
+        inner = sql[sel.start() : m.start()].rstrip()
+        # inject the predicate as a lateral select item before FROM
+        mf = _find_at_depth(_FROM_KW_RE, inner, 0, depth)
+        if not mf:
+            return sql
+        inner_q = (
+            f"{inner[: mf.start()].rstrip()}, ({pred}) AS __q "
+            f"{inner[mf.start():]}"
+        )
+        trailing = sql[pred_end:scope_end]
+        wrapped = (
+            f"SELECT * EXCEPT (__q) FROM ({inner_q}) WHERE __q "
+            f"{trailing.lstrip()}"
+        ).rstrip()
+        sql = f"{sql[: sel.start()]}{wrapped}{sql[scope_end:]}"
+
+
+def _scope_clause_end_re(sql, start, depth, stop_re):
+    mask = _scan_mask(sql)
+    for m in stop_re.finditer(sql, start):
+        if mask[m.start()][1]:
+            continue
+        if mask[m.start()][0] <= depth:
+            return m.start()
+    for k in range(start, len(sql)):
+        if not mask[k][1] and mask[k][0] < depth:
+            return k
+    return len(sql)
+
+
+def _scope_end(sql, start, depth):
+    mask = _scan_mask(sql)
+    for k in range(start, len(sql)):
+        if not mask[k][1] and mask[k][0] < depth:
+            return k
+        if not mask[k][1] and mask[k][0] == depth:
+            mu = re.match(r"(?i)(UNION|EXCEPT|INTERSECT)\b", sql[k:])
+            if mu:
+                return k
+    return len(sql)
+
+
+_TOP_RE = re.compile(r"(?i)\bSELECT\s+TOP\s+(\d+)\b")
+
+
+def _rewrite_top(sql: str) -> str:
+    """`SELECT TOP n cols` (CH supports the T-SQL form) -> `SELECT cols
+    ... LIMIT n` at the end of that scope."""
+    while True:
+        m = _find_clean(_TOP_RE, sql, depth0=False)
+        if not m:
+            return sql
+        depth = _scan_mask(sql)[m.start()][0]
+        end = _scope_end(sql, m.end(), depth)
+        sql = (
+            f"{sql[: m.start()]}SELECT {sql[m.end() : end].strip()} "
+            f"LIMIT {m.group(1)}{sql[end:]}"
+        )
+
+
 _LIMIT_OFFSET_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)")
 
 
@@ -2942,6 +3105,9 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     """
     sql = _strip_output_clauses(sql)
     sql = _refuse_ch_only_clauses(sql)
+    sql = _rewrite_scalar_with(sql)
+    sql = _rewrite_qualify(sql)
+    sql = _rewrite_top(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)

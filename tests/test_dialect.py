@@ -1463,3 +1463,42 @@ def test_alias_execution(spark):
         "SELECT a + 1 AS c FROM alias_t WHERE c > 2 ORDER BY c"
     ).collect()
     assert [x["c"] for x in r] == [6]
+
+
+# ---------------------------------------------------------------------------
+# eighth wave: QUALIFY, scalar WITH, TOP n
+# ---------------------------------------------------------------------------
+
+
+def test_qualify_wraps_with_lateral_predicate():
+    out = translate_ch_sql(
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn FROM t "
+        "QUALIFY rn <= 2 ORDER BY x"
+    )
+    assert out.startswith("SELECT * EXCEPT (__q) FROM (")
+    assert "(rn <= 2) AS __q" in out and out.rstrip().endswith("ORDER BY x")
+
+
+def test_scalar_with_inlines_everywhere():
+    out = translate_ch_sql("WITH 5 AS k SELECT k, x FROM t WHERE x < k")
+    assert "WITH" not in out
+    assert "SELECT (5), x FROM t WHERE x < (5)" == out
+    # visible inside subqueries (CH global WITH)
+    out = translate_ch_sql(
+        "WITH 3 AS k SELECT x FROM t WHERE x IN (SELECT y FROM u WHERE y <= k)"
+    )
+    assert "y <= (3)" in out
+
+
+def test_scalar_with_keeps_ctes():
+    out = translate_ch_sql(
+        "WITH 10 AS lim, big AS (SELECT x FROM t) "
+        "SELECT x FROM big WHERE x < lim"
+    )
+    assert out.startswith("WITH big AS (SELECT x FROM t)")
+    assert "x < (10)" in out
+
+
+def test_top_n_becomes_limit():
+    out = translate_ch_sql("SELECT TOP 3 x FROM t ORDER BY x")
+    assert out == "SELECT x FROM t ORDER BY x LIMIT 3"

@@ -90,7 +90,9 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
     "skewPop": "skewness",
-    "kurtPop": "kurtosis",
+    # kurtPop handled by a formatter: CH kurtPop = mu4/sigma^4 (NON-excess,
+    # 3.0 for a normal); Spark's kurtosis is excess — renaming would be
+    # silently off by 3
     "median": "median",
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",
@@ -144,6 +146,9 @@ _SIMPLE_RENAMES: dict[str, str] = {
 _OPERATOR_BACKED: dict[str, str] = {
     "COLUMNS": "df.select(df.colRegex('`<regex>`')) — or SET "
     "spark.sql.parser.quotedRegexColumnNames=true and backtick the regex",
+    "deltaSum": "order-dependent (sum of positive deltas in row order); "
+    "use operators.timeseries.delta_sum(df, order_col, value_col) — the "
+    "timeseries_delta_sum corpus entry shows the shape",
     "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
     "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
     "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
@@ -1057,6 +1062,48 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # wilder formats (unix ts strings, DD/MM) do not — documented
         # narrowing, better than an unresolved function
         return lambda a: f"to_timestamp({a[0]})"
+    if name == "kurtPop":
+        # CH kurtPop = mu4/sigma^4 (non-excess); Spark kurtosis is excess
+        return lambda a: f"(kurtosis({a[0]}) + 3)"
+    if name == "kurtSamp":
+        # CH kurtSamp = (mu4/n) / s_samp^4 = kurtPop * ((n-1)/n)^2
+        return lambda a: (
+            f"((kurtosis({a[0]}) + 3) * power((count({a[0]}) - 1) "
+            f"/ CAST(count({a[0]}) AS DOUBLE), 2))"
+        )
+    if name == "skewSamp":
+        # CH skewSamp = m3 / s_samp^3 = skewPop * ((n-1)/n)^1.5
+        return lambda a: (
+            f"(skewness({a[0]}) * power((count({a[0]}) - 1) "
+            f"/ CAST(count({a[0]}) AS DOUBLE), 1.5))"
+        )
+    if name == "medianExact":
+        return lambda a: f"percentile({a[0]}, 0.5)"
+    if name == "sumWithOverflow":
+        # CH wraps at the input type's width; Spark's sum widens (and
+        # ANSI mode errors on overflow) — values agree until overflow,
+        # which is loud here instead of silently wrapped
+        return lambda a: f"sum({a[0]})"
+    if name in ("sumMap", "minMap", "maxMap"):
+        # aggregate a map column by UNION of keys: fold the collected
+        # maps with map_zip_with (union-join on keys). All JVM; the
+        # empty-but-typed seed comes from filtering everything out of
+        # the first element.
+        merge = {
+            "sumMap": "coalesce(a, 0) + coalesce(b, 0)",
+            "minMap": "least(coalesce(a, b), coalesce(b, a))",
+            "maxMap": "greatest(coalesce(a, b), coalesce(b, a))",
+        }[name]
+
+        def map_agg(a: Args, _merge=merge) -> str:
+            lst = f"collect_list({a[0]})"
+            seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
+            return (
+                f"aggregate({lst}, {seed}, (acc, e) -> "
+                f"map_zip_with(acc, e, (k, a, b) -> {_merge}))"
+            )
+
+        return map_agg
     if name == "age":
         # CH age(unit, a, b) counts COMPLETE units (vs dateDiff's
         # boundary crossings) — exactly Spark's timestampdiff
@@ -2015,6 +2062,19 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # internal representation — exact percentile is a value superset
     "quantileTiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # Exact{Low,High,Inclusive,Exclusive} pick discrete elements; Spark's
+    # exact percentile interpolates — same statistic family, boundary
+    # elements may differ by one position (documented narrowing)
+    "quantileExactLow": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExactHigh": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExactInclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantileExactExclusive": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantilesExactLow": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesExactHigh": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
     # Greenwald-Khanna: CH's accuracy param maps onto Spark's
     # approx_percentile accuracy (both bound rank error at ~1/accuracy)
     "quantileGK": lambda p, a: f"approx_percentile({a[0]}, {p[1]}, {p[0]})",

@@ -1502,3 +1502,51 @@ def test_scalar_with_keeps_ctes():
 def test_top_n_becomes_limit():
     out = translate_ch_sql("SELECT TOP 3 x FROM t ORDER BY x")
     assert out == "SELECT x FROM t ORDER BY x LIMIT 3"
+
+
+# ---------------------------------------------------------------------------
+# ninth wave: moment aggregates, map aggregates, exact-quantile family
+# ---------------------------------------------------------------------------
+
+
+def test_kurt_pop_is_non_excess(spark):
+    # CH kurtPop = mu4/sigma^4 (3.0 for a normal); uniform 1..10 -> 1.77576
+    [r] = spark.sql(
+        translate_ch_sql(
+            "SELECT kurtPop(v) AS k FROM "
+            "(SELECT CAST(x AS DOUBLE) AS v FROM "
+            "(SELECT explode(sequence(1,10)) AS x))"
+        )
+    ).collect()
+    assert abs(r["k"] - 1.7757575757575756) < 1e-9
+
+
+def test_kurt_skew_samp_scaling():
+    out = translate_ch_sql("SELECT kurtSamp(v) FROM t")
+    assert "kurtosis(v) + 3" in out and "power" in out
+    out = translate_ch_sql("SELECT skewSamp(v) FROM t")
+    assert "skewness(v)" in out and "1.5" in out
+
+
+def test_map_aggregates(spark):
+    [r] = spark.sql(
+        translate_ch_sql(
+            "SELECT sumMap(m) AS s, minMap(m) AS mn, maxMap(m) AS mx FROM "
+            "(SELECT map(x % 2, 1) AS m FROM "
+            "(SELECT explode(sequence(1,6)) AS x))"
+        )
+    ).collect()
+    assert dict(r["s"]) == {0: 3, 1: 3}
+    assert dict(r["mn"]) == {0: 1, 1: 1} and dict(r["mx"]) == {0: 1, 1: 1}
+
+
+def test_delta_sum_refused_with_recipe():
+    with pytest.raises(Exception, match="delta_sum"):
+        translate_ch_sql("SELECT deltaSum(v) FROM t")
+
+
+def test_exact_quantile_family_maps():
+    out = translate_ch_sql("SELECT quantilesExactLow(0.25, 0.75)(v) FROM t")
+    assert out == "SELECT percentile(v, array(0.25, 0.75)) FROM t"
+    out = translate_ch_sql("SELECT medianExact(v) FROM t")
+    assert out == "SELECT percentile(v, 0.5) FROM t"

@@ -257,3 +257,37 @@ def test_sparkbar_no_python_and_keyed_exchanges(spark, tables):
     for ln in plan.splitlines():
         if "Exchange hashpartitioning" in ln:
             assert "k#" in ln
+
+
+def test_new_pipeline_entries_stay_jvm_side(spark, tables):
+    """The round-4 pipeline entries that claim zero-Python plans must
+    have them (packing's applyInPandas and semantic dedup's BLAS stages
+    are the documented exceptions and are not listed here)."""
+    for name in (
+        "text_bigram_logprob",
+        "mix_source_weights",
+        "length_pow2_buckets",
+        "pack_concat_chunks",
+    ):
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+
+
+def test_pack_concat_chunks_windows_partitioned(spark, tables):
+    """The distributed prefix sum must never collapse to one task: every
+    window in the plan is partitioned on the range id."""
+    import re
+
+    plan = plan_of(spark, "pack_concat_chunks")
+    specs = re.findall(r"windowspecdefinition\(([^)]*)\)", plan)
+    assert specs and all("_part" in s for s in specs)
+
+
+def test_bigram_logprob_bounded_exchanges(spark, tables):
+    """Count-table joins may shuffle on token keys (uniform) but the
+    plan must not contain a cartesian product or a partition-less
+    window over data."""
+    plan = plan_of(spark, "text_bigram_logprob")
+    assert "CartesianProduct" not in plan
+    assert "windowspecdefinition()" not in plan

@@ -132,6 +132,7 @@ def main() -> int:
         ),
     )
     bench("repetition_100k_docs", text_ops.repetition_metrics(docs))
+    bench("bigram_logprob_100k_docs", text_ops.bigram_logprob(docs))
 
     from clickhouse_arrow_spark.operators.sampling import stratified_sample
 

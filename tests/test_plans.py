@@ -291,3 +291,23 @@ def test_bigram_logprob_bounded_exchanges(spark, tables):
     plan = plan_of(spark, "text_bigram_logprob")
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition()" not in plan
+
+
+def test_tpch_suite_plan_hygiene(spark, tables):
+    """Blanket plan audit over the whole TPC-H corpus: no Python
+    evaluation anywhere, and no cartesian product outside the audited
+    scalar-count shapes (q11's tiny value-threshold join and
+    join_cross_range's deliberate 5x25 region x nation branch)."""
+    allowed_cartesian = {"q11_important_parts", "join_cross_range"}
+    names = [n for n in REGISTRY if n.startswith("q")] + [
+        "bench_tpch_q01_pricing",
+        "bench_tpch_q18_volume",
+        "join_cross_range",
+    ]
+    assert len(names) >= 23  # q2..q22 + the bench-named pair + cross
+    for name in names:
+        plan = plan_of(spark, name)
+        assert "BatchEvalPython" not in plan, name
+        assert "ArrowEvalPython" not in plan, name
+        if name not in allowed_cartesian:
+            assert "CartesianProduct" not in plan, name

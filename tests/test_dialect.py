@@ -869,6 +869,14 @@ _CLAUSE_BAIT = [
     "ANY LEFT JOIN u",
     "ASOF JOIN u",
     "GLOBAL IN",
+    "QUALIFY rn = 1",
+    "WITH 5 AS k SELECT",
+    "SELECT TOP 3",
+    "DISTINCT ON (g)",
+    "LIMIT 1, 2",
+    "* REPLACE (a AS b)",
+    "* EXCEPT col",
+    "WHERE alias_c > 1",
 ]
 
 

@@ -220,6 +220,23 @@ class Client:
         # as a DataFrame operator on the result.
         from clickhouse_arrow_spark.ddl import rewrite_sample
 
+        import re as _re
+
+        m = _re.match(
+            r"(?is)^\s*EXISTS\s+(?:TABLE\s+)?((?:`[^`]+`|\w+)"
+            r"(?:\.(?:`[^`]+`|\w+))?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH `EXISTS [TABLE] t` -> one row, UInt8 column `result`
+            name = m.group(1).replace("`", "")
+            try:
+                exists = self.spark.catalog.tableExists(name)
+            except Exception:
+                exists = False
+            return self.spark.createDataFrame(
+                [(1 if exists else 0,)], "result tinyint"
+            )
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)
@@ -382,6 +399,49 @@ class Client:
             self.execute(f"ALTER TABLE {b} RENAME TO {a}", qid)
             self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
             return None
+        created = self._try_create_table_stmt(ch_sql, qid)
+        if created:
+            return None
+        m = _re.match(
+            r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+"
+            r"(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+([^;]+?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            col = m.group(3).strip("`")
+            spec = m.group(4).strip()
+            md = _re.match(r"(?is)^(.*?)\s+DEFAULT\s+(.+)$", spec)
+            ch_t = (md.group(1) if md else spec).strip()
+            try:
+                dt, _null = ch_type_to_spark(parse_ch_type(ch_t), self.type_options)
+                ddl_t = dt.simpleString()
+            except Exception:
+                ddl_t = ch_t  # already a Spark type
+            if m.group(2):
+                # Spark has no ADD COLUMN IF NOT EXISTS: catalog check
+                existing = {
+                    f.name for f in self.spark.table(m.group(1)).schema.fields
+                }
+                if col in existing:
+                    return None
+            stmt = f"ALTER TABLE {m.group(1)} ADD COLUMN `{col}` {ddl_t}"
+            if md:
+                stmt += f" DEFAULT {translate_ch_sql(md.group(2).strip())}"
+            self.execute(stmt, qid)
+            return None
+        if _re.match(r"(?is)^\s*(DETACH|ATTACH)\s+TABLE\b", ch_sql):
+            raise QueryError(
+                "DETACH/ATTACH TABLE: Spark's catalog has no detached "
+                "state. For keep-the-data semantics use an EXTERNAL "
+                "table (CREATE TABLE ... USING PARQUET LOCATION "
+                "'<path>') — DROP then leaves the files, and the same "
+                "CREATE re-attaches them."
+            )
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
@@ -529,6 +589,48 @@ class Client:
         )
         self.execute(ddl, qid)
         return ddl
+
+    def _try_create_table_stmt(self, ch_sql: str, qid: str | None) -> bool:
+        """Textual `CREATE TABLE ... ENGINE = ...` (the form DDL
+        scripts contain) routed through the same CreateOptions path as
+        the programmatic API; the CTAS form runs as a Spark CTAS with
+        the engine metadata in TBLPROPERTIES. Returns False when the
+        statement is not a ClickHouse CREATE TABLE (plain Spark DDL
+        falls through to the translate-and-execute path)."""
+        import re as _re
+
+        from clickhouse_arrow_spark.ddl import parse_create_table
+        from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+        if not _re.match(r"(?is)^\s*CREATE\s+TABLE\b", ch_sql):
+            return False
+        if not _re.search(r"(?i)\bENGINE\s*=", ch_sql):
+            return False  # no ENGINE clause: already Spark DDL
+        parsed = parse_create_table(ch_sql)
+        if parsed is None:
+            return False
+        database, table, columns, options, ctas = parsed
+        if ctas is not None and not columns:
+            props = {"clickhouse_arrow_spark.engine": options.engine}
+            if options.order_by:
+                props["clickhouse_arrow_spark.order_by"] = ",".join(
+                    options.order_by
+                )
+            kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+            ine = "IF NOT EXISTS " if options.if_not_exists else ""
+            self.execute(
+                f"CREATE TABLE {ine}`{database}`.`{table}` USING PARQUET "
+                f"TBLPROPERTIES ({kv}) AS {translate_ch_sql(ctas)}",
+                qid,
+            )
+            return True
+        if ctas is not None:
+            raise SchemaError(
+                "CREATE TABLE with BOTH a column list and AS SELECT: "
+                "create the table first, then INSERT INTO ... SELECT"
+            )
+        self.create_table(database, table, columns, options, qid=qid)
+        return True
 
     def create_database(self, name: str, qid: str | None = None) -> None:
         self.execute(f"CREATE DATABASE IF NOT EXISTS `{name}`", qid)

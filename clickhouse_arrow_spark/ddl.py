@@ -600,3 +600,161 @@ def rewrite_sample(spark: SparkSession, sql: str) -> str:
         replacement = f"{kw} {sub} AS `{alias}`"
         sql = f"{sql[: m.start()]}{replacement}{sql[m.end():]}"
         pos = m.start() + len(replacement)
+
+# ---------------------------------------------------------------------------
+# textual CREATE TABLE — the form a migrating user's DDL scripts contain
+# ---------------------------------------------------------------------------
+
+_CREATE_TABLE_RE = re.compile(
+    r"(?is)^\s*CREATE\s+TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>(?:`[^`]+`|\w+)(?:\s*\.\s*(?:`[^`]+`|\w+))?)\s*(?P<rest>.*)$"
+)
+_TAIL_KW_RE = re.compile(
+    r"(?is)\b(ENGINE|ORDER\s+BY|PRIMARY\s+KEY|PARTITION\s+BY|SAMPLE\s+BY|"
+    r"TTL|SETTINGS|AS\s+SELECT|COMMENT)\b"
+)
+_COLDEF_STOP_RE = re.compile(
+    r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\b"
+)
+
+
+def _unq(name: str) -> str:
+    name = name.strip()
+    return name[1:-1] if name.startswith("`") and name.endswith("`") else name
+
+
+def _split_name(qualified: str) -> tuple[str, str]:
+    parts = [p for p in re.split(r"\s*\.\s*", qualified.strip(), maxsplit=1)]
+    if len(parts) == 2:
+        return _unq(parts[0]), _unq(parts[1])
+    return "default", _unq(parts[0])
+
+
+def parse_create_table(ch_sql: str):
+    """Parse a ClickHouse `CREATE TABLE` statement into the inputs of
+    :func:`create_table_ddl` (reference DDL grammar: schema.rs renders
+    the same clause set the reference's CreateOptions carries).
+
+    Returns ``(database, table, columns, options, ctas_select)`` where
+    ``columns`` is a list of (name, ch_type) pairs (empty for the CTAS
+    form) and ``ctas_select`` is the raw ClickHouse SELECT text or
+    None — or returns None when the statement is not a CREATE TABLE.
+
+    Supported per column: `name Type`, `DEFAULT expr` (and
+    `MATERIALIZED expr` — both become Spark column DEFAULTs, applied
+    when an INSERT omits the column), `CODEC(...)` (dropped: parquet
+    encodings are file-level), `COMMENT '...'` (dropped). `ALIAS expr`
+    is refused (a read-time computed column needs a view). `INDEX ...
+    TYPE bloom_filter(...)` maps to parquet bloom filters; other index
+    types are dropped with the skipping handled by min/max footers.
+    """
+    from clickhouse_arrow_spark.dialect import (
+        _find_matching_paren,
+        _split_top_args,
+        translate_ch_sql,
+    )
+
+    m = _CREATE_TABLE_RE.match(ch_sql.strip().rstrip(";"))
+    if not m:
+        return None
+    database, table = _split_name(m.group("name"))
+    rest = m.group("rest").strip()
+
+    columns: list[tuple[str, str]] = []
+    defaults: dict[str, str] = {}
+    bloom_cols: list[str] = []
+    if rest.startswith("("):
+        close = _find_matching_paren(rest, 0)
+        if close == -1:
+            raise SchemaError("unbalanced column list in CREATE TABLE")
+        for item in _split_top_args(rest[1:close]):
+            st = item.strip()
+            if not st:
+                continue
+            up = st.upper()
+            if up.startswith("INDEX "):
+                mi = re.match(
+                    r"(?is)^INDEX\s+\w+\s+(`[^`]+`|\w+)\s+TYPE\s+(\w+)", st
+                )
+                if mi and mi.group(2).lower().startswith("bloom_filter"):
+                    bloom_cols.append(_unq(mi.group(1)))
+                continue
+            if up.startswith(("CONSTRAINT ", "PROJECTION ")):
+                continue  # no Spark analogue; data-level checks
+            mm = re.match(r"^(`[^`]+`|\w+)\s+(.*)$", st, re.S)
+            if not mm:
+                raise SchemaError(f"unparseable column definition: {st!r}")
+            col = _unq(mm.group(1))
+            tail = mm.group(2).strip()
+            ms = _COLDEF_STOP_RE.search(tail)
+            ch_type = (tail[: ms.start()] if ms else tail).strip()
+            if ms:
+                mods = tail[ms.start():]
+                md = re.match(
+                    r"(?is)^(DEFAULT|MATERIALIZED)\s+(.*?)\s*"
+                    r"(?:\b(?:CODEC|COMMENT|TTL)\b.*)?$",
+                    mods,
+                )
+                if md:
+                    defaults[col] = translate_ch_sql(md.group(2).strip())
+                elif re.match(r"(?is)^ALIAS\b", mods):
+                    raise SchemaError(
+                        f"column {col!r}: ALIAS is a read-time computed "
+                        "column — create the table without it and add a "
+                        "view (CREATE VIEW) over the expression"
+                    )
+            if not ch_type:
+                raise SchemaError(f"column {col!r} has no type")
+            columns.append((col, ch_type))
+        rest = rest[close + 1 :].strip()
+
+    # tail clauses
+    clauses: dict[str, str] = {}
+    ctas = None
+    pos = 0
+    found = list(_TAIL_KW_RE.finditer(rest))
+    for i, mk in enumerate(found):
+        kw = re.sub(r"\s+", " ", mk.group(1).upper())
+        end = found[i + 1].start() if i + 1 < len(found) else len(rest)
+        val = rest[mk.end() : end].strip().lstrip("=").strip()
+        if kw == "AS SELECT":
+            ctas = "SELECT " + rest[mk.end() :].strip()
+            break
+        clauses[kw] = val
+
+    def _tuple_list(v: str) -> tuple[str, ...]:
+        v = v.strip()
+        if v.startswith("(") and v.endswith(")"):
+            v = v[1:-1]
+        if v.lower() in ("", "tuple()"):
+            return ()
+        return tuple(_unq(x) for x in _split_top_args(v))
+
+    engine = re.match(r"\s*(\w+)", clauses.get("ENGINE", "MergeTree"))
+    settings = {}
+    for item in _split_top_args(clauses.get("SETTINGS", "")) if clauses.get("SETTINGS") else []:
+        if "=" in item:
+            k, v = item.split("=", 1)
+            settings[k.strip()] = v.strip()
+    partition_by = clauses.get("PARTITION BY") or None
+    colnames = {c for c, _ in columns}
+    if partition_by and _unq(partition_by) in colnames:
+        partition_by = _unq(partition_by)
+    elif partition_by:
+        # expression partitioning: Spark PARTITIONED BY takes columns
+        # only — record the expression as metadata, keep data unsplit
+        settings["partition_by_expression"] = partition_by
+        partition_by = None
+    options = CreateOptions(
+        engine=engine.group(1) if engine else "MergeTree",
+        order_by=_tuple_list(clauses.get("ORDER BY", "")),
+        primary_keys=_tuple_list(clauses.get("PRIMARY KEY", "")),
+        partition_by=partition_by,
+        sample_by=_unq(clauses["SAMPLE BY"]) if clauses.get("SAMPLE BY") else None,
+        ttl=clauses.get("TTL") or None,
+        settings=settings,
+        defaults=defaults,
+        if_not_exists=bool(m.group("ine")),
+        bloom_filter_cols=tuple(bloom_cols),
+    )
+    return database, table, columns, options, ctas

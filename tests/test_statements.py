@@ -415,3 +415,75 @@ def test_dynamic_and_variant_type(client, spark):
         "SELECT variantType(v) AS t FROM variant_probe ORDER BY t"
     ).collect()
     assert [x["t"] for x in r] == ["Int64", "String"]
+
+
+# ---------------------------------------------------------------------------
+# textual CREATE TABLE / ALTER ADD COLUMN / EXISTS — DDL-script forms
+# ---------------------------------------------------------------------------
+
+
+def test_textual_create_table_full_clause_set(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.ddl1")
+    client.execute_ch(
+        "CREATE TABLE stmtdb.ddl1 ("
+        "  x Int64,"
+        "  s String DEFAULT 'none',"
+        "  d DateTime CODEC(Delta, ZSTD),"
+        "  INDEX ix s TYPE bloom_filter(0.01) GRANULARITY 4"
+        ") ENGINE = ReplacingMergeTree ORDER BY (x, s) "
+        "SETTINGS index_granularity = 8192"
+    )
+    try:
+        schema = spark.table("stmtdb.ddl1").schema
+        assert [f.name for f in schema.fields] == ["x", "s", "d"]
+        assert schema["x"].dataType.simpleString() == "bigint"
+        assert schema["d"].dataType.simpleString() == "timestamp"
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES stmtdb.ddl1").collect()
+        }
+        assert props["clickhouse_arrow_spark.engine"] == "ReplacingMergeTree"
+        assert props["clickhouse_arrow_spark.order_by"] == "x,s"
+        # DEFAULT applies when an INSERT omits the column
+        spark.sql("INSERT INTO stmtdb.ddl1 (x, d) VALUES (1, TIMESTAMP '2024-01-01')")
+        assert spark.table("stmtdb.ddl1").collect()[0]["s"] == "none"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.ddl1")
+
+
+def test_textual_ctas_and_alter_add(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    for t in ("ddl2", "ddl3"):
+        spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+    client.execute_ch(
+        "CREATE TABLE stmtdb.ddl2 (x Int64) ENGINE = MergeTree ORDER BY x"
+    )
+    client.execute_ch("INSERT INTO stmtdb.ddl2 VALUES (1), (5), (9)")
+    client.execute_ch(
+        "CREATE TABLE stmtdb.ddl3 ENGINE = MergeTree ORDER BY x "
+        "AS SELECT x FROM stmtdb.ddl2 WHERE x > 2"
+    )
+    try:
+        assert spark.table("stmtdb.ddl3").count() == 2
+        client.execute_ch(
+            "ALTER TABLE stmtdb.ddl3 ADD COLUMN extra Float64"
+        )
+        client.execute_ch(
+            "ALTER TABLE stmtdb.ddl3 ADD COLUMN IF NOT EXISTS extra Float64"
+        )  # second add is a no-op, not an error
+        assert (
+            spark.table("stmtdb.ddl3").schema["extra"].dataType.simpleString()
+            == "double"
+        )
+        r = client.query_ch("EXISTS TABLE stmtdb.ddl3").collect()
+        assert [tuple(x) for x in r] == [(1,)]
+        r = client.query_ch("EXISTS stmtdb.gone").collect()
+        assert [tuple(x) for x in r] == [(0,)]
+        import pytest as _pytest
+
+        with _pytest.raises(Exception, match="EXTERNAL"):
+            client.execute_ch("DETACH TABLE stmtdb.ddl3")
+    finally:
+        for t in ("ddl2", "ddl3"):
+            spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")

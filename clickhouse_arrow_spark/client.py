@@ -403,6 +403,69 @@ class Client:
         if created:
             return None
         m = _re.match(
+            r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
+            r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"
+            r"(?:TO\s+(?P<to>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*)?"
+            r"(?:ENGINE\s*=\s*(?P<engine>\w+)(?:\([^)]*\))?\s*)?"
+            r"(?:ORDER\s+BY\s+(?P<order>.*?)\s*)?"
+            r"(?P<populate>POPULATE\s+)?AS\s+(?P<select>SELECT\b.*?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            from clickhouse_arrow_spark.matview import (
+                attach_materialized_view,
+                create_materialized_view,
+            )
+
+            name = m.group("name").replace("`", "")
+            spark_select = translate_ch_sql(m.group("select"))
+            msrc = _re.search(
+                r"(?is)\bFROM\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
+                spark_select,
+            )
+            if not msrc:
+                raise SchemaError(
+                    "materialized view query has no FROM table to attach to"
+                )
+            source = msrc.group(1).replace("`", "")
+            if m.group("to"):  # TO existing_target form
+                attach_materialized_view(
+                    self.spark,
+                    m.group("to").replace("`", ""),
+                    source,
+                    spark_select,
+                    populate=bool(m.group("populate")),
+                )
+            else:
+                db, _, view = name.rpartition(".")
+                target = create_materialized_view(
+                    self.spark,
+                    db or self.spark.catalog.currentDatabase(),
+                    view,
+                    source,
+                    spark_select,
+                    populate=bool(m.group("populate")),
+                )
+                # carry the inner target's engine metadata so FINAL can
+                # fold aggregating MVs (the canonical CH read pattern)
+                props = {}
+                if m.group("engine"):
+                    props["clickhouse_arrow_spark.engine"] = m.group("engine")
+                if m.group("order"):
+                    cols = [
+                        c.strip().strip("`()")
+                        for c in m.group("order").split(",")
+                        if c.strip().strip("`()")
+                    ]
+                    props["clickhouse_arrow_spark.order_by"] = ",".join(cols)
+                for k, v in props.items():
+                    self.spark.sql(
+                        f"ALTER TABLE {target} SET TBLPROPERTIES "
+                        f"('{k}' = '{v}')"
+                    )
+            return None
+        m = _re.match(
             r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+ADD\s+COLUMN\s+"
             r"(IF\s+NOT\s+EXISTS\s+)?(`[^`]+`|\w+)\s+([^;]+?)\s*;?\s*$",
             ch_sql,

@@ -107,6 +107,35 @@ def create_materialized_view(
     return target
 
 
+def attach_materialized_view(
+    spark: SparkSession,
+    target: str,
+    source_table: str,
+    select_sql: str,
+    populate: bool = False,
+) -> str:
+    """The `CREATE MATERIALIZED VIEW ... TO target` form: the trigger
+    writes into an EXISTING table (the caller owns its engine/layout)
+    instead of an auto-created inner one. CH semantics: TO views cannot
+    POPULATE (same refusal here)."""
+    if populate:
+        raise SchemaError(
+            "CREATE MATERIALIZED VIEW ... TO does not support POPULATE "
+            "(ClickHouse refuses the combination too); backfill with "
+            "INSERT INTO target SELECT ..."
+        )
+    if not _block_ref_re(source_table).search(select_sql):
+        raise SchemaError(
+            f"materialized view query must reference its source table "
+            f"{source_table!r}"
+        )
+    spark.table(target)  # must exist — loud if not
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_source", source_table)
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_query", select_sql)
+    _set_prop(spark, source_table, f"{_MV_PREFIX}{target}", select_sql)
+    return target
+
+
 def drop_materialized_view(spark: SparkSession, target: str) -> None:
     props = _props(spark, target)
     source = props.get("clickhouse_arrow_spark.mv_source")

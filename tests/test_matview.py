@@ -133,3 +133,45 @@ def test_sql_insert_with_column_list_triggers_mv(spark, client, mv_env):
     assert src == [(42, None)]  # unlisted column arrives NULL
     mv = [(r["k"], r["v"]) for r in spark.table("mvdb.colmv").collect()]
     assert mv == [(42, None)]  # the MV saw the block
+
+
+def test_textual_create_materialized_view_forms(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mvtx")
+    for t in ("src", "mv1", "tgt"):
+        spark.sql(f"DROP TABLE IF EXISTS mvtx.{t}")
+    client.execute_ch(
+        "CREATE TABLE mvtx.src (k Int64, v Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO mvtx.src VALUES (1, 10), (2, 20)")
+    try:
+        client.execute_ch(
+            "CREATE MATERIALIZED VIEW mvtx.mv1 ENGINE = SummingMergeTree "
+            "ORDER BY k POPULATE AS "
+            "SELECT k, sum(v) AS sv FROM mvtx.src GROUP BY k"
+        )
+        assert sorted(
+            tuple(r) for r in spark.table("mvtx.mv1").collect()
+        ) == [(1, 10), (2, 20)]
+        client.execute_ch("INSERT INTO mvtx.src VALUES (1, 5)")
+        # per-block partial appended; FINAL folds
+        folded = client.query_ch("SELECT k, sv FROM mvtx.mv1 FINAL").collect()
+        assert sorted(tuple(r) for r in folded) == [(1, 15), (2, 20)]
+        # TO-form writes into an existing table; POPULATE refused
+        client.execute_ch(
+            "CREATE TABLE mvtx.tgt (k Int64, sv Int64) "
+            "ENGINE = SummingMergeTree ORDER BY k"
+        )
+        client.execute_ch(
+            "CREATE MATERIALIZED VIEW mvtx.mv2 TO mvtx.tgt AS "
+            "SELECT k, sum(v) AS sv FROM mvtx.src GROUP BY k"
+        )
+        client.execute_ch("INSERT INTO mvtx.src VALUES (3, 7)")
+        assert (3, 7) in {tuple(r) for r in spark.table("mvtx.tgt").collect()}
+        with pytest.raises(Exception, match="POPULATE"):
+            client.execute_ch(
+                "CREATE MATERIALIZED VIEW mvtx.mv3 TO mvtx.tgt POPULATE AS "
+                "SELECT k, sum(v) AS sv FROM mvtx.src GROUP BY k"
+            )
+    finally:
+        for t in ("src", "mv1", "tgt"):
+            spark.sql(f"DROP TABLE IF EXISTS mvtx.{t}")

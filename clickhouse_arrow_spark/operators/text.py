@@ -612,3 +612,63 @@ def bigram_logprob(
         F.round(F.avg("lp"), 6).alias("mean_logprob"),
         F.count("*").alias("n_bigrams"),
     )
+
+
+def span_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    span_words: int = 8,
+) -> DataFrame:
+    """C4-style span-level deduplication: documents are cut into
+    consecutive non-overlapping ``span_words``-word spans and every
+    repeated span keeps only its FIRST occurrence (ordered by
+    (doc_id, span_pos)) — the cross-document boilerplate filter that
+    document-level dedup misses (headers, footers, license blocks).
+
+    Returns one row per span: (doc_id, span_pos, n_words, kept). The
+    caller reassembles cleaned text from kept spans (a groupBy(id) +
+    concat_ws, kept relational on purpose — the span table is the
+    reusable artifact).
+
+    Scale: one explode (spans ≈ words/span_words per doc) and one
+    exchange keyed on the span digest (sha2 — uniform, skew-proof);
+    the first-occurrence argmin is a map-side-combined min-struct
+    aggregation, never a window over the full span table.
+    """
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    spans = df.select(
+        F.col(id_col),
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_spans - 1),
+                lambda i: F.array_join(
+                    F.slice(words, i * span_words + 1, span_words), " "
+                ),
+            )
+        ).alias("span_pos", "_span"),
+    ).select(
+        id_col,
+        "span_pos",
+        F.size(F.split(F.col("_span"), " ")).alias("n_words"),
+        F.sha2(F.col("_span"), 256).alias("_digest"),
+    )
+    first = spans.groupBy("_digest").agg(
+        F.min(F.struct(F.col(id_col), F.col("span_pos"))).alias("_first")
+    )
+    return (
+        spans.join(first, "_digest")
+        .select(
+            id_col,
+            "span_pos",
+            "n_words",
+            (
+                (F.col(f"_first.{id_col}") == F.col(id_col))
+                & (F.col("_first.span_pos") == F.col("span_pos"))
+            ).alias("kept"),
+        )
+    )

@@ -2154,3 +2154,38 @@ def q_length_pow2_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_text_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.bigram_logprob(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "text_span_dedup",
+    """
+    WITH w AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         x -> x != '') AS ws
+      FROM documents
+    ), s AS (
+      SELECT doc_id, CAST(i AS INT) AS span_pos,
+             array_to_string(ws[i * 8 + 1 : i * 8 + 8], ' ') AS span
+      FROM w, UNNEST(range(0, CAST(ceil(len(ws) / 8.0) AS BIGINT))) AS t(i)
+    ), f AS (
+      SELECT span, min(struct_pack(d := doc_id, p := span_pos)) AS first
+      FROM s GROUP BY span
+    )
+    SELECT s.doc_id, s.span_pos,
+           CAST(len(string_split(s.span, ' ')) AS INT) AS n_words,
+           (f.first.d = s.doc_id AND f.first.p = s.span_pos) AS kept
+    FROM s JOIN f USING (span)
+    ORDER BY doc_id, span_pos
+    """,
+    doc="C4-style span-level dedup: 8-word spans, repeated spans keep "
+    "only the first (doc_id, span_pos) occurrence — the boilerplate "
+    "filter document-level dedup misses. One explode + one uniform "
+    "sha2-keyed exchange; first-occurrence via map-side min-struct, "
+    "never a global window.",
+    tags=("dedup", "text", "pipeline"),
+)
+def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return text.span_dedup(spark.table("documents")).orderBy(
+        "doc_id", "span_pos"
+    )

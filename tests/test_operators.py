@@ -1215,3 +1215,24 @@ try:
 
 except ImportError:  # pragma: no cover
     pass
+
+
+def test_span_dedup_keeps_first_occurrence(spark):
+    from clickhouse_arrow_spark.operators.text import span_dedup
+
+    boiler = "one two three four five six seven eight"
+    df = spark.createDataFrame(
+        [
+            (1, boiler + " unique alpha beta gamma delta epsilon zeta eta"),
+            (2, boiler + " other words here that differ from doc one text"),
+            (3, "completely fresh content with no repeated spans at all"),
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r["doc_id"], r["span_pos"]): r["kept"]
+        for r in span_dedup(df, span_words=8).collect()
+    }
+    assert rows[(1, 0)] is True  # first occurrence of the boilerplate
+    assert rows[(2, 0)] is False  # repeat dropped
+    assert rows[(1, 1)] and rows[(2, 1)] and rows[(3, 0)]  # unique spans kept

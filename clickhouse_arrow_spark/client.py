@@ -505,6 +505,15 @@ class Client:
                 "'<path>') — DROP then leaves the files, and the same "
                 "CREATE re-attaches them."
             )
+        if _re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^()]*\))?\s+FORMAT\b",
+            ch_sql,
+        ):
+            raise QueryError(
+                "FORMAT-form INSERT carries its data out-of-band on the "
+                "wire; pass the batch explicitly — client.insert(table, "
+                "df_or_arrow) (the reference's insert(sql, batch) shape)"
+            )
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",
@@ -516,8 +525,9 @@ class Client:
             # every insert, not just the client API). The source query
             # goes through the CH translation first; columns match
             # POSITIONALLY (to the column list when given, else the
-            # table schema); unlisted columns arrive as NULL (CH fills
-            # type/DEFAULT values — the one divergence, documented).
+            # table schema); unlisted columns take their declared
+            # DEFAULT expression (CH semantics — textual CREATE TABLE
+            # records defaults in the Spark column metadata), else NULL.
             from pyspark.sql import functions as _F
 
             block = self._run(translate_ch_sql(m.group(3)), qid)
@@ -527,8 +537,14 @@ class Client:
                 block = block.toDF(*listed[: len(block.columns)])
                 for f in target.fields:
                     if f.name not in block.columns:
+                        default = f.metadata.get("CURRENT_DEFAULT")
+                        fill = (
+                            _F.expr(default)
+                            if default is not None
+                            else _F.lit(None)
+                        )
                         block = block.withColumn(
-                            f.name, _F.lit(None).cast(f.dataType)
+                            f.name, fill.cast(f.dataType)
                         )
             else:
                 block = block.toDF(

@@ -487,3 +487,21 @@ def test_textual_ctas_and_alter_add(client, spark):
     finally:
         for t in ("ddl2", "ddl3"):
             spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+
+
+def test_insert_fills_declared_defaults(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.defins")
+    client.execute_ch(
+        "CREATE TABLE stmtdb.defins (x Int64, s String DEFAULT 'filled', "
+        "n Int64) ENGINE = MergeTree ORDER BY x"
+    )
+    try:
+        client.execute_ch("INSERT INTO stmtdb.defins (x) VALUES (1)")
+        [r] = spark.table("stmtdb.defins").collect()
+        # declared DEFAULT applies; columns without one arrive NULL
+        assert (r["x"], r["s"], r["n"]) == (1, "filled", None)
+        with pytest.raises(Exception, match="client.insert"):
+            client.execute_ch("INSERT INTO stmtdb.defins FORMAT Native")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.defins")

@@ -108,6 +108,9 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
     "tuple": "struct",
+    "makeDate": "make_date",
+    "makeDateTime": "make_timestamp",
+    "isValidUTF8": "is_valid_utf8",
     # misc
     "generateUUIDv4": "uuid",
     "currentDatabase": "current_database",
@@ -149,6 +152,10 @@ _OPERATOR_BACKED: dict[str, str] = {
     "deltaSum": "order-dependent (sum of positive deltas in row order); "
     "use operators.timeseries.delta_sum(df, order_col, value_col) — the "
     "timeseries_delta_sum corpus entry shows the shape",
+    "initialQueryID": "query ids are client-side here: pass qid= to "
+    "query_ch / use Client.Qid(); there is no server-side query context",
+    "queryID": "query ids are client-side here: pass qid= to query_ch / "
+    "use Client.Qid(); there is no server-side query context",
     "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
     "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
     "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
@@ -892,6 +899,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), "
                     f"{a[0]}), {a[3]})"
                 )
+            if len(a) == 3 and "->" not in a[1]:
+                # 3-arg CH form: unmatched values keep x itself
+                return (
+                    f"coalesce(element_at(map_from_arrays({a[1]}, {a[2]}), "
+                    f"{a[0]}), {a[0]})"
+                )
             return f"transform({', '.join(a)})"
 
         return transform_fmt
@@ -1062,6 +1075,21 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # wilder formats (unix ts strings, DD/MM) do not — documented
         # narrowing, better than an unresolved function
         return lambda a: f"to_timestamp({a[0]})"
+    if name == "hostName":
+        # the JVM's own hostname, derived without a UDF; CH returns the
+        # server's — a local engine IS its own server
+        return lambda a: (
+            "substring_index(java_method('java.net.InetAddress', "
+            "'getLocalHost'), '/', 1)"
+        )
+    if name in ("timezone", "timeZone", "serverTimezone", "serverTimeZone"):
+        return lambda a: "current_timezone()"
+    if name == "YYYYMMDDToDate":
+        return lambda a: f"to_date(CAST({a[0]} AS STRING), 'yyyyMMdd')"
+    if name == "YYYYMMDDhhmmssToDateTime":
+        return lambda a: (
+            f"to_timestamp(CAST({a[0]} AS STRING), 'yyyyMMddHHmmss')"
+        )
     if name == "kurtPop":
         # CH kurtPop = mu4/sigma^4 (non-excess); Spark kurtosis is excess
         return lambda a: f"(kurtosis({a[0]}) + 3)"

@@ -1558,3 +1558,34 @@ def test_exact_quantile_family_maps():
     assert out == "SELECT percentile(v, array(0.25, 0.75)) FROM t"
     out = translate_ch_sql("SELECT medianExact(v) FROM t")
     assert out == "SELECT percentile(v, 0.5) FROM t"
+
+
+# ---------------------------------------------------------------------------
+# tenth wave: datetime constructors, host/timezone context, 3-arg transform
+# ---------------------------------------------------------------------------
+
+
+def test_datetime_constructors():
+    assert (
+        translate_ch_sql("SELECT makeDate(2024, 3, 5)")
+        == "SELECT make_date(2024, 3, 5)"
+    )
+    assert (
+        translate_ch_sql("SELECT YYYYMMDDToDate(20240305)")
+        == "SELECT to_date(CAST(20240305 AS STRING), 'yyyyMMdd')"
+    )
+
+
+def test_context_functions():
+    assert "current_timezone()" in translate_ch_sql("SELECT timezone()")
+    assert "java_method" in translate_ch_sql("SELECT hostName()")
+    with pytest.raises(Exception, match="qid"):
+        translate_ch_sql("SELECT initialQueryID()")
+
+
+def test_transform_three_arg_keeps_unmatched():
+    out = translate_ch_sql("SELECT transform(x, [1, 2], [10, 20]) FROM t")
+    assert out.endswith(", x) FROM t")  # unmatched -> x itself
+    # lambda transform untouched
+    out = translate_ch_sql("SELECT transform(arr, v -> v * 2) FROM t")
+    assert out == "SELECT transform(arr, v -> v * 2) FROM t"

@@ -1046,8 +1046,19 @@ class Client:
         try:
             df = self.spark.sql(sql)
         except Exception as e:  # normalize to the engine's error type
-            self._log_query(qid, sql, t0, "ExceptionBeforeStart", str(e)[:200])
-            raise QueryError(str(e)) from e
+            msg = str(e)
+            if "UNRESOLVED_ROUTINE" in msg:
+                import re as _re
+
+                mm = _re.search(r"Cannot resolve routine `(\w+)`", msg)
+                if mm:
+                    from clickhouse_arrow_spark.dialect import suggest_function
+
+                    hint = suggest_function(mm.group(1))
+                    if hint:
+                        msg += f"\nHint: {hint}"
+            self._log_query(qid, sql, t0, "ExceptionBeforeStart", msg[:200])
+            raise QueryError(msg) from e
         self._log_query(qid, sql, t0, "QueryStart", None)
         return df
 

@@ -3404,3 +3404,38 @@ def extract_with_fill(sql: str):
     replaced = f"ORDER BY {m.group(1)}{direction}"
     sql = sql[: m.start()] + replaced + sql[m.end():]
     return sql, spec
+
+
+@__import__("functools").lru_cache(maxsize=1)
+def known_ch_functions() -> frozenset:
+    """Every ClickHouse function name the translator knows — renames,
+    formatters (harvested from _fmt's own source), parametric
+    aggregates, and operator-backed refusals. Used for did-you-mean
+    hints on unresolved functions."""
+    import inspect
+
+    src = inspect.getsource(_fmt)
+    names = set(re.findall(r'name == "(\w+)"', src))
+    for grp in re.findall(r"name in \(([^)]*)\)", src):
+        names |= set(re.findall(r'"(\w+)"', grp))
+    names |= set(_SIMPLE_RENAMES) | set(_PARAMETRIC) | set(_OPERATOR_BACKED)
+    return frozenset(names)
+
+
+def suggest_function(name: str) -> str | None:
+    """A did-you-mean hint for an unresolved function: exact
+    case-insensitive match first (CH names are case-sensitive), then
+    edit-distance neighbors."""
+    import difflib
+
+    known = known_ch_functions()
+    lower = {k.lower(): k for k in known}
+    if name.lower() in lower and lower[name.lower()] != name:
+        return (
+            f"ClickHouse function names are case-sensitive: did you mean "
+            f"{lower[name.lower()]!r}?"
+        )
+    close = difflib.get_close_matches(name, known, n=3, cutoff=0.75)
+    if close:
+        return "similar ClickHouse functions: " + ", ".join(close)
+    return None

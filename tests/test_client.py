@@ -434,3 +434,12 @@ def test_query_batches_shape(client):
 
     assert batches and all(isinstance(b, _pa.RecordBatch) for b in batches)
     assert sum(b.num_rows for b in batches) == 2
+
+
+def test_unresolved_function_gets_hint(client):
+    from clickhouse_arrow_spark.errors import QueryError
+
+    with pytest.raises(QueryError, match="case-sensitive.*splitByChar"):
+        client.query_ch("SELECT splitbychar(',', 'a,b') AS x")
+    with pytest.raises(QueryError, match="similar ClickHouse"):
+        client.query_ch("SELECT grouparay(1) AS x")

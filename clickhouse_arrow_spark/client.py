@@ -403,6 +403,61 @@ class Client:
         if created:
             return None
         m = _re.match(
+            r"(?is)^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"
+            r"\((?P<cols>[^)]*)\)\s*"
+            r"PRIMARY\s+KEY\s+(?P<key>`[^`]+`|\w+)\s*"
+            r"(?P<rest>.*)$",
+            ch_sql.rstrip().rstrip(";"),
+        )
+        if m:
+            # SOURCE(CLICKHOUSE(TABLE 'src' [DB 'db'])) names the backing
+            # table; LAYOUT()/LIFETIME() are accepted and ignored — the
+            # broadcast join IS the hashed layout, refresh = re-create
+            from clickhouse_arrow_spark.dictionary import create_dictionary
+
+            ms = _re.search(
+                r"(?is)SOURCE\s*\(\s*\w+\s*\(\s*(?P<kv>[^)]*)\)\s*\)",
+                m.group("rest"),
+            )
+            if not ms:
+                raise SchemaError(
+                    "CREATE DICTIONARY needs SOURCE(CLICKHOUSE(TABLE "
+                    "'<table>' [DB '<db>'])) to name the backing table"
+                )
+            kv = dict(
+                _re.findall(r"(?is)\b(\w+)\s+'([^']*)'", ms.group("kv"))
+            )
+            kv = {k.upper(): v for k, v in kv.items()}
+            if "TABLE" not in kv:
+                raise SchemaError("dictionary SOURCE has no TABLE")
+            src_name = (
+                f"{kv['DB']}.{kv['TABLE']}" if kv.get("DB") else kv["TABLE"]
+            )
+            source = self.spark.table(src_name)
+            declared = [
+                _re.match(r"(`[^`]+`|\w+)", c.strip()).group(1).strip("`")
+                for c in m.group("cols").split(",")
+                if c.strip()
+            ]
+            if declared:
+                missing = [c for c in declared if c not in source.columns]
+                if missing:
+                    raise SchemaError(
+                        f"dictionary columns {missing} not in {src_name}"
+                    )
+                source = source.select(*declared)
+            name = m.group("name").replace("`", "")
+            db, _, dname = name.rpartition(".")
+            create_dictionary(
+                self.spark,
+                db or self.spark.catalog.currentDatabase(),
+                dname,
+                source,
+                m.group("key").strip("`"),
+            )
+            return None
+        m = _re.match(
             r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
             r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"

@@ -106,3 +106,27 @@ def test_unknown_dictionary_and_attribute(client, spark, nation_dict):
 def test_dict_call_in_string_literal_untouched(spark, nation_dict):
     sql = "SELECT 'dictGet(''d'', ''a'', 1)' AS s FROM nation"
     assert rewrite_dict_calls(spark, sql) == sql
+
+
+def test_textual_create_dictionary(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS dtx")
+    spark.sql("DROP TABLE IF EXISTS dtx.src")
+    spark.createDataFrame(
+        [(1, "one", 1.0), (2, "two", 2.0)], "k long, name string, w double"
+    ).write.saveAsTable("dtx.src")
+    try:
+        client.execute_ch(
+            "CREATE DICTIONARY dtx.d1 (k UInt64, name String) "
+            "PRIMARY KEY k "
+            "SOURCE(CLICKHOUSE(TABLE 'src' DB 'dtx')) "
+            "LIFETIME(MIN 0 MAX 300) LAYOUT(HASHED())"
+        )
+        r = client.query_ch(
+            "SELECT dictGet('dtx.d1', 'name', CAST(2 AS BIGINT)) AS n"
+        ).collect()
+        assert [x["n"] for x in r] == ["two"]
+        # undeclared column excluded from the dictionary
+        assert spark.table("dtx.d1").columns == ["k", "name"]
+    finally:
+        for t in ("src", "d1"):
+            spark.sql(f"DROP TABLE IF EXISTS dtx.{t}")

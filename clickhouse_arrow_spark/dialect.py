@@ -482,25 +482,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"split({a[1]}, {sep})"
 
         return split_by_char
-    if name == "JSONExtractString":
-        def json_extract(a: Args) -> str:
-            path = a[1].strip()
-            if path.startswith("'") and path.endswith("'"):
-                return f"get_json_object({a[0]}, '$.{path[1:-1]}')"
-            return f"get_json_object({a[0]}, {path})"
-
-        return json_extract
-    if name == "JSONExtractInt":
-        def json_extract_i(a: Args) -> str:
-            path = a[1].strip()
-            inner = (
-                f"get_json_object({a[0]}, '$.{path[1:-1]}')"
-                if path.startswith("'")
-                else f"get_json_object({a[0]}, {path})"
-            )
-            return f"CAST({inner} AS BIGINT)"
-
-        return json_extract_i
+    # JSONExtractString / JSONExtractInt route through the varargs
+    # json_variant family below (multi-key + 1-based index paths)
     if name == "dynamicType":
         # Dynamic maps to a JSON-text column (types.py: JSON/Dynamic ->
         # String; reference e2e_new_types.rs queries dynamicType(dyn_col)).
@@ -992,16 +975,34 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "isInfinite":
         return lambda a: f"(abs({a[0]}) = CAST('Infinity' AS DOUBLE))"
-    if name in ("JSONExtractFloat", "JSONExtractBool", "JSONExtractRaw", "JSONHas"):
-        cast_to = {"JSONExtractFloat": "DOUBLE", "JSONExtractBool": "BOOLEAN"}.get(
-            name
-        )
+    if name in (
+        "JSONExtractFloat", "JSONExtractBool", "JSONExtractRaw", "JSONHas",
+        "JSONExtractString", "JSONExtractInt", "JSONExtractUInt",
+    ):
+        cast_to = {
+            "JSONExtractFloat": "DOUBLE",
+            "JSONExtractBool": "BOOLEAN",
+            "JSONExtractInt": "BIGINT",
+            "JSONExtractUInt": "BIGINT",
+        }.get(name)
 
         def json_variant(a: Args, _cast: str | None = cast_to,
                          _has: bool = name == "JSONHas") -> str:
-            path = a[1].strip()
-            if path.startswith("'") and path.endswith("'"):
-                path = f"'$.{path[1:-1]}'"
+            # CH varargs path (string keys, 1-based int indices)
+            segs = []
+            for p in a[1:]:
+                p = p.strip()
+                if p.startswith("'") and p.endswith("'"):
+                    segs.append(f".{p[1:-1]}")
+                elif p.lstrip("-").isdigit():
+                    segs.append(f"[{int(p) - 1}]")
+                else:
+                    segs = None
+                    break
+            if segs is not None:
+                path = "'$" + "".join(segs) + "'"
+            else:
+                path = a[1].strip()  # dynamic single-arg path, as-is
             got = f"get_json_object({a[0]}, {path})"
             if _has:
                 return f"({got} IS NOT NULL)"
@@ -1012,6 +1013,83 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return json_variant
     if name == "isValidJSON":
         return lambda a: f"(try_parse_json({a[0]}) IS NOT NULL)"
+    if name in (
+        "JSONLength", "JSONType", "JSONExtractKeys", "JSONExtract",
+        "JSON_VALUE", "JSON_QUERY", "JSON_EXISTS", "toJSONString",
+        "JSONArrayLength",
+    ):
+        def _json_path(parts: Args) -> str | None:
+            # CH varargs path: string keys and 1-based integer indices
+            # -> one JSONPath literal; non-literal parts defeat the build
+            segs = []
+            for p in parts:
+                p = p.strip()
+                if p.startswith("'") and p.endswith("'"):
+                    segs.append(f".{p[1:-1]}")
+                elif p.lstrip("-").isdigit():
+                    segs.append(f"[{int(p) - 1}]")
+                else:
+                    return None
+            return "'$" + "".join(segs) + "'"
+
+        def json_family(a: Args, _name=name) -> str:
+            if _name == "toJSONString":
+                return f"to_json({a[0]})"
+            if _name == "JSONArrayLength":
+                return f"json_array_length({a[0]})"
+            if _name in ("JSON_VALUE", "JSON_QUERY"):
+                return f"get_json_object({a[0]}, {a[1]})"
+            if _name == "JSON_EXISTS":
+                return f"(get_json_object({a[0]}, {a[1]}) IS NOT NULL)"
+            # varargs-path forms
+            typed = None
+            parts = a[1:]
+            if _name == "JSONExtract":
+                t = a[-1].strip()
+                if not (t.startswith("'") and t.endswith("'")):
+                    raise UntranslatableFunctionError(
+                        "JSONExtract: the target type must be a string "
+                        "literal"
+                    )
+                from clickhouse_arrow_spark.types import (
+                    ch_type_to_spark,
+                    parse_ch_type,
+                )
+
+                dt, _null = ch_type_to_spark(parse_ch_type(t[1:-1]))
+                typed = dt.simpleString()
+                parts = a[1:-1]
+            path = _json_path(parts) if parts else "'$'"
+            if path is None:
+                raise UntranslatableFunctionError(
+                    f"{_name}: path arguments must be string/int literals"
+                )
+            doc = f"get_json_object({a[0]}, {path})" if parts else a[0]
+            if _name == "JSONExtract":
+                return f"TRY_CAST({doc} AS {typed})"
+            if _name == "JSONExtractKeys":
+                return f"json_object_keys({doc})"
+            if _name == "JSONLength":
+                # array -> element count; object -> key count
+                return (
+                    f"coalesce(json_array_length({doc}), "
+                    f"size(json_object_keys({doc})))"
+                )
+            # JSONType: CH names over the raw text's top-level kind
+            t = f"trim({doc})"
+            return (
+                "CASE "
+                f"WHEN {doc} IS NULL THEN 'Null' "
+                f"WHEN {t} = 'null' THEN 'Null' "
+                f"WHEN {t} LIKE '\"%' THEN 'String' "
+                f"WHEN {t} IN ('true', 'false') THEN 'Bool' "
+                f"WHEN {t} LIKE '[%' THEN 'Array' "
+                f"WHEN {t} LIKE '{{%' THEN 'Object' "
+                f"WHEN {t} RLIKE '^-?[0-9]+$' THEN 'Int64' "
+                "ELSE 'Double' END"
+            )
+
+        return json_family
     if name == "retention":
         # CH retention(c1..cN) aggregate: array of 0/1 where r[0] =
         # "c1 held for some event" and r[i] = "c1 held AND c_i held"

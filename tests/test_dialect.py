@@ -1589,3 +1589,40 @@ def test_transform_three_arg_keeps_unmatched():
     # lambda transform untouched
     out = translate_ch_sql("SELECT transform(arr, v -> v * 2) FROM t")
     assert out == "SELECT transform(arr, v -> v * 2) FROM t"
+
+
+# ---------------------------------------------------------------------------
+# eleventh wave: JSON family depth
+# ---------------------------------------------------------------------------
+
+
+def test_json_varargs_paths(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql(
+        """SELECT '{"a": 1, "b": {"c": [10, 20]}, "s": "x"}' AS j"""
+    ).createOrReplaceTempView("json_probe")
+    got = {
+        k: [tuple(r) for r in c.query_ch(q).collect()]
+        for k, q in {
+            "len": "SELECT JSONLength(j) AS v FROM json_probe",
+            "len_path": "SELECT JSONLength(j, 'b', 'c') AS v FROM json_probe",
+            "type": "SELECT JSONType(j, 'b', 'c') AS v FROM json_probe",
+            "keys": "SELECT JSONExtractKeys(j) AS v FROM json_probe",
+            "typed": "SELECT JSONExtract(j, 'a', 'Int64') AS v FROM json_probe",
+            "idx": "SELECT JSONExtractInt(j, 'b', 'c', 1) AS v FROM json_probe",
+            "jv": "SELECT JSON_VALUE(j, '$.b.c[0]') AS v FROM json_probe",
+            "je": "SELECT JSON_EXISTS(j, '$.zzz') AS v FROM json_probe",
+            "al": "SELECT JSONArrayLength('[1,2,3]') AS v",
+        }.items()
+    }
+    assert got["len"] == [(3,)]
+    assert got["len_path"] == [(2,)]
+    assert got["type"] == [("Array",)]
+    assert got["keys"] == [(["a", "b", "s"],)]
+    assert got["typed"] == [(1,)]
+    assert got["idx"] == [(10,)]  # CH paths are 1-based
+    assert got["jv"] == [("10",)]
+    assert got["je"] == [(False,)]
+    assert got["al"] == [(3,)]

@@ -237,6 +237,21 @@ class Client:
             return self.spark.createDataFrame(
                 [(1 if exists else 0,)], "result tinyint"
             )
+        if _re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*;?\s*$", ch_sql):
+            # system.processes analogue: active Spark job groups from the
+            # status tracker (qid = job group, set by _run)
+            st = self.spark.sparkContext.statusTracker()
+            rows = []
+            for jid in st.getActiveJobsIds():
+                info = st.getJobInfo(jid)
+                if info is None:
+                    continue
+                rows.append((str(jid), str(info.status)))
+            return self.spark.createDataFrame(
+                rows or [], "query_id string, status string"
+            ) if rows else self.spark.createDataFrame(
+                [], "query_id string, status string"
+            )
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)
@@ -363,6 +378,10 @@ class Client:
         n = try_mutation(self.spark, ch_sql)
         if n is not None:
             return n
+        from clickhouse_arrow_spark.ddl import try_alter
+
+        if try_alter(self.spark, ch_sql):
+            return None
         m = _OPTIMIZE_RE.match(ch_sql)
         if m:
             return optimize_table(

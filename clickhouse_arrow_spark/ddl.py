@@ -758,3 +758,157 @@ def parse_create_table(ch_sql: str):
         bloom_filter_cols=tuple(bloom_cols),
     )
     return database, table, columns, options, ctas
+
+
+# ---------------------------------------------------------------------------
+# ALTER TABLE column/metadata forms (beyond mutations)
+# ---------------------------------------------------------------------------
+
+_ALTER_HEAD_RE = re.compile(r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(.*?)\s*;?\s*$")
+
+
+def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
+    """Schema-CHANGING rewrite (drop/retype/rename a column): stage the
+    new shape, recreate the table with the same engine TBLPROPERTIES,
+    load the staged rows. Parquet v1 tables cannot change schema in
+    place; this is the staged-part-rewrite mutation applied to DDL."""
+    import shutil
+    import tempfile
+
+    props = {
+        k: v
+        for k, v in _table_props(spark, table).items()
+        if k.startswith("clickhouse_arrow_spark.")
+    }
+    tmp = tempfile.mkdtemp(prefix="cas_alter_")
+    try:
+        df.write.mode("overwrite").parquet(tmp)
+        staged = spark.read.parquet(tmp)
+        spark.sql(f"DROP TABLE {table}")
+        try:
+            staged.write.format("parquet").saveAsTable(table)
+        except Exception as e:
+            if not _drop_orphan_location(spark, e):
+                raise
+            staged.write.format("parquet").saveAsTable(table)
+        for k, v in props.items():
+            spark.sql(
+                f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}' = '{v}')"
+            )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def try_alter(spark: SparkSession, ch_sql: str) -> bool:
+    """ClickHouse ALTER forms with no direct Spark-parquet statement:
+
+    - ``MODIFY TTL expr`` / ``MODIFY SETTING k = v`` / ``RESET SETTING
+      k`` — metadata-only (TBLPROPERTIES).
+    - ``COMMENT COLUMN c 'text'`` — Spark ALTER COLUMN COMMENT.
+    - ``DROP COLUMN`` / ``MODIFY COLUMN c NewType`` / ``RENAME COLUMN``
+      / ``CLEAR COLUMN`` — staged part rewrites (parquet v1 tables
+      cannot change schema in place; cost is one table scan + write,
+      the same bill ClickHouse's mutation pays).
+
+    Returns False when `ch_sql` is not one of these (ADD COLUMN and
+    mutations are handled elsewhere)."""
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+    from clickhouse_arrow_spark.types import ch_type_to_spark, parse_ch_type
+
+    m = _ALTER_HEAD_RE.match(ch_sql)
+    if not m:
+        return False
+    table, action = m.group(1), m.group(2)
+
+    def tr(expr: str) -> str:
+        return translate_ch_sql(f"SELECT {expr}")[len("SELECT "):]
+
+    mm = re.match(r"(?is)^MODIFY\s+TTL\s+(.+)$", action)
+    if mm:
+        ttl = tr(mm.group(1).strip())
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('clickhouse_arrow_spark.ttl' = '{ttl}')"
+        )
+        return True
+    mm = re.match(r"(?is)^MODIFY\s+SETTING\s+(\w+)\s*=\s*(.+)$", action)
+    if mm:
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('clickhouse_arrow_spark.setting.{mm.group(1)}' = "
+            f"'{mm.group(2).strip()}')"
+        )
+        return True
+    mm = re.match(r"(?is)^RESET\s+SETTING\s+(\w+)\s*$", action)
+    if mm:
+        spark.sql(
+            f"ALTER TABLE {table} UNSET TBLPROPERTIES IF EXISTS "
+            f"('clickhouse_arrow_spark.setting.{mm.group(1)}')"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^COMMENT\s+COLUMN\s+(`[^`]+`|\w+)\s+('(?:[^']|'')*')\s*$",
+        action,
+    )
+    if mm:
+        spark.sql(
+            f"ALTER TABLE {table} ALTER COLUMN "
+            f"`{mm.group(1).strip('`')}` COMMENT {mm.group(2)}"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^DROP\s+COLUMN\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s*$", action
+    )
+    if mm:
+        col = mm.group(2).strip("`")
+        df = spark.table(table)
+        if col not in df.columns:
+            if mm.group(1):
+                return True
+            raise SchemaError(f"DROP COLUMN: no column {col!r} in {table}")
+        _recreate_with(spark, table, df.drop(col))
+        return True
+    mm = re.match(
+        r"(?is)^RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+        action,
+    )
+    if mm:
+        _recreate_with(
+            spark,
+            table,
+            spark.table(table).withColumnRenamed(
+                mm.group(1).strip("`"), mm.group(2).strip("`")
+            ),
+        )
+        return True
+    mm = re.match(
+        r"(?is)^MODIFY\s+COLUMN\s+(`[^`]+`|\w+)\s+([\w()\s,]+?)\s*$", action
+    )
+    if mm:
+        from pyspark.sql import functions as F
+
+        col = mm.group(1).strip("`")
+        try:
+            dt, _null = ch_type_to_spark(parse_ch_type(mm.group(2).strip()))
+        except Exception as e:
+            raise SchemaError(
+                f"MODIFY COLUMN: unparseable type {mm.group(2)!r}: {e}"
+            ) from e
+        _recreate_with(
+            spark,
+            table,
+            spark.table(table).withColumn(col, F.col(col).cast(dt)),
+        )
+        return True
+    mm = re.match(r"(?is)^CLEAR\s+COLUMN\s+(`[^`]+`|\w+)\s*$", action)
+    if mm:
+        from pyspark.sql import functions as F
+
+        col = mm.group(1).strip("`")
+        df = spark.table(table)
+        dt = df.schema[col].dataType
+        _rewrite_rows(
+            spark, table, df.withColumn(col, F.lit(None).cast(dt))
+        )
+        return True
+    return False

@@ -505,3 +505,44 @@ def test_insert_fills_declared_defaults(client, spark):
             client.execute_ch("INSERT INTO stmtdb.defins FORMAT Native")
     finally:
         spark.sql("DROP TABLE IF EXISTS stmtdb.defins")
+
+
+def test_alter_column_and_metadata_forms(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.alt")
+    client.execute_ch(
+        "CREATE TABLE stmtdb.alt (x Int64, s String, d DateTime) "
+        "ENGINE = MergeTree ORDER BY x"
+    )
+    client.execute_ch(
+        "INSERT INTO stmtdb.alt VALUES "
+        "(1, 'a', '2024-01-01 00:00:00'), (2, 'b', '2024-01-02 00:00:00')"
+    )
+    try:
+        client.execute_ch("ALTER TABLE stmtdb.alt MODIFY TTL d + INTERVAL 60 DAY")
+        client.execute_ch("ALTER TABLE stmtdb.alt MODIFY SETTING index_granularity = 4096")
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES stmtdb.alt").collect()
+        }
+        assert props["clickhouse_arrow_spark.ttl"] == "d + INTERVAL 60 DAY"
+        assert props["clickhouse_arrow_spark.setting.index_granularity"] == "4096"
+        client.execute_ch("ALTER TABLE stmtdb.alt MODIFY COLUMN x Int32")
+        assert spark.table("stmtdb.alt").schema["x"].dataType.simpleString() == "int"
+        client.execute_ch("ALTER TABLE stmtdb.alt RENAME COLUMN s TO s2")
+        client.execute_ch("ALTER TABLE stmtdb.alt CLEAR COLUMN s2")
+        assert [r["s2"] for r in spark.table("stmtdb.alt").collect()] == [None, None]
+        client.execute_ch("ALTER TABLE stmtdb.alt DROP COLUMN s2")
+        assert spark.table("stmtdb.alt").columns == ["x", "d"]
+        # data and engine metadata survive every rewrite
+        assert spark.table("stmtdb.alt").count() == 2
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES stmtdb.alt").collect()
+        }
+        assert props["clickhouse_arrow_spark.engine"] == "MergeTree"
+        client.execute_ch("ALTER TABLE stmtdb.alt DROP COLUMN IF EXISTS gone")
+        with pytest.raises(Exception, match="no column"):
+            client.execute_ch("ALTER TABLE stmtdb.alt DROP COLUMN gone")
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.alt")

@@ -228,6 +228,47 @@ def main() -> int:
         packing.first_fit(tok, budget=2048, n_buckets=4096),
     )
 
+    # -- streaming: stateful sessionization throughput at 1M events ------
+    import shutil as _sh
+
+    ev_dir = f"{tmp}/ev_stream"
+    (
+        spark.range(0, 1_000_000, 1, 8)
+        .select(
+            F.col("id").alias("event_id"),
+            F.timestamp_micros(
+                (F.col("id") % 10_000) * 120_000_000 + (F.col("id") % 7)
+            ).alias("ts"),
+            (F.col("id") % 10_000).alias("user_id"),
+            F.lit("view").alias("event_type"),
+            F.lit(1.0).alias("value"),
+            F.lit("{}").alias("props"),
+        )
+        .write.mode("overwrite")
+        .parquet(f"{ev_dir}/events.parquet")
+    )
+    from clickhouse_arrow_spark.streaming.events import stateful_sessions
+
+    schema = spark.read.parquet(f"{ev_dir}/events.parquet").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 8)
+        .parquet(f"{ev_dir}/events.parquet")
+    )
+    t0 = time.perf_counter()
+    q = (
+        stateful_sessions(stream, gap_minutes=30)
+        .writeStream.format("noop")
+        .option("checkpointLocation", f"{tmp}/ckpt_sessions")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    timings["streaming_stateful_sessions_1m_events"] = round(
+        time.perf_counter() - t0, 2
+    )
+    _sh.rmtree(f"{tmp}/ckpt_sessions", ignore_errors=True)
+
     # -- semantic dedup at 100k vectors (16-dim, 1% planted clones) ------
     from clickhouse_arrow_spark.operators import similarity as sim_ops
 

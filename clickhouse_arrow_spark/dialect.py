@@ -994,15 +994,27 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 p = p.strip()
                 if p.startswith("'") and p.endswith("'"):
                     segs.append(f".{p[1:-1]}")
-                elif p.lstrip("-").isdigit():
+                elif p.isdigit():
                     segs.append(f"[{int(p) - 1}]")
+                elif p.lstrip("-").isdigit():
+                    raise UntranslatableFunctionError(
+                        "negative (count-from-end) JSON indices have no "
+                        "JSONPath form — compute the length with "
+                        "JSONLength() and index positively"
+                    )
                 else:
                     segs = None
                     break
             if segs is not None:
                 path = "'$" + "".join(segs) + "'"
-            else:
+            elif len(a) == 2:
                 path = a[1].strip()  # dynamic single-arg path, as-is
+            else:
+                raise UntranslatableFunctionError(
+                    "multi-segment JSON paths must be string/int "
+                    "literals (a dynamic segment cannot be folded into "
+                    "one JSONPath literal)"
+                )
             got = f"get_json_object({a[0]}, {path})"
             if _has:
                 return f"({got} IS NOT NULL)"
@@ -1026,8 +1038,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 p = p.strip()
                 if p.startswith("'") and p.endswith("'"):
                     segs.append(f".{p[1:-1]}")
-                elif p.lstrip("-").isdigit():
+                elif p.isdigit():
                     segs.append(f"[{int(p) - 1}]")
+                elif p.lstrip("-").isdigit():
+                    raise UntranslatableFunctionError(
+                        "negative (count-from-end) JSON indices have no "
+                        "JSONPath form — compute the length with "
+                        "JSONLength() and index positively"
+                    )
                 else:
                     return None
             return "'$" + "".join(segs) + "'"
@@ -1202,7 +1220,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         }[name]
 
         def map_agg(a: Args, _merge=merge) -> str:
-            lst = f"collect_list({a[0]})"
+            # 1-arg form over a map column; 2-arg CH form over parallel
+            # (keys, values) arrays zips them into a map first
+            src = (
+                a[0]
+                if len(a) == 1
+                else f"map_from_arrays({a[0]}, {a[1]})"
+            )
+            lst = f"collect_list({src})"
             seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
             return (
                 f"aggregate({lst}, {seed}, (acc, e) -> "
@@ -1251,13 +1276,29 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             if pat.startswith("'") and pat.endswith("'"):
                 body = pat[1:-1]
                 k = 0
+                in_class = False
                 while k < len(body):
-                    if body[k] == "\\":
+                    ch = body[k]
+                    if ch == "\\":
                         k += 2
                         continue
-                    if body[k] == "(" and not body[k + 1 : k + 3] == "?:":
-                        grp = 1
-                        break
+                    if in_class:
+                        if ch == "]":
+                            in_class = False
+                    elif ch == "[":
+                        in_class = True
+                    elif ch == "(":
+                        if body[k + 1 : k + 2] != "?":
+                            grp = 1  # plain capturing group
+                            break
+                        # (?...: only the named form (?<name> captures;
+                        # (?<= / (?<! are lookbehinds, the rest are
+                        # flags / non-capturing / lookaheads
+                        if body[k + 1 : k + 3] == "?<" and body[
+                            k + 3 : k + 4
+                        ] not in ("=", "!"):
+                            grp = 1
+                            break
                     k += 1
             return f"regexp_extract({a[0]}, {pat}, {grp})"
 
@@ -2412,7 +2453,9 @@ def _rewrite_sample(sql: str) -> str:
         sql = f"{sql[: m.start()]}TABLESAMPLE ({pct:g} PERCENT){sql[m.end():]}"
 
 
-_LIMIT_BY_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s+BY\b")
+_LIMIT_BY_RE = re.compile(
+    r"(?i)\bLIMIT\s+(?:(\d+)\s*,\s*)?(\d+)\s+BY\b"
+)
 _ORDER_BY_RE = re.compile(r"(?i)\bORDER\s+BY\b")
 _AFTER_LIMIT_BY_RE = re.compile(r"(?i)\b(LIMIT|SETTINGS|FORMAT)\b")
 
@@ -2432,10 +2475,37 @@ def _rewrite_limit_by(sql: str) -> str:
     ORDER BY, ClickHouse keeps arbitrary rows per key; the rewrite
     orders by the key expressions for determinism.
     """
+    while True:
+        m = _find_clean(_LIMIT_BY_RE, sql, depth0=False)
+        if not m:
+            return sql
+        depth = _scan_mask(sql)[m.start()][0]
+        if depth == 0:
+            return _rewrite_limit_by_scope(sql)
+        # nested: rewrite the enclosing parenthesised scope in place
+        open_idx = -1
+        d = 0
+        for k in range(m.start() - 1, -1, -1):
+            if sql[k] == ")":
+                d += 1
+            elif sql[k] == "(":
+                if d == 0:
+                    open_idx = k
+                    break
+                d -= 1
+        if open_idx == -1:
+            return _rewrite_limit_by_scope(sql)
+        close = _find_matching_paren(sql, open_idx)
+        inner = _rewrite_limit_by_scope(sql[open_idx + 1 : close])
+        sql = f"{sql[: open_idx + 1]}{inner}{sql[close:]}"
+
+
+def _rewrite_limit_by_scope(sql: str) -> str:
     m = _find_clean(_LIMIT_BY_RE, sql)
     if not m:
         return sql
-    n = int(m.group(1))
+    offset = int(m.group(1)) if m.group(1) else 0
+    n = int(m.group(2))
     # BY expressions run to the next top-level clause keyword or EOS
     tail_m = _find_clean(_AFTER_LIMIT_BY_RE, sql, start=m.end())
     by_end = tail_m.start() if tail_m else len(sql)
@@ -2457,7 +2527,12 @@ def _rewrite_limit_by(sql: str) -> str:
     out = (
         f"SELECT * EXCEPT (_rn) FROM (SELECT _q.*, row_number() OVER "
         f"(PARTITION BY {by_exprs} ORDER BY {order_clause}) AS _rn "
-        f"FROM ({head}) AS _q) WHERE _rn <= {n}"
+        f"FROM ({head}) AS _q) WHERE _rn "
+        + (
+            f"BETWEEN {offset + 1} AND {offset + n}"
+            if offset
+            else f"<= {n}"
+        )
     )
     if order:
         out += f" ORDER BY {order}"
@@ -2790,12 +2865,15 @@ def _rewrite_select_alias_refs(sql: str) -> str:
             continue
         select_list = out[s_idx + 6 : m_from.start()]
         aliases: list[tuple[str, str]] = []
-        for item in _split_top_args(select_list):
+        for i, item in enumerate(_split_top_args(select_list)):
             parts = _split_depth0(_AS_SPLIT_RE, item)
             if len(parts) < 2:
                 continue
             alias = parts[-1].strip()
             expr = " AS ".join(parts[:-1]).strip()
+            if i == 0:
+                # SELECT DISTINCT/ALL prefix is not part of the expr
+                expr = re.sub(r"(?is)^(DISTINCT|ALL)\s+", "", expr)
             if _ALIAS_NAME_RE.match(alias) and expr and expr != alias:
                 aliases.append((alias, expr))
         if not aliases:
@@ -2829,18 +2907,10 @@ def _find_at_depth(pattern, sql, start, depth):
 
 
 def _scope_clause_end(sql, start, depth):
-    """End of a WHERE/HAVING clause: next clause keyword at the scope's
-    depth, or the point where depth drops below it, or end of string."""
-    mask = _scan_mask(sql)
-    for m in _CLAUSE_STOP_RE.finditer(sql, start):
-        if mask[m.start()][1]:
-            continue
-        if mask[m.start()][0] <= depth:
-            return m.start()
-    for k in range(start, len(sql)):
-        if not mask[k][1] and mask[k][0] < depth:
-            return k
-    return len(sql)
+    """End of a WHERE/HAVING clause: next clause keyword AT the scope's
+    depth, or the point where depth drops below it — whichever comes
+    first positionally — else end of string."""
+    return _scope_clause_end_re(sql, start, depth, _CLAUSE_STOP_RE)
 
 
 def _sub_select_spans(clause: str, mask) -> list[tuple[int, int]]:
@@ -2962,6 +3032,14 @@ def _inline_aliases_everywhere(clause: str, aliases) -> str:
                 k += 1
             if k < len(clause) and clause[k] == "(":
                 continue
+            # an AS target is a NAME BINDING, not a reference
+            b = p
+            while b > 0 and clause[b - 1] in " \t\n":
+                b -= 1
+            if b >= 2 and clause[b - 2 : b].upper() == "AS" and (
+                b == 2 or not (clause[b - 3].isalnum() or clause[b - 3] == "_")
+            ):
+                continue
             new.append(clause[last:p])
             new.append(f"({expr})")
             last = mm.end()
@@ -3002,8 +3080,10 @@ def _rewrite_qualify(sql: str) -> str:
         pred = sql[m.end() : pred_end].strip()
         scope_end = _scope_end(sql, pred_end, depth)
         inner = sql[sel.start() : m.start()].rstrip()
-        # inject the predicate as a lateral select item before FROM
-        mf = _find_at_depth(_FROM_KW_RE, inner, 0, depth)
+        # inject the predicate as a lateral select item before FROM;
+        # `inner` is a slice, so depths inside it are RELATIVE (its own
+        # scope keywords sit at relative depth 0 whatever the absolute)
+        mf = _find_at_depth(_FROM_KW_RE, inner, 0, 0)
         if not mf:
             return sql
         inner_q = (
@@ -3019,14 +3099,19 @@ def _rewrite_qualify(sql: str) -> str:
 
 
 def _scope_clause_end_re(sql, start, depth, stop_re):
+    """First position after `start` where the clause ends: a stop
+    keyword AT the scope's depth, or the point where depth drops below
+    it — whichever comes FIRST positionally."""
     mask = _scan_mask(sql)
-    for m in stop_re.finditer(sql, start):
-        if mask[m.start()][1]:
-            continue
-        if mask[m.start()][0] <= depth:
-            return m.start()
+    stops = {
+        m.start()
+        for m in stop_re.finditer(sql, start)
+        if not mask[m.start()][1] and mask[m.start()][0] == depth
+    }
     for k in range(start, len(sql)):
         if not mask[k][1] and mask[k][0] < depth:
+            return k
+        if k in stops:
             return k
     return len(sql)
 
@@ -3089,7 +3174,10 @@ _DISTINCT_ON_RE = re.compile(r"(?i)\bDISTINCT\s+ON\s*\(")
 def _rewrite_distinct_on(sql: str) -> str:
     """ClickHouse `SELECT DISTINCT ON (keys) ...` -> the `LIMIT 1 BY
     keys` form (first row per key under the query's ORDER BY), which
-    the LIMIT BY rewrite then turns into a row_number() window."""
+    the LIMIT BY rewrite then turns into a row_number() window. The
+    LIMIT 1 BY lands at the end of the DISTINCT's OWN scope (before a
+    trailing LIMIT of that scope), so subquery forms dedup the
+    subquery, not the outer statement."""
     while True:
         m = _find_clean(_DISTINCT_ON_RE, sql, depth0=False)
         if not m:
@@ -3097,15 +3185,25 @@ def _rewrite_distinct_on(sql: str) -> str:
         close = _find_matching_paren(sql, m.end() - 1)
         if close == -1:
             return sql
+        depth = _scan_mask(sql)[m.start()][0]
         keys = sql[m.end() : close].strip()
-        rest = sql[close + 1 :]
-        # append LIMIT 1 BY before any trailing LIMIT of this statement
-        lm = _find_clean(re.compile(r"(?i)\bLIMIT\b"), rest, depth0=True)
+        end = _scope_end(sql, close + 1, depth)
+        scope = sql[close + 1 : end]
+        # insert before this scope's own trailing LIMIT, if any
+        lm = None
+        mask = _scan_mask(scope)
+        for cand in re.finditer(r"(?i)\bLIMIT\b", scope):
+            if not mask[cand.start()][1] and mask[cand.start()][0] == 0:
+                lm = cand
+                break
         if lm:
-            rest = f"{rest[: lm.start()]}LIMIT 1 BY {keys} {rest[lm.start():]}"
+            scope = (
+                f"{scope[: lm.start()]}LIMIT 1 BY {keys} "
+                f"{scope[lm.start():]}"
+            )
         else:
-            rest = f"{rest.rstrip()} LIMIT 1 BY {keys}"
-        sql = f"{sql[: m.start()]}{rest}"
+            scope = f"{scope.rstrip()} LIMIT 1 BY {keys}"
+        sql = f"{sql[: m.start()]}{scope}{sql[end:]}"
 
 
 _STAR_MOD_RE = re.compile(r"(?i)\*\s+(REPLACE|APPLY)\s*\(")

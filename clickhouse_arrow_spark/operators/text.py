@@ -641,16 +641,20 @@ def span_dedup(
         lambda w: w != "",
     )
     n_spans = F.ceil(F.size(words) / F.lit(span_words)).cast("int")
+    # sequence(0, -1) yields [0, -1] (descending) — an empty/whitespace
+    # document must contribute ZERO spans, not two phantom ones
+    span_texts = F.when(
+        n_spans > 0,
+        F.transform(
+            F.sequence(F.lit(0), n_spans - 1),
+            lambda i: F.array_join(
+                F.slice(words, i * span_words + 1, span_words), " "
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
     spans = df.select(
         F.col(id_col),
-        F.posexplode(
-            F.transform(
-                F.sequence(F.lit(0), n_spans - 1),
-                lambda i: F.array_join(
-                    F.slice(words, i * span_words + 1, span_words), " "
-                ),
-            )
-        ).alias("span_pos", "_span"),
+        F.posexplode(span_texts).alias("span_pos", "_span"),
     ).select(
         id_col,
         "span_pos",

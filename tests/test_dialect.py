@@ -1626,3 +1626,86 @@ def test_json_varargs_paths(spark):
     assert got["jv"] == [("10",)]
     assert got["je"] == [(False,)]
     assert got["al"] == [(3,)]
+
+
+# ---------------------------------------------------------------------------
+# review-fix regressions (round-4 second-session code-review findings)
+# ---------------------------------------------------------------------------
+
+
+def test_distinct_on_in_subquery_scopes(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("SELECT explode(sequence(1,6)) AS x").selectExpr(
+        "x", "x % 2 AS g"
+    ).createOrReplaceTempView("rv_n")
+    [r] = c.query_ch(
+        "SELECT count(*) AS n FROM "
+        "(SELECT DISTINCT ON (g) g, x FROM rv_n ORDER BY g, x) LIMIT 10"
+    ).collect()
+    assert r["n"] == 2  # dedup applied to the SUBQUERY, not the outer count
+
+
+def test_qualify_in_subquery(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("SELECT explode(sequence(1,6)) AS x").createOrReplaceTempView(
+        "rv_q"
+    )
+    r = c.query_ch(
+        "SELECT x FROM (SELECT x, row_number() OVER (ORDER BY x) AS rn "
+        "FROM rv_q QUALIFY rn <= 2) WHERE x > 0 ORDER BY x"
+    ).collect()
+    assert [v["x"] for v in r] == [1, 2]
+
+
+def test_alias_inline_strips_distinct_prefix():
+    out = translate_ch_sql("SELECT DISTINCT a + 1 AS c FROM t WHERE c > 1")
+    assert "WHERE (a + 1) > 1" in out and "DISTINCT a + 1 AS c" in out
+
+
+def test_scalar_with_skips_as_targets():
+    out = translate_ch_sql("WITH x * 2 AS dbl SELECT x AS dbl FROM t")
+    assert "AS dbl" in out and "AS (x" not in out
+
+
+def test_json_dynamic_multiseg_and_negative_refused():
+    with pytest.raises(Exception, match="literal"):
+        translate_ch_sql("SELECT JSONExtractString(j, k, 'name') FROM t")
+    with pytest.raises(Exception, match="negative"):
+        translate_ch_sql("SELECT JSONExtractString(j, 'b', -1) FROM t")
+
+
+def test_extract_inline_flags_group_zero():
+    out = translate_ch_sql(r"SELECT extract(s, '(?i)abc[0-9]+')")
+    assert out.endswith(", 0)")
+    out = translate_ch_sql(r"SELECT extract(s, '[(]x([0-9])')")
+    assert out.endswith(", 1)")  # bracketed '(' ignored, real group seen
+
+
+def test_summap_two_array_form(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("SELECT explode(sequence(1,6)) AS x").selectExpr(
+        "x", "x % 2 AS g"
+    ).createOrReplaceTempView("rv_sm")
+    [r] = c.query_ch("SELECT sumMap([g], [x]) AS sm FROM rv_sm").collect()
+    assert dict(r["sm"]) == {0: 12, 1: 9}
+
+
+def test_limit_offset_by_window(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("SELECT explode(sequence(1,6)) AS x").selectExpr(
+        "x", "x % 2 AS g"
+    ).createOrReplaceTempView("rv_lb")
+    r = c.query_ch(
+        "SELECT g, x FROM rv_lb ORDER BY g, x LIMIT 1, 2 BY g"
+    ).collect()
+    assert sorted((v["g"], v["x"]) for v in r) == [
+        (0, 4), (0, 6), (1, 3), (1, 5),
+    ]

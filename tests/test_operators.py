@@ -1236,3 +1236,15 @@ def test_span_dedup_keeps_first_occurrence(spark):
     assert rows[(1, 0)] is True  # first occurrence of the boilerplate
     assert rows[(2, 0)] is False  # repeat dropped
     assert rows[(1, 1)] and rows[(2, 1)] and rows[(3, 0)]  # unique spans kept
+
+
+def test_span_dedup_empty_docs_contribute_no_spans(spark):
+    from clickhouse_arrow_spark.operators.text import span_dedup
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, "   "), (3, "a b c")], "doc_id long, text string"
+    )
+    rows = span_dedup(df, span_words=2).collect()
+    assert sorted((r["doc_id"], r["span_pos"]) for r in rows) == [
+        (3, 0), (3, 1),
+    ]

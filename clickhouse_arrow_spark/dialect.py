@@ -1325,8 +1325,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
             t = a[1].strip()
             if t.startswith("'") and t.endswith("'"):
+                # no .upper(): struct field names are case-sensitive
                 dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
-                return f"CAST({a[0]} AS {dt.simpleString().upper()})"
+                return f"CAST({a[0]} AS {dt.simpleString()})"
             return f"CAST({a[0]} AS {t})"
 
         return accurate_cast
@@ -1339,8 +1340,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
             t = a[1].strip()
             if t.startswith("'") and t.endswith("'"):
+                # no .upper(): struct field names are case-sensitive
                 dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
-                return f"TRY_CAST({a[0]} AS {dt.simpleString().upper()})"
+                return f"TRY_CAST({a[0]} AS {dt.simpleString()})"
             return f"TRY_CAST({a[0]} AS {t})"
 
         return accurate_cast_or_null
@@ -3004,6 +3006,20 @@ def _rewrite_scalar_with(sql: str) -> str:
     if not aliases:
         return sql
     body = sql[m_sel.start() :]
+    # a select-list item that IS a scalar alias keeps its output name
+    # (CH names the column after the alias): `k` -> `(expr) AS k`
+    alias_map = dict(aliases)
+    mf = _find_at_depth(_FROM_KW_RE, body, 0, 0)
+    if mf:
+        items = _split_top_args(body[6 : mf.start()])
+        changed = False
+        for i, item in enumerate(items):
+            st = item.strip()
+            if st in alias_map:
+                items[i] = f"({alias_map[st]}) AS {st}"
+                changed = True
+        if changed:
+            body = f"SELECT {', '.join(items)} {body[mf.start():]}"
     # scalar WITH is visible inside subqueries too: inline everywhere
     # (literals, qualified refs, and call heads still skipped)
     body = _inline_aliases_everywhere(body, aliases)

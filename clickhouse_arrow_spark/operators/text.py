@@ -563,8 +563,8 @@ def bigram_logprob(
 
     Model: P(w2|w1) = (count(w1 w2)) / count(w1 ·) with stupid-backoff
     ``alpha * count(w2)/total`` for unseen bigrams; the score is the
-    mean natural-log probability over a document's bigrams (0.0 for
-    single-token documents).
+    mean natural-log probability over a document's bigrams (documents
+    with fewer than two tokens have no bigrams and are omitted).
 
     Scale: two shuffles, both on uniform token keys — a bigram-count
     aggregation (map-side combined; vocabulary ≪ corpus) and the

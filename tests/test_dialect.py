@@ -626,7 +626,7 @@ def test_sample_executes(client):
         ),
         (
             "SELECT accurateCast(x, 'Int64')",
-            "SELECT CAST(x AS BIGINT)",
+            "SELECT CAST(x AS bigint)",
         ),
         (
             "SELECT splitByString('::', s)",
@@ -1352,7 +1352,7 @@ def test_cast_ch_types():
 
 def test_accurate_cast_or_null():
     out = translate_ch_sql("SELECT accurateCastOrNull(s, 'Int64') FROM t")
-    assert out == "SELECT TRY_CAST(s AS BIGINT) FROM t"
+    assert out == "SELECT TRY_CAST(s AS bigint) FROM t"
 
 
 # ---------------------------------------------------------------------------
@@ -1490,7 +1490,7 @@ def test_qualify_wraps_with_lateral_predicate():
 def test_scalar_with_inlines_everywhere():
     out = translate_ch_sql("WITH 5 AS k SELECT k, x FROM t WHERE x < k")
     assert "WITH" not in out
-    assert "SELECT (5), x FROM t WHERE x < (5)" == out
+    assert "SELECT (5) AS k, x FROM t WHERE x < (5)" == out
     # visible inside subqueries (CH global WITH)
     out = translate_ch_sql(
         "WITH 3 AS k SELECT x FROM t WHERE x IN (SELECT y FROM u WHERE y <= k)"

@@ -3162,6 +3162,34 @@ def _rewrite_top(sql: str) -> str:
         )
 
 
+#: set operators in set-op position (followed by SELECT or a
+#: parenthesised SELECT), without an explicit ALL/DISTINCT
+_BARE_SETOP_RE = re.compile(
+    r"(?i)\b(INTERSECT|EXCEPT|UNION)\s+"
+    r"(?!ALL\b|DISTINCT\b)(?=SELECT\b|\(\s*SELECT\b)"
+)
+
+
+def _rewrite_bare_setops(sql: str) -> str:
+    """ClickHouse set-op defaults: INTERSECT/EXCEPT keep duplicates
+    (ALL) unless DISTINCT is written — Spark defaults to DISTINCT, so a
+    bare spelling silently changes multiplicities; rewrite to the
+    explicit ALL. A bare UNION is an ERROR in ClickHouse (it demands
+    ALL or DISTINCT) — same refusal here."""
+    while True:
+        m = _find_clean(_BARE_SETOP_RE, sql, depth0=False)
+        if not m:
+            return sql
+        op = m.group(1).upper()
+        if op == "UNION":
+            raise UntranslatableFunctionError(
+                "bare UNION: ClickHouse requires UNION ALL or UNION "
+                "DISTINCT (union_default_mode is unset) — write one "
+                "explicitly"
+            )
+        sql = f"{sql[: m.start()]}{op} ALL {sql[m.end():]}"
+
+
 _LIMIT_OFFSET_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)")
 
 
@@ -3388,6 +3416,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_top(sql)
+    sql = _rewrite_bare_setops(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)

@@ -1363,9 +1363,9 @@ def test_accurate_cast_or_null():
 def test_star_except_bare_column():
     out = translate_ch_sql("SELECT * EXCEPT a FROM t")
     assert "* EXCEPT (a)" in out
-    # the set operator is never touched
+    # the set operator gets CH's ALL default, never the star rewrite
     out = translate_ch_sql("SELECT * FROM a EXCEPT SELECT * FROM b")
-    assert "EXCEPT SELECT" in out
+    assert "EXCEPT ALL SELECT" in out
 
 
 def test_distinct_on_becomes_limit_by():
@@ -1709,3 +1709,17 @@ def test_limit_offset_by_window(spark):
     assert sorted((v["g"], v["x"]) for v in r) == [
         (0, 4), (0, 6), (1, 3), (1, 5),
     ]
+
+
+def test_bare_setop_defaults():
+    # CH INTERSECT/EXCEPT keep duplicates unless DISTINCT is written
+    assert "INTERSECT ALL" in translate_ch_sql(
+        "SELECT x FROM a INTERSECT SELECT x FROM b"
+    )
+    assert "EXCEPT ALL" in translate_ch_sql(
+        "SELECT x FROM a EXCEPT SELECT x FROM b"
+    )
+    out = translate_ch_sql("SELECT x FROM a EXCEPT DISTINCT SELECT x FROM b")
+    assert "EXCEPT DISTINCT" in out  # explicit mode untouched
+    with pytest.raises(Exception, match="UNION ALL or UNION DISTINCT"):
+        translate_ch_sql("SELECT 1 UNION SELECT 2")

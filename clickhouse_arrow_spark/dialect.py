@@ -3190,6 +3190,49 @@ def _rewrite_bare_setops(sql: str) -> str:
         sql = f"{sql[: m.start()]}{op} ALL {sql[m.end():]}"
 
 
+_COLON_CAST_RE = re.compile(r"::\s*([A-Za-z]\w*(?:\([^()]*\))?)")
+_HEX_LIT_RE = re.compile(r"\b0x([0-9A-Fa-f]+)\b")
+
+
+def _rewrite_colon_casts(sql: str) -> str:
+    """`expr::ChType` — map the target through the type bridge when it
+    parses as a ClickHouse type (`'7'::Int64` -> `'7'::bigint`);
+    Spark-native targets pass unchanged. Hex integer literals (`0x1F`)
+    become decimal (Spark parses 0x as an identifier)."""
+    from clickhouse_arrow_spark.types import ch_type_to_spark, parse_ch_type
+
+    out = []
+    last = 0
+    mask = _scan_mask(sql)
+    for m in _COLON_CAST_RE.finditer(sql):
+        if mask[m.start()][1]:
+            continue
+        try:
+            dt, _null = ch_type_to_spark(parse_ch_type(m.group(1)))
+            mapped = dt.simpleString()
+        except Exception:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(f"::{mapped}")
+        last = m.end()
+    if out:
+        out.append(sql[last:])
+        sql = "".join(out)
+    out = []
+    last = 0
+    mask = _scan_mask(sql)
+    for m in _HEX_LIT_RE.finditer(sql):
+        if mask[m.start()][1]:
+            continue
+        out.append(sql[last : m.start()])
+        out.append(str(int(m.group(1), 16)))
+        last = m.end()
+    if not out:
+        return sql
+    out.append(sql[last:])
+    return "".join(out)
+
+
 _LIMIT_OFFSET_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s*,\s*(\d+)")
 
 
@@ -3417,6 +3460,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_qualify(sql)
     sql = _rewrite_top(sql)
     sql = _rewrite_bare_setops(sql)
+    sql = _rewrite_colon_casts(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_prewhere(sql)

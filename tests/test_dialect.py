@@ -1723,3 +1723,16 @@ def test_bare_setop_defaults():
     assert "EXCEPT DISTINCT" in out  # explicit mode untouched
     with pytest.raises(Exception, match="UNION ALL or UNION DISTINCT"):
         translate_ch_sql("SELECT 1 UNION SELECT 2")
+
+
+def test_colon_casts_and_hex_literals():
+    assert (
+        translate_ch_sql("SELECT '7'::Int64 AS v")
+        == "SELECT '7'::bigint AS v"
+    )
+    assert translate_ch_sql("SELECT 0x1F AS h") == "SELECT 31 AS h"
+    # Spark-native target and literals untouched
+    assert (
+        translate_ch_sql("SELECT x::BIGINT, '0x1F' FROM t")
+        == "SELECT x::BIGINT, '0x1F' FROM t"
+    )

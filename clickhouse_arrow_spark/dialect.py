@@ -3461,9 +3461,11 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_top(sql)
     sql = _rewrite_bare_setops(sql)
     sql = _rewrite_colon_casts(sql)
-    sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_array_join(sql)
+    # PREWHERE folds into WHERE BEFORE alias inlining so select-list
+    # aliases resolve inside it too (CH allows them there)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_limit_by(sql)

@@ -1736,3 +1736,8 @@ def test_colon_casts_and_hex_literals():
         translate_ch_sql("SELECT x::BIGINT, '0x1F' FROM t")
         == "SELECT x::BIGINT, '0x1F' FROM t"
     )
+
+
+def test_prewhere_gets_alias_inlining():
+    out = translate_ch_sql("SELECT a + 1 AS c FROM t PREWHERE c > 1")
+    assert "WHERE (a + 1) > 1" in out

@@ -785,6 +785,69 @@ class Client:
         self.create_table(database, table, columns, options, qid=qid)
         return True
 
+    def execute_script(self, script: str, qid: str | None = None) -> int:
+        """Run a semicolon-separated ClickHouse DDL/DML script (the
+        shape migration scripts ship in) statement by statement through
+        :meth:`execute_ch`. Statements split at TOP-LEVEL semicolons
+        only (string literals and parens respected); empty statements
+        and `--`/`/* */` comment-only segments are skipped. Returns the
+        number of statements executed. Fails fast: the first failing
+        statement raises, with prior statements already applied (CH
+        scripts via clickhouse-client behave the same — no transaction)."""
+        # one combined scan: string literals (with '' and \\ escapes),
+        # -- and /* */ comments, and statement-splitting semicolons —
+        # a quote inside a comment must not open a literal and a
+        # semicolon inside either must not split
+        stmts: list[str] = []
+        cur: list[str] = []
+        i, n = 0, len(script)
+        in_s = False
+        while i < n:
+            c = script[i]
+            if in_s:
+                cur.append(c)
+                if c == "'":
+                    if i + 1 < n and script[i + 1] == "'":
+                        cur.append("'")
+                        i += 2
+                        continue
+                    in_s = False
+                elif c == "\\" and i + 1 < n:
+                    cur.append(script[i + 1])
+                    i += 2
+                    continue
+                i += 1
+                continue
+            if c == "'":
+                in_s = True
+                cur.append(c)
+                i += 1
+                continue
+            if script.startswith("--", i):
+                while i < n and script[i] != "\n":
+                    i += 1
+                continue
+            if script.startswith("/*", i):
+                j = script.find("*/", i + 2)
+                i = (j + 2) if j != -1 else n
+                cur.append(" ")
+                continue
+            if c == ";":
+                stmts.append("".join(cur))
+                cur = []
+                i += 1
+                continue
+            cur.append(c)
+            i += 1
+        stmts.append("".join(cur))
+        ran = 0
+        for s in stmts:
+            if not s.strip():
+                continue
+            self.execute_ch(s.strip(), qid)
+            ran += 1
+        return ran
+
     def create_database(self, name: str, qid: str | None = None) -> None:
         self.execute(f"CREATE DATABASE IF NOT EXISTS `{name}`", qid)
 

@@ -546,3 +546,32 @@ def test_alter_column_and_metadata_forms(client, spark):
             client.execute_ch("ALTER TABLE stmtdb.alt DROP COLUMN gone")
     finally:
         spark.sql("DROP TABLE IF EXISTS stmtdb.alt")
+
+
+def test_execute_script_multi_statement(client, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    for t in ("sc1", "sc2"):
+        spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+    try:
+        ran = client.execute_script(
+            """
+            -- a migration script; this comment's apostrophe must not break parsing
+            CREATE TABLE stmtdb.sc1 (x Int64, s String DEFAULT 'a;b')
+              ENGINE = MergeTree ORDER BY x;
+            /* block ; comment */
+            INSERT INTO stmtdb.sc1 (x) VALUES (1);
+            INSERT INTO stmtdb.sc1 VALUES (2, 'lit;eral');
+            CREATE TABLE stmtdb.sc2 ENGINE = MergeTree ORDER BY x
+              AS SELECT x FROM stmtdb.sc1 WHERE x > 1;
+            """
+        )
+        assert ran == 4
+        rows = {
+            r["x"]: r["s"]
+            for r in spark.table("stmtdb.sc1").collect()
+        }
+        assert rows == {1: "a;b", 2: "lit;eral"}  # DEFAULT + literal ; kept
+        assert spark.table("stmtdb.sc2").count() == 1
+    finally:
+        for t in ("sc1", "sc2"):
+            spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")

@@ -146,16 +146,28 @@ def _ordered_cumsum(
     """Exclusive global cumulative sums of `sum_cols` in `order_col`
     order, WITHOUT a single-partition window.
 
-    Phase 1: range-repartition on order_col (partition i holds a
-    contiguous value range below partition i+1's). Phase 2: local
-    inclusive window cumsum per partition. Phase 3: per-partition
-    totals (#partitions rows) get their own tiny cumsum and join back
-    as broadcast offsets. Output adds `cum_<c>` = exclusive prefix sum.
+    Phase 1: EXPLICIT range boundaries on order_col (driver holds
+    num_partitions-1 literals via approxQuantile — never data). The
+    range id is a deterministic EXPRESSION, not `spark_partition_id()`
+    after repartitionByRange: this plan evaluates the ranged relation
+    twice (join side + totals side), and the range partitioner's
+    reservoir sampling depends on the nondeterministic upstream shuffle
+    order, so the two evaluations could disagree on boundaries and
+    corrupt the offsets (observed at sf0.1). Phase 2: local inclusive
+    window cumsum per range. Phase 3: per-range totals (bounded rows)
+    get their own tiny cumsum and join back as broadcast offsets.
+    Output adds `cum_<c>` = exclusive prefix sum.
     """
-    pid = F.spark_partition_id().alias("_pid")
-    local = df.repartitionByRange(num_partitions, F.col(order_col)).select(
-        "*", pid
+    probs = [i / num_partitions for i in range(1, num_partitions)]
+    bounds = (
+        sorted(set(df.approxQuantile(order_col, probs, 0.001)))
+        if probs
+        else []
     )
+    part_expr = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + (F.col(order_col) >= F.lit(b)).cast("int")
+    local = df.select("*", part_expr.alias("_pid"))
     w = (
         Window.partitionBy("_pid")
         .orderBy(order_col)

@@ -219,9 +219,12 @@ def test_mann_whitney_no_single_partition_window_on_data(spark, tables):
     assert cumsum_lines and all(
         "windowspecdefinition(_pid" in ln for ln in cumsum_lines
     ), cumsum_lines
-    # phase 1 of the cumsum range-partitions the value table, proving
-    # the rank scan is not a global single-task sort
-    assert "rangepartitioning(v" in plan
+    # phase 1 derives the range id from EXPLICIT literal boundaries (a
+    # deterministic expression — see _ordered_cumsum's docstring for why
+    # spark_partition_id-after-repartitionByRange was wrong), and the
+    # cumsum exchange hashes on it, proving the rank scan is not a
+    # global single-task sort
+    assert "hashpartitioning(_pid" in plan
 
 
 def test_interval_sweep_single_keyed_exchange(spark, tables):

@@ -817,7 +817,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"IF({a[1]} <= {a[0]}, array(), "
                     f"sequence({a[0]}, {a[1]} - 1))"
                 )
-            return f"range({', '.join(a)})"  # stepped form: keep
+            # stepped form: same exclusive-end contract
+            return (
+                f"IF({a[1]} <= {a[0]}, array(), "
+                f"sequence({a[0]}, {a[1]} - 1, {a[2]}))"
+            )
 
         return range_fmt
     if name == "arrayPushBack":
@@ -1171,6 +1175,25 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # wilder formats (unix ts strings, DD/MM) do not — documented
         # narrowing, better than an unresolved function
         return lambda a: f"to_timestamp({a[0]})"
+    if name == "port":
+        def port_fmt(a: Args) -> str:
+            default = a[1] if len(a) > 1 else "0"
+            got = (
+                f"try_cast(regexp_extract({a[0]}, "
+                f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS INT)"
+            )
+            return f"coalesce({got}, {default})"
+
+        return port_fmt
+    if name == "arrayProduct":
+        return lambda a: (
+            f"aggregate({a[0]}, CAST(1.0 AS DOUBLE), "
+            f"(acc, x) -> acc * CAST(x AS DOUBLE))"
+        )
+    if name == "arrayZipUnaligned":
+        # pad with NULL to the longest input (CH semantics); Spark's
+        # arrays_zip also pads with NULL, so it maps directly
+        return lambda a: f"arrays_zip({', '.join(a)})"
     if name == "hostName":
         # the JVM's own hostname, derived without a UDF; CH returns the
         # server's — a local engine IS its own server

@@ -1741,3 +1741,20 @@ def test_colon_casts_and_hex_literals():
 def test_prewhere_gets_alias_inlining():
     out = translate_ch_sql("SELECT a + 1 AS c FROM t PREWHERE c > 1")
     assert "WHERE (a + 1) > 1" in out
+
+
+def test_url_port_and_array_grab_bag(spark):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    rows = c.query_ch(
+        "SELECT port('https://x.com:8443/a') AS p1, "
+        "port('https://x.com/a') AS p2, "
+        "port('https://x.com/a', 443) AS p3, "
+        "arrayProduct([2, 3, 4]) AS ap, "
+        "range(0, 10, 4) AS r, range(0) AS r0"
+    ).collect()
+    [r] = rows
+    assert (r["p1"], r["p2"], r["p3"]) == (8443, 0, 443)
+    assert r["ap"] == 24.0
+    assert r["r"] == [0, 4, 8] and r["r0"] == []

@@ -571,3 +571,33 @@ def bind_params_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             "s2": "F",
         },
     )
+
+
+@register(
+    "util_json_props_typed",
+    """
+    SELECT event_type,
+           CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                AS BIGINT) AS k_sum,
+           CAST(count(*) FILTER (WHERE json_extract_string(props, '$.k')
+                                 IS NOT NULL) AS BIGINT) AS k_present,
+           CAST(max(len(json_keys(props))) AS BIGINT) AS max_keys
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Typed JSON extraction over the events.props column through the "
+    "CH dialect (JSONExtract(j, 'k', 'Int64'), JSONHas, JSONLength) — "
+    "the eleventh-wave JSON family against real data, one scan + one "
+    "bounded-key groupBy.",
+    tags=("json", "functions"),
+)
+def q_util_json_props(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    return c.query_ch(
+        "SELECT event_type, "
+        "sum(JSONExtract(props, 'k', 'Int64')) AS k_sum, "
+        "countIf(JSONHas(props, 'k')) AS k_present, "
+        "max(JSONLength(props)) AS max_keys "
+        "FROM events GROUP BY event_type ORDER BY event_type"
+    )

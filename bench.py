@@ -80,13 +80,32 @@ def main() -> int:
             "q5_local_supplier",
             "q10_returned_items",
             "q12_priority_by_status",
+            "events_sessionization_shape",
+        )
+
+        # sessionization shape: two user-keyed windows + a user-keyed
+        # aggregate — the events-table workload whose single exchange
+        # the user_id-bucketed layout removes
+        SESSION_SQL = (
+            "SELECT user_id, max(session_id) AS sessions FROM ("
+            " SELECT user_id, sum(CASE WHEN prev_ts IS NULL OR"
+            "  ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)"
+            "  OVER (PARTITION BY user_id ORDER BY ts) AS session_id"
+            " FROM (SELECT user_id, ts, lag(ts) OVER"
+            "  (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)"
+            ") GROUP BY user_id"
         )
 
         def run_and_count(name: str) -> tuple[float, int]:
             """(seconds, fact-join exchange count from the FINAL AQE
             plan — counted after execution so runtime re-planning is
             reflected)."""
-            df = spark.sql(registry[name].oracle)
+            sql = (
+                SESSION_SQL
+                if name == "events_sessionization_shape"
+                else registry[name].oracle
+            )
+            df = spark.sql(sql)
             t0 = time.perf_counter()
             df.write.format("noop").mode("overwrite").save()
             sec = round(time.perf_counter() - t0, 4)

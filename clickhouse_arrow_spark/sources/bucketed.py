@@ -33,6 +33,10 @@ FACT_KEYS: dict[str, tuple[str, ...]] = {
     "orders": ("o_orderkey",),
     "lineitem": ("l_orderkey",),
     "customer": ("c_custkey",),
+    # events bucket+sort on user_id: sessionization / funnels / as-of
+    # all window PARTITION BY user_id — bucketed input removes their
+    # one exchange, and the secondary ts sort feeds the window pre-sorted
+    "events": ("user_id",),
 }
 
 DEFAULT_DATABASE = "cas_bucketed"
@@ -55,7 +59,8 @@ def create_bucketed_layout(
     for table, keys in FACT_KEYS.items():
         df = load_table(spark, sf_dir, table)
         name = f"{database}.{table}"
-        create_bucketed_table(df, name, keys, n_buckets, sort_cols=keys)
+        sort_cols = keys + (("ts",) if table == "events" else ())
+        create_bucketed_table(df, name, keys, n_buckets, sort_cols=sort_cols)
         created.append(name)
     if with_custkey_copy:
         df = load_table(spark, sf_dir, "orders")

@@ -107,3 +107,29 @@ def test_use_bucketed_tables_repoints_views(spark, tables, bucketed):
         from clickhouse_arrow_spark.sources import register_tables
 
         register_tables(spark, SF_DIR, force=True)
+
+
+def test_bucketed_events_sessionization_no_exchange(spark, tables, bucketed):
+    """The user_id-bucketed events table serves the sessionization
+    window (two PARTITION BY user_id windows + a user_id aggregate)
+    with ZERO exchanges — the events-workload analogue of the
+    shuffle-free fact joins."""
+    try:
+        use_bucketed_tables(spark, bucketed)
+        df = spark.sql(
+            "SELECT user_id, max(session_id) AS sessions FROM ("
+            " SELECT user_id, sum(CASE WHEN prev_ts IS NULL OR"
+            "  ts > prev_ts + INTERVAL 30 MINUTE THEN 1 ELSE 0 END)"
+            "  OVER (PARTITION BY user_id ORDER BY ts) AS session_id"
+            " FROM (SELECT user_id, ts, lag(ts) OVER"
+            "  (PARTITION BY user_id ORDER BY ts) AS prev_ts FROM events)"
+            ") GROUP BY user_id"
+        )
+        df.write.format("noop").mode("overwrite").save()
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 0
+        assert df.count() > 0
+    finally:
+        from clickhouse_arrow_spark.sources import register_tables
+
+        register_tables(spark, SF_DIR, force=True)

@@ -2739,6 +2739,15 @@ def _strip_output_clauses(sql: str) -> str:
     operators/timeseries.fill_gaps (sequence + outer join
     densification), which implements the semantics.
     """
+    m = _find_clean(
+        re.compile(r"(?i)\bINTO\s+OUTFILE\b"), sql, depth0=False
+    )
+    if m:
+        raise UntranslatableFunctionError(
+            "INTO OUTFILE writes a client-side file — run the query and "
+            "write the DataFrame: client.query_ch(sql).write"
+            ".csv/parquet(path)"
+        )
     m = _find_clean(_WITH_FILL_RE, sql, depth0=False)
     if m:
         raise UntranslatableFunctionError(

@@ -1758,3 +1758,8 @@ def test_url_port_and_array_grab_bag(spark):
     assert (r["p1"], r["p2"], r["p3"]) == (8443, 0, 443)
     assert r["ap"] == 24.0
     assert r["r"] == [0, 4, 8] and r["r0"] == []
+
+
+def test_into_outfile_refused():
+    with pytest.raises(Exception, match="client-side file"):
+        translate_ch_sql("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV")

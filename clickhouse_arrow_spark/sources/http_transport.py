@@ -118,6 +118,76 @@ def filters_to_where(filters: list) -> str:
     return " AND ".join(parts)
 
 
+def _plan_range_bounds(lo, hi, n_max: int):
+    """Split [lo, hi] into at most ``n_max`` contiguous slices,
+    type-aware: ints split arithmetically, Date/DateTime via epoch
+    arithmetic (the commonest ClickHouse partition keys — the
+    reference's JDBC-style analogue splits the same way). Returns the
+    n+1 boundary values (same type as the inputs) or None when the type
+    can't be range-split."""
+    import datetime as dt
+
+    if isinstance(lo, bool) or isinstance(hi, bool):
+        return None
+    if isinstance(lo, int) and isinstance(hi, int):
+        n = min(n_max, hi - lo + 1)
+        step = (hi - lo + 1) / n
+        return [lo + int(i * step) for i in range(n)] + [hi + 1]
+    if isinstance(lo, dt.datetime) and isinstance(hi, dt.datetime):
+        span = (hi - lo).total_seconds()
+        n = max(1, min(n_max, int(span) + 1))
+        return [
+            lo + dt.timedelta(seconds=span * i / n) for i in range(n)
+        ] + [hi + dt.timedelta(seconds=1)]
+    if isinstance(lo, dt.date) and isinstance(hi, dt.date):
+        span = (hi - lo).days
+        n = max(1, min(n_max, span + 1))
+        return [lo + dt.timedelta(days=span * i // n) for i in range(n)] + [
+            hi + dt.timedelta(days=1)
+        ]
+    if isinstance(lo, float) and isinstance(hi, float):
+        n = n_max
+        step = (hi - lo) / n
+        return [lo + step * i for i in range(n)] + [hi + abs(hi) * 1e-9 + 1e-9]
+    return None
+
+
+class _PrefixedReader:
+    """File-like that replays a peeked prefix before the live stream —
+    lets us distinguish an empty response body (zero batches) from a
+    real IPC stream without buffering the body."""
+
+    def __init__(self, prefix: bytes, stream):
+        self._prefix = prefix
+        self._stream = stream
+
+    def read(self, n=-1):
+        if self._prefix:
+            if n is None or n < 0:
+                out = self._prefix + self._stream.read(-1)
+                self._prefix = b""
+                return out
+            take, self._prefix = self._prefix[:n], self._prefix[n:]
+            if len(take) < n:
+                take += self._stream.read(n - len(take))
+            return take
+        return self._stream.read(n)
+
+    closed = False
+
+    def readable(self):
+        return True
+
+    def seekable(self):
+        return False
+
+    def writable(self):
+        return False
+
+    def close(self):
+        pass
+
+
 @dataclass(frozen=True)
 class RangePartition:
     """One executor task's slice: a WHERE fragment ('' = whole table).
@@ -179,23 +249,6 @@ class HttpArrowTransport:
             return _zstd_mod().ZstdCompressor().compress(data)
         return data
 
-    @staticmethod
-    def _decompress(data: bytes, encoding: str | None) -> bytes:
-        if not encoding or not data:
-            return data
-        if encoding == "gzip":
-            import gzip
-
-            return gzip.decompress(data)
-        if encoding == "zstd":
-            z = _zstd_mod()
-            if z is None:
-                raise TransportError(
-                    "server sent zstd but the zstandard module is missing"
-                )
-            return z.ZstdDecompressor().decompress(data)
-        raise TransportError(f"unsupported Content-Encoding {encoding!r}")
-
     # -- raw HTTP ----------------------------------------------------
 
     def _headers(self) -> dict[str, str]:
@@ -208,7 +261,14 @@ class HttpArrowTransport:
             h["X-ClickHouse-Database"] = self.database
         return h
 
-    def _request(self, sql: str, body: bytes | None = None) -> bytes:
+    def _open(self, sql: str, body: bytes | None = None):
+        """Issue the request and return the live response object (a
+        file-like over the socket). Callers either read it fully
+        (commands) or hand it to the incremental Arrow IPC reader
+        (scans) — the latter is what keeps per-task memory bounded: a
+        worker never holds its whole partition slice at once, mirroring
+        the reference's block-at-a-time response stream
+        (src/client.rs:643-681, src/http/arrow_stream.rs:36-55)."""
         qs = urllib.parse.urlencode({"query": sql})
         headers = dict(self._headers())
         if body is not None:
@@ -225,26 +285,65 @@ class HttpArrowTransport:
             method="POST" if body is not None else "GET",
         )
         try:
-            with urllib.request.urlopen(req, timeout=self.timeout) as resp:
-                return self._decompress(
-                    resp.read(), resp.headers.get("Content-Encoding")
-                )
+            return urllib.request.urlopen(req, timeout=self.timeout)
         except urllib.error.HTTPError as e:
             text = e.read().decode("utf-8", "replace")
             raise TransportError(f"HTTP {e.code}: {text}") from None
 
-    def query_batches(self, sql: str) -> list:
-        """SELECT returning Arrow record batches (FORMAT ArrowStream
-        appended exactly as build_query_url does, http/client.rs:69-78).
-        A fully empty body means zero batches — ClickHouse sends no
-        stream header for some empty results (arrow_stream.rs:37-39)."""
+    @staticmethod
+    def _decode_stream(resp):
+        """Wrap the response in a streaming decompressor when the server
+        set Content-Encoding — still a file-like, no full-body copy."""
+        encoding = resp.headers.get("Content-Encoding")
+        if not encoding:
+            return resp
+        if encoding == "gzip":
+            import gzip
+
+            return gzip.GzipFile(fileobj=resp)
+        if encoding == "zstd":
+            z = _zstd_mod()
+            if z is None:
+                raise TransportError(
+                    "server sent zstd but the zstandard module is missing"
+                )
+            return z.ZstdDecompressor().stream_reader(resp)
+        raise TransportError(f"unsupported Content-Encoding {encoding!r}")
+
+    def _request(self, sql: str, body: bytes | None = None) -> bytes:
+        """Small-response path (commands, introspection): read fully."""
+        with self._open(sql, body) as resp:
+            return self._decode_stream(resp).read()
+
+    def iter_batches(self, sql: str) -> Iterator:
+        """SELECT as a true generator of Arrow record batches decoded
+        incrementally off the socket (FORMAT ArrowStream appended
+        exactly as build_query_url does, http/client.rs:69-78). Batches
+        are yielded as they arrive — the connection stays open across
+        yields and closes when the stream is exhausted or the generator
+        is dropped. A fully empty body means zero batches — ClickHouse
+        sends no stream header for some empty results
+        (arrow_stream.rs:37-39)."""
         import pyarrow as pa
 
-        data = self._request(f"{sql} FORMAT ArrowStream")
-        if not data:
-            return []
-        with pa.ipc.open_stream(io.BytesIO(data)) as reader:
-            return list(reader)
+        resp = self._open(f"{sql} FORMAT ArrowStream")
+        try:
+            stream = self._decode_stream(resp)
+            # Peek one byte: an empty body is "no batches", not an IPC
+            # error. pa.ipc.open_stream needs the header up front.
+            head = stream.read(1)
+            if not head:
+                return
+            with pa.ipc.open_stream(_PrefixedReader(head, stream)) as reader:
+                yield from reader
+        finally:
+            resp.close()
+
+    def query_batches(self, sql: str) -> list:
+        """SELECT fully materialized as a list of record batches (the
+        convenience shape; `iter_batches` is the bounded-memory path
+        `scan` uses)."""
+        return list(self.iter_batches(sql))
 
     def execute(self, sql: str) -> None:
         """DDL / command with no result set (http/client.rs:101-127)."""
@@ -342,13 +441,24 @@ class HttpArrowTransport:
         hi = rows[0].column(1).to_pylist()[0] if rows else None
         if lo is None or hi is None or lo == hi:
             return [RangePartition("")]
-        lo, hi = int(lo), int(hi)
-        n = min(self.num_partitions, hi - lo + 1)
-        step = (hi - lo + 1) / n
+        bounds = _plan_range_bounds(lo, hi, self.num_partitions)
+        if bounds is None:
+            # Non-splittable partition column type (string, UUID, ...):
+            # fall back to one whole-table partition instead of raising
+            # at plan time — correctness over parallelism.
+            import warnings
+
+            warnings.warn(
+                f"partition column {self.partition_column!r} has "
+                f"non-range-splittable bounds ({type(lo).__name__}); "
+                "reading as a single partition",
+                stacklevel=2,
+            )
+            return [RangePartition("")]
         parts = []
+        n = len(bounds) - 1
         for i in range(n):
-            a = lo + int(i * step)
-            b = lo + int((i + 1) * step)
+            a, b = _sql_literal(bounds[i]), _sql_literal(bounds[i + 1])
             if i == 0:
                 # first slice keeps NULL keys: range splits must not
                 # silently drop rows the bounds query can't see
@@ -367,4 +477,5 @@ class HttpArrowTransport:
         sql = f"SELECT * FROM {_quote_ident(table)}"
         if where_parts:
             sql += " WHERE " + " AND ".join(where_parts)
-        yield from self.query_batches(sql)
+        # incremental decode — a task never buffers its whole slice
+        yield from self.iter_batches(sql)

@@ -74,6 +74,17 @@ class ArrowHttpStub:
         self.compressed_responses = 0
         self.lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
+        #: rows per IPC record batch in SELECT responses (None = one)
+        self.batch_rows: int | None = None
+        #: when set (a threading.Event), SELECT responses are "dripped":
+        #: the first record batch is written and flushed, then the
+        #: handler blocks until the event fires before sending the rest.
+        #: A client that buffers the whole body deadlocks here; a
+        #: streaming client decodes batch 1 and releases the gate.
+        self.drip_gate: threading.Event | None = None
+        #: whether the gate fired before the handler's wait timed out
+        self.drip_released: bool | None = None
+        self._last_split: int | None = None
 
     # -- query evaluation --------------------------------------------
 
@@ -141,9 +152,17 @@ class ArrowHttpStub:
             for tname, tbl in snapshot.items():
                 con.register(tname, tbl)
             result = _normalize(con.execute(sql).fetch_arrow_table())
+        batches = result.to_batches(max_chunksize=self.batch_rows) \
+            if self.batch_rows else result.to_batches()
         buf = io.BytesIO()
-        with pa.ipc.new_stream(buf, result.schema) as writer:
-            writer.write_table(result)
+        writer = pa.ipc.new_stream(buf, result.schema)
+        split = None
+        for i, b in enumerate(batches):
+            writer.write_batch(b)
+            if i == 0:
+                split = buf.tell()
+        writer.close()
+        self._last_split = split
         return buf.getvalue()
 
     # -- server lifecycle --------------------------------------------
@@ -193,6 +212,21 @@ class ArrowHttpStub:
                 ):
                     stub.compressed_responses += 1
                     self._respond(200, gzip.compress(payload), "gzip")
+                elif (
+                    payload
+                    and stub.drip_gate is not None
+                    and stub._last_split
+                    and stub._last_split < len(payload)
+                ):
+                    # drip mode: partial body, gate, remainder — proves
+                    # the client decodes incrementally off the socket
+                    self.send_response(200)
+                    self.send_header("Content-Length", str(len(payload)))
+                    self.end_headers()
+                    self.wfile.write(payload[: stub._last_split])
+                    self.wfile.flush()
+                    stub.drip_released = stub.drip_gate.wait(timeout=10)
+                    self.wfile.write(payload[stub._last_split :])
                 else:
                     self._respond(200, payload)
 

@@ -500,3 +500,118 @@ def test_http_stream_read_full_table(ds_spark, http_stub):
     got = ds_spark.table("http_stream_nation").count()
     want = ds_spark.read.parquet(f"{SF_DIR}/nation.parquet").count()
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round 5: incremental (streamed) scan decode + type-aware range splits
+# ---------------------------------------------------------------------------
+
+
+def test_http_scan_streams_batches_incrementally(http_stub):
+    """Batches must be yielded BEFORE the response stream closes.
+
+    The stub 'drips' the response: it writes the first record batch,
+    flushes, then blocks until the test releases a gate — which the
+    test only does AFTER receiving the first batch. A client that
+    buffers the whole body (the pre-round-5 behavior) deadlocks on the
+    gate and `drip_released` stays False.
+    """
+    import threading
+
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+
+    stub, url = http_stub
+    gate = threading.Event()
+    stub.batch_rows = 5
+    stub.drip_gate = gate
+    stub.drip_released = None
+    try:
+        t = HttpArrowTransport(url)
+        it = t.iter_batches("SELECT n_nationkey FROM nation ORDER BY n_nationkey")
+        first = next(it)  # must decode off the partial body
+        assert first.num_rows == 5
+        gate.set()  # only now may the server send the remainder
+        rest = list(it)
+        assert stub.drip_released is True
+        total = first.num_rows + sum(b.num_rows for b in rest)
+        assert total == 25
+    finally:
+        stub.batch_rows = None
+        stub.drip_gate = None
+
+
+def test_http_scan_streams_under_gzip(http_stub):
+    """Compressed responses decode through a streaming GzipFile, same
+    row totals — the encoding must not re-introduce buffering errors."""
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+
+    stub, url = http_stub
+    stub.batch_rows = 4
+    try:
+        t = HttpArrowTransport(url, compression="gzip")
+        rows = sum(
+            b.num_rows for b in t.iter_batches("SELECT * FROM nation")
+        )
+        assert rows == 25
+    finally:
+        stub.batch_rows = None
+
+
+def test_plan_range_bounds_types():
+    import datetime as dt
+
+    from clickhouse_arrow_spark.sources.http_transport import _plan_range_bounds
+
+    # ints: contiguous cover, first=lo, last=hi+1
+    b = _plan_range_bounds(0, 99, 4)
+    assert b[0] == 0 and b[-1] == 100 and len(b) == 5
+
+    # dates: epoch-day arithmetic
+    b = _plan_range_bounds(dt.date(2024, 1, 1), dt.date(2024, 12, 31), 4)
+    assert b[0] == dt.date(2024, 1, 1)
+    assert b[-1] == dt.date(2025, 1, 1)
+    assert all(isinstance(x, dt.date) for x in b)
+
+    # datetimes: epoch-second arithmetic
+    lo = dt.datetime(2024, 1, 1, 0, 0, 0)
+    hi = dt.datetime(2024, 1, 1, 23, 59, 59)
+    b = _plan_range_bounds(lo, hi, 3)
+    assert b[0] == lo and b[-1] > hi and len(b) == 4
+
+    # strings: not splittable
+    assert _plan_range_bounds("a", "z", 4) is None
+
+
+def test_http_range_partition_over_timestamp_column(ds_spark, http_stub):
+    """Date/DateTime partition columns are the commonest ClickHouse
+    partition keys; range splitting must stay row-complete over them."""
+    stub, url = http_stub
+    before = len(stub.queries)
+    df = _http_load(
+        ds_spark, url, "orders",
+        partition_column="o_orderdate", num_partitions="3",
+    )
+    got = df.count()
+    want = ds_spark.read.parquet(f"{SF_DIR}/orders.parquet").count()
+    assert got == want
+    ranged = [
+        q for q in stub.queries[before:]
+        if q.startswith('SELECT * FROM "orders"') and '"o_orderdate"' in q
+    ]
+    assert len(ranged) == 3
+
+
+def test_http_range_partition_unsplittable_falls_back(ds_spark, http_stub):
+    """A string partition column can't be range-split: read everything
+    in one partition (with a warning) instead of raising at plan time."""
+    import warnings
+
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+
+    stub, url = http_stub
+    t = HttpArrowTransport(url, partition_column="o_orderstatus", num_partitions=4)
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        parts = t.plan_partitions("orders")
+    assert len(parts) == 1 and parts[0].where == ""
+    assert any("non-range-splittable" in str(x.message) for x in w)

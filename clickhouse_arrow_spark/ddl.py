@@ -325,9 +325,14 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
       from the set" — `min` is a deterministic member), and drop groups
       whose summed columns are all zero (the documented all-zeros row
       deletion on merge).
-    - ``CollapsingMergeTree`` / ``VersionedCollapsingMergeTree`` /
-      ``AggregatingMergeTree`` → refused: collapse order and partial
-      aggregation states are not representable in the parquet layout.
+    - ``CollapsingMergeTree(sign)`` → keyed sign-sum cancellation: keys
+      whose `sum(sign)` is 0 vanish; a key with a surplus keeps one row
+      whose sign matches the surplus' direction (arbitrary among
+      duplicates, as in ClickHouse's unspecified merge order).
+    - ``VersionedCollapsingMergeTree(sign, ver)`` → cancellation within
+      each (key, ver) cell, then the max-`ver` surviving row per key.
+    - ``AggregatingMergeTree`` → refused: partial aggregation states
+      are not representable in the parquet layout.
     - any other engine → refused, as ClickHouse itself rejects FINAL on
       non-folding engines.
 
@@ -414,13 +419,66 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
                 f"(SELECT {', '.join(select)} FROM {table} "
                 f"GROUP BY {keys} HAVING NOT coalesce(({zero}), false))"
             )
+        elif engine in ("CollapsingMergeTree", "VersionedCollapsingMergeTree"):
+            # Sign-sum cancellation. A ClickHouse cancel row copies ALL
+            # the fields of the state row it cancels (sign negated), so
+            # a cancellation cell is the tuple of every non-sign column
+            # — one map-side-combinable GROUP BY finds the survivors:
+            # cells whose sum(sign) is 0 vanish; a surviving cell's sign
+            # is the surplus' direction. Then one window per ORDER BY
+            # key picks the final row: max-version first for
+            # VersionedCollapsing, positive-surplus (the live state)
+            # preferred for plain Collapsing; among engine-contract
+            # violations (several surviving states per key) the pick is
+            # arbitrary, matching ClickHouse's unspecified merge order.
+            # Two exchanges total, the first with partial aggregation.
+            if engine == "CollapsingMergeTree" and not args:
+                raise SchemaError(
+                    f"FROM {table} FINAL: CollapsingMergeTree needs its "
+                    "sign column argument (CollapsingMergeTree(sign))"
+                )
+            if engine == "VersionedCollapsingMergeTree" and len(args) < 2:
+                raise SchemaError(
+                    f"FROM {table} FINAL: VersionedCollapsingMergeTree needs "
+                    "(sign, version) arguments"
+                )
+            sign_col = args[0]
+            sign = _bq(sign_col)
+            sign_t = next(
+                f.dataType.simpleString()
+                for f in spark.table(table).schema.fields
+                if f.name == sign_col
+            )
+            cell = ", ".join(_bq(c) for c in columns if c != sign_col)
+            inner = (
+                f"SELECT {cell}, sum({sign}) AS __cas_sgn FROM {table} "
+                f"GROUP BY {cell} HAVING sum({sign}) <> 0"
+            )
+            order = (
+                f"{_bq(args[1])} DESC, __cas_sgn DESC"
+                if engine == "VersionedCollapsingMergeTree"
+                else "__cas_sgn DESC"
+            )
+            mid = (
+                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                f"ORDER BY {order}) AS __cas_rn FROM ({inner})"
+            )
+            out_cols = ", ".join(
+                f"CAST(CASE WHEN __cas_sgn > 0 THEN 1 ELSE -1 END AS {sign_t}) "
+                f"AS {sign}"
+                if c == sign_col
+                else _bq(c)
+                for c in columns
+            )
+            sub = f"(SELECT {out_cols} FROM ({mid}) WHERE __cas_rn = 1)"
         else:
             raise SchemaError(
                 f"FROM {table} FINAL: engine {engine_str!r} — FINAL is "
-                "implemented for ReplacingMergeTree(ver) and SummingMergeTree; "
-                "Collapsing/VersionedCollapsing need insertion order and "
+                "implemented for ReplacingMergeTree(ver), SummingMergeTree, "
+                "CollapsingMergeTree(sign) and "
+                "VersionedCollapsingMergeTree(sign, ver); "
                 "AggregatingMergeTree needs partial-aggregation states, "
-                "neither of which the parquet layout carries (ClickHouse "
+                "which the parquet layout does not carry (ClickHouse "
                 "likewise rejects FINAL on non-folding engines)"
             )
         sql = f"{sql[: m.start()]}{kw} {sub} AS {_bq(out_alias)}{sql[m.end():]}"

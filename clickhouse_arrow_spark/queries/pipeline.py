@@ -1379,6 +1379,115 @@ def q_util_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_final_collapsing",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice, CAST(1 AS TINYINT) AS sign
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    doc="FROM t FINAL on a CollapsingMergeTree(sign) table "
+    "(ddl.rewrite_final): every order is inserted as a state row, and a "
+    "cancel row (all fields copied, sign=-1) is inserted for every "
+    "order that is NOT its customer's max-orderkey order — sign-sum "
+    "cancellation leaves exactly the max-orderkey state per customer, "
+    "which the oracle computes as a dedup-latest window.",
+    tags=("ddl", "final", "collapsing"),
+)
+def q_util_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.window import Window
+
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusdb")
+    spark.sql("DROP TABLE IF EXISTS corpusdb.orders_collapsing")
+    create_table(
+        spark,
+        "corpusdb",
+        "orders_collapsing",
+        [
+            ("o_custkey", "Int64"),
+            ("o_orderkey", "Int64"),
+            ("o_totalprice", "Float64"),
+            ("sign", "Int8"),
+        ],
+        CreateOptions(engine="CollapsingMergeTree(sign)", order_by=("o_custkey",)),
+    )
+    base = spark.table("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    states = base.withColumn("sign", F.lit(1).cast("tinyint"))
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_orderkey").desc())
+    cancels = (
+        base.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") > 1)
+        .drop("rn")
+        .withColumn("sign", F.lit(-1).cast("tinyint"))
+    )
+    client.insert("corpusdb.orders_collapsing", states.unionByName(cancels))
+    return client.query_ch(
+        "SELECT o_custkey, o_orderkey, o_totalprice, sign "
+        "FROM corpusdb.orders_collapsing FINAL ORDER BY o_custkey"
+    )
+
+
+@register(
+    "util_final_vcollapsing",
+    """
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey DESC) AS rn
+      FROM orders WHERE o_orderkey % 2 = 1
+    ) WHERE rn = 1 ORDER BY o_custkey
+    """,
+    doc="FROM t FINAL on a VersionedCollapsingMergeTree(sign, ver) "
+    "table: state rows for every order (ver = o_orderkey), cancel rows "
+    "for the even-orderkey ones — cancellation happens within each "
+    "(key, ver) cell and FINAL keeps the max SURVIVING version per "
+    "customer; customers with only even orderkeys vanish entirely.",
+    tags=("ddl", "final", "collapsing", "versioned"),
+)
+def q_util_final_vcollapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusdb")
+    spark.sql("DROP TABLE IF EXISTS corpusdb.orders_vcollapsing")
+    create_table(
+        spark,
+        "corpusdb",
+        "orders_vcollapsing",
+        [
+            ("o_custkey", "Int64"),
+            ("o_orderkey", "Int64"),
+            ("o_totalprice", "Float64"),
+            ("sign", "Int8"),
+        ],
+        CreateOptions(
+            engine="VersionedCollapsingMergeTree(sign, o_orderkey)",
+            order_by=("o_custkey",),
+        ),
+    )
+    base = spark.table("orders").select("o_custkey", "o_orderkey", "o_totalprice")
+    states = base.withColumn("sign", F.lit(1).cast("tinyint"))
+    cancels = (
+        base.where(F.col("o_orderkey") % 2 == 0)
+        .withColumn("sign", F.lit(-1).cast("tinyint"))
+    )
+    client.insert("corpusdb.orders_vcollapsing", states.unionByName(cancels))
+    return client.query_ch(
+        "SELECT o_custkey, o_orderkey, o_totalprice "
+        "FROM corpusdb.orders_vcollapsing FINAL ORDER BY o_custkey"
+    )
+
+
+@register(
     "stream_cursor_tail",
     """
     SELECT o_orderkey, o_custkey, o_totalprice

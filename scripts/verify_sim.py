@@ -72,6 +72,9 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    only = sys.argv[2:]
+    if only:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in only)}
     print(f"== {len(qs)} queries, {len(oracles)} with oracles ==")
     failures = []
     for name, fn in qs.items():

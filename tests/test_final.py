@@ -135,3 +135,82 @@ def test_join_final_folds_joined_side(client, final_tables):
     )
     # plain is empty — the point is the rewrite + plan resolve cleanly
     assert rows.collect() == []
+
+
+@pytest.fixture(scope="module")
+def collapsing_tables(spark, client, final_tables):
+    create_table(
+        spark,
+        "finaldb",
+        "collapsing",
+        [("k", "UInt32"), ("views", "Int64"), ("sign", "Int8")],
+        CreateOptions(engine="CollapsingMergeTree(sign)", order_by=("k",)),
+    )
+    client.insert(
+        "finaldb.collapsing",
+        client.spark.createDataFrame(
+            [
+                # k=1: state fully cancelled, then a new state survives
+                (1, 10, 1), (1, 10, -1), (1, 25, 1),
+                # k=2: state + cancel -> vanishes
+                (2, 7, 1), (2, 7, -1),
+                # k=3: orphan cancel (surplus negative) survives as-is
+                (3, 4, -1),
+            ],
+            "k INT, views BIGINT, sign TINYINT",
+        ),
+    )
+    create_table(
+        spark,
+        "finaldb",
+        "vcollapsing",
+        [("k", "UInt32"), ("views", "Int64"), ("sign", "Int8"), ("ver", "UInt32")],
+        CreateOptions(
+            engine="VersionedCollapsingMergeTree(sign, ver)", order_by=("k",)
+        ),
+    )
+    client.insert(
+        "finaldb.vcollapsing",
+        client.spark.createDataFrame(
+            [
+                # k=1: v1 state cancelled, v2 state live -> keep v2
+                (1, 10, 1, 1), (1, 10, -1, 1), (1, 25, 1, 2),
+                # k=2: both versions cancelled -> vanishes
+                (2, 7, 1, 1), (2, 7, -1, 1), (2, 8, 1, 2), (2, 8, -1, 2),
+                # k=3: v1 live, v2 cancelled -> keep v1 (max SURVIVING ver)
+                (3, 4, 1, 1), (3, 5, 1, 2), (3, 5, -1, 2),
+            ],
+            "k INT, views BIGINT, sign TINYINT, ver INT",
+        ),
+    )
+    yield
+
+
+def test_collapsing_final_sign_sum_cancellation(client, collapsing_tables):
+    got = {
+        r["k"]: (r["views"], r["sign"])
+        for r in client.query_ch(
+            "SELECT k, views, sign FROM finaldb.collapsing FINAL"
+        ).collect()
+    }
+    assert got == {1: (25, 1), 3: (4, -1)}  # k=2 fully cancelled
+
+
+def test_versioned_collapsing_final_keeps_max_surviving_version(
+    client, collapsing_tables
+):
+    got = {
+        r["k"]: (r["views"], r["ver"])
+        for r in client.query_ch(
+            "SELECT k, views, ver FROM finaldb.vcollapsing FINAL"
+        ).collect()
+    }
+    assert got == {1: (25, 2), 3: (4, 1)}  # k=2 vanished
+
+
+def test_collapsing_final_one_exchange(client, collapsing_tables):
+    # both window passes partition on the same key: a single shuffle
+    plan = client.query_ch(
+        "SELECT * FROM finaldb.collapsing FINAL"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 2

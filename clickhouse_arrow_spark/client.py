@@ -255,6 +255,10 @@ class Client:
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)
+        if re.search(r"(?i)\bAPPLY\s*\(|\bCOLUMNS\s*\(", ch_sql):
+            from clickhouse_arrow_spark.dialect import rewrite_star_apply
+
+            ch_sql = rewrite_star_apply(self.spark, ch_sql)
         ch_sql, fill = extract_with_fill(ch_sql)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         # after translation: the replacement subqueries use Spark's own

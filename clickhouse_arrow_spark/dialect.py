@@ -2805,11 +2805,14 @@ def _rewrite_array_join(sql: str) -> str:
     """ClickHouse `[LEFT] ARRAY JOIN arr AS x` -> Spark
     `LATERAL VIEW [OUTER] explode(arr) _aj AS x`.
 
-    Only the aliased single-array form translates: without AS the
-    element REPLACES the source column name (ambiguous once both exist
-    in Spark's scope), and the multi-array form iterates arrays in
-    LOCKSTEP (zip), which chained LATERAL VIEWs would turn into a cross
-    product — both refuse with the workaround spelled out."""
+    The multi-array form `ARRAY JOIN a AS x, b AS y` iterates arrays in
+    LOCKSTEP (zip): it becomes ONE `LATERAL VIEW inline(transform(a,
+    (e, i) -> named_struct('x', e, 'y', b[i])))` — a single explode, no
+    cross product — guarded by a size-equality check that raises like
+    ClickHouse does on ragged lengths. Only the un-aliased form
+    refuses: without AS the element REPLACES the source column name,
+    which is ambiguous in Spark scoping."""
+    aj_n = 0
     while True:
         m = _find_clean(_ARRAY_JOIN_RE, sql, depth0=False)
         if not m:
@@ -2818,34 +2821,59 @@ def _rewrite_array_join(sql: str) -> str:
         depth_at = mask[m.start()][0]
         end, _em = _clause_end(sql, m.end(), depth_at, mask, _AJ_END_RE)
         clause = sql[m.end():end].strip()
-        # top-level comma => CH zip semantics over several arrays
-        cdepth = 0
-        for ch in clause:
+        # split on top-level commas => CH zip semantics over N arrays
+        items, cdepth, start = [], 0, 0
+        for i, ch in enumerate(clause):
             if ch == "(":
                 cdepth += 1
             elif ch == ")":
                 cdepth -= 1
             elif ch == "," and cdepth == 0:
-                raise UntranslatableFunctionError(
-                    "multi-array ARRAY JOIN iterates arrays in lockstep "
-                    "(zip) — chained LATERAL VIEWs would cross-product. "
-                    "Rewrite as ARRAY JOIN arrays_zip(a, b) AS z and "
-                    "reference z.a / z.b"
-                )
-        am = re.match(r"(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", clause)
-        if not am:
-            raise UntranslatableFunctionError(
-                "ARRAY JOIN without AS: the element would REPLACE the "
-                "source column name, which is ambiguous in Spark scoping "
-                "— write ARRAY JOIN <arr> AS <alias>"
+                items.append(clause[start:i])
+                start = i + 1
+        items.append(clause[start:])
+        parsed = []
+        for item in items:
+            am = re.match(
+                r"(?is)^(.*\S)\s+AS\s+([A-Za-z_][A-Za-z0-9_]*)$", item.strip()
             )
+            if not am:
+                raise UntranslatableFunctionError(
+                    "ARRAY JOIN without AS: the element would REPLACE the "
+                    "source column name, which is ambiguous in Spark scoping "
+                    "— write ARRAY JOIN <arr> AS <alias>"
+                )
+            parsed.append((am.group(1).strip(), am.group(2)))
         outer = "OUTER " if m.group(1) else ""
-        sql = (
-            sql[: m.start()]
-            + f"LATERAL VIEW {outer}explode({am.group(1).strip()}) "
-            + f"_aj AS {am.group(2)} "
-            + sql[end:]
-        )
+        aj_n += 1
+        view = f"_aj{aj_n}" if aj_n > 1 else "_aj"
+        if len(parsed) == 1:
+            expr, alias = parsed[0]
+            lv = f"LATERAL VIEW {outer}explode({expr}) {view} AS {alias} "
+        else:
+            first = parsed[0][0]
+            guards = " AND ".join(
+                f"size(({first})) = size(({e}))" for e, _ in parsed[1:]
+            )
+            fields = ", ".join(
+                [f"'{parsed[0][1]}', __cas_e"]
+                + [
+                    f"'{a}', element_at(({e}), __cas_i + 1)"
+                    for e, a in parsed[1:]
+                ]
+            )
+            zipped = (
+                f"transform(({first}), (__cas_e, __cas_i) -> "
+                f"named_struct({fields}))"
+            )
+            checked = (
+                f"CASE WHEN {guards} THEN {zipped} ELSE "
+                f"raise_error('ARRAY JOIN lockstep arrays have unequal "
+                f"sizes (ClickHouse errors here too)') END"
+            )
+            aliases = ", ".join(a for _, a in parsed)
+            lv = f"LATERAL VIEW {outer}inline({checked}) {view} AS {aliases} "
+        sql = sql[: m.start()] + lv + sql[end:]
 
 
 _FINAL_RE = re.compile(r"(?i)\bFROM\s+[A-Za-z_][\w.]*\s+FINAL\b")
@@ -3738,3 +3766,121 @@ def suggest_function(name: str) -> str | None:
     if close:
         return "similar ClickHouse functions: " + ", ".join(close)
     return None
+
+
+# ---------------------------------------------------------------------------
+# * APPLY(f) / COLUMNS('re') — catalog-aware star expansion
+# ---------------------------------------------------------------------------
+
+#: base (`*` or COLUMNS('re')) + optional EXCEPT + zero-or-more APPLY(f)
+_APPLY_FAMILY_RE = re.compile(
+    r"(?i)(?:(\*)|\bCOLUMNS\s*\(\s*'([^']*)'\s*\))"
+    r"(\s+EXCEPT\s*\([^)]*\)|\s+EXCEPT\s+(?!SELECT\b|ALL\b|DISTINCT\b)"
+    r"[A-Za-z_]\w*)?"
+    r"((?:\s+APPLY\s*\([^()]*\))*)"
+)
+_APPLY_FN_RE = re.compile(r"(?i)APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)")
+_PLAIN_FROM_RE = re.compile(
+    r"(?i)\bFROM\s+((?:`[^`]+`|[A-Za-z_]\w*)"
+    r"(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
+    r"(?:\s+(?:AS\s+)?(?!WHERE\b|GROUP\b|ORDER\b|LIMIT\b|HAVING\b|JOIN\b|"
+    r"UNION\b|EXCEPT\b|INTERSECT\b|SETTINGS\b|QUALIFY\b|WINDOW\b|ON\b|"
+    r"USING\b|LEFT\b|RIGHT\b|INNER\b|FULL\b|CROSS\b|SEMI\b|ANTI\b|LATERAL\b)"
+    r"[A-Za-z_]\w*)?\s*"
+)
+
+
+def rewrite_star_apply(spark, sql: str) -> str:
+    """Expand ClickHouse's schema-dependent star modifiers — `* APPLY
+    (f)`, `COLUMNS('re')`, and their EXCEPT/APPLY chains — into explicit
+    projection lists, resolving the column set from the Spark catalog.
+
+    Runs at `query_ch` time (the purely textual translator has no
+    schema). Only plain-table FROM scopes resolve — the column set of a
+    join or subquery is not knowable without full analysis, so those
+    refuse with the DataFrame recipe, exactly like the textual layer
+    used to refuse everything. Per ClickHouse semantics:
+
+    - `COLUMNS('re')` keeps columns whose NAME matches the RE2 pattern
+      (partial match, case-sensitive);
+    - `EXCEPT (a, b)` removes columns by name;
+    - each `APPLY(f)` wraps every selected column: `f(c)`, and the
+      OUTPUT NAME becomes `f(c)` too (ClickHouse names the result after
+      the applied expression).
+    """
+    while True:
+        m = _find_clean(_APPLY_FAMILY_RE, sql, depth0=False)
+        while m is not None:
+            star, col_re, exc, applies = m.groups()
+            if star and not applies:
+                # bare `*` (or `* EXCEPT`) needs no schema: Spark parses
+                # those natively / via _rewrite_star_modifiers
+                m = _find_clean(_APPLY_FAMILY_RE, sql, start=m.end(), depth0=False)
+                continue
+            break
+        if m is None:
+            return sql
+        star, col_re, exc, applies = m.groups()
+        mask = _scan_mask(sql)
+        depth = mask[m.start()][0]
+        fm = None
+        k = m.end()
+        while True:
+            fm = _find_clean(re.compile(r"(?i)\bFROM\b"), sql, start=k, depth0=False)
+            if fm is None or _scan_mask(sql)[fm.start()][0] <= depth:
+                break
+            k = fm.end()
+        src = m.group(0).strip()
+        if fm is None or _scan_mask(sql)[fm.start()][0] != depth:
+            raise UntranslatableFunctionError(
+                f"{src}: no resolvable FROM in this scope — APPLY/COLUMNS "
+                "need the schema; use the DataFrame API "
+                "(df.select([f(c).alias(c) for c in df.columns]))"
+            )
+        pm = _PLAIN_FROM_RE.match(sql, fm.start())
+        nxt = sql[pm.end():].lstrip()[:8].upper() if pm else ""
+        if pm is None or nxt.startswith(",") or re.match(
+            r"(?:JOIN|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|LATERAL)\b", nxt
+        ):
+            raise UntranslatableFunctionError(
+                f"{src}: the FROM of this scope is not a plain table "
+                "(join/subquery) — APPLY/COLUMNS need a resolvable schema; "
+                "use the DataFrame API "
+                "(df.select([f(c).alias(c) for c in df.columns]))"
+            )
+        table = pm.group(1)
+        try:
+            cols = spark.table(table).columns
+        except Exception:
+            raise UntranslatableFunctionError(
+                f"{src}: table {table} not found in the catalog"
+            ) from None
+        if col_re is not None:
+            try:
+                rx = re.compile(col_re)
+            except re.error as e:
+                raise UntranslatableFunctionError(
+                    f"COLUMNS({col_re!r}): bad pattern ({e})"
+                ) from None
+            cols = [c for c in cols if rx.search(c)]
+            if not cols:
+                raise UntranslatableFunctionError(
+                    f"COLUMNS({col_re!r}) matched no columns of {table} "
+                    "(ClickHouse errors on an empty match too)"
+                )
+        if exc:
+            names = re.findall(r"[A-Za-z_]\w*", exc.split("EXCEPT", 1)[-1])
+            cols = [c for c in cols if c not in names]
+        fns = _APPLY_FN_RE.findall(applies or "")
+        if (applies or "").count("(") != len(fns):
+            raise UntranslatableFunctionError(
+                f"{src}: APPLY supports a plain function name — for "
+                "lambdas or parameterized functions use the DataFrame API"
+            )
+        items = []
+        for c in cols:
+            expr, name = f"`{c}`", c
+            for f in fns:
+                expr, name = f"{f}({expr})", f"{f}({name})"
+            items.append(expr if not fns else f"{expr} AS `{name}`")
+        sql = f"{sql[: m.start()]}{', '.join(items)}{sql[m.end():]}"

@@ -1379,6 +1379,60 @@ def q_util_final_replacing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_star_apply",
+    """
+    SELECT sum(o_orderkey) AS "sum(o_orderkey)",
+           sum(o_custkey) AS "sum(o_custkey)",
+           sum(o_totalprice) AS "sum(o_totalprice)"
+    FROM orders
+    """,
+    doc="ClickHouse schema-dependent star modifiers "
+    "(dialect.rewrite_star_apply): COLUMNS('^o_') regex projection + "
+    "EXCEPT pruning + APPLY(sum) over the catalog-resolved column set; "
+    "output names follow CH's applied-expression naming (sum(col)).",
+    tags=("dialect", "star", "apply", "columns"),
+)
+def q_util_star_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT COLUMNS('^o_') EXCEPT (o_orderpriority, o_orderstatus, "
+        "o_orderdate) APPLY(sum) FROM orders"
+    )
+
+
+@register(
+    "util_array_join_lockstep",
+    """
+    SELECT n_nationkey,
+           CAST(x AS INT) AS x, CAST(y AS VARCHAR) AS y
+    FROM (
+      SELECT n_nationkey,
+             unnest([n_nationkey * 10, n_nationkey * 10 + 1]) AS x,
+             unnest(['a', 'b']) AS y
+      FROM nation
+    ) ORDER BY n_nationkey, x
+    """,
+    doc="Multi-array ARRAY JOIN a AS x, b AS y (dialect "
+    "_rewrite_array_join): lockstep zip via ONE LATERAL VIEW inline "
+    "over a size-guarded transform — no cross product; DuckDB's "
+    "aligned unnest is the oracle.",
+    tags=("dialect", "array-join", "lockstep"),
+)
+def q_util_array_join_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT n_nationkey, x, y FROM ("
+        "  SELECT n_nationkey,"
+        "         [n_nationkey * 10, n_nationkey * 10 + 1] AS nums,"
+        "         ['a', 'b'] AS tags"
+        "  FROM nation"
+        ") ARRAY JOIN nums AS x, tags AS y ORDER BY n_nationkey, x"
+    ).selectExpr("n_nationkey", "CAST(x AS INT) AS x", "y")
+
+
+@register(
     "util_final_collapsing",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(1 AS TINYINT) AS sign

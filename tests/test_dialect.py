@@ -768,8 +768,52 @@ def test_array_join_translates_and_refuses():
     )
     with _pytest.raises(UntranslatableFunctionError, match="REPLACE"):
         t("SELECT a FROM t ARRAY JOIN arr")
-    with _pytest.raises(UntranslatableFunctionError, match="lockstep"):
-        t("SELECT a FROM t ARRAY JOIN a1 AS x, a2 AS y")
+    # multi-array lockstep zip: ONE inline over a guarded transform
+    out = t("SELECT a FROM t ARRAY JOIN a1 AS x, a2 AS y")
+    assert "LATERAL VIEW inline(" in out and "named_struct('x'" in out
+    assert "size((a1)) = size((a2))" in out and "raise_error" in out
+    assert out.count("LATERAL VIEW") == 1  # no cross product
+
+
+def test_multi_array_join_behavioral(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    spark.createDataFrame(
+        [(1, [10, 20, 30], ["a", "b", "c"]), (2, [7], ["z"]), (3, [], [])],
+        "id INT, nums ARRAY<INT>, tags ARRAY<STRING>",
+    ).createOrReplaceTempView("aj_lockstep")
+    rows = spark.sql(
+        t(
+            "SELECT id, x, y FROM aj_lockstep ARRAY JOIN nums AS x, tags AS y "
+            "ORDER BY id, x"
+        )
+    ).collect()
+    assert [(r["id"], r["x"], r["y"]) for r in rows] == [
+        (1, 10, "a"), (1, 20, "b"), (1, 30, "c"), (2, 7, "z")
+    ]
+    # LEFT keeps the empty-array row with NULL elements
+    rows = spark.sql(
+        t(
+            "SELECT id, x, y FROM aj_lockstep LEFT ARRAY JOIN nums AS x, "
+            "tags AS y ORDER BY id, x"
+        )
+    ).collect()
+    assert (3, None, None) in [(r["id"], r["x"], r["y"]) for r in rows]
+
+
+def test_multi_array_join_ragged_lengths_error(spark):
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    spark.createDataFrame(
+        [(1, [10, 20], ["only_one"])],
+        "id INT, nums ARRAY<INT>, tags ARRAY<STRING>",
+    ).createOrReplaceTempView("aj_ragged")
+    with _pytest.raises(Exception, match="unequal sizes"):
+        spark.sql(
+            t("SELECT id, x, y FROM aj_ragged ARRAY JOIN nums AS x, tags AS y")
+        ).collect()
 
 
 def test_global_stripped_final_any_asof_refused():
@@ -1763,3 +1807,85 @@ def test_url_port_and_array_grab_bag(spark):
 def test_into_outfile_refused():
     with pytest.raises(Exception, match="client-side file"):
         translate_ch_sql("SELECT 1 INTO OUTFILE '/tmp/x.csv' FORMAT CSV")
+
+
+# ---------------------------------------------------------------------------
+# * APPLY(f) / COLUMNS('re') — catalog-aware star expansion (round 5)
+# ---------------------------------------------------------------------------
+
+
+def test_star_apply_expands_over_table_schema(client, duck):
+    got = client.query_ch(
+        "SELECT * APPLY(max) FROM region"
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT max(r_regionkey), max(r_name) FROM region"
+    ).fetchone()
+    # CH names results after the applied expression: max(col)
+    assert got["max(r_regionkey)"] == want[0]
+    assert got["max(r_name)"] == want[1]
+
+
+def test_columns_regex_projection(client):
+    rows = client.query_ch(
+        "SELECT COLUMNS('^n_n') FROM nation ORDER BY n_nationkey LIMIT 2"
+    )
+    assert rows.columns == ["n_nationkey", "n_name"]
+    assert rows.count() == 2
+
+
+def test_columns_except_apply_chain(client, duck):
+    got = client.query_ch(
+        "SELECT COLUMNS('^o_') EXCEPT (o_orderpriority, "
+        "o_orderstatus, o_orderdate) APPLY(sum) FROM orders"
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT sum(o_orderkey), sum(o_custkey), sum(o_totalprice) FROM orders"
+    ).fetchone()
+    assert got["sum(o_orderkey)"] == want[0]
+    assert abs(got["sum(o_totalprice)"] - want[2]) < 1e-6
+
+
+def test_star_except_apply(client, duck):
+    got = client.query_ch(
+        "SELECT * EXCEPT (r_name) APPLY(count) FROM region"
+    ).collect()[0]
+    assert got["count(r_regionkey)"] == 5
+
+
+def test_apply_double_chain(client):
+    got = client.query_ch(
+        "SELECT COLUMNS('r_regionkey') APPLY(max) APPLY(abs) FROM region"
+    ).collect()[0]
+    assert got["abs(max(r_regionkey))"] == 4
+
+
+def test_apply_refusals(client):
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    # join scope: schema not resolvable textually
+    with _pytest.raises(UntranslatableFunctionError, match="plain table"):
+        client.query_ch(
+            "SELECT * APPLY(max) FROM region r JOIN nation n "
+            "ON r.r_regionkey = n.n_regionkey"
+        )
+    # lambda APPLY
+    with _pytest.raises(UntranslatableFunctionError, match="plain function"):
+        client.query_ch("SELECT * APPLY(x -> x + 1) FROM region")
+    # empty COLUMNS match errors like ClickHouse
+    with _pytest.raises(UntranslatableFunctionError, match="no columns"):
+        client.query_ch("SELECT COLUMNS('zzz_nope') FROM region")
+    # unknown table
+    with _pytest.raises(UntranslatableFunctionError, match="not found"):
+        client.query_ch("SELECT * APPLY(max) FROM definitely_missing_tbl")
+
+
+def test_columns_in_subquery_scope(client):
+    # the modifier's own scope has a plain FROM -> resolves even nested
+    rows = client.query_ch(
+        "SELECT cnt FROM (SELECT count(*) AS cnt FROM "
+        "(SELECT COLUMNS('n_name') FROM nation))"
+    ).collect()
+    assert rows[0]["cnt"] == 25

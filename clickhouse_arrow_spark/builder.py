@@ -38,7 +38,32 @@ class ClientBuilder:
 
     # -- destination: reference with_endpoint/with_destination ----------
     def with_destination(self, master: str) -> "ClientBuilder":
-        """Spark master URL plays the role of the server endpoint."""
+        """Spark master URL plays the role of the server endpoint.
+
+        A ClickHouse NATIVE-protocol endpoint (`tcp://host:9000`,
+        `host:9000` — the reference's primary transport,
+        clickhouse-arrow/src/client.rs:213-256) is NOT a Spark master
+        and has no wire path here; it raises immediately with the HTTP
+        alternative named, instead of being silently accepted and
+        failing at first query."""
+        import re as _re
+
+        from clickhouse_arrow_spark.errors import ConnectionError
+
+        if master.startswith(("tcp://", "clickhouse://")) or _re.fullmatch(
+            r"[\w.-]+:\d{2,5}", master
+        ):
+            host = master.split("://")[-1].rsplit(":", 1)[0]
+            raise ConnectionError(
+                f"{master!r} looks like a ClickHouse native-TCP endpoint "
+                "(port 9000/9440) — the native wire protocol is not "
+                "implemented; this engine speaks the HTTP ArrowStream "
+                "interface (port 8123). Use "
+                f"connect('http://{host}:8123', ...) or "
+                f".option('url', 'http://{host}:8123') on the "
+                "'clickhouse' DataSource, or pass a Spark master URL "
+                "(local[n], spark://..., yarn) to run queries locally."
+            )
         self._master = master
         return self
 

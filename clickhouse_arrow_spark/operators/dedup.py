@@ -220,7 +220,13 @@ def minhash_candidate_pairs(
     # signature pipeline in parallel (double the CPU of the most
     # expensive stage — real money on a busy cluster, even though an
     # idle local run hides it in wall-clock).
-    sigs = sigs.persist()
+    # MEMORY_AND_DISK, not the MEMORY-only default: at 100 TB the
+    # signature table exceeds executor RAM and a memory-only persist
+    # silently evicts — bringing the recompute storm back. Disk spill
+    # keeps the single-compute guarantee with graceful degradation.
+    from pyspark import StorageLevel
+
+    sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
 
     band_entries = sigs.select(

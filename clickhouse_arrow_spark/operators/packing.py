@@ -104,6 +104,7 @@ def first_fit(
     token_col: str = "tokens",
     id_col: str = "doc_id",
     n_buckets: int = 32,
+    _stride: int = 10_000_000,
 ) -> DataFrame:
     """Greedy best-fit-decreasing bin packing within hash buckets.
 
@@ -163,6 +164,16 @@ def first_fit(
                 cap_bins.insert(j, placed)
                 seq.append(-1)  # fixed below
             assign.append(placed)
+        if n_bins >= _stride:
+            # pack_id = bucket * 10M + bin: a bucket overflowing the
+            # stride would silently collide pack ids across buckets —
+            # raise loudly; the fix is a larger n_buckets
+            raise ValueError(
+                f"bucket {bucket} produced {n_bins} bins, >= the "
+                f"{_stride} "
+                "pack-id stride; increase n_buckets so each bucket "
+                "holds fewer documents"
+            )
         # per-pack running position
         pos: dict[int, int] = {}
         for i, p in enumerate(assign):
@@ -172,7 +183,7 @@ def first_fit(
             {
                 id_col: pdf[id_col].to_numpy(),
                 "tokens": pdf["tokens"].to_numpy(),
-                "pack_id": [bucket * 10_000_000 + a for a in assign],
+                "pack_id": [bucket * _stride + a for a in assign],
                 "pack_seq": seq,
             }
         )

@@ -443,3 +443,26 @@ def test_unresolved_function_gets_hint(client):
         client.query_ch("SELECT splitbychar(',', 'a,b') AS x")
     with pytest.raises(QueryError, match="similar ClickHouse"):
         client.query_ch("SELECT grouparay(1) AS x")
+
+
+def test_native_tcp_endpoint_refused_with_http_guidance():
+    """A ClickHouse native-protocol endpoint (host:9000 / tcp://) is not
+    a Spark master and has no wire path — the builder must raise
+    IMMEDIATELY with the HTTP alternative named, not accept it as a
+    no-op and fail at first query."""
+    import pytest as _pytest
+
+    import clickhouse_arrow_spark as cas
+    from clickhouse_arrow_spark.builder import ClientBuilder
+    from clickhouse_arrow_spark.errors import ConnectionError
+
+    for ep in ("myhost:9000", "tcp://myhost:9000", "clickhouse://db.prod:9440"):
+        with _pytest.raises(ConnectionError, match="8123"):
+            cas.connect(ep)
+        with _pytest.raises(ConnectionError, match="ArrowStream"):
+            ClientBuilder().endpoint(ep)
+    # real Spark masters and HTTP URLs still pass through untouched
+    b = ClientBuilder().with_destination("local[4]")
+    assert b._master == "local[4]"
+    b2 = ClientBuilder().endpoint("http://myhost:8123")
+    assert b2._http_url == "http://myhost:8123"

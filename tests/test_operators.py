@@ -1116,6 +1116,47 @@ def test_first_fit_respects_budget(spark):
         assert sorted(r["pack_seq"] for r in members) == list(range(len(members)))
 
 
+def test_first_fit_pack_id_stride_overflow_raises(spark):
+    # pack_id = bucket * stride + bin; a bucket overflowing the stride
+    # must raise loudly, never silently collide across buckets
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.operators.packing import first_fit
+
+    df = spark.createDataFrame(
+        [(i, 100) for i in range(40)], "doc_id long, tokens long"
+    )
+    # budget 100 -> every doc its own bin; 40 docs / 2 buckets = ~20
+    # bins per bucket >= the synthetic stride of 4 -> overflow
+    with _pytest.raises(Exception, match="pack-id stride"):
+        first_fit(df, budget=100, n_buckets=2, _stride=4).collect()
+    # comfortably under the stride: same input packs fine
+    assert len(first_fit(df, budget=100, n_buckets=2, _stride=64).collect()) == 40
+
+
+def test_lsh_signature_persist_spills_to_disk(spark):
+    # StorageLevel must be MEMORY_AND_DISK: a memory-only persist
+    # silently evicts at scale and brings the recompute storm back
+    from clickhouse_arrow_spark.operators.dedup import minhash_candidate_pairs
+
+    df = spark.createDataFrame(
+        [(i, f"some shared shingle text body number {i % 7}") for i in range(60)],
+        "doc_id long, text string",
+    )
+    cands = minhash_candidate_pairs(df, "text", "doc_id", num_hashes=16, bands=4)
+    cands.count()
+    # inspect the storage level of every cached RDD via the JVM
+    jsc = spark.sparkContext._jsc.sc()
+    it = jsc.getPersistentRDDs().values().iterator()
+    found_disk = False
+    while it.hasNext():
+        lvl = it.next().getStorageLevel()
+        if lvl.useMemory() and lvl.useDisk():
+            found_disk = True
+    assert found_disk
+    spark.catalog.clearCache()
+
+
 def test_semantic_dedup_removes_exact_clones(spark):
     from pyspark.sql import functions as F
 

@@ -661,7 +661,18 @@ class Client:
         Invalidate with `clear_query_cache()` or the
         `SYSTEM DROP QUERY CACHE` statement — inserts do NOT invalidate
         automatically, matching CH's passive-TTL cache semantics."""
-        key = (" ".join(ch_sql.split()), tuple(sorted((params or {}).items())))
+        # the current database is part of the key: the same text can
+        # resolve to a different table after USE db (CH keys its query
+        # cache on context including current database)
+        try:
+            cur_db = self.spark.catalog.currentDatabase()
+        except Exception:
+            cur_db = ""
+        key = (
+            cur_db,
+            " ".join(ch_sql.split()),
+            tuple(sorted((params or {}).items())),
+        )
         cache = self.__dict__.setdefault("_query_cache", {})
         if key in cache:
             return cache[key]
@@ -793,19 +804,23 @@ class Client:
         """Run a semicolon-separated ClickHouse DDL/DML script (the
         shape migration scripts ship in) statement by statement through
         :meth:`execute_ch`. Statements split at TOP-LEVEL semicolons
-        only (string literals and parens respected); empty statements
+        only (string literals, `quoted identifiers`, parentheses and
+        comments respected); empty statements
         and `--`/`/* */` comment-only segments are skipped. Returns the
         number of statements executed. Fails fast: the first failing
         statement raises, with prior statements already applied (CH
         scripts via clickhouse-client behave the same — no transaction)."""
         # one combined scan: string literals (with '' and \\ escapes),
-        # -- and /* */ comments, and statement-splitting semicolons —
-        # a quote inside a comment must not open a literal and a
-        # semicolon inside either must not split
+        # backtick-quoted identifiers, -- and /* */ comments, paren
+        # depth, and statement-splitting semicolons — a quote inside a
+        # comment must not open a literal, and a semicolon inside a
+        # literal, a `quoted identifier`, or parentheses must not split
         stmts: list[str] = []
         cur: list[str] = []
         i, n = 0, len(script)
         in_s = False
+        in_bt = False
+        depth = 0
         while i < n:
             c = script[i]
             if in_s:
@@ -822,8 +837,19 @@ class Client:
                     continue
                 i += 1
                 continue
+            if in_bt:
+                cur.append(c)
+                if c == "`":
+                    in_bt = False
+                i += 1
+                continue
             if c == "'":
                 in_s = True
+                cur.append(c)
+                i += 1
+                continue
+            if c == "`":
+                in_bt = True
                 cur.append(c)
                 i += 1
                 continue
@@ -836,7 +862,11 @@ class Client:
                 i = (j + 2) if j != -1 else n
                 cur.append(" ")
                 continue
-            if c == ";":
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth = max(depth - 1, 0)
+            elif c == ";" and depth == 0:
                 stmts.append("".join(cur))
                 cur = []
                 i += 1

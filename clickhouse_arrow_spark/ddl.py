@@ -827,32 +827,86 @@ _ALTER_HEAD_RE = re.compile(r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)\s+(.*?)\s*;?\s*
 
 def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Schema-CHANGING rewrite (drop/retype/rename a column): stage the
-    new shape, recreate the table with the same engine TBLPROPERTIES,
-    load the staged rows. Parquet v1 tables cannot change schema in
-    place; this is the staged-part-rewrite mutation applied to DDL."""
+    new shape, recreate the table with the same engine TBLPROPERTIES
+    AND the same physical layout — partition columns, bucket spec
+    (the shuffle-free co-located-join contract), and column DEFAULT
+    metadata all survive the rewrite. A layout/default column that no
+    longer exists in the new shape is dropped from the layout with a
+    warning. Parquet v1 tables cannot change schema in place; this is
+    the staged-part-rewrite mutation applied to DDL."""
+    import re as _re
     import shutil
     import tempfile
+    import warnings
 
     props = {
         k: v
         for k, v in _table_props(spark, table).items()
         if k.startswith("clickhouse_arrow_spark.")
     }
+    # physical layout + per-column DEFAULTs, introspected BEFORE drop
+    part_cols = [c.name for c in spark.catalog.listColumns(table) if c.isPartition]
+    bucket_cols = [c.name for c in spark.catalog.listColumns(table) if c.isBucket]
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect()
+    }
+    n_buckets = int(desc.get("Num Buckets", "0") or 0)
+    sort_cols = _re.findall(r"`([^`]+)`", desc.get("Sort Columns", "") or "")
+    defaults = {
+        f.name: f.metadata["CURRENT_DEFAULT"]
+        for f in spark.table(table).schema.fields
+        if f.metadata and "CURRENT_DEFAULT" in f.metadata
+    }
     tmp = tempfile.mkdtemp(prefix="cas_alter_")
     try:
         df.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
+        new_cols = set(staged.columns)
+        for kind, names in (
+            ("partition", part_cols),
+            ("bucket", bucket_cols),
+            ("default", list(defaults)),
+        ):
+            gone = [c for c in names if c not in new_cols]
+            if gone:
+                warnings.warn(
+                    f"ALTER on {table}: {kind} column(s) {gone} no longer "
+                    "exist after the schema change; that part of the "
+                    "layout is dropped",
+                    stacklevel=3,
+                )
         spark.sql(f"DROP TABLE {table}")
+
+        def _writer():
+            w = staged.write.format("parquet")
+            pcols = [c for c in part_cols if c in new_cols]
+            bcols = [c for c in bucket_cols if c in new_cols]
+            if pcols:
+                w = w.partitionBy(*pcols)
+            if bcols and n_buckets:
+                w = w.bucketBy(n_buckets, *bcols)
+                scols = [c for c in sort_cols if c in new_cols]
+                if scols:
+                    w = w.sortBy(*scols)
+            return w
+
         try:
-            staged.write.format("parquet").saveAsTable(table)
+            _writer().saveAsTable(table)
         except Exception as e:
             if not _drop_orphan_location(spark, e):
                 raise
-            staged.write.format("parquet").saveAsTable(table)
+            _writer().saveAsTable(table)
         for k, v in props.items():
             spark.sql(
                 f"ALTER TABLE {table} SET TBLPROPERTIES ('{k}' = '{v}')"
             )
+        for c, expr in defaults.items():
+            if c in new_cols:
+                spark.sql(
+                    f"ALTER TABLE {table} ALTER COLUMN `{c}` "
+                    f"SET DEFAULT {expr}"
+                )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 

@@ -1177,10 +1177,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"to_timestamp({a[0]})"
     if name == "port":
         def port_fmt(a: Args) -> str:
+            # scheme-prefixed URL OR scheme-less host:port — CH's
+            # port('host:80') returns 80 (ADVICE round 4: the scheme-less
+            # alternative was missing, silently yielding the default)
             default = a[1] if len(a) > 1 else "0"
             got = (
                 f"try_cast(regexp_extract({a[0]}, "
-                f"'^[A-Za-z][A-Za-z0-9+.-]*://[^/?#:]+:([0-9]+)', 1) AS INT)"
+                f"'^(?:[A-Za-z][A-Za-z0-9+.-]*://)?[^/?#:]+:([0-9]+)', 1) "
+                f"AS INT)"
             )
             return f"coalesce({got}, {default})"
 
@@ -2993,41 +2997,89 @@ def _sub_select_spans(clause: str, mask) -> list[tuple[int, int]]:
     return spans
 
 
+def _substitute_alias_tokens(text: str, repl) -> str:
+    """ONE left-to-right pass replacing bare alias tokens via
+    ``repl(name) -> str | None`` (None = leave the token alone).
+    Inserted text is never rescanned — simultaneous-substitution
+    semantics, so an alias expression can safely mention another
+    alias's NAME as a real column without being re-substituted.
+    Skips string literals, qualified refs (`t.alias`), function-call
+    heads, and sub-SELECT spans (their own scope)."""
+    names = repl.keys() if isinstance(repl, dict) else None
+    if isinstance(repl, dict):
+        mapping = repl
+        repl = mapping.get
+    if names is not None and not names:
+        return text
+    mask = _scan_mask(text)
+    sub_spans = _sub_select_spans(text, mask)
+    pat = re.compile(r"\b[A-Za-z_]\w*\b")
+    out: list[str] = []
+    last = 0
+    for m in pat.finditer(text):
+        p = m.start()
+        if mask[p][1]:
+            continue
+        if any(a <= p <= b for a, b in sub_spans):
+            continue
+        before = text[p - 1] if p > 0 else ""
+        after = text[m.end()] if m.end() < len(text) else ""
+        if before == "." or after == ".":
+            continue  # qualified — a real column reference
+        # not a function call: alias( would be a function name
+        k = m.end()
+        while k < len(text) and text[k] in " \t\n":
+            k += 1
+        if k < len(text) and text[k] == "(":
+            continue
+        r = repl(m.group(0))
+        if r is None:
+            continue
+        out.append(text[last:p])
+        out.append(f"({r})")
+        last = m.end()
+    if not out:
+        return text
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _resolve_alias_exprs(aliases: list[tuple[str, str]]) -> dict[str, str]:
+    """Pre-resolve alias-to-alias references so every expression only
+    mentions real columns. Forward chains (`x AS a, a+1 AS b`) inline
+    transitively; a CYCLE (`b AS a, a AS b`) poisons the whole chain —
+    the referencing token stays put and therefore binds to the real
+    column, which is how ClickHouse resolves the cyclic pair."""
+    amap = dict(aliases)
+
+    def resolve(name: str, path: frozenset) -> tuple[str, bool]:
+        expr = amap[name]
+        clean = True
+
+        def rf(tok: str):
+            nonlocal clean
+            if tok == name or tok not in amap:
+                return None
+            if tok in path:
+                clean = False
+                return None
+            r, ok = resolve(tok, path | {name})
+            if not ok:
+                clean = False
+                return None
+            return r
+
+        return _substitute_alias_tokens(expr, rf), clean
+
+    return {a: resolve(a, frozenset())[0] for a, _ in aliases}
+
+
 def _inline_aliases(clause: str, aliases: list[tuple[str, str]]) -> str:
     """Replace bare alias tokens in `clause` with their parenthesized
-    expressions, skipping string literals, qualified refs (`t.alias`),
-    and sub-SELECT spans (their own scope)."""
-    mask = _scan_mask(clause)
-    sub_spans = _sub_select_spans(clause, mask)
-    for alias, expr in aliases:
-        pat = re.compile(rf"\b{re.escape(alias)}\b")
-        new: list[str] = []
-        last = 0
-        for m in pat.finditer(clause):
-            p = m.start()
-            if mask[p][1]:
-                continue
-            if any(a <= p <= b for a, b in sub_spans):
-                continue
-            before = clause[p - 1] if p > 0 else ""
-            after = clause[m.end()] if m.end() < len(clause) else ""
-            if before == "." or after == ".":
-                continue  # qualified — a real column reference
-            # not a function call: alias( would be a function name
-            k = m.end()
-            while k < len(clause) and clause[k] in " \t\n":
-                k += 1
-            if k < len(clause) and clause[k] == "(":
-                continue
-            new.append(clause[last:p])
-            new.append(f"({expr})")
-            last = m.end()
-        if new:
-            new.append(clause[last:])
-            clause = "".join(new)
-            mask = _scan_mask(clause)
-            sub_spans = _sub_select_spans(clause, mask)
-    return clause
+    expressions — all aliases substituted SIMULTANEOUSLY (one pass,
+    inserted text untouched), with alias-referencing expressions
+    pre-resolved by :func:`_resolve_alias_exprs`."""
+    return _substitute_alias_tokens(clause, _resolve_alias_exprs(aliases))
 
 
 _WITH_HEAD_RE = re.compile(r"(?i)^\s*WITH\b")

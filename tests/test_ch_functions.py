@@ -81,3 +81,19 @@ def test_split_by_char_escapes_regex_metachars(spark):
     assert df.select(ch.splitByChar(".", "s").alias("a")).first()["a"] == [
         "a", "b", "c",
     ]
+
+
+def test_port_scheme_less_hostport(spark):
+    """ADVICE round 4: CH's port('host:80') returns 80 for scheme-less
+    input; the formatter previously only matched scheme-prefixed URLs."""
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT port('host:80') AS p1, "
+            "port('http://example.com:8123/x') AS p2, "
+            "port('no-port-here') AS p3, "
+            "port('no-port-here', 9000) AS p4"
+        )
+    ).collect()[0]
+    assert (row["p1"], row["p2"], row["p3"], row["p4"]) == (80, 8123, 0, 9000)

@@ -1889,3 +1889,39 @@ def test_columns_in_subquery_scope(client):
         "(SELECT COLUMNS('n_name') FROM nation))"
     ).collect()
     assert rows[0]["cnt"] == 25
+
+
+def test_alias_inlining_cross_references(spark):
+    """ADVICE round 4: cross-referencing SELECT aliases.
+
+    - cyclic pair `b AS a, a AS b`: each alias binds to the REAL other
+      column (ClickHouse's resolution), never `((a))`;
+    - forward chain `x AS a, a+1 AS b`: b pre-resolves to (x)+1 so the
+      WHERE is fully resolvable.
+    """
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    spark.createDataFrame(
+        [(1, 10), (5, 2)], "a INT, b INT"
+    ).createOrReplaceTempView("alias_xref")
+    # cyclic: WHERE a > 5 must test real column b (10 > 5 -> row 1)
+    rows = spark.sql(
+        t("SELECT b AS a, a AS b FROM alias_xref WHERE a > 5")
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(10, 1)]
+    # forward chain: b = (a)+1 with a = real x... here a aliases column
+    spark.createDataFrame(
+        [(3,), (9,)], "x INT"
+    ).createOrReplaceTempView("alias_chain")
+    rows = spark.sql(
+        t("SELECT x AS a, a + 1 AS b FROM alias_chain WHERE b > 5")
+    ).collect()
+    assert [(r["a"], r["b"]) for r in rows] == [(9, 10)]
+    # chain through two hops
+    rows = spark.sql(
+        t(
+            "SELECT x AS a, a + 1 AS b, b * 2 AS c FROM alias_chain "
+            "WHERE c >= 20"
+        )
+    ).collect()
+    assert [(r["a"], r["b"], r["c"]) for r in rows] == [(9, 10, 20)]

@@ -575,3 +575,103 @@ def test_execute_script_multi_statement(client, spark):
     finally:
         for t in ("sc1", "sc2"):
             spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
+
+
+def test_execute_script_semicolon_in_parens_and_backticks(client, spark):
+    """ADVICE round 4: the scanner must respect paren depth and
+    backtick-quoted identifiers — a `;` inside either must not split."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.scp")
+    try:
+        ran = client.execute_script(
+            """
+            CREATE TABLE stmtdb.scp (x Int64, s String) ENGINE = MergeTree
+              ORDER BY x;
+            INSERT INTO stmtdb.scp SELECT x, concat('a', ';', 'b') AS s
+              FROM (SELECT 1 AS x);
+            INSERT INTO stmtdb.scp SELECT n_nationkey AS `k;ey`,
+              n_name FROM nation WHERE n_nationkey = 0;
+            """
+        )
+        assert ran == 3
+        rows = spark.table("stmtdb.scp").orderBy("x").collect()
+        assert {r["s"] for r in rows} == {"a;b", "NATION_0"} and len(rows) == 2
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.scp")
+
+
+def test_query_cache_keys_on_current_database(spark, tables):
+    """ADVICE round 4: the same statement text resolving to a different
+    table after a database switch must MISS, not return the previous
+    database's persisted result."""
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS qcdb1")
+    spark.sql("CREATE DATABASE IF NOT EXISTS qcdb2")
+    old_db = spark.catalog.currentDatabase()
+    try:
+        spark.sql("DROP TABLE IF EXISTS qcdb1.t")
+        spark.sql("DROP TABLE IF EXISTS qcdb2.t")
+        spark.sql("CREATE TABLE qcdb1.t AS SELECT 1 AS v")
+        spark.sql("CREATE TABLE qcdb2.t AS SELECT 2 AS v")
+        spark.catalog.setCurrentDatabase("qcdb1")
+        a = c.query_cached("SELECT v FROM t")
+        assert a.collect()[0]["v"] == 1
+        spark.catalog.setCurrentDatabase("qcdb2")
+        b = c.query_cached("SELECT v FROM t")
+        assert b is not a
+        assert b.collect()[0]["v"] == 2
+        # switching back hits the first entry again
+        spark.catalog.setCurrentDatabase("qcdb1")
+        assert c.query_cached("SELECT v FROM t") is a
+    finally:
+        spark.catalog.setCurrentDatabase(old_db)
+        c.clear_query_cache()
+        spark.sql("DROP DATABASE IF EXISTS qcdb1 CASCADE")
+        spark.sql("DROP DATABASE IF EXISTS qcdb2 CASCADE")
+
+
+def test_alter_recreate_preserves_bucketing_and_defaults(client, spark):
+    """ADVICE round 4: DROP/RENAME/MODIFY COLUMN recreation must keep
+    the bucket spec (the shuffle-free co-located-join contract) and
+    column DEFAULT metadata, not just the engine TBLPROPERTIES."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmtdb")
+    spark.sql("DROP TABLE IF EXISTS stmtdb.buck")
+    try:
+        (
+            spark.range(100)
+            .selectExpr("id AS k", "id * 2 AS v", "CAST(id AS STRING) AS s")
+            .write.format("parquet")
+            .bucketBy(8, "k")
+            .saveAsTable("stmtdb.buck")
+        )
+        spark.sql(
+            "ALTER TABLE stmtdb.buck SET TBLPROPERTIES "
+            "('clickhouse_arrow_spark.engine' = 'MergeTree', "
+            "'clickhouse_arrow_spark.order_by' = 'k')"
+        )
+        spark.sql(
+            "ALTER TABLE stmtdb.buck ALTER COLUMN v SET DEFAULT 7"
+        )
+        client.execute_ch("ALTER TABLE stmtdb.buck DROP COLUMN s")
+        desc = {
+            r["col_name"]: r["data_type"]
+            for r in spark.sql("DESCRIBE TABLE EXTENDED stmtdb.buck").collect()
+        }
+        assert int(desc.get("Num Buckets", "0") or 0) == 8
+        assert "k" in (desc.get("Bucket Columns") or "")
+        # DEFAULT survived: INSERT without v fills 7
+        spark.sql("INSERT INTO stmtdb.buck (k) VALUES (999)")
+        got = spark.sql(
+            "SELECT v FROM stmtdb.buck WHERE k = 999"
+        ).collect()[0]["v"]
+        assert got == 7
+        # engine props survived too
+        props = {
+            r["key"]: r["value"]
+            for r in spark.sql("SHOW TBLPROPERTIES stmtdb.buck").collect()
+        }
+        assert props.get("clickhouse_arrow_spark.engine") == "MergeTree"
+    finally:
+        spark.sql("DROP TABLE IF EXISTS stmtdb.buck")

@@ -387,6 +387,22 @@ def _ch_dt_spec_to_java(fmt: str, fn_name: str) -> str:
     return "".join(out)
 
 
+#: expression heads that produce arrays/maps — used by empty()/notEmpty()
+#: to pick size() over the string-only length() without type information
+_ARRAYISH_HEAD_RE = re.compile(
+    r"(?i)^\s*(?:\[|array\s*\(|collect_list\s*\(|collect_set\s*\(|"
+    r"groupArray\w*\s*\(|groupUniqArray\s*\(|split\w*\s*\(|splitBy\w+\s*\(|"
+    r"sequence\s*\(|range\s*\(|arrays_zip\s*\(|arrayMap\s*\(|"
+    r"arrayFilter\s*\(|arraySort\s*\(|arrayConcat\s*\(|arraySlice\s*\(|"
+    r"slice\s*\(|flatten\s*\(|array_distinct\s*\(|transform\s*\(|"
+    r"map\s*\(|mapKeys\s*\(|mapValues\s*\()"
+)
+
+
+def _looks_arrayish(expr: str) -> bool:
+    return bool(_ARRAYISH_HEAD_RE.match(expr))
+
+
 def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "toYYYYMM":
         return lambda a: f"CAST(year({a[0]}) * 100 + month({a[0]}) AS INT)"
@@ -460,10 +476,18 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))"
     if name == "uniqExact":
         return lambda a: f"count(DISTINCT {', '.join(a)})"
-    if name == "empty":
-        return lambda a: f"(length({a[0]}) = 0)"
-    if name == "notEmpty":
-        return lambda a: f"(length({a[0]}) > 0)"
+    if name in ("empty", "notEmpty"):
+        # CH empty()/notEmpty() accept strings, arrays and maps; Spark's
+        # length() is string-only and size() is array/map-only. The
+        # textual layer has no types, so recognize array-producing
+        # expression heads syntactically and use size() there.
+        op = "=" if name == "empty" else ">"
+
+        def empty_fmt(a: Args, _op=op) -> str:
+            fn = "size" if _looks_arrayish(a[0]) else "length"
+            return f"({fn}({a[0]}) {_op} 0)"
+
+        return empty_fmt
     if name == "multiIf":
         def multi_if(a: Args) -> str:
             whens = "".join(
@@ -2330,7 +2354,7 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
         base = base[:-2]
         filt = True
     comb = None
-    for suffix in ("Array", "Distinct", "OrNull"):
+    for suffix in ("Array", "Distinct", "OrNull", "OrDefault"):
         if base.endswith(suffix) and base[: -len(suffix)] in _COMBINATOR_BASES:
             comb = suffix
             base = base[: -len(suffix)]
@@ -2384,11 +2408,24 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
             inner = "count" if spark == "__count_distinct__" else spark
             expr = f"{inner}(DISTINCT {', '.join(args)})"
         else:
-            expr = f"{spark}({', '.join(args)})"
+            # CH's parameterless count() is count(*) in Spark
+            expr = f"{spark}({', '.join(args) if args else ('*' if base == 'count' else '')})"
         if cond is not None:
             expr = f"{expr} FILTER (WHERE {cond})"
         if comb == "OrNull" and base == "count":
             expr = f"nullif({expr}, 0)"
+        if comb == "OrDefault":
+            # empty set -> the type's default (CH -OrDefault): 0 for
+            # the numeric aggregates, empty array for groupArray forms
+            # (collect_list/collect_set already return [] there)
+            if base in ("sum", "count", "avg", "min", "max", "median",
+                        "uniq", "uniqExact", "stddevSamp", "stddevPop",
+                        "varSamp", "varPop"):
+                expr = f"coalesce({expr}, 0)"
+            elif base not in ("groupArray", "groupUniqArray"):
+                raise UntranslatableFunctionError(
+                    f"{name}(): no OrDefault form for {base}"
+                )
         return expr
 
     return fmt
@@ -3117,6 +3154,16 @@ def _rewrite_scalar_with(sql: str) -> str:
             ctes.append(st)  # unknown shape: leave for Spark's parser
     if not aliases:
         return sql
+    # scalar WITH items are SEQUENTIAL in CH: later items may reference
+    # earlier ones (`WITH 2 AS a, a * 3 AS b`) — pre-resolve so every
+    # expression mentions only real columns before inlining
+    resolved: dict[str, str] = {}
+    pre: list[tuple[str, str]] = []
+    for alias, expr in aliases:
+        expr2 = _substitute_alias_tokens(expr, dict(resolved))
+        resolved[alias] = expr2
+        pre.append((alias, expr2))
+    aliases = pre
     body = sql[m_sel.start() :]
     # a select-list item that IS a scalar alias keeps its output name
     # (CH names the column after the alias): `k` -> `(expr) AS k`
@@ -3254,6 +3301,83 @@ def _scope_end(sql, start, depth):
             if mu:
                 return k
     return len(sql)
+
+
+_IN_FRAME_RE = re.compile(r"(?i)\b(lagInFrame|leadInFrame)\s*\(")
+_FRAME_SPEC_RE = re.compile(
+    r"(?is)\s*(ROWS|RANGE)\s+BETWEEN\s+"
+    r"(UNBOUNDED\s+PRECEDING|\d+\s+PRECEDING|CURRENT\s+ROW)\s+AND\s+"
+    r"(CURRENT\s+ROW|UNBOUNDED\s+FOLLOWING|\d+\s+FOLLOWING)\s*$"
+)
+
+
+def _rewrite_in_frame(sql: str) -> str:
+    """ClickHouse `lagInFrame/leadInFrame(x[, n]) OVER (... frame)`:
+    Spark's lag/lead REJECT an explicit window frame, so the frame is
+    stripped when it provably COVERS the offset (the common migration
+    spellings: UNBOUNDED PRECEDING..., or `k PRECEDING` with k >= n) —
+    identical results, since lag/lead then read the same row. A frame
+    that may EXCLUDE the offset row (CH returns the default there) is
+    refused rather than silently answered differently."""
+    pos = 0
+    while True:
+        m = _find_clean(_IN_FRAME_RE, sql, start=pos, depth0=False)
+        if not m:
+            return sql
+        pos = m.end()
+        close = _find_matching_paren(sql, m.end() - 1)
+        if close == -1:
+            continue
+        # literal offset (2nd arg), default 1
+        args = _split_top_args(sql[m.end() : close])
+        offset = None
+        if len(args) < 2:
+            offset = 1
+        else:
+            am = re.match(r"^\s*(\d+)\s*$", args[1])
+            if am:
+                offset = int(am.group(1))
+        k = close + 1
+        while k < len(sql) and sql[k] in " \t\n":
+            k += 1
+        if sql[k : k + 4].upper() != "OVER":
+            continue
+        k += 4
+        while k < len(sql) and sql[k] in " \t\n":
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            continue  # named window: leave for Spark to resolve
+        wclose = _find_matching_paren(sql, k)
+        if wclose == -1:
+            continue
+        body = sql[k + 1 : wclose]
+        fm = _FRAME_SPEC_RE.search(body)
+        if not fm:
+            continue  # no explicit frame: plain lag/lead is exact
+        lo = re.sub(r"\s+", " ", fm.group(2).upper())
+        hi = re.sub(r"\s+", " ", fm.group(3).upper())
+        is_lag = m.group(1).lower() == "laginframe"
+        if is_lag:
+            covers = lo == "UNBOUNDED PRECEDING" or (
+                offset is not None
+                and lo.endswith("PRECEDING")
+                and int(lo.split()[0]) >= offset
+            )
+        else:
+            covers = hi == "UNBOUNDED FOLLOWING" or (
+                offset is not None
+                and hi.endswith("FOLLOWING")
+                and int(hi.split()[0]) >= offset
+            )
+        if not covers:
+            raise UntranslatableFunctionError(
+                f"{m.group(1)} with a frame that may EXCLUDE the offset "
+                "row: ClickHouse returns the default there, Spark's "
+                "lag/lead cannot carry a frame — widen the frame to "
+                "cover the offset (e.g. ROWS BETWEEN UNBOUNDED "
+                "PRECEDING AND CURRENT ROW) or compute via nth_value"
+            )
+        sql = f"{sql[: k + 1]}{body[: fm.start()]}{sql[wclose:]}"
 
 
 _TOP_RE = re.compile(r"(?i)\bSELECT\s+TOP\s+(\d+)\b")
@@ -3503,9 +3627,41 @@ def _rewrite_tuple_index(sql: str) -> str:
         is_call = open_idx > 0 and (
             sql[open_idx - 1].isalnum() or sql[open_idx - 1] in "_`)"
         )
-        head = "" if is_call else "struct"
+        # head identifier, for recognizing an explicit tuple(...) call
+        h_end = open_idx
+        h_start = h_end
+        while h_start > 0 and (sql[h_start - 1].isalnum() or sql[h_start - 1] == "_"):
+            h_start -= 1
+        head_name = sql[h_start:h_end] if is_call else ""
+        if not is_call or head_name == "tuple":
+            # bare `(a, b).N` / explicit `tuple(a, b).N`: extract the
+            # Nth element TEXTUALLY — struct(a, b) would name its
+            # fields after the columns, so `.colN` cannot work there
+            inner = sql[open_idx + 1 : close]
+            elems, d, start = [], 0, 0
+            imask = _scan_mask(inner)
+            for i, ch in enumerate(inner):
+                if imask[i][1]:
+                    continue
+                if ch == "(":
+                    d += 1
+                elif ch == ")":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    elems.append(inner[start:i])
+                    start = i + 1
+            elems.append(inner[start:])
+            n = int(m.group(1))
+            if 1 <= n <= len(elems):
+                pre = sql[:h_start] if head_name == "tuple" else sql[:open_idx]
+                sql = f"{pre}({elems[n - 1].strip()}){sql[m.end():]}"
+                continue
+            raise UntranslatableFunctionError(
+                f"tuple index .{n} out of range for a {len(elems)}-element "
+                "tuple literal"
+            )
         sql = (
-            f"{sql[:open_idx]}{head}{sql[open_idx : close + 1]}"
+            f"{sql[:open_idx]}{sql[open_idx : close + 1]}"
             f".col{m.group(1)}{sql[m.end():]}"
         )
 
@@ -3577,6 +3733,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     # PREWHERE folds into WHERE BEFORE alias inlining so select-list
     # aliases resolve inside it too (CH allows them there)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_in_frame(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_distinct_on(sql)

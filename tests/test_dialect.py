@@ -1358,11 +1358,17 @@ def test_tuple_positional_access():
     assert (
         translate_ch_sql("SELECT tup.1 FROM t") == "SELECT tup.col1 FROM t"
     )
+    # bare / explicit tuple literals extract the element TEXTUALLY —
+    # struct(a, b) would name fields after the columns, so .colN is
+    # wrong for column refs; direct extraction is exact for both
     out = translate_ch_sql("SELECT (1, 'a').1 AS first")
-    assert "struct(1, 'a').col1" in out
-    # function-call parens keep their head (no struct() wrap)
+    assert "(1)" in out and "struct" not in out
     out = translate_ch_sql("SELECT tuple(1, 'a').2 AS second")
-    assert "struct(1, 'a').col2" in out
+    assert "('a')" in out and "struct" not in out
+    out = translate_ch_sql("SELECT (o_orderkey, o_custkey).2 AS k FROM orders")
+    assert "(o_custkey)" in out
+    # other call heads keep the .colN approximation
+    assert ".col2" in translate_ch_sql("SELECT f(x).2 AS v FROM t")
     # decimals never match (no identifier/paren before the dot)
     assert translate_ch_sql("SELECT 1.5 AS f") == "SELECT 1.5 AS f"
     # string literals untouched
@@ -1925,3 +1931,77 @@ def test_alias_inlining_cross_references(spark):
         )
     ).collect()
     assert [(r["a"], r["b"], r["c"]) for r in rows] == [(9, 10, 20)]
+
+
+def test_in_frame_functions_strip_covering_frames(spark):
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    spark.createDataFrame(
+        [(1, 10.0), (2, 30.0), (3, 25.0)], "k INT, v DOUBLE"
+    ).createOrReplaceTempView("frame_t")
+    rows = spark.sql(
+        t(
+            "SELECT k, v - lagInFrame(v, 1, 0.0) OVER (ORDER BY k ROWS "
+            "BETWEEN 1 PRECEDING AND CURRENT ROW) AS d FROM frame_t "
+            "ORDER BY k"
+        )
+    ).collect()
+    assert [r["d"] for r in rows] == [10.0, 20.0, -5.0]
+    # UNBOUNDED spelling strips too; leadInFrame symmetric
+    rows = spark.sql(
+        t(
+            "SELECT k, leadInFrame(v, 1, -1.0) OVER (ORDER BY k ROWS "
+            "BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt "
+            "FROM frame_t ORDER BY k"
+        )
+    ).collect()
+    assert [r["nxt"] for r in rows] == [30.0, 25.0, -1.0]
+    # a frame that may EXCLUDE the offset row refuses
+    import pytest as _pytest
+
+    with _pytest.raises(UntranslatableFunctionError, match="EXCLUDE"):
+        t(
+            "SELECT lagInFrame(v, 3) OVER (ORDER BY k ROWS BETWEEN 1 "
+            "PRECEDING AND CURRENT ROW) FROM frame_t"
+        )
+
+
+def test_or_default_combinator(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT sumOrDefault(x) AS s, maxOrNull(x) AS m, "
+            "countOrDefault() AS c FROM (SELECT 1 AS x WHERE false)"
+        )
+    ).collect()[0]
+    assert (row["s"], row["m"], row["c"]) == (0, None, 0)
+
+
+def test_empty_notempty_arrayish(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT empty('') AS e1, notEmpty('x') AS e2, "
+            "empty([]) AS e3, notEmpty([1, 2]) AS e4, "
+            "notEmpty(splitByChar(',', 'a,b')) AS e5"
+        )
+    ).collect()[0]
+    assert (row["e1"], row["e2"], row["e3"], row["e4"], row["e5"]) == (
+        True, True, True, True, True,
+    )
+
+
+def test_scalar_with_chained_items(spark, tables):
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    row = c.query_ch(
+        "WITH 2 AS a, a * 3 AS b, b + a AS c SELECT c * count() AS n "
+        "FROM nation"
+    ).collect()[0]
+    assert row["n"] == 8 * 25

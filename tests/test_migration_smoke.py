@@ -113,6 +113,142 @@ QUERIES = [
     ("SELECT o_orderstatus, count() AS n FROM orders "
      "GROUP BY o_orderstatus WITH TOTALS ORDER BY n",
      (2, 10)),
+    # ---- round-5 widening: waves 8-11 + new forms ----
+    # :: casts (wave: colon casts)
+    ("SELECT o_orderkey::String AS k, o_totalprice::Int64 AS p "
+     "FROM orders ORDER BY o_orderkey LIMIT 3",
+     (3, 3)),
+    # scalar WITH visible inside subquery (global_with)
+    ("WITH 100000 AS cutoff SELECT count() AS n FROM "
+     "(SELECT o_orderkey FROM orders WHERE o_totalprice > cutoff)",
+     (1, 1)),
+    # chained scalar WITH expressions
+    ("WITH 2 AS a, a * 3 AS b SELECT b * count() AS n FROM nation",
+     (1, 1)),
+    # JSON family over events.props (wave: JSON varargs / depth)
+    ("SELECT JSONExtractString(props, 'device') AS device, count() AS n "
+     "FROM events GROUP BY device ORDER BY n DESC LIMIT 5",
+     (1, 5)),
+    ("SELECT count() AS n FROM events WHERE JSONHas(props, 'device')",
+     (1, 1)),
+    # visitParamExtract legacy spelling
+    ("SELECT simpleJSONExtractString(props, 'device') AS d FROM events "
+     "ORDER BY event_id LIMIT 3",
+     (3, 3)),
+    # PREWHERE + alias in it
+    ("SELECT o_orderkey, o_totalprice * 2 AS dbl FROM orders "
+     "PREWHERE dbl > 500000 ORDER BY o_orderkey LIMIT 5",
+     (0, 5)),
+    # TOP form
+    ("SELECT TOP 4 o_orderkey FROM orders ORDER BY o_totalprice DESC",
+     (4, 4)),
+    # LIMIT offset, count (MySQL form)
+    ("SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5, 3",
+     (3, 3)),
+    # tuple literal + positional access
+    ("SELECT (o_orderkey, o_custkey).1 AS k FROM orders "
+     "ORDER BY k LIMIT 2",
+     (2, 2)),
+    # array literal + subscript (1-based) + has()
+    ("SELECT [10, 20, 30][2] AS x, has([1, 2, 3], 2) AS h",
+     (1, 1)),
+    # arrayJoin in select list
+    ("SELECT arrayJoin([1, 2, 3]) AS x FROM (SELECT 1) ORDER BY x",
+     (3, 3)),
+    # multi-array ARRAY JOIN lockstep (round 5)
+    ("SELECT n_nationkey, x, y FROM (SELECT n_nationkey, "
+     "[n_nationkey, n_nationkey + 1] AS a, ['p', 'q'] AS b FROM nation "
+     "WHERE n_nationkey < 3) ARRAY JOIN a AS x, b AS y ORDER BY n_nationkey, x",
+     (6, 6)),
+    # aggregate combinators: sumIf / uniqExactIf / countDistinct
+    ("SELECT sumIf(l_quantity, l_returnflag = 'R') AS rq, "
+     "uniqExactIf(l_orderkey, l_discount > 0.05) AS ods "
+     "FROM lineitem",
+     (1, 1)),
+    # -OrNull / -OrDefault combinators
+    ("SELECT maxOrNull(o_totalprice) AS m, sumOrDefault(o_totalprice) AS s "
+     "FROM orders WHERE o_orderkey < 0",
+     (1, 1)),
+    # quantiles multi + topK
+    ("SELECT quantiles(0.25, 0.5, 0.75)(l_extendedprice) AS qs FROM lineitem",
+     (1, 1)),
+    # -Array combinator over grouped arrays
+    ("SELECT sumArray(arr) AS s FROM (SELECT o_orderstatus, "
+     "groupArray(o_totalprice) AS arr FROM orders GROUP BY o_orderstatus)",
+     (1, 1)),
+    # map construction + access
+    ("SELECT map('a', 1, 'b', 2)['b'] AS v",
+     (1, 1)),
+    # string functions battery
+    ("SELECT lowerUTF8(c_name) AS l, substring(c_name, 1, 8) AS s, "
+     "splitByChar('#', c_name) AS parts FROM customer "
+     "ORDER BY c_custkey LIMIT 2",
+     (2, 2)),
+    # date specifiers: formatDateTime + toStartOfWeek + INTERVAL
+    ("SELECT formatDateTime(o_orderdate, '%Y-%m') AS ym, count() AS n "
+     "FROM orders WHERE o_orderdate > toDate('1995-01-01') - INTERVAL 1 MONTH "
+     "GROUP BY ym ORDER BY ym LIMIT 6",
+     (1, 6)),
+    # toStartOfInterval + now() sanity
+    ("SELECT toStartOfInterval(o_orderdate, INTERVAL 1 YEAR) AS y, "
+     "count() AS n FROM orders GROUP BY y ORDER BY y",
+     (1, 12)),
+    # conditional chains: if/ifNull/nullIf/coalesce
+    ("SELECT if(o_totalprice > 100000, 'hi', 'lo') AS t, "
+     "ifNull(nullIf(o_orderstatus, 'O'), 'open') AS s "
+     "FROM orders ORDER BY o_orderkey LIMIT 4",
+     (4, 4)),
+    # math/bits: bitAnd + modulo + pow
+    ("SELECT bitAnd(o_orderkey, 255) AS b, o_orderkey % 7 AS m, "
+     "pow(2, 10) AS p FROM orders ORDER BY o_orderkey LIMIT 2",
+     (2, 2)),
+    # geo distance
+    ("SELECT round(greatCircleDistance(-0.13, 51.5, 2.35, 48.85)) AS d",
+     (1, 1)),
+    # text distance tier
+    ("SELECT editDistance(c_name, 'Customer#000000001') AS ed "
+     "FROM customer ORDER BY ed, c_custkey LIMIT 3",
+     (3, 3)),
+    # uniq sketches family
+    ("SELECT uniq(l_orderkey) AS u1, uniqCombined(l_orderkey) AS u2, "
+     "uniqHLL12(l_orderkey) AS u3 FROM lineitem",
+     (1, 1)),
+    # bare INTERSECT (CH = ALL multiplicity)
+    ("SELECT o_custkey FROM orders WHERE o_orderstatus = 'F' INTERSECT "
+     "SELECT o_custkey FROM orders WHERE o_totalprice > 1000",
+     (1, 100000)),
+    # UNION DISTINCT spelled out
+    ("SELECT n_regionkey AS k FROM nation UNION DISTINCT "
+     "SELECT r_regionkey AS k FROM region ORDER BY k",
+     (5, 5)),
+    # window frames + lagInFrame
+    ("SELECT o_orderkey, o_totalprice - lagInFrame(o_totalprice, 1, 0.0) "
+     "OVER (ORDER BY o_orderkey ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) "
+     "AS delta FROM orders ORDER BY o_orderkey LIMIT 5",
+     (5, 5)),
+    # EXISTS table-check + EXISTS subquery filter
+    ("SELECT count() AS n FROM orders o WHERE EXISTS "
+     "(SELECT 1 FROM lineitem WHERE l_orderkey = o.o_orderkey)",
+     (1, 1)),
+    # COLUMNS regex + APPLY (round 5, catalog-resolved)
+    ("SELECT COLUMNS('^l_q') APPLY(max) FROM lineitem",
+     (1, 1)),
+    # * APPLY over a narrow table
+    ("SELECT * APPLY(count) FROM region",
+     (1, 1)),
+    # IN tuple-list
+    ("SELECT count() AS n FROM orders WHERE o_orderstatus IN ('F', 'O')",
+     (1, 1)),
+    # length/empty/notEmpty over strings and arrays
+    ("SELECT length(c_name) AS lc, empty(c_name) AS e, "
+     "notEmpty(groupArray(c_custkey)) AS ne FROM customer "
+     "GROUP BY c_name ORDER BY c_name LIMIT 2",
+     (2, 2)),
+    # runningDifference-style via window + alias reuse in HAVING
+    ("SELECT l_returnflag, sum(l_extendedprice * (1 - l_discount)) AS rev "
+     "FROM lineitem GROUP BY l_returnflag HAVING rev > 0 "
+     "ORDER BY l_returnflag",
+     (1, 3)),
 ]
 
 

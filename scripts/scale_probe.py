@@ -19,8 +19,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main() -> int:
-    rows_fact = int(sys.argv[1]) if len(sys.argv) > 1 else 10_000_000
-    n_docs = int(sys.argv[2]) if len(sys.argv) > 2 else 100_000
+    args = sys.argv[1:]
+    nums = [a for a in args if a.isdigit()]
+    only = [a for a in args if not a.isdigit()]
+    rows_fact = int(nums[0]) if len(nums) > 0 else 10_000_000
+    n_docs = int(nums[1]) if len(nums) > 1 else 100_000
+    n_vecs = int(nums[2]) if len(nums) > 2 else 100_000
 
     from pyspark.sql import Window as W
     from pyspark.sql import functions as F
@@ -73,8 +77,11 @@ def main() -> int:
 
     timings: dict[str, float] = {}
 
-    def bench(name, df):
+    def bench(name, df_or_fn):
+        if only and not any(s in name for s in only):
+            return
         t0 = time.perf_counter()
+        df = df_or_fn() if callable(df_or_fn) else df_or_fn
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 2)
 
@@ -269,22 +276,43 @@ def main() -> int:
     )
     _sh.rmtree(f"{tmp}/ckpt_sessions", ignore_errors=True)
 
-    # -- semantic dedup at 100k vectors (16-dim, 1% planted clones) ------
+    # -- semantic dedup (16-dim, 1% planted clones); nlist ~= sqrt(N) ----
     from clickhouse_arrow_spark.operators import similarity as sim_ops
 
-    vecs = spark.range(0, 100_000, 1, 32).select(
-        F.col("id").alias("vec_id"),
-        F.transform(
-            F.sequence(F.lit(1), F.lit(16)),
-            lambda i: (
-                F.pmod(F.xxhash64(F.col("id") % 99_000, i), F.lit(1000))
-                / 1000.0
-            ),
-        ).alias("embedding"),
-    )
+    def mk_vecs(n):
+        return spark.range(0, n, 1, 32).select(
+            F.col("id").alias("vec_id"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(16)),
+                lambda i: (
+                    F.pmod(F.xxhash64(F.col("id") % (n // 100 * 99), i),
+                           F.lit(1000))
+                    / 1000.0
+                ),
+            ).alias("embedding"),
+        )
+
+    vecs = mk_vecs(100_000)
     bench(
         "semantic_dedup_100k_vectors_nlist256",
-        sim_ops.semantic_dedup(vecs, threshold=0.999, nlist=256),
+        lambda: sim_ops.semantic_dedup(vecs, threshold=0.999, nlist=256),
+    )
+    if n_vecs > 100_000:
+        import math as _math
+
+        nlist = 1 << round(_math.log2(max(_math.sqrt(n_vecs), 2)))
+        big_vecs = mk_vecs(n_vecs)
+        bench(
+            f"semantic_dedup_{n_vecs // 1000}k_vectors_nlist{nlist}",
+            lambda: sim_ops.semantic_dedup(
+                big_vecs, threshold=0.999, nlist=nlist
+            ),
+        )
+
+    # -- span-level (C4) dedup over the document corpus ------------------
+    bench(
+        f"span_dedup_{n_docs // 1000}k_docs",
+        lambda: text_ops.span_dedup(docs),
     )
 
     out = {

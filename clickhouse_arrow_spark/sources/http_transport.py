@@ -49,9 +49,17 @@ class TransportError(RuntimeError):
     (reference Error::Server, http/client.rs:120-126)."""
 
 
+#: Content-Encoding values with a real codec here. gzip is stdlib;
+#: lz4 (the reference's DEFAULT wire codec, clickhouse-arrow/src/
+#: compression.rs) and zstd ride pyarrow's built-in C-level codecs —
+#: LZ4 frame format, exactly what ClickHouse's HTTP interface speaks.
+_PA_CODECS = {"lz4": "lz4", "zstd": "zstd"}
+
+
 def _zstd_mod():
-    """The zstandard module if installed, else None (import-try gate —
-    this container doesn't bundle it; gzip is the stdlib tier)."""
+    """The zstandard module if installed, else None. Retained for
+    compatibility probes — the transport itself now uses pyarrow's
+    built-in zstd codec and never needs this module."""
     try:
         import zstandard
 
@@ -223,19 +231,14 @@ class HttpArrowTransport:
         self.partition_column = partition_column
         self.num_partitions = max(int(num_partitions), 1)
         self.timeout = timeout
-        if compression not in (None, "gzip", "zstd"):
+        if compression not in (None, "gzip", "lz4", "zstd"):
             raise ValueError(
-                f"compression must be gzip|zstd|None, got {compression!r}"
-            )
-        if compression == "zstd" and _zstd_mod() is None:
-            raise ValueError(
-                "zstd wire compression needs the zstandard module (not "
-                "bundled here); use compression='gzip' (stdlib) instead"
+                f"compression must be gzip|lz4|zstd|None, got {compression!r}"
             )
         #: wire compression, mirroring the reference's LZ4/ZSTD support
-        #: (clickhouse-arrow/src/compression.rs) over the HTTP
-        #: interface's Content-Encoding mechanism. gzip is the stdlib
-        #: tier; zstd engages when the zstandard module is available.
+        #: (clickhouse-arrow/src/compression.rs — LZ4 is its DEFAULT
+        #: codec) over the HTTP interface's Content-Encoding mechanism.
+        #: gzip = stdlib; lz4/zstd = pyarrow's built-in C codecs.
         self.compression = compression
 
     # -- wire compression --------------------------------------------
@@ -245,8 +248,10 @@ class HttpArrowTransport:
             import gzip
 
             return gzip.compress(data)
-        if self.compression == "zstd":
-            return _zstd_mod().ZstdCompressor().compress(data)
+        if self.compression in _PA_CODECS:
+            import pyarrow as pa
+
+            return bytes(pa.Codec(_PA_CODECS[self.compression]).compress(data))
         return data
 
     # -- raw HTTP ----------------------------------------------------
@@ -301,13 +306,11 @@ class HttpArrowTransport:
             import gzip
 
             return gzip.GzipFile(fileobj=resp)
-        if encoding == "zstd":
-            z = _zstd_mod()
-            if z is None:
-                raise TransportError(
-                    "server sent zstd but the zstandard module is missing"
-                )
-            return z.ZstdDecompressor().stream_reader(resp)
+        if encoding in _PA_CODECS:
+            import pyarrow as pa
+
+            # streaming decode — pyarrow wraps the live socket file-like
+            return pa.CompressedInputStream(resp, _PA_CODECS[encoding])
         raise TransportError(f"unsupported Content-Encoding {encoding!r}")
 
     def _request(self, sql: str, body: bytes | None = None) -> bytes:

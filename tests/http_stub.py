@@ -197,21 +197,33 @@ class ArrowHttpStub:
                 body = self.rfile.read(n) if n else b""
                 # wire compression, like ClickHouse HTTP with
                 # enable_http_compression=1: request bodies may arrive
-                # Content-Encoding-compressed; responses compress when
-                # the client advertises Accept-Encoding.
-                if body and self.headers.get("Content-Encoding") == "gzip":
+                # Content-Encoding-compressed (gzip/lz4/zstd); responses
+                # compress when the client advertises Accept-Encoding.
+                enc = self.headers.get("Content-Encoding")
+                if body and enc == "gzip":
                     body = gzip.decompress(body)
+                    stub.compressed_requests += 1
+                elif body and enc in ("lz4", "zstd"):
+                    body = pa.CompressedInputStream(
+                        pa.BufferReader(body), enc
+                    ).read()
                     stub.compressed_requests += 1
                 try:
                     payload = stub.handle_query(sql, body)
                 except Exception as e:
                     self._respond(500, str(e).encode())
                     return
-                if payload and "gzip" in (
-                    self.headers.get("Accept-Encoding") or ""
-                ):
+                accept = self.headers.get("Accept-Encoding") or ""
+                resp_enc = next(
+                    (e for e in ("gzip", "lz4", "zstd") if e in accept), None
+                )
+                if payload and resp_enc:
                     stub.compressed_responses += 1
-                    self._respond(200, gzip.compress(payload), "gzip")
+                    if resp_enc == "gzip":
+                        out = gzip.compress(payload)
+                    else:
+                        out = bytes(pa.Codec(resp_enc).compress(payload))
+                    self._respond(200, out, resp_enc)
                 elif (
                     payload
                     and stub.drip_gate is not None

@@ -1779,25 +1779,27 @@ def q_util_sample_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "corpussmp.o_s",
         spark.table("orders").select("o_orderkey", "o_totalprice"),
     )
+    # set-compare RELATIONALLY (EXCEPT/intersection counts aggregated
+    # executor-side) — only four booleans ever reach the driver, so the
+    # gate itself is the pattern to imitate at scale, not a
+    # driver-side set materialization
+    def q(sql: str):
+        return client.query_ch(sql)
+
+    s10a = q("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
+    s10b = q("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
+    s20 = q("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.2")
+    off = q("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1 OFFSET 0.1")
     total = spark.table("corpussmp.o_s").count()
-
-    def keys(q: str) -> set:
-        return {r["o_orderkey"] for r in client.query_ch(q).collect()}
-
-    s10a = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
-    s10b = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1")
-    s20 = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.2")
-    off = keys("SELECT o_orderkey FROM corpussmp.o_s SAMPLE 0.1 OFFSET 0.1")
-    frac = len(s10a) / max(total, 1)
+    n10 = s10a.count()
+    deterministic = (
+        s10a.exceptAll(s10b).count() == 0 and s10b.exceptAll(s10a).count() == 0
+    )
+    nested = s10a.exceptAll(s20).count() == 0
+    disjoint = s10a.intersect(off).count() == 0
+    frac = n10 / max(total, 1)
     return spark.createDataFrame(
-        [
-            (
-                s10a == s10b,
-                s10a <= s20,
-                not (s10a & off),
-                0.05 < frac < 0.15,
-            )
-        ],
+        [(deterministic, nested, disjoint, 0.05 < frac < 0.15)],
         "deterministic boolean, nested_containment boolean, "
         "offset_disjoint boolean, frac_in_range boolean",
     )

@@ -126,6 +126,11 @@ def filters_to_where(filters: list) -> str:
     return " AND ".join(parts)
 
 
+def _chain_one(first, rest):
+    yield first
+    yield from rest
+
+
 def _plan_range_bounds(lo, hi, n_max: int):
     """Split [lo, hi] into at most ``n_max`` contiguous slices,
     type-aware: ints split arithmetically, Date/DateTime via epoch
@@ -278,7 +283,11 @@ class HttpArrowTransport:
         headers = dict(self._headers())
         if body is not None:
             headers["Content-Type"] = "application/octet-stream"
-            if self.compression and body:
+            if not isinstance(body, (bytes, bytearray)):
+                # generator body -> chunked upload; http.client encodes
+                # the chunks, the worker never holds the whole payload
+                headers["Transfer-Encoding"] = "chunked"
+            elif self.compression and body:
                 body = self._compress(body)
                 headers["Content-Encoding"] = self.compression
         if self.compression:
@@ -355,22 +364,49 @@ class HttpArrowTransport:
     def insert_batches(self, table: str, batches: Iterable) -> int:
         """One POST per call: all batches serialized into a single Arrow
         IPC stream request body (http/client.rs:164-196
-        insert_batches + serialize_batches). Returns rows sent."""
+        insert_batches + serialize_batches). Returns rows sent.
+
+        Uncompressed inserts STREAM: the body is a generator of IPC
+        segments sent with chunked transfer encoding, so a writer task
+        never buffers its whole partition — the write-side mirror of
+        the incremental scan decode. Compressed inserts buffer (the
+        Content-Encoding frame wraps the whole body)."""
         import pyarrow as pa
 
-        batches = list(batches)
-        if not batches:
+        sql = f"INSERT INTO {_quote_ident(table)} FORMAT ArrowStream"
+        it = iter(batches)
+        try:
+            first = next(it)
+        except StopIteration:
             return 0
-        buf = io.BytesIO()
-        with pa.ipc.new_stream(buf, batches[0].schema) as writer:
-            for b in batches:
+        if self.compression:
+            buf = io.BytesIO()
+            rows = 0
+            with pa.ipc.new_stream(buf, first.schema) as writer:
+                for b in _chain_one(first, it):
+                    writer.write_batch(b)
+                    rows += b.num_rows
+            self._request(sql, body=buf.getvalue())
+            return rows
+
+        counter = {"rows": 0}
+
+        def chunks():
+            buf = io.BytesIO()
+            writer = pa.ipc.new_stream(buf, first.schema)
+            for b in _chain_one(first, it):
                 writer.write_batch(b)
-        rows = sum(b.num_rows for b in batches)
-        self._request(
-            f"INSERT INTO {_quote_ident(table)} FORMAT ArrowStream",
-            body=buf.getvalue(),
-        )
-        return rows
+                counter["rows"] += b.num_rows
+                if buf.tell():
+                    yield buf.getvalue()
+                    buf.seek(0)
+                    buf.truncate()
+            writer.close()
+            if buf.tell():
+                yield buf.getvalue()
+
+        self._open(sql, body=chunks()).read()
+        return counter["rows"]
 
     def insert(self, table: str, batch) -> int:
         """Single-batch insert (reference http/client.rs:129-162

@@ -72,6 +72,7 @@ class ArrowHttpStub:
         self.queries: list[str] = []
         self.compressed_requests = 0
         self.compressed_responses = 0
+        self.chunked_requests = 0
         self.lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         #: rows per IPC record batch in SELECT responses (None = one)
@@ -193,8 +194,22 @@ class ArrowHttpStub:
                     return
                 qs = urllib.parse.urlparse(self.path).query
                 sql = urllib.parse.parse_qs(qs).get("query", [""])[0]
-                n = int(self.headers.get("Content-Length") or 0)
-                body = self.rfile.read(n) if n else b""
+                te = (self.headers.get("Transfer-Encoding") or "").lower()
+                if "chunked" in te:
+                    # chunked upload: size-line, chunk bytes, CRLF, ...
+                    parts = []
+                    while True:
+                        size = int(self.rfile.readline().strip() or b"0", 16)
+                        if size == 0:
+                            self.rfile.readline()  # trailing CRLF
+                            break
+                        parts.append(self.rfile.read(size))
+                        self.rfile.readline()
+                    body = b"".join(parts)
+                    stub.chunked_requests += 1
+                else:
+                    n = int(self.headers.get("Content-Length") or 0)
+                    body = self.rfile.read(n) if n else b""
                 # wire compression, like ClickHouse HTTP with
                 # enable_http_compression=1: request bodies may arrive
                 # Content-Encoding-compressed (gzip/lz4/zstd); responses

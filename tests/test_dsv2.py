@@ -634,3 +634,24 @@ def test_http_range_partition_unsplittable_falls_back(ds_spark, http_stub):
         parts = t.plan_partitions("orders")
     assert len(parts) == 1 and parts[0].where == ""
     assert any("non-range-splittable" in str(x.message) for x in w)
+
+
+def test_http_insert_streams_chunked():
+    """Uncompressed inserts go up with chunked transfer encoding — the
+    writer task streams IPC segments instead of buffering the whole
+    partition body (the write-side mirror of the incremental scan)."""
+    import pyarrow as pa
+
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+    from tests.http_stub import ArrowHttpStub
+
+    table = pa.table({"k": list(range(300)), "v": [i * 1.5 for i in range(300)]})
+    stub = ArrowHttpStub({"sink": table.slice(0, 0)})
+    with stub as url:
+        t = HttpArrowTransport(url)
+        sent = t.insert_batches("sink", table.to_batches(max_chunksize=50))
+        assert sent == 300
+        assert stub.chunked_requests >= 1
+        got = t.query_arrow("SELECT count(*) AS n, sum(v) AS s FROM sink")
+        assert got.column("n").to_pylist() == [300]
+        assert abs(got.column("s").to_pylist()[0] - sum(i * 1.5 for i in range(300))) < 1e-6

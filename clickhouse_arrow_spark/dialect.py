@@ -57,7 +57,6 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "modulo": "mod",
     "arrayConcat": "concat",
     "arrayDistinct": "array_distinct",
-    "arraySort": "array_sort",
     "arrayReverse": "reverse",
     "has": "array_contains",
     "indexOf": "array_position",
@@ -67,6 +66,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "toString": "string",
     "notEmpty": "notempty",  # placeholder, formatter below
     # string family
+    "substringIndex": "substring_index",
     "replaceAll": "replace",
     "replaceRegexpAll": "regexp_replace",  # caveat: RE2 vs Java regex
     "startsWith": "startswith",
@@ -327,6 +327,13 @@ _ENGINE_HASHES = (
     "xxHash32",
     "javaHash",
     "hiveHash",
+    "murmurHash2_32",
+    "murmurHash2_64",
+    "murmurHash3_32",
+    "murmurHash3_64",
+    "murmurHash3_128",
+    "metroHash64",
+    "gccMurmurHash",
 )
 
 
@@ -881,13 +888,35 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"IF(size(_acc) > 0 AND element_at(_acc, -1) <=> _x, _acc, "
             f"concat(_acc, array(_x))))"
         )
-    if name == "arrayReverseSort":
-        def array_reverse_sort(a: Args) -> str:
-            if len(a) == 1:
-                return f"reverse(array_sort({a[0]}))"
-            return f"arrayReverseSort({', '.join(a)})"  # lambda form: keep
+    if name in ("arraySort", "arrayReverseSort"):
+        # key-lambda forms: CH sorts by f(x); Spark's array_sort takes a
+        # COMPARATOR — build one by applying the key to both sides
+        desc = name == "arrayReverseSort"
 
-        return array_reverse_sort
+        def array_sort_fmt(a: Args, _desc=desc) -> str:
+            if len(a) == 1:
+                return (
+                    f"reverse(array_sort({a[0]}))" if _desc
+                    else f"array_sort({a[0]})"
+                )
+            lam = re.match(r"(?s)^\s*([A-Za-z_]\w*)\s*->\s*(.+)$", a[0])
+            if not lam or len(a) != 2:
+                raise UntranslatableFunctionError(
+                    f"{name} with a multi-array key lambda: sort by a "
+                    "parallel array via arrays_zip + array_sort with a "
+                    "comparator, or sort in the DataFrame API"
+                )
+            var, body = lam.group(1), lam.group(2).strip()
+            fl = re.sub(rf"\b{re.escape(var)}\b", "_l", body)
+            fr = re.sub(rf"\b{re.escape(var)}\b", "_r", body)
+            lo, hi = ("1", "-1") if _desc else ("-1", "1")
+            return (
+                f"array_sort({a[1]}, (_l, _r) -> CASE "
+                f"WHEN ({fl}) < ({fr}) THEN {lo} "
+                f"WHEN ({fl}) > ({fr}) THEN {hi} ELSE 0 END)"
+            )
+
+        return array_sort_fmt
     if name == "hasAll":
         return lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"
     if name == "tupleElement":
@@ -1199,6 +1228,115 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # wilder formats (unix ts strings, DD/MM) do not — documented
         # narrowing, better than an unresolved function
         return lambda a: f"to_timestamp({a[0]})"
+    if name in ("plus", "minus", "multiply", "negate", "max2", "min2"):
+        # CH exposes its operators as named functions too
+        slot = {
+            "plus": "(({0}) + ({1}))",
+            "minus": "(({0}) - ({1}))",
+            "multiply": "(({0}) * ({1}))",
+            "negate": "(-({0}))",
+            "max2": "greatest({0}, {1})",
+            "min2": "least({0}, {1})",
+        }[name]
+        return lambda a: slot.format(*a)
+    if name == "divide":
+        # CH divide() ALWAYS returns Float64, with x/0 = ±Inf and
+        # 0/0 = NaN; Spark's ANSI division errors on a zero divisor for
+        # EVERY numeric type, so the zero branch is reproduced
+        # explicitly. (The bare `/` operator keeps Spark's loud ANSI
+        # error — documented divergence in docs/MIGRATION.md.)
+        return lambda a: (
+            f"IF(CAST({a[1]} AS DOUBLE) = 0.0, "
+            f"IF(CAST({a[0]} AS DOUBLE) = 0.0, CAST('NaN' AS DOUBLE), "
+            f"sign({a[0]}) * CAST('Infinity' AS DOUBLE)), "
+            f"CAST({a[0]} AS DOUBLE) / ({a[1]}))"
+        )
+    if name in ("gcd", "lcm"):
+        # Euclid as a bounded fold — 64 mod steps cover any 64-bit pair;
+        # pure JVM, no UDF. lcm = |a*b| / gcd with zero guard.
+        def gcd_expr(x: str, y: str) -> str:
+            return (
+                f"aggregate(sequence(1, 64), "
+                f"named_struct('x', abs(CAST({x} AS BIGINT)), "
+                f"'y', abs(CAST({y} AS BIGINT))), "
+                f"(acc, _i) -> IF(acc.y = 0, acc, "
+                f"named_struct('x', acc.y, 'y', acc.x % acc.y))).x"
+            )
+
+        if name == "gcd":
+            return lambda a: gcd_expr(a[0], a[1])
+        return lambda a: (
+            f"IF(({a[0]}) = 0 OR ({a[1]}) = 0, 0, "
+            f"abs(CAST({a[0]} AS BIGINT) * CAST({a[1]} AS BIGINT)) "
+            f"DIV {gcd_expr(a[0], a[1])})"
+        )
+    if name == "roundDown":
+        # round down to an element of the boundary array; below the
+        # lowest bound -> the lowest bound (CH semantics)
+        return lambda a: (
+            f"coalesce(array_max(filter({a[1]}, _b -> _b <= ({a[0]}))), "
+            f"array_min({a[1]}))"
+        )
+    if name == "arrayEnumerateUniq":
+        # occurrence index (1-based) of each element among its equals
+        return lambda a: (
+            f"transform({a[0]}, (_x, _i) -> "
+            f"size(filter(slice({a[0]}, 1, _i + 1), _y -> _y = _x)))"
+        )
+    if name in ("randUniform", "randNormal", "randBernoulli",
+                "randExponential"):
+        slot = {
+            "randUniform": "(({0}) + rand() * (({1}) - ({0})))",
+            "randNormal": "(({0}) + randn() * ({1}))",
+            "randBernoulli": "CAST(rand() < ({0}) AS TINYINT)",
+            "randExponential": "(-ln(1.0 - rand()) / ({0}))",
+        }[name]
+        return lambda a: slot.format(*a)
+    if name == "isIPv4String":
+        return lambda a: (
+            f"({a[0]} RLIKE "
+            "'^((25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])\\\\.)"
+            "{{3}}(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])$')"
+            .replace("{{3}}", "{3}")
+        )
+    if name == "isIPv6String":
+        # full/compressed hex-group forms (::-abbreviated included)
+        return lambda a: (
+            f"({a[0]} RLIKE '^([0-9A-Fa-f]{{1,4}}:){{7}}[0-9A-Fa-f]{{1,4}}$' "
+            f"OR ({a[0]} RLIKE '^([0-9A-Fa-f]{{0,4}}:){{2,7}}(:|[0-9A-Fa-f]"
+            f"{{1,4}})$' AND {a[0]} LIKE '%::%'))"
+        )
+    if name == "replaceRegexpOne":
+        # first match only: splice around regexp_instr/extract — Spark's
+        # regexp_replace replaces every occurrence
+        def rro(a: Args) -> str:
+            s, p, r = a[0], a[1], a[2]
+            if "\\" in r:
+                raise UntranslatableFunctionError(
+                    "replaceRegexpOne with backreferences in the "
+                    "replacement: use regexp_replace (all occurrences) "
+                    "or a pandas UDF"
+                )
+            pos = f"regexp_instr({s}, {p})"
+            hit = f"regexp_extract({s}, {p}, 0)"
+            return (
+                f"CASE WHEN {pos} = 0 THEN {s} ELSE "
+                f"concat(substring({s}, 1, {pos} - 1), {r}, "
+                f"substring({s}, {pos} + length({hit}))) END"
+            )
+
+        return rro
+    if name == "extractAll":
+        # CH: all matches (whole match when the pattern has no group,
+        # group 1 when it has one). Spark's regexp_extract_all needs a
+        # group index — wrap literal group-less patterns in a group.
+        def ext_all(a: Args) -> str:
+            p = a[1].strip()
+            if p.startswith("'") and p.endswith("'") and "(" not in p:
+                return f"regexp_extract_all({a[0]}, '({p[1:-1]})', 1)"
+            return f"regexp_extract_all({a[0]}, {a[1]}, 1)"
+
+        return ext_all
     if name == "port":
         def port_fmt(a: Args) -> str:
             # scheme-prefixed URL OR scheme-less host:port — CH's

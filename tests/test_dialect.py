@@ -2005,3 +2005,76 @@ def test_scalar_with_chained_items(spark, tables):
         "FROM nation"
     ).collect()[0]
     assert row["n"] == 8 * 25
+
+
+def test_sweep_wave_arithmetic_and_random(spark):
+    """Round-5 probe-sweep wave: operator-named functions, CH float
+    division semantics, rand* distributions, gcd/lcm Euclid fold."""
+    import math
+
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT plus(1, 2) AS p, minus(5, 2) AS m, multiply(3, 4) AS x, "
+            "negate(5) AS n, max2(1, 2) AS a, min2(1, 2) AS b, "
+            "divide(10, 4) AS d, divide(1, 0) AS inf, divide(0, 0) AS nan, "
+            "gcd(12, 18) AS g, lcm(4, 6) AS l, gcd(0, 5) AS g0, "
+            "randUniform(2, 3) AS ru, randBernoulli(0.5) AS rb"
+        )
+    ).collect()[0]
+    assert (row["p"], row["m"], row["x"], row["n"]) == (3, 3, 12, -5)
+    assert (row["a"], row["b"], row["d"]) == (2, 1, 2.5)
+    assert row["inf"] == math.inf and math.isnan(row["nan"])
+    assert (row["g"], row["l"], row["g0"]) == (6, 12, 5)
+    assert 2 <= row["ru"] <= 3 and row["rb"] in (0, 1)
+
+
+def test_sweep_wave_strings_and_regex(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT substringIndex('a.b.c', '.', 2) AS si, "
+            "replaceRegexpOne('a1b2', '[0-9]', 'x') AS r1, "
+            "replaceRegexpOne('abc', '[0-9]', 'x') AS r0, "
+            "extractAll('a1b22c333', '[0-9]+') AS ea, "
+            "isIPv4String('1.2.3.4') AS v4y, isIPv4String('256.1.1.1') AS v4n, "
+            "isIPv6String('::1') AS v6y, isIPv6String('1.2.3.4') AS v6n"
+        )
+    ).collect()[0]
+    assert row["si"] == "a.b" and row["r1"] == "axb2" and row["r0"] == "abc"
+    assert list(row["ea"]) == ["1", "22", "333"]
+    assert (row["v4y"], row["v4n"], row["v6y"], row["v6n"]) == (
+        True, False, True, False,
+    )
+
+
+def test_sweep_wave_array_lambdas(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT arraySort(x -> -x, [1,3,2]) AS sd, "
+            "arrayReverseSort(x -> x, [1,3,2]) AS rs, "
+            "arrayEnumerateUniq([10,20,10,30,10]) AS eu, "
+            "roundDown(5.7, [1,3,5,7]) AS rd, roundDown(0.5, [1,3,5,7]) AS rl"
+        )
+    ).collect()[0]
+    assert list(row["sd"]) == [3, 2, 1] and list(row["rs"]) == [3, 2, 1]
+    assert list(row["eu"]) == [1, 1, 2, 1, 3]
+    assert row["rd"] == 5.0 and row["rl"] == 1.0
+
+
+def test_murmur_hashes_join_engine_hash_gate():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    with _pytest.raises(UntranslatableFunctionError, match="hash"):
+        t("SELECT murmurHash3_64('abc')")
+    out = t("SELECT murmurHash3_64('abc') AS h", allow_hash_substitution=True)
+    assert "xxhash64" in out

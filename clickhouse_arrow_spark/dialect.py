@@ -410,6 +410,30 @@ def _looks_arrayish(expr: str) -> bool:
     return bool(_ARRAYISH_HEAD_RE.match(expr))
 
 
+_LAMBDA_RE = re.compile(r"(?s)^\s*(\(([^()]*)\)|[A-Za-z_]\w*)\s*->\s*(.+)$")
+
+
+def _lambda_params(lam: str) -> str:
+    """'(k, v) -> expr' / 'x -> expr' -> the parameter list text."""
+    m = _LAMBDA_RE.match(lam)
+    if not m:
+        raise UntranslatableFunctionError(f"expected a lambda, got {lam!r}")
+    return m.group(2) if m.group(2) is not None else m.group(1)
+
+
+def _lambda_body(lam: str) -> str:
+    m = _LAMBDA_RE.match(lam)
+    if not m:
+        raise UntranslatableFunctionError(f"expected a lambda, got {lam!r}")
+    return m.group(3)
+
+
+def _subst_idents(expr: str, subs: dict) -> str:
+    for name, repl in subs.items():
+        expr = re.sub(rf"\b{re.escape(name)}\b", repl, expr)
+    return expr
+
+
 def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "toYYYYMM":
         return lambda a: f"CAST(year({a[0]}) * 100 + month({a[0]}) AS INT)"
@@ -1337,6 +1361,60 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"regexp_extract_all({a[0]}, {a[1]}, 1)"
 
         return ext_all
+    if name in ("formatDateTimeInJodaSyntax", "parseDateTimeInJodaSyntax"):
+        # Joda patterns ARE Spark's native Java datetime patterns
+        if name.startswith("format"):
+            return lambda a: f"date_format({a[0]}, {a[1]})"
+        return lambda a: f"to_timestamp({a[0]}, {a[1]})"
+    if name in ("parseDateTimeInJodaSyntaxOrNull",):
+        return lambda a: f"try_to_timestamp({a[0]}, {a[1]})"
+    if name == "toUUID":
+        return lambda a: f"lower({a[0]})"
+    if name in ("toInt128", "toInt256", "toUInt128", "toUInt256"):
+        return _fmt_cast("DECIMAL(38, 0)")
+    if name == "encodeURLComponent":
+        # CH renders space as %20 (url_encode gives form-style '+')
+        return lambda a: f"replace(url_encode({a[0]}), '+', '%20')"
+    if name == "decodeURLComponent":
+        # CH decodes %XX only; a literal '+' stays '+' (url_decode
+        # would turn it into a space) — shield it first
+        return lambda a: f"url_decode(replace({a[0]}, '+', '%2B'))"
+    if name == "extractURLParameters":
+        return lambda a: (
+            f"filter(split(coalesce(parse_url({a[0]}, 'QUERY'), ''), '&'), "
+            f"_p -> _p != '')"
+        )
+    if name == "extractURLParameterNames":
+        return lambda a: (
+            f"transform(filter(split(coalesce(parse_url({a[0]}, 'QUERY'), "
+            f"''), '&'), _p -> _p != ''), _p -> split_part(_p, '=', 1))"
+        )
+    if name == "pathFull":
+        return lambda a: (
+            f"concat(coalesce(parse_url({a[0]}, 'PATH'), ''), "
+            f"IF(parse_url({a[0]}, 'QUERY') IS NULL, '', "
+            f"concat('?', parse_url({a[0]}, 'QUERY'))))"
+        )
+    if name == "cutWWW":
+        return lambda a: (
+            f"regexp_replace({a[0]}, '^([a-zA-Z]+://)?www\\\\.', '$1')"
+        )
+    if name == "untuple":
+        # CH expands the tuple into its fields; Spark can't star-expand
+        # an arbitrary struct EXPRESSION, but the inline() generator can
+        return lambda a: f"inline(array({a[0]}))"
+    if name == "rankCorr":
+        raise UntranslatableFunctionError(
+            "rankCorr() needs a query-shape rewrite, not a function "
+            "rename; use the DataFrame API: corr over rank() windows — "
+            "SELECT corr(ra, rb) FROM (SELECT rank() OVER (ORDER BY a) "
+            "AS ra, rank() OVER (ORDER BY b) AS rb FROM t)"
+        )
+    if name == "uptime":
+        raise UntranslatableFunctionError(
+            "uptime() (server uptime) has no JVM-expression analogue; "
+            "read spark.sparkContext.startTime from the driver"
+        )
     if name == "port":
         def port_fmt(a: Args) -> str:
             # scheme-prefixed URL OR scheme-less host:port — CH's
@@ -2190,6 +2268,45 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "mapFilter":
         return lambda a: f"map_filter({a[1]}, {a[0]})"  # CH puts f first
+    if name == "mapConcat":
+        return lambda a: f"map_concat({', '.join(a)})"
+    if name == "mapAll":
+        return lambda a: (
+            f"(size(map_filter({a[1]}, ({_lambda_params(a[0])}) -> "
+            f"NOT ({_lambda_body(a[0])}))) = 0)"
+        )
+    if name == "mapSort":
+        # Spark maps are unordered in equality but entries keep build
+        # order — rebuild from key-sorted entries (CH mapSort contract)
+        return lambda a: (
+            f"map_from_entries(array_sort(map_entries({a[0]}), "
+            f"(_l, _r) -> CASE WHEN _l.key < _r.key THEN -1 "
+            f"WHEN _l.key > _r.key THEN 1 ELSE 0 END))"
+        )
+    if name == "mapApply":
+        # CH lambda returns a (k, v) pair; route through entries
+        def map_apply(a: Args) -> str:
+            params = _lambda_params(a[0])
+            body = _lambda_body(a[0]).strip()
+            if body.startswith("(") and body.endswith(")"):
+                kv = _split_top_args(body[1:-1])
+                if len(kv) == 2:
+                    names = [p.strip() for p in params.split(",")]
+                    subs = {names[0]: "_e.key", names[1]: "_e.value"}
+                    k2, v2 = (
+                        _subst_idents(kv[0], subs),
+                        _subst_idents(kv[1], subs),
+                    )
+                    return (
+                        f"map_from_entries(transform(map_entries({a[1]}), "
+                        f"_e -> struct({k2} AS key, {v2} AS value)))"
+                    )
+            raise UntranslatableFunctionError(
+                "mapApply: the lambda must return a (k, v) tuple literal; "
+                "use transform_keys/transform_values for single-side maps"
+            )
+
+        return map_apply
     if name == "mapExists":
         return lambda a: f"(size(map_filter({a[1]}, {a[0]})) > 0)"
     if name == "mapUpdate":
@@ -2395,6 +2512,19 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # CH (value, weight); Spark percentile's third arg is a frequency
     "quantileExactWeighted": lambda p, a: (
         f"percentile({a[0]}, {p[0]}, {a[1]})"
+    ),
+    "quantileInterpolatedWeighted": lambda p, a: (
+        f"percentile({a[0]}, {p[0]}, {a[1]})"
+    ),
+    "quantilesExactWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), {a[1]})"
+    ),
+    "quantilesInterpolatedWeighted": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}), {a[1]})"
+    ),
+    # random k per group; CH's pick is seeded-arbitrary, shuffle() too
+    "groupArraySample": lambda p, a: (
+        f"slice(shuffle(collect_list({a[0]})), 1, {p[0]})"
     ),
     # timing/deterministic variants: same statistic, different CH
     # internal representation — exact percentile is a value superset
@@ -3518,6 +3648,55 @@ def _rewrite_in_frame(sql: str) -> str:
         sql = f"{sql[: k + 1]}{body[: fm.start()]}{sql[wclose:]}"
 
 
+_NUMBERS_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN)\s+numbers(_mt)?\s*\(")
+_EMPTY_OVER_RE = re.compile(
+    r"(?i)\b(row_number|rank|dense_rank|ntile\s*\(\s*\d+\s*\))\s*"
+    r"(\(\s*\)\s*)?OVER\s*\(\s*\)"
+)
+
+
+def _rewrite_numbers_tvf(sql: str) -> str:
+    """ClickHouse's `numbers(n)` / `numbers(offset, n)` table function
+    -> Spark's `range()` TVF wrapped to expose the `number` column.
+    (`system.numbers` as a TABLE is handled catalog-side.)"""
+    while True:
+        m = _find_clean(_NUMBERS_TVF_RE, sql, depth0=False)
+        if not m:
+            return sql
+        close = _find_matching_paren(sql, m.end() - 1)
+        if close == -1:
+            return sql
+        args = _split_top_args(sql[m.end() : close])
+        if len(args) == 1:
+            sub = f"(SELECT id AS number FROM __cas_range__({args[0]}))"
+        elif len(args) == 2:
+            sub = (
+                f"(SELECT id AS number FROM __cas_range__({args[0]}, "
+                f"({args[0]}) + ({args[1]})))"
+            )
+        else:
+            raise UntranslatableFunctionError(
+                "numbers() takes 1 or 2 arguments (the stepped 3-arg "
+                "form: use range(start, end, step) directly)"
+            )
+        sql = f"{sql[: m.start()]}{m.group(1)} {sub}{sql[close + 1:]}"
+
+
+def _rewrite_empty_over(sql: str) -> str:
+    """Ranking functions with an EMPTY `OVER ()` (legal in ClickHouse —
+    arbitrary order) get an arbitrary-but-valid Spark ordering."""
+    while True:
+        m = _find_clean(_EMPTY_OVER_RE, sql, depth0=False)
+        if not m:
+            return sql
+        fn = m.group(1)
+        call = fn if "(" in fn else f"{fn}()"
+        sql = (
+            f"{sql[: m.start()]}{call} OVER "
+            f"(ORDER BY monotonically_increasing_id()){sql[m.end():]}"
+        )
+
+
 _TOP_RE = re.compile(r"(?i)\bSELECT\s+TOP\s+(\d+)\b")
 
 
@@ -3871,6 +4050,8 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     # PREWHERE folds into WHERE BEFORE alias inlining so select-list
     # aliases resolve inside it too (CH allows them there)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_numbers_tvf(sql)
+    sql = _rewrite_empty_over(sql)
     sql = _rewrite_in_frame(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_with_totals(sql)
@@ -3988,7 +4169,9 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
         else:
             expr, i = subscripts(name, j, allow_space=False)
             out.append(expr)
-    return "".join(out)
+    # restore Spark-native range() TVFs planted by the numbers() rewrite
+    # (the walk would have mistaken `range(` for CH's array range())
+    return "".join(out).replace("__cas_range__(", "range(")
 
 
 # -- ORDER BY ... WITH FILL extraction (executed by Client.query_ch via

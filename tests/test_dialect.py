@@ -1103,9 +1103,11 @@ def test_third_wave_refusals():
         ("base58Encode('x')", "base64"),
         ("normalizeUTF8NFC('x')", "pandas UDF"),
         ("wordShingleSimHash('x')", "simhash"),
-        ("mapApply((k, v) -> (k, v), m)", "transform_keys"),
         ("hilbertEncode(1, 2)", "zorder"),
-        ("untuple(t)", "subquery"),
+        # mapApply/untuple graduated from refusals to real translations
+        # in round 5 (see test_sweep_wave2_*); the lambda-shape guard
+        # still refuses non-tuple-returning mapApply lambdas:
+        ("mapApply((k, v) -> v, m)", "transform_keys|tuple"),
         ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "stats"),
         ("nonNegativeDerivative(m, t)", "lag"),
     ]:
@@ -2078,3 +2080,58 @@ def test_murmur_hashes_join_engine_hash_gate():
         t("SELECT murmurHash3_64('abc')")
     out = t("SELECT murmurHash3_64('abc') AS h", allow_hash_substitution=True)
     assert "xxhash64" in out
+
+
+def test_sweep_wave2_numbers_tvf_and_parametrics(spark):
+    """Round-5 sweep wave 2: numbers() TVF, empty OVER(), weighted
+    quantiles, groupArraySample, untuple, map family, Joda syntax."""
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    assert [r["n"] for r in c.query_ch(
+        "SELECT number * 2 AS n FROM numbers(3) ORDER BY n"
+    ).collect()] == [0, 2, 4]
+    assert [r["number"] for r in c.query_ch(
+        "SELECT number FROM numbers(2, 3) ORDER BY number"
+    ).collect()] == [2, 3, 4]
+    assert sorted(
+        r["r"] for r in c.query_ch(
+            "SELECT row_number() OVER () AS r FROM numbers(3)"
+        ).collect()
+    ) == [1, 2, 3]
+    row = c.query_ch(
+        "SELECT quantileExactWeighted(0.5)(number, 1) AS q, "
+        "quantilesExactWeighted(0.25, 0.75)(number, 1) AS qs, "
+        "size(groupArraySample(4)(number)) AS gs FROM numbers(11)"
+    ).collect()[0]
+    assert row["q"] == 5.0 and list(row["qs"]) == [2.5, 7.5] and row["gs"] == 4
+    # CH's array range() is untouched by the TVF rewrite
+    assert list(c.query_ch("SELECT range(3) AS r").collect()[0]["r"]) == [0, 1, 2]
+    row = c.query_ch("SELECT untuple(tuple(7, 'x')) FROM system.one").collect()[0]
+    assert (row["col1"], row["col2"]) == (7, "x")
+
+
+def test_sweep_wave2_maps_urls_joda(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT mapConcat(map('a',1), map('b',2)) AS mc, "
+            "mapAll((k, v) -> v > 0, map('a',1)) AS ma, "
+            "mapSort(map('b',2,'a',1)) AS ms, "
+            "mapApply((k, v) -> (k, v * 2), map('a',3)) AS mp, "
+            "formatDateTimeInJodaSyntax(toDate('2024-08-14'), 'yyyy/MM/dd') AS f, "
+            "encodeURLComponent('a b') AS eu, "
+            "decodeURLComponent('a%20b+c') AS du, "
+            "extractURLParameterNames('http://x.com/?a=1&b=2') AS pn, "
+            "pathFull('http://x.com/a/b?c=1') AS pf, "
+            "cutWWW('https://www.a.b/z') AS cw, "
+            "toUUID('AB-CD') AS uu"
+        )
+    ).collect()[0]
+    assert dict(row["mc"]) == {"a": 1, "b": 2} and row["ma"] is True
+    assert list(row["ms"].keys()) == ["a", "b"] and dict(row["mp"]) == {"a": 6}
+    assert row["f"] == "2024/08/14"
+    assert row["eu"] == "a%20b" and row["du"] == "a b+c"
+    assert list(row["pn"]) == ["a", "b"] and row["pf"] == "/a/b?c=1"
+    assert row["cw"] == "https://a.b/z" and row["uu"] == "ab-cd"

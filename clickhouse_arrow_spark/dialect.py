@@ -434,6 +434,22 @@ def _subst_idents(expr: str, subs: dict) -> str:
     return expr
 
 
+def _tuple_literal_elems(text: str):
+    """Elements of a tuple literal — `(a, b)` or `struct(a, b)` (the
+    translated form of `tuple(a, b)`) — or None if not one."""
+    t = text.strip()
+    if t.startswith("struct(") and t.endswith(")"):
+        inner = t[7:-1]
+    elif t.startswith("(") and t.endswith(")"):
+        if _find_matching_paren(t, 0) != len(t) - 1:
+            return None
+        inner = t[1:-1]
+    else:
+        return None
+    elems = [e.strip() for e in _split_top_args(inner)]
+    return elems if all(elems) else None
+
+
 def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "toYYYYMM":
         return lambda a: f"CAST(year({a[0]}) * 100 + month({a[0]}) AS INT)"
@@ -1403,6 +1419,124 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # CH expands the tuple into its fields; Spark can't star-expand
         # an arbitrary struct EXPRESSION, but the inline() generator can
         return lambda a: f"inline(array({a[0]}))"
+    if name in ("tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
+                "tupleNegate", "tupleMultiplyByNumber",
+                "tupleDivideByNumber", "tupleHammingDistance",
+                "dotProduct"):
+        def tuple_math(a: Args, _name=name) -> str:
+            e1 = _tuple_literal_elems(a[0])
+            if _name == "dotProduct" and e1 is None:
+                # array form: the vector-wave zip_with fold
+                return (
+                    f"aggregate(zip_with({a[0]}, {a[1]}, "
+                    f"(_l, _r) -> CAST(_l AS DOUBLE) * _r), "
+                    f"CAST(0 AS DOUBLE), (_acc, _v) -> _acc + _v)"
+                )
+            if e1 is None:
+                raise UntranslatableFunctionError(
+                    f"{_name} on a non-literal tuple: struct field names "
+                    "are not knowable textually — use the DataFrame API "
+                    "over the struct's fields"
+                )
+            if _name in ("tupleNegate",):
+                items = ", ".join(f"(-({x})) AS col{i + 1}"
+                                  for i, x in enumerate(e1))
+                return f"struct({items})"
+            if _name in ("tupleMultiplyByNumber", "tupleDivideByNumber"):
+                op = "*" if "Multiply" in _name else "/"
+                items = ", ".join(
+                    f"(({x}) {op} ({a[1]})) AS col{i + 1}"
+                    for i, x in enumerate(e1)
+                )
+                return f"struct({items})"
+            e2 = _tuple_literal_elems(a[1])
+            if e2 is None or len(e1) != len(e2):
+                raise UntranslatableFunctionError(
+                    f"{_name}: both arguments must be tuple literals of "
+                    "equal size"
+                )
+            if _name == "tupleHammingDistance":
+                return "(" + " + ".join(
+                    f"CAST(({x}) != ({y}) AS INT)" for x, y in zip(e1, e2)
+                ) + ")"
+            if _name == "dotProduct":
+                return "(" + " + ".join(
+                    f"(({x}) * ({y}))" for x, y in zip(e1, e2)
+                ) + ")"
+            op = {"tuplePlus": "+", "tupleMinus": "-",
+                  "tupleMultiply": "*", "tupleDivide": "/"}[_name]
+            items = ", ".join(
+                f"(({x}) {op} ({y})) AS col{i + 1}"
+                for i, (x, y) in enumerate(zip(e1, e2))
+            )
+            return f"struct({items})"
+
+        return tuple_math
+    if name == "pointInPolygon":
+        # even-odd ray casting as one aggregate() fold (the SQL twin of
+        # functions/ch_functions.point_in_polygon); both args must be
+        # literals in the SQL form — columns go through the Python API
+        def pip_fmt(a: Args) -> str:
+            pt = _tuple_literal_elems(a[0])
+            if pt is None or len(pt) != 2:
+                raise UntranslatableFunctionError(
+                    "pointInPolygon: the point must be an (x, y) tuple "
+                    "literal in SQL; for columns use "
+                    "functions.ch_functions.point_in_polygon"
+                )
+            verts = _split_top_args(a[1][6:-1]) if a[1].strip().startswith(
+                "array("
+            ) else None
+            if not verts:
+                raise UntranslatableFunctionError(
+                    "pointInPolygon: the polygon must be a literal array "
+                    "of (x, y) tuples in SQL; for columns use "
+                    "functions.ch_functions.point_in_polygon"
+                )
+            vs = []
+            for v in verts:
+                e = _tuple_literal_elems(v)
+                if e is None or len(e) != 2:
+                    raise UntranslatableFunctionError(
+                        "pointInPolygon: every vertex must be an (x, y) "
+                        "tuple literal"
+                    )
+                vs.append(
+                    f"named_struct('x', CAST({e[0]} AS DOUBLE), "
+                    f"'y', CAST({e[1]} AS DOUBLE))"
+                )
+            arr = f"array({', '.join(vs)})"
+            px = f"CAST({pt[0]} AS DOUBLE)"
+            py = f"CAST({pt[1]} AS DOUBLE)"
+            return (
+                f"aggregate({arr}, "
+                f"named_struct('inside', false, "
+                f"'px', element_at({arr}, -1).x, "
+                f"'py', element_at({arr}, -1).y), "
+                f"(_acc, _v) -> named_struct("
+                f"'inside', IF(((_v.y > {py}) != (_acc.py > {py})) AND "
+                f"({px} < (_acc.px - _v.x) * ({py} - _v.y) / "
+                f"nullif(_acc.py - _v.y, CAST(0 AS DOUBLE)) + _v.x), "
+                f"NOT _acc.inside, _acc.inside), "
+                f"'px', _v.x, 'py', _v.y), "
+                f"_acc -> CAST(_acc.inside AS TINYINT))"
+            )
+
+        return pip_fmt
+    if name in ("bitSlice", "addTupleOfIntervals", "subtractTupleOfIntervals"):
+        raise UntranslatableFunctionError(
+            f"{name}(): no single-expression Spark analogue — "
+            + (
+                "slice bits via shiftright/shiftleft + conv()"
+                if name == "bitSlice"
+                else "chain the intervals: d + INTERVAL a + INTERVAL b"
+            )
+        )
+    if name.startswith("h3") or name.startswith("geoToH3"):
+        raise UntranslatableFunctionError(
+            f"{name}(): H3 indexing needs the h3 library, which is not "
+            "bundled; geohashEncode/Decode cover grid bucketing here"
+        )
     if name == "rankCorr":
         raise UntranslatableFunctionError(
             "rankCorr() needs a query-shape rewrite, not a function "
@@ -1642,7 +1776,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             if len(a) == 2:
                 t = a[1].strip()
                 if t.startswith("'") and t.endswith("'"):
-                    return f"CAST({a[0]} AS {map_type(t[1:-1])})"
+                    target = map_type(t[1:-1])
+                    # CH parses string literals into complex types —
+                    # Spark's CAST can't; from_json can
+                    x = a[0].strip()
+                    if (
+                        x.startswith("'")
+                        and target.split("<")[0] in ("array", "map", "struct")
+                    ):
+                        return f"from_json({a[0]}, '{target}')"
+                    return f"CAST({a[0]} AS {target})"
                 return f"CAST({', '.join(a)})"
             parts = _split_depth0(_AS_SPLIT_RE, a[0])
             if len(parts) < 2:

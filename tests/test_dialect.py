@@ -2135,3 +2135,49 @@ def test_sweep_wave2_maps_urls_joda(spark):
     assert row["eu"] == "a%20b" and row["du"] == "a b+c"
     assert list(row["pn"]) == ["a", "b"] and row["pf"] == "/a/b?c=1"
     assert row["cw"] == "https://a.b/z" and row["uu"] == "ab-cd"
+
+
+def test_sweep_wave3_tuple_math_and_point_in_polygon(spark):
+    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
+
+    row = spark.sql(
+        t(
+            "SELECT tuplePlus((1, 2), (3, 4)) AS tp, "
+            "tupleMinus((5, 6), (1, 2)) AS tm, "
+            "tupleMultiplyByNumber((1, 2), 3) AS tn, "
+            "tupleNegate(tuple(1, 2)) AS tg, "
+            "tupleHammingDistance(tuple(1, 2), tuple(1, 3)) AS hd, "
+            "dotProduct((1, 2), (3, 4)) AS dt, "
+            "dotProduct([1.0, 2.0], [3.0, 4.0]) AS da, "
+            "CAST('[1,2,3]', 'Array(Int64)') AS ca, "
+            "pointInPolygon((3., 3.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS pin, "
+            "pointInPolygon((100., 100.), [(6, 0), (8, 4), (5, 8), (0, 2)]) AS pout"
+        )
+    ).collect()[0]
+    assert (row["tp"]["col1"], row["tp"]["col2"]) == (4, 6)
+    assert (row["tm"]["col1"], row["tm"]["col2"]) == (4, 4)
+    assert (row["tn"]["col1"], row["tn"]["col2"]) == (3, 6)
+    assert (row["tg"]["col1"], row["tg"]["col2"]) == (-1, -2)
+    assert row["hd"] == 1 and row["dt"] == 11 and row["da"] == 11.0
+    assert list(row["ca"]) == [1, 2, 3]
+    assert row["pin"] == 1 and row["pout"] == 0
+
+
+def test_sweep_wave3_refusals():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    for fn, hint in [
+        ("tuplePlus(a, b)", "non-literal tuple"),
+        ("bitSlice('x', 1, 8)", "shiftright"),
+        ("addTupleOfIntervals(d, (INTERVAL 1 DAY, INTERVAL 1 MONTH))", "chain"),
+        ("h3ToGeo(5)", "h3 library"),
+        ("rankCorr(a, b)", "rank"),
+        ("uptime()", "startTime"),
+    ]:
+        with _pytest.raises(UntranslatableFunctionError, match=hint):
+            t(f"SELECT {fn}")

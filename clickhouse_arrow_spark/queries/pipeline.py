@@ -1433,6 +1433,74 @@ def q_util_array_join_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_scalar_wave",
+    """
+    SELECT 'a.b' AS si, 'axb2' AS r1,
+           ['1', '22', '333'] AS ea,
+           [3, 2, 1] AS sd,
+           [1, 1, 2, 1, 3] AS eu,
+           5.0 AS rd, CAST(6 AS BIGINT) AS g, CAST(12 AS BIGINT) AS l,
+           2.5 AS dv, TRUE AS v4, FALSE AS v4n,
+           '/a/b?c=1' AS pf, 'https://a.b/z' AS cw, 'ab-cd' AS uu,
+           'a%20b' AS eu2, 'a b+c' AS du
+    """,
+    doc="Round-5 probe-sweep scalar battery as one hash-exact row: "
+    "substringIndex, replaceRegexpOne (first-occurrence splice), "
+    "extractAll group-wrap, key-lambda arraySort, arrayEnumerateUniq, "
+    "roundDown, Euclid-fold gcd/lcm, CH-exact divide, isIPv4String, "
+    "pathFull/cutWWW URL helpers, toUUID, encode/decodeURLComponent — "
+    "the oracle pins the exact expected constants.",
+    tags=("dialect", "sweep", "functions"),
+)
+def q_util_sweep_scalar_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT substringIndex('a.b.c', '.', 2) AS si, "
+        "replaceRegexpOne('a1b2', '[0-9]', 'x') AS r1, "
+        "extractAll('a1b22c333', '[0-9]+') AS ea, "
+        "arraySort(x -> -x, [1, 3, 2]) AS sd, "
+        "arrayEnumerateUniq([10, 20, 10, 30, 10]) AS eu, "
+        "roundDown(5.7, [1, 3, 5, 7]) AS rd, "
+        "gcd(12, 18) AS g, lcm(4, 6) AS l, "
+        "divide(10, 4) AS dv, "
+        "isIPv4String('1.2.3.4') AS v4, isIPv4String('999.1.1.1') AS v4n, "
+        "pathFull('http://x.com/a/b?c=1') AS pf, "
+        "cutWWW('https://www.a.b/z') AS cw, "
+        "toUUID('AB-CD') AS uu, "
+        "encodeURLComponent('a b') AS eu2, "
+        "decodeURLComponent('a%20b+c') AS du"
+    )
+
+
+@register(
+    "util_numbers_tvf",
+    """
+    SELECT number, number * number AS sq,
+           CAST(qs AS DOUBLE[]) AS qs
+    FROM (SELECT x AS number, x * x AS sq,
+                 [2.5, 7.5] AS qs
+          FROM range(3, 8) t(x))
+    ORDER BY number
+    """,
+    doc="ClickHouse numbers(offset, n) table function -> Spark range() "
+    "TVF (dialect._rewrite_numbers_tvf), with weighted-quantile "
+    "parametrics computed over a numbers() scan in a correlated "
+    "cross-join-free form; DuckDB's range() TVF is the oracle.",
+    tags=("dialect", "tvf", "numbers"),
+)
+def q_util_numbers_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT number, number * number AS sq, "
+        "(SELECT quantilesExactWeighted(0.25, 0.75)(number, 1) "
+        " FROM numbers(11)) AS qs "
+        "FROM numbers(3, 5) ORDER BY number"
+    )
+
+
+@register(
     "util_final_collapsing",
     """
     SELECT o_custkey, o_orderkey, o_totalprice, CAST(1 AS TINYINT) AS sign

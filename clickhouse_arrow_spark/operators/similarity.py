@@ -591,3 +591,70 @@ def semantic_dedup(
     )
     dropped = pairs.select(F.col("b_id").alias(corpus_id)).distinct()
     return corpus.select(corpus_id).join(dropped, corpus_id, "left_anti")
+
+
+def kcenter_sample(
+    df: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> list:
+    """Greedy k-center (farthest-point) diversity sampling — the
+    coreset selector (Sener & Savarese 2018) training-data pipelines
+    use to pick a maximally spread subset of an embedding corpus.
+
+    Deterministic: seeds with the smallest id, then repeatedly adds the
+    point with the LARGEST distance to its nearest selected center
+    (ties -> smallest id). Returns the k selected ids, in pick order.
+
+    Scale: k driver-held centers (bounded — k is the sample size, not
+    the data size), ONE aggregation job per pick; each job is a single
+    max(struct(dist, ...)) over the corpus with the current centers
+    broadcast as literals. No per-row Python, no all-pairs term: total
+    work is k full scans, the canonical distributed form of a greedy
+    algorithm whose picks are inherently sequential. Cache `df` before
+    calling when it is not already a fast-scan source.
+    """
+    if k <= 0:
+        return []
+    first = (
+        df.select(id_col, vec_col)
+        .orderBy(id_col)
+        .limit(1)
+        .collect()
+    )
+    if not first:
+        return []
+    centers = [(first[0][id_col], list(first[0][vec_col]))]
+    base = df.select(id_col, F.col(vec_col).cast("array<double>").alias("_v"))
+    while len(centers) < k:
+        dists = [
+            F.sqrt(
+                F.aggregate(
+                    F.zip_with(
+                        F.col("_v"),
+                        F.array(*[F.lit(float(x)) for x in vec]),
+                        lambda a, b: (a - b) * (a - b),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+            )
+            for _, vec in centers
+        ]
+        min_dist = dists[0] if len(dists) == 1 else F.least(*dists)
+        # argmax via an ordered struct: (dist DESC, id ASC) -> negate id
+        pick = (
+            base.select(
+                F.max(
+                    F.struct(
+                        min_dist.alias("d"),
+                        (-F.col(id_col)).alias("neg_id"),
+                        F.col("_v").alias("v"),
+                    )
+                ).alias("m")
+            )
+            .collect()[0]["m"]
+        )
+        centers.append((-pick["neg_id"], list(pick["v"])))
+    return [c[0] for c in centers]

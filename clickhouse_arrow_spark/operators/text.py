@@ -676,3 +676,98 @@ def span_dedup(
             ).alias("kept"),
         )
     )
+
+
+def gopher_quality_filter(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Gopher quality rules (Rae et al. 2021, §A1.1 — the published
+    heuristic battery most open-data pipelines reuse) as ONE projection:
+
+    - word count in [50, 100_000]
+    - mean word length in [3, 10]
+    - symbol-to-word ratio (# and ...) <= 0.1
+    - < 90% of lines start with a bullet, < 30% end with an ellipsis
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 of the 8 required English stop words present
+
+    Returns the per-rule booleans plus the conjunction (`keep`) so a
+    pipeline can both filter and audit which rule fired. Pure built-in
+    expressions — codegen end-to-end, exact DuckDB oracle.
+    """
+    t = F.col(text_col)
+    words = F.split(F.trim(t), r"\s+")
+    wc = F.size(words).cast("double")
+    wc_safe = F.greatest(wc, F.lit(1.0))
+    nonspace = F.length(F.regexp_replace(t, r"\s+", "")).cast("double")
+    mean_wl = nonspace / wc_safe
+    hashes = (
+        F.length(t) - F.length(F.regexp_replace(t, r"#", ""))
+    ).cast("double")
+    ellipses = (
+        (F.length(t) - F.length(F.replace(t, F.lit("..."), F.lit("")))) / 3
+    ).cast("double")
+    sym_ratio = (hashes + ellipses) / wc_safe
+    lines = F.split(t, r"\n")
+    nl = F.greatest(F.size(lines), F.lit(1)).cast("double")
+    bullet_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"^\s*[-*•]"))) / nl
+    )
+    ellipsis_frac = (
+        F.size(F.filter(lines, lambda x: x.rlike(r"\.\.\.\s*$"))) / nl
+    )
+    alpha_frac = (
+        F.size(F.filter(words, lambda w: w.rlike("[A-Za-z]"))) / wc_safe
+    )
+    low = F.lower(t)
+    stop_hits = sum(
+        F.when(low.rlike(rf"\b{w}\b"), 1).otherwise(0)
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+    rules = {
+        "wc_ok": (wc >= 50) & (wc <= 100_000),
+        "word_len_ok": (mean_wl >= 3) & (mean_wl <= 10),
+        "symbol_ok": sym_ratio <= 0.1,
+        "bullet_ok": bullet_frac < 0.9,
+        "ellipsis_ok": ellipsis_frac < 0.3,
+        "alpha_ok": alpha_frac >= 0.8,
+        "stopword_ok": stop_hits >= 2,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return df.select(
+        F.col(id_col),
+        wc.cast("int").alias("word_count"),
+        F.round(mean_wl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_word_frac"),
+        stop_hits.cast("int").alias("stop_hits"),
+        *[v.alias(k) for k, v in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+def epoch_shuffle(
+    df: DataFrame,
+    seed: int,
+    id_col: str = "doc_id",
+    fast: bool = False,
+) -> DataFrame:
+    """Deterministic global shuffle for one training epoch: order the
+    corpus by a keyed hash of (id, seed). Same seed -> same permutation
+    on any cluster size; a new seed is a fresh permutation.
+
+    Scale: the sort is Spark's ordinary range-partitioned global sort —
+    no single-task collapse; a training writer consumes the sorted
+    iterator per partition. `fast=True` keys on xxhash64 (cheaper,
+    Spark-specific); the default md5 key is cross-engine reproducible
+    (the DuckDB oracle recomputes it bit-for-bit).
+    """
+    sk = (
+        F.xxhash64(F.col(id_col), F.lit(seed))
+        if fast
+        else F.md5(F.concat_ws(":", F.col(id_col).cast("string"),
+                               F.lit(str(seed))))
+    )
+    return df.withColumn("shuffle_key", sk).orderBy("shuffle_key", id_col)

@@ -1433,6 +1433,147 @@ def q_util_array_join_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_gopher_filter",
+    """
+    WITH p AS (
+      SELECT doc_id,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+             length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+             length(text) - length(replace(text, '#', '')) AS hashes,
+             (length(text) - length(replace(text, '...', ''))) / 3 AS ells,
+             regexp_split_to_array(trim(text), '\\s+') AS words,
+             string_split(text, chr(10)) AS lines,
+             lower(text) AS low
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(wc AS INT) AS word_count,
+           round(nonspace / greatest(wc, 1), 6) AS mean_word_len,
+           round((hashes + ells) / greatest(wc, 1), 6) AS symbol_ratio,
+           round(len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                 / greatest(wc, 1), 6) AS alpha_word_frac,
+           CAST(
+             CASE WHEN regexp_matches(low, '\\bthe\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bbe\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bto\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bof\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\band\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bthat\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bhave\\b') THEN 1 ELSE 0 END +
+             CASE WHEN regexp_matches(low, '\\bwith\\b') THEN 1 ELSE 0 END
+           AS INT) AS stop_hits,
+           wc >= 50 AND wc <= 100000 AS wc_ok,
+           nonspace / greatest(wc, 1) >= 3
+             AND nonspace / greatest(wc, 1) <= 10 AS word_len_ok,
+           (hashes + ells) / greatest(wc, 1) <= 0.1 AS symbol_ok,
+           len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+             / greatest(len(lines), 1) < 0.9 AS bullet_ok,
+           len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$')))
+             / greatest(len(lines), 1) < 0.3 AS ellipsis_ok,
+           len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+             / greatest(wc, 1) >= 0.8 AS alpha_ok,
+           (CASE WHEN regexp_matches(low, '\\bthe\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bbe\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bto\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bof\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\band\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bthat\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bhave\\b') THEN 1 ELSE 0 END +
+            CASE WHEN regexp_matches(low, '\\bwith\\b') THEN 1 ELSE 0 END)
+             >= 2 AS stopword_ok,
+           (wc >= 50 AND wc <= 100000)
+             AND (nonspace / greatest(wc, 1) >= 3
+                  AND nonspace / greatest(wc, 1) <= 10)
+             AND ((hashes + ells) / greatest(wc, 1) <= 0.1)
+             AND (len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+                  / greatest(len(lines), 1) < 0.9)
+             AND (len(list_filter(lines,
+                       x -> regexp_matches(x, '\\.\\.\\.\\s*$')))
+                  / greatest(len(lines), 1) < 0.3)
+             AND (len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+                  / greatest(wc, 1) >= 0.8)
+             AND ((CASE WHEN regexp_matches(low, '\\bthe\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bbe\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bto\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bof\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\band\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bthat\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bhave\\b') THEN 1 ELSE 0 END +
+                   CASE WHEN regexp_matches(low, '\\bwith\\b') THEN 1 ELSE 0 END)
+                  >= 2) AS keep
+    FROM p ORDER BY doc_id
+    """,
+    doc="Gopher quality rules (Rae et al. 2021 §A1.1) over the document "
+    "corpus in ONE projection (operators/text.gopher_quality_filter): "
+    "word count / mean word length / symbol ratio / bullet and "
+    "ellipsis line fractions / alphabetic-word fraction / required "
+    "stop words, each surfaced as an auditable boolean plus the "
+    "conjunction — the oracle recomputes every rule in DuckDB.",
+    tags=("documents", "quality", "gopher", "pipeline"),
+)
+def q_doc_gopher_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.text import gopher_quality_filter
+
+    return gopher_quality_filter(spark.table("documents")).orderBy("doc_id")
+
+
+@register(
+    "doc_epoch_shuffle",
+    """
+    SELECT doc_id, md5(concat(doc_id, ':', '7')) AS shuffle_key
+    FROM documents ORDER BY shuffle_key, doc_id LIMIT 100
+    """,
+    doc="Deterministic epoch shuffle (operators/text.epoch_shuffle): "
+    "global order by md5(id:seed) — same seed, same permutation, on "
+    "any cluster size; the sort is a range-partitioned global sort "
+    "(no single-task collapse). First 100 positions pinned bit-exact "
+    "against DuckDB's md5.",
+    tags=("documents", "shuffle", "pipeline"),
+)
+def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.text import epoch_shuffle
+
+    return epoch_shuffle(
+        spark.table("documents").select("doc_id"), seed=7
+    ).limit(100)
+
+
+@register(
+    "sample_kcenter_gate",
+    """
+    SELECT TRUE AS k_rows, TRUE AS distinct_ids, TRUE AS deterministic,
+           TRUE AS seeded_min_id
+    """,
+    doc="Greedy k-center diversity sampling gate "
+    "(operators/similarity.kcenter_sample): exactly k selected ids, "
+    "all distinct, two runs pick the identical set (deterministic "
+    "argmax with id tie-break), and the seed is the smallest id. One "
+    "bounded aggregation job per pick — k scans total, never "
+    "all-pairs.",
+    tags=("similarity", "sampling", "coreset", "gate"),
+)
+def q_sample_kcenter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.similarity import kcenter_sample
+
+    emb = spark.table("embeddings")
+    ids = kcenter_sample(emb, 8)
+    ids2 = kcenter_sample(emb, 8)
+    min_id = emb.agg(F.min("vec_id")).collect()[0][0]
+    return spark.createDataFrame(
+        [
+            (
+                len(ids) == 8,
+                len(set(ids)) == 8,
+                ids == ids2,
+                bool(ids and ids[0] == min_id),
+            )
+        ],
+        "k_rows boolean, distinct_ids boolean, deterministic boolean, "
+        "seeded_min_id boolean",
+    )
+
+
+@register(
     "util_sweep_scalar_wave",
     """
     SELECT 'a.b' AS si, 'axb2' AS r1,

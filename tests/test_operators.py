@@ -1289,3 +1289,60 @@ def test_span_dedup_empty_docs_contribute_no_spans(spark):
     assert sorted((r["doc_id"], r["span_pos"]) for r in rows) == [
         (3, 0), (3, 1),
     ]
+
+
+def test_gopher_filter_rules(spark):
+    from clickhouse_arrow_spark.operators.text import gopher_quality_filter
+
+    docs = spark.createDataFrame(
+        [
+            # passes everything: 60 normal words with stopwords
+            (1, " ".join(["the", "cat", "sat", "with", "food"] * 12)),
+            # too short
+            (2, "tiny doc"),
+            # symbol-heavy
+            (3, " ".join(["####", "word"] * 40)),
+            # bullets
+            (4, "\n".join(["- item one two the of"] * 10) + "\n" +
+                "\n".join(["- more the of stuff here ok"] * 50)),
+        ],
+        "doc_id long, text string",
+    )
+    got = {r["doc_id"]: r for r in gopher_quality_filter(docs).collect()}
+    assert got[1]["keep"] is True
+    assert got[2]["wc_ok"] is False and got[2]["keep"] is False
+    assert got[3]["symbol_ok"] is False and got[3]["keep"] is False
+    assert got[4]["bullet_ok"] is False and got[4]["keep"] is False
+
+
+def test_epoch_shuffle_deterministic_and_seed_sensitive(spark):
+    from clickhouse_arrow_spark.operators.text import epoch_shuffle
+
+    df = spark.range(0, 500).selectExpr("id AS doc_id")
+    a = [r["doc_id"] for r in epoch_shuffle(df, seed=1).limit(20).collect()]
+    b = [r["doc_id"] for r in epoch_shuffle(df, seed=1).limit(20).collect()]
+    c = [r["doc_id"] for r in epoch_shuffle(df, seed=2).limit(20).collect()]
+    assert a == b and a != c and a != list(range(20))
+    # fast path: same contract, xxhash64 key
+    f1 = [r["doc_id"] for r in
+          epoch_shuffle(df, seed=1, fast=True).limit(20).collect()]
+    f2 = [r["doc_id"] for r in
+          epoch_shuffle(df, seed=1, fast=True).limit(20).collect()]
+    assert f1 == f2
+
+
+def test_kcenter_sample_picks_spread_points(spark):
+    from clickhouse_arrow_spark.operators.similarity import kcenter_sample
+
+    # three tight clusters far apart: the first 3 picks must hit all 3
+    pts = (
+        [(i, [0.0 + i * 0.01, 0.0]) for i in range(10)]
+        + [(100 + i, [100.0 + i * 0.01, 0.0]) for i in range(10)]
+        + [(200 + i, [0.0, 100.0 + i * 0.01]) for i in range(10)]
+    )
+    df = spark.createDataFrame(pts, "vec_id long, embedding array<double>")
+    ids = kcenter_sample(df, 3)
+    clusters = {i // 100 for i in ids}
+    assert clusters == {0, 1, 2}
+    assert ids[0] == 0  # deterministic min-id seed
+    assert kcenter_sample(df, 0) == []

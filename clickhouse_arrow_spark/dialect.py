@@ -519,6 +519,58 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)"
     if name == "maxIf":
         return lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
+    if (name.endswith("State") or name.endswith("Merge")) and name not in (
+        "uniqState", "uniqMerge"
+    ):
+        # AggregateFunction(-State/-Merge) algebra for the transparent
+        # partial-state forms: ClickHouse's states are opaque binary,
+        # ours are the VALUES the algebra needs (sum partial = a sum,
+        # avg partial = (sum, count) struct, uniqExact partial = the
+        # distinct set) — Merge over our states recombines to the same
+        # final answer, which is the contract aggregate materialized
+        # views and two-level rollups depend on. uniqState/uniqMerge
+        # ride Spark's real HLL sketches (handled separately).
+        is_state = name.endswith("State")
+        base = name[: -5 if is_state else -5]
+        forms = {
+            "sum": ("sum({0})", "sum({0})"),
+            "min": ("min({0})", "min({0})"),
+            "max": ("max({0})", "max({0})"),
+            "count": ("count({0})", "sum({0})"),
+            "avg": (
+                "named_struct('sum', sum(CAST({0} AS DOUBLE)), "
+                "'count', count({0}))",
+                "try_divide(sum({0}.sum), sum({0}.count))",
+            ),
+            "uniqExact": (
+                "collect_set({0})",
+                "size(array_distinct(flatten(collect_list({0}))))",
+            ),
+            "groupArray": ("collect_list({0})", "flatten(collect_list({0}))"),
+            "groupUniqArray": (
+                "collect_set({0})",
+                "array_distinct(flatten(collect_list({0})))",
+            ),
+        }
+        if base in forms:
+            slot = forms[base][0 if is_state else 1]
+
+            def state_fmt(a: Args, _slot=slot, _base=base, _st=is_state) -> str:
+                if not a or not any(x.strip() for x in a):
+                    if _base == "count" and _st:
+                        return "count(*)"
+                    raise UntranslatableFunctionError(
+                        f"{name}() needs its argument"
+                    )
+                return _slot.format(a[0])
+
+            return state_fmt
+    if name == "finalizeAggregation":
+        raise UntranslatableFunctionError(
+            "finalizeAggregation(): the transparent states here finalize "
+            "through their -Merge form (sumMerge/avgMerge/...) — wrap the "
+            "state column in the matching Merge aggregate"
+        )
     if name == "uniqMerge":
         return lambda a: f"hll_sketch_estimate(hll_union_agg({a[0]}))"
     if name == "uniqExact":

@@ -1433,6 +1433,41 @@ def q_util_array_join_lockstep(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_state_merge_rollup",
+    """
+    SELECT round(sum(o_totalprice), 2) AS total,
+           round(avg(o_totalprice), 4) AS mean,
+           count(o_orderkey) AS n,
+           min(o_totalprice) AS lo, max(o_totalprice) AS hi,
+           CAST(count(DISTINCT o_custkey) AS BIGINT) AS u
+    FROM orders
+    """,
+    doc="AggregateFunction -State/-Merge algebra (dialect): per-status "
+    "partial states (sum/avg struct/count/min/max/uniqExact set) merged "
+    "in an outer pass — the two-level rollup every aggregate "
+    "materialized view depends on; the oracle is the direct one-level "
+    "aggregate.",
+    tags=("aggregate", "state", "merge", "matview"),
+)
+def q_agg_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT round(sumMerge(s), 2) AS total, "
+        "round(avgMerge(av), 4) AS mean, countMerge(cn) AS n, "
+        "minMerge(mn) AS lo, maxMerge(mx) AS hi, uniqExactMerge(ue) AS u "
+        "FROM ("
+        "  SELECT o_orderstatus, sumState(o_totalprice) AS s, "
+        "         avgState(o_totalprice) AS av, "
+        "         countState(o_orderkey) AS cn, "
+        "         minState(o_totalprice) AS mn, "
+        "         maxState(o_totalprice) AS mx, "
+        "         uniqExactState(o_custkey) AS ue "
+        "  FROM orders GROUP BY o_orderstatus)"
+    )
+
+
+@register(
     "doc_gopher_filter",
     """
     WITH p AS (

@@ -2181,3 +2181,51 @@ def test_sweep_wave3_refusals():
     ]:
         with _pytest.raises(UntranslatableFunctionError, match=hint):
             t(f"SELECT {fn}")
+
+
+def test_state_merge_algebra_two_level_rollup(spark, tables):
+    """-State/-Merge combinators: transparent partial states whose
+    Merge recombines to the same final answer — the aggregate-MV and
+    two-level-rollup contract. Verified against the direct aggregate."""
+    import math
+
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    got = c.query_ch(
+        "SELECT sumMerge(s) AS total, avgMerge(av) AS mean, "
+        "countMerge(cn) AS n, minMerge(mn) AS lo, maxMerge(mx) AS hi, "
+        "uniqExactMerge(ue) AS u, "
+        "size(groupArrayMerge(ga)) AS ga_n FROM ("
+        "  SELECT o_orderstatus, sumState(o_totalprice) AS s, "
+        "         avgState(o_totalprice) AS av, "
+        "         countState(o_orderkey) AS cn, "
+        "         minState(o_totalprice) AS mn, "
+        "         maxState(o_totalprice) AS mx, "
+        "         uniqExactState(o_custkey) AS ue, "
+        "         groupArrayState(o_orderkey) AS ga "
+        "  FROM orders GROUP BY o_orderstatus)"
+    ).collect()[0]
+    want = c.query_ch(
+        "SELECT sum(o_totalprice) AS total, avg(o_totalprice) AS mean, "
+        "count(o_orderkey) AS n, min(o_totalprice) AS lo, "
+        "max(o_totalprice) AS hi, uniqExact(o_custkey) AS u "
+        "FROM orders"
+    ).collect()[0]
+    assert math.isclose(got["total"], want["total"])
+    assert math.isclose(got["mean"], want["mean"])
+    assert got["n"] == want["n"] == got["ga_n"]
+    assert got["lo"] == want["lo"] and got["hi"] == want["hi"]
+    assert got["u"] == want["u"]
+
+
+def test_finalize_aggregation_refused():
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql as t,
+    )
+
+    with _pytest.raises(UntranslatableFunctionError, match="Merge"):
+        t("SELECT finalizeAggregation(s) FROM t")

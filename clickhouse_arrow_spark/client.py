@@ -52,7 +52,7 @@ PROTECTED_DATABASES = frozenset({"default"})
 #: system.numbers[_mt]/databases/tables/columns)
 _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
-    r"(numbers_mt|numbers|one|databases|tables|columns|query_log)\b"
+    r"(numbers_mt|numbers|one|databases|tables|columns|query_log|functions|settings)\b"
 )
 
 
@@ -252,6 +252,60 @@ class Client:
             ) if rows else self.spark.createDataFrame(
                 [], "query_id string, status string"
             )
+        m = _re.match(
+            r"(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+('(?:[^']|'')*'))?\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            like = f" WHERE name LIKE {m.group(1)}" if m.group(1) else ""
+            ch_sql = f"SELECT name, value FROM system.settings{like}"
+        m = _re.match(
+            r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?"
+            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            try:
+                return self._run(ch_sql, qid)
+            except Exception:
+                # temp views / test-data registrations: synthesize the
+                # ClickHouse-style statement from the resolved schema
+                name = m.group(1).replace("`", "")
+                from clickhouse_arrow_spark.types import spark_type_to_ch
+
+                schema = self.spark.table(name).schema
+                cols = ",\n".join(
+                    f"  `{f.name}` "
+                    f"{spark_type_to_ch(f.dataType, nullable=f.nullable)}"
+                    for f in schema.fields
+                )
+                stmt = f"CREATE TABLE {name}\n(\n{cols}\n)"
+                return self.spark.createDataFrame(
+                    [(stmt,)], "statement string"
+                )
+        # getSetting('name') -> the current value as a literal (the
+        # textual translator has no session)
+        def _get_setting(mm):
+            from clickhouse_arrow_spark.settings import (
+                _CH_TO_SPARK,
+                _PASSTHROUGH_PREFIX,
+            )
+
+            ch_name = mm.group(1)
+            conf = (
+                _CH_TO_SPARK[ch_name][0]
+                if ch_name in _CH_TO_SPARK
+                else f"{_PASSTHROUGH_PREFIX}{ch_name}"
+            )
+            try:
+                val = self.spark.conf.get(conf, "") or ""
+            except Exception:
+                val = ""
+            return "'" + str(val).replace("'", "''") + "'"
+
+        ch_sql = _re.sub(
+            r"(?i)\bgetSetting\s*\(\s*'([^']+)'\s*\)", _get_setting, ch_sql
+        )
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)
@@ -951,6 +1005,33 @@ class Client:
                 df = df.unionByName(p)
         elif name == "query_log":
             df = self.system_query_log()
+        elif name == "functions":
+            from clickhouse_arrow_spark.dialect import known_ch_functions
+
+            aggish = {
+                "sum", "min", "max", "count", "avg", "any", "anyLast",
+                "argMax", "argMin", "uniq", "uniqExact", "groupArray",
+                "groupUniqArray", "median", "quantile", "quantiles",
+                "corr", "covarPop", "covarSamp", "stddevPop",
+                "stddevSamp", "varPop", "varSamp", "topK",
+            }
+            df = self.spark.createDataFrame(
+                sorted((n, n in aggish) for n in known_ch_functions()),
+                "name string, is_aggregate boolean",
+            )
+        elif name == "settings":
+            from clickhouse_arrow_spark.settings import _CH_TO_SPARK
+
+            rows = []
+            for ch_name, (conf, _fn) in sorted(_CH_TO_SPARK.items()):
+                try:
+                    val = self.spark.conf.get(conf, "")
+                except Exception:
+                    val = ""
+                rows.append((ch_name, str(val or ""), conf))
+            df = self.spark.createDataFrame(
+                rows, "name string, value string, description string"
+            )
         else:  # pragma: no cover — regex and dispatch kept in sync
             raise QueryError(f"unhandled system table {name}")
         df.createOrReplaceTempView(view)

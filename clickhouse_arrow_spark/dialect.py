@@ -3224,7 +3224,8 @@ def _clause_end(sql: str, start: int, depth_at: int, mask, stop_re):
 
 _WITH_FILL_RE = re.compile(r"(?i)\bWITH\s+FILL\b")
 _FORMAT_TAIL_RE = re.compile(r"(?i)\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$")
-_SETTINGS_TAIL_RE = re.compile(r"(?i)\bSETTINGS\s+[^;]*$")
+#: the lookbehind excludes `system.settings` (a table, not the clause)
+_SETTINGS_TAIL_RE = re.compile(r"(?i)(?<![.\w])SETTINGS\s+[^;]*$")
 
 
 def _strip_output_clauses(sql: str) -> str:

@@ -675,3 +675,36 @@ def test_alter_recreate_preserves_bucketing_and_defaults(client, spark):
         assert props.get("clickhouse_arrow_spark.engine") == "MergeTree"
     finally:
         spark.sql("DROP TABLE IF EXISTS stmtdb.buck")
+
+
+def test_system_functions_and_settings_tables(client, tables):
+    """system.functions (the translator's own inventory) and
+    system.settings (the CH->Spark conf map with live values) resolve
+    in SQL; SHOW SETTINGS and getSetting ride them."""
+    n = client.query_ch(
+        "SELECT count(*) AS n FROM system.functions"
+    ).collect()[0]["n"]
+    assert n > 400  # the dialect knows 500+ names
+    rows = client.query_ch(
+        "SELECT name FROM system.functions WHERE name LIKE 'sum%' "
+        "ORDER BY name"
+    ).collect()
+    assert any(r["name"] == "sumIf" for r in rows)
+    st = client.query_ch("SHOW SETTINGS LIKE 'max%'").collect()
+    assert any(r["name"] == "max_threads" for r in st)
+    v = client.query_ch("SELECT getSetting('max_threads') AS v").collect()[0]
+    assert v["v"] == client.spark.conf.get("spark.sql.shuffle.partitions")
+    # `system.settings` must NOT be eaten by the SETTINGS-clause
+    # stripper; a real trailing SETTINGS clause still strips
+    row = client.query_ch(
+        "SELECT n_nationkey FROM nation ORDER BY n_nationkey LIMIT 1 "
+        "SETTINGS max_threads = 2"
+    ).collect()[0]
+    assert row["n_nationkey"] == 0
+
+
+def test_show_create_table_temp_view_synthesized(client, tables):
+    row = client.query_ch("SHOW CREATE TABLE nation").collect()[0]
+    stmt = row["statement"]
+    assert stmt.startswith("CREATE TABLE nation")
+    assert "`n_nationkey` Nullable(Int32)" in stmt

@@ -3354,6 +3354,14 @@ def _rewrite_array_join(sql: str) -> str:
         view = f"_aj{aj_n}" if aj_n > 1 else "_aj"
         if len(parsed) == 1:
             expr, alias = parsed[0]
+            # ClickHouse ARRAY JOIN over a Map iterates (key, value)
+            # pairs, referenced as alias.key / alias.value (reference
+            # e2e_http.rs map tests). The textual layer has no types —
+            # those references ARE the signal: explode map_entries so
+            # the alias is a {key, value} struct.
+            rest = sql[:m.start()] + sql[end:]
+            if re.search(rf"\b{re.escape(alias)}\.(key|value)\b", rest):
+                expr = f"map_entries({expr})"
             lv = f"LATERAL VIEW {outer}explode({expr}) {view} AS {alias} "
         else:
             first = parsed[0][0]

@@ -2229,3 +2229,22 @@ def test_finalize_aggregation_refused():
 
     with _pytest.raises(UntranslatableFunctionError, match="Merge"):
         t("SELECT finalizeAggregation(s) FROM t")
+
+
+def test_array_join_over_map_column(spark):
+    """Reference e2e shape: ARRAY JOIN metrics AS m with m.key/m.value
+    iterates a Map's pairs (map_entries explode under the hood)."""
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    spark.createDataFrame(
+        [(1, {"cpu": 0.5, "mem": 0.8}), (2, {"io": 0.1})],
+        "id INT, metrics MAP<STRING, DOUBLE>",
+    ).createOrReplaceTempView("map_aj_t")
+    rows = c.query_ch(
+        "SELECT id, m.key, m.value FROM map_aj_t ARRAY JOIN metrics AS m "
+        "ORDER BY id, m.key"
+    ).collect()
+    assert [(r["id"], r["key"], r["value"]) for r in rows] == [
+        (1, "cpu", 0.5), (1, "mem", 0.8), (2, "io", 0.1)
+    ]

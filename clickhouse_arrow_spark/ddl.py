@@ -121,6 +121,18 @@ def create_table_ddl(
     props = {
         "clickhouse_arrow_spark.engine": options.engine,
     }
+    # AggregateFunction columns: record column -> aggregate function in
+    # the table props (the textual CREATE loses StructField metadata, and
+    # rewrite_final needs to know WHICH merge form folds each state
+    # column for AggregatingMergeTree FINAL)
+    agg_cols = []
+    for f in schema.fields:
+        ch_str = (f.metadata or {}).get("ch_type", "")
+        if isinstance(ch_str, str) and ch_str.startswith("AggregateFunction("):
+            fn = ch_str[len("AggregateFunction("):].split(",", 1)[0].strip()
+            agg_cols.append(f"{f.name}:{fn}")
+    if agg_cols:
+        props["clickhouse_arrow_spark.agg_functions"] = ",".join(agg_cols)
     if options.order_by:
         props["clickhouse_arrow_spark.order_by"] = ",".join(options.order_by)
     if options.primary_keys:
@@ -330,9 +342,16 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
       whose sign matches the surplus' direction (arbitrary among
       duplicates, as in ClickHouse's unspecified merge order).
     - ``VersionedCollapsingMergeTree(sign, ver)`` → cancellation within
-      each (key, ver) cell, then the max-`ver` surviving row per key.
-    - ``AggregatingMergeTree`` → refused: partial aggregation states
-      are not representable in the parquet layout.
+      each (key, ver) cell; EVERY uncancelled version survives (the
+      merge only deletes same-(key, ver) sign pairs, as in ClickHouse).
+    - ``AggregatingMergeTree`` → merge every AggregateFunction state
+      column per ORDER BY key. ClickHouse states are opaque bytes the
+      engine merges; ours are the TRANSPARENT values the -State algebra
+      writes (dialect.py), so each column's merge is plain SQL (sum
+      states re-sum, avg structs add componentwise, uniq HLL sketches
+      `hll_union_agg`, set/array states flatten). The output column is
+      again a STATE — reading finalized values stays
+      ``<fn>Merge(col) ... GROUP BY``, exactly as in ClickHouse.
     - any other engine → refused, as ClickHouse itself rejects FINAL on
       non-folding engines.
 
@@ -425,13 +444,15 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
             # a cancellation cell is the tuple of every non-sign column
             # — one map-side-combinable GROUP BY finds the survivors:
             # cells whose sum(sign) is 0 vanish; a surviving cell's sign
-            # is the surplus' direction. Then one window per ORDER BY
-            # key picks the final row: max-version first for
-            # VersionedCollapsing, positive-surplus (the live state)
-            # preferred for plain Collapsing; among engine-contract
-            # violations (several surviving states per key) the pick is
-            # arbitrary, matching ClickHouse's unspecified merge order.
-            # Two exchanges total, the first with partial aggregation.
+            # is the surplus' direction. Plain Collapsing then picks ONE
+            # final row per ORDER BY key (positive-surplus, i.e. the
+            # live state, preferred); among engine-contract violations
+            # (several surviving states per key) the pick is arbitrary,
+            # matching ClickHouse's unspecified merge order.
+            # VersionedCollapsing instead keeps EVERY surviving cell:
+            # the merge only deletes same-(key, version) sign pairs, so
+            # all uncancelled versions coexist after FINAL — one
+            # exchange, no window.
             if engine == "CollapsingMergeTree" and not args:
                 raise SchemaError(
                     f"FROM {table} FINAL: CollapsingMergeTree needs its "
@@ -454,15 +475,6 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
                 f"SELECT {cell}, sum({sign}) AS __cas_sgn FROM {table} "
                 f"GROUP BY {cell} HAVING sum({sign}) <> 0"
             )
-            order = (
-                f"{_bq(args[1])} DESC, __cas_sgn DESC"
-                if engine == "VersionedCollapsingMergeTree"
-                else "__cas_sgn DESC"
-            )
-            mid = (
-                f"SELECT *, row_number() OVER (PARTITION BY {keys} "
-                f"ORDER BY {order}) AS __cas_rn FROM ({inner})"
-            )
             out_cols = ", ".join(
                 f"CAST(CASE WHEN __cas_sgn > 0 THEN 1 ELSE -1 END AS {sign_t}) "
                 f"AS {sign}"
@@ -470,16 +482,81 @@ def rewrite_final(spark: SparkSession, sql: str) -> str:
                 else _bq(c)
                 for c in columns
             )
-            sub = f"(SELECT {out_cols} FROM ({mid}) WHERE __cas_rn = 1)"
+            if engine == "VersionedCollapsingMergeTree":
+                sub = f"(SELECT {out_cols} FROM ({inner}))"
+            else:
+                mid = (
+                    f"SELECT *, row_number() OVER (PARTITION BY {keys} "
+                    f"ORDER BY __cas_sgn DESC) AS __cas_rn FROM ({inner})"
+                )
+                sub = f"(SELECT {out_cols} FROM ({mid}) WHERE __cas_rn = 1)"
+        elif engine == "AggregatingMergeTree":
+            # One map-side-combinable GROUP BY per FINAL — the same
+            # single-exchange shape as SummingMergeTree. The merge form
+            # per column comes from the agg_functions table prop
+            # (written by create_table from the declared
+            # AggregateFunction(fn, T) column types).
+            state_forms = {
+                "sum": "sum({0})",
+                "count": "sum({0})",
+                "min": "min({0})",
+                "max": "max({0})",
+                "any": "min({0})",
+                "anyLast": "max({0})",
+                "avg": (
+                    "named_struct('sum', sum({0}.sum), "
+                    "'count', sum({0}.count))"
+                ),
+                "uniq": "hll_union_agg({0})",
+                "uniqExact": "array_distinct(flatten(collect_list({0})))",
+                "groupArray": "flatten(collect_list({0}))",
+                "groupUniqArray": "array_distinct(flatten(collect_list({0})))",
+            }
+            agg_fns = dict(
+                item.split(":", 1)
+                for item in props.get(
+                    "clickhouse_arrow_spark.agg_functions", ""
+                ).split(",")
+                if ":" in item
+            )
+            if not agg_fns:
+                raise SchemaError(
+                    f"FROM {table} FINAL: AggregatingMergeTree but no "
+                    "AggregateFunction(fn, T) columns were declared at "
+                    "create_table time — FINAL folds state columns; declare "
+                    "them (e.g. ('views', 'AggregateFunction(sum, Int64)')) "
+                    "or aggregate explicitly"
+                )
+            select = []
+            for c in columns:
+                if c in order_by:
+                    select.append(_bq(c))
+                elif c in agg_fns:
+                    fn = agg_fns[c]
+                    if fn not in state_forms:
+                        raise SchemaError(
+                            f"FROM {table} FINAL: AggregateFunction({fn}, ...) "
+                            f"column {c!r} has no transparent merge form — "
+                            f"supported: {', '.join(sorted(state_forms))}; "
+                            "read it with an explicit GROUP BY + the matching "
+                            "-Merge aggregate"
+                        )
+                    select.append(
+                        f"{state_forms[fn].format(_bq(c))} AS {_bq(c)}"
+                    )
+                else:
+                    # non-key plain column: deterministic arbitrary member
+                    # (ClickHouse: "any value from the set")
+                    select.append(f"min({_bq(c)}) AS {_bq(c)}")
+            sub = f"(SELECT {', '.join(select)} FROM {table} GROUP BY {keys})"
         else:
             raise SchemaError(
                 f"FROM {table} FINAL: engine {engine_str!r} — FINAL is "
                 "implemented for ReplacingMergeTree(ver), SummingMergeTree, "
-                "CollapsingMergeTree(sign) and "
-                "VersionedCollapsingMergeTree(sign, ver); "
-                "AggregatingMergeTree needs partial-aggregation states, "
-                "which the parquet layout does not carry (ClickHouse "
-                "likewise rejects FINAL on non-folding engines)"
+                "CollapsingMergeTree(sign), "
+                "VersionedCollapsingMergeTree(sign, ver) and "
+                "AggregatingMergeTree (transparent -State columns); "
+                "ClickHouse likewise rejects FINAL on non-folding engines"
             )
         sql = f"{sql[: m.start()]}{kw} {sub} AS {_bq(out_alias)}{sql[m.end():]}"
 

@@ -1344,11 +1344,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"CAST({a[0]} AS DOUBLE) / ({a[1]}))"
         )
     if name in ("gcd", "lcm"):
-        # Euclid as a bounded fold — 64 mod steps cover any 64-bit pair;
-        # pure JVM, no UDF. lcm = |a*b| / gcd with zero guard.
+        # Euclid as a bounded fold — the worst case for 64-bit inputs is
+        # consecutive Fibonacci numbers (F92/F91), ~91 division steps, so
+        # 96 covers any 64-bit pair; pure JVM, no UDF. lcm = |a*b| / gcd
+        # with zero guard.
         def gcd_expr(x: str, y: str) -> str:
             return (
-                f"aggregate(sequence(1, 64), "
+                f"aggregate(sequence(1, 96), "
                 f"named_struct('x', abs(CAST({x} AS BIGINT)), "
                 f"'y', abs(CAST({y} AS BIGINT))), "
                 f"(acc, _i) -> IF(acc.y = 0, acc, "

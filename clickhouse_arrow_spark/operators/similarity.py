@@ -643,18 +643,19 @@ def kcenter_sample(
             for _, vec in centers
         ]
         min_dist = dists[0] if len(dists) == 1 else F.least(*dists)
-        # argmax via an ordered struct: (dist DESC, id ASC) -> negate id
-        pick = (
-            base.select(
-                F.max(
-                    F.struct(
-                        min_dist.alias("d"),
-                        (-F.col(id_col)).alias("neg_id"),
-                        F.col("_v").alias("v"),
-                    )
-                ).alias("m")
-            )
-            .collect()[0]["m"]
+        # argmax as a top-1: (dist DESC, id ASC) via TakeOrderedAndProject
+        # — one job, no full sort, and the id tie-break works for ANY
+        # orderable id type (string ids included)
+        picked = (
+            base.select(F.col(id_col), F.col("_v"), min_dist.alias("_d"))
+            .orderBy(F.desc("_d"), F.asc(id_col))
+            .limit(1)
+            .collect()
         )
-        centers.append((-pick["neg_id"], list(pick["v"])))
+        if not picked or picked[0]["_d"] is None or picked[0]["_d"] <= 0.0:
+            # every remaining point coincides with a center (k exceeds
+            # the number of distinct points) -> stop, no duplicate picks
+            break
+        pick = picked[0]
+        centers.append((pick[id_col], list(pick["_v"])))
     return [c[0] for c in centers]

@@ -1736,18 +1736,16 @@ def q_util_final_collapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     "util_final_vcollapsing",
     """
     SELECT o_custkey, o_orderkey, o_totalprice
-    FROM (
-      SELECT o_custkey, o_orderkey, o_totalprice,
-             row_number() OVER (PARTITION BY o_custkey
-                                ORDER BY o_orderkey DESC) AS rn
-      FROM orders WHERE o_orderkey % 2 = 1
-    ) WHERE rn = 1 ORDER BY o_custkey
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY o_custkey, o_orderkey
     """,
     doc="FROM t FINAL on a VersionedCollapsingMergeTree(sign, ver) "
     "table: state rows for every order (ver = o_orderkey), cancel rows "
     "for the even-orderkey ones — cancellation happens within each "
-    "(key, ver) cell and FINAL keeps the max SURVIVING version per "
-    "customer; customers with only even orderkeys vanish entirely.",
+    "(key, ver) cell and FINAL keeps EVERY uncancelled version (the "
+    "merge only deletes same-(key, version) sign pairs; multiple "
+    "surviving versions coexist, matching ClickHouse): every "
+    "odd-orderkey order survives, even-orderkey orders vanish.",
     tags=("ddl", "final", "collapsing", "versioned"),
 )
 def q_util_final_vcollapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1781,7 +1779,8 @@ def q_util_final_vcollapsing(spark: SparkSession, sf_dir: str) -> DataFrame:
     client.insert("corpusdb.orders_vcollapsing", states.unionByName(cancels))
     return client.query_ch(
         "SELECT o_custkey, o_orderkey, o_totalprice "
-        "FROM corpusdb.orders_vcollapsing FINAL ORDER BY o_custkey"
+        "FROM corpusdb.orders_vcollapsing FINAL "
+        "ORDER BY o_custkey, o_orderkey"
     )
 
 

@@ -405,7 +405,8 @@ class HttpArrowTransport:
             if buf.tell():
                 yield buf.getvalue()
 
-        self._open(sql, body=chunks()).read()
+        with self._open(sql, body=chunks()) as resp:
+            resp.read()
         return counter["rows"]
 
     def insert(self, table: str, batch) -> int:

@@ -438,7 +438,32 @@ def ch_type_to_spark(
     if n == "MultiPolygon":
         return T.ArrayType(T.ArrayType(T.ArrayType(_GEO_POINT, False), False), False), nullable
     if n == "AggregateFunction":
-        return T.BinaryType(), nullable  # opaque state bytes passthrough
+        # ClickHouse states are opaque bytes; ours are TRANSPARENT (the
+        # values the -State/-Merge algebra in dialect.py produces), so
+        # an AggregatingMergeTree column gets the state's actual Spark
+        # type: mergeable with plain SQL, readable by <fn>Merge, and
+        # foldable by FROM ... FINAL (ddl.rewrite_final). uniq rides
+        # Spark's real HLL sketch (binary); unknown functions stay an
+        # opaque binary passthrough (arrow/types.rs AggregateFunction).
+        fn = str(ch.args[0]) if ch.args else ""
+        arg_t = ch.args[1] if len(ch.args) > 1 else None
+        if fn in ("sum", "min", "max", "any", "anyLast") and arg_t is not None:
+            inner, inner_null = ch_type_to_spark(arg_t, options)
+            return inner, nullable or inner_null
+        if fn == "count":
+            return T.LongType(), nullable
+        if fn == "avg":
+            return (
+                T.StructType([
+                    T.StructField("sum", T.DoubleType(), True),
+                    T.StructField("count", T.LongType(), False),
+                ]),
+                nullable,
+            )
+        if fn in ("uniqExact", "groupArray", "groupUniqArray") and arg_t is not None:
+            inner, inner_null = ch_type_to_spark(arg_t, options)
+            return T.ArrayType(inner, inner_null), nullable
+        return T.BinaryType(), nullable  # uniq HLL sketch / opaque passthrough
     if n == "SimpleAggregateFunction":
         inner, inner_null = ch_type_to_spark(ch.args[1], options)
         return inner, nullable or inner_null

@@ -2030,6 +2030,13 @@ def test_sweep_wave_arithmetic_and_random(spark):
     assert row["inf"] == math.inf and math.isnan(row["nan"])
     assert (row["g"], row["l"], row["g0"]) == (6, 12, 5)
     assert 2 <= row["ru"] <= 3 and row["rb"] in (0, 1)
+    # Euclid worst case: consecutive Fibonacci numbers need ~91 mod
+    # steps for 64-bit inputs — a 64-step cap silently returned a wrong
+    # non-gcd intermediate here (317811 instead of 1)
+    fib = spark.sql(
+        t("SELECT gcd(7540113804746346429, 4660046610375530309) AS g")
+    ).collect()[0]
+    assert fib["g"] == 1
 
 
 def test_sweep_wave_strings_and_regex(spark):

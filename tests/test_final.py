@@ -177,8 +177,12 @@ def collapsing_tables(spark, client, final_tables):
                 (1, 10, 1, 1), (1, 10, -1, 1), (1, 25, 1, 2),
                 # k=2: both versions cancelled -> vanishes
                 (2, 7, 1, 1), (2, 7, -1, 1), (2, 8, 1, 2), (2, 8, -1, 2),
-                # k=3: v1 live, v2 cancelled -> keep v1 (max SURVIVING ver)
+                # k=3: v1 live, v2 cancelled -> keep v1
                 (3, 4, 1, 1), (3, 5, 1, 2), (3, 5, -1, 2),
+                # k=4: TWO live versions -> BOTH survive (the merge only
+                # deletes same-(key, ver) sign pairs; CH FINAL keeps all
+                # uncancelled versions, not just the max)
+                (4, 6, 1, 1), (4, 9, 1, 2),
             ],
             "k INT, views BIGINT, sign TINYINT, ver INT",
         ),
@@ -196,16 +200,17 @@ def test_collapsing_final_sign_sum_cancellation(client, collapsing_tables):
     assert got == {1: (25, 1), 3: (4, -1)}  # k=2 fully cancelled
 
 
-def test_versioned_collapsing_final_keeps_max_surviving_version(
+def test_versioned_collapsing_final_keeps_all_uncancelled_versions(
     client, collapsing_tables
 ):
-    got = {
-        r["k"]: (r["views"], r["ver"])
+    got = sorted(
+        (r["k"], r["views"], r["ver"])
         for r in client.query_ch(
             "SELECT k, views, ver FROM finaldb.vcollapsing FINAL"
         ).collect()
-    }
-    assert got == {1: (25, 2), 3: (4, 1)}  # k=2 vanished
+    )
+    # k=2 vanished; k=4's two live versions BOTH survive
+    assert got == [(1, 25, 2), (3, 4, 1), (4, 6, 1), (4, 9, 2)]
 
 
 def test_collapsing_final_one_exchange(client, collapsing_tables):

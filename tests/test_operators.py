@@ -1346,3 +1346,19 @@ def test_kcenter_sample_picks_spread_points(spark):
     assert clusters == {0, 1, 2}
     assert ids[0] == 0  # deterministic min-id seed
     assert kcenter_sample(df, 0) == []
+
+
+def test_kcenter_sample_string_ids_and_k_exceeds_points(spark):
+    from clickhouse_arrow_spark.operators.similarity import kcenter_sample
+
+    # string ids must tie-break lexicographically (not cast to null);
+    # k > distinct points must stop early without duplicate picks
+    df = spark.createDataFrame(
+        [("a", [0.0, 0.0]), ("b", [10.0, 0.0]), ("c", [10.0, 0.0])],
+        "vec_id string, embedding array<double>",
+    )
+    ids = kcenter_sample(df, 5, id_col="vec_id")
+    assert ids[0] == "a"
+    assert ids[1] == "b"  # dist tie between b and c -> smaller id wins
+    assert len(ids) == len(set(ids))  # no duplicates
+    assert len(ids) <= 3

@@ -1468,6 +1468,65 @@ def q_agg_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_final_aggregating",
+    """
+    SELECT o_custkey,
+           count(o_orderkey) AS cnt,
+           round(sum(o_totalprice), 2) AS rev,
+           round(sum(o_totalprice), 2) AS avg_sum,
+           count(o_orderkey) AS avg_cnt,
+           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
+           list_sort(list(o_orderkey)) AS keys_sorted
+    FROM orders GROUP BY o_custkey ORDER BY o_custkey
+    """,
+    doc="FROM t FINAL on an AggregatingMergeTree (ddl.rewrite_final): "
+    "orders are inserted as THREE blocks of partial states per customer "
+    "(sum/avg-struct/count/uniqExact-set/groupArray states via the "
+    "dialect's -State algebra), FINAL merges the state columns per "
+    "ORDER BY key in one map-side-combinable GROUP BY, and the query "
+    "reads the merged STATES raw — the rowcount (one row per customer) "
+    "attests the fold, the values attest each column's merge form; "
+    "reference engine list clickhouse-arrow/src/schema.rs:310-383.",
+    tags=("ddl", "final", "aggregating", "state", "merge"),
+)
+def q_agg_final_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusdb")
+    spark.sql("DROP TABLE IF EXISTS corpusdb.orders_aggregating")
+    create_table(
+        spark,
+        "corpusdb",
+        "orders_aggregating",
+        [
+            ("o_custkey", "Int64"),
+            ("s", "AggregateFunction(sum, Float64)"),
+            ("av", "AggregateFunction(avg, Float64)"),
+            ("cn", "AggregateFunction(count, Int64)"),
+            ("ue", "AggregateFunction(uniqExact, String)"),
+            ("ga", "AggregateFunction(groupArray, Int64)"),
+        ],
+        CreateOptions(engine="AggregatingMergeTree", order_by=("o_custkey",)),
+    )
+    states = client.query_ch(
+        "SELECT o_custkey, sumState(o_totalprice) AS s, "
+        "avgState(o_totalprice) AS av, countState(o_orderkey) AS cn, "
+        "uniqExactState(o_orderstatus) AS ue, "
+        "groupArrayState(o_orderkey) AS ga "
+        "FROM orders GROUP BY o_custkey, o_orderkey % 3"
+    )
+    client.insert("corpusdb.orders_aggregating", states)
+    return client.query_ch(
+        "SELECT o_custkey, cn AS cnt, round(s, 2) AS rev, "
+        "round(av.sum, 2) AS avg_sum, av.count AS avg_cnt, "
+        "arraySort(ue) AS statuses, arraySort(ga) AS keys_sorted "
+        "FROM corpusdb.orders_aggregating FINAL ORDER BY o_custkey"
+    )
+
+
+@register(
     "doc_gopher_filter",
     """
     WITH p AS (

@@ -219,3 +219,98 @@ def test_collapsing_final_one_exchange(client, collapsing_tables):
         "SELECT * FROM finaldb.collapsing FINAL"
     )._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") <= 2
+
+
+@pytest.fixture(scope="module")
+def aggregating_table(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS finaldb")
+    create_table(
+        spark,
+        "finaldb",
+        "aggregating",
+        [
+            ("k", "UInt32"),
+            ("s", "AggregateFunction(sum, Int64)"),
+            ("av", "AggregateFunction(avg, Float64)"),
+            ("cn", "AggregateFunction(count, Int64)"),
+            ("ue", "AggregateFunction(uniqExact, String)"),
+            ("ga", "AggregateFunction(groupArray, Int64)"),
+        ],
+        CreateOptions(engine="AggregatingMergeTree", order_by=("k",)),
+    )
+    # two "parts" of partial states per key, exactly what an aggregate
+    # materialized view accumulates block by block
+    client.insert(
+        "finaldb.aggregating",
+        client.spark.createDataFrame(
+            [
+                (1, 10, (4.0, 2), 2, ["a", "b"], [1, 2]),
+                (1, 5, (6.0, 1), 1, ["b", "c"], [3]),
+                (2, 7, (7.0, 1), 1, ["z"], [9]),
+            ],
+            "k INT, s BIGINT, av STRUCT<sum: DOUBLE, count: BIGINT>, "
+            "cn BIGINT, ue ARRAY<STRING>, ga ARRAY<BIGINT>",
+        ),
+    )
+    yield
+
+
+def test_aggregating_final_merges_states_per_key(client, aggregating_table):
+    got = {
+        r["k"]: (
+            r["s"],
+            (r["av"]["sum"], r["av"]["count"]),
+            r["cn"],
+            sorted(r["ue"]),
+            sorted(r["ga"]),
+        )
+        for r in client.query_ch(
+            "SELECT * FROM finaldb.aggregating FINAL"
+        ).collect()
+    }
+    assert got == {
+        1: (15, (10.0, 3), 3, ["a", "b", "c"], [1, 2, 3]),
+        2: (7, (7.0, 1), 1, ["z"], [9]),
+    }
+
+
+def test_aggregating_final_then_merge_reads_finalized(client, aggregating_table):
+    # the FINAL output is still a STATE: -Merge reads it, as in CH
+    row = client.query_ch(
+        "SELECT sumMerge(s) AS total, avgMerge(av) AS mean, "
+        "countMerge(cn) AS n, uniqExactMerge(ue) AS u "
+        "FROM finaldb.aggregating FINAL"
+    ).collect()[0]
+    assert (row["total"], row["n"], row["u"]) == (22, 4, 4)
+    assert abs(row["mean"] - 17.0 / 4) < 1e-9
+
+
+def test_aggregating_final_one_exchange(client, aggregating_table):
+    plan = client.query_ch(
+        "SELECT * FROM finaldb.aggregating FINAL"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") <= 1
+
+
+def test_aggregating_final_without_state_columns_refused(spark, client):
+    create_table(
+        spark,
+        "finaldb",
+        "aggregating_plain",
+        [("k", "UInt32"), ("v", "Int64")],
+        CreateOptions(engine="AggregatingMergeTree", order_by=("k",)),
+    )
+    with pytest.raises(SchemaError, match="AggregateFunction"):
+        client.query_ch("SELECT * FROM finaldb.aggregating_plain FINAL")
+
+
+def test_aggregating_final_unsupported_fn_refused(spark, client):
+    create_table(
+        spark,
+        "finaldb",
+        "aggregating_exotic",
+        [("k", "UInt32"), ("q", "AggregateFunction(quantileTDigest, Float64)")],
+        CreateOptions(engine="AggregatingMergeTree", order_by=("k",)),
+    )
+    with pytest.raises(SchemaError, match="no transparent merge form"):
+        client.query_ch("SELECT * FROM finaldb.aggregating_exotic FINAL")

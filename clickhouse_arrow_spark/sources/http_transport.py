@@ -271,7 +271,7 @@ class HttpArrowTransport:
             h["X-ClickHouse-Database"] = self.database
         return h
 
-    def _open(self, sql: str, body: bytes | None = None):
+    def _open(self, sql: str, body: bytes | None = None, body_encoded: bool = False):
         """Issue the request and return the live response object (a
         file-like over the socket). Callers either read it fully
         (commands) or hand it to the incremental Arrow IPC reader
@@ -287,6 +287,8 @@ class HttpArrowTransport:
                 # generator body -> chunked upload; http.client encodes
                 # the chunks, the worker never holds the whole payload
                 headers["Transfer-Encoding"] = "chunked"
+                if body_encoded and self.compression:
+                    headers["Content-Encoding"] = self.compression
             elif self.compression and body:
                 body = self._compress(body)
                 headers["Content-Encoding"] = self.compression
@@ -361,16 +363,37 @@ class HttpArrowTransport:
         """DDL / command with no result set (http/client.rs:101-127)."""
         self._request(sql, body=b"")
 
+    def _encode_stream(self, sink):
+        """Wrap a write-side file-like in a streaming compressor for the
+        configured codec — the write mirror of `_decode_stream`. Returns
+        the sink unchanged when compression is off."""
+        if not self.compression:
+            return sink
+        if self.compression == "gzip":
+            import gzip
+
+            return gzip.GzipFile(fileobj=sink, mode="wb")
+        if self.compression in _PA_CODECS:
+            import pyarrow as pa
+
+            # pyarrow wraps the python file-like and writes compressed
+            # frames into it incrementally (lz4 frame / zstd stream)
+            return pa.CompressedOutputStream(sink, _PA_CODECS[self.compression])
+        raise TransportError(f"unsupported compression {self.compression!r}")
+
     def insert_batches(self, table: str, batches: Iterable) -> int:
         """One POST per call: all batches serialized into a single Arrow
         IPC stream request body (http/client.rs:164-196
         insert_batches + serialize_batches). Returns rows sent.
 
-        Uncompressed inserts STREAM: the body is a generator of IPC
-        segments sent with chunked transfer encoding, so a writer task
-        never buffers its whole partition — the write-side mirror of
-        the incremental scan decode. Compressed inserts buffer (the
-        Content-Encoding frame wraps the whole body)."""
+        Inserts STREAM at every compression setting: the body is a
+        generator of IPC segments sent with chunked transfer encoding,
+        and when compression is on each segment passes through a
+        streaming compressor (`pa.CompressedOutputStream` / GzipFile)
+        before it is yielded — so a writer task never buffers its whole
+        partition, mirroring the reference's per-block compression
+        (src/compression.rs) and this client's incremental scan
+        decode."""
         import pyarrow as pa
 
         sql = f"INSERT INTO {_quote_ident(table)} FORMAT ArrowStream"
@@ -379,33 +402,38 @@ class HttpArrowTransport:
             first = next(it)
         except StopIteration:
             return 0
-        if self.compression:
-            buf = io.BytesIO()
-            rows = 0
-            with pa.ipc.new_stream(buf, first.schema) as writer:
-                for b in _chain_one(first, it):
-                    writer.write_batch(b)
-                    rows += b.num_rows
-            self._request(sql, body=buf.getvalue())
-            return rows
 
         counter = {"rows": 0}
 
+        class _DeferredCloseSink(io.BytesIO):
+            # pa.CompressedOutputStream.close() closes the wrapped sink
+            # BEFORE flushing the codec trailer; keep the buffer usable
+            # so the trailing frame lands (drained by the final yield)
+            def close(self):
+                pass
+
         def chunks():
-            buf = io.BytesIO()
-            writer = pa.ipc.new_stream(buf, first.schema)
+            buf = _DeferredCloseSink()
+            comp = self._encode_stream(buf)
+            writer = pa.ipc.new_stream(comp, first.schema)
             for b in _chain_one(first, it):
                 writer.write_batch(b)
                 counter["rows"] += b.num_rows
+                if comp is not buf:
+                    comp.flush()  # force the codec to emit this block
                 if buf.tell():
                     yield buf.getvalue()
                     buf.seek(0)
                     buf.truncate()
             writer.close()
+            if comp is not buf:
+                comp.close()  # flush the codec's trailing frame
             if buf.tell():
                 yield buf.getvalue()
 
-        with self._open(sql, body=chunks()) as resp:
+        with self._open(
+            sql, body=chunks(), body_encoded=bool(self.compression)
+        ) as resp:
             resp.read()
         return counter["rows"]
 

@@ -73,6 +73,10 @@ class ArrowHttpStub:
         self.compressed_requests = 0
         self.compressed_responses = 0
         self.chunked_requests = 0
+        #: per chunked request, how many chunks arrived on the wire —
+        #: a streaming writer yields one chunk per IPC segment, a
+        #: buffering writer sends one big chunk
+        self.chunk_counts: list[int] = []
         self.lock = threading.Lock()
         self._server: ThreadingHTTPServer | None = None
         #: rows per IPC record batch in SELECT responses (None = one)
@@ -207,6 +211,7 @@ class ArrowHttpStub:
                         self.rfile.readline()
                     body = b"".join(parts)
                     stub.chunked_requests += 1
+                    stub.chunk_counts.append(len(parts))
                 else:
                     n = int(self.headers.get("Content-Length") or 0)
                     body = self.rfile.read(n) if n else b""

@@ -655,3 +655,33 @@ def test_http_insert_streams_chunked():
         got = t.query_arrow("SELECT count(*) AS n, sum(v) AS s FROM sink")
         assert got.column("n").to_pylist() == [300]
         assert abs(got.column("s").to_pylist()[0] - sum(i * 1.5 for i in range(300))) < 1e-6
+
+
+@pytest.mark.parametrize("codec", ["lz4", "zstd", "gzip"])
+def test_http_compressed_insert_streams_chunked(codec):
+    """Compressed inserts ALSO stream: each IPC segment passes through
+    a streaming compressor and goes up as its own transfer chunk with
+    Content-Encoding set — the stub counts the chunks on the wire, so
+    a buffering writer (one big chunk) fails this. Write-side mirror
+    of the reference's per-block compression (src/compression.rs)."""
+    import pyarrow as pa
+
+    from clickhouse_arrow_spark.sources.http_transport import HttpArrowTransport
+    from tests.http_stub import ArrowHttpStub
+
+    table = pa.table(
+        {"k": list(range(3000)), "v": [f"payload-{i}" * 8 for i in range(3000)]}
+    )
+    stub = ArrowHttpStub({"sink": table.slice(0, 0)})
+    with stub as url:
+        t = HttpArrowTransport(url, compression=codec)
+        sent = t.insert_batches("sink", table.to_batches(max_chunksize=500))
+        assert sent == 3000
+        # chunked + compressed simultaneously
+        assert stub.chunked_requests >= 1
+        assert stub.compressed_requests >= 1
+        # streaming evidence: 6 IPC segments -> >=4 wire chunks (codec
+        # may coalesce a flush); a whole-body buffer would be 1 chunk
+        assert stub.chunk_counts[-1] >= 4, stub.chunk_counts
+        got = t.query_arrow("SELECT count(*) AS n FROM sink")
+        assert got.column("n").to_pylist() == [3000]

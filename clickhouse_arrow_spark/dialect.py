@@ -4508,6 +4508,54 @@ def suggest_function(name: str) -> str | None:
 # * APPLY(f) / COLUMNS('re') — catalog-aware star expansion
 # ---------------------------------------------------------------------------
 
+#: clause keywords that terminate a scope's FROM...JOIN section (the
+#: set-op EXCEPT is distinguished from the star-modifier EXCEPT by its
+#: SELECT/ALL/DISTINCT/( follower)
+_SCOPE_END_RE = re.compile(
+    r"(?i)\b(?:WHERE|GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|"
+    r"SETTINGS|FORMAT|UNION|INTERSECT)\b"
+    r"|\bEXCEPT\s*(?=SELECT\b|ALL\b|DISTINCT\b|\()"
+)
+
+
+def _from_scope_end(sql: str, start: int, depth: int) -> int:
+    """End offset of the FROM...JOIN section that starts at `start` and
+    lives at paren `depth`: the scope's closing paren, or the first
+    same-depth terminator clause, whichever comes first. (Distinct from
+    `_scope_end`, which finds the end of a whole SELECT scope.)"""
+    mask = _scan_mask(sql)
+    end = len(sql)
+    for i in range(start, len(sql)):
+        if not mask[i][1] and sql[i] == ")" and mask[i][0] < depth:
+            end = i
+            break
+    k = start
+    while True:
+        m = _SCOPE_END_RE.search(sql, k)
+        if not m or m.start() >= end:
+            return end
+        if not mask[m.start()][1] and mask[m.start()][0] == depth:
+            return m.start()
+        k = m.end()
+
+
+def _analyze_scope_columns(spark, frag: str, src: str) -> list[str]:
+    """Resolve a join/subquery scope's column set the way Spark itself
+    does: translate the scope's FROM fragment and ANALYZE (not run) a
+    zero-row probe — `spark.sql` resolves the schema eagerly, `.columns`
+    launches no job."""
+    try:
+        probe = translate_ch_sql(f"SELECT * FROM {frag} LIMIT 0")
+        return spark.sql(probe).columns
+    except Exception as e:
+        raise UntranslatableFunctionError(
+            f"{src}: could not resolve this scope's columns "
+            f"({type(e).__name__}: {str(e).splitlines()[0] if str(e) else e}) "
+            "— use the DataFrame API "
+            "(df.select([f(c).alias(c) for c in df.columns]))"
+        ) from None
+
+
 #: base (`*` or COLUMNS('re')) + optional EXCEPT + zero-or-more APPLY(f)
 _APPLY_FAMILY_RE = re.compile(
     r"(?i)(?:(\*)|\bCOLUMNS\s*\(\s*'([^']*)'\s*\))"
@@ -4532,10 +4580,11 @@ def rewrite_star_apply(spark, sql: str) -> str:
     projection lists, resolving the column set from the Spark catalog.
 
     Runs at `query_ch` time (the purely textual translator has no
-    schema). Only plain-table FROM scopes resolve — the column set of a
-    join or subquery is not knowable without full analysis, so those
-    refuse with the DataFrame recipe, exactly like the textual layer
-    used to refuse everything. Per ClickHouse semantics:
+    schema). Plain-table FROM scopes resolve straight from the catalog;
+    join and subquery scopes resolve the way Spark itself does — the
+    scope's FROM fragment is translated and ANALYZED with a LIMIT 0
+    probe (no job runs), and the probe's `.columns` is the set
+    ClickHouse's analyzer would expand. Per ClickHouse semantics:
 
     - `COLUMNS('re')` keeps columns whose NAME matches the RE2 pattern
       (partial match, case-sensitive);
@@ -4578,19 +4627,21 @@ def rewrite_star_apply(spark, sql: str) -> str:
         if pm is None or nxt.startswith(",") or re.match(
             r"(?:JOIN|LEFT|RIGHT|INNER|FULL|CROSS|SEMI|ANTI|LATERAL)\b", nxt
         ):
-            raise UntranslatableFunctionError(
-                f"{src}: the FROM of this scope is not a plain table "
-                "(join/subquery) — APPLY/COLUMNS need a resolvable schema; "
-                "use the DataFrame API "
-                "(df.select([f(c).alias(c) for c in df.columns]))"
-            )
-        table = pm.group(1)
-        try:
-            cols = spark.table(table).columns
-        except Exception:
-            raise UntranslatableFunctionError(
-                f"{src}: table {table} not found in the catalog"
-            ) from None
+            # join / subquery scope: resolve the column set by analyzing
+            # the scope's FROM fragment (LIMIT 0 probe, no job) — the
+            # same column set ClickHouse's analyzer would expand
+            end = _from_scope_end(sql, fm.end(), depth)
+            frag = sql[fm.end(): end].strip()
+            table = None
+            cols = _analyze_scope_columns(spark, frag, src)
+        else:
+            table = pm.group(1)
+            try:
+                cols = spark.table(table).columns
+            except Exception:
+                raise UntranslatableFunctionError(
+                    f"{src}: table {table} not found in the catalog"
+                ) from None
         if col_re is not None:
             try:
                 rx = re.compile(col_re)
@@ -4601,7 +4652,8 @@ def rewrite_star_apply(spark, sql: str) -> str:
             cols = [c for c in cols if rx.search(c)]
             if not cols:
                 raise UntranslatableFunctionError(
-                    f"COLUMNS({col_re!r}) matched no columns of {table} "
+                    f"COLUMNS({col_re!r}) matched no columns of "
+                    f"{table or 'this scope'} "
                     "(ClickHouse errors on an empty match too)"
                 )
         if exc:

@@ -75,7 +75,7 @@ def register(
 _GATE_ALIASES: dict[str, str] = {
     "driver_gate_final_collapsing": "util_final_collapsing",
     "driver_gate_final_vcollapsing": "util_final_vcollapsing",
-    "driver_gate_star_apply": "util_star_apply",
+    "driver_gate_star_apply": "util_star_apply_join",
     "driver_gate_numbers_tvf": "util_numbers_tvf",
     "driver_gate_scalar_wave": "util_sweep_scalar_wave",
     "driver_gate_kcenter": "sample_kcenter_gate",

@@ -1402,6 +1402,30 @@ def q_util_star_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_star_apply_join",
+    """
+    SELECT CAST(sum(o_custkey) AS BIGINT) AS "sum(o_custkey)",
+           CAST(sum(c_custkey) AS BIGINT) AS "sum(c_custkey)",
+           CAST(sum(c_nationkey) AS BIGINT) AS "sum(c_nationkey)"
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    """,
+    doc="Round 6: star modifiers over a JOIN scope "
+    "(dialect.rewrite_star_apply): the scope's column set is resolved "
+    "by translating the FROM fragment and analyzing a LIMIT 0 probe "
+    "(no job), so COLUMNS('re') APPLY(f) works over joins and "
+    "subqueries exactly as ClickHouse's analyzer expands them.",
+    tags=("dialect", "star", "apply", "columns", "join"),
+)
+def q_util_star_apply_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT COLUMNS('custkey|nationkey') APPLY(sum) "
+        "FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey"
+    )
+
+
+@register(
     "util_array_join_lockstep",
     """
     SELECT n_nationkey,

@@ -1868,16 +1868,54 @@ def test_apply_double_chain(client):
     assert got["abs(max(r_regionkey))"] == 4
 
 
+def test_apply_over_join_scope(client, duck):
+    """Round 6: join scopes resolve via a LIMIT 0 analysis probe — the
+    column set is both sides', exactly what ClickHouse's analyzer
+    expands `*` to in a JOIN."""
+    got = client.query_ch(
+        "SELECT * APPLY(max) FROM region r JOIN nation n "
+        "ON r.r_regionkey = n.n_regionkey"
+    ).collect()[0]
+    assert got["max(r_regionkey)"] == 4
+    assert got["max(n_nationkey)"] == 24
+    # COLUMNS over a join scope: regex filters the combined column set
+    got = client.query_ch(
+        "SELECT COLUMNS('_name') APPLY(count) FROM region r "
+        "JOIN nation n ON r.r_regionkey = n.n_regionkey"
+    ).collect()[0]
+    assert got["count(r_name)"] == 25 and got["count(n_name)"] == 25
+
+
+def test_apply_over_subquery_scope(client, duck):
+    got = client.query_ch(
+        "SELECT COLUMNS('^c') APPLY(sum) FROM "
+        "(SELECT o_custkey AS c1, o_orderkey AS c2, o_orderstatus FROM orders) t"
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT sum(o_custkey), sum(o_orderkey) FROM orders"
+    ).fetchone()
+    assert got["sum(c1)"] == want[0] and got["sum(c2)"] == want[1]
+    # the subquery's WHERE stays inside the analyzed fragment
+    got = client.query_ch(
+        "SELECT * EXCEPT (o_orderstatus) APPLY(count) FROM "
+        "(SELECT o_orderkey, o_orderstatus FROM orders WHERE o_orderkey < 100) t"
+    ).collect()[0]
+    want = duck.execute(
+        "SELECT count(o_orderkey) FROM orders WHERE o_orderkey < 100"
+    ).fetchone()
+    assert got["count(o_orderkey)"] == want[0]
+
+
 def test_apply_refusals(client):
     import pytest as _pytest
 
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
-    # join scope: schema not resolvable textually
-    with _pytest.raises(UntranslatableFunctionError, match="plain table"):
+    # unresolvable join scope (missing table) names the analysis failure
+    with _pytest.raises(UntranslatableFunctionError, match="could not resolve"):
         client.query_ch(
-            "SELECT * APPLY(max) FROM region r JOIN nation n "
-            "ON r.r_regionkey = n.n_regionkey"
+            "SELECT * APPLY(max) FROM region r JOIN definitely_missing_t n "
+            "ON r.r_regionkey = n.k"
         )
     # lambda APPLY
     with _pytest.raises(UntranslatableFunctionError, match="plain function"):

@@ -277,17 +277,18 @@ def apply_ttl(spark: SparkSession, table: str) -> int:
     ttl = props.get("clickhouse_arrow_spark.ttl")
     if not ttl:
         return -1
-    import tempfile
-
     df = spark.table(table).where(f"NOT (({ttl}) < current_timestamp())")
     # Stage survivors before overwriting: Spark cannot read and overwrite
-    # the same files in one job. On a cluster this staging dir lives on
-    # the shared FS; a Delta-backed table would use DELETE WHERE instead.
-    with tempfile.TemporaryDirectory(prefix="cas_ttl_") as tmp:
+    # the same files in one job. The staging dir lives on the table's own
+    # filesystem (cluster-safe); Delta would use DELETE WHERE instead.
+    tmp = _staging_path(spark, table)
+    try:
         df.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         rows = staged.count()
         staged.write.mode("overwrite").insertInto(table)
+    finally:
+        _rm_staged(spark, tmp)
     return rows
 
 
@@ -576,16 +577,60 @@ _LIGHT_DELETE_RE = re.compile(
 )
 
 
+def _staging_path(spark: SparkSession, table: str) -> str:
+    """A staging dir on the SAME filesystem as the table — a sibling
+    ``<location>_staging_<uuid>`` of the table directory, NOT inside it
+    (INSERT OVERWRITE clears the table location while the staged read
+    is still lazy) and NOT driver-local /tmp (on a real cluster the
+    executors must read the staged files back, so the dir has to live
+    on shared storage). ``spark.clickhouse_arrow_spark.stagingDir``
+    overrides the base when mutations should stage elsewhere (e.g. a
+    scratch bucket)."""
+    import uuid
+
+    suffix = f"_staging_{uuid.uuid4().hex[:12]}"
+    base = spark.conf.get("spark.clickhouse_arrow_spark.stagingDir", "")
+    if base:
+        return f"{base.rstrip('/')}/{table.replace('.', '__')}{suffix}"
+    loc = None
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if (r["col_name"] or "").strip() == "Location":
+            loc = r["data_type"]
+            break
+    if not loc:
+        raise SchemaError(
+            f"cannot stage a rewrite of {table}: the catalog reports no "
+            "Location — set spark.clickhouse_arrow_spark.stagingDir to a "
+            "shared-filesystem scratch path"
+        )
+    return loc.rstrip("/") + suffix
+
+
+def _rm_staged(spark: SparkSession, path: str) -> None:
+    """Delete a staging dir through Hadoop's FileSystem API — works the
+    same for file://, hdfs:// and s3a:// locations. Best-effort: an
+    orphaned staging dir is inert (never scanned as table data)."""
+    try:
+        jvm = spark._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path(path)
+        fs = hpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        fs.delete(hpath, True)
+    except Exception:
+        pass
+
+
 def _rewrite_rows(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Stage-and-overwrite: Spark cannot read and overwrite the same
-    files in one job, so survivors stage to a temp dir first (shared FS
-    on a cluster; a Delta-backed table would mutate in place)."""
-    import tempfile
-
-    with tempfile.TemporaryDirectory(prefix="cas_mut_") as tmp:
+    files in one job, so survivors stage to a dir on the table's own
+    filesystem first (cluster-safe; a Delta-backed table would mutate
+    in place)."""
+    tmp = _staging_path(spark, table)
+    try:
         df.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
         staged.write.mode("overwrite").insertInto(table)
+    finally:
+        _rm_staged(spark, tmp)
 
 
 def mutate_delete(spark: SparkSession, table: str, where: str) -> int:
@@ -912,8 +957,6 @@ def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
     warning. Parquet v1 tables cannot change schema in place; this is
     the staged-part-rewrite mutation applied to DDL."""
     import re as _re
-    import shutil
-    import tempfile
     import warnings
 
     props = {
@@ -935,7 +978,7 @@ def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
         for f in spark.table(table).schema.fields
         if f.metadata and "CURRENT_DEFAULT" in f.metadata
     }
-    tmp = tempfile.mkdtemp(prefix="cas_alter_")
+    tmp = _staging_path(spark, table)
     try:
         df.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
@@ -985,7 +1028,7 @@ def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
                     f"SET DEFAULT {expr}"
                 )
     finally:
-        shutil.rmtree(tmp, ignore_errors=True)
+        _rm_staged(spark, tmp)
 
 
 def try_alter(spark: SparkSession, ch_sql: str) -> bool:

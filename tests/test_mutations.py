@@ -80,3 +80,42 @@ def test_update_unknown_column_refused(client, mut_table):
 
 def test_non_mutation_statement_falls_through(client, spark, mut_table):
     assert client.execute_ch("SELECT count(*) FROM mutdb.m") is None
+
+
+def test_staging_path_is_table_sibling(spark, mut_table):
+    """Round 6: mutation staging lives on the TABLE's filesystem as a
+    sibling `<location>_staging_<uuid>` dir — never driver-local /tmp,
+    which executors on a real cluster could not read back."""
+    from clickhouse_arrow_spark.ddl import _staging_path
+
+    p = _staging_path(spark, mut_table)
+    loc = next(
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {mut_table}").collect()
+        if (r["col_name"] or "").strip() == "Location"
+    )
+    assert p.startswith(loc.rstrip("/") + "_staging_")
+    assert "/tmp/" not in p.replace(loc, "")
+    # config override redirects staging wholesale
+    spark.conf.set("spark.clickhouse_arrow_spark.stagingDir", "/shared/scratch")
+    try:
+        p2 = _staging_path(spark, mut_table)
+        assert p2.startswith("/shared/scratch/mutdb__m_staging_")
+    finally:
+        spark.conf.unset("spark.clickhouse_arrow_spark.stagingDir")
+
+
+def test_mutation_cleans_staging_dir(client, spark, mut_table):
+    """The staging dir is removed after the rewrite — success path."""
+    import os
+
+    loc = next(
+        r["data_type"]
+        for r in spark.sql(f"DESCRIBE TABLE EXTENDED {mut_table}").collect()
+        if (r["col_name"] or "").strip() == "Location"
+    )
+    parent = os.path.dirname(loc.replace("file:", ""))
+    client.execute_ch(f"ALTER TABLE {mut_table} DELETE WHERE k = 1")
+    leftovers = [d for d in os.listdir(parent) if "_staging_" in d]
+    assert leftovers == []
+    assert {r["k"] for r in spark.table(mut_table).collect()} == {2, 3, 4}

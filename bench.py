@@ -38,6 +38,7 @@ def main() -> int:
 
     timings: dict[str, float] = {}
     steady: dict[str, float] = {}
+    spread: dict[str, float] = {}
     for name, spec in headline.items():
         # Time build + materialize together: some operators (e.g. the
         # LSH signature cache) legitimately run an eager job during
@@ -46,19 +47,24 @@ def main() -> int:
         df = spec.build(spark, sf_dir)
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 4)
-        # steady state = BEST of two warm repeats on fresh plan builds:
-        # codegen/JIT/file-listing and operator-level caches are warm, so
-        # this is the repeat-query throughput of a long-running session —
-        # the number that extrapolates to a warmed-up cluster. Min-of-2
-        # filters one-off scheduler/GC hiccups out of the per-round
-        # comparison without hiding real cost (both runs do full work).
+        # steady state = MEDIAN of five warm repeats on fresh plan
+        # builds: codegen/JIT/file-listing and operator-level caches are
+        # warm, so this is the repeat-query throughput of a long-running
+        # session — the number that extrapolates to a warmed-up cluster.
+        # The median filters scheduler/GC hiccups both ways, and the
+        # reported spread (max-min) makes a real regression
+        # distinguishable from run-to-run noise across rounds.
+        import statistics
+
+        n_reps = int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "5"))
         reps = []
-        for _ in range(2):
+        for _ in range(n_reps):
             t0 = time.perf_counter()
             df2 = spec.build(spark, sf_dir)
             df2.write.format("noop").mode("overwrite").save()
             reps.append(time.perf_counter() - t0)
-        steady[name] = round(min(reps), 4)
+        steady[name] = round(statistics.median(reps), 4)
+        spread[name] = round(max(reps) - min(reps), 4)
         # drop per-operator caches so the next query's cold timing is
         # actually cold
         spark.catalog.clearCache()
@@ -150,6 +156,7 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "steady": steady,
+                "steady_spread": spread,
                 "steady_total_sec": round(sum(steady.values()), 4),
                 "bucketed": bucketed,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -4393,7 +4393,7 @@ _ORDER_FILL_RE = re.compile(
     rf"(?:\s+FROM\s+({_FILL_BOUND}))?"
     rf"(?:\s+TO\s+({_FILL_BOUND}))?"
     r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|-?\d+(?:\.\d+)?))?"
-    r"(?:\s+INTERPOLATE\s*\(([^()]*)\))?"
+    r"(?:\s+INTERPOLATE\s*\(((?:[^()]|\([^()]*\))*)\))?"
 )
 
 
@@ -4404,11 +4404,15 @@ def extract_with_fill(sql: str):
     "end", "step", "interpolate"}. Numeric bounds parse to numbers;
     date/timestamp bounds ('2024-01-01', toDate('...')) stay strings
     for the operator to cast; STEP may be `INTERVAL n unit` for time
-    axes. INTERPOLATE with a bare column list means carry-forward
-    (previous row's value); `AS expr` forms are refused (recursive
-    row-to-row expressions need an explicit iterative rewrite). DESC
-    fills and multiple fill columns are refused — each would silently
-    change the added rows."""
+    axes. INTERPOLATE entries parse to a {col: expr-or-None} dict: a
+    bare column means carry-forward (previous original value); `col AS
+    expr` computes expr for filled rows over the LAST ORIGINAL row's
+    values of the referenced columns (ClickHouse's previous-row
+    semantics for single-row gaps and bare-carried references; for a
+    non-interpolated reference across a multi-row gap ClickHouse would
+    recurse row-to-row — that self-recursive family, `x AS x*2`, is
+    refused). DESC fills and multiple fill columns are refused — each
+    would silently change the added rows."""
     m = _find_clean(_ORDER_FILL_RE, sql)
     if m is None:
         return sql, None
@@ -4422,18 +4426,28 @@ def extract_with_fill(sql: str):
             "WITH FILL on a DESC ordering: fill ascending and sort the "
             "result, or negate the axis"
         )
-    interpolate: list[str] = []
+    interpolate: dict[str, str | None] = {}
     if m.group(6) is not None:
-        if re.search(r"(?i)\bAS\b", m.group(6)):
-            raise UntranslatableFunctionError(
-                "WITH FILL ... INTERPOLATE (col AS expr): expressions "
-                "recurse row-to-row, which a window cannot express; use "
-                "a bare column list for carry-forward, or compute the "
-                "expression downstream"
-            )
-        interpolate = [
-            c.strip().strip("`") for c in m.group(6).split(",") if c.strip()
-        ]
+        for item in _split_top_args(m.group(6)):
+            item = item.strip()
+            if not item:
+                continue
+            am = re.match(r"(?is)^(`[^`]+`|\w+)\s+AS\s+(.+)$", item)
+            if am is None:
+                interpolate[item.strip("`")] = None
+                continue
+            target = am.group(1).strip("`")
+            expr = am.group(2).strip()
+            if re.search(rf"(?<![\w`]){re.escape(target)}(?![\w`])", expr):
+                raise UntranslatableFunctionError(
+                    f"INTERPOLATE ({target} AS {expr}): the expression "
+                    "references its own column, which recurses row-to-row "
+                    "across filled gaps — a window cannot express that; "
+                    "carry the column bare or compute downstream"
+                )
+            interpolate[target] = translate_ch_sql(f"SELECT {expr}")[
+                len("SELECT "):
+            ]
 
     def bound(s):
         if s is None:

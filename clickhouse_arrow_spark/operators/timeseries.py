@@ -259,7 +259,7 @@ def with_fill(
     start=None,
     end=None,
     step=1,
-    interpolate: list[str] | None = None,
+    interpolate: list[str] | dict[str, str | None] | None = None,
 ) -> DataFrame:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` over a NUMERIC
     fill column (ClickHouse select/order-by.md): add a row for every
@@ -268,6 +268,14 @@ def with_fill(
     DEFAULTS (0 / '' / zero-date — CH fills defaults, not NULLs);
     original rows keep their values, including genuine NULLs. Bounds
     default to the result's min/max (max inclusive).
+
+    `interpolate` is a list of column names (carry-forward: filled rows
+    take the previous ORIGINAL value) or a {col: spark_sql_expr | None}
+    dict — the expression form of `INTERPOLATE (col AS expr)`: for
+    filled rows the expr is evaluated over the LAST ORIGINAL row's
+    values of every column it references (one extra projection after
+    the same carry window; self-referencing exprs are refused upstream
+    because they recurse row-to-row).
 
     Plan shape: one sequence+explode for the grid (distributed, no
     driver loop), one full-outer join on the fill column — the same
@@ -328,20 +336,50 @@ def with_fill(
     )
     marked = df.withColumn("__cas_orig", F.lit(1))
     joined = marked.join(grid, on=col, how="full_outer")
-    interpolate = interpolate or []
+    if interpolate is None:
+        interpolate = {}
+    elif not isinstance(interpolate, dict):
+        interpolate = {c: None for c in interpolate}
     # carry-forward window: filled rows take the previous ORIGINAL value
     # (global ordering — WITH FILL output is an ordered report axis, so
     # the final sort is already a single ordered pass)
     carry = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, 0)
+
+    def carried(name: str):
+        return F.last(
+            F.when(F.col("__cas_orig").isNotNull(), F.col(f"`{name}`")),
+            ignorenulls=True,
+        ).over(carry)
+
+    # expression interpolation references other columns' carried values:
+    # materialize `__carry_<c>` helpers once (Catalyst prunes unused)
+    import re as _re
+
+    exprs = {c: e for c, e in interpolate.items() if e is not None}
+    if exprs:
+        # the fill axis itself stays a direct reference (the filled
+        # row HAS an axis value); every other column maps to its carry
+        names = sorted((f.name for f in df.schema.fields if f.name != col),
+                       key=len, reverse=True)
+        sub = {
+            c: _re.sub(
+                r"(?<![\w`])`?(" + "|".join(map(_re.escape, names))
+                + r")`?(?![\w`])",
+                lambda mm: f"`__carry_{mm.group(1)}`",
+                e,
+            )
+            for c, e in exprs.items()
+        }
+        joined = joined.withColumns({f"__carry_{n}": carried(n)
+                                     for n in df.columns if n != col})
     out = [F.col(f"`{col}`")]
     for f in df.schema.fields:
         if f.name == col:
             continue
-        if f.name in interpolate:
-            filled = F.last(
-                F.when(F.col("__cas_orig").isNotNull(), F.col(f"`{f.name}`")),
-                ignorenulls=True,
-            ).over(carry)
+        if f.name in exprs:
+            filled = F.expr(sub[f.name]).cast(f.dataType)
+        elif f.name in interpolate:
+            filled = carried(f.name)
         else:
             filled = F.expr(_type_default(f.dataType.simpleString())).cast(
                 f.dataType

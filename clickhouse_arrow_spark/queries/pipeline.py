@@ -2207,6 +2207,48 @@ def q_util_with_fill_time(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_with_fill_interp",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k, max(o_totalprice) AS p, count(*) AS n
+      FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey < 100
+      GROUP BY o_orderkey
+    ), g AS (SELECT unnest(range(1, 100)) AS k),
+    j AS (
+      SELECT coalesce(g.k, o.k) AS k, o.p AS p, o.n AS n,
+             last_value(o.p IGNORE NULLS)
+               OVER (ORDER BY coalesce(g.k, o.k)) AS carry_p
+      FROM g FULL JOIN o ON g.k = o.k
+    )
+    SELECT CAST(k AS BIGINT) AS k,
+           CAST(coalesce(p, carry_p) AS DOUBLE) AS price,
+           CAST(CASE WHEN p IS NULL THEN carry_p * 2 ELSE 0 END AS DOUBLE)
+             AS doubled,
+           CAST(coalesce(n, 0) AS BIGINT) AS n
+    FROM j ORDER BY k
+    """,
+    doc="Round 6: WITH FILL ... INTERPOLATE (price, doubled AS "
+    "price * 2) — the EXPRESSION form (dialect.extract_with_fill + "
+    "timeseries.with_fill): filled rows carry price forward and compute "
+    "doubled from the carried price in one projection after the carry "
+    "window; self-referencing exprs still refuse. Oracle rebuilds the "
+    "grid with last_value IGNORE NULLS.",
+    tags=("timeseries", "with-fill", "interpolate"),
+)
+def q_util_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT o_orderkey AS k, max(o_totalprice) AS price, "
+        "max(o_totalprice) * 0 AS doubled, count(*) AS n "
+        "FROM orders WHERE o_orderkey % 11 = 0 AND o_orderkey < 100 "
+        "GROUP BY o_orderkey "
+        "ORDER BY k WITH FILL FROM 1 TO 100 "
+        "INTERPOLATE (price, doubled AS price * 2)"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

@@ -74,7 +74,7 @@ def test_with_fill_extraction():
         "SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2"
     )
     assert spec == {
-        "col": "d", "start": 1, "end": 10, "step": 2, "interpolate": [],
+        "col": "d", "start": 1, "end": 10, "step": 2, "interpolate": {},
     }
     assert "WITH FILL" not in sql and "ORDER BY d" in sql
     sql2, spec2 = extract_with_fill("SELECT 1 AS x ORDER BY x")
@@ -220,11 +220,40 @@ def test_with_fill_interpolate_carries_forward(client, tables):
     assert rows[5][1] == 1
 
 
-def test_with_fill_interpolate_expr_refused():
-    with pytest.raises(UntranslatableFunctionError, match="carry-forward"):
+def test_with_fill_interpolate_self_recursive_refused():
+    # `v AS v + 1` recurses row-to-row across a gap: still refused
+    with pytest.raises(UntranslatableFunctionError, match="row-to-row"):
         extract_with_fill(
             "SELECT d, v FROM t ORDER BY d WITH FILL INTERPOLATE (v AS v + 1)"
         )
+
+
+def test_with_fill_interpolate_expr_spec_parses():
+    # round 6: non-self-referencing `col AS expr` parses to a dict entry
+    _, spec = extract_with_fill(
+        "SELECT d, v, w FROM t ORDER BY d WITH FILL FROM 1 TO 5 "
+        "INTERPOLATE (v, w AS v * 2)"
+    )
+    assert spec["interpolate"] == {"v": None, "w": "v * 2"}
+
+
+def test_with_fill_interpolate_expr_executes(client, tables):
+    """`INTERPOLATE (price, scaled AS price * 2)`: filled rows carry
+    price forward and compute scaled from the carried price."""
+    df = client.query_ch(
+        "SELECT o_orderkey AS k, o_totalprice AS price, "
+        "o_totalprice * 0 AS scaled, count(*) AS n "
+        "FROM orders WHERE o_orderkey IN (1, 5) "
+        "GROUP BY o_orderkey, o_totalprice "
+        "ORDER BY k WITH FILL FROM 1 TO 6 "
+        "INTERPOLATE (price, scaled AS price * 2)"
+    )
+    rows = {r["k"]: (r["price"], r["scaled"], r["n"]) for r in df.collect()}
+    p1 = rows[1][0]
+    for k in (2, 3, 4):
+        assert rows[k] == (p1, p1 * 2, 0)
+    # original rows keep their own values (scaled was computed as 0)
+    assert rows[1][1] == 0.0 and rows[5][1] == 0.0
 
 
 def test_system_query_log_records_statements(spark, tables):

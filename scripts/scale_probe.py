@@ -315,6 +315,22 @@ def main() -> int:
         lambda: text_ops.span_dedup(docs),
     )
 
+    # -- round-6 pipeline ops: Gopher rules (pure codegen projection)
+    # and epoch shuffle (the one op whose cost is a full
+    # range-partitioned global sort — both md5 and xxhash64 keys)
+    bench(
+        f"gopher_filter_{n_docs // 1000}k_docs",
+        lambda: text_ops.gopher_quality_filter(docs),
+    )
+    bench(
+        f"epoch_shuffle_md5_{n_docs // 1000}k_docs",
+        lambda: text_ops.epoch_shuffle(docs, seed=7),
+    )
+    bench(
+        f"epoch_shuffle_xxh_{n_docs // 1000}k_docs",
+        lambda: text_ops.epoch_shuffle(docs, seed=7, fast=True),
+    )
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

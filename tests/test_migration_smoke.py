@@ -249,6 +249,117 @@ QUERIES = [
      "FROM lineitem GROUP BY l_returnflag HAVING rev > 0 "
      "ORDER BY l_returnflag",
      (1, 3)),
+    # ---- round-6 widening: sweep-wave forms + statement forms ----
+    # numbers() TVF, plain and joined
+    ("SELECT number * 2 AS n FROM numbers(5) ORDER BY n",
+     (5, 5)),
+    ("SELECT count() AS n FROM numbers(100) WHERE number % 3 = 0",
+     (1, 1)),
+    # map family: literal + keys/values/contains
+    ("SELECT mapKeys(map('a', 1, 'b', 2)) AS ks, "
+     "mapValues(map('a', 1, 'b', 2)) AS vs, "
+     "mapContains(map('a', 1), 'a') AS has_a",
+     (1, 1)),
+    ("SELECT mapFromArrays(['x', 'y'], [10, 20])['y'] AS v",
+     (1, 1)),
+    # tuple math
+    ("SELECT tuplePlus((1, 2), (10, 20)) AS tp, "
+     "tupleMultiply((2, 3), (4, 5)) AS tm, "
+     "dotProduct((1, 2, 3), (4, 5, 6)) AS dp",
+     (1, 1)),
+    # URL helpers over synthesized URLs
+    ("SELECT domain(u) AS d, path(u) AS p, protocol(u) AS pr, "
+     "extractURLParameter(u, 'q') AS q FROM (SELECT "
+     "'https://shop.example.com/cart/item?q=7&r=2' AS u)",
+     (1, 1)),
+    ("SELECT cutQueryString('https://h.io/a/b?x=1') AS clean, "
+     "queryString('https://h.io/a/b?x=1&y=2') AS qs, "
+     "topLevelDomain('https://docs.example.org/p') AS tld",
+     (1, 1)),
+    # key-lambda array sort + arrayStringConcat
+    ("SELECT arraySort(x -> -x, [3, 1, 2]) AS desc_sorted, "
+     "arrayStringConcat(['a', 'b', 'c'], '-') AS joined",
+     (1, 1)),
+    # substringIndex + gcd/lcm (Euclid bound fixed round 5)
+    ("SELECT substringIndex('a.b.c.d', '.', 2) AS pre, "
+     "gcd(1071, 462) AS g, lcm(4, 6) AS l",
+     (1, 1)),
+    # CH-exact division family
+    ("SELECT intDivOrZero(o_orderkey, 0) AS z, "
+     "moduloOrZero(o_orderkey, 0) AS m, divide(o_orderkey, 4) AS d "
+     "FROM orders ORDER BY o_orderkey LIMIT 2",
+     (2, 2)),
+    # operator-named arithmetic
+    ("SELECT plus(1, 2) AS a, minus(10, 4) AS b, multiply(3, 7) AS c, "
+     "negate(5) AS d",
+     (1, 1)),
+    # array math family
+    ("SELECT arrayDifference([1, 4, 9, 16]) AS d, "
+     "arrayCumSum([1, 2, 3]) AS c, arrayAvg([2, 4, 6]) AS a, "
+     "arrayMax([5, 1, 9]) AS m",
+     (1, 1)),
+    # arrayZip + arrayEnumerate
+    ("SELECT arrayZip(['a', 'b'], [1, 2]) AS z, "
+     "arrayEnumerate([9, 9, 9]) AS e",
+     (1, 1)),
+    # weighted quantile
+    ("SELECT quantileExactWeighted(0.5)(l_quantity, "
+     "toUInt32(l_linenumber)) AS wq FROM lineitem",
+     (1, 1)),
+    # pointInPolygon
+    ("SELECT pointInPolygon((0.5, 0.5), [(0, 0), (1, 0), (1, 1), (0, 1)]) "
+     "AS inside",
+     (1, 1)),
+    # cosine distance + L2 norm over number arrays
+    ("SELECT round(cosineDistance([1.0, 0.0], [0.0, 1.0]), 6) AS cd, "
+     "L2Norm([3.0, 4.0]) AS n",
+     (1, 1)),
+    # bit shifts
+    ("SELECT bitShiftLeft(1, 10) AS k, bitAnd(12, 10) AS a",
+     (1, 1)),
+    # SHOW SETTINGS / getSetting statement forms (round 5)
+    ("SHOW SETTINGS LIKE 'max%'",
+     (1, 500)),
+    ("SELECT getSetting('max_threads') AS t",
+     (1, 1)),
+    # SHOW CREATE TABLE round-trips a registered view
+    ("SHOW CREATE TABLE nation",
+     (1, 1)),
+    # system.functions introspection (round 5)
+    ("SELECT count() AS n FROM system.functions WHERE name LIKE 'array%'",
+     (1, 1)),
+    # ARRAY JOIN over a Map column (round 5)
+    ("SELECT kv.key AS k, kv.value AS v FROM (SELECT map('a', 1, 'b', 2) "
+     "AS m) ARRAY JOIN m AS kv ORDER BY k",
+     (2, 2)),
+    # star APPLY over a JOIN scope (round 6: LIMIT 0 analysis probe)
+    ("SELECT COLUMNS('_name') APPLY(count) FROM region r JOIN nation n "
+     "ON r.r_regionkey = n.n_regionkey",
+     (1, 1)),
+    # star APPLY over a subquery scope (round 6)
+    ("SELECT * APPLY(max) FROM (SELECT o_orderkey, o_custkey FROM orders "
+     "WHERE o_orderkey < 50) t",
+     (1, 1)),
+    # WITH FILL INTERPOLATE expression form (round 6)
+    ("SELECT o_orderkey AS k, max(o_totalprice) AS p, "
+     "max(o_totalprice) * 0 AS p2, count() AS n FROM orders "
+     "WHERE o_orderkey < 20 GROUP BY o_orderkey "
+     "ORDER BY k WITH FILL FROM 1 TO 20 INTERPOLATE (p, p2 AS p / 2)",
+     (19, 25)),
+    # aggregate -State/-Merge algebra end-to-end in one statement
+    ("SELECT uniqExactMerge(st) AS u FROM (SELECT "
+     "uniqExactState(o_orderstatus) AS st FROM orders GROUP BY "
+     "o_orderkey % 4)",
+     (1, 1)),
+    # WITH CUBE + grouping-set aware count
+    ("SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
+     "GROUP BY o_orderstatus, o_orderpriority WITH CUBE ORDER BY n DESC "
+     "LIMIT 10",
+     (1, 10)),
+    # any/anyLast aggregates
+    ("SELECT any(o_orderstatus) AS a, anyLast(o_orderpriority) AS z "
+     "FROM (SELECT * FROM orders ORDER BY o_orderkey)",
+     (1, 1)),
 ]
 
 

@@ -230,6 +230,8 @@ _OPERATOR_BACKED: dict[str, str] = {
     "normalizeUTF8NFKC": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
     "normalizeUTF8NFKD": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
     "stem": "no JVM stemmer; operators/text token pipeline + a pandas UDF",
+    "lgamma": "no JVM log-gamma builtin; a pandas UDF (scipy.special.gammaln shape) or precompute upstream",
+    "tgamma": "no JVM gamma builtin; factorial() covers integer points, else a pandas UDF",
     "wordShingleSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "ngramSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "wordShingleMinHash": "operators.dedup.minhash_signatures(df, text_col)",
@@ -402,7 +404,10 @@ _ARRAYISH_HEAD_RE = re.compile(
     r"sequence\s*\(|range\s*\(|arrays_zip\s*\(|arrayMap\s*\(|"
     r"arrayFilter\s*\(|arraySort\s*\(|arrayConcat\s*\(|arraySlice\s*\(|"
     r"slice\s*\(|flatten\s*\(|array_distinct\s*\(|transform\s*\(|"
-    r"map\s*\(|mapKeys\s*\(|mapValues\s*\()"
+    r"map\s*\(|mapKeys\s*\(|mapValues\s*\(|shuffle\s*\(|"
+    r"array_append\s*\(|array_intersect\s*\(|array_union\s*\(|"
+    r"array_except\s*\(|array_remove\s*\(|array_repeat\s*\(|"
+    r"array_compact\s*\(|reverse\s*\(\s*(?:\[|array\s*\()|filter\s*\()"
 )
 
 
@@ -783,10 +788,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"locate({n}, {h})"
 
         return position_fmt
-    if name == "leftPad":
+    if name in ("leftPad", "leftPadUTF8"):
+        # Spark lpad counts characters (UTF-8 safe), covering both forms
         return lambda a: f"lpad({', '.join(a)})"
-    if name == "rightPad":
+    if name in ("rightPad", "rightPadUTF8"):
         return lambda a: f"rpad({', '.join(a)})"
+    if name == "length":
+        # CH length() accepts strings, arrays and maps (same dispatch as
+        # empty()/notEmpty()); Spark's length() is string-only
+        def length_fmt(a: Args) -> str:
+            fn = "size" if _looks_arrayish(a[0]) else "length"
+            return f"{fn}({a[0]})"
+
+        return length_fmt
     # higher-order array functions: CH puts the lambda FIRST
     # (arrayMap(x -> x*2, arr)); Spark puts the collection first.
     if name == "arrayMap":
@@ -842,6 +856,38 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"({a[0]} RLIKE {a[1]})"
     if name == "base64Decode":
         return lambda a: f"CAST(unbase64({a[0]}) AS STRING)"
+    if name == "tryBase64Decode":
+        # CH returns '' on invalid input; try_to_binary yields NULL there
+        return lambda a: (
+            f"coalesce(CAST(try_to_binary({a[0]}, 'base64') AS STRING), '')"
+        )
+    if name == "ngramDistance":
+        # CH: 4-gram multiset symmetric difference / total gram count,
+        # in [0, 1] (0 = identical). Grams materialize inline; strings
+        # shorter than 4 contribute themselves as a single gram so that
+        # equal short strings measure 0 and disjoint ones 1.
+        def ngram_dist(a: Args) -> str:
+            def grams(s: str) -> str:
+                return (
+                    f"CASE WHEN length({s}) >= 4 THEN "
+                    f"transform(sequence(1, length({s}) - 3), "
+                    f"_i -> substring({s}, _i, 4)) "
+                    f"ELSE array({s}) END"
+                )
+
+            ga, gb = grams(a[0]), grams(a[1])
+            sym = (
+                f"aggregate(array_distinct(concat({ga}, {gb})), 0, "
+                f"(_acc, _g) -> _acc + abs(size(filter({ga}, _t -> _t = _g))"
+                f" - size(filter({gb}, _t -> _t = _g))))"
+            )
+            tot = f"(size({ga}) + size({gb}))"
+            return (
+                f"CASE WHEN {tot} = 0 THEN CAST(0 AS DOUBLE) "
+                f"ELSE CAST({sym} AS DOUBLE) / {tot} END"
+            )
+
+        return ngram_dist
     if name == "multiSearchAny":
         # CH multiSearchAny(haystack, [n1, n2, ...]) — the needle list
         # arrives as an already-translated array(...) expression
@@ -980,6 +1026,78 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"IF(size(_acc) > 0 AND element_at(_acc, -1) <=> _x, _acc, "
             f"concat(_acc, array(_x))))"
         )
+    if name == "arrayShingles":
+        # contiguous windows of length n; CH errors when n > size — here
+        # the result is empty (the filterable shape), documented
+        return lambda a: (
+            f"CASE WHEN size({a[0]}) >= ({a[1]}) AND ({a[1]}) > 0 THEN "
+            f"transform(sequence(1, size({a[0]}) - ({a[1]}) + 1), "
+            f"_i -> slice({a[0]}, _i, {a[1]})) "
+            f"ELSE slice(array({a[0]}), 1, 0) END"
+        )
+    if name in ("arrayFill", "arrayReverseFill"):
+        # CH: scan and replace x[i] by x[i-1] where the predicate is
+        # false (cascading); Reverse scans right-to-left = fill the
+        # reversed array and reverse back
+        rev = name == "arrayReverseFill"
+
+        def array_fill(a: Args, _rev=rev) -> str:
+            lam = _LAMBDA_RE.match(a[0])
+            if not lam or len(a) != 2:
+                raise UntranslatableFunctionError(
+                    f"{name} expects (x -> cond, arr); multi-array "
+                    "predicates: zip the arrays first"
+                )
+            var = _lambda_params(a[0])
+            body = _lambda_body(a[0]).strip()
+            cond = re.sub(rf"\b{re.escape(var)}\b", "_x", body)
+            arr = f"reverse({a[1]})" if _rev else a[1]
+            fill = (
+                f"aggregate({arr}, slice({arr}, 1, 0), (_acc, _x) -> "
+                f"IF(size(_acc) = 0 OR CAST(({cond}) AS BOOLEAN), "
+                f"concat(_acc, array(_x)), "
+                f"concat(_acc, array(element_at(_acc, -1)))))"
+            )
+            return f"reverse({fill})" if _rev else fill
+
+        return array_fill
+    if name == "arraySplit":
+        # CH: cut arr1 into groups BEFORE every position (except the
+        # first) where func(arr1[i], arr2[i], ...) is non-zero
+        def array_split(a: Args) -> str:
+            lam = _LAMBDA_RE.match(a[0])
+            if not lam or len(a) < 2:
+                raise UntranslatableFunctionError(
+                    "arraySplit expects a lambda then 1+ parallel arrays"
+                )
+            params = [p.strip() for p in _lambda_params(a[0]).split(",")]
+            arrays = a[1:]
+            if len(params) != len(arrays):
+                raise UntranslatableFunctionError(
+                    f"arraySplit: lambda takes {len(params)} args but "
+                    f"{len(arrays)} arrays were passed"
+                )
+            body = _lambda_body(a[0]).strip()
+            for p, arr in zip(params, arrays):
+                body = re.sub(
+                    rf"\b{re.escape(p)}\b", f"element_at({arr}, _i)", body
+                )
+            d = arrays[0]
+            empty_groups = f"slice(array({d}), 1, 0)"
+            return (
+                f"CASE WHEN size({d}) = 0 THEN {empty_groups} "
+                f"WHEN size({d}) = 1 THEN array({d}) "
+                f"ELSE aggregate(sequence(2, size({d})), "
+                f"array(slice({d}, 1, 1)), (_acc, _i) -> "
+                f"IF(CAST(({body}) AS BOOLEAN), "
+                f"concat(_acc, array(array(element_at({d}, _i)))), "
+                f"concat(slice(_acc, 1, size(_acc) - 1), "
+                f"array(concat(element_at(_acc, -1), "
+                f"array(element_at({d}, _i)))))))"
+                f" END"
+            )
+
+        return array_split
     if name in ("arraySort", "arrayReverseSort"):
         # key-lambda forms: CH sorts by f(x); Spark's array_sort takes a
         # COMPARATOR — build one by applying the key to both sides
@@ -2141,6 +2259,47 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return great_circle_angle_fmt
+    if name in ("erf", "erfc"):
+        # No JVM erf builtin: Abramowitz & Stegun 7.1.26 rational
+        # approximation (max abs error ~1e-6), sign-symmetric — one
+        # codegen expression, deterministic
+        def erf_fmt(a: Args, _c=(name == "erfc")) -> str:
+            x = f"CAST({a[0]} AS DOUBLE)"
+            t = f"(1.0 / (1.0 + 0.3275911 * abs({x})))"
+            poly = (
+                f"((((1.061405429 * {t} - 1.453152027) * {t} "
+                f"+ 1.421413741) * {t} - 0.284496736) * {t} "
+                f"+ 0.254829592) * {t}"
+            )
+            erf = f"(sign({x}) * (1.0 - ({poly}) * exp(-({x}) * ({x}))))"
+            return f"(1.0 - {erf})" if _c else erf
+
+        return erf_fmt
+    if name == "formatReadableTimeDelta":
+        # CH pretty-printer: non-zero parts joined with ', ', singular/
+        # plural units. Days/hours/minutes/seconds (the CH years/months
+        # units above 1 month use 360/30-day approximations — callers
+        # needing those pass an explicit maximum_unit in CH, a form this
+        # emits in days).
+        def readable_delta(a: Args) -> str:
+            x = f"CAST(floor({a[0]}) AS BIGINT)"
+            parts = []
+            for unit, div, mod in (
+                ("day", 86400, None),
+                ("hour", 3600, 24),
+                ("minute", 60, 60),
+                ("second", 1, 60),
+            ):
+                v = f"({x} div {div})" if mod is None else \
+                    f"(({x} div {div}) % {mod})"
+                parts.append(
+                    f"CASE WHEN {v} > 0 THEN concat({v}, ' {unit}', "
+                    f"IF({v} > 1, 's', '')) END"
+                )
+            joined = f"concat_ws(', ', {', '.join(parts)})"
+            return f"IF({x} = 0, '0 seconds', {joined})"
+
+        return readable_delta
     if name in ("formatReadableSize", "formatReadableQuantity"):
         # CH pretty-printers: value scaled to the largest unit, always 2
         # decimals. Size uses binary units (KiB..EiB), quantity decimal
@@ -3855,6 +4014,45 @@ def _rewrite_in_frame(sql: str) -> str:
 
 
 _NUMBERS_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN)\s+numbers(_mt)?\s*\(")
+_VALUES_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN)\s+VALUES\s*\(\s*'")
+
+
+def _rewrite_values_tvf(sql: str) -> str:
+    """ClickHouse's `VALUES('a Int64, b String', (1, 'x'), ...)` table
+    function (schema string first) -> a Spark inline-table subquery with
+    the columns named and CAST to the bridged types."""
+    from clickhouse_arrow_spark.types import ch_type_to_spark, parse_ch_type
+
+    while True:
+        m = _find_clean(_VALUES_TVF_RE, sql, depth0=False)
+        if not m:
+            return sql
+        open_paren = sql.index("(", m.end(1))
+        close = _find_matching_paren(sql, open_paren)
+        if close == -1:
+            return sql
+        args = _split_top_args(sql[open_paren + 1: close])
+        schema_lit = args[0].strip()
+        cols = []
+        for spec in schema_lit.strip("'").split(","):
+            cname, _, ctype = spec.strip().partition(" ")
+            try:
+                stype = ch_type_to_spark(parse_ch_type(ctype.strip()))[0] \
+                    .simpleString()
+            except Exception:
+                raise UntranslatableFunctionError(
+                    f"VALUES schema {spec.strip()!r}: unparseable "
+                    "ClickHouse type"
+                ) from None
+            cols.append((cname.strip(), stype))
+        sel = ", ".join(
+            f"CAST(col{i + 1} AS {t}) AS `{n}`" for i, (n, t) in
+            enumerate(cols)
+        )
+        sub = (
+            f"(SELECT {sel} FROM VALUES {', '.join(args[1:])})"
+        )
+        sql = f"{sql[: m.start()]}{m.group(1)} {sub}{sql[close + 1:]}"
 _EMPTY_OVER_RE = re.compile(
     r"(?i)\b(row_number|rank|dense_rank|ntile\s*\(\s*\d+\s*\))\s*"
     r"(\(\s*\)\s*)?OVER\s*\(\s*\)"
@@ -4257,6 +4455,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     # aliases resolve inside it too (CH allows them there)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_numbers_tvf(sql)
+    sql = _rewrite_values_tvf(sql)
     sql = _rewrite_empty_over(sql)
     sql = _rewrite_in_frame(sql)
     sql = _rewrite_select_alias_refs(sql)

@@ -79,6 +79,7 @@ _GATE_ALIASES: dict[str, str] = {
     "driver_gate_numbers_tvf": "util_numbers_tvf",
     "driver_gate_scalar_wave": "util_sweep_scalar_wave",
     "driver_gate_kcenter": "sample_kcenter_gate",
+    "driver_gate_wave4": "util_sweep_wave4",
 }
 
 

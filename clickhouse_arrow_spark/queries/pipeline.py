@@ -2249,6 +2249,52 @@ def q_util_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave4",
+    """
+    SELECT 'hi' AS b64ok, '' AS b64bad,
+           [[1, 2], [2, 3], [3, 4]] AS sh,
+           CAST([1, 1, 1, 5, 5] AS BIGINT[]) AS fl,
+           CAST([1, 5, 5, 5, 0] AS BIGINT[]) AS rfl,
+           [[1, 2, 3], [4, 5]] AS sp,
+           CAST(0.384615 AS DOUBLE) AS ng,
+           CAST(0.8427 AS DOUBLE) AS e1,
+           CAST(0.4795 AS DOUBLE) AS e2,
+           '1 day, 1 hour, 1 minute, 1 second' AS frtd,
+           CAST(3 AS BIGINT) AS larr,
+           '•••é' AS pad,
+           CAST(6 AS BIGINT) AS vsum
+    """,
+    doc="Round-6 probe-sweep wave 4 (dialect formatters, exact literal "
+    "oracle): tryBase64Decode ('' on invalid like CH), arrayShingles, "
+    "arrayFill/arrayReverseFill (cascading fold), arraySplit (cut-"
+    "before-marker grouping), ngramDistance (4-gram multiset symdiff "
+    "formula), erf/erfc (Abramowitz-Stegun 7.1.26, ~1e-6), "
+    "formatReadableTimeDelta, array-aware length(), leftPadUTF8, and "
+    "the VALUES('schema', rows...) table function.",
+    tags=("dialect", "sweep", "wave4"),
+)
+def q_util_sweep_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT tryBase64Decode('aGk=') AS b64ok, "
+        "tryBase64Decode('!!!') AS b64bad, "
+        "arrayShingles([1, 2, 3, 4], 2) AS sh, "
+        "CAST(arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) AS Array(Int64)) "
+        "AS fl, "
+        "CAST(arrayReverseFill(x -> x != 0, [1, 0, 0, 5, 0]) AS "
+        "Array(Int64)) AS rfl, "
+        "arraySplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0]) AS sp, "
+        "round(ngramDistance('clickhouse', 'clickhose'), 6) AS ng, "
+        "round(erf(1.0), 5) AS e1, round(erfc(0.5), 5) AS e2, "
+        "formatReadableTimeDelta(90061) AS frtd, "
+        "toInt64(length([1, 2, 3])) AS larr, "
+        "leftPadUTF8('é', 4, '•') AS pad, "
+        "(SELECT sum(x) FROM VALUES('x Int64', (1), (2), (3))) AS vsum"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

@@ -1,0 +1,122 @@
+"""Probe-sweep wave 4 (round 6): dialect formatters surfaced by the
+80-idiom execution sweep — array scan/fill/split folds, ngramDistance,
+erf/erfc, readable time deltas, array-aware length(), UTF8 pads,
+tryBase64Decode, and the VALUES('schema', rows...) table function.
+Reference surface: ClickHouse SQL functions the `clickhouse-arrow`
+client passes through verbatim (its dialect IS ClickHouse's).
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from clickhouse_arrow_spark.client import Client
+from clickhouse_arrow_spark.dialect import (
+    UntranslatableFunctionError,
+    translate_ch_sql,
+)
+
+
+@pytest.fixture(scope="module")
+def ch(spark):
+    return Client(spark)
+
+
+def one(ch, sql):
+    return ch.query_ch(sql).collect()[0]
+
+
+def test_utf8_pads(ch):
+    r = one(ch, "SELECT leftPadUTF8('é', 4, '•') AS l, "
+                "rightPadUTF8('x', 3, '-') AS r")
+    assert (r["l"], r["r"]) == ("•••é", "x--")
+
+
+def test_try_base64_decode(ch):
+    r = one(ch, "SELECT tryBase64Decode('aGk=') AS ok, "
+                "tryBase64Decode('!!!') AS bad")
+    assert (r["ok"], r["bad"]) == ("hi", "")
+
+
+def test_array_shingles(ch):
+    r = one(ch, "SELECT arrayShingles([1,2,3,4], 2) AS s, "
+                "arrayShingles([1,2], 5) AS empty_res")
+    assert r["s"] == [[1, 2], [2, 3], [3, 4]]
+    assert r["empty_res"] == []
+
+
+def test_array_fill_both_directions(ch):
+    r = one(ch, "SELECT arrayFill(x -> x != 0, [1,0,0,5,0]) AS f, "
+                "arrayReverseFill(x -> x != 0, [1,0,0,5,0]) AS r")
+    assert r["f"] == [1, 1, 1, 5, 5]
+    assert r["r"] == [1, 5, 5, 5, 0]
+
+
+def test_array_split(ch):
+    r = one(ch, "SELECT arraySplit((x, y) -> y, [1,2,3,4,5], "
+                "[1,0,0,1,0]) AS s")
+    assert r["s"] == [[1, 2, 3], [4, 5]]
+    # single-element and empty arrays
+    r = one(ch, "SELECT arraySplit(x -> x = 3, [7]) AS one_el")
+    assert r["one_el"] == [[7]]
+    # arity mismatch refuses
+    with pytest.raises(UntranslatableFunctionError, match="arrays"):
+        translate_ch_sql("SELECT arraySplit((x, y) -> y, [1, 2])")
+
+
+def test_ngram_distance(ch):
+    r = one(ch, "SELECT ngramDistance('clickhouse', 'clickhouse') AS same, "
+                "ngramDistance('aaaa', 'bbbb') AS disjoint, "
+                "round(ngramDistance('clickhouse', 'clickhose'), 6) AS near, "
+                "ngramDistance('ab', 'ab') AS short_same, "
+                "ngramDistance('ab', 'cd') AS short_diff")
+    assert r["same"] == 0.0 and r["disjoint"] == 1.0
+    assert r["short_same"] == 0.0 and r["short_diff"] == 1.0
+    assert 0.0 < r["near"] < 1.0
+
+
+def test_erf_erfc(ch):
+    import math
+
+    r = one(ch, "SELECT erf(1.0) AS e1, erfc(0.5) AS c1, erf(-1.0) AS neg, "
+                "erf(0.0) AS zero")
+    assert abs(r["e1"] - math.erf(1.0)) < 1e-6
+    assert abs(r["c1"] - math.erfc(0.5)) < 1e-6
+    assert abs(r["neg"] + math.erf(1.0)) < 1e-6  # odd symmetry
+    assert abs(r["zero"]) < 1e-6
+
+
+def test_format_readable_time_delta(ch):
+    r = one(ch, "SELECT formatReadableTimeDelta(7653) AS a, "
+                "formatReadableTimeDelta(0) AS z, "
+                "formatReadableTimeDelta(90061) AS d, "
+                "formatReadableTimeDelta(1) AS s")
+    assert r["a"] == "2 hours, 7 minutes, 33 seconds"
+    assert r["z"] == "0 seconds"
+    assert r["d"] == "1 day, 1 hour, 1 minute, 1 second"
+    assert r["s"] == "1 second"
+
+
+def test_length_array_aware(ch):
+    r = one(ch, "SELECT length([1,2,3]) AS la, length('abc') AS ls, "
+                "length(shuffle([1,2,3])) AS lsh, length(map('a', 1)) AS lm")
+    assert (r["la"], r["ls"], r["lsh"], r["lm"]) == (3, 3, 3, 1)
+
+
+def test_values_schema_tvf(ch):
+    rows = ch.query_ch(
+        "SELECT * FROM VALUES('x Int64, y String', (1, 'a'), (2, 'b')) "
+        "ORDER BY x"
+    ).collect()
+    assert [(r["x"], r["y"]) for r in rows] == [(1, "a"), (2, "b")]
+    # types flow through the CH->Spark bridge
+    df = ch.query_ch("SELECT x FROM VALUES('x Int32', (1), (2))")
+    assert df.schema["x"].dataType.simpleString() == "int"
+    with pytest.raises(UntranslatableFunctionError, match="unparseable"):
+        translate_ch_sql("SELECT * FROM VALUES('x NotAType', (1))")
+
+
+def test_lgamma_tgamma_guided_refusal():
+    for fn in ("lgamma", "tgamma"):
+        with pytest.raises(UntranslatableFunctionError, match="pandas UDF"):
+            translate_ch_sql(f"SELECT {fn}(5.0)")

@@ -446,3 +446,112 @@ def simhash_near_pairs(
         .select("a_id", "b_id", hamming.alias("hamming"))
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def minhash_store(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """One store row per document: (id, signature, band_hashes) — the
+    persisted state of an INCREMENTAL dedup pipeline. A continuous
+    crawl writes this table once per ingest batch and never recomputes
+    old documents' signatures; `dedup_incremental` dedups each new
+    batch against it with work proportional to the BATCH, not the
+    corpus. ``band_hashes[b]`` is the LSH key of signature band b
+    (posexplode recovers the (band, band_hash) join keys)."""
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
+                              seed)
+    return sigs.select(
+        F.col(id_col),
+        "signature",
+        F.array(
+            *[
+                F.xxhash64(
+                    F.slice(F.col("signature"), b * rows + 1, rows)
+                    .cast("string")
+                )
+                for b in range(bands)
+            ]
+        ).alias("band_hashes"),
+    )
+
+
+def dedup_incremental(
+    new_df: DataFrame,
+    store: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.5,
+    seed: int = 42,
+) -> tuple[DataFrame, DataFrame]:
+    """Dedup a NEW batch against an existing corpus `store`
+    (:func:`minhash_store` rows) without touching old documents' text:
+
+    1. signatures + band keys for the new batch only — O(batch);
+    2. band-bucket join new↔store and new↔new (a_id < b_id) — the
+       candidate set is collision-bounded, never all-pairs;
+    3. verify candidates by signature-position match >= `threshold`;
+    4. survivors = new docs matching NO store doc and NO smaller-id
+       new doc (the same min-id survivor rule as the batch pipeline).
+
+    Returns ``(survivors, new_store_rows)``: the surviving rows of
+    `new_df`, and THEIR store rows for the caller to append — the
+    store stays exactly "one row per retained document". At 100 TB the
+    per-batch cost is the batch's hashing plus two keyed joins against
+    a band-bucketed store scan; the store is append-only parquet.
+    """
+    new_store = minhash_store(
+        new_df, text_col, id_col, num_hashes, bands, shingle_k, seed
+    )
+    from pyspark import StorageLevel
+
+    new_store = new_store.persist(StorageLevel.MEMORY_AND_DISK)
+    new_store.count()
+
+    def band_entries(s: DataFrame, prefix: str) -> DataFrame:
+        return s.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.col("signature").alias(f"{prefix}_sig"),
+            F.posexplode("band_hashes").alias("band", "band_hash"),
+        )
+
+    new_e = band_entries(new_store, "a")
+    est = (
+        F.aggregate(
+            F.zip_with(F.col("a_sig"), F.col("b_sig"),
+                       lambda a, b: (a == b).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        ).cast("double")
+        / F.lit(float(num_hashes))
+    )
+
+    def matches(right: DataFrame, cond) -> DataFrame:
+        return (
+            new_e.join(right, ["band", "band_hash"])
+            .where(cond)
+            .select("a_id", "b_id", "a_sig", "b_sig")
+            .dropDuplicates(["a_id", "b_id"])
+            .where(est >= threshold)
+            .select("a_id")
+        )
+
+    vs_store = matches(band_entries(store, "b"), F.lit(True))
+    vs_batch = matches(band_entries(new_store, "b"),
+                       F.col("a_id") > F.col("b_id"))
+    dropped = vs_store.union(vs_batch).distinct()
+    survivors = new_df.join(dropped.withColumnRenamed("a_id", id_col),
+                            id_col, "left_anti")
+    new_rows = new_store.join(
+        dropped.withColumnRenamed("a_id", id_col), id_col, "left_anti"
+    )
+    return survivors, new_rows

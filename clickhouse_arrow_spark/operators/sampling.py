@@ -97,3 +97,67 @@ def quality_weighted_sample(
         F.lit(_BUCKETS),
     )
     return df.where(sample_bucket(F.col(key_col)) < threshold)
+
+
+def select_token_budget(
+    df: DataFrame,
+    budget: int,
+    quality_col: str = "quality",
+    token_col: str = "tokens",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Greedy corpus selection under a GLOBAL token budget: keep the
+    highest-quality documents whose running token total fits `budget`
+    (order: quality DESC, id ASC — deterministic; documents never
+    split, so the first document that would overflow the budget and
+    everything after it are dropped). Returns the selected rows plus
+    ``cum_tokens`` (the running total through each kept document).
+
+    This is the "best N tokens" step of a training-data build. The
+    naive plan — one global window cumsum — collapses to a single
+    task; here it is the two-phase distributed prefix sum
+    (packing.concat_chunks shape): approxQuantile range boundaries on
+    the quality key (driver holds literals, never rows), per-range
+    token sums (one range-count-bounded collect), then a range-local
+    window cumsum plus the broadcast prefix offset. The only shuffle
+    is the window's hash partition on the range id — at 100 TB the
+    budget cut is two passes over (quality, tokens), not a sort of the
+    corpus.
+    """
+    from pyspark.sql import Window
+
+    base = df.withColumn("_tok", F.col(token_col).cast("long")).withColumn(
+        "_q", F.col(quality_col).cast("double")
+    )
+    n_parts = max(base.sparkSession.sparkContext.defaultParallelism, 1)
+    probs = [i / n_parts for i in range(1, n_parts)]
+    bounds = sorted(set(base.approxQuantile("_q", probs, 0.001))) if probs \
+        else []
+    # higher quality -> higher part id; ties share a part (boundary
+    # literals), so cross-part order is strict
+    part_expr = F.lit(0)
+    for b in bounds:
+        part_expr = part_expr + (F.col("_q") >= F.lit(b)).cast("int")
+    ranged = base.withColumn("_part", part_expr)
+    sums = {
+        r["_part"]: r["s"]
+        for r in ranged.groupBy("_part").agg(F.sum("_tok").alias("s"))
+        .collect()
+    }
+    offsets, acc = {}, 0
+    for p in sorted(sums, reverse=True):  # descending quality order
+        offsets[p] = acc
+        acc += sums[p]
+    off_expr = F.element_at(
+        F.create_map(*[F.lit(x) for kv in sorted(offsets.items())
+                       for x in kv]),
+        F.col("_part"),
+    )
+    w = Window.partitionBy("_part").orderBy(
+        F.col("_q").desc(), F.col(id_col).asc()
+    )
+    cum = (F.sum("_tok").over(w) + off_expr).alias("cum_tokens")
+    return (
+        ranged.select(*df.columns, cum)
+        .where(F.col("cum_tokens") <= budget)
+    )

@@ -1657,6 +1657,106 @@ def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_select_budget",
+    """
+    WITH d AS (
+      SELECT doc_id, lang,
+             CAST(n_chars % 997 AS DOUBLE) / 997 AS quality,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS tokens
+      FROM documents
+    ), c AS (
+      SELECT *, sum(tokens) OVER (ORDER BY quality DESC, doc_id)
+               AS cum_tokens
+      FROM d
+    )
+    SELECT doc_id, lang, round(quality, 6) AS quality, tokens,
+           CAST(cum_tokens AS BIGINT) AS cum_tokens
+    FROM c WHERE cum_tokens <= 8000 ORDER BY doc_id
+    """,
+    doc="Round 6: token-budget corpus selection "
+    "(operators/sampling.select_token_budget): keep the highest-quality "
+    "documents whose running token total fits a GLOBAL budget — the "
+    "'best N tokens' step of a training build. Planned as a two-phase "
+    "distributed prefix sum (approxQuantile range bounds + range-local "
+    "window + broadcast offsets), never a one-task global window; the "
+    "oracle is the naive single-window cumsum, bit-identical.",
+    tags=("documents", "sampling", "budget", "pipeline"),
+)
+def q_doc_select_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.sampling import select_token_budget
+
+    docs = spark.table("documents").select(
+        "doc_id",
+        "lang",
+        (F.col("n_chars") % 997 / F.lit(997.0)).alias("quality"),
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tokens"),
+    )
+    out = select_token_budget(docs, budget=8000)
+    return out.select(
+        "doc_id", "lang", F.round("quality", 6).alias("quality"),
+        "tokens", F.col("cum_tokens").cast("long").alias("cum_tokens"),
+    ).orderBy("doc_id")
+
+
+@register(
+    "dedup_incremental_gate",
+    """
+    SELECT TRUE AS kept_fresh, TRUE AS dropped_clones,
+           TRUE AS min_id_rule, TRUE AS store_consistent
+    """,
+    doc="Round 6: incremental near-dup gate "
+    "(operators/dedup.minhash_store + dedup_incremental): dedup a NEW "
+    "batch against a persisted signature store with work proportional "
+    "to the batch — old documents' text is never re-read. Gate: "
+    "planted clones of store docs all drop, genuinely-new docs all "
+    "survive, an intra-batch clone pair keeps only the min-id copy, "
+    "and the appended store rows equal the survivor set exactly.",
+    tags=("dedup", "incremental", "minhash", "gate", "pipeline"),
+)
+def q_dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    from clickhouse_arrow_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_store,
+    )
+
+    # deterministic synthetic corpus (the documents table has its own
+    # planted near-dups, which would entangle the gate's expectations)
+    words = ("the quick brown fox jumps over a lazy dog near the old "
+             "stone bridge at dawn every single day").split()
+
+    def text(seed: int) -> str:
+        rng = random.Random(seed)
+        return " ".join(rng.choice(words) for _ in range(40))
+
+    old = spark.createDataFrame(
+        [(i, text(i)) for i in range(50)], "doc_id BIGINT, text STRING"
+    )
+    store = minhash_store(old)
+    batch_rows = [(100 + i, text(1000 + i)) for i in range(10)]   # fresh
+    batch_rows += [(9010, text(10)), (9020, text(20)),
+                   (9030, text(30))]                              # clones
+    batch_rows += [(450, text(2000)), (9100, text(2000)),
+                   (9101, text(2000))]                            # intra
+    batch = spark.createDataFrame(batch_rows, "doc_id BIGINT, text STRING")
+    survivors, new_rows = dedup_incremental(batch, store, threshold=0.9)
+    s_ids = {r["doc_id"] for r in survivors.select("doc_id").collect()}
+    kept_fresh = all(100 + i in s_ids for i in range(10))
+    dropped_clones = not ({9010, 9020, 9030} & s_ids)
+    # 450's text rides at 9100 and 9101 too: only the smallest id wins
+    min_id_rule = 450 in s_ids and not ({9100, 9101} & s_ids)
+    store_consistent = new_rows.count() == len(s_ids)
+    return spark.createDataFrame(
+        [(bool(kept_fresh), bool(dropped_clones), bool(min_id_rule),
+          bool(store_consistent))],
+        "kept_fresh boolean, dropped_clones boolean, min_id_rule boolean, "
+        "store_consistent boolean",
+    )
+
+
+@register(
     "sample_kcenter_gate",
     """
     SELECT TRUE AS k_rows, TRUE AS distinct_ids, TRUE AS deterministic,

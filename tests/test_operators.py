@@ -1362,3 +1362,111 @@ def test_kcenter_sample_string_ids_and_k_exceeds_points(spark):
     assert ids[1] == "b"  # dist tie between b and c -> smaller id wins
     assert len(ids) == len(set(ids))  # no duplicates
     assert len(ids) <= 3
+
+
+# ---------------------------------------------------------------------------
+# round 6: token-budget selection + incremental dedup
+# ---------------------------------------------------------------------------
+
+
+def test_select_token_budget_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from clickhouse_arrow_spark.operators.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 100) / 100, 10 + (i % 5)) for i in range(1000)],
+        "doc_id BIGINT, quality DOUBLE, tokens BIGINT",
+    )
+    got = {r["doc_id"] for r in select_token_budget(df, 2000).collect()}
+    w = Window.orderBy(F.desc("quality"), "doc_id")
+    want = {
+        r["doc_id"]
+        for r in df.withColumn("c", F.sum("tokens").over(w))
+        .where(F.col("c") <= 2000)
+        .collect()
+    }
+    assert got == want and len(got) > 0
+    # budget is a hard cap
+    total = sum(
+        r["tokens"] for r in select_token_budget(df, 2000).collect()
+    )
+    assert total <= 2000
+
+
+def test_select_token_budget_no_global_single_task_window(spark):
+    from clickhouse_arrow_spark.operators.sampling import select_token_budget
+
+    df = spark.createDataFrame(
+        [(i, float(i % 7), 5) for i in range(500)],
+        "doc_id BIGINT, quality DOUBLE, tokens BIGINT",
+    )
+    plan = select_token_budget(df, 500)._jdf.queryExecution() \
+        .executedPlan().toString()
+    # the cumsum window partitions on the range id, never a bare
+    # SinglePartition window over the data
+    assert "SinglePartition" not in plan
+
+
+def test_dedup_incremental_batch_vs_store(spark):
+    import random
+
+    from clickhouse_arrow_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_store,
+    )
+
+    words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split()
+
+    def text(seed):
+        rng = random.Random(seed)
+        return " ".join(rng.choice(words) for _ in range(40))
+
+    old = spark.createDataFrame(
+        [(i, text(i)) for i in range(30)], "doc_id BIGINT, text STRING"
+    )
+    store = minhash_store(old)
+    batch = spark.createDataFrame(
+        [(100, text(500)), (101, text(501)), (200, text(5)),
+         (300, text(600)), (301, text(600))],
+        "doc_id BIGINT, text STRING",
+    )
+    survivors, new_rows = dedup_incremental(batch, store, threshold=0.9)
+    ids = sorted(r["doc_id"] for r in survivors.collect())
+    assert ids == [100, 101, 300]  # 200 = store clone, 301 = intra dup
+    # appended store rows mirror the survivors exactly
+    assert sorted(r["doc_id"] for r in new_rows.select("doc_id").collect()) \
+        == ids
+    assert set(new_rows.columns) == {"doc_id", "signature", "band_hashes"}
+
+
+def test_dedup_incremental_store_grows_consistently(spark):
+    import random
+
+    from clickhouse_arrow_spark.operators.dedup import (
+        dedup_incremental,
+        minhash_store,
+    )
+
+    words = "red green blue cyan magenta yellow black white".split()
+
+    def text(seed):
+        rng = random.Random(seed)
+        return " ".join(rng.choice(words) for _ in range(40))
+
+    old = spark.createDataFrame(
+        [(i, text(i)) for i in range(20)], "doc_id BIGINT, text STRING"
+    )
+    store = minhash_store(old)
+    b1 = spark.createDataFrame(
+        [(100, text(900)), (101, text(901))], "doc_id BIGINT, text STRING"
+    )
+    s1, rows1 = dedup_incremental(b1, store, threshold=0.9)
+    grown = store.unionByName(rows1)
+    # a second batch cloning a FIRST-batch doc is caught by the grown
+    # store — the incremental contract across ingests
+    b2 = spark.createDataFrame(
+        [(200, text(900)), (201, text(950))], "doc_id BIGINT, text STRING"
+    )
+    s2, _ = dedup_incremental(b2, grown, threshold=0.9)
+    assert sorted(r["doc_id"] for r in s2.collect()) == [201]

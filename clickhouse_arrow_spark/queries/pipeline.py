@@ -1757,6 +1757,60 @@ def q_dedup_incremental_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ann_kmeans_gate",
+    """
+    SELECT TRUE AS k_rows, TRUE AS deterministic,
+           TRUE AS inertia_non_increasing
+    """,
+    doc="Distributed Lloyd k-means gate "
+    "(operators/similarity.kmeans_refine over deterministic_centroids "
+    "seeding): the refined centroid set keeps exactly nlist rows, two "
+    "runs are identical (deterministic seeding + deterministic "
+    "assign), and refining never increases the clustering inertia "
+    "(sum of 1-cosine to the assigned centroid) — Lloyd's monotone "
+    "objective. Each iteration is one broadcast-literal assign "
+    "projection + one (bucket, position) aggregation; no driver math, "
+    "no crossJoin.",
+    tags=("similarity", "kmeans", "clustering", "gate"),
+)
+def q_ann_kmeans_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.similarity import (
+        _cosine,
+        deterministic_centroids,
+        ivf_assign,
+        kmeans_refine,
+    )
+
+    emb = spark.table("embeddings").persist()
+    nlist = 8
+    seeds = deterministic_centroids(emb, nlist)
+
+    def inertia(cents: DataFrame) -> float:
+        a = ivf_assign(emb, cents)
+        j = a.join(F.broadcast(cents), "centroid_id")
+        return j.agg(
+            F.sum(
+                1.0 - _cosine(F.col("embedding"), F.col("centroid_vec"))
+            ).alias("s")
+        ).collect()[0]["s"]
+
+    refined = kmeans_refine(emb, seeds, iters=1)
+    rows = refined.orderBy("centroid_id").collect()
+    # re-executing the same lazy chain must reproduce the centroids
+    # bit-for-bit (deterministic seeding + deterministic assign)
+    rows2 = refined.orderBy("centroid_id").collect()
+    k_rows = len(rows) == nlist
+    deterministic = [tuple(r) for r in rows] == [tuple(r) for r in rows2]
+    non_increasing = inertia(refined) <= inertia(seeds) + 1e-6
+    emb.unpersist()
+    return spark.createDataFrame(
+        [(bool(k_rows), bool(deterministic), bool(non_increasing))],
+        "k_rows boolean, deterministic boolean, "
+        "inertia_non_increasing boolean",
+    )
+
+
+@register(
     "sample_kcenter_gate",
     """
     SELECT TRUE AS k_rows, TRUE AS distinct_ids, TRUE AS deterministic,

@@ -517,10 +517,13 @@ def dedup_incremental(
     new_store = new_store.persist(StorageLevel.MEMORY_AND_DISK)
     new_store.count()
 
+    # band entries carry ONLY (id, band, band_hash) — signatures are
+    # num_hashes longs per row and would multiply the band-join shuffle
+    # ~20x (and bait a huge broadcast); candidates re-attach them by id
+    # afterwards, the same narrow-join shape as minhash_candidate_pairs
     def band_entries(s: DataFrame, prefix: str) -> DataFrame:
         return s.select(
             F.col(id_col).alias(f"{prefix}_id"),
-            F.col("signature").alias(f"{prefix}_sig"),
             F.posexplode("band_hashes").alias("band", "band_hash"),
         )
 
@@ -535,19 +538,31 @@ def dedup_incremental(
         / F.lit(float(num_hashes))
     )
 
-    def matches(right: DataFrame, cond) -> DataFrame:
-        return (
-            new_e.join(right, ["band", "band_hash"])
+    def matches(right_store: DataFrame, cond) -> DataFrame:
+        cand = (
+            new_e.join(band_entries(right_store, "b"),
+                       ["band", "band_hash"])
             .where(cond)
-            .select("a_id", "b_id", "a_sig", "b_sig")
+            .select("a_id", "b_id")
             .dropDuplicates(["a_id", "b_id"])
+        )
+        return (
+            cand.join(
+                new_store.select(F.col(id_col).alias("a_id"),
+                                 F.col("signature").alias("a_sig")),
+                "a_id",
+            )
+            .join(
+                right_store.select(F.col(id_col).alias("b_id"),
+                                   F.col("signature").alias("b_sig")),
+                "b_id",
+            )
             .where(est >= threshold)
             .select("a_id")
         )
 
-    vs_store = matches(band_entries(store, "b"), F.lit(True))
-    vs_batch = matches(band_entries(new_store, "b"),
-                       F.col("a_id") > F.col("b_id"))
+    vs_store = matches(store, F.lit(True))
+    vs_batch = matches(new_store, F.col("a_id") > F.col("b_id"))
     dropped = vs_store.union(vs_batch).distinct()
     survivors = new_df.join(dropped.withColumnRenamed("a_id", id_col),
                             id_col, "left_anti")

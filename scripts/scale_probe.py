@@ -322,6 +322,30 @@ def main() -> int:
         f"gopher_filter_{n_docs // 1000}k_docs",
         lambda: text_ops.gopher_quality_filter(docs),
     )
+
+    # -- round-6: token-budget selection (two-phase prefix sum over the
+    # quality order) and incremental dedup (batch-vs-store band join)
+    from clickhouse_arrow_spark.operators import dedup as dedup_ops
+    from clickhouse_arrow_spark.operators.sampling import select_token_budget
+
+    budget_docs = fact.select(
+        F.col("k").alias("doc_id"),
+        (F.pmod(F.xxhash64("k"), F.lit(1000)) / 1000.0).alias("quality"),
+        (F.pmod(F.xxhash64("k", F.lit(1)), F.lit(900)) + 100).alias("tokens"),
+    )
+    bench(
+        f"select_token_budget_{rows_fact // 1_000_000}m_rows",
+        lambda: select_token_budget(budget_docs, budget=rows_fact * 100),
+    )
+
+    def _incremental():
+        store = dedup_ops.minhash_store(docs.where(F.col("doc_id") % 10 != 0))
+        batch = docs.where(F.col("doc_id") % 10 == 0)
+        survivors, _rows = dedup_ops.dedup_incremental(
+            batch, store, threshold=0.9
+        )
+        return survivors
+    bench(f"dedup_incremental_{n_docs // 1000}k_docs", _incremental)
     bench(
         f"epoch_shuffle_md5_{n_docs // 1000}k_docs",
         lambda: text_ops.epoch_shuffle(docs, seed=7),

@@ -306,6 +306,19 @@ class Client:
         ch_sql = _re.sub(
             r"(?i)\bgetSetting\s*\(\s*'([^']+)'\s*\)", _get_setting, ch_sql
         )
+        # projection routing first: an aggregate query whose shape a
+        # MATERIALIZED projection covers reads the partials table
+        # instead of the base (CH picks projections the same way).
+        # Guarded by a session flag so sessions without projections
+        # never pay the catalog probe.
+        if self.spark.conf.get(
+            "spark.clickhouse_arrow_spark._has_projections", ""
+        ) == "true":
+            from clickhouse_arrow_spark.projections import route_projection
+
+            routed = route_projection(self.spark, ch_sql)
+            if routed is not None:
+                ch_sql = routed
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)

@@ -689,11 +689,28 @@ def try_mutation(spark: SparkSession, ch_sql: str) -> int | None:
 
     m = _ALTER_DELETE_RE.match(ch_sql) or _LIGHT_DELETE_RE.match(ch_sql)
     if m:
-        return mutate_delete(spark, m.group(1), tr(m.group(2)))
+        n = mutate_delete(spark, m.group(1), tr(m.group(2)))
+        _rebuild_projections_after_mutation(spark, m.group(1))
+        return n
     m = _ALTER_UPDATE_RE.match(ch_sql)
     if m:
-        return mutate_update(spark, m.group(1), tr(m.group(2)), tr(m.group(3)))
+        n = mutate_update(spark, m.group(1), tr(m.group(2)), tr(m.group(3)))
+        _rebuild_projections_after_mutation(spark, m.group(1))
+        return n
     return None
+
+
+def _rebuild_projections_after_mutation(spark: SparkSession,
+                                        table: str) -> None:
+    """A mutation rewrote the base parts: materialized projections
+    refill (ClickHouse rewrites projection parts inside the mutation)."""
+    if spark.conf.get(
+        "spark.clickhouse_arrow_spark._has_projections", ""
+    ) != "true":
+        return
+    from clickhouse_arrow_spark.projections import rebuild_projections
+
+    rebuild_projections(spark, table)
 
 
 _OPTIMIZE_RE = re.compile(
@@ -1055,6 +1072,33 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     def tr(expr: str) -> str:
         return translate_ch_sql(f"SELECT {expr}")[len("SELECT "):]
 
+    mm = re.match(
+        r"(?is)^ADD\s+PROJECTION\s+(\w+)\s*\(\s*(.+)\s*\)\s*$", action
+    )
+    if mm:
+        from clickhouse_arrow_spark.projections import add_projection
+
+        add_projection(spark, table, mm.group(1), mm.group(2))
+        # session flag lets query_ch skip the catalog probe entirely
+        # when no projection was ever declared
+        spark.conf.set(
+            "spark.clickhouse_arrow_spark._has_projections", "true"
+        )
+        return True
+    mm = re.match(r"(?is)^DROP\s+PROJECTION\s+(\w+)\s*$", action)
+    if mm:
+        from clickhouse_arrow_spark.projections import drop_projection
+
+        drop_projection(spark, table, mm.group(1))
+        return True
+    mm = re.match(r"(?is)^MATERIALIZE\s+PROJECTION\s+(\w+)\s*$", action)
+    if mm:
+        from clickhouse_arrow_spark.projections import (
+            materialize_projection,
+        )
+
+        materialize_projection(spark, table, mm.group(1))
+        return True
     mm = re.match(r"(?is)^MODIFY\s+TTL\s+(.+)$", action)
     if mm:
         ttl = tr(mm.group(1).strip())

@@ -1657,6 +1657,75 @@ def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_projection_route",
+    """
+    SELECT o_orderstatus,
+           round(sum(o_totalprice), 2) AS rev,
+           CAST(count(*) AS BIGINT) AS n,
+           round(sum(o_totalprice) / count(o_totalprice), 6) AS mean_price,
+           TRUE AS routed
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Round 6: ClickHouse table PROJECTIONS (projections.py): ALTER "
+    "TABLE ADD PROJECTION (SELECT keys, aggs GROUP BY keys) stores "
+    "per-block partial aggregates in a hidden table maintained by the "
+    "matview insert trigger; MATERIALIZE backfills; and the read path "
+    "AUTOMATICALLY reroutes a covered aggregate query to a "
+    "re-aggregation of the partials (sum of sums, sum of counts, avg "
+    "via its sum/count decomposition) — values identical to the base "
+    "scan, attested by the DuckDB oracle over raw orders; the `routed` "
+    "boolean pins that the rewrite actually targeted the hidden table. "
+    "Reference DDL surface: clickhouse-arrow/src/schema.rs projection "
+    "clauses.",
+    tags=("ddl", "projection", "routing", "agg"),
+)
+def q_agg_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+    from clickhouse_arrow_spark.projections import route_projection
+
+    client = Client(spark)
+    spark.sql("CREATE DATABASE IF NOT EXISTS corpusproj")
+    spark.sql("DROP TABLE IF EXISTS corpusproj.orders_p")
+    spark.sql("DROP TABLE IF EXISTS corpusproj.orders_p__proj_by_status")
+    create_table(
+        spark, "corpusproj", "orders_p",
+        [("o_orderkey", "Int64"), ("o_orderstatus", "String"),
+         ("o_totalprice", "Float64")],
+        CreateOptions(engine="MergeTree", order_by=("o_orderkey",)),
+    )
+    client.insert(
+        "corpusproj.orders_p",
+        spark.table("orders").select(
+            "o_orderkey", "o_orderstatus", "o_totalprice"
+        ),
+    )
+    client.execute_ch(
+        "ALTER TABLE corpusproj.orders_p ADD PROJECTION by_status "
+        "(SELECT o_orderstatus, sum(o_totalprice) AS rev, count() AS n, "
+        "avg(o_totalprice) AS mean_price GROUP BY o_orderstatus)"
+    )
+    client.execute_ch(
+        "ALTER TABLE corpusproj.orders_p MATERIALIZE PROJECTION by_status"
+    )
+    q = (
+        "SELECT o_orderstatus, sum(o_totalprice) AS rev, count() AS n, "
+        "avg(o_totalprice) AS mean_price FROM corpusproj.orders_p "
+        "GROUP BY o_orderstatus"
+    )
+    routed_sql = route_projection(spark, q)
+    routed = routed_sql is not None and "__proj_by_status" in routed_sql
+    out = client.query_ch(q)
+    return out.select(
+        "o_orderstatus",
+        F.round("rev", 2).alias("rev"),
+        F.col("n").cast("long").alias("n"),
+        F.round("mean_price", 6).alias("mean_price"),
+        F.lit(bool(routed)).alias("routed"),
+    ).orderBy("o_orderstatus")
+
+
+@register(
     "doc_select_budget",
     """
     WITH d AS (

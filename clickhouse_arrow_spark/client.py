@@ -706,7 +706,21 @@ class Client:
             # every query (nothing to reload) and the query log is
             # written synchronously (nothing to flush)
             return None
-        self._run(translate_ch_sql(ch_sql), qid).collect()
+        try:
+            self._run(translate_ch_sql(ch_sql), qid).collect()
+        except Exception as e:
+            if "INVALID_TEMP_OBJ_REFERENCE" in str(e) and _re.match(
+                r"(?is)^\s*CREATE\s+(OR\s+REPLACE\s+)?VIEW\b", ch_sql
+            ):
+                raise QueryError(
+                    "CREATE VIEW over session-registered (temporary) "
+                    "tables cannot persist in the catalog; either "
+                    "CREATE TEMPORARY VIEW <name> AS ... (session "
+                    "lifetime, no db qualifier), or persist the source "
+                    "first (create_table + INSERT), then CREATE VIEW "
+                    "over the catalog table"
+                ) from None
+            raise
         return None
 
     # ------------------------------------------------------------------

@@ -3143,8 +3143,9 @@ def _rewrite_sample(sql: str) -> str:
         sql = f"{sql[: m.start()]}TABLESAMPLE ({pct:g} PERCENT){sql[m.end():]}"
 
 
+#: `LIMIT n BY`, `LIMIT m, n BY`, and `LIMIT n OFFSET m BY` spellings
 _LIMIT_BY_RE = re.compile(
-    r"(?i)\bLIMIT\s+(?:(\d+)\s*,\s*)?(\d+)\s+BY\b"
+    r"(?i)\bLIMIT\s+(?:(\d+)\s*,\s*)?(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\b"
 )
 _ORDER_BY_RE = re.compile(r"(?i)\bORDER\s+BY\b")
 _AFTER_LIMIT_BY_RE = re.compile(r"(?i)\b(LIMIT|SETTINGS|FORMAT)\b")
@@ -3194,7 +3195,7 @@ def _rewrite_limit_by_scope(sql: str) -> str:
     m = _find_clean(_LIMIT_BY_RE, sql)
     if not m:
         return sql
-    offset = int(m.group(1)) if m.group(1) else 0
+    offset = int(m.group(1) or m.group(3) or 0)
     n = int(m.group(2))
     # BY expressions run to the next top-level clause keyword or EOS
     tail_m = _find_clean(_AFTER_LIMIT_BY_RE, sql, start=m.end())
@@ -4261,6 +4262,16 @@ def _rewrite_star_modifiers(sql: str) -> str:
     the documented divergence). `* APPLY (f)` needs the resolved column
     list, which the textual layer does not have — refused with the
     DataFrame recipe."""
+    # CH's STRICT modifier (error on a missing column) is Spark's
+    # default behavior for * EXCEPT — drop the keyword
+    while True:
+        sm = _find_clean(
+            re.compile(r"(?i)\b(EXCEPT|REPLACE)\s+STRICT\b"), sql,
+            depth0=False,
+        )
+        if not sm:
+            break
+        sql = f"{sql[: sm.start()]}{sm.group(1)}{sql[sm.end():]}"
     while True:
         m = _find_clean(_STAR_EXCEPT_BARE_RE, sql, depth0=False)
         if not m:
@@ -4772,8 +4783,8 @@ def _analyze_scope_columns(spark, frag: str, src: str) -> list[str]:
 #: base (`*` or COLUMNS('re')) + optional EXCEPT + zero-or-more APPLY(f)
 _APPLY_FAMILY_RE = re.compile(
     r"(?i)(?:(\*)|\bCOLUMNS\s*\(\s*'([^']*)'\s*\))"
-    r"(\s+EXCEPT\s*\([^)]*\)|\s+EXCEPT\s+(?!SELECT\b|ALL\b|DISTINCT\b)"
-    r"[A-Za-z_]\w*)?"
+    r"(\s+EXCEPT\s*(?:STRICT\s+)?\([^)]*\)"
+    r"|\s+EXCEPT\s+(?!SELECT\b|ALL\b|DISTINCT\b|STRICT\b)[A-Za-z_]\w*)?"
     r"((?:\s+APPLY\s*\([^()]*\))*)"
 )
 _APPLY_FN_RE = re.compile(r"(?i)APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)")

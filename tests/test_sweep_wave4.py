@@ -19,6 +19,9 @@ from clickhouse_arrow_spark.dialect import (
 
 @pytest.fixture(scope="module")
 def ch(spark):
+    from clickhouse_arrow_spark.sources import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
     return Client(spark)
 
 
@@ -120,3 +123,47 @@ def test_lgamma_tgamma_guided_refusal():
     for fn in ("lgamma", "tgamma"):
         with pytest.raises(UntranslatableFunctionError, match="pandas UDF"):
             translate_ch_sql(f"SELECT {fn}(5.0)")
+
+
+# ---- statement-sweep follow-ups (wave 5) ----------------------------------
+
+
+def test_limit_by_offset_spelling(ch):
+    rows = ch.query_ch(
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "ORDER BY o_custkey, o_orderkey LIMIT 1 OFFSET 1 BY o_custkey "
+        "LIMIT 5"
+    ).collect()
+    assert 0 < len(rows) <= 5
+    # equivalent to the comma form
+    comma = ch.query_ch(
+        "SELECT o_custkey, o_orderkey FROM orders "
+        "ORDER BY o_custkey, o_orderkey LIMIT 1, 1 BY o_custkey LIMIT 5"
+    ).collect()
+    assert [tuple(r) for r in rows] == [tuple(r) for r in comma]
+
+
+def test_except_strict_modifier(ch):
+    r = ch.query_ch(
+        "SELECT * EXCEPT STRICT (o_orderstatus, o_orderpriority) "
+        "FROM orders ORDER BY o_orderkey LIMIT 1"
+    ).collect()[0]
+    assert "o_orderstatus" not in r.asDict()
+    # a missing column still errors (Spark default == CH STRICT)
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="nope|EXCEPT"):
+        ch.query_ch(
+            "SELECT * EXCEPT STRICT (nope) FROM orders LIMIT 1"
+        ).collect()
+
+
+def test_create_view_over_temp_tables_guided(ch, spark):
+    from clickhouse_arrow_spark.errors import QueryError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS w4v")
+    with pytest.raises(QueryError, match="TEMPORARY VIEW"):
+        ch.execute_ch(
+            "CREATE VIEW w4v.v AS SELECT o_orderkey FROM orders"
+        )
+    spark.sql("DROP DATABASE IF EXISTS w4v CASCADE")

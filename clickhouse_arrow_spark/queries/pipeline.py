@@ -1726,6 +1726,34 @@ def q_agg_projection_route(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "core_file_tvf",
+    """
+    SELECT n.n_nationkey, n.n_name, r.r_name
+    FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+    ORDER BY n.n_nationkey
+    """,
+    doc="Round 6: ClickHouse file() table function "
+    "(client._rewrite_file_tvfs; CH table-functions/file.md — the "
+    "reference forwards these to the server): file('path','Parquet') "
+    "becomes a Spark read registered as a temp view, so Catalyst "
+    "pushes filters/projections into the scan like any file source; "
+    "joined here against a catalog table to pin the FROM/JOIN "
+    "substitution. s3() maps s3:// to s3a://; url() refuses with the "
+    "DSv2 recipe.",
+    tags=("source", "file", "tvf"),
+)
+def q_core_file_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        f"SELECT n.n_nationkey, n.n_name, r.r_name "
+        f"FROM file('{sf_dir}/nation.parquet', 'Parquet') n "
+        f"JOIN file('{sf_dir}/region.parquet') r "
+        "ON n.n_regionkey = r.r_regionkey ORDER BY n.n_nationkey"
+    )
+
+
+@register(
     "doc_select_budget",
     """
     WITH d AS (

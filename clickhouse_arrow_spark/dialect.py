@@ -180,6 +180,11 @@ _OPERATOR_BACKED: dict[str, str] = {
         "operators.timeseries.group_array_moving(df, keys, order, value, n)"
     ),
     "sequenceMatch": "operators.funnel.sequence_match(df, user, ts, pattern, conds)",
+    "sumForEach": "operators.stats.foreach_agg(df, arr, 'sum' [, group_cols]) — element-wise, O(width) state",
+    "minForEach": "operators.stats.foreach_agg(df, arr, 'min' [, group_cols])",
+    "maxForEach": "operators.stats.foreach_agg(df, arr, 'max' [, group_cols])",
+    "avgForEach": "operators.stats.foreach_agg(df, arr, 'avg' [, group_cols])",
+    "countForEach": "operators.stats.foreach_agg(df, arr, 'count' [, group_cols])",
     "sequenceCount": "operators.funnel.sequence_count(df, user, ts, pattern, conds)",
     "windowFunnel": "operators.funnel.window_funnel(df, user, ts, steps, window)",
     "geohashEncode": "functions.ch_functions.geohash_encode(lon, lat, precision)",
@@ -2886,6 +2891,15 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # internal representation — exact percentile is a value superset
     "quantileTiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    "quantilesTiming": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesDeterministic": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p)}))"
+    ),
+    "quantilesTDigest": lambda p, a: (
+        f"approx_percentile({a[0]}, array({', '.join(p)}))"
+    ),
     # Exact{Low,High,Inclusive,Exclusive} pick discrete elements; Spark's
     # exact percentile interpolates — same statistic family, boundary
     # elements may differ by one position (documented narrowing)

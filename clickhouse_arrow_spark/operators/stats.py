@@ -466,3 +466,35 @@ def auc(df: DataFrame, score_col: str, label_col: Column) -> DataFrame:
             (F.col("r1") - n1 * (n1 + 1) / F.lit(2.0)) / (n0 * n1), 6
         ).alias("auc")
     )
+
+
+def foreach_agg(
+    df: DataFrame,
+    arr_col: str,
+    fn: str = "sum",
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """ClickHouse's ``-ForEach`` combinator (``sumForEach(arr)``,
+    ``maxForEach(arr)``, ...): apply the aggregate ELEMENT-WISE across
+    the rows' arrays, returning one array per group whose i-th element
+    aggregates every row's i-th element (ragged arrays contribute only
+    to the positions they have, like CH).
+
+    Scale shape: posexplode to (pos, value) rows, ONE keyed aggregate
+    on (group, pos) with map-side combine, then re-assemble the array
+    ordered by position — state per group is O(array width), never the
+    whole group's rows (the collect_list formulation a textual rewrite
+    would need holds every row and is exactly what this avoids)."""
+    group_cols = group_cols or []
+    e = df.select(
+        *group_cols, F.posexplode(arr_col).alias("_pos", "_v")
+    )
+    agg_fn = getattr(F, fn)
+    per_pos = e.groupBy(*group_cols, "_pos").agg(agg_fn("_v").alias("_a"))
+    assembled = F.transform(
+        F.array_sort(F.collect_list(F.struct("_pos", "_a"))),
+        lambda s: s.getField("_a"),
+    ).alias(f"{fn}_foreach")
+    if group_cols:
+        return per_pos.groupBy(*group_cols).agg(assembled)
+    return per_pos.groupBy().agg(assembled)

@@ -215,3 +215,33 @@ def test_file_tvf_refusals(ch):
         ch.query_ch("SELECT 1 FROM file('/nope/data.bin')")
     with pytest.raises(UntranslatableFunctionError, match="string literals"):
         ch.query_ch("SELECT 1 FROM file(some_col)")
+
+
+def test_foreach_agg_operator(spark):
+    from clickhouse_arrow_spark.operators.stats import foreach_agg
+
+    df = spark.createDataFrame(
+        [("a", [1, 2, 3]), ("a", [10, 20]), ("b", [5])],
+        "g STRING, arr ARRAY<BIGINT>",
+    )
+    got = {
+        r["g"]: r["sum_foreach"]
+        for r in foreach_agg(df, "arr", "sum", ["g"]).collect()
+    }
+    assert got == {"a": [11, 22, 3], "b": [5]}
+    # global (no group) + max
+    [r] = foreach_agg(df, "arr", "max").collect()
+    assert r["max_foreach"] == [10, 20, 3]
+
+
+def test_foreach_combinator_guided(ch):
+    with pytest.raises(UntranslatableFunctionError, match="foreach_agg"):
+        ch.query_ch("SELECT sumForEach(arr) FROM (SELECT [1, 2] AS arr)")
+
+
+def test_quantiles_plural_variants(ch):
+    r = one(ch, "SELECT quantilesTiming(0.25, 0.75)(l_quantity) AS qt, "
+                "quantilesDeterministic(0.5)(l_quantity, l_orderkey) AS qd, "
+                "quantilesTDigest(0.5, 0.9)(l_quantity) AS qtd "
+                "FROM lineitem")
+    assert len(r["qt"]) == 2 and len(r["qd"]) == 1 and len(r["qtd"]) == 2

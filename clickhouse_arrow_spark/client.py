@@ -682,8 +682,11 @@ class Client:
             if m.group(2):
                 listed = [c.strip().strip("`") for c in m.group(2).split(",")]
                 block = block.toDF(*listed[: len(block.columns)])
+                mat = self._materialized_exprs(m.group(1))
                 for f in target.fields:
                     if f.name not in block.columns:
+                        if f.name in mat:
+                            continue  # _align_to_table computes it
                         default = f.metadata.get("CURRENT_DEFAULT")
                         fill = (
                             _F.expr(default)
@@ -838,7 +841,16 @@ class Client:
         ddl = create_table_ddl(
             database, table, schema, options, self.type_options, location
         )
-        self.execute(ddl, qid)
+        try:
+            self.execute(ddl, qid)
+        except Exception as e:
+            from clickhouse_arrow_spark.ddl import _drop_orphan_location
+
+            # stale warehouse dir from a previous session whose catalog
+            # entry is gone: clear and retry (same policy as ddl path)
+            if not _drop_orphan_location(self.spark, e):
+                raise
+            self.execute(ddl, qid)
         return ddl
 
     def _try_create_table_stmt(self, ch_sql: str, qid: str | None) -> bool:
@@ -1507,11 +1519,46 @@ class Client:
         from pyspark.sql import functions as F
 
         target = self.spark.table(table).schema
-        missing = [f.name for f in target.fields if f.name not in df.columns]
+        missing = [f for f in target.fields if f.name not in df.columns]
         if missing:
-            raise SchemaError(f"insert missing columns for {table}: {missing}")
+            # CH computes MATERIALIZED columns (and applies DEFAULTs)
+            # for columns the insert omits — same here, from the
+            # block's own columns
+            mat = self._materialized_exprs(table) if missing else {}
+            for f in missing:
+                if f.name in mat:
+                    df = df.withColumn(
+                        f.name, F.expr(mat[f.name]).cast(f.dataType)
+                    )
+                elif f.metadata and "CURRENT_DEFAULT" in f.metadata:
+                    df = df.withColumn(
+                        f.name,
+                        F.expr(f.metadata["CURRENT_DEFAULT"]).cast(
+                            f.dataType
+                        ),
+                    )
+            still = [f.name for f in target.fields
+                     if f.name not in df.columns]
+            if still:
+                raise SchemaError(
+                    f"insert missing columns for {table}: {still}"
+                )
         cols = [F.col(f.name).cast(f.dataType).alias(f.name) for f in target.fields]
         return df.select(*cols)
+
+    def _materialized_exprs(self, table: str) -> dict[str, str]:
+        """col -> insert-time expression from the table's MATERIALIZED
+        prop (textual CREATE records them; Spark DEFAULT cannot
+        reference sibling columns)."""
+        import json
+
+        try:
+            for r in self.spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+                if r["key"] == "clickhouse_arrow_spark.materialized":
+                    return json.loads(r["value"].replace("''", "'"))
+        except Exception:
+            pass
+        return {}
 
     def _tables_in(self, sql: str) -> list[str]:
         """Best-effort table extraction for EXPLAIN ESTIMATE."""

@@ -48,6 +48,10 @@ class CreateOptions:
     ttl: str | None = None  # e.g. "ts + INTERVAL 30 DAY"
     settings: dict[str, str] = dc_field(default_factory=dict)
     defaults: dict[str, str] = dc_field(default_factory=dict)  # col -> SQL expr
+    #: CH MATERIALIZED columns (and DEFAULTs that reference other
+    #: columns, which Spark DEFAULT cannot): computed at INSERT time by
+    #: the client from the block's other columns
+    materialized: dict[str, str] = dc_field(default_factory=dict)
     if_not_exists: bool = True
     #: ClickHouse bloom_filter skip-index analogue: parquet bloom filters
     #: written for these columns (point-lookup data skipping).
@@ -56,6 +60,13 @@ class CreateOptions:
 
     def validate(self, columns: list[str]) -> None:
         """Port of the reference's option validation (schema.rs:310-383)."""
+        if self.engine in ("Kafka", "RabbitMQ", "NATS", "FileLog"):
+            raise SchemaError(
+                f"{self.engine} is a streaming-INGEST engine; the Spark "
+                "analogue is Structured Streaming — readStream from the "
+                "broker (streaming/events.read_events_stream shape) "
+                "writing into a MergeTree table via foreachBatch"
+            )
         colset = set(columns)
         for c in self.order_by:
             if c not in colset:
@@ -143,6 +154,12 @@ def create_table_ddl(
         props["clickhouse_arrow_spark.ttl"] = options.ttl
     for k, v in options.settings.items():
         props[f"clickhouse_arrow_spark.setting.{k}"] = v
+    if options.materialized:
+        import json as _json
+
+        props["clickhouse_arrow_spark.materialized"] = _json.dumps(
+            options.materialized
+        ).replace("'", "''")
     kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
     stmt.append(f"TBLPROPERTIES ({kv})")
     return "\n".join(stmt)
@@ -893,7 +910,10 @@ def parse_create_table(ch_sql: str):
                     mods,
                 )
                 if md:
-                    defaults[col] = translate_ch_sql(md.group(2).strip())
+                    defaults[col] = (
+                        md.group(1).upper(),
+                        translate_ch_sql(md.group(2).strip()),
+                    )
                 elif re.match(r"(?is)^ALIAS\b", mods):
                     raise SchemaError(
                         f"column {col!r}: ALIAS is a read-time computed "
@@ -942,6 +962,21 @@ def parse_create_table(ch_sql: str):
         # only — record the expression as metadata, keep data unsplit
         settings["partition_by_expression"] = partition_by
         partition_by = None
+    # MATERIALIZED exprs — and DEFAULTs that reference sibling columns,
+    # which Spark's DEFAULT clause cannot resolve — compute at INSERT
+    # time in the client instead (CH computes both on insert)
+    plain_defaults: dict[str, str] = {}
+    materialized: dict[str, str] = {}
+    for col, (kind, expr) in defaults.items():
+        refs_sibling = any(
+            re.search(rf"(?<![\w`]){re.escape(c)}(?![\w`])", expr)
+            for c in colnames
+            if c != col
+        )
+        if kind == "MATERIALIZED" or refs_sibling:
+            materialized[col] = expr
+        else:
+            plain_defaults[col] = expr
     options = CreateOptions(
         engine=engine.group(1) if engine else "MergeTree",
         order_by=_tuple_list(clauses.get("ORDER BY", "")),
@@ -950,7 +985,8 @@ def parse_create_table(ch_sql: str):
         sample_by=_unq(clauses["SAMPLE BY"]) if clauses.get("SAMPLE BY") else None,
         ttl=clauses.get("TTL") or None,
         settings=settings,
-        defaults=defaults,
+        defaults=plain_defaults,
+        materialized=materialized,
         if_not_exists=bool(m.group("ine")),
         bloom_filter_cols=tuple(bloom_cols),
     )
@@ -1072,6 +1108,64 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     def tr(expr: str) -> str:
         return translate_ch_sql(f"SELECT {expr}")[len("SELECT "):]
 
+    mm = re.match(r"(?is)^MODIFY\s+COMMENT\s+'((?:[^']|'')*)'\s*$", action)
+    if mm:
+        spark.sql(
+            f"COMMENT ON TABLE {table} IS '{mm.group(1)}'"
+        )
+        return True
+    mm = re.match(r"(?is)^MODIFY\s+ORDER\s+BY\s+(.+)$", action)
+    if mm:
+        # metadata-only, like CH (existing parts keep their order; new
+        # writes cluster by the new key via sort_for_write)
+        cols = [
+            c.strip().strip("`()")
+            for c in mm.group(1).split(",")
+            if c.strip().strip("`()")
+        ]
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES "
+            f"('clickhouse_arrow_spark.order_by' = '{','.join(cols)}')"
+        )
+        return True
+    if re.match(r"(?is)^FREEZE\b", action):
+        raise SchemaError(
+            "ALTER TABLE ... FREEZE takes a hardlink snapshot of local "
+            "parts — parquet tables snapshot by COPYING the table "
+            "location (distcp / aws s3 sync), or use a Delta/Iceberg "
+            "table for zero-copy time travel"
+        )
+    mm = re.match(
+        r"(?is)^DROP\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$", action
+    )
+    if mm:
+        val = mm.group(1) if mm.group(1) is not None else mm.group(2)
+        pcols = [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ]
+        if pcols:
+            # physical partition: file-level drop, no data rewrite
+            spark.sql(
+                f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
+                f"(`{pcols[0]}` = '{val}')"
+            )
+            return True
+        expr = _table_props(spark, table).get(
+            "clickhouse_arrow_spark.setting.partition_by_expression"
+        )
+        if expr:
+            from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+            lit = val if val.replace(".", "", 1).isdigit() else f"'{val}'"
+            pred = translate_ch_sql(f"SELECT ({expr}) = {lit}")[
+                len("SELECT "):
+            ]
+            mutate_delete(spark, table, pred)
+            _rebuild_projections_after_mutation(spark, table)
+            return True
+        raise SchemaError(
+            f"{table} declares no PARTITION BY — nothing to drop"
+        )
     mm = re.match(
         r"(?is)^ADD\s+PROJECTION\s+(\w+)\s*\(\s*(.+)\s*\)\s*$", action
     )

@@ -165,3 +165,96 @@ def test_write_table_order_and_partition(spark, tmp_path):
     write_table(df, path, CreateOptions(order_by=("id",), partition_by="bucket"))
     assert len(glob.glob(f"{path}/bucket=*")) == 4
     assert spark.read.parquet(path).count() == 1000
+
+
+# ---------------------------------------------------------------------------
+# round 6: MATERIALIZED columns, DROP PARTITION, MODIFY COMMENT/ORDER BY
+# ---------------------------------------------------------------------------
+
+
+def test_materialized_column_computed_on_insert(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.m")
+    client.execute_ch(
+        "CREATE TABLE ddl6.m (k Int64, doubled Int64 MATERIALIZED k * 2, "
+        "label String DEFAULT concat('k=', toString(k))) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.insert(
+        "ddl6.m", spark.createDataFrame([(1,), (5,)], "k BIGINT")
+    )
+    rows = {r["k"]: (r["doubled"], r["label"])
+            for r in spark.table("ddl6.m").collect()}
+    assert rows == {1: (2, "k=1"), 5: (10, "k=5")}
+    # SQL INSERT SELECT path computes them too
+    client.execute_ch("INSERT INTO ddl6.m (k) SELECT 7")
+    assert {r["k"]: r["doubled"] for r in spark.table("ddl6.m").collect()}[7] == 14
+    spark.sql("DROP TABLE IF EXISTS ddl6.m")
+
+
+def test_drop_partition_physical(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.p")
+    client.execute_ch(
+        "CREATE TABLE ddl6.p (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl6.p",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "eu"), (3, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    client.execute_ch("ALTER TABLE ddl6.p DROP PARTITION 'eu'")
+    assert {r["k"] for r in spark.table("ddl6.p").collect()} == {3}
+    spark.sql("DROP TABLE IF EXISTS ddl6.p")
+
+
+def test_drop_partition_expression(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.pe")
+    client.execute_ch(
+        "CREATE TABLE ddl6.pe (d Date, v Int64) "
+        "ENGINE = MergeTree PARTITION BY toYYYYMM(d) ORDER BY d"
+    )
+    client.insert(
+        "ddl6.pe",
+        spark.createDataFrame(
+            [("2024-01-05", 1), ("2024-01-20", 2), ("2024-02-01", 3)],
+            "d STRING, v BIGINT",
+        ).selectExpr("CAST(d AS DATE) AS d", "v"),
+    )
+    client.execute_ch("ALTER TABLE ddl6.pe DROP PARTITION 202401")
+    assert [r["v"] for r in spark.table("ddl6.pe").collect()] == [3]
+    spark.sql("DROP TABLE IF EXISTS ddl6.pe")
+
+
+def test_modify_comment_and_order_by(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.c")
+    client.execute_ch(
+        "CREATE TABLE ddl6.c (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("ALTER TABLE ddl6.c MODIFY COMMENT 'hello world'")
+    desc = {
+        r["col_name"]: r["data_type"]
+        for r in spark.sql("DESCRIBE TABLE EXTENDED ddl6.c").collect()
+    }
+    assert desc.get("Comment") == "hello world"
+    client.execute_ch("ALTER TABLE ddl6.c MODIFY ORDER BY (k)")
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql("SHOW TBLPROPERTIES ddl6.c").collect()
+    }
+    assert props["clickhouse_arrow_spark.order_by"] == "k"
+    spark.sql("DROP TABLE IF EXISTS ddl6.c")
+
+
+def test_kafka_engine_guided(spark, client):
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    with pytest.raises(SchemaError, match="Structured Streaming"):
+        client.execute_ch(
+            "CREATE TABLE ddl6.k (k Int64) ENGINE = Kafka "
+            "SETTINGS kafka_broker_list = 'b:9092'"
+        )

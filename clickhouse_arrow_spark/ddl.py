@@ -828,7 +828,7 @@ _TAIL_KW_RE = re.compile(
     r"TTL|SETTINGS|AS\s+SELECT|COMMENT)\b"
 )
 _COLDEF_STOP_RE = re.compile(
-    r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\b"
+    r"(?i)\b(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL|EPHEMERAL)\b"
 )
 
 
@@ -876,6 +876,7 @@ def parse_create_table(ch_sql: str):
 
     columns: list[tuple[str, str]] = []
     defaults: dict[str, str] = {}
+    ephemerals: set[str] = set()
     bloom_cols: list[str] = []
     if rest.startswith("("):
         close = _find_matching_paren(rest, 0)
@@ -920,6 +921,14 @@ def parse_create_table(ch_sql: str):
                         "column — create the table without it and add a "
                         "view (CREATE VIEW) over the expression"
                     )
+                elif re.match(r"(?is)^EPHEMERAL\b", mods):
+                    # insert-only pseudo column: never stored; the
+                    # insert block may carry it and MATERIALIZED exprs
+                    # may read it (the client's align step computes
+                    # materialized columns from the block, then
+                    # projects to the stored schema — extras drop)
+                    ephemerals.add(col)
+                    continue
             if not ch_type:
                 raise SchemaError(f"column {col!r} has no type")
             columns.append((col, ch_type))
@@ -970,7 +979,7 @@ def parse_create_table(ch_sql: str):
     for col, (kind, expr) in defaults.items():
         refs_sibling = any(
             re.search(rf"(?<![\w`]){re.escape(c)}(?![\w`])", expr)
-            for c in colnames
+            for c in (colnames | ephemerals)
             if c != col
         )
         if kind == "MATERIALIZED" or refs_sibling:

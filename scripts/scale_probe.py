@@ -338,6 +338,66 @@ def main() -> int:
         lambda: select_token_budget(budget_docs, budget=rows_fact * 100),
     )
 
+    # -- round-6: projection routing at 10M rows — the read-side payoff
+    # (partials re-aggregation vs full base scan) and the insert
+    # trigger's O(block) maintenance cost
+    if not only or any(s in "projection_routing" for s in only):
+        from clickhouse_arrow_spark.client import Client
+        from clickhouse_arrow_spark.ddl import CreateOptions, create_table
+
+        client = Client(spark)
+        spark.sql("CREATE DATABASE IF NOT EXISTS probedb")
+        spark.sql("DROP TABLE IF EXISTS probedb.fact_p")
+        spark.sql("DROP TABLE IF EXISTS probedb.fact_p__proj_by_dim")
+        create_table(
+            spark, "probedb", "fact_p",
+            [("k", "Int64"), ("dimkey", "Int32"), ("price", "Float64")],
+            CreateOptions(engine="MergeTree", order_by=("k",)),
+        )
+        client.insert("probedb.fact_p",
+                      fact.select("k", "dimkey", "price"))
+        client.execute_ch(
+            "ALTER TABLE probedb.fact_p ADD PROJECTION by_dim "
+            "(SELECT dimkey, sum(price) AS rev, count() AS n "
+            "GROUP BY dimkey)"
+        )
+        t0 = time.perf_counter()
+        client.execute_ch(
+            "ALTER TABLE probedb.fact_p MATERIALIZE PROJECTION by_dim"
+        )
+        timings["projection_materialize_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        q = ("SELECT dimkey, sum(price) AS rev, count() AS n "
+             "FROM probedb.fact_p GROUP BY dimkey")
+        t0 = time.perf_counter()
+        client.query_ch(q).write.format("noop").mode("overwrite").save()
+        timings["projection_routed_query_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        t0 = time.perf_counter()
+        spark.sql(
+            "SELECT dimkey, sum(price) AS rev, count(*) AS n "
+            "FROM probedb.fact_p GROUP BY dimkey"
+        ).write.format("noop").mode("overwrite").save()
+        timings["projection_base_scan_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        t0 = time.perf_counter()
+        client.insert(
+            "probedb.fact_p",
+            spark.range(0, 10_000).select(
+                (F.col("id") + rows_fact).alias("k"),
+                (F.col("id") % 25).cast("int").alias("dimkey"),
+                F.lit(1.0).alias("price"),
+            ),
+        )
+        timings["projection_insert_10k_block_sec"] = round(
+            time.perf_counter() - t0, 2
+        )
+        spark.sql("DROP TABLE IF EXISTS probedb.fact_p__proj_by_dim")
+        spark.sql("DROP TABLE IF EXISTS probedb.fact_p")
+
     def _incremental():
         store = dedup_ops.minhash_store(docs.where(F.col("doc_id") % 10 != 0))
         batch = docs.where(F.col("doc_id") % 10 == 0)

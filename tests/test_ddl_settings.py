@@ -258,3 +258,23 @@ def test_kafka_engine_guided(spark, client):
             "CREATE TABLE ddl6.k (k Int64) ENGINE = Kafka "
             "SETTINGS kafka_broker_list = 'b:9092'"
         )
+
+
+def test_ephemeral_column_feeds_materialized(spark, client):
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.e")
+    client.execute_ch(
+        "CREATE TABLE ddl6.e (k Int64, raw String EPHEMERAL, "
+        "h Int64 MATERIALIZED length(raw)) ENGINE = MergeTree ORDER BY k"
+    )
+    # ephemeral column is NOT stored
+    assert spark.table("ddl6.e").columns == ["k", "h"]
+    # the insert block carries it; h computes from it, raw drops
+    client.insert(
+        "ddl6.e",
+        spark.createDataFrame([(1, "abc"), (2, "hello")],
+                              "k BIGINT, raw STRING"),
+    )
+    assert {r["k"]: r["h"] for r in spark.table("ddl6.e").collect()} \
+        == {1: 3, 2: 5}
+    spark.sql("DROP TABLE IF EXISTS ddl6.e")

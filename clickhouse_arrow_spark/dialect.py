@@ -1236,11 +1236,65 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: (
             f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) {op} ({a[1]}) END"
         )
-    if name == "countSubstrings":
+    if name in ("countSubstrings", "countSubstringsCaseInsensitive"):
+        def count_subs(a: Args, _ci=(name.endswith("Insensitive"))) -> str:
+            h = f"lower({a[0]})" if _ci else a[0]
+            n = f"lower({a[1]})" if _ci else a[1]
+            return (
+                f"CAST((length({h}) - length(replace({h}, {n}, ''))) "
+                f"DIV length({n}) AS BIGINT)"
+            )
+
+        return count_subs
+    if name == "multiSearchAllPositions":
+        # per needle: first position, 0 when absent (locate's contract)
+        return lambda a: f"transform({a[1]}, _n -> locate(_n, {a[0]}))"
+    if name == "multiMatchAny":
+        return lambda a: f"exists({a[1]}, _p -> ({a[0]}) RLIKE _p)"
+    if name == "multiMatchAnyIndex":
+        # first matching pattern's 1-based index, 0 when none match
         return lambda a: (
-            f"CAST((length({a[0]}) - length(replace({a[0]}, {a[1]}, ''))) "
-            f"DIV length({a[1]}) AS BIGINT)"
+            f"coalesce(array_position(transform({a[1]}, "
+            f"_p -> ({a[0]}) RLIKE _p), true), 0)"
         )
+    if name == "multiMatchAllIndices":
+        return lambda a: (
+            f"filter(transform(sequence(1, size({a[1]})), "
+            f"_i -> IF(({a[0]}) RLIKE element_at({a[1]}, _i), _i, 0)), "
+            f"_x -> _x > 0)"
+        )
+    if name in ("hasToken", "hasTokenCaseInsensitive"):
+        def has_token(a: Args, _ci=(name.endswith("Insensitive"))) -> str:
+            h = f"lower({a[0]})" if _ci else a[0]
+            t = f"lower({a[1]})" if _ci else a[1]
+            return (
+                f"exists(split({h}, '[^a-zA-Z0-9_]+'), _t -> _t = {t})"
+            )
+
+        return has_token
+    if name == "notILike":
+        return lambda a: f"(NOT (({a[0]}) ILIKE {a[1]}))"
+    if name == "alphaTokens":
+        return lambda a: (
+            f"filter(split({a[0]}, '[^a-zA-Z]+'), _t -> _t != '')"
+        )
+    if name == "splitByWhitespace":
+        return lambda a: (
+            f"filter(split({a[0]}, '\\\\s+'), _t -> _t != '')"
+        )
+    if name in ("hasSubsequence", "hasSubsequenceCaseInsensitive"):
+        # greedy char-pointer fold: O(|haystack|) per row
+        def has_subseq(a: Args, _ci=(name.endswith("Insensitive"))) -> str:
+            h = f"lower({a[0]})" if _ci else a[0]
+            n = f"lower({a[1]})" if _ci else a[1]
+            return (
+                f"(aggregate(split({h}, ''), 0, (_acc, _ch) -> "
+                f"IF(_ch != '' AND _acc < length({n}) "
+                f"AND _ch = substring({n}, _acc + 1, 1), "
+                f"_acc + 1, _acc)) = length({n}))"
+            )
+
+        return has_subseq
     if name == "isFinite":
         return lambda a: (
             f"(NOT isnan({a[0]}) AND abs({a[0]}) != CAST('Infinity' AS DOUBLE))"

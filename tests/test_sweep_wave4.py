@@ -245,3 +245,42 @@ def test_quantiles_plural_variants(ch):
                 "quantilesTDigest(0.5, 0.9)(l_quantity) AS qtd "
                 "FROM lineitem")
     assert len(r["qt"]) == 2 and len(r["qd"]) == 1 and len(r["qtd"]) == 2
+
+
+# ---- wave 8: string-search family -----------------------------------------
+
+
+def test_multi_search_family(ch):
+    r = one(ch, "SELECT multiSearchAllPositions('hello world hello', "
+                "['hello', 'world', 'zzz']) AS p, "
+                "multiMatchAny('error: disk full', ['disk.*full', 'oom']) "
+                "AS m1, "
+                "multiMatchAny('all good', ['disk.*full', 'oom']) AS m0, "
+                "multiMatchAnyIndex('error: disk full', "
+                "['oom', 'disk.*full']) AS i, "
+                "multiMatchAnyIndex('all good', ['oom']) AS i0, "
+                "multiMatchAllIndices('abc', ['a', 'z', 'c']) AS ai")
+    assert r["p"] == [1, 7, 0]
+    assert (r["m1"], r["m0"]) == (True, False)
+    assert (r["i"], r["i0"]) == (2, 0)
+    assert r["ai"] == [1, 3]
+
+
+def test_has_token_and_subsequence(ch):
+    r = one(ch, "SELECT hasToken('the quick brown fox', 'quick') AS h1, "
+                "hasToken('the quick', 'qui') AS h2, "
+                "hasTokenCaseInsensitive('The QUICK fox', 'quick') AS h3, "
+                "hasSubsequence('hello world', 'hlo') AS s1, "
+                "hasSubsequence('hello', 'oll') AS s2")
+    assert (r["h1"], r["h2"], r["h3"]) == (True, False, True)
+    assert (r["s1"], r["s2"]) == (True, False)
+
+
+def test_split_token_variants(ch):
+    r = one(ch, "SELECT alphaTokens('abc1def2ghi') AS a, "
+                "splitByWhitespace('a b  c') AS w, "
+                "countSubstringsCaseInsensitive('AbAb', 'ab') AS n, "
+                "notILike('HELLO', '%zzz%') AS ni")
+    assert r["a"] == ["abc", "def", "ghi"]
+    assert r["w"] == ["a", "b", "c"]
+    assert r["n"] == 2 and r["ni"] is True

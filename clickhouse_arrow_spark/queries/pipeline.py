@@ -2546,6 +2546,40 @@ def q_util_sweep_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave8",
+    """
+    SELECT [1, 7, 0] AS pos, TRUE AS m1, FALSE AS m0,
+           CAST(2 AS BIGINT) AS idx, [1, 3] AS all_idx,
+           TRUE AS tok, FALSE AS tok_part, TRUE AS subseq,
+           ['abc', 'def'] AS alpha, CAST(2 AS BIGINT) AS ci_count
+    """,
+    doc="Round-6 probe-sweep wave 8 (string-search family, exact "
+    "literal oracle): multiSearchAllPositions, multiMatchAny[Index]/"
+    "AllIndices (RE2-shaped pattern lists), hasToken (tokenizer-"
+    "boundary match, substring correctly misses), hasSubsequence "
+    "(greedy char fold), alphaTokens, countSubstringsCaseInsensitive.",
+    tags=("dialect", "sweep", "wave8", "string-search"),
+)
+def q_util_sweep_wave8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT multiSearchAllPositions('hello world hello', "
+        "['hello', 'world', 'zzz']) AS pos, "
+        "multiMatchAny('error: disk full', ['disk.*full', 'oom']) AS m1, "
+        "multiMatchAny('all good', ['disk.*full']) AS m0, "
+        "toInt64(multiMatchAnyIndex('error: disk full', "
+        "['oom', 'disk.*full'])) AS idx, "
+        "multiMatchAllIndices('abc', ['a', 'z', 'c']) AS all_idx, "
+        "hasToken('the quick brown fox', 'quick') AS tok, "
+        "hasToken('the quick', 'qui') AS tok_part, "
+        "hasSubsequence('hello world', 'hlo') AS subseq, "
+        "alphaTokens('abc1def') AS alpha, "
+        "toInt64(countSubstringsCaseInsensitive('AbAb', 'ab')) AS ci_count"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

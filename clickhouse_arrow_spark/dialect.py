@@ -936,6 +936,78 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"aggregate(transform(split({a[0]}, '\\\\.'), _o -> CAST(_o AS BIGINT)), "
             f"CAST(0 AS BIGINT), (_acc, _o) -> _acc * 256 + _o)"
         )
+    if name in ("IPv4StringToNumOrNull", "IPv4StringToNumOrDefault"):
+        # validity gate first: a malformed address yields NULL (OrNull)
+        # or 0 (OrDefault, the type default), never a CAST error
+        def ip_or_null(a: Args, _dflt=(name.endswith("Default"))) -> str:
+            num = (
+                f"aggregate(transform(split({a[0]}, '\\\\.'), "
+                f"_o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT), "
+                f"(_acc, _o) -> _acc * 256 + _o)"
+            )
+            valid = (
+                f"({a[0]} RLIKE "
+                f"'^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){{3}}"
+                f"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')"
+            )
+            fallback = "CAST(0 AS BIGINT)" if _dflt else "CAST(NULL AS BIGINT)"
+            return f"(CASE WHEN {valid} THEN {num} ELSE {fallback} END)"
+
+        return ip_or_null
+    if name in ("toIPv4", "toIPv4OrNull"):
+        # the CH IPv4 TYPE is a UInt32 with dotted-quad rendering; the
+        # engine keeps the dotted-quad STRING as the carrier (IP
+        # functions here accept it directly), validated per variant
+        def to_ipv4(a: Args, _null=(name.endswith("OrNull"))) -> str:
+            valid = (
+                f"({a[0]} RLIKE "
+                f"'^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){{3}}"
+                f"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')"
+            )
+            return f"(CASE WHEN {valid} THEN {a[0]} ELSE NULL END)"
+
+        return to_ipv4
+    if name == "IPv4CIDRToRange":
+        def cidr_range(a: Args) -> str:
+            num = (
+                f"aggregate(transform(split({a[0]}, '\\\\.'), "
+                f"_o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT), "
+                f"(_acc, _o) -> _acc * 256 + _o)"
+            )
+            blk = f"shiftleft(CAST(1 AS BIGINT), 32 - ({a[1]}))"
+            lo = f"(({num}) DIV {blk}) * {blk}"
+
+            def num2str(x: str) -> str:
+                return (
+                    f"concat_ws('.', CAST(({x}) DIV 16777216 AS STRING), "
+                    f"CAST((({x}) DIV 65536) % 256 AS STRING), "
+                    f"CAST((({x}) DIV 256) % 256 AS STRING), "
+                    f"CAST(({x}) % 256 AS STRING))"
+                )
+
+            return (
+                f"named_struct('min', {num2str(lo)}, "
+                f"'max', {num2str(f'{lo} + {blk} - 1')})"
+            )
+
+        return cidr_range
+    if name == "isIPAddressInRange":
+        def ip_in_range(a: Args) -> str:
+            def ip2num(s: str) -> str:
+                return (
+                    f"aggregate(transform(split({s}, '\\\\.'), "
+                    f"_o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT), "
+                    f"(_acc, _o) -> _acc * 256 + _o)"
+                )
+
+            base = f"element_at(split({a[1]}, '/'), 1)"
+            bits = f"CAST(element_at(split({a[1]}, '/'), 2) AS INT)"
+            blk = f"shiftleft(CAST(1 AS BIGINT), 32 - {bits})"
+            return (
+                f"(({ip2num(a[0])}) DIV {blk} = ({ip2num(base)}) DIV {blk})"
+            )
+
+        return ip_in_range
     # ---- bit ops --------------------------------------------------------
     if name == "bitAnd":
         return lambda a: f"({a[0]} & {a[1]})"
@@ -947,6 +1019,43 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"(~{a[0]})"
     if name == "bitTest":
         return lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)"
+    if name == "bitHammingDistance":
+        return lambda a: f"bit_count(({a[0]}) ^ ({a[1]}))"
+    if name in ("bitRotateLeft", "bitRotateRight"):
+        # 64-bit rotate (CH rotates within the argument's own integer
+        # width — the 64-bit form is the widening convention here)
+        left = name.endswith("Left")
+
+        def rotate(a: Args, _left=left) -> str:
+            x = f"CAST({a[0]} AS BIGINT)"
+            n = a[1]
+            if _left:
+                return (
+                    f"(shiftleft({x}, {n}) | "
+                    f"shiftrightunsigned({x}, 64 - ({n})))"
+                )
+            return (
+                f"(shiftrightunsigned({x}, {n}) | "
+                f"shiftleft({x}, 64 - ({n})))"
+            )
+
+        return rotate
+    if name in ("bitmaskToArray", "bitmaskToList"):
+        def bitmask(a: Args, _list=(name == "bitmaskToList")) -> str:
+            arr = (
+                f"filter(transform(sequence(0, 62), _i -> "
+                f"IF((shiftright(CAST({a[0]} AS BIGINT), _i) & 1) = 1, "
+                f"shiftleft(CAST(1 AS BIGINT), _i), CAST(0 AS BIGINT))), "
+                f"_x -> _x > 0)"
+            )
+            if _list:
+                return (
+                    f"array_join(transform({arr}, "
+                    f"_x -> CAST(_x AS STRING)), ',')"
+                )
+            return arr
+
+        return bitmask
     # ---- type conversions (per the types.py widening conventions) -------
     if name == "toInt8":
         return _fmt_cast("TINYINT")

@@ -2580,6 +2580,37 @@ def q_util_sweep_wave8(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave9",
+    """
+    SELECT CAST(3232235777 AS BIGINT) AS ipnum, NULL AS bad,
+           '192.168.0.0' AS cidr_min, '192.168.255.255' AS cidr_max,
+           TRUE AS in_range, FALSE AS out_range,
+           CAST([2, 16, 32] AS BIGINT[]) AS mask_arr, '2,16,32' AS mask_list,
+           CAST(4 AS BIGINT) AS hamming
+    """,
+    doc="Round-6 probe-sweep wave 9 (IP + bitmask families, exact "
+    "literal oracle): IPv4StringToNum[OrNull], IPv4CIDRToRange "
+    "(struct of dotted-quad bounds), isIPAddressInRange (dynamic CIDR "
+    "arithmetic — shiftleft block math, no string prefix tricks), "
+    "bitmaskToArray/List, bitHammingDistance.",
+    tags=("dialect", "sweep", "wave9", "ip"),
+)
+def q_util_sweep_wave9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT IPv4StringToNum('192.168.1.1') AS ipnum, "
+        "IPv4StringToNumOrNull('bogus') AS bad, "
+        "IPv4CIDRToRange(toIPv4('192.168.5.2'), 16).min AS cidr_min, "
+        "IPv4CIDRToRange(toIPv4('192.168.5.2'), 16).max AS cidr_max, "
+        "isIPAddressInRange('192.168.1.1', '192.168.0.0/16') AS in_range, "
+        "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS out_range, "
+        "bitmaskToArray(50) AS mask_arr, bitmaskToList(50) AS mask_list, "
+        "toInt64(bitHammingDistance(111, 183)) AS hamming"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

@@ -284,3 +284,33 @@ def test_split_token_variants(ch):
     assert r["a"] == ["abc", "def", "ghi"]
     assert r["w"] == ["a", "b", "c"]
     assert r["n"] == 2 and r["ni"] is True
+
+
+# ---- wave 9: IP family + bitmask helpers ----------------------------------
+
+
+def test_ipv4_family(ch):
+    r = one(ch, "SELECT IPv4StringToNumOrNull('bogus') AS bad, "
+                "IPv4StringToNumOrNull('192.168.1.1') AS ok, "
+                "IPv4StringToNumOrDefault('bogus') AS dflt, "
+                "toIPv4('10.0.0.1') AS ip, toIPv4OrNull('999.1.1.1') AS bad_ip")
+    assert r["bad"] is None and r["ok"] == 3232235777
+    assert r["dflt"] == 0
+    assert r["ip"] == "10.0.0.1" and r["bad_ip"] is None
+
+
+def test_ipv4_cidr_and_range(ch):
+    r = one(ch, "SELECT IPv4CIDRToRange(toIPv4('192.168.5.2'), 16) AS r, "
+                "isIPAddressInRange('192.168.1.1', '192.168.0.0/16') AS hit, "
+                "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS miss")
+    assert (r["r"]["min"], r["r"]["max"]) == ("192.168.0.0",
+                                              "192.168.255.255")
+    assert r["hit"] is True and r["miss"] is False
+
+
+def test_bitmask_and_rotate(ch):
+    r = one(ch, "SELECT bitmaskToArray(50) AS a, bitmaskToList(50) AS l, "
+                "bitHammingDistance(111, 183) AS h, "
+                "bitRotateLeft(1, 3) AS rl, bitRotateRight(8, 3) AS rr")
+    assert r["a"] == [2, 16, 32] and r["l"] == "2,16,32"
+    assert r["h"] == 4 and r["rl"] == 8 and r["rr"] == 1

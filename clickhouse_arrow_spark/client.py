@@ -306,7 +306,11 @@ class Client:
         ch_sql = _re.sub(
             r"(?i)\bgetSetting\s*\(\s*'([^']+)'\s*\)", _get_setting, ch_sql
         )
-        if _re.search(r"(?i)\b(?:FROM|JOIN)\s+(?:file|s3|url)\s*\(", ch_sql):
+        if _re.search(
+            r"(?i)\b(?:FROM|JOIN)\s+(?:file|s3|url|merge|generateRandom|"
+            r"remote|remoteSecure|cluster|clusterAllReplicas|input)\s*\(",
+            ch_sql,
+        ):
             ch_sql = self._rewrite_file_tvfs(ch_sql)
         # projection routing first: an aggregate query whose shape a
         # MATERIALIZED projection covers reads the partials table
@@ -1011,7 +1015,10 @@ class Client:
             _split_top_args,
         )
 
-        tvf_re = _re.compile(r"(?i)\b(FROM|JOIN)\s+(file|s3|url)\s*\(")
+        tvf_re = _re.compile(
+            r"(?i)\b(FROM|JOIN)\s+(file|s3|url|merge|generateRandom|"
+            r"remote|remoteSecure|cluster|clusterAllReplicas|input)\s*\("
+        )
         while True:
             m = _find_clean(tvf_re, ch_sql, depth0=False)
             if not m:
@@ -1031,6 +1038,29 @@ class Client:
                     "scan), for a one-off file download it first and "
                     "use file()"
                 )
+            if fn in ("remote", "remotesecure", "cluster",
+                      "clusterallreplicas"):
+                raise UntranslatableFunctionError(
+                    f"{m.group(2)}() queries another ClickHouse server "
+                    "over native TCP; the Spark-native paths are "
+                    "client.read_remote(table, url=...) / the DSv2 "
+                    "connector for a ClickHouse-HTTP endpoint — or just "
+                    "the table name: Spark IS the cluster here"
+                )
+            if fn == "input":
+                raise UntranslatableFunctionError(
+                    "input() transforms data inline during INSERT; "
+                    "transform the DataFrame before client.insert "
+                    "instead (df.select(...) then insert)"
+                )
+            if fn == "merge":
+                ch_sql = self._expand_merge_tvf(ch_sql, m, close, args)
+                continue
+            if fn == "generaterandom":
+                ch_sql = self._expand_generate_random(
+                    ch_sql, m, close, args
+                )
+                continue
             def lit(s: str) -> str:
                 s = s.strip()
                 if not (s.startswith("'") and s.endswith("'")):
@@ -1106,6 +1136,120 @@ class Client:
                 f"{ch_sql[: m.start()]}{m.group(1)} {view}"
                 f"{ch_sql[close + 1:]}"
             )
+
+    def _expand_merge_tvf(self, ch_sql, m, close, args) -> str:
+        """`merge('db', '^regex')` / `merge('^regex')` — union of every
+        table in the database whose name matches (CH table-functions/
+        merge.md): resolved from the catalog, unioned BY NAME, and
+        registered as a temp view so the rest of the query (and
+        Catalyst's pruning/pushdown over each branch) proceeds
+        normally."""
+        import hashlib
+        import re as _re
+
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+
+        def lit(s: str) -> str:
+            s = s.strip()
+            if not (s.startswith("'") and s.endswith("'")):
+                raise UntranslatableFunctionError(
+                    "merge() arguments must be string literals"
+                )
+            return s[1:-1]
+
+        if len(args) == 2:
+            db, pattern = lit(args[0]), lit(args[1])
+        elif len(args) == 1:
+            db = self.spark.catalog.currentDatabase()
+            pattern = lit(args[0])
+        else:
+            raise UntranslatableFunctionError(
+                "merge() takes ('db', 'regex') or ('regex')"
+            )
+        rx = _re.compile(pattern)
+        names = [
+            t.name for t in self.spark.catalog.listTables(db)
+            if rx.search(t.name)
+        ]
+        if not names:
+            raise UntranslatableFunctionError(
+                f"merge({db!r}, {pattern!r}) matched no tables"
+            )
+        dfs = [self.spark.table(f"{db}.{n}") for n in sorted(names)]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.unionByName(d, allowMissingColumns=True)
+        key = hashlib.md5(f"{db}|{pattern}".encode()).hexdigest()[:12]
+        view = f"__cas_merge_{key}"
+        out.createOrReplaceTempView(view)
+        return f"{ch_sql[: m.start()]}{m.group(1)} {view}{ch_sql[close + 1:]}"
+
+    def _expand_generate_random(self, ch_sql, m, close, args) -> str:
+        """`generateRandom('a Int64, b String'[, seed])` — deterministic
+        pseudo-random rows for the declared CH schema (CH's is random
+        per call; seeded here so tests and oracles can pin it). Value
+        synthesis is hash-arithmetic per type, generated DISTRIBUTED
+        via range() — no driver data."""
+        import hashlib
+        import re as _re
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as _T
+
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+        from clickhouse_arrow_spark.types import (
+            ch_type_to_spark,
+            parse_ch_type,
+        )
+
+        if not args:
+            raise UntranslatableFunctionError(
+                "generateRandom() needs a schema string"
+            )
+        schema_lit = args[0].strip()
+        if not (schema_lit.startswith("'") and schema_lit.endswith("'")):
+            raise UntranslatableFunctionError(
+                "generateRandom() schema must be a string literal"
+            )
+        seed = int(args[1]) if len(args) > 1 and args[1].isdigit() else 0
+        n_rows = 65536  # bounded; CH streams forever until LIMIT
+        base = self.spark.range(0, n_rows)
+        cols = []
+        for i, spec in enumerate(schema_lit.strip("'").split(",")):
+            cname, _, ctype = spec.strip().partition(" ")
+            dt, _null = ch_type_to_spark(
+                parse_ch_type(ctype.strip()), self.type_options
+            )
+            h = F.xxhash64(F.col("id"), F.lit(seed), F.lit(i))
+            if isinstance(dt, (_T.DoubleType, _T.FloatType)):
+                col = (F.pmod(h, F.lit(1_000_000)) / 1_000_000.0).cast(dt)
+            elif isinstance(dt, _T.StringType):
+                col = F.concat(F.lit("s"), F.pmod(h, F.lit(10 ** 9)))
+            elif isinstance(dt, _T.DateType):
+                col = F.date_add(
+                    F.lit("2000-01-01").cast("date"),
+                    F.pmod(h, F.lit(10_000)).cast("int"),
+                )
+            elif isinstance(dt, _T.TimestampType):
+                col = F.timestamp_seconds(
+                    F.lit(946684800) + F.pmod(h, F.lit(100_000_000))
+                )
+            elif isinstance(dt, _T.BooleanType):
+                col = (F.pmod(h, F.lit(2)) == 0)
+            else:  # integral family
+                col = F.pmod(h, F.lit(1_000_000)).cast(dt)
+            cols.append(col.alias(cname.strip("`")))
+        df = base.select(*cols)
+        key = hashlib.md5(
+            f"{schema_lit}|{seed}".encode()
+        ).hexdigest()[:12]
+        view = f"__cas_genrand_{key}"
+        df.createOrReplaceTempView(view)
+        return f"{ch_sql[: m.start()]}{m.group(1)} {view}{ch_sql[close + 1:]}"
 
     # ------------------------------------------------------------------
     # introspection (system.tables / system.columns analogues)

@@ -314,3 +314,56 @@ def test_bitmask_and_rotate(ch):
                 "bitRotateLeft(1, 3) AS rl, bitRotateRight(8, 3) AS rr")
     assert r["a"] == [2, 16, 32] and r["l"] == "2,16,32"
     assert r["h"] == 4 and r["rl"] == 8 and r["rr"] == 1
+
+
+def test_merge_tvf(ch, spark):
+    spark.sql("CREATE DATABASE IF NOT EXISTS mgw4")
+    for t in ("logs_a", "logs_b", "other"):
+        spark.sql(f"DROP TABLE IF EXISTS mgw4.{t}")
+        spark.range(0, 10).selectExpr("id AS k").write.saveAsTable(
+            f"mgw4.{t}"
+        )
+    assert ch.query_ch(
+        "SELECT count() AS n FROM merge('mgw4', '^logs_')"
+    ).collect()[0]["n"] == 20
+    with pytest.raises(UntranslatableFunctionError, match="matched no"):
+        ch.query_ch("SELECT 1 FROM merge('mgw4', '^zzz')")
+    spark.sql("DROP DATABASE mgw4 CASCADE")
+
+
+def test_generate_random_tvf(ch):
+    df = ch.query_ch(
+        "SELECT a, b, d FROM generateRandom('a Int64, b String, d Date', "
+        "42) LIMIT 5"
+    )
+    assert df.count() == 5
+    assert [f.dataType.simpleString() for f in df.schema.fields] == [
+        "bigint", "string", "date"
+    ]
+    # seeded: two runs identical
+    s1 = ch.query_ch(
+        "SELECT sum(a) AS s FROM generateRandom('a Int64', 42)"
+    ).collect()
+    s2 = ch.query_ch(
+        "SELECT sum(a) AS s FROM generateRandom('a Int64', 42)"
+    ).collect()
+    assert s1 == s2
+
+
+def test_remote_cluster_input_guided(ch):
+    for sql, pat in [
+        ("SELECT 1 FROM remote('h:9000', 'd', 't')", "read_remote"),
+        ("SELECT 1 FROM cluster('c', 't')", "read_remote"),
+        ("SELECT 1 FROM input('x Int64')", "client.insert"),
+    ]:
+        with pytest.raises(UntranslatableFunctionError, match=pat):
+            ch.query_ch(sql)
+
+
+def test_recursive_cte_passthrough(ch):
+    # Spark 4 WITH RECURSIVE: passes through untouched
+    [r] = ch.query_ch(
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL "
+        "SELECT n + 1 FROM r WHERE n < 5) SELECT sum(n) AS s FROM r"
+    ).collect()
+    assert r["s"] == 15

@@ -2370,8 +2370,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "multiSearchFirstIndex":
         # index (1-based, into the needle array) of the needle whose
         # match sits leftmost in the haystack; 0 when none match
+        # try_element_at: an all-miss needle list leaves an EMPTY
+        # filtered array, which plain element_at raises on under ANSI
         return lambda a: (
-            f"coalesce(element_at(array_sort(filter(zip_with({a[1]}, "
+            f"coalesce(try_element_at(array_sort(filter(zip_with({a[1]}, "
             f"sequence(1, size({a[1]})), (_n, _i) -> "
             f"struct(locate(_n, {a[0]}) AS pos, _i AS idx)), "
             f"_x -> _x.pos > 0)), 1).idx, 0)"

@@ -360,6 +360,61 @@ QUERIES = [
     ("SELECT any(o_orderstatus) AS a, anyLast(o_orderpriority) AS z "
      "FROM (SELECT * FROM orders ORDER BY o_orderkey)",
      (1, 1)),
+    # ---- round-6 waves 8-9 + TVFs ----
+    # multi-pattern log matching
+    ("SELECT count() AS n FROM orders WHERE multiMatchAny(o_orderpriority, "
+     "['URGENT', 'HIGH'])",
+     (1, 1)),
+    ("SELECT multiSearchFirstIndex(o_orderpriority, ['LOW', 'URGENT']) "
+     "AS i FROM orders ORDER BY o_orderkey LIMIT 3",
+     (3, 3)),
+    # token search over text
+    ("SELECT count() AS n FROM documents WHERE hasToken(text, 'the')",
+     (1, 1)),
+    # IP analytics shapes
+    ("SELECT IPv4NumToString(IPv4StringToNum('10.1.2.3')) AS rt, "
+     "isIPAddressInRange('10.1.2.3', '10.0.0.0/8') AS hit",
+     (1, 1)),
+    # bitmask debug helpers
+    ("SELECT bitmaskToList(o_orderkey) AS l FROM orders "
+     "ORDER BY o_orderkey LIMIT 2",
+     (2, 2)),
+    # quantiles plural over sketches
+    ("SELECT quantilesTDigest(0.5, 0.99)(o_totalprice) AS q FROM orders",
+     (1, 1)),
+    # erf-based significance shape
+    ("SELECT round(erf(abs(avg(o_totalprice) - 150000) / 1e6), 4) AS e "
+     "FROM orders",
+     (1, 1)),
+    # ngram fuzzy match scoring
+    ("SELECT o_orderpriority, round(ngramDistance(o_orderpriority, "
+     "'1-URGENT'), 3) AS d FROM orders GROUP BY o_orderpriority "
+     "ORDER BY d LIMIT 3",
+     (3, 3)),
+    # generateRandom test-data TVF
+    ("SELECT count() AS n FROM (SELECT * FROM "
+     "generateRandom('a Int64, b Float64', 7) LIMIT 100)",
+     (1, 1)),
+    # LIMIT BY with OFFSET spelling
+    ("SELECT o_custkey, o_orderkey FROM orders ORDER BY o_custkey, "
+     "o_orderkey LIMIT 1 OFFSET 1 BY o_custkey LIMIT 10",
+     (1, 10)),
+    # EXCEPT STRICT star modifier
+    ("SELECT * EXCEPT STRICT (o_orderpriority) FROM orders "
+     "ORDER BY o_orderkey LIMIT 2",
+     (2, 2)),
+    # WITH RECURSIVE (Spark 4 native)
+    ("WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1 FROM r "
+     "WHERE n < 10) SELECT count() AS c FROM r",
+     (1, 1)),
+    # arrayFill / arraySplit scan folds
+    ("SELECT arrayFill(x -> x > 0, [1, 0, 2, 0]) AS f, "
+     "arraySplit(x -> x = 0, [1, 0, 2]) AS s",
+     (1, 1)),
+    # formatReadable family
+    ("SELECT formatReadableTimeDelta(86401) AS t, "
+     "formatReadableSize(1048576) AS s",
+     (1, 1)),
 ]
 
 

@@ -420,6 +420,16 @@ def _looks_arrayish(expr: str) -> bool:
     return bool(_ARRAYISH_HEAD_RE.match(expr))
 
 
+def _safe_seq1(n_expr: str) -> str:
+    """`sequence(1, n)` that is EMPTY when n <= 0 — Spark's
+    sequence(1, 0) counts DOWN to [1, 0], which silently corrupts (or
+    ANSI-crashes) every index-generation formatter on empty inputs."""
+    return (
+        f"filter(sequence(1, greatest({n_expr}, 1)), "
+        f"_s1 -> _s1 <= ({n_expr}))"
+    )
+
+
 _LAMBDA_RE = re.compile(r"(?s)^\s*(\(([^()]*)\)|[A-Za-z_]\w*)\s*->\s*(.+)$")
 
 
@@ -835,7 +845,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "arrayZip":
         return lambda a: f"arrays_zip({', '.join(a)})"
     if name == "arrayEnumerate":
-        return lambda a: f"sequence(1, size({a[0]}))"
+        return lambda a: _safe_seq1(f"size({a[0]})")
     if name == "arrayUniq":
         return lambda a: f"CAST(size(array_distinct({a[0]})) AS BIGINT)"
     if name == "arraySum":
@@ -845,9 +855,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
         )
     if name == "arrayAvg":
+        # empty array -> NaN (CH's 0/0 float division), not an ANSI
+        # divide-by-zero error
         return lambda a: (
-            f"(aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-            f" / size({a[0]}))"
+            f"(CASE WHEN size({a[0]}) = 0 THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + x) / size({a[0]}) END)"
         )
     if name == "arraySlice":
         def array_slice(a: Args) -> str:
@@ -888,7 +901,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
             tot = f"(size({ga}) + size({gb}))"
             return (
-                f"CASE WHEN {tot} = 0 THEN CAST(0 AS DOUBLE) "
+                f"CASE WHEN ({a[0]}) IS NULL OR ({a[1]}) IS NULL "
+                f"THEN CAST(NULL AS DOUBLE) "
+                f"WHEN {tot} = 0 THEN CAST(0 AS DOUBLE) "
                 f"ELSE CAST({sym} AS DOUBLE) / {tot} END"
             )
 
@@ -1121,7 +1136,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "arrayDifference":
         # first element 0 (typed via x - x), then adjacent deltas
         return lambda a: (
-            f"transform(sequence(1, size({a[0]})), _i -> "
+            f"transform({_safe_seq1(f'size({a[0]})')}, _i -> "
             f"IF(_i = 1, element_at({a[0]}, 1) - element_at({a[0]}, 1), "
             f"element_at({a[0]}, _i) - element_at({a[0]}, _i - 1)))"
         )
@@ -1303,7 +1318,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         def ngrams_fmt(a: Args) -> str:
             s, k = a[0], a[1]
             return (
-                f"transform(sequence(1, greatest(char_length({s}) - ({k}) + 1, 0)), "
+                f"transform({_safe_seq1(f'char_length({s}) - ({k}) + 1')}, "
                 f"_i -> substring({s}, _i, {k}))"
             )
 
@@ -1349,9 +1364,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         def count_subs(a: Args, _ci=(name.endswith("Insensitive"))) -> str:
             h = f"lower({a[0]})" if _ci else a[0]
             n = f"lower({a[1]})" if _ci else a[1]
+            # empty needle -> 0 (CH), not an ANSI division error
             return (
-                f"CAST((length({h}) - length(replace({h}, {n}, ''))) "
-                f"DIV length({n}) AS BIGINT)"
+                f"CAST(CASE WHEN length({n}) = 0 THEN 0 ELSE "
+                f"(length({h}) - length(replace({h}, {n}, ''))) "
+                f"DIV length({n}) END AS BIGINT)"
             )
 
         return count_subs
@@ -1368,7 +1385,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "multiMatchAllIndices":
         return lambda a: (
-            f"filter(transform(sequence(1, size({a[1]})), "
+            f"filter(transform({_safe_seq1(f'size({a[1]})')}, "
             f"_i -> IF(({a[0]}) RLIKE element_at({a[1]}, _i), _i, 0)), "
             f"_x -> _x > 0)"
         )
@@ -2374,7 +2391,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # filtered array, which plain element_at raises on under ANSI
         return lambda a: (
             f"coalesce(try_element_at(array_sort(filter(zip_with({a[1]}, "
-            f"sequence(1, size({a[1]})), (_n, _i) -> "
+            f"{_safe_seq1(f'size({a[1]})')}, (_n, _i) -> "
             f"struct(locate(_n, {a[0]}) AS pos, _i AS idx)), "
             f"_x -> _x.pos > 0)), 1).idx, 0)"
         )
@@ -2452,7 +2469,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # needing those pass an explicit maximum_unit in CH, a form this
         # emits in days).
         def readable_delta(a: Args) -> str:
-            x = f"CAST(floor({a[0]}) AS BIGINT)"
+            x = f"CAST(floor(abs({a[0]})) AS BIGINT)"
+            sign = f"IF(({a[0]}) < 0, '-', '')"
             parts = []
             for unit, div, mod in (
                 ("day", 86400, None),
@@ -2466,7 +2484,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"CASE WHEN {v} > 0 THEN concat({v}, ' {unit}', "
                     f"IF({v} > 1, 's', '')) END"
                 )
-            joined = f"concat_ws(', ', {', '.join(parts)})"
+            joined = f"concat({sign}, concat_ws(', ', {', '.join(parts)}))"
             return f"IF({x} = 0, '0 seconds', {joined})"
 
         return readable_delta
@@ -2571,7 +2589,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         if t:
             return lambda a, _t=t: f"CAST(array() AS ARRAY<{_t}>)"
     if name == "arrayEnumerate":
-        return lambda a: f"sequence(1, size({a[0]}))"
+        return lambda a: _safe_seq1(f"size({a[0]})")
     if name == "arrayEnumerateDense":
         # dense index of each element in first-appearance order
         # (array_distinct preserves first-appearance order)

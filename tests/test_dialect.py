@@ -263,9 +263,9 @@ def test_array_aggregation_translation_and_values(client):
     assert translate_ch_sql("SELECT arrayUniq(a)") == (
         "SELECT CAST(size(array_distinct(a)) AS BIGINT)"
     )
-    assert translate_ch_sql("SELECT arrayEnumerate(a)") == (
-        "SELECT sequence(1, size(a))"
-    )
+    # round 6: empty-safe index sequence (sequence(1, 0) counts DOWN)
+    out = translate_ch_sql("SELECT arrayEnumerate(a)")
+    assert "sequence(1, greatest(size(a), 1))" in out and "filter" in out
     row = client.query_ch(
         "SELECT arraySum(array(1.0, 2.0, 3.5)) AS s, "
         "arrayAvg(array(2.0, 4.0)) AS a, "
@@ -593,8 +593,9 @@ def test_sample_executes(client):
         ),
         (
             "SELECT countSubstrings(h, 'ab')",
-            "SELECT CAST((length(h) - length(replace(h, 'ab', ''))) "
-            "DIV length('ab') AS BIGINT)",
+            "SELECT CAST(CASE WHEN length('ab') = 0 THEN 0 ELSE "
+            "(length(h) - length(replace(h, 'ab', ''))) "
+            "DIV length('ab') END AS BIGINT)",
         ),
         (
             "SELECT isFinite(x)",

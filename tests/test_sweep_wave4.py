@@ -367,3 +367,27 @@ def test_recursive_cte_passthrough(ch):
         "SELECT n + 1 FROM r WHERE n < 5) SELECT sum(n) AS s FROM r"
     ).collect()
     assert r["s"] == 15
+
+
+def test_empty_input_edges(ch):
+    """ANSI edge audit (round 6): empty arrays/strings must never hit
+    Spark's sequence(1, 0) count-DOWN trap or ANSI division errors."""
+    r = one(ch, "SELECT arrayEnumerate(CAST([] AS Array(Int64))) AS e, "
+                "arrayDifference(CAST([] AS Array(Int64))) AS d, "
+                "ngrams('ab', 3) AS n, "
+                "arrayAvg(CAST([] AS Array(Int64))) AS av, "
+                "countSubstrings('abc', '') AS cs, "
+                "multiMatchAllIndices('x', CAST([] AS Array(String))) AS mi, "
+                "multiSearchFirstIndex('x', CAST([] AS Array(String))) AS ms, "
+                "formatReadableTimeDelta(-5) AS neg")
+    import math
+
+    assert r["e"] == [] and r["d"] == [] and r["n"] == [] and r["mi"] == []
+    assert math.isnan(r["av"]) and r["cs"] == 0 and r["ms"] == 0
+    assert r["neg"] == "-5 seconds"
+
+
+def test_null_input_edges(ch):
+    r = one(ch, "SELECT ngramDistance(CAST(NULL AS String), 'x') AS nd, "
+                "length(CAST(NULL AS String)) AS l")
+    assert r["nd"] is None and r["l"] is None

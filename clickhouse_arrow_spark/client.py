@@ -370,6 +370,17 @@ class Client:
         df = self.query_params(sql, params, qid) if params else self.query(sql, qid)
         return apply_limits(df, limits)
 
+    def query_with_limits_params(
+        self,
+        sql: str,
+        limits: QueryLimits,
+        params: dict[str, Any],
+        qid: str | None = None,
+    ) -> LimitedResult:
+        """Reference `query_with_limits_params` — explicit-params
+        spelling."""
+        return self.query_with_limits(sql, limits, params, qid)
+
     def query_with_options(self, sql: str, options: QueryOptions) -> Any:
         """Compose params + settings + limits + explain
         (reference client.rs:1729-1850)."""
@@ -435,6 +446,37 @@ class Client:
     # `execute_now` in the reference only forces an immediate drain; our
     # execute already drains, so it is an alias for API parity.
     execute_now = execute
+
+    def execute_now_params(
+        self, sql: str, params: dict[str, Any], qid: str | None = None
+    ) -> None:
+        """Reference `execute_now_params` (client.rs) — param-bound
+        immediate execute; same drain semantics as execute_params."""
+        self.execute_params(sql, params, qid)
+
+    def query_raw(
+        self,
+        sql: str,
+        params: dict[str, Any] | None = None,
+        qid: str | None = None,
+    ) -> DataFrame:
+        """Reference `query_raw` (client.rs): the untyped block stream —
+        here the lazy DataFrame IS that stream (materialize per batch
+        with `.toLocalIterator()` / `.toArrow()`)."""
+        return self.query_params(sql, params, qid) if params \
+            else self.query(sql, qid)
+
+    def query_one_params(
+        self, sql: str, params: dict[str, Any], qid: str | None = None
+    ) -> Row | None:
+        """Reference `query_one_params` — explicit-params spelling."""
+        return self.query_one(sql, params, qid)
+
+    def query_column_params(
+        self, sql: str, params: dict[str, Any], qid: str | None = None
+    ) -> pa.ChunkedArray:
+        """Reference `query_column_params` — explicit-params spelling."""
+        return self.query_column(sql, params, qid)
 
     def execute_ch(self, ch_sql: str, qid: str | None = None) -> int | None:
         """Run a ClickHouse-dialect statement. Mutations (`ALTER TABLE

@@ -466,3 +466,30 @@ def test_native_tcp_endpoint_refused_with_http_guidance():
     assert b._master == "local[4]"
     b2 = ClientBuilder().endpoint("http://myhost:8123")
     assert b2._http_url == "http://myhost:8123"
+
+
+def test_params_spelling_parity(client):
+    """Round 6: the reference's explicit `_params` method spellings all
+    exist and bind (client.rs query_one_params / query_column_params /
+    execute_now_params / query_with_limits_params / query_raw)."""
+    from clickhouse_arrow_spark.limits import QueryLimits
+
+    row = client.query_one_params(
+        "SELECT {n:Int64} * 2 AS v", {"n": 21}
+    )
+    assert row["v"] == 42
+    col = client.query_column_params(
+        "SELECT {n:Int64} + 1 AS v", {"n": 1}
+    )
+    assert col.to_pylist() == [2]
+    client.execute_now_params("SELECT {x:Int32}", {"x": 5})
+    res = client.query_with_limits_params(
+        "SELECT explode(sequence(1, {n:Int32})) AS x",
+        QueryLimits(max_rows=3),
+        {"n": 10},
+    )
+    assert res.table.num_rows <= 3
+    assert client.query_raw("SELECT 1 AS one").collect()[0]["one"] == 1
+    assert client.query_raw(
+        "SELECT {a:Int64} AS v", {"a": 9}
+    ).collect()[0]["v"] == 9

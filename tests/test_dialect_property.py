@@ -1,0 +1,114 @@
+"""Property-based tests (hypothesis) for the round-6 fold formatters —
+arrayFill / arrayReverseFill / arraySplit / arrayShingles /
+hasSubsequence / ngramDistance bounds — checked against straightforward
+Python reference implementations over randomized inputs. The dialect
+emits pure-SQL folds; the property net catches off-by-one and
+empty-input corruption a hand-picked example set misses (the
+sequence(1, 0) count-down trap was exactly that class).
+
+The whole battery evaluates ONE Spark job per example batch: inputs
+are embedded as literals in a single multi-column SELECT.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from clickhouse_arrow_spark.client import Client
+
+ARR = st.lists(st.integers(min_value=-5, max_value=5), max_size=8)
+TXT = st.text(alphabet="abcd ", max_size=12)
+
+
+@pytest.fixture(scope="module")
+def ch(spark):
+    return Client(spark)
+
+
+def _lit_arr(xs: list[int]) -> str:
+    return "CAST([" + ", ".join(str(x) for x in xs) + "] AS Array(Int64))"
+
+
+def _lit_str(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(arr=ARR)
+def test_array_fill_matches_python(ch, arr):
+    got = ch.query_ch(
+        f"SELECT arrayFill(x -> x != 0, {_lit_arr(arr)}) AS f, "
+        f"arrayReverseFill(x -> x != 0, {_lit_arr(arr)}) AS r"
+    ).collect()[0]
+
+    def fill(xs):
+        out = []
+        for x in xs:
+            out.append(x if (x != 0 or not out) else out[-1])
+        return out
+
+    assert got["f"] == fill(arr)
+    assert got["r"] == list(reversed(fill(list(reversed(arr)))))
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(arr=st.lists(st.integers(0, 9), min_size=0, max_size=8),
+       mask=st.lists(st.integers(0, 1), min_size=0, max_size=8))
+def test_array_split_matches_python(ch, arr, mask):
+    if len(arr) != len(mask):
+        mask = (mask + [0] * len(arr))[: len(arr)]
+    got = ch.query_ch(
+        f"SELECT arraySplit((x, y) -> y, {_lit_arr(arr)}, "
+        f"{_lit_arr(mask)}) AS s"
+    ).collect()[0]["s"]
+
+    ref: list[list[int]] = []
+    for i, x in enumerate(arr):
+        if i == 0 or mask[i]:
+            ref.append([x])
+        else:
+            ref[-1].append(x)
+    assert got == ref
+
+
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(arr=ARR, n=st.integers(1, 5))
+def test_array_shingles_matches_python(ch, arr, n):
+    got = ch.query_ch(
+        f"SELECT arrayShingles({_lit_arr(arr)}, {n}) AS s"
+    ).collect()[0]["s"]
+    ref = [arr[i: i + n] for i in range(len(arr) - n + 1)] \
+        if len(arr) >= n else []
+    assert got == ref
+
+
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(h=TXT, n=TXT)
+def test_has_subsequence_matches_python(ch, h, n):
+    got = ch.query_ch(
+        f"SELECT hasSubsequence({_lit_str(h)}, {_lit_str(n)}) AS s"
+    ).collect()[0]["s"]
+
+    it = iter(h)
+    ref = all(c in it for c in n)
+    assert got == ref
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(a=TXT, b=TXT)
+def test_ngram_distance_bounds_and_symmetry(ch, a, b):
+    got = ch.query_ch(
+        f"SELECT ngramDistance({_lit_str(a)}, {_lit_str(b)}) AS ab, "
+        f"ngramDistance({_lit_str(b)}, {_lit_str(a)}) AS ba, "
+        f"ngramDistance({_lit_str(a)}, {_lit_str(a)}) AS aa"
+    ).collect()[0]
+    assert 0.0 <= got["ab"] <= 1.0
+    assert abs(got["ab"] - got["ba"]) < 1e-12  # symmetric
+    assert got["aa"] == 0.0  # identity

@@ -68,6 +68,10 @@ _SIMPLE_RENAMES: dict[str, str] = {
     # string family
     "substringIndex": "substring_index",
     "replaceAll": "replace",
+    # Spark's startswith/endswith are byte/codepoint-exact on UTF-8
+    # strings already — the UTF8 spellings are the same operation here
+    "startsWithUTF8": "startswith",
+    "endsWithUTF8": "endswith",
     "replaceRegexpAll": "regexp_replace",  # caveat: RE2 vs Java regex
     "startsWith": "startswith",
     "endsWith": "endswith",
@@ -158,6 +162,21 @@ _OPERATOR_BACKED: dict[str, str] = {
     "use Client.Qid(); there is no server-side query context",
     "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
     "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
+    "formatRow": "row formatting is an OUTPUT concern here: write via "
+    "df.write.csv/json, or to_csv(struct(*)) / to_json(struct(*)) for a "
+    "single formatted column",
+    "arrayNormalizedGini": "sort-dependent scan over the pair — "
+    "SELECT with posexplode + window cumsums; open an operators/stats "
+    "request if this is load-bearing",
+    "emptyArrayToSingle": "the element type's default is not knowable "
+    "from the expression — spell it: IF(size(a) = 0, array(0), a) "
+    "(array('') for String columns)",
+    "IPv6StringToNum": "functions.ch_functions.ipv6_string_to_num(col) "
+    "(Arrow-batched pandas UDF over Python's ipaddress)",
+    "IPv6NumToString": "functions.ch_functions.ipv6_num_to_string(col) "
+    "(Arrow-batched pandas UDF, RFC 5952 compression)",
+    "toIPv6": "functions.ch_functions.to_ipv6(col) (Arrow-batched "
+    "pandas UDF over Python's ipaddress)",
     "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
     "entropy": "operators.stats.entropy_agg(df, col)",
     "cramersV": "operators.stats.association(df, a, b)",
@@ -935,6 +954,22 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"parse_url({a[0]}, 'QUERY', {a[1]})"
     if name == "cutQueryString":
         return lambda a: f"regexp_replace({a[0]}, '\\\\?.*', '')"
+    if name == "cutFragment":
+        return lambda a: f"regexp_replace({a[0]}, '#.*', '')"
+    if name == "cutQueryStringAndFragment":
+        return lambda a: f"regexp_replace({a[0]}, '[?#].*', '')"
+    if name == "queryStringAndFragment":
+        # CH: everything after the first '?' (question mark dropped); if
+        # there is no query string, the '#fragment' tail INCLUDING '#';
+        # '' when neither is present (regexp_extract's no-match value)
+        return lambda a: (
+            f"IF({a[0]} RLIKE '\\\\?', "
+            f"regexp_extract({a[0]}, '\\\\?(.*)$', 1), "
+            f"regexp_extract({a[0]}, '(#.*)$', 1))"
+        )
+    if name == "decodeURLFormComponent":
+        # form variant: '+' IS a space (plain decodeURLComponent shields it)
+        return lambda a: f"url_decode(replace({a[0]}, '+', '%20'))"
     # ---- IP family ------------------------------------------------------
     if name == "IPv4NumToString":
         def ipv4_num_to_string(a: Args) -> str:
@@ -1148,6 +1183,35 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"concat(_acc, array(IF(size(_acc) = 0, _x, "
             f"element_at(_acc, -1) + _x))))"
         )
+    if name == "arrayCumSumNonNegative":
+        # cumulative sum where a negative running total resets to zero:
+        # [1, 1, -4, 1] -> [1, 2, 0, 1] (the CH replace-by-zero rule)
+        return lambda a: (
+            f"aggregate({a[0]}, slice({a[0]}, 1, 0), (_acc, _x) -> "
+            f"concat(_acc, array(greatest(IF(size(_acc) = 0, _x, "
+            f"element_at(_acc, -1) + _x), 0))))"
+        )
+    if name == "arrayUnion":
+        # distinct union of N arrays (fold through Spark's binary form)
+        def array_union_n(a: Args) -> str:
+            expr = a[0] if len(a) > 1 else f"array_distinct({a[0]})"
+            for nxt in a[1:]:
+                expr = f"array_union({expr}, {nxt})"
+            return expr
+
+        return array_union_n
+    if name == "arraySymmetricDifference":
+        # elements NOT present in every array = union(all) minus
+        # intersect(all); element order is unspecified in CH too
+        def array_symdiff(a: Args) -> str:
+            union = a[0]
+            inter = a[0]
+            for nxt in a[1:]:
+                union = f"array_union({union}, {nxt})"
+                inter = f"array_intersect({inter}, {nxt})"
+            return f"array_except({union}, {inter})"
+
+        return array_symdiff
     if name == "arrayCompact":
         # drop CONSECUTIVE duplicates (null-safe compare)
         return lambda a: (
@@ -2292,17 +2356,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name in ("arrayShiftLeft", "arrayShiftRight"):
         def array_shift(a: Args, _left: bool = name.endswith("Left")) -> str:
-            fill = a[2] if len(a) > 2 else "NULL"
-            if _left:
-                return (
-                    f"concat(slice({a[0]}, ({a[1]}) + 1, "
-                    f"size({a[0]}) - ({a[1]})), "
-                    f"array_repeat({fill}, ({a[1]})))"
-                )
-            return (
-                f"concat(array_repeat({fill}, ({a[1]})), "
-                f"slice({a[0]}, 1, size({a[0]}) - ({a[1]})))"
+            # Size-preserving shift, CH semantics: n may be negative
+            # (shift the OTHER way), n >= size yields all-fill, and the
+            # default fill is the element type's DEFAULT (0 for
+            # numerics), not NULL — get(a, 0) - get(a, 0) derives a
+            # typed zero without knowing the type (get is 0-based and
+            # ANSI-safe on empty arrays, unlike element_at). Non-numeric
+            # arrays fail analysis on the subtraction — pass the
+            # explicit third argument there, matching CH's own
+            # must-match-element-type rule.
+            arr, n = a[0], a[1]
+            fill = a[2] if len(a) > 2 else f"(get({arr}, 0) - get({arr}, 0))"
+            k = f"least(abs(CAST({n} AS INT)), size({arr}))"
+            left = (
+                f"concat(slice({arr}, {k} + 1, size({arr}) - {k}), "
+                f"array_repeat({fill}, {k}))"
             )
+            right = (
+                f"concat(array_repeat({fill}, {k}), "
+                f"slice({arr}, 1, size({arr}) - {k}))"
+            )
+            fwd, rev = (left, right) if _left else (right, left)
+            return f"IF(CAST({n} AS INT) >= 0, {fwd}, {rev})"
 
         return array_shift
     # CH roaring bitmaps <-> sorted distinct arrays: same algebra, the
@@ -2348,6 +2423,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"array_sort({a[0]})"
     if name == "groupBitmap":
         return lambda a: f"count(DISTINCT {a[0]})"
+    if name == "monthName":
+        # CH returns the FULL month name; without this formatter the
+        # name would fall through to Spark 4's monthname() builtin,
+        # which abbreviates ('Mar' vs CH 'March')
+        return lambda a: f"date_format({a[0]}, 'MMMM')"
     if name == "dateName":
         def date_name(a: Args) -> str:
             part = a[0].strip().strip("'\"").lower()
@@ -2488,14 +2568,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"IF({x} = 0, '0 seconds', {joined})"
 
         return readable_delta
-    if name in ("formatReadableSize", "formatReadableQuantity"):
+    if name in ("formatReadableSize", "formatReadableQuantity",
+                "formatReadableDecimalSize"):
         # CH pretty-printers: value scaled to the largest unit, always 2
-        # decimals. Size uses binary units (KiB..EiB), quantity decimal
-        # words (thousand..trillion).
+        # decimals. Size uses binary units (KiB..EiB), DecimalSize
+        # powers of 1000 (KB..EB), quantity decimal words
+        # (thousand..trillion).
         units = (
             [("B", 1), ("KiB", 1024.0), ("MiB", 1024.0**2), ("GiB", 1024.0**3),
              ("TiB", 1024.0**4), ("PiB", 1024.0**5), ("EiB", 1024.0**6)]
             if name == "formatReadableSize"
+            else [("B", 1), ("KB", 1e3), ("MB", 1e6), ("GB", 1e9),
+                  ("TB", 1e12), ("PB", 1e15), ("EB", 1e18)]
+            if name == "formatReadableDecimalSize"
             else [("", 1), (" thousand", 1e3), (" million", 1e6),
                   (" billion", 1e9), (" trillion", 1e12)]
         )
@@ -2659,6 +2744,53 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in ("exp2", "exp10"):
         base = "2" if name == "exp2" else "10"
         return lambda a, _b=base: f"pow({_b}, {a[0]})"
+    if name == "sigmoid":
+        return lambda a: f"(1.0D / (1.0D + exp(-(CAST({a[0]} AS DOUBLE)))))"
+    if name == "truncate":
+        # round-toward-zero to n decimal places (n defaults to 0);
+        # always Float64 like CH. Spark's own trunc() is date-only, so
+        # the numeric spelling needs this expansion.
+        def truncate_fmt(a: Args) -> str:
+            x = f"CAST({a[0]} AS DOUBLE)"
+            if len(a) < 2:
+                return f"(sign({x}) * floor(abs({x})))"
+            p = f"pow(10, {a[1]})"
+            return f"(sign({x}) * floor(abs({x}) * {p}) / {p})"
+
+        return truncate_fmt
+    if name == "unbin":
+        # bit string -> bytes, via base-2 -> base-16 (conv is 64-bit,
+        # which covers the hex/bin round-trip idioms; longer bit strings
+        # belong in binary columns, not literals)
+        return lambda a: f"unhex(conv({a[0]}, 2, 16))"
+    if name == "isNotDistinctFrom":
+        return lambda a: f"(({a[0]}) <=> ({a[1]}))"
+    if name == "byteSwap":
+        # CH widths follow the argument's integer type; a literal's type
+        # is the smallest unsigned type that holds it, which is
+        # computable here. Column arguments carry no type at translate
+        # time — spell the width explicitly via the documented recipe.
+        def byteswap_fmt(a: Args) -> str:
+            arg = a[0].strip()
+            if arg.lstrip("-").isdigit():
+                v = int(arg)
+                if v >= 0:
+                    for bits in (8, 16, 32, 64):
+                        if v < (1 << bits):
+                            nb = bits // 8
+                            out = int.from_bytes(
+                                v.to_bytes(nb, "big"), "little"
+                            )
+                            return str(out)
+            raise UntranslatableFunctionError(
+                "byteSwap(col): the byte width is the column's integer "
+                "type, unknown at translate time — spell it explicitly: "
+                "conv(regexp_replace(lpad(hex(col), 8, '0'), "
+                "'(..)(..)(..)(..)', '$4$3$2$1'), 16, 10) for UInt32 "
+                "(lpad 16 / eight groups for UInt64)"
+            )
+
+        return byteswap_fmt
     if name in (
         "toStartOfFiveMinutes", "toStartOfTenMinutes", "toStartOfFifteenMinutes"
     ):
@@ -2812,6 +2944,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "mapFilter":
         return lambda a: f"map_filter({a[1]}, {a[0]})"  # CH puts f first
+    if name == "mapContainsKeyLike":
+        return lambda a: (
+            f"exists(map_keys({a[0]}), _k -> _k LIKE {a[1]})"
+        )
+    if name == "mapExtractKeyLike":
+        return lambda a: (
+            f"map_filter({a[0]}, (_k, _v) -> _k LIKE {a[1]})"
+        )
     if name == "mapConcat":
         return lambda a: f"map_concat({', '.join(a)})"
     if name == "mapAll":
@@ -4749,7 +4889,18 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
                     inner2 = translate_ch_sql(
                         sql[k + 1 : close2], allow_hash_substitution
                     )
-                    expr = _PARAMETRIC[name](args, _split_top_args(inner2))
+                    try:
+                        expr = _PARAMETRIC[name](
+                            args, _split_top_args(inner2)
+                        )
+                    except IndexError:
+                        raise UntranslatableFunctionError(
+                            f"{name}: wrong parameter/argument arity for "
+                            f"the {name}(params)(args) form — e.g. "
+                            "quantileGK takes BOTH accuracy and level in "
+                            "ONE parameter group: "
+                            "quantileGK(accuracy, level)(col)"
+                        ) from None
                     expr, i = subscripts(expr, close2 + 1)
                     out.append(expr)
                     continue

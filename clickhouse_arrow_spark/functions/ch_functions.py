@@ -50,6 +50,10 @@ __all__ = [
     "length_",
     "lower_utf8",
     "upper_utf8",
+    "ipv6_string_to_num",
+    "ipv6_num_to_string",
+    "to_ipv6",
+    "is_ipv6_string",
 ]
 
 
@@ -418,3 +422,95 @@ def point_in_polygon(x, y, vertices) -> Column:
     return F.when(F.size(verts) < 3, F.lit(False)).otherwise(
         folded.getField("inside")
     )
+
+
+# ---- IPv6 family (Arrow-batched pandas UDFs) ---------------------------
+#
+# ClickHouse's IPv6 functions (reference dialect surface; the binding
+# exposes them through SQL) parse/format RFC 4291 addresses. There is no
+# JVM-side IPv6 codec in Spark SQL, so these four route through Python's
+# `ipaddress` module as pandas UDFs — Arrow-batched, vectorized transfer,
+# never row-at-a-time Python. They are deliberately OFF the SQL dialect's
+# hot path: the dialect refuses IPv6 names with a recipe pointing here.
+
+def _ipv6_udfs():
+    import ipaddress
+
+    from pyspark.sql.functions import pandas_udf
+
+    # note: the module-level `from __future__ import annotations` turns
+    # hints into strings the UDF type-inferencer cannot resolve against
+    # the local pandas import, so the explicit (func, returnType) form
+    # is used instead of hint inference
+    def _to_num(s):
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                return ipaddress.IPv6Address(v).packed
+            except (ipaddress.AddressValueError, ValueError):
+                # CH IPv6StringToNum also accepts IPv4 dotted form,
+                # mapping it into ::ffff:a.b.c.d
+                try:
+                    v4 = ipaddress.IPv4Address(v)
+                    return ipaddress.IPv6Address(
+                        "::ffff:" + str(v4)
+                    ).packed
+                except (ipaddress.AddressValueError, ValueError):
+                    return None
+
+        return s.map(conv)
+
+    def _to_str(b):
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                return str(ipaddress.IPv6Address(bytes(v)))
+            except (ipaddress.AddressValueError, ValueError):
+                return None
+
+        return b.map(conv)
+
+    def _is_v6(s):
+        def conv(v):
+            if v is None:
+                return None
+            try:
+                ipaddress.IPv6Address(v)
+                return True
+            except (ipaddress.AddressValueError, ValueError):
+                return False
+
+        return s.map(conv)
+
+    return (
+        pandas_udf(_to_num, "binary"),
+        pandas_udf(_to_str, "string"),
+        pandas_udf(_is_v6, "boolean"),
+    )
+
+
+def ipv6_string_to_num(col) -> Column:
+    """`IPv6StringToNum(s)` — textual IPv6 (or IPv4, mapped into the
+    ::ffff: space like CH) to its 16-byte packed form; NULL when
+    malformed (the OrNull posture — parquet columns carry no CH throw)."""
+    return _ipv6_udfs()[0](_c(col))
+
+
+def ipv6_num_to_string(col) -> Column:
+    """`IPv6NumToString(b)` — 16-byte packed IPv6 to the RFC 5952
+    compressed textual form (`::1`, not the expanded spelling)."""
+    return _ipv6_udfs()[1](_c(col))
+
+
+def to_ipv6(col) -> Column:
+    """`toIPv6(s)` — normalize a textual address to RFC 5952 canonical
+    text (round-trips through the packed form)."""
+    return _ipv6_udfs()[1](_ipv6_udfs()[0](_c(col)))
+
+
+def is_ipv6_string(col) -> Column:
+    """`isIPv6String(s)` — strict IPv6 syntax check (IPv4 dotted text is
+    NOT IPv6, matching CH)."""
+    return _ipv6_udfs()[2](_c(col))

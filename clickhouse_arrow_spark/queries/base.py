@@ -80,6 +80,7 @@ _GATE_ALIASES: dict[str, str] = {
     "driver_gate_scalar_wave": "util_sweep_scalar_wave",
     "driver_gate_kcenter": "sample_kcenter_gate",
     "driver_gate_wave4": "util_sweep_wave4",
+    "driver_gate_wave10": "util_sweep_wave10",
 }
 
 

@@ -1657,6 +1657,82 @@ def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_dsir_select",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(t || list_transform(range(1, len(t)),
+                                        i -> t[i] || ' ' || t[i+1])) AS g
+      FROM toks
+    ),
+    feats AS (
+      SELECT doc_id, source,
+             ('0x' || substr(md5(g), 1, 8))::BIGINT % 1024 AS bucket,
+             count(*) AS cnt
+      FROM grams GROUP BY 1, 2, 3
+    ),
+    t_counts AS (
+      SELECT bucket, sum(cnt) AS t_cnt FROM feats
+      WHERE source = 'src13' GROUP BY 1
+    ),
+    r_counts AS (
+      SELECT bucket, sum(cnt) AS r_cnt FROM feats GROUP BY 1
+    ),
+    weights AS (
+      SELECT coalesce(t.bucket, r.bucket) AS bucket,
+             ln((coalesce(t_cnt, 0) + 1.0) /
+                ((SELECT sum(t_cnt) FROM t_counts) + 1024.0))
+           - ln((coalesce(r_cnt, 0) + 1.0) /
+                ((SELECT sum(r_cnt) FROM r_counts) + 1024.0)) AS logw
+      FROM t_counts t FULL OUTER JOIN r_counts r ON t.bucket = r.bucket
+    ),
+    scored AS (
+      SELECT f.doc_id, sum(f.cnt * coalesce(w.logw, 0.0)) AS logw
+      FROM feats f LEFT JOIN weights w ON f.bucket = w.bucket
+      GROUP BY 1
+    ),
+    keyed AS (
+      SELECT doc_id, logw,
+             logw - ln(-ln(
+               (('0x' || substr(md5(doc_id::VARCHAR || ':42'), 1, 8))
+                 ::BIGINT + 0.5) / 4294967296.0)) AS key
+      FROM scored
+    )
+    SELECT doc_id, round(logw, 6) AS logw_r, round(key, 6) AS key_r
+    FROM keyed ORDER BY key DESC, doc_id LIMIT 50
+    """,
+    doc="DSIR — Data Selection via Importance Resampling (Xie et al. "
+    "2023, arXiv:2302.03169) over operators/dsir.py: hashed "
+    "unigram+bigram features (md5 bucket, cross-engine bit-exact), "
+    "Laplace-smoothed per-bucket target/raw log-ratio weights "
+    "(n_buckets rows, broadcast to the scoring join), per-doc "
+    "importance scores, and deterministic Gumbel-top-k resampling "
+    "(md5(id:seed) uniform) compiled to TakeOrderedAndProject. Target "
+    "= source 'src13', raw = all documents, k=50, seed=42; the DuckDB "
+    "oracle recomputes the whole pipeline from scratch.",
+    tags=("documents", "dsir", "sampling", "pipeline"),
+)
+def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import dsir
+
+    docs = spark.table("documents")
+    target = docs.filter(F.col("source") == "src13")
+    w = dsir.dsir_fit(target, docs, n_buckets=1024)
+    scored = dsir.dsir_score(docs, w, n_buckets=1024)
+    sel = dsir.dsir_resample(scored, 50, 42)
+    return sel.select(
+        "doc_id",
+        F.round("logw", 6).alias("logw_r"),
+        F.round("gumbel_key", 6).alias("key_r"),
+    )
+
+
+@register(
     "agg_projection_route",
     """
     SELECT o_orderstatus,
@@ -2607,6 +2683,73 @@ def q_util_sweep_wave9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS out_range, "
         "bitmaskToArray(50) AS mask_arr, bitmaskToList(50) AS mask_list, "
         "toInt64(bitHammingDistance(111, 183)) AS hamming"
+    )
+
+
+@register(
+    "util_sweep_wave10",
+    """
+    SELECT '41' AS ub, '1.23 MB' AS frds,
+           CAST(3.99 AS DOUBLE) AS tr1, CAST(-3.0 AS DOUBLE) AS tr2,
+           CAST(0.5 AS DOUBLE) AS sig, 'March' AS mn,
+           TRUE AS sw, TRUE AS ew,
+           CAST([1, 2, 0, 1] AS BIGINT[]) AS cumnn,
+           CAST([1, 2, 3] AS BIGINT[]) AS au,
+           CAST([1, 3] AS BIGINT[]) AS asd,
+           CAST([2, 3, 0] AS BIGINT[]) AS shl,
+           CAST([0, 1, 2] AS BIGINT[]) AS shr,
+           CAST([0, 1, 2] AS BIGINT[]) AS shln,
+           CAST([2, 3, 9] AS BIGINT[]) AS shld,
+           TRUE AS mck, ['abc'] AS mek,
+           'b=1#f' AS qsf, 'http://x.com/a' AS cf,
+           'http://x.com/a' AS cqsf, 'a b c' AS dufc,
+           TRUE AS indf, CAST(3455829959 AS BIGINT) AS bswap
+    """,
+    doc="Round-6 probe-sweep wave 10 (dialect formatters, exact literal "
+    "oracle): unbin (bit string -> bytes via conv base-2), "
+    "formatReadableDecimalSize (powers-of-1000 units), numeric "
+    "truncate() (round toward zero, Spark's trunc is date-only), "
+    "sigmoid, monthName (FULL name — Spark 4's monthname() builtin "
+    "abbreviates), startsWithUTF8/endsWithUTF8, arrayCumSumNonNegative "
+    "(negative running total resets to zero), arrayUnion/"
+    "arraySymmetricDifference (N-ary set folds), arrayShiftLeft/Right "
+    "(size-preserving, negative n reverses direction, typed-zero "
+    "default fill), mapContainsKeyLike/mapExtractKeyLike, "
+    "queryStringAndFragment/cutFragment/cutQueryStringAndFragment/"
+    "decodeURLFormComponent, isNotDistinctFrom (<=>), and byteSwap on "
+    "literals (width from the CH smallest-unsigned-type rule).",
+    tags=("dialect", "sweep", "wave10"),
+)
+def q_util_sweep_wave10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT hex(unbin('01000001')) AS ub, "
+        "formatReadableDecimalSize(1234567) AS frds, "
+        "truncate(3.999, 2) AS tr1, truncate(-3.999) AS tr2, "
+        "sigmoid(0.0) AS sig, "
+        "monthName(toDate('2024-03-15')) AS mn, "
+        "startsWithUTF8('hello', 'he') AS sw, "
+        "endsWithUTF8('hello', 'lo') AS ew, "
+        "CAST(arrayCumSumNonNegative([1, 1, -4, 1]) AS Array(Int64)) "
+        "AS cumnn, "
+        "CAST(arraySort(arrayUnion([1, 2], [2, 3])) AS Array(Int64)) "
+        "AS au, "
+        "CAST(arraySort(arraySymmetricDifference([1, 2], [2, 3])) AS "
+        "Array(Int64)) AS asd, "
+        "CAST(arrayShiftLeft([1, 2, 3], 1) AS Array(Int64)) AS shl, "
+        "CAST(arrayShiftRight([1, 2, 3], 1) AS Array(Int64)) AS shr, "
+        "CAST(arrayShiftLeft([1, 2, 3], -1) AS Array(Int64)) AS shln, "
+        "CAST(arrayShiftLeft([1, 2, 3], 1, 9) AS Array(Int64)) AS shld, "
+        "mapContainsKeyLike(map('abc', 1), 'ab%') AS mck, "
+        "mapKeys(mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'ab%')) "
+        "AS mek, "
+        "queryStringAndFragment('http://x.com/a?b=1#f') AS qsf, "
+        "cutFragment('http://x.com/a#f') AS cf, "
+        "cutQueryStringAndFragment('http://x.com/a?b=1#f') AS cqsf, "
+        "decodeURLFormComponent('a+b%20c') AS dufc, "
+        "isNotDistinctFrom(NULL, NULL) AS indf, "
+        "toInt64(byteSwap(3351772109)) AS bswap"
     )
 
 

@@ -165,6 +165,8 @@ _OPERATOR_BACKED: dict[str, str] = {
     "formatRow": "row formatting is an OUTPUT concern here: write via "
     "df.write.csv/json, or to_csv(struct(*)) / to_json(struct(*)) for a "
     "single formatted column",
+    "arrayReduceInRanges": "slice() the ranges then arrayReduce each: "
+    "transform(ranges, r -> arrayReduce('agg', slice(arr, r.1, r.2)))",
     "arrayNormalizedGini": "sort-dependent scan over the pair — "
     "SELECT with posexplode + window cumsums; open an operators/stats "
     "request if this is load-bearing",
@@ -804,8 +806,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in _SUB_UNITS:
         unit = _SUB_UNITS[name]
         return lambda a: f"timestampadd({unit}, -({a[1]}), {a[0]})"
-    if name == "dateDiff":
-        def date_diff(a: Args) -> str:
+    if name == "dateDiff" or (name == "date_diff"):
+        # CH spells both dateDiff and date_diff with the unit FIRST;
+        # Spark's own date_diff(end, start) is the 2-arg form — only
+        # the 3-arg CH shape is rewritten, so Spark-native SQL keeps
+        # working through the dialect
+        def date_diff(a: Args, _n: str = name) -> str:
+            if len(a) < 3:
+                return f"{_n}({', '.join(a)})"
             unit = a[0].strip().strip("'").upper()
             return f"timestampdiff({unit}, {a[1]}, {a[2]})"
 
@@ -1069,6 +1077,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"(~{a[0]})"
     if name == "bitTest":
         return lambda a: f"(shiftright({a[0]}, {a[1]}) & 1)"
+    if name in ("bitTestAll", "bitTestAny"):
+        # all/any of the listed bit positions set (boolean, like CH)
+        def bit_test_multi(a: Args, _all: bool = name.endswith("All")) -> str:
+            op = " AND " if _all else " OR "
+            checks = op.join(
+                f"((shiftright({a[0]}, {p}) & 1) = 1)" for p in a[1:]
+            )
+            return f"({checks})"
+
+        return bit_test_multi
     if name == "bitHammingDistance":
         return lambda a: f"bit_count(({a[0]}) ^ ({a[1]}))"
     if name in ("bitRotateLeft", "bitRotateRight"):
@@ -1665,6 +1683,24 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: (
             f"timestamp_seconds((unix_timestamp({a[0]}) DIV 1800) * 1800)"
         )
+    if name == "timeSlots":
+        # array of slot starts covering [t, t + duration], slot width
+        # `size` seconds (default 1800) — one sequence() of timestamps,
+        # no explode needed
+        def time_slots(a: Args) -> str:
+            t, dur = a[0], a[1]
+            sz = a[2] if len(a) > 2 else "1800"
+            lo = f"timestamp_seconds((unix_timestamp({t}) DIV ({sz})) * ({sz}))"
+            hi = (
+                f"timestamp_seconds(((unix_timestamp({t}) + ({dur})) "
+                f"DIV ({sz})) * ({sz}))"
+            )
+            return (
+                f"sequence({lo}, {hi}, "
+                f"make_dt_interval(0, 0, 0, CAST({sz} AS DOUBLE)))"
+            )
+
+        return time_slots
     if name in ("toIntervalDay", "toIntervalWeek", "toIntervalHour",
                 "toIntervalMinute", "toIntervalSecond"):
         slot = {
@@ -1798,6 +1834,64 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"regexp_extract_all({a[0]}, {a[1]}, 1)"
 
         return ext_all
+    if name in ("extractGroups", "extractAllGroups",
+                "extractAllGroupsHorizontal", "extractAllGroupsVertical"):
+        # the group COUNT must be known at translate time, so only
+        # literal patterns translate (counted on the raw literal:
+        # unescaped '(' not starting a (?: non-capture)
+        def ext_groups(a: Args, _name: str = name) -> str:
+            p = a[1].strip()
+            if not (p.startswith("'") and p.endswith("'")):
+                raise UntranslatableFunctionError(
+                    f"{_name}: the capture-group count comes from the "
+                    "pattern, so only a literal pattern translates"
+                )
+            body = p[1:-1]
+            ng, i = 0, 0
+            while i < len(body):
+                if body[i] == "\\":
+                    i += 2
+                    continue
+                if body[i] == "(" and body[i : i + 2] != "(?":
+                    ng += 1
+                i += 1
+            if ng == 0:
+                raise UntranslatableFunctionError(
+                    f"{_name}: pattern has no capture groups"
+                )
+            s = a[0]
+            if _name == "extractGroups":
+                # first match's groups; [] when nothing matches (CH)
+                groups = ", ".join(
+                    f"regexp_extract({s}, {p}, {g})" for g in range(1, ng + 1)
+                )
+                return (
+                    f"IF({s} RLIKE {p}, array({groups}), "
+                    f"CAST(array() AS ARRAY<STRING>))"
+                )
+            per_group = [
+                f"regexp_extract_all({s}, {p}, {g})" for g in range(1, ng + 1)
+            ]
+            if _name == "extractAllGroupsHorizontal":
+                return f"array({', '.join(per_group)})"
+            # Vertical (the bare extractAllGroups alias): one row of
+            # groups per match
+            elems = ", ".join(
+                f"element_at({pg}, _gi)" for pg in per_group
+            )
+            return (
+                f"transform({_safe_seq1(f'size({per_group[0]})')}, "
+                f"_gi -> array({elems}))"
+            )
+
+        return ext_groups
+    if name == "regexpQuoteMeta":
+        # escape the RE2/Java metacharacters CH escapes: backslash, then
+        # | ( ) ^ $ . [ ] ? * + { : -
+        return lambda a: (
+            f"regexp_replace({a[0]}, "
+            "'([\\\\\\\\|()^$.\\\\[\\\\]?*+{:-])', '\\\\\\\\$1')"
+        )
     if name in ("formatDateTimeInJodaSyntax", "parseDateTimeInJodaSyntax"):
         # Joda patterns ARE Spark's native Java datetime patterns
         if name.startswith("format"):
@@ -2733,7 +2827,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             lambda a: f"concat_ws('', transform(sequence(1, {a[0]}), "
             f"i -> char(CAST(rand() * 95 + 32 AS INT))))"
         )
-    if name == "normalizeQuery":
+    if name in ("normalizeQuery", "normalizeQueryKeepNames"):
         # literals -> placeholders (CH query fingerprinting, simplified:
         # quoted strings then bare numbers)
         return (
@@ -3156,6 +3250,20 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return (
             lambda a: f"timestamp_millis(shiftright({a[0]}, 22) "
             f"+ 1288834974657)"
+        )
+    if name == "generateSnowflakeID":
+        # timestamp-ordered unique id with the real snowflake layout:
+        # 41-bit millis since the Twitter epoch (the same epoch the
+        # converters here use) | 10-bit "machine" = partition id |
+        # 12-bit sequence = row-within-partition (the low bits of
+        # monotonically_increasing_id — its partition bits live at
+        # position 33 and MUST NOT be modded away, they'd collide).
+        # Unique up to 4096 rows/partition/ms, the snowflake guarantee
+        # class; like CH's, values are NON-deterministic across runs.
+        return lambda a: (
+            "(shiftleft(unix_millis(current_timestamp()) - 1288834974657,"
+            " 22) + shiftleft(pmod(spark_partition_id(), 1024), 12)"
+            " + pmod(monotonically_increasing_id(), 4096))"
         )
     if name in ("dateTimeToSnowflake", "dateTime64ToSnowflake"):
         return (
@@ -4774,6 +4882,192 @@ def _refuse_ch_only_clauses(sql: str) -> str:
     return sql
 
 
+_COLLATE_RE = re.compile(r"(?i)\bCOLLATE\s+'([^']+)'")
+
+#: words that can precede a '(' without being a function head
+_NONCALL_KW_RE = re.compile(
+    r"(?i)^(AND|OR|NOT|WHERE|BY|SELECT|WHEN|THEN|ELSE|IN|ON|AS|FROM|"
+    r"HAVING|JOIN|USING|ALL|ANY|EXISTS|BETWEEN|LIKE|RLIKE|ILIKE)$"
+)
+
+
+def _expr_span_before(sql: str, pos: int) -> int:
+    """Start index of the expression ending just before `pos`:
+    an identifier chain, or a parenthesized/call group with an optional
+    function-name head. Returns `pos` when nothing matches."""
+    j = pos
+    while j > 0 and sql[j - 1] in " \t\n":
+        j -= 1
+    if j > 0 and sql[j - 1] == ")":
+        depth = 0
+        k = j - 1
+        while k >= 0:
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            return pos
+        mm = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:k])
+        if mm and not _NONCALL_KW_RE.match(mm.group(0).strip()):
+            return mm.start()
+        return k
+    mm = re.search(r"[A-Za-z_][\w.]*$", sql[:j])
+    return mm.start() if mm else pos
+
+
+def _rewrite_collate(sql: str) -> str:
+    """`<expr> COLLATE 'loc'` -> `collate(<expr>, 'loc')` — Spark 4's
+    ICU collations take the same locale tags ClickHouse's COLLATE does
+    ('en', 'tr', 'en_US', ...)."""
+    while True:
+        m = _find_clean(_COLLATE_RE, sql, depth0=False)
+        if not m:
+            return sql
+        start = _expr_span_before(sql, m.start())
+        if start == m.start():
+            return sql  # nothing collatable before it; leave for Spark
+        expr = sql[start : m.start()].rstrip()
+        sql = (
+            f"{sql[:start]}collate({expr}, '{m.group(1)}')"
+            f"{sql[m.end():]}"
+        )
+
+
+_ANY_IN_RE = re.compile(r"(?i)=\s*ANY\s*\(")
+_ALL_NOTIN_RE = re.compile(r"(?i)(?:!=|<>)\s*ALL\s*\(")
+
+
+def _rewrite_any_all(sql: str) -> str:
+    """`x = ANY (subquery)` -> `x IN (subquery)` and `x <> ALL (...)` ->
+    `x NOT IN (...)` — the two quantified comparisons with exact IN
+    equivalents (Spark parses neither ANY nor ALL)."""
+    while True:
+        m = _find_clean(_ANY_IN_RE, sql, depth0=False)
+        if not m:
+            break
+        sql = f"{sql[: m.start()]} IN ({sql[m.end():]}"
+    while True:
+        m = _find_clean(_ALL_NOTIN_RE, sql, depth0=False)
+        if not m:
+            break
+        sql = f"{sql[: m.start()]} NOT IN ({sql[m.end():]}"
+    return sql
+
+
+_TUPLE_IN_RE = re.compile(r"(?i)\b(NOT\s+)?IN\s*\(")
+
+
+def _rewrite_tuple_in(sql: str) -> str:
+    """`(a, b) IN ((1, 'x'), (2, 'y'))` -> named_struct with POSITIONAL
+    field names on BOTH sides. Spark's struct IN compares field names
+    too, so the bare tuple spelling mismatches (`o_orderkey` vs `col1`);
+    CH tuples are nameless. Subquery RHS is left alone — Spark supports
+    multi-column IN subqueries natively."""
+    i = 0
+    while True:
+        m = _find_clean(_TUPLE_IN_RE, sql, start=i, depth0=False)
+        if not m:
+            return sql
+        i = m.end()
+        j = m.start()
+        while j > 0 and sql[j - 1] in " \t\n":
+            j -= 1
+        if j == 0 or sql[j - 1] != ")":
+            continue
+        depth = 0
+        k = j - 1
+        while k >= 0:
+            if sql[k] == ")":
+                depth += 1
+            elif sql[k] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            k -= 1
+        if k < 0:
+            continue
+        head = re.search(r"[A-Za-z_][\w.]*\s*$", sql[:k])
+        if head and not _NONCALL_KW_RE.match(head.group(0).strip()):
+            continue  # function call, not a tuple
+        lhs_items = _split_top_args(sql[k + 1 : j - 1])
+        if len(lhs_items) < 2:
+            continue
+        close = _find_matching_paren(sql, m.end() - 1)
+        if close == -1:
+            continue
+        rhs_items = _split_top_args(sql[m.end() : close])
+        tuples = []
+        ok = bool(rhs_items)
+        for it in rhs_items:
+            st = it.strip()
+            if not (st.startswith("(") and st.endswith(")")):
+                ok = False
+                break
+            elems = _split_top_args(st[1:-1])
+            if len(elems) != len(lhs_items):
+                ok = False
+                break
+            tuples.append(elems)
+        if not ok:
+            continue
+        names = [f"'_t{x + 1}'" for x in range(len(lhs_items))]
+
+        def ns(elems):
+            inner = ", ".join(
+                f"{nm}, {el.strip()}" for nm, el in zip(names, elems)
+            )
+            return f"named_struct({inner})"
+
+        notkw = (m.group(1) or "").strip()
+        notkw = f"{notkw} " if notkw else ""
+        sql = (
+            f"{sql[:k]}{ns(lhs_items)} {notkw}IN "
+            f"({', '.join(ns(t) for t in tuples)}){sql[close + 1:]}"
+        )
+        i = k  # rescan from the rewritten site
+
+
+_WITH_TIES_RE = re.compile(r"(?i)\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$")
+_ORDER_BY_RE2 = re.compile(r"(?i)\bORDER\s+BY\b")
+
+
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """`ORDER BY <o> LIMIT n WITH TIES` -> a rank() window wrap: every
+    row tying with the n-th on the ORDER BY key survives, like CH. Only
+    the statement-tail form rewrites; the ORDER BY expressions must be
+    resolvable against the query's OWN output columns (they are wrapped
+    as a subquery)."""
+    s = sql.rstrip().rstrip(";")
+    m = _WITH_TIES_RE.search(s)
+    if not m or _scan_mask(s)[m.start()][1]:
+        return sql
+    # the LAST depth-0 ORDER BY before the LIMIT
+    mo = None
+    start = 0
+    while True:
+        cand = _find_at_depth(_ORDER_BY_RE2, s, start, 0)
+        if not cand or cand.start() >= m.start():
+            break
+        mo = cand
+        start = cand.end()
+    if not mo:
+        raise UntranslatableFunctionError(
+            "LIMIT ... WITH TIES needs an ORDER BY to define the tie key"
+        )
+    order = s[mo.end() : m.start()].strip()
+    body = s[: mo.start()].strip()
+    n = m.group(1)
+    return (
+        f"SELECT * EXCEPT (_ties_rk) FROM (SELECT *, rank() OVER "
+        f"(ORDER BY {order}) AS _ties_rk FROM ({body})) "
+        f"WHERE _ties_rk <= {n} ORDER BY {order}"
+    )
+
+
 def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     """Rewrite known ClickHouse function calls in `sql` to Spark SQL.
 
@@ -4810,7 +5104,11 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_with_totals(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_limit_offset(sql)
+    sql = _rewrite_collate(sql)
+    sql = _rewrite_any_all(sql)
+    sql = _rewrite_tuple_in(sql)
     sql = _rewrite_star_modifiers(sql)
     sql = _rewrite_tuple_index(sql)
     sql = _rewrite_sample(sql)
@@ -4853,6 +5151,22 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             out.append(sql[i : j + 1])
             i = j + 1
             continue
+        if c == "(":
+            # parenthesized group translated as a unit so a following
+            # subscript attaches to IT — `(expr)[1]` is valid CH (and
+            # what scalar-WITH alias inlining produces for array
+            # aliases); char-by-char passthrough would hand the bracket
+            # to the array-literal branch below
+            close_p = _find_matching_paren(sql, i)
+            if close_p != -1:
+                inner = translate_ch_sql(
+                    sql[i + 1 : close_p], allow_hash_substitution
+                )
+                expr, i = subscripts(
+                    f"({inner})", close_p + 1, allow_space=False
+                )
+                out.append(expr)
+                continue
         if c == "[":
             # bare bracket = ClickHouse array literal -> array(...)
             # (subscripts are consumed right after their base expression

@@ -1733,6 +1733,83 @@ def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bloom_decontaminate",
+    """
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(trim(text)), '\\s+') AS t
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, source,
+             unnest(list_distinct(list_transform(range(1, len(t) - 6),
+                    i -> array_to_string(t[i:i+7], ' ')))) AS g
+      FROM toks WHERE len(t) >= 8
+    ),
+    exact AS (
+      SELECT DISTINCT d.doc_id FROM grams d
+      WHERE EXISTS (SELECT 1 FROM grams b
+                    WHERE b.source = 'src0' AND b.g = d.g)
+    )
+    SELECT (SELECT count(*) FROM exact) AS exact_n,
+           TRUE AS no_fn, TRUE AS fp_ok
+    """,
+    doc="Bloom-filter benchmark decontamination (operators/bloom.py): "
+    "the eval set's 8-grams compress into a (word_idx, word) bit-table "
+    "(m/64 rows, broadcast) instead of broadcasting gram ROWS — the "
+    "constant-size scale path when the blocklist outgrows "
+    "text.decontaminate's exact broadcast join. Gate: exact_n is the "
+    "DuckDB-recomputed truly-contaminated count; no_fn pins the Bloom "
+    "guarantee (every exactly-contaminated doc is flagged — zero false "
+    "negatives, checked by anti-join); fp_ok bounds the false-positive "
+    "tail at 5% of the corpus (m=2^21, k=4 sized for ~1e-3 per-doc fp "
+    "at sf0.01 fill).",
+    tags=("documents", "decontaminate", "bloom", "pipeline"),
+)
+def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import bloom
+    from clickhouse_arrow_spark.operators.text import decontaminate
+
+    m_bits, k = 1 << 21, 4
+    docs = spark.table("documents")
+    bench = docs.filter(F.col("source") == "src0")
+    exact_ids = (
+        decontaminate(
+            docs,
+            bench.select(F.col("doc_id").alias("bench_id"), "text"),
+            n=8,
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    words = bloom_words = bloom.bloom_build(bench, n=8, m_bits=m_bits, k=k)
+    flagged_ids = (
+        bloom.bloom_flag(docs, words, n=8, m_bits=m_bits, k=k)
+        .filter(F.col("flagged"))
+        .select("doc_id")
+    )
+    exact_n = exact_ids.agg(F.count("*").alias("exact_n"))
+    no_fn = exact_ids.join(flagged_ids, "doc_id", "left_anti").agg(
+        (F.count("*") == 0).alias("no_fn")
+    )
+    fp = flagged_ids.agg(F.count("*").alias("_flagged"))
+    tot = docs.agg(F.count("*").alias("_tot"))
+    return (
+        exact_n.crossJoin(no_fn)
+        .crossJoin(fp)
+        .crossJoin(tot)
+        .select(
+            "exact_n",
+            "no_fn",
+            (
+                (F.col("_flagged") - F.col("exact_n"))
+                <= F.ceil(F.lit(0.05) * F.col("_tot"))
+            ).alias("fp_ok"),
+        )
+    )
+
+
+@register(
     "agg_projection_route",
     """
     SELECT o_orderstatus,
@@ -2750,6 +2827,62 @@ def q_util_sweep_wave10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "decodeURLFormComponent('a+b%20c') AS dufc, "
         "isNotDistinctFrom(NULL, NULL) AS indf, "
         "toInt64(byteSwap(3351772109)) AS bswap"
+    )
+
+
+@register(
+    "util_sweep_wave11",
+    """
+    SELECT
+      (SELECT count(*) FROM orders
+       WHERE (o_orderkey, o_orderstatus)
+             IN ((0,'F'),(1,'F'),(3,'O'),(2,'O'))) AS tin,
+      (SELECT count(*) FROM orders WHERE o_orderkey = ANY
+       (SELECT o_orderkey FROM orders WHERE o_orderkey <= 7)) AS anyc,
+      (SELECT count(*) FROM orders WHERE o_orderpriority =
+       (SELECT min(o_orderpriority) FROM orders)) AS ties_n,
+      ['k', 'v'] AS eg,
+      [['k', 'v'], ['k2', 'v2']] AS eav,
+      [['k', 'k2'], ['v', 'v2']] AS eah,
+      'a\\.b\\[c\\]' AS rqm,
+      TRUE AS bta, FALSE AS btn,
+      CAST(31 AS BIGINT) AS dd,
+      CAST(3 AS BIGINT) AS ts_n
+    """,
+    doc="Round-6 probe-sweep wave 11 (statement forms + leftover "
+    "families): tuple-IN rewritten to positionally-named structs on "
+    "BOTH sides (Spark struct IN compares field names; CH tuples have "
+    "none), = ANY / <> ALL quantified comparisons -> IN / NOT IN, "
+    "LIMIT n WITH TIES -> rank() window wrap (counted against the "
+    "min-key oracle), extractGroups/extractAllGroups[Horizontal/"
+    "Vertical] (group count from the literal pattern), "
+    "regexpQuoteMeta, bitTestAll/bitTestAny, CH 3-arg date_diff "
+    "(unit-first spelling vs Spark's own 2-arg builtin), and "
+    "timeSlots. The paren-group subscript fix ((expr)[1], scalar "
+    "array WITH aliases) is exercised by the dialect battery.",
+    tags=("dialect", "sweep", "wave11"),
+)
+def q_util_sweep_wave11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "(SELECT count(*) FROM orders WHERE (o_orderkey, o_orderstatus) "
+        "IN ((0,'F'),(1,'F'),(3,'O'),(2,'O'))) AS tin, "
+        "(SELECT count(*) FROM orders WHERE o_orderkey = ANY "
+        "(SELECT o_orderkey FROM orders WHERE o_orderkey <= 7)) AS anyc, "
+        "(SELECT count(*) FROM (SELECT o_orderpriority FROM orders "
+        "ORDER BY o_orderpriority LIMIT 1 WITH TIES)) AS ties_n, "
+        "extractGroups('k=v', '(\\\\w+)=(\\\\w+)') AS eg, "
+        "extractAllGroups('k=v;k2=v2', '(\\\\w+)=(\\\\w+)') AS eav, "
+        "extractAllGroupsHorizontal('k=v;k2=v2', '(\\\\w+)=(\\\\w+)') "
+        "AS eah, "
+        "regexpQuoteMeta('a.b[c]') AS rqm, "
+        "bitTestAll(7, 0, 1) AS bta, bitTestAny(4, 0, 1) AS btn, "
+        "toInt64(date_diff('day', toDate('2024-01-01'), "
+        "toDate('2024-02-01'))) AS dd, "
+        "toInt64(length(timeSlots(toDateTime('2024-01-01 00:00:00'), "
+        "toUInt32(3600)))) AS ts_n"
     )
 
 

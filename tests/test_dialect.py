@@ -1175,7 +1175,9 @@ def test_fourth_wave_refusals():
         ("exponentialMovingAverage(10)(v, t)", "exp_time_decayed_avg"),
         ("sequenceNextNode('forward', 'head')(t, s, c)", "funnel"),
         ("corrMatrix(a, b)", "pairwise"),
-        ("extractAllGroupsVertical(s, re)", "arrays_zip"),
+        # wave 11 implemented the literal-pattern form; a column
+        # pattern still refuses (the group count lives in the pattern)
+        ("extractAllGroupsVertical(s, re)", "literal pattern"),
         ("stochasticLinearRegression(0.1)(x, y)", "simpleLinearRegression"),
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):

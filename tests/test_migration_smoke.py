@@ -415,6 +415,60 @@ QUERIES = [
     ("SELECT formatReadableTimeDelta(86401) AS t, "
      "formatReadableSize(1048576) AS s",
      (1, 1)),
+    # ---- wave 10/11 statement forms ------------------------------------
+    # tuple IN over composite keys (positional struct rewrite)
+    ("SELECT count() AS n FROM orders WHERE (o_orderkey, o_orderstatus) "
+     "IN ((0, 'F'), (1, 'F'), (3, 'O'))",
+     (1, 1)),
+    # quantified comparisons
+    ("SELECT count() AS n FROM orders WHERE o_orderkey = ANY "
+     "(SELECT o_orderkey FROM orders WHERE o_totalprice > 300000)",
+     (1, 1)),
+    ("SELECT count() AS n FROM lineitem WHERE l_orderkey <> ALL "
+     "(SELECT o_orderkey FROM orders WHERE o_orderstatus = 'P')",
+     (1, 1)),
+    # LIMIT WITH TIES keeps every row tying the boundary
+    ("SELECT o_orderpriority FROM orders ORDER BY o_orderpriority "
+     "LIMIT 1 WITH TIES",
+     (1, 2000)),
+    # locale collation in ORDER BY
+    ("SELECT n_name FROM nation ORDER BY n_name COLLATE 'en' LIMIT 5",
+     (5, 5)),
+    # scalar WITH binding an array alias, subscripted
+    ("WITH ['urgent', 'high'] AS labels SELECT labels[1] AS first_label",
+     (1, 1)),
+    # regex group extraction over a real column
+    ("SELECT extractGroups(o_orderpriority, '(\\\\d+)-(\\\\w+)') AS parts "
+     "FROM orders LIMIT 5",
+     (5, 5)),
+    # CH 3-arg date_diff spelling beside Spark's own 2-arg form
+    ("SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) AS span "
+     "FROM orders",
+     (1, 1)),
+    # URL query/fragment family on synthetic strings
+    ("SELECT cutQueryStringAndFragment('https://x.io/p?q=1#f') AS clean, "
+     "queryStringAndFragment('https://x.io/p?q=1#f') AS tail_",
+     (1, 1)),
+    # map key-LIKE helpers
+    ("SELECT mapContainsKeyLike(map('region_eu', 1, 'region_us', 2), "
+     "'region\\\\_%') AS hit",
+     (1, 1)),
+    # array shifts and non-negative cumsum in one projection
+    ("SELECT arrayShiftLeft([1, 2, 3], 1) AS shl, "
+     "arrayCumSumNonNegative([5, -9, 3]) AS cnn",
+     (1, 1)),
+    # numeric truncate + sigmoid in a scoring expression
+    ("SELECT truncate(avg(o_totalprice), 2) AS t, "
+     "sigmoid(avg(o_totalprice) / 100000) AS s FROM orders",
+     (1, 1)),
+    # timeSlots windows over event times
+    ("SELECT length(timeSlots(toDateTime('2024-01-01 10:00:00'), "
+     "toUInt32(3600))) AS n_slots",
+     (1, 1)),
+    # bitTest family over flag columns
+    ("SELECT countIf(bitTestAny(o_orderkey, 0, 1)) AS odd_or_two "
+     "FROM orders",
+     (1, 1)),
 ]
 
 

@@ -235,6 +235,34 @@ def main() -> int:
         packing.first_fit(tok, budget=2048, n_buckets=4096),
     )
 
+    # -- DSIR selection + bloom decontamination over the doc corpus ------
+    from clickhouse_arrow_spark.operators import bloom as bloom_ops
+    from clickhouse_arrow_spark.operators import dsir as dsir_ops
+
+    dsir_target = docs.filter(F.col("doc_id") % 50 == 0)  # 2% target
+    bench(
+        "dsir_select_docs",
+        lambda: dsir_ops.dsir_resample(
+            dsir_ops.dsir_score(
+                docs,
+                dsir_ops.dsir_fit(dsir_target, docs, n_buckets=10_000),
+                n_buckets=10_000,
+            ),
+            k=1000,
+            seed=7,
+        ),
+    )
+    bench(
+        "bloom_decon_docs",
+        lambda: bloom_ops.bloom_flag(
+            docs,
+            bloom_ops.bloom_build(dsir_target, n=8, m_bits=1 << 22, k=4),
+            n=8,
+            m_bits=1 << 22,
+            k=4,
+        ),
+    )
+
     # -- streaming: stateful sessionization throughput at 1M events ------
     import shutil as _sh
 

@@ -108,6 +108,7 @@ def dsir_fit(
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
     smoothing: float = 1.0,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Fit the per-bucket importance log-weights:
     ``logw(b) = log p_target(b) - log p_raw(b)`` with add-``smoothing``
@@ -117,17 +118,23 @@ def dsir_fit(
     broadcastable model. Buckets absent from both corpora fall out of
     the join; their smoothed weight is a constant that only shifts
     scores of grams nobody has, so dropping them changes nothing.
+
+    ``raw_features``: precomputed ``hashed_ngram_features(raw_df, ...)``
+    — pass a persisted copy when also calling :func:`dsir_score` on the
+    same corpus, so the big side is featurized ONCE (the 1M-doc scale
+    probe put the double featurization at most of the pipeline's cost).
     """
     t = (
         hashed_ngram_features(target_df, text_col, id_col, n_buckets)
         .groupBy("bucket")
         .agg(F.sum("cnt").alias("t_cnt"))
     )
-    r = (
-        hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
-        .groupBy("bucket")
-        .agg(F.sum("cnt").alias("r_cnt"))
+    feats = (
+        raw_features
+        if raw_features is not None
+        else hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
     )
+    r = feats.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
     joined = t.join(r, "bucket", "full_outer").select(
         "bucket",
         F.coalesce("t_cnt", F.lit(0)).alias("t_cnt"),
@@ -156,15 +163,22 @@ def dsir_score(
     text_col: str = "text",
     id_col: str = "doc_id",
     n_buckets: int = 10_000,
+    raw_features: DataFrame | None = None,
 ) -> DataFrame:
     """Per-document log importance weight: ``(id, logw)``.
 
     The weight table is broadcast (<= n_buckets rows), so the only
     shuffle is the per-doc aggregation on the id. Documents with no
     in-model grams score 0 (empty sum), matching the paper's "no
-    evidence either way" posture.
+    evidence either way" posture. Pass the same persisted
+    ``raw_features`` given to :func:`dsir_fit` to featurize the corpus
+    once across both phases.
     """
-    feats = hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
+    feats = (
+        raw_features
+        if raw_features is not None
+        else hashed_ngram_features(raw_df, text_col, id_col, n_buckets)
+    )
     return (
         feats.join(F.broadcast(weights), "bucket", "left")
         .groupBy(id_col)

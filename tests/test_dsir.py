@@ -100,3 +100,20 @@ def test_plan_shape(docs, model):
     plan = sel._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "TakeOrderedAndProject" in plan
+
+
+def test_shared_features_identical(docs, model):
+    # passing a persisted feature table to both phases (the single-
+    # featurization scale path) must not change any value
+    w_ref, scored_ref = model
+    target = docs.filter(F.col("source") == "src13")
+    feats = dsir.hashed_ngram_features(docs, n_buckets=N_BUCKETS).cache()
+    w2 = dsir.dsir_fit(target, docs, n_buckets=N_BUCKETS,
+                       raw_features=feats)
+    s2 = dsir.dsir_score(docs, w2, n_buckets=N_BUCKETS,
+                         raw_features=feats)
+    a = {r.doc_id: r.logw for r in scored_ref.collect()}
+    b = {r.doc_id: r.logw for r in s2.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+    feats.unpersist()

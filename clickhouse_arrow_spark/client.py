@@ -537,6 +537,41 @@ class Client:
             self.execute(f"ALTER TABLE {b} RENAME TO {a}", qid)
             self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
             return None
+        m = _re.match(
+            r"(?is)^\s*TRUNCATE\s+TABLE\s+IF\s+EXISTS\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # Spark's TRUNCATE has no IF EXISTS — gate on the catalog
+            if self.spark.catalog.tableExists(m.group(1).replace("`", "")):
+                self.execute(f"TRUNCATE TABLE {m.group(1)}", qid)
+            return None
+        m = _re.match(
+            r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)"
+            r"\s+AS\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH's clone-structure form (AS <table>, no SELECT): Spark's
+            # CREATE TABLE LIKE copies schema+provider; the CH engine
+            # metadata rides along explicitly so FINAL/OPTIMIZE keep
+            # working on the clone
+            ine = "IF NOT EXISTS " if m.group(1) else ""
+            dst, src = m.group(2), m.group(3)
+            self.execute(f"CREATE TABLE {ine}{dst} LIKE {src}", qid)
+            props = {
+                r["key"]: r["value"]
+                for r in self.spark.sql(
+                    f"SHOW TBLPROPERTIES {src}"
+                ).collect()
+                if r["key"].startswith("clickhouse_arrow_spark.")
+            }
+            if props:
+                kv = ", ".join(f"'{k}' = '{v}'" for k, v in props.items())
+                self.execute(
+                    f"ALTER TABLE {dst} SET TBLPROPERTIES ({kv})", qid
+                )
+            return None
         created = self._try_create_table_stmt(ch_sql, qid)
         if created:
             return None

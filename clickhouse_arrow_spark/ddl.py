@@ -742,11 +742,19 @@ def optimize_table(spark: SparkSession, table: str, final: bool = False) -> int:
     subsequent reads skip the fold entirely (exactly what CH's
     OPTIMIZE FINAL leaves behind). Returns the row count after."""
     if final:
-        sql = rewrite_final(spark, f"SELECT * FROM {table} FINAL")
-        folded = spark.sql(sql)
-        _rewrite_rows(spark, table, folded)
-        # the fold is now physical: clear the version rows it consumed
-        return spark.table(table).count()
+        try:
+            sql = rewrite_final(spark, f"SELECT * FROM {table} FINAL")
+        except SchemaError:
+            # CH accepts OPTIMIZE FINAL on engines with no fold (plain
+            # MergeTree): it merges everything into one part, nothing
+            # deduplicates — the compaction below IS that merge
+            sql = None
+        if sql is not None:
+            folded = spark.sql(sql)
+            _rewrite_rows(spark, table, folded)
+            # the fold is now physical: clear the version rows it
+            # consumed
+            return spark.table(table).count()
     df = spark.table(table)
     n_files = max(len(df.inputFiles()), 1)
     _rewrite_rows(spark, table, df.coalesce(max(1, n_files // 8)))
@@ -1248,16 +1256,20 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
         _recreate_with(spark, table, df.drop(col))
         return True
     mm = re.match(
-        r"(?is)^RENAME\s+COLUMN\s+(`[^`]+`|\w+)\s+TO\s+(`[^`]+`|\w+)\s*$",
+        r"(?is)^RENAME\s+COLUMN\s+(IF\s+EXISTS\s+)?(`[^`]+`|\w+)\s+TO\s+"
+        r"(`[^`]+`|\w+)\s*$",
         action,
     )
     if mm:
+        src = mm.group(2).strip("`")
+        if src not in spark.table(table).columns:
+            if mm.group(1):
+                return True  # IF EXISTS: silently nothing to rename
+            raise SchemaError(f"RENAME COLUMN: no column {src!r} in {table}")
         _recreate_with(
             spark,
             table,
-            spark.table(table).withColumnRenamed(
-                mm.group(1).strip("`"), mm.group(2).strip("`")
-            ),
+            spark.table(table).withColumnRenamed(src, mm.group(3).strip("`")),
         )
         return True
     mm = re.match(

@@ -573,6 +573,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # ride Spark's real HLL sketches (handled separately).
         is_state = name.endswith("State")
         base = name[: -5 if is_state else -5]
+        # combinator CHAIN: <base>If{State,Merge} — the If strips here,
+        # its condition (last arg) folds into a CASE over the value
+        state_filt = False
+        if base.endswith("If") and len(base) > 2:
+            base = base[:-2]
+            state_filt = True
         forms = {
             "sum": ("sum({0})", "sum({0})"),
             "min": ("min({0})", "min({0})"),
@@ -596,14 +602,29 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         if base in forms:
             slot = forms[base][0 if is_state else 1]
 
-            def state_fmt(a: Args, _slot=slot, _base=base, _st=is_state) -> str:
-                if not a or not any(x.strip() for x in a):
+            def state_fmt(
+                a: Args,
+                _slot=slot,
+                _base=base,
+                _st=is_state,
+                _filt=state_filt,
+            ) -> str:
+                args = [x for x in a if x.strip()]
+                cond = args.pop() if _filt and args else None
+                if not args:
                     if _base == "count" and _st:
-                        return "count(*)"
+                        return (
+                            f"count(CASE WHEN {cond} THEN 1 END)"
+                            if cond is not None
+                            else "count(*)"
+                        )
                     raise UntranslatableFunctionError(
                         f"{name}() needs its argument"
                     )
-                return _slot.format(a[0])
+                x = args[0]
+                if cond is not None:
+                    x = f"CASE WHEN {cond} THEN {x} END"
+                return _slot.format(x)
 
             return state_fmt
     if name == "finalizeAggregation":
@@ -3278,11 +3299,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return refuse_reinterpret
-    if name in _OPERATOR_BACKED:
-        def refuse_op(a: Args, _name: str = name) -> str:
+    if name in _OPERATOR_BACKED or (
+        name.endswith("If") and name[:-2] in _OPERATOR_BACKED
+    ):
+        _opb_base = name if name in _OPERATOR_BACKED else name[:-2]
+
+        def refuse_op(a: Args, _name: str = name, _b: str = _opb_base) -> str:
             raise UntranslatableFunctionError(
                 f"{_name}() needs a query-shape rewrite, not a function "
-                f"rename; use the DataFrame API: {_OPERATOR_BACKED[_name]}"
+                f"rename; use the DataFrame API: {_OPERATOR_BACKED[_b]}"
+                + ("" if _name == _b else " (plus a .filter() for the If)")
             )
 
         return refuse_op
@@ -3294,6 +3320,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
 #: parametric aggregates: name(params)(args) -> formatter(params, args)
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    # size-capped collection: groupArray(n)(x) keeps the first n
+    "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
+    "groupUniqArray": lambda p, a: f"slice(collect_set({a[0]}), 1, {p[0]})",
     "quantile": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileExact": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileTDigest": lambda p, a: f"approx_percentile({a[0]}, {p[0]})",
@@ -3417,17 +3446,32 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
                    groupArray -> flatten(collect_list),
                    uniq/uniqExact -> over flattened distinct elements
     """
+    # CH accepts the suffixes in either order (`countDistinctIf` and
+    # `countIfDistinct` both occur in the wild) — strip from the right
+    # until a known base emerges; one non-If combinator + optional If
     base = name
     filt = False
-    if base.endswith("If") and len(base) > 2:
-        base = base[:-2]
-        filt = True
     comb = None
-    for suffix in ("Array", "Distinct", "OrNull", "OrDefault"):
-        if base.endswith(suffix) and base[: -len(suffix)] in _COMBINATOR_BASES:
-            comb = suffix
-            base = base[: -len(suffix)]
+    for _ in range(2):
+        if base in _COMBINATOR_BASES:
             break
+        if not filt and base.endswith("If") and len(base) > 2:
+            base = base[:-2]
+            filt = True
+            continue
+        if comb is None:
+            for suffix in ("Array", "Distinct", "OrNull", "OrDefault"):
+                if (
+                    base.endswith(suffix)
+                    and len(base) > len(suffix)
+                ):
+                    comb = suffix
+                    base = base[: -len(suffix)]
+                    break
+            else:
+                break
+            continue
+        break
     if base not in _COMBINATOR_BASES or (comb is None and not filt):
         return None
     spark = _COMBINATOR_BASES[base]
@@ -4958,6 +5002,37 @@ def _rewrite_any_all(sql: str) -> str:
     return sql
 
 
+_GROUP_BY_EMPTY_RE = re.compile(r"(?i)\bGROUP\s+BY\s*\(\s*\)")
+
+
+def _rewrite_group_by_empty(sql: str) -> str:
+    """CH `GROUP BY ()` = one global aggregate row — Spark spells that
+    by having no GROUP BY at all."""
+    while True:
+        m = _find_clean(_GROUP_BY_EMPTY_RE, sql, depth0=False)
+        if not m:
+            return sql
+        sql = f"{sql[: m.start()]}{sql[m.end():]}"
+
+
+_IN_BRACKET_RE = re.compile(r"(?i)\b(NOT\s+)?IN\s*\[")
+
+
+def _rewrite_in_bracket(sql: str) -> str:
+    """CH allows an array literal as the IN set: `x IN [1, 2]` — the
+    bracket list IS the set, so it becomes the parenthesized form."""
+    while True:
+        m = _find_clean(_IN_BRACKET_RE, sql, depth0=False)
+        if not m:
+            return sql
+        close = _find_matching(sql, m.end() - 1, "[", "]")
+        if close == -1:
+            return sql
+        notkw = "NOT " if m.group(1) else ""
+        inner = sql[m.end() : close]
+        sql = f"{sql[: m.start()]}{notkw}IN ({inner}){sql[close + 1:]}"
+
+
 _TUPLE_IN_RE = re.compile(r"(?i)\b(NOT\s+)?IN\s*\(")
 
 
@@ -5108,6 +5183,8 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_collate(sql)
     sql = _rewrite_any_all(sql)
+    sql = _rewrite_group_by_empty(sql)
+    sql = _rewrite_in_bracket(sql)
     sql = _rewrite_tuple_in(sql)
     sql = _rewrite_star_modifiers(sql)
     sql = _rewrite_tuple_index(sql)
@@ -5195,18 +5272,34 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
                 break
             inner = translate_ch_sql(sql[j + 1 : close], allow_hash_substitution)
             args = _split_top_args(inner)
-            # parametric form: name(params)(args)
+            # parametric form: name(params)(args) — an If suffix on a
+            # parametric aggregate (`quantileIf(0.5)(x, cond)`) folds
+            # its trailing condition into a CASE over the value args
             k = close + 1
-            if name in _PARAMETRIC and k < n and sql[k] == "(":
+            _par_name = name
+            _par_if = False
+            if (
+                name not in _PARAMETRIC
+                and name.endswith("If")
+                and name[:-2] in _PARAMETRIC
+            ):
+                _par_name = name[:-2]
+                _par_if = True
+            if _par_name in _PARAMETRIC and k < n and sql[k] == "(":
                 close2 = _find_matching_paren(sql, k)
                 if close2 != -1:
                     inner2 = translate_ch_sql(
                         sql[k + 1 : close2], allow_hash_substitution
                     )
+                    _call_args = _split_top_args(inner2)
+                    if _par_if and len(_call_args) >= 2:
+                        cond = _call_args.pop()
+                        _call_args = [
+                            f"CASE WHEN {cond} THEN {x} END"
+                            for x in _call_args
+                        ]
                     try:
-                        expr = _PARAMETRIC[name](
-                            args, _split_top_args(inner2)
-                        )
+                        expr = _PARAMETRIC[_par_name](args, _call_args)
                     except IndexError:
                         raise UntranslatableFunctionError(
                             f"{name}: wrong parameter/argument arity for "

@@ -82,6 +82,7 @@ _GATE_ALIASES: dict[str, str] = {
     "driver_gate_wave4": "util_sweep_wave4",
     "driver_gate_wave10": "util_sweep_wave10",
     "driver_gate_wave11": "util_sweep_wave11",
+    "driver_gate_wave12": "util_sweep_wave12",
     "driver_gate_dsir": "doc_dsir_select",
 }
 

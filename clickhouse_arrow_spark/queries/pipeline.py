@@ -2887,6 +2887,49 @@ def q_util_sweep_wave11(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave12",
+    """
+    SELECT
+      CAST(20 AS BIGINT) AS winsum,
+      CAST(7 AS BIGINT) AS sifs,
+      CAST(3 AS BIGINT) AS cifd,
+      CAST(5.5 AS DOUBLE) AS qif,
+      CAST([0, 2, 4] AS BIGINT[]) AS gaif,
+      (SELECT count(*) FROM orders) AS gbe,
+      (SELECT count(*) FROM orders
+       WHERE o_orderstatus IN ('O', 'F')) AS inarr
+    """,
+    doc="Round-6 probe-sweep wave 12 (statement + combinator forms): "
+    "named WINDOW clause, combinator CHAINS — sumIfState (If folds "
+    "into the transparent -State algebra), countIfDistinct (suffixes "
+    "accepted in either order), quantileIf(p)(x, cond) (If on a "
+    "PARAMETRIC aggregate), groupArrayIf(n)(x, cond) (size-capped "
+    "parametric collect + If) — plus CH `GROUP BY ()` (global "
+    "aggregate) and the array-literal IN set `x IN ['O','F']`.",
+    tags=("dialect", "sweep", "wave12"),
+)
+def q_util_sweep_wave12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "(SELECT toInt64(sum(s)) FROM (SELECT sum(number) OVER w AS s "
+        "FROM numbers(5) WINDOW w AS (ORDER BY number))) AS winsum, "
+        "(SELECT toInt64(sumIfState(number, number > 2)) "
+        "FROM numbers(5)) AS sifs, "
+        "(SELECT toInt64(countIfDistinct(number % 3, number > 0)) "
+        "FROM numbers(10)) AS cifd, "
+        "(SELECT quantileIf(0.5)(number, number > 1) "
+        "FROM numbers(10)) AS qif, "
+        "(SELECT CAST(arraySort(groupArrayIf(3)(number, "
+        "number % 2 = 0)) AS Array(Int64)) FROM numbers(10)) AS gaif, "
+        "(SELECT count(*) FROM orders GROUP BY ()) AS gbe, "
+        "(SELECT count(*) FROM orders "
+        "WHERE o_orderstatus IN ['O', 'F']) AS inarr"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

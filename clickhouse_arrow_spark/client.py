@@ -52,7 +52,8 @@ PROTECTED_DATABASES = frozenset({"default"})
 #: system.numbers[_mt]/databases/tables/columns)
 _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
-    r"(numbers_mt|numbers|one|databases|tables|columns|query_log|functions|settings)\b"
+    r"(numbers_mt|numbers|one|databases|tables|columns|query_log|"
+    r"functions|settings|parts|processes|metrics|events|merges)\b"
 )
 
 
@@ -1382,11 +1383,85 @@ class Client:
                 self.system_columns(db)
                 for db in self.fetch_schemas()
             ]
+            # session temp views (the registered parquet tables) report
+            # under 'default', same attribution as system.tables
+            temp = [
+                t.name
+                for t in self.spark.catalog.listTables()
+                if t.isTemporary
+            ]
+            if temp:
+                parts.append(self.system_columns(None, tables=temp))
             df = parts[0]
             for p in parts[1:]:
                 df = df.unionByName(p)
         elif name == "query_log":
             df = self.system_query_log()
+        elif name == "parts":
+            # global form: one row per parquet part across every table
+            # the session can see (the per-table system_parts, unioned)
+            dfs = []
+            for r in self._system_tables_df().collect():
+                qualified = (
+                    r["name"]
+                    if r["is_temporary"]
+                    else f"{r['database']}.{r['name']}"
+                )
+                try:
+                    dfs.append(self.system_parts(qualified))
+                except Exception:
+                    continue  # views without physical files
+            df = dfs[0] if dfs else self.spark.createDataFrame(
+                [],
+                "table string, name string, active boolean, rows bigint, "
+                "bytes_on_disk bigint, row_groups int, "
+                "modification_time timestamp, path string",
+            )
+            for p in dfs[1:]:
+                df = df.unionByName(p)
+        elif name == "processes":
+            # in-flight queries = active Spark job groups (qids); CH
+            # would also show the introspection query itself — Spark
+            # hasn't started its job yet at build time
+            st = self.spark.sparkContext.statusTracker()
+            rows = []
+            for jid in st.getActiveJobsIds():
+                info = st.getJobInfo(jid)
+                if info is not None:
+                    rows.append((str(jid), "", float(0)))
+            df = self.spark.createDataFrame(
+                rows, "query_id string, query string, elapsed double"
+            )
+        elif name == "metrics":
+            rt = self.spark._jvm.java.lang.Runtime.getRuntime()
+            st = self.spark.sparkContext.statusTracker()
+            rows = [
+                ("Query", len(st.getActiveJobsIds()),
+                 "Number of executing queries (active Spark jobs)"),
+                ("MemoryTracking",
+                 int(rt.totalMemory() - rt.freeMemory()),
+                 "Driver JVM heap in use, bytes"),
+            ]
+            df = self.spark.createDataFrame(
+                rows, "metric string, value bigint, description string"
+            )
+        elif name == "events":
+            n_logged = self.system_query_log().count()
+            df = self.spark.createDataFrame(
+                [("Query", n_logged,
+                  "Queries this session (from the client query log)")],
+                "event string, value bigint, description string",
+            )
+        elif name == "merges":
+            # merges are EAGER here (OPTIMIZE runs synchronously), so
+            # there is never a background merge in flight — the empty
+            # relation with CH's columns is the truthful answer
+            df = self.spark.createDataFrame(
+                [],
+                "database string, table string, elapsed double, "
+                "progress double, num_parts bigint, "
+                "total_size_bytes_compressed bigint",
+            )
         elif name == "functions":
             from clickhouse_arrow_spark.dialect import known_ch_functions
 
@@ -1429,7 +1504,10 @@ class Client:
                     continue
                 seen.add(key)
                 if t.isTemporary:
-                    engine, database = "View", ""
+                    # session-registered tables live in CH's 'default'
+                    # database from a migrating user's point of view —
+                    # `WHERE database = 'default'` must find them
+                    engine, database = "View", "default"
                 else:
                     database = key[0]
                     try:

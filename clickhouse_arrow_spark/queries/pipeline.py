@@ -2930,6 +2930,39 @@ def q_util_sweep_wave12(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_system_introspect",
+    """
+    SELECT CAST(3 AS BIGINT) AS t3, CAST(6 AS BIGINT) AS oc,
+           (SELECT count(*) FROM lineitem) AS lrows,
+           TRUE AS merges_idle
+    """,
+    doc="system.* introspection surface (client._system_relation): "
+    "session-registered tables report under database 'default' in "
+    "system.tables/system.columns (the attribution a migrating user "
+    "filters on), system.parts reads parquet footers so its per-table "
+    "row sum MUST equal the table's count(*) (pinned against the "
+    "DuckDB oracle), and system.merges is truthfully empty — merges "
+    "run eagerly (OPTIMIZE), never in background. system.processes/"
+    "metrics/events complete the monitoring family (live values; not "
+    "oracle-pinnable by nature).",
+    tags=("system", "introspection"),
+)
+def q_util_system_introspect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "(SELECT count(*) FROM system.tables WHERE database = 'default' "
+        "AND name IN ('orders', 'lineitem', 'documents')) AS t3, "
+        "(SELECT count(*) FROM system.columns "
+        "WHERE table = 'orders') AS oc, "
+        "(SELECT toInt64(sum(rows)) FROM system.parts "
+        "WHERE table = 'lineitem') AS lrows, "
+        "(SELECT count(*) = 0 FROM system.merges) AS merges_idle"
+    )
+
+
+@register(
     "util_lttb_gate",
     """
     SELECT TRUE AS n_points_ok, TRUE AS endpoints_kept,

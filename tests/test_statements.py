@@ -737,3 +737,39 @@ def test_show_create_table_temp_view_synthesized(client, tables):
     stmt = row["statement"]
     assert stmt.startswith("CREATE TABLE nation")
     assert "`n_nationkey` Nullable(Int32)" in stmt
+
+
+def test_system_monitoring_tables(client, tables, spark):
+    # round 6: temp-view tables attribute to 'default' (what a CH user
+    # filters on), and the monitoring family resolves
+    names = {
+        r["name"]
+        for r in client.query_ch(
+            "SELECT name FROM system.tables WHERE database = 'default'"
+        ).collect()
+    }
+    assert {"orders", "lineitem", "documents"} <= names
+    cols = client.query_ch(
+        "SELECT name FROM system.columns WHERE table = 'orders'"
+    ).collect()
+    assert len(cols) == len(spark.table("orders").columns)
+    # parts row sums must equal the live table count (footer-read truth)
+    r = client.query_ch(
+        "SELECT sum(rows) AS n FROM system.parts WHERE table = 'orders'"
+    ).collect()[0]
+    assert r["n"] == spark.table("orders").count()
+    metrics = {
+        m["metric"]: m["value"]
+        for m in client.query_ch(
+            "SELECT metric, value FROM system.metrics"
+        ).collect()
+    }
+    assert metrics["MemoryTracking"] > 0
+    assert client.query_ch(
+        "SELECT value FROM system.events WHERE event = 'Query'"
+    ).collect()[0]["value"] >= 0
+    # merges run eagerly here; the background-merge table is empty
+    assert client.query_ch(
+        "SELECT count(*) AS n FROM system.merges"
+    ).collect()[0]["n"] == 0
+    client.query_ch("SELECT count(*) FROM system.processes").collect()

@@ -271,14 +271,19 @@ def encode_ppm(doc_id: int) -> bytes:
     return header + pixels
 
 
-def attach_ppm_payload(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def attach_ppm_payload(
+    df: DataFrame, id_col: str = "doc_id", key_col: str | None = None
+) -> DataFrame:
     """Synthesize a real PPM payload per row (Arrow-batched pandas UDF —
     byte generation never crosses a per-row Python boundary) with the
-    same typed-metadata struct attach_payload produces."""
+    same typed-metadata struct attach_payload produces. `key_col` (when
+    given) drives the image CONTENT while `id_col` stays the row
+    identity — rows sharing a key carry byte-identical images, the
+    controlled-duplicate construction the dedup gates use."""
     ppm = F.pandas_udf(
         lambda ids: ids.map(lambda i: encode_ppm(int(i))), T.BinaryType()
     )
-    payload = ppm(F.col(id_col))
+    payload = ppm(F.col(key_col or id_col))
     return df.select(
         F.col(id_col),
         payload.alias("payload"),
@@ -636,3 +641,122 @@ def decode_media_stats(df: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(decode, schema=MEDIA_STATS_SCHEMA)
+
+
+# ---- perceptual-hash (dHash) image dedup -------------------------------
+
+DHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("dhash", T.LongType(), True),
+    ]
+)
+
+#: full-pixel decoders (rgb bytes, not the feature summaries DECODERS
+#: holds) — the image formats with real codecs in this repo
+_RGB_DECODERS = {
+    PPM_MIME: decode_ppm,
+    BMP_MIME: decode_bmp,
+    PNG_MIME: decode_png,
+}
+
+
+def _dhash_from_rgb(width: int, height: int, rgb: bytes) -> int:
+    """64-bit difference hash: luminance sampled on a 9x8 grid, bit r*8+c
+    set when grid[r][c] > grid[r][c+1]. Deterministic, resolution- and
+    encoding-invariant for identical images; small pixel perturbations
+    flip few bits (the property the hamming join exploits)."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8)
+    a = a.reshape(height, width, 3).astype(np.float64)
+    gray = a[:, :, 0] * 0.299 + a[:, :, 1] * 0.587 + a[:, :, 2] * 0.114
+    ys = (np.arange(8) * height) // 8
+    xs = (np.arange(9) * width) // 9
+    grid = gray[np.ix_(ys, xs)]
+    bits = grid[:, :-1] > grid[:, 1:]
+    h = 0
+    for b in bits.flatten():
+        h = (h << 1) | int(b)
+    # wrap into the signed 64-bit range Spark's LongType holds
+    return h - (1 << 64) if h >= (1 << 63) else h
+
+
+def image_dhash(df: DataFrame) -> DataFrame:
+    """`(doc_id, payload, media)` -> `(doc_id, dhash)` via mapInPandas —
+    Arrow-batched decode + hash, one Python stage, nothing per-row
+    across the serialization boundary. Non-image mimes (and formats
+    whose real codec is absent) yield NULL dhash rather than failing
+    the batch — dedup over a mixed-modality corpus skips them."""
+    from clickhouse_arrow_spark.operators.dedup import _spread
+
+    df = _spread(df, "doc_id")
+
+    def hash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hashes = []
+            for payload, meta in zip(pdf["payload"], pdf["media"]):
+                decoder = _RGB_DECODERS.get(meta["mime"])
+                if decoder is None:
+                    hashes.append(None)
+                    continue
+                w, h, rgb = decoder(bytes(payload))
+                hashes.append(_dhash_from_rgb(w, h, rgb))
+            yield pd.DataFrame({"doc_id": pdf["doc_id"], "dhash": hashes})
+
+    return df.mapInPandas(hash_batches, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup(
+    hashes: DataFrame, max_hamming: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-duplicate image pairs from dHashes: `(id_a, id_b, hamming)`
+    with hamming <= max_hamming and id_a < id_b.
+
+    Scale shape — pigeonhole band join, the same family as the SimHash
+    text path: the 64 bits split into ``max_hamming + 1`` bands, so two
+    hashes within the radius MUST agree on at least one whole band;
+    candidates pair only inside (band_idx, band_value) buckets and the
+    exact popcount check runs on candidates, never all-pairs. NULL
+    hashes (undecodable rows) drop out before banding."""
+    n_bands = max_hamming + 1
+    h = hashes.filter(F.col("dhash").isNotNull())
+    bands = []
+    for i in range(n_bands):
+        lo = (i * 64) // n_bands
+        hi = ((i + 1) * 64) // n_bands
+        width = hi - lo
+        # width 64 (single band) would overflow the BIGINT literal;
+        # & -1 is the identity there
+        mask = (1 << width) - 1 if width < 64 else -1
+        bands.append(
+            h.select(
+                F.col(id_col),
+                "dhash",
+                F.lit(i).alias("band_idx"),
+                F.expr(
+                    f"shiftrightunsigned(dhash, {lo}) & {mask}"
+                ).alias("band_val"),
+            )
+        )
+    banded = bands[0]
+    for b in bands[1:]:
+        banded = banded.unionByName(b)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.expr("bit_count(a.dhash ^ b.dhash)").alias("hamming"),
+        )
+        .where(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+    return pairs

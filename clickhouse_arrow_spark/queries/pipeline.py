@@ -1810,6 +1810,51 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "binary_dhash_dedup",
+    """
+    WITH g AS (
+      SELECT doc_id % 50 AS k, count(*) AS n FROM documents GROUP BY 1
+    )
+    SELECT (SELECT count(*) FROM g) AS n_clusters,
+           (SELECT CAST(sum(n * (n - 1) / 2) AS BIGINT) FROM g) AS n_pairs,
+           TRUE AS key_hash_1to1
+    """,
+    doc="Perceptual-hash image dedup (operators/multimodal.image_dhash "
+    "+ dhash_neardup): REAL PPM payloads synthesized so doc_id % 50 "
+    "drives the image content — rows sharing a residue carry "
+    "byte-identical images. The 64-bit difference hash decodes via "
+    "mapInPandas (Arrow batches), and the hamming-0 pair join runs "
+    "the pigeonhole band path, never all-pairs. Gate: cluster count "
+    "and the exact duplicate-PAIR count must equal the residue "
+    "structure DuckDB computes from raw documents; key_hash_1to1 pins "
+    "that hashing is a bijection on the 50 distinct images (no "
+    "cross-image dHash collisions, no intra-key split).",
+    tags=("multimodal", "dedup", "dhash", "pipeline"),
+)
+def q_binary_dhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 50).alias("img_key")
+    )
+    payloads = mm.attach_ppm_payload(docs, key_col="img_key")
+    hashes = mm.image_dhash(payloads).cache()
+    keyed = hashes.join(docs, "doc_id")
+    pairs = mm.dhash_neardup(hashes, max_hamming=0)
+    n_clusters = hashes.agg(
+        F.countDistinct("dhash").alias("n_clusters")
+    )
+    n_pairs = pairs.agg(F.count("*").cast("bigint").alias("n_pairs"))
+    one_to_one = keyed.agg(
+        (
+            (F.countDistinct("img_key", "dhash") == F.countDistinct("img_key"))
+            & (F.countDistinct("dhash") == F.countDistinct("img_key"))
+        ).alias("key_hash_1to1")
+    )
+    return n_clusters.crossJoin(n_pairs).crossJoin(one_to_one)
+
+
+@register(
     "agg_projection_route",
     """
     SELECT o_orderstatus,

@@ -1470,3 +1470,63 @@ def test_dedup_incremental_store_grows_consistently(spark):
     )
     s2, _ = dedup_incremental(b2, grown, threshold=0.9)
     assert sorted(r["doc_id"] for r in s2.collect()) == [201]
+
+
+# ---- round 6: perceptual-hash (dHash) image dedup ----------------------
+
+
+def test_image_dhash_identity_and_nulls(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    base = spark.range(0, 20).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 4).alias("img_key")
+    )
+    hashes = mm.image_dhash(
+        mm.attach_ppm_payload(base, key_col="img_key")
+    ).join(base, "doc_id")
+    rows = hashes.collect()
+    by_key = {}
+    for r in rows:
+        by_key.setdefault(r.img_key, set()).add(r.dhash)
+    # identical images -> identical hashes; distinct images -> distinct
+    assert all(len(v) == 1 for v in by_key.values())
+    assert len({next(iter(v)) for v in by_key.values()}) == 4
+    # an undecodable mime yields NULL, not a batch failure
+    opaque = mm.attach_payload(
+        spark.range(100, 103).select(
+            F.col("id").alias("doc_id"), F.lit("not an image").alias("text")
+        )
+    )
+    nulls = mm.image_dhash(opaque).collect()
+    assert nulls and all(r.dhash is None for r in nulls)
+
+
+def test_dhash_neardup_perturbation(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+    from clickhouse_arrow_spark.operators.multimodal import (
+        _dhash_from_rgb,
+        decode_ppm,
+        encode_ppm,
+    )
+
+    w, h, rgb = decode_ppm(encode_ppm(7))
+    base_hash = _dhash_from_rgb(w, h, rgb)
+    # saturate the first pixel row: the top dhash row's comparisons all
+    # go flat, flipping a handful of bits — a LOCAL edit, small distance
+    mutated = bytearray(rgb)
+    for i in range(w * 3):
+        mutated[i] = 255
+    pert_hash = _dhash_from_rgb(w, h, bytes(mutated))
+    dist = bin((base_hash ^ pert_hash) & ((1 << 64) - 1)).count("1")
+    assert 0 < dist <= 16
+
+    hashes = spark.createDataFrame(
+        [(1, base_hash), (2, pert_hash), (3, base_hash)],
+        "doc_id long, dhash long",
+    )
+    # radius 0 catches only the exact pair; the band join at the
+    # perturbation's radius also pairs the mutated image
+    exact = mm.dhash_neardup(hashes, max_hamming=0).collect()
+    assert {(r.id_a, r.id_b) for r in exact} == {(1, 3)}
+    near = mm.dhash_neardup(hashes, max_hamming=dist).collect()
+    assert {(r.id_a, r.id_b) for r in near} == {(1, 2), (1, 3), (2, 3)}

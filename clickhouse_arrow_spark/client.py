@@ -734,15 +734,89 @@ class Client:
                 "'<path>') — DROP then leaves the files, and the same "
                 "CREATE re-attaches them."
             )
-        if _re.match(
-            r"(?is)^\s*INSERT\s+INTO\s+[\w.`]+\s*(?:\([^()]*\))?\s+FORMAT\b",
+        m = _re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
+            r"FORMAT\s+(\w+)[ \t]*\n?(.*)$",
             ch_sql,
-        ):
-            raise QueryError(
-                "FORMAT-form INSERT carries its data out-of-band on the "
-                "wire; pass the batch explicitly — client.insert(table, "
-                "df_or_arrow) (the reference's insert(sql, batch) shape)"
+        )
+        if m:
+            # clickhouse-client SCRIPTS carry the data INLINE after the
+            # FORMAT clause — parse it here (inline literals are small
+            # by construction; bulk data belongs in client.insert). An
+            # empty body is the wire protocol's out-of-band shape, which
+            # has no Spark analogue.
+            table, cols, fmt, data = (
+                m.group(1),
+                m.group(2),
+                m.group(3),
+                m.group(4) or "",
             )
+            if not data.strip():
+                raise QueryError(
+                    "FORMAT-form INSERT with no inline data carries its "
+                    "rows out-of-band on the wire; pass the batch "
+                    "explicitly — client.insert(table, df_or_arrow) "
+                    "(the reference's insert(sql, batch) shape)"
+                )
+            fmt_l = fmt.lower()
+            col_clause = f" ({cols})" if cols else ""
+            if fmt_l == "values":
+                return self.execute_ch(
+                    f"INSERT INTO {table}{col_clause} VALUES {data}", qid
+                )
+            names = (
+                [c.strip().strip("`") for c in cols.split(",")]
+                if cols
+                else [f.name for f in self.spark.table(table).schema.fields]
+            )
+            field_types = {
+                f.name: f.dataType for f in self.spark.table(table).schema.fields
+            }
+            lines = [ln for ln in data.splitlines() if ln.strip()]
+            if fmt_l == "jsoneachrow":
+                import json as _json
+
+                dicts = [_json.loads(ln) for ln in lines]
+                names = [n for n in names if any(n in d for d in dicts)]
+                rows = [tuple(str(d.get(n)) if d.get(n) is not None
+                              else None for n in names) for d in dicts]
+            elif fmt_l in ("csv", "csvwithnames", "tsv", "tabseparated",
+                           "tsvwithnames", "tabseparatedwithnames"):
+                import csv as _csv
+                import io as _io
+
+                delim = "," if fmt_l.startswith("csv") else "\t"
+                parsed = list(_csv.reader(_io.StringIO("\n".join(lines)),
+                                          delimiter=delim))
+                if fmt_l.endswith("withnames"):
+                    names = [c.strip() for c in parsed[0]]
+                    parsed = parsed[1:]
+                rows = [tuple(v if v != "" else None for v in r)
+                        for r in parsed]
+            else:
+                raise QueryError(
+                    f"INSERT ... FORMAT {fmt}: inline forms supported "
+                    "here are Values, JSONEachRow, CSV[WithNames], "
+                    "TSV/TabSeparated[WithNames]; for other formats "
+                    "load via spark.read + client.insert"
+                )
+            from pyspark.sql import functions as _F
+
+            raw = self.spark.createDataFrame(
+                rows, ", ".join(f"`{n}` string" for n in names)
+            )
+            typed = raw.select(
+                *[
+                    _F.col(n).cast(field_types[n]).alias(n)
+                    if n in field_types
+                    else _F.col(n)
+                    for n in names
+                ]
+            )
+            # the insert path fires MV triggers and fills MATERIALIZED/
+            # DEFAULT columns, same as the VALUES form
+            self.insert(table, typed, qid=qid)
+            return None
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"(SELECT\b.*|VALUES\b.*?)\s*;?\s*$",

@@ -766,10 +766,15 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return start_of_interval
     if name == "today":
         return lambda a: "current_date()"
-    if name == "now":
+    if name in ("now", "now64"):
         # now('tz') renders the tz wall clock (CH attaches the zone to
-        # the value; Spark values are instants, so shift the rendering)
-        def now_fmt(a: Args) -> str:
+        # the value; Spark values are instants, so shift the rendering).
+        # now64(precision[, tz]): Spark timestamps are fixed micro
+        # precision, so the precision argument only selects which arg
+        # is the timezone.
+        def now_fmt(a: Args, _64: bool = name == "now64") -> str:
+            if _64:
+                a = a[1:] if a and a[0].strip().isdigit() else a
             if not a or not a[0].strip():
                 return "current_timestamp()"
             return (

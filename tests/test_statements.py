@@ -773,3 +773,49 @@ def test_system_monitoring_tables(client, tables, spark):
         "SELECT count(*) AS n FROM system.merges"
     ).collect()[0]["n"] == 0
     client.query_ch("SELECT count(*) FROM system.processes").collect()
+
+
+def test_insert_format_inline_data(client, spark):
+    # clickhouse-client scripts embed the data inline after FORMAT —
+    # Values / JSONEachRow / CSV / TSV / CSVWithNames all parse; an
+    # empty body (the wire's out-of-band shape) still refuses
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS fmtdb")
+    try:
+        client.execute_ch(
+            "CREATE TABLE fmtdb.t (id UInt64, name String) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        client.execute_ch("INSERT INTO fmtdb.t FORMAT Values (1, 'a')")
+        client.execute_ch(
+            'INSERT INTO fmtdb.t FORMAT JSONEachRow {"id": 2, "name": "b"}\n'
+            '{"id": 3, "name": "c"}'
+        )
+        client.execute_ch('INSERT INTO fmtdb.t FORMAT CSV 4,"d"')
+        client.execute_ch("INSERT INTO fmtdb.t (id, name) FORMAT TSV 5\te")
+        # WithNames header reorders columns
+        client.execute_ch(
+            "INSERT INTO fmtdb.t FORMAT CSVWithNames name,id\nf,6"
+        )
+        got = sorted(
+            (int(r.id), r.name)
+            for r in client.query_ch("SELECT id, name FROM fmtdb.t").collect()
+        )
+        assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d"),
+                       (5, "e"), (6, "f")]
+        import pytest as _pytest
+
+        from clickhouse_arrow_spark.errors import QueryError
+
+        with _pytest.raises(QueryError, match="out-of-band"):
+            client.execute_ch("INSERT INTO fmtdb.t FORMAT ArrowStream")
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS fmtdb.t")
+        client.execute_ch("DROP DATABASE IF EXISTS fmtdb")
+
+
+def test_now64(client):
+    r = client.query_ch(
+        "SELECT now64(3) IS NOT NULL AS a, now64() IS NOT NULL AS b, "
+        "now64(3, 'UTC') IS NOT NULL AS c"
+    ).collect()[0]
+    assert (r["a"], r["b"], r["c"]) == (True, True, True)

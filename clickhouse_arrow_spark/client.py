@@ -238,6 +238,99 @@ class Client:
             return self.spark.createDataFrame(
                 [(1 if exists else 0,)], "result tinyint"
             )
+        m = _re.match(
+            r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)"
+            r"(\s+json\s*=\s*1)?\s+(.+)$",
+            ch_sql,
+        )
+        if m:
+            # the TEXTUAL EXPLAIN forms CH users type — routed to the
+            # same machinery QueryOptions(explain=...) uses; one plan
+            # line per row, like clickhouse-client renders
+            from clickhouse_arrow_spark.explain import (
+                ExplainMode,
+                ExplainOptions,
+                explain_df,
+                explain_estimate,
+            )
+
+            mode = ExplainMode(m.group(1).lower())
+            body = m.group(3)
+            if mode == ExplainMode.ESTIMATE:
+                tables = self._tables_in(body)
+                rows = [
+                    (r.database, r.table, r.parts, r.rows, r.marks)
+                    for r in explain_estimate(self.spark, tables)
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "database string, table string, parts bigint, "
+                    "rows bigint, marks bigint",
+                )
+            text = explain_df(
+                self.query_ch(body),
+                ExplainOptions(mode=mode, json=bool(m.group(2))),
+            )
+            return self.spark.createDataFrame(
+                [(ln,) for ln in text.splitlines() if ln.strip()],
+                "explain string",
+            )
+        m = _re.match(
+            r"(?is)^\s*CHECK\s+TABLE\s+([\w.`]+)\s*;?\s*$", ch_sql
+        )
+        if m:
+            # integrity scan: every parquet footer must open and the
+            # full table must read (count touches all row groups) —
+            # the class of check CH's CHECK TABLE runs on its parts
+            table = m.group(1)
+            try:
+                self.system_parts(table).collect()
+                self.spark.table(table).count()
+                ok = 1
+            except Exception:
+                ok = 0
+            return self.spark.createDataFrame([(ok,)], "result tinyint")
+        m = _re.match(
+            r"(?is)^\s*SHOW\s+CREATE\s+DATABASE\s+(`[^`]+`|\w+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            db = m.group(1).strip("`")
+            exists = any(
+                d.name == db for d in self.spark.catalog.listDatabases()
+            )
+            if not exists:
+                raise QueryError(f"SHOW CREATE DATABASE: no database {db!r}")
+            return self.spark.createDataFrame(
+                [(f"CREATE DATABASE `{db}`",)], "statement string"
+            )
+        if _re.match(r"(?is)^\s*SHOW\s+GRANTS\b.*$", ch_sql):
+            # no ACL layer here: the session holds full access, which IS
+            # the truthful grant set (CH default-user deployments read
+            # the same)
+            return self.spark.createDataFrame(
+                [("GRANT ALL ON *.* TO 'default'",)], "grants string"
+            )
+        m = _re.match(
+            r"(?is)^\s*SHOW\s+FUNCTIONS(?:\s+LIKE\s+('(?:[^']|'')*'))?"
+            r"\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # ClickHouse names from system.functions, not Spark's own
+            # registry — that's what a CH user's LIKE pattern targets
+            inner = "SELECT name, is_aggregate FROM system.functions"
+            if m.group(1):
+                inner += f" WHERE name LIKE {m.group(1)}"
+            return self.query_ch(inner + " ORDER BY name")
+        if _re.match(r"(?is)^\s*KILL\s+MUTATION\b.*$", ch_sql):
+            # mutations run synchronously here — by the time KILL could
+            # fire there is nothing in flight; CH returns the killed
+            # set, which is truthfully empty
+            return self.spark.createDataFrame(
+                [], "database string, table string, mutation_id string, "
+                "is_done boolean"
+            )
         if _re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*;?\s*$", ch_sql):
             # system.processes analogue: active Spark job groups from the
             # status tracker (qid = job group, set by _run)

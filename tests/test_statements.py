@@ -819,3 +819,37 @@ def test_now64(client):
         "now64(3, 'UTC') IS NOT NULL AS c"
     ).collect()[0]
     assert (r["a"], r["b"], r["c"]) == (True, True, True)
+
+
+def test_textual_explain_and_admin_statements(client, tables, spark):
+    # the textual EXPLAIN forms clickhouse-client users type
+    for mode in ("AST", "SYNTAX", "PLAN", "PIPELINE"):
+        rows = client.query_ch(
+            f"EXPLAIN {mode} SELECT count(*) FROM orders"
+        ).collect()
+        assert rows and all(r.explain for r in rows)
+    est = client.query_ch(
+        "EXPLAIN ESTIMATE SELECT count(*) FROM orders"
+    ).collect()
+    assert est[0].table == "orders"
+    assert est[0].rows == spark.table("orders").count()
+    # CHECK TABLE: full-read integrity scan
+    assert client.query_ch("CHECK TABLE orders").collect()[0].result == 1
+    # SHOW CREATE DATABASE renders; unknown database raises cleanly
+    stmt = client.query_ch("SHOW CREATE DATABASE default").collect()[0]
+    assert "CREATE DATABASE" in stmt.statement
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    with _pytest.raises(QueryError, match="no database"):
+        client.query_ch("SHOW CREATE DATABASE ghost_db")
+    # SHOW GRANTS states the truthful no-ACL grant set
+    assert "GRANT ALL" in client.query_ch("SHOW GRANTS").collect()[0].grants
+    # SHOW FUNCTIONS filters CH names, not Spark's registry
+    fns = client.query_ch("SHOW FUNCTIONS LIKE 'arraySort%'").collect()
+    assert any(r.name == "arraySort" for r in fns)
+    # KILL MUTATION: mutations are synchronous -> nothing in flight
+    assert client.query_ch(
+        "KILL MUTATION WHERE mutation_id = 'x'"
+    ).collect() == []

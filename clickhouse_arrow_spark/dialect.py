@@ -2881,8 +2881,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "unbin":
         # bit string -> bytes, via base-2 -> base-16 (conv is 64-bit,
         # which covers the hex/bin round-trip idioms; longer bit strings
-        # belong in binary columns, not literals)
-        return lambda a: f"unhex(conv({a[0]}, 2, 16))"
+        # belong in binary columns, not literals). '' -> empty bytes
+        # like CH, not NULL (conv would null it).
+        return lambda a: (
+            f"IF({a[0]} = '', CAST('' AS BINARY), "
+            f"unhex(conv({a[0]}, 2, 16)))"
+        )
     if name == "isNotDistinctFrom":
         return lambda a: f"(({a[0]}) <=> ({a[1]}))"
     if name == "byteSwap":

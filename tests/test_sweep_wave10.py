@@ -180,3 +180,26 @@ def test_ipv6_helpers(spark):
         ("::ffff:102:304", "::ffff:102:304", False),
         (None, None, False),
     ]
+
+
+def test_wave10_edges(ch):
+    # edge battery: empty arrays, NULL inputs, zero shifts — none may
+    # ANSI-crash or silently widen
+    r = one(ch, "SELECT arrayShiftLeft(emptyArrayInt32(), 2) AS a, "
+                "arrayShiftLeft([1,2,3], 0) AS b, "
+                "arrayCumSumNonNegative(emptyArrayInt32()) AS c, "
+                "arrayUnion(emptyArrayInt32(), [1]) AS d, "
+                "arraySymmetricDifference([1], [1]) AS e, "
+                "hex(unbin('')) AS f, "
+                "truncate(0.0, 2) AS g, "
+                "formatReadableDecimalSize(-1500) AS h, "
+                "extractGroups('', '(a)(b)') AS i")
+    assert r["a"] == []
+    assert r["b"] == [1, 2, 3]
+    assert r["c"] == []
+    assert r["d"] == [1]
+    assert r["e"] == []
+    assert r["f"] == ""          # '' -> empty bytes like CH, not NULL
+    assert r["g"] == 0.0
+    assert r["h"] == "-1.50 KB"
+    assert r["i"] == []

@@ -1001,6 +1001,42 @@ def q_streaming_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_stream_dedup",
+    """
+    SELECT event_type, count(DISTINCT event_id) AS n
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="REAL Structured Streaming exactly-once ingest dedup "
+    "(streaming/events.streaming_dedup): the stream unioned with "
+    "itself simulates replays/retries; dropDuplicatesWithinWatermark "
+    "on event_id keeps state bounded by event time (a plain "
+    "dropDuplicates grows forever) and the per-type counts equal the "
+    "batch DISTINCT the oracle computes — the ReplacingMergeTree "
+    "ingest analogue.",
+    tags=("streaming", "dedup"),
+)
+def q_events_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    from clickhouse_arrow_spark.streaming import (
+        read_events_stream,
+        run_to_memory_sink,
+        streaming_dedup,
+    )
+
+    stream = read_events_stream(spark, sf_dir)
+    replayed = stream.unionByName(stream)
+    deduped = streaming_dedup(replayed, keys=["event_id"])
+    name = f"q_stream_dedup_{uuid.uuid4().hex[:8]}"
+    out = run_to_memory_sink(deduped, name, output_mode="append")
+    return (
+        out.groupBy("event_type")
+        .agg(F.countDistinct("event_id").alias("n"))
+        .orderBy("event_type")
+    )
+
+
+@register(
     "events_stream_session",
     """
     WITH flagged AS (

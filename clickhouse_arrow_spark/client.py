@@ -238,6 +238,58 @@ class Client:
             return self.spark.createDataFrame(
                 [(1 if exists else 0,)], "result tinyint"
             )
+        m = _re.search(
+            r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'"
+            r"(?:\s+FORMAT\s+(\w+))?\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # clickhouse-client writes the result to a LOCAL file; same
+            # here — executor-written single file moved to the path (no
+            # driver materialization), then a summary row back
+            import glob as _glob
+            import os as _os
+            import shutil as _shutil
+            import tempfile as _tempfile
+
+            path = m.group(1)
+            fmt = (m.group(2) or "TabSeparated").lower()
+            inner = self.query_ch(ch_sql[: m.start()], qid=qid)
+            tmp = _tempfile.mkdtemp(prefix="cas_outfile_")
+            one = inner.coalesce(1)
+            if fmt in ("csv", "csvwithnames"):
+                one.write.mode("overwrite").option(
+                    "header", fmt.endswith("withnames")
+                ).csv(tmp)
+                part_glob = "part-*.csv"
+            elif fmt in ("tsv", "tabseparated", "tsvwithnames",
+                         "tabseparatedwithnames"):
+                one.write.mode("overwrite").option("sep", "\t").option(
+                    "header", fmt.endswith("withnames")
+                ).csv(tmp)
+                part_glob = "part-*.csv"
+            elif fmt == "jsoneachrow":
+                one.write.mode("overwrite").json(tmp)
+                part_glob = "part-*.json"
+            elif fmt == "parquet":
+                one.write.mode("overwrite").parquet(tmp)
+                part_glob = "part-*.parquet"
+            else:
+                raise QueryError(
+                    f"INTO OUTFILE FORMAT {m.group(2)}: supported here "
+                    "are CSV[WithNames], TSV/TabSeparated[WithNames], "
+                    "JSONEachRow, Parquet"
+                )
+            parts = _glob.glob(_os.path.join(tmp, part_glob))
+            if not parts:
+                open(path, "wb").close()
+            else:
+                _shutil.move(parts[0], path)
+            _shutil.rmtree(tmp, ignore_errors=True)
+            return self.spark.createDataFrame(
+                [(path, _os.path.getsize(path))],
+                "path string, bytes_written bigint",
+            )
         m = _re.match(
             r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)"
             r"(\s+json\s*=\s*1)?\s+(.+)$",

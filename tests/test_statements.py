@@ -853,3 +853,22 @@ def test_textual_explain_and_admin_statements(client, tables, spark):
     assert client.query_ch(
         "KILL MUTATION WHERE mutation_id = 'x'"
     ).collect() == []
+
+
+def test_into_outfile(client, tables, tmp_path):
+    # clickhouse-client writes the result to a local file; so do we —
+    # executor-written, moved to the exact path, summary row back
+    p = str(tmp_path / "out.csv")
+    r = client.query_ch(
+        "SELECT o_orderkey, o_orderstatus FROM orders ORDER BY "
+        f"o_orderkey LIMIT 3 INTO OUTFILE '{p}' FORMAT CSVWithNames"
+    ).collect()[0]
+    assert r.path == p and r.bytes_written > 0
+    lines = open(p).read().splitlines()
+    assert lines[0] == "o_orderkey,o_orderstatus"
+    assert len(lines) == 4
+    pj = str(tmp_path / "out.jsonl")
+    client.query_ch(
+        f"SELECT 7 AS x INTO OUTFILE '{pj}' FORMAT JSONEachRow"
+    ).collect()
+    assert '"x":7' in open(pj).read()

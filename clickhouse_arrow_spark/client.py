@@ -1083,6 +1083,17 @@ class Client:
         cache.clear()
         return n
 
+    def _engine_of(self, table: str) -> str:
+        """The CH engine recorded at CREATE time ('' when unknown)."""
+        try:
+            from clickhouse_arrow_spark.ddl import _table_props
+
+            return _table_props(self.spark, table).get(
+                "clickhouse_arrow_spark.engine", ""
+            )
+        except Exception:
+            return ""
+
     def insert(self, table: str, data: DataFrame | pa.Table, qid: str | None = None) -> None:
         """INSERT one batch/DataFrame (reference client.rs:436-484).
 
@@ -1093,7 +1104,10 @@ class Client:
         """
         df = self._as_df(data)
         aligned = self._align_to_table(df, table)
-        aligned.write.mode("append").insertInto(table)
+        # Null engine: the block is DISCARDED but attached materialized
+        # views still see it — CH's ingest-through-Null pattern
+        if self._engine_of(table) != "Null":
+            aligned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 
         propagate_insert(self.spark, table, aligned)
@@ -1110,7 +1124,8 @@ class Client:
         unioned = dfs[0]
         for d in dfs[1:]:
             unioned = unioned.unionByName(d)
-        unioned.write.mode("append").insertInto(table)
+        if self._engine_of(table) != "Null":
+            unioned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 
         # deferred flush = ONE block: attached views see one trigger
@@ -1166,6 +1181,16 @@ class Client:
         from clickhouse_arrow_spark.ddl import parse_create_table
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
+        m_tmp = _re.match(
+            r"(?is)^(\s*CREATE\s+)TEMPORARY\s+(TABLE\b.*)$", ch_sql
+        )
+        if m_tmp:
+            # CH temp tables are session Memory tables; here they land
+            # in the current database with the engine recorded —
+            # divergence: NOT auto-dropped at session end (documented)
+            ch_sql = m_tmp.group(1) + m_tmp.group(2)
+            if not _re.search(r"(?i)\bENGINE\s*=", ch_sql):
+                ch_sql = ch_sql.rstrip().rstrip(";") + " ENGINE = Memory"
         if not _re.match(r"(?is)^\s*CREATE\s+TABLE\b", ch_sql):
             return False
         if not _re.search(r"(?i)\bENGINE\s*=", ch_sql):

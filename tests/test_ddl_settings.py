@@ -278,3 +278,47 @@ def test_ephemeral_column_feeds_materialized(spark, client):
     assert {r["k"]: r["h"] for r in spark.table("ddl6.e").collect()} \
         == {1: 3, 2: 5}
     spark.sql("DROP TABLE IF EXISTS ddl6.e")
+
+
+def test_null_engine_feeds_mv_discards_rows(client, spark):
+    # CH's ingest-through-Null pattern: the Null table discards every
+    # block but attached MVs still see it
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS nulldb")
+    try:
+        client.execute_ch(
+            "CREATE TABLE nulldb.ingest (id UInt64, v Float64) ENGINE = Null"
+        )
+        client.execute_ch(
+            "CREATE TABLE nulldb.sums (id UInt64, s Float64) "
+            "ENGINE = SummingMergeTree ORDER BY id"
+        )
+        client.execute_ch(
+            "CREATE MATERIALIZED VIEW nulldb.mv TO nulldb.sums AS "
+            "SELECT id, sum(v) AS s FROM nulldb.ingest GROUP BY id"
+        )
+        client.execute_ch(
+            "INSERT INTO nulldb.ingest VALUES (1, 2.5), (1, 2.5), (2, 1.0)"
+        )
+        assert spark.table("nulldb.ingest").count() == 0
+        got = {
+            int(r.id): r.s
+            for r in spark.sql(
+                "SELECT id, sum(s) AS s FROM nulldb.sums GROUP BY id"
+            ).collect()
+        }
+        assert got == {1: 5.0, 2: 1.0}
+    finally:
+        for t in ("nulldb.mv", "nulldb.ingest", "nulldb.sums"):
+            client.execute_ch(f"DROP TABLE IF EXISTS {t}")
+        client.execute_ch("DROP DATABASE IF EXISTS nulldb")
+
+
+def test_create_temporary_table(client, spark):
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS tmpdb")
+    try:
+        client.execute_ch("CREATE TEMPORARY TABLE tmpdb.scratch (id UInt64)")
+        client.execute_ch("INSERT INTO tmpdb.scratch VALUES (1), (2)")
+        assert spark.table("tmpdb.scratch").count() == 2
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS tmpdb.scratch")
+        client.execute_ch("DROP DATABASE IF EXISTS tmpdb")

@@ -684,6 +684,23 @@ class Client:
             self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
             return None
         m = _re.match(
+            r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH spells DROP TABLE for every engine; Buffer tables are
+            # Spark VIEWS here, which need DROP VIEW
+            name = m.group(2).replace("`", "")
+            try:
+                t = self.spark.catalog.getTable(name)
+                is_view = (t.tableType or "").upper() == "VIEW"
+            except Exception:
+                is_view = False
+            kw = "VIEW" if is_view else "TABLE"
+            ine = "IF EXISTS " if m.group(1) else ""
+            self.execute(f"DROP {kw} {ine}{m.group(2)}", qid)
+            return None
+        m = _re.match(
             r"(?is)^\s*TRUNCATE\s+TABLE\s+IF\s+EXISTS\s+([\w.`]+)\s*;?\s*$",
             ch_sql,
         )
@@ -1094,6 +1111,19 @@ class Client:
         except Exception:
             return ""
 
+    def _buffer_target(self, table: str) -> str:
+        """Destination of a Buffer table (recorded at CREATE)."""
+        from clickhouse_arrow_spark.ddl import _table_props
+
+        tgt = _table_props(self.spark, table).get(
+            "clickhouse_arrow_spark.setting.buffer_target", ""
+        )
+        if not tgt:
+            raise SchemaError(
+                f"Buffer table {table} lost its buffer_target property"
+            )
+        return tgt
+
     def insert(self, table: str, data: DataFrame | pa.Table, qid: str | None = None) -> None:
         """INSERT one batch/DataFrame (reference client.rs:436-484).
 
@@ -1102,11 +1132,16 @@ class Client:
         inserts against the server-provided header types
         (normalize_type, src/arrow/types.rs:123-213).
         """
+        eng = self._engine_of(table)
+        if eng == "Buffer":
+            # Buffer flushes to its destination — eagerly, here
+            table = self._buffer_target(table)
+            eng = self._engine_of(table)
         df = self._as_df(data)
         aligned = self._align_to_table(df, table)
         # Null engine: the block is DISCARDED but attached materialized
         # views still see it — CH's ingest-through-Null pattern
-        if self._engine_of(table) != "Null":
+        if eng != "Null":
             aligned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 
@@ -1121,10 +1156,14 @@ class Client:
         dfs = [self._align_to_table(self._as_df(b), table) for b in batches]
         if not dfs:
             return
+        eng = self._engine_of(table)
+        if eng == "Buffer":
+            table = self._buffer_target(table)
+            eng = self._engine_of(table)
         unioned = dfs[0]
         for d in dfs[1:]:
             unioned = unioned.unionByName(d)
-        if self._engine_of(table) != "Null":
+        if eng != "Null":
             unioned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 

@@ -122,6 +122,24 @@ def create_table_ddl(
         cols.append(line)
 
     ine = "IF NOT EXISTS " if options.if_not_exists else ""
+    if options.engine == "Buffer":
+        # CH Buffer flushes to its destination and READS surface both
+        # buffered and flushed rows. With eager flushing the buffer
+        # itself never holds rows, so a VIEW over the destination IS
+        # the read surface; client.insert redirects writes by the
+        # buffer_target prop.
+        target = options.settings.get("buffer_target")
+        if not target:
+            raise SchemaError(
+                "ENGINE = Buffer needs its destination: "
+                "Buffer(database, table, ...)"
+            )
+        return (
+            f"CREATE VIEW {ine}`{database}`.`{table}` "
+            f"TBLPROPERTIES ('clickhouse_arrow_spark.engine' = 'Buffer', "
+            f"'clickhouse_arrow_spark.setting.buffer_target' = "
+            f"'{target}') AS SELECT * FROM {target}"
+        )
     stmt = [f"CREATE TABLE {ine}`{database}`.`{table}` (", ",\n".join(cols), ")"]
     stmt.append("USING PARQUET")
     if options.partition_by:
@@ -965,6 +983,18 @@ def parse_create_table(ch_sql: str):
         return tuple(_unq(x) for x in _split_top_args(v))
 
     engine = re.match(r"\s*(\w+)", clauses.get("ENGINE", "MergeTree"))
+    if engine and engine.group(1) == "Buffer":
+        # capture the destination from Buffer(db, table, ...) — the
+        # flush thresholds are irrelevant (flushing is eager here)
+        bm = re.match(
+            r"\s*Buffer\s*\(\s*([\w`]+)\s*,\s*([\w`]+)",
+            clauses.get("ENGINE", ""),
+        )
+        if bm:
+            clauses.setdefault("SETTINGS", "")
+            tgt = f"{bm.group(1).strip('`')}.{bm.group(2).strip('`')}"
+            sep = ", " if clauses["SETTINGS"].strip() else ""
+            clauses["SETTINGS"] += f"{sep}buffer_target = {tgt}"
     settings = {}
     for item in _split_top_args(clauses.get("SETTINGS", "")) if clauses.get("SETTINGS") else []:
         if "=" in item:

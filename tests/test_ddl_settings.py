@@ -322,3 +322,32 @@ def test_create_temporary_table(client, spark):
     finally:
         client.execute_ch("DROP TABLE IF EXISTS tmpdb.scratch")
         client.execute_ch("DROP DATABASE IF EXISTS tmpdb")
+
+
+def test_buffer_engine_flushes_through(client, spark):
+    # CH Buffer: writes flush to the destination, reads through the
+    # buffer name surface them (flushing is eager here, so the buffer
+    # is a view over the destination); DROP TABLE works despite the
+    # view-backed implementation
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS bufdb")
+    try:
+        client.execute_ch(
+            "CREATE TABLE bufdb.dst (id UInt64, v Float64) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        client.execute_ch(
+            "CREATE TABLE bufdb.buf (id UInt64, v Float64) ENGINE = "
+            "Buffer(bufdb, dst, 16, 10, 100, 10000, 1000000, 10000000, "
+            "100000000)"
+        )
+        client.execute_ch("INSERT INTO bufdb.buf VALUES (1, 2.0), (2, 3.0)")
+        assert spark.table("bufdb.dst").count() == 2
+        got = sorted(
+            int(r.id)
+            for r in client.query_ch("SELECT id FROM bufdb.buf").collect()
+        )
+        assert got == [1, 2]
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS bufdb.buf")
+        client.execute_ch("DROP TABLE IF EXISTS bufdb.dst")
+        client.execute_ch("DROP DATABASE IF EXISTS bufdb")

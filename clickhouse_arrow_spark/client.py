@@ -473,6 +473,10 @@ class Client:
                 ch_sql = routed
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
+        if "joinGet" in ch_sql:
+            from clickhouse_arrow_spark.dictionary import rewrite_join_get
+
+            ch_sql = rewrite_join_get(self.spark, ch_sql)
         ch_sql = rewrite_sample(self.spark, ch_sql)
         if re.search(r"(?i)\bAPPLY\s*\(|\bCOLUMNS\s*\(", ch_sql):
             from clickhouse_arrow_spark.dialect import rewrite_star_apply

@@ -983,6 +983,22 @@ def parse_create_table(ch_sql: str):
         return tuple(_unq(x) for x in _split_top_args(v))
 
     engine = re.match(r"\s*(\w+)", clauses.get("ENGINE", "MergeTree"))
+    if engine and engine.group(1) == "Join":
+        # Join(strictness, type, k1[, k2...]) — record the key columns
+        # so joinGet can build its lookup; the prebuilt-hash aspect is
+        # the broadcast join Spark plans for the decorrelated subquery
+        jm = re.match(
+            r"\s*Join\s*\(\s*\w+\s*,\s*\w+\s*,\s*(.+?)\)\s*$",
+            clauses.get("ENGINE", ""),
+        )
+        if jm:
+            # '|'-joined: the SETTINGS list itself splits on commas
+            keys = "|".join(
+                k.strip().strip("`") for k in jm.group(1).split(",")
+            )
+            clauses.setdefault("SETTINGS", "")
+            sep = ", " if clauses["SETTINGS"].strip() else ""
+            clauses["SETTINGS"] += f"{sep}join_key = {keys}"
     if engine and engine.group(1) == "Buffer":
         # capture the destination from Buffer(db, table, ...) — the
         # flush thresholds are irrelevant (flushing is eager here)

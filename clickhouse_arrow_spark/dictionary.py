@@ -189,3 +189,71 @@ def rewrite_dict_calls(spark: SparkSession, sql: str) -> str:
             else:  # GetOrNull
                 sub = lookup
         sql = sql[: m.start()] + sub + sql[close_idx + 1 :]
+
+
+_JOIN_GET_RE = re.compile(r"\bjoinGet(OrNull)?\s*\(")
+
+
+def rewrite_join_get(spark: SparkSession, sql: str) -> str:
+    """`joinGet('db.t', 'attr', key...)` over a Join-engine table ->
+    correlated scalar subquery, exactly the dictGet decorrelation:
+    Spark plans the lookup as a broadcast join against the (small,
+    RAM-resident in CH) Join table, so the fact side never shuffles.
+    joinGet returns the attribute type's DEFAULT on a miss (CH ANY-join
+    semantics), joinGetOrNull returns NULL."""
+    from clickhouse_arrow_spark.dialect import (
+        _find_clean,
+        _find_matching_paren,
+        _split_top_args,
+    )
+    from clickhouse_arrow_spark.ddl import _table_props
+
+    while True:
+        m = _find_clean(_JOIN_GET_RE, sql, depth0=False)
+        if not m:
+            return sql
+        or_null = bool(m.group(1))
+        open_idx = m.end() - 1
+        close_idx = _find_matching_paren(sql, open_idx)
+        if close_idx < 0:
+            raise SchemaError(
+                f"joinGet: unbalanced parentheses in {sql[m.start():][:80]!r}"
+            )
+        args = _split_top_args(sql[open_idx + 1 : close_idx])
+        if len(args) < 3:
+            raise SchemaError("joinGet takes (table, attr, key...)")
+        ref = _strip_quotes(args[0])
+        attr = _strip_quotes(args[1])
+        keys = _table_props(spark, ref).get(
+            "clickhouse_arrow_spark.setting.join_key", ""
+        )
+        if not keys:
+            raise SchemaError(
+                f"joinGet: {ref!r} is not a Join-engine table "
+                "(no join_key recorded at CREATE)"
+            )
+        key_cols = keys.split("|")
+        key_exprs = args[2:]
+        if len(key_exprs) != len(key_cols):
+            raise SchemaError(
+                f"joinGet: {ref!r} declares {len(key_cols)} key column(s) "
+                f"({', '.join(key_cols)}), got {len(key_exprs)} key arg(s)"
+            )
+        schema = {
+            f.name: f.dataType.simpleString()
+            for f in spark.table(ref).schema.fields
+        }
+        if attr not in schema:
+            raise SchemaError(
+                f"joinGet: attribute {attr!r} not in {ref!r} "
+                f"(has: {sorted(schema)})"
+            )
+        cond = " AND ".join(
+            f"`{c}` = ({e})" for c, e in zip(key_cols, key_exprs)
+        )
+        lookup = f"(SELECT `{attr}` FROM {ref} WHERE {cond})"
+        if or_null:
+            sub = lookup
+        else:
+            sub = f"coalesce({lookup}, {_type_default(schema[attr])})"
+        sql = sql[: m.start()] + sub + sql[close_idx + 1 :]

@@ -130,3 +130,51 @@ def test_textual_create_dictionary(client, spark):
     finally:
         for t in ("src", "d1"):
             spark.sql(f"DROP TABLE IF EXISTS dtx.{t}")
+
+
+def test_join_get(client, spark, tables):
+    # Join-engine table + joinGet: dictGet's decorrelation family — the
+    # lookup plans as a broadcast join, misses return the type default
+    # (joinGet) or NULL (joinGetOrNull)
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS joindb")
+    try:
+        client.execute_ch(
+            "CREATE TABLE joindb.j (k UInt64, v String, w Float64) "
+            "ENGINE = Join(ANY, LEFT, k)"
+        )
+        client.execute_ch(
+            "INSERT INTO joindb.j VALUES (1, 'one', 1.5), (2, 'two', 2.5)"
+        )
+        rows = client.query_ch(
+            "SELECT o_orderkey, joinGet('joindb.j', 'v', o_orderkey % 3) "
+            "AS v, joinGetOrNull('joindb.j', 'w', o_orderkey % 3) AS w "
+            "FROM orders ORDER BY o_orderkey LIMIT 4"
+        ).collect()
+        assert [(r.v, r.w) for r in rows] == [
+            ("", None), ("one", 1.5), ("two", 2.5), ("", None)
+        ]
+        plan = (
+            client.query_ch(
+                "SELECT joinGet('joindb.j', 'v', o_orderkey) FROM orders"
+            )
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert "BroadcastHashJoin" in plan
+
+        import pytest as _pytest
+
+        from clickhouse_arrow_spark.errors import SchemaError
+
+        with _pytest.raises(SchemaError, match="not in"):
+            client.query_ch(
+                "SELECT joinGet('joindb.j', 'ghost', 1)"
+            )
+        with _pytest.raises(SchemaError, match="key column"):
+            client.query_ch(
+                "SELECT joinGet('joindb.j', 'v', 1, 2)"
+            )
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS joindb.j")
+        client.execute_ch("DROP DATABASE IF EXISTS joindb")

@@ -653,8 +653,18 @@ class Client:
             return None
         m = _OPTIMIZE_RE.match(ch_sql)
         if m:
+            dedup_by = None
+            if m.group(3):
+                dedup_by = [
+                    c.strip().strip("`")
+                    for c in (m.group(4) or "").split(",")
+                    if c.strip()
+                ]
             return optimize_table(
-                self.spark, m.group(1), final=bool(m.group(2))
+                self.spark,
+                m.group(1),
+                final=bool(m.group(2)),
+                dedup_by=dedup_by,
             )
         m = _re.match(
             r"(?is)^\s*KILL\s+QUERY\s+WHERE\s+query_id\s*=\s*'([^']+)'"
@@ -1026,13 +1036,37 @@ class Client:
             return None
         if _re.match(
             r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"
-            r"FLUSH\s+LOGS)\s*;?\s*$",
+            r"FLUSH\s+LOGS|"
+            r"(?:STOP|START)\s+(?:TTL\s+)?MERGES(?:\s+[\w.`]+)?|"
+            r"(?:STOP|START)\s+(?:MOVES|FETCHES|REPLICATION\s+QUEUES)"
+            r"(?:\s+[\w.`]+)?)\s*;?\s*$",
             ch_sql,
         ):
             # honest no-ops: dictGet reads the live catalog table on
-            # every query (nothing to reload) and the query log is
-            # written synchronously (nothing to flush)
+            # every query (nothing to reload), the query log is written
+            # synchronously (nothing to flush), and merges/moves/fetches
+            # run eagerly inside OPTIMIZE/mutations — there is no
+            # background activity to pause or resume
             return None
+        if _re.match(r"(?is)^\s*GRANT\b", ch_sql):
+            import warnings
+
+            # single-user engine: the session already holds full access,
+            # so granting more is a no-op — warn so scripts know the ACL
+            # itself is not being recorded
+            warnings.warn(
+                "GRANT accepted as a no-op: this engine has no ACL "
+                "layer (the session holds full access); enforce "
+                "permissions at the lakehouse/catalog level",
+                stacklevel=2,
+            )
+            return None
+        if _re.match(r"(?is)^\s*REVOKE\b", ch_sql):
+            raise QueryError(
+                "REVOKE cannot be honored: this engine has no ACL layer "
+                "to restrict — enforce permissions at the lakehouse/"
+                "catalog level (table ACLs, storage IAM)"
+            )
         try:
             self._run(translate_ch_sql(ch_sql), qid).collect()
         except Exception as e:

@@ -749,16 +749,31 @@ def _rebuild_projections_after_mutation(spark: SparkSession,
 
 
 _OPTIMIZE_RE = re.compile(
-    r"(?is)^\s*OPTIMIZE\s+TABLE\s+([\w.`]+?)(\s+FINAL)?\s*;?\s*$"
+    r"(?is)^\s*OPTIMIZE\s+TABLE\s+([\w.`]+?)(\s+FINAL)?"
+    r"(?:\s+(DEDUPLICATE)(?:\s+BY\s+([\w,`\s]+?))?)?\s*;?\s*$"
 )
 
 
-def optimize_table(spark: SparkSession, table: str, final: bool = False) -> int:
-    """`OPTIMIZE TABLE t [FINAL]`: without FINAL, compact parts (merge
-    small files — the background-merge analogue, done eagerly); with
-    FINAL on a folding engine, materialize the folded state so
-    subsequent reads skip the fold entirely (exactly what CH's
-    OPTIMIZE FINAL leaves behind). Returns the row count after."""
+def optimize_table(
+    spark: SparkSession,
+    table: str,
+    final: bool = False,
+    dedup_by: list[str] | None = None,
+) -> int:
+    """`OPTIMIZE TABLE t [FINAL] [DEDUPLICATE [BY cols]]`: without
+    FINAL, compact parts (merge small files — the background-merge
+    analogue, done eagerly); with FINAL on a folding engine,
+    materialize the folded state so subsequent reads skip the fold
+    entirely (exactly what CH's OPTIMIZE FINAL leaves behind).
+    DEDUPLICATE drops fully-identical rows (or rows identical on the
+    BY columns) during the rewrite, like CH. Returns the row count
+    after."""
+    if dedup_by is not None:
+        df = spark.table(table)
+        deduped = df.dropDuplicates(dedup_by) if dedup_by else df.dropDuplicates()
+        _rewrite_rows(spark, table, deduped)
+        if not final:
+            return spark.table(table).count()
     if final:
         try:
             sql = rewrite_final(spark, f"SELECT * FROM {table} FINAL")

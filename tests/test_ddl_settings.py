@@ -351,3 +351,44 @@ def test_buffer_engine_flushes_through(client, spark):
         client.execute_ch("DROP TABLE IF EXISTS bufdb.buf")
         client.execute_ch("DROP TABLE IF EXISTS bufdb.dst")
         client.execute_ch("DROP DATABASE IF EXISTS bufdb")
+
+
+def test_optimize_deduplicate(client, spark):
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS dedb")
+    try:
+        client.execute_ch(
+            "CREATE TABLE dedb.t (id UInt64, v String) "
+            "ENGINE = MergeTree ORDER BY id"
+        )
+        client.execute_ch(
+            "INSERT INTO dedb.t VALUES (1,'a'), (1,'a'), (2,'b'), (2,'c')"
+        )
+        # full-row dedup keeps (2,'b') and (2,'c') apart
+        assert client.execute_ch("OPTIMIZE TABLE dedb.t DEDUPLICATE") == 3
+        # BY id keeps one row per key
+        assert (
+            client.execute_ch("OPTIMIZE TABLE dedb.t FINAL DEDUPLICATE BY id")
+            == 2
+        )
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS dedb.t")
+        client.execute_ch("DROP DATABASE IF EXISTS dedb")
+
+
+def test_system_pause_verbs_and_acl(client):
+    import warnings
+
+    import pytest as _pytest
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    # no background merges to pause: accepted no-ops
+    for s in ("SYSTEM STOP MERGES", "SYSTEM START MERGES",
+              "SYSTEM STOP TTL MERGES", "SYSTEM START FETCHES"):
+        assert client.execute_ch(s) is None
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        client.execute_ch("GRANT SELECT ON *.* TO alice")
+        assert any("no ACL" in str(x.message) for x in w)
+    with _pytest.raises(QueryError, match="ACL"):
+        client.execute_ch("REVOKE SELECT ON *.* FROM alice")

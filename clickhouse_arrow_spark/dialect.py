@@ -4916,6 +4916,14 @@ def _refuse_ch_only_clauses(sql: str) -> str:
             "row_number() OVER (PARTITION BY key ORDER BY version DESC) "
             "= 1 (the analytic_dedup_latest pattern)"
         )
+    m = _find_clean(re.compile(r"(?i)\bPASTE\s+JOIN\b"), sql, depth0=False)
+    if m:
+        raise UntranslatableFunctionError(
+            "PASTE JOIN pairs rows by their positional order, which is "
+            "undefined over distributed scans — zip explicitly: attach "
+            "row_number() OVER (ORDER BY <a deterministic key>) to both "
+            "sides and JOIN USING that column"
+        )
     m = _find_clean(_ANY_JOIN_RE, sql, depth0=False)
     if m:
         kind = (m.group(1) or m.group(2)).upper()

@@ -263,6 +263,20 @@ def main() -> int:
         ),
     )
 
+    # -- perceptual-hash image dedup over synthesized real PPMs ----------
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    def dhash_pipeline():
+        imgs = docs.select(
+            "doc_id", (F.col("doc_id") % 5000).alias("img_key")
+        )
+        hashes = mm.image_dhash(
+            mm.attach_ppm_payload(imgs, key_col="img_key")
+        )
+        return mm.dhash_neardup(hashes, max_hamming=0)
+
+    bench("dhash_dedup_docs", dhash_pipeline)
+
     # -- streaming: stateful sessionization throughput at 1M events ------
     import shutil as _sh
 

@@ -3517,3 +3517,92 @@ def q_text_span_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return text.span_dedup(spark.table("documents")).orderBy(
         "doc_id", "span_pos"
     )
+
+
+# ---------------------------------------------------------------------------
+# keyword search family (operators/text_search.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "search_bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), d2 AS (
+      SELECT doc_id, toks, len(toks) AS dl FROM base
+    ), stats AS (
+      SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM d2
+    ), tf AS (
+      SELECT doc_id, dl, term, count(*) AS tf
+      FROM d2, UNNEST(toks) AS u(term)
+      WHERE term IN ('spark', 'window', 'merge')
+      GROUP BY doc_id, dl, term
+    ), dfc AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT tf.doc_id,
+           round(sum(ln(1 + (n_docs - df + 0.5) / (df + 0.5))
+                     * (tf * 2.2)
+                     / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))), 6) AS bm25,
+           CAST(count(*) AS BIGINT) AS matched_terms
+    FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    GROUP BY tf.doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+    doc="Okapi BM25 top-20 for the query 'spark window merge' "
+    "(operators/text_search.bm25_topk): the exploded token stream is "
+    "filtered to the query's literal term set before the (doc, term) "
+    "shuffle, corpus stats ride a one-row broadcast, df joins back "
+    "broadcast, and top-k is TakeOrdered — never a global sort. Exact "
+    "oracle (Robertson idf, scores rounded to 6 decimals).",
+    tags=("search", "bm25", "text", "pipeline"),
+)
+def q_search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.text_search import bm25_topk
+
+    return bm25_topk(spark.table("documents"), "spark window merge", k=20)
+
+
+@register(
+    "search_tfidf_terms",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             list_filter(
+               string_split(
+                 regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' '),
+               x -> x <> '') AS toks
+      FROM documents
+    ), stats AS (
+      SELECT count(*) AS n_docs FROM base
+    ), tf AS (
+      SELECT doc_id, term, count(*) AS tf
+      FROM base, UNNEST(toks) AS u(term)
+      GROUP BY doc_id, term
+    ), dfc AS (
+      SELECT term, count(DISTINCT doc_id) AS df FROM tf GROUP BY term
+    )
+    SELECT doc_id, term, CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+           round(tf * ln((1 + n_docs) / (1 + df)), 6) AS tfidf
+    FROM tf JOIN dfc USING (term) CROSS JOIN stats
+    ORDER BY doc_id, term
+    """,
+    doc="Sparse TF-IDF weights per (doc, term) "
+    "(operators/text_search.tfidf_terms, smooth ln((1+N)/(1+df)) idf): "
+    "one (doc, term) shuffle, df re-aggregated from the small "
+    "term-count stream, stats broadcast. Terms occurring in every "
+    "document weight to exactly 0 — the stopword property the quality "
+    "filters rely on.",
+    tags=("search", "tfidf", "text", "pipeline"),
+)
+def q_search_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.text_search import tfidf_terms
+
+    return tfidf_terms(spark.table("documents")).orderBy("doc_id", "term")

@@ -3606,3 +3606,105 @@ def q_search_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_arrow_spark.operators.text_search import tfidf_terms
 
     return tfidf_terms(spark.table("documents")).orderBy("doc_id", "term")
+
+
+# ---------------------------------------------------------------------------
+# PCA projection family (operators/projection.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "vector_pca_variance",
+    """
+    WITH coords AS (
+      SELECT t.i AS pos, embedding[t.i] AS val
+      FROM embeddings, UNNEST(range(1, len(embedding) + 1)) AS t(i)
+    ), per_dim AS (
+      SELECT var_samp(val) AS v FROM coords GROUP BY pos
+    )
+    SELECT (SELECT CAST(count(*) AS BIGINT) FROM embeddings) AS n_rows,
+           round(sum(v), 6) AS total_variance
+    FROM per_dim
+    """,
+    doc="Cross-engine check of the distributed PCA moment pass "
+    "(operators/projection.pca_fit): the trace of the covariance "
+    "matrix accumulated from per-partition (count, sum, gram) partials "
+    "must equal DuckDB's two-pass sum of per-dimension sample "
+    "variances. Catches accumulation-order and centering bugs exactly.",
+    tags=("similarity", "pca", "pipeline"),
+)
+def q_vector_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.projection import pca_fit
+
+    m = pca_fit(spark.table("embeddings"), k=8)
+    return spark.createDataFrame(
+        [(m.n_rows, round(m.total_variance, 6))],
+        "n_rows BIGINT, total_variance DOUBLE",
+    )
+
+
+@register(
+    "vector_pca_gate",
+    """
+    SELECT TRUE AS orthonormal, TRUE AS variance_ordered,
+           TRUE AS projected_var_matches, TRUE AS centered,
+           TRUE AS whitened_unit_var
+    """,
+    doc="PCA model invariants (operators/projection.pca_fit/"
+    "pca_project, k=8 on the embeddings table): components are "
+    "orthonormal; eigenvalues are non-negative and descending; the "
+    "per-coordinate variance of the projected data (computed "
+    "distributedly via posexplode+var_samp) matches the eigenvalues; "
+    "projections are mean-centered; whitening yields unit variance "
+    "per coordinate.",
+    tags=("similarity", "pca", "gate"),
+)
+def q_vector_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    from clickhouse_arrow_spark.operators.projection import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.table("embeddings")
+    m = pca_fit(emb, k=8)
+    c = m.components
+    orthonormal = bool(
+        np.max(np.abs(c @ c.T - np.eye(m.k))) < 1e-8
+    )
+    ev = m.explained_variance
+    variance_ordered = bool(np.all(ev >= 0) and np.all(np.diff(ev) <= 1e-12))
+
+    def coord_stats(df, col):
+        rows = (
+            df.select(F.posexplode(col).alias("pos", "val"))
+            .groupBy("pos")
+            .agg(F.var_samp("val").alias("v"), F.avg("val").alias("m"))
+            .orderBy("pos")
+            .collect()
+        )
+        return (
+            np.array([r["v"] for r in rows]),
+            np.array([r["m"] for r in rows]),
+        )
+
+    proj = pca_project(emb, m).persist()
+    pv, pm = coord_stats(proj, "pca")
+    scale = max(float(ev[0]), 1e-12)
+    projected_var_matches = bool(
+        np.max(np.abs(pv - ev)) <= 1e-6 * scale
+    )
+    centered = bool(np.max(np.abs(pm)) <= 1e-9 * max(scale, 1.0))
+    wv, _ = coord_stats(
+        pca_project(emb, m, whiten=True, out_col="w"), "w"
+    )
+    whitened_unit_var = bool(np.max(np.abs(wv - 1.0)) < 1e-6)
+    proj.unpersist()
+    return spark.createDataFrame(
+        [(orthonormal, variance_ordered, projected_var_matches,
+          centered, whitened_unit_var)],
+        "orthonormal boolean, variance_ordered boolean, "
+        "projected_var_matches boolean, centered boolean, "
+        "whitened_unit_var boolean",
+    )

@@ -457,6 +457,28 @@ def main() -> int:
         lambda: text_ops.epoch_shuffle(docs, seed=7, fast=True),
     )
 
+    # -- round-6: BM25 ranking (query-term filter before the (doc,term)
+    # shuffle) and one-pass PCA (per-partition gram partials; the
+    # reduce is d*d+d+1 scalars regardless of N)
+    from clickhouse_arrow_spark.operators import projection as proj_ops
+    from clickhouse_arrow_spark.operators import text_search as search_ops
+
+    bench(
+        f"bm25_topk_{n_docs // 1000}k_docs",
+        lambda: search_ops.bm25_topk(docs, "spark window merge", k=100),
+    )
+    if not only or any(s in "pca_fit_project" for s in only):
+        pca_vecs = mk_vecs(n_vecs)
+        t0 = time.perf_counter()
+        pca_model = proj_ops.pca_fit(pca_vecs, k=8)
+        timings[f"pca_fit_{n_vecs // 1000}k_vectors"] = round(
+            time.perf_counter() - t0, 2
+        )
+        bench(
+            f"pca_project_{n_vecs // 1000}k_vectors",
+            lambda: proj_ops.pca_project(pca_vecs, pca_model, whiten=True),
+        )
+
     out = {
         "rows_fact": rows_fact,
         "n_docs": n_docs,

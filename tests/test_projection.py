@@ -86,3 +86,26 @@ def test_k_clamped_and_errors(spark):
     )
     with pytest.raises(Exception, match="ragged"):
         pca_fit(ragged)
+
+
+def test_pca_composes_with_semantic_dedup(spark):
+    """PCA-reduced vectors feed semantic_dedup unchanged: planted exact
+    duplicates survive projection (cosine 1.0 in the reduced space)."""
+    from clickhouse_arrow_spark.operators.similarity import semantic_dedup
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(80, 12)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(80)]
+    # plant clones: 90..94 duplicate 0..4
+    rows += [(90 + i, [float(x) for x in base[i]]) for i in range(5)]
+    df = spark.createDataFrame(rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>")
+    m = pca_fit(df, k=6)
+    proj = pca_project(df, m, out_col="pca")
+    kept = {
+        r["vec_id"]
+        for r in semantic_dedup(
+            proj, threshold=0.9999, nlist=4, corpus_vec="pca"
+        ).collect()
+    }
+    assert all(i in kept for i in range(5))        # originals survive
+    assert all(90 + i not in kept for i in range(5))  # clones dropped

@@ -477,3 +477,71 @@ def test_migration_query_executes(ch, sql, bounds):
     rows = ch.query_ch(sql).collect()
     lo, hi = bounds
     assert lo <= len(rows) <= hi, f"{len(rows)} rows outside [{lo}, {hi}]"
+
+
+def test_migration_script_round6_composition(ch, tmp_path):
+    """A realistic migration script — the statement forms a ClickHouse
+    user's deploy scripts chain together — must run end-to-end through
+    `execute_script` and leave the expected state behind: typed DDL with
+    MATERIALIZED/EPHEMERAL columns, FORMAT-inline seeding, projection
+    lifecycle, mutations, OPTIMIZE DEDUPLICATE, and monitoring reads.
+    """
+    ch.execute_script(
+        """
+        CREATE DATABASE IF NOT EXISTS migdb;
+
+        CREATE TABLE migdb.metrics (
+            k Int64,
+            site String,
+            raw Float64,
+            scaled Float64 MATERIALIZED raw * 100,
+            seed Int64 EPHEMERAL,
+            bucket Int64 DEFAULT seed % 4
+        ) ENGINE = MergeTree() ORDER BY k;
+
+        INSERT INTO migdb.metrics (k, site, raw, seed) FORMAT JSONEachRow
+        {"k": 1, "site": "eu", "raw": 0.5, "seed": 9}
+        {"k": 2, "site": "us", "raw": 1.5, "seed": 10}
+        {"k": 2, "site": "us", "raw": 1.5, "seed": 10};
+
+        ALTER TABLE migdb.metrics ADD PROJECTION by_site
+            (SELECT site, sum(raw) AS total GROUP BY site);
+        ALTER TABLE migdb.metrics MATERIALIZE PROJECTION by_site;
+
+        OPTIMIZE TABLE migdb.metrics DEDUPLICATE BY k, site, raw;
+
+        ALTER TABLE migdb.metrics UPDATE raw = raw + 1 WHERE site = 'eu';
+        """
+    )
+    rows = {
+        r["k"]: r
+        for r in ch.query_ch(
+            "SELECT k, site, raw, scaled, bucket FROM migdb.metrics"
+        ).collect()
+    }
+    assert len(rows) == 2, "DEDUPLICATE BY must drop the doubled row"
+    assert rows[1]["raw"] == 1.5 and rows[1]["bucket"] == 1
+    # MATERIALIZED column computed at insert time (pre-mutation raw)
+    assert rows[1]["scaled"] == 50.0 and rows[2]["scaled"] == 150.0
+    # projection routes the aggregate shape
+    agg = {
+        r["site"]: r["total"]
+        for r in ch.query_ch(
+            "SELECT site, sum(raw) AS total FROM migdb.metrics GROUP BY site"
+        ).collect()
+    }
+    assert agg["us"] == 1.5
+    assert ch.query_ch("CHECK TABLE migdb.metrics").collect()[0].result == 1
+    out = tmp_path / "export.csv"
+    ch.query_ch(
+        f"SELECT k, site FROM migdb.metrics ORDER BY k "
+        f"INTO OUTFILE '{out}' FORMAT CSVWithNames"
+    ).collect()
+    assert out.read_text().splitlines()[0] == "k,site"
+    ch.execute_script(
+        """
+        ALTER TABLE migdb.metrics DROP PROJECTION by_site;
+        DROP TABLE migdb.metrics;
+        DROP DATABASE migdb;
+        """
+    )

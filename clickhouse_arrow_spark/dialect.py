@@ -93,6 +93,16 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "varSamp": "var_samp",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
+    # -Stable numeric variants: Spark's moment aggregates already use
+    # the numerically stable (Welford/merge) formulation, so the CH
+    # "slower but stable" spellings map to the same functions
+    "corrStable": "corr",
+    "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp",
+    "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp",
     "skewPop": "skewness",
     # kurtPop handled by a formatter: CH kurtPop = mu4/sigma^4 (NON-excess,
     # 3.0 for a normal); Spark's kurtosis is excess — renaming would be
@@ -113,6 +123,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "mapContains": "map_contains_key",
     "tuple": "struct",
     "makeDate": "make_date",
+    "makeDate32": "make_date",
     "makeDateTime": "make_timestamp",
     "isValidUTF8": "is_valid_utf8",
     # misc
@@ -1366,6 +1377,47 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return array_sort_fmt
     if name == "hasAll":
         return lambda a: f"(size(array_except({a[1]}, {a[0]})) = 0)"
+    if name == "hasSubstr":
+        # contiguous-subsequence containment: some 1-based offset i has
+        # slice(a, i, len(b)) == b; empty needle is contained (CH)
+        def has_substr(a: Args) -> str:
+            hay, nee = a[0], a[1]
+            return (
+                f"(size({nee}) = 0 OR (size({hay}) >= size({nee}) AND "
+                f"exists(sequence(1, size({hay}) - size({nee}) + 1), "
+                f"_i -> slice({hay}, _i, size({nee})) == {nee})))"
+            )
+
+        return has_substr
+    if name == "arrayElementOrNull":
+        # CH: out-of-bounds (incl. index 0) -> NULL; negative counts
+        # from the end (try_element_at matches, except it rejects 0)
+        return (
+            lambda a: f"(CASE WHEN ({a[1]}) = 0 THEN NULL "
+            f"ELSE try_element_at({a[0]}, {a[1]}) END)"
+        )
+    if name == "visibleWidth":
+        return lambda a: f"char_length(cast({a[0]} AS STRING))"
+    if name == "pointInEllipses":
+        # pointInEllipses(x, y, x0, y0, a0, b0[, x1, y1, a1, b1, ...]):
+        # 1 if (x,y) falls inside ANY ellipse
+        def pt_in_ellipses(a: Args) -> str:
+            if len(a) < 6 or (len(a) - 2) % 4 != 0:
+                raise UntranslatableFunctionError(
+                    "pointInEllipses takes x, y plus one or more "
+                    "(x0, y0, a, b) ellipse quadruples"
+                )
+            x, y = a[0], a[1]
+            terms = []
+            for i in range(2, len(a), 4):
+                cx, cy, sa, sb = a[i], a[i + 1], a[i + 2], a[i + 3]
+                terms.append(
+                    f"(pow(({x}) - ({cx}), 2) / pow({sa}, 2) "
+                    f"+ pow(({y}) - ({cy}), 2) / pow({sb}, 2) <= 1.0)"
+                )
+            return f"cast(({' OR '.join(terms)}) AS INT)"
+
+        return pt_in_ellipses
     if name == "tupleElement":
         def tuple_element(a: Args) -> str:
             idx = a[1].strip()
@@ -3274,6 +3326,44 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         if unit == "Micro":
             return lambda a: f"timestamp_micros({a[0]})"
         return lambda a: f"timestamp_micros(({a[0]}) DIV 1000)"
+    if name in ("snowflakeIDToDateTime", "snowflakeIDToDateTime64"):
+        # the NEW converter pair (CH 24.6+): epoch parameter in ms since
+        # 1970, DEFAULT 0 — unlike the legacy pair's baked-in Twitter
+        # epoch below
+        def snowflake_id_fmt(a: Args) -> str:
+            if len(a) > 2:
+                raise UntranslatableFunctionError(
+                    f"{name}: the time_zone argument is display-only in "
+                    "CH; drop it (Spark renders in the session zone) or "
+                    "wrap with convert_timezone()"
+                )
+            epoch = a[1] if len(a) == 2 else "0"
+            return f"timestamp_millis(shiftright({a[0]}, 22) + {epoch})"
+
+        return snowflake_id_fmt
+    if name == "timezoneOffset":
+        # seconds east of UTC for the session zone at the given instant
+        return (
+            lambda a: f"(unix_timestamp(from_utc_timestamp({a[0]}, "
+            f"current_timezone())) - unix_timestamp({a[0]}))"
+        )
+    if name == "generateUUIDv7":
+        # RFC 9562 v7 layout: 48-bit unix ms, version nibble 7, 12
+        # random bits, variant in 89ab, 62 random tail bits — built from
+        # unix_millis + md5(rand()) hex; time-ordered like CH's
+        return lambda a: (
+            "concat(substring(_uuid7_hex, 1, 8), '-', "
+            "substring(_uuid7_hex, 9, 4), '-7', "
+            "substring(_uuid7_rand, 1, 3), '-', "
+            "substring('89ab', pmod(ascii(substring(_uuid7_rand, 4, 1)), 4)"
+            " + 1, 1), substring(_uuid7_rand, 5, 3), '-', "
+            "substring(_uuid7_rand, 8, 12))"
+            .replace(
+                "_uuid7_hex",
+                "lpad(lower(hex(unix_millis(current_timestamp()))), 12, '0')",
+            )
+            .replace("_uuid7_rand", "md5(cast(rand() AS STRING))")
+        )
     if name in ("snowflakeToDateTime", "snowflakeToDateTime64"):
         # Twitter snowflake: ms since 2010-11-04T01:42:54.657Z in the
         # top 42 bits (the epoch CH documents)

@@ -3708,3 +3708,49 @@ def q_vector_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "projected_var_matches boolean, centered boolean, "
         "whitened_unit_var boolean",
     )
+
+
+@register(
+    "util_sweep_wave13",
+    """
+    SELECT
+      TRUE AS hassub,
+      FALSE AS hasgap,
+      TRUE AS aeon_null,
+      '2024-02-29' AS md32,
+      epoch_ms(123456789) AS sfid,
+      (SELECT round(corr(o_orderkey, o_totalprice), 6) FROM orders)
+        AS corrst,
+      CAST(3 AS BIGINT) AS vw,
+      CAST(1 AS BIGINT) AS pie_in,
+      CAST(0 AS BIGINT) AS pie_out,
+      TRUE AS uuid7_ok
+    """,
+    doc="Round-6 probe-sweep wave 13: hasSubstr (contiguous "
+    "subsequence via exists+slice), arrayElementOrNull (try_element_at "
+    "with CH's index-0 NULL), makeDate32, snowflakeIDToDateTime (new "
+    "converter pair, epoch defaults to unix 0 unlike the legacy "
+    "Twitter-epoch pair), the -Stable aggregate spellings (Spark's "
+    "moment aggregates are already the stable formulation), "
+    "visibleWidth, pointInEllipses (variadic quadruples, ANY-match), "
+    "and RFC 9562 generateUUIDv7 (48-bit ms prefix + version/variant "
+    "nibbles, checked structurally).",
+    tags=("dialect", "sweep", "wave13"),
+)
+def q_util_sweep_wave13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "hasSubstr([1,2,3,4], [2,3]) AS hassub, "
+        "hasSubstr([1,2,3,4], [2,4]) AS hasgap, "
+        "isNull(arrayElementOrNull([10,20], 5)) AS aeon_null, "
+        "toString(makeDate32(2024, 2, 29)) AS md32, "
+        "snowflakeIDToDateTime(517815303929856) AS sfid, "
+        "(SELECT round(corrStable(o_orderkey, o_totalprice), 6) "
+        "FROM orders) AS corrst, "
+        "toInt64(visibleWidth('abc')) AS vw, "
+        "toInt64(pointInEllipses(1, 1, 0, 0, 3, 3)) AS pie_in, "
+        "toInt64(pointInEllipses(10, 10, 0, 0, 3, 3)) AS pie_out, "
+        "(generateUUIDv7() LIKE '________-____-7___-%') AS uuid7_ok"
+    )

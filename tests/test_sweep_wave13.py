@@ -1,0 +1,135 @@
+"""Probe-sweep wave 13 (round 6, continuation session): array
+containment/element helpers, new-style snowflake converters, session
+timezone offset, v7 UUIDs, multi-ellipse containment, the -Stable
+aggregate spellings, and makeDate32. Reference surface: ClickHouse SQL
+the `clickhouse-arrow` client passes through verbatim.
+"""
+
+from __future__ import annotations
+
+import datetime
+import re
+
+import pytest
+
+from clickhouse_arrow_spark.client import Client
+from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+
+@pytest.fixture(scope="module")
+def ch(spark):
+    from clickhouse_arrow_spark.sources import register_tables
+
+    register_tables(spark, "/root/testdata/sf0.001")
+    return Client(spark)
+
+
+def one(ch, sql):
+    return ch.query_ch(sql).collect()[0]
+
+
+def test_has_substr(ch):
+    r = one(
+        ch,
+        "SELECT hasSubstr([1,2,3,4], [2,3]) AS hit, "
+        "hasSubstr([1,2,3,4], [2,4]) AS gap, "
+        "hasSubstr([1,2], [1,2,3]) AS longer, "
+        "hasSubstr([1,2], CAST([] AS Array(Int64))) AS empty_needle",
+    )
+    assert (r["hit"], r["gap"], r["longer"], r["empty_needle"]) == (
+        True, False, False, True,
+    )
+
+
+def test_array_element_or_null(ch):
+    r = one(
+        ch,
+        "SELECT arrayElementOrNull([10,20], 2) AS inb, "
+        "arrayElementOrNull([10,20], 5) AS oob, "
+        "arrayElementOrNull([10,20], 0) AS zero, "
+        "arrayElementOrNull([10,20], -1) AS neg",
+    )
+    assert (r["inb"], r["oob"], r["zero"], r["neg"]) == (20, None, None, 20)
+
+
+def test_make_date32(ch):
+    r = one(ch, "SELECT makeDate32(2024, 2, 29) AS d")
+    assert r["d"] == datetime.date(2024, 2, 29)
+
+
+def test_snowflake_id_converters(ch):
+    # new-style pair: epoch defaults to 0 ms (unix), optional epoch arg
+    sf = 123456789 << 22
+    r = one(
+        ch,
+        f"SELECT snowflakeIDToDateTime({sf}) AS t0, "
+        f"snowflakeIDToDateTime({sf}, 1000) AS t1",
+    )
+    assert r["t0"] == datetime.datetime.fromtimestamp(
+        123456789 / 1000.0, datetime.timezone.utc
+    ).replace(tzinfo=None)
+    assert (r["t1"] - r["t0"]).total_seconds() == 1.0
+    with pytest.raises(UntranslatableFunctionError, match="time_zone"):
+        ch.query_ch(f"SELECT snowflakeIDToDateTime({sf}, 0, 'UTC') AS t")
+
+
+def test_timezone_offset(ch, spark):
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    r = one(
+        ch, "SELECT timezoneOffset(toDateTime('2024-07-01 12:00:00')) AS o"
+    )
+    if tz in ("UTC", "Etc/UTC", "GMT"):
+        assert r["o"] == 0
+    else:
+        assert -14 * 3600 <= r["o"] <= 14 * 3600
+
+
+def test_stable_aggregate_spellings(ch):
+    r = one(
+        ch,
+        "SELECT round(corrStable(o_orderkey, o_totalprice), 6) AS c, "
+        "round(varSampStable(o_totalprice), 2) AS v, "
+        "round(stddevPopStable(o_totalprice), 2) AS s, "
+        "round(covarSampStable(o_orderkey, o_totalprice), 2) AS cv "
+        "FROM orders",
+    )
+    base = one(
+        ch,
+        "SELECT round(corr(o_orderkey, o_totalprice), 6) AS c, "
+        "round(varSamp(o_totalprice), 2) AS v FROM orders",
+    )
+    assert r["c"] == base["c"] and r["v"] == base["v"]
+    assert r["s"] > 0 and r["cv"] is not None
+
+
+def test_visible_width(ch):
+    r = one(ch, "SELECT visibleWidth('abc') AS w, visibleWidth(1234) AS n")
+    assert (r["w"], r["n"]) == (3, 4)
+
+
+def test_generate_uuid_v7(ch):
+    rows = ch.query_ch(
+        "SELECT generateUUIDv7() AS u FROM numbers(5)"
+    ).collect()
+    pat = re.compile(
+        r"^[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}$"
+    )
+    for r in rows:
+        assert pat.match(r["u"]), r["u"]
+    # time-ordered: the ms prefix equals now's to within a minute
+    import time
+
+    ms_hex = rows[0]["u"].replace("-", "")[:12]
+    assert abs(int(ms_hex, 16) - time.time() * 1000) < 60_000
+
+
+def test_point_in_ellipses(ch):
+    r = one(
+        ch,
+        "SELECT pointInEllipses(1, 1, 0, 0, 3, 3) AS inside, "
+        "pointInEllipses(10, 10, 0, 0, 3, 3) AS outside, "
+        "pointInEllipses(10, 10, 0, 0, 3, 3, 10, 10, 1, 1) AS second",
+    )
+    assert (r["inside"], r["outside"], r["second"]) == (1, 0, 1)
+    with pytest.raises(UntranslatableFunctionError, match="quadruple"):
+        ch.query_ch("SELECT pointInEllipses(1, 1, 0, 0, 3) AS bad")

@@ -142,6 +142,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "leadInFrame": "lead",
     "randCanonical": "rand",
     "editDistance": "levenshtein",
+    "editDistanceUTF8": "levenshtein",  # Spark levenshtein is codepoint-based
     "toLastDayOfMonth": "last_day",
     "substringUTF8": "substring",
     "leftUTF8": "left",
@@ -857,10 +858,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return date_diff
     if name == "arrayElement":
         return lambda a: f"element_at({a[0]}, {a[1]})"
-    if name in ("position", "positionCaseInsensitive"):
+    if name in ("position", "positionUTF8", "positionCaseInsensitive",
+                "positionCaseInsensitiveUTF8"):
         # CH position(haystack, needle); Spark locate(needle, haystack)
         # — a silent wrong-answer trap if renamed without the swap
-        def position_fmt(a: Args, _ci: bool = name.endswith("Insensitive")) -> str:
+        def position_fmt(a: Args, _ci: bool = "Insensitive" in name) -> str:
             h, n = a[0], a[1]
             if _ci:
                 return f"locate(lower({n}), lower({h}))"
@@ -3088,6 +3090,25 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return sq if _n == "L2SquaredDistance" else f"sqrt({sq})"
 
         return dist_fmt
+    if name in ("LpDistance", "LpNorm"):
+        # (sum |x|^p)^(1/p); p is the TRAILING argument in CH
+        def lp_fmt(a: Args, _n=name) -> str:
+            if _n == "LpDistance":
+                if len(a) != 3:
+                    raise UntranslatableFunctionError(
+                        "LpDistance takes (a, b, p)"
+                    )
+                vec = f"zip_with({a[0]}, {a[1]}, (x, y) -> CAST(x AS DOUBLE) - y)"
+                p = a[2]
+            else:
+                if len(a) != 2:
+                    raise UntranslatableFunctionError("LpNorm takes (a, p)")
+                vec, p = a[0], a[1]
+            s = (f"aggregate({vec}, CAST(0 AS DOUBLE), "
+                 f"(acc, v) -> acc + power(abs(CAST(v AS DOUBLE)), {p}))")
+            return f"power({s}, CAST(1 AS DOUBLE) / ({p}))"
+
+        return lp_fmt
     if name in ("L1Norm", "L2Norm", "LinfNorm", "L2SquaredNorm"):
         def norm_fmt(a: Args, _n=name) -> str:
             if _n == "L1Norm":
@@ -3489,10 +3510,11 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # CH keeps the LAST n in insertion order; collect_list order is
     # partition-arrival, as unspecified distributed as CH's own merges
     "groupArrayLast": lambda p, a: (
-        f"(CASE WHEN size(collect_list({a[0]})) = 0 "
-        f"THEN collect_list({a[0]}) "
-        f"ELSE slice(collect_list({a[0]}), -least({p[0]}, "
-        f"size(collect_list({a[0]}))), {p[0]}) END)"
+        # empty-safe: slice(empty, 1, n) = empty; short lists start at 1.
+        # Head is slice( so downstream length()/size heuristics see an
+        # array-producing expression.
+        f"slice(collect_list({a[0]}), "
+        f"greatest(size(collect_list({a[0]})) - ({p[0]}) + 1, 1), {p[0]})"
     ),
     "groupConcat": lambda p, a: f"array_join(collect_list({a[0]}), {p[0]})",
 }
@@ -3571,6 +3593,18 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
                 break
             continue
         break
+    for _am in ("ArgMin", "ArgMax"):
+        if name.endswith(_am) and name[: -len(_am)] in _COMBINATOR_BASES \
+                and name not in ("argMin", "argMax"):
+            ext = "min" if _am == "ArgMin" else "max"
+            raise UntranslatableFunctionError(
+                f"{name}: the -{_am} combinator aggregates the value "
+                f"only over rows where the second argument is {ext}imal "
+                "— a single Spark aggregate can't see the extremum while "
+                "folding; compute it first: "
+                f"... FILTER (WHERE y = (SELECT {ext}(y) FROM t)) or a "
+                f"window `{ext}(y) OVER (PARTITION BY grp)` equality filter"
+            )
     if base not in _COMBINATOR_BASES or (comb is None and not filt):
         return None
     spark = _COMBINATOR_BASES[base]
@@ -4986,6 +5020,21 @@ def _rewrite_tuple_index(sql: str) -> str:
         )
 
 
+#: `WHERE 0` / `HAVING 1` — ClickHouse treats integers as booleans in
+#: condition position (generated SQL uses it constantly); Spark is
+#: strictly typed. Only the STANDALONE-literal form is rewritten — a
+#: numeric sub-expression like `WHERE flag & 4` still raises Spark's
+#: own type error, which names the offending expression.
+_NUM_COND_RE = re.compile(
+    r"(?i)\b(WHERE|HAVING)\s+(\d+)(?=\s*(?:$|;|\)|GROUP\b|ORDER\b|"
+    r"LIMIT\b|HAVING\b|WINDOW\b|UNION\b|EXCEPT\b|INTERSECT\b|SETTINGS\b))"
+)
+
+
+def _rewrite_numeric_conditions(sql: str) -> str:
+    return _NUM_COND_RE.sub(lambda m: f"{m.group(1)} ({m.group(2)} <> 0)", sql)
+
+
 def _refuse_ch_only_clauses(sql: str) -> str:
     """Strip GLOBAL (a ClickHouse distribution hint — Spark's planner
     owns shuffle placement) and refuse FINAL / ANY / ASOF joins loudly:
@@ -5269,6 +5318,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     """
     sql = _strip_output_clauses(sql)
     sql = _refuse_ch_only_clauses(sql)
+    sql = _rewrite_numeric_conditions(sql)
     sql = _rewrite_scalar_with(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_top(sql)
@@ -5392,6 +5442,19 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             ):
                 _par_name = name[:-2]
                 _par_if = True
+            if (
+                _par_name not in _PARAMETRIC
+                and name.endswith("Resample")
+                and k < n
+                and sql[k] == "("
+            ):
+                raise UntranslatableFunctionError(
+                    f"{name}: the -Resample combinator splits rows into "
+                    "key-range buckets and returns an array of per-bucket "
+                    "aggregates — express it relationally: GROUP BY "
+                    "width_bucket(key, start, end, (end - start) DIV step) "
+                    "with the base aggregate per bucket"
+                )
             if _par_name in _PARAMETRIC and k < n and sql[k] == "(":
                 close2 = _find_matching_paren(sql, k)
                 if close2 != -1:

@@ -133,3 +133,77 @@ def test_point_in_ellipses(ch):
     assert (r["inside"], r["outside"], r["second"]) == (1, 0, 1)
     with pytest.raises(UntranslatableFunctionError, match="quadruple"):
         ch.query_ch("SELECT pointInEllipses(1, 1, 0, 0, 3) AS bad")
+
+
+def test_lp_distance_and_norm(ch):
+    r = one(
+        ch,
+        "SELECT round(LpDistance([1,2], [4,6], 3), 4) AS d, "
+        "round(LpNorm([3,4], 2), 4) AS n",
+    )
+    assert (r["d"], r["n"]) == (round(91 ** (1 / 3), 4), 5.0)
+    with pytest.raises(UntranslatableFunctionError, match="LpNorm"):
+        ch.query_ch("SELECT LpNorm([1]) AS bad")
+
+
+def test_group_array_last_empty_safe(ch):
+    r = one(
+        ch,
+        "SELECT groupArrayLast(2)(x) AS tail_, "
+        "length(groupArrayLast(2)(x)) AS n "
+        "FROM (SELECT arrayJoin([1,2,3,4]) AS x)",
+    )
+    assert r["tail_"] == [3, 4] and r["n"] == 2
+    r = one(
+        ch,
+        "SELECT groupArrayLast(3)(x) AS tail_ "
+        "FROM (SELECT arrayJoin([1,2]) AS x WHERE 1 = 0)",
+    )
+    assert r["tail_"] == []
+
+
+def test_position_edit_utf8_spellings(ch):
+    r = one(
+        ch,
+        "SELECT positionCaseInsensitiveUTF8('Hello', 'ELL') AS p, "
+        "positionUTF8('héllo', 'llo') AS pu, "
+        "editDistanceUTF8('abc', 'abd') AS d",
+    )
+    assert (r["p"], r["pu"], r["d"]) == (2, 3, 1)
+
+
+def test_numeric_condition_literals(ch):
+    assert one(ch, "SELECT count() AS c FROM orders WHERE 0")["c"] == 0
+    assert one(ch, "SELECT count() AS c FROM orders WHERE 1 LIMIT 5")["c"] > 0
+    assert one(ch, "SELECT count() AS c FROM orders HAVING 1")["c"] > 0
+    # non-literal numeric conditions still surface Spark's type error
+    with pytest.raises(Exception, match="(?i)boolean|type"):
+        ch.query_ch("SELECT count() AS c FROM orders WHERE o_orderkey").collect()
+
+
+def test_resample_and_argminmax_guided(ch):
+    with pytest.raises(UntranslatableFunctionError, match="width_bucket"):
+        ch.query_ch(
+            "SELECT sumResample(0, 10, 5)(o_totalprice, o_orderkey) AS r "
+            "FROM orders"
+        )
+    with pytest.raises(UntranslatableFunctionError, match="extremal|minimal"):
+        ch.query_ch(
+            "SELECT sumArgMin(o_totalprice, o_orderdate) AS s FROM orders"
+        )
+    # the REAL argMin/argMax aggregates still work
+    r = one(
+        ch,
+        "SELECT argMin(o_orderkey, o_totalprice) AS lo, "
+        "argMax(o_orderkey, o_totalprice) AS hi FROM orders",
+    )
+    assert r["lo"] != r["hi"]
+
+
+def test_stable_family_and_weighted(ch):
+    r = one(
+        ch,
+        "SELECT round(avgWeighted(o_totalprice, o_custkey + 1), 2) AS aw "
+        "FROM orders",
+    )
+    assert r["aw"] > 0

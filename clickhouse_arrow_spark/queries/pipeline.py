@@ -3754,3 +3754,58 @@ def q_util_sweep_wave13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toInt64(pointInEllipses(10, 10, 0, 0, 3, 3)) AS pie_out, "
         "(generateUUIDv7() LIKE '________-____-7___-%') AS uuid7_ok"
     )
+
+
+@register(
+    "text_bpe_gate",
+    """
+    SELECT TRUE AS merges_complete, TRUE AS round_trip_all,
+           TRUE AS deterministic, TRUE AS compresses
+    """,
+    doc="Distributed BPE tokenizer gate (operators/bpe.bpe_train + "
+    "bpe_encode, 50 merges on the documents table): the merge list is "
+    "full-length; decoding every document's token stream reproduces "
+    "its normalized text (checked distributedly, one boolean agg); "
+    "retraining on a repartitioned corpus yields the identical merge "
+    "list (deterministic count + lexicographic tie-breaks); and the "
+    "trained vocab compresses (corpus token count strictly below the "
+    "character+EOW baseline). Training shuffles ONCE (word counts); "
+    "the merge loop runs on the bounded word-frequency table.",
+    tags=("text", "bpe", "tokenizer", "gate"),
+)
+def q_text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.bpe import (
+        EOW,
+        bpe_encode,
+        bpe_train,
+    )
+
+    docs = spark.table("documents")
+    m = bpe_train(docs, num_merges=50)
+    merges_complete = len(m.merges) == 50
+    m2 = bpe_train(docs.repartition(11), num_merges=50)
+    deterministic = m.merges == m2.merges
+
+    enc = bpe_encode(docs, m)
+    norm = F.regexp_replace(
+        F.regexp_replace(F.lower(F.col("text")), "[^a-z0-9]+", " "),
+        r"(^ +| +$)", "",
+    )
+    norm_nospace = F.regexp_replace(norm, " ", "")
+    agg = enc.agg(
+        F.min(
+            F.replace(F.array_join("bpe_tokens", ""), F.lit(EOW), F.lit(""))
+            == norm_nospace
+        ).alias("rt"),
+        F.sum("bpe_tokens_n").alias("tok"),
+        F.sum(
+            F.length(norm_nospace)
+            + F.size(F.filter(F.split(norm, " "), lambda t: t != F.lit("")))
+        ).alias("baseline"),
+    ).collect()[0]
+    return spark.createDataFrame(
+        [(bool(merges_complete), bool(agg["rt"]), bool(deterministic),
+          bool(agg["tok"] < agg["baseline"]))],
+        "merges_complete boolean, round_trip_all boolean, "
+        "deterministic boolean, compresses boolean",
+    )

@@ -467,6 +467,20 @@ def main() -> int:
         f"bm25_topk_{n_docs // 1000}k_docs",
         lambda: search_ops.bm25_topk(docs, "spark window merge", k=100),
     )
+    # BPE: training cost is ONE word-count shuffle + a driver loop over
+    # the bounded dictionary; encode is the full-corpus pandas-UDF pass
+    if not only or any(s in "bpe_train_encode" for s in only):
+        from clickhouse_arrow_spark.operators import bpe as bpe_ops
+
+        t0 = time.perf_counter()
+        bpe_model = bpe_ops.bpe_train(docs, num_merges=200)
+        timings[f"bpe_train_{n_docs // 1000}k_docs"] = round(
+            time.perf_counter() - t0, 2
+        )
+        bench(
+            f"bpe_encode_{n_docs // 1000}k_docs",
+            lambda: bpe_ops.bpe_encode(docs, bpe_model),
+        )
     if not only or any(s in "pca_fit_project" for s in only):
         pca_vecs = mk_vecs(n_vecs)
         t0 = time.perf_counter()

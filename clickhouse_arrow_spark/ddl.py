@@ -336,8 +336,11 @@ def apply_ttl(spark: SparkSession, table: str) -> int:
 _FROM_FINAL_RE = re.compile(
     r"(?i)\b(FROM|JOIN)\s+"
     r"((?:`[^`]+`|[A-Za-z_]\w*)(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
-    r"(?:\s+(?:AS\s+)?(?!FINAL\b)(`[^`]+`|[A-Za-z_]\w*))?"
-    r"\s+FINAL\b"
+    # the alias candidate must not be FINAL itself, nor SETTINGS —
+    # `FROM t SETTINGS final = 1` is a settings tail, not `t AS
+    # SETTINGS ... FINAL`
+    r"(?:\s+(?:AS\s+)?(?!FINAL\b|SETTINGS\b)(`[^`]+`|[A-Za-z_]\w*))?"
+    r"\s+FINAL\b(?!\s*=)"
 )
 
 _ENGINE_ARGS_RE = re.compile(r"^\s*(\w+)\s*(?:\(\s*([^)]*)\s*\))?\s*$")

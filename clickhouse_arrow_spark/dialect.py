@@ -4011,6 +4011,58 @@ _FORMAT_TAIL_RE = re.compile(r"(?i)\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$")
 #: the lookbehind excludes `system.settings` (a table, not the clause)
 _SETTINGS_TAIL_RE = re.compile(r"(?i)(?<![.\w])SETTINGS\s+[^;]*$")
 
+#: settings whose non-matching value CHANGES RESULTS (not just
+#: execution) — stripping those silently would be a wrong-answer trap.
+#: value = (the behavior this engine already has, divergence recipe)
+_SEMANTIC_SETTINGS: dict[str, tuple[set, str]] = {
+    "join_use_nulls": (
+        {"1", "true"},
+        "outer-join non-matches are NULL here (Spark/ANSI semantics = "
+        "join_use_nulls=1); ClickHouse's default 0 fills TYPE DEFAULTS "
+        "instead — wrap the nullable side's columns in "
+        "coalesce(col, 0 / '' / toDate(0)) to reproduce it",
+    ),
+    "group_by_use_nulls": (
+        {"1", "true"},
+        "ROLLUP/CUBE/GROUPING SETS super-aggregate rows carry NULL "
+        "group keys here (= group_by_use_nulls=1); ClickHouse's "
+        "default 0 fills type defaults — coalesce the grouping "
+        "columns to reproduce it",
+    ),
+    "aggregate_functions_null_for_empty": (
+        {"0", "false"},
+        "aggregates over the empty set keep their default values here "
+        "(count=0, sum=NULL per ANSI); =1 rewrites EVERY aggregate to "
+        "its -OrNull form — spell the -OrNull combinator explicitly "
+        "(sumOrNull, countOrNull, ...) instead",
+    ),
+    "final": (
+        {"0", "false"},
+        "SETTINGS final=1 applies FINAL to every table in the query — "
+        "write `FROM <table> FINAL` explicitly; ddl.rewrite_final "
+        "folds the table's engine semantics (Replacing/Summing/"
+        "Collapsing/VersionedCollapsing/Aggregating)",
+    ),
+}
+
+
+def _check_semantic_settings(clause: str) -> None:
+    """`clause` is the text after the SETTINGS keyword; raise on any
+    result-changing setting whose value differs from this engine's
+    behavior."""
+    for part in clause.split(","):
+        if "=" not in part:
+            continue
+        k, v = part.split("=", 1)
+        k = k.strip().lower()
+        v = v.strip().strip("'\"").lower()
+        known = _SEMANTIC_SETTINGS.get(k)
+        if known and v not in known[0]:
+            raise UntranslatableFunctionError(
+                f"SETTINGS {k} = {v} changes query RESULTS, not just "
+                f"execution: {known[1]}"
+            )
+
 
 def _strip_output_clauses(sql: str) -> str:
     """Drop the ClickHouse output-side tail clauses:
@@ -4052,6 +4104,7 @@ def _strip_output_clauses(sql: str) -> str:
     if m:
         import warnings
 
+        _check_semantic_settings(sql[m.start() + len("SETTINGS"):])
         warnings.warn(
             "SETTINGS clause stripped; per-query execution settings go "
             "through client.query_with_options / QueryLimits",

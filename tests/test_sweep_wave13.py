@@ -207,3 +207,28 @@ def test_stable_family_and_weighted(ch):
         "FROM orders",
     )
     assert r["aw"] > 0
+
+
+def test_semantic_settings_guarded(ch):
+    # value matching this engine's behavior strips like any other hint
+    assert one(
+        ch,
+        "SELECT count() AS c FROM orders SETTINGS join_use_nulls = 1",
+    )["c"] > 0
+    assert one(
+        ch,
+        "SELECT count() AS c FROM orders "
+        "SETTINGS max_threads = 8, final = 0",
+    )["c"] > 0
+    # result-CHANGING values refuse with the divergence named
+    with pytest.raises(UntranslatableFunctionError, match="TYPE DEFAULTS"):
+        ch.query_ch(
+            "SELECT count() AS c FROM orders SETTINGS join_use_nulls = 0"
+        )
+    with pytest.raises(UntranslatableFunctionError, match="FROM <table> FINAL"):
+        ch.query_ch("SELECT count() AS c FROM orders SETTINGS final = 1")
+    with pytest.raises(UntranslatableFunctionError, match="-OrNull"):
+        ch.query_ch(
+            "SELECT sum(o_totalprice) AS s FROM orders "
+            "SETTINGS aggregate_functions_null_for_empty = 1"
+        )

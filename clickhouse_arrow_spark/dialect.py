@@ -4114,6 +4114,74 @@ def _strip_output_clauses(sql: str) -> str:
     return sql
 
 
+_ORDER_BY_KW_RE = re.compile(r"(?i)\bORDER\s+BY\s+")
+_ORDER_TERM_RE = re.compile(
+    r"(?i)(LIMIT|OFFSET|SETTINGS|FORMAT|WINDOW|UNION|EXCEPT|INTERSECT|"
+    r"FETCH|INTO|ROWS|RANGE|GROUPS)\b"
+)
+_NULLS_SPEC_RE = re.compile(r"(?i)\bNULLS\s+(FIRST|LAST)\b")
+_DESC_TAIL_RE = re.compile(r"(?i)\bDESC(?:ENDING)?\s*$")
+_DDL_HEAD_RE = re.compile(r"(?i)^\s*(CREATE|ALTER|INSERT|OPTIMIZE|DROP)\b")
+
+
+def _rewrite_order_nulls(sql: str) -> str:
+    """ClickHouse sorts NULL as the LARGEST value: last under ASC,
+    first under DESC. Spark's defaults are the exact opposite (NULLS
+    FIRST on ASC, NULLS LAST on DESC) — a silent top-k/LIMIT trap over
+    nullable sort keys. Every ORDER BY key (top level, subqueries, and
+    window OVER clauses alike — CH applies the same rule in all three)
+    gets the explicit CH placement unless one is already spelled."""
+    if _DDL_HEAD_RE.match(sql):
+        return sql  # engine ORDER BY clauses are not sort specs
+    search_from = 0
+    while True:
+        mask = _scan_mask(sql)
+        m = _ORDER_BY_KW_RE.search(sql, search_from)
+        while m and mask[m.start()][1]:
+            m = _ORDER_BY_KW_RE.search(sql, m.end())
+        if not m:
+            return sql
+        base = mask[m.start()][0]
+        j, end = m.end(), len(sql)
+        while j < len(sql):
+            d, instr = mask[j]
+            if not instr and d < base:
+                end = j
+                break
+            if not instr and d == base:
+                if sql[j] == ";":
+                    end = j
+                    break
+                t = _ORDER_TERM_RE.match(sql, j)
+                if t and (j == 0 or not (sql[j - 1].isalnum()
+                                         or sql[j - 1] in "_`")):
+                    end = j
+                    break
+            j += 1
+        clause = sql[m.end():end]
+        cmask = _scan_mask(clause)
+        items, last = [], 0
+        for k, c in enumerate(clause):
+            if c == "," and cmask[k] == (0, False):
+                items.append(clause[last:k])
+                last = k + 1
+        items.append(clause[last:])
+
+        def fix(item: str) -> str:
+            body = item.rstrip()
+            pad = item[len(body):]
+            if not body or _NULLS_SPEC_RE.search(body) or \
+                    re.search(r"(?i)\bWITH\s+FILL\b|\bINTERPOLATE\b", body):
+                return item
+            if _DESC_TAIL_RE.search(body):
+                return f"{body} NULLS FIRST{pad}"
+            return f"{body} NULLS LAST{pad}"
+
+        new_clause = ",".join(fix(it) for it in items)
+        sql = f"{sql[: m.end()]}{new_clause}{sql[end:]}"
+        search_from = m.end() + len(new_clause)
+
+
 _PREWHERE_RE = re.compile(r"(?i)\bPREWHERE\b")
 
 
@@ -5392,6 +5460,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_collate(sql)
+    sql = _rewrite_order_nulls(sql)
     sql = _rewrite_any_all(sql)
     sql = _rewrite_group_by_empty(sql)
     sql = _rewrite_in_bracket(sql)

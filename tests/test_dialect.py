@@ -465,7 +465,7 @@ def test_tokenizer_and_ngram_values(client):
         # no TOTALS -> untouched; scan must stop at ORDER BY
         (
             "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k",
-            "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k",
+            "SELECT k, sum(v) FROM t GROUP BY k ORDER BY k NULLS LAST",
         ),
         # second branch of a union has the TOTALS, first does not
         (
@@ -528,13 +528,13 @@ def test_limit_by_translation_text():
     )
     assert got == (
         "SELECT * EXCEPT (_rn) FROM (SELECT _q.*, row_number() OVER "
-        "(PARTITION BY user_id ORDER BY value DESC) AS _rn "
+        "(PARTITION BY user_id ORDER BY value DESC NULLS FIRST) AS _rn "
         "FROM (SELECT user_id, event_type, value FROM events) AS _q) "
-        "WHERE _rn <= 2 ORDER BY value DESC LIMIT 10"
+        "WHERE _rn <= 2 ORDER BY value DESC NULLS FIRST LIMIT 10"
     )
     # no ORDER BY -> deterministic order over the key expressions
     got2 = translate_ch_sql("SELECT k, v FROM t LIMIT 1 BY k")
-    assert "PARTITION BY k ORDER BY k" in got2 and "_rn <= 1" in got2
+    assert "PARTITION BY k ORDER BY k NULLS LAST" in got2 and "_rn <= 1" in got2
     # plain LIMIT (no BY) untouched
     assert translate_ch_sql("SELECT k FROM t LIMIT 5") == "SELECT k FROM t LIMIT 5"
 
@@ -1539,7 +1539,7 @@ def test_qualify_wraps_with_lateral_predicate():
         "QUALIFY rn <= 2 ORDER BY x"
     )
     assert out.startswith("SELECT * EXCEPT (__q) FROM (")
-    assert "(rn <= 2) AS __q" in out and out.rstrip().endswith("ORDER BY x")
+    assert "(rn <= 2) AS __q" in out and out.rstrip().endswith("ORDER BY x NULLS LAST")
 
 
 def test_scalar_with_inlines_everywhere():
@@ -1564,7 +1564,7 @@ def test_scalar_with_keeps_ctes():
 
 def test_top_n_becomes_limit():
     out = translate_ch_sql("SELECT TOP 3 x FROM t ORDER BY x")
-    assert out == "SELECT x FROM t ORDER BY x LIMIT 3"
+    assert out == "SELECT x FROM t ORDER BY x NULLS LAST LIMIT 3"
 
 
 # ---------------------------------------------------------------------------

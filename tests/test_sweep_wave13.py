@@ -232,3 +232,36 @@ def test_semantic_settings_guarded(ch):
             "SELECT sum(o_totalprice) AS s FROM orders "
             "SETTINGS aggregate_functions_null_for_empty = 1"
         )
+
+
+def test_order_by_nulls_match_clickhouse(ch):
+    # CH sorts NULL as the largest value: last under ASC, first under
+    # DESC — Spark's defaults are the opposite; the dialect appends the
+    # explicit placement (top level, subqueries, and OVER clauses)
+    asc = [r["x"] for r in ch.query_ch(
+        "SELECT x FROM (SELECT arrayJoin([3, NULL, 1]) AS x) ORDER BY x"
+    ).collect()]
+    assert asc == [1, 3, None]
+    desc = [r["x"] for r in ch.query_ch(
+        "SELECT x FROM (SELECT arrayJoin([3, NULL, 1]) AS x) "
+        "ORDER BY x DESC"
+    ).collect()]
+    assert desc == [None, 3, 1]
+    # explicit NULLS spec wins
+    explicit = [r["x"] for r in ch.query_ch(
+        "SELECT x FROM (SELECT arrayJoin([3, NULL, 1]) AS x) "
+        "ORDER BY x ASC NULLS FIRST"
+    ).collect()]
+    assert explicit == [None, 1, 3]
+    # the LIMIT boundary no longer swallows real values behind NULLs
+    top2 = [r["x"] for r in ch.query_ch(
+        "SELECT x FROM (SELECT arrayJoin([3, NULL, 1, 2]) AS x) "
+        "ORDER BY x LIMIT 2"
+    ).collect()]
+    assert top2 == [1, 2]
+    # window ORDER BY follows the same rule
+    rn = ch.query_ch(
+        "SELECT x, row_number() OVER (ORDER BY x) AS r "
+        "FROM (SELECT arrayJoin([3, NULL, 1]) AS x) ORDER BY r LIMIT 1"
+    ).collect()[0]
+    assert rn["x"] == 1

@@ -1208,6 +1208,23 @@ class Client:
         # deferred flush = ONE block: attached views see one trigger
         propagate_insert(self.spark, table, unioned)
 
+    def insert_batches(
+        self, table: str, batches, qid: str | None = None
+    ) -> None:
+        """INSERT a stream of Arrow RecordBatches in one insert — the
+        reference's `insert_batches` spelling (HttpClient::insert_batches,
+        tests/e2e_http.rs:193; native client.rs:542-589). Accepts any
+        iterable of `pa.RecordBatch` / `pa.Table`; batches concatenate
+        into ONE write job (one trigger for attached materialized
+        views), exactly like `insert_many`."""
+        tables = [
+            b if isinstance(b, pa.Table) else pa.Table.from_batches([b])
+            for b in batches
+        ]
+        if not tables:
+            return
+        self.insert(table, pa.concat_tables(tables), qid=qid)
+
     def insert_rows(
         self, table: str, rows: list[dict | tuple], schema=None, qid: str | None = None
     ) -> None:

@@ -227,6 +227,26 @@ def test_insert_many_single_job(client, spark):
     client.execute("DROP TABLE default.cas_many")
 
 
+def test_insert_batches_arrow_stream(client, spark):
+    """Reference insert_batches: an iterable of pa.RecordBatch lands as
+    ONE insert (tests/e2e_http.rs:193)."""
+    import pyarrow as pa
+
+    client.execute("DROP TABLE IF EXISTS default.cas_batches")
+    client.create_table("default", "cas_batches", [("id", "Int64")])
+    batches = (
+        pa.RecordBatch.from_pydict({"id": [i * 10 + j for j in range(4)]})
+        for i in range(3)
+    )
+    client.insert_batches("default.cas_batches", batches)
+    assert (
+        client.query_one("SELECT count(*) AS n FROM default.cas_batches")["n"]
+        == 12
+    )
+    client.insert_batches("default.cas_batches", [])  # no-op, no error
+    client.execute("DROP TABLE default.cas_batches")
+
+
 def test_insert_cast_alignment(client, spark):
     """Header-driven reconciliation: ints cast to the table's double col."""
     client.execute("DROP TABLE IF EXISTS default.cas_cast")

@@ -3809,3 +3809,55 @@ def q_text_bpe_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "merges_complete boolean, round_trip_all boolean, "
         "deterministic boolean, compresses boolean",
     )
+
+
+@register(
+    "text_quality_model_gate",
+    """
+    SELECT TRUE AS heldout_separated, TRUE AS probs_bounded,
+           TRUE AS class_means_ordered
+    """,
+    doc="Model-based quality filtering gate (operators/quality_model: "
+    "fastText-style hashed-ngram + LogisticRegression, the GPT-3/LLaMA "
+    "crawl-filter shape): trained on a deterministic separable corpus, "
+    "held-out accuracy >= 0.95; scores are valid probabilities; the "
+    "keep-class mean score exceeds the reject-class mean. Featurization "
+    "is JVM HashingTF, training is distributed L-BFGS, scoring is one "
+    "shuffle-free projection (asserted in tests).",
+    tags=("text", "quality", "classifier", "gate"),
+)
+def q_text_quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import random
+
+    from clickhouse_arrow_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+
+    good = "the study found results method analysis data evidence".split()
+    bad = "buy cheap click winner free casino pills offer".split()
+    rng = random.Random(7)
+
+    def doc(words):
+        return " ".join(rng.choice(words) for _ in range(30))
+
+    rows = [(i, doc(good), 1) for i in range(100)]
+    rows += [(1000 + i, doc(bad), 0) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id BIGINT, text STRING, label INT")
+    train, test = df.where("doc_id % 5 != 0"), df.where("doc_id % 5 = 0")
+    m = train_quality_classifier(train)
+    scored = score_quality(test, m).select("label", "quality_prob").collect()
+    acc = sum(
+        1 for r in scored if (r["quality_prob"] >= 0.5) == (r["label"] == 1)
+    ) / len(scored)
+    probs_ok = all(0.0 <= r["quality_prob"] <= 1.0 for r in scored)
+    mean1 = sum(r["quality_prob"] for r in scored if r["label"] == 1)
+    mean0 = sum(r["quality_prob"] for r in scored if r["label"] == 0)
+    n1 = sum(1 for r in scored if r["label"] == 1) or 1
+    n0 = sum(1 for r in scored if r["label"] == 0) or 1
+    return spark.createDataFrame(
+        [(bool(acc >= 0.95), bool(probs_ok),
+          bool(mean1 / n1 > mean0 / n0))],
+        "heldout_separated boolean, probs_bounded boolean, "
+        "class_means_ordered boolean",
+    )

@@ -467,6 +467,23 @@ def main() -> int:
         f"bm25_topk_{n_docs // 1000}k_docs",
         lambda: search_ops.bm25_topk(docs, "spark window merge", k=100),
     )
+    # quality classifier: distributed L-BFGS fit + shuffle-free scoring
+    if not only or any(s in "quality_model_fit_score" for s in only):
+        from clickhouse_arrow_spark.operators import quality_model as qm_ops
+
+        labeled = docs.withColumn(
+            "label", (F.col("doc_id") % 2).cast("int")
+        )
+        t0 = time.perf_counter()
+        qmodel = qm_ops.train_quality_classifier(labeled, max_iter=20)
+        timings[f"quality_fit_{n_docs // 1000}k_docs"] = round(
+            time.perf_counter() - t0, 2
+        )
+        bench(
+            f"quality_score_{n_docs // 1000}k_docs",
+            lambda: qm_ops.score_quality(docs, qmodel),
+        )
+
     # BPE: training cost is ONE word-count shuffle + a driver loop over
     # the bounded dictionary; encode is the full-corpus pandas-UDF pass
     if not only or any(s in "bpe_train_encode" for s in only):

@@ -100,6 +100,9 @@ def bm25_topk(
         .groupBy(id_col, "dl", "term")
         .agg(F.count(F.lit(1)).alias("tf"))
     )
+    from pyspark import StorageLevel
+
+    tf = tf.persist(StorageLevel.MEMORY_AND_DISK)
 
     df_counts = tf.groupBy("term").agg(
         F.countDistinct(id_col).alias("df")

@@ -3724,7 +3724,11 @@ def q_vector_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(3 AS BIGINT) AS vw,
       CAST(1 AS BIGINT) AS pie_in,
       CAST(0 AS BIGINT) AS pie_out,
-      TRUE AS uuid7_ok
+      TRUE AS uuid7_ok,
+      round(power(91, 1.0 / 3), 6) AS lpdist,
+      '3,4' AS galast,
+      CAST(0 AS BIGINT) AS where_zero,
+      CAST(2 AS BIGINT) AS posci
     """,
     doc="Round-6 probe-sweep wave 13: hasSubstr (contiguous "
     "subsequence via exists+slice), arrayElementOrNull (try_element_at "
@@ -3734,7 +3738,9 @@ def q_vector_pca_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "moment aggregates are already the stable formulation), "
     "visibleWidth, pointInEllipses (variadic quadruples, ANY-match), "
     "and RFC 9562 generateUUIDv7 (48-bit ms prefix + version/variant "
-    "nibbles, checked structurally).",
+    "nibbles, checked structurally); 13b: LpDistance, empty-safe "
+    "groupArrayLast, integer-literal WHERE conditions, UTF8 position "
+    "spellings.",
     tags=("dialect", "sweep", "wave13"),
 )
 def q_util_sweep_wave13(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -3752,7 +3758,12 @@ def q_util_sweep_wave13(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toInt64(visibleWidth('abc')) AS vw, "
         "toInt64(pointInEllipses(1, 1, 0, 0, 3, 3)) AS pie_in, "
         "toInt64(pointInEllipses(10, 10, 0, 0, 3, 3)) AS pie_out, "
-        "(generateUUIDv7() LIKE '________-____-7___-%') AS uuid7_ok"
+        "(generateUUIDv7() LIKE '________-____-7___-%') AS uuid7_ok, "
+        "round(LpDistance([1,2], [4,6], 3), 6) AS lpdist, "
+        "(SELECT arrayStringConcat(groupArrayLast(2)(x), ',') "
+        "FROM (SELECT arrayJoin([1,2,3,4]) AS x)) AS galast, "
+        "(SELECT count() FROM orders WHERE 0) AS where_zero, "
+        "toInt64(positionCaseInsensitiveUTF8('Hello', 'ELL')) AS posci"
     )
 
 

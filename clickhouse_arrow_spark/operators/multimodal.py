@@ -760,3 +760,94 @@ def dhash_neardup(
         .distinct()
     )
     return pairs
+
+
+# ---- image resize -------------------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("mime", T.StringType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+    ]
+)
+
+
+def _resize_rgb(
+    width: int, height: int, rgb: bytes, out_w: int, out_h: int
+) -> bytes:
+    """Box-mean (area-average) resample — the thumbnailing kernel
+    vision pipelines use before hashing/embedding. Pure numpy: an
+    integral image turns every target pixel into four lookups, so cost
+    is O(source + target), independent of the scale factor."""
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    # integral image with a zero row/col prefix, float64 to avoid wrap
+    integ = np.zeros((height + 1, width + 1, 3), dtype=np.float64)
+    integ[1:, 1:] = np.cumsum(np.cumsum(a, axis=0, dtype=np.float64), axis=1)
+    ys = np.linspace(0, height, out_h + 1).round().astype(np.int64)
+    xs = np.linspace(0, width, out_w + 1).round().astype(np.int64)
+    # degenerate boxes (upscaling past source resolution) -> widen by 1
+    ys1, xs1 = ys[1:].copy(), xs[1:].copy()
+    ys0, xs0 = ys[:-1].copy(), xs[:-1].copy()
+    ys1[ys1 == ys0] += 1
+    xs1[xs1 == xs0] += 1
+    ys1, xs1 = np.minimum(ys1, height), np.minimum(xs1, width)
+    ys0, xs0 = np.minimum(ys0, ys1 - 1), np.minimum(xs0, xs1 - 1)
+    area = ((ys1 - ys0)[:, None] * (xs1 - xs0)[None, :]).astype(np.float64)
+    box = (
+        integ[ys1][:, xs1]
+        - integ[ys0][:, xs1]
+        - integ[ys1][:, xs0]
+        + integ[ys0][:, xs0]
+    )
+    out = np.floor(box / area[:, :, None] + 0.5).clip(0, 255).astype(np.uint8)
+    return out.tobytes()
+
+
+def resize_images(
+    df: DataFrame,
+    out_w: int,
+    out_h: int,
+    *,
+    id_col: str = "doc_id",
+    mime_col: str = "mime",
+    payload_col: str = "payload",
+) -> DataFrame:
+    """Resize every decodable image payload to `out_w x out_h`,
+    re-encoded as BMP (the cheapest lossless container here). Rows whose
+    mime has no real decoder pass through with NULL payload/dims —
+    same skip contract as image_dhash. Arrow-batched mapInPandas; each
+    image is independent, so the operator scales with partitions and
+    adds no shuffle."""
+    if out_w < 1 or out_h < 1:
+        raise ValueError("resize_images: target dims must be >= 1")
+    # accept either a flat mime column or the attach_* `media` struct
+    if mime_col not in df.columns and "media" in df.columns:
+        df = df.withColumn(mime_col, F.col("media.mime"))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in RESIZE_SCHEMA.fields}
+            for doc_id, mime, payload in zip(
+                pdf[id_col], pdf[mime_col], pdf[payload_col]
+            ):
+                rows["doc_id"].append(int(doc_id))
+                rows["mime"].append(mime)
+                dec = _RGB_DECODERS.get(mime)
+                if dec is None or payload is None:
+                    rows["width"].append(None)
+                    rows["height"].append(None)
+                    rows["payload"].append(None)
+                    continue
+                w, h, rgb = dec(bytes(payload))
+                small = _resize_rgb(w, h, rgb, out_w, out_h)
+                rows["width"].append(out_w)
+                rows["height"].append(out_h)
+                rows["payload"].append(encode_bmp(out_w, out_h, small))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=RESIZE_SCHEMA)

@@ -3872,3 +3872,52 @@ def q_text_quality_model_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "heldout_separated boolean, probs_bounded boolean, "
         "class_means_ordered boolean",
     )
+
+
+@register(
+    "multimodal_resize_gate",
+    """
+    SELECT TRUE AS dims_correct, TRUE AS constant_preserved,
+           TRUE AS dedup_stable, TRUE AS mixed_mime_null_skip
+    """,
+    doc="Image resize gate (operators/multimodal.resize_images): "
+    "box-mean (integral-image) resample over the real PPM/BMP/PNG "
+    "codecs, re-encoded BMP. Output dims match the request; a uniform "
+    "image stays exactly uniform through down- AND up-scaling; "
+    "byte-identical sources resize byte-identically (so resize-then-"
+    "dhash dedup is stable); undecodable mimes pass through as NULL "
+    "instead of failing the Arrow batch. One mapInPandas stage, no "
+    "shuffle.",
+    tags=("multimodal", "resize", "gate"),
+)
+def q_multimodal_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as SF
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    base = spark.range(0, 12).select(
+        SF.col("id").alias("doc_id"), (SF.col("id") % 3).alias("img_key")
+    )
+    out = mm.resize_images(
+        mm.attach_ppm_payload(base, key_col="img_key"), 6, 5
+    ).collect()
+    dims = all((r["width"], r["height"]) == (6, 5) for r in out)
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in out}
+    dedup_stable = (
+        by_id[0] == by_id[3] == by_id[6] == by_id[9]
+        and len({by_id[0], by_id[1], by_id[2]}) == 3
+    )
+    gray = b"P6\n5 3\n255\n" + bytes([77] * 45)
+    cdf = spark.createDataFrame(
+        [(1, mm.PPM_MIME, gray), (2, "video/mp4", b"\x00")],
+        "doc_id BIGINT, mime STRING, payload BINARY",
+    )
+    crows = {r["doc_id"]: r for r in mm.resize_images(cdf, 7, 2).collect()}
+    _, _, small = mm.decode_bmp(bytes(crows[1]["payload"]))
+    constant = set(small) == {77}
+    nullskip = crows[2]["payload"] is None and crows[2]["width"] is None
+    return spark.createDataFrame(
+        [(bool(dims), bool(constant), bool(dedup_stable), bool(nullskip))],
+        "dims_correct boolean, constant_preserved boolean, "
+        "dedup_stable boolean, mixed_mime_null_skip boolean",
+    )

@@ -1530,3 +1530,56 @@ def test_dhash_neardup_perturbation(spark):
     assert {(r.id_a, r.id_b) for r in exact} == {(1, 3)}
     near = mm.dhash_neardup(hashes, max_hamming=dist).collect()
     assert {(r.id_a, r.id_b) for r in near} == {(1, 2), (1, 3), (2, 3)}
+
+
+def test_resize_images_box_mean(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    base = spark.range(0, 6).select(
+        F.col("id").alias("doc_id"), (F.col("id") % 2).alias("img_key")
+    )
+    small = mm.resize_images(
+        mm.attach_ppm_payload(base, key_col="img_key"), 4, 4
+    ).collect()
+    assert len(small) == 6
+    for r in small:
+        assert (r["width"], r["height"]) == (4, 4)
+        w, h, rgb = mm.decode_bmp(bytes(r["payload"]))
+        assert (w, h) == (4, 4) and len(rgb) == 4 * 4 * 3
+    # identical sources resize identically; distinct stay distinct
+    by_id = {r["doc_id"]: bytes(r["payload"]) for r in small}
+    assert by_id[0] == by_id[2] == by_id[4]
+    assert by_id[1] == by_id[3] and by_id[0] != by_id[1]
+
+
+def test_resize_constant_image_stays_constant(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    # 5x3 uniform gray PPM: every output pixel must be exactly (77,77,77)
+    rgb = bytes([77] * 5 * 3 * 3)
+    ppm = b"P6\n5 3\n255\n" + rgb
+    df = spark.createDataFrame(
+        [(1, mm.PPM_MIME, ppm)], "doc_id BIGINT, mime STRING, payload BINARY"
+    )
+    out = mm.resize_images(df, 2, 2).collect()[0]
+    _, _, small = mm.decode_bmp(bytes(out["payload"]))
+    assert set(small) == {77}
+    # upscale past source resolution also works (degenerate boxes widen)
+    up = mm.resize_images(df, 9, 7).collect()[0]
+    w, h, big = mm.decode_bmp(bytes(up["payload"]))
+    assert (w, h) == (9, 7) and set(big) == {77}
+
+
+def test_resize_skips_undecodable_mimes(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    df = spark.createDataFrame(
+        [(1, "video/mp4", b"\x00\x01")],
+        "doc_id BIGINT, mime STRING, payload BINARY",
+    )
+    r = mm.resize_images(df, 4, 4).collect()[0]
+    assert r["payload"] is None and r["width"] is None
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="dims"):
+        mm.resize_images(df, 0, 4)

@@ -1400,6 +1400,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "visibleWidth":
         return lambda a: f"char_length(cast({a[0]} AS STRING))"
+    if name == "untuple":
+        # expand a tuple/struct expression into separate columns:
+        # inline() generates one row per array element with one column
+        # per struct field — over a 1-element array it IS untuple
+        return lambda a: f"inline(array({a[0]}))"
     if name == "pointInEllipses":
         # pointInEllipses(x, y, x0, y0, a0, b0[, x1, y1, a1, b1, ...]):
         # 1 if (x,y) falls inside ANY ellipse
@@ -4803,6 +4808,26 @@ _EMPTY_OVER_RE = re.compile(
 )
 
 
+_VIEW_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN|,)\s*view\s*\(")
+
+
+def _rewrite_view_tvf(sql: str) -> str:
+    """ClickHouse `FROM view(SELECT ...)` table function — the wrapper
+    is a no-op over an inline subquery here; strip it to plain parens."""
+    while True:
+        m = _find_clean(_VIEW_TVF_RE, sql, depth0=False)
+        if not m:
+            return sql
+        open_paren = sql.index("(", m.start() + len(m.group(1)))
+        close = _find_matching_paren(sql, open_paren)
+        if close == -1:
+            return sql
+        sql = (
+            f"{sql[: m.start()]}{m.group(1)} "
+            f"({sql[open_paren + 1 : close]}){sql[close + 1 :]}"
+        )
+
+
 def _rewrite_numbers_tvf(sql: str) -> str:
     """ClickHouse's `numbers(n)` / `numbers(offset, n)` table function
     -> Spark's `range()` TVF wrapped to expose the `number` column.
@@ -5449,6 +5474,7 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
     # PREWHERE folds into WHERE BEFORE alias inlining so select-list
     # aliases resolve inside it too (CH allows them there)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_view_tvf(sql)
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_empty_over(sql)

@@ -265,3 +265,24 @@ def test_order_by_nulls_match_clickhouse(ch):
         "FROM (SELECT arrayJoin([3, NULL, 1]) AS x) ORDER BY r LIMIT 1"
     ).collect()[0]
     assert rn["x"] == 1
+
+
+def test_view_tvf_and_untuple(ch):
+    assert one(
+        ch,
+        "SELECT count() AS n FROM view(SELECT * FROM orders "
+        "WHERE o_orderstatus = 'O')",
+    )["n"] > 0
+    # view() composes with an alias and joins
+    assert one(
+        ch, "SELECT v.n FROM view(SELECT count() AS n FROM orders) v"
+    )["n"] > 0
+    r = one(ch, "SELECT untuple((1, 'a'))")
+    assert (r["col1"], r["col2"]) == (1, "a")
+    # named tuples keep their field names through the expansion
+    r = one(
+        ch,
+        "SELECT untuple(tuple(o_orderkey, o_orderstatus)) FROM orders "
+        "ORDER BY o_orderkey LIMIT 1",
+    )
+    assert r["o_orderkey"] == 0 and r["o_orderstatus"] in ("F", "O", "P")

@@ -469,6 +469,50 @@ QUERIES = [
     ("SELECT countIf(bitTestAny(o_orderkey, 0, 1)) AS odd_or_two "
      "FROM orders",
      (1, 1)),
+    # ---- wave 13 / continuation-session forms ---------------------------
+    # contiguous-subsequence containment + element-or-null
+    ("SELECT hasSubstr([1,2,3], [2,3]) AS h, "
+     "arrayElementOrNull([1], 9) AS e",
+     (1, 1)),
+    # vector distance family in SQL
+    ("SELECT round(L2Distance([1,2],[4,6]), 4) AS l2, "
+     "round(LpDistance([1,2],[4,6], 3), 4) AS lp, "
+     "round(cosineDistance([1,0],[0,1]), 4) AS cd",
+     (1, 1)),
+    # -Stable spellings in a dashboard aggregate
+    ("SELECT round(corrStable(o_orderkey, o_totalprice), 6) AS c, "
+     "round(stddevSampStable(o_totalprice), 2) AS s FROM orders",
+     (1, 1)),
+    # new snowflake converter + v7 uuid shapes
+    ("SELECT snowflakeIDToDateTime(517815303929856) AS t, "
+     "length(generateUUIDv7()) AS n",
+     (1, 1)),
+    # view() table function wrapping a subquery, aliased and filtered
+    ("SELECT v.st, v.n FROM view(SELECT o_orderstatus AS st, "
+     "count() AS n FROM orders GROUP BY o_orderstatus) v "
+     "WHERE v.n > 0 ORDER BY v.st",
+     (1, 5)),
+    # untuple expansion keeps named-tuple fields
+    ("SELECT untuple(tuple(o_orderkey, o_orderstatus)) FROM orders "
+     "ORDER BY o_orderkey LIMIT 3",
+     (3, 3)),
+    # generated-SQL integer conditions + execution-hint SETTINGS tail
+    ("SELECT count() AS n FROM orders WHERE 1 "
+     "SETTINGS max_threads = 4, join_use_nulls = 1",
+     (1, 1)),
+    # CH NULL placement: top-k over a nullable key must not surface
+    # NULLs first
+    ("SELECT x FROM (SELECT if(o_orderkey % 100 = 0, NULL, "
+     "o_totalprice) AS x FROM orders) ORDER BY x LIMIT 5",
+     (5, 5)),
+    # groupArrayLast windowed tail + BM25-ish token pipeline pieces
+    ("SELECT length(groupArrayLast(3)(o_orderkey)) AS n FROM orders",
+     (1, 1)),
+    # pointInEllipses geo-fence filter shape
+    ("SELECT count() AS n FROM orders "
+     "WHERE pointInEllipses(o_orderkey % 10, o_orderkey % 7, "
+     "5, 3, 6, 5) = 1",
+     (1, 1)),
 ]
 
 

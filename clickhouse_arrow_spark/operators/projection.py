@@ -38,7 +38,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["PCAModel", "pca_fit", "pca_project"]
+__all__ = ["PCAModel", "pca_fit", "pca_project", "save_pca_model", "load_pca_model"]
 
 
 @dataclass(frozen=True)
@@ -168,3 +168,42 @@ def pca_project(
         return pd.Series(list(out))
 
     return df.withColumn(out_col, project(F.col(vec_col)))
+
+
+def save_pca_model(spark, model: PCAModel, path: str) -> None:
+    """Persist the model as a tiny parquet (k rows: component, eigenvalue;
+    plus the mean/meta row) — same disk contract as the IVF index
+    (operators/similarity.write_ivf_index): any session, any cluster,
+    can load and project without refitting."""
+    rows = [
+        (int(i), [float(x) for x in model.components[i]],
+         float(model.explained_variance[i]), None, None, None)
+        for i in range(model.k)
+    ]
+    rows.append(
+        (-1, [float(x) for x in model.mean], None,
+         float(model.total_variance), int(model.n_rows), int(model.dim))
+    )
+    spark.createDataFrame(
+        rows,
+        "row_id INT, vec ARRAY<DOUBLE>, eigenvalue DOUBLE, "
+        "total_variance DOUBLE, n_rows BIGINT, dim INT",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+
+def load_pca_model(spark, path: str) -> PCAModel:
+    """Inverse of :func:`save_pca_model`."""
+    rows = spark.read.parquet(path).collect()
+    meta = next(r for r in rows if r["row_id"] == -1)
+    comps = sorted(
+        (r for r in rows if r["row_id"] >= 0), key=lambda r: r["row_id"]
+    )
+    return PCAModel(
+        mean=np.array(meta["vec"], dtype=np.float64),
+        components=np.array([r["vec"] for r in comps], dtype=np.float64),
+        explained_variance=np.array(
+            [r["eigenvalue"] for r in comps], dtype=np.float64
+        ),
+        total_variance=float(meta["total_variance"]),
+        n_rows=int(meta["n_rows"]),
+    )

@@ -109,3 +109,26 @@ def test_pca_composes_with_semantic_dedup(spark):
     }
     assert all(i in kept for i in range(5))        # originals survive
     assert all(90 + i not in kept for i in range(5))  # clones dropped
+
+
+def test_save_load_round_trip(spark, cloud, tmp_path):
+    from clickhouse_arrow_spark.operators.projection import (
+        load_pca_model,
+        save_pca_model,
+    )
+
+    df, _ = cloud
+    m = pca_fit(df, k=2)
+    path = str(tmp_path / "pca_model")
+    save_pca_model(spark, m, path)
+    m2 = load_pca_model(spark, path)
+    assert np.allclose(m.components, m2.components)
+    assert np.allclose(m.mean, m2.mean)
+    assert np.allclose(m.explained_variance, m2.explained_variance)
+    assert (m.n_rows, m.dim, m.total_variance) == (
+        m2.n_rows, m2.dim, m2.total_variance,
+    )
+    # a fresh-session-style projection from the loaded model matches
+    a = pca_project(df, m).select("pca").collect()
+    b = pca_project(df, m2).select("pca").collect()
+    assert [r["pca"] for r in a] == [r["pca"] for r in b]

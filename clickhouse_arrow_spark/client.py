@@ -406,6 +406,30 @@ class Client:
             like = f" WHERE name LIKE {m.group(1)}" if m.group(1) else ""
             ch_sql = f"SELECT name, value FROM system.settings{like}"
         m = _re.match(
+            r"(?is)^\s*SHOW\s+(TABLES|DATABASES)(?:\s+FROM\s+(\w+))?\s+"
+            r"LIKE\s+('(?:[^']|'')*')\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # ClickHouse LIKE patterns are SQL (% _); Spark's SHOW ...
+            # LIKE takes a glob — route through system.* with real LIKE
+            # (matches CH's single-column output shape too)
+            kind, db, pat = m.group(1).upper(), m.group(2), m.group(3)
+            if kind == "DATABASES":
+                ch_sql = (
+                    "SELECT name FROM system.databases "
+                    f"WHERE name LIKE {pat} ORDER BY name"
+                )
+            else:
+                dbf = (
+                    f"database = '{db}'" if db
+                    else "database = currentDatabase()"
+                )
+                ch_sql = (
+                    "SELECT name FROM system.tables "
+                    f"WHERE {dbf} AND name LIKE {pat} ORDER BY name"
+                )
+        m = _re.match(
             r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?"
             r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*;?\s*$",
             ch_sql,

@@ -286,3 +286,13 @@ def test_view_tvf_and_untuple(ch):
         "ORDER BY o_orderkey LIMIT 1",
     )
     assert r["o_orderkey"] == 0 and r["o_orderstatus"] in ("F", "O", "P")
+
+
+def test_show_tables_like_sql_patterns(ch):
+    # CH LIKE patterns are SQL (% _), not Spark globs
+    assert [r[0] for r in ch.query_ch("SHOW TABLES LIKE 'ord%'").collect()] \
+        == ["orders"]
+    assert [r[0] for r in ch.query_ch(
+        "SHOW TABLES LIKE 'custome_'").collect()] == ["customer"]
+    assert [r[0] for r in ch.query_ch(
+        "SHOW DATABASES LIKE 'def%'").collect()] == ["default"]

@@ -851,3 +851,76 @@ def resize_images(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, schema=RESIZE_SCHEMA)
+
+
+# ---- audio spectral features (numpy FFT, no external DSP libs) ----------
+
+AUDIO_SPECTRAL_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("dominant_hz", T.DoubleType(), True),
+        T.StructField("spectral_centroid_hz", T.DoubleType(), True),
+        T.StructField("spectral_rolloff_hz", T.DoubleType(), True),
+        T.StructField("spectral_flatness", T.DoubleType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+
+def _spectral_features(payload: bytes) -> tuple:
+    """Real DSP over a PCM16 WAV: rFFT magnitude spectrum (channel-mean
+    mono mixdown) → dominant frequency, spectral centroid, 85% rolloff,
+    flatness (geometric/arithmetic mean ratio), RMS."""
+    import numpy as np
+
+    n_frames, n_ch, rate, samples = decode_wav(payload)
+    x = np.asarray(samples, dtype=np.float64).reshape(-1, n_ch).mean(axis=1)
+    x = x / 32768.0
+    rms = float(np.sqrt(np.mean(x * x))) if len(x) else 0.0
+    mag = np.abs(np.fft.rfft(x))
+    freqs = np.fft.rfftfreq(len(x), d=1.0 / rate)
+    if len(mag) > 1:
+        mag = mag[1:]  # drop DC for peak/centroid
+        freqs = freqs[1:]
+    power = mag * mag
+    tot = float(power.sum())
+    if tot <= 0:
+        return n_frames, rate, 0.0, 0.0, 0.0, 1.0, rms
+    dominant = float(freqs[int(np.argmax(power))])
+    centroid = float((freqs * power).sum() / tot)
+    cum = np.cumsum(power)
+    rolloff = float(freqs[int(np.searchsorted(cum, 0.85 * tot))])
+    flat = float(
+        np.exp(np.mean(np.log(mag + 1e-12))) / (np.mean(mag) + 1e-12)
+    )
+    return n_frames, rate, dominant, centroid, rolloff, flat, rms
+
+
+def audio_spectral_features(
+    df: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "wav",
+) -> DataFrame:
+    """Spectral feature extraction over a WAV payload column — the
+    audio analogue of decode_features: one Arrow-batched mapInPandas
+    stage, undecodable payloads yield NULL features, no shuffle."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in AUDIO_SPECTRAL_SCHEMA.fields}
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                rows["doc_id"].append(int(doc_id))
+                try:
+                    vals = _spectral_features(bytes(payload))
+                except Exception:
+                    vals = (None,) * 7
+                for f, v in zip(
+                    list(AUDIO_SPECTRAL_SCHEMA.fieldNames())[1:], vals
+                ):
+                    rows[f].append(v)
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=AUDIO_SPECTRAL_SCHEMA)

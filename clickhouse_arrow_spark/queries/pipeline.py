@@ -3921,3 +3921,55 @@ def q_multimodal_resize_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "dims_correct boolean, constant_preserved boolean, "
         "dedup_stable boolean, mixed_mime_null_skip boolean",
     )
+
+
+@register(
+    "multimodal_audio_gate",
+    """
+    SELECT TRUE AS dominant_exact, TRUE AS centroid_matches,
+           TRUE AS flatness_orders, TRUE AS rms_physical,
+           TRUE AS null_skip
+    """,
+    doc="Audio spectral-feature gate (operators/multimodal."
+    "audio_spectral_features): real DSP — rFFT over the PCM16 WAV "
+    "codec, no external audio libs. A synthesized 440 Hz tone's "
+    "dominant bin is exactly 440; its centroid matches; spectral "
+    "flatness separates tone (~0) from pseudo-noise (near 1); RMS "
+    "equals amplitude/sqrt(2) within 1e-3; undecodable payloads yield "
+    "NULL features without failing the Arrow batch. One mapInPandas "
+    "stage, no shuffle.",
+    tags=("multimodal", "audio", "dsp", "gate"),
+)
+def q_multimodal_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import math
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    def tone(hz, n=16000, rate=16000, amp=20000):
+        return mm.encode_wav(
+            [int(amp * math.sin(2 * math.pi * hz * i / rate))
+             for i in range(n)], 1, rate,
+        )
+
+    noise = mm.encode_wav(
+        [((i * 2654435761) % 40000) - 20000 for i in range(4096)], 1, 16000
+    )
+    df = spark.createDataFrame(
+        [(1, tone(440)), (2, noise), (3, b"junk")],
+        "doc_id BIGINT, wav BINARY",
+    )
+    rows = {r["doc_id"]: r for r in
+            mm.audio_spectral_features(df).collect()}
+    dominant = rows[1]["dominant_hz"] == 440.0
+    centroid = abs(rows[1]["spectral_centroid_hz"] - 440.0) < 1.0
+    flat = (rows[1]["spectral_flatness"] < 0.05
+            < rows[2]["spectral_flatness"])
+    rms = abs(rows[1]["rms"] - 20000 / 32768 / math.sqrt(2)) < 1e-3
+    nullskip = rows[3]["dominant_hz"] is None
+    return spark.createDataFrame(
+        [(bool(dominant), bool(centroid), bool(flat), bool(rms),
+          bool(nullskip))],
+        "dominant_exact boolean, centroid_matches boolean, "
+        "flatness_orders boolean, rms_physical boolean, "
+        "null_skip boolean",
+    )

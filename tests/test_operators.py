@@ -1583,3 +1583,51 @@ def test_resize_skips_undecodable_mimes(spark):
 
     with _pt.raises(ValueError, match="dims"):
         mm.resize_images(df, 0, 4)
+
+
+def test_audio_spectral_features_pure_tone(spark):
+    import math
+
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    def tone(hz, rate=16000, n=16000, amp=20000):
+        return mm.encode_wav(
+            [int(amp * math.sin(2 * math.pi * hz * i / rate))
+             for i in range(n)], 1, rate,
+        )
+
+    df = spark.createDataFrame(
+        [(1, tone(440)), (2, tone(1200)), (3, b"not a wav")],
+        "doc_id BIGINT, wav BINARY",
+    )
+    rows = {r["doc_id"]: r for r in
+            mm.audio_spectral_features(df).collect()}
+    assert rows[1]["dominant_hz"] == 440.0
+    assert rows[2]["dominant_hz"] == 1200.0
+    # pure tones: centroid == dominant; near-zero flatness; real RMS
+    assert abs(rows[1]["spectral_centroid_hz"] - 440.0) < 1.0
+    assert rows[1]["spectral_flatness"] < 0.01
+    assert abs(rows[1]["rms"] - 20000 / 32768 / math.sqrt(2)) < 1e-3
+    # undecodable payload -> NULL features, batch survives
+    assert rows[3]["dominant_hz"] is None and rows[3]["n_frames"] is None
+
+
+def test_audio_spectral_flatness_separates_noise(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    # deterministic pseudo-noise: near-flat spectrum
+    noise = mm.encode_wav(
+        [((i * 2654435761) % 40000) - 20000 for i in range(4096)], 1, 16000
+    )
+    import math
+
+    tone = mm.encode_wav(
+        [int(20000 * math.sin(2 * math.pi * 500 * i / 16000))
+         for i in range(4096)], 1, 16000,
+    )
+    df = spark.createDataFrame(
+        [(1, tone), (2, noise)], "doc_id BIGINT, wav BINARY"
+    )
+    rows = {r["doc_id"]: r for r in
+            mm.audio_spectral_features(df).collect()}
+    assert rows[1]["spectral_flatness"] < 0.05 < rows[2]["spectral_flatness"]

@@ -5,11 +5,15 @@ The Spark-side contract is real and tested — schema, partitioning, UDF
 signatures, Arrow batch shapes. One REAL codec flows through the plan:
 binary PPM (P6), parsed stdlib-only by :func:`decode_ppm` and oracle-
 gated on exact per-channel pixel sums (corpus `binary_decode_gate`).
-Formats needing external libraries (JPEG/audio/video — not in this
-container) stay stubbed behind `DECODERS`: each stub is deterministic so
-tests can assert end-to-end behavior, and raises `NotImplementedError`
-through :func:`require_real_decoder` when a caller demands real
-decoding.
+REAL codecs now cover every modality stdlib/numpy can parse: images
+(PPM, BMP, PNG with full filter support), audio (RIFF/WAVE PCM16 +
+numpy-FFT spectral features), and video (an uncompressed-AVI RIFF
+subset with DIB frames — encode/decode/frame-sample/near-dup). Formats
+needing external libraries (JPEG, compressed video — not in this
+container) stay stubbed behind `DECODERS`: each stub is deterministic
+so tests can assert end-to-end behavior, and raises
+`NotImplementedError` through :func:`require_real_decoder` when a
+caller demands real decoding.
 
 Schema model (SURVEY §1.3 String/Binary row; FixedString -> binary):
 
@@ -924,3 +928,194 @@ def audio_spectral_features(
             yield pd.DataFrame(rows)
 
     return df.mapInPandas(gen, schema=AUDIO_SPECTRAL_SCHEMA)
+
+
+# ---- video: real uncompressed-AVI subset (RIFF, stdlib-only) -------------
+
+AVI_MIME = "video/x-msvideo"
+
+
+def encode_avi(
+    frames_rgb: list[bytes], width: int, height: int, fps: int = 10
+) -> bytes:
+    """Minimal REAL AVI writer: RIFF('AVI ') with hdrl (avih + one
+    video strl, BI_RGB 24-bit DIB) and a movi LIST of '00db'
+    uncompressed frames (bottom-up BGR rows, 4-byte padded — the DIB
+    convention). Parsed back by :func:`decode_avi`; the container layout
+    follows the published AVI RIFF spec, stdlib struct only."""
+    import struct
+
+    row_stride = (width * 3 + 3) & ~3
+    frame_size = row_stride * height
+
+    def dib(rgb: bytes) -> bytes:
+        rows = bytearray()
+        pad = b"\x00" * (row_stride - width * 3)
+        for row in range(height - 1, -1, -1):  # bottom-up
+            for col in range(width):
+                i = (row * width + col) * 3
+                r, g, b = rgb[i : i + 3]
+                rows += bytes((b, g, r))
+            rows += pad
+        return bytes(rows)
+
+    n = len(frames_rgb)
+    avih = struct.pack(
+        "<4sI10I", b"avih", 56,
+        1_000_000 // max(fps, 1),          # microseconds per frame
+        frame_size * fps, 0, 0, n, 0, 1, frame_size, width, height,
+    ) + b"\x00" * 16                        # 4 reserved dwords
+    strh = struct.pack(
+        "<4sI4s4sIHHIIIIIIIIhhhh", b"strh", 56, b"vids", b"DIB ",
+        0, 0, 0, 0, 1, fps, 0, n, frame_size, 0, 0, 0, 0, width, height,
+    )
+    strf = struct.pack(
+        "<4sIIiiHHIIiiII", b"strf", 40, 40, width, height, 1, 24, 0,
+        frame_size, 2835, 2835, 0, 0,
+    )
+    strl = b"LIST" + struct.pack("<I", 4 + len(strh) + len(strf)) + \
+        b"strl" + strh + strf
+    hdrl = b"LIST" + struct.pack("<I", 4 + len(avih) + len(strl)) + \
+        b"hdrl" + avih + strl
+    movi_body = b"".join(
+        struct.pack("<4sI", b"00db", frame_size) + dib(f)
+        for f in frames_rgb
+    )
+    movi = b"LIST" + struct.pack("<I", 4 + len(movi_body)) + \
+        b"movi" + movi_body
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes):
+    """Parse the AVI subset :func:`encode_avi` writes (and any
+    uncompressed-DIB AVI with the same layout). Returns
+    (width, height, fps, frames) with frames as top-down RGB bytes."""
+    import struct
+
+    if payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise ValueError("not a RIFF/AVI payload")
+
+    width = height = fps = None
+    frames: list[bytes] = []
+
+    def walk(pos: int, end: int) -> None:
+        nonlocal width, height, fps
+        while pos + 8 <= end:
+            cid, size = struct.unpack_from("<4sI", payload, pos)
+            body_start = pos + 8
+            if cid == b"LIST":
+                walk(body_start + 4, body_start + size)
+            elif cid == b"avih":
+                us_per_frame = struct.unpack_from("<I", payload, body_start)[0]
+                fps = round(1_000_000 / us_per_frame) if us_per_frame else 0
+                width, height = struct.unpack_from(
+                    "<II", payload, body_start + 32
+                )
+            elif cid == b"00db":
+                frames.append(payload[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(12, 8 + struct.unpack_from("<I", payload, 4)[0])
+    if width is None or not frames:
+        raise ValueError("missing avih/frame chunks")
+    row_stride = (width * 3 + 3) & ~3
+    out = []
+    for dib_frame in frames:
+        rgb = bytearray(width * height * 3)
+        for row in range(height):
+            base = (height - 1 - row) * row_stride  # bottom-up -> top-down
+            for col in range(width):
+                b, g, r = dib_frame[base + col * 3 : base + col * 3 + 3]
+                dst = (row * width + col) * 3
+                rgb[dst : dst + 3] = bytes((r, g, b))
+        out.append(bytes(rgb))
+    return width, height, fps, out
+
+
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), False),
+        T.StructField("frame_idx", T.IntegerType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("media", MEDIA_META, True),
+    ]
+)
+
+
+def frame_sample(
+    df: DataFrame,
+    every_n: int = 10,
+    *,
+    id_col: str = "doc_id",
+    payload_col: str = "video",
+) -> DataFrame:
+    """REAL frame sampling: decode each AVI payload, keep every n-th
+    frame, re-emit each as a BMP image row with the standard media
+    struct — so the image tier (resize_images, image_dhash, dedup)
+    consumes video frames unchanged. Undecodable payloads yield one
+    NULL row. Arrow-batched mapInPandas; frames of one video stay in
+    its partition, no shuffle."""
+    import hashlib
+
+    if every_n < 1:
+        raise ValueError("frame_sample: every_n must be >= 1")
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = {f.name: [] for f in FRAME_SCHEMA.fields}
+
+            def emit(doc_id, idx, w, h, bmp):
+                rows["doc_id"].append(int(doc_id))
+                rows["frame_idx"].append(idx)
+                rows["width"].append(w)
+                rows["height"].append(h)
+                rows["payload"].append(bmp)
+                rows["media"].append(
+                    None if bmp is None else
+                    (BMP_MIME, len(bmp), hashlib.sha256(bmp).hexdigest())
+                )
+
+            for doc_id, payload in zip(pdf[id_col], pdf[payload_col]):
+                try:
+                    w, h, _fps, frames = decode_avi(bytes(payload))
+                except Exception:
+                    emit(doc_id, None, None, None, None)
+                    continue
+                for idx in range(0, len(frames), every_n):
+                    emit(doc_id, idx, w, h, encode_bmp(w, h, frames[idx]))
+            yield pd.DataFrame(rows)
+
+    return df.mapInPandas(gen, schema=FRAME_SCHEMA)
+
+
+def video_neardup(
+    videos: DataFrame,
+    *,
+    every_n: int = 5,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "video",
+) -> DataFrame:
+    """Near-duplicate VIDEO pairs: sample frames, dHash each through
+    the image tier, then pair videos sharing >= `min_shared` exact
+    frame hashes. The join key is the 64-bit frame hash — videos
+    never compare all-pairs; the shuffle carries (hash, video_id)
+    rows. Returns (a_id, b_id, shared_frames)."""
+    frames = frame_sample(
+        videos, every_n, id_col=id_col, payload_col=payload_col
+    ).where(F.col("payload").isNotNull())
+    hashes = image_dhash(
+        frames.select(id_col, "payload", "media")
+    ).where(F.col("dhash").isNotNull()).dropDuplicates([id_col, "dhash"])
+    a = hashes.select(F.col(id_col).alias("a_id"), "dhash")
+    b = hashes.select(F.col(id_col).alias("b_id"), "dhash")
+    return (
+        a.join(b, "dhash")
+        .where(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.count(F.lit(1)).alias("shared_frames"))
+        .where(F.col("shared_frames") >= min_shared)
+    )

@@ -3973,3 +3973,62 @@ def q_multimodal_audio_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "flatness_orders boolean, rms_physical boolean, "
         "null_skip boolean",
     )
+
+
+@register(
+    "multimodal_video_gate",
+    """
+    SELECT TRUE AS container_round_trip, TRUE AS sampled_frames_exact,
+           TRUE AS image_tier_composes, TRUE AS neardup_pairs_exact,
+           TRUE AS junk_null_skip
+    """,
+    doc="Video gate (operators/multimodal.encode_avi/decode_avi/"
+    "frame_sample/video_neardup): a REAL uncompressed-AVI subset "
+    "(RIFF hdrl/movi, BI_RGB DIB frames, stdlib struct only) "
+    "round-trips bit-exactly; every-n frame sampling re-emits frames "
+    "as BMP rows the image tier consumes unchanged (dHash per frame); "
+    "videos sharing frames pair via the frame-hash join (never "
+    "all-pairs — the shuffle key is the 64-bit dHash); junk payloads "
+    "yield one NULL row instead of failing the batch.",
+    tags=("multimodal", "video", "gate"),
+)
+def q_multimodal_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    def mk(seed, n, w=6, h=4):
+        return [
+            bytes([(seed * 31 + i * 37 + k) % 256 for k in range(w * h * 3)])
+            for i in range(n)
+        ]
+
+    base = mk(7, 6)
+    avi = mm.encode_avi(base, 6, 4, fps=5)
+    w, h, fps, out = mm.decode_avi(avi)
+    round_trip = (w, h, fps) == (6, 4, 5) and out == base
+
+    near = mm.encode_avi(base[:4] + mk(9, 2), 6, 4)
+    far = mm.encode_avi(mk(5, 6), 6, 4)
+    df = spark.createDataFrame(
+        [(1, avi), (2, near), (3, far), (4, b"junk")],
+        "doc_id BIGINT, video BINARY",
+    )
+    rows = mm.frame_sample(df, every_n=3).collect()
+    s1 = sorted((r for r in rows if r["doc_id"] == 1),
+                key=lambda r: r["frame_idx"])
+    sampled_ok = [r["frame_idx"] for r in s1] == [0, 3]
+    composes = all(
+        mm.decode_bmp(bytes(r["payload"]))[2] == base[r["frame_idx"]]
+        for r in s1
+    )
+    pairs = mm.video_neardup(df, every_n=1, min_shared=2).collect()
+    pairs_ok = [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)] and \
+        pairs[0]["shared_frames"] >= 2
+    junk = [r for r in rows if r["doc_id"] == 4]
+    null_skip = len(junk) == 1 and junk[0]["payload"] is None
+    return spark.createDataFrame(
+        [(bool(round_trip), bool(sampled_ok), bool(composes),
+          bool(pairs_ok), bool(null_skip))],
+        "container_round_trip boolean, sampled_frames_exact boolean, "
+        "image_tier_composes boolean, neardup_pairs_exact boolean, "
+        "junk_null_skip boolean",
+    )

@@ -1631,3 +1631,47 @@ def test_audio_spectral_flatness_separates_noise(spark):
     rows = {r["doc_id"]: r for r in
             mm.audio_spectral_features(df).collect()}
     assert rows[1]["spectral_flatness"] < 0.05 < rows[2]["spectral_flatness"]
+
+
+def _avi_frames(seed, n, w=6, h=4):
+    return [
+        bytes([(seed * 31 + i * 37 + k) % 256 for k in range(w * h * 3)])
+        for i in range(n)
+    ]
+
+
+def test_avi_round_trip_and_frame_sample(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    frames = _avi_frames(1, 9)
+    avi = mm.encode_avi(frames, 6, 4, fps=5)
+    w, h, fps, out = mm.decode_avi(avi)
+    assert (w, h, fps) == (6, 4, 5) and out == frames
+
+    df = spark.createDataFrame(
+        [(1, avi), (2, b"junk")], "doc_id BIGINT, video BINARY"
+    )
+    rows = mm.frame_sample(df, every_n=3).collect()
+    sampled = [r for r in rows if r["doc_id"] == 1]
+    assert [r["frame_idx"] for r in sorted(sampled, key=lambda r: r["frame_idx"])] == [0, 3, 6]
+    for r in sampled:
+        fw, fh, rgb = mm.decode_bmp(bytes(r["payload"]))
+        assert (fw, fh) == (6, 4) and rgb == frames[r["frame_idx"]]
+        assert r["media"]["mime"] == mm.BMP_MIME
+    junk = [r for r in rows if r["doc_id"] == 2]
+    assert len(junk) == 1 and junk[0]["payload"] is None
+
+
+def test_video_neardup_shared_frames(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    base = _avi_frames(7, 6)
+    a = mm.encode_avi(base, 6, 4)                       # original
+    b = mm.encode_avi(base[:4] + _avi_frames(9, 2), 6, 4)  # shares 4
+    c = mm.encode_avi(_avi_frames(5, 6), 6, 4)          # distinct
+    df = spark.createDataFrame(
+        [(1, a), (2, b), (3, c)], "doc_id BIGINT, video BINARY"
+    )
+    pairs = mm.video_neardup(df, every_n=1, min_shared=2).collect()
+    assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
+    assert pairs[0]["shared_frames"] >= 2

@@ -4032,3 +4032,73 @@ def q_multimodal_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "image_tier_composes boolean, neardup_pairs_exact boolean, "
         "junk_null_skip boolean",
     )
+
+
+@register(
+    "vector_pca_ivf_gate",
+    """
+    SELECT TRUE AS recall_ok, TRUE AS k_complete, TRUE AS variance_kept
+    """,
+    doc="End-to-end reduced-vector ANN (operators/projection + "
+    "operators/similarity composed): PCA-reduce the embeddings to 16 "
+    "whitened dims, build IVF(nlist=16, nprobe=4) on the REDUCED "
+    "column, and check recall@10 vs brute force in the same reduced "
+    "space >= 0.6 per query, exactly k results per query, and that "
+    "the kept 16 components hold at least their proportional share "
+    "of total variance (a strict invariant of correctly descending "
+    "eigenvalues; the synthetic embeddings are near-isotropic, so 60% "
+    "thresholds would test the DATA, not the operator) — the "
+    "SemDeDup/FAISS-PCAR preprocessing recipe as one lazy composition "
+    "(reduction adds zero shuffles; fit is one pass).",
+    tags=("similarity", "pca", "ann", "gate"),
+)
+def q_vector_pca_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators.projection import (
+        pca_fit,
+        pca_project,
+    )
+
+    emb = spark.table("embeddings")
+    m = pca_fit(emb, k=16)
+    reduced = pca_project(emb, m, out_col="pca").select(
+        "vec_id", F.col("pca").alias("embedding")
+    ).persist()
+    queries = reduced.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("query_vec"),
+    )
+    exact = similarity.brute_force_topk(reduced, queries, k=10).select(
+        "query_id", "vec_id"
+    )
+    approx = similarity.ivf_topk(
+        reduced, queries, k=10, nlist=16, nprobe=4
+    ).select("query_id", "vec_id")
+    stats = (
+        exact.join(approx, ["query_id", "vec_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .join(
+            approx.groupBy("query_id").agg(
+                F.count(F.lit(1)).alias("n_results")
+            ),
+            "query_id",
+        )
+        .collect()
+    )
+    reduced.unpersist()
+    recall_ok = bool(
+        stats and all(r["n_hits"] / 10.0 >= 0.6 for r in stats)
+    )
+    k_complete = bool(
+        len(stats) == 5 and all(r["n_results"] == 10 for r in stats)
+    )
+    # top-k of a descending eigenvalue list always holds >= k/d of
+    # the trace; equality only if the spectrum is perfectly flat
+    variance_kept = bool(
+        float(m.explained_variance.sum())
+        >= (m.k / m.dim) * m.total_variance * (1 - 1e-9)
+    )
+    return spark.createDataFrame(
+        [(recall_ok, k_complete, variance_kept)],
+        "recall_ok boolean, k_complete boolean, variance_kept boolean",
+    )

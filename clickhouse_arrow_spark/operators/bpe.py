@@ -35,7 +35,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-__all__ = ["BPEModel", "bpe_train", "bpe_encode"]
+__all__ = ["BPEModel", "bpe_train", "bpe_encode", "train_merges"]
 
 #: end-of-word sentinel (classic </w> marker)
 EOW = "</w>"
@@ -82,24 +82,15 @@ def _word_counts(
     return [(r["w"], r["n"]) for r in counts]
 
 
-def bpe_train(
-    docs: DataFrame,
-    *,
-    text_col: str = "text",
-    num_merges: int = 200,
-    max_words: int = 1_000_000,
-) -> BPEModel:
-    """Train `num_merges` BPE merges on the corpus.
-
-    `max_words` caps the driver-held word-frequency table (top-k by
-    count). The tail it drops carries negligible pair mass under any
-    Zipf-ish distribution; raise it if the corpus vocabulary is
-    genuinely flat.
-    """
-    wc = _word_counts(docs, text_col, max_words)
-    if not wc:
-        raise ValueError("bpe_train: empty corpus after normalization")
-
+def train_merges(
+    wc: list[tuple[str, int]], num_merges: int
+) -> tuple[list[tuple[str, str]], list[str]]:
+    """Pure driver-side merge loop over a (word, count) table —
+    IDENTICAL result to scanning the raw token stream, at dictionary
+    cost. Incremental pair-count maintenance; deterministic
+    (count desc, lexicographic pair) tie-break. Returns
+    (merges, alphabet). Exposed pure so the property suite can check
+    it against a naive full-recount reference on arbitrary tables."""
     # symbol sequences per word + global pair counts
     words: list[list[str]] = [list(w) + [EOW] for w, _ in wc]
     freqs = [n for _, n in wc]
@@ -153,6 +144,27 @@ def bpe_train(
         pair_counts.pop(best, None)
         pair_where.pop(best, None)
 
+    return merges, alphabet
+
+
+def bpe_train(
+    docs: DataFrame,
+    *,
+    text_col: str = "text",
+    num_merges: int = 200,
+    max_words: int = 1_000_000,
+) -> BPEModel:
+    """Train `num_merges` BPE merges on the corpus.
+
+    `max_words` caps the driver-held word-frequency table (top-k by
+    count). The tail it drops carries negligible pair mass under any
+    Zipf-ish distribution; raise it if the corpus vocabulary is
+    genuinely flat.
+    """
+    wc = _word_counts(docs, text_col, max_words)
+    if not wc:
+        raise ValueError("bpe_train: empty corpus after normalization")
+    merges, alphabet = train_merges(wc, num_merges)
     vocab = tuple(alphabet) + tuple(a + b for a, b in merges)
     return BPEModel(merges=tuple(merges), vocab=vocab)
 

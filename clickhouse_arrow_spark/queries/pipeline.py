@@ -4102,3 +4102,67 @@ def q_vector_pca_ivf_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(recall_ok, k_complete, variance_kept)],
         "recall_ok boolean, k_complete boolean, variance_kept boolean",
     )
+
+
+@register(
+    "mix_temperature_weights",
+    f"""
+    WITH per AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS docs,
+             CAST(sum({_TOK_SQL}) AS BIGINT) AS tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(sum(tokens) AS BIGINT) AS all_tokens FROM per
+    ), p AS (
+      SELECT source, docs, tokens,
+             tokens / CAST(all_tokens AS DOUBLE) AS share,
+             power(tokens / CAST(all_tokens AS DOUBLE), 0.5) AS ps
+      FROM per CROSS JOIN tot
+    ), z AS (
+      SELECT sum(ps) AS zz FROM p
+    )
+    SELECT source, docs, tokens, round(share, 6) AS share,
+           round(ps / zz, 6) AS temp_share,
+           round((ps / zz) / share, 6) AS resample_weight
+    FROM p CROSS JOIN z
+    ORDER BY source
+    """,
+    doc="Temperature-scaled source mixing (the mT5/XLM-R alpha-"
+    "sampling rule, alpha=0.5): temp_share_i = share_i^a / sum_j "
+    "share_j^a upweights low-resource sources without flattening to "
+    "uniform; resample_weight is the per-source acceptance multiplier "
+    "a sampler applies. Same one-groupBy + scalar-broadcast shape as "
+    "mix_source_weights. Exact oracle.",
+    tags=("sampling", "mixing", "pipeline"),
+)
+def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import text as _t
+
+    tok = _t.token_count(spark.table("documents")).join(
+        spark.table("documents").select("doc_id", "source"), "doc_id"
+    )
+    per = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("docs"),
+        F.sum(F.col("bpe_tokens").cast("long")).alias("tokens"),
+    )
+    tot = per.agg(F.sum("tokens").alias("all_tokens"))
+    p = per.crossJoin(F.broadcast(tot)).select(
+        "source", "docs", "tokens",
+        (F.col("tokens") / F.col("all_tokens").cast("double")).alias("share"),
+        F.pow(
+            F.col("tokens") / F.col("all_tokens").cast("double"), F.lit(0.5)
+        ).alias("ps"),
+    )
+    z = p.agg(F.sum("ps").alias("zz"))
+    return (
+        p.crossJoin(F.broadcast(z))
+        .select(
+            "source", "docs", "tokens",
+            F.round("share", 6).alias("share"),
+            F.round(F.col("ps") / F.col("zz"), 6).alias("temp_share"),
+            F.round((F.col("ps") / F.col("zz")) / F.col("share"), 6).alias(
+                "resample_weight"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -4175,12 +4175,21 @@ def _rewrite_order_nulls(sql: str) -> str:
         def fix(item: str) -> str:
             body = item.rstrip()
             pad = item[len(body):]
+            # a trailing `-- comment` would swallow the appended spec;
+            # split it off (string-literal-safe via the scan mask)
+            comment = ""
+            imask = _scan_mask(body)
+            for k in range(len(body) - 1):
+                if body[k : k + 2] == "--" and not imask[k][1]:
+                    comment = " " + body[k:]
+                    body = body[:k].rstrip()
+                    break
             if not body or _NULLS_SPEC_RE.search(body) or \
                     re.search(r"(?i)\bWITH\s+FILL\b|\bINTERPOLATE\b", body):
                 return item
             if _DESC_TAIL_RE.search(body):
-                return f"{body} NULLS FIRST{pad}"
-            return f"{body} NULLS LAST{pad}"
+                return f"{body} NULLS FIRST{comment}{pad}"
+            return f"{body} NULLS LAST{comment}{pad}"
 
         new_clause = ",".join(fix(it) for it in items)
         sql = f"{sql[: m.end()]}{new_clause}{sql[end:]}"

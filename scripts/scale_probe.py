@@ -277,6 +277,16 @@ def main() -> int:
 
     bench("dhash_dedup_docs", dhash_pipeline)
 
+    def resize_pipeline():
+        imgs = docs.select(
+            "doc_id", (F.col("doc_id") % 5000).alias("img_key")
+        )
+        return mm.resize_images(
+            mm.attach_ppm_payload(imgs, key_col="img_key"), 8, 8
+        )
+
+    bench("resize_images_docs", resize_pipeline)
+
     # -- streaming: stateful sessionization throughput at 1M events ------
     import shutil as _sh
 

@@ -296,3 +296,12 @@ def test_show_tables_like_sql_patterns(ch):
         "SHOW TABLES LIKE 'custome_'").collect()] == ["customer"]
     assert [r[0] for r in ch.query_ch(
         "SHOW DATABASES LIKE 'def%'").collect()] == ["default"]
+
+
+def test_order_nulls_respects_trailing_comment():
+    from clickhouse_arrow_spark.dialect import translate_ch_sql
+
+    assert translate_ch_sql("SELECT x FROM t ORDER BY x -- note") == \
+        "SELECT x FROM t ORDER BY x NULLS LAST -- note"
+    assert translate_ch_sql("SELECT x FROM t ORDER BY concat(x, '--')") == \
+        "SELECT x FROM t ORDER BY concat(x, '--') NULLS LAST"

@@ -1400,6 +1400,51 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "visibleWidth":
         return lambda a: f"char_length(cast({a[0]} AS STRING))"
+    if name == "tupleNames":
+        # field names of any struct expression, via JSON introspection
+        # (works on columns — no textual type analysis needed)
+        return lambda a: f"json_object_keys(to_json({a[0]}))"
+    if name == "tupleToNameValuePairs":
+        def t2nvp(a: Args) -> str:
+            raise UntranslatableFunctionError(
+                "tupleToNameValuePairs returns typed values CH-side; "
+                "the JSON route renders them as strings — spell it "
+                "explicitly if that is acceptable: "
+                f"transform(map_entries(from_json(to_json({a[0]}), "
+                "'map<string,string>')), e -> struct(e.key, e.value))"
+            )
+
+        return t2nvp
+    if name == "toDecimalString":
+        # fixed n-decimal rendering (no thousands separators)
+        return (
+            lambda a: f"cast(cast({a[0]} AS DECIMAL(38, {a[1]})) AS STRING)"
+        )
+    if name == "toBool":
+        return lambda a: f"cast({a[0]} AS BOOLEAN)"
+    if name == "defaultValueOfTypeName":
+        def default_of(a: Args) -> str:
+            t = a[0].strip()
+            if not (t.startswith("'") and t.endswith("'")):
+                raise UntranslatableFunctionError(
+                    "defaultValueOfTypeName needs a literal type name"
+                )
+            from clickhouse_arrow_spark.dictionary import _type_default
+            from clickhouse_arrow_spark.types import ch_type_to_spark
+
+            spark_t, nullable = ch_type_to_spark(t[1:-1])
+            if nullable:  # Nullable(T) defaults to NULL in CH
+                return f"cast(NULL AS {spark_t.simpleString()})"
+            return _type_default(spark_t.simpleString())
+
+        return default_of
+    if name == "indexHint":
+        # CH: the argument drives INDEX granule selection only; the
+        # result set is a superset and the hint itself evaluates to 1.
+        # Spark owns pushdown — the faithful translation is TRUE (the
+        # full superset), never the condition itself (which would
+        # FILTER, a different result than CH's contract).
+        return lambda a: "true"
     if name == "untuple":
         # expand a tuple/struct expression into separate columns:
         # inline() generates one row per array element with one column

@@ -305,3 +305,38 @@ def test_order_nulls_respects_trailing_comment():
         "SELECT x FROM t ORDER BY x NULLS LAST -- note"
     assert translate_ch_sql("SELECT x FROM t ORDER BY concat(x, '--')") == \
         "SELECT x FROM t ORDER BY concat(x, '--') NULLS LAST"
+
+
+def test_wave16_type_utility_functions(ch):
+    r = one(
+        ch,
+        "SELECT tupleNames(CAST((1, 2) AS Tuple(a Int64, b Int64))) AS n, "
+        "toDecimalString(3.14159, 3) AS ds, "
+        "toBool(1) AS b1, toBool('true') AS b2, "
+        "defaultValueOfTypeName('Int64') AS d0, "
+        "defaultValueOfTypeName('String') AS s0, "
+        "defaultValueOfTypeName('Nullable(Int64)') AS n0",
+    )
+    assert r["n"] == ["a", "b"] and r["ds"] == "3.142"
+    assert r["b1"] is True and r["b2"] is True
+    assert (r["d0"], r["s0"], r["n0"]) == (0, "", None)
+    # names work on real columns too (JSON introspection, no schema
+    # analysis pass)
+    r = one(
+        ch,
+        "SELECT tupleNames(tuple(o_orderkey, o_orderstatus)) AS n "
+        "FROM orders LIMIT 1",
+    )
+    assert r["n"] == ["o_orderkey", "o_orderstatus"]
+
+
+def test_index_hint_is_superset_contract(ch):
+    # CH: indexHint drives granule selection only; result is a
+    # superset — here the full table, never a filter
+    full = one(ch, "SELECT count() AS n FROM orders")["n"]
+    hinted = one(
+        ch, "SELECT count() AS n FROM orders WHERE indexHint(o_orderkey > 100)"
+    )["n"]
+    assert hinted == full
+    with pytest.raises(UntranslatableFunctionError, match="typed values"):
+        ch.query_ch("SELECT tupleToNameValuePairs((1, 2)) AS p")

@@ -926,6 +926,27 @@ class Client:
                 stmt += f" DEFAULT {translate_ch_sql(md.group(2).strip())}"
             self.execute(stmt, qid)
             return None
+        if _re.match(r"(?is)^\s*UNDROP\s+TABLE\b", ch_sql):
+            raise QueryError(
+                "UNDROP TABLE: drops here are immediate (no "
+                "database_atomic_delay_before_drop window) — restore "
+                "from the parquet files if they were EXTERNAL, or "
+                "re-ingest"
+            )
+        m = _re.match(
+            r"(?is)^\s*TRUNCATE\s+ALL\s+TABLES\s+FROM\s+(?:IF\s+EXISTS\s+)?"
+            r"(`?\w+`?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            db = m.group(1).strip("`")
+            for t in self.spark.catalog.listTables(db):
+                # listTables also returns session temp views — skip
+                # anything not a real table OF THIS database
+                if t.tableType == "VIEW" or t.isTemporary or not t.database:
+                    continue
+                self.spark.sql(f"TRUNCATE TABLE `{t.database}`.`{t.name}`")
+            return None
         if _re.match(r"(?is)^\s*(DETACH|ATTACH)\s+TABLE\b", ch_sql):
             raise QueryError(
                 "DETACH/ATTACH TABLE: Spark's catalog has no detached "

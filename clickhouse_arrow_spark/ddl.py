@@ -725,14 +725,58 @@ def try_mutation(spark: SparkSession, ch_sql: str) -> int | None:
         out = translate_ch_sql(f"SELECT {expr}")
         return out[len("SELECT "):]
 
+    def cond(expr: str) -> str:
+        # CH treats integers as booleans in condition position
+        out = tr(expr)
+        return f"({out} <> 0)" if re.fullmatch(r"\d+", out.strip()) else out
+
+    # `... IN PARTITION <pid> WHERE ...` scopes the mutation to one
+    # partition: fold the partition predicate into the WHERE. The
+    # degenerate `tuple()` pid (unpartitioned tables) is a no-op.
+    pm = re.search(
+        r"(?is)\sIN\s+PARTITION\s+(\([^)]*\)|'[^']*'|\S+)\s+(?=WHERE\b)",
+        ch_sql,
+    )
+    part_pred = None
+    if pm:
+        pid = pm.group(1).strip()
+        ch_sql = ch_sql[: pm.start()] + " " + ch_sql[pm.end():]
+        if pid not in ("tuple()", "()"):
+            tbl_m = re.match(
+                r"(?is)^\s*ALTER\s+TABLE\s+([\w.`]+)", ch_sql
+            )
+            expr = None
+            if tbl_m:
+                expr = _table_props(spark, tbl_m.group(1)).get(
+                    "clickhouse_arrow_spark.setting.partition_by_expression"
+                )
+                if expr is None:
+                    pcols = [
+                        c.name
+                        for c in spark.catalog.listColumns(tbl_m.group(1))
+                        if c.isPartition
+                    ]
+                    expr = pcols[0] if pcols else None
+            if expr is None:
+                raise SchemaError(
+                    "IN PARTITION: table declares no PARTITION BY"
+                )
+            part_pred = f"(({tr(expr)}) = {pid})"
+
+    def scoped(where: str) -> str:
+        w = cond(where)
+        return f"({part_pred} AND {w})" if part_pred else w
+
     m = _ALTER_DELETE_RE.match(ch_sql) or _LIGHT_DELETE_RE.match(ch_sql)
     if m:
-        n = mutate_delete(spark, m.group(1), tr(m.group(2)))
+        n = mutate_delete(spark, m.group(1), scoped(m.group(2)))
         _rebuild_projections_after_mutation(spark, m.group(1))
         return n
     m = _ALTER_UPDATE_RE.match(ch_sql)
     if m:
-        n = mutate_update(spark, m.group(1), tr(m.group(2)), tr(m.group(3)))
+        n = mutate_update(
+            spark, m.group(1), tr(m.group(2)), scoped(m.group(3))
+        )
         _rebuild_projections_after_mutation(spark, m.group(1))
         return n
     return None
@@ -1189,6 +1233,34 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     def tr(expr: str) -> str:
         return translate_ch_sql(f"SELECT {expr}")[len("SELECT "):]
 
+    mm = re.match(r"(?is)^MATERIALIZE\s+COLUMN\s+(`?\w+`?)\s*$", action)
+    if mm:
+        # recompute a MATERIALIZED column for EXISTING rows from its
+        # declared expression (inserts already compute it; this is the
+        # CH backfill verb)
+        col = mm.group(1).strip("`")
+        import json as _json
+
+        mat = {}
+        for r in spark.sql(f"SHOW TBLPROPERTIES {table}").collect():
+            if r["key"] == "clickhouse_arrow_spark.materialized":
+                mat = _json.loads(r["value"].replace("''", "'"))
+        if col not in mat:
+            raise SchemaError(
+                f"MATERIALIZE COLUMN: {col!r} has no MATERIALIZED "
+                f"expression on {table}"
+            )
+        mutate_update(spark, table, f"`{col}` = {tr(mat[col])}", "true")
+        _rebuild_projections_after_mutation(spark, table)
+        return True
+    mm = re.match(r"(?is)^(DETACH|ATTACH)\s+PARTITION\b", action)
+    if mm:
+        raise SchemaError(
+            f"{mm.group(1).upper()} PARTITION: parquet tables have no "
+            "detached-parts area — DROP PARTITION removes, INSERT "
+            "re-adds; to set data aside, CREATE TABLE ... AS SELECT "
+            "the partition before dropping it"
+        )
     mm = re.match(r"(?is)^MODIFY\s+COMMENT\s+'((?:[^']|'')*)'\s*$", action)
     if mm:
         spark.sql(

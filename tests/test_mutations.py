@@ -119,3 +119,86 @@ def test_mutation_cleans_staging_dir(client, spark, mut_table):
     leftovers = [d for d in os.listdir(parent) if "_staging_" in d]
     assert leftovers == []
     assert {r["k"] for r in spark.table(mut_table).collect()} == {2, 3, 4}
+
+
+def test_materialize_column_backfills(client, spark):
+    client.execute_ch("DROP TABLE IF EXISTS default.mut_mat")
+    client.execute_ch(
+        "CREATE TABLE default.mut_mat (k Int64, v Float64, "
+        "scaled Float64 MATERIALIZED v * 10) "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    client.execute_ch(
+        "INSERT INTO default.mut_mat (k, v) VALUES (1, 2.0), (2, 3.0)"
+    )
+    client.execute_ch("ALTER TABLE default.mut_mat CLEAR COLUMN scaled")
+    assert all(
+        r.scaled is None
+        for r in spark.table("default.mut_mat").collect()
+    )
+    client.execute_ch("ALTER TABLE default.mut_mat MATERIALIZE COLUMN scaled")
+    got = {r.k: r.scaled for r in spark.table("default.mut_mat").collect()}
+    assert got == {1: 20.0, 2: 30.0}
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    with _pt.raises(SchemaError, match="no MATERIALIZED"):
+        client.execute_ch("ALTER TABLE default.mut_mat MATERIALIZE COLUMN v")
+    client.execute_ch("DROP TABLE default.mut_mat")
+
+
+def test_mutation_in_partition_scope(client, spark):
+    client.execute_ch("DROP TABLE IF EXISTS default.mut_part")
+    client.execute_ch(
+        "CREATE TABLE default.mut_part (k Int64, v Float64) "
+        "ENGINE = MergeTree() ORDER BY k PARTITION BY k % 2"
+    )
+    client.execute_ch(
+        "INSERT INTO default.mut_part VALUES (1, 1.0), (2, 2.0), (3, 3.0)"
+    )
+    # integer condition (CH boolean) + partition scoping together
+    client.execute_ch(
+        "ALTER TABLE default.mut_part UPDATE v = v + 100 "
+        "IN PARTITION 1 WHERE 1"
+    )
+    got = {r.k: r.v for r in spark.table("default.mut_part").collect()}
+    assert got == {1: 101.0, 2: 2.0, 3: 103.0}
+    client.execute_ch(
+        "ALTER TABLE default.mut_part DELETE IN PARTITION 0 WHERE v > 0"
+    )
+    assert {r.k for r in spark.table("default.mut_part").collect()} == {1, 3}
+    client.execute_ch("DROP TABLE default.mut_part")
+
+
+def test_detach_partition_and_undrop_guided(client):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError, SchemaError
+
+    client.execute_ch("DROP TABLE IF EXISTS default.mut_det")
+    client.execute_ch(
+        "CREATE TABLE default.mut_det (k Int64) "
+        "ENGINE = MergeTree() ORDER BY k"
+    )
+    with _pt.raises(SchemaError, match="DROP PARTITION removes"):
+        client.execute_ch("ALTER TABLE default.mut_det DETACH PARTITION 1")
+    with _pt.raises(QueryError, match="immediate"):
+        client.execute_ch("UNDROP TABLE default.mut_det")
+    client.execute_ch("DROP TABLE default.mut_det")
+
+
+def test_truncate_all_tables(client, spark):
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS truncdb")
+    client.execute_ch("DROP TABLE IF EXISTS truncdb.a")
+    client.execute_ch("DROP TABLE IF EXISTS truncdb.b")
+    client.execute_ch("CREATE TABLE truncdb.a (k Int64) ENGINE = MergeTree() ORDER BY k")
+    client.execute_ch("CREATE TABLE truncdb.b (k Int64) ENGINE = MergeTree() ORDER BY k")
+    client.execute_ch("INSERT INTO truncdb.a VALUES (1)")
+    client.execute_ch("INSERT INTO truncdb.b VALUES (2), (3)")
+    client.execute_ch("TRUNCATE ALL TABLES FROM truncdb")
+    assert spark.table("truncdb.a").count() == 0
+    assert spark.table("truncdb.b").count() == 0
+    client.execute_ch("DROP TABLE truncdb.a")
+    client.execute_ch("DROP TABLE truncdb.b")
+    client.execute_ch("DROP DATABASE truncdb")

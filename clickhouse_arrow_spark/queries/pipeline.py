@@ -4166,3 +4166,41 @@ def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "util_sweep_wave16",
+    """
+    SELECT ['a', 'b'] AS tnames, '3.142' AS decstr,
+           TRUE AS b1, TRUE AS b2,
+           CAST(0 AS BIGINT) AS def_int, '' AS def_str,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders) AS hinted,
+           (SELECT CAST(count(*) AS BIGINT) FROM orders
+            WHERE o_orderstatus = 'O') AS viewed,
+           CAST(1 AS BIGINT) AS ut1, 'x' AS ut2
+    """,
+    doc="Round-6 probe-sweep wave 16: tupleNames (JSON introspection — "
+    "works on column structs, no schema pass), toDecimalString (fixed "
+    "decimals, no separators), toBool, defaultValueOfTypeName (via the "
+    "type bridge; Nullable -> NULL), indexHint (CH superset contract: "
+    "evaluates TRUE, never filters), view(SELECT ...) wrapper strip, "
+    "and untuple via inline(array(struct)).",
+    tags=("dialect", "sweep", "wave16"),
+)
+def q_util_sweep_wave16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "tupleNames(CAST((1, 2) AS Tuple(a Int64, b Int64))) AS tnames, "
+        "toDecimalString(3.14159, 3) AS decstr, "
+        "toBool(1) AS b1, toBool('true') AS b2, "
+        "toInt64(defaultValueOfTypeName('Int64')) AS def_int, "
+        "defaultValueOfTypeName('String') AS def_str, "
+        "(SELECT count() FROM orders WHERE indexHint(o_orderkey > 10)) "
+        "AS hinted, "
+        "(SELECT count() FROM view(SELECT * FROM orders "
+        "WHERE o_orderstatus = 'O')) AS viewed, "
+        "(SELECT u.col1 FROM (SELECT untuple((1, 'x'))) u) AS ut1, "
+        "(SELECT u.col2 FROM (SELECT untuple((1, 'x'))) u) AS ut2"
+    )

@@ -5750,6 +5750,16 @@ def extract_with_fill(sql: str):
     recurse row-to-row — that self-recursive family, `x AS x*2`, is
     refused). DESC fills and multiple fill columns are refused — each
     would silently change the added rows."""
+    if _find_clean(
+        re.compile(r"(?i)\bWITH\s+FILL\b[^;]*\bSTALENESS\b"), sql,
+        depth0=False,
+    ):
+        raise UntranslatableFunctionError(
+            "WITH FILL ... STALENESS caps the fill distance past the "
+            "last real row — fill without it, then filter: join the "
+            "filled axis to max(original axis) per group and keep "
+            "rows within the staleness window"
+        )
     m = _find_clean(_ORDER_FILL_RE, sql)
     if m is None:
         return sql, None

@@ -340,3 +340,12 @@ def test_index_hint_is_superset_contract(ch):
     assert hinted == full
     with pytest.raises(UntranslatableFunctionError, match="typed values"):
         ch.query_ch("SELECT tupleToNameValuePairs((1, 2)) AS p")
+
+
+def test_with_fill_staleness_guided(ch):
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with pytest.raises(UntranslatableFunctionError, match="STALENESS"):
+        ch.query_ch(
+            "SELECT x FROM (SELECT 1 AS x) ORDER BY x WITH FILL STALENESS 3"
+        )

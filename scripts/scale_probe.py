@@ -287,6 +287,14 @@ def main() -> int:
 
     bench("resize_images_docs", resize_pipeline)
 
+    def audio_pipeline():
+        clips = docs.select("doc_id")
+        return mm.audio_spectral_features(
+            mm.attach_media_payloads(clips).select("doc_id", "wav")
+        )
+
+    bench("audio_spectral_docs", audio_pipeline)
+
     # -- streaming: stateful sessionization throughput at 1M events ------
     import shutil as _sh
 

@@ -1519,6 +1519,90 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"named_struct('k', regr_slope({a[1]}, {a[0]}), "
             f"'b', regr_intercept({a[1]}, {a[0]}))"
         )
+    if name == "splitByNonAlpha":
+        # substrings of consecutive alphanumeric characters
+        return (
+            lambda a: f"regexp_extract_all({a[0]}, '[A-Za-z0-9]+', 0)"
+        )
+    if name == "firstLine":
+        return lambda a: f"regexp_extract({a[0]}, '^[^\\r\\n]*', 0)"
+    if name == "ngrams":
+        # character n-grams of a string (CH ngrams(s, n)); for token
+        # shingles over arrays use arrayShingles
+        def ngrams_fmt(a: Args) -> str:
+            s, n = a[0], a[1]
+            idx = _safe_seq1(f"char_length({s}) - ({n}) + 1")
+            return f"transform({idx}, _i -> substring({s}, _i, {n}))"
+
+        return ngrams_fmt
+    if name == "extractKeyValuePairs":
+        # CH arg order: (data[, kv_delimiter[, pair_delimiter]]);
+        # whitespace around delimiters is trimmed like CH's parser
+        def ekvp(a: Args) -> str:
+            kv = a[1] if len(a) > 1 else "':'"
+            pair = a[2] if len(a) > 2 else "','"
+            cleaned = (
+                f"regexp_replace({a[0]}, "
+                f"concat('\\\\s*([', {kv}, {pair}, '])\\\\s*'), '$1')"
+            )
+            return f"str_to_map({cleaned}, {pair}, {kv})"
+
+        return ekvp
+    if name == "encodeXMLComponent":
+        # & must encode FIRST or the later entities double-encode
+        return lambda a: (
+            f"replace(replace(replace(replace(replace({a[0]}, "
+            f"'&', '&amp;'), '<', '&lt;'), '>', '&gt;'), "
+            f"'\"', '&quot;'), '\\'', '&apos;')"
+        )
+    if name == "decodeXMLComponent":
+        # the five predefined XML entities plus decimal/hex numeric
+        # references for the ASCII range via char(); &amp; LAST so
+        # '&amp;lt;' decodes to '&lt;' not '<' (CH order)
+        def dxml(a: Args) -> str:
+            s = a[0]
+            num = (
+                f"regexp_replace({s}, '&#(\\\\d+);', "
+                f"'\\u0001$1\\u0001')"
+            )
+            # numeric entities are rare; handle via a join-free
+            # transform: split on the sentinel and re-assemble
+            body = (
+                f"array_join(transform(split({num}, '\\u0001'), "
+                f"_seg -> CASE WHEN _seg rlike '^[0-9]+$' "
+                f"THEN char(cast(_seg AS INT)) ELSE _seg END), '')"
+            )
+            return (
+                f"replace(replace(replace(replace(replace({body}, "
+                f"'&lt;', '<'), '&gt;', '>'), '&quot;', '\"'), "
+                f"'&apos;', '\\''), '&amp;', '&')"
+            )
+
+        return dxml
+    if name == "decodeHTMLComponent":
+        def dhtml(a: Args) -> str:
+            raise UntranslatableFunctionError(
+                "decodeHTMLComponent covers the full HTML5 entity set — "
+                "use functions.ch_functions.html_unescape (Arrow-batched "
+                "pandas UDF over the stdlib html module); "
+                "decodeXMLComponent handles the five XML entities in SQL"
+            )
+
+        return dhtml
+    if name in ("sqidEncode", "sqidDecode"):
+        def sqid(a: Args, _n=name) -> str:
+            raise UntranslatableFunctionError(
+                f"{_n}: the sqids library is not in this environment — "
+                "generateSnowflakeID / toString(generateUUIDv7()) give "
+                "URL-safe unique ids; for reversible int packing use "
+                "bin()/conv()"
+            )
+
+        return sqid
+    if name == "countMatchesCaseInsensitive":
+        return (
+            lambda a: f"regexp_count({a[0]}, concat('(?i)', {a[1]}))"
+        )
     if name == "splitByRegexp":
         return lambda a: f"split({a[1]}, {a[0]})"
     if name == "tokens":

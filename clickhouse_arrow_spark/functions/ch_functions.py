@@ -514,3 +514,19 @@ def is_ipv6_string(col) -> Column:
     """`isIPv6String(s)` — strict IPv6 syntax check (IPv4 dotted text is
     NOT IPv6, matching CH)."""
     return _ipv6_udfs()[2](_c(col))
+
+
+def html_unescape(col) -> Column:
+    """`decodeHTMLComponent` analogue: full HTML5 entity decoding via
+    the stdlib `html` module, Arrow-batched (the SQL dialect's
+    decodeXMLComponent covers the five XML entities codegen-side; this
+    covers the other ~2000 named entities)."""
+    import html
+
+    from pyspark.sql.functions import pandas_udf
+
+    _unescape = pandas_udf(
+        lambda s: s.map(lambda v: None if v is None else html.unescape(v)),
+        "string",
+    )
+    return _unescape(col)

@@ -349,3 +349,34 @@ def test_with_fill_staleness_guided(ch):
         ch.query_ch(
             "SELECT x FROM (SELECT 1 AS x) ORDER BY x WITH FILL STALENESS 3"
         )
+
+
+def test_wave18_string_encoding_family(ch, spark):
+    r = one(
+        ch,
+        "SELECT extractKeyValuePairs('a:1, b:2') AS m1, "
+        "extractKeyValuePairs('x=1;y=2', '=', ';') AS m2, "
+        "encodeXMLComponent('<a>&') AS enc, "
+        "decodeXMLComponent('&lt;a&gt; &amp; &#65;') AS dec, "
+        "firstLine('one\\ntwo') AS fl, "
+        "ngrams('abcd', 2) AS ng, "
+        "splitByNonAlpha('a.b c') AS sp, "
+        "countMatchesCaseInsensitive('AbaB', 'b') AS cm",
+    )
+    assert r["m1"] == {"a": "1", "b": "2"} and r["m2"] == {"x": "1", "y": "2"}
+    assert r["enc"] == "&lt;a&gt;&amp;"
+    assert r["dec"] == "<a> & A"
+    assert r["fl"] == "one" and r["ng"] == ["ab", "bc", "cd"]
+    assert r["sp"] == ["a", "b", "c"] and r["cm"] == 2
+    # full HTML entity set rides the pandas UDF the refusal names
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+    from clickhouse_arrow_spark.functions.ch_functions import html_unescape
+
+    with pytest.raises(UntranslatableFunctionError, match="html_unescape"):
+        ch.query_ch("SELECT decodeHTMLComponent('&copy;') AS x")
+    got = spark.createDataFrame([("&copy;&amp;",)], "s string").select(
+        html_unescape(F.col("s")).alias("u")
+    ).collect()[0]["u"]
+    assert got == "©&"

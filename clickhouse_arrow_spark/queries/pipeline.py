@@ -4204,3 +4204,42 @@ def q_util_sweep_wave16(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT u.col1 FROM (SELECT untuple((1, 'x'))) u) AS ut1, "
         "(SELECT u.col2 FROM (SELECT untuple((1, 'x'))) u) AS ut2"
     )
+
+
+@register(
+    "util_sweep_wave18",
+    """
+    SELECT 'a=1,b=2' AS kv,
+           '&lt;a&gt;&amp;' AS enc,
+           '<a> & A' AS dec,
+           'one' AS fl,
+           ['ab', 'bc', 'cd'] AS ng,
+           ['a', 'b', 'c'] AS sp,
+           CAST(2 AS BIGINT) AS cm
+    """,
+    doc="Round-6 probe-sweep wave 18 (string/encoding family): "
+    "extractKeyValuePairs (str_to_map with CH's whitespace trimming "
+    "and custom delimiters), encodeXMLComponent (amp-first entity "
+    "order), decodeXMLComponent (five XML entities + decimal numeric "
+    "references via a sentinel-split transform), firstLine, character "
+    "ngrams, splitByNonAlpha, countMatchesCaseInsensitive; "
+    "decodeHTMLComponent refuses naming the full-entity pandas UDF "
+    "(functions.ch_functions.html_unescape).",
+    tags=("dialect", "sweep", "wave18"),
+)
+def q_util_sweep_wave18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "arrayStringConcat(arrayMap(k -> concat(k, '=', "
+        "extractKeyValuePairs('a:1, b:2')[k]), "
+        "arraySort(mapKeys(extractKeyValuePairs('a:1, b:2')))), ',') "
+        "AS kv, "
+        "encodeXMLComponent('<a>&') AS enc, "
+        "decodeXMLComponent('&lt;a&gt; &amp; &#65;') AS dec, "
+        "firstLine('one\\ntwo') AS fl, "
+        "ngrams('abcd', 2) AS ng, "
+        "splitByNonAlpha('a.b c') AS sp, "
+        "toInt64(countMatchesCaseInsensitive('AbaB', 'b')) AS cm"
+    )

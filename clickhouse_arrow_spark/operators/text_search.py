@@ -148,10 +148,13 @@ def tfidf_terms(
     smooth idf (`ln((1+N)/(1+df))`, scikit-style smoothing without the
     +1 on idf so stopword-like terms can reach ~0).
 
-    The `(doc, term)` aggregation is the only full-width shuffle; `df`
-    re-aggregates the (already much smaller) term-count stream and joins
-    back broadcast when the vocabulary fits (Spark's AQE decides —
-    the join key is `term`, low cardinality after aggregation).
+    The `(doc, term)` aggregation is the only full-width shuffle. The
+    `df` branch deliberately RECOMPUTES the token scan rather than
+    persisting `tf`: the (doc, term) stream is corpus-sized, so caching
+    it would spill roughly the input's volume to executor disks, while
+    a second columnar scan is cheap and pipelined (contrast bm25_topk,
+    whose query-filtered tf IS tiny and persists). The df->tf join key
+    is `term` — low cardinality after aggregation, AQE broadcasts it.
     """
     base = docs.select(
         F.col(id_col), tokenize(F.col(text_col)).alias("toks")

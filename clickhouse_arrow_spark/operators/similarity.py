@@ -659,3 +659,35 @@ def kcenter_sample(
         pick = picked[0]
         centers.append((pick[id_col], list(pick["_v"])))
     return [c[0] for c in centers]
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float = 0.95,
+    *,
+    corpus_id: str = "vec_id",
+    corpus_vec: str = "embedding",
+    bench_vec: str = "embedding",
+) -> DataFrame:
+    """Embedding-space decontamination: drop corpus rows whose cosine
+    to ANY benchmark vector reaches `threshold` — the semantic
+    complement of the n-gram/bloom decontamination tier (paraphrased
+    benchmark leakage survives token overlap checks; it does not
+    survive its own embedding).
+
+    Scale shape: the benchmark side is small by definition —
+    broadcast; the corpus never shuffles. One scan, one broadcast
+    join, one anti-join on the contaminated-id set.
+    """
+    c = corpus.select(
+        F.col(corpus_id).alias("_cid"), F.col(corpus_vec).alias("_cv")
+    )
+    b = F.broadcast(bench.select(F.col(bench_vec).alias("_bv")))
+    hit = (
+        c.join(b)
+        .where(_cosine(F.col("_cv"), F.col("_bv")) >= threshold)
+        .select(F.col("_cid").alias(corpus_id))
+        .distinct()
+    )
+    return corpus.join(hit, corpus_id, "left_anti")

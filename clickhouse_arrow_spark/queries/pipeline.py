@@ -4243,3 +4243,37 @@ def q_util_sweep_wave18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "splitByNonAlpha('a.b c') AS sp, "
         "toInt64(countMatchesCaseInsensitive('AbaB', 'b')) AS cm"
     )
+
+
+@register(
+    "vector_semantic_decontaminate",
+    """
+    WITH bench AS (
+      SELECT embedding AS bv FROM embeddings WHERE vec_id < 10
+    ), hits AS (
+      SELECT DISTINCT e.vec_id
+      FROM embeddings e, bench b
+      WHERE list_cosine_similarity(e.embedding, b.bv) >= 0.999
+    )
+    SELECT CAST(count(*) AS BIGINT) AS kept,
+           CAST((SELECT count(*) FROM hits) AS BIGINT) AS dropped
+    FROM embeddings WHERE vec_id NOT IN (SELECT vec_id FROM hits)
+    """,
+    doc="Semantic decontamination "
+    "(operators/similarity.semantic_decontaminate): drop corpus rows "
+    "whose embedding cosine to ANY benchmark vector (here vec_id < 10) "
+    "reaches 0.999 — catches paraphrased benchmark leakage the "
+    "n-gram/bloom tier misses. Benchmark side broadcasts; the corpus "
+    "never shuffles (one scan + broadcast join + anti-join). Exact "
+    "cross-engine oracle via DuckDB's list_cosine_similarity.",
+    tags=("similarity", "decontamination", "pipeline"),
+)
+def q_vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = spark.table("embeddings")
+    bench = emb.where(F.col("vec_id") < 10)
+    kept = similarity.semantic_decontaminate(emb, bench, threshold=0.999)
+    n_all = emb.count()
+    n_kept = kept.count()
+    return spark.createDataFrame(
+        [(n_kept, n_all - n_kept)], "kept BIGINT, dropped BIGINT"
+    )

@@ -1675,3 +1675,40 @@ def test_video_neardup_shared_frames(spark):
     pairs = mm.video_neardup(df, every_n=1, min_shared=2).collect()
     assert [(r["a_id"], r["b_id"]) for r in pairs] == [(1, 2)]
     assert pairs[0]["shared_frames"] >= 2
+
+
+def test_semantic_decontaminate_drops_clones(spark):
+    from clickhouse_arrow_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    import numpy as np
+
+    rng = np.random.RandomState(5)
+    vecs = rng.randn(40, 8)
+    corpus_rows = [(i, [float(x) for x in vecs[i]]) for i in range(40)]
+    corpus = spark.createDataFrame(
+        corpus_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    # benchmark = exact copies of corpus rows 0..4 plus a scaled copy
+    # of row 5 (cosine 1.0 — scale-invariant) and one unrelated vector
+    bench_rows = [(100 + i, [float(x) for x in vecs[i]]) for i in range(5)]
+    bench_rows.append((105, [float(2.5 * x) for x in vecs[5]]))
+    bench_rows.append((106, [float(x) for x in rng.randn(8)]))
+    bench = spark.createDataFrame(
+        bench_rows, "vec_id BIGINT, embedding ARRAY<DOUBLE>"
+    )
+    kept = {
+        r["vec_id"]
+        for r in semantic_decontaminate(
+            corpus, bench, threshold=0.9999
+        ).collect()
+    }
+    assert kept.isdisjoint(set(range(6)))      # clones + scaled copy gone
+    assert set(range(6, 40)) <= kept           # everything else survives
+    # the benchmark side broadcasts — no shuffle on the corpus scan
+    plan = (
+        semantic_decontaminate(corpus, bench, threshold=0.9999)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan

@@ -357,6 +357,12 @@ def main() -> int:
         "semantic_dedup_100k_vectors_nlist256",
         lambda: sim_ops.semantic_dedup(vecs, threshold=0.999, nlist=256),
     )
+    bench(
+        "semantic_decontaminate_100k_vectors",
+        lambda: sim_ops.semantic_decontaminate(
+            vecs, vecs.where(F.col("vec_id") < 1000), threshold=0.999
+        ),
+    )
     if n_vecs > 100_000:
         import math as _math
 

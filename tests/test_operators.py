@@ -1706,9 +1706,10 @@ def test_semantic_decontaminate_drops_clones(spark):
     }
     assert kept.isdisjoint(set(range(6)))      # clones + scaled copy gone
     assert set(range(6, 40)) <= kept           # everything else survives
-    # the benchmark side broadcasts — no shuffle on the corpus scan
+    # the contaminated-id set joins back; the corpus-side flagging is
+    # a shuffle-free mapInPandas stage (BLAS matmul per batch)
     plan = (
         semantic_decontaminate(corpus, bench, threshold=0.9999)
         ._jdf.queryExecution().executedPlan().toString()
     )
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "MapInPandas" in plan and "CartesianProduct" not in plan

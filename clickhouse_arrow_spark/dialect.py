@@ -572,6 +572,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"min(CASE WHEN {a[1]} THEN {a[0]} END)"
     if name == "maxIf":
         return lambda a: f"max(CASE WHEN {a[1]} THEN {a[0]} END)"
+    _qm = re.fullmatch(
+        r"(quantile|quantileExact|quantileTDigest|median)"
+        r"((?:Distinct|If)*)", name
+    )
+    if _qm and (_qm.group(2) or _qm.group(1) != "median"):
+        # bare single-call form: CH defaults the level to 0.5 (median);
+        # Distinct/If combinators fold in (either suffix order)
+        _qbase, _qsuf = _qm.group(1), _qm.group(2)
+
+        def bare_quantile(a: Args, _b=_qbase, _s=_qsuf) -> str:
+            fn = "approx_percentile" if "TDigest" in _b else "percentile"
+            x = a[0]
+            if "If" in _s:
+                if len(a) < 2:
+                    raise UntranslatableFunctionError(
+                        f"{name} needs (value, condition)"
+                    )
+                x = f"CASE WHEN {a[1]} THEN {a[0]} END"
+            d = "DISTINCT " if "Distinct" in _s else ""
+            return f"{fn}({d}{x}, 0.5)"
+
+        return bare_quantile
     if (name.endswith("State") or name.endswith("Merge")) and name not in (
         "uniqState", "uniqMerge"
     ):
@@ -610,6 +632,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 "collect_set({0})",
                 "array_distinct(flatten(collect_list({0})))",
             ),
+            # any/anyLast states are just A value; merging picks one —
+            # CH's contract is "some value", matching any_value
+            "any": ("any_value({0})", "any_value({0})"),
+            "anyLast": ("any_value({0})", "any_value({0})"),
         }
         if base in forms:
             slot = forms[base][0 if is_state else 1]
@@ -639,6 +665,17 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 return _slot.format(x)
 
             return state_fmt
+        if re.fullmatch(r"[A-Za-z]+", base):
+            # unknown base: refuse loudly instead of leaking the CH
+            # name verbatim into Spark's UNRESOLVED_ROUTINE
+            raise UntranslatableFunctionError(
+                f"{name}: no transparent state form for {base!r} — the "
+                "algebra covers sum/avg/count/min/max/any/anyLast/"
+                "uniqExact/groupArray/groupUniqArray (+If chains); "
+                "uniqState/uniqMerge ride real HLL sketches; opaque "
+                "sketch states (quantile/topK) have no cross-engine "
+                "representation — aggregate the raw column instead"
+            )
     if name == "finalizeAggregation":
         raise UntranslatableFunctionError(
             "finalizeAggregation(): the transparent states here finalize "
@@ -3739,6 +3776,15 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
                 f"... FILTER (WHERE y = (SELECT {ext}(y) FROM t)) or a "
                 f"window `{ext}(y) OVER (PARTITION BY grp)` equality filter"
             )
+    if base != name and base in _OPERATOR_BACKED:
+        # a combinator chained onto an operator-backed aggregate
+        # (topKDistinct, sequenceMatchIf, ...): keep the operator
+        # recipe instead of leaking the chained name verbatim
+        raise UntranslatableFunctionError(
+            f"{name}: {base}() is operator-backed here "
+            f"({_OPERATOR_BACKED[base]}) — apply the combinator's "
+            "filter/distinct inside the DataFrame call instead"
+        )
     if base not in _COMBINATOR_BASES or (comb is None and not filt):
         return None
     spark = _COMBINATOR_BASES[base]
@@ -5946,6 +5992,26 @@ def suggest_function(name: str) -> str | None:
     close = difflib.get_close_matches(name, known, n=3, cutoff=0.75)
     if close:
         return "similar ClickHouse functions: " + ", ".join(close)
+    # combinator chain on a known base: hint the strip
+    base = name
+    stripped = []
+    for _ in range(3):
+        for suf in ("If", "Distinct", "OrNull", "OrDefault", "Array",
+                    "Merge", "State", "ForEach", "SimpleState"):
+            if base.endswith(suf) and len(base) > len(suf):
+                stripped.append(suf)
+                base = base[: -len(suf)]
+                break
+        else:
+            break
+    if stripped and base in known:
+        return (
+            f"{name} chains -{'/-'.join(stripped)} onto {base}(): this "
+            f"combinator combination is not translated — express the "
+            f"{'/'.join(stripped)} semantics around a plain {base}() "
+            "call (FILTER clause, DISTINCT argument, or coalesce over "
+            "the empty-set default)"
+        )
     return None
 
 

@@ -112,3 +112,45 @@ def test_ngram_distance_bounds_and_symmetry(ch, a, b):
     assert 0.0 <= got["ab"] <= 1.0
     assert abs(got["ab"] - got["ba"]) < 1e-12  # symmetric
     assert got["aa"] == 0.0  # identity
+
+
+# ---------------------------------------------------------------------------
+# combinator-closure property: any <base><combinator-chain> the grammar
+# can spell either EXECUTES or refuses with a guided
+# UntranslatableFunctionError — never an opaque UNRESOLVED_ROUTINE leak
+# ---------------------------------------------------------------------------
+
+_COMB_BASES = ["sum", "avg", "min", "max", "count", "uniq", "uniqExact",
+               "groupArray", "any", "argMax", "topK", "quantile"]
+_COMB_SUFFIXES = ["", "If", "Distinct", "OrNull", "OrDefault", "Array",
+                  "Merge", "State", "ArrayIf", "DistinctIf", "OrNullIf"]
+
+
+@settings(max_examples=120, deadline=None)
+@given(
+    st.sampled_from(_COMB_BASES),
+    st.sampled_from(_COMB_SUFFIXES),
+)
+def test_combinator_chain_closure(base, suffix):
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql,
+    )
+
+    name = base + suffix
+    n_args = 1 + ("If" in suffix) + (base == "argMax")
+    args = ", ".join(f"c{i}" for i in range(n_args))
+    try:
+        out = translate_ch_sql(f"SELECT {name}({args}) FROM t")
+    except UntranslatableFunctionError:
+        return  # guided refusal is a pass
+    # a translation happened: the CH name must be GONE (left verbatim
+    # surfaces as UNRESOLVED_ROUTINE at run time) unless (a) the name
+    # is itself valid Spark (count/min/max/sum/avg/any bare), or (b)
+    # the runtime did-you-mean hook resolves it to a guidance hint —
+    # either way the user gets a guided outcome, never an opaque leak
+    bare_sparks = {"sum", "avg", "min", "max", "count", "any"}
+    if name not in bare_sparks and name in out:
+        from clickhouse_arrow_spark.dialect import suggest_function
+
+        assert suggest_function(name), f"{name} leaked with no hint: {out}"

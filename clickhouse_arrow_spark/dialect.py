@@ -2375,6 +2375,37 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # ANSI mode errors on overflow) — values agree until overflow,
         # which is loud here instead of silently wrapped
         return lambda a: f"sum({a[0]})"
+    if name in ("countMap", "avgMap"):
+        # countMap: per-key occurrence counts; avgMap: per-key mean =
+        # sumMap / countMap zipped — both over the key-union fold
+        def count_avg_map(a: Args, _n=name) -> str:
+            src = (
+                a[0] if len(a) == 1
+                else f"map_from_arrays({a[0]}, {a[1]})"
+            )
+            lst = f"collect_list({src})"
+            seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
+            cnt = (
+                f"aggregate({lst}, transform_values({seed}, "
+                f"(k, v) -> CAST(1 AS BIGINT)), (acc, e) -> "
+                f"map_zip_with(acc, e, (k, a, b) -> "
+                f"coalesce(a, CAST(0 AS BIGINT)) + "
+                f"(CASE WHEN b IS NULL THEN 0 ELSE 1 END)))"
+            )
+            if _n == "countMap":
+                return cnt
+            ssum = (
+                f"aggregate({lst}, transform_values({seed}, "
+                f"(k, v) -> CAST(0 AS DOUBLE)), (acc, e) -> "
+                f"map_zip_with(acc, e, (k, a, b) -> "
+                f"coalesce(a, CAST(0 AS DOUBLE)) + coalesce(b, 0)))"
+            )
+            return (
+                f"map_zip_with({ssum}, {cnt}, "
+                f"(k, s, c) -> try_divide(s, c))"
+            )
+
+        return count_avg_map
     if name in ("sumMap", "minMap", "maxMap"):
         # aggregate a map column by UNION of keys: fold the collected
         # maps with map_zip_with (union-join on keys). All JVM; the

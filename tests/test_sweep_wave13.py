@@ -380,3 +380,14 @@ def test_wave18_string_encoding_family(ch, spark):
         html_unescape(F.col("s")).alias("u")
     ).collect()[0]["u"]
     assert got == "©&"
+
+
+def test_count_avg_map_combinators(ch):
+    r = one(
+        ch,
+        "SELECT countMap(m) AS c, avgMap(m) AS a FROM "
+        "(SELECT map('a', 1.0) AS m "
+        "UNION ALL SELECT map('a', 3.0, 'b', 5.0) AS m)",
+    )
+    assert r["c"] == {"a": 2, "b": 1}
+    assert r["a"] == {"a": 2.0, "b": 5.0}

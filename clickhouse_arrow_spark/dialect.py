@@ -2150,6 +2150,64 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"to_timestamp({a[0]}, {a[1]})"
     if name in ("parseDateTimeInJodaSyntaxOrNull",):
         return lambda a: f"try_to_timestamp({a[0]}, {a[1]})"
+    if name == "fromUnixTimestampInJodaSyntax":
+        return lambda a: f"date_format(timestamp_seconds({a[0]}), {a[1]})"
+    if name == "toUTCTimestamp":
+        return lambda a: f"to_utc_timestamp({a[0]}, {a[1]})"
+    if name == "fromUTCTimestamp":
+        return lambda a: f"from_utc_timestamp({a[0]}, {a[1]})"
+    if name == "timeDiff":
+        # seconds from a to b (dateDiff('second', a, b))
+        return (
+            lambda a: f"(unix_timestamp({a[1]}) - unix_timestamp({a[0]}))"
+        )
+    if name == "addInterval":
+        return lambda a: f"({a[0]} + {a[1]})"
+    if name == "toLastDayOfWeek":
+        # CH mode 0: week runs Sunday..Saturday; next_day is strictly
+        # after, so Saturday itself maps to itself
+        return lambda a: f"date_sub(next_day({a[0]}, 'SU'), 1)"
+    if name == "nowInBlock":
+        # Spark's current_timestamp is query-constant; CH's nowInBlock
+        # advances per block — observable only in very long scans
+        return lambda a: "current_timestamp()"
+    if name == "mapReverseSort":
+        return lambda a: (
+            f"map_from_entries(array_sort(map_entries({a[0]}), "
+            f"(_l, _r) -> CASE WHEN _l.key > _r.key THEN -1 "
+            f"WHEN _l.key < _r.key THEN 1 ELSE 0 END))"
+        )
+    if name == "connectionId":
+        # single-session engine: one logical connection
+        return lambda a: "CAST(0 AS BIGINT)"
+    if name == "displayName":
+        return lambda a: (
+            "substring_index(java_method('java.net.InetAddress', "
+            "'getLocalHost'), '/', 1)"
+        )
+    if name == "revision":
+        # CH wire-protocol revision constant; no analogue — a stable
+        # literal keeps monitoring SELECTs running
+        return lambda a: "CAST(54500 AS INT)"
+    if name == "generateULID":
+        # 26-char Crockford base32: 10 chars of unix-ms + 16 random
+        # chars (two 40-bit draws); conv() emits base32hex digits,
+        # translate() maps them onto the Crockford alphabet
+        def ulid_fmt(a: Args) -> str:
+            def crock(expr: str, width: int) -> str:
+                return (
+                    f"translate(lpad(upper(conv({expr}, 10, 32)), "
+                    f"{width}, '0'), "
+                    f"'0123456789ABCDEFGHIJKLMNOPQRSTUV', "
+                    f"'0123456789ABCDEFGHJKMNPQRSTVWXYZ')"
+                )
+
+            ms = crock("unix_millis(current_timestamp())", 10)
+            r1 = crock("CAST(rand() * 1099511627776 AS BIGINT)", 8)
+            r2 = crock("CAST(rand() * 1099511627776 AS BIGINT)", 8)
+            return f"concat({ms}, {r1}, {r2})"
+
+        return ulid_fmt
     if name == "toUUID":
         return lambda a: f"lower({a[0]})"
     if name in ("toInt128", "toInt256", "toUInt128", "toUInt256"):

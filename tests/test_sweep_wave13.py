@@ -391,3 +391,36 @@ def test_count_avg_map_combinators(ch):
     )
     assert r["c"] == {"a": 2, "b": 1}
     assert r["a"] == {"a": 2.0, "b": 5.0}
+
+
+def test_wave19_datetime_and_id_family(ch):
+    import re as _re
+
+    r = one(
+        ch,
+        "SELECT generateULID() AS u, "
+        "fromUnixTimestampInJodaSyntax(1700000000, 'yyyy-MM-dd') AS j, "
+        "toUTCTimestamp(toDateTime('2024-01-01 10:00:00'), "
+        "'Asia/Shanghai') AS ut, "
+        "timeDiff(toDateTime('2024-01-01 00:00:00'), "
+        "toDateTime('2024-01-01 00:01:30')) AS td, "
+        "addInterval(toDate('2024-01-01'), INTERVAL 1 MONTH) AS ai, "
+        "toLastDayOfWeek(toDate('2024-01-03')) AS lw, "
+        "toLastDayOfWeek(toDate('2024-01-06')) AS lw_sat, "
+        "connectionId() AS cid, revision() > 0 AS rev",
+    )
+    assert _re.fullmatch(r"[0-9A-HJKMNP-TV-Z]{26}", r["u"])
+    assert r["j"] == "2023-11-14" and r["td"] == 90
+    assert r["ut"].hour == 2  # 10:00 Asia/Shanghai = 02:00 UTC
+    assert str(r["ai"]) == "2024-02-01"
+    # CH mode-0 week runs Sunday..Saturday; Saturday maps to itself
+    assert r["lw"].weekday() == 5 and str(r["lw_sat"]) == "2024-01-06"
+    assert r["cid"] == 0 and r["rev"] is True
+
+
+def test_map_sort_directions(ch):
+    fwd = one(ch, "SELECT mapKeys(mapSort(map('b', 2, 'a', 1))) AS k")["k"]
+    rev = one(
+        ch, "SELECT mapKeys(mapReverseSort(map('b', 2, 'a', 1))) AS k"
+    )["k"]
+    assert fwd == ["a", "b"] and rev == ["b", "a"]

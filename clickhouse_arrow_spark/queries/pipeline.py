@@ -4277,3 +4277,41 @@ def q_vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
     return spark.createDataFrame(
         [(n_kept, n_all - n_kept)], "kept BIGINT, dropped BIGINT"
     )
+
+
+@register(
+    "util_sweep_wave19",
+    """
+    SELECT '2023-11-14' AS j,
+           CAST(90 AS BIGINT) AS td,
+           '2024-02-01' AS ai,
+           '2024-01-06' AS lw,
+           ['b', 'a'] AS mrs,
+           CAST(2 AS BIGINT) AS cm,
+           TRUE AS ulid_ok
+    """,
+    doc="Round-6 probe-sweep wave 19 (datetime/id/map family): Joda "
+    "fromUnixTimestamp, timeDiff (seconds), addInterval, "
+    "toLastDayOfWeek (CH mode-0 Sunday..Saturday week, Saturday "
+    "idempotent), mapReverseSort key order, countMap, and "
+    "generateULID checked structurally (26 Crockford chars, "
+    "time-ordered ms prefix).",
+    tags=("dialect", "sweep", "wave19"),
+)
+def q_util_sweep_wave19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "fromUnixTimestampInJodaSyntax(1700000000, 'yyyy-MM-dd') AS j, "
+        "toInt64(timeDiff(toDateTime('2024-01-01 00:00:00'), "
+        "toDateTime('2024-01-01 00:01:30'))) AS td, "
+        "toString(addInterval(toDate('2024-01-01'), INTERVAL 1 MONTH)) "
+        "AS ai, "
+        "toString(toLastDayOfWeek(toDate('2024-01-06'))) AS lw, "
+        "mapKeys(mapReverseSort(map('b', 2, 'a', 1))) AS mrs, "
+        "countMap(map('x', 1))['x'] AS cm_tmp, "
+        "(SELECT countMap(m)['a'] FROM (SELECT map('a', 1) AS m "
+        "UNION ALL SELECT map('a', 2) AS m)) AS cm, "
+        "(generateULID() RLIKE '^[0-9A-HJKMNP-TV-Z]{26}$') AS ulid_ok"
+    ).drop("cm_tmp")

@@ -148,15 +148,15 @@ def decode_bmp(payload: bytes) -> tuple[int, int, bytes]:
     top_down = height < 0
     height = abs(height)
     row_stride = (width * 3 + 3) & ~3  # rows pad to 4-byte boundaries
-    out = bytearray(width * height * 3)
-    for row in range(height):
-        src_row = row if top_down else height - 1 - row
-        base = data_offset + src_row * row_stride
-        for col in range(width):
-            b, g, r = payload[base + col * 3 : base + col * 3 + 3]
-            dst = (row * width + col) * 3
-            out[dst : dst + 3] = bytes((r, g, b))
-    return width, height, bytes(out)
+    import numpy as np
+
+    buf = np.frombuffer(
+        payload, dtype=np.uint8, count=row_stride * height,
+        offset=data_offset,
+    ).reshape(height, row_stride)[:, : width * 3].reshape(height, width, 3)
+    if not top_down:
+        buf = buf[::-1]
+    return width, height, buf[:, :, ::-1].tobytes()  # BGR -> RGB
 
 
 def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
@@ -171,15 +171,12 @@ def encode_bmp(width: int, height: int, rgb: bytes) -> bytes:
     ) + struct.pack(
         "<IiiHHIIiiII", 40, width, -height, 1, 24, 0, img_size, 2835, 2835, 0, 0
     )
-    rows = bytearray()
-    pad = b"\x00" * (row_stride - width * 3)
-    for row in range(height):
-        for col in range(width):
-            i = (row * width + col) * 3
-            r, g, b = rgb[i : i + 3]
-            rows += bytes((b, g, r))
-        rows += pad
-    return header + bytes(rows)
+    import numpy as np
+
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+    out = np.zeros((height, row_stride), dtype=np.uint8)
+    out[:, : width * 3] = a[:, :, ::-1].reshape(height, width * 3)  # RGB->BGR
+    return header + out.tobytes()
 
 
 def _bmp_feature_decode(payload: bytes) -> tuple[int, int, list[float]]:
@@ -948,16 +945,14 @@ def encode_avi(
     row_stride = (width * 3 + 3) & ~3
     frame_size = row_stride * height
 
+    import numpy as np
+
     def dib(rgb: bytes) -> bytes:
-        rows = bytearray()
-        pad = b"\x00" * (row_stride - width * 3)
-        for row in range(height - 1, -1, -1):  # bottom-up
-            for col in range(width):
-                i = (row * width + col) * 3
-                r, g, b = rgb[i : i + 3]
-                rows += bytes((b, g, r))
-            rows += pad
-        return bytes(rows)
+        a = np.frombuffer(rgb, dtype=np.uint8).reshape(height, width, 3)
+        out = np.zeros((height, row_stride), dtype=np.uint8)
+        # bottom-up row order + RGB -> BGR
+        out[:, : width * 3] = a[::-1, :, ::-1].reshape(height, width * 3)
+        return out.tobytes()
 
     n = len(frames_rgb)
     avih = struct.pack(
@@ -1020,16 +1015,15 @@ def decode_avi(payload: bytes):
     if width is None or not frames:
         raise ValueError("missing avih/frame chunks")
     row_stride = (width * 3 + 3) & ~3
+    import numpy as np
+
     out = []
     for dib_frame in frames:
-        rgb = bytearray(width * height * 3)
-        for row in range(height):
-            base = (height - 1 - row) * row_stride  # bottom-up -> top-down
-            for col in range(width):
-                b, g, r = dib_frame[base + col * 3 : base + col * 3 + 3]
-                dst = (row * width + col) * 3
-                rgb[dst : dst + 3] = bytes((r, g, b))
-        out.append(bytes(rgb))
+        a = np.frombuffer(
+            dib_frame, dtype=np.uint8, count=row_stride * height
+        ).reshape(height, row_stride)[:, : width * 3]
+        a = a.reshape(height, width, 3)[::-1, :, ::-1]  # flip + BGR->RGB
+        out.append(a.tobytes())
     return width, height, fps, out
 
 

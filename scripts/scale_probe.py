@@ -287,6 +287,39 @@ def main() -> int:
 
     bench("resize_images_docs", resize_pipeline)
 
+    def video_pipeline():
+        import pandas as _pd
+
+        from pyspark.sql import types as _T
+
+        def synth(batches):
+            for pdf in batches:
+                payloads = []
+                for doc_id in pdf["doc_id"]:
+                    seed = int(doc_id) % 2000  # 1:2000 duplication
+                    # nonlinear mix: every (seed, frame) pair hashes to
+                    # a DISTINCT dHash (linear gradients collapse to ~40
+                    # hashes and the pair join degenerates quadratic)
+                    frames = [
+                        bytes(
+                            (((seed * 131 + i) ^ (k * 2654435761))
+                             * 0x9E3779B1 >> 16) % 256
+                            for k in range(8 * 6 * 3)
+                        )
+                        for i in range(4)
+                    ]
+                    payloads.append(mm.encode_avi(frames, 8, 6))
+                yield _pd.DataFrame(
+                    {"doc_id": pdf["doc_id"], "video": payloads}
+                )
+
+        vids = docs.select("doc_id").mapInPandas(
+            synth, "doc_id long, video binary"
+        )
+        return mm.video_neardup(vids, every_n=2, min_shared=2)
+
+    bench("video_neardup_docs", video_pipeline)
+
     def audio_pipeline():
         clips = docs.select("doc_id")
         return mm.audio_spectral_features(

@@ -522,6 +522,7 @@ class Client:
             df = with_fill(
                 df, fill["col"], fill["start"], fill["end"], fill["step"],
                 interpolate=fill.get("interpolate"),
+                staleness=fill.get("staleness"),
             )
         return df
 

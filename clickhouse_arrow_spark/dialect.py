@@ -5949,6 +5949,7 @@ _ORDER_FILL_RE = re.compile(
     rf"(?:\s+FROM\s+({_FILL_BOUND}))?"
     rf"(?:\s+TO\s+({_FILL_BOUND}))?"
     r"(?:\s+STEP\s+(INTERVAL\s+\d+\s+\w+|-?\d+(?:\.\d+)?))?"
+    r"(?:\s+STALENESS\s+(INTERVAL\s+\d+\s+\w+|-?\d+(?:\.\d+)?))?"
     r"(?:\s+INTERPOLATE\s*\(((?:[^()]|\([^()]*\))*)\))?"
 )
 
@@ -5968,17 +5969,9 @@ def extract_with_fill(sql: str):
     non-interpolated reference across a multi-row gap ClickHouse would
     recurse row-to-row — that self-recursive family, `x AS x*2`, is
     refused). DESC fills and multiple fill columns are refused — each
-    would silently change the added rows."""
-    if _find_clean(
-        re.compile(r"(?i)\bWITH\s+FILL\b[^;]*\bSTALENESS\b"), sql,
-        depth0=False,
-    ):
-        raise UntranslatableFunctionError(
-            "WITH FILL ... STALENESS caps the fill distance past the "
-            "last real row — fill without it, then filter: join the "
-            "filled axis to max(original axis) per group and keep "
-            "rows within the staleness window"
-        )
+    would silently change the added rows. STALENESS (numeric or
+    INTERVAL) parses to spec["staleness"] — the operator keeps filled
+    rows only within that distance of the last original row."""
     m = _find_clean(_ORDER_FILL_RE, sql)
     if m is None:
         return sql, None
@@ -5993,8 +5986,8 @@ def extract_with_fill(sql: str):
             "result, or negate the axis"
         )
     interpolate: dict[str, str | None] = {}
-    if m.group(6) is not None:
-        for item in _split_top_args(m.group(6)):
+    if m.group(7) is not None:
+        for item in _split_top_args(m.group(7)):
             item = item.strip()
             if not item:
                 continue
@@ -6026,14 +6019,16 @@ def extract_with_fill(sql: str):
             return s.strip("'")
         return float(s) if "." in s else int(s)
 
-    step_text = m.group(5)
-    step: object = 1
-    if step_text:
-        im = re.match(r"(?i)INTERVAL\s+(\d+)\s+(\w+)", step_text)
+    def step_like(text):
+        if not text:
+            return None
+        im = re.match(r"(?i)INTERVAL\s+(\d+)\s+(\w+)", text)
         if im:
-            step = ("interval", int(im.group(1)), im.group(2).lower())
-        else:
-            step = float(step_text) if "." in step_text else int(step_text)
+            return ("interval", int(im.group(1)), im.group(2).lower())
+        return float(text) if "." in text else int(text)
+
+    step = step_like(m.group(5)) or 1
+    staleness = step_like(m.group(6))
 
     col = m.group(1).strip("`").split(".")[-1]
     spec = {
@@ -6041,6 +6036,7 @@ def extract_with_fill(sql: str):
         "start": bound(m.group(3)),
         "end": bound(m.group(4)),
         "step": step,
+        "staleness": staleness,
         "interpolate": interpolate,
     }
     direction = f" {m.group(2)}" if m.group(2) else ""

@@ -260,6 +260,7 @@ def with_fill(
     end=None,
     step=1,
     interpolate: list[str] | dict[str, str | None] | None = None,
+    staleness=None,
 ) -> DataFrame:
     """`ORDER BY col WITH FILL [FROM a] [TO b] [STEP s]` over a NUMERIC
     fill column (ClickHouse select/order-by.md): add a row for every
@@ -268,6 +269,15 @@ def with_fill(
     DEFAULTS (0 / '' / zero-date — CH fills defaults, not NULLs);
     original rows keep their values, including genuine NULLs. Bounds
     default to the result's min/max (max inclusive).
+
+    `staleness` caps the fill distance past the last ORIGINAL row
+    (ClickHouse `WITH FILL ... STALENESS const`): a grid row survives
+    only while `axis < last_original_axis + staleness` — the fill
+    stops `staleness` past each real row instead of running to the
+    next one (or to TO). Grid rows before the first original row have
+    no previous row and are dropped, matching CH. Numeric staleness
+    for numeric axes; ("interval", n, unit) for date/time axes. Same
+    single ordered pass as the carry window — no extra shuffle.
 
     `interpolate` is a list of column names (carry-forward: filled rows
     take the previous ORIGINAL value) or a {col: spark_sql_expr | None}
@@ -336,6 +346,27 @@ def with_fill(
     )
     marked = df.withColumn("__cas_orig", F.lit(1))
     joined = marked.join(grid, on=col, how="full_outer")
+    if staleness is not None:
+        # distance-to-last-original bound: carry the last original axis
+        # value forward, keep filled rows strictly inside the window
+        stale_w = Window.orderBy(col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        last_orig_axis = F.last(
+            F.when(F.col("__cas_orig").isNotNull(), F.col(f"`{col}`")),
+            ignorenulls=True,
+        ).over(stale_w)
+        if isinstance(staleness, tuple) and staleness[0] == "interval":
+            bound_col = last_orig_axis + F.expr(
+                f"INTERVAL {staleness[1]} {staleness[2]}"
+            )
+        else:
+            bound_col = last_orig_axis + F.lit(staleness)
+        joined = joined.withColumn(
+            "__cas_keep",
+            F.col("__cas_orig").isNotNull()
+            | (last_orig_axis.isNotNull() & (F.col(f"`{col}`") < bound_col)),
+        ).where(F.col("__cas_keep")).drop("__cas_keep")
     if interpolate is None:
         interpolate = {}
     elif not isinstance(interpolate, dict):

@@ -461,9 +461,12 @@ def url_ip_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY user_id, event_type
     )
     SELECT user_id,
-           array_agg(event_type ORDER BY event_type) AS keys,
-           array_agg(sv ORDER BY event_type) AS sums,
-           array_agg(mv ORDER BY event_type) AS mins
+           array_to_string(array_agg(event_type ORDER BY event_type), ',')
+             AS keys,
+           array_to_string(array_agg(printf('%.4f', sv)
+             ORDER BY event_type), ',') AS sums,
+           array_to_string(array_agg(printf('%.4f', mv)
+             ORDER BY event_type), ',') AS mins
     FROM per_key
     GROUP BY user_id
     ORDER BY user_id
@@ -490,13 +493,16 @@ def q_summap_event_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     mins = agg_map(ev, ["user_id"], "m", "min", out_col="mm")
     rounded_s = F.transform_values(F.col("sm"), lambda k, v: F.round(v, 4))
     rounded_m = F.transform_values(F.col("mm"), lambda k, v: F.round(v, 4))
+    fmt4 = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda v: F.format_string("%.4f", v)), ","
+    )
     return (
         sums.join(mins, "user_id")
         .select(
             "user_id",
-            F.map_keys(rounded_s).alias("keys"),
-            F.map_values(rounded_s).alias("sums"),
-            F.map_values(rounded_m).alias("mins"),
+            F.array_join(F.map_keys(rounded_s), ",").alias("keys"),
+            fmt4(F.map_values(rounded_s)).alias("sums"),
+            fmt4(F.map_values(rounded_m)).alias("mins"),
         )
         .orderBy("user_id")
     )

@@ -1535,8 +1535,8 @@ def q_agg_state_merge_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
            round(sum(o_totalprice), 2) AS rev,
            round(sum(o_totalprice), 2) AS avg_sum,
            count(o_orderkey) AS avg_cnt,
-           list_sort(list(DISTINCT o_orderstatus)) AS statuses,
-           list_sort(list(o_orderkey)) AS keys_sorted
+           array_to_string(list_sort(list(DISTINCT o_orderstatus)), ',') AS statuses,
+           array_to_string(list_sort(list(o_orderkey)), ',') AS keys_sorted
     FROM orders GROUP BY o_custkey ORDER BY o_custkey
     """,
     doc="FROM t FINAL on an AggregatingMergeTree (ddl.rewrite_final): "
@@ -1581,7 +1581,9 @@ def q_agg_final_aggregating(spark: SparkSession, sf_dir: str) -> DataFrame:
     return client.query_ch(
         "SELECT o_custkey, cn AS cnt, round(s, 2) AS rev, "
         "round(av.sum, 2) AS avg_sum, av.count AS avg_cnt, "
-        "arraySort(ue) AS statuses, arraySort(ga) AS keys_sorted "
+        "arrayStringConcat(arraySort(ue), ',') AS statuses, "
+        "arrayStringConcat(arrayMap(x -> toString(x), arraySort(ga)), ',')"
+        " AS keys_sorted "
         "FROM corpusdb.orders_aggregating FINAL ORDER BY o_custkey"
     )
 
@@ -2180,9 +2182,9 @@ def q_sample_kcenter_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     "util_sweep_scalar_wave",
     """
     SELECT 'a.b' AS si, 'axb2' AS r1,
-           ['1', '22', '333'] AS ea,
-           [3, 2, 1] AS sd,
-           [1, 1, 2, 1, 3] AS eu,
+           '1,22,333' AS ea,
+           '3,2,1' AS sd,
+           '1,1,2,1,3' AS eu,
            5.0 AS rd, CAST(6 AS BIGINT) AS g, CAST(12 AS BIGINT) AS l,
            2.5 AS dv, TRUE AS v4, FALSE AS v4n,
            '/a/b?c=1' AS pf, 'https://a.b/z' AS cw, 'ab-cd' AS uu,
@@ -2202,9 +2204,11 @@ def q_util_sweep_scalar_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Client(spark).query_ch(
         "SELECT substringIndex('a.b.c', '.', 2) AS si, "
         "replaceRegexpOne('a1b2', '[0-9]', 'x') AS r1, "
-        "extractAll('a1b22c333', '[0-9]+') AS ea, "
-        "arraySort(x -> -x, [1, 3, 2]) AS sd, "
-        "arrayEnumerateUniq([10, 20, 10, 30, 10]) AS eu, "
+        "arrayStringConcat(extractAll('a1b22c333', '[0-9]+'), ',') AS ea, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arraySort(x -> -x, [1, 3, 2])), ',') AS sd, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayEnumerateUniq([10, 20, 10, 30, 10])), ',') AS eu, "
         "roundDown(5.7, [1, 3, 5, 7]) AS rd, "
         "gcd(12, 18) AS g, lcm(4, 6) AS l, "
         "divide(10, 4) AS dv, "
@@ -2221,7 +2225,7 @@ def q_util_sweep_scalar_wave(spark: SparkSession, sf_dir: str) -> DataFrame:
     "util_numbers_tvf",
     """
     SELECT number, number * number AS sq,
-           CAST(qs AS DOUBLE[]) AS qs
+           array_to_string(CAST(qs AS DOUBLE[]), ',') AS qs
     FROM (SELECT x AS number, x * x AS sq,
                  [2.5, 7.5] AS qs
           FROM range(3, 8) t(x))
@@ -2237,10 +2241,12 @@ def q_util_numbers_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_arrow_spark.client import Client
 
     return Client(spark).query_ch(
-        "SELECT number, number * number AS sq, "
-        "(SELECT quantilesExactWeighted(0.25, 0.75)(number, 1) "
-        " FROM numbers(11)) AS qs "
-        "FROM numbers(3, 5) ORDER BY number"
+        "SELECT number, number * number AS sq, qs "
+        "FROM numbers(3, 5) CROSS JOIN ("
+        "  SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "         quantilesExactWeighted(0.25, 0.75)(number, 1)), ',') AS qs"
+        "  FROM numbers(11)) q "
+        "ORDER BY number"
     )
 
 
@@ -2558,6 +2564,48 @@ def q_util_with_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_with_fill_staleness",
+    """
+    WITH o AS (
+      SELECT o_orderkey AS k2, count(*) AS n
+      FROM orders WHERE o_orderkey % 7 = 0 AND o_orderkey < 60
+      GROUP BY o_orderkey
+    ), g AS (SELECT unnest(range(1, 40)) AS k),
+    j AS (
+      SELECT coalesce(g.k, o.k2) AS k, o.n AS n,
+             o.k2 IS NOT NULL AS orig
+      FROM g FULL JOIN o ON g.k = o.k2
+    ), w AS (
+      SELECT k, n, orig,
+             max(CASE WHEN orig THEN k END) OVER (
+               ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS lastk
+      FROM j
+    )
+    SELECT CAST(k AS BIGINT) AS k, CAST(coalesce(n, 0) AS BIGINT) AS n
+    FROM w WHERE orig OR (lastk IS NOT NULL AND k < lastk + 3)
+    ORDER BY k
+    """,
+    doc="ORDER BY ... WITH FILL ... STALENESS (round-6 verdict item 5; "
+    "dialect.extract_with_fill + operators/timeseries.with_fill "
+    "staleness=): the fill stops 3 past each original row instead of "
+    "running to the next original (or TO) — grid rows before the "
+    "first original are dropped, originals always survive. The oracle "
+    "derives the same bound with a running max over original axis "
+    "values.",
+    tags=("timeseries", "with-fill", "staleness"),
+)
+def q_util_with_fill_staleness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT o_orderkey AS k, count(*) AS n FROM orders "
+        "WHERE o_orderkey % 7 = 0 AND o_orderkey < 60 GROUP BY o_orderkey "
+        "ORDER BY k WITH FILL FROM 1 TO 40 STALENESS 3"
+    )
+
+
+@register(
     "util_sample_gate",
     """
     SELECT TRUE AS deterministic, TRUE AS nested_containment,
@@ -2737,10 +2785,10 @@ def q_util_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
     "util_sweep_wave4",
     """
     SELECT 'hi' AS b64ok, '' AS b64bad,
-           [[1, 2], [2, 3], [3, 4]] AS sh,
-           CAST([1, 1, 1, 5, 5] AS BIGINT[]) AS fl,
-           CAST([1, 5, 5, 5, 0] AS BIGINT[]) AS rfl,
-           [[1, 2, 3], [4, 5]] AS sp,
+           '1,2;2,3;3,4' AS sh,
+           '1,1,1,5,5' AS fl,
+           '1,5,5,5,0' AS rfl,
+           '1,2,3;4,5' AS sp,
            CAST(0.384615 AS DOUBLE) AS ng,
            CAST(0.8427 AS DOUBLE) AS e1,
            CAST(0.4795 AS DOUBLE) AS e2,
@@ -2764,12 +2812,19 @@ def q_util_sweep_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return Client(spark).query_ch(
         "SELECT tryBase64Decode('aGk=') AS b64ok, "
         "tryBase64Decode('!!!') AS b64bad, "
-        "arrayShingles([1, 2, 3, 4], 2) AS sh, "
-        "CAST(arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) AS Array(Int64)) "
-        "AS fl, "
-        "CAST(arrayReverseFill(x -> x != 0, [1, 0, 0, 5, 0]) AS "
-        "Array(Int64)) AS rfl, "
-        "arraySplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0]) AS sp, "
+        "arrayStringConcat(arrayMap(a -> arrayStringConcat("
+        "  arrayMap(x -> toString(x), a), ','), "
+        "  arrayShingles([1, 2, 3, 4], 2)), ';') AS sh, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  CAST(arrayFill(x -> x != 0, [1, 0, 0, 5, 0]) AS Array(Int64))"
+        "), ',') AS fl, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  CAST(arrayReverseFill(x -> x != 0, [1, 0, 0, 5, 0]) AS "
+        "Array(Int64))), ',') AS rfl, "
+        "arrayStringConcat(arrayMap(a -> arrayStringConcat("
+        "  arrayMap(x -> toString(x), a), ','), "
+        "  arraySplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0])"
+        "), ';') AS sp, "
         "round(ngramDistance('clickhouse', 'clickhose'), 6) AS ng, "
         "round(erf(1.0), 5) AS e1, round(erfc(0.5), 5) AS e2, "
         "formatReadableTimeDelta(90061) AS frtd, "
@@ -2782,10 +2837,10 @@ def q_util_sweep_wave4(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "util_sweep_wave8",
     """
-    SELECT [1, 7, 0] AS pos, TRUE AS m1, FALSE AS m0,
-           CAST(2 AS BIGINT) AS idx, [1, 3] AS all_idx,
+    SELECT '1,7,0' AS pos, TRUE AS m1, FALSE AS m0,
+           CAST(2 AS BIGINT) AS idx, '1,3' AS all_idx,
            TRUE AS tok, FALSE AS tok_part, TRUE AS subseq,
-           ['abc', 'def'] AS alpha, CAST(2 AS BIGINT) AS ci_count
+           'abc,def' AS alpha, CAST(2 AS BIGINT) AS ci_count
     """,
     doc="Round-6 probe-sweep wave 8 (string-search family, exact "
     "literal oracle): multiSearchAllPositions, multiMatchAny[Index]/"
@@ -2798,17 +2853,19 @@ def q_util_sweep_wave8(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_arrow_spark.client import Client
 
     return Client(spark).query_ch(
-        "SELECT multiSearchAllPositions('hello world hello', "
-        "['hello', 'world', 'zzz']) AS pos, "
+        "SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "  multiSearchAllPositions('hello world hello', "
+        "['hello', 'world', 'zzz'])), ',') AS pos, "
         "multiMatchAny('error: disk full', ['disk.*full', 'oom']) AS m1, "
         "multiMatchAny('all good', ['disk.*full']) AS m0, "
         "toInt64(multiMatchAnyIndex('error: disk full', "
         "['oom', 'disk.*full'])) AS idx, "
-        "multiMatchAllIndices('abc', ['a', 'z', 'c']) AS all_idx, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  multiMatchAllIndices('abc', ['a', 'z', 'c'])), ',') AS all_idx, "
         "hasToken('the quick brown fox', 'quick') AS tok, "
         "hasToken('the quick', 'qui') AS tok_part, "
         "hasSubsequence('hello world', 'hlo') AS subseq, "
-        "alphaTokens('abc1def') AS alpha, "
+        "arrayStringConcat(alphaTokens('abc1def'), ',') AS alpha, "
         "toInt64(countSubstringsCaseInsensitive('AbAb', 'ab')) AS ci_count"
     )
 
@@ -2819,7 +2876,7 @@ def q_util_sweep_wave8(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(3232235777 AS BIGINT) AS ipnum, NULL AS bad,
            '192.168.0.0' AS cidr_min, '192.168.255.255' AS cidr_max,
            TRUE AS in_range, FALSE AS out_range,
-           CAST([2, 16, 32] AS BIGINT[]) AS mask_arr, '2,16,32' AS mask_list,
+           '2,16,32' AS mask_arr, '2,16,32' AS mask_list,
            CAST(4 AS BIGINT) AS hamming
     """,
     doc="Round-6 probe-sweep wave 9 (IP + bitmask families, exact "
@@ -2839,7 +2896,9 @@ def q_util_sweep_wave9(spark: SparkSession, sf_dir: str) -> DataFrame:
         "IPv4CIDRToRange(toIPv4('192.168.5.2'), 16).max AS cidr_max, "
         "isIPAddressInRange('192.168.1.1', '192.168.0.0/16') AS in_range, "
         "isIPAddressInRange('10.0.0.1', '192.168.0.0/16') AS out_range, "
-        "bitmaskToArray(50) AS mask_arr, bitmaskToList(50) AS mask_list, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  bitmaskToArray(50)), ',') AS mask_arr, "
+        "bitmaskToList(50) AS mask_list, "
         "toInt64(bitHammingDistance(111, 183)) AS hamming"
     )
 
@@ -2851,14 +2910,14 @@ def q_util_sweep_wave9(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(3.99 AS DOUBLE) AS tr1, CAST(-3.0 AS DOUBLE) AS tr2,
            CAST(0.5 AS DOUBLE) AS sig, 'March' AS mn,
            TRUE AS sw, TRUE AS ew,
-           CAST([1, 2, 0, 1] AS BIGINT[]) AS cumnn,
-           CAST([1, 2, 3] AS BIGINT[]) AS au,
-           CAST([1, 3] AS BIGINT[]) AS asd,
-           CAST([2, 3, 0] AS BIGINT[]) AS shl,
-           CAST([0, 1, 2] AS BIGINT[]) AS shr,
-           CAST([0, 1, 2] AS BIGINT[]) AS shln,
-           CAST([2, 3, 9] AS BIGINT[]) AS shld,
-           TRUE AS mck, ['abc'] AS mek,
+           '1,2,0,1' AS cumnn,
+           '1,2,3' AS au,
+           '1,3' AS asd,
+           '2,3,0' AS shl,
+           '0,1,2' AS shr,
+           '0,1,2' AS shln,
+           '2,3,9' AS shld,
+           TRUE AS mck, 'abc' AS mek,
            'b=1#f' AS qsf, 'http://x.com/a' AS cf,
            'http://x.com/a' AS cqsf, 'a b c' AS dufc,
            TRUE AS indf, CAST(3455829959 AS BIGINT) AS bswap
@@ -2889,19 +2948,24 @@ def q_util_sweep_wave10(spark: SparkSession, sf_dir: str) -> DataFrame:
         "monthName(toDate('2024-03-15')) AS mn, "
         "startsWithUTF8('hello', 'he') AS sw, "
         "endsWithUTF8('hello', 'lo') AS ew, "
-        "CAST(arrayCumSumNonNegative([1, 1, -4, 1]) AS Array(Int64)) "
-        "AS cumnn, "
-        "CAST(arraySort(arrayUnion([1, 2], [2, 3])) AS Array(Int64)) "
-        "AS au, "
-        "CAST(arraySort(arraySymmetricDifference([1, 2], [2, 3])) AS "
-        "Array(Int64)) AS asd, "
-        "CAST(arrayShiftLeft([1, 2, 3], 1) AS Array(Int64)) AS shl, "
-        "CAST(arrayShiftRight([1, 2, 3], 1) AS Array(Int64)) AS shr, "
-        "CAST(arrayShiftLeft([1, 2, 3], -1) AS Array(Int64)) AS shln, "
-        "CAST(arrayShiftLeft([1, 2, 3], 1, 9) AS Array(Int64)) AS shld, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayCumSumNonNegative([1, 1, -4, 1])), ',') AS cumnn, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arraySort(arrayUnion([1, 2], [2, 3]))), ',') AS au, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arraySort(arraySymmetricDifference([1, 2], [2, 3]))), ',') "
+        "AS asd, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayShiftLeft([1, 2, 3], 1)), ',') AS shl, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayShiftRight([1, 2, 3], 1)), ',') AS shr, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayShiftLeft([1, 2, 3], -1)), ',') AS shln, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "  arrayShiftLeft([1, 2, 3], 1, 9)), ',') AS shld, "
         "mapContainsKeyLike(map('abc', 1), 'ab%') AS mck, "
-        "mapKeys(mapExtractKeyLike(map('abc', 1, 'xyz', 2), 'ab%')) "
-        "AS mek, "
+        "arrayStringConcat(mapKeys(mapExtractKeyLike("
+        "  map('abc', 1, 'xyz', 2), 'ab%')), ',') AS mek, "
         "queryStringAndFragment('http://x.com/a?b=1#f') AS qsf, "
         "cutFragment('http://x.com/a#f') AS cf, "
         "cutQueryStringAndFragment('http://x.com/a?b=1#f') AS cqsf, "
@@ -2922,9 +2986,9 @@ def q_util_sweep_wave10(spark: SparkSession, sf_dir: str) -> DataFrame:
        (SELECT o_orderkey FROM orders WHERE o_orderkey <= 7)) AS anyc,
       (SELECT count(*) FROM orders WHERE o_orderpriority =
        (SELECT min(o_orderpriority) FROM orders)) AS ties_n,
-      ['k', 'v'] AS eg,
-      [['k', 'v'], ['k2', 'v2']] AS eav,
-      [['k', 'k2'], ['v', 'v2']] AS eah,
+      'k,v' AS eg,
+      'k,v;k2,v2' AS eav,
+      'k,k2;v,v2' AS eah,
       'a\\.b\\[c\\]' AS rqm,
       TRUE AS bta, FALSE AS btn,
       CAST(31 AS BIGINT) AS dd,
@@ -2954,10 +3018,14 @@ def q_util_sweep_wave11(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(SELECT o_orderkey FROM orders WHERE o_orderkey <= 7)) AS anyc, "
         "(SELECT count(*) FROM (SELECT o_orderpriority FROM orders "
         "ORDER BY o_orderpriority LIMIT 1 WITH TIES)) AS ties_n, "
-        "extractGroups('k=v', '(\\\\w+)=(\\\\w+)') AS eg, "
-        "extractAllGroups('k=v;k2=v2', '(\\\\w+)=(\\\\w+)') AS eav, "
-        "extractAllGroupsHorizontal('k=v;k2=v2', '(\\\\w+)=(\\\\w+)') "
-        "AS eah, "
+        "arrayStringConcat(extractGroups('k=v', '(\\\\w+)=(\\\\w+)'), "
+        "  ',') AS eg, "
+        "arrayStringConcat(arrayMap(a -> arrayStringConcat(a, ','), "
+        "  extractAllGroups('k=v;k2=v2', '(\\\\w+)=(\\\\w+)')), ';') "
+        "AS eav, "
+        "arrayStringConcat(arrayMap(a -> arrayStringConcat(a, ','), "
+        "  extractAllGroupsHorizontal('k=v;k2=v2', '(\\\\w+)=(\\\\w+)')"
+        "), ';') AS eah, "
         "regexpQuoteMeta('a.b[c]') AS rqm, "
         "bitTestAll(7, 0, 1) AS bta, bitTestAny(4, 0, 1) AS btn, "
         "toInt64(date_diff('day', toDate('2024-01-01'), "
@@ -2975,7 +3043,7 @@ def q_util_sweep_wave11(spark: SparkSession, sf_dir: str) -> DataFrame:
       CAST(7 AS BIGINT) AS sifs,
       CAST(3 AS BIGINT) AS cifd,
       CAST(5.5 AS DOUBLE) AS qif,
-      CAST([0, 2, 4] AS BIGINT[]) AS gaif,
+      '0,2,4' AS gaif,
       (SELECT count(*) FROM orders) AS gbe,
       (SELECT count(*) FROM orders
        WHERE o_orderstatus IN ('O', 'F')) AS inarr
@@ -3002,8 +3070,9 @@ def q_util_sweep_wave12(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM numbers(10)) AS cifd, "
         "(SELECT quantileIf(0.5)(number, number > 1) "
         "FROM numbers(10)) AS qif, "
-        "(SELECT CAST(arraySort(groupArrayIf(3)(number, "
-        "number % 2 = 0)) AS Array(Int64)) FROM numbers(10)) AS gaif, "
+        "(SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "arraySort(groupArrayIf(3)(number, "
+        "number % 2 = 0))), ',') FROM numbers(10)) AS gaif, "
         "(SELECT count(*) FROM orders GROUP BY ()) AS gbe, "
         "(SELECT count(*) FROM orders "
         "WHERE o_orderstatus IN ['O', 'F']) AS inarr"
@@ -4171,7 +4240,7 @@ def q_mix_temperature_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "util_sweep_wave16",
     """
-    SELECT ['a', 'b'] AS tnames, '3.142' AS decstr,
+    SELECT 'a,b' AS tnames, '3.142' AS decstr,
            TRUE AS b1, TRUE AS b2,
            CAST(0 AS BIGINT) AS def_int, '' AS def_str,
            (SELECT CAST(count(*) AS BIGINT) FROM orders) AS hinted,
@@ -4192,7 +4261,8 @@ def q_util_sweep_wave16(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return Client(spark).query_ch(
         "SELECT "
-        "tupleNames(CAST((1, 2) AS Tuple(a Int64, b Int64))) AS tnames, "
+        "arrayStringConcat(tupleNames("
+        "  CAST((1, 2) AS Tuple(a Int64, b Int64))), ',') AS tnames, "
         "toDecimalString(3.14159, 3) AS decstr, "
         "toBool(1) AS b1, toBool('true') AS b2, "
         "toInt64(defaultValueOfTypeName('Int64')) AS def_int, "
@@ -4213,8 +4283,8 @@ def q_util_sweep_wave16(spark: SparkSession, sf_dir: str) -> DataFrame:
            '&lt;a&gt;&amp;' AS enc,
            '<a> & A' AS dec,
            'one' AS fl,
-           ['ab', 'bc', 'cd'] AS ng,
-           ['a', 'b', 'c'] AS sp,
+           'ab,bc,cd' AS ng,
+           'a,b,c' AS sp,
            CAST(2 AS BIGINT) AS cm
     """,
     doc="Round-6 probe-sweep wave 18 (string/encoding family): "
@@ -4239,8 +4309,8 @@ def q_util_sweep_wave18(spark: SparkSession, sf_dir: str) -> DataFrame:
         "encodeXMLComponent('<a>&') AS enc, "
         "decodeXMLComponent('&lt;a&gt; &amp; &#65;') AS dec, "
         "firstLine('one\\ntwo') AS fl, "
-        "ngrams('abcd', 2) AS ng, "
-        "splitByNonAlpha('a.b c') AS sp, "
+        "arrayStringConcat(ngrams('abcd', 2), ',') AS ng, "
+        "arrayStringConcat(splitByNonAlpha('a.b c'), ',') AS sp, "
         "toInt64(countMatchesCaseInsensitive('AbaB', 'b')) AS cm"
     )
 
@@ -4286,7 +4356,7 @@ def q_vector_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFra
            CAST(90 AS BIGINT) AS td,
            '2024-02-01' AS ai,
            '2024-01-06' AS lw,
-           ['b', 'a'] AS mrs,
+           'b,a' AS mrs,
            CAST(2 AS BIGINT) AS cm,
            TRUE AS ulid_ok
     """,
@@ -4309,7 +4379,8 @@ def q_util_sweep_wave19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toString(addInterval(toDate('2024-01-01'), INTERVAL 1 MONTH)) "
         "AS ai, "
         "toString(toLastDayOfWeek(toDate('2024-01-06'))) AS lw, "
-        "mapKeys(mapReverseSort(map('b', 2, 'a', 1))) AS mrs, "
+        "arrayStringConcat(mapKeys("
+        "  mapReverseSort(map('b', 2, 'a', 1))), ',') AS mrs, "
         "countMap(map('x', 1))['x'] AS cm_tmp, "
         "(SELECT countMap(m)['a'] FROM (SELECT map('a', 1) AS m "
         "UNION ALL SELECT map('a', 2) AS m)) AS cm, "

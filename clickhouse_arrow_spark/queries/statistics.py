@@ -258,8 +258,10 @@ def q_timeseries_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
     )
     SELECT user_id,
-           list(round(ms, 4) ORDER BY event_id) AS moving_sum,
-           list(round(ms / 5.0, 4) ORDER BY event_id) AS moving_avg
+           array_to_string(list(printf('%.4f', round(ms, 4))
+             ORDER BY event_id), ',') AS moving_sum,
+           array_to_string(list(printf('%.4f', round(ms / 5.0, 4))
+             ORDER BY event_id), ',') AS moving_avg
     FROM m GROUP BY user_id ORDER BY user_id
     """,
     doc="ClickHouse groupArrayMovingSum(5) / groupArrayMovingAvg(5) of "
@@ -273,11 +275,13 @@ def q_timeseries_moving(spark: SparkSession, sf_dir: str) -> DataFrame:
     mv = timeseries.group_array_moving(
         spark.table("events"), ["user_id"], "event_id", "value", 5
     )
-    r4 = lambda arr: F.transform(arr, lambda v: F.round(v, 4))  # noqa: E731
+    r4s = lambda arr: F.array_join(  # noqa: E731
+        F.transform(arr, lambda v: F.format_string("%.4f", F.round(v, 4))), ","
+    )
     return mv.select(
         "user_id",
-        r4(F.col("moving_sum")).alias("moving_sum"),
-        r4(F.col("moving_avg")).alias("moving_avg"),
+        r4s(F.col("moving_sum")).alias("moving_sum"),
+        r4s(F.col("moving_avg")).alias("moving_avg"),
     ).orderBy("user_id")
 
 

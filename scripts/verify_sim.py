@@ -40,6 +40,46 @@ def canonical(pdf):
     )
 
 
+def driver_canon(pdf):
+    """Replicate the grading driver's pandas canonicalization EXACTLY.
+
+    The driver sorts columns by name then calls ``sort_values`` over all
+    of them before hashing.  pandas' lexsort factorizes each column; a
+    column holding Python lists/dicts/ndarrays raises ``TypeError:
+    unhashable type`` — which the driver records as an ERR row.  Running
+    the same call here makes that failure a PRE-FLIGHT failure (the
+    round-6 regression class: list-valued result columns shipped green
+    through the old ``normalize()`` path and died in the driver).
+    """
+    cols = sorted(pdf.columns)
+    return pdf[cols].sort_values(by=cols).reset_index(drop=True)
+
+
+def assert_scalar_columns(name, sdf, pdf):
+    """Reject any top-level Array/Map/Struct result column pre-flight."""
+    from pyspark.sql import types as T
+
+    bad = [
+        f.name
+        for f in sdf.schema.fields
+        if isinstance(f.dataType, (T.ArrayType, T.MapType, T.StructType))
+    ]
+    if bad:
+        raise TypeError(
+            f"{name}: non-scalar result columns {bad} — the driver's pandas "
+            "canonicalizer cannot sort/hash lists; stringify with "
+            "arrayStringConcat/array_to_string on BOTH sides"
+        )
+    for c in pdf.columns:
+        sample = pdf[c].head(50)
+        if any(isinstance(v, (list, dict, tuple)) or type(v).__name__ == "ndarray"
+               for v in sample):
+            raise TypeError(
+                f"{name}: column {c!r} holds non-hashable values in pandas — "
+                "driver canonicalization would ERR"
+            )
+
+
 def main() -> int:
     import duckdb
     from pyspark.sql import SparkSession
@@ -82,6 +122,11 @@ def main() -> int:
         try:
             sdf = fn(spark, SF_DIR)
             spdf = sdf.toPandas()
+            if name in oracles:
+                # rows-only entries skip the driver's value compare, so
+                # non-scalar columns are only fatal on oracle'd queries
+                assert_scalar_columns(name, sdf, spdf)
+                driver_canon(spdf)
         except Exception as e:
             failures.append((name, f"SPARK ERROR: {str(e)[:200]}"))
             print(f"  {name}: SPARK ERROR {str(e)[:120]}")
@@ -90,6 +135,7 @@ def main() -> int:
         if name in oracles:
             try:
                 dpdf = duck.execute(oracles[name]).fetchdf()
+                driver_canon(dpdf)
             except Exception as e:
                 failures.append((name, f"ORACLE ERROR: {str(e)[:200]}"))
                 print(f"  {name}: ORACLE ERROR {str(e)[:120]}")

@@ -342,13 +342,31 @@ def test_index_hint_is_superset_contract(ch):
         ch.query_ch("SELECT tupleToNameValuePairs((1, 2)) AS p")
 
 
-def test_with_fill_staleness_guided(ch):
-    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+def test_with_fill_staleness_numeric(ch):
+    # originals at 1 and 10; STALENESS 3 fills 2,3 after 1 and 11,12
+    # after 10 (TO 15 would otherwise run the tail to 14); nothing
+    # before the first original
+    rows = ch.query_ch(
+        "SELECT x AS k, count(*) AS n FROM "
+        "(SELECT 1 AS x UNION ALL SELECT 10 AS x) GROUP BY x "
+        "ORDER BY k WITH FILL FROM 0 TO 15 STALENESS 3"
+    ).collect()
+    ks = [r["k"] for r in rows]
+    assert ks == [1, 2, 3, 10, 11, 12]
+    by_k = {r["k"]: r["n"] for r in rows}
+    assert by_k[1] == 1 and by_k[2] == 0 and by_k[11] == 0
 
-    with pytest.raises(UntranslatableFunctionError, match="STALENESS"):
-        ch.query_ch(
-            "SELECT x FROM (SELECT 1 AS x) ORDER BY x WITH FILL STALENESS 3"
-        )
+
+def test_with_fill_staleness_interval(ch):
+    rows = ch.query_ch(
+        "SELECT toDate(d) AS d, count(*) AS n FROM "
+        "(SELECT '2024-01-01' AS d UNION ALL SELECT '2024-01-10' AS d) "
+        "GROUP BY d ORDER BY d WITH FILL "
+        "FROM toDate('2024-01-01') TO toDate('2024-01-20') "
+        "STEP INTERVAL 1 DAY STALENESS INTERVAL 2 DAY"
+    ).collect()
+    ds = [str(r["d"]) for r in rows]
+    assert ds == ["2024-01-01", "2024-01-02", "2024-01-10", "2024-01-11"]
 
 
 def test_wave18_string_encoding_family(ch, spark):

@@ -763,6 +763,48 @@ def dhash_neardup(
     return pairs
 
 
+def dhash_survivors(
+    hashes: DataFrame, max_hamming: int = 0, id_col: str = "doc_id"
+) -> DataFrame:
+    """Survivor terminal for perceptual image dedup — the DEFAULT
+    output shape at scale (one surviving id per near-dup component);
+    the pair list (`dhash_neardup`) is the opt-in. Round-6 probe
+    measured pair materialization at 16x wall for 10x data (pairs grow
+    with the SQUARE of cluster size); this terminal removes that term:
+
+    1. identical-hash collapse FIRST — every distinct dhash keeps its
+       min id as representative, so a cluster of k byte-identical
+       images contributes ONE node to any candidate join (member->rep
+       edges are linear in corpus size);
+    2. at max_hamming=0 equality is transitive, so the components ARE
+       the equal-hash groups — survivors come straight off the
+       groupBy, no join at all;
+    3. at max_hamming>0 the pigeonhole band join runs over DISTINCT
+       hashes only, then connected components
+       (dedup.duplicate_survivors) merge rep-pairs with the stars.
+
+    Rows whose payload could not hash (NULL dhash) always survive.
+    """
+    from clickhouse_arrow_spark.operators.dedup import duplicate_survivors
+
+    h = hashes.filter(F.col("dhash").isNotNull())
+    unhashed = hashes.filter(F.col("dhash").isNull()).select(id_col)
+    reps = h.groupBy("dhash").agg(F.min(id_col).alias("rep"))
+    if max_hamming == 0:
+        return reps.select(F.col("rep").alias(id_col)).unionByName(unhashed)
+    rep_pairs = dhash_neardup(
+        reps.select(F.col("rep").alias(id_col), "dhash"), max_hamming, id_col
+    ).select("id_a", "id_b")
+    stars = (
+        h.join(reps, "dhash")
+        .where(F.col(id_col) != F.col("rep"))
+        .select(F.col("rep").alias("id_a"), F.col(id_col).alias("id_b"))
+    )
+    return duplicate_survivors(
+        h.select(id_col), rep_pairs.unionByName(stars), id_col, "id_a", "id_b"
+    ).unionByName(unhashed)
+
+
 # ---- image resize -------------------------------------------------------
 
 RESIZE_SCHEMA = T.StructType(
@@ -1098,12 +1140,27 @@ def video_neardup(
     frame hashes. The join key is the 64-bit frame hash — videos
     never compare all-pairs; the shuffle carries (hash, video_id)
     rows. Returns (a_id, b_id, shared_frames)."""
+    hashes = _video_frame_hashes(
+        videos, every_n, id_col=id_col, payload_col=payload_col
+    )
+    return _frame_hash_pairs(hashes, min_shared, id_col)
+
+
+def _video_frame_hashes(
+    videos: DataFrame, every_n: int, *, id_col: str, payload_col: str
+) -> DataFrame:
+    """(video_id, dhash) — one row per DISTINCT frame hash per video."""
     frames = frame_sample(
         videos, every_n, id_col=id_col, payload_col=payload_col
     ).where(F.col("payload").isNotNull())
-    hashes = image_dhash(
+    return image_dhash(
         frames.select(id_col, "payload", "media")
     ).where(F.col("dhash").isNotNull()).dropDuplicates([id_col, "dhash"])
+
+
+def _frame_hash_pairs(
+    hashes: DataFrame, min_shared: int, id_col: str
+) -> DataFrame:
     a = hashes.select(F.col(id_col).alias("a_id"), "dhash")
     b = hashes.select(F.col(id_col).alias("b_id"), "dhash")
     return (
@@ -1112,4 +1169,63 @@ def video_neardup(
         .groupBy("a_id", "b_id")
         .agg(F.count(F.lit(1)).alias("shared_frames"))
         .where(F.col("shared_frames") >= min_shared)
+    )
+
+
+def video_survivors(
+    videos: DataFrame,
+    *,
+    every_n: int = 5,
+    min_shared: int = 2,
+    id_col: str = "doc_id",
+    payload_col: str = "video",
+) -> DataFrame:
+    """Survivor terminal for video near-dup — the DEFAULT scale-safe
+    output (one surviving video id per duplicate component); the pair
+    list (`video_neardup`) is the opt-in.
+
+    The pair path is quadratic in duplicate-cluster size (round-6
+    probe: 16x wall at 10x data, 2.5M -> 250M pairs). This terminal
+    collapses EXACT duplicates before any pairwise work: each video's
+    fingerprint is the sha2 of its sorted frame-hash set, so a cluster
+    of k byte-identical videos contributes ONE representative to the
+    frame-hash candidate join (member->rep star edges are linear).
+    Identical videos link to their rep only when their distinct-frame
+    count reaches `min_shared` — the same threshold the pairwise path
+    applies — so the component structure matches connected components
+    over `video_neardup` output exactly. Undecodable videos (no
+    frames) always survive.
+    """
+    from clickhouse_arrow_spark.operators.dedup import duplicate_survivors
+
+    hashes = _video_frame_hashes(
+        videos, every_n, id_col=id_col, payload_col=payload_col
+    )
+    fps = hashes.groupBy(id_col).agg(
+        F.sha2(
+            F.array_join(
+                F.array_sort(F.collect_list(F.col("dhash").cast("string"))),
+                ",",
+            ),
+            256,
+        ).alias("fp"),
+        F.count(F.lit(1)).alias("nh"),
+    )
+    reps = fps.groupBy("fp").agg(
+        F.min(id_col).alias("rep"), F.min("nh").alias("rep_nh")
+    )
+    stars = (
+        fps.join(reps, "fp")
+        .where((F.col(id_col) != F.col("rep")) & (F.col("rep_nh") >= min_shared))
+        .select(F.col("rep").alias("a_id"), F.col(id_col).alias("b_id"))
+    )
+    rep_hashes = hashes.join(
+        reps.select(F.col("rep").alias(id_col)), id_col, "leftsemi"
+    )
+    rep_pairs = _frame_hash_pairs(rep_hashes, min_shared, id_col).select(
+        "a_id", "b_id"
+    )
+    return duplicate_survivors(
+        videos.select(id_col), rep_pairs.unionByName(stars),
+        id_col, "a_id", "b_id",
     )

@@ -4104,6 +4104,73 @@ def q_multimodal_video_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_video_survivors",
+    """
+    SELECT CAST(1 AS BIGINT) AS doc_id
+    UNION ALL SELECT CAST(4 AS BIGINT)
+    UNION ALL SELECT CAST(5 AS BIGINT)
+    ORDER BY doc_id
+    """,
+    doc="Survivor terminal for video near-dup (operators/multimodal."
+    "video_survivors; round-6 verdict item 4): videos 1 and 2 are "
+    "byte-identical, 3 shares 4 of 6 frames with them, 4 is unrelated, "
+    "5 is undecodable junk — the component {1,2,3} keeps its min id "
+    "and the output is SURVIVOR IDS, not the quadratic pair list "
+    "(identical videos collapse to one representative via a sorted "
+    "frame-hash-set fingerprint BEFORE the candidate join; pairs stay "
+    "available via video_neardup as the opt-in).",
+    tags=("multimodal", "video", "dedup", "survivors"),
+)
+def q_multimodal_video_survivors(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    def mk(seed, n, w=6, h=4):
+        return [
+            bytes([(seed * 31 + i * 37 + k) % 256 for k in range(w * h * 3)])
+            for i in range(n)
+        ]
+
+    base = mk(7, 6)
+    avi = mm.encode_avi(base, 6, 4, fps=5)
+    near = mm.encode_avi(base[:4] + mk(9, 2), 6, 4)
+    far = mm.encode_avi(mk(5, 6), 6, 4)
+    df = spark.createDataFrame(
+        [(1, avi), (2, avi), (3, near), (4, far), (5, b"junk")],
+        "doc_id BIGINT, video BINARY",
+    )
+    return mm.video_survivors(df, every_n=1, min_shared=2).orderBy("doc_id")
+
+
+@register(
+    "binary_dhash_survivors",
+    """
+    SELECT CAST(min(doc_id) AS BIGINT) AS doc_id
+    FROM documents GROUP BY doc_id % 50 ORDER BY doc_id
+    """,
+    doc="Survivor terminal for perceptual image dedup (operators/"
+    "multimodal.dhash_survivors; round-6 verdict item 4): doc_id % 50 "
+    "drives the synthesized PPM content, so at hamming radius 0 the "
+    "components are the residue classes and the survivors are each "
+    "class's min doc_id — computed with NO candidate join at all "
+    "(equality is transitive; survivors come straight off the "
+    "distinct-hash groupBy). The DuckDB oracle derives the same set "
+    "from the raw residue structure.",
+    tags=("multimodal", "dedup", "dhash", "survivors"),
+)
+def q_binary_dhash_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    docs = spark.table("documents").select(
+        "doc_id", (F.col("doc_id") % 50).alias("img_key")
+    )
+    payloads = mm.attach_ppm_payload(docs, key_col="img_key")
+    hashes = mm.image_dhash(payloads)
+    return mm.dhash_survivors(hashes, max_hamming=0).orderBy("doc_id")
+
+
+@register(
     "vector_pca_ivf_gate",
     """
     SELECT TRUE AS recall_ok, TRUE AS k_complete, TRUE AS variance_kept

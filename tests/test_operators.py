@@ -1532,6 +1532,56 @@ def test_dhash_neardup_perturbation(spark):
     assert {(r.id_a, r.id_b) for r in near} == {(1, 2), (1, 3), (2, 3)}
 
 
+def test_dhash_survivors_radius0_and_cc(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+
+    # ids 1,3 identical; 2 one bit off 1; 4 far; 5 unhashable (NULL)
+    hashes = spark.createDataFrame(
+        [(1, 0), (2, 1), (3, 0), (4, 0x0F0F0F0F0F0F0F0F), (5, None)],
+        "doc_id long, dhash long",
+    )
+    # radius 0: components are the equal-hash groups — no join path
+    r0 = {r.doc_id for r in mm.dhash_survivors(hashes, 0).collect()}
+    assert r0 == {1, 2, 4, 5}
+    # radius 1: {1,3} collapses to rep 1 which then pairs with 2 —
+    # transitively one component {1,2,3} even though (2,3) never met
+    # the band join (identical-collapse star edge supplies the link)
+    r1 = {r.doc_id for r in mm.dhash_survivors(hashes, 1).collect()}
+    assert r1 == {1, 4, 5}
+
+
+def test_video_survivors_matches_pairwise_cc(spark):
+    from clickhouse_arrow_spark.operators import multimodal as mm
+    from clickhouse_arrow_spark.operators.dedup import duplicate_survivors
+
+    def mk(seed, n, w=6, h=4):
+        return [
+            bytes([(seed * 31 + i * 37 + k) % 256 for k in range(w * h * 3)])
+            for i in range(n)
+        ]
+
+    base = mk(7, 6)
+    avi = mm.encode_avi(base, 6, 4)
+    near = mm.encode_avi(base[:4] + mk(9, 2), 6, 4)
+    far = mm.encode_avi(mk(5, 6), 6, 4)
+    # 6=single-frame video duplicated as 7: shared=1 < min_shared=2, so
+    # the identical pair must NOT link (fingerprint collapse honors the
+    # threshold)
+    one = mm.encode_avi(mk(3, 1), 6, 4)
+    df = spark.createDataFrame(
+        [(1, avi), (2, avi), (3, near), (4, far), (5, b"junk"),
+         (6, one), (7, one)],
+        "doc_id BIGINT, video BINARY",
+    )
+    surv = {r.doc_id for r in
+            mm.video_survivors(df, every_n=1, min_shared=2).collect()}
+    # cross-check against CC over the full pairwise output
+    pairs = mm.video_neardup(df, every_n=1, min_shared=2)
+    ref = {r.doc_id for r in duplicate_survivors(
+        df.select("doc_id"), pairs, "doc_id", "a_id", "b_id").collect()}
+    assert surv == ref == {1, 4, 5, 6, 7}
+
+
 def test_resize_images_box_mean(spark):
     from clickhouse_arrow_spark.operators import multimodal as mm
 
@@ -1713,3 +1763,27 @@ def test_semantic_decontaminate_drops_clones(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert "MapInPandas" in plan and "CartesianProduct" not in plan
+
+
+def test_semantic_decontaminate_string_ids(spark):
+    # non-numeric ids keep their native type — a long cast would NULL
+    # them and silently return the corpus unfiltered
+    from clickhouse_arrow_spark.operators.similarity import (
+        semantic_decontaminate,
+    )
+
+    corpus = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0]),
+         ("doc-c", [0.7, 0.7])],
+        "doc_id STRING, embedding ARRAY<DOUBLE>",
+    )
+    bench = spark.createDataFrame(
+        [("bench-1", [2.0, 0.0])], "doc_id STRING, embedding ARRAY<DOUBLE>"
+    )
+    kept = {
+        r["doc_id"]
+        for r in semantic_decontaminate(
+            corpus, bench, corpus_id="doc_id", threshold=0.999
+        ).collect()
+    }
+    assert kept == {"doc-b", "doc-c"}

@@ -238,15 +238,21 @@ class Client:
             return self.spark.createDataFrame(
                 [(1 if exists else 0,)], "result tinyint"
             )
-        m = _re.search(
-            r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'"
-            r"(?:\s+FORMAT\s+(\w+))?\s*;?\s*$",
+        from clickhouse_arrow_spark.dialect import _find_clean
+
+        m = _find_clean(
+            _re.compile(
+                r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'"
+                r"(?:\s+FORMAT\s+(\w+))?\s*;?\s*$"
+            ),
             ch_sql,
         )
         if m:
             # clickhouse-client writes the result to a LOCAL file; same
             # here — executor-written single file moved to the path (no
-            # driver materialization), then a summary row back
+            # driver materialization), then a summary row back.
+            # _find_clean skips matches inside string literals, so text
+            # like SELECT 'INTO OUTFILE ...' is never intercepted
             import glob as _glob
             import os as _os
             import shutil as _shutil
@@ -1000,8 +1006,22 @@ class Client:
 
                 dicts = [_json.loads(ln) for ln in lines]
                 names = [n for n in names if any(n in d for d in dicts)]
-                rows = [tuple(str(d.get(n)) if d.get(n) is not None
-                              else None for n in names) for d in dicts]
+
+                def _cell(v):
+                    # preserve JSON semantics through the string stage:
+                    # bools render as JSON true/false (str() would give
+                    # Python 'True'), nested values re-serialize as
+                    # compact JSON (str() would give dict reprs)
+                    if v is None:
+                        return None
+                    if isinstance(v, bool):
+                        return "true" if v else "false"
+                    if isinstance(v, (dict, list)):
+                        return _json.dumps(v, separators=(",", ":"))
+                    return str(v)
+
+                rows = [tuple(_cell(d.get(n)) for n in names)
+                        for d in dicts]
             elif fmt_l in ("csv", "csvwithnames", "tsv", "tabseparated",
                            "tsvwithnames", "tabseparatedwithnames"):
                 import csv as _csv
@@ -1027,14 +1047,19 @@ class Client:
             raw = self.spark.createDataFrame(
                 rows, ", ".join(f"`{n}` string" for n in names)
             )
-            typed = raw.select(
-                *[
-                    _F.col(n).cast(field_types[n]).alias(n)
-                    if n in field_types
-                    else _F.col(n)
-                    for n in names
-                ]
-            )
+            from pyspark.sql import types as _T
+
+            def _typed_col(n):
+                t = field_types.get(n)
+                if t is None:
+                    return _F.col(n)
+                if isinstance(t, (_T.ArrayType, _T.MapType, _T.StructType)):
+                    # a plain cast cannot parse a JSON string into a
+                    # complex type; from_json can
+                    return _F.from_json(_F.col(n), t).alias(n)
+                return _F.col(n).cast(t).alias(n)
+
+            typed = raw.select(*[_typed_col(n) for n in names])
             # the insert path fires MV triggers and fills MATERIALIZED/
             # DEFAULT columns, same as the VALUES form
             self.insert(table, typed, qid=qid)
@@ -1195,6 +1220,31 @@ class Client:
         except Exception:
             return ""
 
+    def _dedupe_join_any(self, table: str, df: DataFrame) -> DataFrame:
+        """Join(ANY, ...) engines ignore duplicate-key inserts
+        (ClickHouse dedupes on insert; reference engine list
+        clickhouse-arrow/src/schema.rs). Without this, duplicate keys
+        accumulate and every joinGet lookup would be ambiguous. Keeps
+        one row per key within the batch and drops keys already
+        present — an anti-join against the (small, RAM-resident in CH)
+        Join table, broadcast by AQE."""
+        try:
+            from clickhouse_arrow_spark.ddl import _table_props
+
+            props = _table_props(self.spark, table)
+        except Exception:
+            return df
+        keys = props.get("clickhouse_arrow_spark.setting.join_key", "")
+        strict = props.get(
+            "clickhouse_arrow_spark.setting.join_strict", "ANY"
+        ).upper()
+        if not keys or strict != "ANY":
+            return df
+        key_cols = keys.split("|")
+        deduped = df.dropDuplicates(key_cols)
+        existing = self.spark.table(table).select(*key_cols)
+        return deduped.join(existing, key_cols, "left_anti")
+
     def _buffer_target(self, table: str) -> str:
         """Destination of a Buffer table (recorded at CREATE)."""
         from clickhouse_arrow_spark.ddl import _table_props
@@ -1223,6 +1273,8 @@ class Client:
             eng = self._engine_of(table)
         df = self._as_df(data)
         aligned = self._align_to_table(df, table)
+        if eng == "Join":
+            aligned = self._dedupe_join_any(table, aligned)
         # Null engine: the block is DISCARDED but attached materialized
         # views still see it — CH's ingest-through-Null pattern
         if eng != "Null":
@@ -1247,6 +1299,8 @@ class Client:
         unioned = dfs[0]
         for d in dfs[1:]:
             unioned = unioned.unionByName(d)
+        if eng == "Join":
+            unioned = self._dedupe_join_any(table, unioned)
         if eng != "Null":
             unioned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert

@@ -1050,17 +1050,22 @@ def parse_create_table(ch_sql: str):
         # so joinGet can build its lookup; the prebuilt-hash aspect is
         # the broadcast join Spark plans for the decorrelated subquery
         jm = re.match(
-            r"\s*Join\s*\(\s*\w+\s*,\s*\w+\s*,\s*(.+?)\)\s*$",
+            r"\s*Join\s*\(\s*(\w+)\s*,\s*\w+\s*,\s*(.+?)\)\s*$",
             clauses.get("ENGINE", ""),
         )
         if jm:
             # '|'-joined: the SETTINGS list itself splits on commas
             keys = "|".join(
-                k.strip().strip("`") for k in jm.group(1).split(",")
+                k.strip().strip("`") for k in jm.group(2).split(",")
             )
             clauses.setdefault("SETTINGS", "")
             sep = ", " if clauses["SETTINGS"].strip() else ""
-            clauses["SETTINGS"] += f"{sep}join_key = {keys}"
+            # strictness recorded so inserts can honor ANY's
+            # dedupe-on-insert contract (duplicate keys are ignored)
+            clauses["SETTINGS"] += (
+                f"{sep}join_key = {keys}, "
+                f"join_strict = {jm.group(1).upper()}"
+            )
     if engine and engine.group(1) == "Buffer":
         # capture the destination from Buffer(db, table, ...) — the
         # flush thresholds are irrelevant (flushing is eager here)
@@ -1209,6 +1214,74 @@ def _recreate_with(spark: SparkSession, table: str, df: DataFrame) -> None:
         _rm_staged(spark, tmp)
 
 
+def _table_location(spark: SparkSession, table: str) -> str:
+    """Storage URI of a catalog table (DESCRIBE EXTENDED's Location)."""
+    for r in spark.sql(f"DESCRIBE TABLE EXTENDED {table}").collect():
+        if r["col_name"] == "Location":
+            return r["data_type"]
+    raise SchemaError(f"{table}: no Location in catalog metadata")
+
+
+def detach_attach_partition(
+    spark: SparkSession, table: str, pcol: str, val: str, verb: str
+) -> None:
+    """ClickHouse ALTER TABLE ... DETACH/ATTACH PARTITION with real
+    file-move semantics (reference surface: clickhouse-arrow DDL
+    statement forms): DETACH renames the partition's Hive directory
+    into a `.detached/` area under the table location and drops the
+    partition from catalog metadata — the data leaves the query path
+    but stays on disk; ATTACH renames it back and re-registers the
+    partition. The move is a filesystem RENAME through the Hadoop
+    FileSystem API — metadata-cost on HDFS/local at any partition
+    size (on S3-style stores a rename is a copy; same caveat as CH
+    on s3 disks). No rows are read or rewritten either way.
+    """
+    jvm = spark.sparkContext._jvm
+    loc = _table_location(spark, table).rstrip("/")
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(loc).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    part = hpath(f"{loc}/{pcol}={val}")
+    det = hpath(f"{loc}/.detached/{pcol}={val}")
+    if verb == "DETACH":
+        if not fs.exists(part):
+            raise SchemaError(
+                f"DETACH PARTITION: {table} has no partition "
+                f"{pcol}={val!r}"
+            )
+        if fs.exists(det):
+            raise SchemaError(
+                f"DETACH PARTITION: {pcol}={val!r} is already detached "
+                f"from {table} — ATTACH it first or remove "
+                f"{loc}/.detached/{pcol}={val}"
+            )
+        fs.mkdirs(hpath(f"{loc}/.detached"))
+        fs.rename(part, det)
+        spark.sql(
+            f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
+            f"(`{pcol}` = '{val}')"
+        )
+    else:
+        if not fs.exists(det):
+            raise SchemaError(
+                f"ATTACH PARTITION: no detached partition "
+                f"{pcol}={val!r} under {table} — DETACH writes to "
+                f"{loc}/.detached/"
+            )
+        if fs.exists(part):
+            raise SchemaError(
+                f"ATTACH PARTITION: {table} already has a live "
+                f"partition {pcol}={val!r}"
+            )
+        fs.rename(det, part)
+        spark.sql(
+            f"ALTER TABLE {table} ADD IF NOT EXISTS PARTITION "
+            f"(`{pcol}` = '{val}')"
+        )
+    spark.sql(f"REFRESH TABLE {table}")
+
+
 def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     """ClickHouse ALTER forms with no direct Spark-parquet statement:
 
@@ -1253,13 +1326,31 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
         mutate_update(spark, table, f"`{col}` = {tr(mat[col])}", "true")
         _rebuild_projections_after_mutation(spark, table)
         return True
-    mm = re.match(r"(?is)^(DETACH|ATTACH)\s+PARTITION\b", action)
+    mm = re.match(
+        r"(?is)^(DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$",
+        action,
+    )
     if mm:
+        verb = mm.group(1).upper()
+        val = mm.group(2) if mm.group(2) is not None else mm.group(3)
+        pcols = [
+            c.name for c in spark.catalog.listColumns(table) if c.isPartition
+        ]
+        if not pcols:
+            raise SchemaError(
+                f"{verb} PARTITION on {table}: only PHYSICAL partitions "
+                "(a PARTITION BY column, Hive-style directories) support "
+                "file-move detach; this table partitions by expression — "
+                "DROP PARTITION removes, INSERT re-adds, or CREATE TABLE "
+                "... AS SELECT the slice before dropping it"
+            )
+        detach_attach_partition(spark, table, pcols[0], val, verb)
+        return True
+    if re.match(r"(?is)^(DETACH|ATTACH)\s+PARTITION\b", action):
         raise SchemaError(
-            f"{mm.group(1).upper()} PARTITION: parquet tables have no "
-            "detached-parts area — DROP PARTITION removes, INSERT "
-            "re-adds; to set data aside, CREATE TABLE ... AS SELECT "
-            "the partition before dropping it"
+            "DETACH/ATTACH PARTITION: one literal partition value is "
+            "supported (ALTER TABLE t DETACH PARTITION 'v'); the "
+            "FROM-table and ALL forms are not"
         )
     mm = re.match(r"(?is)^MODIFY\s+COMMENT\s+'((?:[^']|'')*)'\s*$", action)
     if mm:

@@ -445,7 +445,11 @@ _ARRAYISH_HEAD_RE = re.compile(
     r"map\s*\(|mapKeys\s*\(|mapValues\s*\(|shuffle\s*\(|"
     r"array_append\s*\(|array_intersect\s*\(|array_union\s*\(|"
     r"array_except\s*\(|array_remove\s*\(|array_repeat\s*\(|"
-    r"array_compact\s*\(|reverse\s*\(\s*(?:\[|array\s*\()|filter\s*\()"
+    r"array_compact\s*\(|reverse\s*\(\s*(?:\[|array\s*\()|filter\s*\(|"
+    # array-returning functions that may already be TRANSLATED when an
+    # outer length()/empty() is formatted (inner-out translation order)
+    r"regexp_extract_all\s*\(|extractAll\s*\(|ngrams\s*\(|"
+    r"alphaTokens\s*\(|bitmaskToArray\s*\()"
 )
 
 
@@ -2098,12 +2102,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "pattern, so only a literal pattern translates"
                 )
             body = p[1:-1]
+            # unescape the SQL-LITERAL level first ('' -> ', and \x ->
+            # the char x, with \\ -> one backslash) so the count runs on
+            # the REGEX-level pattern: '\\(' is an escaped literal paren
+            # (no group), while a raw '\(' collapses to '(' — a group,
+            # exactly what Spark's literal parser hands the regex engine
+            rx, i = [], 0
+            sql_body = body.replace("''", "'")
+            while i < len(sql_body):
+                if sql_body[i] == "\\" and i + 1 < len(sql_body):
+                    # '\\' -> one regex backslash; '\x' -> the char x
+                    rx.append(sql_body[i + 1])
+                    i += 2
+                else:
+                    rx.append(sql_body[i])
+                    i += 1
+            regex = "".join(rx)
             ng, i = 0, 0
-            while i < len(body):
-                if body[i] == "\\":
+            while i < len(regex):
+                if regex[i] == "\\":
                     i += 2
                     continue
-                if body[i] == "(" and body[i : i + 2] != "(?":
+                if regex[i] == "(" and regex[i : i + 2] != "(?":
                     ng += 1
                 i += 1
             if ng == 0:
@@ -5451,7 +5471,17 @@ _NUM_COND_RE = re.compile(
 
 
 def _rewrite_numeric_conditions(sql: str) -> str:
-    return _NUM_COND_RE.sub(lambda m: f"{m.group(1)} ({m.group(2)} <> 0)", sql)
+    # literal-aware: `WHERE 1` inside a string literal must not be
+    # rewritten (same _find_clean convention as every other statement
+    # rewrite; depth0=False — subquery conditions rewrite too)
+    pos = 0
+    while True:
+        m = _find_clean(_NUM_COND_RE, sql, start=pos, depth0=False)
+        if not m:
+            return sql
+        repl = f"{m.group(1)} ({m.group(2)} <> 0)"
+        sql = sql[: m.start()] + repl + sql[m.end():]
+        pos = m.start() + len(repl)
 
 
 def _refuse_ch_only_clauses(sql: str) -> str:
@@ -6157,9 +6187,9 @@ _APPLY_FAMILY_RE = re.compile(
     r"(?i)(?:(\*)|\bCOLUMNS\s*\(\s*'([^']*)'\s*\))"
     r"(\s+EXCEPT\s*(?:STRICT\s+)?\([^)]*\)"
     r"|\s+EXCEPT\s+(?!SELECT\b|ALL\b|DISTINCT\b|STRICT\b)[A-Za-z_]\w*)?"
-    r"((?:\s+APPLY\s*\([^()]*\))*)"
+    r"((?:\s+APPLY\s*(?:\([^()]*\)|[A-Za-z_]\w*))*)"
 )
-_APPLY_FN_RE = re.compile(r"(?i)APPLY\s*\(\s*([A-Za-z_]\w*)\s*\)")
+_APPLY_FN_RE = re.compile(r"(?i)APPLY\s*(\([^()]*\)|[A-Za-z_]\w*)")
 _PLAIN_FROM_RE = re.compile(
     r"(?i)\bFROM\s+((?:`[^`]+`|[A-Za-z_]\w*)"
     r"(?:\.(?:`[^`]+`|[A-Za-z_]\w*))?)"
@@ -6255,12 +6285,17 @@ def rewrite_star_apply(spark, sql: str) -> str:
         if exc:
             names = re.findall(r"[A-Za-z_]\w*", exc.split("EXCEPT", 1)[-1])
             cols = [c for c in cols if c not in names]
-        fns = _APPLY_FN_RE.findall(applies or "")
-        if (applies or "").count("(") != len(fns):
-            raise UntranslatableFunctionError(
-                f"{src}: APPLY supports a plain function name — for "
-                "lambdas or parameterized functions use the DataFrame API"
-            )
+        fns = []
+        for tok in _APPLY_FN_RE.findall(applies or ""):
+            # both CH spellings: APPLY f and APPLY(f)
+            inner = tok[1:-1].strip() if tok.startswith("(") else tok
+            if not re.fullmatch(r"[A-Za-z_]\w*", inner):
+                raise UntranslatableFunctionError(
+                    f"{src}: APPLY supports a plain function name — for "
+                    "lambdas or parameterized functions use the "
+                    "DataFrame API"
+                )
+            fns.append(inner)
         items = []
         for c in cols:
             expr, name = f"`{c}`", c

@@ -251,7 +251,11 @@ def rewrite_join_get(spark: SparkSession, sql: str) -> str:
         cond = " AND ".join(
             f"`{c}` = ({e})" for c, e in zip(key_cols, key_exprs)
         )
-        lookup = f"(SELECT `{attr}` FROM {ref} WHERE {cond})"
+        # any_value enforces ANY strictness even if duplicate keys
+        # slipped in (e.g. a table created before the insert-side
+        # dedupe): CH joinGet never errors on key multiplicity, so the
+        # scalar subquery must not either
+        lookup = f"(SELECT any_value(`{attr}`) FROM {ref} WHERE {cond})"
         if or_null:
             sub = lookup
         else:

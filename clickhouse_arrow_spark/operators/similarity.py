@@ -357,13 +357,33 @@ def ivf_topk_from_index(
     corpus_vec: str = "embedding",
     query_id: str = "query_id",
     query_vec: str = "query_vec",
+    max_query_rows: int = 100_000,
 ) -> DataFrame:
     """Probe a persisted IVF index: only the nprobe bucket DIRECTORIES
     each query needs are read (partition pruning via the centroid_id
     IN-filter — the scan touches nprobe/nlist of the index files).
     Same result schema/semantics as `ivf_topk` over the same
-    centroids."""
+    centroids.
+
+    The probe set is collected to the driver (it becomes the literal
+    partition filter AND the broadcast build side), so its size is a
+    DRIVER-MEMORY contract, not a convention: `max_query_rows` caps it
+    (default 100k queries ~= a few hundred MB of probe rows) and a
+    larger batch raises with the scale-safe alternative — `ivf_topk`
+    joins query-to-bucket distributively with no driver materialization.
+    """
     import os
+
+    n_queries = queries.limit(max_query_rows + 1).count()
+    if n_queries > max_query_rows:
+        raise ValueError(
+            f"query batch exceeds max_query_rows={max_query_rows}: the "
+            "persisted-index probe path collects the probe set to the "
+            "driver for partition pruning + broadcast. For bulk query "
+            "batches use ivf_topk(corpus, queries, ...) — it joins "
+            "queries to buckets distributively — or raise "
+            "max_query_rows explicitly if the driver has headroom."
+        )
 
     cent_rows = (
         spark.read.parquet(os.path.join(path, "centroids"))
@@ -706,11 +726,14 @@ def semantic_decontaminate(
             hit_ids = pdf["_cid"].to_numpy()[best >= threshold]
             yield pd.DataFrame({"_cid": hit_ids})
 
+    # the id keeps its NATIVE type: casting (say) string ids to long
+    # would NULL them all and silently return the corpus unfiltered
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
     c = corpus.select(
-        F.col(corpus_id).cast("long").alias("_cid"),
+        F.col(corpus_id).alias("_cid"),
         F.transform(F.col(corpus_vec), lambda x: x.cast("double")).alias("_cv"),
     )
-    hit = c.mapInPandas(flag, "_cid long").withColumnRenamed(
+    hit = c.mapInPandas(flag, f"_cid {id_type}").withColumnRenamed(
         "_cid", corpus_id
     )
     return corpus.join(hit, corpus_id, "left_anti")

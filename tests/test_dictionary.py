@@ -175,6 +175,19 @@ def test_join_get(client, spark, tables):
             client.query_ch(
                 "SELECT joinGet('joindb.j', 'v', 1, 2)"
             )
+
+        # ANY strictness: a duplicate-key insert is IGNORED (CH dedupes
+        # Join(ANY,...) on insert), so joinGet stays unambiguous — the
+        # first value wins, new keys in the same batch still land
+        client.execute_ch(
+            "INSERT INTO joindb.j VALUES (1, 'uno', 9.9), (3, 'three', 3.5)"
+        )
+        assert spark.table("joindb.j").where("k = 1").count() == 1
+        dup = client.query_ch(
+            "SELECT joinGet('joindb.j', 'v', 1) AS v1, "
+            "joinGet('joindb.j', 'v', 3) AS v3"
+        ).collect()[0]
+        assert dup.v1 == "one" and dup.v3 == "three"
     finally:
         client.execute_ch("DROP TABLE IF EXISTS joindb.j")
         client.execute_ch("DROP DATABASE IF EXISTS joindb")

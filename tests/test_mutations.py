@@ -181,11 +181,51 @@ def test_detach_partition_and_undrop_guided(client):
         "CREATE TABLE default.mut_det (k Int64) "
         "ENGINE = MergeTree() ORDER BY k"
     )
-    with _pt.raises(SchemaError, match="DROP PARTITION removes"):
+    # no physical PARTITION BY column -> guided (file-move needs
+    # Hive-style directories)
+    with _pt.raises(SchemaError, match="PHYSICAL"):
         client.execute_ch("ALTER TABLE default.mut_det DETACH PARTITION 1")
     with _pt.raises(QueryError, match="immediate"):
         client.execute_ch("UNDROP TABLE default.mut_det")
     client.execute_ch("DROP TABLE default.mut_det")
+
+
+def test_detach_attach_partition_roundtrip(client, spark):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl7")
+    spark.sql("DROP TABLE IF EXISTS ddl7.da")
+    client.execute_ch(
+        "CREATE TABLE ddl7.da (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl7.da",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "eu"), (3, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    # DETACH: rows leave the query path, files move to .detached/
+    client.execute_ch("ALTER TABLE ddl7.da DETACH PARTITION 'eu'")
+    assert {r.k for r in spark.table("ddl7.da").collect()} == {3}
+    from clickhouse_arrow_spark.ddl import _table_location
+
+    loc = _table_location(spark, "ddl7.da").replace("file:", "")
+    import os
+
+    assert os.path.isdir(os.path.join(loc, ".detached", "region=eu"))
+    # double-DETACH refuses; ATTACH of a never-detached value refuses
+    with _pt.raises(SchemaError, match="no partition"):
+        client.execute_ch("ALTER TABLE ddl7.da DETACH PARTITION 'eu'")
+    with _pt.raises(SchemaError, match="no detached"):
+        client.execute_ch("ALTER TABLE ddl7.da ATTACH PARTITION 'apac'")
+    # ATTACH: files move back, rows reappear — no data was rewritten
+    client.execute_ch("ALTER TABLE ddl7.da ATTACH PARTITION 'eu'")
+    assert {r.k for r in spark.table("ddl7.da").collect()} == {1, 2, 3}
+    assert not os.path.isdir(os.path.join(loc, ".detached", "region=eu"))
+    spark.sql("DROP TABLE IF EXISTS ddl7.da")
 
 
 def test_truncate_all_tables(client, spark):

@@ -813,6 +813,53 @@ def test_insert_format_inline_data(client, spark):
         client.execute_ch("DROP DATABASE IF EXISTS fmtdb")
 
 
+def test_insert_jsoneachrow_typed_values(client, spark):
+    # booleans land as JSON true/false (not Python 'True'), nested
+    # objects re-serialize as compact JSON, and arrays parse into the
+    # target complex type via from_json
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS fmtdb2")
+    try:
+        client.execute_ch(
+            "CREATE TABLE fmtdb2.t (id UInt64, flag String, meta String, "
+            "arr Array(Int64)) ENGINE = MergeTree ORDER BY id"
+        )
+        client.execute_ch(
+            "INSERT INTO fmtdb2.t FORMAT JSONEachRow "
+            '{"id": 1, "flag": true, "meta": {"a": 1}, "arr": [1, 2]}'
+        )
+        r = spark.table("fmtdb2.t").collect()[0]
+        assert r.flag == "true"
+        assert r.meta == '{"a":1}'
+        assert list(r.arr) == [1, 2]
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS fmtdb2.t")
+        client.execute_ch("DROP DATABASE IF EXISTS fmtdb2")
+
+
+def test_rewrites_skip_string_literals(client):
+    # `WHERE 1` and INTO OUTFILE inside string LITERALS must survive
+    # verbatim — the statement rewrites are literal-aware (_find_clean)
+    r = client.query_ch("SELECT 'x WHERE 1 ORDER' AS s").collect()[0]
+    assert r.s == "x WHERE 1 ORDER"
+    r2 = client.query_ch(
+        "SELECT concat('INTO OUTFILE ', '/tmp/x.csv') AS s"
+    ).collect()[0]
+    assert r2.s == "INTO OUTFILE /tmp/x.csv"
+    # ...while the real forms still rewrite/intercept
+    assert client.query_ch(
+        "SELECT count(*) AS n FROM (SELECT 1 AS x) WHERE 1"
+    ).collect()[0].n == 1
+
+
+def test_extract_groups_escaped_paren(client):
+    # '\\(' at SQL-literal level is an ESCAPED literal paren at regex
+    # level — it must not count as a capture group
+    r = client.query_ch(
+        "SELECT extractGroups('f(1)=2', '\\\\((\\\\d)\\\\)=(\\\\d)') AS g"
+    ).collect()[0]
+    assert list(r.g) == ["1", "2"]
+
+
 def test_now64(client):
     r = client.query_ch(
         "SELECT now64(3) IS NOT NULL AS a, now64() IS NOT NULL AS b, "

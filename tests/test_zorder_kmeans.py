@@ -124,6 +124,33 @@ def test_kmeans_refine_deterministic(spark):
     assert a == b
 
 
+def test_ivf_index_probe_cap_guard(spark, tmp_path, tables):
+    """The persisted-index probe path collects the probe set to the
+    driver; max_query_rows makes that a contract — an oversized query
+    batch raises and names the distributed alternative."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators.similarity import (
+        ivf_topk_from_index,
+        write_ivf_index,
+    )
+
+    emb = spark.table("embeddings")
+    path = str(tmp_path / "ivf_cap")
+    write_ivf_index(emb, path, nlist=4)
+    queries = emb.select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("query_vec")
+    )
+    with pytest.raises(ValueError, match="ivf_topk"):
+        ivf_topk_from_index(spark, path, queries, k=3, max_query_rows=5)
+    # under the cap the same batch probes fine
+    ok = ivf_topk_from_index(
+        spark, path, queries.limit(3), k=3, max_query_rows=5
+    )
+    assert ok.count() > 0
+
+
 def test_ivf_index_write_probe_roundtrip(spark, tmp_path, tables):
     """Persisted IVF index: probe results match the in-memory ivf_topk
     over the same centroids, and the probe scan is partition-pruned

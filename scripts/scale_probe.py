@@ -277,6 +277,19 @@ def main() -> int:
 
     bench("dhash_dedup_docs", dhash_pipeline)
 
+    def dhash_survivors_pipeline():
+        # the DEFAULT terminal at scale: no pair emission — radius 0
+        # survivors come straight off the distinct-hash groupBy
+        imgs = docs.select(
+            "doc_id", (F.col("doc_id") % 5000).alias("img_key")
+        )
+        hashes = mm.image_dhash(
+            mm.attach_ppm_payload(imgs, key_col="img_key")
+        )
+        return mm.dhash_survivors(hashes, max_hamming=0)
+
+    bench("dhash_survivors_docs", dhash_survivors_pipeline)
+
     def resize_pipeline():
         imgs = docs.select(
             "doc_id", (F.col("doc_id") % 5000).alias("img_key")
@@ -287,10 +300,8 @@ def main() -> int:
 
     bench("resize_images_docs", resize_pipeline)
 
-    def video_pipeline():
+    def synth_videos():
         import pandas as _pd
-
-        from pyspark.sql import types as _T
 
         def synth(batches):
             for pdf in batches:
@@ -313,12 +324,20 @@ def main() -> int:
                     {"doc_id": pdf["doc_id"], "video": payloads}
                 )
 
-        vids = docs.select("doc_id").mapInPandas(
+        return docs.select("doc_id").mapInPandas(
             synth, "doc_id long, video binary"
         )
-        return mm.video_neardup(vids, every_n=2, min_shared=2)
 
-    bench("video_neardup_docs", video_pipeline)
+    bench(
+        "video_neardup_docs",
+        lambda: mm.video_neardup(synth_videos(), every_n=2, min_shared=2),
+    )
+    # survivor terminal: identical fingerprints collapse to one rep
+    # BEFORE the candidate join — no quadratic pair term
+    bench(
+        "video_survivors_docs",
+        lambda: mm.video_survivors(synth_videos(), every_n=2, min_shared=2),
+    )
 
     def audio_pipeline():
         clips = docs.select("doc_id")

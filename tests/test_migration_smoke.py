@@ -513,6 +513,133 @@ QUERIES = [
      "WHERE pointInEllipses(o_orderkey % 10, o_orderkey % 7, "
      "5, 3, 6, 5) = 1",
      (1, 1)),
+    # ---- round 7: waves 13-19 + STALENESS composed into realistic
+    # dashboard/ETL statements (121 -> 150) -----------------------------
+    # WITH FILL STALENESS on a sparse daily series (monitoring panel)
+    ("SELECT o_orderdate AS d, count() AS n FROM orders "
+     "WHERE o_orderkey % 97 = 0 GROUP BY d "
+     "ORDER BY d WITH FILL STEP INTERVAL 1 DAY STALENESS INTERVAL 3 DAY",
+     (1, 100000)),
+    # STALENESS + INTERPOLATE carry in one clause
+    ("SELECT o_orderkey AS k, max(o_totalprice) AS p FROM orders "
+     "WHERE o_orderkey % 11 = 0 AND o_orderkey < 150 GROUP BY k "
+     "ORDER BY k WITH FILL FROM 1 TO 150 STALENESS 4 INTERPOLATE (p)",
+     (1, 150)),
+    # indexHint in a WHERE composed with a real filter (CH superset)
+    ("SELECT count() AS n FROM orders "
+     "WHERE indexHint(o_orderkey > 0) AND o_orderstatus = 'O'",
+     (1, 1)),
+    # view() wrapper + aggregate (docs idiom for parameterized views)
+    ("SELECT count() AS n FROM view(SELECT o_custkey FROM orders "
+     "WHERE o_totalprice > 1000)",
+     (1, 1)),
+    # tupleNames introspection on a typed tuple
+    ("SELECT tupleNames(CAST((1, 'x') AS Tuple(id Int64, tag String))) "
+     "AS names",
+     (1, 1)),
+    # toDecimalString for money formatting in a report column
+    ("SELECT toDecimalString(sum(o_totalprice), 2) AS total FROM orders",
+     (1, 1)),
+    # extractKeyValuePairs over synthesized kv-log lines
+    ("SELECT mapKeys(extractKeyValuePairs("
+     "concat('k:', toString(o_orderkey), ', s:', o_orderstatus))) AS ks "
+     "FROM orders LIMIT 5",
+     (5, 5)),
+    # XML-encode a report cell + firstLine of a multiline text
+    ("SELECT encodeXMLComponent(text) AS enc, "
+     "firstLine(text) AS fl FROM documents LIMIT 5",
+     (5, 5)),
+    # character ngrams + splitByNonAlpha in a tokenization pipeline
+    ("SELECT length(ngrams(lower(text), 3)) AS n3, "
+     "length(splitByNonAlpha(text)) AS toks FROM documents LIMIT 5",
+     (5, 5)),
+    # Joda-syntax epoch formatting (migration from legacy dashboards)
+    ("SELECT fromUnixTimestampInJodaSyntax(1700000000 + o_orderkey, "
+     "'yyyy-MM-dd HH:mm') AS t FROM orders LIMIT 3",
+     (3, 3)),
+    # timeDiff + addInterval SLA arithmetic
+    ("SELECT o_orderkey, timeDiff(toDateTime(o_orderdate), "
+     "toDateTime(addInterval(o_orderdate, INTERVAL 2 DAY))) AS sla_s "
+     "FROM orders LIMIT 4",
+     (4, 4)),
+    # toLastDayOfWeek bucketing (CH mode-0 weeks)
+    ("SELECT toLastDayOfWeek(o_orderdate) AS wk, count() AS n "
+     "FROM orders GROUP BY wk ORDER BY wk LIMIT 10",
+     (1, 10)),
+    # mapReverseSort + countMap merged-map aggregation
+    ("SELECT countMap(map(o_orderstatus, 1))[o] AS n FROM "
+     "(SELECT o_orderstatus, 'O' AS o FROM orders) GROUP BY o",
+     (1, 1)),
+    # generateULID structural check inside a SELECT list
+    ("SELECT generateULID() AS id, o_orderkey FROM orders LIMIT 2",
+     (2, 2)),
+    # star APPLY over a join scope (round-6 scope analysis)
+    ("SELECT c_acctbal, o_totalprice FROM "
+     "(SELECT * EXCEPT (o_orderdate) FROM orders "
+     "JOIN customer ON o_custkey = c_custkey LIMIT 10) "
+     "LIMIT 10",
+     (10, 10)),
+    # COLUMNS regex projection + aggregation
+    ("SELECT COLUMNS('^o_total') APPLY sum FROM orders",
+     (1, 1)),
+    # tuple-IN with literal tuples (generated filters)
+    ("SELECT count() AS n FROM orders WHERE "
+     "(o_orderstatus, o_orderpriority) IN (('O', '1-URGENT'), "
+     "('F', '2-HIGH'))",
+     (1, 1)),
+    # = ANY quantified subquery (ORM-generated)
+    ("SELECT count() AS n FROM customer WHERE c_nationkey = ANY "
+     "(SELECT n_nationkey FROM nation WHERE n_regionkey = 1)",
+     (1, 1)),
+    # LIMIT WITH TIES on a ranked report
+    ("SELECT o_orderpriority FROM orders ORDER BY o_orderpriority "
+     "LIMIT 3 WITH TIES",
+     (3, 100000)),
+    # combinator chain: sumIf + avgIf + countIfDistinct in one pass
+    ("SELECT sumIf(o_totalprice, o_orderstatus = 'O') AS s, "
+     "avgIf(o_totalprice, o_orderstatus = 'F') AS a, "
+     "countIfDistinct(o_custkey, o_totalprice > 1000) AS u FROM orders",
+     (1, 1)),
+    # parametric + If: quantileIf and groupArrayIf capped collect
+    ("SELECT quantileIf(0.9)(o_totalprice, o_orderstatus = 'O') AS p90, "
+     "length(groupArrayIf(5)(o_orderkey, o_totalprice > 100)) AS tail "
+     "FROM orders",
+     (1, 1)),
+    # -State/-Merge two-level rollup through a subquery (matview shape)
+    ("SELECT countMerge(c) AS n, round(sumMerge(s), 2) AS rev FROM "
+     "(SELECT o_orderstatus, countState(o_orderkey) AS c, "
+     "sumState(o_totalprice) AS s FROM orders GROUP BY o_orderstatus)",
+     (1, 1)),
+    # GROUP BY () global aggregate (generated SQL)
+    ("SELECT count() AS n, uniq(o_custkey) AS u FROM orders GROUP BY ()",
+     (1, 1)),
+    # numbers() TVF driving a synthetic calendar join
+    ("SELECT count() AS n FROM numbers(30) t "
+     "JOIN orders ON o_orderkey % 30 = t.number",
+     (1, 1)),
+    # WINDOW clause shared by two window functions
+    ("SELECT o_custkey, sum(o_totalprice) OVER w AS run, "
+     "row_number() OVER w AS rn FROM orders "
+     "WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderkey) LIMIT 10",
+     (10, 10)),
+    # PREWHERE composed with WHERE (CH read-optimization spelling)
+    ("SELECT count() AS n FROM orders PREWHERE o_totalprice > 500 "
+     "WHERE o_orderstatus = 'O'",
+     (1, 1)),
+    # array-literal IN set + NOT IN subquery in one predicate
+    ("SELECT count() AS n FROM orders WHERE o_orderstatus IN ['O', 'F'] "
+     "AND o_custkey NOT IN (SELECT c_custkey FROM customer "
+     "WHERE c_acctbal < 0)",
+     (1, 1)),
+    # isIPAddressInRange + bit functions (security dashboard shape)
+    ("SELECT countIf(isIPAddressInRange("
+     "concat('10.0.', toString(o_orderkey % 256), '.1'), '10.0.0.0/16'))"
+     " AS hits FROM orders LIMIT 1",
+     (1, 1)),
+    # multiSearchAny routing filter over document text
+    ("SELECT count() AS n FROM documents "
+     "WHERE multiSearchAny(text, ['the', 'data', 'engine'])",
+     (1, 1)),
 ]
 
 

@@ -519,6 +519,8 @@ class Client:
         sql = self._rewrite_system_tables(sql)
         if "ch_variant_type(" in sql:
             self._ensure_variant_udf()
+        if "ch_normalize_" in sql:
+            self._ensure_normalize_udfs()
         if params:
             sql = bind_params(sql, params)
         df = self._run(sql, qid)
@@ -954,13 +956,29 @@ class Client:
                     continue
                 self.spark.sql(f"TRUNCATE TABLE `{t.database}`.`{t.name}`")
             return None
+        m = _re.match(
+            r"(?is)^\s*(DETACH|ATTACH)\s+TABLE\s+([\w.`]+)"
+            r"(?:\s+PERMANENTLY)?\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH keep-the-data semantics: DDL snapshot + directory move
+            # (PERMANENTLY only affects CH server restarts — no-op here)
+            from clickhouse_arrow_spark.ddl import (
+                attach_table,
+                detach_table,
+            )
+
+            if m.group(1).upper() == "DETACH":
+                detach_table(self.spark, m.group(2))
+            else:
+                attach_table(self.spark, m.group(2))
+            return None
         if _re.match(r"(?is)^\s*(DETACH|ATTACH)\s+TABLE\b", ch_sql):
             raise QueryError(
-                "DETACH/ATTACH TABLE: Spark's catalog has no detached "
-                "state. For keep-the-data semantics use an EXTERNAL "
-                "table (CREATE TABLE ... USING PARQUET LOCATION "
-                "'<path>') — DROP then leaves the files, and the same "
-                "CREATE re-attaches them."
+                "DETACH/ATTACH TABLE: one plain table name is supported "
+                "(DETACH TABLE db.t [PERMANENTLY]); ON CLUSTER and "
+                "ATTACH-with-schema forms are not"
             )
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
@@ -1972,6 +1990,28 @@ class Client:
             return
         self.spark.udf.register("ch_variant_type", _ch_variant_type_name, "string")
         self._variant_udf_registered = True
+
+    def _ensure_normalize_udfs(self) -> None:
+        """Register the normalizeUTF8* family once per client —
+        Arrow-batched pandas UDFs over stdlib unicodedata (the dialect
+        compiles normalizeUTF8NFC -> ch_normalize_nfc etc.)."""
+        if self.__dict__.get("_normalize_udfs_registered"):
+            return
+        from pyspark.sql.functions import pandas_udf
+
+        from clickhouse_arrow_spark.functions.ch_functions import (
+            _unicode_normalize_fn,
+        )
+
+        for form in ("NFC", "NFD", "NFKC", "NFKD"):
+            fn = _unicode_normalize_fn(form)
+            self.spark.udf.register(
+                f"ch_normalize_{form.lower()}",
+                pandas_udf(
+                    lambda s, _fn=fn: s.map(_fn), "string"
+                ),
+            )
+        self._normalize_udfs_registered = True
 
     def fetch_schemas(self) -> list[str]:
         """List databases, excluding system ones (reference

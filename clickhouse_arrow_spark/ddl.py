@@ -1282,6 +1282,95 @@ def detach_attach_partition(
     spark.sql(f"REFRESH TABLE {table}")
 
 
+def detach_table(spark: SparkSession, table: str) -> None:
+    """ClickHouse `DETACH TABLE t`: the table leaves the catalog but
+    its data stays on disk, re-attachable by name. Implemented as a
+    DDL snapshot + directory move: SHOW CREATE TABLE text is written
+    into the table directory, the directory renames into a
+    `.detached_tables/` area beside it (Hadoop FS rename — metadata
+    cost), and the catalog entry drops (its data is already gone, so
+    DROP removes metadata only)."""
+    ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+    loc = _table_location(spark, table).rstrip("/")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(loc).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    name = loc.rsplit("/", 1)[-1]
+    parent = loc.rsplit("/", 1)[0]
+    det = hpath(f"{parent}/.detached_tables/{name}")
+    if fs.exists(det):
+        raise SchemaError(
+            f"DETACH TABLE: {table} is already detached — ATTACH it "
+            f"first or remove {parent}/.detached_tables/{name}"
+        )
+    out = fs.create(hpath(f"{loc}/__cas_ddl.sql"), True)
+    out.write(bytearray(ddl.encode("utf-8")))
+    out.close()
+    fs.mkdirs(hpath(f"{parent}/.detached_tables"))
+    fs.rename(hpath(loc), det)
+    spark.sql(f"DROP TABLE {table}")
+
+
+def attach_table(spark: SparkSession, table: str) -> None:
+    """ClickHouse `ATTACH TABLE t`: re-register a detached table from
+    its on-disk snapshot — recreate from the saved DDL, move the data
+    directory back, refresh (and recover partitions when physical)."""
+    db = table.split(".")[0].strip("`") if "." in table else "default"
+    name = table.split(".")[-1].strip("`")
+    loc_guess = None
+    try:
+        dbloc = (
+            spark.sql(f"DESCRIBE DATABASE {db}")
+            .where("info_name = 'Location'")
+            .collect()[0]["info_value"]
+        )
+        loc_guess = f"{dbloc.rstrip('/')}/{name}"
+    except Exception:
+        pass
+    if loc_guess is None:
+        raise SchemaError(f"ATTACH TABLE: database {db} not found")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(loc_guess).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    parent = loc_guess.rsplit("/", 1)[0]
+    det = f"{parent}/.detached_tables/{name}"
+    if not fs.exists(hpath(det)):
+        raise SchemaError(
+            f"ATTACH TABLE: no detached table {name!r} under "
+            f"{parent}/.detached_tables/ — DETACH TABLE writes there"
+        )
+    stream = fs.open(hpath(f"{det}/__cas_ddl.sql"))
+    try:
+        chunks = []
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        line = buf.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = buf.readLine()
+        ddl = "\n".join(chunks)
+    finally:
+        stream.close()
+    fs.delete(hpath(f"{det}/__cas_ddl.sql"), False)
+    spark.sql(ddl)
+    loc = _table_location(spark, f"`{db}`.`{name}`").rstrip("/")
+    fs.delete(hpath(loc), True)
+    fs.rename(hpath(det), hpath(loc))
+    spark.sql(f"REFRESH TABLE `{db}`.`{name}`")
+    pcols = [
+        c.name
+        for c in spark.catalog.listColumns(f"{db}.{name}")
+        if c.isPartition
+    ]
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}`")
+
+
 def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     """ClickHouse ALTER forms with no direct Spark-parquet statement:
 

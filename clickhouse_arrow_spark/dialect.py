@@ -263,10 +263,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "punycodeDecode": "no JVM punycode builtin; decode upstream or in a pandas UDF",
     "idnaEncode": "no JVM IDNA builtin; encode upstream or in a pandas UDF",
     "idnaDecode": "no JVM IDNA builtin; decode upstream or in a pandas UDF",
-    "normalizeUTF8NFC": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
-    "normalizeUTF8NFD": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
-    "normalizeUTF8NFKC": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
-    "normalizeUTF8NFKD": "no JVM ICU normalizer exposed; normalize upstream or in a pandas UDF",
     "stem": "no JVM stemmer; operators/text token pipeline + a pandas UDF",
     "lgamma": "no JVM log-gamma builtin; a pandas UDF (scipy.special.gammaln shape) or precompute upstream",
     "tgamma": "no JVM gamma builtin; factorial() covers integer points, else a pandas UDF",
@@ -1973,11 +1969,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "toIntervalYear": "make_ym_interval({0})",
         }[name]
         return lambda a: slot.format(a[0])
+    if name in ("normalizeUTF8NFC", "normalizeUTF8NFD",
+                "normalizeUTF8NFKC", "normalizeUTF8NFKD"):
+        # Arrow-batched unicodedata UDFs the client registers lazily
+        # (functions/ch_functions.unicode_normalize; no JVM ICU
+        # normalizer is exposed to Spark SQL)
+        form = name[len("normalizeUTF8"):].lower()
+        return lambda a, f=form: f"ch_normalize_{f}({a[0]})"
+    if name == "arrayStringConcat":
+        # CH defaults the separator to '' when omitted
+        return lambda a: (
+            f"array_join({a[0]}, {a[1] if len(a) > 1 else chr(39) * 2})"
+        )
     if name == "parseDateTimeBestEffort":
-        # best-effort subset: ISO-ish strings parse identically; CH's
-        # wilder formats (unix ts strings, DD/MM) do not — documented
-        # narrowing, better than an unresolved function
-        return lambda a: f"to_timestamp({a[0]})"
+        # best-effort chain (CH parser-ast subset): ISO forms via the
+        # native cast, then the common human formats CH accepts, then
+        # 9-10 digit strings as unix seconds; unparseable input raises
+        # (CH throws too) via raise_error
+        return lambda a: (
+            f"coalesce({_best_effort_ts(a[0])}, "
+            f"CAST(raise_error(concat('parseDateTimeBestEffort: cannot "
+            f"parse ', {a[0]})) AS TIMESTAMP))"
+        )
     if name in ("plus", "minus", "multiply", "negate", "max2", "min2"):
         # CH exposes its operators as named functions too
         slot = {
@@ -3584,10 +3597,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"coalesce({base(a)}, '00000000-0000-0000-0000-000000000000')"
         )
     if name in ("parseDateTimeBestEffortOrNull", "parseDateTime32BestEffortOrNull"):
-        return lambda a: f"try_to_timestamp({a[0]})"
+        return lambda a: _best_effort_ts(a[0])
     if name in ("parseDateTimeBestEffortOrZero", "parseDateTime32BestEffortOrZero"):
         return (
-            lambda a: f"coalesce(try_to_timestamp({a[0]}), "
+            lambda a: f"coalesce({_best_effort_ts(a[0])}, "
             f"TIMESTAMP '1970-01-01 00:00:00')"
         )
     if name == "toString" :
@@ -3719,6 +3732,42 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
 
 #: parametric aggregates: name(params)(args) -> formatter(params, args)
+def _best_effort_ts(x: str) -> str:
+    """ClickHouse parseDateTimeBestEffort's format chain as one
+    coalesce of try_to_timestamp attempts (NULL when nothing fits):
+    ISO via the native cast, slashed dates, day-first and month-first
+    human forms, RFC-1123, and 9-10 digit strings as unix seconds —
+    the formats CH's best-effort parser documents."""
+    tries = ", ".join(
+        [f"try_to_timestamp({x})"]
+        + [
+            f"try_to_timestamp({x}, '{fmt}')"
+            for fmt in (
+                "yyyy/MM/dd HH:mm:ss",
+                "yyyy/MM/dd",
+                "dd MMM yyyy HH:mm:ss",
+                "dd MMM yyyy",
+                "MMM dd yyyy HH:mm:ss",
+                "MMM dd yyyy",
+                "dd/MM/yyyy HH:mm:ss",
+                "dd/MM/yyyy",
+                "yyyyMMddHHmmss",
+            )
+        ]
+        + [
+            # RFC-1123: Spark >= 3 refuses day-of-week in PARSE
+            # patterns, so strip the weekday prefix instead
+            f"try_to_timestamp(regexp_replace({x}, "
+            f"'^[A-Za-z]{{3}},\\\\s*', ''), 'dd MMM yyyy HH:mm:ss')",
+        ]
+        + [
+            f"IF({x} RLIKE '^[0-9]{{9,10}}$', "
+            f"timestamp_seconds(CAST({x} AS BIGINT)), NULL)"
+        ]
+    )
+    return f"coalesce({tries})"
+
+
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # size-capped collection: groupArray(n)(x) keeps the first n
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
@@ -3751,6 +3800,12 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # internal representation — exact percentile is a value superset
     "quantileTiming": lambda p, a: f"percentile({a[0]}, {p[0]})",
     "quantileDeterministic": lambda p, a: f"percentile({a[0]}, {p[0]})",
+    # DDSketch: quantileDD(relative_accuracy, level)(x) — exact
+    # percentile is a value superset of any relative-accuracy sketch
+    "quantileDD": lambda p, a: f"percentile({a[0]}, {p[1]})",
+    "quantilesDD": lambda p, a: (
+        f"percentile({a[0]}, array({', '.join(p[1:])}))"
+    ),
     "quantilesTiming": lambda p, a: (
         f"percentile({a[0]}, array({', '.join(p)}))"
     ),

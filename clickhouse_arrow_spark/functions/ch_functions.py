@@ -530,3 +530,34 @@ def html_unescape(col) -> Column:
         "string",
     )
     return _unescape(col)
+
+
+def unicode_normalize(col, form: str = "NFC") -> Column:
+    """`normalizeUTF8NFC/NFD/NFKC/NFKD` analogue: stdlib
+    `unicodedata.normalize`, Arrow-batched (one pandas map per batch —
+    the same posture as html_unescape; there is no JVM ICU normalizer
+    exposed to Spark SQL)."""
+    import unicodedata
+
+    from pyspark.sql.functions import pandas_udf
+
+    form = form.upper()
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form {form!r}")
+    _norm = pandas_udf(
+        lambda s: s.map(
+            lambda v: None if v is None else unicodedata.normalize(form, v)
+        ),
+        "string",
+    )
+    return _norm(col)
+
+
+def _unicode_normalize_fn(form: str):
+    """Plain-python row fn for session UDF registration (dialect path)."""
+    import unicodedata
+
+    def fn(v):
+        return None if v is None else unicodedata.normalize(form, v)
+
+    return fn

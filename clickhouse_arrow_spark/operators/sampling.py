@@ -161,3 +161,71 @@ def select_token_budget(
         ranged.select(*df.columns, cum)
         .where(F.col("cum_tokens") <= budget)
     )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    n: int,
+    order_col: str,
+    id_col: str = "doc_id",
+    descending: bool = True,
+) -> DataFrame:
+    """Per-group row cap: keep the top `n` rows of every group ranked
+    by (`order_col` DESC|ASC, `id_col` ASC — deterministic ties). The
+    per-domain/per-source cap of a crawl pipeline (a handful of hosts
+    dominate any crawl; capping them is the standard balancing step
+    before mixing).
+
+    One keyed exchange (the window's hash partition on the group);
+    ranking is per-group, so no global sort ever forms and skewed
+    groups cost only their own partition's sort. Exact SQL oracle:
+    row_number() window.
+    """
+    from pyspark.sql import Window
+
+    order = (
+        F.col(order_col).desc() if descending else F.col(order_col).asc()
+    )
+    w = Window.partitionBy(group_col).orderBy(order, F.col(id_col).asc())
+    return (
+        df.withColumn("_cas_rn", F.row_number().over(w))
+        .where(F.col("_cas_rn") <= n)
+        .drop("_cas_rn")
+    )
+
+
+def token_cap_per_group(
+    df: DataFrame,
+    group_col: str,
+    budget: int,
+    token_col: str,
+    id_col: str = "doc_id",
+    quality_col: str | None = None,
+) -> DataFrame:
+    """Per-group TOKEN budget: walk each group's rows in (quality DESC,
+    id ASC) order and keep rows while the running token total stays
+    within `budget` (documents never split; the first overflowing
+    document and everything after it drop). The per-source token quota
+    of a mixing recipe — `select_token_budget`'s GLOBAL cut, applied
+    independently inside every source.
+
+    Same single keyed exchange as `cap_per_group`; the running sum is
+    one window frame, exact-oracle-able with a SQL running SUM.
+    """
+    from pyspark.sql import Window
+
+    order = [F.col(id_col).asc()]
+    if quality_col is not None:
+        order = [F.col(quality_col).desc()] + order
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(token_col).cast("long")).over(w)
+    return (
+        df.withColumn("_cas_cum", running)
+        .where(F.col("_cas_cum") <= budget)
+        .withColumnRenamed("_cas_cum", "cum_tokens")
+    )

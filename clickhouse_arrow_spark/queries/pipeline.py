@@ -4383,6 +4383,161 @@ def q_util_sweep_wave18(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_source_caps",
+    """
+    WITH ranked AS (
+      SELECT source, n_chars,
+             row_number() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id ASC) AS rn
+      FROM documents
+    ), capped AS (
+      SELECT source, n_chars FROM ranked WHERE rn <= 30
+    ), running AS (
+      SELECT source, n_chars,
+             sum(n_chars) OVER (PARTITION BY source
+               ORDER BY doc_id ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents
+    ), toks AS (
+      SELECT source, count(*) AS tn, CAST(sum(n_chars) AS BIGINT) AS tc
+      FROM running WHERE cum <= 5000 GROUP BY source
+    )
+    SELECT c.source,
+           CAST(count(*) AS BIGINT) AS kept_rows,
+           CAST(sum(c.n_chars) AS BIGINT) AS kept_chars,
+           any_value(t.tn) AS budget_rows,
+           any_value(t.tc) AS budget_chars
+    FROM capped c JOIN toks t ON c.source = t.source
+    GROUP BY c.source ORDER BY c.source
+    """,
+    doc="Per-source caps (operators/sampling.cap_per_group + "
+    "token_cap_per_group): the crawl-pipeline balancing step — keep "
+    "at most 30 docs per source (ranked n_chars DESC, id ASC) and, "
+    "independently, keep each source's id-ordered prefix within a "
+    "5000-char budget. Both are ONE keyed window exchange; skewed "
+    "sources cost only their own partition's sort. Exact row_number/"
+    "running-SUM oracles.",
+    tags=("sampling", "pipeline", "caps"),
+)
+def q_doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import sampling
+
+    docs = spark.table("documents")
+    capped = sampling.cap_per_group(docs, "source", 30, "n_chars")
+    row_side = capped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    budgeted = sampling.token_cap_per_group(
+        docs, "source", 5000, "n_chars"
+    )
+    tok_side = budgeted.groupBy("source").agg(
+        F.count(F.lit(1)).alias("budget_rows"),
+        F.sum("n_chars").cast("bigint").alias("budget_chars"),
+    )
+    return row_side.join(tok_side, "source").orderBy("source")
+
+
+@register(
+    "vector_cluster_balanced",
+    """
+    SELECT TRUE AS caps_hold, TRUE AS totals_exact,
+           TRUE AS subset_of_corpus, TRUE AS deterministic
+    """,
+    doc="Cluster-balanced (diversity) sampling — one lazy composition: "
+    "ivf_assign buckets the embeddings (zero-shuffle literal-centroid "
+    "argmax), cap_per_group keeps <= cap per cluster (one keyed window "
+    "exchange). The embedding-space analogue of per-source caps: "
+    "training-data builds use it to keep dense semantic regions from "
+    "dominating a mixture. Gate pins the composition's invariants — "
+    "per-cluster counts never exceed the cap, the kept total equals "
+    "sum(min(cap, cluster_n)) computed independently, the sample is a "
+    "subset of the corpus, and re-running reproduces it exactly "
+    "(deterministic centroids + deterministic tie-breaks).",
+    tags=("similarity", "sampling", "pipeline"),
+)
+def q_vector_cluster_balanced(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import sampling, similarity
+
+    emb = spark.table("embeddings")
+    cents = similarity.deterministic_centroids(emb, 8)
+    assigned = similarity.ivf_assign(emb, cents)
+    kept = sampling.cap_per_group(
+        assigned, "centroid_id", 10, "vec_id", id_col="vec_id",
+        descending=False,
+    )
+    per_cluster = kept.groupBy("centroid_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    caps_hold = per_cluster.agg(
+        F.max("n").alias("m")
+    ).collect()[0]["m"] <= 10
+    expected_total = (
+        assigned.groupBy("centroid_id")
+        .agg(F.least(F.count(F.lit(1)), F.lit(10)).alias("k"))
+        .agg(F.sum("k"))
+        .collect()[0][0]
+    )
+    total_exact = kept.count() == expected_total
+    subset = kept.select("vec_id").exceptAll(emb.select("vec_id")).count() == 0
+    rerun = sampling.cap_per_group(
+        similarity.ivf_assign(emb, similarity.deterministic_centroids(emb, 8)),
+        "centroid_id", 10, "vec_id", id_col="vec_id", descending=False,
+    )
+    deterministic = (
+        kept.select("vec_id").exceptAll(rerun.select("vec_id")).count() == 0
+        and rerun.select("vec_id").exceptAll(kept.select("vec_id")).count()
+        == 0
+    )
+    return spark.createDataFrame(
+        [(bool(caps_hold), bool(total_exact), bool(subset),
+          bool(deterministic))],
+        "caps_hold boolean, totals_exact boolean, "
+        "subset_of_corpus boolean, deterministic boolean",
+    )
+
+
+@register(
+    "util_sweep_wave20",
+    """
+    SELECT 'ab' AS s1, '2024-03-15 00:00:00' AS t1, 'none' AS t2,
+           '2023-11-14 22:13:20' AS t3, '2024-03-15 10:00:00' AS t4,
+           '1970-01-01 00:00:00' AS t5, CAST(5.0 AS DOUBLE) AS q,
+           TRUE AS nfc_ok, CAST(2 AS INT) AS nfd_len, '1' AS nfkc1
+    """,
+    doc="Round-7 probe-sweep wave 20 (gap probe over 56 common CH "
+    "idioms -> 3 fixes, exact literal oracle): 1-arg arrayStringConcat "
+    "(CH defaults the separator to ''), the parseDateTimeBestEffort "
+    "family as a real multi-format chain (ISO cast, slashed dates, "
+    "day-first/month-first human forms, RFC-1123 via weekday strip — "
+    "Spark 3+ refuses EEE in parse patterns — and 9-10 digit unix "
+    "seconds; strict form raises like CH, OrNull/OrZero coalesce), and "
+    "quantileDD/quantilesDD (DDSketch parametrics; exact percentile is "
+    "a value superset of any relative-accuracy sketch).",
+    tags=("dialect", "sweep", "wave20"),
+)
+def q_util_sweep_wave20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT arrayStringConcat(['a', 'b']) AS s1, "
+        "toString(parseDateTimeBestEffort('15 Mar 2024')) AS t1, "
+        "coalesce(toString(parseDateTimeBestEffortOrNull('garbage')), "
+        "'none') AS t2, "
+        "toString(parseDateTimeBestEffortOrNull('1700000000')) AS t3, "
+        "toString(parseDateTimeBestEffortOrNull("
+        "'Fri, 15 Mar 2024 10:00:00')) AS t4, "
+        "toString(parseDateTimeBestEffortOrZero('zzz')) AS t5, "
+        "(SELECT quantileDD(0.01, 0.5)(number) FROM numbers(11)) AS q, "
+        # normalizeUTF8 family: NFC composes e+combining-acute into é,
+        # NFD decomposes it back to 2 codepoints, NFKC folds ① to '1'
+        "normalizeUTF8NFC(normalizeUTF8NFD('é')) = 'é' AS nfc_ok, "
+        "CAST(length(normalizeUTF8NFD('é')) AS Int32) AS nfd_len, "
+        "normalizeUTF8NFKC('①') AS nfkc1"
+    )
+
+
+@register(
     "vector_semantic_decontaminate",
     """
     WITH bench AS (

@@ -228,6 +228,40 @@ def test_detach_attach_partition_roundtrip(client, spark):
     spark.sql("DROP TABLE IF EXISTS ddl7.da")
 
 
+def test_detach_attach_table_roundtrip(client, spark):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl7")
+    spark.sql("DROP TABLE IF EXISTS ddl7.dt")
+    client.execute_ch(
+        "CREATE TABLE ddl7.dt (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl7.dt",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    client.execute_ch("DETACH TABLE ddl7.dt")
+    assert not spark.catalog.tableExists("ddl7.dt")
+    # double-detach of a gone table fails on the catalog lookup
+    with _pt.raises(Exception):
+        client.execute_ch("DETACH TABLE ddl7.dt")
+    # ATTACH restores rows, partitions, and CH table props
+    client.execute_ch("ATTACH TABLE ddl7.dt PERMANENTLY")
+    got = sorted((r.k, r.region) for r in spark.table("ddl7.dt").collect())
+    assert got == [(1, "eu"), (2, "us")]
+    props = {r["key"] for r in
+             spark.sql("SHOW TBLPROPERTIES ddl7.dt").collect()}
+    assert "clickhouse_arrow_spark.engine" in props
+    with _pt.raises(SchemaError, match="no detached"):
+        client.execute_ch("ATTACH TABLE ddl7.dt")
+    spark.sql("DROP TABLE IF EXISTS ddl7.dt")
+
+
 def test_truncate_all_tables(client, spark):
     client.execute_ch("CREATE DATABASE IF NOT EXISTS truncdb")
     client.execute_ch("DROP TABLE IF EXISTS truncdb.a")

@@ -1765,6 +1765,32 @@ def test_semantic_decontaminate_drops_clones(spark):
     assert "MapInPandas" in plan and "CartesianProduct" not in plan
 
 
+def test_cap_per_group_and_token_cap(spark):
+    from clickhouse_arrow_spark.operators import sampling
+
+    df = spark.createDataFrame(
+        [(1, "a", 10), (2, "a", 30), (3, "a", 20), (4, "b", 5),
+         (5, "b", 5)],
+        "doc_id BIGINT, source STRING, tokens BIGINT",
+    )
+    top2 = sampling.cap_per_group(df, "source", 2, "tokens")
+    got = sorted((r.source, r.doc_id) for r in top2.collect())
+    # a keeps its two largest (30, 20); ties in b break by id
+    assert got == [("a", 2), ("a", 3), ("b", 4), ("b", 5)]
+
+    capped = sampling.token_cap_per_group(df, "source", 35, "tokens")
+    kept = sorted((r.source, r.doc_id, r.cum_tokens)
+                  for r in capped.collect())
+    # a: 10, then 10+30=40 > 35 stops after doc 1; b: 5, 10 both fit
+    assert kept == [("a", 1, 10), ("b", 4, 5), ("b", 5, 10)]
+
+    # the window partitions on the GROUP key — never a global
+    # single-partition sort
+    plan = top2._jdf.queryExecution().executedPlan().toString()
+    assert "hashpartitioning(source" in plan
+    assert "SinglePartition" not in plan
+
+
 def test_semantic_decontaminate_string_ids(spark):
     # non-numeric ids keep their native type — a long cast would NULL
     # them and silently return the corpus unfiltered

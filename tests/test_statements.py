@@ -74,7 +74,8 @@ def test_with_fill_extraction():
         "SELECT d, n FROM t ORDER BY d WITH FILL FROM 1 TO 10 STEP 2"
     )
     assert spec == {
-        "col": "d", "start": 1, "end": 10, "step": 2, "interpolate": {},
+        "col": "d", "start": 1, "end": 10, "step": 2, "staleness": None,
+        "interpolate": {},
     }
     assert "WITH FILL" not in sql and "ORDER BY d" in sql
     sql2, spec2 = extract_with_fill("SELECT 1 AS x ORDER BY x")

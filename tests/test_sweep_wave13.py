@@ -342,6 +342,45 @@ def test_index_hint_is_superset_contract(ch):
         ch.query_ch("SELECT tupleToNameValuePairs((1, 2)) AS p")
 
 
+def test_wave20_best_effort_and_gaps(ch):
+    r = one(
+        ch,
+        "SELECT arrayStringConcat(['x', 'y']) AS s, "
+        "toString(parseDateTimeBestEffortOrNull('2024/03/15 10:20:30')) "
+        "AS a, "
+        "toString(parseDateTimeBestEffortOrNull('Mar 15 2024')) AS b, "
+        "parseDateTimeBestEffortOrNull('not a date') AS c, "
+        "toString(parseDateTimeBestEffortOrZero('nope')) AS z, "
+        "quantileDD(0.01, 0.25)(number) AS q FROM numbers(5)",
+    )
+    assert r["s"] == "xy"
+    assert r["a"] == "2024-03-15 10:20:30"
+    assert r["b"] == "2024-03-15 00:00:00"
+    assert r["c"] is None
+    assert r["z"] == "1970-01-01 00:00:00"
+    assert r["q"] == 1.0
+    # strict form raises like ClickHouse
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="cannot parse"):
+        ch.query_ch("SELECT parseDateTimeBestEffort('@@@') AS t").collect()
+
+
+def test_wave20_unicode_normalize(ch):
+    import unicodedata
+
+    dec = unicodedata.normalize("NFD", "é")  # e + combining acute
+    r = one(
+        ch,
+        f"SELECT normalizeUTF8NFC('{dec}') AS c, "
+        "length(normalizeUTF8NFD('é')) AS dl, "
+        "normalizeUTF8NFKC('①') AS k, "
+        "normalizeUTF8NFKD('ﬁ') AS lig",
+    )
+    assert r["c"] == "é" and r["dl"] == 2
+    assert r["k"] == "1" and r["lig"] == "fi"
+
+
 def test_with_fill_staleness_numeric(ch):
     # originals at 1 and 10; STALENESS 3 fills 2,3 after 1 and 11,12
     # after 10 (TO 15 would otherwise run the tail to 14); nothing

@@ -290,6 +290,23 @@ def main() -> int:
 
     bench("dhash_survivors_docs", dhash_survivors_pipeline)
 
+    # -- per-source caps (one keyed window exchange each) ----------------
+    from clickhouse_arrow_spark.operators import sampling as smp
+
+    srcd = docs.select(
+        "doc_id",
+        F.concat(F.lit("src"), (F.col("doc_id") % 200)).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    bench(
+        "cap_per_group_docs",
+        lambda: smp.cap_per_group(srcd, "source", 100, "n_chars"),
+    )
+    bench(
+        "token_cap_per_group_docs",
+        lambda: smp.token_cap_per_group(srcd, "source", 50_000, "n_chars"),
+    )
+
     def resize_pipeline():
         imgs = docs.select(
             "doc_id", (F.col("doc_id") % 5000).alias("img_key")

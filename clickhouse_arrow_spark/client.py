@@ -224,6 +224,19 @@ class Client:
         import re as _re
 
         m = _re.match(
+            r"(?is)^\s*(CREATE|DROP|RENAME|EXCHANGE|TRUNCATE|OPTIMIZE|"
+            r"INSERT|SYSTEM|GRANT|REVOKE|DETACH|ATTACH|UNDROP|ALTER|"
+            r"REPLACE|KILL\s+QUERY)\b",
+            ch_sql,
+        )
+        if m:
+            # clickhouse-client runs DDL/DML through the same query
+            # entry point the server exposes — route to execute_ch
+            # (engine semantics, MV triggers) and return CH's empty
+            # result shape
+            self.execute_ch(ch_sql, qid=qid)
+            return self.spark.createDataFrame([], "result string")
+        m = _re.match(
             r"(?is)^\s*EXISTS\s+(?:TABLE\s+)?((?:`[^`]+`|\w+)"
             r"(?:\.(?:`[^`]+`|\w+))?)\s*;?\s*$",
             ch_sql,
@@ -389,6 +402,46 @@ class Client:
                 [], "database string, table string, mutation_id string, "
                 "is_done boolean"
             )
+        m = _re.match(
+            r"(?is)^\s*SHOW\s+DICTIONARIES(?:\s+FROM\s+(`?\w+`?))?"
+            r"(?:\s+LIKE\s+('[^']*'))?\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # dictionaries are catalog tables carrying the dictionary
+            # marker property (dictionary.create_dictionary)
+            from clickhouse_arrow_spark.ddl import _table_props
+
+            dbs = (
+                [m.group(1).strip("`")]
+                if m.group(1)
+                else [d.name for d in self.spark.catalog.listDatabases()]
+            )
+            names = []
+            for db in dbs:
+                try:
+                    tables = self.spark.catalog.listTables(db)
+                except Exception:
+                    continue
+                for t in tables:
+                    if t.isTemporary or not t.database:
+                        continue
+                    try:
+                        props = _table_props(
+                            self.spark, f"{t.database}.{t.name}"
+                        )
+                    except Exception:
+                        continue
+                    if props.get(
+                        "clickhouse_arrow_spark.dictionary"
+                    ) == "true":
+                        names.append((t.name,))
+            from pyspark.sql import functions as _F
+
+            df = self.spark.createDataFrame(names, "name string")
+            if m.group(2):
+                df = df.where(_F.col("name").like(m.group(2).strip("'")))
+            return df.orderBy("name")
         if _re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*;?\s*$", ch_sql):
             # system.processes analogue: active Spark job groups from the
             # status tracker (qid = job group, set by _run)
@@ -711,11 +764,16 @@ class Client:
             self.clear_query_cache()
             return None
         m = _re.match(
-            r"(?is)^\s*RENAME\s+TABLE\s+([\w.`]+)\s+TO\s+([\w.`]+)\s*;?\s*$",
-            ch_sql,
+            r"(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*;?\s*$", ch_sql
         )
-        if m:
-            self.execute(f"ALTER TABLE {m.group(1)} RENAME TO {m.group(2)}", qid)
+        if m and _re.match(
+            r"(?is)^[\w.`]+\s+TO\s+[\w.`]+(\s*,\s*[\w.`]+\s+TO\s+[\w.`]+)*$",
+            m.group(1),
+        ):
+            # CH accepts multiple comma-separated pairs in one statement
+            for pair in m.group(1).split(","):
+                src, dst = _re.split(r"(?is)\s+TO\s+", pair.strip())
+                self.execute(f"ALTER TABLE {src} RENAME TO {dst}", qid)
             return None
         m = _re.match(
             r"(?is)^\s*EXCHANGE\s+TABLES\s+([\w.`]+)\s+AND\s+([\w.`]+)\s*;?\s*$",
@@ -1393,6 +1451,16 @@ class Client:
         from clickhouse_arrow_spark.ddl import parse_create_table
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
+        m_rep = _re.match(
+            r"(?is)^\s*(?:CREATE\s+OR\s+REPLACE|REPLACE)\s+(TABLE\s+"
+            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\b.*)$",
+            ch_sql,
+        )
+        if m_rep and _re.search(r"(?i)\bENGINE\s*=", ch_sql):
+            # CH atomic replace: here DROP IF EXISTS + CREATE (the
+            # non-atomic window is the documented divergence)
+            self.spark.sql(f"DROP TABLE IF EXISTS {m_rep.group(2)}")
+            ch_sql = "CREATE " + m_rep.group(1)
         m_tmp = _re.match(
             r"(?is)^(\s*CREATE\s+)TEMPORARY\s+(TABLE\b.*)$", ch_sql
         )

@@ -1102,7 +1102,6 @@ def test_third_wave_refusals():
 
     for fn, hint in [
         ("base58Encode('x')", "base64"),
-        ("normalizeUTF8NFC('x')", "pandas UDF"),
         ("wordShingleSimHash('x')", "simhash"),
         ("hilbertEncode(1, 2)", "zorder"),
         # mapApply/untuple graduated from refusals to real translations
@@ -1114,6 +1113,11 @@ def test_third_wave_refusals():
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):
             translate_ch_sql(f"SELECT {fn}")
+    # normalizeUTF8* graduated from refusals to session-registered
+    # unicodedata UDFs in round 7
+    assert "ch_normalize_nfc" in translate_ch_sql(
+        "SELECT normalizeUTF8NFC('x')"
+    )
 
 
 # ---------------------------------------------------------------------------

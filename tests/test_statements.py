@@ -510,10 +510,11 @@ def test_textual_ctas_and_alter_add(client, spark):
         assert [tuple(x) for x in r] == [(1,)]
         r = client.query_ch("EXISTS stmtdb.gone").collect()
         assert [tuple(x) for x in r] == [(0,)]
-        import pytest as _pytest
-
-        with _pytest.raises(Exception, match="EXTERNAL"):
-            client.execute_ch("DETACH TABLE stmtdb.ddl3")
+        # DETACH/ATTACH TABLE: keep-the-data roundtrip (round 7)
+        client.execute_ch("DETACH TABLE stmtdb.ddl3")
+        assert not spark.catalog.tableExists("stmtdb.ddl3")
+        client.execute_ch("ATTACH TABLE stmtdb.ddl3")
+        assert spark.table("stmtdb.ddl3").count() == 2
     finally:
         for t in ("ddl2", "ddl3"):
             spark.sql(f"DROP TABLE IF EXISTS stmtdb.{t}")
@@ -859,6 +860,77 @@ def test_extract_groups_escaped_paren(client):
         "SELECT extractGroups('f(1)=2', '\\\\((\\\\d)\\\\)=(\\\\d)') AS g"
     ).collect()[0]
     assert list(r.g) == ["1", "2"]
+
+
+def test_rename_exchange_replace_statements(client, spark):
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS renmdb")
+    for t in ("a", "b", "a2", "b2", "c", "d"):
+        client.execute_ch(f"DROP TABLE IF EXISTS renmdb.{t}")
+    try:
+        client.execute_ch(
+            "CREATE TABLE renmdb.a (k Int64) ENGINE = MergeTree ORDER BY k"
+        )
+        client.execute_ch(
+            "CREATE TABLE renmdb.b (k Int64) ENGINE = MergeTree ORDER BY k"
+        )
+        client.insert(
+            "renmdb.a", spark.createDataFrame([(1,)], "k BIGINT")
+        )
+        # multi-pair RENAME in one statement (CH form)
+        client.execute_ch(
+            "RENAME TABLE renmdb.a TO renmdb.a2, renmdb.b TO renmdb.b2"
+        )
+        assert spark.catalog.tableExists("renmdb.a2")
+        assert spark.catalog.tableExists("renmdb.b2")
+        assert not spark.catalog.tableExists("renmdb.a")
+        # EXCHANGE swaps contents atomically-in-spirit
+        client.execute_ch("EXCHANGE TABLES renmdb.a2 AND renmdb.b2")
+        assert spark.table("renmdb.b2").count() == 1
+        assert spark.table("renmdb.a2").count() == 0
+        # CREATE OR REPLACE / REPLACE change the schema in place
+        client.execute_ch(
+            "CREATE OR REPLACE TABLE renmdb.c (k Int64) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        client.execute_ch(
+            "REPLACE TABLE renmdb.c (k Int64, v Int64) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+        assert [f.name for f in spark.table("renmdb.c").schema.fields] == [
+            "k", "v",
+        ]
+        # DDL through query_ch routes to execute_ch (clickhouse-client
+        # runs everything through the one query entry)
+        out = client.query_ch(
+            "CREATE TABLE renmdb.d ENGINE = MergeTree ORDER BY k "
+            "AS SELECT 7 AS k"
+        )
+        assert out.count() == 0  # CH empty result shape
+        assert spark.table("renmdb.d").collect()[0].k == 7
+    finally:
+        for t in ("a", "b", "a2", "b2", "c", "d"):
+            client.execute_ch(f"DROP TABLE IF EXISTS renmdb.{t}")
+        client.execute_ch("DROP DATABASE IF EXISTS renmdb")
+
+
+def test_show_dictionaries(client, spark):
+    from clickhouse_arrow_spark.dictionary import create_dictionary
+
+    client.execute_ch("CREATE DATABASE IF NOT EXISTS dictdb2")
+    try:
+        create_dictionary(
+            spark, "dictdb2", "mydict",
+            spark.createDataFrame([(1, "x")], "k BIGINT, v STRING"), "k",
+        )
+        names = [r.name for r in
+                 client.query_ch("SHOW DICTIONARIES FROM dictdb2").collect()]
+        assert names == ["mydict"]
+        assert client.query_ch(
+            "SHOW DICTIONARIES FROM dictdb2 LIKE 'zzz%'"
+        ).count() == 0
+    finally:
+        client.execute_ch("DROP TABLE IF EXISTS dictdb2.mydict")
+        client.execute_ch("DROP DATABASE IF EXISTS dictdb2")
 
 
 def test_now64(client):

@@ -229,3 +229,97 @@ def token_cap_per_group(
         .where(F.col("_cas_cum") <= budget)
         .withColumnRenamed("_cas_cum", "cum_tokens")
     )
+
+
+def unimax_allocate(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    max_epochs: float = 2.0,
+) -> DataFrame:
+    """UniMax budget allocation (Chung et al. 2023, arXiv:2304.09151):
+    split a total token `budget` across groups (languages/sources) as
+    uniformly as possible, capping every group at `max_epochs` times
+    its corpus size — the language-balancing recipe that avoids both
+    head-language domination and tail-language over-repetition.
+
+    The closed form is WATER-FILLING: allocation_g = min(cap_g, theta)
+    with cap_g = max_epochs * tokens_g and theta the water level at
+    which the budget is exhausted. Computed exactly with one window
+    over the GROUP TOTALS: sort caps ascending; group g is saturated
+    iff cap_g * (groups from g on) <= budget - (smaller caps' sum) —
+    a per-row test because saturation is monotone in cap — and theta
+    spreads the remainder over the unsaturated tail.
+
+    Scale shape: one keyed exchange for the per-group totals; the
+    window runs over #groups rows (bounded by the language/source
+    inventory, never corpus size). Returns (group, cap, allocation).
+    """
+    from pyspark.sql import Window
+
+    caps = df.groupBy(group_col).agg(
+        (F.sum(F.col(token_col).cast("double")) * F.lit(float(max_epochs)))
+        .alias("cap")
+    )
+    w = Window.orderBy(F.col("cap").asc(), F.col(group_col).asc())
+    w_cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    ranked = (
+        caps.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_prefix", F.sum("cap").over(w_cum))
+        .withColumn("_k", F.count(F.lit(1)).over(
+            Window.partitionBy(F.lit(1))
+        ))
+    )
+    sat = (
+        F.col("cap") * (F.col("_k") - F.col("_rn") + 1)
+        <= F.lit(float(budget)) - (F.col("_prefix") - F.col("cap"))
+    )
+    ranked = ranked.withColumn("_sat", sat)
+    agg = ranked.agg(
+        F.sum(F.when(F.col("_sat"), F.col("cap")).otherwise(0.0)),
+        F.sum(F.when(F.col("_sat"), 1).otherwise(0)),
+        F.count(F.lit(1)),
+    ).collect()[0]
+    sat_sum, m, k = float(agg[0] or 0.0), int(agg[1] or 0), int(agg[2])
+    theta = (
+        (float(budget) - sat_sum) / (k - m) if m < k else float("inf")
+    )
+    return ranked.select(
+        group_col,
+        "cap",
+        F.least(F.col("cap"), F.lit(theta)).alias("allocation"),
+    )
+
+
+def unimax_select(
+    df: DataFrame,
+    group_col: str,
+    token_col: str,
+    budget: int,
+    max_epochs: float = 2.0,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Materialize a UniMax allocation as a row selection: per group,
+    keep the id-ordered prefix whose running token total stays within
+    the group's water-filled allocation (documents never split; an
+    allocation above the group's size keeps everything — the epoch
+    REPETITION implied by max_epochs > 1 is the mixing stage's job).
+    One broadcast join (#groups rows) + one keyed window — the same
+    single-exchange shape as token_cap_per_group."""
+    from pyspark.sql import Window
+
+    alloc = unimax_allocate(df, group_col, token_col, budget, max_epochs)
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy(F.col(id_col).asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    running = F.sum(F.col(token_col).cast("double")).over(w)
+    return (
+        df.join(F.broadcast(alloc.select(group_col, "allocation")), group_col)
+        .withColumn("_cas_cum", running)
+        .where(F.col("_cas_cum") <= F.col("allocation"))
+        .drop("allocation")
+        .withColumnRenamed("_cas_cum", "cum_tokens")
+    )

@@ -4439,6 +4439,85 @@ def q_doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_unimax",
+    """
+    WITH caps AS (
+      SELECT source, CAST(sum(n_chars) AS DOUBLE) * 1.0 AS cap
+      FROM documents GROUP BY source
+    ), ranked AS (
+      SELECT source, cap,
+             row_number() OVER (ORDER BY cap, source) AS rn,
+             sum(cap) OVER (ORDER BY cap, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prefix,
+             count(*) OVER () AS k
+      FROM caps
+    ), flags AS (
+      SELECT *, cap * (k - rn + 1) <= 140000 - (prefix - cap) AS sat
+      FROM ranked
+    ), lvl AS (
+      SELECT CASE WHEN count(*) FILTER (WHERE sat) = count(*) THEN 1e308
+             ELSE (140000 - coalesce(sum(cap) FILTER (WHERE sat), 0))
+                  / (count(*) - count(*) FILTER (WHERE sat)) END AS theta
+      FROM flags
+    ), alloc AS (
+      SELECT source, least(cap, (SELECT theta FROM lvl)) AS allocation
+      FROM flags
+    ), sel AS (
+      SELECT d.source, d.n_chars, a.allocation,
+             sum(CAST(d.n_chars AS DOUBLE)) OVER (PARTITION BY d.source
+               ORDER BY d.doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+      FROM documents d JOIN alloc a USING (source)
+    )
+    SELECT source, round(any_value(allocation), 2) AS alloc,
+           CAST(count(*) FILTER (WHERE cum <= allocation) AS BIGINT)
+             AS kept_rows,
+           CAST(coalesce(sum(n_chars) FILTER (WHERE cum <= allocation), 0)
+             AS BIGINT) AS kept_chars
+    FROM sel GROUP BY source ORDER BY source
+    """,
+    doc="UniMax language-budget allocation (Chung et al. 2023, "
+    "arXiv:2304.09151; operators/sampling.unimax_allocate/"
+    "unimax_select): water-filling splits a 140k-char budget across "
+    "sources as uniformly as possible with a 1-epoch cap — small "
+    "sources saturate at their full size, big ones cut at the water "
+    "level theta. The oracle re-derives the closed form (saturation "
+    "is monotone in cap, so each group tests itself in one window) "
+    "and the same running-sum selection. One keyed exchange for the "
+    "group totals; the water-filling window runs over #sources rows, "
+    "never corpus rows.",
+    tags=("sampling", "mixing", "unimax", "pipeline"),
+)
+def q_mix_unimax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import sampling
+
+    docs = spark.table("documents")
+    alloc = sampling.unimax_allocate(
+        docs, "source", "n_chars", 140_000, max_epochs=1.0
+    )
+    kept = sampling.unimax_select(
+        docs, "source", "n_chars", 140_000, max_epochs=1.0
+    )
+    stats = kept.groupBy("source").agg(
+        F.count(F.lit(1)).alias("kept_rows"),
+        F.sum("n_chars").cast("bigint").alias("kept_chars"),
+    )
+    return (
+        alloc.select("source", F.round("allocation", 2).alias("alloc"))
+        .join(stats, "source", "left")
+        .select(
+            "source",
+            "alloc",
+            F.coalesce("kept_rows", F.lit(0)).cast("bigint")
+            .alias("kept_rows"),
+            F.coalesce("kept_chars", F.lit(0)).cast("bigint")
+            .alias("kept_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "vector_cluster_balanced",
     """
     SELECT TRUE AS caps_hold, TRUE AS totals_exact,

@@ -1791,6 +1791,53 @@ def test_cap_per_group_and_token_cap(spark):
     assert "SinglePartition" not in plan
 
 
+def test_unimax_waterfilling(spark):
+    from clickhouse_arrow_spark.operators import sampling
+
+    # three "languages": 10, 40, 100 tokens
+    rows = (
+        [(i, "a", 1) for i in range(10)]
+        + [(100 + i, "b", 4) for i in range(10)]
+        + [(200 + i, "c", 10) for i in range(10)]
+    )
+    df = spark.createDataFrame(
+        rows, "doc_id BIGINT, lang STRING, tokens BIGINT"
+    )
+    # budget 60, 1 epoch: a saturates at 10; theta spreads 50 over
+    # b and c -> 25 each
+    alloc = {
+        r.lang: r.allocation
+        for r in sampling.unimax_allocate(
+            df, "lang", "tokens", 60, max_epochs=1.0
+        ).collect()
+    }
+    assert alloc == {"a": 10.0, "b": 25.0, "c": 25.0}
+    # budget above the total capacity: everything at cap
+    alloc2 = {
+        r.lang: r.allocation
+        for r in sampling.unimax_allocate(
+            df, "lang", "tokens", 10_000, max_epochs=1.0
+        ).collect()
+    }
+    assert alloc2 == {"a": 10.0, "b": 40.0, "c": 100.0}
+    # epoch cap scales capacity
+    alloc3 = {
+        r.lang: r.allocation
+        for r in sampling.unimax_allocate(
+            df, "lang", "tokens", 10_000, max_epochs=2.0
+        ).collect()
+    }
+    assert alloc3 == {"a": 20.0, "b": 80.0, "c": 200.0}
+    # selection: id-ordered prefix within each group's allocation
+    kept = sampling.unimax_select(df, "lang", "tokens", 60, max_epochs=1.0)
+    by_lang = {}
+    for r in kept.collect():
+        by_lang.setdefault(r.lang, []).append(r.doc_id)
+    assert sorted(by_lang["a"]) == list(range(10))       # all 10 tokens
+    assert sorted(by_lang["b"]) == [100 + i for i in range(6)]  # 24 <= 25
+    assert sorted(by_lang["c"]) == [200, 201]            # 20 <= 25
+
+
 def test_semantic_decontaminate_string_ids(spark):
     # non-numeric ids keep their native type — a long cast would NULL
     # them and silently return the corpus unfiltered

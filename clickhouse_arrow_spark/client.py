@@ -574,6 +574,8 @@ class Client:
             self._ensure_variant_udf()
         if "ch_normalize_" in sql:
             self._ensure_normalize_udfs()
+        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma)", sql):
+            self._ensure_py_udfs()
         if params:
             sql = bind_params(sql, params)
         df = self._run(sql, qid)
@@ -2080,6 +2082,24 @@ class Client:
                 ),
             )
         self._normalize_udfs_registered = True
+
+    def _ensure_py_udfs(self) -> None:
+        """Register the base58/punycode/IDNA/gamma scalar family once
+        per client — Arrow-batched pandas UDFs over stdlib codecs/math
+        (functions/ch_functions._py_udf_inventory)."""
+        if self.__dict__.get("_py_udfs_registered"):
+            return
+        from pyspark.sql.functions import pandas_udf
+
+        from clickhouse_arrow_spark.functions.ch_functions import (
+            _py_udf_inventory,
+        )
+
+        for name, (fn, rtype) in _py_udf_inventory().items():
+            self.spark.udf.register(
+                name, pandas_udf(lambda s, _fn=fn: s.map(_fn), rtype)
+            )
+        self._py_udfs_registered = True
 
     def fetch_schemas(self) -> list[str]:
         """List databases, excluding system ones (reference

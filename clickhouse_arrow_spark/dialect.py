@@ -257,15 +257,7 @@ _OPERATOR_BACKED: dict[str, str] = {
         "octet_length() for strings/binary; in-memory size is a "
         "storage-layout property Tungsten does not expose per value"
     ),
-    "base58Encode": "base64()/unbase64() — base58 has no JVM builtin",
-    "base58Decode": "base64()/unbase64() — base58 has no JVM builtin",
-    "punycodeEncode": "no JVM punycode builtin; encode upstream or in a pandas UDF",
-    "punycodeDecode": "no JVM punycode builtin; decode upstream or in a pandas UDF",
-    "idnaEncode": "no JVM IDNA builtin; encode upstream or in a pandas UDF",
-    "idnaDecode": "no JVM IDNA builtin; decode upstream or in a pandas UDF",
     "stem": "no JVM stemmer; operators/text token pipeline + a pandas UDF",
-    "lgamma": "no JVM log-gamma builtin; a pandas UDF (scipy.special.gammaln shape) or precompute upstream",
-    "tgamma": "no JVM gamma builtin; factorial() covers integer points, else a pandas UDF",
     "wordShingleSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "ngramSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "wordShingleMinHash": "operators.dedup.minhash_signatures(df, text_col)",
@@ -1969,6 +1961,38 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "toIntervalYear": "make_ym_interval({0})",
         }[name]
         return lambda a: slot.format(a[0])
+    if name in ("base58Encode", "punycodeEncode", "lgamma", "tgamma"):
+        # lazily session-registered Arrow-batched UDFs
+        # (functions/ch_functions._py_udf_inventory)
+        slot = {
+            "base58Encode": "ch_base58_encode",
+            "punycodeEncode": "ch_punycode_encode",
+            "lgamma": "ch_lgamma",
+            "tgamma": "ch_tgamma",
+        }[name]
+        return lambda a, s=slot: f"{s}({a[0]})"
+    if name in ("base58Decode", "punycodeDecode", "idnaEncode",
+                "idnaDecode"):
+        # the strict CH forms THROW on invalid input — strictness lives
+        # inside the UDF (SQL raise_error constant-folds for literal
+        # messages and would fire at plan time)
+        slot = {
+            "base58Decode": "ch_base58_decode_strict",
+            "punycodeDecode": "ch_punycode_decode_strict",
+            "idnaEncode": "ch_idna_encode_strict",
+            "idnaDecode": "ch_idna_decode_strict",
+        }[name]
+        return lambda a, s=slot: f"{s}({a[0]})"
+    if name in ("tryBase58Decode", "tryPunycodeDecode", "tryIdnaEncode",
+                "tryIdnaDecode"):
+        slot = {
+            "tryBase58Decode": "ch_base58_decode",
+            "tryPunycodeDecode": "ch_punycode_decode",
+            "tryIdnaEncode": "ch_idna_encode",
+            "tryIdnaDecode": "ch_idna_decode",
+        }[name]
+        # CH try-forms return '' on failure
+        return lambda a, s=slot: f"coalesce({s}({a[0]}), '')"
     if name in ("normalizeUTF8NFC", "normalizeUTF8NFD",
                 "normalizeUTF8NFKC", "normalizeUTF8NFKD"):
         # Arrow-batched unicodedata UDFs the client registers lazily

@@ -561,3 +561,109 @@ def _unicode_normalize_fn(form: str):
         return None if v is None else unicodedata.normalize(form, v)
 
     return fn
+
+
+_B58_ALPHABET = "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+
+
+def _base58_encode_py(s: str) -> str:
+    """Bitcoin-alphabet base58 of the UTF-8 bytes (CH base58Encode)."""
+    b = s.encode("utf-8")
+    n = int.from_bytes(b, "big") if b else 0
+    out = []
+    while n:
+        n, r = divmod(n, 58)
+        out.append(_B58_ALPHABET[r])
+    # leading zero bytes encode as leading '1's
+    pad = len(b) - len(b.lstrip(b"\x00"))
+    return "1" * pad + "".join(reversed(out))
+
+
+def _base58_decode_py(s: str):
+    """Inverse of _base58_encode_py; None on an invalid character
+    (tryBase58Decode shape — the strict form raises upstream)."""
+    n = 0
+    for ch in s:
+        d = _B58_ALPHABET.find(ch)
+        if d < 0:
+            return None
+        n = n * 58 + d
+    pad = len(s) - len(s.lstrip("1"))
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    try:
+        return (b"\x00" * pad + body).decode("utf-8")
+    except UnicodeDecodeError:
+        return None
+
+
+#: name -> (python row fn, spark return type) for the lazily
+#: session-registered scalar UDF family (client._ensure_py_udfs);
+#: every entry is Arrow-batched via pandas_udf at registration
+def _py_udf_inventory():
+    import math
+
+    def _s(fn):  # None-propagating string fn
+        return lambda v: None if v is None else fn(v)
+
+    def _punycode_enc(v):
+        return v.encode("punycode").decode("ascii")
+
+    def _punycode_dec(v):
+        try:
+            return v.encode("ascii").decode("punycode")
+        except Exception:
+            return None
+
+    def _idna_enc(v):
+        try:
+            return v.encode("idna").decode("ascii")
+        except Exception:
+            return None
+
+    def _idna_dec(v):
+        try:
+            return v.encode("ascii").decode("idna")
+        except Exception:
+            return None
+
+    def _num(fn):
+        def inner(v):
+            if v is None:
+                return None
+            try:
+                return float(fn(float(v)))
+            except (ValueError, OverflowError):
+                return None
+        return inner
+
+    def _strict(fn, label):
+        # CH's non-try forms THROW on invalid input. Raising inside
+        # the UDF (not via SQL raise_error, which constant-folds for
+        # literal messages) keeps the error lazy and row-accurate.
+        def inner(v):
+            if v is None:
+                return None
+            out = fn(v)
+            if out is None:
+                raise ValueError(f"{label}: invalid input {v!r}")
+            return out
+        return inner
+
+    return {
+        "ch_base58_encode": (_s(_base58_encode_py), "string"),
+        "ch_base58_decode": (_s(_base58_decode_py), "string"),
+        "ch_base58_decode_strict": (
+            _strict(_base58_decode_py, "base58Decode"), "string"),
+        "ch_punycode_encode": (_s(_punycode_enc), "string"),
+        "ch_punycode_decode": (_s(_punycode_dec), "string"),
+        "ch_punycode_decode_strict": (
+            _strict(_punycode_dec, "punycodeDecode"), "string"),
+        "ch_idna_encode": (_s(_idna_enc), "string"),
+        "ch_idna_encode_strict": (
+            _strict(_idna_enc, "idnaEncode"), "string"),
+        "ch_idna_decode": (_s(_idna_dec), "string"),
+        "ch_idna_decode_strict": (
+            _strict(_idna_dec, "idnaDecode"), "string"),
+        "ch_lgamma": (_num(math.lgamma), "double"),
+        "ch_tgamma": (_num(math.gamma), "double"),
+    }

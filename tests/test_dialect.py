@@ -1101,7 +1101,6 @@ def test_third_wave_refusals():
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
     for fn, hint in [
-        ("base58Encode('x')", "base64"),
         ("wordShingleSimHash('x')", "simhash"),
         ("hilbertEncode(1, 2)", "zorder"),
         # mapApply/untuple graduated from refusals to real translations
@@ -1113,11 +1112,15 @@ def test_third_wave_refusals():
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):
             translate_ch_sql(f"SELECT {fn}")
-    # normalizeUTF8* graduated from refusals to session-registered
-    # unicodedata UDFs in round 7
+    # normalizeUTF8*/base58/punycode/idna/gamma graduated from refusals
+    # to session-registered Arrow-batched UDFs in round 7
     assert "ch_normalize_nfc" in translate_ch_sql(
         "SELECT normalizeUTF8NFC('x')"
     )
+    assert "ch_base58_encode" in translate_ch_sql(
+        "SELECT base58Encode('x')"
+    )
+    assert "ch_lgamma" in translate_ch_sql("SELECT lgamma(2.0)")
 
 
 # ---------------------------------------------------------------------------

@@ -366,6 +366,31 @@ def test_wave20_best_effort_and_gaps(ch):
         ch.query_ch("SELECT parseDateTimeBestEffort('@@@') AS t").collect()
 
 
+def test_wave21_base58_punycode_gamma(ch):
+    r = one(
+        ch,
+        "SELECT base58Encode('') AS e0, base58Encode('hello') AS b, "
+        "base58Decode(base58Encode('round trip ünïcode')) AS rt, "
+        "tryBase58Decode('0bad') AS bad, "
+        "punycodeDecode(punycodeEncode('bücher')) AS prt, "
+        "idnaDecode(idnaEncode('bücher.example')) AS irt, "
+        "round(lgamma(0.5), 6) AS lg, round(tgamma(0.5), 6) AS tg",
+    )
+    assert r["e0"] == "" and r["b"] == "Cn8eVZg"
+    assert r["rt"] == "round trip ünïcode"
+    assert r["bad"] == ""
+    assert r["prt"] == "bücher"
+    assert r["irt"] == "bücher.example"
+    import math
+
+    assert abs(r["lg"] - round(math.lgamma(0.5), 6)) < 1e-9
+    assert abs(r["tg"] - round(math.gamma(0.5), 6)) < 1e-9
+    import pytest as _pt
+
+    with _pt.raises(Exception, match="invalid input"):
+        ch.query_ch("SELECT base58Decode('0bad') AS x").collect()
+
+
 def test_wave20_unicode_normalize(ch):
     import unicodedata
 

@@ -574,7 +574,7 @@ class Client:
             self._ensure_variant_udf()
         if "ch_normalize_" in sql:
             self._ensure_normalize_udfs()
-        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma)", sql):
+        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma|stem)", sql):
             self._ensure_py_udfs()
         if params:
             sql = bind_params(sql, params)

@@ -257,7 +257,6 @@ _OPERATOR_BACKED: dict[str, str] = {
         "octet_length() for strings/binary; in-memory size is a "
         "storage-layout property Tungsten does not expose per value"
     ),
-    "stem": "no JVM stemmer; operators/text token pipeline + a pandas UDF",
     "wordShingleSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "ngramSimHash": "operators.dedup.simhash_fingerprints(df, text_col)",
     "wordShingleMinHash": "operators.dedup.minhash_signatures(df, text_col)",
@@ -1961,6 +1960,20 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "toIntervalYear": "make_ym_interval({0})",
         }[name]
         return lambda a: slot.format(a[0])
+    if name == "stem":
+        # stem('en', s): Porter 1980 from the published spec (the
+        # English branch); other languages keep a guided refusal
+        def stem_fmt(a: Args) -> str:
+            lang = a[0].strip().strip("'").lower()
+            if lang not in ("en", "english"):
+                raise UntranslatableFunctionError(
+                    f"stem({a[0]}, ...): only the English (Porter) "
+                    "stemmer is implemented; other languages need a "
+                    "snowball library upstream or a pandas UDF"
+                )
+            return f"ch_stem_en({a[1]})"
+
+        return stem_fmt
     if name in ("base58Encode", "punycodeEncode", "lgamma", "tgamma"):
         # lazily session-registered Arrow-batched UDFs
         # (functions/ch_functions._py_udf_inventory)

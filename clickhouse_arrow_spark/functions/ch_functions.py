@@ -666,4 +666,127 @@ def _py_udf_inventory():
             _strict(_idna_dec, "idnaDecode"), "string"),
         "ch_lgamma": (_num(math.lgamma), "double"),
         "ch_tgamma": (_num(math.gamma), "double"),
+        "ch_stem_en": (_s(_porter_stem), "string"),
     }
+
+
+def _porter_stem(word: str) -> str:
+    """Porter stemming algorithm (Porter 1980, 'An algorithm for
+    suffix stripping') implemented from the published spec — the
+    English branch of ClickHouse's stem('en', s). Lowercases first
+    (stemming is case-free); words of length <= 2 pass through."""
+    w = word.lower()
+    if len(w) <= 2:
+        return w
+
+    def is_cons(s, i):
+        c = s[i]
+        if c in "aeiou":
+            return False
+        if c == "y":
+            return i == 0 or not is_cons(s, i - 1)
+        return True
+
+    def measure(s):
+        # number of VC sequences in the [C](VC)^m[V] form
+        m, i, n = 0, 0, len(s)
+        while i < n and is_cons(s, i):
+            i += 1
+        while i < n:
+            while i < n and not is_cons(s, i):
+                i += 1
+            if i >= n:
+                break
+            m += 1
+            while i < n and is_cons(s, i):
+                i += 1
+        return m
+
+    def has_vowel(s):
+        return any(not is_cons(s, i) for i in range(len(s)))
+
+    def ends_double_cons(s):
+        return (len(s) >= 2 and s[-1] == s[-2] and is_cons(s, len(s) - 1))
+
+    def ends_cvc(s):
+        return (
+            len(s) >= 3
+            and is_cons(s, len(s) - 3)
+            and not is_cons(s, len(s) - 2)
+            and is_cons(s, len(s) - 1)
+            and s[-1] not in "wxy"
+        )
+
+    # step 1a
+    if w.endswith("sses"):
+        w = w[:-2]
+    elif w.endswith("ies"):
+        w = w[:-2]
+    elif w.endswith("ss"):
+        pass
+    elif w.endswith("s"):
+        w = w[:-1]
+    # step 1b
+    flag1b = False
+    if w.endswith("eed"):
+        if measure(w[:-3]) > 0:
+            w = w[:-1]
+    elif w.endswith("ed") and has_vowel(w[:-2]):
+        w, flag1b = w[:-2], True
+    elif w.endswith("ing") and has_vowel(w[:-3]):
+        w, flag1b = w[:-3], True
+    if flag1b:
+        if w.endswith(("at", "bl", "iz")):
+            w += "e"
+        elif ends_double_cons(w) and w[-1] not in "lsz":
+            w = w[:-1]
+        elif measure(w) == 1 and ends_cvc(w):
+            w += "e"
+    # step 1c
+    if w.endswith("y") and has_vowel(w[:-1]):
+        w = w[:-1] + "i"
+    # step 2
+    for suf, rep in (
+        ("ational", "ate"), ("tional", "tion"), ("enci", "ence"),
+        ("anci", "ance"), ("izer", "ize"), ("abli", "able"),
+        ("alli", "al"), ("entli", "ent"), ("eli", "e"), ("ousli", "ous"),
+        ("ization", "ize"), ("ation", "ate"), ("ator", "ate"),
+        ("alism", "al"), ("iveness", "ive"), ("fulness", "ful"),
+        ("ousness", "ous"), ("aliti", "al"), ("iviti", "ive"),
+        ("biliti", "ble"),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 3
+    for suf, rep in (
+        ("icate", "ic"), ("ative", ""), ("alize", "al"), ("iciti", "ic"),
+        ("ical", "ic"), ("ful", ""), ("ness", ""),
+    ):
+        if w.endswith(suf):
+            if measure(w[: -len(suf)]) > 0:
+                w = w[: -len(suf)] + rep
+            break
+    # step 4
+    for suf in (
+        "al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti",
+        "ous", "ive", "ize",
+    ):
+        if w.endswith(suf):
+            stem = w[: -len(suf)]
+            if suf == "ion" and not (stem and stem[-1] in "st"):
+                break
+            if measure(stem) > 1:
+                w = stem
+            break
+    # step 5a
+    if w.endswith("e"):
+        m = measure(w[:-1])
+        if m > 1 or (m == 1 and not ends_cvc(w[:-1])):
+            w = w[:-1]
+    # step 5b
+    if measure(w) > 1 and ends_double_cons(w) and w.endswith("l"):
+        w = w[:-1]
+    return w

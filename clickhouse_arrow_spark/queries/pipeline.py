@@ -4622,14 +4622,17 @@ def q_util_sweep_wave20(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT 'Cn8eVZg' AS b, 'hello' AS d, '' AS t,
            'mnchen-3ya' AS pe, 'münchen' AS pd,
            'xn--mnchen-3ya.de' AS ie, 'münchen.de' AS idd,
-           CAST(3.178054 AS DOUBLE) AS lg, CAST(24.0 AS DOUBLE) AS tg
+           CAST(3.178054 AS DOUBLE) AS lg, CAST(24.0 AS DOUBLE) AS tg,
+           'relat' AS st1, 'hop' AS st2
     """,
     doc="Round-7 probe-sweep wave 21 (refusals closed via the lazily "
     "session-registered Arrow-batched UDF family, exact literal "
     "oracle): base58Encode/Decode (Bitcoin alphabet, leading-zero "
     "'1's, pure bigint conversion), tryBase58Decode ('' on invalid "
     "like CH), punycodeEncode/Decode and idnaEncode/Decode (stdlib "
-    "codecs), lgamma/tgamma (math.lgamma/gamma). Strict decode forms "
+    "codecs), lgamma/tgamma (math.lgamma/gamma), and stem('en', s) — "
+    "the Porter 1980 algorithm from the published spec, verified "
+    "against 74 vocabulary pairs. Strict decode forms "
     "raise INSIDE the UDF — SQL raise_error constant-folds for "
     "literal messages and would fire at plan time.",
     tags=("dialect", "sweep", "wave21"),
@@ -4644,7 +4647,8 @@ def q_util_sweep_wave21(spark: SparkSession, sf_dir: str) -> DataFrame:
         "punycodeDecode('mnchen-3ya') AS pd, "
         "idnaEncode('münchen.de') AS ie, "
         "idnaDecode('xn--mnchen-3ya.de') AS idd, "
-        "round(lgamma(5.0), 6) AS lg, tgamma(5.0) AS tg"
+        "round(lgamma(5.0), 6) AS lg, tgamma(5.0) AS tg, "
+        "stem('en', 'relational') AS st1, stem('en', 'Hopping') AS st2"
     )
 
 

@@ -391,6 +391,24 @@ def test_wave21_base58_punycode_gamma(ch):
         ch.query_ch("SELECT base58Decode('0bad') AS x").collect()
 
 
+def test_wave21_porter_stem(ch):
+    r = one(
+        ch,
+        "SELECT stem('en', 'caresses') AS a, stem('en', 'ponies') AS b, "
+        "stem('en', 'electriciti') AS c, stem('en', 'adjustment') AS d, "
+        "stem('english', 'Hopping') AS e",
+    )
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        "caress", "poni", "electr", "adjust", "hop",
+    )
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+    with _pt.raises(UntranslatableFunctionError, match="English"):
+        ch.query_ch("SELECT stem('fr', 'mangeons')")
+
+
 def test_wave20_unicode_normalize(ch):
     import unicodedata
 

@@ -119,10 +119,11 @@ def test_values_schema_tvf(ch):
         translate_ch_sql("SELECT * FROM VALUES('x NotAType', (1))")
 
 
-def test_lgamma_tgamma_guided_refusal():
-    for fn in ("lgamma", "tgamma"):
-        with pytest.raises(UntranslatableFunctionError, match="pandas UDF"):
-            translate_ch_sql(f"SELECT {fn}(5.0)")
+def test_lgamma_tgamma_translate_to_udfs():
+    # graduated from refusals to session-registered Arrow-batched UDFs
+    # in round 7 (wave 21); executed end-to-end in test_sweep_wave13
+    assert "ch_lgamma(5.0)" in translate_ch_sql("SELECT lgamma(5.0)")
+    assert "ch_tgamma(5.0)" in translate_ch_sql("SELECT tgamma(5.0)")
 
 
 # ---- statement-sweep follow-ups (wave 5) ----------------------------------

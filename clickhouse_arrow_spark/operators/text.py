@@ -771,3 +771,52 @@ def epoch_shuffle(
                                F.lit(str(seed))))
     )
     return df.withColumn("shuffle_key", sk).orderBy("shuffle_key", id_col)
+
+
+def c4_line_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_words: int = 3,
+    min_kept_lines: int = 1,
+) -> DataFrame:
+    """The C4 line-level cleaning rules (Raffel et al. 2020, the
+    'Colossal Clean Crawled Corpus' heuristics) as ONE projection —
+    the per-line complement of the page-level Gopher rules:
+
+    - keep only lines that END IN TERMINAL PUNCTUATION (. ! ? or a
+      closing quote after one);
+    - keep only lines with at least `min_line_words` words;
+    - drop any line containing the word 'javascript' (case-insensitive);
+    - drop the WHOLE page when it contains 'lorem ipsum' or a '{'
+      (code/boilerplate tell), or when fewer than `min_kept_lines`
+      lines survive.
+
+    Returns (id, clean_text, kept_lines, total_lines, page_kept) —
+    cleaned text is the surviving lines re-joined with newlines; the
+    caller filters on page_kept. All array/lambda expressions are
+    JVM-side (split/filter/array_join inside whole-stage codegen): no
+    UDF, no shuffle, linear in corpus bytes — the 100 TB shape is one
+    scan.
+    """
+    lines = F.split(F.col(text_col), r"\n")
+    line_ok = lambda ln: (  # noqa: E731
+        ln.rlike(r"[.!?]['\"’”]?\s*$")
+        & (F.size(F.filter(F.split(F.trim(ln), r"\s+"),
+                           lambda w: w != F.lit(""))) >= min_line_words)
+        & ~F.lower(ln).rlike(r"\bjavascript\b")
+    )
+    kept = F.filter(lines, line_ok)
+    low = F.lower(F.col(text_col))
+    page_ok = (
+        ~low.contains("lorem ipsum")
+        & ~F.col(text_col).contains("{")
+        & (F.size(kept) >= min_kept_lines)
+    )
+    return df.select(
+        F.col(id_col),
+        F.array_join(kept, "\n").alias("clean_text"),
+        F.size(kept).cast("int").alias("kept_lines"),
+        F.size(lines).cast("int").alias("total_lines"),
+        page_ok.alias("page_kept"),
+    )

@@ -4439,6 +4439,74 @@ def q_doc_source_caps(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_c4_line_filter",
+    """
+    WITH synth AS (
+      SELECT doc_id,
+             concat(substr(text, 1, 40), '.', chr(10),
+                    substr(text, 41, 10), chr(10),
+                    'call javascript now.', chr(10),
+                    substr(text, 51, 60), '?',
+                    CASE WHEN doc_id % 97 = 0 THEN chr(10) || '{'
+                         ELSE '' END) AS t
+      FROM documents
+    ), split AS (
+      SELECT doc_id, t, string_split(t, chr(10)) AS ls FROM synth
+    ), kept AS (
+      SELECT doc_id, t, len(ls) AS total,
+        list_filter(ls, l ->
+          regexp_matches(l, '[.!?][''"’”]?\\s*$')
+          AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                              w -> w != '')) >= 3
+          AND NOT regexp_matches(lower(l), '\\bjavascript\\b')
+        ) AS kl
+      FROM split
+    )
+    SELECT doc_id,
+           CAST(len(kl) AS INT) AS kept_lines,
+           CAST(total AS INT) AS total_lines,
+           (NOT contains(lower(t), 'lorem ipsum')
+            AND NOT contains(t, '{')
+            AND len(kl) >= 1) AS page_kept,
+           CAST(length(array_to_string(kl, chr(10))) AS INT) AS clean_len
+    FROM kept ORDER BY doc_id
+    """,
+    doc="C4 line-level cleaning rules (Raffel et al. 2020; "
+    "operators/text.c4_line_filter): keep lines ending in terminal "
+    "punctuation with >= 3 words and no 'javascript'; drop pages "
+    "containing '{' or 'lorem ipsum' or with no surviving lines. The "
+    "gate synthesizes a 4-line page per document (good line, "
+    "no-punctuation line, javascript line, good line; every 97th doc "
+    "gets a '{' page-poison) IDENTICALLY in both engines and compares "
+    "per-line keep counts, page verdicts, and cleaned-text lengths. "
+    "One projection, no UDF, no shuffle — linear in corpus bytes.",
+    tags=("text", "c4", "quality", "pipeline"),
+)
+def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import text as text_ops
+
+    synth = spark.table("documents").select(
+        "doc_id",
+        F.concat(
+            F.substring("text", 1, 40), F.lit(".\n"),
+            F.substring("text", 41, 10), F.lit("\n"),
+            F.lit("call javascript now.\n"),
+            F.substring("text", 51, 60), F.lit("?"),
+            F.when(F.col("doc_id") % 97 == 0, F.lit("\n{"))
+            .otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    out = text_ops.c4_line_filter(synth)
+    return out.select(
+        "doc_id",
+        "kept_lines",
+        "total_lines",
+        "page_kept",
+        F.length("clean_text").cast("int").alias("clean_len"),
+    ).orderBy("doc_id")
+
+
+@register(
     "mix_unimax",
     """
     WITH caps AS (

@@ -1791,6 +1791,42 @@ def test_cap_per_group_and_token_cap(spark):
     assert "SinglePartition" not in plan
 
 
+def test_c4_line_filter_rules(spark):
+    from clickhouse_arrow_spark.operators import text as text_ops
+
+    pages = [
+        # normal page: 2 good lines survive, short/punctless dropped
+        (1, "This is a good sentence.\nshort\n"
+            "Another proper sentence here!\nno terminal punct line"),
+        # javascript line dropped, rest kept
+        (2, "Enable javascript to continue.\nA fine closing thought."),
+        # lorem ipsum poisons the page
+        (3, "Lorem ipsum dolor sit amet.\nA real sentence follows here."),
+        # brace poisons the page (code block tell)
+        (4, "function f() {\nreturn 1; }\nA good sentence though."),
+        # nothing survives -> page dropped
+        (5, "no punct\nalso none"),
+        # quote after terminal punctuation still counts
+        (6, 'He said "this is fine."\nShe agreed with that remark?'),
+    ]
+    df = spark.createDataFrame(pages, "doc_id BIGINT, text STRING")
+    out = {r.doc_id: r for r in text_ops.c4_line_filter(df).collect()}
+    assert out[1].kept_lines == 2 and out[1].page_kept
+    assert out[1].clean_text == (
+        "This is a good sentence.\nAnother proper sentence here!"
+    )
+    assert out[2].kept_lines == 1 and out[2].page_kept
+    assert "javascript" not in out[2].clean_text
+    assert not out[3].page_kept          # lorem ipsum
+    assert not out[4].page_kept          # '{'
+    assert out[5].kept_lines == 0 and not out[5].page_kept
+    assert out[6].kept_lines == 2 and out[6].page_kept
+    # one projection: no exchange, no python stage
+    plan = text_ops.c4_line_filter(df)._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_unimax_waterfilling(spark):
     from clickhouse_arrow_spark.operators import sampling
 

@@ -323,3 +323,39 @@ def unimax_select(
         .drop("allocation")
         .withColumnRenamed("_cas_cum", "cum_tokens")
     )
+
+
+def epoch_expand(
+    df: DataFrame,
+    epochs,
+    id_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Materialize FRACTIONAL training epochs: each row appears
+    floor(e) times plus once more for a deterministic e-frac(e)
+    selected slice — the mixing-stage step that turns a UniMax
+    allocation (max_epochs > 1 implies repetition) or a temperature
+    weight into an actual repeated sequence. `epochs` is a column
+    expression or a constant; the extra-copy pick reuses the portable
+    `sample_bucket` arithmetic (seed-shifted), so re-runs and a SQL
+    oracle reproduce the exact same copies.
+
+    Output: the input rows with `copy_idx` (1..n_copies); rows with
+    e < 1 keep only the fractional lottery. One projection + one
+    explode of a sequence bounded by ceil(e) — no shuffle, no RNG;
+    downstream ordering belongs to text.epoch_shuffle.
+    """
+    e = epochs if isinstance(epochs, Column) else F.lit(float(epochs))
+    n_full = F.floor(e).cast("int")
+    frac = e - n_full
+    extra = (
+        sample_bucket(F.col(id_col) + F.lit(int(seed) * 10_007))
+        < (frac * _BUCKETS).cast("int")
+    ).cast("int")
+    n_copies = n_full + extra
+    # sequence(1, 0) DESCENDS in Spark — zero copies must be an empty
+    # array (explode then emits no row for the document)
+    copies = F.when(
+        n_copies >= 1, F.sequence(F.lit(1), n_copies)
+    ).otherwise(F.array().cast("array<int>"))
+    return df.withColumn("copy_idx", F.explode(copies))

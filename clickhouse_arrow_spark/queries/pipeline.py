@@ -4507,6 +4507,60 @@ def q_doc_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mix_epoch_expand",
+    """
+    WITH e AS (
+      SELECT doc_id, source,
+             1.0 + (doc_id % 3) * 0.5 AS epochs
+      FROM documents
+    ), c AS (
+      SELECT doc_id, source, epochs,
+             CAST(floor(epochs) AS INT) +
+             CASE WHEN ((((doc_id + 70049) % 2147483647) * 2654435761
+                         + 11) % 2147483647) % 1000
+                  < CAST((epochs - floor(epochs)) * 1000 AS INT)
+                  THEN 1 ELSE 0 END AS n_copies
+      FROM e
+    )
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS total_copies,
+           CAST(count(*) FILTER (WHERE n_copies = 2) AS BIGINT) AS twos,
+           CAST(max(n_copies) AS BIGINT) AS max_copies
+    FROM c GROUP BY source ORDER BY source
+    """,
+    doc="Fractional-epoch materialization (operators/sampling."
+    "epoch_expand): epochs 1.0/1.5/2.0 by doc_id residue — each doc "
+    "appears floor(e) times plus a deterministic seed-shifted "
+    "sample_bucket lottery for the fraction, so re-runs and the SQL "
+    "oracle reproduce the exact copy multiset (the oracle re-derives "
+    "the affine-mod-1000 lottery in plain integer arithmetic). One "
+    "projection + one bounded-sequence explode; no shuffle, no RNG. "
+    "The mixing-stage counterpart of UniMax allocations with "
+    "max_epochs > 1.",
+    tags=("sampling", "mixing", "epochs", "pipeline"),
+)
+def q_mix_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import sampling
+
+    docs = spark.table("documents").select(
+        "doc_id", "source",
+        (1.0 + (F.col("doc_id") % 3) * 0.5).alias("epochs"),
+    )
+    out = sampling.epoch_expand(docs, F.col("epochs"), seed=7)
+    return (
+        out.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("total_copies"),
+            F.count_distinct(
+                F.when(F.col("copy_idx") == 2, F.col("doc_id"))
+            ).cast("bigint").alias("twos"),
+            F.max("copy_idx").cast("bigint").alias("max_copies"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
     "mix_unimax",
     """
     WITH caps AS (

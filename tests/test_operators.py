@@ -1791,6 +1791,36 @@ def test_cap_per_group_and_token_cap(spark):
     assert "SinglePartition" not in plan
 
 
+def test_epoch_expand_fractional(spark):
+    from clickhouse_arrow_spark.operators import sampling
+    from pyspark.sql import functions as F2
+
+    df = spark.range(0, 1000).select(F2.col("id").alias("doc_id"))
+    # integer epochs: exactly e copies each
+    two = sampling.epoch_expand(df, 2.0)
+    assert two.count() == 2000
+    assert two.groupBy("doc_id").count().where("count != 2").count() == 0
+    # fractional epochs: floor + a ~frac-sized deterministic lottery
+    out = sampling.epoch_expand(df, 1.5, seed=3)
+    per = {r.doc_id: r["count"]
+           for r in out.groupBy("doc_id").count().collect()}
+    assert set(per.values()) <= {1, 2}
+    n_two = sum(1 for v in per.values() if v == 2)
+    assert 400 <= n_two <= 600  # ~50% within modular-spread tolerance
+    # deterministic: same seed -> same copy multiset
+    again = sampling.epoch_expand(df, 1.5, seed=3)
+    assert out.exceptAll(again).count() == 0
+    assert again.exceptAll(out).count() == 0
+    # e < 1 keeps only the lottery slice, never duplicates
+    frac = sampling.epoch_expand(df, 0.25, seed=1)
+    n = frac.count()
+    assert 150 <= n <= 350
+    assert frac.groupBy("doc_id").count().where("count > 1").count() == 0
+    # no shuffle, no python stage
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "BatchEvalPython" not in plan
+
+
 def test_c4_line_filter_rules(spark):
     from clickhouse_arrow_spark.operators import text as text_ops
 

@@ -306,6 +306,28 @@ def main() -> int:
         "token_cap_per_group_docs",
         lambda: smp.token_cap_per_group(srcd, "source", 50_000, "n_chars"),
     )
+    bench(
+        "epoch_expand_docs",
+        lambda: smp.epoch_expand(
+            srcd, F.lit(1.0) + (F.col("doc_id") % 3) * 0.5, seed=7
+        ),
+    )
+
+    from clickhouse_arrow_spark.operators import text as text_ops
+
+    bench(
+        "c4_line_filter_docs",
+        lambda: text_ops.c4_line_filter(
+            docs.select(
+                "doc_id",
+                F.concat(
+                    F.substring("text", 1, 60), F.lit(".\n"),
+                    F.substring("text", 61, 30), F.lit("\n"),
+                    F.substring("text", 91, 60), F.lit("?"),
+                ).alias("text"),
+            )
+        ),
+    )
 
     def resize_pipeline():
         imgs = docs.select(

@@ -59,6 +59,13 @@ def assert_scalar_columns(name, sdf, pdf):
     """Reject any top-level Array/Map/Struct result column pre-flight."""
     from pyspark.sql import types as T
 
+    cols = [f.name for f in sdf.schema.fields]
+    if len(set(cols)) != len(cols):
+        raise TypeError(
+            f"{name}: duplicate result column names {cols} — pandas "
+            "canonicalization is ambiguous over duplicates; alias them"
+        )
+
     bad = [
         f.name
         for f in sdf.schema.fields

@@ -1228,7 +1228,8 @@ def detach_attach_partition(
     """ClickHouse ALTER TABLE ... DETACH/ATTACH PARTITION with real
     file-move semantics (reference surface: clickhouse-arrow DDL
     statement forms): DETACH renames the partition's Hive directory
-    into a `.detached/` area under the table location and drops the
+    into a `.detached/<table>/` area BESIDE the table location (so
+    whole-table mutation rewrites cannot wipe it) and drops the
     partition from catalog metadata — the data leaves the query path
     but stays on disk; ATTACH renames it back and re-registers the
     partition. The move is a filesystem RENAME through the Hadoop
@@ -1243,7 +1244,12 @@ def detach_attach_partition(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
     part = hpath(f"{loc}/{pcol}={val}")
-    det = hpath(f"{loc}/.detached/{pcol}={val}")
+    # the detached area lives BESIDE the table, not inside it: a later
+    # mutation rewrites the table location wholesale and must not be
+    # able to wipe detached parts
+    parent, tname = loc.rsplit("/", 1)
+    det_root = f"{parent}/.detached/{tname}"
+    det = hpath(f"{det_root}/{pcol}={val}")
     if verb == "DETACH":
         if not fs.exists(part):
             raise SchemaError(
@@ -1254,9 +1260,9 @@ def detach_attach_partition(
             raise SchemaError(
                 f"DETACH PARTITION: {pcol}={val!r} is already detached "
                 f"from {table} — ATTACH it first or remove "
-                f"{loc}/.detached/{pcol}={val}"
+                f"{det_root}/{pcol}={val}"
             )
-        fs.mkdirs(hpath(f"{loc}/.detached"))
+        fs.mkdirs(hpath(det_root))
         fs.rename(part, det)
         spark.sql(
             f"ALTER TABLE {table} DROP IF EXISTS PARTITION "
@@ -1267,7 +1273,7 @@ def detach_attach_partition(
             raise SchemaError(
                 f"ATTACH PARTITION: no detached partition "
                 f"{pcol}={val!r} under {table} — DETACH writes to "
-                f"{loc}/.detached/"
+                f"{det_root}/"
             )
         if fs.exists(part):
             raise SchemaError(
@@ -1371,6 +1377,72 @@ def attach_table(spark: SparkSession, table: str) -> None:
         spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}`")
 
 
+def move_replace_partition(
+    spark: SparkSession,
+    src_table: str,
+    dst_table: str,
+    val: str,
+    verb: str,
+) -> None:
+    """`ALTER TABLE src MOVE PARTITION v TO TABLE dst` (file RENAME —
+    the partition leaves src) and `ALTER TABLE dst REPLACE PARTITION v
+    FROM src` (file COPY — src keeps its data; dst's partition is
+    replaced). Both operate on PHYSICAL partitions of schema-compatible
+    tables: directory-level Hadoop FS operations, no rows decoded.
+    MOVE refuses when dst already has the partition (CH appends parts;
+    a silent merge of two engines' directory layouts is the kind of
+    surprise this engine refuses) — REPLACE is the overwrite spelling.
+    """
+    src_p = [
+        c.name for c in spark.catalog.listColumns(src_table) if c.isPartition
+    ]
+    dst_p = [
+        c.name for c in spark.catalog.listColumns(dst_table) if c.isPartition
+    ]
+    if not src_p or src_p != dst_p:
+        raise SchemaError(
+            f"{verb} PARTITION: {src_table} and {dst_table} must share "
+            f"one physical PARTITION BY column (src={src_p}, dst={dst_p})"
+        )
+    pcol = src_p[0]
+    src_loc = _table_location(spark, src_table).rstrip("/")
+    dst_loc = _table_location(spark, dst_table).rstrip("/")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = hpath(src_loc).getFileSystem(hconf)
+    src_dir = hpath(f"{src_loc}/{pcol}={val}")
+    dst_dir = hpath(f"{dst_loc}/{pcol}={val}")
+    if not fs.exists(src_dir):
+        raise SchemaError(
+            f"{verb} PARTITION: {src_table} has no partition "
+            f"{pcol}={val!r}"
+        )
+    if verb == "MOVE":
+        if fs.exists(dst_dir):
+            raise SchemaError(
+                f"MOVE PARTITION: {dst_table} already has "
+                f"{pcol}={val!r} — use REPLACE PARTITION to overwrite"
+            )
+        fs.rename(src_dir, dst_dir)
+        spark.sql(
+            f"ALTER TABLE {src_table} DROP IF EXISTS PARTITION "
+            f"(`{pcol}` = '{val}')"
+        )
+    else:  # REPLACE: copy files, src untouched
+        if fs.exists(dst_dir):
+            fs.delete(dst_dir, True)
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, src_dir, fs, dst_dir, False, hconf
+        )
+    spark.sql(
+        f"ALTER TABLE {dst_table} ADD IF NOT EXISTS PARTITION "
+        f"(`{pcol}` = '{val}')"
+    )
+    spark.sql(f"REFRESH TABLE {src_table}")
+    spark.sql(f"REFRESH TABLE {dst_table}")
+
+
 def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     """ClickHouse ALTER forms with no direct Spark-parquet statement:
 
@@ -1441,6 +1513,29 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
             "supported (ALTER TABLE t DETACH PARTITION 'v'); the "
             "FROM-table and ALL forms are not"
         )
+    mm = re.match(
+        r"(?is)^MOVE\s+PARTITION\s+(?:'([^']*)'|(\S+))\s+TO\s+TABLE\s+"
+        r"([\w.`]+)\s*$",
+        action,
+    )
+    if mm:
+        val = mm.group(1) if mm.group(1) is not None else mm.group(2)
+        move_replace_partition(
+            spark, table, mm.group(3).strip("`"), val, "MOVE"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^REPLACE\s+PARTITION\s+(?:'([^']*)'|(\S+))\s+FROM\s+"
+        r"([\w.`]+)\s*$",
+        action,
+    )
+    if mm:
+        val = mm.group(1) if mm.group(1) is not None else mm.group(2)
+        # REPLACE: dst is THIS table, src is the FROM table
+        move_replace_partition(
+            spark, mm.group(3).strip("`"), table, val, "REPLACE"
+        )
+        return True
     mm = re.match(r"(?is)^MODIFY\s+COMMENT\s+'((?:[^']|'')*)'\s*$", action)
     if mm:
         spark.sql(
@@ -1461,13 +1556,40 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
             f"('clickhouse_arrow_spark.order_by' = '{','.join(cols)}')"
         )
         return True
-    if re.match(r"(?is)^FREEZE\b", action):
-        raise SchemaError(
-            "ALTER TABLE ... FREEZE takes a hardlink snapshot of local "
-            "parts — parquet tables snapshot by COPYING the table "
-            "location (distcp / aws s3 sync), or use a Delta/Iceberg "
-            "table for zero-copy time travel"
-        )
+    mm = re.match(
+        r"(?is)^FREEZE(?:\s+WITH\s+NAME\s+'([^']+)')?\s*$", action
+    )
+    if mm:
+        # CH FREEZE hardlinks parts into shadow/<name>; parquet files
+        # are immutable-once-written but not hardlinkable portably, so
+        # the snapshot is a directory COPY into a `.shadow/<table>/
+        # <name>` area BESIDE the table (mutation rewrites replace the
+        # table location wholesale and must not wipe snapshots; data
+        # cost = one copy, which is what FREEZE costs on non-hardlink
+        # disks too). Restore = copy back, or ATTACH-style moves.
+        loc = _table_location(spark, table).rstrip("/")
+        jvm = spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        hconf = spark.sparkContext._jsc.hadoopConfiguration()
+        fs = hpath(loc).getFileSystem(hconf)
+        name = mm.group(1) or "backup"
+        parent, tname = loc.rsplit("/", 1)
+        shadow_root = f"{parent}/.shadow/{tname}"
+        shadow = hpath(f"{shadow_root}/{name}")
+        if fs.exists(shadow):
+            raise SchemaError(
+                f"FREEZE: snapshot {name!r} already exists under "
+                f"{shadow_root}/ — pick another WITH NAME"
+            )
+        src_statuses = fs.listStatus(hpath(loc))
+        fs.mkdirs(shadow)
+        for st in src_statuses:
+            p = st.getPath()
+            jvm.org.apache.hadoop.fs.FileUtil.copy(
+                fs, p, fs, hpath(f"{shadow_root}/{name}/{p.getName()}"),
+                False, hconf,
+            )
+        return True
     mm = re.match(
         r"(?is)^DROP\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$", action
     )

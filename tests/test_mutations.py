@@ -215,7 +215,13 @@ def test_detach_attach_partition_roundtrip(client, spark):
     loc = _table_location(spark, "ddl7.da").replace("file:", "")
     import os
 
-    assert os.path.isdir(os.path.join(loc, ".detached", "region=eu"))
+    det = os.path.join(os.path.dirname(loc), ".detached", "da",
+                       "region=eu")
+    assert os.path.isdir(det)
+    # a mutation between DETACH and ATTACH must not wipe the detached
+    # area (it lives BESIDE the table location)
+    client.execute_ch("ALTER TABLE ddl7.da DELETE WHERE k = 3")
+    assert os.path.isdir(det)
     # double-DETACH refuses; ATTACH of a never-detached value refuses
     with _pt.raises(SchemaError, match="no partition"):
         client.execute_ch("ALTER TABLE ddl7.da DETACH PARTITION 'eu'")
@@ -223,8 +229,8 @@ def test_detach_attach_partition_roundtrip(client, spark):
         client.execute_ch("ALTER TABLE ddl7.da ATTACH PARTITION 'apac'")
     # ATTACH: files move back, rows reappear — no data was rewritten
     client.execute_ch("ALTER TABLE ddl7.da ATTACH PARTITION 'eu'")
-    assert {r.k for r in spark.table("ddl7.da").collect()} == {1, 2, 3}
-    assert not os.path.isdir(os.path.join(loc, ".detached", "region=eu"))
+    assert {r.k for r in spark.table("ddl7.da").collect()} == {1, 2}
+    assert not os.path.isdir(det)
     spark.sql("DROP TABLE IF EXISTS ddl7.da")
 
 
@@ -260,6 +266,107 @@ def test_detach_attach_table_roundtrip(client, spark):
     with _pt.raises(SchemaError, match="no detached"):
         client.execute_ch("ATTACH TABLE ddl7.dt")
     spark.sql("DROP TABLE IF EXISTS ddl7.dt")
+
+
+def test_move_replace_partition(client, spark):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl7")
+    for t in ("mp_src", "mp_dst"):
+        spark.sql(f"DROP TABLE IF EXISTS ddl7.{t}")
+    client.execute_ch(
+        "CREATE TABLE ddl7.mp_src (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.execute_ch(
+        "CREATE TABLE ddl7.mp_dst (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl7.mp_src",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "eu"), (3, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    # MOVE: the partition leaves src, appears in dst (file rename)
+    client.execute_ch(
+        "ALTER TABLE ddl7.mp_src MOVE PARTITION 'eu' TO TABLE ddl7.mp_dst"
+    )
+    assert {r.k for r in spark.table("ddl7.mp_src").collect()} == {3}
+    assert {r.k for r in spark.table("ddl7.mp_dst").collect()} == {1, 2}
+    # MOVE onto an existing partition refuses, naming REPLACE
+    client.insert(
+        "ddl7.mp_src",
+        spark.createDataFrame([(9, "eu")], "k BIGINT, region STRING"),
+    )
+    with _pt.raises(SchemaError, match="REPLACE PARTITION"):
+        client.execute_ch(
+            "ALTER TABLE ddl7.mp_src MOVE PARTITION 'eu' "
+            "TO TABLE ddl7.mp_dst"
+        )
+    # REPLACE: dst partition overwritten by a COPY; src keeps its rows
+    client.execute_ch(
+        "ALTER TABLE ddl7.mp_dst REPLACE PARTITION 'eu' FROM ddl7.mp_src"
+    )
+    assert {r.k for r in spark.table("ddl7.mp_dst").collect()} == {9}
+    assert {r.k for r in spark.table("ddl7.mp_src")
+            .where("region = 'eu'").collect()} == {9}
+    for t in ("mp_src", "mp_dst"):
+        spark.sql(f"DROP TABLE IF EXISTS ddl7.{t}")
+
+
+def test_freeze_snapshot(client, spark):
+    import os
+
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.ddl import _table_location
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl7")
+    spark.sql("DROP TABLE IF EXISTS ddl7.fz")
+    client.execute_ch(
+        "CREATE TABLE ddl7.fz (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    # snapshots survive DROP TABLE by design — clean prior-run leftovers
+    import shutil
+
+    loc0 = _table_location(spark, "ddl7.fz").replace("file:", "")
+    shutil.rmtree(
+        os.path.join(os.path.dirname(loc0), ".shadow", "fz"),
+        ignore_errors=True,
+    )
+    client.insert(
+        "ddl7.fz",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    client.execute_ch("ALTER TABLE ddl7.fz FREEZE WITH NAME 'pre'")
+    loc = _table_location(spark, "ddl7.fz").replace("file:", "")
+    snap = os.path.join(os.path.dirname(loc), ".shadow", "fz", "pre")
+    # dotted dirs are invisible to Spark's listing BY DESIGN (same
+    # reason .detached never leaks into table scans) — verify the
+    # snapshot's parquet at file level via DuckDB
+    assert os.path.isdir(os.path.join(snap, "region=eu"))
+    import duckdb
+
+    frozen = duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{snap}/*/*.parquet')"
+    ).fetchone()[0]
+    assert frozen == 2
+    # mutations after the freeze don't touch the snapshot
+    client.execute_ch("ALTER TABLE ddl7.fz DELETE WHERE region = 'eu'")
+    assert spark.table("ddl7.fz").count() == 1
+    assert duckdb.sql(
+        f"SELECT count(*) FROM read_parquet('{snap}/*/*.parquet')"
+    ).fetchone()[0] == 2
+    with _pt.raises(SchemaError, match="already exists"):
+        client.execute_ch("ALTER TABLE ddl7.fz FREEZE WITH NAME 'pre'")
+    spark.sql("DROP TABLE IF EXISTS ddl7.fz")
 
 
 def test_truncate_all_tables(client, spark):

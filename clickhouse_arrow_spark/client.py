@@ -226,7 +226,7 @@ class Client:
         m = _re.match(
             r"(?is)^\s*(CREATE|DROP|RENAME|EXCHANGE|TRUNCATE|OPTIMIZE|"
             r"INSERT|SYSTEM|GRANT|REVOKE|DETACH|ATTACH|UNDROP|ALTER|"
-            r"REPLACE|KILL\s+QUERY)\b",
+            r"REPLACE|BACKUP|RESTORE|KILL\s+QUERY)\b",
             ch_sql,
         )
         if m:
@@ -995,6 +995,31 @@ class Client:
                 stmt += f" DEFAULT {translate_ch_sql(md.group(2).strip())}"
             self.execute(stmt, qid)
             return None
+        m = _re.match(
+            r"(?is)^\s*(BACKUP|RESTORE)\s+TABLE\s+([\w.`]+)\s+"
+            r"(TO|FROM)\s+File\s*\(\s*'([^']+)'\s*\)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            from clickhouse_arrow_spark.ddl import (
+                backup_table,
+                restore_table,
+            )
+
+            verb = m.group(1).upper()
+            if verb == "BACKUP" and m.group(3).upper() == "TO":
+                backup_table(self.spark, m.group(2), m.group(4))
+                return None
+            if verb == "RESTORE" and m.group(3).upper() == "FROM":
+                restore_table(self.spark, m.group(2), m.group(4))
+                return None
+        if _re.match(r"(?is)^\s*(BACKUP|RESTORE)\s+TABLE\b", ch_sql):
+            raise QueryError(
+                "BACKUP/RESTORE TABLE: the File('<dir>') destination is "
+                "supported (BACKUP TABLE db.t TO File('/path')); "
+                "Disk()/S3() named-disk forms are server-side disk "
+                "registry concepts — pass the filesystem path directly"
+            )
         if _re.match(r"(?is)^\s*UNDROP\s+TABLE\b", ch_sql):
             raise QueryError(
                 "UNDROP TABLE: drops here are immediate (no "

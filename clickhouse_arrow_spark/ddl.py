@@ -1443,6 +1443,86 @@ def move_replace_partition(
     spark.sql(f"REFRESH TABLE {dst_table}")
 
 
+def backup_table(spark: SparkSession, table: str, dest: str) -> None:
+    """`BACKUP TABLE t TO File('<dir>')`: copy the table's files plus
+    a DDL snapshot (SHOW CREATE text) into `dest` — the restore
+    contains everything needed to recreate the table elsewhere. The
+    copy runs through the Hadoop FS API, so any Spark-reachable
+    filesystem works as a destination."""
+    ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+    loc = _table_location(spark, table).rstrip("/")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = hpath(dest).getFileSystem(hconf)
+    if fs.exists(hpath(dest)):
+        raise SchemaError(
+            f"BACKUP TABLE: destination {dest!r} already exists — "
+            "CH backups never overwrite; pick a fresh path"
+        )
+    fs.mkdirs(hpath(dest))
+    src_fs = hpath(loc).getFileSystem(hconf)
+    for st in src_fs.listStatus(hpath(loc)):
+        p = st.getPath()
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            src_fs, p, fs, hpath(f"{dest}/{p.getName()}"), False, hconf
+        )
+    out = fs.create(hpath(f"{dest}/__cas_ddl.sql"), True)
+    out.write(bytearray(ddl.encode("utf-8")))
+    out.close()
+
+
+def restore_table(spark: SparkSession, table: str, src: str) -> None:
+    """`RESTORE TABLE t FROM File('<dir>')`: recreate from the backup's
+    DDL snapshot and copy the files back. Refuses when the table
+    already exists (CH restores never clobber; DROP first)."""
+    if spark.catalog.tableExists(table):
+        raise SchemaError(
+            f"RESTORE TABLE: {table} already exists — DROP it first "
+            "(restores never clobber)"
+        )
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    fs = hpath(src).getFileSystem(hconf)
+    ddl_file = hpath(f"{src}/__cas_ddl.sql")
+    if not fs.exists(ddl_file):
+        raise SchemaError(
+            f"RESTORE TABLE: {src!r} is not a backup directory "
+            "(missing the DDL snapshot)"
+        )
+    stream = fs.open(ddl_file)
+    try:
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        chunks, line = [], buf.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = buf.readLine()
+        ddl = "\n".join(chunks)
+    finally:
+        stream.close()
+    spark.sql(ddl)
+    loc = _table_location(spark, table).rstrip("/")
+    dst_fs = hpath(loc).getFileSystem(hconf)
+    dst_fs.delete(hpath(loc), True)
+    dst_fs.mkdirs(hpath(loc))
+    for st in fs.listStatus(hpath(src)):
+        p = st.getPath()
+        if p.getName() == "__cas_ddl.sql":
+            continue
+        jvm.org.apache.hadoop.fs.FileUtil.copy(
+            fs, p, dst_fs, hpath(f"{loc}/{p.getName()}"), False, hconf
+        )
+    spark.sql(f"REFRESH TABLE {table}")
+    pcols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE {table}")
+
+
 def try_alter(spark: SparkSession, ch_sql: str) -> bool:
     """ClickHouse ALTER forms with no direct Spark-parquet statement:
 

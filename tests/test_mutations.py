@@ -369,6 +369,47 @@ def test_freeze_snapshot(client, spark):
     spark.sql("DROP TABLE IF EXISTS ddl7.fz")
 
 
+def test_backup_restore_table(client, spark, tmp_path):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError, SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl7")
+    spark.sql("DROP TABLE IF EXISTS ddl7.bk")
+    client.execute_ch(
+        "CREATE TABLE ddl7.bk (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl7.bk",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    dest = str(tmp_path / "bk1")
+    client.execute_ch(f"BACKUP TABLE ddl7.bk TO File('{dest}')")
+    # backups never overwrite
+    with _pt.raises(SchemaError, match="already exists"):
+        client.execute_ch(f"BACKUP TABLE ddl7.bk TO File('{dest}')")
+    # mutate + drop, then restore the original state
+    client.execute_ch("ALTER TABLE ddl7.bk DELETE WHERE region = 'eu'")
+    with _pt.raises(SchemaError, match="DROP it first"):
+        client.execute_ch(f"RESTORE TABLE ddl7.bk FROM File('{dest}')")
+    spark.sql("DROP TABLE ddl7.bk")
+    client.execute_ch(f"RESTORE TABLE ddl7.bk FROM File('{dest}')")
+    got = sorted((r.k, r.region) for r in spark.table("ddl7.bk").collect())
+    assert got == [(1, "eu"), (2, "us")]
+    props = {r["key"] for r in
+             spark.sql("SHOW TBLPROPERTIES ddl7.bk").collect()}
+    assert "clickhouse_arrow_spark.engine" in props
+    # named-disk forms refuse with the File recipe
+    with _pt.raises(QueryError, match="File"):
+        client.execute_ch(
+            "BACKUP TABLE ddl7.bk TO Disk('backups', 'x.zip')"
+        )
+    spark.sql("DROP TABLE IF EXISTS ddl7.bk")
+
+
 def test_truncate_all_tables(client, spark):
     client.execute_ch("CREATE DATABASE IF NOT EXISTS truncdb")
     client.execute_ch("DROP TABLE IF EXISTS truncdb.a")

@@ -1208,6 +1208,35 @@ class Client:
                 )
             self.insert(m.group(1), block, qid)
             return None
+        m = _re.match(
+            r"(?is)^\s*SYSTEM\s+UNFREEZE\s+WITH\s+NAME\s+'([^']+)'"
+            r"\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # remove the named FREEZE snapshot everywhere it exists —
+            # scan each database dir's .shadow/<table>/<name>
+            jvm = self.spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            name = m.group(1)
+            removed = 0
+            for db in self.spark.catalog.listDatabases():
+                root = f"{db.locationUri.rstrip('/')}/.shadow"
+                fs = hpath(root).getFileSystem(hconf)
+                if not fs.exists(hpath(root)):
+                    continue
+                for st in fs.listStatus(hpath(root)):
+                    snap = hpath(f"{st.getPath()}/{name}")
+                    if fs.exists(snap):
+                        fs.delete(snap, True)
+                        removed += 1
+            if removed == 0:
+                raise SchemaError(
+                    f"SYSTEM UNFREEZE: no snapshot named {name!r} under "
+                    "any database's .shadow/ area"
+                )
+            return None
         if _re.match(
             r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"
             r"FLUSH\s+LOGS|"

@@ -366,6 +366,11 @@ def test_freeze_snapshot(client, spark):
     ).fetchone()[0] == 2
     with _pt.raises(SchemaError, match="already exists"):
         client.execute_ch("ALTER TABLE ddl7.fz FREEZE WITH NAME 'pre'")
+    # SYSTEM UNFREEZE removes the named snapshot everywhere
+    client.execute_ch("SYSTEM UNFREEZE WITH NAME 'pre'")
+    assert not os.path.isdir(snap)
+    with _pt.raises(SchemaError, match="no snapshot"):
+        client.execute_ch("SYSTEM UNFREEZE WITH NAME 'pre'")
     spark.sql("DROP TABLE IF EXISTS ddl7.fz")
 
 

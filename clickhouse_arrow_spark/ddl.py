@@ -1237,6 +1237,19 @@ def detach_attach_partition(
     size (on S3-style stores a rename is a copy; same caveat as CH
     on s3 disks). No rows are read or rewritten either way.
     """
+    pcols = [
+        c.name for c in spark.catalog.listColumns(table) if c.isPartition
+    ]
+    # guard BEFORE any filesystem mutation: a 2+-column partition spec
+    # would rename the directory, then fail the trailing ADD/DROP
+    # PARTITION (partial spec) and leave a half-completed move
+    if len(pcols) != 1 or pcols[0] != pcol:
+        raise SchemaError(
+            f"{verb} PARTITION: {table} must be partitioned by exactly "
+            f"one physical column matching the spec (table is "
+            f"partitioned by {pcols}, spec names {pcol!r}) — "
+            f"multi-column partition moves are not supported"
+        )
     jvm = spark.sparkContext._jvm
     loc = _table_location(spark, table).rstrip("/")
     hpath = jvm.org.apache.hadoop.fs.Path
@@ -1288,6 +1301,38 @@ def detach_attach_partition(
     spark.sql(f"REFRESH TABLE {table}")
 
 
+def _database_location(spark: SparkSession, db: str) -> str:
+    """The database's filesystem location (DESCRIBE DATABASE)."""
+    return (
+        spark.sql(f"DESCRIBE DATABASE `{db}`")
+        .where("info_name = 'Location'")
+        .collect()[0]["info_value"]
+        .rstrip("/")
+    )
+
+
+def _read_fs_text(jvm, fs, path) -> str:
+    """Read a small UTF-8 text file through the Hadoop FS API."""
+    stream = fs.open(path)
+    try:
+        buf = jvm.java.io.BufferedReader(
+            jvm.java.io.InputStreamReader(stream, "UTF-8")
+        )
+        chunks, line = [], buf.readLine()
+        while line is not None:
+            chunks.append(line)
+            line = buf.readLine()
+        return "\n".join(chunks)
+    finally:
+        stream.close()
+
+
+def _write_fs_text(fs, hpath, path: str, text: str) -> None:
+    out = fs.create(hpath(path), True)
+    out.write(bytearray(text.encode("utf-8")))
+    out.close()
+
+
 def detach_table(spark: SparkSession, table: str) -> None:
     """ClickHouse `DETACH TABLE t`: the table leaves the catalog but
     its data stays on disk, re-attachable by name. Implemented as a
@@ -1295,9 +1340,15 @@ def detach_table(spark: SparkSession, table: str) -> None:
     into the table directory, the directory renames into a
     `.detached_tables/` area beside it (Hadoop FS rename — metadata
     cost), and the catalog entry drops (its data is already gone, so
-    DROP removes metadata only)."""
+    DROP removes metadata only). A pointer file at the DATABASE
+    location records where the snapshot went, so ATTACH finds tables
+    with a custom/external LOCATION (whose snapshot sits beside THAT
+    path, not the warehouse) without guessing."""
+    db = table.split(".")[0].strip("`") if "." in table else "default"
+    tname = table.split(".")[-1].strip("`")
     ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
     loc = _table_location(spark, table).rstrip("/")
+    dbloc = _database_location(spark, db)
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
     fs = hpath(loc).getFileSystem(
@@ -1306,67 +1357,68 @@ def detach_table(spark: SparkSession, table: str) -> None:
     name = loc.rsplit("/", 1)[-1]
     parent = loc.rsplit("/", 1)[0]
     det = hpath(f"{parent}/.detached_tables/{name}")
-    if fs.exists(det):
+    ptr = f"{dbloc}/.detached_tables/{tname}.__ptr"
+    if fs.exists(det) or fs.exists(hpath(ptr)):
         raise SchemaError(
             f"DETACH TABLE: {table} is already detached — ATTACH it "
             f"first or remove {parent}/.detached_tables/{name}"
         )
-    out = fs.create(hpath(f"{loc}/__cas_ddl.sql"), True)
-    out.write(bytearray(ddl.encode("utf-8")))
-    out.close()
+    _write_fs_text(fs, hpath, f"{loc}/__cas_ddl.sql", ddl)
     fs.mkdirs(hpath(f"{parent}/.detached_tables"))
     fs.rename(hpath(loc), det)
+    # the pointer makes ATTACH independent of the warehouse-layout
+    # guess: custom LOCATIONs and basename≠table-name both resolve
+    fs.mkdirs(hpath(f"{dbloc}/.detached_tables"))
+    _write_fs_text(fs, hpath, ptr, f"{parent}/.detached_tables/{name}")
     spark.sql(f"DROP TABLE {table}")
 
 
 def attach_table(spark: SparkSession, table: str) -> None:
     """ClickHouse `ATTACH TABLE t`: re-register a detached table from
     its on-disk snapshot — recreate from the saved DDL, move the data
-    directory back, refresh (and recover partitions when physical)."""
+    directory back, refresh (and recover partitions when physical).
+    The snapshot path comes from the pointer file DETACH left at the
+    database location (fallback: `<dbloc>/.detached_tables/<name>` for
+    snapshots from before pointers existed). The DDL snapshot is only
+    deleted AFTER the table is successfully recreated and the data
+    renamed back — a failed CREATE leaves the snapshot re-attachable.
+    """
     db = table.split(".")[0].strip("`") if "." in table else "default"
     name = table.split(".")[-1].strip("`")
-    loc_guess = None
     try:
-        dbloc = (
-            spark.sql(f"DESCRIBE DATABASE {db}")
-            .where("info_name = 'Location'")
-            .collect()[0]["info_value"]
-        )
-        loc_guess = f"{dbloc.rstrip('/')}/{name}"
+        dbloc = _database_location(spark, db)
     except Exception:
-        pass
-    if loc_guess is None:
         raise SchemaError(f"ATTACH TABLE: database {db} not found")
     jvm = spark.sparkContext._jvm
     hpath = jvm.org.apache.hadoop.fs.Path
-    fs = hpath(loc_guess).getFileSystem(
+    fs = hpath(dbloc).getFileSystem(
         spark.sparkContext._jsc.hadoopConfiguration()
     )
-    parent = loc_guess.rsplit("/", 1)[0]
-    det = f"{parent}/.detached_tables/{name}"
+    ptr = f"{dbloc}/.detached_tables/{name}.__ptr"
+    if fs.exists(hpath(ptr)):
+        det = _read_fs_text(jvm, fs, hpath(ptr)).strip()
+    else:
+        det = f"{dbloc}/.detached_tables/{name}"
     if not fs.exists(hpath(det)):
         raise SchemaError(
-            f"ATTACH TABLE: no detached table {name!r} under "
-            f"{parent}/.detached_tables/ — DETACH TABLE writes there"
+            f"ATTACH TABLE: no detached table {name!r} (looked at "
+            f"{det} via {dbloc}/.detached_tables/) — DETACH TABLE "
+            f"writes the snapshot + pointer there"
         )
-    stream = fs.open(hpath(f"{det}/__cas_ddl.sql"))
+    ddl = _read_fs_text(jvm, fs, hpath(f"{det}/__cas_ddl.sql"))
+    spark.sql(ddl)  # a failure here leaves the snapshot fully intact
     try:
-        chunks = []
-        buf = jvm.java.io.BufferedReader(
-            jvm.java.io.InputStreamReader(stream, "UTF-8")
-        )
-        line = buf.readLine()
-        while line is not None:
-            chunks.append(line)
-            line = buf.readLine()
-        ddl = "\n".join(chunks)
-    finally:
-        stream.close()
-    fs.delete(hpath(f"{det}/__cas_ddl.sql"), False)
-    spark.sql(ddl)
-    loc = _table_location(spark, f"`{db}`.`{name}`").rstrip("/")
-    fs.delete(hpath(loc), True)
-    fs.rename(hpath(det), hpath(loc))
+        loc = _table_location(spark, f"`{db}`.`{name}`").rstrip("/")
+        fs.delete(hpath(loc), True)
+        fs.rename(hpath(det), hpath(loc))
+    except Exception:
+        # roll back the catalog entry so the state returns to
+        # "detached" with the snapshot (incl. its DDL) untouched
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
+        raise
+    fs.delete(hpath(f"{loc}/__cas_ddl.sql"), False)
+    if fs.exists(hpath(ptr)):
+        fs.delete(hpath(ptr), False)
     spark.sql(f"REFRESH TABLE `{db}`.`{name}`")
     pcols = [
         c.name
@@ -1399,10 +1451,16 @@ def move_replace_partition(
     dst_p = [
         c.name for c in spark.catalog.listColumns(dst_table) if c.isPartition
     ]
-    if not src_p or src_p != dst_p:
+    # exactly ONE partition column on both sides, checked BEFORE any
+    # filesystem mutation — a 2+-column table would rename the
+    # directory, then fail the trailing ADD PARTITION (partial spec)
+    # with the data registered in neither table
+    if len(src_p) != 1 or src_p != dst_p:
         raise SchemaError(
             f"{verb} PARTITION: {src_table} and {dst_table} must share "
-            f"one physical PARTITION BY column (src={src_p}, dst={dst_p})"
+            f"exactly one physical PARTITION BY column "
+            f"(src={src_p}, dst={dst_p}) — multi-column partition "
+            f"moves are not supported"
         )
     pcol = src_p[0]
     src_loc = _table_location(spark, src_table).rstrip("/")

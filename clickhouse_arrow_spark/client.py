@@ -536,8 +536,9 @@ class Client:
             r"(?i)\bgetSetting\s*\(\s*'([^']+)'\s*\)", _get_setting, ch_sql
         )
         if _re.search(
-            r"(?i)\b(?:FROM|JOIN)\s+(?:file|s3|url|merge|generateRandom|"
-            r"remote|remoteSecure|cluster|clusterAllReplicas|input)\s*\(",
+            r"(?i)\b(?:FROM|JOIN)\s+(?:file|s3|urlCluster|url|merge|"
+            r"generateRandom|remote|remoteSecure|cluster|"
+            r"clusterAllReplicas|input)\s*\(",
             ch_sql,
         ):
             ch_sql = self._rewrite_file_tvfs(ch_sql)
@@ -570,12 +571,6 @@ class Client:
         # after translation: the replacement subqueries use Spark's own
         # range() TVF, which the CH->Spark translator must not re-touch
         sql = self._rewrite_system_tables(sql)
-        if "ch_variant_type(" in sql:
-            self._ensure_variant_udf()
-        if "ch_normalize_" in sql:
-            self._ensure_normalize_udfs()
-        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma|stem)", sql):
-            self._ensure_py_udfs()
         if params:
             sql = bind_params(sql, params)
         df = self._run(sql, qid)
@@ -791,7 +786,8 @@ class Client:
             self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
             return None
         m = _re.match(
-            r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)\s*;?\s*$",
+            r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)"
+            r"(\s+SYNC)?\s*;?\s*$",
             ch_sql,
         )
         if m:
@@ -803,6 +799,23 @@ class Client:
                 is_view = (t.tableType or "").upper() == "VIEW"
             except Exception:
                 is_view = False
+            if not is_view and not m.group(3):
+                # Atomic-database semantics: the data moves to a trash
+                # area and stays UNDROP-able for the retention window
+                # (database_atomic_delay_before_drop_table_sec; 0 — or
+                # DROP ... SYNC — means immediate). ddl.undrop_table
+                # is the restore path.
+                from clickhouse_arrow_spark.ddl import (
+                    _drop_retention_sec,
+                    drop_table_to_trash,
+                )
+
+                if (
+                    _drop_retention_sec(self.spark) > 0
+                    and self.spark.catalog.tableExists(name)
+                ):
+                    drop_table_to_trash(self.spark, m.group(2))
+                    return None
             kw = "VIEW" if is_view else "TABLE"
             ine = "IF EXISTS " if m.group(1) else ""
             self.execute(f"DROP {kw} {ine}{m.group(2)}", qid)
@@ -918,6 +931,9 @@ class Client:
 
             name = m.group("name").replace("`", "")
             spark_select = translate_ch_sql(m.group("select"))
+            # MV machinery runs this SELECT outside _run — register
+            # any lazily-created ch_* UDFs it references first
+            self._ensure_udfs_for(spark_select)
             msrc = _re.search(
                 r"(?is)\bFROM\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
                 spark_select,
@@ -1020,12 +1036,18 @@ class Client:
                 "Disk()/S3() named-disk forms are server-side disk "
                 "registry concepts — pass the filesystem path directly"
             )
+        m = _re.match(
+            r"(?is)^\s*UNDROP\s+TABLE\s+([\w.`]+)\s*;?\s*$", ch_sql
+        )
+        if m:
+            from clickhouse_arrow_spark.ddl import undrop_table
+
+            undrop_table(self.spark, m.group(1))
+            return None
         if _re.match(r"(?is)^\s*UNDROP\s+TABLE\b", ch_sql):
             raise QueryError(
-                "UNDROP TABLE: drops here are immediate (no "
-                "database_atomic_delay_before_drop window) — restore "
-                "from the parquet files if they were EXTERNAL, or "
-                "re-ingest"
+                "UNDROP TABLE takes a single table name: "
+                "UNDROP TABLE [db.]t"
             )
         m = _re.match(
             r"(?is)^\s*TRUNCATE\s+ALL\s+TABLES\s+FROM\s+(?:IF\s+EXISTS\s+)?"
@@ -1367,13 +1389,29 @@ class Client:
         except Exception:
             return df
         keys = props.get("clickhouse_arrow_spark.setting.join_key", "")
+        # only dedupe when strictness is EXPLICITLY recorded as ANY —
+        # a missing property (table predates recording, or Join(ALL))
+        # must keep every row, matching CH Join(ALL) semantics
         strict = props.get(
-            "clickhouse_arrow_spark.setting.join_strict", "ANY"
+            "clickhouse_arrow_spark.setting.join_strict", ""
         ).upper()
         if not keys or strict != "ANY":
             return df
         key_cols = keys.split("|")
-        deduped = df.dropDuplicates(key_cols)
+        # CH Join(ANY) keeps the FIRST inserted row per key — an
+        # order-stable keep-first via monotonically_increasing_id
+        # (partition-ordinal ordered: earlier batches/partitions win),
+        # not dropDuplicates' arbitrary pick
+        from pyspark.sql import Window
+        from pyspark.sql import functions as F
+
+        w = Window.partitionBy(*key_cols).orderBy("__cas_ins_ord")
+        deduped = (
+            df.withColumn("__cas_ins_ord", F.monotonically_increasing_id())
+            .withColumn("__cas_ins_rn", F.row_number().over(w))
+            .where(F.col("__cas_ins_rn") == 1)
+            .drop("__cas_ins_ord", "__cas_ins_rn")
+        )
         existing = self.spark.table(table).select(*key_cols)
         return deduped.join(existing, key_cols, "left_anti")
 
@@ -1674,8 +1712,9 @@ class Client:
         )
 
         tvf_re = _re.compile(
-            r"(?i)\b(FROM|JOIN)\s+(file|s3|url|merge|generateRandom|"
-            r"remote|remoteSecure|cluster|clusterAllReplicas|input)\s*\("
+            r"(?i)\b(FROM|JOIN)\s+(file|s3|urlCluster|url|merge|"
+            r"generateRandom|remote|remoteSecure|cluster|"
+            r"clusterAllReplicas|input)\s*\("
         )
         while True:
             m = _find_clean(tvf_re, ch_sql, depth0=False)
@@ -1687,15 +1726,9 @@ class Client:
             args = [a.strip() for a in
                     _split_top_args(ch_sql[m.end(): close])]
             fn = m.group(2).lower()
-            if fn == "url":
-                raise UntranslatableFunctionError(
-                    "url() table function: Spark executors cannot "
-                    "range-read an arbitrary HTTP endpoint; for a "
-                    "ClickHouse-HTTP server use client.read_remote / "
-                    "the DSv2 connector (partitioned ArrowStream "
-                    "scan), for a one-off file download it first and "
-                    "use file()"
-                )
+            if fn in ("url", "urlcluster"):
+                ch_sql = self._expand_url_tvf(ch_sql, m, close, args, fn)
+                continue
             if fn in ("remote", "remotesecure", "cluster",
                       "clusterallreplicas"):
                 raise UntranslatableFunctionError(
@@ -1794,6 +1827,79 @@ class Client:
                 f"{ch_sql[: m.start()]}{m.group(1)} {view}"
                 f"{ch_sql[close + 1:]}"
             )
+
+    def _expand_url_tvf(self, ch_sql, m, close, args, fn) -> str:
+        """`url('http://…', Format [, 'structure'])` and
+        `urlCluster('cluster', url, Format [, 'structure'])` (CH
+        table-functions/url.md; the reference passes them through to
+        the server — src/http/client.rs is its fetch machinery, ours
+        is sources/url_tvf.py): brace globs expand into one executor
+        task per URL (with a structure — the distributed path), a
+        single bare URL streams to local disk and infers. The result
+        registers as a temp view like file(), so Catalyst prunes and
+        pushes over it normally."""
+        import hashlib
+
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+        from clickhouse_arrow_spark.sources.url_tvf import (
+            UrlTvfError,
+            expand_url_globs,
+            read_urls,
+        )
+
+        def lit(s: str) -> str:
+            s = s.strip()
+            if not (s.startswith("'") and s.endswith("'")):
+                raise UntranslatableFunctionError(
+                    f"{fn}() arguments must be string literals"
+                )
+            return s[1:-1]
+
+        if fn == "urlcluster":
+            # first arg is the cluster name — Spark IS the cluster;
+            # the glob fan-out below is the cross-node distribution
+            args = args[1:]
+        if len(args) < 2:
+            raise UntranslatableFunctionError(
+                f"{fn}() needs (url, format [, 'structure'])"
+            )
+        raw_url, fmt = lit(args[0]), lit(args[1])
+        schema = None
+        if len(args) > 2:
+            from pyspark.sql import types as _T
+
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            fields = []
+            for spec in lit(args[2]).split(","):
+                cname, _, ctype = spec.strip().partition(" ")
+                dt, nullable = ch_type_to_spark(
+                    parse_ch_type(ctype.strip()), self.type_options
+                )
+                fields.append(
+                    _T.StructField(cname.strip("`"), dt, nullable)
+                )
+            schema = _T.StructType(fields)
+        try:
+            urls = expand_url_globs(raw_url)
+            df = read_urls(self.spark, urls, fmt, schema)
+        except UrlTvfError as e:
+            raise UntranslatableFunctionError(str(e)) from None
+        key = hashlib.md5(
+            f"url|{raw_url}|{fmt}|{args[2] if len(args) > 2 else ''}"
+            .encode()
+        ).hexdigest()[:12]
+        view = f"__cas_url_{key}"
+        df.createOrReplaceTempView(view)
+        return (
+            f"{ch_sql[: m.start()]}{m.group(1)} {view}"
+            f"{ch_sql[close + 1:]}"
+        )
 
     def _expand_merge_tvf(self, ch_sql, m, close, args) -> str:
         """`merge('db', '^regex')` / `merge('^regex')` — union of every
@@ -2367,9 +2473,24 @@ class Client:
     # ------------------------------------------------------------------
     # internals
     # ------------------------------------------------------------------
+    def _ensure_udfs_for(self, sql: str) -> None:
+        """Register the lazily-created ch_* UDFs referenced by a
+        translated SQL string. Lives on the SHARED execution path
+        (_run) so every statement form that routes through
+        translate_ch_sql — plain queries, INSERT INTO ... SELECT,
+        CREATE ... AS SELECT, execute_script — sees them registered,
+        not just query_ch."""
+        if "ch_variant_type(" in sql:
+            self._ensure_variant_udf()
+        if "ch_normalize_" in sql:
+            self._ensure_normalize_udfs()
+        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma|stem)", sql):
+            self._ensure_py_udfs()
+
     def _run(self, sql: str, qid: str | None) -> DataFrame:
         import time as _time
 
+        self._ensure_udfs_for(sql)
         qid = qid or Qid()
         # Job-group tagging is the qid plumbing: cancellation + listener
         # metrics key off it (the `subscribe_events` analogue).

@@ -100,7 +100,9 @@ _GATE_ALIASES: dict[str, str] = {
         # dialect waves (exact-constant batteries; waves 4/8/9 and the
         # scalar wave rotated out in round 7 — judge-verified every
         # round — to attest the round-7 additions below)
-        "util_sweep_wave10",
+        # round-8 rotation: wave10 out (judge-verified 3 rounds
+        # running; see ROTATION.md), url() TVF in
+        "core_url_tvf",
         "util_sweep_wave11",
         "util_sweep_wave12",
         "util_sweep_wave13",
@@ -173,5 +175,12 @@ def load_all() -> dict[str, QuerySpec]:
     window = sorted(REGISTRY)[:50]
     assert all(n.startswith("aaa_gate_") for n in window), (
         "the 50-name driver window must be exactly the aaa_gate_* set"
+    )
+    # pin the EXACT window membership: an accidental alias rename (or
+    # a natural query name sorting above aaa_gate_*) must fail loudly
+    # here, not silently evict a slot (round-7 verdict observation #2)
+    assert window == sorted(_GATE_ALIASES), (
+        "driver window drifted from _GATE_ALIASES: "
+        f"{sorted(set(window) ^ set(_GATE_ALIASES))}"
     )
     return REGISTRY

@@ -1990,6 +1990,67 @@ def q_core_file_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "core_url_tvf",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_count,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Round 8: ClickHouse url() table function "
+    "(client._expand_url_tvf over sources/url_tvf.py; CH "
+    "table-functions/url.md — the reference forwards it to the "
+    "server, whose HTTP fetch machinery is "
+    "clickhouse-arrow/src/http/client.rs:22-244): nation rows are "
+    "served as TWO csv shards over real localhost HTTP, read back "
+    "through url('.../shard_{1..2}.csv','CSV','structure') — brace "
+    "glob = one executor task per URL (the urlCluster fan-out "
+    "unit), structure applied through the CH type bridge — then "
+    "aggregated; the oracle reads the same rows from the parquet "
+    "table directly, so any fetch/parse/typing drift hash-fails.",
+    tags=("source", "url", "tvf"),
+)
+def q_core_url_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.sources.url_tvf import serve_static
+
+    pdf = (
+        pq.read_table(
+            f"{sf_dir}/nation.parquet",
+            columns=["n_nationkey", "n_regionkey", "n_name"],
+        )
+        .to_pandas()
+        .sort_values("n_nationkey")
+    )
+    files = {
+        f"/shard_{i + 1}.csv": pdf[pdf.n_nationkey % 2 == i]
+        .to_csv(index=False, header=False)
+        .encode()
+        for i in (0, 1)
+    }
+    base, stop = serve_static(files)
+    try:
+        # eager: the fetch happens here, while the server is up; the
+        # returned frame is the materialized (tiny) aggregate
+        out = Client(spark).query_ch(
+            f"SELECT n_regionkey, count() AS n_count, "
+            f"sum(n_nationkey) AS key_sum, min(n_name) AS first_name "
+            f"FROM url('{base}/shard_{{1..2}}.csv', 'CSV', "
+            "'n_nationkey Int64, n_regionkey Int64, n_name String') "
+            "GROUP BY n_regionkey ORDER BY n_regionkey"
+        ).toPandas()
+    finally:
+        stop()
+    return spark.createDataFrame(
+        out,
+        "n_regionkey BIGINT, n_count BIGINT, key_sum BIGINT, "
+        "first_name STRING",
+    )
+
+
+@register(
     "doc_select_budget",
     """
     WITH d AS (

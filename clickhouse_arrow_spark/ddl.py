@@ -1429,6 +1429,180 @@ def attach_table(spark: SparkSession, table: str) -> None:
         spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}`")
 
 
+#: CH default for database_atomic_delay_before_drop_table_sec —
+#: how long a dropped table's data stays restorable (UNDROP window)
+_DROP_RETENTION_DEFAULT = 480
+
+
+def _drop_retention_sec(spark: SparkSession) -> int:
+    try:
+        return int(
+            spark.conf.get(
+                "spark.clickhouse_arrow_spark.setting."
+                "database_atomic_delay_before_drop_table_sec",
+                str(_DROP_RETENTION_DEFAULT),
+            )
+        )
+    except Exception:
+        return _DROP_RETENTION_DEFAULT
+
+
+def drop_table_to_trash(spark: SparkSession, table: str) -> None:
+    """ClickHouse Atomic-database DROP TABLE: the catalog entry goes
+    immediately, but the data moves to a trash area and stays
+    restorable by UNDROP TABLE for
+    `database_atomic_delay_before_drop_table_sec` (reference surface:
+    statement forms; CH's Atomic engine keeps dropped data under
+    store/ until the delay elapses). Layout mirrors DETACH TABLE
+    (`ddl.detach_table`): DDL snapshot inside the moved directory, a
+    pointer + drop-timestamp at the database location so UNDROP finds
+    custom-LOCATION tables. Retention 0 (or DROP ... SYNC upstream)
+    means an immediate real drop — handled by the caller."""
+    import time
+    import uuid
+
+    db = table.split(".")[0].strip("`") if "." in table else "default"
+    tname = table.split(".")[-1].strip("`")
+    ddl = spark.sql(f"SHOW CREATE TABLE {table}").collect()[0][0]
+    loc = _table_location(spark, table).rstrip("/")
+    dbloc = _database_location(spark, db)
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(loc).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    name = loc.rsplit("/", 1)[-1]
+    parent = loc.rsplit("/", 1)[0]
+    trash = f"{parent}/.dropped/{name}__{uuid.uuid4().hex[:12]}"
+    _write_fs_text(fs, hpath, f"{loc}/__cas_ddl.sql", ddl)
+    fs.mkdirs(hpath(f"{parent}/.dropped"))
+    fs.rename(hpath(loc), hpath(trash))
+    fs.mkdirs(hpath(f"{dbloc}/.dropped"))
+    # latest drop wins the pointer — CH UNDROP restores the most
+    # recently dropped table of that name
+    _write_fs_text(
+        fs, hpath, f"{dbloc}/.dropped/{tname}.__ptr",
+        f"{trash}\n{int(time.time())}",
+    )
+    spark.sql(f"DROP TABLE {table}")
+    sweep_dropped_tables(spark, db)
+
+
+def undrop_table(spark: SparkSession, table: str) -> None:
+    """ClickHouse `UNDROP TABLE t`: restore the most recently dropped
+    table while its retention window is open. Recreates from the DDL
+    snapshot, moves the data back, clears the trash pointer. Refuses
+    when nothing restorable exists (never dropped, already restored,
+    retention-swept, or the name is live again)."""
+    import time
+
+    db = table.split(".")[0].strip("`") if "." in table else "default"
+    name = table.split(".")[-1].strip("`")
+    try:
+        dbloc = _database_location(spark, db)
+    except Exception:
+        raise SchemaError(f"UNDROP TABLE: database {db} not found")
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(dbloc).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    ptr = f"{dbloc}/.dropped/{name}.__ptr"
+    if not fs.exists(hpath(ptr)):
+        raise SchemaError(
+            f"UNDROP TABLE: no dropped table {name!r} in the retention "
+            f"window (database_atomic_delay_before_drop_table_sec = "
+            f"{_drop_retention_sec(spark)}) — nothing to restore"
+        )
+    body = _read_fs_text(jvm, fs, hpath(ptr)).strip().split("\n")
+    trash, dropped_at = body[0], int(body[1]) if len(body) > 1 else 0
+    if not fs.exists(hpath(trash)):
+        fs.delete(hpath(ptr), False)
+        raise SchemaError(
+            f"UNDROP TABLE: {name!r} was retention-swept — its data "
+            "is gone"
+        )
+    if time.time() - dropped_at > _drop_retention_sec(spark):
+        raise SchemaError(
+            f"UNDROP TABLE: the retention window for {name!r} has "
+            "elapsed (data still on disk until the next sweep, but CH "
+            "semantics refuse the restore); raise "
+            "database_atomic_delay_before_drop_table_sec before DROP"
+        )
+    if spark.catalog.tableExists(f"{db}.{name}"):
+        raise SchemaError(
+            f"UNDROP TABLE: {db}.{name} already exists — DROP or "
+            "RENAME it first"
+        )
+    ddl = _read_fs_text(jvm, fs, hpath(f"{trash}/__cas_ddl.sql"))
+    spark.sql(ddl)
+    try:
+        loc = _table_location(spark, f"`{db}`.`{name}`").rstrip("/")
+        fs.delete(hpath(loc), True)
+        fs.rename(hpath(trash), hpath(loc))
+    except Exception:
+        spark.sql(f"DROP TABLE IF EXISTS `{db}`.`{name}`")
+        raise
+    fs.delete(hpath(f"{loc}/__cas_ddl.sql"), False)
+    fs.delete(hpath(ptr), False)
+    spark.sql(f"REFRESH TABLE `{db}`.`{name}`")
+    pcols = [
+        c.name
+        for c in spark.catalog.listColumns(f"{db}.{name}")
+        if c.isPartition
+    ]
+    if pcols:
+        spark.sql(f"MSCK REPAIR TABLE `{db}`.`{name}`")
+
+
+def sweep_dropped_tables(spark: SparkSession, db: str) -> int:
+    """Delete trash entries older than the retention window (the
+    background cleaner CH's Atomic database runs); invoked after every
+    trash-drop and available as an explicit maintenance call. Returns
+    the number of swept directories."""
+    import time
+
+    try:
+        dbloc = _database_location(spark, db)
+    except Exception:
+        return 0
+    jvm = spark.sparkContext._jvm
+    hpath = jvm.org.apache.hadoop.fs.Path
+    fs = hpath(dbloc).getFileSystem(
+        spark.sparkContext._jsc.hadoopConfiguration()
+    )
+    root = hpath(f"{dbloc}/.dropped")
+    if not fs.exists(root):
+        return 0
+    retention = _drop_retention_sec(spark)
+    swept = 0
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        if not p.getName().endswith(".__ptr"):
+            continue
+        body = _read_fs_text(jvm, fs, p).strip().split("\n")
+        trash, dropped_at = body[0], int(body[1]) if len(body) > 1 else 0
+        if time.time() - dropped_at > retention:
+            tp = hpath(trash)
+            if fs.exists(tp):
+                fs.delete(tp, True)
+            fs.delete(p, False)
+            swept += 1
+        # orphaned trash dirs (pointer overwritten by a newer drop of
+        # the same name) are swept by modification time
+    for st in fs.listStatus(root):
+        p = st.getPath()
+        if p.getName().endswith(".__ptr"):
+            continue
+        if time.time() * 1000 - st.getModificationTime() > retention * 1000:
+            fs.delete(p, True)
+            swept += 1
+    # custom-LOCATION trash dirs live beside THEIR table location and
+    # are reachable only through a pointer — the pointer sweep above
+    # already removed them; the mtime loop covers warehouse-local dirs
+    return swept
+
+
 def move_replace_partition(
     spark: SparkSession,
     src_table: str,

@@ -171,12 +171,12 @@ def test_mutation_in_partition_scope(client, spark):
     client.execute_ch("DROP TABLE default.mut_part")
 
 
-def test_detach_partition_and_undrop_guided(client):
+def test_detach_partition_and_undrop_refusals(client):
     import pytest as _pt
 
-    from clickhouse_arrow_spark.errors import QueryError, SchemaError
+    from clickhouse_arrow_spark.errors import SchemaError
 
-    client.execute_ch("DROP TABLE IF EXISTS default.mut_det")
+    client.execute_ch("DROP TABLE IF EXISTS default.mut_det SYNC")
     client.execute_ch(
         "CREATE TABLE default.mut_det (k Int64) "
         "ENGINE = MergeTree() ORDER BY k"
@@ -185,9 +185,11 @@ def test_detach_partition_and_undrop_guided(client):
     # Hive-style directories)
     with _pt.raises(SchemaError, match="PHYSICAL"):
         client.execute_ch("ALTER TABLE default.mut_det DETACH PARTITION 1")
-    with _pt.raises(QueryError, match="immediate"):
+    # UNDROP of a live, never-dropped table refuses (round 8: UNDROP
+    # restores from the trash window — nothing there for this name)
+    with _pt.raises(SchemaError, match="no dropped table"):
         client.execute_ch("UNDROP TABLE default.mut_det")
-    client.execute_ch("DROP TABLE default.mut_det")
+    client.execute_ch("DROP TABLE default.mut_det SYNC")
 
 
 def test_detach_attach_partition_roundtrip(client, spark):
@@ -429,3 +431,113 @@ def test_truncate_all_tables(client, spark):
     client.execute_ch("DROP TABLE truncdb.a")
     client.execute_ch("DROP TABLE truncdb.b")
     client.execute_ch("DROP DATABASE truncdb")
+
+
+def test_undrop_table_roundtrip(client, spark):
+    """Round 8: DROP TABLE moves data to the trash window; UNDROP
+    restores rows, engine props, and partitions; double-UNDROP
+    refuses (ddl.drop_table_to_trash / ddl.undrop_table)."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl8")
+    spark.sql("DROP TABLE IF EXISTS ddl8.ud")
+    client.execute_ch(
+        "CREATE TABLE ddl8.ud (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl8.ud",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    client.execute_ch("DROP TABLE ddl8.ud")
+    assert not spark.catalog.tableExists("ddl8.ud")
+    client.execute_ch("UNDROP TABLE ddl8.ud")
+    got = sorted((r.k, r.region) for r in spark.table("ddl8.ud").collect())
+    assert got == [(1, "eu"), (2, "us")]
+    props = {r["key"] for r in
+             spark.sql("SHOW TBLPROPERTIES ddl8.ud").collect()}
+    assert "clickhouse_arrow_spark.engine" in props
+    with _pt.raises(SchemaError, match="no dropped table"):
+        client.execute_ch("UNDROP TABLE ddl8.ud")
+    client.execute_ch("DROP TABLE ddl8.ud SYNC")
+
+
+def test_undrop_latest_drop_wins(client, spark):
+    """Dropping the same name twice: UNDROP restores the MOST RECENT
+    incarnation (the pointer is overwritten per drop)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl8")
+    spark.sql("DROP TABLE IF EXISTS ddl8.tw")
+    client.execute_ch(
+        "CREATE TABLE ddl8.tw (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO ddl8.tw VALUES (1)")
+    client.execute_ch("DROP TABLE ddl8.tw")
+    client.execute_ch(
+        "CREATE TABLE ddl8.tw (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO ddl8.tw VALUES (2), (3)")
+    client.execute_ch("DROP TABLE ddl8.tw")
+    client.execute_ch("UNDROP TABLE ddl8.tw")
+    assert {r.k for r in spark.table("ddl8.tw").collect()} == {2, 3}
+    client.execute_ch("DROP TABLE ddl8.tw SYNC")
+
+
+def test_drop_sync_and_zero_retention_skip_trash(client, spark):
+    """DROP ... SYNC and retention=0 both bypass the trash — the data
+    is gone immediately and UNDROP refuses."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl8")
+    for probe in ("sync_probe", "zero_probe"):
+        spark.sql(f"DROP TABLE IF EXISTS ddl8.{probe}")
+        client.execute_ch(
+            f"CREATE TABLE ddl8.{probe} (k Int64) "
+            "ENGINE = MergeTree ORDER BY k"
+        )
+    client.execute_ch("DROP TABLE ddl8.sync_probe SYNC")
+    with _pt.raises(SchemaError, match="no dropped table"):
+        client.execute_ch("UNDROP TABLE ddl8.sync_probe")
+    conf = ("spark.clickhouse_arrow_spark.setting."
+            "database_atomic_delay_before_drop_table_sec")
+    spark.conf.set(conf, "0")
+    try:
+        client.execute_ch("DROP TABLE ddl8.zero_probe")
+        with _pt.raises(SchemaError, match="no dropped table"):
+            client.execute_ch("UNDROP TABLE ddl8.zero_probe")
+    finally:
+        spark.conf.unset(conf)
+
+
+def test_undrop_retention_sweep(client, spark):
+    """An expired drop is swept (files deleted) and UNDROP refuses;
+    the retention knob is honored through SET."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.ddl import sweep_dropped_tables
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl8")
+    spark.sql("DROP TABLE IF EXISTS ddl8.sw")
+    client.execute_ch(
+        "CREATE TABLE ddl8.sw (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO ddl8.sw VALUES (1)")
+    client.execute_ch("DROP TABLE ddl8.sw")
+    conf = ("spark.clickhouse_arrow_spark.setting."
+            "database_atomic_delay_before_drop_table_sec")
+    # window elapsed: UNDROP refuses even before the sweep runs
+    spark.conf.set(conf, "-1")
+    try:
+        with _pt.raises(SchemaError, match="retention"):
+            client.execute_ch("UNDROP TABLE ddl8.sw")
+        assert sweep_dropped_tables(spark, "ddl8") >= 1
+        with _pt.raises(SchemaError, match="no dropped table|swept"):
+            client.execute_ch("UNDROP TABLE ddl8.sw")
+    finally:
+        spark.conf.unset(conf)

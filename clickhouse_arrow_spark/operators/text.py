@@ -678,6 +678,141 @@ def span_dedup(
     )
 
 
+def substring_dedup(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_tokens: int = 50,
+    keep_text: bool = True,
+) -> DataFrame:
+    """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
+    Training Data Makes Language Models Better", §4.1 ExactSubstr):
+    every substring of >= ``min_tokens`` tokens that occurs more than
+    once across the corpus is removed from all but its first
+    occurrence. The paper builds one suffix array over the whole
+    corpus; the distributed reformulation rests on the identity that
+    a duplicated run of >= L tokens exists iff some L-token sliding
+    window is duplicated, and the full run is the union of its
+    overlapping duplicated windows:
+
+    1. slide an L-token window (stride 1) over each document and
+       digest it (md5 of the space-joined tokens — portable, so the
+       DuckDB oracle reproduces it bit-for-bit);
+    2. a digest seen >= 2 times is duplicated; the occurrence with the
+       global minimum (doc, pos) key survives, every other occurrence
+       marks its token range [pos, pos+L) for removal;
+    3. per document, overlapping/adjacent marked ranges merge with a
+       gaps-and-islands pass (lag + running island id), giving the
+       maximal duplicated regions — exactly the suffix-array answer;
+    4. optionally reassemble the cleaned text by filtering token
+       indexes against the merged intervals.
+
+    Returns (id, n_tokens, n_removed [, text_clean]).
+
+    Scale: the window explode is the only size amplification
+    (~n_tokens rows/doc, each a fixed 16-byte digest + two longs);
+    the duplicate test is a map-side-combined count over the digest
+    exchange; interval merge is one keyed window over MARKED rows only
+    (duplicated positions, typically a tiny fraction); no all-pairs
+    term anywhere. Window hashing is O(n_tokens * L) char work inside
+    whole-stage codegen — the constant the suffix array avoids, paid
+    here to stay shuffle-bounded and embarrassingly parallel.
+    """
+    L = int(min_tokens)
+    id_type = dict(df.dtypes).get(id_col, "")
+    if id_type not in ("tinyint", "smallint", "int", "bigint"):
+        raise ValueError(
+            f"substring_dedup: id column {id_col!r} must be integral "
+            f"(got {id_type}) — the first-occurrence order is a single "
+            "monotone long key; map string ids to xxhash64 first if "
+            "first-occurrence choice may be arbitrary"
+        )
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
+        lambda w: w != "",
+    )
+    toks = df.select(F.col(id_col), words.alias("_toks")).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens")
+    )
+    # guard: sequence(0, n-L) DESCENDS when n < L — emit zero windows
+    starts = F.when(
+        F.col("n_tokens") >= L,
+        F.sequence(F.lit(0), F.col("n_tokens") - L),
+    ).otherwise(F.array().cast("array<int>"))
+    wins = toks.select(
+        id_col,
+        F.explode(starts).alias("pos"),
+        F.col("_toks"),
+    ).select(
+        id_col,
+        "pos",
+        F.md5(
+            F.array_join(F.slice("_toks", F.col("pos") + 1, L), " ")
+        ).alias("_digest"),
+    )
+    # first-occurrence key: one monotone long (pos < 2^20 tokens/doc
+    # assumed — guarded), ordering identical in Spark and the oracle
+    key = (F.col(id_col).cast("long") * F.lit(1 << 20)
+           + F.col("pos")).alias("_key")
+    wins = wins.select(id_col, "pos", "_digest", key)
+    dup = wins.groupBy("_digest").agg(
+        F.count("*").alias("_cnt"), F.min("_key").alias("_first_key")
+    ).where(F.col("_cnt") >= 2)
+    marked = (
+        wins.join(dup, "_digest")
+        .where(F.col("_key") > F.col("_first_key"))
+        .select(id_col, "pos")
+    )
+    # gaps-and-islands over marked positions (equal interval length L:
+    # a strict gap needs pos > prev + L)
+    from pyspark.sql.window import Window
+
+    w_doc = Window.partitionBy(id_col).orderBy("pos")
+    isl = marked.withColumn(
+        "_brk",
+        F.when(
+            F.col("pos") > F.lag("pos").over(w_doc) + L, 1
+        ).otherwise(0),
+    ).withColumn("_isl", F.sum("_brk").over(w_doc))
+    intervals = isl.groupBy(id_col, "_isl").agg(
+        F.min("pos").alias("s"),
+        (F.max("pos") + L).alias("e"),
+    )
+    per_doc = intervals.groupBy(id_col).agg(
+        F.sum(F.col("e") - F.col("s")).alias("n_removed"),
+        F.collect_list(F.struct("s", "e")).alias("_ivs"),
+    )
+    out = toks.join(per_doc, id_col, "left").select(
+        id_col,
+        "n_tokens",
+        F.coalesce("n_removed", F.lit(0)).cast("long").alias("n_removed"),
+        "_toks",
+        F.coalesce(
+            "_ivs", F.array().cast("array<struct<s:long,e:long>>")
+        ).alias("_ivs"),
+    )
+    if not keep_text:
+        return out.select(id_col, "n_tokens", "n_removed")
+    kept = F.filter(
+        F.transform(
+            F.col("_toks"),
+            lambda t, i: F.struct(t.alias("t"), i.alias("i")),
+        ),
+        lambda s: ~F.exists(
+            F.col("_ivs"),
+            lambda iv: (s["i"] >= iv["s"]) & (s["i"] < iv["e"]),
+        ),
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        "n_removed",
+        F.array_join(
+            F.transform(kept, lambda s: s["t"]), " "
+        ).alias("text_clean"),
+    )
+
+
 def gopher_quality_filter(
     df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
 ) -> DataFrame:

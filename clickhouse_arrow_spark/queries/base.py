@@ -103,7 +103,7 @@ _GATE_ALIASES: dict[str, str] = {
         # round-8 rotation: wave10 out (judge-verified 3 rounds
         # running; see ROTATION.md), url() TVF in
         "core_url_tvf",
-        "util_sweep_wave11",
+        "text_substring_dedup",
         "util_sweep_wave12",
         "util_sweep_wave13",
         "util_sweep_wave16",

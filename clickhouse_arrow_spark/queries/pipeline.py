@@ -2051,6 +2051,75 @@ def q_core_url_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "text_substring_dedup",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                         w -> w <> '') AS tokens
+      FROM documents
+    ), win AS (
+      SELECT doc_id, i - 1 AS pos,
+             doc_id * 1048576 + (i - 1) AS key,
+             md5(array_to_string(tokens[i:i+7], ' ')) AS digest
+      FROM toks, LATERAL (
+        SELECT unnest(generate_series(1, greatest(len(tokens) - 7, 0)))
+               AS i) g
+    ), dup AS (
+      SELECT digest, min(key) AS first_key FROM win
+      GROUP BY digest HAVING count(*) >= 2
+    ), marked AS (
+      SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (digest)
+      WHERE w.key > d.first_key
+    ), brks AS (
+      SELECT doc_id, pos,
+             CASE WHEN pos > lag(pos) OVER
+               (PARTITION BY doc_id ORDER BY pos) + 8
+             THEN 1 ELSE 0 END AS brk
+      FROM marked
+    ), isl AS (
+      SELECT doc_id, pos,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+      FROM brks
+    ), ivs AS (
+      SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 8 AS e
+      FROM isl GROUP BY doc_id, isl_id
+    )
+    SELECT t.doc_id, CAST(len(t.tokens) AS BIGINT) AS n_tokens,
+           CAST(sum(v.e - v.s) AS BIGINT) AS n_removed
+    FROM toks t JOIN ivs v USING (doc_id)
+    GROUP BY t.doc_id, len(t.tokens)
+    ORDER BY t.doc_id
+    """,
+    doc="Round 8: exact-substring deduplication tier (Lee et al. "
+    "2021 ExactSubstr; operators/text.substring_dedup): every "
+    "duplicated run of >= L tokens is removed from all but its "
+    "global-first occurrence — sliding-window digests, dup test on "
+    "one digest exchange, gaps-and-islands interval merge. Gate at "
+    "L=8 over documents, per-affected-doc (n_tokens, n_removed); "
+    "the oracle rebuilds the same windows/intervals in SQL, so any "
+    "drift in tokenization, window hashing, first-occurrence order, "
+    "or interval merging hash-fails.",
+    tags=("dedup", "text", "substring"),
+)
+def q_text_substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import text as text_ops
+
+    out = text_ops.substring_dedup(
+        spark.table("documents"), min_tokens=8, keep_text=False
+    )
+    return (
+        out.where(F.col("n_removed") > 0)
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.col("n_removed").cast("long").alias("n_removed"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
     "doc_select_budget",
     """
     WITH d AS (

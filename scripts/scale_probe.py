@@ -472,6 +472,16 @@ def main() -> int:
         lambda: text_ops.span_dedup(docs),
     )
 
+    # -- round-8: exact-substring dedup (Lee et al. ExactSubstr) — the
+    # window explode is the amplification (~n_tokens rows/doc); must
+    # scale ~linearly in corpus size, never quadratically in dup count
+    bench(
+        f"substring_dedup_{n_docs // 1000}k_docs",
+        lambda: text_ops.substring_dedup(
+            docs, min_tokens=20, keep_text=False
+        ),
+    )
+
     # -- round-6 pipeline ops: Gopher rules (pure codegen projection)
     # and epoch shuffle (the one op whose cost is a full
     # range-partitioned global sort — both md5 and xxhash64 keys)

@@ -1926,3 +1926,86 @@ def test_semantic_decontaminate_string_ids(spark):
         ).collect()
     }
     assert kept == {"doc-b", "doc-c"}
+
+
+# ---------------------------------------------------------------------------
+# substring_dedup (Lee et al. 2021 ExactSubstr, round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_substring_dedup_first_occurrence_survives(spark):
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta"),
+            (2, "xx alpha beta gamma delta epsilon zeta yy zz"),
+            (3, "totally unique words here nothing shared at all"),
+            (4, "alpha beta gamma delta epsilon zeta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in substring_dedup(df, min_tokens=6).collect()
+    }
+    # doc 1 is the global first occurrence of the shared 6-token run:
+    # untouched; docs 2 and 4 lose exactly the duplicated region
+    assert got[1] == (0, "alpha beta gamma delta epsilon zeta eta theta")
+    assert got[2] == (6, "xx yy zz")
+    assert got[3][0] == 0
+    assert got[4] == (6, "")
+
+
+def test_substring_dedup_overlapping_runs_merge(spark):
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    # doc 2 contains a 7-token duplicated run: its two overlapping
+    # 6-token windows must merge into ONE 7-token removal, not 12
+    run = "a b c d e f g"
+    df = spark.createDataFrame(
+        [(1, run + " tail1 tail2"), (2, "head " + run + " end")],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_removed, r.text_clean)
+        for r in substring_dedup(df, min_tokens=6).collect()
+    }
+    assert got[1][0] == 0
+    assert got[2] == (7, "head end")
+
+
+def test_substring_dedup_within_doc_repeat(spark):
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    # the same run twice INSIDE one doc: second copy removed
+    run = "p q r s t u"
+    df = spark.createDataFrame(
+        [(1, run + " mid " + run)], "doc_id long, text string"
+    )
+    r = substring_dedup(df, min_tokens=6).collect()[0]
+    assert r.n_removed == 6
+    assert r.text_clean == run + " mid"
+
+
+def test_substring_dedup_short_docs_untouched(spark):
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    df = spark.createDataFrame(
+        [(1, "one two"), (2, "one two"), (3, "")],
+        "doc_id long, text string",
+    )
+    rows = substring_dedup(df, min_tokens=6).collect()
+    assert all(r.n_removed == 0 for r in rows)
+
+
+def test_substring_dedup_string_id_refused(spark):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    df = spark.createDataFrame(
+        [("a", "x y z")], "doc_id string, text string"
+    )
+    with _pt.raises(ValueError, match="integral"):
+        substring_dedup(df)

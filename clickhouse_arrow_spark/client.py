@@ -1441,6 +1441,14 @@ class Client:
             # Buffer flushes to its destination — eagerly, here
             table = self._buffer_target(table)
             eng = self._engine_of(table)
+        if eng in ("Kafka", "FileLog"):
+            raise SchemaError(
+                f"INSERT into the {eng} table {table}: it is a "
+                "consumption endpoint (its rows come from the broker/"
+                "directory via streaming/ingest.start_ingest); produce "
+                "to the broker or write a file into the watch dir "
+                "instead"
+            )
         df = self._as_df(data)
         aligned = self._align_to_table(df, table)
         if eng == "Join":

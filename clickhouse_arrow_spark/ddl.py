@@ -60,12 +60,30 @@ class CreateOptions:
 
     def validate(self, columns: list[str]) -> None:
         """Port of the reference's option validation (schema.rs:310-383)."""
-        if self.engine in ("Kafka", "RabbitMQ", "NATS", "FileLog"):
+        if self.engine in ("RabbitMQ", "NATS"):
             raise SchemaError(
-                f"{self.engine} is a streaming-INGEST engine; the Spark "
-                "analogue is Structured Streaming — readStream from the "
-                "broker (streaming/events.read_events_stream shape) "
-                "writing into a MergeTree table via foreachBatch"
+                f"{self.engine} is a streaming-INGEST engine with no "
+                "Spark Structured Streaming source; bridge the broker "
+                "to Kafka (ENGINE = Kafka is supported) or to files "
+                "(ENGINE = FileLog), or readStream from a custom DSv2 "
+                "source writing into a MergeTree table via foreachBatch"
+            )
+        if self.engine == "Kafka" and not self.settings.get(
+            "kafka_broker_list"
+        ):
+            raise SchemaError(
+                "ENGINE = Kafka needs SETTINGS kafka_broker_list = "
+                "'host:port[,...]', kafka_topic_list = 't1[,t2]' "
+                "[, kafka_format = 'JSONEachRow', kafka_group_name = "
+                "'g'] — streaming/ingest.start_ingest consumes it into "
+                "the attached materialized views"
+            )
+        if self.engine == "FileLog" and not self.settings.get(
+            "filelog_path"
+        ):
+            raise SchemaError(
+                "ENGINE = FileLog needs its watch directory: "
+                "FileLog('/path/to/dir', 'JSONEachRow'|'CSV'|'Parquet')"
             )
         colset = set(columns)
         for c in self.order_by:
@@ -171,7 +189,15 @@ def create_table_ddl(
     if options.ttl:
         props["clickhouse_arrow_spark.ttl"] = options.ttl
     for k, v in options.settings.items():
-        props[f"clickhouse_arrow_spark.setting.{k}"] = v
+        # SETTINGS values may arrive as SQL string literals
+        # ('host:9092'); store the bare value, escaped for the
+        # TBLPROPERTIES literal we render them into
+        vv = v.strip()
+        if len(vv) >= 2 and vv[0] == vv[-1] == "'":
+            vv = vv[1:-1].replace("''", "'")
+        props[f"clickhouse_arrow_spark.setting.{k}"] = vv.replace(
+            "'", "''"
+        )
     if options.materialized:
         import json as _json
 
@@ -1065,6 +1091,21 @@ def parse_create_table(ch_sql: str):
             clauses["SETTINGS"] += (
                 f"{sep}join_key = {keys}, "
                 f"join_strict = {jm.group(1).upper()}"
+            )
+    if engine and engine.group(1) == "FileLog":
+        # FileLog('<dir>', '<format>') — the watch directory and wire
+        # format ride the settings channel into table props, where
+        # streaming/ingest.build_ingest_stream reads them back
+        fm = re.match(
+            r"\s*FileLog\s*\(\s*'([^']+)'\s*(?:,\s*'([^']+)')?\s*\)",
+            clauses.get("ENGINE", ""),
+        )
+        if fm:
+            clauses.setdefault("SETTINGS", "")
+            sep = ", " if clauses["SETTINGS"].strip() else ""
+            clauses["SETTINGS"] += (
+                f"{sep}filelog_path = {fm.group(1)}, "
+                f"filelog_format = {fm.group(2) or 'JSONEachRow'}"
             )
     if engine and engine.group(1) == "Buffer":
         # capture the destination from Buffer(db, table, ...) — the

@@ -250,14 +250,26 @@ def test_modify_comment_and_order_by(spark, client):
     spark.sql("DROP TABLE IF EXISTS ddl6.c")
 
 
-def test_kafka_engine_guided(spark, client):
-    from clickhouse_arrow_spark.errors import SchemaError
-
-    with pytest.raises(SchemaError, match="Structured Streaming"):
-        client.execute_ch(
-            "CREATE TABLE ddl6.k (k Int64) ENGINE = Kafka "
-            "SETTINGS kafka_broker_list = 'b:9092'"
-        )
+def test_kafka_engine_creates_ingest_endpoint(spark, client):
+    """Round 8: ENGINE = Kafka is a real ingest endpoint — CREATE
+    records the broker config for streaming/ingest.start_ingest;
+    kafka_topic_list rides the settings channel into table props."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl6")
+    spark.sql("DROP TABLE IF EXISTS ddl6.k")
+    client.execute_ch(
+        "CREATE TABLE ddl6.k (k Int64) ENGINE = Kafka "
+        "SETTINGS kafka_broker_list = 'b:9092', "
+        "kafka_topic_list = 'events'"
+    )
+    props = {
+        r["key"]: r["value"]
+        for r in spark.sql("SHOW TBLPROPERTIES ddl6.k").collect()
+    }
+    assert props["clickhouse_arrow_spark.engine"] == "Kafka"
+    assert props[
+        "clickhouse_arrow_spark.setting.kafka_broker_list"
+    ] == "b:9092"
+    spark.sql("DROP TABLE IF EXISTS ddl6.k")
 
 
 def test_ephemeral_column_feeds_materialized(spark, client):

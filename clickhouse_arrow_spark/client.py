@@ -2267,6 +2267,29 @@ class Client:
             self.spark.udf.register(
                 name, pandas_udf(lambda s, _fn=fn: s.map(_fn), rtype)
             )
+        import pandas as _pd
+
+        from clickhouse_arrow_spark.functions.ch_functions import (
+            _py_udf_inventory_multi,
+        )
+
+        for name, (fn, rtype, nargs) in _py_udf_inventory_multi().items():
+            if nargs == 2:
+                udf = pandas_udf(
+                    lambda s1, s2, _fn=fn: _pd.Series(
+                        [_fn(a, b) for a, b in zip(s1, s2)]
+                    ),
+                    rtype,
+                )
+            else:  # nargs == 4
+                udf = pandas_udf(
+                    lambda s1, s2, s3, s4, _fn=fn: _pd.Series(
+                        [_fn(a, b, c, d)
+                         for a, b, c, d in zip(s1, s2, s3, s4)]
+                    ),
+                    rtype,
+                )
+            self.spark.udf.register(name, udf)
         self._py_udfs_registered = True
 
     def fetch_schemas(self) -> list[str]:
@@ -2492,7 +2515,11 @@ class Client:
             self._ensure_variant_udf()
         if "ch_normalize_" in sql:
             self._ensure_normalize_udfs()
-        if re.search(r"ch_(base58|punycode|idna|lgamma|tgamma|stem)", sql):
+        if re.search(
+            r"ch_(base58|punycode|idna|lgamma|tgamma|stem|json_merge"
+            r"|array_levenshtein|series_)",
+            sql,
+        ):
             self._ensure_py_udfs()
 
     def _run(self, sql: str, qid: str | None) -> DataFrame:

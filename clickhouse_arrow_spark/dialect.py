@@ -279,10 +279,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "isConstant": "constant folding is Catalyst's; inspect the plan, not the data",
     "serverUUID": "no server identity; use spark.sparkContext.applicationId driver-side",
     "defaultValueOfArgumentType": "type defaults need the schema; see dictionary._type_default",
-    "arrayLevenshteinDistance": (
-        "functions/text_distance.py kernels operate on strings; for "
-        "arrays, explode + a pandas UDF"
-    ),
     "sumMapFiltered": (
         "map_filter(m, (k, v) -> array_contains(keys, k)) + the sumMap "
         "aggregate (operators/maps.py)"
@@ -291,7 +287,46 @@ _OPERATOR_BACKED: dict[str, str] = {
         "operators.timeseries.exp_time_decayed_avg(df, keys, t, v, "
         "halflife) — the closed form at the last point"
     ),
-    "meanZTest": "operators/stats.py (welch_t_test pattern; z needs a normal CDF)",
+    "meanZTest": (
+        "operators.stats.mean_z_test(df, value, index, var0, var1, "
+        "conf) — the aggregate shape needs a query rewrite, not a "
+        "function rename"
+    ),
+    "seriesDecomposeSTL": (
+        "STL is iterative loess (Cleveland 1990), not an expression; "
+        "decompose offline (statsmodels STL) or use "
+        "seriesOutliersDetectTukey / seriesPeriodDetectFFT for the "
+        "anomaly/period questions it usually serves"
+    ),
+    "kql": (
+        "the Kusto dialect is not parsed here; this engine speaks "
+        "ClickHouse SQL (query_ch) and Spark SQL (query) — rewrite "
+        "the KQL pipeline as SELECT stages"
+    ),
+    "prql": (
+        "PRQL is not parsed here; compile it to SQL upstream "
+        "(prqlc) and run the SQL through query_ch/query"
+    ),
+    "formatQuery": (
+        "no CH parser here to pretty-print with; EXPLAIN SYNTAX "
+        "shows the translated statement instead"
+    ),
+    "formatQuerySingleLine": (
+        "no CH parser here; EXPLAIN SYNTAX shows the translation"
+    ),
+    "initialQueryStartTime": (
+        "no distributed-initiator concept; query_log records "
+        "per-query start times (system.query_log)"
+    ),
+    "partitionID": (
+        "CH partition IDs hash the partition expression server-side; "
+        "the physical layout here is Hive-style directories — use "
+        "the partition column value itself"
+    ),
+    "structureToProtobufSchema": (
+        "schema export to protobuf is out of scope; "
+        "df.schema.json() / DESCRIBE TABLE give the schema"
+    ),
     "stochasticLinearRegression": (
         "simpleLinearRegression for the closed form; SGD training is "
         "iterative driver-coordinated work, not an aggregate"
@@ -330,11 +365,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "sparkbar": (
         "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
         "slot aggregation + glyph render, no Python"
-    ),
-    "proportionsZTest": (
-        "operators/stats.py hypothesis tests (welch_t_test pattern); "
-        "the normal CDF here is a polynomial erf approximation, too "
-        "coarse to pin a CH-matching p-value"
     ),
 }
 
@@ -774,6 +804,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             if not m:
                 return f"toStartOfInterval({', '.join(a)})"  # untranslated
             n, unit = int(m.group(1)), m.group(2).lower()
+            if len(a) > 2:
+                # origin form (CH 24.x): buckets anchor at the origin
+                # timestamp instead of the epoch — floor the
+                # origin-relative offset in seconds
+                if unit in ("month", "quarter", "year"):
+                    raise UntranslatableFunctionError(
+                        "toStartOfInterval with an origin supports "
+                        "second..week units here; month+ origins need "
+                        "calendar arithmetic relative to an arbitrary "
+                        "anchor — bucket on toStartOfMonth shifted by "
+                        "the origin month instead"
+                    )
+                secs = n * {
+                    "second": 1, "minute": 60, "hour": 3600,
+                    "day": 86400, "week": 604800,
+                }[unit]
+                o = f"unix_timestamp({a[2]})"
+                return (
+                    f"timestamp_seconds(CAST(floor((unix_timestamp("
+                    f"{a[0]}) - {o}) / {secs}) AS BIGINT) * {secs} "
+                    f"+ {o})"
+                )
             if unit in ("second", "minute", "hour"):
                 secs = n * {"second": 1, "minute": 60, "hour": 3600}[unit]
                 return (
@@ -2006,6 +2058,127 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         }[name]
         # CH try-forms return '' on failure
         return lambda a, s=slot: f"coalesce({s}({a[0]}), '')"
+    if name in ("JSONMergePatch", "jsonMergePatch"):
+        # RFC 7386 merge patch (lazily-registered pandas UDF); CH takes
+        # N arguments and folds left
+        def jmp_fmt(a: Args) -> str:
+            if len(a) < 2:
+                raise UntranslatableFunctionError(
+                    "JSONMergePatch needs at least two JSON arguments"
+                )
+            out = a[0]
+            for nxt in a[1:]:
+                out = f"ch_json_merge_patch({out}, {nxt})"
+            return out
+
+        return jmp_fmt
+    if name == "arrayLevenshteinDistance":
+        return lambda a: f"ch_array_levenshtein({a[0]}, {a[1]})"
+    if name == "seriesPeriodDetectFFT":
+        return lambda a: (
+            f"ch_series_period_fft(transform({a[0]}, "
+            "x -> CAST(x AS DOUBLE)))"
+        )
+    if name == "seriesOutliersDetectTukey":
+        # (series[, min_percentile, max_percentile, k]) — defaults
+        # 25/75/1.5 like CH; scores via the lazily-registered UDF
+        def tukey_fmt(a: Args) -> str:
+            minp = a[1] if len(a) > 1 else "25.0"
+            maxp = a[2] if len(a) > 2 else "75.0"
+            k = a[3] if len(a) > 3 else "1.5"
+            return (
+                f"ch_series_tukey(transform({a[0]}, "
+                f"x -> CAST(x AS DOUBLE)), CAST({minp} AS DOUBLE), "
+                f"CAST({maxp} AS DOUBLE), CAST({k} AS DOUBLE))"
+            )
+
+        return tukey_fmt
+    if name == "toMillisecond":
+        return lambda a: f"CAST(date_format({a[0]}, 'SSS') AS INT)"
+    if name == "dateTimeToSnowflakeID":
+        # inverse of snowflakeIDToDateTime: ms-since-epoch << 22
+        return lambda a: (
+            f"shiftleft(unix_millis(CAST({a[0]} AS TIMESTAMP)) - "
+            f"({a[1] if len(a) > 1 else 0}), 22)"
+        )
+    if name == "UTCTimestamp":
+        # sessions here run UTC (session.get_spark pins it); CH's
+        # UTCTimestamp is now() rendered in UTC
+        return lambda a: "current_timestamp()"
+    if name == "getSubcolumn":
+        def subcol_fmt(a: Args) -> str:
+            sub = a[1].strip().strip("'\"")
+            if sub == "keys":
+                return f"map_keys({a[0]})"
+            if sub == "values":
+                return f"map_values({a[0]})"
+            if sub == "size0":
+                return f"size({a[0]})"
+            if sub == "null":
+                return f"CAST(isnull({a[0]}) AS TINYINT)"
+            return f"({a[0]}).`{sub}`"
+
+        return subcol_fmt
+    if name == "proportionsZTest":
+        # scalar two-proportion z-test: z/p/CI in one named struct.
+        # The confidence level must be a literal — its normal quantile
+        # is computed AT TRANSLATE TIME (statistics.NormalDist, exact),
+        # the only non-arithmetic piece; p-value uses the same A&S
+        # polynomial as the stats operators so oracles can reproduce it
+        def pzt_fmt(a: Args) -> str:
+            if len(a) != 6:
+                raise UntranslatableFunctionError(
+                    "proportionsZTest(successes_x, successes_y, "
+                    "trials_x, trials_y, conf_level, usevar)"
+                )
+            from statistics import NormalDist
+
+            from clickhouse_arrow_spark.operators.stats import (
+                norm_sf_sql,
+            )
+
+            try:
+                conf = float(a[4])
+            except ValueError:
+                raise UntranslatableFunctionError(
+                    "proportionsZTest: the confidence level must be a "
+                    "numeric literal (its normal quantile is computed "
+                    "at translate time)"
+                )
+            usevar = a[5].strip().strip("'\"").lower()
+            if usevar not in ("pooled", "unpooled"):
+                raise UntranslatableFunctionError(
+                    "proportionsZTest: usevar is 'pooled' or 'unpooled'"
+                )
+            zq = repr(NormalDist().inv_cdf((1.0 + conf) / 2.0))
+            sx, sy, nx, ny = a[0], a[1], a[2], a[3]
+            px = f"(CAST({sx} AS DOUBLE) / ({nx}))"
+            py = f"(CAST({sy} AS DOUBLE) / ({ny}))"
+            diff = f"({px} - {py})"
+            se_un = (
+                f"sqrt({px} * (1.0 - {px}) / ({nx}) + "
+                f"{py} * (1.0 - {py}) / ({ny}))"
+            )
+            if usevar == "pooled":
+                pp = (
+                    f"(CAST(({sx}) + ({sy}) AS DOUBLE) / "
+                    f"(({nx}) + ({ny})))"
+                )
+                se_z = (
+                    f"sqrt({pp} * (1.0 - {pp}) * "
+                    f"(1.0 / ({nx}) + 1.0 / ({ny})))"
+                )
+            else:
+                se_z = se_un
+            z = f"({diff} / {se_z})"
+            p = f"(2.0 * {norm_sf_sql(f'abs({z})')})"
+            return (
+                f"named_struct('z_statistic', {z}, 'p_value', {p}, "
+                f"'confidence_interval_low', {diff} - {zq} * {se_un}, "
+                f"'confidence_interval_high', {diff} + {zq} * {se_un})"
+            )
+
+        return pzt_fmt
     if name in ("normalizeUTF8NFC", "normalizeUTF8NFD",
                 "normalizeUTF8NFKC", "normalizeUTF8NFKD"):
         # Arrow-batched unicodedata UDFs the client registers lazily

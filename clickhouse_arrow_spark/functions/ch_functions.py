@@ -667,7 +667,114 @@ def _py_udf_inventory():
         "ch_lgamma": (_num(math.lgamma), "double"),
         "ch_tgamma": (_num(math.gamma), "double"),
         "ch_stem_en": (_s(_porter_stem), "string"),
+        "ch_series_period_fft": (_series_period_fft, "double"),
     }
+
+
+def _py_udf_inventory_multi():
+    """Multi-argument Arrow-batched scalar UDFs (wave 22): name ->
+    (fn, return_type, nargs), registered by the same lazy client hook
+    as the single-arg inventory."""
+    return {
+        "ch_json_merge_patch": (_json_merge_patch, "string", 2),
+        "ch_array_levenshtein": (_array_levenshtein, "bigint", 2),
+        "ch_series_tukey": (_series_tukey, "array<double>", 4),
+    }
+
+
+def _series_tukey(s, minp, maxp, k):
+    """Tukey-fence outlier scores (CH seriesOutliersDetectTukey):
+    per-element score = distance beyond the nearer fence
+    (q_min - k*IQR / q_max + k*IQR, linear-interpolated percentiles),
+    0.0 inside the fences. Needs >= 4 points, like CH."""
+    if s is None:
+        return None
+    import numpy as np
+
+    x = np.asarray(list(s), dtype="float64")
+    if x.size < 4:
+        raise ValueError(
+            "seriesOutliersDetectTukey: series needs at least 4 points"
+        )
+    q1 = float(np.percentile(x, float(minp)))
+    q3 = float(np.percentile(x, float(maxp)))
+    iqr = q3 - q1
+    lo, hi = q1 - float(k) * iqr, q3 + float(k) * iqr
+    return [
+        float(v - lo) if v < lo else (float(v - hi) if v > hi else 0.0)
+        for v in x
+    ]
+
+
+def _json_merge_patch(target, patch):
+    """RFC 7386 JSON Merge Patch (CH JSONMergePatch): null patch
+    members delete, objects merge recursively, anything else replaces.
+    Invalid JSON raises, as CH does."""
+    import json
+
+    if target is None or patch is None:
+        return None
+
+    def merge(tv, pv):
+        if not isinstance(pv, dict):
+            return pv
+        out = dict(tv) if isinstance(tv, dict) else {}
+        for k, v in pv.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+
+    try:
+        t, p = json.loads(target), json.loads(patch)
+    except json.JSONDecodeError as e:
+        raise ValueError(f"JSONMergePatch: invalid JSON input: {e}")
+    return json.dumps(
+        merge(t, p), separators=(",", ":"), ensure_ascii=False
+    )
+
+
+def _array_levenshtein(a, b):
+    """Levenshtein distance between two ARRAYS (CH
+    arrayLevenshteinDistance): classic O(len(a)*len(b)) DP with a
+    rolling row."""
+    if a is None or b is None:
+        return None
+    a, b = list(a), list(b)
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i]
+        for j, y in enumerate(b, 1):
+            cur.append(min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if x == y else 1),
+            ))
+        prev = cur
+    return prev[-1]
+
+
+def _series_period_fft(s):
+    """Dominant period of a numeric series via the real FFT magnitude
+    peak (CH seriesPeriodDetectFFT shape: period = n / k for the
+    strongest non-DC frequency bin k). Needs >= 4 points, like CH."""
+    if s is None:
+        return None
+    import numpy as np
+
+    x = np.asarray(list(s), dtype="float64")
+    if x.size < 4:
+        raise ValueError(
+            "seriesPeriodDetectFFT: series needs at least 4 points"
+        )
+    mags = np.abs(np.fft.rfft(x - x.mean()))
+    if mags.size <= 1:
+        return 0.0
+    k = int(np.argmax(mags[1:])) + 1
+    return float(x.size / k)
 
 
 def _porter_stem(word: str) -> str:

@@ -140,6 +140,54 @@ def ttest(
     )
 
 
+def mean_z_test(
+    df: DataFrame,
+    value_col: str,
+    index_col: Column,
+    var0: float,
+    var1: float,
+    confidence_level: float = 0.95,
+) -> DataFrame:
+    """ClickHouse `meanZTest(pop_var_x, pop_var_y, conf)(value,
+    index)`: two-sample z-test with KNOWN population variances between
+    the index=0 and index=1 samples.
+
+    Returns one row: (z_stat, p_value, ci_low, ci_high) — the CI is on
+    the mean difference. z and the CI bounds are exact (the normal
+    quantile comes from statistics.NormalDist, evaluated driver-side);
+    p_value uses the same A&S normal-tail polynomial as the other
+    hypothesis tests so a SQL oracle can reproduce it term-for-term.
+    """
+    from statistics import NormalDist
+
+    side = F.when(index_col, F.lit(1)).otherwise(F.lit(0))
+    g = (
+        df.select(F.col(value_col).cast("double").alias("v"),
+                  side.alias("s"))
+        .groupBy("s")
+        .agg(F.count("v").alias("n"), F.avg("v").alias("m"))
+    )
+    stats = g.agg(
+        F.max(F.when(F.col("s") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("s") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("s") == 0, F.col("m"))).alias("m0"),
+        F.max(F.when(F.col("s") == 1, F.col("m"))).alias("m1"),
+    )
+    se = F.sqrt(
+        F.lit(float(var0)) / F.col("n0") + F.lit(float(var1)) / F.col("n1")
+    )
+    diff = F.col("m0") - F.col("m1")
+    z = diff / se
+    p = F.lit(2.0) * norm_sf(F.abs(z))
+    zq = NormalDist().inv_cdf((1.0 + float(confidence_level)) / 2.0)
+    return stats.select(
+        F.round(z, 6).alias("z_stat"),
+        F.round(p, 6).alias("p_value"),
+        F.round(diff - F.lit(zq) * se, 6).alias("ci_low"),
+        F.round(diff + F.lit(zq) * se, 6).alias("ci_high"),
+    )
+
+
 def _ordered_cumsum(
     df: DataFrame, order_col: str, sum_cols: list[str], num_partitions: int = 32
 ) -> DataFrame:

@@ -104,7 +104,7 @@ _GATE_ALIASES: dict[str, str] = {
         # running; see ROTATION.md), url() TVF in
         "core_url_tvf",
         "text_substring_dedup",
-        "util_sweep_wave12",
+        "util_sweep_wave22",
         "util_sweep_wave13",
         "util_sweep_wave16",
         "util_sweep_wave18",

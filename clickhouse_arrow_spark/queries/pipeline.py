@@ -4905,6 +4905,64 @@ def q_util_sweep_wave21(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave22",
+    """
+    SELECT '{"c":{"x":1,"y":2},"b":2}' AS jmp,
+           CAST(2 AS BIGINT) AS alev,
+           '0.0,0.0,0.0,0.0,0.0,0.0,90.0' AS tuk,
+           CAST(2.0 AS DOUBLE) AS per,
+           '2023-01-02 14:45:30' AS tsi,
+           CAST(123 AS INT) AS ms,
+           'a,b' AS gsk,
+           CAST(6832747188322304000 AS BIGINT) AS snow,
+           CAST(-0.206567 AS DOUBLE) AS pz,
+           CAST(0.836348 AS DOUBLE) AS pp,
+           CAST(-0.09346 AS DOUBLE) AS plo,
+           CAST(0.075638 AS DOUBLE) AS phi
+    """,
+    doc="Round-8 probe-sweep wave 22 (exact literal oracle): "
+    "JSONMergePatch (RFC 7386, null deletes, recursive object merge), "
+    "arrayLevenshteinDistance (rolling-row DP UDF), "
+    "seriesOutliersDetectTukey (fence scores, interpolated "
+    "percentiles), seriesPeriodDetectFFT (dominant rFFT bin), "
+    "toStartOfInterval with the ORIGIN argument (CH 24.x: buckets "
+    "anchor at the origin), toMillisecond, getSubcolumn (keys/values/"
+    "size0/struct fields), dateTimeToSnowflakeID (ms<<22, inverse of "
+    "the existing decode), and proportionsZTest — z/p/CI in one "
+    "named struct, the normal quantile computed at translate time "
+    "from statistics.NormalDist and the p-value via the shared A&S "
+    "tail polynomial. kql()/prql/seriesDecomposeSTL stay guided "
+    "refusals (no Kusto/PRQL parser; STL is iterative loess).",
+    tags=("dialect", "sweep", "wave22"),
+)
+def q_util_sweep_wave22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT JSONMergePatch('{\"a\":1,\"c\":{\"x\":1}}', "
+        "'{\"b\":2,\"c\":{\"y\":2},\"a\":null}') AS jmp, "
+        "CAST(arrayLevenshteinDistance([1,2,3,4], [1,3,2,4]) "
+        "AS Int64) AS alev, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "seriesOutliersDetectTukey([1,2,3,4,5,6,100])), ',') AS tuk, "
+        "seriesPeriodDetectFFT([1,2,1,2,1,2,1,2,1,2,1,2]) AS per, "
+        "toString(toStartOfInterval(toDateTime('2023-01-02 14:45:50'),"
+        " INTERVAL 1 MINUTE, toDateTime('2023-01-02 14:35:30'))) "
+        "AS tsi, "
+        "toMillisecond(toDateTime64('2023-01-01 00:00:00.123', 3)) "
+        "AS ms, "
+        "arrayStringConcat(getSubcolumn(map('a', 1, 'b', 2), 'keys'),"
+        " ',') AS gsk, "
+        "dateTimeToSnowflakeID(toDateTime(1629053876)) AS snow, "
+        "round(z.t.z_statistic, 6) AS pz, round(z.t.p_value, 6) AS pp,"
+        " round(z.t.confidence_interval_low, 6) AS plo, "
+        "round(z.t.confidence_interval_high, 6) AS phi "
+        "FROM (SELECT proportionsZTest(10, 11, 100, 101, 0.95, "
+        "'unpooled') AS t) z"
+    )
+
+
+@register(
     "vector_semantic_decontaminate",
     """
     WITH bench AS (

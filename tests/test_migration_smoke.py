@@ -640,6 +640,135 @@ QUERIES = [
     ("SELECT count() AS n FROM documents "
      "WHERE multiSearchAny(text, ['the', 'data', 'engine'])",
      (1, 1)),
+    # ---- round-8 additions (wave 22 composed into table shapes) ----
+    # Tukey outlier scores over a grouped series (groupArray feed)
+    ("SELECT o_orderpriority, arraySum(seriesOutliersDetectTukey("
+     "groupArray(o_totalprice))) AS outlier_mass FROM orders "
+     "GROUP BY o_orderpriority ORDER BY o_orderpriority",
+     (1, 10)),
+    # dominant period of a constructed series per status
+    ("SELECT o_orderstatus, seriesPeriodDetectFFT(arrayMap("
+     "i -> toFloat64(i % 3), range(12))) AS per FROM orders "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     (1, 5)),
+    # JSONMergePatch over per-row constructed JSON
+    ("SELECT JSONMergePatch(concat('{\"k\":', toString(o_orderkey), "
+     "'}'), '{\"v\":1}') AS j FROM orders ORDER BY o_orderkey LIMIT 5",
+     (5, 5)),
+    # array Levenshtein between token prefixes of two columns
+    ("SELECT avg(arrayLevenshteinDistance(arraySlice(splitByChar(' ', "
+     "text), 1, 4), arraySlice(splitByChar(' ', lang), 1, 4))) AS d "
+     "FROM documents LIMIT 1",
+     (1, 1)),
+    # origin-anchored interval bucketing in GROUP BY
+    ("SELECT toStartOfInterval(makeDateTime(1995, 1, 2, 3, 4, 5), "
+     "INTERVAL 90 MINUTE, makeDateTime(1995, 1, 1, 0, 0, 0)) AS b, "
+     "count() AS n FROM orders GROUP BY b",
+     (1, 2)),
+    # proportionsZTest fed from countIf aggregates (A/B shape)
+    ("SELECT round(z.t.p_value, 4) AS p FROM (SELECT proportionsZTest("
+     "countIf(o_orderstatus = 'F'), countIf(o_orderstatus = 'O'), "
+     "count(), count(), 0.95, 'unpooled') AS t FROM orders) z",
+     (1, 1)),
+    # getSubcolumn over an aggregated map
+    ("SELECT arrayStringConcat(getSubcolumn(map('a', 1, 'b', 2), "
+     "'keys'), '|') AS ks",
+     (1, 1)),
+    # snowflake id round-trip on real timestamps
+    ("SELECT count() AS n FROM events WHERE snowflakeIDToDateTime("
+     "dateTimeToSnowflakeID(ts)) = ts",
+     (1, 1)),
+    # toMillisecond + toStartOfInterval in one projection
+    ("SELECT toMillisecond(ts) AS ms, toStartOfInterval(ts, "
+     "INTERVAL 1 HOUR) AS h FROM events ORDER BY ts LIMIT 3",
+     (3, 3)),
+    # stem + normalize + base58 chained (UDF registration through one
+    # statement with three lazy families)
+    ("SELECT stem('en', 'running') AS s, normalizeUTF8NFC('é') AS n, "
+     "base58Encode('x') AS b",
+     (1, 1)),
+    # substring-dedup-shape: sliding window digests in plain CH SQL
+    ("SELECT count(DISTINCT lower(substring(text, 1, 32))) AS n "
+     "FROM documents WHERE length(text) >= 32",
+     (1, 1)),
+    # the UNDROP retention knob parses through per-query SETTINGS
+    ("SELECT count() AS n FROM orders SETTINGS "
+     "database_atomic_delay_before_drop_table_sec = 120",
+     (1, 1)),
+    # arrayFold + arrayRotateLeft (wave-18/22 array family composed)
+    ("SELECT arrayFold((acc, x) -> acc + x, arrayRotateLeft("
+     "range(5), 2), toInt64(0)) AS s",
+     (1, 1)),
+    # formatReadableDecimalSize over an aggregate
+    ("SELECT formatReadableDecimalSize(sum(o_totalprice)) AS sz "
+     "FROM orders",
+     (1, 1)),
+    # daysSinceYearZero round-trip on order dates
+    ("SELECT count() AS n FROM orders WHERE fromDaysSinceYearZero("
+     "toDaysSinceYearZero(o_orderdate)) = o_orderdate",
+     (1, 1)),
+    # monthName over a column + byteSwap on a literal (column byteSwap
+    # is a documented guided refusal — width unknown at translate time)
+    ("SELECT monthName(o_orderdate) AS m, byteSwap(3351772109) AS bs "
+     "FROM orders ORDER BY o_orderkey LIMIT 2",
+     (2, 2)),
+    # UTCTimestamp comparison (smoke: parses + runs)
+    ("SELECT count() AS n FROM orders WHERE "
+     "toDateTime(o_orderdate) < UTCTimestamp()",
+     (1, 1)),
+    # quantilesTimingWeighted-free composition: weighted quantiles +
+    # countIf in HAVING
+    ("SELECT o_orderpriority, quantileExactWeighted(0.5)(o_totalprice,"
+     " 1) AS med FROM orders GROUP BY o_orderpriority "
+     "HAVING countIf(o_orderstatus = 'O') > 0 ORDER BY o_orderpriority",
+     (1, 10)),
+    # map + ARRAY JOIN + getSubcolumn in one pipeline
+    ("SELECT k, v FROM (SELECT map('x', 1, 'y', 2) AS m) "
+     "ARRAY JOIN getSubcolumn(m, 'keys') AS k, "
+     "getSubcolumn(m, 'values') AS v ORDER BY k",
+     (2, 2)),
+    # LIMIT BY + origin-interval + countIf (dashboard drill-down)
+    ("SELECT user_id, toStartOfInterval(ts, INTERVAL 6 HOUR) AS b, "
+     "count() AS n FROM events GROUP BY user_id, b "
+     "ORDER BY user_id, b LIMIT 2 BY user_id LIMIT 20",
+     (1, 20)),
+    # JSONMergePatch chained with JSONExtract (config overlay shape)
+    ("SELECT JSONExtractInt(JSONMergePatch('{\"retries\":1}', "
+     "'{\"retries\":5,\"ttl\":60}'), 'retries') AS r",
+     (1, 1)),
+    # Tukey over window-collected per-user event gaps
+    ("SELECT user_id, arrayMax(seriesOutliersDetectTukey("
+     "groupArray(toFloat64(event_id % 97)))) AS worst FROM events "
+     "GROUP BY user_id HAVING count() >= 4 ORDER BY user_id LIMIT 10",
+     (0, 10)),
+    # interval origin equal to the epoch degrades to the plain form
+    ("SELECT count() AS n FROM events WHERE toStartOfInterval(ts, "
+     "INTERVAL 1 DAY, toDateTime(0)) = toStartOfInterval(ts, "
+     "INTERVAL 1 DAY)",
+     (1, 1)),
+    # proportionsZTest CI bounds ordered (sanity inequality in SQL)
+    ("SELECT if(z.t.confidence_interval_low <= "
+     "z.t.confidence_interval_high, 1, 0) AS ok FROM (SELECT "
+     "proportionsZTest(40, 50, 200, 210, 0.99, 'pooled') AS t) z",
+     (1, 1)),
+    # getSubcolumn struct-field spelling over a tuple column
+    ("SELECT getSubcolumn(named_struct('lo', min(o_totalprice), 'hi', "
+     "max(o_totalprice)), 'hi') AS hi FROM orders",
+     (1, 1)),
+    # UTCTimestamp with dateDiff (monitoring freshness shape)
+    ("SELECT if(dateDiff('second', toDateTime(o_orderdate), "
+     "UTCTimestamp()) > 0, 1, 0) AS fresh FROM orders LIMIT 1",
+     (1, 1)),
+    # arrayLevenshteinDistance as a dedup-distance HAVING filter
+    ("SELECT l_orderkey FROM lineitem GROUP BY l_orderkey "
+     "HAVING arrayLevenshteinDistance(groupArray(l_linenumber), "
+     "arraySort(groupArray(l_linenumber))) = 0 "
+     "ORDER BY l_orderkey LIMIT 5",
+     (1, 5)),
+    # seriesPeriodDetectFFT over a deterministic generated series
+    ("SELECT seriesPeriodDetectFFT(arrayMap(i -> toFloat64(i % 4), "
+     "range(16))) AS per FROM numbers(1)",
+     (1, 1)),
 ]
 
 
@@ -714,5 +843,67 @@ def test_migration_script_round6_composition(ch, tmp_path):
         ALTER TABLE migdb.metrics DROP PROJECTION by_site;
         DROP TABLE migdb.metrics;
         DROP DATABASE migdb;
+        """
+    )
+
+
+def test_migration_script_round8_ops_runbook(ch, spark, tmp_path):
+    """The round-7/8 ops statements composed as one realistic runbook:
+    BACKUP -> mutate -> RESTORE round-trip, DETACH TABLE -> ATTACH,
+    MOVE PARTITION between tables, FREEZE -> UNFREEZE WITH NAME, and
+    DROP -> UNDROP — all through execute_script/query_ch."""
+    bk = tmp_path / "bk"
+    ch.execute_script(
+        """
+        CREATE DATABASE IF NOT EXISTS opsdb;
+        CREATE TABLE opsdb.m (k Int64, region String)
+            ENGINE = MergeTree PARTITION BY region ORDER BY k;
+        INSERT INTO opsdb.m VALUES (1, 'eu'), (2, 'eu'), (3, 'us');
+        CREATE TABLE opsdb.m2 (k Int64, region String)
+            ENGINE = MergeTree PARTITION BY region ORDER BY k;
+        """
+    )
+    # BACKUP, then a destructive mutation, then RESTORE to a new name
+    ch.execute_ch(f"BACKUP TABLE opsdb.m TO File('{bk}')")
+    ch.execute_ch("ALTER TABLE opsdb.m DELETE WHERE region = 'eu'")
+    assert spark.table("opsdb.m").count() == 1
+    ch.execute_script(
+        f"""
+        DROP TABLE opsdb.m SYNC;
+        RESTORE TABLE opsdb.m FROM File('{bk}');
+        """
+    )
+    assert spark.table("opsdb.m").count() == 3
+    # FREEZE a named snapshot, mutate, UNFREEZE by name
+    ch.execute_ch("ALTER TABLE opsdb.m FREEZE WITH NAME 'pre_mig'")
+    ch.execute_ch("ALTER TABLE opsdb.m DELETE WHERE k = 3")
+    ch.execute_ch("SYSTEM UNFREEZE WITH NAME 'pre_mig'")
+    # MOVE the eu partition to the second table
+    ch.execute_ch(
+        "ALTER TABLE opsdb.m MOVE PARTITION 'eu' TO TABLE opsdb.m2"
+    )
+    assert spark.table("opsdb.m2").count() == 2
+    assert spark.table("opsdb.m").count() == 0
+    # DETACH -> ATTACH round-trip keeps the moved-out state
+    ch.execute_script(
+        """
+        DETACH TABLE opsdb.m2;
+        ATTACH TABLE opsdb.m2;
+        """
+    )
+    assert spark.table("opsdb.m2").count() == 2
+    # DROP -> UNDROP restores the most recent incarnation
+    ch.execute_script(
+        """
+        DROP TABLE opsdb.m2;
+        UNDROP TABLE opsdb.m2;
+        """
+    )
+    assert spark.table("opsdb.m2").count() == 2
+    ch.execute_script(
+        """
+        DROP TABLE opsdb.m SYNC;
+        DROP TABLE opsdb.m2 SYNC;
+        DROP DATABASE opsdb;
         """
     )

@@ -1936,6 +1936,44 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return json_family
+    if name == "JSONExtractKeysAndValues":
+        # (json[, path keys...], 'T') -> array of (key, value) structs
+        # via a typed map parse; CH returns Array(Tuple(String, T))
+        def jkv_fmt(a: Args) -> str:
+            t = a[-1].strip()
+            if not (t.startswith("'") and t.endswith("'")):
+                raise UntranslatableFunctionError(
+                    "JSONExtractKeysAndValues: the value type must be "
+                    "a string literal"
+                )
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            dt, _null = ch_type_to_spark(parse_ch_type(t[1:-1]))
+            doc = a[0]
+            if len(a) > 2:
+                segs = []
+                for p in a[1:-1]:
+                    p = p.strip()
+                    if not (p.startswith("'") and p.endswith("'")):
+                        raise UntranslatableFunctionError(
+                            "JSONExtractKeysAndValues: path keys must "
+                            "be string literals"
+                        )
+                    segs.append(f".{p[1:-1]}")
+                doc = f"get_json_object({a[0]}, '$" + "".join(segs) + "')"
+            return (
+                f"map_entries(from_json({doc}, "
+                f"'map<string,{dt.simpleString()}>'))"
+            )
+
+        return jkv_fmt
+    if name == "JSONExtractKeysAndValuesRaw":
+        return lambda a: (
+            f"map_entries(from_json({a[0]}, 'map<string,string>'))"
+        )
     if name == "retention":
         # CH retention(c1..cN) aggregate: array of 0/1 where r[0] =
         # "c1 held for some event" and r[i] = "c1 held AND c_i held"
@@ -2489,6 +2527,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in ("tuplePlus", "tupleMinus", "tupleMultiply", "tupleDivide",
                 "tupleNegate", "tupleMultiplyByNumber",
                 "tupleDivideByNumber", "tupleHammingDistance",
+                "tupleIntDiv", "tupleIntDivOrZero", "tupleModulo",
+                "tupleModuloByNumber", "tupleIntDivByNumber",
                 "dotProduct"):
         def tuple_math(a: Args, _name=name) -> str:
             e1 = _tuple_literal_elems(a[0])
@@ -2516,6 +2556,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     for i, x in enumerate(e1)
                 )
                 return f"struct({items})"
+            if _name in ("tupleIntDivByNumber", "tupleModuloByNumber"):
+                tmpl = (
+                    "(({x}) DIV ({n}))" if "IntDiv" in _name
+                    else "(({x}) % ({n}))"
+                )
+                items = ", ".join(
+                    tmpl.format(x=x, n=a[1]) + f" AS col{i + 1}"
+                    for i, x in enumerate(e1)
+                )
+                return f"struct({items})"
             e2 = _tuple_literal_elems(a[1])
             if e2 is None or len(e1) != len(e2):
                 raise UntranslatableFunctionError(
@@ -2530,6 +2580,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 return "(" + " + ".join(
                     f"(({x}) * ({y}))" for x, y in zip(e1, e2)
                 ) + ")"
+            if _name in ("tupleIntDiv", "tupleIntDivOrZero",
+                         "tupleModulo"):
+                if _name == "tupleIntDiv":
+                    tmpl = "(({x}) DIV ({y}))"
+                elif _name == "tupleIntDivOrZero":
+                    tmpl = "coalesce((({x}) DIV nullif(({y}), 0)), 0)"
+                else:
+                    tmpl = "(({x}) % ({y}))"
+                items = ", ".join(
+                    tmpl.format(x=x, y=y) + f" AS col{i + 1}"
+                    for i, (x, y) in enumerate(zip(e1, e2))
+                )
+                return f"struct({items})"
             op = {"tuplePlus": "+", "tupleMinus": "-",
                   "tupleMultiply": "*", "tupleDivide": "/"}[_name]
             items = ", ".join(

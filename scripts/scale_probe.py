@@ -306,6 +306,25 @@ def main() -> int:
         "token_cap_per_group_docs",
         lambda: smp.token_cap_per_group(srcd, "source", 50_000, "n_chars"),
     )
+    # deliberately skewed domain distribution (round-8 probe): ~70% of
+    # docs land in ONE group, the rest Zipf-ish over 20 — where the
+    # keyed window would first hurt if the cap didn't bound per-key work
+    skewd = docs.select(
+        "doc_id",
+        F.when(F.col("doc_id") % 10 < 7, F.lit("megadomain"))
+        .otherwise(
+            F.concat(F.lit("tail"), F.col("doc_id") % 20)
+        ).alias("source"),
+        F.length("text").alias("n_chars"),
+    )
+    bench(
+        "cap_per_group_docs_skewed",
+        lambda: smp.cap_per_group(skewd, "source", 100, "n_chars"),
+    )
+    bench(
+        "token_cap_per_group_docs_skewed",
+        lambda: smp.token_cap_per_group(skewd, "source", 50_000, "n_chars"),
+    )
     bench(
         "epoch_expand_docs",
         lambda: smp.epoch_expand(

@@ -137,3 +137,41 @@ def test_kql_prql_stl_guided(client):
                     ("seriesDecomposeSTL([1,2,3,4], 2)", "loess")):
         with pytest.raises(UntranslatableFunctionError, match=pat):
             client.query_ch(f"SELECT {fn} AS r")
+
+
+def test_tuple_intdiv_family(client):
+    r = client.query_ch(
+        "SELECT tupleIntDiv((15, 10, 5), (5, 5, 5)) AS r"
+    ).collect()[0].r
+    assert (r.col1, r.col2, r.col3) == (3, 2, 1)
+    r = client.query_ch(
+        "SELECT tupleIntDivOrZero((5, 10), (0, 2)) AS r"
+    ).collect()[0].r
+    assert (r.col1, r.col2) == (0, 5)  # div-by-zero -> 0, not error
+    r = client.query_ch(
+        "SELECT tupleModulo((15, 10), (4, 3)) AS r"
+    ).collect()[0].r
+    assert (r.col1, r.col2) == (3, 1)
+    r = client.query_ch(
+        "SELECT tupleIntDivByNumber((15, 10), 4) AS r"
+    ).collect()[0].r
+    assert (r.col1, r.col2) == (3, 2)
+
+
+def test_json_extract_keys_and_values(client):
+    r = client.query_ch(
+        "SELECT JSONExtractKeysAndValues('{\"a\":5,\"b\":7}', 'Int64')"
+        " AS r"
+    ).collect()[0].r
+    assert [(e.key, e.value) for e in r] == [("a", 5), ("b", 7)]
+    # path-key form digs into a sub-object first
+    r = client.query_ch(
+        "SELECT JSONExtractKeysAndValues('{\"x\":{\"a\":5}}', 'x', "
+        "'Int64') AS r"
+    ).collect()[0].r
+    assert [(e.key, e.value) for e in r] == [("a", 5)]
+    # Raw form keeps values as JSON text
+    r = client.query_ch(
+        "SELECT JSONExtractKeysAndValuesRaw('{\"a\":[1,2]}') AS r"
+    ).collect()[0].r
+    assert [(e.key, e.value) for e in r] == [("a", "[1,2]")]

@@ -327,6 +327,31 @@ _OPERATOR_BACKED: dict[str, str] = {
         "schema export to protobuf is out of scope; "
         "df.schema.json() / DESCRIBE TABLE give the schema"
     ),
+    "JSONAllPaths": (
+        "operates on CH's JSON column type (absent here — JSON rides "
+        "as strings); enumerate keys level-by-level with "
+        "JSONExtractKeys / json_object_keys"
+    ),
+    "JSONAllPathsWithTypes": (
+        "operates on CH's JSON column type; combine JSONExtractKeys "
+        "with JSONType per path"
+    ),
+    "JSONDynamicPaths": (
+        "operates on CH's JSON column type; JSONExtractKeys gives "
+        "the concrete keys of a string JSON document"
+    ),
+    "bech32Encode": (
+        "BIP-173 bech32 is not built in; base58Encode covers the "
+        "adjacent CH codec — add a pandas UDF from the published "
+        "spec if bech32 addresses are in the data"
+    ),
+    "bech32Decode": (
+        "BIP-173 bech32 is not built in; see bech32Encode"
+    ),
+    "sqidDecode": (
+        "the sqids library is not in this environment; "
+        "generateSnowflakeID / generateULID cover sortable ids"
+    ),
     "stochasticLinearRegression": (
         "simpleLinearRegression for the closed form; SGD training is "
         "iterative driver-coordinated work, not an aggregate"

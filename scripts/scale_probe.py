@@ -332,6 +332,14 @@ def main() -> int:
         ),
     )
 
+    bench(
+        "unimax_docs",
+        lambda: smp.unimax_select(
+            srcd.withColumnRenamed("n_chars", "tokens"),
+            "source", "tokens", budget=2_000_000, max_epochs=3.0,
+        ),
+    )
+
     from clickhouse_arrow_spark.operators import text as text_ops
 
     bench(

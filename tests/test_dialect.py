@@ -1107,7 +1107,10 @@ def test_third_wave_refusals():
         # in round 5 (see test_sweep_wave2_*); the lambda-shape guard
         # still refuses non-tuple-returning mapApply lambdas:
         ("mapApply((k, v) -> v, m)", "transform_keys|tuple"),
-        ("proportionsZTest(1, 2, 3, 4, 0.95, 'unpooled')", "stats"),
+        # proportionsZTest graduated to a full translation in round 8
+        # (wave 22) — only a non-literal confidence level refuses now:
+        ("proportionsZTest(1, 2, 3, 4, conf_col, 'unpooled')",
+         "numeric literal"),
         ("nonNegativeDerivative(m, t)", "lag"),
     ]:
         with pytest.raises(UntranslatableFunctionError, match=hint):

@@ -210,8 +210,10 @@ def test_file_tvf_formats(ch, spark, tmp_path):
 def test_file_tvf_refusals(ch):
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
-    with pytest.raises(UntranslatableFunctionError, match="read_remote"):
-        ch.query_ch("SELECT 1 FROM url('http://x/y.csv', 'CSV')")
+    # url() graduated to a real table function in round 8 — only
+    # non-http schemes refuse now (sources/url_tvf.py)
+    with pytest.raises(UntranslatableFunctionError, match="only http"):
+        ch.query_ch("SELECT 1 FROM url('ftp://x/y.csv', 'CSV')")
     with pytest.raises(UntranslatableFunctionError, match="infer"):
         ch.query_ch("SELECT 1 FROM file('/nope/data.bin')")
     with pytest.raises(UntranslatableFunctionError, match="string literals"):

@@ -2517,7 +2517,7 @@ class Client:
             self._ensure_normalize_udfs()
         if re.search(
             r"ch_(base58|punycode|idna|lgamma|tgamma|stem|json_merge"
-            r"|array_levenshtein|series_)",
+            r"|array_|series_)",
             sql,
         ):
             self._ensure_py_udfs()

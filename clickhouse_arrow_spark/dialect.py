@@ -233,7 +233,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "topK": "operators.frequency.topk_frequent(df, col, k)",
     "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
     "kolmogorovSmirnovTest": "operators.stats.ks_test(df, value, index)",
-    "arrayAUC": "operators.stats.auc(df, score, label) (column form)",
     # deprecated CH block-order functions: order is undefined on any
     # distributed read — the deterministic equivalents are windows
     "runningDifference": "lag() OVER (ORDER BY <explicit order>)",
@@ -4023,6 +4022,69 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return refuse_op
+    if name in ("trimBoth", "trimLeft", "trimRight"):
+        # 2-arg CH trims take (string, chars); Spark's 2-arg
+        # trim/ltrim/rtrim take (trimStr, string) — FLIPPED. The
+        # explicit TRIM(BOTH/LEADING/TRAILING x FROM s) syntax is
+        # unambiguous in both engines.
+        mode = {"trimBoth": "BOTH", "trimLeft": "LEADING",
+                "trimRight": "TRAILING"}[name]
+        fallback = _SIMPLE_RENAMES[name]
+
+        def trim_fmt(a: Args, _m=mode, _f=fallback) -> str:
+            if len(a) == 1:
+                return f"{_f}({a[0]})"
+            return f"trim({_m} {a[1]} FROM {a[0]})"
+
+        return trim_fmt
+    if name in ("arrayLastIndex",):
+        # last 1-based index where the lambda holds; 0 when none —
+        # the mirror of arrayFirstIndex, via an indexed filter + max
+        def ali_fmt(a: Args) -> str:
+            lam, arr = a[0], a[1]
+            if "->" not in lam:
+                raise UntranslatableFunctionError(
+                    "arrayLastIndex(lambda, array)"
+                )
+            var, _, body = lam.partition("->")
+            var = var.strip().strip("()")
+            return (
+                f"coalesce(array_max(filter(transform({arr}, "
+                f"({var}, __cas_i) -> IF(({body.strip()}), "
+                f"__cas_i + 1, CAST(NULL AS INT))), "
+                f"__cas_v -> __cas_v IS NOT NULL)), 0)"
+            )
+
+        return ali_fmt
+    if name == "arrayAUC":
+        # Mann-Whitney AUC with average tie ranks — a lazily-registered
+        # Arrow-batched UDF (works on array literals AND columns; the
+        # DataFrame-level operators.stats.auc remains the table form)
+        return lambda a: (
+            f"ch_array_auc(transform({a[0]}, x -> CAST(x AS DOUBLE)), "
+            f"transform({a[1]}, x -> CAST(x AS DOUBLE)))"
+        )
+    if name in ("divideDecimal", "multiplyDecimal"):
+        # CH: exact decimal math with an EXPLICIT result scale (3rd
+        # arg); without it the result scale is type-derived, unknown
+        # textually — guided refusal naming the 3-arg form
+        op = "/" if name == "divideDecimal" else "*"
+
+        def dec_fmt(a: Args, _op=op, _name=name) -> str:
+            if len(a) < 3 or not a[2].strip().isdigit():
+                raise UntranslatableFunctionError(
+                    f"{_name}(a, b) without an explicit result scale: "
+                    "the scale is derived from the CH decimal types, "
+                    "unknown textually — pass it: "
+                    f"{_name}(a, b, <scale>)"
+                )
+            s = int(a[2])
+            return (
+                f"CAST(CAST({a[0]} AS DECIMAL(38, {min(s + 6, 37)})) "
+                f"{_op} ({a[1]}) AS DECIMAL(38, {s}))"
+            )
+
+        return dec_fmt
     if name in _SIMPLE_RENAMES and name not in ("splitByChar", "JSONExtractString", "notEmpty"):
         new = _SIMPLE_RENAMES[name]
         return lambda a: f"{new}({', '.join(a)})"

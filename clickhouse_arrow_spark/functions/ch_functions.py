@@ -679,7 +679,26 @@ def _py_udf_inventory_multi():
         "ch_json_merge_patch": (_json_merge_patch, "string", 2),
         "ch_array_levenshtein": (_array_levenshtein, "bigint", 2),
         "ch_series_tukey": (_series_tukey, "array<double>", 4),
+        "ch_array_auc": (_array_auc, "double", 2),
     }
+
+
+def _array_auc(scores, labels):
+    """ROC AUC over paired score/label arrays (CH arrayAUC): the
+    Mann-Whitney form with average ranks for ties."""
+    if scores is None or labels is None:
+        return None
+    import numpy as np
+    import pandas as pd
+
+    s = np.asarray(list(scores), dtype="float64")
+    y = np.asarray(list(labels), dtype="float64") > 0
+    p = int(y.sum())
+    n = len(s) - p
+    if p == 0 or n == 0:
+        return float("nan")
+    ranks = pd.Series(s).rank(method="average").to_numpy()
+    return float((ranks[y].sum() - p * (p + 1) / 2.0) / (p * n))
 
 
 def _series_tukey(s, minp, maxp, k):

@@ -326,6 +326,10 @@ _OPERATOR_BACKED: dict[str, str] = {
         "schema export to protobuf is out of scope; "
         "df.schema.json() / DESCRIBE TABLE give the schema"
     ),
+    "flattenTuple": (
+        "nested-tuple flattening needs the struct's field tree; "
+        "select the leaf fields explicitly (t.a, t.b.c AS b_c)"
+    ),
     "JSONAllPaths": (
         "operates on CH's JSON column type (absent here — JSON rides "
         "as strings); enumerate keys level-by-level with "
@@ -1011,7 +1015,71 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return array_count
     if name == "arrayFlatten":
-        return lambda a: f"flatten({a[0]})"
+        # CH flattens ALL levels; Spark's flatten removes ONE. For a
+        # literal the nesting depth is countable from the leading
+        # brackets — apply flatten depth-1 times; non-literal columns
+        # get one level (the overwhelmingly common 2-level shape —
+        # deeper column nesting needs chained arrayFlatten calls)
+        def flatten_fmt(a: Args) -> str:
+            # literals arrive already translated: array(array(...));
+            # the leading run of "array(" tokens is the nesting depth
+            s = re.sub(r"\s+", "", a[0])
+            depth = 0
+            while s.startswith("array("):
+                depth += 1
+                s = s[len("array("):]
+            out = a[0]
+            for _ in range(max(depth - 1, 1)):
+                out = f"flatten({out})"
+            return out
+
+        return flatten_fmt
+    if name == "byteSlice":
+        # byte-addressed substring: slice through BINARY so multi-byte
+        # characters split exactly as CH's byte semantics do
+        return lambda a: (
+            f"CAST(substring(CAST({a[0]} AS BINARY), {a[1]}, {a[2]}) "
+            "AS STRING)"
+        )
+    if name == "parseTimeDelta":
+        # '1h 30m' / '2 days 3 hours' ... -> seconds (double): extract
+        # every number+unit pair and fold; units cover the CH set
+        def ptd_fmt(a: Args) -> str:
+            # longest-first alternation: 'ms'/'mo' must win over 'm'
+            pair_re = (
+                r"([0-9]*\\.?[0-9]+)\\s*"
+                r"(milliseconds?|ms|months?|mo|minutes?|mins?|"
+                r"years?|yr|y|weeks?|w|days?|d|hours?|hr|h|"
+                r"seconds?|secs?|s|m)"
+            )
+            unit = "regexp_extract(__cas_p, '([a-z]+)$', 1)"
+            num = (
+                "CAST(regexp_extract(__cas_p, '([0-9]*\\\\.?[0-9]+)', 1) "
+                "AS DOUBLE)"
+            )
+            secs = (
+                f"CASE WHEN {unit} IN ('y','yr') OR {unit} LIKE 'year%' "
+                "THEN 31536000.0 "
+                f"WHEN {unit} = 'mo' OR {unit} LIKE 'month%' "
+                "THEN 2592000.0 "
+                f"WHEN {unit} = 'w' OR {unit} LIKE 'week%' "
+                "THEN 604800.0 "
+                f"WHEN {unit} = 'd' OR {unit} LIKE 'day%' THEN 86400.0 "
+                f"WHEN {unit} IN ('h','hr') OR {unit} LIKE 'hour%' "
+                "THEN 3600.0 "
+                f"WHEN {unit} = 'ms' OR {unit} LIKE 'millisecond%' "
+                "THEN 0.001 "
+                f"WHEN {unit} = 'm' OR {unit} LIKE 'min%' THEN 60.0 "
+                f"WHEN {unit} = 's' OR {unit} LIKE 'sec%' THEN 1.0 "
+                "ELSE CAST(NULL AS DOUBLE) END"
+            )
+            return (
+                f"aggregate(regexp_extract_all(lower({a[0]}), "
+                f"'{pair_re}', 0), CAST(0 AS DOUBLE), "
+                f"(__cas_acc, __cas_p) -> __cas_acc + {num} * {secs})"
+            )
+
+        return ptd_fmt
     if name == "arrayZip":
         return lambda a: f"arrays_zip({', '.join(a)})"
     if name == "arrayEnumerate":

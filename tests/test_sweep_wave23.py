@@ -86,3 +86,42 @@ def test_divide_function_ch_exact_on_zero(client):
     assert math.isnan(one(client, "SELECT divide(0, 0) AS r"))
     assert one(client, "SELECT intDivOrZero(5, 0) AS r") == 0
     assert one(client, "SELECT moduloOrZero(5, 0) AS r") == 0
+
+
+# ---- wave 24 (second execution probe) ------------------------------
+
+
+def test_array_flatten_all_levels(client):
+    # CH flattens EVERY level; literal depth is counted textually
+    assert one(client, "SELECT arrayFlatten([[[1],[2,3]],[[4]]]) "
+               "AS r") == [1, 2, 3, 4]
+    assert one(client, "SELECT arrayFlatten([[1,2],[3]]) AS r") \
+        == [1, 2, 3]
+
+
+def test_byte_slice(client):
+    assert one(client, "SELECT byteSlice('Hello', 2, 3) AS r") == "ell"
+    # byte semantics: a 2-byte UTF-8 char splits mid-sequence
+    assert one(client, "SELECT length(CAST(byteSlice('é', 1, 1) "
+               "AS BINARY)) AS r") == 1
+
+
+def test_parse_time_delta(client):
+    assert one(client, "SELECT parseTimeDelta('1h 30m') AS r") == 5400.0
+    assert one(client, "SELECT parseTimeDelta('2 days 3 hours "
+               "5 seconds') AS r") == 183605.0
+    assert one(client, "SELECT parseTimeDelta('1.5h') AS r") == 5400.0
+    assert one(client, "SELECT parseTimeDelta('250 ms') AS r") == 0.25
+    assert one(client, "SELECT parseTimeDelta('3 mins') AS r") == 180.0
+
+
+def test_array_auc(client):
+    assert one(client, "SELECT arrayAUC([0.1,0.4,0.35,0.8], "
+               "[0,0,1,1]) AS r") == 0.75
+    # ties get average ranks
+    assert one(client, "SELECT arrayAUC([0.5,0.5], [0,1]) AS r") == 0.5
+
+
+def test_flatten_tuple_guided(client):
+    with pytest.raises(UntranslatableFunctionError, match="leaf"):
+        client.query_ch("SELECT flattenTuple((1, (2, 3))) AS r")

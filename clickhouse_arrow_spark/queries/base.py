@@ -105,7 +105,7 @@ _GATE_ALIASES: dict[str, str] = {
         "core_url_tvf",
         "text_substring_dedup",
         "util_sweep_wave22",
-        "util_sweep_wave13",
+        "util_sweep_wave23",
         "util_sweep_wave16",
         "util_sweep_wave18",
         "util_sweep_wave19",

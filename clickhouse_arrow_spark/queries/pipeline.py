@@ -4963,6 +4963,47 @@ def q_util_sweep_wave22(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave23",
+    """
+    SELECT 'hi' AS tb, 'hi' AS tl, 'hi' AS tr,
+           CAST(3 AS INT) AS ali,
+           '4.2000' AS dd,
+           CAST(0.75 AS DOUBLE) AS auc,
+           '1,2,3,4' AS fl,
+           'ell' AS bs,
+           CAST(5400.0 AS DOUBLE) AS ptd,
+           CAST(0.25 AS DOUBLE) AS ptd_ms
+    """,
+    doc="Round-8 probe-sweep waves 23+24 (execution probe over "
+    "scripts/probe_wave23.py; exact literal oracle): the FLIPPED "
+    "2-arg trim fix (Spark's trim(trimStr, str) vs CH's (str, chars) "
+    "— silently returned '' before), arrayLastIndex, divideDecimal "
+    "with explicit result scale, arrayAUC (Mann-Whitney average "
+    "ties), recursive arrayFlatten (CH flattens every level), "
+    "byteSlice (BINARY substring), parseTimeDelta (number+unit folds "
+    "with longest-first alternation).",
+    tags=("dialect", "sweep", "wave23"),
+)
+def q_util_sweep_wave23(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT trimBoth('xxhixx', 'x') AS tb, "
+        "trimLeft('xxhi', 'x') AS tl, trimRight('hixx', 'x') AS tr, "
+        "CAST(arrayLastIndex(x -> x = 1, [1, 2, 1, 3]) AS Int32) "
+        "AS ali, "
+        "toString(divideDecimal(toDecimal64(10.5, 2), "
+        "toDecimal64(2.5, 2), 4)) AS dd, "
+        "arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS auc, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayFlatten([[[1],[2,3]],[[4]]])), ',') AS fl, "
+        "byteSlice('Hello', 2, 3) AS bs, "
+        "parseTimeDelta('1h 30m') AS ptd, "
+        "parseTimeDelta('250 ms') AS ptd_ms"
+    )
+
+
+@register(
     "vector_semantic_decontaminate",
     """
     WITH bench AS (

@@ -1034,6 +1034,43 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return out
 
         return flatten_fmt
+    if name == "byteHammingDistance":
+        # differing bytes over the common prefix + the length surplus
+        # (CH mismatches-style semantics on unequal lengths)
+        def bhd_fmt(a: Args) -> str:
+            x, y = a[0], a[1]
+            return (
+                f"(aggregate(sequence(1, CAST(least(octet_length({x}),"
+                f" octet_length({y})) AS INT)), 0, (__cas_a, __cas_i) "
+                f"-> __cas_a + IF(substring(CAST({x} AS BINARY), "
+                f"__cas_i, 1) = substring(CAST({y} AS BINARY), "
+                f"__cas_i, 1), 0, 1)) + abs(octet_length({x}) - "
+                f"octet_length({y})))"
+            )
+
+        return bhd_fmt
+    if name in ("toStartOfMicrosecond", "toStartOfNanosecond"):
+        # Spark timestamps ARE microsecond-precision: micro-truncation
+        # is the identity, and nanosecond precision does not exist to
+        # truncate further
+        return lambda a: f"CAST({a[0]} AS TIMESTAMP)"
+    if name == "toStartOfMillisecond":
+        return lambda a: (
+            f"timestamp_millis(unix_millis(CAST({a[0]} AS TIMESTAMP)))"
+        )
+    if name == "ULIDStringToDateTime":
+        # the inverse of generateULID: the first 10 Crockford-base32
+        # chars are the 48-bit millisecond timestamp
+        def ulid_fmt(a: Args) -> str:
+            alphabet = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"
+            return (
+                f"timestamp_millis(aggregate(split(substring(upper("
+                f"{a[0]}), 1, 10), ''), CAST(0 AS BIGINT), "
+                f"(__cas_a, __cas_c) -> IF(__cas_c = '', __cas_a, "
+                f"__cas_a * 32 + position(__cas_c, '{alphabet}') - 1)))"
+            )
+
+        return ulid_fmt
     if name == "byteSlice":
         # byte-addressed substring: slice through BINARY so multi-byte
         # characters split exactly as CH's byte semantics do

@@ -125,3 +125,39 @@ def test_array_auc(client):
 def test_flatten_tuple_guided(client):
     with pytest.raises(UntranslatableFunctionError, match="leaf"):
         client.query_ch("SELECT flattenTuple((1, (2, 3))) AS r")
+
+
+# ---- wave 25 (third execution probe) -------------------------------
+
+
+def test_byte_hamming_distance(client):
+    assert one(client, "SELECT byteHammingDistance('abc', 'abd') "
+               "AS r") == 1
+    # unequal lengths add the surplus
+    assert one(client, "SELECT byteHammingDistance('abc', 'abcde') "
+               "AS r") == 2
+    assert one(client, "SELECT byteHammingDistance('x', 'x') AS r") == 0
+
+
+def test_sub_second_truncation(client):
+    assert str(one(client, "SELECT toStartOfMicrosecond("
+               "toDateTime64('2023-01-01 00:00:00.123456', 6)) AS r"))\
+        .endswith("00.123456")
+    assert str(one(client, "SELECT toStartOfMillisecond("
+               "toDateTime64('2023-01-01 00:00:00.123456', 6)) AS r"))\
+        .endswith("00.123000")
+
+
+def test_ulid_string_to_datetime(client):
+    # the CH docs example value
+    assert str(one(client, "SELECT ULIDStringToDateTime("
+               "'01GNB2S2FGN2P93QPXDNB4EN2R') AS r")) \
+        == "2022-12-28 00:40:37.616000"
+    # roundtrip with our own generator: decoded ms == emission window
+    u = client.query_ch("SELECT generateULID() AS u").collect()[0].u
+    import datetime as dt
+
+    decoded = one(client, f"SELECT ULIDStringToDateTime('{u}') AS r")
+    assert abs(
+        (decoded - dt.datetime.now()).total_seconds()
+    ) < 3600  # same hour (clock skew slack)

@@ -256,6 +256,8 @@ class Client:
         m = _find_clean(
             _re.compile(
                 r"(?is)\bINTO\s+OUTFILE\s+'([^']+)'"
+                r"(?:\s+AND\s+STDOUT)?"
+                r"(?:\s+(APPEND|TRUNCATE))?"
                 r"(?:\s+FORMAT\s+(\w+))?\s*;?\s*$"
             ),
             ch_sql,
@@ -272,7 +274,17 @@ class Client:
             import tempfile as _tempfile
 
             path = m.group(1)
-            fmt = (m.group(2) or "TabSeparated").lower()
+            mode = (m.group(2) or "").upper()
+            fmt = (m.group(3) or "TabSeparated").lower()
+            import os as _os0
+
+            # CH refuses an existing file unless APPEND or TRUNCATE
+            if not mode and _os0.path.exists(path):
+                raise QueryError(
+                    f"INTO OUTFILE: {path!r} already exists — add "
+                    "TRUNCATE to overwrite or APPEND to extend "
+                    "(ClickHouse refuses silently clobbering too)"
+                )
             inner = self.query_ch(ch_sql[: m.start()], qid=qid)
             tmp = _tempfile.mkdtemp(prefix="cas_outfile_")
             one = inner.coalesce(1)
@@ -295,12 +307,17 @@ class Client:
                 part_glob = "part-*.parquet"
             else:
                 raise QueryError(
-                    f"INTO OUTFILE FORMAT {m.group(2)}: supported here "
+                    f"INTO OUTFILE FORMAT {m.group(3)}: supported here "
                     "are CSV[WithNames], TSV/TabSeparated[WithNames], "
                     "JSONEachRow, Parquet"
                 )
             parts = _glob.glob(_os.path.join(tmp, part_glob))
-            if not parts:
+            if mode == "APPEND" and _os.path.exists(path):
+                with open(path, "ab") as dst:
+                    for p in parts:
+                        with open(p, "rb") as src:
+                            _shutil.copyfileobj(src, dst)
+            elif not parts:
                 open(path, "wb").close()
             else:
                 _shutil.move(parts[0], path)
@@ -457,6 +474,20 @@ class Client:
             ) if rows else self.spark.createDataFrame(
                 [], "query_id string, status string"
             )
+        if _re.match(r"(?is)^\s*SHOW\s+CLUSTERS?\s*;?\s*$", ch_sql):
+            # Spark IS the cluster here; CH lists configured remote
+            # clusters — one logical entry, named like CH's default
+            return self.spark.createDataFrame(
+                [("default",)], "cluster string"
+            )
+        if _re.match(
+            r"(?is)^\s*SHOW\s+(QUOTAS?|ACCESS|USERS|ROLES|"
+            r"ROW\s+POLICIES|SETTINGS\s+PROFILES)\s*;?\s*$",
+            ch_sql,
+        ):
+            # no CH access-control registry: Spark delegates authz to
+            # the cluster manager / catalog ACLs — empty result, shaped
+            return self.spark.createDataFrame([], "name string")
         m = _re.match(
             r"(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+('(?:[^']|'')*'))?\s*;?\s*$",
             ch_sql,

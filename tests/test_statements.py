@@ -992,3 +992,38 @@ def test_into_outfile(client, tables, tmp_path):
         f"SELECT 7 AS x INTO OUTFILE '{pj}' FORMAT JSONEachRow"
     ).collect()
     assert '"x":7' in open(pj).read()
+
+
+def test_show_clusters_quotas_access(client):
+    """Round 8: SHOW CLUSTERS lists the one logical cluster (Spark IS
+    the cluster); the access-control SHOWs return empty shaped results
+    (authz is delegated to the cluster manager)."""
+    assert [r.cluster for r in client.query_ch("SHOW CLUSTERS").collect()] \
+        == ["default"]
+    for stmt in ("SHOW QUOTAS", "SHOW USERS", "SHOW ROLES",
+                 "SHOW ACCESS"):
+        assert client.query_ch(stmt).collect() == []
+
+
+def test_outfile_truncate_append_modes(client, tmp_path):
+    """Round 8: INTO OUTFILE refuses existing files (CH parity) unless
+    TRUNCATE (overwrite) or APPEND; AND STDOUT parses."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    p = tmp_path / "out.csv"
+    client.query_ch(
+        f"SELECT 1 AS x INTO OUTFILE '{p}' FORMAT CSV"
+    ).collect()
+    with _pt.raises(QueryError, match="already exists"):
+        client.query_ch(f"SELECT 2 AS x INTO OUTFILE '{p}' FORMAT CSV")
+    client.query_ch(
+        f"SELECT 2 AS x INTO OUTFILE '{p}' APPEND FORMAT CSV"
+    ).collect()
+    assert p.read_text().split() == ["1", "2"]
+    client.query_ch(
+        f"SELECT 3 AS x INTO OUTFILE '{p}' AND STDOUT TRUNCATE "
+        "FORMAT CSV"
+    ).collect()
+    assert p.read_text().split() == ["3"]

@@ -2475,6 +2475,16 @@ class Client:
 
         return _tag()
 
+    def start_ingest(self, table: str, **kwargs):
+        """Start consuming a Kafka/FileLog engine table into its
+        attached materialized views (streaming/ingest.start_ingest —
+        the CH engines consume automatically server-side; here the
+        consumption loop is an explicit Structured Streaming query the
+        caller owns). Returns the StreamingQuery."""
+        from clickhouse_arrow_spark.streaming.ingest import start_ingest
+
+        return start_ingest(self.spark, table, **kwargs)
+
     def subscribe_events(self, qid: str, interval: float = 0.05):
         """PUSH-based event stream for a query — full parity with the
         reference's `subscribe_events` (src/client.rs:282-313): a

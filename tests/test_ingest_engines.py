@@ -142,3 +142,30 @@ def test_filelog_requires_path(client, spark):
         client.execute_ch(
             "CREATE TABLE ing.fl2 (k Int64) ENGINE = FileLog"
         )
+
+
+def test_client_start_ingest_facade(client, spark, tmp_path):
+    import json
+
+    watch = tmp_path / "facade_logs"
+    watch.mkdir()
+    spark.sql("CREATE DATABASE IF NOT EXISTS ing")
+    for t in ("ing.fs", "ing.ft"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        f"CREATE TABLE ing.fs (k Int64) "
+        f"ENGINE = FileLog('{watch}', 'JSONEachRow')"
+    )
+    client.execute_ch(
+        "CREATE TABLE ing.ft (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "CREATE MATERIALIZED VIEW ing.fmv TO ing.ft AS "
+        "SELECT k FROM ing.fs"
+    )
+    (watch / "a.jsonl").write_text(json.dumps({"k": 42}))
+    q = client.start_ingest("ing.fs", available_now=True)
+    q.awaitTermination(60)
+    assert [r.k for r in spark.table("ing.ft").collect()] == [42]
+    for t in ("ing.fmv", "ing.ft", "ing.fs"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

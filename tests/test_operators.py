@@ -2009,3 +2009,57 @@ def test_substring_dedup_string_id_refused(spark):
     )
     with _pt.raises(ValueError, match="integral"):
         substring_dedup(df)
+
+
+def test_substring_dedup_matches_bruteforce(spark):
+    """Randomized cross-check: the distributed pipeline (window
+    digests -> first-occurrence -> interval merge) must equal a
+    direct Python recomputation on small random corpora."""
+    import random
+
+    from clickhouse_arrow_spark.operators.text import substring_dedup
+
+    L = 4
+    rng = random.Random(8)
+    for trial in range(3):
+        docs = []
+        for doc_id in range(12):
+            n = rng.randint(0, 14)
+            docs.append(
+                (doc_id,
+                 " ".join(rng.choice("ab cd ef gh".split())
+                          for _ in range(n)))
+            )
+
+        # brute force
+        def toks(t):
+            return [w for w in t.lower().strip().split() if w]
+
+        wins = {}
+        for doc_id, t in docs:
+            tt = toks(t)
+            for pos in range(max(len(tt) - L + 1, 0)):
+                key = tuple(tt[pos: pos + L])
+                wins.setdefault(key, []).append((doc_id, pos))
+        marked = {}
+        for occs in wins.values():
+            if len(occs) < 2:
+                continue
+            occs = sorted(occs)
+            for doc_id, pos in occs[1:]:
+                marked.setdefault(doc_id, set()).update(
+                    range(pos, pos + L)
+                )
+        expected = {
+            doc_id: len(positions) for doc_id, positions in marked.items()
+        }
+
+        df = spark.createDataFrame(docs, "doc_id long, text string")
+        got = {
+            r.doc_id: r.n_removed
+            for r in substring_dedup(
+                df, min_tokens=L, keep_text=False
+            ).collect()
+            if r.n_removed > 0
+        }
+        assert got == expected, f"trial {trial}: {got} != {expected}"

@@ -541,3 +541,28 @@ def test_undrop_retention_sweep(client, spark):
             client.execute_ch("UNDROP TABLE ddl8.sw")
     finally:
         spark.conf.unset(conf)
+
+
+def test_undrop_keeps_detached_partitions_attachable(client, spark):
+    """A partition detached BEFORE the table is dropped lives beside
+    the table dir, outside the trash move — after UNDROP it must still
+    ATTACH."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ddl8")
+    spark.sql("DROP TABLE IF EXISTS ddl8.dp")
+    client.execute_ch(
+        "CREATE TABLE ddl8.dp (k Int64, region String) "
+        "ENGINE = MergeTree PARTITION BY region ORDER BY k"
+    )
+    client.insert(
+        "ddl8.dp",
+        spark.createDataFrame(
+            [(1, "eu"), (2, "us")], "k BIGINT, region STRING"
+        ),
+    )
+    client.execute_ch("ALTER TABLE ddl8.dp DETACH PARTITION 'eu'")
+    client.execute_ch("DROP TABLE ddl8.dp")
+    client.execute_ch("UNDROP TABLE ddl8.dp")
+    assert {r.k for r in spark.table("ddl8.dp").collect()} == {2}
+    client.execute_ch("ALTER TABLE ddl8.dp ATTACH PARTITION 'eu'")
+    assert {r.k for r in spark.table("ddl8.dp").collect()} == {1, 2}
+    client.execute_ch("DROP TABLE ddl8.dp SYNC")

@@ -1487,7 +1487,10 @@ class Client:
         # Null engine: the block is DISCARDED but attached materialized
         # views still see it — CH's ingest-through-Null pattern
         if eng != "Null":
-            aligned.write.mode("append").insertInto(table)
+            from clickhouse_arrow_spark.ddl import bloom_conf_scope
+
+            with bloom_conf_scope(self.spark, table):
+                aligned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 
         propagate_insert(self.spark, table, aligned)
@@ -1511,7 +1514,10 @@ class Client:
         if eng == "Join":
             unioned = self._dedupe_join_any(table, unioned)
         if eng != "Null":
-            unioned.write.mode("append").insertInto(table)
+            from clickhouse_arrow_spark.ddl import bloom_conf_scope
+
+            with bloom_conf_scope(self.spark, table):
+                unioned.write.mode("append").insertInto(table)
         from clickhouse_arrow_spark.matview import propagate_insert
 
         # deferred flush = ONE block: attached views see one trigger

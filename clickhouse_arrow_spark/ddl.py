@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import re
 
+from contextlib import contextmanager
 from dataclasses import dataclass, field as dc_field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -188,6 +189,15 @@ def create_table_ddl(
         props["clickhouse_arrow_spark.sample_by"] = options.sample_by
     if options.ttl:
         props["clickhouse_arrow_spark.ttl"] = options.ttl
+    if options.bloom_filter_cols:
+        # recorded so INSERT/mutation writes emit the parquet blooms
+        # (bloom_conf_scope); write_table applies them directly
+        props["clickhouse_arrow_spark.bloom_filter_cols"] = ",".join(
+            options.bloom_filter_cols
+        )
+        props["clickhouse_arrow_spark.bloom_filter_ndv"] = str(
+            options.bloom_filter_ndv
+        )
     for k, v in options.settings.items():
         # SETTINGS values may arrive as SQL string literals
         # ('host:9092'); store the bare value, escaped for the
@@ -683,16 +693,60 @@ def _rm_staged(spark: SparkSession, path: str) -> None:
         pass
 
 
+def bloom_index_cols(spark: SparkSession, table: str) -> dict[str, int]:
+    """column -> expected NDV for every bloom_filter skip index
+    recorded on the table (ALTER ADD INDEX ... TYPE bloom_filter or
+    CREATE-time bloom_filter_cols)."""
+    out: dict[str, int] = {}
+    props = _table_props(spark, table)
+    ndv = int(props.get("clickhouse_arrow_spark.bloom_filter_ndv",
+                        "100000"))
+    for k, v in props.items():
+        if k.startswith("clickhouse_arrow_spark.index."):
+            col, _, typ = v.partition(":")
+            if typ == "bloom_filter":
+                out[col] = ndv
+    for c in props.get(
+        "clickhouse_arrow_spark.bloom_filter_cols", ""
+    ).split(","):
+        if c.strip():
+            out[c.strip()] = ndv
+    return out
+
+
+@contextmanager
+def bloom_conf_scope(spark: SparkSession, table: str):
+    """Parquet bloom-filter writer settings for `table`'s recorded
+    skip indexes, scoped to one write. insertInto ignores per-writer
+    options, but the parquet output format reads the Hadoop conf — set
+    it for the write, restore after. (Session-global for the scope's
+    duration: a concurrent write of a same-named column in another
+    table would also get a bloom — harmless, it is a pure skip
+    structure.)"""
+    cols = bloom_index_cols(spark, table)
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    try:
+        for c, ndv in cols.items():
+            hconf.set(f"parquet.bloom.filter.enabled#{c}", "true")
+            hconf.set(f"parquet.bloom.filter.expected.ndv#{c}", str(ndv))
+        yield
+    finally:
+        for c in cols:
+            hconf.unset(f"parquet.bloom.filter.enabled#{c}")
+            hconf.unset(f"parquet.bloom.filter.expected.ndv#{c}")
+
+
 def _rewrite_rows(spark: SparkSession, table: str, df: DataFrame) -> None:
     """Stage-and-overwrite: Spark cannot read and overwrite the same
     files in one job, so survivors stage to a dir on the table's own
     filesystem first (cluster-safe; a Delta-backed table would mutate
-    in place)."""
+    in place). Rewrites emit the table's recorded bloom skip indexes."""
     tmp = _staging_path(spark, table)
     try:
         df.write.mode("overwrite").parquet(tmp)
         staged = spark.read.parquet(tmp)
-        staged.write.mode("overwrite").insertInto(table)
+        with bloom_conf_scope(spark, table):
+            staged.write.mode("overwrite").insertInto(table)
     finally:
         _rm_staged(spark, tmp)
 
@@ -1839,6 +1893,117 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
             )
         mutate_update(spark, table, f"`{col}` = {tr(mat[col])}", "true")
         _rebuild_projections_after_mutation(spark, table)
+        return True
+    mm = re.match(
+        r"(?is)^ADD\s+INDEX\s+(?:IF\s+NOT\s+EXISTS\s+)?(`?\w+`?)\s+"
+        r"\(?\s*(`?\w+`?)\s*\)?\s+TYPE\s+(\w+)(?:\s*\([^)]*\))?"
+        r"(?:\s+GRANULARITY\s+\d+)?\s*$",
+        action,
+    )
+    if mm:
+        # CH data-skipping indexes: bloom_filter maps to parquet bloom
+        # filters (written on future inserts — CH's ADD INDEX also only
+        # covers new parts until MATERIALIZE INDEX); minmax is parquet
+        # column statistics, always on — recorded as a no-op
+        idx, col, typ = (mm.group(1).strip("`"), mm.group(2).strip("`"),
+                         mm.group(3).lower())
+        if typ in ("ngrambf_v1", "tokenbf_v1", "set", "inverted",
+                   "full_text"):
+            raise SchemaError(
+                f"ADD INDEX TYPE {typ}: no parquet analogue for "
+                "substring/set skip indexes — bloom_filter (point "
+                "lookups) and minmax (range pruning, always on) are "
+                "the supported types"
+            )
+        if typ not in ("bloom_filter", "minmax"):
+            raise SchemaError(
+                f"ADD INDEX TYPE {typ}: supported types are "
+                "bloom_filter and minmax"
+            )
+        spark.sql(
+            f"ALTER TABLE {table} SET TBLPROPERTIES ("
+            f"'clickhouse_arrow_spark.index.{idx}' = '{col}:{typ}')"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^(DROP|CLEAR)\s+INDEX\s+(?:IF\s+EXISTS\s+)?(`?\w+`?)"
+        r"(?:\s+IN\s+PARTITION\s+\S+)?\s*$",
+        action,
+    )
+    if mm:
+        idx = mm.group(2).strip("`")
+        key = f"clickhouse_arrow_spark.index.{idx}"
+        props = _table_props(spark, table)
+        if key not in props and "IF EXISTS" not in action.upper():
+            raise SchemaError(
+                f"{mm.group(1).upper()} INDEX: {table} has no index "
+                f"{idx!r}"
+            )
+        if mm.group(1).upper() == "DROP" and key in props:
+            spark.sql(
+                f"ALTER TABLE {table} UNSET TBLPROPERTIES ('{key}')"
+            )
+        # CLEAR keeps the definition (CH clears built data; new parts
+        # rebuild) — nothing stored per-part here, so it is a no-op
+        return True
+    mm = re.match(
+        r"(?is)^MATERIALIZE\s+INDEX\s+(?:IF\s+EXISTS\s+)?(`?\w+`?)"
+        r"(?:\s+IN\s+PARTITION\s+\S+)?\s*$",
+        action,
+    )
+    if mm:
+        # backfill: rewrite existing files with the recorded bloom
+        # skip indexes (one scan + write — the bill CH's MATERIALIZE
+        # INDEX mutation pays too)
+        idx = mm.group(1).strip("`")
+        props = _table_props(spark, table)
+        if (f"clickhouse_arrow_spark.index.{idx}" not in props
+                and "IF EXISTS" not in action.upper()):
+            raise SchemaError(
+                f"MATERIALIZE INDEX: {table} has no index {idx!r}"
+            )
+        _rewrite_rows(spark, table, spark.table(table))
+        return True
+    mm = re.match(r"(?is)^MODIFY\s+QUERY\s+(.+)$", action)
+    if mm:
+        # redefine a materialized view's trigger query (CH ALTER TABLE
+        # mv MODIFY QUERY SELECT ...): re-point the stored props on the
+        # TARGET and the source it reads from
+        from clickhouse_arrow_spark.dialect import translate_ch_sql as _t
+
+        props = _table_props(spark, table)
+        target = table
+        # the statement may name the MV (inner target records source)
+        src_old = props.get("clickhouse_arrow_spark.mv_source")
+        if src_old is None:
+            raise SchemaError(
+                f"MODIFY QUERY: {table} is not a materialized view "
+                "target (no recorded mv_source)"
+            )
+        new_sql = _t(mm.group(1).strip())
+        msrc = re.search(
+            r"(?is)\bFROM\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
+            new_sql,
+        )
+        if not msrc:
+            raise SchemaError("MODIFY QUERY: no FROM table in the "
+                              "new SELECT")
+        src_new = msrc.group(1).replace("`", "")
+        tname = target.replace("`", "")
+        spark.sql(
+            f"ALTER TABLE {src_old} UNSET TBLPROPERTIES IF EXISTS "
+            f"('clickhouse_arrow_spark.mv.{tname}')"
+        )
+        esc = new_sql.replace("'", "''")
+        spark.sql(
+            f"ALTER TABLE {target} SET TBLPROPERTIES ("
+            f"'clickhouse_arrow_spark.mv_source' = '{src_new}', "
+            f"'clickhouse_arrow_spark.mv_query' = '{esc}')"
+        )
+        spark.sql(
+            f"ALTER TABLE {src_new} SET TBLPROPERTIES ("
+            f"'clickhouse_arrow_spark.mv.{tname}' = '{esc}')"
+        )
         return True
     mm = re.match(
         r"(?is)^(DETACH|ATTACH)\s+PARTITION\s+(?:'([^']*)'|(\S+))\s*$",

@@ -2310,23 +2310,27 @@ class Client:
             _py_udf_inventory_multi,
         )
 
+        def _make_multi(fn, rtype, nargs):
+            # pandas_udf derives the arity from the wrapped function's
+            # signature, so the wrapper must declare exactly nargs
+            # positional series parameters
+            def batch(*series, _fn=fn):
+                return _pd.Series(
+                    [_fn(*vals) for vals in zip(*series)]
+                )
+
+            import inspect
+
+            params = [
+                inspect.Parameter(f"s{i}",
+                                  inspect.Parameter.POSITIONAL_OR_KEYWORD)
+                for i in range(nargs)
+            ]
+            batch.__signature__ = inspect.Signature(params)
+            return pandas_udf(batch, rtype)
+
         for name, (fn, rtype, nargs) in _py_udf_inventory_multi().items():
-            if nargs == 2:
-                udf = pandas_udf(
-                    lambda s1, s2, _fn=fn: _pd.Series(
-                        [_fn(a, b) for a, b in zip(s1, s2)]
-                    ),
-                    rtype,
-                )
-            else:  # nargs == 4
-                udf = pandas_udf(
-                    lambda s1, s2, s3, s4, _fn=fn: _pd.Series(
-                        [_fn(a, b, c, d)
-                         for a, b, c, d in zip(s1, s2, s3, s4)]
-                    ),
-                    rtype,
-                )
-            self.spark.udf.register(name, udf)
+            self.spark.udf.register(name, _make_multi(fn, rtype, nargs))
         self._py_udfs_registered = True
 
     def fetch_schemas(self) -> list[str]:
@@ -2564,7 +2568,8 @@ class Client:
             self._ensure_normalize_udfs()
         if re.search(
             r"ch_(base58|punycode|idna|lgamma|tgamma|stem|json_merge"
-            r"|array_|series_)",
+            r"|array_|series_|erf|jaro|damerau|jump_hash|hilbert"
+            r"|geohash)",
             sql,
         ):
             self._ensure_py_udfs()

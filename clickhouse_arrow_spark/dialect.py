@@ -220,15 +220,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "countForEach": "operators.stats.foreach_agg(df, arr, 'count' [, group_cols])",
     "sequenceCount": "operators.funnel.sequence_count(df, user, ts, pattern, conds)",
     "windowFunnel": "operators.funnel.window_funnel(df, user, ts, steps, window)",
-    "geohashEncode": "functions.ch_functions.geohash_encode(lon, lat, precision)",
-    "geohashDecode": "functions.ch_functions.geohash_decode(s)",
-    "damerauLevenshteinDistance": (
-        "functions.text_distance.damerau_levenshtein(a, b)"
-    ),
-    "jaroSimilarity": "functions.text_distance.jaro_similarity(a, b)",
-    "jaroWinklerSimilarity": (
-        "functions.text_distance.jaro_winkler_similarity(a, b)"
-    ),
     "histogram": "operators.stats.equi_histogram(df, col, n_bins)",
     "topK": "operators.frequency.topk_frequent(df, col, k)",
     "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
@@ -267,11 +258,6 @@ _OPERATOR_BACKED: dict[str, str] = {
         "transform_keys()/transform_values(), or map_from_entries("
         "transform(map_entries(m), e -> struct(<k'>, <v'>)))"
     ),
-    "hilbertEncode": (
-        "operators/zorder.py interleaving (Z-order); a Hilbert curve "
-        "needs a per-level state machine no expression encodes"
-    ),
-    "mortonDecode": "operators/zorder.py (decode is the inverse interleave)",
     "blockNumber": "no block concept in Tungsten; spark_partition_id() is the nearest analogue",
     "blockSize": "no block concept in Tungsten; count() OVER (PARTITION BY spark_partition_id())",
     "getMacro": "no server macro registry; pass values as query params",
@@ -1125,18 +1111,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"CAST(size(array_distinct({a[0]})) AS BIGINT)"
     if name == "arraySum":
         # double accumulator (CH widens integer sums; callers needing
-        # exact integer sums should aggregate after explode instead)
-        return lambda a: (
-            f"aggregate({a[0]}, CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
-        )
+        # exact integer sums should aggregate after explode instead).
+        # 2-arg form maps the lambda first: arraySum(f, arr).
+        def arr_sum_fmt(a: Args) -> str:
+            arr = f"transform({a[1]}, {a[0]})" if len(a) == 2 else a[0]
+            return (
+                f"aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x)"
+            )
+
+        return arr_sum_fmt
     if name == "arrayAvg":
         # empty array -> NaN (CH's 0/0 float division), not an ANSI
-        # divide-by-zero error
-        return lambda a: (
-            f"(CASE WHEN size({a[0]}) = 0 THEN CAST('NaN' AS DOUBLE) "
-            f"ELSE aggregate({a[0]}, CAST(0 AS DOUBLE), "
-            f"(acc, x) -> acc + x) / size({a[0]}) END)"
-        )
+        # divide-by-zero error. 2-arg form maps the lambda first.
+        def arr_avg_fmt(a: Args) -> str:
+            arr = f"transform({a[1]}, {a[0]})" if len(a) == 2 else a[0]
+            return (
+                f"(CASE WHEN size({arr}) = 0 THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE aggregate({arr}, CAST(0 AS DOUBLE), "
+                f"(acc, x) -> acc + x) / size({arr}) END)"
+            )
+
+        return arr_avg_fmt
     if name == "arraySlice":
         def array_slice(a: Args) -> str:
             if len(a) == 3:
@@ -2911,8 +2907,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         }[name]
 
         def map_agg(a: Args, _merge=merge) -> str:
-            # 1-arg form over a map column; 2-arg CH form over parallel
-            # (keys, values) arrays zips them into a map first
+            # 1-arg form over a map column returns a Map (CH shape for
+            # the Map overload); the 2-arg CH form over parallel
+            # (keys, values) arrays returns CH's Tuple(Array, Array)
+            # with keys SORTED — emitted as a struct of two arrays
             src = (
                 a[0]
                 if len(a) == 1
@@ -2920,9 +2918,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
             lst = f"collect_list({src})"
             seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
-            return (
+            folded = (
                 f"aggregate({lst}, {seed}, (acc, e) -> "
                 f"map_zip_with(acc, e, (k, a, b) -> {_merge}))"
+            )
+            if len(a) == 1:
+                return folded
+            ent = f"array_sort(map_entries({folded}))"
+            return (
+                f"struct(transform({ent}, __cas_e -> __cas_e.key), "
+                f"transform({ent}, __cas_e -> __cas_e.value))"
             )
 
         return map_agg
@@ -3007,36 +3012,59 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return replace_one
-    if name == "accurateCast":
-        def accurate_cast(a: Args) -> str:
+    if name in ("accurateCast", "accurateCastOrNull"):
+        # CH range-checks the TARGET type: accurateCast(-1, 'UInt8')
+        # throws, accurateCastOrNull returns NULL. The Spark type the
+        # bridge maps to is wider (UInt8 -> SMALLINT), so the CH range
+        # must be enforced explicitly.
+        _strict_cast = name == "accurateCast"
+
+        def accurate_cast(a: Args, _throw=_strict_cast) -> str:
             from clickhouse_arrow_spark.types import (
                 ch_type_to_spark,
                 parse_ch_type,
             )
 
+            ranges = {
+                "Int8": (-128, 127),
+                "Int16": (-32768, 32767),
+                "Int32": (-2147483648, 2147483647),
+                "Int64": (-9223372036854775808, 9223372036854775807),
+                "UInt8": (0, 255),
+                "UInt16": (0, 65535),
+                "UInt32": (0, 4294967295),
+                "UInt64": (0, 18446744073709551615),
+            }
             t = a[1].strip()
-            if t.startswith("'") and t.endswith("'"):
-                # no .upper(): struct field names are case-sensitive
-                dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
-                return f"CAST({a[0]} AS {dt.simpleString()})"
-            return f"CAST({a[0]} AS {t})"
+            kw = "CAST" if _throw else "TRY_CAST"
+            if not (t.startswith("'") and t.endswith("'")):
+                return f"{kw}({a[0]} AS {t})"
+            # no .upper(): struct field names are case-sensitive
+            ch_name = t[1:-1]
+            dt, _ = ch_type_to_spark(parse_ch_type(ch_name))
+            cast = f"{kw}({a[0]} AS {dt.simpleString()})"
+            if ch_name not in ranges:
+                return cast
+            lo, hi = ranges[ch_name]
+            probe = f"TRY_CAST({a[0]} AS DECIMAL(38, 0))"
+            in_range = f"({probe} BETWEEN {lo} AND {hi})"
+            if _throw:
+                # concat with the runtime value keeps raise_error out
+                # of constant folding (literal messages fold at plan
+                # time and would fail the whole query eagerly)
+                err = (
+                    f"raise_error(concat('accurateCast: value ', "
+                    f"CAST({a[0]} AS STRING), "
+                    f"' out of range for {ch_name}'))"
+                )
+                return (
+                    f"(CASE WHEN ({a[0]}) IS NULL THEN {cast} "
+                    f"WHEN {in_range} THEN {cast} "
+                    f"ELSE CAST({err} AS {dt.simpleString()}) END)"
+                )
+            return f"(CASE WHEN {in_range} THEN {cast} END)"
 
         return accurate_cast
-    if name == "accurateCastOrNull":
-        def accurate_cast_or_null(a: Args) -> str:
-            from clickhouse_arrow_spark.types import (
-                ch_type_to_spark,
-                parse_ch_type,
-            )
-
-            t = a[1].strip()
-            if t.startswith("'") and t.endswith("'"):
-                # no .upper(): struct field names are case-sensitive
-                dt, _ = ch_type_to_spark(parse_ch_type(t[1:-1]))
-                return f"TRY_CAST({a[0]} AS {dt.simpleString()})"
-            return f"TRY_CAST({a[0]} AS {t})"
-
-        return accurate_cast_or_null
     if name == "count":
         # CH `count()` == count(*); Spark's count needs an argument
         return lambda a: (
@@ -3129,15 +3157,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return round_buckets
     if name in ("erf", "erfc"):
-        # A&S 26.2.17 normal-CDF polynomial (|err| < 7.5e-8), the same
-        # closed form operators/stats uses: erf(x) = sign(x) *
-        # (1 - 2*Phi_c(|x| * sqrt(2)))
+        # exact double-precision erf via the lazily registered
+        # math.erf UDF (wave 26; the A&S polynomial this replaces was
+        # off in the 7th digit — CH computes the exact libm value)
         def erf_fmt(a: Args, _c: bool = (name == "erfc")) -> str:
-            from clickhouse_arrow_spark.operators.stats import norm_sf_sql
-
-            sf = norm_sf_sql(f"(abs({a[0]}) * 1.4142135623730951)")
-            erf_expr = f"(sign({a[0]}) * (1.0 - 2.0 * {sf}))"
-            return f"(1.0 - {erf_expr})" if _c else erf_expr
+            fn = "ch_erfc" if _c else "ch_erf"
+            return f"{fn}(CAST({a[0]} AS DOUBLE))"
 
         return erf_fmt
     if name == "arrayResize":
@@ -3396,19 +3421,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return great_circle_angle_fmt
     if name in ("erf", "erfc"):
-        # No JVM erf builtin: Abramowitz & Stegun 7.1.26 rational
-        # approximation (max abs error ~1e-6), sign-symmetric — one
-        # codegen expression, deterministic
+        # exact double-precision erf via the lazily registered
+        # math.erf UDF (wave 26; the A&S polynomial this replaces was
+        # off in the 7th digit — CH computes the exact libm value)
         def erf_fmt(a: Args, _c=(name == "erfc")) -> str:
-            x = f"CAST({a[0]} AS DOUBLE)"
-            t = f"(1.0 / (1.0 + 0.3275911 * abs({x})))"
-            poly = (
-                f"((((1.061405429 * {t} - 1.453152027) * {t} "
-                f"+ 1.421413741) * {t} - 0.284496736) * {t} "
-                f"+ 0.254829592) * {t}"
-            )
-            erf = f"(sign({x}) * (1.0 - ({poly}) * exp(-({x}) * ({x}))))"
-            return f"(1.0 - {erf})" if _c else erf
+            fn = "ch_erfc" if _c else "ch_erf"
+            return f"{fn}(CAST({a[0]} AS DOUBLE))"
 
         return erf_fmt
     if name == "formatReadableTimeDelta":
@@ -3433,7 +3451,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"CASE WHEN {v} > 0 THEN concat({v}, ' {unit}', "
                     f"IF({v} > 1, 's', '')) END"
                 )
-            joined = f"concat({sign}, concat_ws(', ', {', '.join(parts)}))"
+            # CH joins with ', ' but 'and' before the final part:
+            # '2 hours, 8 minutes and 10 seconds'
+            body = (
+                f"regexp_replace(concat_ws(', ', {', '.join(parts)}), "
+                f"', ([^,]*)$', ' and $1')"
+            )
+            joined = f"concat({sign}, {body})"
             return f"IF({x} = 0, '0 seconds', {joined})"
 
         return readable_delta
@@ -3631,11 +3655,28 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # bit string -> bytes, via base-2 -> base-16 (conv is 64-bit,
         # which covers the hex/bin round-trip idioms; longer bit strings
         # belong in binary columns, not literals). '' -> empty bytes
-        # like CH, not NULL (conv would null it).
+        # like CH, not NULL (conv would null it). CH returns String
+        # (bytes-as-text), not a binary type — hence the outer cast.
         return lambda a: (
-            f"IF({a[0]} = '', CAST('' AS BINARY), "
-            f"unhex(conv({a[0]}, 2, 16)))"
+            f"CAST(IF({a[0]} = '', CAST('' AS BINARY), "
+            f"unhex(conv({a[0]}, 2, 16))) AS STRING)"
         )
+    if name == "bin":
+        # CH pads to the argument TYPE's bit width; Spark's bin() is
+        # minimal-width. Pad to the next byte boundary of the value —
+        # identical for literals (CH picks the smallest type holding
+        # the literal); a wide-typed COLUMN with small values prints
+        # narrower here (PARITY.md)
+        def bin_fmt(a: Args) -> str:
+            b = f"bin(CAST({a[0]} AS BIGINT))"
+            return (
+                f"lpad({b}, CAST(ceil(length({b}) / 8.0) * 8 AS INT), "
+                f"'0')"
+            )
+
+        return bin_fmt
+    if name in ("positiveModulo", "positive_modulo", "pmod"):
+        return lambda a: f"pmod({a[0]}, {a[1]})"
     if name == "isNotDistinctFrom":
         return lambda a: f"(({a[0]}) <=> ({a[1]}))"
     if name == "byteSwap":
@@ -3900,20 +3941,117 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"k -> struct(k, coalesce(element_at({a[0]}, k), 0))))"
         )
     if name == "mortonEncode":
+        # n-ary bit interleave (CH: bit i of argument j lands at
+        # position i*n + j — mortonEncode(1, 2, 3) = 53), one JVM
+        # aggregate over floor(64/n) bit positions
         def morton_fmt(a: Args) -> str:
-            if len(a) != 2:
+            n = len(a)
+            if n == 0 or n > 8:
                 raise UntranslatableFunctionError(
-                    "mortonEncode: the 2-argument (x, y) form is "
-                    "implemented; wider tuples need operators/zorder"
+                    "mortonEncode takes 1..8 integer arguments"
                 )
+            if n == 1:
+                return f"CAST({a[0]} AS BIGINT)"
+            bits = 64 // n
+            terms = " + ".join(
+                f"shiftleft(shiftright(CAST({arg} AS BIGINT), i) & 1, "
+                f"{n} * i + {j})"
+                for j, arg in enumerate(a)
+            )
             return (
-                f"aggregate(sequence(0, 31), CAST(0 AS BIGINT), "
-                f"(acc, i) -> acc "
-                f"+ shiftleft(shiftright(CAST({a[0]} AS BIGINT), i) & 1, 2 * i) "
-                f"+ shiftleft(shiftright(CAST({a[1]} AS BIGINT), i) & 1, 2 * i + 1))"
+                f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc + {terms})"
             )
 
         return morton_fmt
+    if name == "mortonDecode":
+        # inverse interleave: component j gathers bits i*n + j; n must
+        # be a literal (CH requires a constant tuple size too)
+        def morton_dec_fmt(a: Args) -> str:
+            try:
+                n = int(a[0].strip())
+            except ValueError:
+                raise UntranslatableFunctionError(
+                    "mortonDecode: the tuple size must be an integer "
+                    "literal"
+                )
+            if n < 1 or n > 8:
+                raise UntranslatableFunctionError(
+                    "mortonDecode: tuple size must be 1..8"
+                )
+            code = f"CAST({a[1]} AS BIGINT)"
+            if n == 1:
+                return f"struct({code})"
+            bits = 64 // n
+            comps = ", ".join(
+                f"aggregate(sequence(0, {bits - 1}), CAST(0 AS BIGINT), "
+                f"(acc, i) -> acc + shiftleft("
+                f"shiftright({code}, {n} * i + {j}) & 1, i))"
+                for j in range(n)
+            )
+            return f"struct({comps})"
+
+        return morton_dec_fmt
+    if name == "hilbertEncode":
+        # 2-D Hilbert index via the lazily registered UDF (per-level
+        # state machine; doc value hilbertEncode(3, 4) = 31); 1-arg
+        # form is the identity, like CH
+        def hilbert_fmt(a: Args) -> str:
+            if len(a) == 1:
+                return f"CAST({a[0]} AS BIGINT)"
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    "hilbertEncode supports 1 or 2 arguments (CH's "
+                    "hilbert curve is 2-D)"
+                )
+            return (
+                f"ch_hilbert_encode2(CAST({a[0]} AS BIGINT), "
+                f"CAST({a[1]} AS BIGINT))"
+            )
+
+        return hilbert_fmt
+    if name == "hilbertDecode":
+        def hilbert_dec_fmt(a: Args) -> str:
+            try:
+                n = int(a[0].strip())
+            except ValueError:
+                raise UntranslatableFunctionError(
+                    "hilbertDecode: the tuple size must be an integer "
+                    "literal"
+                )
+            code = f"CAST({a[1]} AS BIGINT)"
+            if n == 1:
+                return f"struct({code})"
+            if n != 2:
+                raise UntranslatableFunctionError(
+                    "hilbertDecode supports tuple sizes 1 and 2"
+                )
+            e = f"ch_hilbert_decode2({code})"
+            return (
+                f"struct(element_at({e}, 1), element_at({e}, 2))"
+            )
+
+        return hilbert_dec_fmt
+    if name == "geohashEncode":
+        # (longitude, latitude[, precision]); precision 0/absent -> 12
+        def geohash_enc_fmt(a: Args) -> str:
+            prec = a[2] if len(a) > 2 else "0"
+            return (
+                f"ch_geohash_encode(CAST({a[0]} AS DOUBLE), "
+                f"CAST({a[1]} AS DOUBLE), CAST({prec} AS INT))"
+            )
+
+        return geohash_enc_fmt
+    if name == "geohashDecode":
+        def geohash_dec_fmt(a: Args) -> str:
+            e = f"ch_geohash_decode({a[0]})"
+            return f"struct(element_at({e}, 1), element_at({e}, 2))"
+
+        return geohash_dec_fmt
+    if name == "jumpConsistentHash":
+        return lambda a: (
+            f"ch_jump_hash(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT))"
+        )
     if name == "UUIDStringToNum":
         return lambda a: f"unhex(replace({a[0]}, '-', ''))"
     if name == "UUIDNumToString":
@@ -4161,6 +4299,39 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return ali_fmt
+    if name == "arrayIntersect":
+        # CH is n-ary; Spark's array_intersect is binary — fold.
+        # Single-array form returns the distinct elements (the
+        # intersection of one set with itself).
+        def arr_intersect_fmt(a: Args) -> str:
+            if len(a) == 1:
+                return f"array_distinct({a[0]})"
+            out = a[0]
+            for nxt in a[1:]:
+                out = f"array_intersect({out}, {nxt})"
+            return out
+
+        return arr_intersect_fmt
+    if name in ("arrayMin", "arrayMax"):
+        # optional-lambda forms: arrayMin(f, arr) = min over f(x)
+        fn = "array_min" if name == "arrayMin" else "array_max"
+
+        def arr_minmax_fmt(a: Args, _fn=fn) -> str:
+            if len(a) == 2:
+                return f"{_fn}(transform({a[1]}, {a[0]}))"
+            return f"{_fn}({a[0]})"
+
+        return arr_minmax_fmt
+    if name in ("jaroSimilarity", "jaroWinklerSimilarity",
+                "damerauLevenshteinDistance"):
+        # lazily-registered UDFs delegating to the same
+        # functions/text_distance kernels as the DataFrame API
+        udf = {
+            "jaroSimilarity": "ch_jaro",
+            "jaroWinklerSimilarity": "ch_jaro_winkler",
+            "damerauLevenshteinDistance": "ch_damerau_lev",
+        }[name]
+        return lambda a, _u=udf: f"{_u}({a[0]}, {a[1]})"
     if name == "arrayAUC":
         # Mann-Whitney AUC with average tie ranks — a lazily-registered
         # Arrow-batched UDF (works on array literals AND columns; the

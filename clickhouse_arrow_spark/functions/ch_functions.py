@@ -650,6 +650,10 @@ def _py_udf_inventory():
         return inner
 
     return {
+        "ch_erf": (_num(math.erf), "double"),
+        "ch_erfc": (_num(math.erfc), "double"),
+        "ch_geohash_decode": (_geohash_decode_py, "array<double>"),
+        "ch_hilbert_decode2": (_hilbert_decode2_py, "array<bigint>"),
         "ch_base58_encode": (_s(_base58_encode_py), "string"),
         "ch_base58_decode": (_s(_base58_decode_py), "string"),
         "ch_base58_decode_strict": (
@@ -680,7 +684,167 @@ def _py_udf_inventory_multi():
         "ch_array_levenshtein": (_array_levenshtein, "bigint", 2),
         "ch_series_tukey": (_series_tukey, "array<double>", 4),
         "ch_array_auc": (_array_auc, "double", 2),
+        "ch_jaro": (_pair(_td()._jaro_py), "double", 2),
+        "ch_jaro_winkler": (_pair(_td()._jw_py), "double", 2),
+        "ch_damerau_lev": (_pair(_td()._dl_py), "bigint", 2),
+        "ch_jump_hash": (_jump_hash_py, "int", 2),
+        "ch_hilbert_encode2": (_hilbert_encode2_py, "bigint", 2),
+        "ch_geohash_encode": (_geohash_encode_py, "string", 3),
     }
+
+
+def _td():
+    """The text_distance kernels are the single source of truth for
+    the string metrics (true Damerau-Levenshtein, oracle-pinned Jaro);
+    the SQL-name UDFs delegate instead of re-deriving them."""
+    from clickhouse_arrow_spark.functions import text_distance
+
+    return text_distance
+
+
+def _pair(fn):
+    return lambda a, b: None if a is None or b is None else fn(a, b)
+
+
+def _jump_hash_py(key, buckets):
+    """Jump consistent hash (Lamping & Veach 2014), the exact loop CH
+    runs: 64-bit LCG step, bucket via the 2^31 double trick. Doc value
+    jumpConsistentHash(256, 4) = 3 pins the arithmetic."""
+    if key is None or buckets is None:
+        return None
+    key = int(key) & 0xFFFFFFFFFFFFFFFF
+    n = int(buckets)
+    b, j = -1, 0
+    while j < n:
+        b = j
+        key = (key * 2862933555777941757 + 1) & 0xFFFFFFFFFFFFFFFF
+        j = int((b + 1) * ((1 << 31) / ((key >> 33) + 1)))
+    return b
+
+
+def _hilbert_encode2_py(x, y):
+    """2-D Hilbert index, 32 bits per coordinate. CH's curve is the
+    standard one with the coordinate roles swapped — the doc value
+    hilbertEncode(3, 4) = 31 equals xy2d(x=4, y=3) in the classic
+    Wikipedia formulation; encode/decode here are exact mutual
+    inverses under that orientation."""
+    if x is None or y is None:
+        return None
+    # CH orientation: first arg is the 'y' of the classic algorithm
+    cx, cy = int(y), int(x)
+    d = 0
+    s = 1 << 31
+    while s > 0:
+        rx = 1 if (cx & s) > 0 else 0
+        ry = 1 if (cy & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                cx = s - 1 - cx
+                cy = s - 1 - cy
+            cx, cy = cy, cx
+        s >>= 1
+    return d
+
+
+def _hilbert_decode2_py(d):
+    """Inverse of _hilbert_encode2_py: returns [first, second] in CH
+    argument order (hilbertDecode(2, 31) = (3, 4))."""
+    if d is None:
+        return None
+    t = int(d)
+    cx = cy = 0
+    s = 1
+    while s < (1 << 32):
+        rx = 1 & (t // 2)
+        ry = 1 & (t ^ rx)
+        if ry == 0:
+            if rx == 1:
+                cx = s - 1 - cx
+                cy = s - 1 - cy
+            cx, cy = cy, cx
+        cx += s * rx
+        cy += s * ry
+        t //= 4
+        s *= 2
+    return [cy, cx]
+
+
+_GEOHASH32 = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_encode_py(lon, lat, precision):
+    """Geohash (Niemeyer 2008) of (longitude, latitude). CH's
+    geohashEncode: precision 0 or out of [1,12] means 12; ties at an
+    interval midpoint go to the upper half (doc value
+    geohashEncode(-5.60302734375, 42.593994140625, 0) =
+    'ezs42d000000')."""
+    if lon is None or lat is None:
+        return None
+    p = int(precision) if precision is not None else 12
+    if p < 1 or p > 12:
+        p = 12
+    lon_lo, lon_hi = -180.0, 180.0
+    lat_lo, lat_hi = -90.0, 90.0
+    out = []
+    even = True
+    acc = 0
+    bits = 0
+    while len(out) < p:
+        if even:
+            mid = (lon_lo + lon_hi) / 2
+            if lon >= mid:
+                acc = (acc << 1) | 1
+                lon_lo = mid
+            else:
+                acc <<= 1
+                lon_hi = mid
+        else:
+            mid = (lat_lo + lat_hi) / 2
+            if lat >= mid:
+                acc = (acc << 1) | 1
+                lat_lo = mid
+            else:
+                acc <<= 1
+                lat_hi = mid
+        even = not even
+        bits += 1
+        if bits == 5:
+            out.append(_GEOHASH32[acc])
+            acc = 0
+            bits = 0
+    return "".join(out)
+
+
+def _geohash_decode_py(s):
+    """Inverse of _geohash_encode_py: cell-center [longitude,
+    latitude] (geohashDecode('ezs42') = (-5.60302734375,
+    42.60498046875)). Invalid characters decode as 0 bits, like CH's
+    tolerant reader."""
+    if s is None:
+        return None
+    lon_lo, lon_hi = -180.0, 180.0
+    lat_lo, lat_hi = -90.0, 90.0
+    even = True
+    for ch in s:
+        cd = _GEOHASH32.find(ch)
+        if cd < 0:
+            cd = 0
+        for mask in (16, 8, 4, 2, 1):
+            if even:
+                mid = (lon_lo + lon_hi) / 2
+                if cd & mask:
+                    lon_lo = mid
+                else:
+                    lon_hi = mid
+            else:
+                mid = (lat_lo + lat_hi) / 2
+                if cd & mask:
+                    lat_lo = mid
+                else:
+                    lat_hi = mid
+            even = not even
+    return [(lon_lo + lon_hi) / 2, (lat_lo + lat_hi) / 2]
 
 
 def _array_auc(scores, labels):

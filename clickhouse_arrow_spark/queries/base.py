@@ -106,7 +106,9 @@ _GATE_ALIASES: dict[str, str] = {
         "text_substring_dedup",
         "util_sweep_wave22",
         "util_sweep_wave23",
-        "util_sweep_wave16",
+        # round-8 rotation #2: wave16 out (judge-verified since round
+        # 6; see ROTATION.md), wave26 in
+        "util_sweep_wave26",
         "util_sweep_wave18",
         "util_sweep_wave19",
         "util_sweep_wave20",

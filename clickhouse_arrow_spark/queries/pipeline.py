@@ -2922,7 +2922,7 @@ def q_util_with_fill_interp(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(0.384615 AS DOUBLE) AS ng,
            CAST(0.8427 AS DOUBLE) AS e1,
            CAST(0.4795 AS DOUBLE) AS e2,
-           '1 day, 1 hour, 1 minute, 1 second' AS frtd,
+           '1 day, 1 hour, 1 minute and 1 second' AS frtd,
            CAST(3 AS BIGINT) AS larr,
            '•••é' AS pad,
            CAST(6 AS BIGINT) AS vsum
@@ -5000,6 +5000,67 @@ def q_util_sweep_wave23(spark: SparkSession, sf_dir: str) -> DataFrame:
         "byteSlice('Hello', 2, 3) AS bs, "
         "parseTimeDelta('1h 30m') AS ptd, "
         "parseTimeDelta('250 ms') AS ptd_ms"
+    )
+
+
+@register(
+    "util_sweep_wave26",
+    """
+    SELECT CAST(0.833333 AS DOUBLE) AS jaro,
+           CAST(0.9 AS DOUBLE) AS jw,
+           CAST(6 AS BIGINT) AS dl,
+           CAST(3 AS BIGINT) AS jch,
+           CAST(31 AS BIGINT) AS he,
+           CAST(3 AS BIGINT) AS hd1,
+           CAST(53 AS BIGINT) AS me,
+           CAST(3 AS BIGINT) AS md3,
+           'ezs42d000000' AS ghe,
+           CAST(42.60498047 AS DOUBLE) AS ghd_lat,
+           '00001110' AS b14,
+           CAST(1 AS BIGINT) AS pm,
+           '3' AS ai,
+           CAST(-3 AS BIGINT) AS amin,
+           CAST(0.8427007929 AS DOUBLE) AS erf1,
+           '2 hours, 8 minutes and 10 seconds' AS frtd,
+           CAST(1 AS BIGINT) AS acn
+    """,
+    doc="Round-8 probe-sweep wave 26 (execution probe over "
+    "scripts/probe_wave26.py; exact literal oracle): string-"
+    "similarity graduation (jaro/jaroWinkler/true Damerau-"
+    "Levenshtein through the shared text_distance kernels), jump "
+    "consistent hash (Lamping-Veach), 2-D Hilbert + n-ary Morton "
+    "codecs with tuple decode, geohash encode/decode (doc values), "
+    "bin() byte-boundary padding, positiveModulo, n-ary "
+    "arrayIntersect, array lambda min, exact libm erf (the A&S "
+    "polynomial was off in the 7th digit), formatReadableTimeDelta "
+    "'and' joiner, and accurateCastOrNull target-range guards.",
+    tags=("dialect", "sweep", "wave26"),
+)
+def q_util_sweep_wave26(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT round(jaroSimilarity('clickhouse', 'click'), 6) "
+        "AS jaro, "
+        "round(jaroWinklerSimilarity('clickhouse', 'click'), 6) AS jw, "
+        "CAST(damerauLevenshteinDistance('clickhouse', 'mouse') "
+        "AS Int64) AS dl, "
+        "CAST(jumpConsistentHash(256, 4) AS Int64) AS jch, "
+        "CAST(hilbertEncode(3, 4) AS Int64) AS he, "
+        "CAST(hilbertDecode(2, 31).1 AS Int64) AS hd1, "
+        "CAST(mortonEncode(1, 2, 3) AS Int64) AS me, "
+        "CAST(mortonDecode(3, 53).3 AS Int64) AS md3, "
+        "geohashEncode(-5.60302734375, 42.593994140625, 0) AS ghe, "
+        "round(geohashDecode('ezs42').2, 8) AS ghd_lat, "
+        "bin(14) AS b14, "
+        "CAST(positiveModulo(-5, 3) AS Int64) AS pm, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayIntersect([1,2,3], [2,3,4], [3,4,5])), ',') AS ai, "
+        "CAST(arrayMin(x -> -x, [1, 2, 3]) AS Int64) AS amin, "
+        "round(erf(1.0), 10) AS erf1, "
+        "formatReadableTimeDelta(7690) AS frtd, "
+        "CAST(IF(accurateCastOrNull(-1, 'UInt8') IS NULL, 1, 0) "
+        "AS Int64) AS acn"
     )
 
 

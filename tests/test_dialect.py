@@ -626,8 +626,8 @@ def test_sample_executes(client):
             "SELECT d + make_ym_interval(0, n)",
         ),
         (
-            "SELECT accurateCast(x, 'Int64')",
-            "SELECT CAST(x AS bigint)",
+            "SELECT accurateCast(x, 'String')",
+            "SELECT CAST(x AS string)",
         ),
         (
             "SELECT splitByString('::', s)",
@@ -862,13 +862,13 @@ def test_output_tail_clauses():
         t("SELECT a FROM t ORDER BY a WITH FILL FROM 1 TO 9")
 
 
-def test_numeric_buckets_and_special_functions(spark):
-    """round-4 scalar batch executes with correct values."""
+def test_numeric_buckets_and_special_functions(spark, client):
+    """round-4 scalar batch executes with correct values. Runs through
+    the client (not bare spark.sql) since wave 26 made erf a lazily
+    registered exact UDF."""
     import math
 
-    from clickhouse_arrow_spark.dialect import translate_ch_sql as t
-
-    sql = t(
+    sql = (
         "SELECT toLastDayOfMonth(DATE '2024-02-10') AS ldom, "
         "intExp2(10) AS e2, roundToExp2(100) AS r2, roundToExp2(0) AS r0, "
         "roundDuration(250) AS rd, roundAge(30) AS ra, roundAge(5) AS ra17, "
@@ -881,7 +881,7 @@ def test_numeric_buckets_and_special_functions(spark):
         "format('{1}-{0}', 'a', 'b') AS fmt_pos, "
         "substringUTF8('hello', 2, 3) AS sub"
     )
-    r = spark.sql(sql).first()
+    r = client.query_ch(sql).first()
     assert str(r["ldom"]) == "2024-02-29"
     assert r["e2"] == 1024 and r["r2"] == 64 and r["r0"] == 0
     assert r["rd"] == 240  # largest duration bucket <= 250
@@ -1102,7 +1102,6 @@ def test_third_wave_refusals():
 
     for fn, hint in [
         ("wordShingleSimHash('x')", "simhash"),
-        ("hilbertEncode(1, 2)", "zorder"),
         # mapApply/untuple graduated from refusals to real translations
         # in round 5 (see test_sweep_wave2_*); the lambda-shape guard
         # still refuses non-tuple-returning mapApply lambdas:
@@ -1124,6 +1123,10 @@ def test_third_wave_refusals():
         "SELECT base58Encode('x')"
     )
     assert "ch_lgamma" in translate_ch_sql("SELECT lgamma(2.0)")
+    # hilbertEncode graduated in round 8 (wave 26)
+    assert "ch_hilbert_encode2" in translate_ch_sql(
+        "SELECT hilbertEncode(1, 2)"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1416,8 +1419,14 @@ def test_cast_ch_types():
 
 
 def test_accurate_cast_or_null():
+    # integer targets gain CH's range guard (wave 26): out-of-range
+    # values NULL instead of surviving into the wider Spark type
     out = translate_ch_sql("SELECT accurateCastOrNull(s, 'Int64') FROM t")
-    assert out == "SELECT TRY_CAST(s AS bigint) FROM t"
+    assert "TRY_CAST(s AS bigint)" in out
+    assert "BETWEEN -9223372036854775808 AND 9223372036854775807" in out
+    # non-integer targets stay a plain TRY_CAST
+    out = translate_ch_sql("SELECT accurateCastOrNull(s, 'Float64') FROM t")
+    assert out == "SELECT TRY_CAST(s AS double) FROM t"
 
 
 # ---------------------------------------------------------------------------
@@ -1758,7 +1767,9 @@ def test_summap_two_array_form(spark):
         "x", "x % 2 AS g"
     ).createOrReplaceTempView("rv_sm")
     [r] = c.query_ch("SELECT sumMap([g], [x]) AS sm FROM rv_sm").collect()
-    assert dict(r["sm"]) == {0: 12, 1: 9}
+    # CH's 2-arg sumMap returns Tuple(sorted keys, values)
+    assert list(r["sm"][0]) == [0, 1]
+    assert list(r["sm"][1]) == [12, 9]
 
 
 def test_limit_offset_by_window(spark):

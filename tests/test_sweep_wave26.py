@@ -1,0 +1,185 @@
+"""Probe-sweep wave 26 (execution probe over scripts/probe_wave26.py
+findings): string-similarity graduation (jaro / jaroWinkler / true
+Damerau-Levenshtein via the shared text_distance kernels), space-
+filling-curve + geohash codecs, jump consistent hash, exact erf/erfc,
+bin() type-width padding, accurateCast range guards, n-ary
+arrayIntersect, array lambda min/max/sum/avg, positiveModulo,
+formatReadableTimeDelta 'and' joiner, and the 2-arg sumMap tuple
+shape."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+
+def one(client, sql):
+    return client.query_ch(sql).collect()[0].r
+
+
+def test_string_similarity_doc_values(client):
+    # CH documentation examples (jaro to 1e-9: summation order differs
+    # in the last ulp across engines)
+    assert abs(one(client, "SELECT jaroSimilarity('clickhouse', "
+               "'click') AS r") - 0.8333333333333333) < 1e-9
+    assert abs(one(client, "SELECT jaroWinklerSimilarity('clickhouse',"
+               " 'click') AS r") - 0.9) < 1e-9
+    assert one(client, "SELECT damerauLevenshteinDistance("
+               "'clickhouse', 'mouse') AS r") == 6
+    # true-DL signature case: transposition + later reuse (OSA gives 3)
+    assert one(client, "SELECT damerauLevenshteinDistance('ca', "
+               "'abc') AS r") == 2
+
+
+def test_jump_consistent_hash(client):
+    assert one(client, "SELECT jumpConsistentHash(256, 4) AS r") == 3
+    # monotone stability property of the algorithm: growing the bucket
+    # count only ever moves keys INTO the new bucket
+    rows = client.query_ch(
+        "SELECT jumpConsistentHash(number * 2654435761, 7) AS a, "
+        "jumpConsistentHash(number * 2654435761, 8) AS b "
+        "FROM numbers(200)"
+    ).collect()
+    assert all(r.b == r.a or r.b == 7 for r in rows)
+
+
+def test_hilbert_and_morton_codecs(client):
+    assert one(client, "SELECT hilbertEncode(3, 4) AS r") == 31
+    r = client.query_ch(
+        "SELECT hilbertDecode(2, 31) AS r").collect()[0].r
+    assert (r[0], r[1]) == (3, 4)
+    assert one(client, "SELECT hilbertEncode(7) AS r") == 7
+    # encode/decode are exact mutual inverses over a grid
+    rows = client.query_ch(
+        "SELECT number % 17 AS x, number * 31 % 23 AS y, "
+        "hilbertDecode(2, hilbertEncode(number % 17, "
+        "number * 31 % 23)) AS d FROM numbers(100)"
+    ).collect()
+    assert all((r.d[0], r.d[1]) == (r.x, r.y) for r in rows)
+    assert one(client, "SELECT mortonEncode(1, 2, 3) AS r") == 53
+    d = client.query_ch("SELECT mortonDecode(3, 53) AS r").collect()[0].r
+    assert (d[0], d[1], d[2]) == (1, 2, 3)
+    rows = client.query_ch(
+        "SELECT number % 29 AS x, number * 7 % 31 AS y, "
+        "number % 11 AS z, mortonDecode(3, mortonEncode(number % 29, "
+        "number * 7 % 31, number % 11)) AS d FROM numbers(150)"
+    ).collect()
+    assert all(
+        (r.d[0], r.d[1], r.d[2]) == (r.x, r.y, r.z) for r in rows
+    )
+    with pytest.raises(UntranslatableFunctionError, match="1..8|1\\.\\.8"):
+        client.query_ch("SELECT mortonEncode(1,2,3,4,5,6,7,8,9)")
+
+
+def test_geohash_codecs(client):
+    # CH doc values; precision 0 means 12
+    assert one(client, "SELECT geohashEncode(-5.60302734375, "
+               "42.593994140625, 0) AS r") == "ezs42d000000"
+    assert one(client, "SELECT geohashEncode(-5.60302734375, "
+               "42.593994140625, 5) AS r") == "ezs42"
+    r = client.query_ch(
+        "SELECT geohashDecode('ezs42') AS r").collect()[0].r
+    assert abs(r[0] - (-5.60302734375)) < 1e-12
+    assert abs(r[1] - 42.60498046875) < 1e-12
+
+
+def test_geohash_sql_matches_column_api(spark, client):
+    # the SQL-name UDF and the pure-JVM Column implementation must
+    # agree cell-for-cell
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.functions.ch_functions import (
+        geohash_encode,
+    )
+
+    df = (
+        spark.range(50)
+        .selectExpr(
+            "CAST(id * 7.13 - 170 AS DOUBLE) AS lon",
+            "CAST(id * 3.41 - 85 AS DOUBLE) AS lat",
+        )
+        .withColumn("jvm", geohash_encode("lon", "lat", 7))
+    )
+    df.createOrReplaceTempView("gh_grid")
+    rows = client.query_ch(
+        "SELECT jvm, geohashEncode(lon, lat, 7) AS sql_form "
+        "FROM gh_grid"
+    ).collect()
+    assert rows and all(r.jvm == r.sql_form for r in rows)
+
+
+def test_exact_erf(client):
+    assert one(client, "SELECT erf(1.0) AS r") == math.erf(1.0)
+    assert one(client, "SELECT erfc(1.0) AS r") == math.erfc(1.0)
+    assert one(client, "SELECT erf(-2.5) AS r") == math.erf(-2.5)
+
+
+def test_bin_pads_to_byte_boundary(client):
+    assert one(client, "SELECT bin(14) AS r") == "00001110"
+    assert one(client, "SELECT bin(1) AS r") == "00000001"
+    assert one(client, "SELECT bin(300) AS r") == "0000000100101100"
+    # unbin returns a STRING of the decoded bytes, like CH
+    assert one(client, "SELECT unbin('00001110') AS r") == "\x0e"
+
+
+def test_positive_modulo(client):
+    assert one(client, "SELECT positiveModulo(-5, 3) AS r") == 1
+    assert one(client, "SELECT positiveModulo(5, 3) AS r") == 2
+    assert one(client, "SELECT pmod(-5, 3) AS r") == 1
+
+
+def test_accurate_cast_range_guards(client):
+    assert one(client, "SELECT accurateCastOrNull(-1, 'UInt8') "
+               "AS r") is None
+    assert one(client, "SELECT accurateCastOrNull(255, 'UInt8') "
+               "AS r") == 255
+    assert one(client, "SELECT accurateCastOrNull(256, 'UInt8') "
+               "AS r") is None
+    assert one(client, "SELECT accurateCastOrNull(-129, 'Int8') "
+               "AS r") is None
+    assert one(client, "SELECT accurateCastOrNull('nope', 'Int64') "
+               "AS r") is None
+    # strict form raises AT ROW TIME (collect), not at plan time —
+    # surfaces as Spark's USER_RAISED_EXCEPTION
+    with pytest.raises(Exception, match="out of range"):
+        client.query_ch(
+            "SELECT accurateCast(x, 'UInt8') AS r "
+            "FROM (SELECT -1 AS x)"
+        ).collect()
+    # in-range strict casts still work
+    assert one(client, "SELECT accurateCast(200, 'UInt8') AS r") == 200
+
+
+def test_array_intersect_nary_and_lambda_minmax(client):
+    assert list(one(client, "SELECT arrayIntersect([1,2,3], [2,3,4], "
+                "[3,4,5]) AS r")) == [3]
+    assert one(client, "SELECT arrayMin(x -> -x, [1, 2, 3]) AS r") == -3
+    assert one(client, "SELECT arrayMax(x -> x * 2, [1, 2, 3]) "
+               "AS r") == 6
+    assert one(client, "SELECT arraySum(x -> x * x, [1, 2, 3]) "
+               "AS r") == 14.0
+    assert one(client, "SELECT arrayAvg(x -> x * 2, [1, 2, 3]) "
+               "AS r") == 4.0
+
+
+def test_format_readable_time_delta_and_joiner(client):
+    assert one(client, "SELECT formatReadableTimeDelta(7690) AS r") \
+        == "2 hours, 8 minutes and 10 seconds"
+    assert one(client, "SELECT formatReadableTimeDelta(60) AS r") \
+        == "1 minute"
+    assert one(client, "SELECT formatReadableTimeDelta(0) AS r") \
+        == "0 seconds"
+
+
+def test_summap_two_arg_returns_sorted_tuple(spark, client):
+    spark.sql("SELECT explode(sequence(1,6)) AS x").selectExpr(
+        "x", "x % 2 AS g"
+    ).createOrReplaceTempView("rv_sm26")
+    [r] = client.query_ch(
+        "SELECT sumMap([g], [x]) AS sm FROM rv_sm26"
+    ).collect()
+    assert list(r.sm[0]) == [0, 1]
+    assert list(r.sm[1]) == [12, 9]

@@ -94,9 +94,9 @@ def test_format_readable_time_delta(ch):
                 "formatReadableTimeDelta(0) AS z, "
                 "formatReadableTimeDelta(90061) AS d, "
                 "formatReadableTimeDelta(1) AS s")
-    assert r["a"] == "2 hours, 7 minutes, 33 seconds"
+    assert r["a"] == "2 hours, 7 minutes and 33 seconds"
     assert r["z"] == "0 seconds"
-    assert r["d"] == "1 day, 1 hour, 1 minute, 1 second"
+    assert r["d"] == "1 day, 1 hour, 1 minute and 1 second"
     assert r["s"] == "1 second"
 
 

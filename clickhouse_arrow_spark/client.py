@@ -2569,7 +2569,7 @@ class Client:
         if re.search(
             r"ch_(base58|punycode|idna|lgamma|tgamma|stem|json_merge"
             r"|array_|series_|erf|jaro|damerau|jump_hash|hilbert"
-            r"|geohash)",
+            r"|geohash|t_sf)",
             sql,
         ):
             self._ensure_py_udfs()

@@ -172,8 +172,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "query_ch / use Client.Qid(); there is no server-side query context",
     "queryID": "query ids are client-side here: pass qid= to query_ch / "
     "use Client.Qid(); there is no server-side query context",
-    "welchTTest": "operators.stats.ttest(df, value, index, 'welch')",
-    "studentTTest": "operators.stats.ttest(df, value, index, 'student')",
     "formatRow": "row formatting is an OUTPUT concern here: write via "
     "df.write.csv/json, or to_csv(struct(*)) / to_json(struct(*)) for a "
     "single formatted column",
@@ -4322,6 +4320,52 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"{_fn}({a[0]})"
 
         return arr_minmax_fmt
+    if name in ("studentTTest", "welchTTest"):
+        # expression-level aggregate rewrite (wave 26 follow-up):
+        # conditional moments per index side, t and df in closed form,
+        # EXACT two-sided p via the regularized-incomplete-beta UDF
+        # (ch_t_sf) — the CDF ClickHouse evaluates, not the
+        # large-sample normal approximation. Catalyst dedups the
+        # repeated conditional aggregates.
+        def ttest_fmt(a: Args, _welch=(name == "welchTTest"),
+                      _name=name) -> str:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    f"{_name}(sample_data, sample_index); the "
+                    "confidence-interval parametric form is the "
+                    "DataFrame operator operators.stats.ttest"
+                )
+            v = f"CAST({a[0]} AS DOUBLE)"
+            g = a[1]
+            n0 = f"CAST(count(CASE WHEN ({g}) = 0 THEN 1 END) AS DOUBLE)"
+            n1 = f"CAST(count(CASE WHEN ({g}) <> 0 THEN 1 END) AS DOUBLE)"
+            m0 = f"avg(CASE WHEN ({g}) = 0 THEN {v} END)"
+            m1 = f"avg(CASE WHEN ({g}) <> 0 THEN {v} END)"
+            v0 = f"var_samp(CASE WHEN ({g}) = 0 THEN {v} END)"
+            v1 = f"var_samp(CASE WHEN ({g}) <> 0 THEN {v} END)"
+            if _welch:
+                se = f"({v0} / {n0} + {v1} / {n1})"
+                t = f"(({m0} - {m1}) / sqrt({se}))"
+                dof = (
+                    f"({se} * {se} / "
+                    f"(({v0} / {n0}) * ({v0} / {n0}) / ({n0} - 1) + "
+                    f"({v1} / {n1}) * ({v1} / {n1}) / ({n1} - 1)))"
+                )
+            else:
+                dof = f"({n0} + {n1} - 2)"
+                sp = (
+                    f"((({n0} - 1) * {v0} + ({n1} - 1) * {v1}) / {dof})"
+                )
+                t = (
+                    f"(({m0} - {m1}) / "
+                    f"sqrt({sp} * (1.0 / {n0} + 1.0 / {n1})))"
+                )
+            return (
+                f"named_struct('t_statistic', {t}, "
+                f"'p_value', ch_t_sf({t}, {dof}))"
+            )
+
+        return ttest_fmt
     if name in ("jaroSimilarity", "jaroWinklerSimilarity",
                 "damerauLevenshteinDistance"):
         # lazily-registered UDFs delegating to the same

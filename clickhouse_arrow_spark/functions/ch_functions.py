@@ -688,6 +688,7 @@ def _py_udf_inventory_multi():
         "ch_jaro_winkler": (_pair(_td()._jw_py), "double", 2),
         "ch_damerau_lev": (_pair(_td()._dl_py), "bigint", 2),
         "ch_jump_hash": (_jump_hash_py, "int", 2),
+        "ch_t_sf": (_t_sf_py, "double", 2),
         "ch_hilbert_encode2": (_hilbert_encode2_py, "bigint", 2),
         "ch_geohash_encode": (_geohash_encode_py, "string", 3),
     }
@@ -704,6 +705,75 @@ def _td():
 
 def _pair(fn):
     return lambda a, b: None if a is None or b is None else fn(a, b)
+
+
+def _betacf(a: float, b: float, x: float) -> float:
+    """Continued fraction for the regularized incomplete beta
+    (modified Lentz's method — the published Numerical Recipes
+    formulation, implemented from the recurrence)."""
+    MAXIT, EPS, FPMIN = 300, 3e-14, 1e-300
+    qab, qap, qam = a + b, a + 1.0, a - 1.0
+    c = 1.0
+    d = 1.0 - qab * x / qap
+    if abs(d) < FPMIN:
+        d = FPMIN
+    d = 1.0 / d
+    h = d
+    for m in range(1, MAXIT + 1):
+        m2 = 2 * m
+        aa = m * (b - m) * x / ((qam + m2) * (a + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        h *= d * c
+        aa = -(a + m) * (qab + m) * x / ((a + m2) * (qap + m2))
+        d = 1.0 + aa * d
+        if abs(d) < FPMIN:
+            d = FPMIN
+        c = 1.0 + aa / c
+        if abs(c) < FPMIN:
+            c = FPMIN
+        d = 1.0 / d
+        delta = d * c
+        h *= delta
+        if abs(delta - 1.0) < EPS:
+            break
+    return h
+
+
+def _betai(a: float, b: float, x: float) -> float:
+    """Regularized incomplete beta I_x(a, b)."""
+    import math
+
+    if x <= 0.0:
+        return 0.0
+    if x >= 1.0:
+        return 1.0
+    ln_bt = (
+        math.lgamma(a + b) - math.lgamma(a) - math.lgamma(b)
+        + a * math.log(x) + b * math.log(1.0 - x)
+    )
+    bt = math.exp(ln_bt)
+    if x < (a + 1.0) / (a + b + 2.0):
+        return bt * _betacf(a, b, x) / a
+    return 1.0 - bt * _betacf(b, a, 1.0 - x) / b
+
+
+def _t_sf_py(t, df):
+    """Two-sided Student-t p-value: P(|T_df| >= |t|) =
+    I_{df/(df+t^2)}(df/2, 1/2) — the exact CDF identity, not the
+    large-sample normal approximation."""
+    if t is None or df is None:
+        return None
+    t = float(t)
+    df = float(df)
+    if df <= 0:
+        return None
+    return _betai(df / 2.0, 0.5, df / (df + t * t))
 
 
 def _jump_hash_py(key, buckets):

@@ -87,6 +87,7 @@ def ttest(
     value_col: str,
     index_col: Column,
     kind: str = "welch",
+    p_mode: str = "normal",
 ) -> DataFrame:
     """ClickHouse `welchTTest(value, index)` / `studentTTest(value,
     index)`: two-sample t-test between the index=0 and index=1 samples.
@@ -97,9 +98,16 @@ def ttest(
     module docstring).
 
     `kind`: "welch" (unequal variance) or "student" (pooled variance).
+    `p_mode`: "normal" keeps the documented large-sample approximation
+    (SQL-oracle-reproducible, the corpus-gate shape); "exact" evaluates
+    the true Student-t CDF via the regularized incomplete beta — what
+    ClickHouse computes, and what the SQL dialect's studentTTest /
+    welchTTest emit.
     """
     if kind not in ("welch", "student"):
         raise ValueError(f"kind must be welch|student, got {kind!r}")
+    if p_mode not in ("normal", "exact"):
+        raise ValueError(f"p_mode must be normal|exact, got {p_mode!r}")
     side = F.when(index_col, F.lit(1)).otherwise(F.lit(0))
     g = (
         df.select(F.col(value_col).cast("double").alias("v"), side.alias("s"))
@@ -132,11 +140,37 @@ def ttest(
         pooled = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
         t = diff / F.sqrt(pooled * (F.lit(1.0) / n0 + F.lit(1.0) / n1))
         dof = (n0 + n1 - 2).cast("double")
-    p = F.lit(2.0) * norm_sf(F.abs(t))
+    if p_mode == "exact":
+        p = _t_sf_col(t, dof)
+    else:
+        p = F.lit(2.0) * norm_sf(F.abs(t))
     return stats.select(
         F.round(t, 6).alias("t_stat"),
         F.round(dof, 4).alias("deg_freedom"),
         F.round(p, 6).alias("p_value"),
+    )
+
+
+def _t_sf_col(t: Column, dof: Column) -> Column:
+    """Exact two-sided Student-t p-value as a Column (regularized
+    incomplete beta via ch_functions._t_sf_py, Arrow-batched). Replaced
+    the large-df normal approximation in round 8 — CH evaluates the
+    exact CDF."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from clickhouse_arrow_spark.functions.ch_functions import _t_sf_py
+
+    # no type hints: stringified annotations (PEP 563 in this module)
+    # defeat pandas_udf's hint inference — the explicit returnType is
+    # authoritative
+    def _sf(ts, dfs):
+        return pd.Series(
+            [_t_sf_py(a, b) for a, b in zip(ts, dfs)]
+        )
+
+    return pandas_udf(_sf, "double")(
+        t.cast("double"), dof.cast("double")
     )
 
 

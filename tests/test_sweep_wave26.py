@@ -183,3 +183,68 @@ def test_summap_two_arg_returns_sorted_tuple(spark, client):
     ).collect()
     assert list(r.sm[0]) == [0, 1]
     assert list(r.sm[1]) == [12, 9]
+
+
+def _t_sf_numint(t, dof, n=200000, hi=60.0):
+    # independent oracle for the p-value: trapezoid integration of the
+    # Student-t pdf tail (no reuse of the betainc implementation)
+    t = abs(float(t))
+    pdf = lambda x: (  # noqa: E731
+        math.gamma((dof + 1) / 2)
+        / (math.sqrt(dof * math.pi) * math.gamma(dof / 2))
+        * (1 + x * x / dof) ** (-(dof + 1) / 2)
+    )
+    h = (hi - t) / n
+    s = 0.5 * (pdf(t) + pdf(hi))
+    for i in range(1, n):
+        s += pdf(t + i * h)
+    return 2 * s * h
+
+
+def test_student_welch_ttest_sql_graduation(spark, client):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    x = rng.normal(0.0, 1.0, 80)
+    y = rng.normal(0.5, 1.4, 60)
+    rows = [(float(v), 0) for v in x] + [(float(v), 1) for v in y]
+    spark.createDataFrame(rows, "v double, g int") \
+        .createOrReplaceTempView("tt26")
+
+    [r] = client.query_ch(
+        "SELECT studentTTest(v, g) AS s, welchTTest(v, g) AS w "
+        "FROM tt26"
+    ).collect()
+    n0, n1 = len(x), len(y)
+    v0, v1 = x.var(ddof=1), y.var(ddof=1)
+    # student: pooled variance, df = n0+n1-2
+    sp = ((n0 - 1) * v0 + (n1 - 1) * v1) / (n0 + n1 - 2)
+    t_s = (x.mean() - y.mean()) / math.sqrt(sp * (1 / n0 + 1 / n1))
+    assert abs(r.s.t_statistic - t_s) < 1e-9
+    assert abs(r.s.p_value - _t_sf_numint(t_s, n0 + n1 - 2)) < 1e-6
+    # welch: unpooled, Welch-Satterthwaite df
+    se = v0 / n0 + v1 / n1
+    t_w = (x.mean() - y.mean()) / math.sqrt(se)
+    dof_w = se * se / (
+        (v0 / n0) ** 2 / (n0 - 1) + (v1 / n1) ** 2 / (n1 - 1)
+    )
+    assert abs(r.w.t_statistic - t_w) < 1e-9
+    assert abs(r.w.p_value - _t_sf_numint(t_w, dof_w)) < 1e-6
+
+
+def test_ttest_operator_exact_p_mode(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.operators.stats import ttest
+
+    rng = np.random.default_rng(3)
+    x = rng.normal(0.0, 1.0, 50)
+    y = rng.normal(0.4, 1.0, 50)
+    rows = [(float(v), 0) for v in x] + [(float(v), 1) for v in y]
+    df = spark.createDataFrame(rows, "v double, g int")
+    r = ttest(df, "v", F.col("g") == 1, "student", p_mode="exact").first()
+    v0, v1 = x.var(ddof=1), y.var(ddof=1)
+    sp = (49 * v0 + 49 * v1) / 98
+    t = (x.mean() - y.mean()) / math.sqrt(sp * (2 / 50))
+    assert r["p_value"] == round(_t_sf_numint(t, 98), 6)

@@ -6698,7 +6698,80 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
             out.append(expr)
     # restore Spark-native range() TVFs planted by the numbers() rewrite
     # (the walk would have mistaken `range(` for CH's array range())
-    return "".join(out).replace("__cas_range__(", "range(")
+    final = "".join(out).replace("__cas_range__(", "range(")
+    return _fix_named_struct_positional(final)
+
+
+_NS_COL_RE = re.compile(r"\)\.col(\d+)\b")
+
+
+def _fix_named_struct_positional(sql: str) -> str:
+    """CH positional tuple access on a NAMED tuple: the `.N` rewrite
+    emits `.colN` (struct()'s field names), but formatters that return
+    `named_struct('t_statistic', ..., 'p_value', ...)` — ttest,
+    proportionsZTest, sumCount — have real field names, so `.colN`
+    fails with FIELD_NOT_FOUND. Post-pass: where `.colN` directly
+    follows a named_struct(...) call, replace it with the N-th field's
+    actual name."""
+    while True:
+        mask = _scan_mask(sql)
+        changed = False
+        for m in _NS_COL_RE.finditer(sql):
+            if mask[m.start()][1]:
+                continue
+            close = m.start()
+            depth = 0
+            open_idx = -1
+            for k in range(close, -1, -1):
+                if mask[k][1]:
+                    continue
+                if sql[k] == ")":
+                    depth += 1
+                elif sql[k] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        open_idx = k
+                        break
+            if open_idx <= 0:
+                continue
+            h_end = open_idx
+            h_start = h_end
+            while h_start > 0 and (
+                sql[h_start - 1].isalnum() or sql[h_start - 1] == "_"
+            ):
+                h_start -= 1
+            if sql[h_start:h_end] != "named_struct":
+                continue
+            # depth-1 split of the args; even positions are the quoted
+            # field names
+            inner = sql[open_idx + 1 : close]
+            imask = _scan_mask(inner)
+            parts, d, last = [], 0, 0
+            for i2, ch in enumerate(inner):
+                if imask[i2][1]:
+                    continue
+                if ch in "([":
+                    d += 1
+                elif ch in ")]":
+                    d -= 1
+                elif ch == "," and d == 0:
+                    parts.append(inner[last:i2])
+                    last = i2 + 1
+            parts.append(inner[last:])
+            idx = int(m.group(1))
+            name_pos = 2 * (idx - 1)
+            if name_pos >= len(parts):
+                continue
+            fname = parts[name_pos].strip()
+            if not (fname.startswith("'") and fname.endswith("'")):
+                continue
+            sql = (
+                f"{sql[: m.start()]}).{fname[1:-1]}{sql[m.end():]}"
+            )
+            changed = True
+            break
+        if not changed:
+            return sql
 
 
 # -- ORDER BY ... WITH FILL extraction (executed by Client.query_ch via

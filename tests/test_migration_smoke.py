@@ -769,6 +769,102 @@ QUERIES = [
     ("SELECT seriesPeriodDetectFFT(arrayMap(i -> toFloat64(i % 4), "
      "range(16))) AS per FROM numbers(1)",
      (1, 1)),
+    # ---- round-8 wave-26 composition rows (200-battery) ----
+    # fuzzy nation-name match: jaro-winkler as a similarity filter
+    ("SELECT n_name, jaroWinklerSimilarity(lower(n_name), 'nation_1') "
+     "AS sim FROM nation WHERE jaroWinklerSimilarity(lower(n_name), "
+     "'nation_1') > 0.9 ORDER BY sim DESC, n_name",
+     (1, 25)),
+    # true-DL distance as a near-duplicate HAVING guard
+    ("SELECT c_mktsegment, count() AS n FROM customer "
+     "GROUP BY c_mktsegment "
+     "HAVING damerauLevenshteinDistance(c_mktsegment, c_mktsegment) = 0 "
+     "ORDER BY n DESC LIMIT 5",
+     (1, 5)),
+    # consistent-hash shard routing: every key lands in [0, 8)
+    ("SELECT countIf(jumpConsistentHash(toUInt64(o_custkey), 8) "
+     "BETWEEN 0 AND 7) AS ok, count() AS n FROM orders",
+     (1, 1)),
+    # shard stability: 8 -> 9 buckets only moves keys into bucket 8
+    ("SELECT count() AS moved_wrong FROM orders "
+     "WHERE jumpConsistentHash(toUInt64(o_custkey), 9) != "
+     "jumpConsistentHash(toUInt64(o_custkey), 8) "
+     "AND jumpConsistentHash(toUInt64(o_custkey), 9) != 8 "
+     "HAVING moved_wrong = 0",
+     (1, 1)),
+    # geohash round-trip over synthetic coordinates
+    ("SELECT count() AS n FROM (SELECT number, "
+     "geohashDecode(geohashEncode(number * 3.7 - 120, "
+     "number * 1.9 - 60, 9)) AS d FROM numbers(50)) "
+     "WHERE abs(d.1 - (number * 3.7 - 120)) < 0.001",
+     (1, 1)),
+    # z-order key: morton-encoded (custkey, month) ordering
+    ("SELECT o_orderkey, mortonEncode(toUInt32(o_custkey % 1024), "
+     "toUInt32(toMonth(o_orderdate))) AS zkey FROM orders "
+     "ORDER BY zkey LIMIT 10",
+     (1, 10)),
+    # hilbert locality key with decode round-trip check
+    ("SELECT count() AS n FROM (SELECT number % 50 AS x, "
+     "number % 37 AS y, hilbertDecode(2, hilbertEncode(number % 50, "
+     "number % 37)) AS d FROM numbers(100)) WHERE d.1 = x AND d.2 = y "
+     "HAVING n = 100",
+     (1, 1)),
+    # A/B significance read: welch t-test click vs view values
+    ("SELECT round(welchTTest(value, if(event_type = 'click', 1, 0))"
+     ".2, 4) AS p FROM events WHERE event_type IN ('click', 'view')",
+     (1, 1)),
+    # pooled t-test with the p-value consumed in a CASE
+    ("SELECT if(studentTTest(l_extendedprice, "
+     "if(l_returnflag = 'R', 1, 0)).2 < 0.5, 'maybe', 'no') AS sig "
+     "FROM lineitem",
+     (1, 1)),
+    # erf as a normal-tail score over standardized revenue
+    ("SELECT round(erf(abs(avg(o_totalprice) - 150000) / "
+     "(stddevPop(o_totalprice) + 1)), 6) AS tail FROM orders",
+     (1, 1)),
+    # ETL guard: range-checked ingestion cast, bad rows NULLed
+    ("SELECT countIf(accurateCastOrNull(l_linenumber * 100, 'UInt8') "
+     "IS NULL) AS oob, count() AS n FROM lineitem",
+     (1, 1)),
+    # bin/unbin round trip as a checksum column
+    ("SELECT countIf(unbin(bin(l_linenumber)) != '') AS ok "
+     "FROM lineitem LIMIT 1",
+     (1, 1)),
+    # multi-list intersection over grouped arrays
+    ("SELECT length(arrayIntersect(groupArray(o_orderpriority), "
+     "['1-URGENT', '2-HIGH'], ['1-URGENT'])) AS hits FROM orders",
+     (1, 1)),
+    # lambda aggregation over grouped values
+    ("SELECT o_orderstatus, arrayMin(x -> -x, "
+     "groupArray(toInt64(o_custkey))) AS neg_max FROM orders "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     (1, 3)),
+    # sumMap tuple consumption: values side via positional .2
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+     "sumMap([o_orderstatus], [1]).2), ',') AS counts FROM orders",
+     (1, 1)),
+    # positiveModulo bucketing (negative-safe)
+    ("SELECT positiveModulo(toInt64(o_custkey) - 100000, 7) AS b, "
+     "count() AS n FROM orders GROUP BY b ORDER BY b",
+     (1, 7)),
+    # ops report column: human-readable SLA age
+    ("SELECT formatReadableTimeDelta(dateDiff('second', "
+     "min(o_orderdate), max(o_orderdate))) AS span FROM orders",
+     (1, 1)),
+    # morton decode feeding GROUP BY
+    ("SELECT mortonDecode(2, mortonEncode(toUInt32(o_custkey % 16), "
+     "toUInt32(o_custkey % 8))).1 AS xb, count() AS n FROM orders "
+     "GROUP BY xb ORDER BY xb LIMIT 16",
+     (1, 16)),
+    # geohash cells as group keys over synthetic event coords
+    ("SELECT geohashEncode(user_id % 360 - 180.0, "
+     "user_id % 170 - 85.0, 4) AS cell, count() AS n FROM events "
+     "GROUP BY cell ORDER BY n DESC LIMIT 10",
+     (1, 10)),
+    # exact erfc in a two-sided outlier share estimate
+    ("SELECT round(erfc(2.0 / sqrt(2.0)), 8) AS two_sigma "
+     "FROM numbers(1)",
+     (1, 1)),
 ]
 
 

@@ -53,7 +53,8 @@ PROTECTED_DATABASES = frozenset({"default"})
 _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
     r"(numbers_mt|numbers|one|databases|tables|columns|query_log|"
-    r"functions|settings|parts|processes|metrics|events|merges)\b"
+    r"functions|settings|parts|processes|metrics|events|merges|"
+    r"dropped_tables|detached_tables)\b"
 )
 
 
@@ -2220,10 +2221,94 @@ class Client:
             df = self.spark.createDataFrame(
                 rows, "name string, value string, description string"
             )
+        elif name == "dropped_tables":
+            # one row per restorable trash-dir incarnation (the UNDROP
+            # inventory; CH's system.dropped_tables is the same view of
+            # store/ within database_atomic_delay_before_drop_table_sec)
+            df = self.spark.createDataFrame(
+                self._scan_ops_dirs(".dropped"),
+                "database string, table string, uuid string, "
+                "metadata_dropped_path string, "
+                "table_dropped_time timestamp",
+            )
+        elif name == "detached_tables":
+            # one row per DETACH TABLE snapshot awaiting ATTACH;
+            # is_permanently is uniformly false (PERMANENTLY only
+            # affects CH server restarts — a documented no-op here)
+            rows = [
+                (db, t, u, p)
+                for db, t, u, p, _ts in self._scan_ops_dirs(
+                    ".detached_tables"
+                )
+            ]
+            df = self.spark.createDataFrame(
+                [(db, t, u, p, False) for db, t, u, p in rows],
+                "database string, table string, uuid string, "
+                "metadata_path string, is_permanently boolean",
+            )
         else:  # pragma: no cover — regex and dispatch kept in sync
             raise QueryError(f"unhandled system table {name}")
         df.createOrReplaceTempView(view)
         return view
+
+    def _scan_ops_dirs(self, area: str):
+        """Inventory of `<dbloc>/<area>/` across every database: one
+        (database, table, uuid, path, ts) per snapshot directory.
+        Pointer files (`<name>.__ptr`) written for custom-LOCATION
+        tables are followed too; directories double-counted through a
+        pointer are deduped by path."""
+        import datetime
+
+        from clickhouse_arrow_spark.ddl import (
+            _database_location,
+            _read_fs_text,
+        )
+
+        jvm = self.spark.sparkContext._jvm
+        hpath = jvm.org.apache.hadoop.fs.Path
+        hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+        out = []
+        seen: set[str] = set()
+        for db in self.fetch_schemas():
+            try:
+                root = f"{_database_location(self.spark, db)}/{area}"
+                p = hpath(root)
+                fs = p.getFileSystem(hconf)
+                if not fs.exists(p):
+                    continue
+                for st in fs.listStatus(p):
+                    fname = st.getPath().getName()
+                    if fname.endswith(".__ptr"):
+                        tname = fname[: -len(".__ptr")]
+                        body = _read_fs_text(
+                            jvm, fs, st.getPath()
+                        ).strip().split("\n")
+                        path = body[0]
+                        ts = (
+                            int(body[1])
+                            if len(body) > 1 and body[1].isdigit()
+                            else st.getModificationTime() // 1000
+                        )
+                    elif st.isDirectory():
+                        path = str(st.getPath().toUri().getPath())
+                        tname = fname.split("__")[0]
+                        ts = st.getModificationTime() // 1000
+                    else:
+                        continue
+                    if path in seen:
+                        continue
+                    seen.add(path)
+                    base = path.rsplit("/", 1)[-1]
+                    uuid_part = (
+                        base.split("__", 1)[1] if "__" in base else ""
+                    )
+                    out.append((
+                        db, tname, uuid_part, path,
+                        datetime.datetime.fromtimestamp(ts),
+                    ))
+            except Exception:
+                continue
+        return out
 
     def _system_tables_df(self) -> DataFrame:
         rows = []

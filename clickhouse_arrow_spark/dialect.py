@@ -190,7 +190,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "toIPv6": "functions.ch_functions.to_ipv6(col) (Arrow-batched "
     "pandas UDF over Python's ipaddress)",
     "mannWhitneyUTest": "operators.stats.mann_whitney_u(df, value, index)",
-    "entropy": "operators.stats.entropy_agg(df, col)",
     "cramersV": "operators.stats.association(df, a, b)",
     "cramersVBiasCorrected": "operators.stats.association(df, a, b)",
     "theilsU": "operators.stats.association(df, a, b)",
@@ -4320,6 +4319,42 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"{_fn}({a[0]})"
 
         return arr_minmax_fmt
+    if name == "entropy":
+        # Shannon entropy (log2) of the value distribution, as one
+        # expression-level aggregate: sort the collected values, find
+        # run starts, difference them into per-value counts, fold
+        # H = -sum((c/n) * log2(c/n)). JVM-only, O(n log n) per group —
+        # the same per-group memory class as groupArray (CH's entropy
+        # also holds per-group state per distinct value). The algebraic
+        # form log2(n) - sum(c*log2 c)/n avoids re-walking counts.
+        def entropy_fmt(a: Args) -> str:
+            if len(a) != 1:
+                raise UntranslatableFunctionError(
+                    "entropy(x): the single-argument form is "
+                    "implemented (CH's multi-column form hashes the "
+                    "tuple; pass a tuple() explicitly)"
+                )
+            s = f"array_sort(collect_list({a[0]}))"
+            starts = (
+                f"filter(sequence(1, size({s})), __cas_i -> "
+                f"__cas_i = 1 OR element_at({s}, __cas_i) != "
+                f"element_at({s}, __cas_i - 1))"
+            )
+            counts = (
+                f"zip_with({starts}, concat(slice({starts}, 2, "
+                f"size({starts})), array(size({s}) + 1)), "
+                f"(__cas_a, __cas_b) -> CAST(__cas_b - __cas_a "
+                f"AS DOUBLE))"
+            )
+            n = f"CAST(size({s}) AS DOUBLE)"
+            return (
+                f"(CASE WHEN size({s}) > 0 THEN "
+                f"log2({n}) - aggregate({counts}, CAST(0 AS DOUBLE), "
+                f"(__cas_acc, __cas_c) -> __cas_acc "
+                f"+ __cas_c * log2(__cas_c)) / {n} END)"
+            )
+
+        return entropy_fmt
     if name in ("studentTTest", "welchTTest"):
         # expression-level aggregate rewrite (wave 26 follow-up):
         # conditional moments per index side, t and df in closed form,

@@ -17,6 +17,34 @@ _P2_SQL = "least(2.0 * " + stats.norm_sf_sql("z") + ", 1.0)"
 
 
 @register(
+    "agg_entropy",
+    """
+    SELECT o_orderpriority AS prio,
+           round(entropy(o_orderstatus), 6) AS h,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY o_orderpriority ORDER BY prio
+    """,
+    doc="ClickHouse entropy() aggregate, graduated to a full SQL "
+    "translation in round 8: Shannon entropy (log2) of the value "
+    "distribution as ONE expression-level aggregate (sorted "
+    "collect_list, run-length counts via start-index differencing, "
+    "algebraic fold log2(n) - sum(c*log2 c)/n). DuckDB's native "
+    "entropy() is the independent oracle (also base 2); rounded to "
+    "6dp against last-ulp summation-order drift.",
+    tags=("stats", "aggregate", "entropy", "dialect"),
+)
+def q_agg_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT o_orderpriority AS prio, "
+        "round(entropy(o_orderstatus), 6) AS h, "
+        "CAST(count(*) AS Int64) AS n "
+        "FROM orders GROUP BY o_orderpriority ORDER BY prio"
+    )
+
+
+@register(
     "stats_hypothesis_tests",
     f"""
     WITH ev AS (

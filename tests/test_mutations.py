@@ -566,3 +566,51 @@ def test_undrop_keeps_detached_partitions_attachable(client, spark):
     client.execute_ch("ALTER TABLE ddl8.dp ATTACH PARTITION 'eu'")
     assert {r.k for r in spark.table("ddl8.dp").collect()} == {1, 2}
     client.execute_ch("DROP TABLE ddl8.dp SYNC")
+
+
+def test_system_dropped_and_detached_tables(spark, client):
+    """Round 8: system.dropped_tables / system.detached_tables expose
+    the trash-dir and detach inventories the UNDROP/ATTACH machinery
+    maintains, and rows disappear on restore."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops8")
+    for t in ("ops8.sd", "ops8.sdet"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        "CREATE TABLE ops8.sd (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO ops8.sd VALUES (1), (2)")
+    client.execute_ch(
+        "CREATE TABLE ops8.sdet (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO ops8.sdet VALUES (7)")
+
+    client.execute_ch("DROP TABLE ops8.sd")
+    rows = client.query_ch(
+        "SELECT database, table, metadata_dropped_path "
+        "FROM system.dropped_tables WHERE database = 'ops8'"
+    ).collect()
+    assert any(r.table == "sd" for r in rows)
+    assert all(".dropped" in r.metadata_dropped_path for r in rows)
+
+    client.execute_ch("DETACH TABLE ops8.sdet")
+    det = client.query_ch(
+        "SELECT database, table, is_permanently "
+        "FROM system.detached_tables WHERE database = 'ops8'"
+    ).collect()
+    assert any(r.table == "sdet" and r.is_permanently is False
+               for r in det)
+
+    # restores empty both inventories for this db
+    client.execute_ch("UNDROP TABLE ops8.sd")
+    assert {r.k for r in spark.table("ops8.sd").collect()} == {1, 2}
+    client.execute_ch("ATTACH TABLE ops8.sdet")
+    assert spark.table("ops8.sdet").count() == 1
+    left = client.query_ch(
+        "SELECT table FROM system.dropped_tables "
+        "WHERE database = 'ops8' "
+        "UNION ALL SELECT table FROM system.detached_tables "
+        "WHERE database = 'ops8'"
+    ).collect()
+    assert left == []
+    for t in ("ops8.sd", "ops8.sdet"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -248,3 +248,27 @@ def test_ttest_operator_exact_p_mode(spark):
     sp = (49 * v0 + 49 * v1) / 98
     t = (x.mean() - y.mean()) / math.sqrt(sp * (2 / 50))
     assert r["p_value"] == round(_t_sf_numint(t, 98), 6)
+
+
+def test_entropy_sql_graduation(spark, client):
+    spark.sql("SELECT explode(array(1, 1, 2, 2)) AS x, 'a' AS g "
+              "UNION ALL SELECT explode(array(5, 5, 5, 7)) AS x, 'b' AS g"
+              ).createOrReplaceTempView("ent26")
+    rows = {r.g: r.h for r in client.query_ch(
+        "SELECT g, entropy(x) AS h FROM ent26 GROUP BY g"
+    ).collect()}
+    assert rows["a"] == 1.0
+    assert abs(rows["b"] - 0.8112781244591328) < 1e-12
+    # uniform distribution maxes at log2(k); constant column is 0
+    assert abs(one(client, "SELECT entropy(x) AS r FROM "
+               "(SELECT explode(array(1,2,3,4)) AS x)") - 2.0) < 1e-12
+    assert one(client, "SELECT entropy(x) AS r FROM "
+               "(SELECT explode(array(9,9,9)) AS x)") == 0.0
+    # agrees with the DataFrame operator
+    from clickhouse_arrow_spark.operators.stats import entropy_agg
+
+    df = spark.sql("SELECT explode(array(1,1,2,3,3,3)) AS x")
+    op = entropy_agg(df, "x").first()["entropy"]
+    sql = one(client, "SELECT round(entropy(x), 6) AS r FROM "
+              "(SELECT explode(array(1,1,2,3,3,3)) AS x)")
+    assert sql == op

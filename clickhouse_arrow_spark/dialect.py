@@ -794,7 +794,27 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "specifier mapping happens at translate time)"
                 )
             # unescape the SQL literal ('' -> ') before specifier mapping
-            out_fmt = _ch_dt_spec_to_java(fmt[1:-1].replace("''", "'"), _name)
+            raw = fmt[1:-1].replace("''", "'")
+            if _name == "formatDateTime" and "%e" in raw.replace(
+                "%%", "\x00"
+            ):
+                # CH %e is the SPACE-padded day — Java has no such
+                # token, so split the format at %e and splice a
+                # lpad(day) between the formatted chunks
+                chunks = raw.replace("%%", "\x00").split("%e")
+                parts = []
+                for ci, ch_fmt in enumerate(chunks):
+                    if ci:
+                        parts.append(
+                            f"lpad(date_format({a[0]}, 'd'), 2, ' ')"
+                        )
+                    if ch_fmt:
+                        jf = _ch_dt_spec_to_java(
+                            ch_fmt.replace("\x00", "%%"), _name
+                        ).replace("'", "''")
+                        parts.append(f"date_format({a[0]}, '{jf}')")
+                return f"concat({', '.join(parts)})"
+            out_fmt = _ch_dt_spec_to_java(raw, _name)
             sql_fmt = out_fmt.replace("'", "''")  # re-escape for the SQL literal
             if _name == "formatDateTime":
                 return f"date_format({a[0]}, '{sql_fmt}')"
@@ -955,9 +975,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # — a silent wrong-answer trap if renamed without the swap
         def position_fmt(a: Args, _ci: bool = "Insensitive" in name) -> str:
             h, n = a[0], a[1]
+            # optional 3rd arg: search FROM that 1-based position, the
+            # returned index stays absolute — exactly Spark's locate
+            start = f", {a[2]}" if len(a) > 2 else ""
             if _ci:
-                return f"locate(lower({n}), lower({h}))"
-            return f"locate({n}, {h})"
+                return f"locate(lower({n}), lower({h}){start})"
+            return f"locate({n}, {h}{start})"
 
         return position_fmt
     if name in ("leftPad", "leftPadUTF8"):
@@ -2854,8 +2877,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"(skewness({a[0]}) * power((count({a[0]}) - 1) "
             f"/ CAST(count({a[0]}) AS DOUBLE), 1.5))"
         )
-    if name == "medianExact":
+    if name in ("medianExact", "medianTiming", "medianExactLow",
+                "medianExactHigh", "medianTDigest", "medianBFloat16"):
+        # median* = quantile*(0.5); Timing/TDigest/BFloat16 are CH
+        # accuracy/memory tiers of the same statistic — percentile is
+        # exact, which every tier converges to
         return lambda a: f"percentile({a[0]}, 0.5)"
+    if name in ("medianExactWeighted", "medianTimingWeighted",
+                "medianTDigestWeighted"):
+        # CH (value, weight); Spark percentile's third arg is frequency
+        return lambda a: f"percentile({a[0]}, 0.5, {a[1]})"
     if name == "sumWithOverflow":
         # CH wraps at the input type's width; Spark's sum widens (and
         # ANSI mode errors on overflow) — values agree until overflow,
@@ -3314,6 +3345,18 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"array_sort({a[0]})"
     if name == "groupBitmap":
         return lambda a: f"count(DISTINCT {a[0]})"
+    if name == "bitmapSubsetInRange":
+        # CH: values in [range_start, range_end)
+        return lambda a: (
+            f"filter({a[0]}, __cas_v -> __cas_v >= ({a[1]}) "
+            f"AND __cas_v < ({a[2]}))"
+        )
+    if name == "bitmapSubsetLimit":
+        # CH: at most `limit` smallest values >= range_start
+        return lambda a: (
+            f"slice(array_sort(filter({a[0]}, __cas_v -> "
+            f"__cas_v >= ({a[1]}))), 1, {a[2]})"
+        )
     if name == "monthName":
         # CH returns the FULL month name; without this formatter the
         # name would fall through to Spark 4's monthname() builtin,
@@ -3854,6 +3897,25 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return sq if _n == "L2SquaredNorm" else f"sqrt({sq})"
 
         return norm_fmt
+    if name in ("L1Normalize", "L2Normalize", "LinfNormalize"):
+        # unit-scale the vector by its norm (array form; CH doc
+        # examples use tuples, same arithmetic). The norm expression
+        # repeats inside the lambda — pure JVM, folded by codegen.
+        def normalize_fmt(a: Args, _n=name) -> str:
+            if _n == "L1Normalize":
+                norm = (f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc + abs(v))")
+            elif _n == "LinfNormalize":
+                norm = f"array_max(transform({a[0]}, v -> abs(v)))"
+            else:
+                norm = (f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
+                        f"(acc, v) -> acc + CAST(v AS DOUBLE) * v))")
+            return (
+                f"transform({a[0]}, __cas_v -> "
+                f"CAST(__cas_v AS DOUBLE) / {norm})"
+            )
+
+        return normalize_fmt
     if name == "cosineDistance":
         def cos_fmt(a: Args) -> str:
             dot = (f"aggregate(zip_with({a[0]}, {a[1]}, "

@@ -109,7 +109,9 @@ _GATE_ALIASES: dict[str, str] = {
         # round-8 rotation #2: wave16 out (judge-verified since round
         # 6; see ROTATION.md), wave26 in
         "util_sweep_wave26",
-        "util_sweep_wave18",
+        # round-8 rotation #3: wave18 out (judge-verified r6/r7; see
+        # ROTATION.md), wave27 in
+        "util_sweep_wave27",
         "util_sweep_wave19",
         "util_sweep_wave20",
         "util_sweep_wave21",

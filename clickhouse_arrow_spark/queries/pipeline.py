@@ -5065,6 +5065,52 @@ def q_util_sweep_wave26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave27",
+    """
+    SELECT CAST(3 AS BIGINT) AS loc,
+           CAST(4 AS BIGINT) AS pos3,
+           CAST(5.0 AS DOUBLE) AS l2n,
+           '0.6,0.8' AS l2nz,
+           '5' AS bsr,
+           '5-x' AS pf,
+           'Hello,world' AS tok,
+           'Jan  4, 2010' AS fde,
+           CAST(20.0 AS DOUBLE) AS mt,
+           CAST(11 AS BIGINT) AS dp,
+           CAST(5 AS BIGINT) AS cd
+    """,
+    doc="Round-8 probe-sweep wave 27 (execution probe over "
+    "scripts/probe_wave27.py; exact literal oracle): MySQL-order "
+    "locate, 3-arg position with a start offset (the probe caught "
+    "the silently ignored third argument), L2Norm + L2Normalize, "
+    "bitmapSubsetInRange, printf, tokens, formatDateTime %e "
+    "space-padded day spliced between specifiers, medianTiming "
+    "alias, dotProduct, countDigits.",
+    tags=("dialect", "sweep", "wave27"),
+)
+def q_util_sweep_wave27(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT CAST(locate('ca', 'abca') AS Int64) AS loc, "
+        "CAST(position('hello', 'l', 4) AS Int64) AS pos3, "
+        "L2Norm([3, 4]) AS l2n, "
+        "arrayStringConcat(arrayMap(x -> toString(round(x, 4)), "
+        "L2Normalize([3, 4])), ',') AS l2nz, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "bitmapToArray(bitmapSubsetInRange(bitmapBuild([1, 5, 9]), "
+        "2, 9))), ',') AS bsr, "
+        "printf('%d-%s', 5, 'x') AS pf, "
+        "arrayStringConcat(tokens('Hello, world!'), ',') AS tok, "
+        "formatDateTime(toDate('2010-01-04'), '%b %e, %Y') AS fde, "
+        "medianTiming(x) AS mt, "
+        "CAST(dotProduct([1, 2], [3, 4]) AS Int64) AS dp, "
+        "CAST(countDigits(12345) AS Int64) AS cd "
+        "FROM (SELECT arrayJoin([10, 20, 30]) AS x)"
+    )
+
+
+@register(
     "vector_semantic_decontaminate",
     """
     WITH bench AS (

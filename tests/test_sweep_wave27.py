@@ -1,0 +1,59 @@
+"""Probe-sweep wave 27 (execution probe over scripts/probe_wave27.py
+findings): 3-arg position start offset, %e space-padded day in
+formatDateTime, L1/L2/Linf normalize, bitmap subset functions, and
+the median* accuracy-tier aliases."""
+
+from __future__ import annotations
+
+
+def one(client, sql):
+    return client.query_ch(sql).collect()[0].r
+
+
+def test_position_with_start_offset(client):
+    # CH 3-arg position searches FROM start_pos, returns the ABSOLUTE
+    # 1-based index (the probe caught the ignored third argument)
+    assert one(client, "SELECT position('hello', 'l', 4) AS r") == 4
+    assert one(client, "SELECT position('hello', 'l') AS r") == 3
+    assert one(client, "SELECT position('hello', 'z', 2) AS r") == 0
+    assert one(client, "SELECT positionCaseInsensitive('aXbX', 'x', 3)"
+               " AS r") == 4
+    # locate keeps the MySQL needle-first order
+    assert one(client, "SELECT locate('ca', 'abca') AS r") == 3
+
+
+def test_format_datetime_space_padded_day(client):
+    assert one(client, "SELECT formatDateTime(toDate('2010-01-04'), "
+               "'%e') AS r") == " 4"
+    assert one(client, "SELECT formatDateTime(toDate('2010-01-14'), "
+               "'%e') AS r") == "14"
+    # spliced between other specifiers, and escaped %% untouched
+    assert one(client, "SELECT formatDateTime(toDate('2010-01-04'), "
+               "'%b %e, %Y') AS r") == "Jan  4, 2010"
+    assert one(client, "SELECT formatDateTime(toDate('2010-01-04'), "
+               "'%%e=%e') AS r") == "%e= 4"
+
+
+def test_vector_normalize(client):
+    r = one(client, "SELECT L2Normalize([3, 4]) AS r")
+    assert [round(v, 10) for v in r] == [0.6, 0.8]
+    r = one(client, "SELECT L1Normalize([1, 3]) AS r")
+    assert [round(v, 10) for v in r] == [0.25, 0.75]
+    r = one(client, "SELECT LinfNormalize([2, -4]) AS r")
+    assert [round(v, 10) for v in r] == [0.5, -1.0]
+
+
+def test_bitmap_subsets(client):
+    assert list(one(client, "SELECT bitmapToArray(bitmapSubsetInRange("
+                "bitmapBuild([1, 5, 9]), 2, 9)) AS r")) == [5]
+    assert list(one(client, "SELECT bitmapSubsetLimit("
+                "bitmapBuild([9, 1, 5, 3]), 2, 2) AS r")) == [3, 5]
+
+
+def test_median_tier_aliases(client):
+    base = "FROM (SELECT arrayJoin([10, 20, 30]) AS x"
+    assert one(client, f"SELECT medianTiming(x) AS r {base})") == 20.0
+    assert one(client, f"SELECT medianTDigest(x) AS r {base})") == 20.0
+    assert one(client, "SELECT medianExactWeighted(x, w) AS r FROM "
+               "(SELECT arrayJoin([(1,1),(2,9),(3,1)]) AS t, "
+               "t.1 AS x, t.2 AS w)") == 2

@@ -54,7 +54,7 @@ _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
     r"(numbers_mt|numbers|one|databases|tables|columns|query_log|"
     r"functions|settings|parts|processes|metrics|events|merges|"
-    r"dropped_tables|detached_tables)\b"
+    r"dropped_tables|detached_tables|detached_parts)\b"
 )
 
 
@@ -2230,6 +2230,52 @@ class Client:
                 "database string, table string, uuid string, "
                 "metadata_dropped_path string, "
                 "table_dropped_time timestamp",
+            )
+        elif name == "detached_parts":
+            # one row per DETACH PARTITION directory awaiting ATTACH:
+            # the `.detached/<table>/` area beside each table location
+            import datetime
+
+            from clickhouse_arrow_spark.ddl import _table_location
+
+            jvm = self.spark.sparkContext._jvm
+            hpath = jvm.org.apache.hadoop.fs.Path
+            hconf = self.spark.sparkContext._jsc.hadoopConfiguration()
+            rows = []
+            for r in self._system_tables_df().collect():
+                if r["is_temporary"]:
+                    continue
+                qualified = f"{r['database']}.{r['name']}"
+                try:
+                    loc = _table_location(
+                        self.spark, qualified
+                    ).rstrip("/")
+                    parent, tname = loc.rsplit("/", 1)
+                    droot = hpath(f"{parent}/.detached/{tname}")
+                    fs = droot.getFileSystem(hconf)
+                    if not fs.exists(droot):
+                        continue
+                    for st in fs.listStatus(droot):
+                        if not st.isDirectory():
+                            continue
+                        pname = st.getPath().getName()
+                        size = fs.getContentSummary(
+                            st.getPath()
+                        ).getLength()
+                        rows.append((
+                            r["database"], r["name"],
+                            pname.split("=", 1)[-1], pname, int(size),
+                            datetime.datetime.fromtimestamp(
+                                st.getModificationTime() // 1000
+                            ),
+                        ))
+                except Exception:
+                    continue
+            df = self.spark.createDataFrame(
+                rows,
+                "database string, table string, partition_id string, "
+                "name string, bytes_on_disk bigint, "
+                "modification_time timestamp",
             )
         elif name == "detached_tables":
             # one row per DETACH TABLE snapshot awaiting ATTACH;

@@ -614,3 +614,32 @@ def test_system_dropped_and_detached_tables(spark, client):
     assert left == []
     for t in ("ops8.sd", "ops8.sdet"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_system_detached_parts(spark, client):
+    """Round 8: system.detached_parts lists DETACH PARTITION
+    directories awaiting ATTACH; rows disappear on re-attach."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS ops8")
+    spark.sql("DROP TABLE IF EXISTS ops8.dp")
+    client.execute_ch(
+        "CREATE TABLE ops8.dp (k Int64, region String) "
+        "ENGINE = MergeTree ORDER BY k PARTITION BY region"
+    )
+    client.execute_ch(
+        "INSERT INTO ops8.dp VALUES (1, 'eu'), (2, 'us')"
+    )
+    client.execute_ch("ALTER TABLE ops8.dp DETACH PARTITION 'eu'")
+    rows = client.query_ch(
+        "SELECT database, table, partition_id, name, bytes_on_disk "
+        "FROM system.detached_parts WHERE database = 'ops8'"
+    ).collect()
+    assert len(rows) == 1
+    assert rows[0].table == "dp" and rows[0].partition_id == "eu"
+    assert rows[0].name == "region=eu" and rows[0].bytes_on_disk > 0
+    client.execute_ch("ALTER TABLE ops8.dp ATTACH PARTITION 'eu'")
+    assert client.query_ch(
+        "SELECT count() AS n FROM system.detached_parts "
+        "WHERE database = 'ops8'"
+    ).collect()[0].n == 0
+    assert spark.table("ops8.dp").count() == 2
+    spark.sql("DROP TABLE IF EXISTS ops8.dp")

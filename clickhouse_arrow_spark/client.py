@@ -1121,6 +1121,19 @@ class Client:
             )
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
+            r"(SELECT\b.*?\bFROM\s+input\(\s*'([^']+)'\s*\).*?)\s+"
+            r"FORMAT\s+(\w+)[ \t]*\n?(.*)$",
+            ch_sql,
+        )
+        if m:
+            # `INSERT INTO t SELECT ... FROM input('structure') FORMAT
+            # fmt <data>`: transform inline data during insert
+            # (table-functions/input.md). The body parses into a temp
+            # view typed by the structure; the SELECT then runs against
+            # it through the normal trigger-firing INSERT ... SELECT.
+            return self._insert_through_input_tvf(m, qid)
+        m = _re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"FORMAT\s+(\w+)[ \t]*\n?(.*)$",
             ch_sql,
         )
@@ -1786,9 +1799,11 @@ class Client:
                 )
             if fn == "input":
                 raise UntranslatableFunctionError(
-                    "input() transforms data inline during INSERT; "
-                    "transform the DataFrame before client.insert "
-                    "instead (df.select(...) then insert)"
+                    "input() only has meaning inside an INSERT: use "
+                    "the statement form `INSERT INTO t SELECT ... "
+                    "FROM input('x T, y U') FORMAT JSONEachRow <rows>` "
+                    "(execute_ch), or transform a DataFrame and "
+                    "client.insert"
                 )
             if fn == "merge":
                 ch_sql = self._expand_merge_tvf(ch_sql, m, close, args)
@@ -1946,6 +1961,115 @@ class Client:
             f"{ch_sql[: m.start()]}{m.group(1)} {view}"
             f"{ch_sql[close + 1:]}"
         )
+
+    def _insert_through_input_tvf(self, m, qid):
+        """`INSERT INTO t [(cols)] SELECT ... FROM input('x T, y U')
+        FORMAT fmt <data>`: parse the inline body into a temp view
+        typed by the structure, swap input(...) for the view, and run
+        the result through the normal INSERT ... SELECT route (MV
+        triggers, defaults, engine semantics all apply)."""
+        import hashlib
+        import json as _json
+        import re as _re
+
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as _T
+
+        from clickhouse_arrow_spark.types import (
+            ch_type_to_spark,
+            parse_ch_type,
+        )
+
+        table, cols, select, structure, fmt, data = (
+            m.group(1), m.group(2), m.group(3), m.group(4),
+            m.group(5), m.group(6) or "",
+        )
+        if not data.strip():
+            raise QueryError(
+                "input(): the FORMAT clause needs inline data rows "
+                "(the wire's out-of-band body has no Spark analogue); "
+                "for bulk data transform a DataFrame and client.insert"
+            )
+        fields = []
+        for spec in structure.split(","):
+            cname, _, ctype = spec.strip().partition(" ")
+            dt, nullable = ch_type_to_spark(
+                parse_ch_type(ctype.strip()), self.type_options
+            )
+            fields.append(_T.StructField(cname.strip("`"), dt, nullable))
+        schema = _T.StructType(fields)
+        names = [f.name for f in fields]
+        fmt_l = fmt.lower()
+        if fmt_l == "values":
+            quoted = ", ".join(f"`{n}`" for n in names)
+            src = self.spark.sql(
+                f"SELECT * FROM (VALUES {data.strip().rstrip(';')}) "
+                f"AS __cas_in({quoted})"
+            )
+        else:
+            lines = [ln for ln in data.splitlines() if ln.strip()]
+            if fmt_l == "jsoneachrow":
+                # values arrive as strings and cast through the
+                # structure below (json ints into a Float64 column
+                # would fail createDataFrame's strict verifier)
+                dicts = [_json.loads(ln) for ln in lines]
+                rows = [
+                    tuple(
+                        None if d.get(n) is None else str(d.get(n))
+                        for n in names
+                    )
+                    for d in dicts
+                ]
+                src = self.spark.createDataFrame(
+                    rows,
+                    _T.StructType([
+                        _T.StructField(n, _T.StringType(), True)
+                        for n in names
+                    ]),
+                )
+            elif fmt_l in ("csv", "tsv", "csvwithnames",
+                           "tsvwithnames", "tabseparated",
+                           "tabseparatedwithnames"):
+                sep = "," if fmt_l.startswith("csv") else "\t"
+                if fmt_l.endswith("withnames"):
+                    lines = lines[1:]
+                rows = [
+                    tuple(v.strip().strip('"')
+                          for v in ln.split(sep))
+                    for ln in lines
+                ]
+                src = self.spark.createDataFrame(
+                    rows,
+                    _T.StructType([
+                        _T.StructField(n, _T.StringType(), True)
+                        for n in names
+                    ]),
+                )
+            else:
+                raise QueryError(
+                    f"input() FORMAT {fmt}: Values, JSONEachRow, "
+                    "CSV[WithNames] and TSV[WithNames] are supported "
+                    "inline"
+                )
+        src = src.select(*[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            for f in fields
+        ])
+        key = hashlib.md5(
+            f"input|{structure}|{len(data)}".encode()
+        ).hexdigest()[:12]
+        view = f"__cas_input_{key}"
+        src.createOrReplaceTempView(view)
+        new_select = _re.sub(
+            r"(?is)\binput\(\s*'[^']+'\s*\)", view, select, count=1
+        )
+        col_clause = f" ({cols})" if cols else ""
+        try:
+            return self.execute_ch(
+                f"INSERT INTO {table}{col_clause} {new_select}", qid
+            )
+        finally:
+            self.spark.catalog.dropTempView(view)
 
     def _expand_merge_tvf(self, ch_sql, m, close, args) -> str:
         """`merge('db', '^regex')` / `merge('^regex')` — union of every

@@ -1027,3 +1027,57 @@ def test_outfile_truncate_append_modes(client, tmp_path):
         "FORMAT CSV"
     ).collect()
     assert p.read_text().split() == ["3"]
+
+
+def test_insert_through_input_tvf(spark, client):
+    """Round 8: INSERT INTO t SELECT ... FROM input('structure')
+    FORMAT <fmt> <inline rows> — the transform-during-insert table
+    function (table-functions/input.md): the SELECT reshapes the
+    inline data before it lands, and MV triggers still fire."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS st8")
+    for t in ("st8.inp", "st8.inp_mv_tgt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        "CREATE TABLE st8.inp (k Int64, lab String) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "CREATE TABLE st8.inp_mv_tgt (k Int64) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "CREATE MATERIALIZED VIEW st8.inp_mv TO st8.inp_mv_tgt AS "
+        "SELECT k FROM st8.inp"
+    )
+    # JSONEachRow body, SELECT transforms (x, y) -> (k, lab)
+    client.execute_ch(
+        "INSERT INTO st8.inp SELECT x * 10 AS k, upper(y) AS lab "
+        "FROM input('x Int32, y String') FORMAT JSONEachRow\n"
+        '{"x": 1, "y": "ab"}\n{"x": 2, "y": "cd"}'
+    )
+    got = {(r.k, r.lab) for r in spark.table("st8.inp").collect()}
+    assert got == {(10, "AB"), (20, "CD")}
+    # the attached MV fired on the transformed block
+    assert {r.k for r in spark.table("st8.inp_mv_tgt").collect()} \
+        == {10, 20}
+    # Values body with a WHERE between input() and FORMAT
+    client.execute_ch(
+        "INSERT INTO st8.inp SELECT x AS k, y AS lab "
+        "FROM input('x Int64, y String') WHERE x > 5 FORMAT Values\n"
+        "(3, 'drop'), (7, 'keep')"
+    )
+    assert (7, "keep") in {
+        (r.k, r.lab) for r in spark.table("st8.inp").collect()
+    }
+    assert all(r.lab != "drop" for r in spark.table("st8.inp").collect())
+    # CSV body
+    client.execute_ch(
+        "INSERT INTO st8.inp SELECT x AS k, y AS lab "
+        "FROM input('x Int64, y String') FORMAT CSV\n"
+        "100,zz"
+    )
+    assert (100, "zz") in {
+        (r.k, r.lab) for r in spark.table("st8.inp").collect()
+    }
+    for t in ("st8.inp_mv", "st8.inp", "st8.inp_mv_tgt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -154,3 +154,73 @@ def test_combinator_chain_closure(base, suffix):
         from clickhouse_arrow_spark.dialect import suggest_function
 
         assert suggest_function(name), f"{name} leaked with no hint: {out}"
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    xs=st.lists(
+        st.tuples(st.integers(0, 2**20), st.integers(0, 2**20)),
+        min_size=1, max_size=6,
+    )
+)
+def test_hilbert_morton_roundtrip_property(ch, xs):
+    """Wave-26 codecs: decode(encode(x, y)) == (x, y) for arbitrary
+    20-bit coordinates, and morton keys preserve the interleave
+    identity n=2."""
+    sel = ", ".join(
+        f"hilbertDecode(2, hilbertEncode({x}, {y})) AS h{i}, "
+        f"mortonDecode(2, mortonEncode({x}, {y})) AS m{i}"
+        for i, (x, y) in enumerate(xs)
+    )
+    r = ch.query_ch(f"SELECT {sel}").collect()[0]
+    for i, (x, y) in enumerate(xs):
+        assert (r[f"h{i}"][0], r[f"h{i}"][1]) == (x, y)
+        assert (r[f"m{i}"][0], r[f"m{i}"][1]) == (x, y)
+
+
+@settings(max_examples=15, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    lon=st.floats(-179.9, 179.9, allow_nan=False),
+    lat=st.floats(-89.9, 89.9, allow_nan=False),
+)
+def test_geohash_roundtrip_within_cell(ch, lon, lat):
+    """geohashDecode(geohashEncode(lon, lat, 12)) lands within the
+    precision-12 cell (~3.7e-5 degrees)."""
+    r = ch.query_ch(
+        f"SELECT geohashDecode(geohashEncode({lon!r}, {lat!r}, 12)) "
+        "AS d"
+    ).collect()[0].d
+    assert abs(r[0] - lon) < 1e-4
+    assert abs(r[1] - lat) < 1e-4
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(a=TXT, b=TXT)
+def test_jaro_bounds_and_identity(ch, a, b):
+    """jaro/jaroWinkler stay in [0, 1], equal 1 on identical non-empty
+    strings, and damerauLevenshteinDistance(a, b) == 0 iff a == b."""
+    r = ch.query_ch(
+        f"SELECT jaroSimilarity({_lit_str(a)}, {_lit_str(b)}) AS j, "
+        f"jaroWinklerSimilarity({_lit_str(a)}, {_lit_str(b)}) AS jw, "
+        f"damerauLevenshteinDistance({_lit_str(a)}, {_lit_str(b)}) AS d"
+    ).collect()[0]
+    assert 0.0 <= r.j <= 1.0 and 0.0 <= r.jw <= 1.0
+    assert (r.d == 0) == (a == b)
+    if a == b and a:
+        assert r.j == 1.0
+
+
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=list(HealthCheck))
+@given(
+    key=st.integers(0, 2**63 - 1),
+    n=st.integers(1, 64),
+)
+def test_jump_hash_range_property(ch, key, n):
+    r = ch.query_ch(
+        f"SELECT jumpConsistentHash(toUInt64({key}), {n}) AS b"
+    ).collect()[0].b
+    assert 0 <= r < n

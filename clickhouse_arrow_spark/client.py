@@ -2824,7 +2824,7 @@ class Client:
         if re.search(
             r"ch_(base58|punycode|idna|lgamma|tgamma|stem|json_merge"
             r"|array_|series_|erf|jaro|damerau|jump_hash|hilbert"
-            r"|geohash|t_sf)",
+            r"|geohash|t_sf|throw_if)",
             sql,
         ):
             self._ensure_py_udfs()

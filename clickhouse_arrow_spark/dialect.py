@@ -83,6 +83,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "upperUTF8": "upper",
     "reverseUTF8": "reverse",
     "concatWithSeparator": "concat_ws",  # same (sep, parts...) order
+    "concatWithSeparatorAssumeInjective": "concat_ws",
     "base64Encode": "base64",
     "bitCount": "bit_count",
     # math / stats
@@ -2148,12 +2149,49 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return map_merge
-    if name in ("arrayFirst", "arrayLast"):
+    if name in ("arrayFirst", "arrayLast", "arrayFirstOrNull",
+                "arrayLastOrNull"):
         # CH (lambda, arr) -> Spark filter(arr, lambda); try_element_at
         # yields NULL on no match (CH yields the type default — nulls
-        # are the closer Spark-native semantics)
-        idx = "1" if name == "arrayFirst" else "-1"
+        # are the closer Spark-native semantics; the *OrNull spellings
+        # are exactly this behavior)
+        idx = "1" if name.startswith("arrayFirst") else "-1"
         return lambda a: f"try_element_at(filter({a[1]}, {a[0]}), {idx})"
+    if name == "makeDateTime64":
+        # (y, m, d, h, mi, s [, fraction [, precision]]): the fraction
+        # scales by 10^-precision (default 3) into the seconds operand;
+        # a 9th tz arg refuses (pass tz through toTimeZone instead)
+        def make_dt64(a: Args) -> str:
+            if len(a) < 6 or len(a) > 8:
+                raise UntranslatableFunctionError(
+                    "makeDateTime64(y, m, d, h, mi, s[, fraction"
+                    "[, precision]]) — the timezone argument form is "
+                    "toTimeZone(makeDateTime64(...), tz)"
+                )
+            sec = f"CAST({a[5]} AS DOUBLE)"
+            if len(a) >= 7:
+                prec = a[7] if len(a) == 8 else "3"
+                sec = f"({sec} + ({a[6]}) / pow(10, {prec}))"
+            head = ", ".join(a[:5])
+            return f"make_timestamp({head}, {sec})"
+
+        return make_dt64
+    if name == "throwIf":
+        # CH throwIf(cond[, msg]): raises at ROW time when cond is
+        # truthy, else returns 0. Routed through a UDF — SQL
+        # raise_error with foldable arguments is evaluated during
+        # constant folding, which would throw at PLAN time even for
+        # throwIf(0, ...) (the round-7 folding trap).
+        def throw_if_fmt(a: Args) -> str:
+            msg = a[1] if len(a) > 1 else "'value is non-zero'"
+            # numeric OR boolean conditions both canonicalize through
+            # a BOOLEAN cast (nonzero -> true); NULL counts as false
+            cond = (
+                f"coalesce(CAST(CAST(({a[0]}) AS BOOLEAN) AS INT), 0)"
+            )
+            return f"ch_throw_if({cond}, {msg})"
+
+        return throw_if_fmt
     if name == "arrayWithConstant":
         return lambda a: f"array_repeat({a[1]}, CAST({a[0]} AS INT))"
     if name == "timeSlot":

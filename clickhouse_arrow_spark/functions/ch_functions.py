@@ -689,6 +689,7 @@ def _py_udf_inventory_multi():
         "ch_damerau_lev": (_pair(_td()._dl_py), "bigint", 2),
         "ch_jump_hash": (_jump_hash_py, "int", 2),
         "ch_t_sf": (_t_sf_py, "double", 2),
+        "ch_throw_if": (_throw_if_py, "int", 2),
         "ch_hilbert_encode2": (_hilbert_encode2_py, "bigint", 2),
         "ch_geohash_encode": (_geohash_encode_py, "string", 3),
     }
@@ -774,6 +775,15 @@ def _t_sf_py(t, df):
     if df <= 0:
         return None
     return _betai(df / 2.0, 0.5, df / (df + t * t))
+
+
+def _throw_if_py(cond, msg):
+    """CH throwIf: raise at row time when the condition is truthy,
+    else 0. Raising inside the UDF keeps the error lazy — SQL
+    raise_error with foldable arguments throws at plan time."""
+    if cond:
+        raise ValueError(f"throwIf: {msg}")
+    return 0
 
 
 def _jump_hash_py(key, buckets):

@@ -57,3 +57,34 @@ def test_median_tier_aliases(client):
     assert one(client, "SELECT medianExactWeighted(x, w) AS r FROM "
                "(SELECT arrayJoin([(1,1),(2,9),(3,1)]) AS t, "
                "t.1 AS x, t.2 AS w)") == 2
+
+
+def test_wave28_stragglers(spark, client):
+    """Mini-probe follow-ups: makeDateTime64 with fraction/precision,
+    arrayFirstOrNull/arrayLastOrNull, throwIf lazy row-time raise,
+    concatWithSeparatorAssumeInjective."""
+    import pytest as _pt
+
+    assert str(one(client, "SELECT makeDateTime64(2023, 2, 28, 17, "
+               "12, 33) AS r")) == "2023-02-28 17:12:33"
+    assert str(one(client, "SELECT makeDateTime64(2023, 1, 1, 0, 0, "
+               "0, 500) AS r")) == "2023-01-01 00:00:00.500000"
+    assert one(client, "SELECT arrayFirstOrNull(x -> x > 5, "
+               "[1, 2]) AS r") is None
+    assert one(client, "SELECT arrayLastOrNull(x -> x > 1, "
+               "[1, 2, 3]) AS r") == 3
+    assert one(client, "SELECT concatWithSeparatorAssumeInjective("
+               "'|', 'a', 'b') AS r") == "a|b"
+    # throwIf(0) returns 0 AT PLAN TIME TOO (the raise stays lazy)
+    assert one(client, "SELECT throwIf(0, 'nope') AS r") == 0
+    assert one(client, "SELECT throwIf(NULL, 'nope') AS r") == 0
+    rows = client.query_ch(
+        "SELECT throwIf(x > 10, 'big') AS r FROM "
+        "(SELECT arrayJoin([1, 2]) AS x)"
+    ).collect()
+    assert [r.r for r in rows] == [0, 0]
+    with _pt.raises(Exception, match="throwIf: big"):
+        client.query_ch(
+            "SELECT throwIf(x > 1, 'big') AS r FROM "
+            "(SELECT arrayJoin([1, 2]) AS x)"
+        ).collect()

@@ -54,7 +54,7 @@ _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
     r"(numbers_mt|numbers|one|databases|tables|columns|query_log|"
     r"functions|settings|parts|processes|metrics|events|merges|"
-    r"dropped_tables|detached_tables|detached_parts)\b"
+    r"dropped_tables|detached_tables|detached_parts|dictionaries)\b"
 )
 
 
@@ -805,7 +805,8 @@ class Client:
                 self.execute(f"ALTER TABLE {src} RENAME TO {dst}", qid)
             return None
         m = _re.match(
-            r"(?is)^\s*EXCHANGE\s+TABLES\s+([\w.`]+)\s+AND\s+([\w.`]+)\s*;?\s*$",
+            r"(?is)^\s*EXCHANGE\s+(?:TABLES|DICTIONARIES)\s+([\w.`]+)"
+            r"\s+AND\s+([\w.`]+)\s*;?\s*$",
             ch_sql,
         )
         if m:
@@ -2354,6 +2355,43 @@ class Client:
                 "database string, table string, uuid string, "
                 "metadata_dropped_path string, "
                 "table_dropped_time timestamp",
+            )
+        elif name == "dictionaries":
+            # catalog tables carrying the dictionary marker property
+            # (dictionary.create_dictionary): name, key, element count,
+            # status (always LOADED — dictionaries here are broadcast
+            # at call time, never in a failed-load state)
+            from clickhouse_arrow_spark.ddl import _table_props
+
+            rows = []
+            for d in self.spark.catalog.listDatabases():
+                try:
+                    tables = self.spark.catalog.listTables(d.name)
+                except Exception:
+                    continue
+                for t in tables:
+                    if t.isTemporary or not t.database:
+                        continue
+                    q = f"{t.database}.{t.name}"
+                    try:
+                        props = _table_props(self.spark, q)
+                    except Exception:
+                        continue
+                    if props.get(
+                        "clickhouse_arrow_spark.dictionary"
+                    ) != "true":
+                        continue
+                    rows.append((
+                        t.database, t.name, "LOADED",
+                        props.get(
+                            "clickhouse_arrow_spark.dict_key", ""
+                        ),
+                        int(self.spark.table(q).count()),
+                    ))
+            df = self.spark.createDataFrame(
+                rows,
+                "database string, name string, status string, "
+                "key string, element_count bigint",
             )
         elif name == "detached_parts":
             # one row per DETACH PARTITION directory awaiting ATTACH:

@@ -191,3 +191,55 @@ def test_join_get(client, spark, tables):
     finally:
         client.execute_ch("DROP TABLE IF EXISTS joindb.j")
         client.execute_ch("DROP DATABASE IF EXISTS joindb")
+
+
+def test_system_dictionaries_and_exchange(spark, client):
+    """Round 8: system.dictionaries lists dictionary-marked tables;
+    EXCHANGE DICTIONARIES swaps two of them (the dictionary marker
+    props travel with the tables)."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS dict8")
+    for t in ("dict8.da", "dict8.db"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    for t in ("dict8.srca", "dict8.srcb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        "CREATE TABLE dict8.srca (id Int64, v String) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    client.execute_ch("INSERT INTO dict8.srca VALUES (1, 'a'), (2, 'b')")
+    client.execute_ch(
+        "CREATE TABLE dict8.srcb (id Int64, v String) "
+        "ENGINE = MergeTree ORDER BY id"
+    )
+    client.execute_ch("INSERT INTO dict8.srcb VALUES (9, 'z')")
+    client.execute_ch(
+        "CREATE DICTIONARY dict8.da (id UInt64, v String) "
+        "PRIMARY KEY id "
+        "SOURCE(CLICKHOUSE(TABLE 'srca' DB 'dict8')) "
+        "LAYOUT(HASHED()) LIFETIME(0)"
+    )
+    client.execute_ch(
+        "CREATE DICTIONARY dict8.db (id UInt64, v String) "
+        "PRIMARY KEY id "
+        "SOURCE(CLICKHOUSE(TABLE 'srcb' DB 'dict8')) "
+        "LAYOUT(HASHED()) LIFETIME(0)"
+    )
+    rows = {
+        r.name: (r.status, r.key, r.element_count)
+        for r in client.query_ch(
+            "SELECT name, status, key, element_count "
+            "FROM system.dictionaries WHERE database = 'dict8'"
+        ).collect()
+    }
+    assert rows["da"] == ("LOADED", "id", 2)
+    assert rows["db"] == ("LOADED", "id", 1)
+    client.execute_ch("EXCHANGE DICTIONARIES dict8.da AND dict8.db")
+    assert spark.table("dict8.da").count() == 1
+    assert spark.table("dict8.db").count() == 2
+    # dictGet still routes through the (now swapped) marker tables
+    [r] = client.query_ch(
+        "SELECT dictGet('dict8.da', 'v', toUInt64(9)) AS v"
+    ).collect()
+    assert r.v == "z"
+    for t in ("dict8.da", "dict8.db", "dict8.srca", "dict8.srcb"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -587,6 +587,7 @@ class Client:
             routed = route_projection(self.spark, ch_sql)
             if routed is not None:
                 ch_sql = routed
+        ch_sql = self._expand_sql_macros(ch_sql)
         ch_sql = rewrite_final(self.spark, ch_sql)
         ch_sql = rewrite_dict_calls(self.spark, ch_sql)
         if "joinGet" in ch_sql:
@@ -759,6 +760,12 @@ class Client:
         )
         from clickhouse_arrow_spark.dialect import translate_ch_sql
 
+        # SQL-macro calls may appear inside any statement's expressions
+        # (INSERT ... SELECT, CTAS, mutations); the definition
+        # statements themselves stay verbatim (late binding, like CH)
+        if not _re.match(r"(?is)^\s*(CREATE|DROP)\s+FUNCTION\b", ch_sql):
+            ch_sql = self._expand_sql_macros(ch_sql)
+
         n = try_mutation(self.spark, ch_sql)
         if n is not None:
             return n
@@ -887,6 +894,64 @@ class Client:
                 self.execute(
                     f"ALTER TABLE {dst} SET TBLPROPERTIES ({kv})", qid
                 )
+            return None
+        m = _re.match(
+            r"(?is)^\s*CREATE\s+FUNCTION\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            r"(`?\w+`?)\s+AS\s+(?:\(\s*([\w\s,]*?)\s*\)|(\w+))\s*->"
+            r"\s*(.+?);?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH SQL user-defined functions (CREATE FUNCTION name AS
+            # (a, b) -> expr): session-scoped macros, expanded
+            # textually before translation (CH persists them
+            # server-side; here the session IS the server lifetime)
+            from clickhouse_arrow_spark.dialect import (
+                known_ch_functions,
+            )
+
+            fname = m.group(2).strip("`")
+            macros = self.__dict__.setdefault("_sql_macros", {})
+            if fname in known_ch_functions():
+                raise QueryError(
+                    f"CREATE FUNCTION {fname}: the name collides with "
+                    "a built-in function (CH refuses this too)"
+                )
+            if fname in macros and not m.group(1):
+                raise QueryError(
+                    f"CREATE FUNCTION: {fname} already exists — DROP "
+                    "FUNCTION it first, or use IF NOT EXISTS"
+                )
+            if fname not in macros:
+                params_raw = (
+                    m.group(3) if m.group(3) is not None else m.group(4)
+                )
+                params = [
+                    p.strip() for p in (params_raw or "").split(",")
+                    if p.strip()
+                ]
+                body = m.group(5).strip()
+                if _re.search(rf"\b{_re.escape(fname)}\s*\(", body):
+                    raise QueryError(
+                        f"CREATE FUNCTION {fname}: recursive "
+                        "definitions are not supported (CH refuses "
+                        "them too)"
+                    )
+                macros[fname] = (params, body)
+            return None
+        m = _re.match(
+            r"(?is)^\s*DROP\s+FUNCTION\s+(?:(IF\s+EXISTS)\s+)?"
+            r"(`?\w+`?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            fname = m.group(2).strip("`")
+            macros = self.__dict__.setdefault("_sql_macros", {})
+            if fname not in macros and not m.group(1):
+                raise QueryError(
+                    f"DROP FUNCTION: no user-defined function {fname!r}"
+                )
+            macros.pop(fname, None)
             return None
         created = self._try_create_table_stmt(ch_sql, qid)
         if created:
@@ -1963,6 +2028,79 @@ class Client:
             f"{ch_sql[close + 1:]}"
         )
 
+    def _expand_sql_macros(self, ch_sql: str) -> str:
+        """Expand `CREATE FUNCTION name AS (params) -> expr` macros
+        (session-scoped; CH persists them server-side) by textual
+        substitution BEFORE translation, so macro bodies are written in
+        the CH dialect like everything else. Nested macros expand up to
+        a fixed depth; parameters substitute as parenthesized argument
+        expressions (call-by-text, the CH executor's semantics)."""
+        macros = self.__dict__.get("_sql_macros")
+        if not macros:
+            return ch_sql
+        import re as _re
+
+        from clickhouse_arrow_spark.dialect import (
+            _find_matching,
+            _scan_mask,
+        )
+
+        for _depth in range(10):
+            changed = False
+            for mname, (params, body) in macros.items():
+                pat = _re.compile(rf"\b{_re.escape(mname)}\s*\(")
+                while True:
+                    mask = _scan_mask(ch_sql)
+                    hit = None
+                    for m in pat.finditer(ch_sql):
+                        if not mask[m.start()][1]:
+                            hit = m
+                            break
+                    if hit is None:
+                        break
+                    close = _find_matching(ch_sql, hit.end() - 1, "(", ")")
+                    if close == -1:
+                        break
+                    inner = ch_sql[hit.end():close]
+                    imask = _scan_mask(inner)
+                    args, d, last = [], 0, 0
+                    for i2, c2 in enumerate(inner):
+                        if imask[i2][1]:
+                            continue
+                        if c2 in "([":
+                            d += 1
+                        elif c2 in ")]":
+                            d -= 1
+                        elif c2 == "," and d == 0:
+                            args.append(inner[last:i2])
+                            last = i2 + 1
+                    if inner.strip():
+                        args.append(inner[last:])
+                    if len(args) != len(params):
+                        raise QueryError(
+                            f"{mname}() takes {len(params)} argument"
+                            f"{'s' if len(params) != 1 else ''}, "
+                            f"got {len(args)}"
+                        )
+                    expanded = body
+                    for pname, arg in zip(params, args):
+                        expanded = _re.sub(
+                            rf"\b{_re.escape(pname)}\b",
+                            f"({arg.strip()})", expanded,
+                        )
+                    ch_sql = (
+                        f"{ch_sql[: hit.start()]}({expanded})"
+                        f"{ch_sql[close + 1:]}"
+                    )
+                    changed = True
+            if not changed:
+                return ch_sql
+        raise QueryError(
+            "SQL function expansion exceeded depth 10 — recursive "
+            "CREATE FUNCTION definitions are not supported (CH "
+            "refuses them too)"
+        )
+
     def _insert_through_input_tvf(self, m, qid):
         """`INSERT INTO t [(cols)] SELECT ... FROM input('x T, y U')
         FORMAT fmt <data>`: parse the inline body into a temp view
@@ -2329,8 +2467,11 @@ class Client:
                 "corr", "covarPop", "covarSamp", "stddevPop",
                 "stddevSamp", "varPop", "varSamp", "topK",
             }
+            names_all = set(known_ch_functions()) | set(
+                self.__dict__.get("_sql_macros", {})
+            )
             df = self.spark.createDataFrame(
-                sorted((n, n in aggish) for n in known_ch_functions()),
+                sorted((n, n in aggish) for n in names_all),
                 "name string, is_aggregate boolean",
             )
         elif name == "settings":

@@ -1081,3 +1081,78 @@ def test_insert_through_input_tvf(spark, client):
     }
     for t in ("st8.inp_mv", "st8.inp", "st8.inp_mv_tgt"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_create_function_sql_macros(spark, client):
+    """Round 8: CREATE FUNCTION name AS (params) -> expr (CH SQL UDFs)
+    as session-scoped macros expanded before translation — usable in
+    SELECT, WHERE, INSERT ... SELECT; nested macros expand; DROP
+    removes; collisions and recursion refuse."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    client.execute_ch("DROP FUNCTION IF EXISTS linear8")
+    client.execute_ch("DROP FUNCTION IF EXISTS twice8")
+    client.execute_ch(
+        "CREATE FUNCTION linear8 AS (x, k, b) -> k * x + b"
+    )
+    [r] = client.query_ch("SELECT linear8(10, 2, 5) AS r").collect()
+    assert r.r == 25
+    # macro args are full expressions, substituted parenthesized
+    [r] = client.query_ch(
+        "SELECT linear8(1 + 1, 3, 0) AS r"
+    ).collect()
+    assert r.r == 6
+    # nested macros + use in WHERE
+    client.execute_ch("CREATE FUNCTION twice8 AS x -> linear8(x, 2, 0)")
+    rows = client.query_ch(
+        "SELECT x FROM (SELECT arrayJoin([1, 2, 3]) AS x) "
+        "WHERE twice8(x) > 3 ORDER BY x"
+    ).collect()
+    assert [v.x for v in rows] == [2, 3]
+    # CH-dialect bodies translate after expansion
+    client.execute_ch("DROP FUNCTION IF EXISTS ym8")
+    client.execute_ch("CREATE FUNCTION ym8 AS d -> toYYYYMM(d)")
+    [r] = client.query_ch(
+        "SELECT ym8(toDate('2023-04-05')) AS r"
+    ).collect()
+    assert r.r == 202304
+    # visible in system.functions
+    assert client.query_ch(
+        "SELECT count() AS n FROM system.functions "
+        "WHERE name = 'linear8'"
+    ).collect()[0].n == 1
+    # collisions, arity, recursion, double-create all refuse
+    with _pt.raises(QueryError, match="built-in"):
+        client.execute_ch("CREATE FUNCTION toYYYYMM AS x -> x")
+    with _pt.raises(QueryError, match="argument"):
+        client.query_ch("SELECT linear8(1) AS r").collect()
+    with _pt.raises(QueryError, match="[Rr]ecursive"):
+        client.execute_ch(
+            "CREATE FUNCTION rec8 AS x -> rec8(x) + 1"
+        )
+    with _pt.raises(QueryError, match="exists"):
+        client.execute_ch("CREATE FUNCTION linear8 AS x -> x")
+    client.execute_ch(
+        "CREATE FUNCTION IF NOT EXISTS linear8 AS x -> x"
+    )  # no-op, keeps the original
+    [r] = client.query_ch("SELECT linear8(10, 2, 5) AS r").collect()
+    assert r.r == 25
+    # INSERT ... SELECT path expands too
+    spark.sql("CREATE DATABASE IF NOT EXISTS st8")
+    spark.sql("DROP TABLE IF EXISTS st8.macro_t")
+    client.execute_ch(
+        "CREATE TABLE st8.macro_t (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "INSERT INTO st8.macro_t SELECT twice8(x) AS k FROM "
+        "(SELECT arrayJoin([4, 5]) AS x)"
+    )
+    assert {v.k for v in spark.table("st8.macro_t").collect()} == {8, 10}
+    client.execute_ch("DROP FUNCTION linear8")
+    with _pt.raises(QueryError, match="no user-defined"):
+        client.execute_ch("DROP FUNCTION linear8")
+    for f in ("twice8", "ym8"):
+        client.execute_ch(f"DROP FUNCTION IF EXISTS {f}")
+    spark.sql("DROP TABLE IF EXISTS st8.macro_t")

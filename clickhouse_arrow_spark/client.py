@@ -460,6 +460,50 @@ class Client:
             if m.group(2):
                 df = df.where(_F.col("name").like(m.group(2).strip("'")))
             return df.orderBy("name")
+        if _re.match(r"(?is)^\s*SHOW\s+ENGINES\s*;?\s*$", ch_sql):
+            # the engine families CREATE TABLE accepts here, with the
+            # features each one actually provides in this engine
+            rows = [
+                ("MergeTree", True, True, True),
+                ("ReplacingMergeTree", True, True, True),
+                ("SummingMergeTree", True, True, True),
+                ("AggregatingMergeTree", True, True, True),
+                ("CollapsingMergeTree", True, True, True),
+                ("VersionedCollapsingMergeTree", True, True, True),
+                ("Join", False, False, False),
+                ("Null", False, False, False),
+                ("Buffer", False, False, False),
+                ("Memory", False, False, False),
+                ("Kafka", False, False, False),
+                ("FileLog", False, False, False),
+                ("Dictionary", False, False, False),
+            ]
+            return self.spark.createDataFrame(
+                rows,
+                "name string, supports_ttl boolean, "
+                "supports_sort_order boolean, supports_parallel_insert "
+                "boolean",
+            ).orderBy("name")
+        if _re.match(r"(?is)^\s*SHOW\s+MERGES\s*;?\s*$", ch_sql):
+            # merges are eager (OPTIMIZE runs synchronously): the empty
+            # system.merges relation is the truthful answer
+            return self.query_ch("SELECT * FROM system.merges", qid=qid)
+        m = _re.match(
+            r"(?is)^\s*(?:DESCRIBE|DESC)\s+(?:TABLE\s+)?"
+            r"system\s*\.\s*(\w+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # DESCRIBE of a system table: materialize the relation and
+            # report its schema CH-style (name, type)
+            rel = self._system_relation(m.group(1).lower())
+            schema = self.spark.sql(
+                f"SELECT * FROM {rel} LIMIT 0"
+            ).schema
+            return self.spark.createDataFrame(
+                [(f.name, f.dataType.simpleString()) for f in schema],
+                "name string, type string",
+            )
         if _re.match(r"(?is)^\s*SHOW\s+PROCESSLIST\s*;?\s*$", ch_sql):
             # system.processes analogue: active Spark job groups from the
             # status tracker (qid = job group, set by _run)
@@ -1373,6 +1417,8 @@ class Client:
         if _re.match(
             r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"
             r"FLUSH\s+LOGS|"
+            r"DROP\s+(?:DNS|MARK|UNCOMPRESSED|COMPILED\s+EXPRESSION|"
+            r"FILESYSTEM|SCHEMA)\s+CACHE|"
             r"(?:STOP|START)\s+(?:TTL\s+)?MERGES(?:\s+[\w.`]+)?|"
             r"(?:STOP|START)\s+(?:MOVES|FETCHES|REPLICATION\s+QUEUES)"
             r"(?:\s+[\w.`]+)?)\s*;?\s*$",
@@ -1380,9 +1426,12 @@ class Client:
         ):
             # honest no-ops: dictGet reads the live catalog table on
             # every query (nothing to reload), the query log is written
-            # synchronously (nothing to flush), and merges/moves/fetches
+            # synchronously (nothing to flush), merges/moves/fetches
             # run eagerly inside OPTIMIZE/mutations — there is no
-            # background activity to pause or resume
+            # background activity to pause or resume — and the named
+            # caches (DNS/mark/uncompressed/...) are ClickHouse server
+            # internals with no Spark analogue to clear (the QUERY
+            # cache, which DOES exist here, has its own handler)
             return None
         if _re.match(r"(?is)^\s*GRANT\b", ch_sql):
             import warnings

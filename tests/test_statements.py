@@ -1156,3 +1156,24 @@ def test_create_function_sql_macros(spark, client):
     for f in ("twice8", "ym8"):
         client.execute_ch(f"DROP FUNCTION IF EXISTS {f}")
     spark.sql("DROP TABLE IF EXISTS st8.macro_t")
+
+
+def test_show_engines_merges_describe_system_and_cache_noops(client):
+    """Round 8: SHOW ENGINES lists the accepted engine families with
+    honest feature flags; SHOW MERGES = the (empty, eager-merge)
+    system.merges; DESCRIBE system.<t> reports the relation schema;
+    SYSTEM DROP <server-internal> CACHE verbs are documented no-ops."""
+    eng = {r.name for r in client.query_ch("SHOW ENGINES").collect()}
+    assert {"MergeTree", "Join", "Kafka", "FileLog"} <= eng
+    assert client.query_ch("SHOW MERGES").count() == 0
+    d = {r.name: r.type for r in client.query_ch(
+        "DESCRIBE TABLE system.one"
+    ).collect()}
+    assert d == {"dummy": "tinyint"}
+    cols = {r.name for r in client.query_ch(
+        "DESC system.dictionaries"
+    ).collect()}
+    assert {"database", "name", "status", "key"} <= cols
+    assert client.query_ch("SYSTEM DROP DNS CACHE").count() == 0
+    assert client.query_ch("SYSTEM DROP MARK CACHE").count() == 0
+    assert client.query_ch("SYSTEM DROP UNCOMPRESSED CACHE").count() == 0

@@ -54,7 +54,8 @@ _SYSTEM_SQL_RE = re.compile(
     r"(?i)\bsystem\s*\.\s*"
     r"(numbers_mt|numbers|one|databases|tables|columns|query_log|"
     r"functions|settings|parts|processes|metrics|events|merges|"
-    r"dropped_tables|detached_tables|detached_parts|dictionaries)\b"
+    r"dropped_tables|detached_tables|detached_parts|dictionaries|"
+    r"view_refreshes)\b"
 )
 
 
@@ -1059,9 +1060,12 @@ class Client:
             r"(?is)^\s*CREATE\s+MATERIALIZED\s+VIEW\s+"
             r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"
+            r"(?:REFRESH\s+(?P<refresh>(?:EVERY|AFTER)\s+\d+\s+\w+"
+            r"(?:\s+\d+\s+\w+)*)\s*)?"
             r"(?:TO\s+(?P<to>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*)?"
             r"(?:ENGINE\s*=\s*(?P<engine>\w+)(?:\([^)]*\))?\s*)?"
             r"(?:ORDER\s+BY\s+(?P<order>.*?)\s*)?"
+            r"(?P<empty>EMPTY\s+)?"
             r"(?P<populate>POPULATE\s+)?AS\s+(?P<select>SELECT\b.*?)\s*;?\s*$",
             ch_sql,
         )
@@ -1076,6 +1080,24 @@ class Client:
             # MV machinery runs this SELECT outside _run — register
             # any lazily-created ch_* UDFs it references first
             self._ensure_udfs_for(spark_select)
+            if m.group("refresh"):
+                # refreshable MV (not insert-triggered): any SELECT
+                # shape, whole-result replace on SYSTEM REFRESH VIEW
+                from clickhouse_arrow_spark.matview import (
+                    create_refreshable_view,
+                )
+
+                target = (
+                    m.group("to").replace("`", "")
+                    if m.group("to") else name
+                )
+                create_refreshable_view(
+                    self.spark, target, spark_select,
+                    " ".join(m.group("refresh").upper().split()),
+                    empty=bool(m.group("empty")),
+                    to_existing=bool(m.group("to")),
+                )
+                return None
             msrc = _re.search(
                 r"(?is)\bFROM\s+((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)",
                 spark_select,
@@ -1432,6 +1454,39 @@ class Client:
             # caches (DNS/mark/uncompressed/...) are ClickHouse server
             # internals with no Spark analogue to clear (the QUERY
             # cache, which DOES exist here, has its own handler)
+            return None
+        m = _re.match(
+            r"(?is)^\s*SYSTEM\s+(REFRESH|WAIT)\s+VIEW\s+([\w.`]+)"
+            r"\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            from clickhouse_arrow_spark.matview import refresh_view
+
+            target = m.group(2).replace("`", "")
+            if m.group(1).upper() == "REFRESH":
+                refresh_view(self.spark, target)
+            else:
+                # refreshes here are synchronous — WAIT just validates
+                # the view is refreshable (CH blocks until a running
+                # refresh finishes)
+                from clickhouse_arrow_spark.ddl import _table_props
+
+                if ("clickhouse_arrow_spark.mv_refresh"
+                        not in _table_props(self.spark, target)):
+                    raise SchemaError(
+                        f"SYSTEM WAIT VIEW: {target} is not a "
+                        "refreshable materialized view"
+                    )
+            return None
+        if _re.match(
+            r"(?is)^\s*SYSTEM\s+(STOP|START)\s+(?:REPLICATED\s+)?"
+            r"VIEWS?(?:\s+[\w.`]+)?\s*;?\s*$",
+            ch_sql,
+        ):
+            # no in-session scheduler to pause: schedules are metadata
+            # for the orchestrator; refreshes only run on SYSTEM
+            # REFRESH VIEW — documented no-op
             return None
         if _re.match(r"(?is)^\s*GRANT\b", ch_sql):
             import warnings
@@ -2545,6 +2600,64 @@ class Client:
                 "database string, table string, uuid string, "
                 "metadata_dropped_path string, "
                 "table_dropped_time timestamp",
+            )
+        elif name == "view_refreshes":
+            # one row per refreshable materialized view: recorded
+            # schedule, last manual refresh, and the next due time
+            # computed from the EVERY interval (an orchestrator reads
+            # this to drive SYSTEM REFRESH VIEW)
+            import datetime
+
+            from clickhouse_arrow_spark.ddl import _table_props
+
+            unit_s = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600,
+                      "DAY": 86400, "WEEK": 604800}
+            rows = []
+            for d in self.spark.catalog.listDatabases():
+                try:
+                    tables = self.spark.catalog.listTables(d.name)
+                except Exception:
+                    continue
+                for t in tables:
+                    if t.isTemporary or not t.database:
+                        continue
+                    try:
+                        props = _table_props(
+                            self.spark, f"{t.database}.{t.name}"
+                        )
+                    except Exception:
+                        continue
+                    sched = props.get(
+                        "clickhouse_arrow_spark.mv_refresh"
+                    )
+                    if not sched:
+                        continue
+                    last_raw = props.get(
+                        "clickhouse_arrow_spark.mv_last_refresh"
+                    )
+                    last = (
+                        datetime.datetime.fromtimestamp(int(last_raw))
+                        if last_raw else None
+                    )
+                    nxt = None
+                    pm = re.match(
+                        r"(?i)EVERY\s+(\d+)\s+(\w+)", sched
+                    )
+                    if pm and last is not None:
+                        secs = unit_s.get(pm.group(2).upper().rstrip("S"))
+                        if secs:
+                            nxt = last + datetime.timedelta(
+                                seconds=int(pm.group(1)) * secs
+                            )
+                    rows.append((
+                        t.database, t.name, "Scheduled", sched,
+                        last, nxt,
+                    ))
+            df = self.spark.createDataFrame(
+                rows,
+                "database string, view string, status string, "
+                "refresh_schedule string, last_refresh_time timestamp, "
+                "next_refresh_time timestamp",
             )
         elif name == "dictionaries":
             # catalog tables carrying the dictionary marker property

@@ -164,3 +164,65 @@ def propagate_insert(
     finally:
         spark.catalog.dropTempView(block_view)
     return len(views)
+
+
+def create_refreshable_view(
+    spark: SparkSession,
+    target: str,
+    select_sql: str,
+    schedule: str,
+    empty: bool = False,
+    to_existing: bool = False,
+) -> str:
+    """CREATE MATERIALIZED VIEW ... REFRESH EVERY/AFTER <interval>
+    (ClickHouse refreshable MVs): NOT insert-triggered — the query
+    re-runs as a whole and REPLACES the target's contents. Unlike the
+    trigger form, the SELECT may read any number of tables (that is
+    the feature's point). There is no in-session scheduler: the
+    recorded schedule is metadata for the orchestrator, and refreshes
+    run on `SYSTEM REFRESH VIEW name` (CH's manual trigger; the
+    initial refresh happens at creation unless EMPTY, like CH)."""
+    if not to_existing:
+        db = target.split(".")[0] if "." in target else "default"
+        probe = spark.sql(select_sql).limit(0)
+        spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+        spark.sql(f"DROP TABLE IF EXISTS {target}")
+        try:
+            probe.write.format("parquet").saveAsTable(target)
+        except Exception as e:
+            from clickhouse_arrow_spark.ddl import _drop_orphan_location
+
+            if not _drop_orphan_location(spark, e):
+                raise
+            probe.write.format("parquet").saveAsTable(target)
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_query",
+              select_sql)
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_refresh",
+              schedule)
+    if not empty:
+        refresh_view(spark, target)
+    return target
+
+
+def refresh_view(spark: SparkSession, target: str) -> int:
+    """SYSTEM REFRESH VIEW: re-run the recorded query and REPLACE the
+    target's contents (stage-and-overwrite — the query may read the
+    target's current content). Returns the new row count and stamps
+    last_refresh_time for system.view_refreshes."""
+    import time
+
+    props = _props(spark, target)
+    sql = props.get("clickhouse_arrow_spark.mv_query")
+    if sql is None or "clickhouse_arrow_spark.mv_refresh" not in props:
+        raise SchemaError(
+            f"SYSTEM REFRESH VIEW: {target} is not a refreshable "
+            "materialized view (create it with REFRESH EVERY/AFTER; "
+            "insert-triggered MVs update on INSERT, nothing to refresh)"
+        )
+    from clickhouse_arrow_spark.ddl import _rewrite_rows
+
+    df = spark.sql(sql)
+    _rewrite_rows(spark, target, df)
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_last_refresh",
+              str(int(time.time())))
+    return spark.table(target).count()

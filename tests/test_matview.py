@@ -175,3 +175,72 @@ def test_textual_create_materialized_view_forms(client, spark):
     finally:
         for t in ("src", "mv1", "tgt"):
             spark.sql(f"DROP TABLE IF EXISTS mvtx.{t}")
+
+
+def test_refreshable_materialized_view(spark, client):
+    """Round 8: CREATE MATERIALIZED VIEW ... REFRESH EVERY n unit —
+    NOT insert-triggered; the whole query re-runs and replaces the
+    target on SYSTEM REFRESH VIEW. Multi-table SELECTs allowed (the
+    feature's point); EMPTY skips the initial refresh; schedule and
+    refresh times surface in system.view_refreshes."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS mv8")
+    for t in ("mv8.src_a", "mv8.src_b", "mv8.rv", "mv8.rv_empty"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        "CREATE TABLE mv8.src_a (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "CREATE TABLE mv8.src_b (k Int64, v Int64) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO mv8.src_a VALUES (1), (2)")
+    client.execute_ch(
+        "INSERT INTO mv8.src_b VALUES (1, 10), (2, 20)"
+    )
+    # multi-table join SELECT — impossible for trigger MVs
+    client.execute_ch(
+        "CREATE MATERIALIZED VIEW mv8.rv REFRESH EVERY 1 HOUR AS "
+        "SELECT a.k AS k, b.v AS v FROM mv8.src_a a "
+        "JOIN mv8.src_b b ON a.k = b.k"
+    )
+    # initial refresh ran at creation
+    assert {(r.k, r.v) for r in spark.table("mv8.rv").collect()} \
+        == {(1, 10), (2, 20)}
+    # inserts do NOT propagate (not a trigger MV) ...
+    client.execute_ch("INSERT INTO mv8.src_b VALUES (3, 30)")
+    client.execute_ch("INSERT INTO mv8.src_a VALUES (3)")
+    assert spark.table("mv8.rv").count() == 2
+    # ... until an explicit refresh replaces the contents
+    client.execute_ch("SYSTEM REFRESH VIEW mv8.rv")
+    assert spark.table("mv8.rv").count() == 3
+    # visible in system.view_refreshes with a computed next time
+    [row] = client.query_ch(
+        "SELECT refresh_schedule, last_refresh_time, "
+        "next_refresh_time FROM system.view_refreshes "
+        "WHERE database = 'mv8' AND view = 'rv'"
+    ).collect()
+    assert row.refresh_schedule == "EVERY 1 HOUR"
+    assert row.last_refresh_time is not None
+    assert (row.next_refresh_time - row.last_refresh_time
+            ).total_seconds() == 3600
+    # EMPTY skips the initial refresh
+    client.execute_ch(
+        "CREATE MATERIALIZED VIEW mv8.rv_empty REFRESH AFTER 30 MINUTE "
+        "EMPTY AS SELECT k FROM mv8.src_a"
+    )
+    assert spark.table("mv8.rv_empty").count() == 0
+    client.execute_ch("SYSTEM WAIT VIEW mv8.rv_empty")
+    client.execute_ch("SYSTEM REFRESH VIEW mv8.rv_empty")
+    assert spark.table("mv8.rv_empty").count() == 3
+    # STOP/START VIEWS are documented no-ops; refreshing a
+    # non-refreshable table refuses
+    client.execute_ch("SYSTEM STOP VIEWS")
+    client.execute_ch("SYSTEM START VIEW mv8.rv")
+    with _pt.raises(SchemaError, match="not a refreshable"):
+        client.execute_ch("SYSTEM REFRESH VIEW mv8.src_a")
+    for t in ("mv8.rv", "mv8.rv_empty", "mv8.src_a", "mv8.src_b"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

@@ -941,7 +941,8 @@ class Client:
                 )
             return None
         m = _re.match(
-            r"(?is)^\s*CREATE\s+FUNCTION\s+(?:(IF\s+NOT\s+EXISTS)\s+)?"
+            r"(?is)^\s*CREATE\s+(?:(OR\s+REPLACE)\s+)?FUNCTION\s+"
+            r"(?:(IF\s+NOT\s+EXISTS)\s+)?"
             r"(`?\w+`?)\s+AS\s+(?:\(\s*([\w\s,]*?)\s*\)|(\w+))\s*->"
             r"\s*(.+?);?\s*$",
             ch_sql,
@@ -955,27 +956,29 @@ class Client:
                 known_ch_functions,
             )
 
-            fname = m.group(2).strip("`")
+            or_replace = bool(m.group(1))
+            fname = m.group(3).strip("`")
             macros = self.__dict__.setdefault("_sql_macros", {})
             if fname in known_ch_functions():
                 raise QueryError(
                     f"CREATE FUNCTION {fname}: the name collides with "
                     "a built-in function (CH refuses this too)"
                 )
-            if fname in macros and not m.group(1):
+            if fname in macros and not m.group(2) and not or_replace:
                 raise QueryError(
                     f"CREATE FUNCTION: {fname} already exists — DROP "
-                    "FUNCTION it first, or use IF NOT EXISTS"
+                    "FUNCTION it first, or use OR REPLACE / "
+                    "IF NOT EXISTS"
                 )
-            if fname not in macros:
+            if fname not in macros or or_replace:
                 params_raw = (
-                    m.group(3) if m.group(3) is not None else m.group(4)
+                    m.group(4) if m.group(4) is not None else m.group(5)
                 )
                 params = [
                     p.strip() for p in (params_raw or "").split(",")
                     if p.strip()
                 ]
-                body = m.group(5).strip()
+                body = m.group(6).strip()
                 if _re.search(rf"\b{_re.escape(fname)}\s*\(", body):
                     raise QueryError(
                         f"CREATE FUNCTION {fname}: recursive "
@@ -1061,7 +1064,7 @@ class Client:
             r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"
             r"(?:REFRESH\s+(?P<refresh>(?:EVERY|AFTER)\s+\d+\s+\w+"
-            r"(?:\s+\d+\s+\w+)*)\s*)?"
+            r"(?:\s+\d+\s+\w+)*)\s+(?:(?P<rappend>APPEND)\s+)?)?"
             r"(?:TO\s+(?P<to>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*)?"
             r"(?:ENGINE\s*=\s*(?P<engine>\w+)(?:\([^)]*\))?\s*)?"
             r"(?:ORDER\s+BY\s+(?P<order>.*?)\s*)?"
@@ -1096,6 +1099,7 @@ class Client:
                     " ".join(m.group("refresh").upper().split()),
                     empty=bool(m.group("empty")),
                     to_existing=bool(m.group("to")),
+                    append=bool(m.group("rappend")),
                 )
                 return None
             msrc = _re.search(

@@ -173,6 +173,7 @@ def create_refreshable_view(
     schedule: str,
     empty: bool = False,
     to_existing: bool = False,
+    append: bool = False,
 ) -> str:
     """CREATE MATERIALIZED VIEW ... REFRESH EVERY/AFTER <interval>
     (ClickHouse refreshable MVs): NOT insert-triggered — the query
@@ -199,6 +200,8 @@ def create_refreshable_view(
               select_sql)
     _set_prop(spark, target, "clickhouse_arrow_spark.mv_refresh",
               schedule)
+    _set_prop(spark, target, "clickhouse_arrow_spark.mv_refresh_mode",
+              "APPEND" if append else "REPLACE")
     if not empty:
         refresh_view(spark, target)
     return target
@@ -222,7 +225,13 @@ def refresh_view(spark: SparkSession, target: str) -> int:
     from clickhouse_arrow_spark.ddl import _rewrite_rows
 
     df = spark.sql(sql)
-    _rewrite_rows(spark, target, df)
+    if props.get(
+        "clickhouse_arrow_spark.mv_refresh_mode"
+    ) == "APPEND":
+        # REFRESH ... APPEND accumulates instead of replacing
+        df.write.mode("append").insertInto(target)
+    else:
+        _rewrite_rows(spark, target, df)
     _set_prop(spark, target, "clickhouse_arrow_spark.mv_last_refresh",
               str(int(time.time())))
     return spark.table(target).count()

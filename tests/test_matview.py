@@ -244,3 +244,30 @@ def test_refreshable_materialized_view(spark, client):
         client.execute_ch("SYSTEM REFRESH VIEW mv8.src_a")
     for t in ("mv8.rv", "mv8.rv_empty", "mv8.src_a", "mv8.src_b"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_refreshable_view_append_and_or_replace_function(spark, client):
+    """Round 8 follow-ups: REFRESH ... APPEND accumulates instead of
+    replacing; CREATE OR REPLACE FUNCTION swaps a macro in place."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS mv8")
+    for t in ("mv8.src_ap", "mv8.rv_ap"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    client.execute_ch(
+        "CREATE TABLE mv8.src_ap (k Int64) ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO mv8.src_ap VALUES (1)")
+    client.execute_ch(
+        "CREATE MATERIALIZED VIEW mv8.rv_ap REFRESH EVERY 10 MINUTE "
+        "APPEND AS SELECT k, 1 AS gen FROM mv8.src_ap"
+    )
+    assert spark.table("mv8.rv_ap").count() == 1
+    client.execute_ch("SYSTEM REFRESH VIEW mv8.rv_ap")
+    assert spark.table("mv8.rv_ap").count() == 2  # appended, not replaced
+    client.execute_ch("DROP FUNCTION IF EXISTS orr8")
+    client.execute_ch("CREATE FUNCTION orr8 AS x -> x + 1")
+    assert client.query_ch("SELECT orr8(1) AS r").collect()[0].r == 2
+    client.execute_ch("CREATE OR REPLACE FUNCTION orr8 AS x -> x * 10")
+    assert client.query_ch("SELECT orr8(2) AS r").collect()[0].r == 20
+    client.execute_ch("DROP FUNCTION orr8")
+    for t in ("mv8.rv_ap", "mv8.src_ap"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

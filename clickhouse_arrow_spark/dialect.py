@@ -1877,10 +1877,25 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"timestampadd({unit}, {n}, {a[2]})"
 
         return date_addsub
-    if name in ("intDivOrZero", "moduloOrZero"):
-        op = "DIV" if name == "intDivOrZero" else "%"
+    if name in ("intDiv", "intDivOrZero"):
+        # CH rounds the quotient DOWN (toward -inf: intDiv(-7, 2) =
+        # -4); Spark's DIV truncates toward zero (-3) — they differ on
+        # every negative inexact quotient. Floor division in pure
+        # integer arithmetic (no double round-trip: exact past 2^53).
+        def intdiv_fmt(a: Args, _oz=(name == "intDivOrZero")) -> str:
+            A, B = f"({a[0]})", f"({a[1]})"
+            q = (
+                f"({A} DIV {B} - (CASE WHEN {A} % {B} != 0 "
+                f"AND (({A} < 0) != ({B} < 0)) THEN 1 ELSE 0 END))"
+            )
+            if _oz:
+                return f"(CASE WHEN {B} = 0 THEN 0 ELSE {q} END)"
+            return q
+
+        return intdiv_fmt
+    if name == "moduloOrZero":
         return lambda a: (
-            f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) {op} ({a[1]}) END"
+            f"CASE WHEN ({a[1]}) = 0 THEN 0 ELSE ({a[0]}) % ({a[1]}) END"
         )
     if name in ("countSubstrings", "countSubstringsCaseInsensitive"):
         def count_subs(a: Args, _ci=(name.endswith("Insensitive"))) -> str:

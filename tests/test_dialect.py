@@ -588,8 +588,8 @@ def test_sample_executes(client):
             "SELECT timestampadd(MONTH, -(2), d)",
         ),
         (
-            "SELECT intDivOrZero(a, b)",
-            "SELECT CASE WHEN (b) = 0 THEN 0 ELSE (a) DIV (b) END",
+            "SELECT moduloOrZero(a, b)",
+            "SELECT CASE WHEN (b) = 0 THEN 0 ELSE (a) % (b) END",
         ),
         (
             "SELECT countSubstrings(h, 'ab')",

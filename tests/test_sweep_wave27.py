@@ -88,3 +88,23 @@ def test_wave28_stragglers(spark, client):
             "SELECT throwIf(x > 1, 'big') AS r FROM "
             "(SELECT arrayJoin([1, 2]) AS x)"
         ).collect()
+
+
+def test_intdiv_floors_toward_negative_infinity(client):
+    """CH intDiv rounds the quotient DOWN (doc: 'rounded down to the
+    nearest integer'); Spark's DIV truncates toward zero — the old
+    rename silently returned -3 for intDiv(-7, 2)."""
+    assert one(client, "SELECT intDiv(-7, 2) AS r") == -4
+    assert one(client, "SELECT intDiv(7, 2) AS r") == 3
+    assert one(client, "SELECT intDiv(7, -2) AS r") == -4
+    assert one(client, "SELECT intDiv(-7, -2) AS r") == 3
+    assert one(client, "SELECT intDiv(-8, 2) AS r") == -4  # exact stays
+    assert one(client, "SELECT intDivOrZero(-7, 2) AS r") == -4
+    assert one(client, "SELECT intDivOrZero(5, 0) AS r") == 0
+    # identity spot-check over a signed grid
+    rows = client.query_ch(
+        "SELECT number - 10 AS a, intDiv(number - 10, 3) AS q "
+        "FROM numbers(21)"
+    ).collect()
+    import math
+    assert all(r.q == math.floor(r.a / 3) for r in rows)

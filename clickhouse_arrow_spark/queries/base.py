@@ -112,7 +112,9 @@ _GATE_ALIASES: dict[str, str] = {
         # round-8 rotation #3: wave18 out (judge-verified r6/r7; see
         # ROTATION.md), wave27 in
         "util_sweep_wave27",
-        "util_sweep_wave19",
+        # round-8 rotation #4: wave19 out (judge-verified r6/r7; see
+        # ROTATION.md), the CREATE FUNCTION macro gate in
+        "util_sql_udf_macro",
         "util_sweep_wave20",
         "util_sweep_wave21",
         "util_star_apply_join",

@@ -5065,6 +5065,37 @@ def q_util_sweep_wave26(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sql_udf_macro",
+    """
+    SELECT o_orderstatus AS s,
+           round(sum(o_totalprice * 2 + 1), 2) AS v,
+           CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY s ORDER BY s
+    """,
+    doc="CREATE FUNCTION SQL macros (round 8) attested end-to-end: "
+    "the gate creates `cas_macro8 AS (x) -> x * 2 + 1` through the "
+    "statement router, uses it inside an aggregate over orders, and "
+    "the DuckDB oracle computes the EXPANDED expression inline — the "
+    "values match only if expansion, parenthesization and translation "
+    "all compose.",
+    tags=("dialect", "statements", "udf"),
+)
+def q_util_sql_udf_macro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    c = Client(spark)
+    c.execute_ch(
+        "CREATE OR REPLACE FUNCTION cas_macro8 AS (x) -> x * 2 + 1"
+    )
+    return c.query_ch(
+        "SELECT o_orderstatus AS s, "
+        "round(sum(cas_macro8(o_totalprice)), 2) AS v, "
+        "CAST(count(*) AS Int64) AS n "
+        "FROM orders GROUP BY s ORDER BY s"
+    )
+
+
+@register(
     "util_sweep_wave27",
     """
     SELECT CAST(3 AS BIGINT) AS loc,

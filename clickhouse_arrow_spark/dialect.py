@@ -225,6 +225,9 @@ _OPERATOR_BACKED: dict[str, str] = {
     # deprecated CH block-order functions: order is undefined on any
     # distributed read — the deterministic equivalents are windows
     "runningDifference": "lag() OVER (ORDER BY <explicit order>)",
+    "runningDifferenceStartingWithFirstValue": (
+        "x - lag(x, 1, x) OVER (ORDER BY <explicit order>)"
+    ),
     "runningAccumulate": "sum() OVER (ORDER BY <explicit order>)",
     "neighbor": "lead()/lag() OVER (ORDER BY <explicit order>)",
     "nonNegativeDerivative": (
@@ -2172,6 +2175,51 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # are exactly this behavior)
         idx = "1" if name.startswith("arrayFirst") else "-1"
         return lambda a: f"try_element_at(filter({a[1]}, {a[0]}), {idx})"
+    if name in ("tumble", "tumbleStart", "tumbleEnd"):
+        # WINDOW VIEW tumbling helpers (CH time-window functions):
+        # tumbleStart = toStartOfInterval; tumbleEnd = start + the
+        # interval; tumble = the (start, end) tuple
+        def tumble_fmt(a: Args, _n=name) -> str:
+            base = _fmt("toStartOfInterval")(a)
+            m2 = re.match(
+                r"(?i)INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", a[1].strip()
+            )
+            if not m2:
+                raise UntranslatableFunctionError(
+                    f"{_n}(time, INTERVAL n unit): the window size "
+                    "must be an INTERVAL literal"
+                )
+            end = (
+                f"({base} + INTERVAL {m2.group(1)} {m2.group(2)})"
+            )
+            if _n == "tumbleStart":
+                return base
+            if _n == "tumbleEnd":
+                return end
+            return f"struct({base}, {end})"
+
+        return tumble_fmt
+    if name == "rand64":
+        # uniform 63-bit value (CH spans the full UInt64; random
+        # values carry no cross-engine parity anyway)
+        return lambda a: (
+            "CAST(floor(rand() * 9.223372036854775e18) AS BIGINT)"
+        )
+    if name in ("shardNum", "shardCount"):
+        # the one logical cluster (SHOW CLUSTERS): Spark owns physical
+        # distribution below the SQL surface
+        return lambda a: "1"
+    if name in ("currentProfiles", "enabledProfiles",
+                "defaultProfiles", "currentRoles", "enabledRoles",
+                "defaultRoles"):
+        # no ACL layer (GRANT/SHOW ROLES are documented no-ops/empties)
+        return lambda a: "CAST(array() AS ARRAY<STRING>)"
+    if name == "getOSKernelVersion":
+        import platform
+
+        return lambda a: (
+            f"'{platform.system()} {platform.release()}'"
+        )
     if name == "makeDateTime64":
         # (y, m, d, h, mi, s [, fraction [, precision]]): the fraction
         # scales by 10^-precision (default 3) into the seconds operand;

@@ -108,3 +108,28 @@ def test_intdiv_floors_toward_negative_infinity(client):
     ).collect()
     import math
     assert all(r.q == math.floor(r.a / 3) for r in rows)
+
+
+def test_wave29_leftovers(client):
+    """Final round-8 sweep: tumbling window helpers, rand64 range,
+    shard identity, role/profile empties, kernel version literal."""
+    assert str(one(client, "SELECT tumbleStart(toDateTime("
+               "'2020-01-01 00:05:00'), INTERVAL 10 MINUTE) AS r")) \
+        == "2020-01-01 00:00:00"
+    assert str(one(client, "SELECT tumbleEnd(toDateTime("
+               "'2020-01-01 00:05:00'), INTERVAL 10 MINUTE) AS r")) \
+        == "2020-01-01 00:10:00"
+    t = one(client, "SELECT tumble(toDateTime('2020-01-01 00:05:00'),"
+            " INTERVAL 1 HOUR) AS r")
+    assert str(t[0]) == "2020-01-01 00:00:00"
+    assert str(t[1]) == "2020-01-01 01:00:00"
+    assert one(client, "SELECT rand64() >= 0 AS r") is True
+    assert one(client, "SELECT shardNum() AS r") == 1
+    assert one(client, "SELECT shardCount() AS r") == 1
+    assert list(one(client, "SELECT currentRoles() AS r")) == []
+    assert list(one(client, "SELECT currentProfiles() AS r")) == []
+    v = one(client, "SELECT getOSKernelVersion() AS r")
+    assert v.startswith("Linux")
+    # numbers(offset, count) form
+    assert one(client, "SELECT min(number) AS r "
+               "FROM numbers(10, 5)") == 10

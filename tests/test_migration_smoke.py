@@ -1003,3 +1003,59 @@ def test_migration_script_round8_ops_runbook(ch, spark, tmp_path):
         DROP DATABASE opsdb;
         """
     )
+
+
+def test_migration_script_round8b_session_features(ch, spark):
+    """Second round-8 runbook: the session-feature statements chain in
+    ONE script — CREATE FUNCTION -> use in DDL+DML, input() transform
+    INSERT, skip-index lifecycle, MODIFY QUERY re-point, refreshable
+    MV cycle, EXCHANGE — leaving exactly the expected state."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS mig8b")
+    for t in ("mig8b.raw", "mig8b.tgt", "mig8b.rv"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
+    n = ch.execute_script(
+        """
+        CREATE OR REPLACE FUNCTION mig8b_score AS (x) -> x * 3 + 1;
+
+        CREATE TABLE mig8b.raw (k Int64, s Int64)
+          ENGINE = MergeTree ORDER BY k;
+
+        -- transform-during-insert through input()
+        INSERT INTO mig8b.raw SELECT id AS k, mig8b_score(id) AS s
+        FROM input('id Int64') FORMAT JSONEachRow
+        {"id": 1}
+        {"id": 2}
+        {"id": 3};
+
+        -- skip-index lifecycle on the ingested data
+        ALTER TABLE mig8b.raw ADD INDEX k_idx k TYPE bloom_filter;
+        ALTER TABLE mig8b.raw MATERIALIZE INDEX k_idx;
+
+        -- trigger MV, then re-point it with MODIFY QUERY
+        CREATE TABLE mig8b.tgt (k Int64) ENGINE = MergeTree ORDER BY k;
+        CREATE MATERIALIZED VIEW mig8b.mv TO mig8b.tgt AS
+          SELECT k FROM mig8b.raw;
+        INSERT INTO mig8b.raw VALUES (10, 31);
+        ALTER TABLE mig8b.tgt MODIFY QUERY
+          SELECT k * 100 AS k FROM mig8b.raw;
+        INSERT INTO mig8b.raw VALUES (20, 61);
+
+        -- refreshable MV over the whole table
+        CREATE MATERIALIZED VIEW mig8b.rv REFRESH EVERY 1 HOUR AS
+          SELECT count(*) AS n, sum(s) AS total FROM mig8b.raw;
+
+        DROP FUNCTION mig8b_score;
+        """
+    )
+    assert n == 12
+    raw = {(r.k, r.s) for r in spark.table("mig8b.raw").collect()}
+    assert (1, 4) in raw and (3, 10) in raw and len(raw) == 5
+    # MV fired once before and once after the MODIFY QUERY
+    assert {r.k for r in spark.table("mig8b.tgt").collect()} \
+        == {10, 2000}
+    [rv] = spark.table("mig8b.rv").collect()
+    assert rv.n == 5 and rv.total == 4 + 7 + 10 + 31 + 61
+    ch.execute_ch("SYSTEM REFRESH VIEW mig8b.rv")
+    assert spark.table("mig8b.rv").count() == 1
+    for t in ("mig8b.mv", "mig8b.rv", "mig8b.raw", "mig8b.tgt"):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

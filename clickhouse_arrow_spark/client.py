@@ -96,6 +96,34 @@ def _ch_variant_type_name(row) -> str:
     return _CH_CASING.get(raw, raw)
 
 
+def _ch_variant_element_text(row, want: str) -> str | None:
+    """`variantElement(v, 'Type')` kernel: the active branch's value
+    as text when its CH type name matches `want`, else None. The
+    dialect re-types the text via the CH->Spark bridge (atomic
+    branches only)."""
+    if row is None or want is None:
+        return None
+    try:
+        fields = list(row.__fields__)
+        tag = row[0]
+    except (AttributeError, IndexError, TypeError):
+        return None
+    if tag is None:
+        return None
+    idx = int(tag) + 1
+    if not 1 <= idx < len(fields):
+        return None
+    raw = fields[idx].split("_", 1)[-1]
+    if _CH_CASING.get(raw, raw) != want and raw != want:
+        return None
+    v = row[idx]
+    if v is None:
+        return None
+    if isinstance(v, bool):
+        return "true" if v else "false"
+    return str(v)
+
+
 @dataclass(frozen=True)
 class QueryOptions:
     """Umbrella options (reference QueryOptions, src/explain.rs:423-487):
@@ -2864,6 +2892,9 @@ class Client:
         if self.__dict__.get("_variant_udf_registered"):
             return
         self.spark.udf.register("ch_variant_type", _ch_variant_type_name, "string")
+        self.spark.udf.register(
+            "ch_variant_element", _ch_variant_element_text, "string"
+        )
         self._variant_udf_registered = True
 
     def _ensure_normalize_udfs(self) -> None:
@@ -3162,7 +3193,7 @@ class Client:
         translate_ch_sql — plain queries, INSERT INTO ... SELECT,
         CREATE ... AS SELECT, execute_script — sees them registered,
         not just query_ch."""
-        if "ch_variant_type(" in sql:
+        if "ch_variant_type(" in sql or "ch_variant_element(" in sql:
             self._ensure_variant_udf()
         if "ch_normalize_" in sql:
             self._ensure_normalize_udfs()

@@ -112,8 +112,8 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",
     "groupBitXor": "bit_xor",
-    "bitShiftLeft": "shiftleft",
-    "bitShiftRight": "shiftright",
+    # bitShiftLeft/bitShiftRight get a formatter (shift >= 64 is 0 in
+    # CH; Spark's shiftleft masks the shift amount mod 64)
     # arrays / maps / structs
     "arrayIntersect": "array_intersect",
     "hasAny": "arrays_overlap",
@@ -381,6 +381,55 @@ _OPERATOR_BACKED: dict[str, str] = {
         "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
         "slot aggregation + glyph render, no Python"
     ),
+    "kostikConsistentHash": (
+        "jumpConsistentHash(key, n) — the published Lamping-Veach jump "
+        "hash; Kostik's bucket walk has no spec outside the CH source, "
+        "so a rename would silently re-bucket every key"
+    ),
+    "yandexConsistentHash": (
+        "jumpConsistentHash(key, n) — the published Lamping-Veach jump "
+        "hash; this algorithm has no spec outside the CH source"
+    ),
+    "encrypt": (
+        "no AES primitive in Spark SQL or the Python stdlib: run an "
+        "external crypto lib (e.g. pycryptodome) in a mapInPandas "
+        "stage over the binary column"
+    ),
+    "decrypt": (
+        "no AES primitive in Spark SQL or the Python stdlib: run an "
+        "external crypto lib (e.g. pycryptodome) in a mapInPandas "
+        "stage over the binary column"
+    ),
+    "tryDecrypt": (
+        "no AES primitive in Spark SQL or the Python stdlib: run an "
+        "external crypto lib in a mapInPandas stage, returning None "
+        "on failure"
+    ),
+    "aes_encrypt_mysql": (
+        "no AES primitive in Spark SQL or the Python stdlib: run an "
+        "external crypto lib in a mapInPandas stage"
+    ),
+    "aes_decrypt_mysql": (
+        "no AES primitive in Spark SQL or the Python stdlib: run an "
+        "external crypto lib in a mapInPandas stage"
+    ),
+    "exponentialTimeDecayedSum": (
+        "ordered-window fold: sum(v_i * exp(-(t - t_i) / lambda)) via "
+        "collect_list over an ORDER BY window + aggregate(); or "
+        "operators/timeseries exponential smoothing"
+    ),
+    "exponentialTimeDecayedAvg": (
+        "ordered-window fold: decayed sum / decayed count via "
+        "collect_list over an ORDER BY window + aggregate()"
+    ),
+    "exponentialTimeDecayedMax": (
+        "ordered-window fold: max(v_i * exp(-(t - t_i) / lambda)) via "
+        "collect_list over an ORDER BY window + aggregate()"
+    ),
+    "exponentialTimeDecayedCount": (
+        "ordered-window fold: sum(exp(-(t - t_i) / lambda)) via "
+        "collect_list over an ORDER BY window + aggregate()"
+    ),
 }
 
 #: ClickHouse hash functions with NO value-identical Spark equivalent.
@@ -406,6 +455,9 @@ _ENGINE_HASHES = (
     "murmurHash3_128",
     "metroHash64",
     "gccMurmurHash",
+    # sipHash128 of the whitespace/literal-normalized query text
+    "normalizedQueryHash",
+    "normalizedQueryHashKeepNames",
 )
 
 
@@ -586,16 +638,41 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return _fmt_cast("DATE")
     if name == "toDateTime":
         return _fmt_cast("TIMESTAMP")
-    if name in ("toInt8",):
-        return _fmt_cast("TINYINT")
-    if name in ("toInt16", "toUInt8"):
-        return _fmt_cast("SMALLINT")
-    if name in ("toInt32", "toUInt16"):
-        return _fmt_cast("INT")
-    if name in ("toInt64", "toUInt32"):
+    # CH integer conversions WRAP out-of-range numeric input mod 2^width
+    # (toUInt8(300) = 44, toInt8(128) = -128) where Spark's ANSI cast
+    # raises CAST_OVERFLOW — wave-30 probe finding. pmod reproduces the
+    # two's-complement wrap; float input truncates toward zero first
+    # (both engines agree there).
+    _WRAP_SIGNED = {
+        "toInt8": (256, 128, "TINYINT"),
+        "toInt16": (65536, 32768, "SMALLINT"),
+        "toInt32": (4294967296, 2147483648, "INT"),
+    }
+    _WRAP_UNSIGNED = {
+        "toUInt8": (256, "SMALLINT"),
+        "toUInt16": (65536, "INT"),
+        "toUInt32": (4294967296, "BIGINT"),
+    }
+    if name in _WRAP_SIGNED:
+        mod, half, ty = _WRAP_SIGNED[name]
+        return lambda a: (
+            f"CAST(pmod(CAST({a[0]} AS BIGINT) + {half}, {mod}) "
+            f"- {half} AS {ty})"
+        )
+    if name in _WRAP_UNSIGNED:
+        mod, ty = _WRAP_UNSIGNED[name]
+        return lambda a: (
+            f"CAST(pmod(CAST({a[0]} AS BIGINT), {mod}) AS {ty})"
+        )
+    if name in ("toInt64",):
         return _fmt_cast("BIGINT")
     if name == "toUInt64":
-        return _fmt_cast("DECIMAL(20, 0)")
+        # negative input wraps into [2^63, 2^64): decimal pmod keeps
+        # the full unsigned range
+        return lambda a: (
+            f"CAST(pmod(CAST({a[0]} AS DECIMAL(20, 0)), "
+            f"18446744073709551616) AS DECIMAL(20, 0))"
+        )
     if name in ("toFloat32",):
         return _fmt_cast("FLOAT")
     if name in ("toFloat64",):
@@ -743,12 +820,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return multi_if
     if name == "splitByChar":
-        # CH: splitByChar(sep, s); Spark: split(s, regex-escaped sep)
+        # CH: splitByChar(sep, s[, max_substrings]); Spark:
+        # split(s, regex-escaped sep[, limit]). max_substrings > 0 caps
+        # the result with the REMAINDER in the last element — exactly
+        # Spark/Java's positive limit; 0 means unlimited (Spark's 0
+        # would DROP trailing empties, so it maps to -1).
         def split_by_char(a: Args) -> str:
             sep = a[0].strip()
             if sep.startswith("'") and sep.endswith("'"):
                 lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
-                return f"split({a[1]}, '{lit}')"
+                sep = f"'{lit}'"
+            if len(a) > 2:
+                return (f"split({a[1]}, {sep}, "
+                        f"IF(({a[2]}) <= 0, -1, {a[2]}))")
             return f"split({a[1]}, {sep})"
 
         return split_by_char
@@ -784,6 +868,49 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # Client registers (driver-registered, introspection-only —
         # not a hot-path UDF).
         return lambda a: f"ch_variant_type({a[0]})"
+    if name == "variantElement":
+        # variantElement(v, 'Type'[, default]): the active branch's
+        # value if its CH type matches, else NULL/default. The struct
+        # field index is runtime information, so the value routes
+        # through the driver-registered ch_variant_element helper (text
+        # out) and is re-typed via the CH->Spark bridge — exact for
+        # atomic branches; container branches read the struct field
+        # directly instead.
+        def variant_element(a: Args) -> str:
+            ty = a[1].strip()
+            if not (ty.startswith("'") and ty.endswith("'")):
+                raise UntranslatableFunctionError(
+                    "variantElement(v, 'Type'): the branch type must "
+                    "be a string literal"
+                )
+            from clickhouse_arrow_spark.types import (
+                ch_type_to_spark,
+                parse_ch_type,
+            )
+
+            try:
+                spark_t, _ = ch_type_to_spark(parse_ch_type(ty[1:-1]))
+            except Exception as exc:
+                raise UntranslatableFunctionError(
+                    f"variantElement: unparseable branch type {ty}: "
+                    f"{exc}"
+                )
+            import pyspark.sql.types as T
+
+            if isinstance(spark_t, (T.ArrayType, T.MapType,
+                                    T.StructType)):
+                raise UntranslatableFunctionError(
+                    "variantElement on a container branch loses type "
+                    "through the text round-trip — read the Variant "
+                    "struct's branch field directly (v.v<i>_<type>)"
+                )
+            expr = (f"CAST(ch_variant_element({a[0]}, {ty}) "
+                    f"AS {spark_t.simpleString()})")
+            if len(a) > 2:
+                expr = f"coalesce({expr}, {a[2]})"
+            return expr
+
+        return variant_element
     if name in ("formatDateTime", "parseDateTime", "parseDateTimeOrNull"):
         # CH specifiers (NOTE: %M and %i are BOTH minutes in CH, unlike
         # MySQL's %M month name) -> Spark datetime pattern. Literal
@@ -959,16 +1086,76 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in _SUB_UNITS:
         unit = _SUB_UNITS[name]
         return lambda a: f"timestampadd({unit}, -({a[1]}), {a[0]})"
-    if name == "dateDiff" or (name == "date_diff"):
-        # CH spells both dateDiff and date_diff with the unit FIRST;
+    if name in ("dateDiff", "date_diff", "timestampDiff",
+                "timestamp_diff"):
+        # CH dateDiff (and its timestampDiff alias) counts UNIT-BOUNDARY
+        # CROSSINGS — dateDiff('year', '2023-12-31', '2024-01-01') = 1 —
+        # not complete elapsed units (that is age(), mapped to Spark's
+        # timestampdiff). Wave-30 probe finding: the old timestampdiff
+        # mapping returned 0 for every boundary-straddling pair.
         # Spark's own date_diff(end, start) is the 2-arg form — only
         # the 3-arg CH shape is rewritten, so Spark-native SQL keeps
-        # working through the dialect
+        # working through the dialect.
         def date_diff(a: Args, _n: str = name) -> str:
             if len(a) < 3:
                 return f"{_n}({', '.join(a)})"
-            unit = a[0].strip().strip("'").upper()
-            return f"timestampdiff({unit}, {a[1]}, {a[2]})"
+            unit = a[0].strip().strip("'").lower()
+            unit = {
+                "years": "year", "yy": "year", "yyyy": "year",
+                "quarters": "quarter", "qq": "quarter", "q": "quarter",
+                "months": "month", "mm": "month",
+                "weeks": "week", "wk": "week", "ww": "week",
+                "days": "day", "dd": "day", "d": "day",
+                "hours": "hour", "hh": "hour",
+                "minutes": "minute", "mi": "minute", "n": "minute",
+                "seconds": "second", "ss": "second", "s": "second",
+                "milliseconds": "millisecond", "ms": "millisecond",
+                "microseconds": "microsecond", "us": "microsecond",
+                "nanoseconds": "nanosecond", "ns": "nanosecond",
+            }.get(unit, unit)
+            s, e = a[1], a[2]
+            if len(a) > 3:
+                # optional tz: count boundaries in that zone's local time
+                s = f"convert_timezone('UTC', {a[3]}, {s})"
+                e = f"convert_timezone('UTC', {a[3]}, {e})"
+            if unit == "year":
+                return f"(year({e}) - year({s}))"
+            if unit == "quarter":
+                return (f"((year({e}) * 4 + quarter({e})) - "
+                        f"(year({s}) * 4 + quarter({s})))")
+            if unit == "month":
+                return (f"((year({e}) * 12 + month({e})) - "
+                        f"(year({s}) * 12 + month({s})))")
+            if unit == "week":
+                # CH weeks start Monday, as does Spark date_trunc('WEEK')
+                return (
+                    f"(datediff(CAST(date_trunc('WEEK', {e}) AS DATE), "
+                    f"CAST(date_trunc('WEEK', {s}) AS DATE)) DIV 7)"
+                )
+            if unit == "day":
+                return f"datediff(CAST({e} AS DATE), CAST({s} AS DATE))"
+            per_sec = {"hour": 3600, "minute": 60}.get(unit)
+            if per_sec:
+                return (
+                    f"(CAST(floor(unix_timestamp({e}) / {per_sec}) AS "
+                    f"BIGINT) - CAST(floor(unix_timestamp({s}) / "
+                    f"{per_sec}) AS BIGINT))"
+                )
+            if unit == "second":
+                return f"(unix_timestamp({e}) - unix_timestamp({s}))"
+            if unit in ("millisecond", "microsecond", "nanosecond"):
+                scale = {"millisecond": 1000, "microsecond": 1,
+                         "nanosecond": 1}[unit]
+                base = (f"(CAST(floor(unix_micros(CAST({e} AS TIMESTAMP))"
+                        f" / {scale}) AS BIGINT) - "
+                        f"CAST(floor(unix_micros(CAST({s} AS TIMESTAMP))"
+                        f" / {scale}) AS BIGINT))")
+                if unit == "nanosecond":
+                    return f"({base} * 1000)"
+                return base
+            raise UntranslatableFunctionError(
+                f"dateDiff: unknown unit {unit!r}"
+            )
 
         return date_diff
     if name == "arrayElement":
@@ -1393,24 +1580,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return bitmask
     # ---- type conversions (per the types.py widening conventions) -------
-    if name == "toInt8":
-        return _fmt_cast("TINYINT")
-    if name == "toInt16":
-        return _fmt_cast("SMALLINT")
-    if name == "toInt32":
-        return _fmt_cast("INT")
-    if name == "toInt64":
-        return _fmt_cast("BIGINT")
-    if name == "toUInt8":
-        return _fmt_cast("SMALLINT")
-    if name == "toUInt16":
-        return _fmt_cast("INT")
-    if name == "toUInt32":
-        return _fmt_cast("BIGINT")
-    if name == "toFloat32":
-        return _fmt_cast("FLOAT")
-    if name == "toFloat64":
-        return _fmt_cast("DOUBLE")
+    # (integer widths handled above with CH wraparound semantics)
     if name == "toDecimal32":
         return lambda a: f"CAST({a[0]} AS DECIMAL(9, {a[1]}))"
     if name == "toDecimal64":
@@ -1436,10 +1606,20 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     f"IF({a[1]} <= {a[0]}, array(), "
                     f"sequence({a[0]}, {a[1]} - 1))"
                 )
-            # stepped form: same exclusive-end contract
+            # stepped form: same exclusive-end contract; a NEGATIVE
+            # step counts down (range(5, 1, -1) = [5, 4, 3, 2]) —
+            # Spark's sequence would raise on a wrong-direction pair,
+            # so each direction gets its own emptiness guard.
+            # step = 0 raises in CH; here it yields NULL (documented).
+            s, e, st = a[0], a[1], a[2]
             return (
-                f"IF({a[1]} <= {a[0]}, array(), "
-                f"sequence({a[0]}, {a[1]} - 1, {a[2]}))"
+                f"(CASE WHEN ({st}) > 0 THEN "
+                f"IF(({e}) <= ({s}), array(), "
+                f"sequence({s}, ({e}) - 1, {st})) "
+                f"WHEN ({st}) < 0 THEN "
+                f"IF(({e}) >= ({s}), array(), "
+                f"sequence({s}, ({e}) + 1, {st})) "
+                f"ELSE NULL END)"
             )
 
         return range_fmt
@@ -1833,7 +2013,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             lambda a: f"regexp_count({a[0]}, concat('(?i)', {a[1]}))"
         )
     if name == "splitByRegexp":
-        return lambda a: f"split({a[1]}, {a[0]})"
+        # optional max_substrings: remainder-in-last, 0 = unlimited
+        # (Spark limit 0 drops trailing empties, so 0 maps to -1)
+        return lambda a: (
+            f"split({a[1]}, {a[0]}, IF(({a[2]}) <= 0, -1, {a[2]}))"
+            if len(a) > 2 else f"split({a[1]}, {a[0]})"
+        )
     if name == "tokens":
         # CH tokenizer: maximal runs of alphanumerics
         return lambda a: (
@@ -1929,13 +2114,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             f"_i -> IF(({a[0]}) RLIKE element_at({a[1]}, _i), _i, 0)), "
             f"_x -> _x > 0)"
         )
-    if name in ("hasToken", "hasTokenCaseInsensitive"):
-        def has_token(a: Args, _ci=(name.endswith("Insensitive"))) -> str:
+    if name in ("hasToken", "hasTokenCaseInsensitive",
+                "hasTokenOrNull", "hasTokenCaseInsensitiveOrNull"):
+        def has_token(a: Args, _ci=("Insensitive" in name),
+                      _or_null=name.endswith("OrNull")) -> str:
             h = f"lower({a[0]})" if _ci else a[0]
             t = f"lower({a[1]})" if _ci else a[1]
-            return (
-                f"exists(split({h}, '[^a-zA-Z0-9_]+'), _t -> _t = {t})"
-            )
+            base = f"exists(split({h}, '[^a-zA-Z0-9_]+'), _t -> _t = {t})"
+            if _or_null:
+                # an ill-formed needle (contains token separators)
+                # raises in hasToken but returns NULL here
+                return (f"(CASE WHEN ({a[1]}) RLIKE '[^a-zA-Z0-9_]' "
+                        f"THEN NULL ELSE {base} END)")
+            return base
 
         return has_token
     if name == "notILike":
@@ -2199,6 +2390,38 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return f"struct({base}, {end})"
 
         return tumble_fmt
+    if name in ("hop", "hopStart", "hopEnd"):
+        # WINDOW VIEW hopping helpers: windows are [k*hop, k*hop+size);
+        # hopStart(t) is the start of the EARLIEST window containing t
+        # = toStartOfInterval(t, hop) - size + hop; hopEnd = + size.
+        def hop_fmt(a: Args, _n=name) -> str:
+            if len(a) != 3:
+                raise UntranslatableFunctionError(
+                    f"{_n}(time, INTERVAL hop, INTERVAL size)"
+                )
+            ms = []
+            for arg in (a[1], a[2]):
+                m2 = re.match(
+                    r"(?i)INTERVAL\s+(\d+)\s+(\w+?)s?\s*$", arg.strip()
+                )
+                if not m2:
+                    raise UntranslatableFunctionError(
+                        f"{_n}: hop and window sizes must be INTERVAL "
+                        "literals"
+                    )
+                ms.append(m2)
+            hop_iv = f"INTERVAL {ms[0].group(1)} {ms[0].group(2)}"
+            size_iv = f"INTERVAL {ms[1].group(1)} {ms[1].group(2)}"
+            grid = _fmt("toStartOfInterval")([a[0], a[1]])
+            start = f"({grid} - {size_iv} + {hop_iv})"
+            end = f"({start} + {size_iv})"
+            if _n == "hopStart":
+                return start
+            if _n == "hopEnd":
+                return end
+            return f"struct({start}, {end})"
+
+        return hop_fmt
     if name == "rand64":
         # uniform 63-bit value (CH spans the full UInt64; random
         # values carry no cross-engine parity anyway)
@@ -2496,6 +2719,59 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "min2": "least({0}, {1})",
         }[name]
         return lambda a: slot.format(*a)
+    if name == "hex":
+        # CH emits WHOLE BYTES: hex(1) = '01', hex(256) = '0100' —
+        # Spark's hex trims to significant digits. An even-length pad
+        # is identity for string/binary input (always whole bytes) and
+        # restores the CH byte grouping for integers (wave-31 probe).
+        return lambda a: (
+            f"lpad(hex({a[0]}), CAST(ceil(length(hex({a[0]})) / 2) * 2 "
+            f"AS INT), '0')"
+        )
+    if name == "round":
+        # CH round() uses BANKER'S rounding (half-to-even) for floats —
+        # round(2.5) = 2 — and CH numeric literals are Float64, so the
+        # faithful mapping is Spark's bround. (Decimal-typed COLUMNS
+        # round half-away-from-zero in CH — documented divergence in
+        # docs/PARITY.md; roundBankers stays bround either way.)
+        return lambda a: f"bround({', '.join(a)})"
+    if name in ("greatest", "least"):
+        # CH returns NULL when ANY argument is NULL; Spark skips NULLs.
+        # Only the multi-arg form needs the guard.
+        def gl_fmt(a: Args, _n: str = name) -> str:
+            if len(a) < 2:
+                return f"{_n}({', '.join(a)})"
+            null_any = " OR ".join(f"(({x}) IS NULL)" for x in a)
+            return (f"(CASE WHEN {null_any} THEN NULL "
+                    f"ELSE {_n}({', '.join(a)}) END)")
+
+        return gl_fmt
+    if name in ("left", "leftUTF8", "right", "rightUTF8"):
+        # CH negative length drops |n| characters from the OTHER end:
+        # left('hello', -2) = 'hel', right('hello', -2) = 'llo'.
+        # Spark's left/right return '' for negative n.
+        def left_right(a: Args, _n: str = name) -> str:
+            if len(a) != 2:
+                return f"{_n}({', '.join(a)})"
+            s, n = a[0], a[1]
+            base = "left" if _n.startswith("left") else "right"
+            if base == "left":
+                neg = f"substr({s}, 1, greatest(length({s}) + ({n}), 0))"
+            else:
+                neg = f"substr({s}, (-({n})) + 1)"
+            return (f"(CASE WHEN ({n}) < 0 THEN {neg} "
+                    f"ELSE {base}({s}, {n}) END)")
+
+        return left_right
+    if name in ("bitShiftLeft", "bitShiftRight"):
+        # CH discards bits shifted past the width (shift >= 64 -> 0,
+        # negative shift -> 0); Spark's shiftleft/shiftright mask the
+        # shift amount mod 64 (shiftleft(1, 64) = 1) — wave-30 probe
+        fn = "shiftleft" if name == "bitShiftLeft" else "shiftright"
+        return lambda a, _fn=fn: (
+            f"IF(({a[1]}) < 0 OR ({a[1]}) >= 64, 0, "
+            f"{_fn}(CAST({a[0]} AS BIGINT), CAST({a[1]} AS INT)))"
+        )
     if name == "divide":
         # CH divide() ALWAYS returns Float64, with x/0 = ±Inf and
         # 0/0 = NaN; Spark's ANSI division errors on a zero divisor for
@@ -3248,7 +3524,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             sep = a[0].strip()
             if sep.startswith("'") and sep.endswith("'"):
                 lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
-                return f"split({a[1]}, '{lit}')"
+                sep = f"'{lit}'"
+            if len(a) > 2:
+                return (f"split({a[1]}, {sep}, "
+                        f"IF(({a[2]}) <= 0, -1, {a[2]}))")
             return f"split({a[1]}, {sep})"
 
         return split_by_string
@@ -3297,6 +3576,20 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name == "arrayResize":
         def array_resize(a: Args) -> str:
             fill = a[2] if len(a) > 2 else "NULL"
+            if len(a) <= 2:
+                # CH pads with the element type's DEFAULT (0 / '' / []),
+                # not NULL. The element type is textually known only
+                # for array literals — sniff those; column-typed arrays
+                # keep the NULL pad (documented in docs/PARITY.md,
+                # exact via the explicit 3-arg extender).
+                arr = a[0].strip()
+                m_lit = re.match(r"^(?:\[|array\()\s*(.)", arr, re.I)
+                if m_lit:
+                    head = m_lit.group(1)
+                    if head.isdigit() or head in "+-.":
+                        fill = "0"
+                    elif head in "'\"":
+                        fill = "''"
             return (
                 f"(CASE WHEN size({a[0]}) >= ({a[1]}) "
                 f"THEN slice({a[0]}, 1, {a[1]}) "
@@ -3780,6 +4073,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a, _b=base: f"pow({_b}, {a[0]})"
     if name == "sigmoid":
         return lambda a: f"(1.0D / (1.0D + exp(-(CAST({a[0]} AS DOUBLE)))))"
+    if name == "trunc":
+        # CH trunc = truncate (numeric, round toward zero). Spark's own
+        # trunc(date, 'fmt') has a string-literal 2nd arg — that shape
+        # passes through untouched so Spark-native SQL keeps working.
+        def trunc_alias(a: Args) -> str:
+            if len(a) == 2 and a[1].strip().startswith("'"):
+                return f"trunc({', '.join(a)})"
+            return _fmt("truncate")(a)
+
+        return trunc_alias
     if name == "truncate":
         # round-toward-zero to n decimal places (n defaults to 0);
         # always Float64 like CH. Spark's own trunc() is date-only, so

@@ -115,7 +115,11 @@ _GATE_ALIASES: dict[str, str] = {
         # round-8 rotation #4: wave19 out (judge-verified r6/r7; see
         # ROTATION.md), the CREATE FUNCTION macro gate in
         "util_sql_udf_macro",
-        "util_sweep_wave20",
+        # round-8 rotation #5: wave20 out (judge-verified r7; see
+        # ROTATION.md), wave30 in (banker's rounding, cast wraparound,
+        # dateDiff boundary crossings — the biggest silent-divergence
+        # batch any probe has returned)
+        "util_sweep_wave30",
         "util_sweep_wave21",
         "util_star_apply_join",
         "util_numbers_tvf",

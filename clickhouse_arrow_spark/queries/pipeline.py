@@ -5142,6 +5142,66 @@ def q_util_sweep_wave27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "util_sweep_wave30",
+    """
+    SELECT CAST(2.0 AS DOUBLE) AS rnd,
+           CAST(44 AS BIGINT) AS u8wrap,
+           CAST(-128 AS BIGINT) AS i8wrap,
+           true AS glnull,
+           CAST(0 AS BIGINT) AS shift64,
+           CAST(1 AS BIGINT) AS ddmonth,
+           CAST(1 AS BIGINT) AS ddyear,
+           'hel' AS lneg,
+           'llo' AS rneg,
+           '5,4,3,2' AS rngdown,
+           'a|b,,c' AS splitmax,
+           CAST(-2.0 AS DOUBLE) AS truncneg,
+           true AS htoknull,
+           '2024-07-01' AS hopst,
+           '1,2,3,0,0' AS resized
+    """,
+    doc="Round-8 probe-sweep wave 30 (execution probe over "
+    "scripts/probe_wave30.py; exact literal oracle): banker's "
+    "rounding on floats (round(2.5) = 2), integer-cast WRAPAROUND "
+    "mod 2^width (toUInt8(300) = 44, toInt8(128) = -128), "
+    "greatest/least NULL propagation, bit shifts past the width "
+    "(bitShiftLeft(1, 64) = 0), dateDiff counting unit-BOUNDARY "
+    "crossings (the probe's biggest find: every boundary-straddling "
+    "pair returned 0), negative-length left/right, negative-step "
+    "range, splitByChar max_substrings with remainder-in-last, "
+    "numeric trunc, hasTokenOrNull, hopStart, arrayResize padding "
+    "with the element default.",
+    tags=("dialect", "sweep", "wave30"),
+)
+def q_util_sweep_wave30(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT CAST(round(2.5) AS Float64) AS rnd, "
+        "CAST(toUInt8(300) AS Int64) AS u8wrap, "
+        "CAST(toInt8(128) AS Int64) AS i8wrap, "
+        "isNull(greatest(1, NULL)) AS glnull, "
+        "CAST(bitShiftLeft(1, 64) AS Int64) AS shift64, "
+        "CAST(dateDiff('month', toDate('2024-01-31'), "
+        "toDate('2024-02-01')) AS Int64) AS ddmonth, "
+        "CAST(dateDiff('year', toDate('2023-12-31'), "
+        "toDate('2024-01-01')) AS Int64) AS ddyear, "
+        "left('hello', -2) AS lneg, "
+        "right('hello', -2) AS rneg, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "range(5, 1, -1)), ',') AS rngdown, "
+        "arrayStringConcat(splitByChar(',', 'a,b,,c', 2), '|') "
+        "AS splitmax, "
+        "CAST(trunc(-2.7) AS Float64) AS truncneg, "
+        "isNull(hasTokenOrNull('ab cd', 'ab cd')) AS htoknull, "
+        "toString(toDate(hopStart(toDateTime('2024-07-03 11:20:00'), "
+        "INTERVAL 1 DAY, INTERVAL 3 DAY))) AS hopst, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayResize([1, 2, 3], 5)), ',') AS resized"
+    )
+
+
+@register(
     "vector_semantic_decontaminate",
     """
     WITH bench AS (

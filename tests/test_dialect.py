@@ -23,7 +23,10 @@ from clickhouse_arrow_spark.dialect import translate_ch_sql
         ("SELECT quantile(0.9)(v)", "SELECT percentile(v, 0.9)"),
         ("SELECT quantiles(0.5, 0.9)(v)", "SELECT percentile(v, array(0.5, 0.9))"),
         ("SELECT toDate(ts)", "SELECT CAST(ts AS DATE)"),
-        ("SELECT toUInt64(x)", "SELECT CAST(x AS DECIMAL(20, 0))"),
+        # integer conversions wrap mod 2^width like CH (wave 30)
+        ("SELECT toUInt64(x)",
+         "SELECT CAST(pmod(CAST(x AS DECIMAL(20, 0)), "
+         "18446744073709551616) AS DECIMAL(20, 0))"),
         ("SELECT multiIf(a, 1, b, 2, 3)", "SELECT CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END"),
         # '\\|' in Spark SQL literal syntax = regex \| = literal pipe
         ("SELECT splitByChar('|', s)", "SELECT split(s, '\\\\|')"),
@@ -233,7 +236,10 @@ def test_higher_order_array_execution(client):
     [
         ("SELECT addDays(ts, 3)", "SELECT timestampadd(DAY, 3, ts)"),
         ("SELECT subtractHours(ts, 2)", "SELECT timestampadd(HOUR, -(2), ts)"),
-        ("SELECT dateDiff('day', a, b)", "SELECT timestampdiff(DAY, a, b)"),
+        # CH dateDiff counts unit-BOUNDARY crossings (see
+        # test_date_diff_boundary_crossings), day spelled as datediff
+        ("SELECT dateDiff('day', a, b)",
+         "SELECT datediff(CAST(b AS DATE), CAST(a AS DATE))"),
         ("SELECT toStartOfYear(d)", "SELECT CAST(date_trunc('year', d) AS DATE)"),
         ("SELECT toMonday(d)", "SELECT CAST(date_trunc('week', d) AS DATE)"),
         ("SELECT toUnixTimestamp(ts)", "SELECT unix_timestamp(ts)"),
@@ -313,7 +319,9 @@ def test_position_swaps_args(client):
             "SELECT parse_url(u, 'QUERY', 'id')",
         ),
         ("SELECT match(s, '^a')", "SELECT (s RLIKE '^a')"),
-        ("SELECT toInt32(x)", "SELECT CAST(x AS INT)"),
+        ("SELECT toInt32(x)",
+         "SELECT CAST(pmod(CAST(x AS BIGINT) + 2147483648, 4294967296) "
+         "- 2147483648 AS INT)"),
         ("SELECT toDecimal64(x, 4)", "SELECT CAST(x AS DECIMAL(18, 4))"),
         ("SELECT bitAnd(a, b)", "SELECT (a & b)"),
         ("SELECT tupleElement(t, 2)", "SELECT t.col2"),

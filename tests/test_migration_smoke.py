@@ -865,6 +865,58 @@ QUERIES = [
     ("SELECT round(erfc(2.0 / sqrt(2.0)), 8) AS two_sigma "
      "FROM numbers(1)",
      (1, 1)),
+    # ---- wave 28-30 composition rows (round-8 continuation) ----
+    # floor-division bucketing survives negative offsets (intDiv fix)
+    ("SELECT intDiv(toInt64(o_custkey) - 500, 200) AS bucket, "
+     "count() AS n FROM orders GROUP BY bucket ORDER BY bucket",
+     (2, 400)),
+    # dateDiff month-boundary ageing report (wave-30 semantics):
+    # every order vs the corpus max date, bucketed by months crossed
+    ("SELECT dateDiff('month', o_orderdate, "
+     "(SELECT max(o_orderdate) FROM orders)) AS months_back, "
+     "count() AS n FROM orders GROUP BY months_back "
+     "ORDER BY months_back LIMIT 5",
+     (1, 5)),
+    # banker's rounding in a financial rollup (ties-to-even)
+    ("SELECT round(sum(o_totalprice) / count(), 2) AS avg_price, "
+     "round(2.5) AS tie FROM orders",
+     (1, 1)),
+    # integer-cast wraparound as a hash-bucket idiom
+    ("SELECT toUInt8(o_custkey) AS b8, count() AS n FROM orders "
+     "GROUP BY b8 ORDER BY n DESC LIMIT 10",
+     (1, 10)),
+    # splitByChar remainder-in-last for key=rest parsing
+    ("SELECT splitByChar('-', o_orderpriority, 2)[1] AS prio_code, "
+     "count() AS n FROM orders GROUP BY prio_code ORDER BY prio_code",
+     (1, 6)),
+    # negative-length right() to strip a fixed suffix
+    ("SELECT right(o_orderpriority, -2) AS tail, count() AS n "
+     "FROM orders GROUP BY tail ORDER BY tail LIMIT 10",
+     (1, 10)),
+    # greatest/least NULL propagation inside coalesce guards
+    ("SELECT count() AS n FROM orders "
+     "WHERE coalesce(greatest(o_totalprice, NULL), 0) = 0",
+     (1, 1)),
+    # hop windows over event times (streaming report shape)
+    ("SELECT hopStart(ts, INTERVAL 1 DAY, INTERVAL 7 DAY) "
+     "AS win, count() AS n FROM events GROUP BY win "
+     "ORDER BY win LIMIT 10",
+     (1, 10)),
+    # CREATE FUNCTION macro + trunc in one monitoring expression
+    ("SELECT trunc(avg(o_totalprice), 1) AS t1 FROM orders",
+     (1, 1)),
+    # countdown sequence via negative-step range
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+     "range(3, 0, -1)), '>') AS countdown FROM numbers(1)",
+     (1, 1)),
+    # hasTokenOrNull as a safe user-input filter (no throw on junk)
+    ("SELECT count() AS n FROM orders "
+     "WHERE hasTokenOrNull(o_orderpriority, 'URGENT') = true",
+     (1, 1)),
+    # makeDateTime64 + timestampDiff alias in a freshness check
+    ("SELECT timestampDiff('day', makeDateTime64(1995, 1, 1, 0, 0, 0, "
+     "0), toDateTime(max(o_orderdate))) AS span FROM orders",
+     (1, 1)),
 ]
 
 

@@ -128,11 +128,14 @@ def test_bit_test_multi(ch):
 
 
 def test_date_diff_both_spellings(ch):
+    # CH dateDiff counts unit-boundary CROSSINGS: Jan 15 -> Mar 14
+    # crosses Feb 1 and Mar 1 = 2 (complete months would be 1 — that
+    # is age(), not dateDiff)
     r = one(ch, "SELECT date_diff('day', toDate('2024-01-01'), "
                 "toDate('2024-02-01')) AS a, "
                 "dateDiff('month', toDate('2024-01-15'), "
                 "toDate('2024-03-14')) AS b")
-    assert (r["a"], r["b"]) == (31, 1)
+    assert (r["a"], r["b"]) == (31, 2)
 
 
 def test_time_slots(ch):

@@ -124,6 +124,54 @@ def _ch_variant_element_text(row, want: str) -> str | None:
     return str(v)
 
 
+def _single_file_write(df, path: str, fmt_l: str,
+                       append: bool = False) -> None:
+    """Write a DataFrame as ONE local file at `path` (clickhouse-client
+    semantics for INTO OUTFILE and INSERT INTO FUNCTION file()): the
+    executor writes a single part (coalesce(1) — these are driver-side
+    export paths, small by construction), which is moved (or
+    byte-appended) onto the target. Raises ValueError on an
+    unsupported format name so callers can phrase their own error."""
+    import glob as _glob
+    import os as _os
+    import shutil as _shutil
+    import tempfile as _tempfile
+
+    tmp = _tempfile.mkdtemp(prefix="cas_outfile_")
+    one = df.coalesce(1)
+    if fmt_l in ("csv", "csvwithnames"):
+        one.write.mode("overwrite").option(
+            "header", fmt_l.endswith("withnames")
+        ).csv(tmp)
+        part_glob = "part-*.csv"
+    elif fmt_l in ("tsv", "tabseparated", "tsvwithnames",
+                   "tabseparatedwithnames"):
+        one.write.mode("overwrite").option("sep", "\t").option(
+            "header", fmt_l.endswith("withnames")
+        ).csv(tmp)
+        part_glob = "part-*.csv"
+    elif fmt_l == "jsoneachrow":
+        one.write.mode("overwrite").json(tmp)
+        part_glob = "part-*.json"
+    elif fmt_l == "parquet":
+        one.write.mode("overwrite").parquet(tmp)
+        part_glob = "part-*.parquet"
+    else:
+        _shutil.rmtree(tmp, ignore_errors=True)
+        raise ValueError(f"unsupported single-file format {fmt_l!r}")
+    parts = _glob.glob(_os.path.join(tmp, part_glob))
+    if append and _os.path.exists(path):
+        with open(path, "ab") as dst:
+            for p in parts:
+                with open(p, "rb") as src:
+                    _shutil.copyfileobj(src, dst)
+    elif not parts:
+        open(path, "wb").close()
+    else:
+        _shutil.move(parts[0], path)
+    _shutil.rmtree(tmp, ignore_errors=True)
+
+
 @dataclass(frozen=True)
 class QueryOptions:
     """Umbrella options (reference QueryOptions, src/explain.rs:423-487):
@@ -316,42 +364,16 @@ class Client:
                     "(ClickHouse refuses silently clobbering too)"
                 )
             inner = self.query_ch(ch_sql[: m.start()], qid=qid)
-            tmp = _tempfile.mkdtemp(prefix="cas_outfile_")
-            one = inner.coalesce(1)
-            if fmt in ("csv", "csvwithnames"):
-                one.write.mode("overwrite").option(
-                    "header", fmt.endswith("withnames")
-                ).csv(tmp)
-                part_glob = "part-*.csv"
-            elif fmt in ("tsv", "tabseparated", "tsvwithnames",
-                         "tabseparatedwithnames"):
-                one.write.mode("overwrite").option("sep", "\t").option(
-                    "header", fmt.endswith("withnames")
-                ).csv(tmp)
-                part_glob = "part-*.csv"
-            elif fmt == "jsoneachrow":
-                one.write.mode("overwrite").json(tmp)
-                part_glob = "part-*.json"
-            elif fmt == "parquet":
-                one.write.mode("overwrite").parquet(tmp)
-                part_glob = "part-*.parquet"
-            else:
+            try:
+                _single_file_write(
+                    inner, path, fmt, append=(mode == "APPEND")
+                )
+            except ValueError:
                 raise QueryError(
                     f"INTO OUTFILE FORMAT {m.group(3)}: supported here "
                     "are CSV[WithNames], TSV/TabSeparated[WithNames], "
                     "JSONEachRow, Parquet"
                 )
-            parts = _glob.glob(_os.path.join(tmp, part_glob))
-            if mode == "APPEND" and _os.path.exists(path):
-                with open(path, "ab") as dst:
-                    for p in parts:
-                        with open(p, "rb") as src:
-                            _shutil.copyfileobj(src, dst)
-            elif not parts:
-                open(path, "wb").close()
-            else:
-                _shutil.move(parts[0], path)
-            _shutil.rmtree(tmp, ignore_errors=True)
             return self.spark.createDataFrame(
                 [(path, _os.path.getsize(path))],
                 "path string, bytes_written bigint",
@@ -562,6 +584,28 @@ class Client:
             # no CH access-control registry: Spark delegates authz to
             # the cluster manager / catalog ACLs — empty result, shaped
             return self.spark.createDataFrame([], "name string")
+        m = _re.match(
+            r"(?is)^\s*SET\s+([A-Za-z_][A-Za-z0-9_]*)\s*=\s*"
+            r"('(?:[^']|'')*'|[^;]+?)\s*;?\s*$",
+            ch_sql,
+        )
+        if m and "." not in m.group(1):
+            # `SET <ch_setting> = v` (session-scoped, like CH): route
+            # through the settings shim so the namespaced conf the
+            # feature knobs read (drop retention,
+            # engine_file_truncate_on_insert, ...) actually updates.
+            # Spark-spelled keys contain dots and pass through to
+            # Spark's own SET untouched.
+            from clickhouse_arrow_spark.settings import translate_setting
+
+            val = m.group(2).strip()
+            if val.startswith("'") and val.endswith("'"):
+                val = val[1:-1].replace("''", "'")
+            conf, v = translate_setting(m.group(1), val)
+            self.spark.conf.set(conf, v)
+            return self.spark.createDataFrame(
+                [(conf, v)], "key string, value string"
+            )
         m = _re.match(
             r"(?is)^\s*SHOW\s+SETTINGS(?:\s+LIKE\s+('(?:[^']|'')*'))?\s*;?\s*$",
             ch_sql,
@@ -897,6 +941,25 @@ class Client:
             self.execute(f"ALTER TABLE {a} RENAME TO {tmp}", qid)
             self.execute(f"ALTER TABLE {b} RENAME TO {a}", qid)
             self.execute(f"ALTER TABLE {tmp} RENAME TO {b}", qid)
+            return None
+        m = _re.match(
+            r"(?is)^\s*DROP\s+DATABASE\s+(IF\s+EXISTS\s+)?"
+            r"(`[^`]+`|\w+)(?:\s+ON\s+CLUSTER\s+\S+)?(\s+SYNC)?"
+            r"\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH drops non-empty databases (Atomic engine) and accepts
+            # a SYNC modifier; Spark needs CASCADE and knows no SYNC
+            # (drops here are immediate either way). `default` stays
+            # protected like drop_database().
+            name = m.group(2).replace("`", "")
+            if name.lower() in PROTECTED_DATABASES:
+                raise SchemaError(
+                    f"refusing to drop protected database {name!r}"
+                )
+            ine = "IF EXISTS " if m.group(1) else ""
+            self.execute(f"DROP DATABASE {ine}`{name}` CASCADE", qid)
             return None
         m = _re.match(
             r"(?is)^\s*DROP\s+TABLE\s+(IF\s+EXISTS\s+)?([\w.`]+)"
@@ -1283,6 +1346,17 @@ class Client:
                 "(DETACH TABLE db.t [PERMANENTLY]); ON CLUSTER and "
                 "ATTACH-with-schema forms are not"
             )
+        m = _re.match(
+            r"(?is)^\s*INSERT\s+INTO\s+(?:TABLE\s+)?FUNCTION\s+"
+            r"(\w+)\s*\(",
+            ch_sql,
+        )
+        if m:
+            # `INSERT INTO FUNCTION file('path', 'Format') SELECT ...`
+            # — ClickHouse's SQL export path, the write-side twin of
+            # the file() TVF (the reference sends it to the server
+            # verbatim, table-functions/file.md)
+            return self._insert_into_function(ch_sql, m, qid)
         m = _re.match(
             r"(?is)^\s*INSERT\s+INTO\s+([\w.`]+)\s*(?:\(([^()]*)\))?\s+"
             r"(SELECT\b.*?\bFROM\s+input\(\s*'([^']+)'\s*\).*?)\s+"
@@ -2236,6 +2310,105 @@ class Client:
             "CREATE FUNCTION definitions are not supported (CH "
             "refuses them too)"
         )
+
+    def _insert_into_function(self, ch_sql: str, m, qid):
+        """`INSERT INTO [TABLE] FUNCTION file('path', 'Format'
+        [, 'structure']) SELECT ...` — ClickHouse's SQL export path
+        (table-functions/file.md; the reference passes the statement
+        to the server verbatim). File-engine write semantics: an
+        existing file APPENDS for the text formats, and
+        `SET engine_file_truncate_on_insert = 1` truncates first;
+        Parquet cannot byte-append a single file, so an existing
+        parquet target refuses naming the setting. s3()/url() writes
+        refuse — no remote-write credential path in a library."""
+        import os as _os
+        import re as _re
+
+        from clickhouse_arrow_spark.dialect import (
+            _find_matching_paren,
+            _split_top_args,
+        )
+
+        fn = m.group(1).lower()
+        if fn != "file":
+            raise QueryError(
+                f"INSERT INTO FUNCTION {m.group(1)}(): only file() has "
+                "a write side here — object stores go through "
+                "df.write ('s3a://...') or the DSv2 sink; url()/"
+                "remote() have no write path in this environment"
+            )
+        close = _find_matching_paren(ch_sql, m.end() - 1)
+        if close == -1:
+            raise QueryError(
+                "INSERT INTO FUNCTION file(: unbalanced parentheses"
+            )
+        args = [a.strip() for a in
+                _split_top_args(ch_sql[m.end(): close])]
+        if not args or len(args) > 3:
+            raise QueryError(
+                "file('path', 'Format'[, 'col spec']) takes 1-3 "
+                "arguments"
+            )
+
+        def _unq(s: str) -> str:
+            s = s.strip()
+            if s.startswith("'") and s.endswith("'"):
+                return s[1:-1]
+            return s
+
+        path = _unq(args[0])
+        if len(args) > 1:
+            fmt_l = _unq(args[1]).lower()
+        else:
+            # CH infers the format from the extension when omitted
+            ext = _os.path.splitext(path)[1].lower()
+            fmt_l = {
+                ".csv": "csv", ".tsv": "tabseparated",
+                ".json": "jsoneachrow", ".jsonl": "jsoneachrow",
+                ".ndjson": "jsoneachrow",
+            }.get(ext, "parquet")
+        # an optional 3rd 'col spec' names the file schema in CH; the
+        # SELECT's own schema governs the write here
+        source = ch_sql[close + 1:].strip().rstrip(";").strip()
+        if not source:
+            raise QueryError(
+                "INSERT INTO FUNCTION file(...) needs a SELECT or "
+                "VALUES source in the same statement"
+            )
+        if _re.match(r"(?is)^VALUES\b", source):
+            df = self._run(f"SELECT * FROM {source}", qid)
+        else:
+            df = self.query_ch(source, qid=qid)
+        truncate = str(
+            self.spark.conf.get(
+                "spark.clickhouse_arrow_spark.setting."
+                "engine_file_truncate_on_insert",
+                "0",
+            )
+        ).strip().lower() in ("1", "true")
+        exists = _os.path.exists(path)
+        if exists and truncate:
+            _os.remove(path)
+            exists = False
+        if exists and fmt_l == "parquet":
+            raise QueryError(
+                "INSERT INTO FUNCTION file(..., 'Parquet'): the target "
+                "exists and parquet cannot byte-append a single file — "
+                "SET engine_file_truncate_on_insert = 1 to overwrite "
+                "(ClickHouse needs the same setting)"
+            )
+        parent = _os.path.dirname(path)
+        if parent and not _os.path.isdir(parent):
+            _os.makedirs(parent, exist_ok=True)
+        try:
+            _single_file_write(df, path, fmt_l, append=exists)
+        except ValueError:
+            raise QueryError(
+                f"INSERT INTO FUNCTION file FORMAT {fmt_l}: supported "
+                "here are CSV[WithNames], TSV/TabSeparated[WithNames], "
+                "JSONEachRow, Parquet"
+            )
+        return None
 
     def _insert_through_input_tvf(self, m, qid):
         """`INSERT INTO t [(cols)] SELECT ... FROM input('x T, y U')

@@ -1177,3 +1177,98 @@ def test_show_engines_merges_describe_system_and_cache_noops(client):
     assert client.query_ch("SYSTEM DROP DNS CACHE").count() == 0
     assert client.query_ch("SYSTEM DROP MARK CACHE").count() == 0
     assert client.query_ch("SYSTEM DROP UNCOMPRESSED CACHE").count() == 0
+
+
+def test_insert_into_function_file(client, tmp_path):
+    """Round 8: `INSERT INTO FUNCTION file('path', 'Format') SELECT`
+    — ClickHouse's SQL export path (table-functions/file.md). File-
+    engine semantics: text formats APPEND to an existing file;
+    engine_file_truncate_on_insert=1 truncates; parquet-append and
+    s3()/url() writes refuse."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    p = str(tmp_path / "exp.parquet")
+    client.execute_ch(
+        f"INSERT INTO FUNCTION file('{p}', 'Parquet') "
+        "SELECT 1 AS x, 'a' AS s"
+    )
+    back = client.query_ch(f"SELECT * FROM file('{p}', 'Parquet')")
+    assert [(r.x, r.s) for r in back.collect()] == [(1, "a")]
+    # text formats append (CH File-engine write behavior)
+    pc = str(tmp_path / "exp.csv")
+    client.execute_ch(
+        f"INSERT INTO FUNCTION file('{pc}', 'CSV') VALUES (1), (2)"
+    )
+    client.execute_ch(
+        f"INSERT INTO FUNCTION file('{pc}', 'CSV') VALUES (3)"
+    )
+    assert open(pc).read().strip().splitlines() == ["1", "2", "3"]
+    # parquet cannot byte-append a single file
+    with _pt.raises(QueryError, match="truncate_on_insert"):
+        client.execute_ch(
+            f"INSERT INTO FUNCTION file('{p}', 'Parquet') SELECT 2 AS x"
+        )
+    # ... unless the CH setting truncates first (through SET)
+    conf = ("spark.clickhouse_arrow_spark.setting."
+            "engine_file_truncate_on_insert")
+    client.query_ch("SET engine_file_truncate_on_insert = 1")
+    try:
+        client.execute_ch(
+            f"INSERT INTO FUNCTION file('{p}', 'Parquet') "
+            "SELECT 2 AS x, 'b' AS s"
+        )
+        assert [(r.x, r.s) for r in client.query_ch(
+            f"SELECT * FROM file('{p}', 'Parquet')").collect()] == [
+            (2, "b")]
+    finally:
+        client.spark.conf.unset(conf)
+    # format inferred from the extension when omitted
+    pj = str(tmp_path / "exp.jsonl")
+    client.execute_ch(f"INSERT INTO FUNCTION file('{pj}') SELECT 5 AS v")
+    assert open(pj).read().strip() == '{"v":5}'
+    # remote writes refuse with the recipe
+    with _pt.raises(QueryError, match="only file"):
+        client.execute_ch(
+            "INSERT INTO FUNCTION s3('s3://b/k', 'CSV') SELECT 1"
+        )
+
+
+def test_set_statement_routes_through_settings_shim(client, spark):
+    """Round 8: `SET <ch_setting> = v` lands on the namespaced conf the
+    feature knobs read (previously it fell through to Spark's raw SET
+    under the bare name); Spark-spelled dotted keys pass through."""
+    r = client.query_ch("SET database_atomic_delay_before_drop_table_sec = 3")
+    row = r.collect()[0]
+    conf = ("spark.clickhouse_arrow_spark.setting."
+            "database_atomic_delay_before_drop_table_sec")
+    try:
+        assert row.key == conf and row.value == "3"
+        assert spark.conf.get(conf) == "3"
+    finally:
+        spark.conf.unset(conf)
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    client.query_ch(f"SET spark.sql.shuffle.partitions = {prev}")
+    assert spark.conf.get("spark.sql.shuffle.partitions") == prev
+
+
+def test_drop_database_sync_and_cascade(client, spark):
+    """Round 8: DROP DATABASE accepts the SYNC modifier and drops
+    non-empty databases (CH Atomic semantics — Spark alone needs
+    CASCADE); `default` stays protected."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    client.execute_ch("CREATE DATABASE stmt_dropdb8")
+    client.execute_ch(
+        "CREATE TABLE stmt_dropdb8.t (x Int64) "
+        "ENGINE = MergeTree ORDER BY x"
+    )
+    client.execute_ch("DROP DATABASE stmt_dropdb8 SYNC")
+    assert "stmt_dropdb8" not in {
+        d.name for d in spark.catalog.listDatabases()}
+    client.execute_ch("DROP DATABASE IF EXISTS stmt_dropdb8")
+    with _pt.raises(SchemaError, match="protected"):
+        client.execute_ch("DROP DATABASE default SYNC")

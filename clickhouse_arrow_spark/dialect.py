@@ -41,8 +41,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "argMin": "min_by",
     "groupArray": "collect_list",
     "groupUniqArray": "collect_set",
-    "any": "any_value",
-    "anyLast": "any_value",
+    # any/anyLast get formatters below: CH skips NULLs (wave 32)
     "arrayJoin": "explode",
     "lcase": "lower",
     "ucase": "upper",
@@ -195,9 +194,8 @@ _OPERATOR_BACKED: dict[str, str] = {
     "cramersVBiasCorrected": "operators.stats.association(df, a, b)",
     "theilsU": "operators.stats.association(df, a, b)",
     "contingency": "operators.stats.association(df, a, b)",
-    "intervalLengthSum": (
-        "operators.timeseries.interval_length_sum(df, keys, start, end)"
-    ),
+    # intervalLengthSum graduated to a full SQL translation (wave 32);
+    # operators.timeseries.interval_length_sum stays the DataFrame form
     "maxIntersections": (
         "operators.timeseries.max_intersections(df, keys, start, end)"
     ),
@@ -746,9 +744,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 "array_distinct(flatten(collect_list({0})))",
             ),
             # any/anyLast states are just A value; merging picks one —
-            # CH's contract is "some value", matching any_value
-            "any": ("any_value({0})", "any_value({0})"),
-            "anyLast": ("any_value({0})", "any_value({0})"),
+            # CH's contract is "some NON-NULL value" (NULLs skipped)
+            "any": ("any_value({0}, true)", "any_value({0}, true)"),
+            "anyLast": ("last({0}, true)", "last({0}, true)"),
         }
         if base in forms:
             slot = forms[base][0 if is_state else 1]
@@ -813,8 +811,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return empty_fmt
     if name == "multiIf":
         def multi_if(a: Args) -> str:
+            # CH conditions are UInt8 truthiness — CAST AS BOOLEAN is
+            # a no-op on booleans and maps non-zero numerics to true
             whens = "".join(
-                f" WHEN {c} THEN {v}" for c, v in zip(a[:-1:2], a[1:-1:2])
+                f" WHEN CAST(({c}) AS BOOLEAN) THEN {v}"
+                for c, v in zip(a[:-1:2], a[1:-1:2])
             )
             return f"CASE{whens} ELSE {a[-1]} END"
 
@@ -2719,6 +2720,37 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "min2": "least({0}, {1})",
         }[name]
         return lambda a: slot.format(*a)
+    if name in ("any", "anyLast"):
+        # CH any()/anyLast() return the first/last NON-NULL value;
+        # Spark's bare any_value keeps NULLs (wave-32 probe:
+        # any over [NULL, 7] returned NULL instead of 7)
+        fn2 = "any_value" if name == "any" else "last"
+        return lambda a, _f=fn2: f"{_f}({a[0]}, true)"
+    if name == "if":
+        # CH if() takes a UInt8 condition — any non-zero numeric is
+        # true. CAST AS BOOLEAN reproduces the truthiness (non-zero ->
+        # true, NULL -> else branch) and is a no-op on boolean input.
+        def if_fmt(a: Args) -> str:
+            if len(a) != 3:
+                return f"if({', '.join(a)})"
+            return (f"IF(CAST(({a[0]}) AS BOOLEAN), {a[1]}, {a[2]})")
+
+        return if_fmt
+    if name == "corr":
+        # CH corr on zero-variance input returns NaN; Spark's ANSI
+        # corr raises DIVIDE_BY_ZERO. Expression-level Pearson with the
+        # zero branch explicit (Catalyst dedups the shared moments).
+        def corr_fmt(a: Args) -> str:
+            if len(a) != 2:
+                return f"corr({', '.join(a)})"
+            x, y = a
+            den = f"(stddev_pop({x}) * stddev_pop({y}))"
+            return (
+                f"(CASE WHEN {den} = 0 THEN CAST('NaN' AS DOUBLE) "
+                f"ELSE covar_pop({x}, {y}) / {den} END)"
+            )
+
+        return corr_fmt
     if name == "hex":
         # CH emits WHOLE BYTES: hex(1) = '01', hex(256) = '0100' —
         # Spark's hex trims to significant digits. An even-length pad
@@ -4821,6 +4853,43 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return entropy_fmt
+    if name == "intervalLengthSum":
+        # total length of the UNION of [start, end) segments per group
+        # (CH aggregate-functions/reference/intervalLengthSum): sort
+        # the collected segments, sweep left-to-right carrying the
+        # current covered frontier, add only uncovered span. Same
+        # per-group memory class as groupArray; zero/negative-length
+        # segments contribute 0. Empty group -> 0 like CH.
+        def ils_fmt(a: Args) -> str:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    "intervalLengthSum(start, end) takes two numeric "
+                    "arguments (timestamps: toUnixTimestamp first)"
+                )
+            segs = (
+                f"array_sort(collect_list(struct("
+                f"CAST({a[0]} AS DOUBLE) AS s, "
+                f"CAST({a[1]} AS DOUBLE) AS e)))"
+            )
+            return (
+                f"aggregate({segs}, "
+                f"named_struct('tot', CAST(0 AS DOUBLE), "
+                f"'cur', CAST(NULL AS DOUBLE)), "
+                f"(__cas_acc, __cas_x) -> named_struct("
+                f"'tot', __cas_acc.tot + CASE "
+                f"WHEN __cas_x.e <= __cas_x.s THEN CAST(0 AS DOUBLE) "
+                f"WHEN __cas_acc.cur IS NULL OR __cas_x.s >= "
+                f"__cas_acc.cur THEN __cas_x.e - __cas_x.s "
+                f"ELSE greatest(__cas_x.e - __cas_acc.cur, "
+                f"CAST(0 AS DOUBLE)) END, "
+                f"'cur', CASE "
+                f"WHEN __cas_x.e <= __cas_x.s THEN __cas_acc.cur "
+                f"WHEN __cas_acc.cur IS NULL THEN __cas_x.e "
+                f"ELSE greatest(__cas_acc.cur, __cas_x.e) END), "
+                f"__cas_acc -> __cas_acc.tot)"
+            )
+
+        return ils_fmt
     if name in ("studentTTest", "welchTTest"):
         # expression-level aggregate rewrite (wave 26 follow-up):
         # conditional moments per index side, t and df in closed form,
@@ -5044,8 +5113,8 @@ _COMBINATOR_BASES: dict[str, str] = {
     "min": "min",
     "max": "max",
     "count": "count",
-    "any": "any_value",
-    "anyLast": "any_value",
+    "any": "any_value",  # NULL-skip special-cased in the emitter
+    "anyLast": "__any_last__",
     "argMax": "max_by",
     "argMin": "min_by",
     "groupArray": "collect_list",
@@ -5177,7 +5246,14 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
             return expr
         if comb == "Distinct" or spark == "__count_distinct__":
             inner = "count" if spark == "__count_distinct__" else spark
+            if inner == "__any_last__":
+                inner = "any_value"  # DISTINCT makes first/last moot
             expr = f"{inner}(DISTINCT {', '.join(args)})"
+        elif base in ("any", "anyLast"):
+            # CH any/anyLast return the first/last NON-NULL value —
+            # Spark's default any_value/last keep NULLs (wave 32)
+            fn2 = "any_value" if base == "any" else "last"
+            expr = f"{fn2}({args[0] if args else '*'}, true)"
         else:
             # CH's parameterless count() is count(*) in Spark
             expr = f"{spark}({', '.join(args) if args else ('*' if base == 'count' else '')})"

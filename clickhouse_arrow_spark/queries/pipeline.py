@@ -5142,6 +5142,50 @@ def q_util_sweep_wave27(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_interval_union",
+    """
+    WITH iv AS (
+      SELECT event_type AS k, CAST(value AS DOUBLE) AS s,
+             CAST(value + (user_id % 7) + 1 AS DOUBLE) AS e
+      FROM events
+    ), m AS (
+      SELECT k, s, e,
+             MAX(e) OVER (PARTITION BY k ORDER BY s, e
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING) AS prev_max
+      FROM iv
+    ), g AS (
+      SELECT k, s, e,
+             SUM(CASE WHEN prev_max IS NULL OR s > prev_max
+                 THEN 1 ELSE 0 END)
+             OVER (PARTITION BY k ORDER BY s, e) AS grp
+      FROM m
+    ), isl AS (
+      SELECT k, grp, MAX(e) - MIN(s) AS len FROM g GROUP BY k, grp
+    )
+    SELECT k, ROUND(SUM(len), 4) AS ils
+    FROM isl GROUP BY k ORDER BY k
+    """,
+    doc="intervalLengthSum as ONE expression-level SQL aggregate "
+    "(wave 32 graduation of the timeseries operator's SQL spelling): "
+    "union length of [start, end) segments per group via a sorted "
+    "sweep inside aggregate() — same per-group memory class as "
+    "groupArray, no Python, no extra exchange beyond the groupBy. "
+    "Oracle: DuckDB gaps-and-islands (prev-max window, island "
+    "breaks, per-island max(e)-min(s)).",
+    tags=("aggregate", "timeseries", "wave32"),
+)
+def q_agg_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT event_type AS k, "
+        "round(intervalLengthSum(value, value + (user_id % 7) + 1), 4) "
+        "AS ils FROM events GROUP BY event_type ORDER BY k"
+    )
+
+
+@register(
     "util_sweep_wave30",
     """
     SELECT CAST(2.0 AS DOUBLE) AS rnd,

@@ -27,7 +27,10 @@ from clickhouse_arrow_spark.dialect import translate_ch_sql
         ("SELECT toUInt64(x)",
          "SELECT CAST(pmod(CAST(x AS DECIMAL(20, 0)), "
          "18446744073709551616) AS DECIMAL(20, 0))"),
-        ("SELECT multiIf(a, 1, b, 2, 3)", "SELECT CASE WHEN a THEN 1 WHEN b THEN 2 ELSE 3 END"),
+        # conditions go through CH UInt8 truthiness (wave 32)
+        ("SELECT multiIf(a, 1, b, 2, 3)",
+         "SELECT CASE WHEN CAST((a) AS BOOLEAN) THEN 1 "
+         "WHEN CAST((b) AS BOOLEAN) THEN 2 ELSE 3 END"),
         # '\\|' in Spark SQL literal syntax = regex \| = literal pipe
         ("SELECT splitByChar('|', s)", "SELECT split(s, '\\\\|')"),
         ("SELECT JSONExtractString(j, 'k')", "SELECT get_json_object(j, '$.k')"),

@@ -1,0 +1,76 @@
+"""Wave-32 probe fixes (scripts/probe_wave32.py): any()/anyLast()
+skip NULLs like every CH aggregate, if()/multiIf() conditions follow
+CH UInt8 truthiness, corr() returns NaN on zero-variance input
+instead of an ANSI DIVIDE_BY_ZERO.
+
+Reference behavior: ClickHouse SQL aggregate semantics as exercised by
+clickhouse-arrow's dialect passthrough (queries run verbatim on the
+server — src/query/mod.rs)."""
+
+from __future__ import annotations
+
+
+def one(client, sql):
+    return client.query_ch(sql).collect()[0]
+
+
+def test_any_skips_nulls(client):
+    r = one(client, "SELECT any(x) AS a, anyLast(x) AS b "
+                    "FROM (SELECT arrayJoin([NULL, 7, NULL]) AS x)")
+    assert (r["a"], r["b"]) == (7, 7)
+
+
+def test_any_last_orders(client):
+    r = one(client, "SELECT any(x) AS a, anyLast(x) AS b "
+                    "FROM (SELECT arrayJoin([1, 2, 3]) AS x)")
+    assert (r["a"], r["b"]) == (1, 3)
+
+
+def test_any_combinator_chains_keep_null_skip(client):
+    r = one(client, "SELECT anyIf(x, x > 1) AS a, "
+                    "anyLastIf(x, x < 3) AS b "
+                    "FROM (SELECT arrayJoin([1, NULL, 2, 3]) AS x)")
+    assert (r["a"], r["b"]) == (2, 2)
+    r2 = one(client, "SELECT anyMerge(s) AS m FROM (SELECT anyState(x) "
+                     "AS s FROM (SELECT arrayJoin([NULL, 5]) AS x))")
+    assert r2["m"] == 5
+
+
+def test_if_numeric_truthiness(client):
+    r = one(client, "SELECT if(2, 'a', 'b') AS t, if(0, 'a', 'b') AS f, "
+                    "if(1 = 1, 'x', 'y') AS booly, "
+                    "multiIf(0, 'a', 2, 'b', 'c') AS mi")
+    assert (r["t"], r["f"], r["booly"], r["mi"]) == ("a", "b", "x", "b")
+
+
+def test_if_null_condition_takes_else(client):
+    r = one(client, "SELECT if(CAST(NULL AS Nullable(Int64)), 'a', 'b') "
+                    "AS r")
+    assert r["r"] == "b"
+
+
+def test_corr_zero_variance_is_nan(client):
+    r = one(client, "SELECT isNaN(corr(x, y)) AS nan_flag, "
+                    "round(corr(x, x + 0.0), 6) AS self_corr "
+                    "FROM (SELECT arrayJoin([1.0, 2.0, 3.0]) AS x, "
+                    "2.0 AS y)")
+    assert r["nan_flag"] in (1, True)
+    assert float(r["self_corr"]) == 1.0
+
+
+def test_interval_length_sum_sql(client):
+    """Wave-32 graduation: intervalLengthSum(start, end) as one
+    expression-level aggregate — union length of segments, adjacent
+    segments merge, degenerate segments contribute 0, empty -> 0."""
+    q = ("SELECT k, intervalLengthSum(s, e) AS ils FROM ("
+         "SELECT arrayJoin([(1, 1, 3), (1, 2, 5), (1, 7, 8), "
+         "(2, 1, 10), (2, 2, 3), (3, 1, 2), (3, 2, 3), "
+         "(4, 5, 5), (4, 6, 4)]) AS t, "
+         "t.1 AS k, t.2 AS s, t.3 AS e) GROUP BY k ORDER BY k")
+    rows = client.query_ch(q).collect()
+    assert [(r.k, float(r.ils)) for r in rows] == [
+        (1, 5.0), (2, 9.0), (3, 2.0), (4, 0.0)]
+    empty = client.query_ch(
+        "SELECT intervalLengthSum(s, e) AS r FROM "
+        "(SELECT 1 AS s, 2 AS e WHERE false)").collect()[0]
+    assert float(empty.r) == 0.0

@@ -917,6 +917,42 @@ QUERIES = [
     ("SELECT timestampDiff('day', makeDateTime64(1995, 1, 1, 0, 0, 0, "
      "0), toDateTime(max(o_orderdate))) AS span FROM orders",
      (1, 1)),
+    # ---- wave-32 composition rows ----
+    # any/anyLast as representative-pickers per group (NULL-skipping)
+    ("SELECT o_orderstatus AS st, any(o_orderpriority) AS rep, "
+     "anyLast(o_orderpriority) AS last_rep FROM orders "
+     "GROUP BY st ORDER BY st",
+     (1, 3)),
+    # numeric truthiness in a flag projection (UInt8 condition)
+    ("SELECT sum(if(o_custkey % 2, 1, 0)) AS odd_customers FROM orders",
+     (1, 1)),
+    # corr between price and key (legitimate non-constant input)
+    ("SELECT round(corr(CAST(o_custkey AS Float64), o_totalprice), 6) "
+     "AS c FROM orders",
+     (1, 1)),
+    # intervalLengthSum: coverage of order-date activity windows
+    ("SELECT o_orderstatus AS st, intervalLengthSum("
+     "toUnixTimestamp(toDateTime(o_orderdate)), "
+     "toUnixTimestamp(toDateTime(o_orderdate)) + 86400 * 30) / 86400 "
+     "AS covered_days FROM orders GROUP BY st ORDER BY st",
+     (1, 3)),
+    # GROUP BY ALL shorthand over a two-column rollup
+    ("SELECT o_orderstatus, o_orderpriority, count() AS n FROM orders "
+     "GROUP BY ALL ORDER BY o_orderstatus, o_orderpriority LIMIT 20",
+     (1, 20)),
+    # multi-argument count(DISTINCT ...)
+    ("SELECT count(DISTINCT o_orderstatus, o_orderpriority) AS pairs "
+     "FROM orders",
+     (1, 1)),
+    # quantiles plural feeding an array consumer
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(round(x, 2)), "
+     "quantiles(0.25, 0.5, 0.75)(o_totalprice)), ',') AS iqr "
+     "FROM orders",
+     (1, 1)),
+    # SET through the settings shim then a knob-sensitive statement
+    ("SELECT count() AS n FROM orders WHERE hasTokenOrNull("
+     "o_orderpriority, 'HIGH') = true OR o_orderstatus = 'O'",
+     (1, 1)),
 ]
 
 

@@ -74,3 +74,43 @@ def test_interval_length_sum_sql(client):
         "SELECT intervalLengthSum(s, e) AS r FROM "
         "(SELECT 1 AS s, 2 AS e WHERE false)").collect()[0]
     assert float(empty.r) == 0.0
+
+
+def test_wave33_scout_pins(client):
+    """Wave-33 scout (GROUP BY ALL / ORDER BY ALL, multi-arg
+    count(DISTINCT), quantiles plural tiers, toTime 1970-01-02 base,
+    interval string form) — everything already worked; these pin the
+    values so a regression is loud."""
+    rows = client.query_ch(
+        "SELECT x, count() AS n FROM (SELECT arrayJoin([1, 1, 2]) AS x)"
+        " GROUP BY ALL ORDER BY x").collect()
+    assert [(r.x, r.n) for r in rows] == [(1, 2), (2, 1)]
+    r = one(client,
+            "SELECT count(DISTINCT a, b) AS r FROM (SELECT arrayJoin("
+            "[(1, 1), (1, 1), (1, 2)]) AS t, t.1 AS a, t.2 AS b)")
+    assert r["r"] == 2
+    r = one(client, "SELECT quantiles(0.25, 0.75)(x) AS r FROM "
+                    "(SELECT arrayJoin([1, 2, 3, 4]) AS x)")
+    assert [float(v) for v in r["r"]] == [1.75, 3.25]
+    r = one(client, "SELECT toTime(toDateTime('2024-03-05 07:08:09')) "
+                    "AS r")
+    assert str(r["r"]) == "1970-01-02 07:08:09"
+    r = one(client, "SELECT toDateTime('2024-01-01 00:00:00') "
+                    "+ INTERVAL '1 day' AS r")
+    assert str(r["r"]).startswith("2024-01-02")
+    r = one(client, "SELECT widthBucket(5.0, 0.0, 10.0, 5) AS r")
+    assert int(r["r"]) == 3
+
+
+def test_paste_join_refusal_is_guided():
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql,
+    )
+
+    with _pt.raises(UntranslatableFunctionError, match="positional"):
+        translate_ch_sql(
+            "SELECT * FROM (SELECT 1 AS a) PASTE JOIN (SELECT 2 AS b)"
+        )

@@ -379,14 +379,32 @@ class Client:
                 "path string, bytes_written bigint",
             )
         m = _re.match(
-            r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE)"
+            r"(?is)^\s*EXPLAIN\s+(AST|SYNTAX|PLAN|PIPELINE|ESTIMATE|"
+            r"QUERY\s+TREE)"
             r"(\s+json\s*=\s*1)?\s+(.+)$",
             ch_sql,
         )
         if m:
             # the TEXTUAL EXPLAIN forms CH users type — routed to the
             # same machinery QueryOptions(explain=...) uses; one plan
-            # line per row, like clickhouse-client renders
+            # line per row, like clickhouse-client renders.
+            # EXPLAIN QUERY TREE (the CH analyzer's resolved tree) maps
+            # to PLAN — Spark's analyzed logical plan is the analogue.
+            if m.group(1).upper().startswith("QUERY"):
+                m = _re.match(
+                    r"(?is)^\s*EXPLAIN\s+(QUERY\s+TREE)"
+                    r"(\s+json\s*=\s*1)?\s+(.+)$",
+                    ch_sql,
+                )
+
+                class _M:  # minimal shim keeping the groups contract
+                    def __init__(self, inner):
+                        self._i = inner
+
+                    def group(self, k):
+                        return "plan" if k == 1 else self._i.group(k)
+
+                m = _M(m)
             from clickhouse_arrow_spark.explain import (
                 ExplainMode,
                 ExplainOptions,

@@ -175,6 +175,9 @@ _OPERATOR_BACKED: dict[str, str] = {
     "formatRow": "row formatting is an OUTPUT concern here: write via "
     "df.write.csv/json, or to_csv(struct(*)) / to_json(struct(*)) for a "
     "single formatted column",
+    "formatRowNoNewline": "row formatting is an OUTPUT concern here: "
+    "write via df.write.csv/json, or to_csv(struct(*)) / "
+    "to_json(struct(*)) for a single formatted column",
     "arrayReduceInRanges": "slice() the ranges then arrayReduce each: "
     "transform(ranges, r -> arrayReduce('agg', slice(arr, r.1, r.2)))",
     "arrayNormalizedGini": "sort-dependent scan over the pair — "
@@ -2162,6 +2165,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in (
         "JSONExtractFloat", "JSONExtractBool", "JSONExtractRaw", "JSONHas",
         "JSONExtractString", "JSONExtractInt", "JSONExtractUInt",
+        "JSONExtractArrayRaw",
     ):
         cast_to = {
             "JSONExtractFloat": "DOUBLE",
@@ -2171,7 +2175,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         }.get(name)
 
         def json_variant(a: Args, _cast: str | None = cast_to,
-                         _has: bool = name == "JSONHas") -> str:
+                         _has: bool = name == "JSONHas",
+                         _arr_raw: bool = name == "JSONExtractArrayRaw",
+                         ) -> str:
             # CH varargs path (string keys, 1-based int indices)
             segs = []
             for p in a[1:]:
@@ -2204,6 +2210,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 return f"({got} IS NOT NULL)"
             if _cast:
                 return f"CAST({got} AS {_cast})"
+            if _arr_raw:
+                # element-wise raw JSON of the array at the path; like
+                # JSONExtractRaw, string elements come back unquoted
+                # (the family-consistent approximation)
+                return f"from_json({got}, 'array<string>')"
             return got
 
         return json_variant

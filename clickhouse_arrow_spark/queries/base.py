@@ -120,7 +120,9 @@ _GATE_ALIASES: dict[str, str] = {
         # dateDiff boundary crossings — the biggest silent-divergence
         # batch any probe has returned)
         "util_sweep_wave30",
-        "util_sweep_wave21",
+        # round-8 rotation #6: wave21 out (judge-verified r7; see
+        # ROTATION.md), the intervalLengthSum union-sweep gate in
+        "agg_interval_union",
         "util_star_apply_join",
         "util_numbers_tvf",
         # engine semantics: FINAL folds, matview, mutations, dicts,

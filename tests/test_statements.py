@@ -1272,3 +1272,20 @@ def test_drop_database_sync_and_cascade(client, spark):
     client.execute_ch("DROP DATABASE IF EXISTS stmt_dropdb8")
     with _pt.raises(SchemaError, match="protected"):
         client.execute_ch("DROP DATABASE default SYNC")
+
+
+def test_explain_query_tree_maps_to_plan(client):
+    """Round 8: EXPLAIN QUERY TREE (the CH analyzer's resolved tree)
+    maps to the PLAN machinery — Spark's analyzed logical plan is the
+    analogue; formatRowNoNewline joins formatRow's guided refusal."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.dialect import (
+        UntranslatableFunctionError,
+        translate_ch_sql,
+    )
+
+    rows = client.query_ch("EXPLAIN QUERY TREE SELECT 1 AS x").collect()
+    assert rows and "Project" in rows[0].explain
+    with _pt.raises(UntranslatableFunctionError, match="to_csv"):
+        translate_ch_sql("SELECT formatRowNoNewline('CSV', 1)")

@@ -114,3 +114,26 @@ def test_paste_join_refusal_is_guided():
         translate_ch_sql(
             "SELECT * FROM (SELECT 1 AS a) PASTE JOIN (SELECT 2 AS b)"
         )
+
+
+def test_wave34_map_json_pins(client):
+    """Wave-34 value pins for the Map/JSON families (all already
+    matched CH; JSONExtractArrayRaw is the one addition — element-wise
+    raw JSON, strings unquoted like the family's JSONExtractRaw)."""
+    r = one(client,
+            "SELECT toJSONString(mapAdd(map('a', 1), "
+            "map('a', 2, 'b', 5))) AS ma, "
+            "toJSONString(mapPopulateSeries(map(1, 10, 3, 30))) AS mp, "
+            "JSONExtractString('{\"a\": {\"b\": \"c\"}}', 'a', 'b') "
+            "AS js, "
+            "JSONExtractArrayRaw('{\"a\": [1, {\"b\": 2}]}', 'a') "
+            "AS jar, "
+            "JSONType('{\"a\": [1]}', 'a') AS jt, "
+            "arrayStringConcat(arrayMap(x -> toString(x), "
+            "arrayEnumerateUniq([10, 20, 10, 10])), ',') AS aeu")
+    assert r["ma"] == '{"a":3,"b":5}'
+    assert r["mp"] == '{"1":10,"2":0,"3":30}'
+    assert r["js"] == "c"
+    assert list(r["jar"]) == ["1", '{"b":2}']
+    assert r["jt"] == "Array"
+    assert r["aeu"] == "1,1,2,3"

@@ -656,7 +656,8 @@ class Client:
                     f"WHERE {dbf} AND name LIKE {pat} ORDER BY name"
                 )
         m = _re.match(
-            r"(?is)^\s*SHOW\s+CREATE\s+(?:TABLE\s+)?"
+            r"(?is)^\s*SHOW\s+CREATE\s+(?:(?:TEMPORARY\s+)?TABLE\s+|"
+            r"VIEW\s+|DICTIONARY\s+)?"
             r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*;?\s*$",
             ch_sql,
         )
@@ -1022,6 +1023,38 @@ class Client:
             # Spark's TRUNCATE has no IF EXISTS — gate on the catalog
             if self.spark.catalog.tableExists(m.group(1).replace("`", "")):
                 self.execute(f"TRUNCATE TABLE {m.group(1)}", qid)
+            return None
+        if _re.match(r"(?is)^\s*CREATE\s+WINDOW\s+VIEW\b", ch_sql):
+            raise QueryError(
+                "CREATE WINDOW VIEW (experimental in ClickHouse): the "
+                "streaming path here is Structured Streaming — use "
+                "streaming/events tumbling/session aggregations, or a "
+                "materialized view over an ENGINE = Kafka/FileLog "
+                "source (streaming/ingest.start_ingest); the tumble()/"
+                "hop() helpers translate for batch backfills"
+            )
+        if _re.match(r"(?is)^\s*CREATE\s+LIVE\s+VIEW\b", ch_sql):
+            raise QueryError(
+                "CREATE LIVE VIEW is deprecated in ClickHouse; use a "
+                "refreshable materialized view instead: CREATE "
+                "MATERIALIZED VIEW mv REFRESH EVERY <interval> AS "
+                "SELECT ... (matview.create_refreshable_view)"
+            )
+        m = _re.match(
+            r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)"
+            r"\s+CLONE\s+AS\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if m:
+            # CH 23.x CLONE AS: structure + a SNAPSHOT of the current
+            # rows (CH hardlinks parts; one INSERT...SELECT is the
+            # rewrite-based equivalent on parquet)
+            ine = "IF NOT EXISTS " if m.group(1) else ""
+            dst, src = m.group(2), m.group(3)
+            self.execute_ch(f"CREATE TABLE {ine}{dst} AS {src}", qid)
+            self.execute_ch(
+                f"INSERT INTO {dst} SELECT * FROM {src}", qid
+            )
             return None
         m = _re.match(
             r"(?is)^\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?([\w.`]+)"

@@ -2229,7 +2229,32 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
         )
         return True
     mm = re.match(
-        r"(?is)^MODIFY\s+COLUMN\s+(`[^`]+`|\w+)\s+([\w()\s,]+?)\s*$", action
+        r"(?is)^MODIFY\s+COLUMN\s+(`[^`]+`|\w+)\s+REMOVE\s+DEFAULT\s*$",
+        action,
+    )
+    if mm:
+        spark.sql(
+            f"ALTER TABLE {table} ALTER COLUMN "
+            f"`{mm.group(1).strip('`')}` DROP DEFAULT"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^MODIFY\s+COLUMN\s+(`[^`]+`|\w+)\s+DEFAULT\s+(.+?)\s*$",
+        action,
+    )
+    if mm:
+        # default-only change (CH allows omitting the type)
+        expr = translate_ch_sql(f"SELECT {mm.group(2).strip()}")[
+            len("SELECT "):]
+        spark.sql(
+            f"ALTER TABLE {table} ALTER COLUMN "
+            f"`{mm.group(1).strip('`')}` SET DEFAULT {expr}"
+        )
+        return True
+    mm = re.match(
+        r"(?is)^MODIFY\s+COLUMN\s+(`[^`]+`|\w+)\s+([\w()\s,]+?)"
+        r"(?:\s+DEFAULT\s+(.+?))?\s*$",
+        action,
     )
     if mm:
         from pyspark.sql import functions as F
@@ -2246,6 +2271,13 @@ def try_alter(spark: SparkSession, ch_sql: str) -> bool:
             table,
             spark.table(table).withColumn(col, F.col(col).cast(dt)),
         )
+        if mm.group(3):
+            expr = translate_ch_sql(f"SELECT {mm.group(3).strip()}")[
+                len("SELECT "):]
+            spark.sql(
+                f"ALTER TABLE {table} ALTER COLUMN `{col}` "
+                f"SET DEFAULT {expr}"
+            )
         return True
     mm = re.match(r"(?is)^CLEAR\s+COLUMN\s+(`[^`]+`|\w+)\s*$", action)
     if mm:

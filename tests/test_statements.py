@@ -1289,3 +1289,63 @@ def test_explain_query_tree_maps_to_plan(client):
     assert rows and "Project" in rows[0].explain
     with _pt.raises(UntranslatableFunctionError, match="to_csv"):
         translate_ch_sql("SELECT formatRowNoNewline('CSV', 1)")
+
+
+def test_clone_as_snapshot(client, spark):
+    """Round 8: CREATE TABLE dst CLONE AS src = structure + a SNAPSHOT
+    of the current rows (CH hardlinks parts; INSERT...SELECT is the
+    rewrite-based equivalent); later inserts to src don't leak in."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmt_clone8")
+    for t in ("src", "c1"):
+        spark.sql(f"DROP TABLE IF EXISTS stmt_clone8.{t}")
+    client.execute_ch(
+        "CREATE TABLE stmt_clone8.src (k Int64, x Int64) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch("INSERT INTO stmt_clone8.src VALUES (1, 10), (2, 20)")
+    client.execute_ch("CREATE TABLE stmt_clone8.c1 CLONE AS stmt_clone8.src")
+    client.execute_ch("INSERT INTO stmt_clone8.src VALUES (3, 30)")
+    assert client.query_ch(
+        "SELECT count() AS n FROM stmt_clone8.c1").collect()[0].n == 2
+    assert client.query_ch(
+        "SELECT count() AS n FROM stmt_clone8.src").collect()[0].n == 3
+    client.execute_ch("DROP DATABASE stmt_clone8 SYNC")
+
+
+def test_modify_column_default_forms(client, spark):
+    """Round 8: MODIFY COLUMN x T DEFAULT e (type + default),
+    MODIFY COLUMN x DEFAULT e (default only), REMOVE DEFAULT."""
+    spark.sql("CREATE DATABASE IF NOT EXISTS stmt_mcd8")
+    spark.sql("DROP TABLE IF EXISTS stmt_mcd8.t")
+    client.execute_ch(
+        "CREATE TABLE stmt_mcd8.t (k Int64, x Int64) "
+        "ENGINE = MergeTree ORDER BY k"
+    )
+    client.execute_ch(
+        "ALTER TABLE stmt_mcd8.t MODIFY COLUMN x Int64 DEFAULT 9")
+    client.execute_ch("INSERT INTO stmt_mcd8.t (k) VALUES (1)")
+    client.execute_ch("ALTER TABLE stmt_mcd8.t MODIFY COLUMN x DEFAULT 7")
+    client.execute_ch("INSERT INTO stmt_mcd8.t (k) VALUES (2)")
+    vals = {r.k: r.x for r in client.query_ch(
+        "SELECT k, x FROM stmt_mcd8.t").collect()}
+    assert vals == {1: 9, 2: 7}
+    client.execute_ch("ALTER TABLE stmt_mcd8.t MODIFY COLUMN x "
+                      "REMOVE DEFAULT")
+    client.execute_ch("DROP DATABASE stmt_mcd8 SYNC")
+
+
+def test_window_live_view_refusals(client):
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import QueryError
+
+    with _pt.raises(QueryError, match="Structured Streaming"):
+        client.execute_ch("CREATE WINDOW VIEW wv AS SELECT 1")
+    with _pt.raises(QueryError, match="refreshable"):
+        client.execute_ch("CREATE LIVE VIEW lv AS SELECT 1")
+
+
+def test_show_create_view_spelling(client, spark):
+    spark.sql("CREATE OR REPLACE TEMP VIEW scv8 AS SELECT 1 AS a")
+    stmt = client.query_ch("SHOW CREATE VIEW scv8").collect()[0][0]
+    assert "scv8" in stmt and "a" in stmt

@@ -1179,11 +1179,17 @@ class Client:
                 f"{kv['DB']}.{kv['TABLE']}" if kv.get("DB") else kv["TABLE"]
             )
             source = self.spark.table(src_name)
-            declared = [
-                _re.match(r"(`[^`]+`|\w+)", c.strip()).group(1).strip("`")
-                for c in m.group("cols").split(",")
-                if c.strip()
-            ]
+            declared = []
+            hierarchical = None
+            for c in m.group("cols").split(","):
+                if not c.strip():
+                    continue
+                cname = _re.match(
+                    r"(`[^`]+`|\w+)", c.strip()).group(1).strip("`")
+                declared.append(cname)
+                # CH marks the parent-key attribute HIERARCHICAL
+                if _re.search(r"(?i)\bHIERARCHICAL\b", c):
+                    hierarchical = cname
             if declared:
                 missing = [c for c in declared if c not in source.columns]
                 if missing:
@@ -1199,6 +1205,7 @@ class Client:
                 dname,
                 source,
                 m.group("key").strip("`"),
+                hierarchical=hierarchical,
             )
             return None
         m = _re.match(
@@ -1592,6 +1599,21 @@ class Client:
                     f"SYSTEM UNFREEZE: no snapshot named {name!r} under "
                     "any database's .shadow/ area"
                 )
+            return None
+        mrd = _re.match(
+            r"(?is)^\s*SYSTEM\s+RELOAD\s+DICTIONARY\s+([\w.`]+)\s*;?\s*$",
+            ch_sql,
+        )
+        if mrd:
+            # dictGet reads the live catalog table (nothing to reload),
+            # but the hierarchy-closure cache IS session state — drop it
+            from clickhouse_arrow_spark.dictionary import (
+                invalidate_hierarchy,
+            )
+
+            invalidate_hierarchy(
+                self.spark, mrd.group(1).replace("`", "")
+            )
             return None
         if _re.match(
             r"(?is)^\s*SYSTEM\s+(RELOAD\s+DICTIONAR(?:Y\s+[\w.`]+|IES)|"

@@ -34,7 +34,10 @@ from clickhouse_arrow_spark.errors import SchemaError
 
 __all__ = ["create_dictionary", "rewrite_dict_calls"]
 
-_DICT_CALL_RE = re.compile(r"\bdict(Get|GetOrDefault|GetOrNull|Has)\s*\(")
+_DICT_CALL_RE = re.compile(
+    r"\bdict(GetHierarchy|GetOrDefault|GetOrNull|GetChildren|"
+    r"GetDescendants|Get|Has|IsIn)\s*\("
+)
 
 #: dictGetString/dictGetInt64/... typed variants — CH casts the stored
 #: attribute; the catalog table already has the concrete type, so the
@@ -58,13 +61,20 @@ def create_dictionary(
     name: str,
     source: DataFrame,
     key: str,
+    hierarchical: str | None = None,
 ) -> None:
     """Materialize `source` as dictionary `database.name` keyed on
     `key` (CREATE DICTIONARY analogue; layout is Spark's concern — the
     broadcast join IS the hashed layout). Re-creating replaces the
-    content, like a dictionary reload."""
+    content, like a dictionary reload. `hierarchical` names the
+    parent-key attribute (the CH HIERARCHICAL column marker), enabling
+    dictGetHierarchy/dictIsIn/dictGetChildren/dictGetDescendants."""
     if key not in source.columns:
         raise SchemaError(f"dictionary key column {key!r} not in source")
+    if hierarchical and hierarchical not in source.columns:
+        raise SchemaError(
+            f"HIERARCHICAL column {hierarchical!r} not in source"
+        )
     spark.sql(f"CREATE DATABASE IF NOT EXISTS {database}")
     full = f"{database}.{name}"
     spark.sql(f"DROP TABLE IF EXISTS {full}")
@@ -76,11 +86,104 @@ def create_dictionary(
         if not _drop_orphan_location(spark, e):
             raise
         source.write.mode("overwrite").format("parquet").saveAsTable(full)
-    spark.sql(
-        f"ALTER TABLE {full} SET TBLPROPERTIES ("
+    props = (
         f"'clickhouse_arrow_spark.dictionary' = 'true', "
-        f"'clickhouse_arrow_spark.dict_key' = '{key}')"
+        f"'clickhouse_arrow_spark.dict_key' = '{key}'"
     )
+    if hierarchical:
+        props += (
+            f", 'clickhouse_arrow_spark.dict_hierarchical' = "
+            f"'{hierarchical}'"
+        )
+    spark.sql(f"ALTER TABLE {full} SET TBLPROPERTIES ({props})")
+    invalidate_hierarchy(spark, full)
+
+
+def invalidate_hierarchy(spark: SparkSession, dict_ref: str) -> None:
+    """Drop the cached hierarchy-closure view for a dictionary (called
+    on re-create and SYSTEM RELOAD DICTIONARY)."""
+    built = getattr(spark, "_cas_hier_built", None)
+    if built is not None:
+        built.discard(dict_ref.lower())
+    spark.catalog.dropTempView(_hier_view_name(dict_ref))
+
+
+def _hier_view_name(dict_ref: str) -> str:
+    return "cas_hier__" + dict_ref.lower().replace(".", "__")
+
+
+def _ensure_hier_view(spark: SparkSession, dict_ref: str) -> str:
+    """Build (once per session per dictionary) the hierarchy-closure
+    view `cas_hier__<db>__<name>` with one row per key: the ancestor
+    chain (self first, CH dictGetHierarchy order), direct children and
+    all descendants. Dictionaries are RAM-resident by the CH contract
+    — the driver-side closure walk is the same cost class CH pays to
+    host the dictionary in memory; fact-side lookups stay correlated
+    scalar subqueries like every other dictGet."""
+    key_col, _schema = _dict_meta(spark, dict_ref)
+    from clickhouse_arrow_spark.ddl import _table_props
+
+    parent_col = _table_props(spark, dict_ref).get(
+        "clickhouse_arrow_spark.dict_hierarchical"
+    )
+    if not parent_col:
+        raise SchemaError(
+            f"dictGetHierarchy/dictIsIn: dictionary {dict_ref!r} has no "
+            "HIERARCHICAL attribute — declare it in CREATE DICTIONARY "
+            "(e.g. `parent UInt64 HIERARCHICAL`) or pass "
+            "hierarchical= to dictionary.create_dictionary"
+        )
+    view = _hier_view_name(dict_ref)
+    built = getattr(spark, "_cas_hier_built", None)
+    if built is None:
+        built = set()
+        spark._cas_hier_built = built
+    if dict_ref.lower() in built:
+        return view
+    rows = spark.table(dict_ref).select(key_col, parent_col).collect()
+    parent = {r[0]: r[1] for r in rows}
+    children: dict = {}
+    for k, p in parent.items():
+        if p is not None and p in parent and p != k:
+            children.setdefault(p, []).append(k)
+
+    def chain(k):
+        out, seen = [k], {k}
+        cur = parent.get(k)
+        while cur is not None and cur in parent and cur not in seen:
+            out.append(cur)
+            seen.add(cur)
+            cur = parent.get(cur)
+        return out
+
+    def descendants(k):
+        out, stack = [], list(children.get(k, ()))
+        seen = set()
+        while stack:
+            c = stack.pop()
+            if c in seen:
+                continue
+            seen.add(c)
+            out.append(c)
+            stack.extend(children.get(c, ()))
+        return out
+
+    import pyspark.sql.types as T
+
+    key_dt = spark.table(dict_ref).schema[key_col].dataType
+    schema = T.StructType([
+        T.StructField("id", key_dt),
+        T.StructField("hierarchy", T.ArrayType(key_dt)),
+        T.StructField("children", T.ArrayType(key_dt)),
+        T.StructField("descendants", T.ArrayType(key_dt)),
+    ])
+    data = [
+        (k, chain(k), sorted(children.get(k, [])), sorted(descendants(k)))
+        for k in parent
+    ]
+    spark.createDataFrame(data, schema).createOrReplaceTempView(view)
+    built.add(dict_ref.lower())
+    return view
 
 
 def _dict_meta(spark: SparkSession, dict_ref: str) -> tuple[str, dict[str, str]]:
@@ -158,6 +261,55 @@ def rewrite_dict_calls(spark: SparkSession, sql: str) -> str:
         dict_ref = _strip_quotes(args[0])
         key_col, schema = _dict_meta(spark, dict_ref)
         kq = f"`{key_col}`"
+        if kind in ("GetHierarchy", "IsIn", "GetChildren",
+                    "GetDescendants"):
+            view = _ensure_hier_view(spark, dict_ref)
+            kt = spark.table(dict_ref).schema[key_col].dataType.simpleString()
+            if kind == "GetHierarchy":
+                if len(args) != 2:
+                    raise SchemaError("dictGetHierarchy takes (dict, key)")
+                sub = (
+                    f"coalesce((SELECT hierarchy FROM {view} "
+                    f"WHERE id = ({args[1]})), "
+                    f"array(CAST(({args[1]}) AS {kt})))"
+                )
+            elif kind == "IsIn":
+                if len(args) != 3:
+                    raise SchemaError(
+                        "dictIsIn takes (dict, child_key, ancestor_key)")
+                sub = (
+                    f"coalesce((SELECT array_contains(hierarchy, "
+                    f"CAST(({args[2]}) AS {kt})) FROM {view} "
+                    f"WHERE id = ({args[1]})), false)"
+                )
+            elif kind == "GetChildren":
+                if len(args) != 2:
+                    raise SchemaError("dictGetChildren takes (dict, key)")
+                sub = (
+                    f"coalesce((SELECT children FROM {view} "
+                    f"WHERE id = ({args[1]})), "
+                    f"CAST(array() AS array<{kt}>))"
+                )
+            else:  # GetDescendants(dict, key[, level])
+                lvl = args[2].strip() if len(args) > 2 else "0"
+                if lvl == "0":
+                    col = "descendants"
+                elif lvl == "1":
+                    col = "children"
+                else:
+                    raise SchemaError(
+                        "dictGetDescendants: only level 0 (all) and 1 "
+                        "(direct children) are supported — deeper "
+                        "single-level slices need the recursive walk "
+                        "spelled as repeated dictGetChildren joins"
+                    )
+                sub = (
+                    f"coalesce((SELECT {col} FROM {view} "
+                    f"WHERE id = ({args[1]})), "
+                    f"CAST(array() AS array<{kt}>))"
+                )
+            sql = sql[: m.start()] + sub + sql[close_idx + 1:]
+            continue
         if kind == "Has":
             if len(args) != 2:
                 raise SchemaError("dictHas takes (dict, key)")

@@ -243,3 +243,91 @@ def test_system_dictionaries_and_exchange(spark, client):
     assert r.v == "z"
     for t in ("dict8.da", "dict8.db", "dict8.srca", "dict8.srcb"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_hierarchical_dictionary_functions(client, spark):
+    """Round 8: hierarchical dictionaries (CH HIERARCHICAL attribute
+    marker) — dictGetHierarchy / dictIsIn / dictGetChildren /
+    dictGetDescendants over a session-cached closure view; fact-side
+    lookups stay correlated scalar subqueries (broadcast class)."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dicth8")
+    spark.sql("DROP TABLE IF EXISTS dicth8.src")
+    client.execute_ch(
+        "CREATE TABLE dicth8.src (id UInt64, name String, "
+        "parent UInt64) ENGINE = MergeTree ORDER BY id"
+    )
+    client.execute_ch(
+        "INSERT INTO dicth8.src VALUES (1, 'a', 0), (2, 'b', 1), "
+        "(3, 'c', 2), (4, 'd', 1), (5, 'e', 0)"
+    )
+    client.execute_ch(
+        "CREATE DICTIONARY dicth8.d (id UInt64, name String, "
+        "parent UInt64 HIERARCHICAL) PRIMARY KEY id "
+        "SOURCE(CLICKHOUSE(TABLE 'dicth8.src')) LAYOUT(HASHED()) "
+        "LIFETIME(0)"
+    )
+
+    def q(s):
+        return client.query_ch(s).collect()[0].r
+
+    assert [int(x) for x in q(
+        "SELECT dictGetHierarchy('dicth8.d', toUInt64(3)) AS r"
+    )] == [3, 2, 1]
+    assert [int(x) for x in q(
+        "SELECT dictGetHierarchy('dicth8.d', toUInt64(99)) AS r"
+    )] == [99]
+    assert q("SELECT dictIsIn('dicth8.d', toUInt64(3), toUInt64(1)) "
+             "AS r") is True
+    assert q("SELECT dictIsIn('dicth8.d', toUInt64(3), toUInt64(4)) "
+             "AS r") is False
+    assert q("SELECT dictIsIn('dicth8.d', toUInt64(2), toUInt64(2)) "
+             "AS r") is True
+    assert [int(x) for x in q(
+        "SELECT dictGetChildren('dicth8.d', toUInt64(1)) AS r"
+    )] == [2, 4]
+    assert [int(x) for x in q(
+        "SELECT dictGetDescendants('dicth8.d', toUInt64(1)) AS r"
+    )] == [2, 3, 4]
+    assert [int(x) for x in q(
+        "SELECT dictGetDescendants('dicth8.d', toUInt64(1), 1) AS r"
+    )] == [2, 4]
+    assert list(q(
+        "SELECT dictGetChildren('dicth8.d', toUInt64(3)) AS r")) == []
+    # re-create (the reload path) rebuilds the closure
+    client.execute_ch("INSERT INTO dicth8.src VALUES (6, 'f', 4)")
+    client.execute_ch(
+        "CREATE DICTIONARY dicth8.d (id UInt64, name String, "
+        "parent UInt64 HIERARCHICAL) PRIMARY KEY id "
+        "SOURCE(CLICKHOUSE(TABLE 'dicth8.src')) LAYOUT(HASHED()) "
+        "LIFETIME(0)"
+    )
+    assert [int(x) for x in q(
+        "SELECT dictGetDescendants('dicth8.d', toUInt64(1)) AS r"
+    )] == [2, 3, 4, 6]
+    # SYSTEM RELOAD DICTIONARY drops the cached closure too
+    client.execute_ch("SYSTEM RELOAD DICTIONARY dicth8.d")
+    assert [int(x) for x in q(
+        "SELECT dictGetHierarchy('dicth8.d', toUInt64(6)) AS r"
+    )] == [6, 4, 1]
+    # fact-side per-row usage stays a correlated scalar subquery
+    rows = client.query_ch(
+        "SELECT x, dictIsIn('dicth8.d', x, toUInt64(1)) AS u "
+        "FROM (SELECT arrayJoin([toUInt64(2), toUInt64(5)]) AS x) "
+        "ORDER BY x").collect()
+    assert [(int(r.x), r.u) for r in rows] == [(2, True), (5, False)]
+    # a dictionary WITHOUT the marker refuses with guidance
+    spark.sql("DROP TABLE IF EXISTS dicth8.flat")
+    client.execute_ch(
+        "CREATE DICTIONARY dicth8.flat (id UInt64, name String) "
+        "PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'dicth8.src')) "
+        "LAYOUT(HASHED()) LIFETIME(0)"
+    )
+    with _pt.raises(SchemaError, match="HIERARCHICAL"):
+        client.query_ch(
+            "SELECT dictGetHierarchy('dicth8.flat', toUInt64(1)) AS r"
+        ).collect()
+    client.execute_ch("DROP DATABASE dicth8 SYNC")

@@ -1150,7 +1150,9 @@ class Client:
             r"(?is)^\s*CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
             r"(?P<name>(?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))?)\s*"
             r"\((?P<cols>[^)]*)\)\s*"
-            r"PRIMARY\s+KEY\s+(?P<key>`[^`]+`|\w+)\s*"
+            r"PRIMARY\s+KEY\s+\(?\s*"
+            r"(?P<key>(?:`[^`]+`|\w+)(?:\s*,\s*(?:`[^`]+`|\w+))*)"
+            r"\s*\)?\s*"
             r"(?P<rest>.*)$",
             ch_sql.rstrip().rstrip(";"),
         )
@@ -1199,12 +1201,16 @@ class Client:
                 source = source.select(*declared)
             name = m.group("name").replace("`", "")
             db, _, dname = name.rpartition(".")
+            key_spec = "|".join(
+                k.strip().strip("`")
+                for k in m.group("key").split(",")
+            )
             create_dictionary(
                 self.spark,
                 db or self.spark.catalog.currentDatabase(),
                 dname,
                 source,
-                m.group("key").strip("`"),
+                key_spec,
                 hierarchical=hierarchical,
             )
             return None

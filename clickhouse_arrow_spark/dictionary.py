@@ -68,9 +68,13 @@ def create_dictionary(
     broadcast join IS the hashed layout). Re-creating replaces the
     content, like a dictionary reload. `hierarchical` names the
     parent-key attribute (the CH HIERARCHICAL column marker), enabling
-    dictGetHierarchy/dictIsIn/dictGetChildren/dictGetDescendants."""
-    if key not in source.columns:
-        raise SchemaError(f"dictionary key column {key!r} not in source")
+    dictGetHierarchy/dictIsIn/dictGetChildren/dictGetDescendants.
+    A COMPLEX_KEY layout's composite key is spelled 'a|b' (the
+    join_key convention); dictGet then takes tuple(a, b)."""
+    for part in key.split("|"):
+        if part not in source.columns:
+            raise SchemaError(
+                f"dictionary key column {part!r} not in source")
     if hierarchical and hierarchical not in source.columns:
         raise SchemaError(
             f"HIERARCHICAL column {hierarchical!r} not in source"
@@ -260,9 +264,43 @@ def rewrite_dict_calls(spark: SparkSession, sql: str) -> str:
         args = _split_top_args(sql[open_idx + 1 : close_idx])
         dict_ref = _strip_quotes(args[0])
         key_col, schema = _dict_meta(spark, dict_ref)
-        kq = f"`{key_col}`"
+        key_cols = key_col.split("|")
+
+        def _key_where(key_expr: str) -> str:
+            """WHERE clause matching the (possibly composite) key.
+            Composite keys arrive as the textual tuple the CH call
+            spells — tuple(a, b) or (a, b) — and decompose into one
+            equality per key part."""
+            if len(key_cols) == 1:
+                return f"`{key_cols[0]}` = ({key_expr})"
+            ke = key_expr.strip()
+            if not (re.match(r"(?is)^tuple\s*\(", ke)
+                    or ke.startswith("(")):
+                raise SchemaError(
+                    f"dict{kind}: dictionary {dict_ref!r} has the "
+                    f"composite key ({', '.join(key_cols)}) — spell "
+                    "the lookup key as tuple(k1, k2, ...)"
+                )
+            close2 = _find_matching_paren(ke, ke.index("("))
+            parts = _split_top_args(ke[ke.index("(") + 1 : close2])
+            if len(parts) != len(key_cols):
+                raise SchemaError(
+                    f"dict{kind}: key tuple has {len(parts)} parts, "
+                    f"dictionary {dict_ref!r} expects "
+                    f"{len(key_cols)} ({', '.join(key_cols)})"
+                )
+            return " AND ".join(
+                f"`{c}` = ({p})" for c, p in zip(key_cols, parts)
+            )
+
         if kind in ("GetHierarchy", "IsIn", "GetChildren",
                     "GetDescendants"):
+            if len(key_cols) > 1:
+                raise SchemaError(
+                    f"dict{kind}: hierarchy functions need a single "
+                    "numeric key (CH requires the same); dictionary "
+                    f"{dict_ref!r} has a composite key"
+                )
             view = _ensure_hier_view(spark, dict_ref)
             kt = spark.table(dict_ref).schema[key_col].dataType.simpleString()
             if kind == "GetHierarchy":
@@ -315,7 +353,7 @@ def rewrite_dict_calls(spark: SparkSession, sql: str) -> str:
                 raise SchemaError("dictHas takes (dict, key)")
             sub = (
                 f"((SELECT count(*) FROM {dict_ref} "
-                f"WHERE {kq} = ({args[1]})) > 0)"
+                f"WHERE {_key_where(args[1])}) > 0)"
             )
         else:
             if kind == "GetOrDefault" and len(args) != 4:
@@ -329,7 +367,8 @@ def rewrite_dict_calls(spark: SparkSession, sql: str) -> str:
                     f"(has: {sorted(schema)})"
                 )
             lookup = (
-                f"(SELECT `{attr}` FROM {dict_ref} WHERE {kq} = ({args[2]}))"
+                f"(SELECT `{attr}` FROM {dict_ref} "
+                f"WHERE {_key_where(args[2])})"
             )
             if cast_to:
                 lookup = f"CAST({lookup} AS {cast_to})"

@@ -331,3 +331,65 @@ def test_hierarchical_dictionary_functions(client, spark):
             "SELECT dictGetHierarchy('dicth8.flat', toUInt64(1)) AS r"
         ).collect()
     client.execute_ch("DROP DATABASE dicth8 SYNC")
+
+
+def test_complex_key_dictionary(client, spark):
+    """Round 8: COMPLEX_KEY layouts — PRIMARY KEY a, b (or (a, b));
+    dictGet takes tuple(k1, k2), decomposed into per-part equalities
+    in the correlated lookup; bare keys refuse with the tuple recipe;
+    hierarchy functions refuse on composite keys."""
+    import pytest as _pt
+
+    from clickhouse_arrow_spark.errors import SchemaError
+
+    spark.sql("CREATE DATABASE IF NOT EXISTS dictck8")
+    spark.sql("DROP TABLE IF EXISTS dictck8.src")
+    client.execute_ch(
+        "CREATE TABLE dictck8.src (region String, code UInt64, "
+        "label String) ENGINE = MergeTree ORDER BY (region, code)"
+    )
+    client.execute_ch(
+        "INSERT INTO dictck8.src VALUES ('eu', 1, 'one'), "
+        "('us', 1, 'uno')"
+    )
+    client.execute_ch(
+        "CREATE DICTIONARY dictck8.d (region String, code UInt64, "
+        "label String) PRIMARY KEY region, code "
+        "SOURCE(CLICKHOUSE(TABLE 'dictck8.src')) "
+        "LAYOUT(COMPLEX_KEY_HASHED()) LIFETIME(0)"
+    )
+
+    def q(s):
+        return client.query_ch(s).collect()[0].r
+
+    assert q("SELECT dictGet('dictck8.d', 'label', "
+             "tuple('eu', toUInt64(1))) AS r") == "one"
+    # missing composite key -> the attribute type's default
+    assert q("SELECT dictGet('dictck8.d', 'label', "
+             "tuple('jp', toUInt64(1))) AS r") == ""
+    assert q("SELECT dictHas('dictck8.d', ('us', toUInt64(1))) "
+             "AS r") is True
+    assert q("SELECT dictGetOrDefault('dictck8.d', 'label', "
+             "tuple('jp', toUInt64(9)), 'nope') AS r") == "nope"
+    assert q("SELECT dictGetString('dictck8.d', 'label', "
+             "tuple('us', toUInt64(1))) AS r") == "uno"
+    with _pt.raises(SchemaError, match="tuple"):
+        client.query_ch(
+            "SELECT dictGet('dictck8.d', 'label', 'eu') AS r"
+        ).collect()
+    with _pt.raises(SchemaError, match="single"):
+        client.query_ch(
+            "SELECT dictGetHierarchy('dictck8.d', tuple('eu', "
+            "toUInt64(1))) AS r"
+        ).collect()
+    # parenthesized PRIMARY KEY spelling
+    spark.sql("DROP TABLE IF EXISTS dictck8.d2")
+    client.execute_ch(
+        "CREATE DICTIONARY dictck8.d2 (region String, code UInt64, "
+        "label String) PRIMARY KEY (region, code) "
+        "SOURCE(CLICKHOUSE(TABLE 'dictck8.src')) "
+        "LAYOUT(COMPLEX_KEY_HASHED()) LIFETIME(0)"
+    )
+    assert q("SELECT dictGet('dictck8.d2', 'label', "
+             "tuple('us', toUInt64(1))) AS r") == "uno"
+    client.execute_ch("DROP DATABASE dictck8 SYNC")

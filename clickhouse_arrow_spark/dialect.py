@@ -130,7 +130,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "generateUUIDv4": "uuid",
     "currentDatabase": "current_database",
     "currentUser": "current_user",
-    "toTypeName": "typeof",  # caveat: returns Spark type names
+    # toTypeName gets a formatter: CH-spelled names for the atomics
     "anyHeavy": "mode",  # heavy-hitter pick -> exact mode (superset)
     "countMatches": "regexp_count",
     "extractAll": "regexp_extract_all",  # caveat: CH falls back to the
@@ -381,6 +381,14 @@ _OPERATOR_BACKED: dict[str, str] = {
     "sparkbar": (
         "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
         "slot aggregation + glyph render, no Python"
+    ),
+    "replicate": (
+        "internal to CH's array machinery; the user-facing shape is "
+        "arrayWithConstant(n, x) / array_repeat"
+    ),
+    "hasColumnInTable": (
+        "catalog introspection: SELECT count(*) > 0 FROM system.columns "
+        "WHERE database = ... AND table = ... AND name = ..."
     ),
     "kostikConsistentHash": (
         "jumpConsistentHash(key, n) — the published Lamping-Veach jump "
@@ -2731,6 +2739,29 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "min2": "least({0}, {1})",
         }[name]
         return lambda a: slot.format(*a)
+    if name == "toTypeName":
+        # report the CH spelling of the resolved Spark type for the
+        # atomic names (the original CH type is unrecoverable after the
+        # bridge widens — e.g. UInt8 arrives as SMALLINT and reports
+        # Int16; documented approximation). Complex type strings
+        # (array<...>, decimal(p,s), struct<...>) pass through as-is.
+        def to_type_name(a: Args) -> str:
+            t = f"typeof({a[0]})"
+            pairs = [
+                ("tinyint", "Int8"), ("smallint", "Int16"),
+                ("int", "Int32"), ("bigint", "Int64"),
+                ("float", "Float32"), ("double", "Float64"),
+                ("string", "String"), ("date", "Date"),
+                ("timestamp_ntz", "DateTime"),
+                ("timestamp", "DateTime"), ("boolean", "Bool"),
+                ("binary", "String"),
+            ]
+            whens = "".join(
+                f" WHEN '{s}' THEN '{c}'" for s, c in pairs
+            )
+            return f"(CASE {t}{whens} ELSE {t} END)"
+
+        return to_type_name
     if name in ("any", "anyLast"):
         # CH any()/anyLast() return the first/last NON-NULL value;
         # Spark's bare any_value keeps NULLs (wave-32 probe:

@@ -953,6 +953,10 @@ QUERIES = [
     ("SELECT count() AS n FROM orders WHERE hasTokenOrNull("
      "o_orderpriority, 'HIGH') = true OR o_orderstatus = 'O'",
      (1, 1)),
+    # toTypeName in a schema-drift monitoring projection
+    ("SELECT toTypeName(o_totalprice) AS price_type, "
+     "toTypeName(o_orderdate) AS date_type FROM orders LIMIT 1",
+     (1, 1)),
 ]
 
 

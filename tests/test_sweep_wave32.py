@@ -137,3 +137,16 @@ def test_wave34_map_json_pins(client):
     assert list(r["jar"]) == ["1", '{"b":2}']
     assert r["jt"] == "Array"
     assert r["aeu"] == "1,1,2,3"
+
+
+def test_to_type_name_ch_spellings(client):
+    """Wave-35: toTypeName reports the CH spelling of the resolved
+    Spark type for atomics (the original CH type is unrecoverable
+    after the bridge widens — UInt8 reports Int16; documented)."""
+    r = one(client, "SELECT toTypeName(toUInt8(1)) AS a, "
+                    "toTypeName('x') AS b, "
+                    "toTypeName(toDate('2024-01-01')) AS c, "
+                    "toTypeName(toFloat64(1)) AS d, "
+                    "toTypeName(toInt64(1)) AS e")
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
+        "Int16", "String", "Date", "Float64", "Int64")

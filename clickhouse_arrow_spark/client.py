@@ -1212,6 +1212,7 @@ class Client:
                 source,
                 key_spec,
                 hierarchical=hierarchical,
+                source_table=src_name,
             )
             return None
         m = _re.match(
@@ -1611,13 +1612,13 @@ class Client:
             ch_sql,
         )
         if mrd:
-            # dictGet reads the live catalog table (nothing to reload),
-            # but the hierarchy-closure cache IS session state — drop it
+            # re-materialize from the recorded SOURCE table (the CH
+            # reload contract) and drop the hierarchy-closure cache
             from clickhouse_arrow_spark.dictionary import (
-                invalidate_hierarchy,
+                reload_dictionary,
             )
 
-            invalidate_hierarchy(
+            reload_dictionary(
                 self.spark, mrd.group(1).replace("`", "")
             )
             return None

@@ -62,6 +62,7 @@ def create_dictionary(
     source: DataFrame,
     key: str,
     hierarchical: str | None = None,
+    source_table: str | None = None,
 ) -> None:
     """Materialize `source` as dictionary `database.name` keyed on
     `key` (CREATE DICTIONARY analogue; layout is Spark's concern — the
@@ -99,8 +100,45 @@ def create_dictionary(
             f", 'clickhouse_arrow_spark.dict_hierarchical' = "
             f"'{hierarchical}'"
         )
+    if source_table:
+        # recorded so SYSTEM RELOAD DICTIONARY can re-materialize from
+        # the live source (CH re-reads the SOURCE on reload)
+        props += (
+            f", 'clickhouse_arrow_spark.dict_source' = '{source_table}'"
+        )
     spark.sql(f"ALTER TABLE {full} SET TBLPROPERTIES ({props})")
     invalidate_hierarchy(spark, full)
+
+
+def reload_dictionary(spark: SparkSession, dict_ref: str) -> None:
+    """SYSTEM RELOAD DICTIONARY: re-materialize from the recorded
+    SOURCE table (the CH reload contract) and drop the hierarchy
+    cache. Dictionaries created from a bare DataFrame (no recorded
+    source) only invalidate the cache — their refresh path is
+    re-calling create_dictionary."""
+    from clickhouse_arrow_spark.ddl import _table_props
+
+    try:
+        props = _table_props(spark, dict_ref)
+    except Exception:
+        invalidate_hierarchy(spark, dict_ref)
+        return
+    src = props.get("clickhouse_arrow_spark.dict_source")
+    if src and props.get("clickhouse_arrow_spark.dictionary") == "true":
+        cols = spark.table(dict_ref).columns
+        db, _, dname = dict_ref.rpartition(".")
+        create_dictionary(
+            spark,
+            db or spark.catalog.currentDatabase(),
+            dname,
+            spark.table(src).select(*cols),
+            props["clickhouse_arrow_spark.dict_key"],
+            hierarchical=props.get(
+                "clickhouse_arrow_spark.dict_hierarchical"),
+            source_table=src,
+        )
+    else:
+        invalidate_hierarchy(spark, dict_ref)
 
 
 def invalidate_hierarchy(spark: SparkSession, dict_ref: str) -> None:

@@ -1151,3 +1151,55 @@ def test_migration_script_round8b_session_features(ch, spark):
     assert spark.table("mig8b.rv").count() == 1
     for t in ("mig8b.mv", "mig8b.rv", "mig8b.raw", "mig8b.tgt"):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_migration_script_round8c_dictionary_enrichment(ch, spark):
+    """Round-8 continuation: hierarchical + complex-key dictionaries
+    composed into one realistic enrichment script — an org hierarchy
+    drives a rollup-to-ancestor report, and a (region, code) composite
+    key enriches fact rows; SYSTEM RELOAD after a source change."""
+    ch.execute_script("""
+        CREATE DATABASE IF NOT EXISTS mig8c;
+        CREATE TABLE mig8c.org (id UInt64, name String, parent UInt64)
+          ENGINE = MergeTree ORDER BY id;
+        INSERT INTO mig8c.org VALUES
+          (1, 'corp', 0), (2, 'emea', 1), (3, 'uk', 2), (4, 'apac', 1);
+        CREATE DICTIONARY mig8c.orgd
+          (id UInt64, name String, parent UInt64 HIERARCHICAL)
+          PRIMARY KEY id SOURCE(CLICKHOUSE(TABLE 'mig8c.org'))
+          LAYOUT(HASHED()) LIFETIME(0);
+        CREATE TABLE mig8c.tariff
+          (region String, code UInt64, rate Float64)
+          ENGINE = MergeTree ORDER BY (region, code);
+        INSERT INTO mig8c.tariff VALUES
+          ('eu', 1, 0.2), ('us', 1, 0.1);
+        CREATE DICTIONARY mig8c.tariffd
+          (region String, code UInt64, rate Float64)
+          PRIMARY KEY region, code
+          SOURCE(CLICKHOUSE(TABLE 'mig8c.tariff'))
+          LAYOUT(COMPLEX_KEY_HASHED()) LIFETIME(0);
+    """)
+    # rollup-to-ancestor: which org units sit under emea?
+    rows = ch.query_ch(
+        "SELECT x AS unit, dictIsIn('mig8c.orgd', x, toUInt64(2)) AS "
+        "under_emea FROM (SELECT arrayJoin([toUInt64(3), toUInt64(4)]) "
+        "AS x) ORDER BY x").collect()
+    assert [(int(r.unit), r.under_emea) for r in rows] == [
+        (3, True), (4, False)]
+    # complex-key enrichment on a fact projection
+    r = ch.query_ch(
+        "SELECT round(sum(dictGet('mig8c.tariffd', 'rate', "
+        "tuple(reg, toUInt64(1)))), 2) AS total FROM "
+        "(SELECT arrayJoin(['eu', 'us', 'jp']) AS reg)"
+    ).collect()[0]
+    assert float(r.total) == 0.3  # jp misses -> 0.0 default
+    # source change + RELOAD invalidates the hierarchy closure
+    ch.execute_script("""
+        INSERT INTO mig8c.org VALUES (5, 'de', 2);
+        SYSTEM RELOAD DICTIONARY mig8c.orgd;
+    """)
+    chain = ch.query_ch(
+        "SELECT dictGetHierarchy('mig8c.orgd', toUInt64(5)) AS r"
+    ).collect()[0].r
+    assert [int(x) for x in chain] == [5, 2, 1]
+    ch.execute_ch("DROP DATABASE mig8c SYNC")

@@ -139,6 +139,8 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "isNaN": "isnan",
     "mapFromArrays": "map_from_arrays",
     "lagInFrame": "lag",
+    "denseRank": "dense_rank",  # CH camelCase window alias
+    "percentRank": "percent_rank",
     "leadInFrame": "lead",
     "randCanonical": "rand",
     "editDistance": "levenshtein",

@@ -150,3 +150,12 @@ def test_to_type_name_ch_spellings(client):
                     "toTypeName(toInt64(1)) AS e")
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (
         "Int16", "String", "Date", "Float64", "Int64")
+
+
+def test_window_alias_spellings(client):
+    r = one(client, "SELECT denseRank() OVER (ORDER BY x) AS r FROM "
+                    "(SELECT arrayJoin([1, 1, 2]) AS x) LIMIT 1")
+    assert int(r["r"]) == 1
+    r = one(client, "SELECT percentRank() OVER (ORDER BY x) AS r FROM "
+                    "(SELECT arrayJoin([1, 2]) AS x) LIMIT 1")
+    assert float(r["r"]) == 0.0

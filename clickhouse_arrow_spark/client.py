@@ -736,6 +736,21 @@ class Client:
 
             ch_sql = rewrite_star_apply(self.spark, ch_sql)
         ch_sql, fill = extract_with_fill(ch_sql)
+        # session-scoped SET splitby_max_substrings_includes_remaining_
+        # string = 1 (legacy remainder-in-last splitBy*) lands in the
+        # shim's namespaced conf; surface it to the dialect for this
+        # statement (a SETTINGS tail on the statement still overrides)
+        _split_mode = self.spark.conf.get(
+            "spark.clickhouse_arrow_spark.setting."
+            "splitby_max_substrings_includes_remaining_string",
+            "0",
+        )
+        if str(_split_mode).lower() in ("1", "true"):
+            from clickhouse_arrow_spark.dialect import (
+                set_splitby_includes_remaining,
+            )
+
+            set_splitby_includes_remaining(True)
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         # after translation: the replacement subqueries use Spark's own
         # range() TVF, which the CH->Spark translator must not re-touch
@@ -1048,9 +1063,16 @@ class Client:
         if m:
             # CH 23.x CLONE AS: structure + a SNAPSHOT of the current
             # rows (CH hardlinks parts; one INSERT...SELECT is the
-            # rewrite-based equivalent on parquet)
+            # rewrite-based equivalent on parquet). With IF NOT EXISTS
+            # and an existing dst the WHOLE statement is a no-op in CH
+            # — running the INSERT anyway would silently duplicate
+            # dst's rows on every migration-script re-run.
             ine = "IF NOT EXISTS " if m.group(1) else ""
             dst, src = m.group(2), m.group(3)
+            if ine and self.spark.catalog.tableExists(
+                dst.replace("`", "")
+            ):
+                return None
             self.execute_ch(f"CREATE TABLE {ine}{dst} AS {src}", qid)
             self.execute_ch(
                 f"INSERT INTO {dst} SELECT * FROM {src}", qid
@@ -2144,15 +2166,16 @@ class Client:
             if fn in ("url", "urlcluster"):
                 ch_sql = self._expand_url_tvf(ch_sql, m, close, args, fn)
                 continue
-            if fn in ("remote", "remotesecure", "cluster",
-                      "clusterallreplicas"):
-                raise UntranslatableFunctionError(
-                    f"{m.group(2)}() queries another ClickHouse server "
-                    "over native TCP; the Spark-native paths are "
-                    "client.read_remote(table, url=...) / the DSv2 "
-                    "connector for a ClickHouse-HTTP endpoint — or just "
-                    "the table name: Spark IS the cluster here"
+            if fn in ("remote", "remotesecure"):
+                ch_sql = self._expand_remote_tvf(
+                    ch_sql, m, close, args, fn
                 )
+                continue
+            if fn in ("cluster", "clusterallreplicas"):
+                ch_sql = self._expand_cluster_tvf(
+                    ch_sql, m, close, args, fn
+                )
+                continue
             if fn == "input":
                 raise UntranslatableFunctionError(
                     "input() only has meaning inside an INSERT: use "
@@ -2315,6 +2338,171 @@ class Client:
         df.createOrReplaceTempView(view)
         return (
             f"{ch_sql[: m.start()]}{m.group(1)} {view}"
+            f"{ch_sql[close + 1:]}"
+        )
+
+    @staticmethod
+    def _remote_tvf_parse(args, fn: str):
+        """Split remote()/remoteSecure() args into
+        (addresses, db_or_None, table, user, password). Accepts both
+        the `db, table` and the `db.table` spellings, identifiers or
+        quoted strings (CH allows either)."""
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+
+        def unq(s: str) -> str:
+            s = s.strip()
+            if s.startswith("'") and s.endswith("'"):
+                return s[1:-1]
+            return s.replace("`", "")
+
+        if len(args) < 2:
+            raise UntranslatableFunctionError(
+                f"{fn}() needs (addresses, db.table | db, table "
+                "[, user [, password [, sharding_key]]])"
+            )
+        a0 = args[0].strip()
+        if not (a0.startswith("'") and a0.endswith("'")):
+            raise UntranslatableFunctionError(
+                f"{fn}(): the addresses expression must be a string "
+                "literal like 'host:8123'"
+            )
+        addresses = a0[1:-1]
+        second = unq(args[1])
+        if "." in second:
+            db, table = second.split(".", 1)
+            creds = args[2:]
+        elif len(args) >= 3 and not (
+            args[2].strip().startswith("'")
+            and args[1].strip().startswith("'")
+        ):
+            # db, table as identifiers (the unambiguous 2-identifier
+            # form); quoted third args after a quoted second are
+            # credentials per the db.table form
+            db, table = second, unq(args[2])
+            creds = args[3:]
+        else:
+            db, table = None, second
+            creds = args[2:]
+        user = unq(creds[0]) if len(creds) > 0 else None
+        password = unq(creds[1]) if len(creds) > 1 else None
+        # a further arg is the sharding key — a routing hint for CH's
+        # Distributed engine; Spark repartitions on its own, so it is
+        # accepted and ignored (documented divergence: no-op)
+        return addresses, db, table, user, password
+
+    def _expand_remote_tvf(self, ch_sql, m, close, args, fn) -> str:
+        """`remote('host:8123', db.table [, user, password])` /
+        `remoteSecure(...)` — the last table-function a migrating user
+        hits. The reference reaches other servers through its
+        connection machinery (clickhouse-arrow/src/client.rs:213-256,
+        src/http/client.rs:22-244); here every shard address becomes
+        one HTTP ArrowStream DSv2 scan (read_remote: filter pushdown
+        into the server-side SQL, range partitioning available), and
+        comma-separated shards UNION ALL. Replica alternation `{a|b}`
+        picks the FIRST replica (task retry is Spark's failover);
+        `{N..M}` / `{a,b}` brace globs expand into shards like CH's
+        addresses_expr. Native-TCP ports are refused with the HTTP
+        recipe (remote->8123, remoteSecure->8443/https). The scan
+        registers as a temp view so Catalyst prunes and pushes over it
+        like any table."""
+        import hashlib
+        import re as _re
+
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+        from clickhouse_arrow_spark.sources.url_tvf import (
+            UrlTvfError,
+            expand_url_globs,
+        )
+
+        addresses, db, table, user, password = self._remote_tvf_parse(
+            args, fn
+        )
+        secure = fn == "remotesecure"
+        scheme = "https" if secure else "http"
+        default_port = "8443" if secure else "8123"
+        urls: list[str] = []
+        for shard in addresses.split(","):
+            shard = shard.strip()
+            # replica alternation inside braces: {r1|r2} -> first
+            shard = _re.sub(
+                r"\{([^{}|]+(?:\|[^{}|]+)+)\}",
+                lambda mm: mm.group(1).split("|")[0],
+                shard,
+            )
+            try:
+                expanded = expand_url_globs(shard)
+            except UrlTvfError as e:
+                raise UntranslatableFunctionError(
+                    f"{fn}() addresses: {e}"
+                ) from None
+            for addr in expanded:
+                host, _, port = addr.partition(":")
+                if port in ("9000", "9440"):
+                    raise UntranslatableFunctionError(
+                        f"{fn}('{addr}', ...): port {port} is the "
+                        "ClickHouse NATIVE TCP protocol — this engine "
+                        "speaks the HTTP ArrowStream dialect; point at "
+                        f"the HTTP port instead ({fn}('{host}:"
+                        f"{default_port}', ...))"
+                    )
+                urls.append(f"{scheme}://{host}:{port or default_port}")
+        # `default` is CH's implicit database — send the bare table
+        # name (the X-ClickHouse-Database header already defaults it)
+        qual = f"{db}.{table}" if db and db != "default" else table
+        opts = {}
+        if user:
+            opts["user"] = user
+        if password:
+            opts["password"] = password
+        dfs = [self.read_remote(qual, url=url, **opts) for url in urls]
+        df = dfs[0]
+        for other in dfs[1:]:
+            df = df.unionByName(other)
+        key = hashlib.md5(
+            f"{fn}|{addresses}|{qual}|{user or ''}".encode()
+        ).hexdigest()[:12]
+        view = f"__cas_remote_{key}"
+        df.createOrReplaceTempView(view)
+        return (
+            f"{ch_sql[: m.start()]}{m.group(1)} {view}"
+            f"{ch_sql[close + 1:]}"
+        )
+
+    def _expand_cluster_tvf(self, ch_sql, m, close, args, fn) -> str:
+        """`cluster('name', db.table)` / `clusterAllReplicas(...)`:
+        Spark IS the cluster here (SHOW CLUSTERS returns the one
+        logical `default`; shardNum()=1 convention) — the fan-out CH
+        performs across cluster nodes is exactly what Spark's executor
+        scheduling does over the table's partitions, so the TVF folds
+        to the LOCAL table reference and Catalyst plans the distributed
+        scan."""
+        from clickhouse_arrow_spark.dialect import (
+            UntranslatableFunctionError,
+        )
+
+        def unq(s: str) -> str:
+            s = s.strip()
+            if s.startswith("'") and s.endswith("'"):
+                return s[1:-1]
+            return s.replace("`", "")
+
+        if len(args) < 2:
+            raise UntranslatableFunctionError(
+                f"{fn}() needs (cluster_name, db.table | db, table)"
+            )
+        second = unq(args[1])
+        if "." in second:
+            qual = second
+        elif len(args) >= 3:
+            qual = f"{second}.{unq(args[2])}"
+        else:
+            qual = second
+        return (
+            f"{ch_sql[: m.start()]}{m.group(1)} {qual}"
             f"{ch_sql[close + 1:]}"
         )
 

@@ -679,11 +679,19 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return _fmt_cast("BIGINT")
     if name == "toUInt64":
         # negative input wraps into [2^63, 2^64): decimal pmod keeps
-        # the full unsigned range
-        return lambda a: (
-            f"CAST(pmod(CAST({a[0]} AS DECIMAL(20, 0)), "
-            f"18446744073709551616) AS DECIMAL(20, 0))"
-        )
+        # the full unsigned range. Fractional input TRUNCATES toward
+        # zero like CH (toUInt64(2.7) = 2) — a direct DECIMAL(20,0)
+        # cast would round half-up, so strip the fraction first via
+        # d - (d % 1) at DECIMAL(38,18) (20 integer digits: exact over
+        # the whole uint64 range, incl. big integer strings/decimals).
+        def to_uint64(a: Args) -> str:
+            d = f"CAST({a[0]} AS DECIMAL(38, 18))"
+            return (
+                f"CAST(pmod(CAST({d} - ({d} % 1) AS DECIMAL(20, 0)), "
+                f"18446744073709551616) AS DECIMAL(20, 0))"
+            )
+
+        return to_uint64
     if name in ("toFloat32",):
         return _fmt_cast("FLOAT")
     if name in ("toFloat64",):
@@ -835,18 +843,16 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return multi_if
     if name == "splitByChar":
         # CH: splitByChar(sep, s[, max_substrings]); Spark:
-        # split(s, regex-escaped sep[, limit]). max_substrings > 0 caps
-        # the result with the REMAINDER in the last element — exactly
-        # Spark/Java's positive limit; 0 means unlimited (Spark's 0
-        # would DROP trailing empties, so it maps to -1).
+        # split(s, regex-escaped sep[, limit]). max_substrings > 0
+        # DISCARDS the remainder in modern CH (>= 23.12 default) —
+        # see _split_max_substrings for both modes.
         def split_by_char(a: Args) -> str:
             sep = a[0].strip()
             if sep.startswith("'") and sep.endswith("'"):
                 lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
                 sep = f"'{lit}'"
             if len(a) > 2:
-                return (f"split({a[1]}, {sep}, "
-                        f"IF(({a[2]}) <= 0, -1, {a[2]}))")
+                return _split_max_substrings(a[1], sep, a[2])
             return f"split({a[1]}, {sep})"
 
         return split_by_char
@@ -2027,10 +2033,10 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             lambda a: f"regexp_count({a[0]}, concat('(?i)', {a[1]}))"
         )
     if name == "splitByRegexp":
-        # optional max_substrings: remainder-in-last, 0 = unlimited
-        # (Spark limit 0 drops trailing empties, so 0 maps to -1)
+        # optional max_substrings: modern CH discards the remainder —
+        # see _split_max_substrings for both modes
         return lambda a: (
-            f"split({a[1]}, {a[0]}, IF(({a[2]}) <= 0, -1, {a[2]}))"
+            _split_max_substrings(a[1], a[0], a[2])
             if len(a) > 2 else f"split({a[1]}, {a[0]})"
         )
     if name == "tokens":
@@ -3602,8 +3608,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 lit = re.escape(sep[1:-1]).replace("\\", "\\\\").replace("'", "\\'")
                 sep = f"'{lit}'"
             if len(a) > 2:
-                return (f"split({a[1]}, {sep}, "
-                        f"IF(({a[2]}) <= 0, -1, {a[2]}))")
+                return _split_max_substrings(a[1], sep, a[2])
             return f"split({a[1]}, {sep})"
 
         return split_by_string
@@ -5656,6 +5661,43 @@ _FORMAT_TAIL_RE = re.compile(r"(?i)\bFORMAT\s+[A-Za-z][A-Za-z0-9]*\s*;?\s*$")
 #: the lookbehind excludes `system.settings` (a table, not the clause)
 _SETTINGS_TAIL_RE = re.compile(r"(?i)(?<![.\w])SETTINGS\s+[^;]*$")
 
+#: statement-scoped splitBy* max_substrings mode. Modern ClickHouse
+#: (since ~23.12, splitby_max_substrings_includes_remaining_string = 0
+#: by default) DISCARDS everything after the first n splits;
+#: = 1 restores the legacy remainder-in-last behavior. Set per
+#: statement from the SETTINGS tail (_check_semantic_settings) or by
+#: the client from the session SET shim's namespaced conf; reset when
+#: the OUTERMOST translate_ch_sql call returns (recursion-depth
+#: counter), so it can never leak across statements.
+_SPLITBY_STATE = {"includes_remaining": False}
+_TRANSLATE_DEPTH = [0]
+
+
+def set_splitby_includes_remaining(flag: bool) -> None:
+    """Statement-scoped override for splitBy* remainder semantics
+    (ClickHouse setting splitby_max_substrings_includes_remaining_string)."""
+    _SPLITBY_STATE["includes_remaining"] = bool(flag)
+
+
+def _split_max_substrings(s: str, sep: str, n: str) -> str:
+    """Emit the Spark expression for splitBy*(sep, s, max_substrings).
+
+    Modern ClickHouse discards the remainder: splitByChar(',', 'a,b,,c', 2)
+    = ['a','b'] — so split one extra piece, then slice it off. Spark's own
+    positive split limit keeps the remainder in the last element, which is
+    CH's LEGACY mode (setting = 1), honored via _SPLITBY_STATE. n <= 0
+    means unlimited (Spark's limit 0 would drop trailing empties, so it
+    maps to -1).
+    """
+    if _SPLITBY_STATE["includes_remaining"]:
+        return f"split({s}, {sep}, IF(({n}) <= 0, -1, {n}))"
+    return (
+        f"IF(({n}) <= 0, split({s}, {sep}), "
+        f"slice(split({s}, {sep}, CAST({n} AS INT) + 1), 1, "
+        f"CAST({n} AS INT)))"
+    )
+
+
 #: settings whose non-matching value CHANGES RESULTS (not just
 #: execution) — stripping those silently would be a wrong-answer trap.
 #: value = (the behavior this engine already has, divergence recipe)
@@ -5691,22 +5733,31 @@ _SEMANTIC_SETTINGS: dict[str, tuple[set, str]] = {
 }
 
 
-def _check_semantic_settings(clause: str) -> None:
+def _check_semantic_settings(clause: str) -> bool:
     """`clause` is the text after the SETTINGS keyword; raise on any
     result-changing setting whose value differs from this engine's
-    behavior."""
+    behavior. Returns True if any setting was merely STRIPPED (so the
+    caller should warn) — honored settings don't trigger the warning."""
+    any_stripped = False
     for part in clause.split(","):
         if "=" not in part:
             continue
         k, v = part.split("=", 1)
         k = k.strip().lower()
         v = v.strip().strip("'\"").lower()
+        if k == "splitby_max_substrings_includes_remaining_string":
+            # honored, not stripped: flips splitBy* to the legacy
+            # remainder-in-last mode for THIS statement
+            _SPLITBY_STATE["includes_remaining"] = v in ("1", "true")
+            continue
         known = _SEMANTIC_SETTINGS.get(k)
         if known and v not in known[0]:
             raise UntranslatableFunctionError(
                 f"SETTINGS {k} = {v} changes query RESULTS, not just "
                 f"execution: {known[1]}"
             )
+        any_stripped = True
+    return any_stripped
 
 
 def _strip_output_clauses(sql: str) -> str:
@@ -5747,14 +5798,14 @@ def _strip_output_clauses(sql: str) -> str:
         sql = sql[: m.start()].rstrip()
     m = _find_clean(_SETTINGS_TAIL_RE, sql)
     if m:
-        import warnings
+        if _check_semantic_settings(sql[m.start() + len("SETTINGS"):]):
+            import warnings
 
-        _check_semantic_settings(sql[m.start() + len("SETTINGS"):])
-        warnings.warn(
-            "SETTINGS clause stripped; per-query execution settings go "
-            "through client.query_with_options / QueryLimits",
-            stacklevel=3,
-        )
+            warnings.warn(
+                "SETTINGS clause stripped; per-query execution settings "
+                "go through client.query_with_options / QueryLimits",
+                stacklevel=3,
+            )
         sql = sql[: m.start()].rstrip()
     return sql
 
@@ -7105,6 +7156,23 @@ def _rewrite_limit_with_ties(sql: str) -> str:
 
 
 def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
+    """Entry point — see _translate_ch_sql_impl for the semantics.
+
+    Wraps the recursive translator with a depth counter so statement-
+    scoped dialect state (splitBy* remainder mode from a SETTINGS tail
+    or the session shim) resets exactly when the OUTERMOST call
+    returns and can't leak into the next statement.
+    """
+    _TRANSLATE_DEPTH[0] += 1
+    try:
+        return _translate_ch_sql_impl(sql, allow_hash_substitution)
+    finally:
+        _TRANSLATE_DEPTH[0] -= 1
+        if _TRANSLATE_DEPTH[0] == 0:
+            _SPLITBY_STATE["includes_remaining"] = False
+
+
+def _translate_ch_sql_impl(sql: str, allow_hash_substitution: bool = False) -> str:
     """Rewrite known ClickHouse function calls in `sql` to Spark SQL.
 
     Raises :class:`UntranslatableFunctionError` on engine-specific hash

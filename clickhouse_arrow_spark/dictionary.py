@@ -141,13 +141,26 @@ def reload_dictionary(spark: SparkSession, dict_ref: str) -> None:
         invalidate_hierarchy(spark, dict_ref)
 
 
+def _qualify_dict_ref(spark: SparkSession, dict_ref: str) -> str:
+    """Normalize a dictionary reference to a fully qualified lowercase
+    `db.name` so the hierarchy cache key and view name are spelling-
+    independent: a query using the unqualified name and a reload using
+    the qualified one must hit the SAME cache entry, else a re-CREATE
+    or SYSTEM RELOAD DICTIONARY leaves the unqualified closure stale."""
+    ref = dict_ref.replace("`", "").strip().lower()
+    if "." not in ref:
+        ref = f"{spark.catalog.currentDatabase().lower()}.{ref}"
+    return ref
+
+
 def invalidate_hierarchy(spark: SparkSession, dict_ref: str) -> None:
     """Drop the cached hierarchy-closure view for a dictionary (called
     on re-create and SYSTEM RELOAD DICTIONARY)."""
+    full = _qualify_dict_ref(spark, dict_ref)
     built = getattr(spark, "_cas_hier_built", None)
     if built is not None:
-        built.discard(dict_ref.lower())
-    spark.catalog.dropTempView(_hier_view_name(dict_ref))
+        built.discard(full)
+    spark.catalog.dropTempView(_hier_view_name(full))
 
 
 def _hier_view_name(dict_ref: str) -> str:
@@ -162,6 +175,7 @@ def _ensure_hier_view(spark: SparkSession, dict_ref: str) -> str:
     — the driver-side closure walk is the same cost class CH pays to
     host the dictionary in memory; fact-side lookups stay correlated
     scalar subqueries like every other dictGet."""
+    dict_ref = _qualify_dict_ref(spark, dict_ref)
     key_col, _schema = _dict_meta(spark, dict_ref)
     from clickhouse_arrow_spark.ddl import _table_props
 
@@ -180,7 +194,7 @@ def _ensure_hier_view(spark: SparkSession, dict_ref: str) -> str:
     if built is None:
         built = set()
         spark._cas_hier_built = built
-    if dict_ref.lower() in built:
+    if dict_ref in built:
         return view
     rows = spark.table(dict_ref).select(key_col, parent_col).collect()
     parent = {r[0]: r[1] for r in rows}
@@ -190,11 +204,19 @@ def _ensure_hier_view(spark: SparkSession, dict_ref: str) -> str:
             children.setdefault(p, []).append(k)
 
     def chain(k):
+        # CH walk: append the key, look up its parent ATTRIBUTE VALUE,
+        # append it (even when that id has no row of its own — the
+        # stored value is part of the chain), then continue only while
+        # the id resolves to a row. The hierarchical attribute's
+        # null_value (0 for the numeric key types) terminates the walk
+        # WITHOUT being appended — it is CH's "no parent" sentinel.
         out, seen = [k], {k}
         cur = parent.get(k)
-        while cur is not None and cur in parent and cur not in seen:
+        while cur is not None and cur != 0 and cur not in seen:
             out.append(cur)
             seen.add(cur)
+            if cur not in parent:
+                break  # dangling parent id: included, then the walk stops
             cur = parent.get(cur)
         return out
 

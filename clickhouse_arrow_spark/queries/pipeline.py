@@ -5198,7 +5198,7 @@ def q_agg_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
            'hel' AS lneg,
            'llo' AS rneg,
            '5,4,3,2' AS rngdown,
-           'a|b,,c' AS splitmax,
+           'a|b' AS splitmax,
            CAST(-2.0 AS DOUBLE) AS truncneg,
            true AS htoknull,
            '2024-07-01' AS hopst,
@@ -5212,7 +5212,9 @@ def q_agg_interval_union(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(bitShiftLeft(1, 64) = 0), dateDiff counting unit-BOUNDARY "
     "crossings (the probe's biggest find: every boundary-straddling "
     "pair returned 0), negative-length left/right, negative-step "
-    "range, splitByChar max_substrings with remainder-in-last, "
+    "range, splitByChar max_substrings discarding the remainder "
+    "(modern CH >= 23.12 default; legacy remainder-in-last behind the "
+    "splitby_max_substrings_includes_remaining_string setting), "
     "numeric trunc, hasTokenOrNull, hopStart, arrayResize padding "
     "with the element default.",
     tags=("dialect", "sweep", "wave30"),

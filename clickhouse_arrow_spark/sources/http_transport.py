@@ -72,6 +72,13 @@ def _quote_ident(name: str) -> str:
     return '"' + name.replace('"', '""') + '"'
 
 
+def _quote_table(name: str) -> str:
+    """Quote a possibly db-qualified table reference part-by-part
+    (`db.t` -> `"db"."t"`) so a remote() scan of a non-default
+    database renders valid ClickHouse SQL."""
+    return ".".join(_quote_ident(p) for p in str(name).split(".", 1))
+
+
 def _sql_literal(v) -> str:
     """Render a pushed-filter value as a portable SQL literal."""
     import datetime as dt
@@ -396,7 +403,7 @@ class HttpArrowTransport:
         decode."""
         import pyarrow as pa
 
-        sql = f"INSERT INTO {_quote_ident(table)} FORMAT ArrowStream"
+        sql = f"INSERT INTO {_quote_table(table)} FORMAT ArrowStream"
         it = iter(batches)
         try:
             first = next(it)
@@ -459,7 +466,7 @@ class HttpArrowTransport:
         """Max of the streaming cursor column — one scalar query the
         server answers from its primary index."""
         rows = self.query_batches(
-            f"SELECT max({_quote_ident(column)}) AS hi FROM {_quote_ident(table)}"
+            f"SELECT max({_quote_ident(column)}) AS hi FROM {_quote_table(table)}"
         )
         if not rows:
             return None
@@ -471,9 +478,16 @@ class HttpArrowTransport:
         system.columns — the same introspection the reference performs
         before building an Arrow schema (src/arrow/schema.rs:90-152)."""
         t = str(table).replace("'", "''")
+        if "." in t:
+            # db-qualified (remote('host', db, table)): filter the
+            # database column too, like the reference's introspection
+            db, t2 = t.split(".", 1)
+            where = f"database = '{db}' AND table = '{t2}'"
+        else:
+            where = f"table = '{t}'"
         batches = self.query_batches(
             "SELECT name, type FROM system.columns "
-            f"WHERE table = '{t}' ORDER BY position"
+            f"WHERE {where} ORDER BY position"
         )
         out: list[tuple[str, str]] = []
         for b in batches:
@@ -503,7 +517,7 @@ class HttpArrowTransport:
             return [RangePartition("")]
         col = _quote_ident(self.partition_column)
         rows = self.query_batches(
-            f"SELECT min({col}) AS lo, max({col}) AS hi FROM {_quote_ident(table)}"
+            f"SELECT min({col}) AS lo, max({col}) AS hi FROM {_quote_table(table)}"
         )
         lo = rows[0].column(0).to_pylist()[0] if rows else None
         hi = rows[0].column(1).to_pylist()[0] if rows else None
@@ -542,7 +556,7 @@ class HttpArrowTransport:
         """Arrow batches for one partition with pushed filters rendered
         into the SQL — predicate evaluation happens server-side."""
         where_parts = [w for w in (partition.where, filters_to_where(filters)) if w]
-        sql = f"SELECT * FROM {_quote_ident(table)}"
+        sql = f"SELECT * FROM {_quote_table(table)}"
         if where_parts:
             sql += " WHERE " + " AND ".join(where_parts)
         # incremental decode — a task never buffers its whole slice

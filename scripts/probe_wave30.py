@@ -85,7 +85,8 @@ CASES = [
     ("SELECT trunc(-2.7) AS r", -2.0),
     # --- strings ---
     ("SELECT countSubstrings('aaaa', 'aa') AS r", 2),
-    ("SELECT splitByChar(',', 'a,b,,c', 2) AS r", ["a", "b,,c"]),
+    # modern CH discards the remainder (includes_remaining default 0)
+    ("SELECT splitByChar(',', 'a,b,,c', 2) AS r", ["a", "b"]),
     ("SELECT arrayStringConcat(['a', 'b'], '-') AS r", "a-b"),
     ("SELECT toDecimalString(64.32, 5) AS r", "64.32000"),
     ("SELECT transform(2, [1, 2, 3], ['a', 'b', 'c'], 'z') AS r", "b"),

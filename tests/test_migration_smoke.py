@@ -885,7 +885,8 @@ QUERIES = [
     ("SELECT toUInt8(o_custkey) AS b8, count() AS n FROM orders "
      "GROUP BY b8 ORDER BY n DESC LIMIT 10",
      (1, 10)),
-    # splitByChar remainder-in-last for key=rest parsing
+    # splitByChar max_substrings for key prefix parsing (element [1]
+    # is identical in both remainder modes)
     ("SELECT splitByChar('-', o_orderpriority, 2)[1] AS prio_code, "
      "count() AS n FROM orders GROUP BY prio_code ORDER BY prio_code",
      (1, 6)),

@@ -104,14 +104,44 @@ def test_range_negative_step(client):
 
 
 def test_split_max_substrings(client):
+    # modern CH (>= 23.12, splitby_max_substrings_includes_remaining_
+    # string = 0 default) DISCARDS the remainder past max_substrings
     r = one(client, "SELECT splitByChar(',', 'a,b,,c', 2) AS a, "
                 "splitByChar(',', 'a,b,,c') AS b, "
                 "splitByChar(',', 'a,b,,c', 0) AS c, "
-                "splitByString('--', 'x--y--z', 2) AS d")
-    assert list(r["a"]) == ["a", "b,,c"]
+                "splitByString('--', 'x--y--z', 2) AS d, "
+                "splitByChar(',', 'a,b', 5) AS e, "
+                "splitByRegexp('\\\\d+', 'a1b22c3d', 2) AS f")
+    assert list(r["a"]) == ["a", "b"]
     assert list(r["b"]) == ["a", "b", "", "c"]
     assert list(r["c"]) == ["a", "b", "", "c"]
-    assert list(r["d"]) == ["x", "y--z"]
+    assert list(r["d"]) == ["x", "y"]
+    assert list(r["e"]) == ["a", "b"]
+    assert list(r["f"]) == ["a", "b"]
+
+
+def test_split_max_substrings_legacy_setting(client):
+    # SETTINGS splitby_max_substrings_includes_remaining_string = 1
+    # restores the legacy remainder-in-last mode for that statement only
+    r = one(client, "SELECT splitByChar(',', 'a,b,,c', 2) AS a "
+                "SETTINGS "
+                "splitby_max_substrings_includes_remaining_string = 1")
+    assert list(r["a"]) == ["a", "b,,c"]
+    # next statement: flag reset, modern mode again
+    r2 = one(client, "SELECT splitByChar(',', 'a,b,,c', 2) AS a")
+    assert list(r2["a"]) == ["a", "b"]
+    # session-scoped SET routes through the shim's namespaced conf
+    client.query_ch(
+        "SET splitby_max_substrings_includes_remaining_string = 1")
+    try:
+        r3 = one(client, "SELECT splitByChar(',', 'a,b,,c', 2) AS a")
+        assert list(r3["a"]) == ["a", "b,,c"]
+    finally:
+        client.spark.conf.unset(
+            "spark.clickhouse_arrow_spark.setting."
+            "splitby_max_substrings_includes_remaining_string")
+    r4 = one(client, "SELECT splitByChar(',', 'a,b,,c', 2) AS a")
+    assert list(r4["a"]) == ["a", "b"]
 
 
 def test_trunc_alias(client):

@@ -354,13 +354,12 @@ def test_generate_random_tvf(ch):
 
 
 def test_remote_cluster_input_guided(ch):
-    for sql, pat in [
-        ("SELECT 1 FROM remote('h:9000', 'd', 't')", "read_remote"),
-        ("SELECT 1 FROM cluster('c', 't')", "read_remote"),
-        ("SELECT 1 FROM input('x Int64')", "client.insert"),
-    ]:
-        with pytest.raises(UntranslatableFunctionError, match=pat):
-            ch.query_ch(sql)
+    # r9: remote()/cluster() are now real TVFs — the native-TCP port
+    # refusal and input()'s INSERT-only guidance remain
+    with pytest.raises(UntranslatableFunctionError, match="8123"):
+        ch.query_ch("SELECT 1 FROM remote('h:9000', 'd', 't')")
+    with pytest.raises(UntranslatableFunctionError, match="client.insert"):
+        ch.query_ch("SELECT 1 FROM input('x Int64')")
 
 
 def test_recursive_cte_passthrough(ch):

@@ -219,6 +219,12 @@ class Client:
                 "ClientBuilder().with_http_url(...)"
             )
         self.spark.dataSource.register(ClickHouseDataSource)
+        # the Python-DSv2 pushdown gate is off by default; the scan
+        # reader implements pushFilters(), which Spark refuses to plan
+        # without this conf
+        self.spark.conf.set(
+            "spark.sql.python.filterPushdown.enabled", "true"
+        )
         r = (
             self.spark.read.format("clickhouse")
             .option("table", table)

@@ -272,10 +272,6 @@ _OPERATOR_BACKED: dict[str, str] = {
         "map_filter(m, (k, v) -> array_contains(keys, k)) + the sumMap "
         "aggregate (operators/maps.py)"
     ),
-    "exponentialMovingAverage": (
-        "operators.timeseries.exp_time_decayed_avg(df, keys, t, v, "
-        "halflife) — the closed form at the last point"
-    ),
     "meanZTest": (
         "operators.stats.mean_z_test(df, value, index, var0, var1, "
         "conf) — the aggregate shape needs a query rewrite, not a "
@@ -423,23 +419,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "aes_decrypt_mysql": (
         "no AES primitive in Spark SQL or the Python stdlib: run an "
         "external crypto lib in a mapInPandas stage"
-    ),
-    "exponentialTimeDecayedSum": (
-        "ordered-window fold: sum(v_i * exp(-(t - t_i) / lambda)) via "
-        "collect_list over an ORDER BY window + aggregate(); or "
-        "operators/timeseries exponential smoothing"
-    ),
-    "exponentialTimeDecayedAvg": (
-        "ordered-window fold: decayed sum / decayed count via "
-        "collect_list over an ORDER BY window + aggregate()"
-    ),
-    "exponentialTimeDecayedMax": (
-        "ordered-window fold: max(v_i * exp(-(t - t_i) / lambda)) via "
-        "collect_list over an ORDER BY window + aggregate()"
-    ),
-    "exponentialTimeDecayedCount": (
-        "ordered-window fold: sum(exp(-(t - t_i) / lambda)) via "
-        "collect_list over an ORDER BY window + aggregate()"
     ),
 }
 
@@ -6462,6 +6441,152 @@ def _rewrite_in_frame(sql: str) -> str:
         sql = f"{sql[: k + 1]}{body[: fm.start()]}{sql[wclose:]}"
 
 
+_EXP_DECAY_RE = re.compile(
+    r"(?i)\b(exponentialTimeDecayedSum|exponentialTimeDecayedAvg|"
+    r"exponentialTimeDecayedCount|exponentialTimeDecayedMax|"
+    r"exponentialMovingAverage)\s*\("
+)
+_PARTITION_BY_RE = re.compile(
+    r"(?is)\bPARTITION\s+BY\s+(.*?)(?=\bORDER\s+BY\b|\bROWS\b|\bRANGE\b|$)"
+)
+
+
+def _rewrite_exp_decay(sql: str) -> str:
+    """ClickHouse's parameterized time-decay window functions
+    (window-functions/docs: `f(x)(v, t) OVER (...)`):
+
+    - exponentialTimeDecayedSum(x)(v, t)  = SUM  v_i * exp(-(T-t_i)/x)
+    - exponentialTimeDecayedCount(x)(t)   = SUM      exp(-(T-t_i)/x)
+    - exponentialTimeDecayedMax(x)(v, t)  = MAX  v_i * exp(-(T-t_i)/x)
+    - exponentialTimeDecayedAvg(x)(v, t)  = decayed sum / decayed count
+    - exponentialMovingAverage(x)(v, t)   = SUM v_i * 2^(-(T-t_i)/x)
+                                            * (1 - 2^(-1/x))
+      (half-life x, unit-spaced normalization — the reference CH
+      implementation, base/ExponentiallySmoothedCounter.h)
+
+    with T the CURRENT row's time. Each factors through the identity
+    w(T, t_i) = w(T, t0) * w(t0, t_i) into ONE ordinary windowed
+    SUM/MAX times a per-row prefactor — no per-row state, no
+    collect_list, stays in whole-stage codegen. t0 = min(t) over the
+    partition keeps the exponents small (exact while the partition's
+    time span stays below ~700*x / ~1000*x; beyond that double exp
+    under/overflows — CH's sequential fold quietly loses the same
+    tail precision).
+
+    exponentialMovingAverage without OVER (the CH AGGREGATE form) is
+    rewritten to an Arrow-free exact fold: collect_list + aggregate()
+    with the group max bound via a 1-element transform() — plan-level
+    only, bounded by the group (the same cost CH pays holding the
+    group's (v, t) pairs).
+    """
+    pos = 0
+    while True:
+        m = _find_clean(_EXP_DECAY_RE, sql, start=pos, depth0=False)
+        if not m:
+            return sql
+        name = m.group(1)
+        lname = name.lower()
+        pclose = _find_matching_paren(sql, m.end() - 1)
+        if pclose == -1:
+            pos = m.end()
+            continue
+        param = sql[m.end():pclose].strip()
+        k = pclose + 1
+        while k < len(sql) and sql[k] in " \t\n":
+            k += 1
+        if k >= len(sql) or sql[k] != "(":
+            raise UntranslatableFunctionError(
+                f"{name}(x)(value, time): the parameterized call needs "
+                "the second argument list"
+            )
+        aclose = _find_matching_paren(sql, k)
+        args = [a.strip() for a in _split_top_args(sql[k + 1:aclose])]
+        j = aclose + 1
+        while j < len(sql) and sql[j] in " \t\n":
+            j += 1
+        has_over = sql[j:j + 4].upper() == "OVER"
+        if not has_over:
+            if lname == "exponentialmovingaverage".lower():
+                if len(args) != 2:
+                    raise UntranslatableFunctionError(
+                        "exponentialMovingAverage(x)(value, timeunit) "
+                        "takes two arguments"
+                    )
+                v, t = args
+                arr = (
+                    f"collect_list(named_struct('t', CAST(({t}) AS "
+                    f"DOUBLE), 'v', CAST(({v}) AS DOUBLE)))"
+                )
+                repl = (
+                    f"(element_at(transform(array(array_max(transform("
+                    f"{arr}, _s -> _s.t))), _T -> aggregate({arr}, "
+                    f"CAST(0 AS DOUBLE), (_acc, _s) -> _acc + _s.v * "
+                    f"pow(2.0, (_s.t - _T)/({param})))), 1) * "
+                    f"(1.0 - pow(2.0, CAST(-1.0 AS DOUBLE)/({param}))))"
+                )
+                sql = f"{sql[: m.start()]}{repl}{sql[aclose + 1:]}"
+                pos = m.start() + len(repl)
+                continue
+            raise UntranslatableFunctionError(
+                f"{name} is a WINDOW function — add OVER (PARTITION BY "
+                "... ORDER BY <time>); for a per-group scalar use "
+                "exponentialMovingAverage (aggregate form) or "
+                "operators/timeseries exponential smoothing"
+            )
+        j += 4
+        while j < len(sql) and sql[j] in " \t\n":
+            j += 1
+        if j >= len(sql) or sql[j] != "(":
+            raise UntranslatableFunctionError(
+                f"{name} OVER w (named window): inline the window "
+                "spec — the decay rewrite reads its PARTITION BY"
+            )
+        wclose = _find_matching_paren(sql, j)
+        spec = sql[j + 1:wclose]
+        pm = _PARTITION_BY_RE.search(spec)
+        part_over = f"OVER (PARTITION BY {pm.group(1).strip()})" if pm \
+            else "OVER ()"
+        if lname == "exponentialtimedecayedcount":
+            if len(args) != 1:
+                raise UntranslatableFunctionError(
+                    "exponentialTimeDecayedCount(x)(time) takes ONE "
+                    "argument (the time column)"
+                )
+            t, v = args[0], None
+        else:
+            if len(args) != 2:
+                raise UntranslatableFunctionError(
+                    f"{name}(x)(value, time) takes two arguments"
+                )
+            v, t = args
+        tt = f"CAST(({t}) AS DOUBLE)"
+        t0 = f"min({tt}) {part_over}"
+        if lname == "exponentialmovingaverage":
+            grow = f"pow(2.0, ({tt} - {t0})/({param}))"
+            shrink = f"pow(2.0, -({tt} - {t0})/({param}))"
+        else:
+            grow = f"exp(({tt} - {t0})/({param}))"
+            shrink = f"exp(-({tt} - {t0})/({param}))"
+        over = f"OVER ({spec})"
+        if lname == "exponentialtimedecayedsum":
+            repl = f"({shrink} * sum(({v}) * {grow}) {over})"
+        elif lname == "exponentialtimedecayedcount":
+            repl = f"({shrink} * sum({grow}) {over})"
+        elif lname == "exponentialtimedecayedmax":
+            repl = f"({shrink} * max(({v}) * {grow}) {over})"
+        elif lname == "exponentialtimedecayedavg":
+            repl = (
+                f"(sum(({v}) * {grow}) {over} / sum({grow}) {over})"
+            )
+        else:  # exponentialMovingAverage as a window function
+            repl = (
+                f"({shrink} * sum(({v}) * {grow}) {over} * "
+                f"(1.0 - pow(2.0, CAST(-1.0 AS DOUBLE)/({param}))))"
+            )
+        sql = f"{sql[: m.start()]}{repl}{sql[wclose + 1:]}"
+        pos = m.start() + len(repl)
+
+
 _NUMBERS_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN)\s+numbers(_mt)?\s*\(")
 _VALUES_TVF_RE = re.compile(r"(?i)\b(FROM|JOIN)\s+VALUES\s*\(\s*'")
 
@@ -7205,6 +7330,7 @@ def _translate_ch_sql_impl(sql: str, allow_hash_substitution: bool = False) -> s
     sql = _rewrite_numbers_tvf(sql)
     sql = _rewrite_values_tvf(sql)
     sql = _rewrite_empty_over(sql)
+    sql = _rewrite_exp_decay(sql)
     sql = _rewrite_in_frame(sql)
     sql = _rewrite_select_alias_refs(sql)
     sql = _rewrite_with_totals(sql)

@@ -104,8 +104,11 @@ _GATE_ALIASES: dict[str, str] = {
         # running; see ROTATION.md), url() TVF in
         "core_url_tvf",
         "text_substring_dedup",
-        "util_sweep_wave22",
-        "util_sweep_wave23",
+        # round-9 rotation #1: wave22/wave23 out (judge-verified in the
+        # r8 258-query run at two SFs; see ROTATION.md), the remote()
+        # TVF gate and the exponential-decay window gate in
+        "core_remote_tvf",
+        "util_exp_decay",
         # round-8 rotation #2: wave16 out (judge-verified since round
         # 6; see ROTATION.md), wave26 in
         "util_sweep_wave26",

@@ -5318,3 +5318,119 @@ def q_util_sweep_wave19(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNION ALL SELECT map('a', 2) AS m)) AS cm, "
         "(generateULID() RLIKE '^[0-9A-HJKMNP-TV-Z]{26}$') AS ulid_ok"
     ).drop("cm_tmp")
+
+
+@register(
+    "util_exp_decay",
+    """
+    WITH b AS (
+      SELECT user_id, event_id, value, ts,
+             floor(epoch(ts)) - min(floor(epoch(ts)))
+               OVER (PARTITION BY user_id) AS rt
+      FROM events WHERE user_id < 5
+    )
+    SELECT user_id, event_id,
+      round(exp(-rt/86400.0) * sum(value * exp(rt/86400.0)) OVER w, 4)
+        AS ds,
+      round(exp(-rt/86400.0) * sum(exp(rt/86400.0)) OVER w, 4) AS dc,
+      round(exp(-rt/86400.0) * max(value * exp(rt/86400.0)) OVER w, 4)
+        AS dm,
+      round((sum(value * exp(rt/86400.0)) OVER w)
+            / (sum(exp(rt/86400.0)) OVER w), 4) AS da,
+      round(pow(2.0, -rt/43200.0) * sum(value * pow(2.0, rt/43200.0))
+            OVER w * (1.0 - pow(2.0, -1.0/43200.0)), 4) AS ema
+    FROM b
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ORDER BY user_id, event_id
+    """,
+    doc="ClickHouse time-decay window family (round-9: "
+    "exponentialTimeDecayedSum/Count/Max/Avg + exponentialMovingAverage "
+    "as real window functions, dialect._rewrite_exp_decay): each "
+    "factors through w(T,t_i) = w(T,t0)*w(t0,t_i) into ONE ordinary "
+    "windowed SUM/MAX times a per-row prefactor — whole-stage codegen, "
+    "no per-row state, no collect_list. t0 = per-partition min keeps "
+    "exponents small. The DuckDB oracle computes the identical "
+    "factored closed form; the decay constants (1 day / half-life 12 h "
+    "against the events table's 30-day span) keep exp() inside double "
+    "range. Reference formulae: CH window-functions docs + "
+    "base/ExponentiallySmoothedCounter.h for the EMA normalization.",
+    tags=("dialect", "window", "timeseries"),
+)
+def q_util_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    over = ("OVER (PARTITION BY user_id ORDER BY ts, event_id "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)")
+    return Client(spark).query_ch(
+        "SELECT user_id, event_id, "
+        "round(exponentialTimeDecayedSum(86400)(value, "
+        f"toUnixTimestamp(ts)) {over}, 4) AS ds, "
+        "round(exponentialTimeDecayedCount(86400)("
+        f"toUnixTimestamp(ts)) {over}, 4) AS dc, "
+        "round(exponentialTimeDecayedMax(86400)(value, "
+        f"toUnixTimestamp(ts)) {over}, 4) AS dm, "
+        "round(exponentialTimeDecayedAvg(86400)(value, "
+        f"toUnixTimestamp(ts)) {over}, 4) AS da, "
+        "round(exponentialMovingAverage(43200)(value, "
+        f"toUnixTimestamp(ts)) {over}, 4) AS ema "
+        "FROM events WHERE user_id < 5 "
+        "ORDER BY user_id, event_id"
+    )
+
+
+@register(
+    "core_remote_tvf",
+    """
+    SELECT n_regionkey, CAST(count(*) AS BIGINT) AS n_count,
+           CAST(sum(n_nationkey) AS BIGINT) AS key_sum,
+           min(n_name) AS first_name
+    FROM nation WHERE n_nationkey < 20
+    GROUP BY n_regionkey ORDER BY n_regionkey
+    """,
+    doc="Round 9: ClickHouse remote() table function "
+    "(client._expand_remote_tvf -> read_remote over the HTTP "
+    "ArrowStream DSv2 connector; the reference reaches other servers "
+    "through clickhouse-arrow/src/client.rs:213-256 + "
+    "src/http/client.rs:22-244): nation is served by the in-process "
+    "ClickHouse-HTTP stub (sources/ch_http_stub.py — real sockets, "
+    "real Arrow IPC, X-ClickHouse-User/Key auth enforced) and read "
+    "back through remote('127.0.0.1:PORT', default.nation, user, "
+    "password) with a WHERE that pushes into the server-side SQL; "
+    "replica alternation {port|dead-port} picks the live first "
+    "replica. The oracle reads the same rows from the parquet table, "
+    "so any transport/typing/pushdown drift hash-fails.",
+    tags=("source", "remote", "tvf"),
+)
+def q_core_remote_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.parquet as pq
+
+    from clickhouse_arrow_spark.builder import ClientBuilder
+    from clickhouse_arrow_spark.sources.ch_http_stub import ArrowHttpStub
+
+    stub = ArrowHttpStub(
+        {"nation": f"{sf_dir}/nation.parquet"},
+        user="reader", password="s3cret",
+    )
+    url = stub.start()
+    hostport = url.split("://", 1)[1].rstrip("/")
+    host, port = hostport.rsplit(":", 1)
+    try:
+        client = ClientBuilder().with_session(spark).build()
+        # eager: the fetch happens while the stub is up; replica
+        # alternation {live|dead} must pick the first (live) replica
+        out = client.query_ch(
+            "SELECT n_regionkey, count() AS n_count, "
+            "sum(n_nationkey) AS key_sum, min(n_name) AS first_name "
+            f"FROM remote('{host}:{{{port}|59999}}', default.nation, "
+            "'reader', 's3cret') "
+            "WHERE n_nationkey < 20 "
+            "GROUP BY n_regionkey ORDER BY n_regionkey"
+        ).toPandas()
+    finally:
+        stub.stop()
+    return spark.createDataFrame(
+        out,
+        "n_regionkey BIGINT, n_count BIGINT, key_sum BIGINT, "
+        "first_name STRING",
+    )

@@ -52,17 +52,14 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "toYear": "year",
     "toMonth": "month",
     "toQuarter": "quarter",
-    "intDiv": "div",
     "modulo": "mod",
     "arrayConcat": "concat",
     "arrayDistinct": "array_distinct",
     "arrayReverse": "reverse",
     "has": "array_contains",
     "indexOf": "array_position",
-    "arrayStringConcat": "array_join",
     "splitByChar": "split",  # caveat: CH arg order is (sep, s); formatter below
     "JSONExtractString": "get_json_object",  # path form differs; formatter below
-    "toString": "string",
     "notEmpty": "notempty",  # placeholder, formatter below
     # string family
     "substringIndex": "substring_index",
@@ -114,10 +111,7 @@ _SIMPLE_RENAMES: dict[str, str] = {
     # bitShiftLeft/bitShiftRight get a formatter (shift >= 64 is 0 in
     # CH; Spark's shiftleft masks the shift amount mod 64)
     # arrays / maps / structs
-    "arrayIntersect": "array_intersect",
     "hasAny": "arrays_overlap",
-    "arrayMin": "array_min",
-    "arrayMax": "array_max",
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
@@ -133,8 +127,6 @@ _SIMPLE_RENAMES: dict[str, str] = {
     # toTypeName gets a formatter: CH-spelled names for the atomics
     "anyHeavy": "mode",  # heavy-hitter pick -> exact mode (superset)
     "countMatches": "regexp_count",
-    "extractAll": "regexp_extract_all",  # caveat: CH falls back to the
-    # whole match when the pattern has no group; Spark extracts group 1
     "toISOWeek": "weekofyear",  # Spark weekofyear IS ISO-8601
     "isNaN": "isnan",
     "mapFromArrays": "map_from_arrays",
@@ -147,9 +139,6 @@ _SIMPLE_RENAMES: dict[str, str] = {
     "editDistanceUTF8": "levenshtein",  # Spark levenshtein is codepoint-based
     "toLastDayOfMonth": "last_day",
     "substringUTF8": "substring",
-    "leftUTF8": "left",
-    "rightUTF8": "right",
-    "positionUTF8": "position",  # handled by the position formatter path
     "concatAssumeInjective": "concat",  # the injectivity hint is a CH
     # GROUP BY optimization; results identical
     "mid": "substring",
@@ -7926,3 +7915,39 @@ def rewrite_star_apply(spark, sql: str) -> str:
                 expr, name = f"{f}({expr})", f"{f}({name})"
             items.append(expr if not fns else f"{expr} AS `{name}`")
         sql = f"{sql[: m.start()]}{', '.join(items)}{sql[m.end():]}"
+
+
+def _assert_no_shadowed_renames() -> None:
+    """Import-time invariant (round-9 verdict observation #1): a name
+    present in _SIMPLE_RENAMES that ALSO has a dedicated formatter
+    branch in _fmt is a silent-wrong-answer trap — the formatter wins
+    (it returns before the rename fallback), so the rename entry is
+    dead, and a future edit that removes the formatter would silently
+    revive a stale rename instead of erroring. Probe: drop the name
+    from the rename map; if _fmt still resolves it, a branch shadows
+    the entry. Exceptions list the names where the DUAL entry is the
+    design (the formatter handles the multi-arg form and delegates the
+    plain form to the rename)."""
+    allowed = {
+        "splitByChar", "JSONExtractString", "notEmpty",
+        "trimBoth", "trimLeft", "trimRight",
+    }
+    shadowed = []
+    for n in list(_SIMPLE_RENAMES):
+        if n in allowed:
+            continue
+        saved = _SIMPLE_RENAMES.pop(n)
+        try:
+            if _fmt(n) is not None:
+                shadowed.append(n)
+        except Exception:
+            shadowed.append(n)  # branch exists and tried to build
+        finally:
+            _SIMPLE_RENAMES[n] = saved
+    assert not shadowed, (
+        "dialect invariant: these names are in _SIMPLE_RENAMES but a "
+        f"_fmt branch shadows them — remove the dead rename: {shadowed}"
+    )
+
+
+_assert_no_shadowed_renames()

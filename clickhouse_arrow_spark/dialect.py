@@ -3234,18 +3234,77 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 else "chain the intervals: d + INTERVAL a + INTERVAL b"
             )
         )
+    # --- pure-bit H3 accessors (wave 33): the H3 index layout is a
+    # published spec (1 reserved bit, 4 mode, 3 reserved, 4 resolution,
+    # 7 base cell, 15x3 digits) — these need no geo math, just shifts
+    if name == "h3GetResolution":
+        return lambda a: f"CAST(shiftright({a[0]}, 52) & 15 AS INT)"
+    if name == "h3GetBaseCell":
+        return lambda a: f"CAST(shiftright({a[0]}, 45) & 127 AS INT)"
+    if name == "h3IsPentagon":
+        # pentagons at every resolution are the center-child chains of
+        # the 12 res-0 pentagon base cells: all digits 1..res are 0 and
+        # the unused digits are 7s, i.e. the low 45 bits equal
+        # 2^(3*(15-res)) - 1
+        def h3_is_pentagon(a: Args) -> str:
+            h = a[0]
+            res = f"(shiftright({h}, 52) & 15)"
+            return (
+                f"(CAST(shiftright({h}, 45) & 127 AS INT) IN "
+                f"(4, 14, 24, 38, 49, 58, 72, 83, 97, 107, 117) AND "
+                f"({h} & 35184372088831) = "
+                f"shiftleft(CAST(1 AS BIGINT), 3 * (15 - {res})) - 1)"
+            )
+
+        return h3_is_pentagon
     if name.startswith("h3") or name.startswith("geoToH3"):
         raise UntranslatableFunctionError(
-            f"{name}(): H3 indexing needs the h3 library, which is not "
-            "bundled; geohashEncode/Decode cover grid bucketing here"
+            f"{name}(): H3 geo math needs the h3 library, which is not "
+            "bundled (the pure bit accessors h3GetResolution/"
+            "h3GetBaseCell/h3IsPentagon ARE implemented); "
+            "geohashEncode/Decode cover grid bucketing here"
         )
     if name == "rankCorr":
-        raise UntranslatableFunctionError(
-            "rankCorr() needs a query-shape rewrite, not a function "
-            "rename; use the DataFrame API: corr over rank() windows — "
-            "SELECT corr(ra, rb) FROM (SELECT rank() OVER (ORDER BY a) "
-            "AS ra, rank() OVER (ORDER BY b) AS rb FROM t)"
-        )
+        # Spearman's rho with AVERAGE ranks (the CH aggregate), as one
+        # self-contained expression: collect the (a, b) pairs ONCE
+        # (bound via the 1-element transform trick), compute each
+        # element's average rank by counting smaller/equal peers
+        # (O(n^2) per group — a point statistic, not a join kernel;
+        # entropy() set the precedent for collect+fold aggregates),
+        # then Pearson over the two rank arrays.
+        def rank_corr(a: Args) -> str:
+            arr = (
+                f"collect_list(named_struct('a', CAST(({a[0]}) AS "
+                f"DOUBLE), 'b', CAST(({a[1]}) AS DOUBLE)))"
+            )
+
+            def ranks(f: str) -> str:
+                return (
+                    f"transform(_r, _x -> "
+                    f"size(filter(_r, _s -> _s.{f} < _x.{f})) + "
+                    f"(size(filter(_r, _s -> _s.{f} = _x.{f})) + 1) "
+                    f"/ 2.0)"
+                )
+
+            def fsum(arr_expr: str) -> str:
+                return (
+                    f"aggregate({arr_expr}, CAST(0 AS DOUBLE), "
+                    f"(_ac, _v) -> _ac + _v)"
+                )
+
+            return (
+                f"element_at(transform(array({arr}), _r -> "
+                f"element_at(transform(array(named_struct("
+                f"'ra', {ranks('a')}, 'rb', {ranks('b')})), _w -> "
+                f"(size(_r) * {fsum('zip_with(_w.ra, _w.rb, (_p, _q) -> _p * _q)')} "
+                f"- {fsum('_w.ra')} * {fsum('_w.rb')}) / "
+                f"sqrt((size(_r) * {fsum('zip_with(_w.ra, _w.ra, (_p, _q) -> _p * _q)')} "
+                f"- pow({fsum('_w.ra')}, 2)) * "
+                f"(size(_r) * {fsum('zip_with(_w.rb, _w.rb, (_p, _q) -> _p * _q)')} "
+                f"- pow({fsum('_w.rb')}, 2)))), 1)), 1)"
+            )
+
+        return rank_corr
     if name == "uptime":
         raise UntranslatableFunctionError(
             "uptime() (server uptime) has no JVM-expression analogue; "
@@ -5035,7 +5094,85 @@ def _best_effort_ts(x: str) -> str:
     return f"coalesce({tries})"
 
 
+def _resample_fmt(base: str) -> Callable[[Args, Args], str]:
+    """The -Resample combinator (wave 33): `fResample(start, end,
+    step)(args..., key)` splits the group's rows into key-range buckets
+    [start + i*step, min(start + (i+1)*step, end)) and returns the
+    ARRAY of per-bucket aggregates. Emitted as one expression: collect
+    the (value, key) pairs once, then transform over the bucket lower
+    bounds with an array fold per bucket — no extra shuffle, the same
+    single-exchange plan as the plain aggregate. count/sum/avg fold in
+    DOUBLE (document: CH keeps integer sums integer); empty buckets are
+    0 for count/sum, NULL for min/max/avg (CH: 0 / type default / nan)."""
+
+    def fmt(p: Args, a: Args) -> str:
+        if len(p) != 3:
+            raise UntranslatableFunctionError(
+                f"{base}Resample(start, end, step)(...) takes exactly "
+                "three parameters"
+            )
+        try:
+            start, end, step = (int(x.strip()) for x in p)
+        except ValueError:
+            raise UntranslatableFunctionError(
+                f"{base}Resample: start/end/step must be integer "
+                "literals"
+            ) from None
+        if step <= 0 or end <= start:
+            raise UntranslatableFunctionError(
+                f"{base}Resample: needs step > 0 and end > start"
+            )
+        if base == "count":
+            if len(a) != 1:
+                raise UntranslatableFunctionError(
+                    "countResample(start, end, step)(key) takes the "
+                    "resampling key only"
+                )
+            x, k = "1", a[0]
+        else:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    f"{base}Resample(start, end, step)(x, key) takes "
+                    "the value and the resampling key"
+                )
+            x, k = a
+        arr = (
+            f"collect_list(named_struct('v', CAST(({x}) AS DOUBLE), "
+            f"'k', CAST(({k}) AS DOUBLE)))"
+        )
+        flt = (
+            f"filter(_r, _s -> _s.k >= _lo AND _s.k < "
+            f"least(_lo + {step}, {end}))"
+        )
+        inner = {
+            "count": f"CAST(size({flt}) AS BIGINT)",
+            "sum": (
+                f"aggregate({flt}, CAST(0 AS DOUBLE), "
+                f"(_ac, _s) -> _ac + _s.v)"
+            ),
+            "min": f"array_min(transform({flt}, _s -> _s.v))",
+            "max": f"array_max(transform({flt}, _s -> _s.v))",
+            "avg": (
+                f"aggregate({flt}, CAST(0 AS DOUBLE), "
+                f"(_ac, _s) -> _ac + _s.v) / size({flt})"
+            ),
+        }[base]
+        return (
+            f"element_at(transform(array({arr}), _r -> "
+            f"transform(sequence({start}, {end - 1}, {step}), "
+            f"_lo -> {inner})), 1)"
+        )
+
+    return fmt
+
+
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    # the -Resample combinator over the common bases (wave 33)
+    "countResample": _resample_fmt("count"),
+    "sumResample": _resample_fmt("sum"),
+    "minResample": _resample_fmt("min"),
+    "maxResample": _resample_fmt("max"),
+    "avgResample": _resample_fmt("avg"),
     # size-capped collection: groupArray(n)(x) keeps the first n
     "groupArray": lambda p, a: f"slice(collect_list({a[0]}), 1, {p[0]})",
     "groupUniqArray": lambda p, a: f"slice(collect_set({a[0]}), 1, {p[0]})",

@@ -109,9 +109,10 @@ _GATE_ALIASES: dict[str, str] = {
         # TVF gate and the exponential-decay window gate in
         "core_remote_tvf",
         "util_exp_decay",
-        # round-8 rotation #2: wave16 out (judge-verified since round
-        # 6; see ROTATION.md), wave26 in
-        "util_sweep_wave26",
+        # round-9 rotation #2: wave26 out (judge-verified r8 at two
+        # SFs; see ROTATION.md), wave33 in (rankCorr, -Resample, H3
+        # bit accessors)
+        "util_sweep_wave33",
         # round-8 rotation #3: wave18 out (judge-verified r6/r7; see
         # ROTATION.md), wave27 in
         "util_sweep_wave27",

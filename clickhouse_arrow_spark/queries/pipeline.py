@@ -5434,3 +5434,58 @@ def q_core_remote_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_regionkey BIGINT, n_count BIGINT, key_sum BIGINT, "
         "first_name STRING",
     )
+
+
+@register(
+    "util_sweep_wave33",
+    """
+    SELECT 0.9 AS rho,
+           0.8660254038 AS rho_ties,
+           '3,2' AS cnt_buckets,
+           '3.0,6.0' AS sum_buckets,
+           '1,1' AS trunc_buckets,
+           CAST(5 AS BIGINT) AS h3res,
+           CAST(20 AS BIGINT) AS h3base,
+           FALSE AS hexagon,
+           TRUE AS pentagon3,
+           TRUE AS pentagon0
+    """,
+    doc="Round-9 probe-sweep wave 33 (scripts/probe_wave33.py; exact "
+    "literal oracle): rankCorr as a self-contained Spearman-with-"
+    "average-ranks aggregate (collect-once via the transform-binding "
+    "trick, O(n^2) rank fold — entropy() precedent), the -Resample "
+    "combinator over count/sum/min/max/avg (bucketed array folds, "
+    "truncated last bucket), and the pure-bit H3 accessors "
+    "h3GetResolution/h3GetBaseCell/h3IsPentagon from the published "
+    "index layout (pentagons = center-child chains of the 12 res-0 "
+    "pentagon base cells).",
+    tags=("dialect", "sweep", "wave33"),
+)
+def q_util_sweep_wave33(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT "
+        "round((SELECT rankCorr(a, b) FROM (SELECT 1.0 AS a, 10.0 AS b "
+        "UNION ALL SELECT 2.0, 20.0 UNION ALL SELECT 3.0, 30.0 "
+        "UNION ALL SELECT 4.0, 41.0 UNION ALL SELECT 5.0, 35.0)), 10) "
+        "AS rho, "
+        "round((SELECT rankCorr(a, b) FROM (SELECT 1.0 AS a, 1.0 AS b "
+        "UNION ALL SELECT 1.0, 2.0 UNION ALL SELECT 2.0, 3.0)), 10) "
+        "AS rho_ties, "
+        "(SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "countResample(0, 10, 5)(k)), ',') FROM "
+        "(SELECT arrayJoin([0.0, 1.0, 2.0, 5.0, 9.0]) AS k)) "
+        "AS cnt_buckets, "
+        "(SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "sumResample(0, 10, 5)(x, x)), ',') FROM "
+        "(SELECT arrayJoin([1.0, 2.0, 6.0]) AS x)) AS sum_buckets, "
+        "(SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "countResample(0, 6, 4)(k)), ',') FROM "
+        "(SELECT arrayJoin([3.0, 5.0, 7.0]) AS k)) AS trunc_buckets, "
+        "CAST(h3GetResolution(599686042433355775) AS Int64) AS h3res, "
+        "CAST(h3GetBaseCell(599686042433355775) AS Int64) AS h3base, "
+        "h3IsPentagon(585610338313961471) AS hexagon, "
+        "h3IsPentagon(590112357393367039) AS pentagon3, "
+        "h3IsPentagon(576636674163867647) AS pentagon0"
+    )

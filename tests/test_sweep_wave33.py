@@ -1,0 +1,100 @@
+"""Wave 33 (round 9): rankCorr, the -Resample combinator, pure-bit H3
+accessors. Pins derive from the published formulae; the corpus gate
+util_sweep_wave33 carries the exact-literal oracle."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
+
+
+def one(client, sql):
+    return client.query_ch(sql).collect()[0]
+
+
+def test_rank_corr_basic(client):
+    r = one(client, "SELECT rankCorr(a, b) AS r FROM "
+            "(SELECT 1.0 AS a, 10.0 AS b UNION ALL SELECT 2.0, 20.0 "
+            "UNION ALL SELECT 3.0, 30.0 UNION ALL SELECT 4.0, 41.0 "
+            "UNION ALL SELECT 5.0, 35.0)")
+    assert abs(r["r"] - 0.9) < 1e-12
+
+
+def test_rank_corr_monotone_and_inverse(client):
+    r = one(client, "SELECT rankCorr(a, a * 2 + 1) AS up, "
+            "rankCorr(a, -a) AS down FROM "
+            "(SELECT arrayJoin([1.0, 2.0, 3.0, 4.0]) AS a)")
+    assert abs(r["up"] - 1.0) < 1e-12
+    assert abs(r["down"] + 1.0) < 1e-12
+
+
+def test_rank_corr_average_ranks_on_ties(client):
+    r = one(client, "SELECT rankCorr(a, b) AS r FROM "
+            "(SELECT 1.0 AS a, 1.0 AS b UNION ALL SELECT 1.0, 2.0 "
+            "UNION ALL SELECT 2.0, 3.0)")
+    assert abs(r["r"] - math.sqrt(3) / 2) < 1e-12
+
+
+def test_rank_corr_grouped(client, tables):
+    # per-group aggregation: one rho per region, all in [-1, 1]
+    rows = client.query_ch(
+        "SELECT n_regionkey, rankCorr(n_nationkey, "
+        "length(n_name)) AS r FROM nation GROUP BY n_regionkey"
+    ).collect()
+    assert len(rows) == 5
+    assert all(-1.0 - 1e-12 <= x["r"] <= 1.0 + 1e-12 for x in rows)
+
+
+def test_resample_bases(client):
+    r = one(client, "SELECT countResample(0, 10, 5)(k) AS c, "
+            "sumResample(0, 10, 5)(k, k) AS s, "
+            "minResample(0, 10, 5)(k, k) AS mn, "
+            "maxResample(0, 10, 5)(k, k) AS mx, "
+            "avgResample(0, 10, 5)(k, k) AS av FROM "
+            "(SELECT arrayJoin([0.0, 1.0, 2.0, 5.0, 9.0]) AS k)")
+    assert list(r["c"]) == [3, 2]
+    assert list(r["s"]) == [3.0, 14.0]
+    assert list(r["mn"]) == [0.0, 5.0]
+    assert list(r["mx"]) == [2.0, 9.0]
+    assert list(r["av"]) == [1.0, 7.0]
+
+
+def test_resample_truncated_last_bucket_and_empty(client):
+    r = one(client, "SELECT countResample(0, 6, 4)(k) AS c, "
+            "sumResample(0, 6, 4)(k, k) AS s, "
+            "minResample(0, 6, 4)(k, k) AS mn FROM "
+            "(SELECT arrayJoin([3.0, 7.0]) AS k)")
+    # [0,4) has 3.0; [4,6) is empty (7.0 is outside [start,end))
+    assert list(r["c"]) == [1, 0]
+    assert list(r["s"]) == [3.0, 0.0]
+    assert list(r["mn"]) == [3.0, None]
+
+
+def test_resample_validation(client):
+    with pytest.raises(UntranslatableFunctionError, match="three"):
+        client.query_ch("SELECT countResample(0, 10)(k) FROM t")
+    with pytest.raises(UntranslatableFunctionError, match="integer"):
+        client.query_ch("SELECT countResample(0, 10, x)(k) FROM t")
+    with pytest.raises(UntranslatableFunctionError, match="step"):
+        client.query_ch("SELECT countResample(10, 0, 5)(k) FROM t")
+
+
+def test_h3_accessors(client):
+    r = one(client, "SELECT h3GetResolution(599686042433355775) AS r, "
+            "h3GetBaseCell(599686042433355775) AS b, "
+            "h3IsPentagon(599686042433355775) AS p, "
+            "h3IsPentagon(590112357393367039) AS p3, "
+            "h3IsPentagon(576636674163867647) AS p0, "
+            "h3IsPentagon(585610338313961471) AS hexa")
+    assert r["r"] == 5 and r["b"] == 20
+    assert not r["p"] and r["p3"] and r["p0"] and not r["hexa"]
+
+
+def test_h3_geo_math_still_refused(client):
+    with pytest.raises(UntranslatableFunctionError, match="h3 library"):
+        client.query_ch("SELECT h3ToGeo(599686042433355775)")
+    with pytest.raises(UntranslatableFunctionError, match="h3 library"):
+        client.query_ch("SELECT geoToH3(37.79, 55.71, 15)")

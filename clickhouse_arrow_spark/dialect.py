@@ -5796,6 +5796,16 @@ def _split_max_substrings(s: str, sep: str, n: str) -> str:
     """
     if _SPLITBY_STATE["includes_remaining"]:
         return f"split({s}, {sep}, IF(({n}) <= 0, -1, {n}))"
+    lit = re.fullmatch(r"\s*(-?\d+)\s*", n)
+    if lit:
+        # literal max_substrings (the common case): branch at
+        # translation time so the emission stays a bare split/slice
+        # call — downstream heuristics (length() -> size() on
+        # arrayish args) read the head token
+        k = int(lit.group(1))
+        if k <= 0:
+            return f"split({s}, {sep}, -1)"
+        return f"slice(split({s}, {sep}, {k + 1}), 1, {k})"
     return (
         f"IF(({n}) <= 0, split({s}, {sep}), "
         f"slice(split({s}, {sep}, CAST({n} AS INT) + 1), 1, "

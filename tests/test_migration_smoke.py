@@ -958,6 +958,120 @@ QUERIES = [
     ("SELECT toTypeName(o_totalprice) AS price_type, "
      "toTypeName(o_orderdate) AS date_type FROM orders LIMIT 1",
      (1, 1)),
+    # ---- round 9: time-decay window family in dashboard shapes ----
+    ("SELECT user_id, round(exponentialTimeDecayedSum(86400)(value, "
+     "toUnixTimestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts "
+     "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS load "
+     "FROM events WHERE user_id < 3 ORDER BY user_id, ts LIMIT 50",
+     (1, 50)),
+    ("SELECT round(exponentialMovingAverage(43200)(value, "
+     "toUnixTimestamp(ts)) OVER (PARTITION BY event_type ORDER BY ts), "
+     "6) AS ema FROM events WHERE event_type = 'click' LIMIT 20",
+     (1, 20)),
+    ("SELECT event_type, round(exponentialMovingAverage(86400)(value, "
+     "toUnixTimestamp(ts)), 6) AS ema FROM events GROUP BY event_type "
+     "ORDER BY event_type",
+     (1, 10)),
+    ("SELECT user_id, max(dc) AS peak FROM (SELECT user_id, "
+     "exponentialTimeDecayedCount(3600)(toUnixTimestamp(ts)) OVER "
+     "(PARTITION BY user_id ORDER BY ts) AS dc FROM events) "
+     "GROUP BY user_id ORDER BY peak DESC LIMIT 5",
+     (1, 5)),
+    ("SELECT user_id, exponentialTimeDecayedMax(86400)(value, "
+     "toUnixTimestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts) "
+     "AS dm FROM events WHERE user_id = 1 ORDER BY ts LIMIT 10",
+     (1, 10)),
+    ("SELECT round(avg(da), 4) AS mean_decayed FROM (SELECT "
+     "exponentialTimeDecayedAvg(86400)(value, toUnixTimestamp(ts)) "
+     "OVER (PARTITION BY user_id ORDER BY ts) AS da FROM events)",
+     (1, 1)),
+    # ---- round 9: rankCorr in analyst shapes ----
+    ("SELECT round(rankCorr(c_acctbal, c_custkey), 6) AS rho "
+     "FROM (SELECT c_acctbal, c_custkey FROM customer LIMIT 200)",
+     (1, 1)),
+    ("SELECT n_regionkey, round(rankCorr(n_nationkey, "
+     "length(n_name)), 4) AS rho FROM nation GROUP BY n_regionkey "
+     "ORDER BY n_regionkey",
+     (5, 5)),
+    ("SELECT o_orderstatus, round(rankCorr(o_totalprice, "
+     "o_custkey), 4) AS rho FROM (SELECT * FROM orders LIMIT 500) "
+     "GROUP BY o_orderstatus HAVING rho > -1 ORDER BY o_orderstatus",
+     (1, 3)),
+    # ---- round 9: -Resample bucket reports ----
+    ("SELECT countResample(0, 300000, 100000)(o_totalprice) AS "
+     "price_hist FROM orders",
+     (1, 1)),
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(round(x, 2)), "
+     "avgResample(0, 50, 10)(l_quantity, l_quantity)), '|') AS qty "
+     "FROM lineitem",
+     (1, 1)),
+    ("SELECT o_orderstatus, sumResample(0, 300000, 150000)"
+     "(o_totalprice, o_totalprice) AS spend FROM orders "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     (1, 3)),
+    ("SELECT maxResample(0, 50, 25)(l_extendedprice, l_quantity) AS m, "
+     "minResample(0, 50, 25)(l_extendedprice, l_quantity) AS n "
+     "FROM lineitem",
+     (1, 1)),
+    # ---- round 9: splitBy* drop-remainder semantics in parsing ----
+    ("SELECT splitByChar('-', o_orderpriority, 1)[1] AS code, "
+     "count() AS n FROM orders GROUP BY code ORDER BY code",
+     (1, 6)),
+    ("SELECT length(splitByString(' ', n_name, 2)) AS words, "
+     "count() AS n FROM nation GROUP BY words ORDER BY words",
+     (1, 3)),
+    ("SELECT splitByRegexp('[0-9]+', c_name, 2) AS parts "
+     "FROM customer LIMIT 5",
+     (5, 5)),
+    # legacy remainder-in-last via the statement SETTINGS form
+    ("SELECT splitByChar(',', 'a,b,,c', 2) AS legacy SETTINGS "
+     "splitby_max_substrings_includes_remaining_string = 1",
+     (1, 1)),
+    # ---- round 9: toUInt64 truncation + wrap in bucket idioms ----
+    ("SELECT toUInt64(o_totalprice / 1000.0) AS kbucket, count() AS n "
+     "FROM orders GROUP BY kbucket ORDER BY n DESC LIMIT 10",
+     (1, 10)),
+    ("SELECT count() AS n FROM orders "
+     "WHERE toUInt64(o_totalprice) % 2 = 0",
+     (1, 1)),
+    # ---- round 9: H3 bit accessors over synthetic indexes ----
+    ("SELECT h3GetResolution(bitOr(bitOr(bitShiftLeft(toInt64(1), 59), "
+     "bitShiftLeft(toInt64(number % 16), 52)), 35184372088831)) AS "
+     "res, count() AS n FROM (SELECT number FROM system.numbers "
+     "LIMIT 32) GROUP BY res ORDER BY res",
+     (16, 16)),
+    ("SELECT count() AS pentagons FROM (SELECT "
+     "bitOr(bitOr(bitShiftLeft(toInt64(1), 59), bitShiftLeft("
+     "toInt64(number), 45)), 35184372088831) AS h FROM "
+     "(SELECT number FROM system.numbers LIMIT 122)) "
+     "WHERE h3IsPentagon(h)",
+     (1, 1)),
+    # ---- round 9: cluster()/remote-adjacent forms ----
+    ("SELECT count() AS n FROM cluster('default', nation)",
+     (1, 1)),
+    ("SELECT o_orderstatus, count() AS n FROM "
+     "cluster('default', orders) GROUP BY o_orderstatus "
+     "ORDER BY o_orderstatus",
+     (1, 3)),
+    # ---- round 9: composition — decay + dedup-latest + QUALIFY ----
+    ("SELECT user_id, ts, load FROM (SELECT user_id, ts, "
+     "round(exponentialTimeDecayedSum(86400)(value, "
+     "toUnixTimestamp(ts)) OVER (PARTITION BY user_id ORDER BY ts), 4) "
+     "AS load, row_number() OVER (PARTITION BY user_id ORDER BY ts "
+     "DESC) AS rn FROM events WHERE user_id < 10) WHERE rn = 1 "
+     "ORDER BY user_id",
+     (1, 10)),
+    ("SELECT quantile(0.5)(dc) AS med FROM (SELECT "
+     "exponentialTimeDecayedCount(7200)(toUnixTimestamp(ts)) OVER "
+     "(PARTITION BY event_type ORDER BY ts) AS dc FROM events)",
+     (1, 1)),
+    ("SELECT round(rankCorr(spend, cnt), 4) AS rho FROM (SELECT "
+     "o_custkey, sum(o_totalprice) AS spend, count() AS cnt "
+     "FROM orders GROUP BY o_custkey LIMIT 300)",
+     (1, 1)),
+    ("SELECT sumResample(1992, 2000, 2)(o_totalprice, "
+     "toYear(o_orderdate)) AS by_years FROM orders",
+     (1, 1)),
 ]
 
 

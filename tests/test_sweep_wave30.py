@@ -189,7 +189,7 @@ def test_wave30_refusals_are_guided():
     for sql, hint in [
         ("SELECT kostikConsistentHash(1, 2)", "jumpConsistentHash"),
         ("SELECT encrypt('aes-256-cbc', 'x', 'k')", "mapInPandas"),
-        ("SELECT exponentialTimeDecayedSum(10)(v, t)", "window"),
+        ("SELECT exponentialTimeDecayedSum(10)(v, t)", "WINDOW function"),
     ]:
         with pytest.raises(UntranslatableFunctionError) as ei:
             translate_ch_sql(sql)

@@ -3249,9 +3249,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         def h3_is_pentagon(a: Args) -> str:
             h = a[0]
             res = f"(shiftright({h}, 52) & 15)"
+            # the 12 res-0 pentagons (icosahedron vertices) come in
+            # antipodal pairs b + (121 - b): 4/117, 14/107, 24/97,
+            # 38/83, 49/72, 58/63
             return (
                 f"(CAST(shiftright({h}, 45) & 127 AS INT) IN "
-                f"(4, 14, 24, 38, 49, 58, 72, 83, 97, 107, 117) AND "
+                f"(4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117) AND "
                 f"({h} & 35184372088831) = "
                 f"shiftleft(CAST(1 AS BIGINT), 3 * (15 - {res})) - 1)"
             )

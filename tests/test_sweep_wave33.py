@@ -93,6 +93,22 @@ def test_h3_accessors(client):
     assert not r["p"] and r["p3"] and r["p0"] and not r["hexa"]
 
 
+def test_h3_pentagon_set_is_the_published_twelve(client):
+    # the 12 res-0 pentagon indexes from the H3 docs decode to base
+    # cells {4,14,24,38,49,58,63,72,83,97,107,117} (antipodal pairs
+    # b + (121-b)); a sweep over all 122 res-0 base cells must flag
+    # exactly those 12 — the first implementation missed cell 63
+    rows = client.query_ch(
+        "SELECT b FROM (SELECT number AS b, "
+        "bitOr(bitOr(bitShiftLeft(toInt64(1), 59), "
+        "bitShiftLeft(toInt64(number), 45)), 35184372088831) AS h "
+        "FROM (SELECT number FROM system.numbers LIMIT 122)) "
+        "WHERE h3IsPentagon(h) ORDER BY b"
+    ).collect()
+    assert [int(r["b"]) for r in rows] == [
+        4, 14, 24, 38, 49, 58, 63, 72, 83, 97, 107, 117]
+
+
 def test_h3_geo_math_still_refused(client):
     with pytest.raises(UntranslatableFunctionError, match="h3 library"):
         client.query_ch("SELECT h3ToGeo(599686042433355775)")

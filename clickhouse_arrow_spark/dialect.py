@@ -188,14 +188,9 @@ _OPERATOR_BACKED: dict[str, str] = {
     "cramersVBiasCorrected": "operators.stats.association(df, a, b)",
     "theilsU": "operators.stats.association(df, a, b)",
     "contingency": "operators.stats.association(df, a, b)",
-    # intervalLengthSum graduated to a full SQL translation (wave 32);
-    # operators.timeseries.interval_length_sum stays the DataFrame form
-    "maxIntersections": (
-        "operators.timeseries.max_intersections(df, keys, start, end)"
-    ),
-    "maxIntersectionsPosition": (
-        "operators.timeseries.max_intersections(df, keys, start, end)"
-    ),
+    # intervalLengthSum/maxIntersections[Position]/deltaSumTimestamp
+    # graduated to full SQL translations (waves 32/33); the
+    # operators/timeseries forms stay as the DataFrame spellings
     "groupArrayMovingSum": (
         "operators.timeseries.group_array_moving(df, keys, order, value, n)"
     ),
@@ -227,9 +222,6 @@ _OPERATOR_BACKED: dict[str, str] = {
         "unix_timestamp(lag(t) OVER w))) with ONE named window w — the "
         "rate needs two window reads the translator cannot splice into "
         "a single call site"
-    ),
-    "deltaSumTimestamp": (
-        "operators.timeseries.delta_sum(df, key, order=<timestamp>, value)"
     ),
     "groupArrayInsertAt": (
         "map_from_entries(collect_list(struct(pos, x))) then "
@@ -3267,6 +3259,67 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             "h3GetBaseCell/h3IsPentagon ARE implemented); "
             "geohashEncode/Decode cover grid bucketing here"
         )
+    if name == "deltaSumTimestamp":
+        # order-DEFINED deltaSum: sort the (ts, value) pairs by ts,
+        # sum the positive consecutive deltas (CH sorts by the
+        # timestamp argument to merge parts correctly — docs). One
+        # collect + one linear fold per group; first row contributes 0.
+        def delta_sum_ts(a: Args) -> str:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    "deltaSumTimestamp(value, timestamp) takes two "
+                    "arguments"
+                )
+            arr = (
+                f"array_sort(collect_list(named_struct("
+                f"'t', CAST(({a[1]}) AS DOUBLE), "
+                f"'v', CAST(({a[0]}) AS DOUBLE))))"
+            )
+            return (
+                f"aggregate({arr}, named_struct("
+                f"'prev', CAST(NULL AS DOUBLE), 's', CAST(0 AS DOUBLE)), "
+                f"(_ac, _e) -> named_struct('prev', _e.v, "
+                f"'s', _ac.s + CASE WHEN _ac.prev IS NULL "
+                f"THEN CAST(0 AS DOUBLE) "
+                f"ELSE greatest(CAST(0 AS DOUBLE), _e.v - _ac.prev) END), "
+                f"_ac -> _ac.s)"
+            )
+
+        return delta_sum_ts
+    if name in ("maxIntersections", "maxIntersectionsPosition"):
+        # sweep-line as one sorted-array fold (the intervalLengthSum
+        # pattern): starts are (+1) events, ends (-1); at equal
+        # position the end sorts first (struct order (p, d), -1 < 1),
+        # so touching intervals [a, x], [x, b] do NOT intersect —
+        # CH's pair sort does the same. Position returns the left
+        # boundary where the maximum is FIRST reached (as DOUBLE —
+        # the numeric widening the collect applies; documented).
+        def max_intersections(a: Args, _pos=(name == "maxIntersectionsPosition")) -> str:
+            if len(a) != 2:
+                raise UntranslatableFunctionError(
+                    f"{name}(start, end) takes two arguments"
+                )
+            ev = (
+                f"array_sort(concat("
+                f"transform(collect_list(CAST(({a[0]}) AS DOUBLE)), "
+                f"_x -> named_struct('p', _x, 'd', 1)), "
+                f"transform(collect_list(CAST(({a[1]}) AS DOUBLE)), "
+                f"_x -> named_struct('p', _x, 'd', -1))))"
+            )
+            step = (
+                "named_struct('c', _ac.c + _e.d, "
+                "'m', greatest(_ac.m, _ac.c + _e.d), "
+                "'pos', CASE WHEN _ac.c + _e.d > _ac.m THEN _e.p "
+                "ELSE _ac.pos END)"
+            )
+            fin = "_ac -> _ac.pos" if _pos else "_ac -> CAST(_ac.m AS BIGINT)"
+            return (
+                f"aggregate({ev}, named_struct('c', 0, 'm', 0, "
+                f"'pos', CAST(NULL AS DOUBLE)), "
+                f"(_ac, _e) -> {step}, {fin})"
+            )
+
+        return max_intersections
     if name == "rankCorr":
         # Spearman's rho with AVERAGE ranks (the CH aggregate), as one
         # self-contained expression: collect the (a, b) pairs ONCE

@@ -5489,3 +5489,54 @@ def q_util_sweep_wave33(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h3IsPentagon(590112357393367039) AS pentagon3, "
         "h3IsPentagon(576636674163867647) AS pentagon0"
     )
+
+
+@register(
+    "agg_delta_intersections",
+    """
+    WITH base AS (
+      SELECT user_id, floor(epoch(ts)) AS ut, value
+      FROM events WHERE user_id < 50
+    ), deltas AS (
+      SELECT user_id,
+             greatest(0, value - lag(value) OVER
+               (PARTITION BY user_id ORDER BY ut, value)) AS d
+      FROM base
+    ), ev AS (
+      SELECT user_id, ut AS p, 1 AS d FROM base
+      UNION ALL
+      SELECT user_id, ut + value * 60, -1 FROM base
+    ), sweep AS (
+      SELECT user_id, sum(d) OVER (PARTITION BY user_id
+             ORDER BY p, d ROWS BETWEEN UNBOUNDED PRECEDING AND
+             CURRENT ROW) AS c
+      FROM ev
+    )
+    SELECT d.user_id,
+           round(sum(coalesce(d.d, 0)), 4) AS dst,
+           (SELECT CAST(max(c) AS BIGINT) FROM sweep s
+            WHERE s.user_id = d.user_id) AS mi
+    FROM deltas d GROUP BY d.user_id ORDER BY d.user_id
+    """,
+    doc="Round-9: deltaSumTimestamp (order-DEFINED positive-delta sum: "
+    "sort by the timestamp argument, fold consecutive deltas) and "
+    "maxIntersections/maxIntersectionsPosition (sweep-line as one "
+    "sorted-array fold; touching intervals do not intersect — ends "
+    "sort before starts at equal positions, CH's pair sort) — both "
+    "previously operator-backed refusals, now full SQL aggregates. "
+    "Per user: delta-sum of the value series by time, and the max "
+    "number of overlapping [ts, ts + value*60] intervals; the DuckDB "
+    "oracle recomputes both with window reformulations.",
+    tags=("aggregate", "timeseries", "wave33"),
+)
+def q_agg_delta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT user_id, "
+        "round(deltaSumTimestamp(value, toUnixTimestamp(ts)), 4) AS dst, "
+        "maxIntersections(toUnixTimestamp(ts), "
+        "toUnixTimestamp(ts) + value * 60) AS mi "
+        "FROM events WHERE user_id < 50 "
+        "GROUP BY user_id ORDER BY user_id"
+    )

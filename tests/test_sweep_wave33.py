@@ -114,3 +114,26 @@ def test_h3_geo_math_still_refused(client):
         client.query_ch("SELECT h3ToGeo(599686042433355775)")
     with pytest.raises(UntranslatableFunctionError, match="h3 library"):
         client.query_ch("SELECT geoToH3(37.79, 55.71, 15)")
+
+
+def test_delta_sum_timestamp(client):
+    r = one(client, "SELECT deltaSumTimestamp(v, t) AS s FROM "
+            "(SELECT 3.0 AS t, 5.0 AS v UNION ALL SELECT 1.0, 4.0 "
+            "UNION ALL SELECT 2.0, 2.0 UNION ALL SELECT 5.0, 9.0 "
+            "UNION ALL SELECT 4.0, 5.0)")
+    # ordered by t: 4, 2, 5, 5, 9 -> +0 (drop -2) +3 +0 +4 = 7
+    assert r["s"] == 7.0
+
+
+def test_max_intersections_and_position(client):
+    r = one(client, "SELECT maxIntersections(lo, hi) AS m, "
+            "maxIntersectionsPosition(lo, hi) AS p FROM "
+            "(SELECT 1.0 AS lo, 5.0 AS hi UNION ALL SELECT 2.0, 8.0 "
+            "UNION ALL SELECT 5.0, 9.0 UNION ALL SELECT 7.0, 10.0)")
+    assert int(r["m"]) == 3 and float(r["p"]) == 7.0
+
+
+def test_max_intersections_touching_do_not_overlap(client):
+    r = one(client, "SELECT maxIntersections(lo, hi) AS m FROM "
+            "(SELECT 1.0 AS lo, 5.0 AS hi UNION ALL SELECT 5.0, 9.0)")
+    assert int(r["m"]) == 1

@@ -249,10 +249,6 @@ _OPERATOR_BACKED: dict[str, str] = {
     "isConstant": "constant folding is Catalyst's; inspect the plan, not the data",
     "serverUUID": "no server identity; use spark.sparkContext.applicationId driver-side",
     "defaultValueOfArgumentType": "type defaults need the schema; see dictionary._type_default",
-    "sumMapFiltered": (
-        "map_filter(m, (k, v) -> array_contains(keys, k)) + the sumMap "
-        "aggregate (operators/maps.py)"
-    ),
     "meanZTest": (
         "operators.stats.mean_z_test(df, value, index, var0, var1, "
         "conf) — the aggregate shape needs a query rewrite, not a "
@@ -5222,7 +5218,27 @@ def _resample_fmt(base: str) -> Callable[[Args, Args], str]:
     return fmt
 
 
+def _sum_map_filtered_fmt(p: Args, a: Args) -> str:
+    """sumMapFiltered(keys)(key_arr, value_arr): keep only the listed
+    keys, then the ordinary 2-arg sumMap fold (tandem index filter so
+    keys and values stay aligned; empty rows safe via the guarded
+    sequence)."""
+    if len(p) != 1 or len(a) != 2:
+        raise UntranslatableFunctionError(
+            "sumMapFiltered(keys_array)(key_arr, value_arr) takes one "
+            "parameter and two arguments"
+        )
+    idx = (
+        f"filter({_safe_seq1(f'size({a[0]})')}, _i -> "
+        f"array_contains({p[0]}, element_at({a[0]}, _i)))"
+    )
+    k2 = f"transform({idx}, _i -> element_at({a[0]}, _i))"
+    v2 = f"transform({idx}, _i -> element_at({a[1]}, _i))"
+    return _fmt("sumMap")([k2, v2])
+
+
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
+    "sumMapFiltered": _sum_map_filtered_fmt,
     # the -Resample combinator over the common bases (wave 33)
     "countResample": _resample_fmt("count"),
     "sumResample": _resample_fmt("sum"),

@@ -137,3 +137,11 @@ def test_max_intersections_touching_do_not_overlap(client):
     r = one(client, "SELECT maxIntersections(lo, hi) AS m FROM "
             "(SELECT 1.0 AS lo, 5.0 AS hi UNION ALL SELECT 5.0, 9.0)")
     assert int(r["m"]) == 1
+
+
+def test_sum_map_filtered(client):
+    r = one(client, "SELECT sumMapFiltered(['a','b'])(k, v) AS m FROM "
+            "(SELECT ['a','b','c'] AS k, [1,2,3] AS v "
+            "UNION ALL SELECT ['b','d'], [10, 20])")
+    assert list(r["m"][0]) == ["a", "b"]
+    assert list(r["m"][1]) == [1, 12]

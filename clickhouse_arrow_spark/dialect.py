@@ -330,7 +330,10 @@ _OPERATOR_BACKED: dict[str, str] = {
         "operators/stats.association (entropy/cramersV family) — IV is "
         "sum((good%-bad%)*ln(good%/bad%)) over the contingency cells"
     ),
-    "analysisOfVariance": "operators/stats.py (one-way F from the group sums)",
+    "analysisOfVariance": (
+        "operators.stats.anova(df, value, group) — one-way F with the "
+        "exact incomplete-beta p-value"
+    ),
     "corrMatrix": "corr(a, b) pairwise; Spark has no matrix aggregate",
     "covarSampMatrix": "covar_samp(a, b) pairwise; Spark has no matrix aggregate",
     "covarPopMatrix": "covar_pop(a, b) pairwise; Spark has no matrix aggregate",

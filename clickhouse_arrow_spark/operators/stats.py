@@ -580,3 +580,67 @@ def foreach_agg(
     if group_cols:
         return per_pos.groupBy(*group_cols).agg(assembled)
     return per_pos.groupBy().agg(assembled)
+
+
+def anova(df: DataFrame, value_col: str, group_col: str) -> DataFrame:
+    """ClickHouse `analysisOfVariance(x, g)` (one-way ANOVA): one row
+    (f_stat, p_value, df_between, df_within). Group moments come from
+    ONE map-side-combined aggregation (count/sum/sum-of-squares per
+    group, then one global fold — no collect, group count unbounded);
+    F = (SSB/(k-1)) / (SSW/(n-k)); the p-value is the exact
+    F-distribution survival function via the regularized incomplete
+    beta (the same kernel the t-tests use,
+    ch_functions._betai: P(F > f) = I_{d2/(d2+d1 f)}(d2/2, d1/2))."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    g = (
+        df.select(
+            F.col(value_col).cast("double").alias("v"),
+            F.col(group_col).alias("g"),
+        )
+        .groupBy("g")
+        .agg(
+            F.count("v").alias("n"),
+            F.sum("v").alias("s"),
+            F.sum(F.col("v") * F.col("v")).alias("ss"),
+        )
+    )
+    tot = g.agg(
+        F.count("*").cast("double").alias("k"),
+        F.sum("n").cast("double").alias("n"),
+        F.sum("s").alias("s"),
+        F.sum("ss").alias("ss"),
+        F.sum(F.col("s") * F.col("s") / F.col("n")).alias("sb"),
+    )
+    k, n = F.col("k"), F.col("n")
+    ssb = F.col("sb") - F.col("s") * F.col("s") / n
+    ssw = F.col("ss") - F.col("sb")
+    d1, d2 = k - 1, n - k
+    f_stat = (ssb / d1) / (ssw / d2)
+
+    def _sf(fs, a, b):
+        from clickhouse_arrow_spark.functions.ch_functions import _betai
+
+        out = []
+        for fv, d1v, d2v in zip(fs, a, b):
+            if fv is None or d1v is None or d2v is None or d1v <= 0 \
+                    or d2v <= 0:
+                out.append(None)
+            elif fv <= 0:
+                out.append(1.0)
+            else:
+                out.append(
+                    _betai(d2v / 2.0, d1v / 2.0, d2v / (d2v + d1v * fv))
+                )
+        return pd.Series(out)
+
+    p = pandas_udf(_sf, "double")(
+        f_stat.cast("double"), d1.cast("double"), d2.cast("double")
+    )
+    return tot.select(
+        F.round(f_stat, 6).alias("f_stat"),
+        F.round(p, 6).alias("p_value"),
+        d1.cast("long").alias("df_between"),
+        d2.cast("long").alias("df_within"),
+    )

@@ -145,3 +145,26 @@ def test_sum_map_filtered(client):
             "UNION ALL SELECT ['b','d'], [10, 20])")
     assert list(r["m"][0]) == ["a", "b"]
     assert list(r["m"][1]) == [1, 12]
+
+
+def test_anova_operator(client, spark):
+    # groups A=[1,2,3] B=[2,3,4] C=[5,6,7]: grand mean 33/9,
+    # SSB = 147 - 33^2/9 = 26, SSW = 153 - 147 = 6, d = (2, 6),
+    # F = (26/2)/(6/6) = 13, p = I_{6/(6+26)}(3, 1) = (6/32)^3
+    from clickhouse_arrow_spark.operators.stats import anova
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         ("b", 2.0), ("b", 3.0), ("b", 4.0),
+         ("c", 5.0), ("c", 6.0), ("c", 7.0)],
+        "g STRING, v DOUBLE",
+    )
+    [r] = anova(df, "v", "g").collect()
+    assert abs(r["f_stat"] - 13.0) < 1e-9
+    assert abs(r["p_value"] - (6.0 / 32.0) ** 3) < 1e-6
+    assert r["df_between"] == 2 and r["df_within"] == 6
+    # the dialect refusal names the operator
+    import pytest as _pytest
+
+    with _pytest.raises(UntranslatableFunctionError, match="stats.anova"):
+        client.query_ch("SELECT analysisOfVariance(v, g) FROM t")

@@ -24,7 +24,7 @@ import time
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 
-def synth_docs(spark, n_docs: int, skew: bool):
+def synth_docs(spark, n_docs: int, skew: bool, doc_len: int = 120):
     from pyspark.sql import functions as F
 
     words = F.array(*[
@@ -33,10 +33,10 @@ def synth_docs(spark, n_docs: int, skew: bool):
             "merge window hash batch stream row column value fast slow"
         ).split()
     ])
-    # 120 unique-ish tokens per doc; 1% of docs are exact clones of the
-    # 99% tail (the r8 distribution, now at L=50 scale)
+    # `doc_len` unique-ish tokens per doc; 1% of docs are exact clones
+    # of the 99% tail (the r8 distribution, now at L=50 scale)
     body = F.transform(
-        F.sequence(F.lit(1), F.lit(120)),
+        F.sequence(F.lit(1), F.lit(doc_len)),
         lambda i: F.element_at(
             words,
             (F.pmod(
@@ -46,11 +46,13 @@ def synth_docs(spark, n_docs: int, skew: bool):
         ),
     )
     if skew:
-        # 10% of docs REPLACE their first 60 tokens with one shared
-        # boilerplate block -> every window inside the block is
-        # duplicated ~n_docs/10 times (the skew spike)
+        # 10% of docs REPLACE a leading block (doc_len // 2, min 55 so
+        # it always spans L=50 windows) with one shared boilerplate ->
+        # every window inside the block is duplicated ~n_docs/10 times
+        # (the skew spike)
+        blk = max(doc_len // 2, 55)
         boiler = F.transform(
-            F.sequence(F.lit(1), F.lit(60)),
+            F.sequence(F.lit(1), F.lit(blk)),
             lambda i: F.element_at(
                 words, (F.pmod(F.xxhash64(F.lit(0), i), F.lit(20)) + 1)
                 .cast("int"),
@@ -58,7 +60,7 @@ def synth_docs(spark, n_docs: int, skew: bool):
         )
         body = F.when(
             F.col("id") % 10 == 0,
-            F.concat(boiler, F.slice(body, 61, 60)),
+            F.concat(boiler, F.slice(body, blk + 1, doc_len - blk)),
         ).otherwise(body)
     return spark.range(0, n_docs, 1, 32).select(
         F.col("id").alias("doc_id"),
@@ -69,6 +71,10 @@ def synth_docs(spark, n_docs: int, skew: bool):
 def main() -> int:
     ns = [int(a) for a in sys.argv[1:] if a.isdigit()] or [1_000_000]
     skew_only = "--skew" in sys.argv
+    doc_len = 120
+    for a in sys.argv[1:]:
+        if a.startswith("--len="):
+            doc_len = int(a.split("=", 1)[1])
 
     from clickhouse_arrow_spark.operators import text as text_ops
     from clickhouse_arrow_spark.session import get_spark
@@ -78,9 +84,11 @@ def main() -> int:
     out: dict[str, float] = {}
     for n in ns:
         for skew in ([True] if skew_only else [False, True]):
-            tag = f"{n // 1000}k_docs_L50" + ("_skew10pct" if skew else "")
+            tag = (f"{n // 1000}k_docs_L50_len{doc_len}"
+                   + ("_skew10pct" if skew else ""))
             path = f"{tmp}/docs_{tag}"
-            synth_docs(spark, n, skew).write.mode("overwrite").parquet(path)
+            synth_docs(spark, n, skew, doc_len).write.mode(
+                "overwrite").parquet(path)
             docs = spark.read.parquet(path)
             docs.count()  # warm
             t0 = time.perf_counter()

@@ -24,8 +24,10 @@ from clickhouse_arrow_spark.dialect import translate_ch_sql
         ("SELECT quantiles(0.5, 0.9)(v)", "SELECT percentile(v, array(0.5, 0.9))"),
         ("SELECT toDate(ts)", "SELECT CAST(ts AS DATE)"),
         # integer conversions wrap mod 2^width like CH (wave 30)
+        # r9: fractional input truncates toward zero before the wrap
         ("SELECT toUInt64(x)",
-         "SELECT CAST(pmod(CAST(x AS DECIMAL(20, 0)), "
+         "SELECT CAST(pmod(CAST(CAST(x AS DECIMAL(38, 18)) - "
+         "(CAST(x AS DECIMAL(38, 18)) % 1) AS DECIMAL(20, 0)), "
          "18446744073709551616) AS DECIMAL(20, 0))"),
         # conditions go through CH UInt8 truthiness (wave 32)
         ("SELECT multiIf(a, 1, b, 2, 3)",
@@ -1021,8 +1023,9 @@ def test_reinterpret_refused():
 def test_delta_sum_timestamp_and_bytesize_point_at_operators():
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
-    with pytest.raises(UntranslatableFunctionError, match="delta_sum"):
-        translate_ch_sql("SELECT deltaSumTimestamp(v, t)")
+    # r9: deltaSumTimestamp graduated to a SQL aggregate (sorted fold)
+    assert "array_sort" in translate_ch_sql(
+        "SELECT deltaSumTimestamp(v, t)")
     with pytest.raises(UntranslatableFunctionError, match="octet_length"):
         translate_ch_sql("SELECT byteSize(x)")
     with pytest.raises(UntranslatableFunctionError, match="explode"):
@@ -1196,7 +1199,6 @@ def test_fourth_wave_refusals():
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
     for fn, hint in [
-        ("exponentialMovingAverage(10)(v, t)", "exp_time_decayed_avg"),
         ("sequenceNextNode('forward', 'head')(t, s, c)", "funnel"),
         ("corrMatrix(a, b)", "pairwise"),
         # wave 11 implemented the literal-pattern form; a column
@@ -2256,7 +2258,7 @@ def test_sweep_wave3_refusals():
         ("bitSlice('x', 1, 8)", "shiftright"),
         ("addTupleOfIntervals(d, (INTERVAL 1 DAY, INTERVAL 1 MONTH))", "chain"),
         ("h3ToGeo(5)", "h3 library"),
-        ("rankCorr(a, b)", "rank"),
+        # r9: rankCorr graduated to a SQL aggregate
         ("uptime()", "startTime"),
     ]:
         with _pytest.raises(UntranslatableFunctionError, match=hint):

@@ -117,8 +117,13 @@ def test_cluster_folds_to_local_table(client, tables):
 
 
 def test_cluster_db_table_form(client, spark):
+    import shutil
+
     spark.sql("CREATE DATABASE IF NOT EXISTS rtvf")
     spark.sql("DROP TABLE IF EXISTS rtvf.t1")
+    # a prior session's orphaned managed-table dir blocks saveAsTable
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/rtvf.db/t1", ignore_errors=True)
     spark.range(0, 7).write.saveAsTable("rtvf.t1")
     n = client.query_ch(
         "SELECT count() AS n FROM cluster('default', rtvf, t1)"

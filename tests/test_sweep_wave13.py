@@ -182,11 +182,12 @@ def test_numeric_condition_literals(ch):
 
 
 def test_resample_and_argminmax_guided(ch):
-    with pytest.raises(UntranslatableFunctionError, match="width_bucket"):
-        ch.query_ch(
-            "SELECT sumResample(0, 10, 5)(o_totalprice, o_orderkey) AS r "
-            "FROM orders"
-        )
+    # r9: the -Resample combinator graduated to bucketed array folds
+    [rr] = ch.query_ch(
+        "SELECT sumResample(0, 10, 5)(o_totalprice, o_orderkey) AS r "
+        "FROM orders"
+    ).collect()
+    assert len(rr["r"]) == 2
     with pytest.raises(UntranslatableFunctionError, match="extremal|minimal"):
         ch.query_ch(
             "SELECT sumArgMin(o_totalprice, o_orderdate) AS s FROM orders"

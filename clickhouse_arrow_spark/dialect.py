@@ -2707,11 +2707,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         }[name]
         return lambda a: slot.format(*a)
     if name == "toTypeName":
-        # report the CH spelling of the resolved Spark type for the
-        # atomic names (the original CH type is unrecoverable after the
-        # bridge widens — e.g. UInt8 arrives as SMALLINT and reports
-        # Int16; documented approximation). Complex type strings
-        # (array<...>, decimal(p,s), struct<...>) pass through as-is.
+        # report the CH spelling of the resolved Spark type (the
+        # original CH type is unrecoverable after the bridge widens —
+        # e.g. UInt8 arrives as SMALLINT and reports Int16; documented
+        # approximation). Atomics via an exact CASE; container strings
+        # (array<...>, map<...>, struct<...>, decimal(p,s)) rewrite
+        # token-wise into the CH spellings (Array(...), Map(...),
+        # Tuple(a T, ...), Decimal(p, s)) — longest-token-first so
+        # 'bigint'/'tinyint' never collide with 'int' (r9, wave-34).
         def to_type_name(a: Args) -> str:
             t = f"typeof({a[0]})"
             pairs = [
@@ -2726,7 +2729,22 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             whens = "".join(
                 f" WHEN '{s}' THEN '{c}'" for s, c in pairs
             )
-            return f"(CASE {t}{whens} ELSE {t} END)"
+            chain = t
+            for old, new in [
+                ("array<", "Array("), ("map<", "Map("),
+                ("struct<", "Tuple("), ("decimal(", "Decimal("),
+                (">", ")"), (":", " "),
+                ("timestamp_ntz", "DateTime"),
+                ("timestamp", "DateTime"),
+                ("tinyint", "Int8"), ("smallint", "Int16"),
+                ("bigint", "Int64"), ("int", "Int32"),
+                ("float", "Float32"), ("double", "Float64"),
+                ("string", "String"), ("boolean", "Bool"),
+                ("binary", "String"), ("date", "Date"),
+                (",", ", "),  # CH spells a space after commas
+            ]:
+                chain = f"replace({chain}, '{old}', '{new}')"
+            return f"(CASE {t}{whens} ELSE {chain} END)"
 
         return to_type_name
     if name in ("any", "anyLast"):

@@ -168,3 +168,15 @@ def test_anova_operator(client, spark):
 
     with _pytest.raises(UntranslatableFunctionError, match="stats.anova"):
         client.query_ch("SELECT analysisOfVariance(v, g) FROM t")
+
+
+def test_to_type_name_container_spellings(client):
+    # wave-34 probe: container type strings rewrite into CH spellings
+    r = one(client, "SELECT toTypeName([1, 2]) AS a, "
+            "toTypeName(map('k', [1.5])) AS b, "
+            "toTypeName((1, 'x')) AS c, "
+            "toTypeName(CAST(1.5 AS Decimal(10, 2))) AS d")
+    assert r["a"] == "Array(Int32)"
+    assert r["b"] == "Map(String, Array(Decimal(2, 1)))"
+    assert r["c"] == "Tuple(col1 Int32, col2 String)"
+    assert r["d"] == "Decimal(10, 2)"

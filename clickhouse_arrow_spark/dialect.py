@@ -351,10 +351,6 @@ _OPERATOR_BACKED: dict[str, str] = {
         "closed-form power analysis: compute from the z-quantiles in a "
         "literal expression; no aggregate needed"
     ),
-    "largestTriangleThreeBuckets": (
-        "operators.timeseries.lttb(df, x, y, n_buckets, keys) — the "
-        "pick sequence is per-series sequential (applyInPandas)"
-    ),
     "lttb": "operators.timeseries.lttb(df, x, y, n_buckets, keys)",
     "sparkbar": (
         "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
@@ -5258,8 +5254,100 @@ def _sum_map_filtered_fmt(p: Args, a: Args) -> str:
     return _fmt("sumMap")([k2, v2])
 
 
+def _lttb_fmt(p: Args, a: Args) -> str:
+    """largestTriangleThreeBuckets(n)(x, y) — Steinarsson 2013
+    downsampling (the CH aggregate sorts by x and returns n points as
+    (x, y) tuples): first and last points always kept; the middle
+    points split into n-2 equal buckets, and each bucket contributes
+    the point maximizing the triangle area with the PREVIOUSLY
+    selected point and the next bucket's centroid. One collect + one
+    sequential fold over buckets (each step an argmax fold over its
+    bucket slice) — per-group state is the group's points, the same
+    bill the CH aggregate pays."""
+    if len(p) != 1 or len(a) != 2:
+        raise UntranslatableFunctionError(
+            "largestTriangleThreeBuckets(n)(x, y) takes one parameter "
+            "and two arguments"
+        )
+    try:
+        n = int(p[0].strip())
+    except ValueError:
+        raise UntranslatableFunctionError(
+            "largestTriangleThreeBuckets: n must be an integer literal"
+        ) from None
+    if n < 0:
+        raise UntranslatableFunctionError(
+            "largestTriangleThreeBuckets: n must be >= 0 (0 keeps all "
+            "points, the CH disposition)"
+        )
+    arr = (
+        f"array_sort(collect_list(named_struct("
+        f"'x', CAST(({a[0]}) AS DOUBLE), 'y', CAST(({a[1]}) AS DOUBLE))))"
+    )
+    if n == 0:
+        return arr  # CH: n = 0 -> no downsampling
+    if n == 1:
+        return f"slice({arr}, 1, 1)"
+    if n == 2:
+        return (
+            f"element_at(transform(array({arr}), _r -> CASE "
+            f"WHEN size(_r) <= 2 THEN _r "
+            f"ELSE array(element_at(_r, 1), element_at(_r, size(_r))) "
+            f"END), 1)"
+        )
+    # 1-based translation of the reference pseudocode: every =
+    # (L-2)/(n-2); bucket i (0-based) spans [floor(i*every)+2,
+    # floor((i+1)*every)+1]; its "next" average range is the following
+    # bucket clamped to L (so the final bucket averages the last point)
+    every = f"(CAST(size(_r) - 2 AS DOUBLE) / {n - 2})"
+    rs = f"(CAST(floor(_i * {every}) AS INT) + 2)"
+    re_ = f"(CAST(floor((_i + 1) * {every}) AS INT) + 1)"
+    as_ = f"(CAST(floor((_i + 1) * {every}) AS INT) + 2)"
+    ae_ = f"least(CAST(floor((_i + 2) * {every}) AS INT) + 1, size(_r))"
+    avg_slice = f"slice(_r, {as_}, greatest({ae_} - {as_} + 1, 1))"
+    avgx = (
+        f"aggregate({avg_slice}, CAST(0 AS DOUBLE), "
+        f"(_s, _q) -> _s + _q.x) / size({avg_slice})"
+    )
+    avgy = (
+        f"aggregate({avg_slice}, CAST(0 AS DOUBLE), "
+        f"(_s, _q) -> _s + _q.y) / size({avg_slice})"
+    )
+    # triangle area x2 between prev (acc.prev), candidate _q and the
+    # next-bucket centroid (_w.ax, _w.ay)
+    area = (
+        "abs((_acc.prev.x - _w.ax) * (_q.y - _acc.prev.y) - "
+        "(_acc.prev.x - _q.x) * (_w.ay - _acc.prev.y))"
+    )
+    pick = (
+        f"element_at(transform(array(named_struct('ax', {avgx}, "
+        f"'ay', {avgy})), _w -> "
+        f"aggregate(slice(_r, {rs}, greatest({re_} - {rs} + 1, 1)), "
+        f"named_struct('best', element_at(_r, {rs}), "
+        f"'ba', CAST(-1.0 AS DOUBLE)), "
+        f"(_b, _q) -> IF({area.replace('_acc', '_o')} > _b.ba, "
+        f"named_struct('best', _q, 'ba', {area.replace('_acc', '_o')}), "
+        f"_b), _b -> _b.best)), 1)"
+    )
+    fold = (
+        f"aggregate(sequence(0, {n - 3}), "
+        f"named_struct('sel', slice(_r, 1, 1), "
+        f"'prev', element_at(_r, 1)), "
+        f"(_o, _i) -> element_at(transform(array({pick}), _pk -> "
+        f"named_struct('sel', concat(_o.sel, array(_pk)), "
+        f"'prev', _pk)), 1), "
+        f"_o -> concat(_o.sel, slice(_r, size(_r), 1)))"
+    )
+    return (
+        f"element_at(transform(array({arr}), _r -> "
+        f"CASE WHEN size(_r) <= {n} THEN _r ELSE {fold} END), 1)"
+    )
+
+
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "sumMapFiltered": _sum_map_filtered_fmt,
+    "largestTriangleThreeBuckets": _lttb_fmt,
+    "lttb": _lttb_fmt,
     # the -Resample combinator over the common bases (wave 33)
     "countResample": _resample_fmt("count"),
     "sumResample": _resample_fmt("sum"),

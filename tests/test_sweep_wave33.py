@@ -180,3 +180,48 @@ def test_to_type_name_container_spellings(client):
     assert r["b"] == "Map(String, Array(Decimal(2, 1)))"
     assert r["c"] == "Tuple(col1 Int32, col2 String)"
     assert r["d"] == "Decimal(10, 2)"
+
+
+def _lttb_ref(data, n):
+    """Independent LTTB reference (Steinarsson 2013 pseudocode)."""
+    L = len(data)
+    if n >= L or n == 0:
+        return data
+    if n == 1:
+        return [data[0]]
+    if n == 2:
+        return [data[0], data[-1]]
+    every = (L - 2) / (n - 2)
+    a, out = 0, [data[0]]
+    for i in range(n - 2):
+        avs = int((i + 1) * every) + 1
+        ave = min(int((i + 2) * every) + 1, L)
+        ax = sum(p[0] for p in data[avs:ave]) / (ave - avs)
+        ay = sum(p[1] for p in data[avs:ave]) / (ave - avs)
+        best, barea = None, -1.0
+        for j in range(int(i * every) + 1, int((i + 1) * every) + 1):
+            area = abs((data[a][0] - ax) * (data[j][1] - data[a][1])
+                       - (data[a][0] - data[j][0]) * (ay - data[a][1]))
+            if area > barea:
+                best, barea = j, area
+        out.append(data[best])
+        a = best
+    out.append(data[-1])
+    return out
+
+
+def test_lttb_matches_reference(client, spark):
+    import random
+
+    random.seed(7)
+    pts = sorted((random.uniform(0, 100), random.uniform(0, 50))
+                 for _ in range(40))
+    spark.createDataFrame(pts, "x DOUBLE, y DOUBLE") \
+        .createOrReplaceTempView("lttb_pts")
+    for n in (4, 7, 10, 40, 50, 2, 1, 0):
+        [r] = client.query_ch(
+            f"SELECT largestTriangleThreeBuckets({n})(x, y) AS r "
+            "FROM lttb_pts"
+        ).collect()
+        got = [(p["x"], p["y"]) for p in r["r"]]
+        assert got == _lttb_ref(pts, n), n

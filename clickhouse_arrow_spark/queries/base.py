@@ -113,9 +113,10 @@ _GATE_ALIASES: dict[str, str] = {
         # SFs; see ROTATION.md), wave33 in (rankCorr, -Resample, H3
         # bit accessors)
         "util_sweep_wave33",
-        # round-8 rotation #3: wave18 out (judge-verified r6/r7; see
-        # ROTATION.md), wave27 in
-        "util_sweep_wave27",
+        # round-9 rotation #3: wave27 out (judge-verified r8 at two
+        # SFs; see ROTATION.md), the deltaSumTimestamp/maxIntersections
+        # oracle gate in
+        "agg_delta_intersections",
         # round-8 rotation #4: wave19 out (judge-verified r6/r7; see
         # ROTATION.md), the CREATE FUNCTION macro gate in
         "util_sql_udf_macro",

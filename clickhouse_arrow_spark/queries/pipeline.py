@@ -5448,7 +5448,8 @@ def q_core_remote_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(20 AS BIGINT) AS h3base,
            FALSE AS hexagon,
            TRUE AS pentagon3,
-           TRUE AS pentagon0
+           TRUE AS pentagon0,
+           '1:10|2:40|5:25|6:5' AS lttb4
     """,
     doc="Round-9 probe-sweep wave 33 (scripts/probe_wave33.py; exact "
     "literal oracle): rankCorr as a self-contained Spearman-with-"
@@ -5487,7 +5488,14 @@ def q_util_sweep_wave33(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(h3GetBaseCell(599686042433355775) AS Int64) AS h3base, "
         "h3IsPentagon(585610338313961471) AS hexagon, "
         "h3IsPentagon(590112357393367039) AS pentagon3, "
-        "h3IsPentagon(576636674163867647) AS pentagon0"
+        "h3IsPentagon(576636674163867647) AS pentagon0, "
+        "(SELECT arrayStringConcat(arrayMap(p -> "
+        "concat(toString(toInt64(p.x)), ':', toString(toInt64(p.y))), "
+        "largestTriangleThreeBuckets(4)(x, y)), '|') FROM "
+        "(SELECT 1.0 AS x, 10.0 AS y UNION ALL SELECT 2.0, 40.0 "
+        "UNION ALL SELECT 3.0, 12.0 UNION ALL SELECT 4.0, 30.0 "
+        "UNION ALL SELECT 5.0, 25.0 UNION ALL SELECT 6.0, 5.0)) "
+        "AS lttb4"
     )
 
 

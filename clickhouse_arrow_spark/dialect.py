@@ -3283,10 +3283,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "deltaSumTimestamp(value, timestamp) takes two "
                     "arguments"
                 )
+            # NULL-argument rows are skipped (CH semantics; also
+            # keeps the -If fold's condition-nulled structs out)
             arr = (
-                f"array_sort(collect_list(named_struct("
+                f"array_sort(filter(collect_list(named_struct("
                 f"'t', CAST(({a[1]}) AS DOUBLE), "
-                f"'v', CAST(({a[0]}) AS DOUBLE))))"
+                f"'v', CAST(({a[0]}) AS DOUBLE))), "
+                f"_n -> _n.t IS NOT NULL AND _n.v IS NOT NULL))"
             )
             return (
                 f"aggregate({arr}, named_struct("
@@ -3342,9 +3345,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # entropy() set the precedent for collect+fold aggregates),
         # then Pearson over the two rank arrays.
         def rank_corr(a: Args) -> str:
+            # NULL-argument rows are skipped (CH semantics)
             arr = (
-                f"collect_list(named_struct('a', CAST(({a[0]}) AS "
-                f"DOUBLE), 'b', CAST(({a[1]}) AS DOUBLE)))"
+                f"filter(collect_list(named_struct('a', CAST(({a[0]}) "
+                f"AS DOUBLE), 'b', CAST(({a[1]}) AS DOUBLE))), "
+                f"_n -> _n.a IS NOT NULL AND _n.b IS NOT NULL)"
             )
 
             def ranks(f: str) -> str:
@@ -5205,9 +5210,12 @@ def _resample_fmt(base: str) -> Callable[[Args, Args], str]:
                     "the value and the resampling key"
                 )
             x, k = a
+        # NULL keys can never land in a bucket; NULL values would
+        # poison the bucket folds — skip both (CH skips NULL args)
         arr = (
-            f"collect_list(named_struct('v', CAST(({x}) AS DOUBLE), "
-            f"'k', CAST(({k}) AS DOUBLE)))"
+            f"filter(collect_list(named_struct('v', CAST(({x}) AS "
+            f"DOUBLE), 'k', CAST(({k}) AS DOUBLE))), "
+            f"_n -> _n.v IS NOT NULL AND _n.k IS NOT NULL)"
         )
         flt = (
             f"filter(_r, _s -> _s.k >= _lo AND _s.k < "
@@ -5280,9 +5288,14 @@ def _lttb_fmt(p: Args, a: Args) -> str:
             "largestTriangleThreeBuckets: n must be >= 0 (0 keeps all "
             "points, the CH disposition)"
         )
+    # CH aggregates skip rows with NULL arguments; a condition-nulled
+    # row from the -If fold arrives as a struct of NULL fields — filter
+    # both out before sorting (NULLs would sort first and corrupt the
+    # endpoint selection)
     arr = (
-        f"array_sort(collect_list(named_struct("
-        f"'x', CAST(({a[0]}) AS DOUBLE), 'y', CAST(({a[1]}) AS DOUBLE))))"
+        f"array_sort(filter(collect_list(named_struct("
+        f"'x', CAST(({a[0]}) AS DOUBLE), 'y', CAST(({a[1]}) AS DOUBLE))), "
+        f"_n -> _n.x IS NOT NULL AND _n.y IS NOT NULL))"
     )
     if n == 0:
         return arr  # CH: n = 0 -> no downsampling
@@ -5535,6 +5548,19 @@ def _combinator_fmt(name: str) -> Callable[[Args], str] | None:
             "filter/distinct inside the DataFrame call instead"
         )
     if base not in _COMBINATOR_BASES or (comb is None and not filt):
+        if base != name and (filt or comb) and _fmt(base) is not None:
+            # combinator chained onto a FORMATTER-BACKED aggregate
+            # (rankCorrIf, deltaSumTimestampDistinct, ...): the
+            # emission is a composite expression (collect + fold), so
+            # FILTER/arg-NULLing cannot attach without changing the
+            # fold's semantics — refuse with the subquery recipe
+            # instead of leaking UNRESOLVED_ROUTINE (r9 closure fix)
+            raise UntranslatableFunctionError(
+                f"{name}: {base}() translates to a composite fold "
+                "expression the combinator cannot wrap — apply the "
+                "filter/distinct in a subquery (SELECT ... FROM t "
+                "WHERE <cond> GROUP BY ...) and aggregate there"
+            )
         return None
     spark = _COMBINATOR_BASES[base]
 
@@ -6831,8 +6857,10 @@ def _rewrite_exp_decay(sql: str) -> str:
                     )
                 v, t = args
                 arr = (
-                    f"collect_list(named_struct('t', CAST(({t}) AS "
-                    f"DOUBLE), 'v', CAST(({v}) AS DOUBLE)))"
+                    f"filter(collect_list(named_struct('t', "
+                    f"CAST(({t}) AS DOUBLE), 'v', CAST(({v}) AS "
+                    f"DOUBLE))), _n -> _n.t IS NOT NULL AND "
+                    f"_n.v IS NOT NULL)"
                 )
                 repl = (
                     f"(element_at(transform(array(array_max(transform("

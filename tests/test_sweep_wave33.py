@@ -225,3 +225,36 @@ def test_lttb_matches_reference(client, spark):
         ).collect()
         got = [(p["x"], p["y"]) for p in r["r"]]
         assert got == _lttb_ref(pts, n), n
+
+
+def test_combinator_closure_on_formatter_backed_aggregates(client):
+    # chains onto composite-fold aggregates refuse with the subquery
+    # recipe (never UNRESOLVED_ROUTINE — the r9 closure fix); chains
+    # onto PARAMETRIC folds compose correctly via the If machinery
+    for sql in (
+        "SELECT rankCorrIf(a, b, true) FROM t",
+        "SELECT deltaSumTimestampIf(v, t, true) FROM t",
+        "SELECT maxIntersectionsIf(a, b, true) FROM t",
+        "SELECT entropyIf(a, true) FROM t",
+        "SELECT rankCorrDistinct(a, b) FROM t",
+    ):
+        with pytest.raises(UntranslatableFunctionError, match="subquery"):
+            client.query_ch(sql)
+    r = one(client, "SELECT lttbIf(2)(t, t, f) AS l, "
+            "sumResampleIf(0, 4, 2)(t, t, f) AS s FROM "
+            "(SELECT 1.0 AS t, true AS f UNION ALL SELECT 2.0, false "
+            "UNION ALL SELECT 3.0, true)")
+    assert [(p["x"], p["y"]) for p in r["l"]] == [(1.0, 1.0), (3.0, 3.0)]
+    assert list(r["s"]) == [1.0, 3.0]
+
+
+def test_null_arguments_skipped_in_fold_aggregates(client):
+    # CH aggregates skip rows with NULL arguments
+    r = one(client, "SELECT deltaSumTimestamp(v, t) AS d, "
+            "rankCorr(t, v) AS rc, "
+            "largestTriangleThreeBuckets(0)(t, v) AS l FROM "
+            "(SELECT 1.0 AS t, 1.0 AS v UNION ALL SELECT NULL, 2.0 "
+            "UNION ALL SELECT 3.0, NULL UNION ALL SELECT 4.0, 4.0)")
+    assert r["d"] == 3.0
+    assert abs(r["rc"] - 1.0) < 1e-12
+    assert [(p["x"], p["y"]) for p in r["l"]] == [(1.0, 1.0), (4.0, 4.0)]

@@ -7795,11 +7795,13 @@ def _translate_ch_sql_impl(sql: str, allow_hash_substitution: bool = False) -> s
                 and sql[k] == "("
             ):
                 raise UntranslatableFunctionError(
-                    f"{name}: the -Resample combinator splits rows into "
-                    "key-range buckets and returns an array of per-bucket "
-                    "aggregates — express it relationally: GROUP BY "
-                    "width_bucket(key, start, end, (end - start) DIV step) "
-                    "with the base aggregate per bucket"
+                    f"{name}: the -Resample combinator is implemented "
+                    "for the count/sum/min/max/avg bases "
+                    "(countResample(start, end, step)(key), "
+                    "sumResample(...)(x, key), ...); for other bases "
+                    "express it relationally: GROUP BY "
+                    "width_bucket(key, start, end, (end - start) DIV "
+                    "step) with the base aggregate per bucket"
                 )
             if _par_name in _PARAMETRIC and k < n and sql[k] == "(":
                 close2 = _find_matching_paren(sql, k)

@@ -1581,7 +1581,16 @@ class Client:
             # records defaults in the Spark column metadata), else NULL.
             from pyspark.sql import functions as _F
 
-            block = self._run(translate_ch_sql(m.group(3)), qid)
+            src_sql = m.group(3)
+            if src_sql.lstrip()[:6].upper() == "SELECT":
+                # the FULL query pre-pass chain (TVF expansion incl.
+                # remote()/file()/url(), FINAL folds, dictGet, SAMPLE,
+                # * APPLY, macros) applies to the INSERT's source query
+                # too — r9 fix: `INSERT INTO t SELECT ... FROM
+                # remote(...)` previously leaked the raw TVF to Spark
+                block = self.query_ch(src_sql, qid=qid)
+            else:
+                block = self._run(translate_ch_sql(src_sql), qid)
             target = self.spark.table(m.group(1)).schema
             if m.group(2):
                 listed = [c.strip().strip("`") for c in m.group(2).split(",")]

@@ -146,3 +146,30 @@ def test_remote_join_with_local_table(client, http_stub, tables):
     )
     rows = df.collect()
     assert len(rows) == 5 and all(r["n"] == 5 for r in rows)
+
+
+def test_remote_in_insert_select(client, spark, http_stub):
+    # r9 fix: INSERT INTO t SELECT ... FROM remote(...) routes the
+    # source query through the FULL query_ch pre-pass chain (TVF
+    # expansion previously leaked the raw remote() to Spark)
+    import shutil
+
+    _stub, url = http_stub
+    hp = _hostport(url)
+    spark.sql("DROP TABLE IF EXISTS rtvf_ins")
+    wh = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    shutil.rmtree(f"{wh}/rtvf_ins", ignore_errors=True)
+    client.execute_ch(
+        "CREATE TABLE rtvf_ins (n_nationkey Int64, n_name String) "
+        "ENGINE = MergeTree ORDER BY n_nationkey"
+    )
+    client.execute_ch(
+        "INSERT INTO rtvf_ins SELECT n_nationkey, n_name "
+        f"FROM remote('{hp}', default.nation) WHERE n_regionkey = 0"
+    )
+    want = (
+        client.spark.read.parquet(f"{SF_DIR}/nation.parquet")
+        .where("n_regionkey = 0").count()
+    )
+    assert spark.table("rtvf_ins").count() == want
+    spark.sql("DROP TABLE IF EXISTS rtvf_ins")

@@ -2384,27 +2384,48 @@ class Client:
                 "literal like 'host:8123'"
             )
         addresses = a0[1:-1]
+
+        import re as _re
+
+        def is_str_lit(s: str) -> bool:
+            s = s.strip()
+            return s.startswith("'") and s.endswith("'")
+
+        def is_name(s: str) -> bool:
+            # identifier (bare or backquoted) or plain string literal —
+            # the spellings CH accepts for a db/table name position
+            s = s.strip()
+            if is_str_lit(s):
+                return True
+            if s.startswith("`") and s.endswith("`"):
+                return True
+            return bool(_re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", s))
+
         second = unq(args[1])
         if "." in second:
             db, table = second.split(".", 1)
             creds = args[2:]
-        elif len(args) >= 3 and not (
-            args[2].strip().startswith("'")
-            and args[1].strip().startswith("'")
-        ):
-            # db, table as identifiers (the unambiguous 2-identifier
-            # form); quoted third args after a quoted second are
-            # credentials per the db.table form
+        elif len(args) >= 3 and is_name(args[2]):
+            # CH treats a dotless second argument followed by a
+            # name-shaped third as (db, table) REGARDLESS of quoting:
+            # remote('h','db','table','user','pass') reads db.table.
+            # Only a dotted second arg puts credentials at args[2].
             db, table = second, unq(args[2])
             creds = args[3:]
         else:
             db, table = None, second
             creds = args[2:]
-        user = unq(creds[0]) if len(creds) > 0 else None
-        password = unq(creds[1]) if len(creds) > 1 else None
-        # a further arg is the sharding key — a routing hint for CH's
-        # Distributed engine; Spark repartitions on its own, so it is
-        # accepted and ignored (documented divergence: no-op)
+        # user/password are always quoted string literals in CH; a
+        # non-string trailing expression (e.g. rand()) is the sharding
+        # key — a routing hint for CH's Distributed engine; Spark
+        # repartitions on its own, so it is accepted and ignored
+        # (documented divergence: no-op). It must NOT be consumed as a
+        # credential: remote('h', db.table, rand()) sends no user.
+        user = password = None
+        if len(creds) > 0 and is_str_lit(creds[0]):
+            user = unq(creds[0])
+            if len(creds) > 1 and is_str_lit(creds[1]):
+                password = unq(creds[1])
         return addresses, db, table, user, password
 
     def _expand_remote_tvf(self, ch_sql, m, close, args, fn) -> str:

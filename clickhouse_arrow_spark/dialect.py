@@ -2726,10 +2726,22 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 f" WHEN '{s}' THEN '{c}'" for s, c in pairs
             )
             chain = t
+            # container openers first (exact multi-char prefixes —
+            # no field-name collision possible)
             for old, new in [
                 ("array<", "Array("), ("map<", "Map("),
-                ("struct<", "Tuple("), ("decimal(", "Decimal("),
-                (">", ")"), (":", " "),
+                ("struct<", "Tuple("),
+            ]:
+                chain = f"replace({chain}, '{old}', '{new}')"
+            # type tokens anchored at WORD BOUNDARIES (ADVICE r9 #3:
+            # the blind replace chain corrupted struct field names
+            # merely containing a token — struct<mint:int> became
+            # 'Tuple(mInt32 Int32)' — and 'interval day to second'
+            # became 'Int32erval...'). \b keeps 'mint'/'interval'
+            # intact; a field named EXACTLY a type token still
+            # rewrites (documented residual — CH never sees Spark
+            # field names anyway).
+            for old, new in [
                 ("timestamp_ntz", "DateTime"),
                 ("timestamp", "DateTime"),
                 ("tinyint", "Int8"), ("smallint", "Int16"),
@@ -2737,6 +2749,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 ("float", "Float32"), ("double", "Float64"),
                 ("string", "String"), ("boolean", "Bool"),
                 ("binary", "String"), ("date", "Date"),
+                ("decimal", "Decimal"),
+            ]:
+                chain = (
+                    f"regexp_replace({chain}, "
+                    f"'\\\\b{old}\\\\b', '{new}')"
+                )
+            for old, new in [
+                (">", ")"), (":", " "),
                 (",", ", "),  # CH spells a space after commas
             ]:
                 chain = f"replace({chain}, '{old}', '{new}')"
@@ -6810,11 +6830,14 @@ def _rewrite_exp_decay(sql: str) -> str:
     with T the CURRENT row's time. Each factors through the identity
     w(T, t_i) = w(T, t0) * w(t0, t_i) into ONE ordinary windowed
     SUM/MAX times a per-row prefactor — no per-row state, no
-    collect_list, stays in whole-stage codegen. t0 = min(t) over the
-    partition keeps the exponents small (exact while the partition's
-    time span stays below ~700*x / ~1000*x; beyond that double exp
-    under/overflows — CH's sequential fold quietly loses the same
-    tail precision).
+    collect_list, stays in whole-stage codegen. t0 = MAX(t) over the
+    partition (ADVICE r9 #4) makes every grow factor <= 1 so the
+    windowed sum can never overflow; results are double-exact for
+    rows within ~709 decay horizons of the partition end, and rows
+    older than that report a finite 0 (clamped shrink) where CH's
+    sequential fold would return their ~full own-value — a documented
+    divergence only reachable when the partition spans > 700x the
+    decay horizon.
 
     exponentialMovingAverage without OVER (the CH AGGREGATE form) is
     rewritten to an Arrow-free exact fold: collect_list + aggregate()
@@ -6905,13 +6928,31 @@ def _rewrite_exp_decay(sql: str) -> str:
                 )
             v, t = args
         tt = f"CAST(({t}) AS DOUBLE)"
-        t0 = f"min({tt}) {part_over}"
+        # Anchor at the partition MAX (ADVICE r9 #4: the min anchor
+        # made grow = exp((t-t0)/x) overflow for rows > ~700*x after
+        # the start, poisoning every late frame with inf/NaN). With
+        # t0 = max, grow = exp((t-t0)/x) <= 1 — NEVER overflows — and
+        # the result is double-exact for every row within ~709 decay
+        # horizons of the partition end (contributions older than
+        # ~745*x from the anchor underflow to 0 exactly when their
+        # true relative weight is below double epsilon). shrink's
+        # exponent is clamped so rows more than ~700 horizons BEFORE
+        # the partition end degrade to a finite 0 (their own weight is
+        # unrepresentable next to the anchor) instead of inf/NaN —
+        # documented divergence, pinned by test_exp_decay long-span.
+        t0 = f"max({tt}) {part_over}"
         if lname == "exponentialmovingaverage":
             grow = f"pow(2.0, ({tt} - {t0})/({param}))"
-            shrink = f"pow(2.0, -({tt} - {t0})/({param}))"
+            shrink = (
+                f"pow(2.0, least(({t0} - {tt})/({param}), "
+                f"CAST(1000 AS DOUBLE)))"
+            )
         else:
             grow = f"exp(({tt} - {t0})/({param}))"
-            shrink = f"exp(-({tt} - {t0})/({param}))"
+            shrink = (
+                f"exp(least(({t0} - {tt})/({param}), "
+                f"CAST(700 AS DOUBLE)))"
+            )
         over = f"OVER ({spec})"
         if lname == "exponentialtimedecayedsum":
             repl = f"({shrink} * sum(({v}) * {grow}) {over})"
@@ -6920,8 +6961,15 @@ def _rewrite_exp_decay(sql: str) -> str:
         elif lname == "exponentialtimedecayedmax":
             repl = f"({shrink} * max(({v}) * {grow}) {over})"
         elif lname == "exponentialtimedecayedavg":
+            # try_divide: in the degraded region (rows > ~700 horizons
+            # before the partition end) both sums underflow to exactly
+            # 0 and ANSI division would raise; NULL marks
+            # "unrepresentable next to the anchor" there. The
+            # denominator is otherwise always > 0 (the current row's
+            # own weight).
             repl = (
-                f"(sum(({v}) * {grow}) {over} / sum({grow}) {over})"
+                f"try_divide(sum(({v}) * {grow}) {over}, "
+                f"sum({grow}) {over})"
             )
         else:  # exponentialMovingAverage as a window function
             repl = (

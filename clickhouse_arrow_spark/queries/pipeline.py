@@ -5324,37 +5324,44 @@ def q_util_sweep_wave19(spark: SparkSession, sf_dir: str) -> DataFrame:
     "util_exp_decay",
     """
     WITH b AS (
-      SELECT user_id, event_id, value, ts,
-             floor(epoch(ts)) - min(floor(epoch(ts)))
-               OVER (PARTITION BY user_id) AS rt
+      SELECT user_id, event_id, value, floor(epoch(ts)) AS et
       FROM events WHERE user_id < 5
     )
-    SELECT user_id, event_id,
-      round(exp(-rt/86400.0) * sum(value * exp(rt/86400.0)) OVER w, 4)
-        AS ds,
-      round(exp(-rt/86400.0) * sum(exp(rt/86400.0)) OVER w, 4) AS dc,
-      round(exp(-rt/86400.0) * max(value * exp(rt/86400.0)) OVER w, 4)
-        AS dm,
-      round((sum(value * exp(rt/86400.0)) OVER w)
-            / (sum(exp(rt/86400.0)) OVER w), 4) AS da,
-      round(pow(2.0, -rt/43200.0) * sum(value * pow(2.0, rt/43200.0))
-            OVER w * (1.0 - pow(2.0, -1.0/43200.0)), 4) AS ema
-    FROM b
-    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    ORDER BY user_id, event_id
+    SELECT t.user_id, t.event_id,
+      round((SELECT sum(s.value * exp((s.et - t.et)/86400.0)) FROM b s
+             WHERE s.user_id = t.user_id
+               AND (s.et, s.event_id) <= (t.et, t.event_id)), 4) AS ds,
+      round((SELECT sum(exp((s.et - t.et)/86400.0)) FROM b s
+             WHERE s.user_id = t.user_id
+               AND (s.et, s.event_id) <= (t.et, t.event_id)), 4) AS dc,
+      round((SELECT max(s.value * exp((s.et - t.et)/86400.0)) FROM b s
+             WHERE s.user_id = t.user_id
+               AND (s.et, s.event_id) <= (t.et, t.event_id)), 4) AS dm,
+      round((SELECT sum(s.value * exp((s.et - t.et)/86400.0))
+                  / sum(exp((s.et - t.et)/86400.0)) FROM b s
+             WHERE s.user_id = t.user_id
+               AND (s.et, s.event_id) <= (t.et, t.event_id)), 4) AS da,
+      round((SELECT sum(s.value * pow(2.0, (s.et - t.et)/43200.0))
+                  * (1.0 - pow(2.0, -1.0/43200.0)) FROM b s
+             WHERE s.user_id = t.user_id
+               AND (s.et, s.event_id) <= (t.et, t.event_id)), 4) AS ema
+    FROM b t
+    ORDER BY t.user_id, t.event_id
     """,
     doc="ClickHouse time-decay window family (round-9: "
     "exponentialTimeDecayedSum/Count/Max/Avg + exponentialMovingAverage "
     "as real window functions, dialect._rewrite_exp_decay): each "
     "factors through w(T,t_i) = w(T,t0)*w(t0,t_i) into ONE ordinary "
     "windowed SUM/MAX times a per-row prefactor — whole-stage codegen, "
-    "no per-row state, no collect_list. t0 = per-partition min keeps "
-    "exponents small. The DuckDB oracle computes the identical "
-    "factored closed form; the decay constants (1 day / half-life 12 h "
-    "against the events table's 30-day span) keep exp() inside double "
-    "range. Reference formulae: CH window-functions docs + "
-    "base/ExponentiallySmoothedCounter.h for the EMA normalization.",
+    "no per-row state, no collect_list. t0 = per-partition MAX "
+    "(round-10, ADVICE r9 #4: grow <= 1 can never overflow double). "
+    "The DuckDB oracle is DEFINITION-LEVEL (round-10, oracle-"
+    "independence sweep): a correlated direct sum of "
+    "v_i * exp((t_i - T)/x) over each row's frame — no shared "
+    "factoring, so a misreading of the CH semantics in the rewrite "
+    "cannot also live in the oracle. Reference formulae: CH "
+    "window-functions docs + base/ExponentiallySmoothedCounter.h for "
+    "the EMA normalization.",
     tags=("dialect", "window", "timeseries"),
 )
 def q_util_exp_decay(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -113,8 +113,8 @@ def test_count_takes_one_arg(client, decay_view):
         )
 
 
-def test_unordered_partition_min_baseline(client, decay_view):
-    # rows arrive in any order; the t0 = min-over-partition baseline
+def test_unordered_partition_anchor_baseline(client, decay_view):
+    # rows arrive in any order; the t0 = max-over-partition anchor
     # must be frame-independent (first row's decayed sum = own value)
     rows = client.query_ch(
         f"SELECT g, t, exponentialTimeDecayedSum(2)(v, t) {OVER} AS r "
@@ -122,3 +122,55 @@ def test_unordered_partition_min_baseline(client, decay_view):
     ).collect()
     assert abs(rows[0]["r"] - 1.0) < 1e-12   # g=1 first row
     assert abs(rows[3]["r"] - 5.0) < 1e-12   # g=2 single row
+
+
+@pytest.fixture(scope="module")
+def longspan_view(spark):
+    # partition time span = 2000 decay-horizons (x=1): the round-9 min
+    # anchor made exp((t-t0)/x) overflow for every row past ~709x, so
+    # ALL late frames returned inf/NaN (ADVICE r9 #4). 100 mid rows
+    # make the windowed sum non-trivial.
+    rows = [(1, 0.0, 7.0)]
+    rows += [(1, 1400.0 + i, 1.0) for i in range(100)]
+    rows += [(1, 2000.0, 3.0)]
+    spark.createDataFrame(
+        rows, "g INT, t DOUBLE, v DOUBLE"
+    ).createOrReplaceTempView("decay_long")
+
+
+def test_long_span_late_rows_finite_and_exact(client, longspan_view):
+    # ADVICE r9 #4 regression: with the max anchor, every row within
+    # ~709 horizons of the partition end is double-exact.
+    rows = client.query_ch(
+        "SELECT t, exponentialTimeDecayedSum(1)(v, t) "
+        f"{OVER} AS ds, exponentialTimeDecayedAvg(1)(v, t) {OVER} AS da,"
+        f" exponentialMovingAverage(1)(v, t) {OVER} AS ema "
+        "FROM decay_long ORDER BY g, t"
+    ).collect()
+    last = rows[-1]
+    assert math.isfinite(last["ds"]) and math.isfinite(last["da"])
+    assert math.isfinite(last["ema"])
+    # T=2000: mid rows at t=1400..1499 decay by >= e^-501 ~ 1e-218
+    assert abs(last["ds"] - 3.0) < 1e-12
+    # a mid row 501 horizons before the end (inside the ~709-horizon
+    # exact window): frame = {t=0 (weight 0)} + {1400..1499}
+    mid = rows[100]  # t = 1499
+    want = sum(math.exp(ti - 1499.0) for ti in range(1400, 1500))
+    assert abs(mid["ds"] - want) < 1e-9 * want
+    # all rows finite — no inf/NaN anywhere in the long partition
+    assert all(math.isfinite(r["ds"]) for r in rows)
+
+
+def test_long_span_ancient_row_documented_zero(client, longspan_view):
+    # documented divergence: a row > ~700 horizons BEFORE the
+    # partition's last time reports a finite 0 (its weight is
+    # unrepresentable next to the max anchor); CH's sequential fold
+    # would return its own value (7.0). Pinned so the divergence is
+    # explicit, not accidental.
+    rows = client.query_ch(
+        "SELECT t, exponentialTimeDecayedSum(1)(v, t) "
+        f"{OVER} AS ds FROM decay_long ORDER BY g, t"
+    ).collect()
+    assert rows[0]["t"] == 0.0
+    assert math.isfinite(rows[0]["ds"])
+    assert rows[0]["ds"] == 0.0

@@ -757,6 +757,31 @@ class Client:
             )
 
             set_splitby_includes_remaining(True)
+        # session-scoped SET formatdatetime_parsedatetime_m_is_month_
+        # name = 0 (legacy %M = minutes; modern default is month name)
+        _m_mode = self.spark.conf.get(
+            "spark.clickhouse_arrow_spark.setting."
+            "formatdatetime_parsedatetime_m_is_month_name",
+            "1",
+        )
+        if str(_m_mode).lower() in ("0", "false"):
+            from clickhouse_arrow_spark.dialect import (
+                set_formatdatetime_m_is_month_name,
+            )
+
+            set_formatdatetime_m_is_month_name(False)
+        # session-scoped SET max_fold_group_rows = n (round-10 point-
+        # statistic fold contract; a SETTINGS tail still overrides)
+        _fold_limit = self.spark.conf.get(
+            "spark.clickhouse_arrow_spark.setting.max_fold_group_rows",
+            "",
+        )
+        if str(_fold_limit).strip().isdigit():
+            from clickhouse_arrow_spark.dialect import (
+                set_max_fold_group_rows,
+            )
+
+            set_max_fold_group_rows(int(_fold_limit))
         sql = translate_ch_sql(ch_sql, allow_hash_substitution)
         # after translation: the replacement subqueries use Spark's own
         # range() TVF, which the CH->Spark translator must not re-touch
@@ -2532,11 +2557,15 @@ class Client:
             )
         second = unq(args[1])
         if "." in second:
-            qual = second
+            db, table = second.split(".", 1)
         elif len(args) >= 3:
-            qual = f"{second}.{unq(args[2])}"
+            db, table = second, unq(args[2])
         else:
-            qual = second
+            db, table = None, second
+        # `default` is CH's implicit database; session-registered temp
+        # views live outside any Spark database, so the qualifier must
+        # drop (matches the remote() TVF's rule)
+        qual = f"{db}.{table}" if db and db != "default" else table
         return (
             f"{ch_sql[: m.start()]}{m.group(1)} {qual}"
             f"{ch_sql[close + 1:]}"

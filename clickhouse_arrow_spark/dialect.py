@@ -198,6 +198,10 @@ _OPERATOR_BACKED: dict[str, str] = {
         "operators.timeseries.group_array_moving(df, keys, order, value, n)"
     ),
     "sequenceMatch": "operators.funnel.sequence_match(df, user, ts, pattern, conds)",
+    "sequenceMatchEvents": (
+        "operators.funnel.sequence_match_events(df, user, ts, pattern, "
+        "conds) — timestamps of the first match's (?N) events"
+    ),
     "sumForEach": "operators.stats.foreach_agg(df, arr, 'sum' [, group_cols]) — element-wise, O(width) state",
     "minForEach": "operators.stats.foreach_agg(df, arr, 'min' [, group_cols])",
     "maxForEach": "operators.stats.foreach_agg(df, arr, 'max' [, group_cols])",
@@ -437,17 +441,53 @@ def _fmt_cast(spark_type: str) -> Callable[[Args], str]:
 
 
 #: ClickHouse formatDateTime/parseDateTime specifiers -> Spark (Java)
-#: datetime pattern fields. %M/%i are both minutes (CH convention).
+#: datetime pattern fields. %i is minutes; %M is the FULL MONTH NAME in
+#: modern ClickHouse (23.4+, setting
+#: formatdatetime_parsedatetime_m_is_month_name, default 1 — the
+#: legacy minutes reading is honored through that setting, wave 35)
+#: and is resolved dynamically in _ch_dt_spec_to_java.
 _CH_DT_SPEC = {
     "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
     "D": "MM/dd/yy", "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h",
-    "i": "mm", "M": "mm", "S": "ss", "s": "ss", "f": "SSSSSS", "p": "a",
+    "i": "mm", "S": "ss", "s": "ss", "f": "SSSSSS", "p": "a",
     "j": "DDD", "a": "EEE", "W": "EEEE", "b": "MMM", "F": "yyyy-MM-dd",
     "T": "HH:mm:ss", "R": "HH:mm", "Q": "q",
     "n": "\n", "t": "\t", "%": "%",
-    # %G/%V (ISO year/week) intentionally absent: their Java letters
-    # (Y/w) are week-based patterns Spark 3+ rejects at runtime
+    # %G/%V/%g/%u/%w/%C (ISO year/week, numeric weekdays, century) have
+    # no direct Java letters Spark accepts — formatDateTime splices
+    # them as expressions via _CH_DT_EXPR_SPEC (wave 35); parseDateTime
+    # still refuses them.
 }
+
+#: formatDateTime-only specifiers with no Spark pattern letter,
+#: spliced into the output as expressions over the input column
+#: (generalized from the round-8 %e space-padded-day splice). {x} is
+#: the input expression. ISO year = the year of the week's Thursday
+#: (extract YEAROFWEEK); ISO week = Spark weekofyear (ISO-8601).
+_CH_DT_EXPR_SPEC = {
+    "e": "lpad(date_format({x}, 'd'), 2, ' ')",
+    "C": "lpad(CAST(CAST(floor(year({x}) / 100) AS INT) AS STRING), "
+         "2, '0')",
+    "u": "CAST(weekday({x}) + 1 AS STRING)",
+    "w": "CAST(dayofweek({x}) - 1 AS STRING)",
+    "V": "lpad(CAST(weekofyear({x}) AS STRING), 2, '0')",
+    "G": "CAST(extract(YEAROFWEEK FROM {x}) AS STRING)",
+    "g": "lpad(CAST(extract(YEAROFWEEK FROM {x}) % 100 AS STRING), "
+         "2, '0')",
+}
+
+#: statement-scoped %M reading for formatDateTime/parseDateTime.
+#: Modern CH (23.4+): %M = full month name; the legacy minutes mode is
+#: selected with SETTINGS/SET
+#: formatdatetime_parsedatetime_m_is_month_name = 0. Reset with
+#: _SPLITBY_STATE when the outermost translate returns.
+_FORMATDT_STATE = {"m_is_month_name": True}
+
+
+def set_formatdatetime_m_is_month_name(flag: bool) -> None:
+    """Statement-scoped override for the %M specifier reading
+    (ClickHouse setting formatdatetime_parsedatetime_m_is_month_name)."""
+    _FORMATDT_STATE["m_is_month_name"] = bool(flag)
 
 
 def _ch_dt_spec_to_java(fmt: str, fn_name: str) -> str:
@@ -464,7 +504,15 @@ def _ch_dt_spec_to_java(fmt: str, fn_name: str) -> str:
     while i < len(fmt):
         c = fmt[i]
         if c == "%" and i + 1 < len(fmt):
-            mapped = _CH_DT_SPEC.get(fmt[i + 1])
+            if fmt[i + 1] == "M":
+                # modern CH default: %M = full month name; legacy
+                # minutes via formatdatetime_parsedatetime_m_is_
+                # month_name = 0 (statement/session scoped, wave 35)
+                mapped = (
+                    "MMMM" if _FORMATDT_STATE["m_is_month_name"] else "mm"
+                )
+            else:
+                mapped = _CH_DT_SPEC.get(fmt[i + 1])
             if mapped is None:
                 raise UntranslatableFunctionError(
                     f"{fn_name}: specifier %{fmt[i + 1]} has no Spark "
@@ -602,6 +650,17 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return refuse
     if name == "toDate":
         return _fmt_cast("DATE")
+    if name == "toDate32":
+        # Date32 SATURATES at its range bounds [1900-01-01, 2299-12-31]
+        # (wave 35): toDate32('2300-01-01') = 2299-12-31 in CH, where a
+        # plain DATE cast would pass the value through. NULL guard:
+        # Spark's least/greatest SKIP nulls, so without it a NULL input
+        # would come back as a clamp bound.
+        return lambda a: (
+            f"IF(CAST({a[0]} AS DATE) IS NULL, CAST(NULL AS DATE), "
+            f"greatest(least(CAST({a[0]} AS DATE), DATE '2299-12-31'), "
+            f"DATE '1900-01-01'))"
+        )
     if name == "toDateTime":
         return _fmt_cast("TIMESTAMP")
     # CH integer conversions WRAP out-of-range numeric input mod 2^width
@@ -901,24 +960,47 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 )
             # unescape the SQL literal ('' -> ') before specifier mapping
             raw = fmt[1:-1].replace("''", "'")
-            if _name == "formatDateTime" and "%e" in raw.replace(
-                "%%", "\x00"
+            masked = raw.replace("%%", "\x00")
+            if _name == "formatDateTime" and any(
+                f"%{s}" in masked for s in _CH_DT_EXPR_SPEC
             ):
-                # CH %e is the SPACE-padded day — Java has no such
-                # token, so split the format at %e and splice a
-                # lpad(day) between the formatted chunks
-                chunks = raw.replace("%%", "\x00").split("%e")
+                # specifiers with no Java letter (%e space-padded day,
+                # %C century, %u/%w numeric weekdays, %V/%G/%g ISO
+                # week/year — Spark rejects the week-based Java
+                # letters): split the format at each and splice the
+                # equivalent expression between the formatted chunks
+                segs: list[tuple[str, str]] = []
+                buf: list[str] = []
+                i2 = 0
+                while i2 < len(masked):
+                    if (
+                        masked[i2] == "%"
+                        and i2 + 1 < len(masked)
+                        and masked[i2 + 1] in _CH_DT_EXPR_SPEC
+                    ):
+                        if buf:
+                            segs.append(("pat", "".join(buf)))
+                            buf = []
+                        segs.append(("expr", masked[i2 + 1]))
+                        i2 += 2
+                    else:
+                        buf.append(masked[i2])
+                        i2 += 1
+                if buf:
+                    segs.append(("pat", "".join(buf)))
                 parts = []
-                for ci, ch_fmt in enumerate(chunks):
-                    if ci:
+                for kind, payload in segs:
+                    if kind == "expr":
                         parts.append(
-                            f"lpad(date_format({a[0]}, 'd'), 2, ' ')"
+                            _CH_DT_EXPR_SPEC[payload].format(x=a[0])
                         )
-                    if ch_fmt:
+                    else:
                         jf = _ch_dt_spec_to_java(
-                            ch_fmt.replace("\x00", "%%"), _name
+                            payload.replace("\x00", "%%"), _name
                         ).replace("'", "''")
                         parts.append(f"date_format({a[0]}, '{jf}')")
+                if len(parts) == 1:
+                    return parts[0]
                 return f"concat({', '.join(parts)})"
             out_fmt = _ch_dt_spec_to_java(raw, _name)
             sql_fmt = out_fmt.replace("'", "''")  # re-escape for the SQL literal
@@ -3286,11 +3368,22 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
 
         return h3_is_pentagon
     if name.startswith("h3") or name.startswith("geoToH3"):
+        # FINAL adjudication (round 10, docs/PARITY.md): the H3
+        # cell<->coordinate math needs the library's 122-row base-cell
+        # constant table + the icosahedral gnomonic projection; those
+        # constants cannot be re-derived from public prose, and
+        # fabricating them would return silently WRONG coordinates —
+        # strictly worse than this refusal. The pure-bit accessors ARE
+        # implemented; each common H3 use has a working recipe below.
         raise UntranslatableFunctionError(
             f"{name}(): H3 geo math needs the h3 library, which is not "
-            "bundled (the pure bit accessors h3GetResolution/"
-            "h3GetBaseCell/h3IsPentagon ARE implemented); "
-            "geohashEncode/Decode cover grid bucketing here"
+            "bundled (pure-bit accessors h3GetResolution/h3GetBaseCell/"
+            "h3IsPentagon ARE implemented). Recipes: grid bucketing -> "
+            "geohashEncode(lon, lat, precision) (hierarchical prefixes "
+            "like parent cells); multi-dim clustering/Z-order -> "
+            "mortonEncode; radius filtering -> greatCircleDistance; "
+            "neighbor joins -> geohash prefix-band join "
+            "(operators/zorder for the storage layout)"
         )
     if name == "deltaSumTimestamp":
         # order-DEFINED deltaSum: sort the (ts, value) pairs by ts,
@@ -3305,11 +3398,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 )
             # NULL-argument rows are skipped (CH semantics; also
             # keeps the -If fold's condition-nulled structs out)
-            arr = (
+            arr = _guard_fold(
                 f"array_sort(filter(collect_list(named_struct("
                 f"'t', CAST(({a[1]}) AS DOUBLE), "
                 f"'v', CAST(({a[0]}) AS DOUBLE))), "
-                f"_n -> _n.t IS NOT NULL AND _n.v IS NOT NULL))"
+                f"_n -> _n.t IS NOT NULL AND _n.v IS NOT NULL))",
+                "deltaSumTimestamp",
             )
             return (
                 f"aggregate({arr}, named_struct("
@@ -3335,12 +3429,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 raise UntranslatableFunctionError(
                     f"{name}(start, end) takes two arguments"
                 )
-            ev = (
+            ev = _guard_fold(
                 f"array_sort(concat("
                 f"transform(collect_list(CAST(({a[0]}) AS DOUBLE)), "
                 f"_x -> named_struct('p', _x, 'd', 1)), "
                 f"transform(collect_list(CAST(({a[1]}) AS DOUBLE)), "
-                f"_x -> named_struct('p', _x, 'd', -1))))"
+                f"_x -> named_struct('p', _x, 'd', -1))))",
+                name,
             )
             step = (
                 "named_struct('c', _ac.c + _e.d, "
@@ -3366,10 +3461,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # then Pearson over the two rank arrays.
         def rank_corr(a: Args) -> str:
             # NULL-argument rows are skipped (CH semantics)
-            arr = (
+            arr = _guard_fold(
                 f"filter(collect_list(named_struct('a', CAST(({a[0]}) "
                 f"AS DOUBLE), 'b', CAST(({a[1]}) AS DOUBLE))), "
-                f"_n -> _n.a IS NOT NULL AND _n.b IS NOT NULL)"
+                f"_n -> _n.a IS NOT NULL AND _n.b IS NOT NULL)",
+                "rankCorr",
             )
 
             def ranks(f: str) -> str:
@@ -3480,7 +3576,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 a[0] if len(a) == 1
                 else f"map_from_arrays({a[0]}, {a[1]})"
             )
-            lst = f"collect_list({src})"
+            lst = _guard_fold(f"collect_list({src})", _n)
             seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
             cnt = (
                 f"aggregate({lst}, transform_values({seed}, "
@@ -3524,7 +3620,7 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 if len(a) == 1
                 else f"map_from_arrays({a[0]}, {a[1]})"
             )
-            lst = f"collect_list({src})"
+            lst = _guard_fold(f"collect_list({src})", name)
             seed = f"map_filter(element_at({lst}, 1), (k, v) -> false)"
             folded = (
                 f"aggregate({lst}, {seed}, (acc, e) -> "
@@ -4380,6 +4476,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"date_add(DATE '1858-11-17', {a[0]})"
     if name == "toISOYear":
         return lambda a: f"extract(YEAROFWEEK FROM {a[0]})"
+    if name == "toStartOfISOYear":
+        # first day of the ISO year = Jan 4 of the ISO year moved back
+        # to its Monday (ISO week 1 contains Jan 4) — wave 35
+        def start_of_iso_year(a: Args) -> str:
+            jan4 = (f"make_date(extract(YEAROFWEEK FROM {a[0]}), 1, 4)")
+            return f"date_sub({jan4}, weekday({jan4}))"
+
+        return start_of_iso_year
     if name in ("toWeek", "toYearWeek"):
         def week_fmt(a: Args, _yw=name == "toYearWeek") -> str:
             mode = a[1].strip() if len(a) > 1 else "0"
@@ -4782,6 +4886,14 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 default_pos = 2
             else:
                 cast = f"try_cast({a[0]} AS {_target})"
+                if _t == "Date32":
+                    # Date32 saturates at its range bounds (wave 35);
+                    # IF-null guard because least/greatest skip NULLs
+                    cast = (
+                        f"IF({cast} IS NULL, CAST(NULL AS DATE), "
+                        f"greatest(least({cast}, DATE '2299-12-31'), "
+                        f"DATE '1900-01-01'))"
+                    )
                 default_pos = 1
             if _mode == "Null":
                 return cast
@@ -5002,7 +5114,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "implemented (CH's multi-column form hashes the "
                     "tuple; pass a tuple() explicitly)"
                 )
-            s = f"array_sort(collect_list({a[0]}))"
+            s = _guard_fold(
+                f"array_sort(collect_list({a[0]}))", "entropy"
+            )
             starts = (
                 f"filter(sequence(1, size({s})), __cas_i -> "
                 f"__cas_i = 1 OR element_at({s}, __cas_i) != "
@@ -5036,10 +5150,11 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "intervalLengthSum(start, end) takes two numeric "
                     "arguments (timestamps: toUnixTimestamp first)"
                 )
-            segs = (
+            segs = _guard_fold(
                 f"array_sort(collect_list(struct("
                 f"CAST({a[0]} AS DOUBLE) AS s, "
-                f"CAST({a[1]} AS DOUBLE) AS e)))"
+                f"CAST({a[1]} AS DOUBLE) AS e)))",
+                "intervalLengthSum",
             )
             return (
                 f"aggregate({segs}, "
@@ -5232,10 +5347,11 @@ def _resample_fmt(base: str) -> Callable[[Args, Args], str]:
             x, k = a
         # NULL keys can never land in a bucket; NULL values would
         # poison the bucket folds — skip both (CH skips NULL args)
-        arr = (
+        arr = _guard_fold(
             f"filter(collect_list(named_struct('v', CAST(({x}) AS "
             f"DOUBLE), 'k', CAST(({k}) AS DOUBLE))), "
-            f"_n -> _n.v IS NOT NULL AND _n.k IS NOT NULL)"
+            f"_n -> _n.v IS NOT NULL AND _n.k IS NOT NULL)",
+            f"{base}Resample",
         )
         flt = (
             f"filter(_r, _s -> _s.k >= _lo AND _s.k < "
@@ -5312,10 +5428,11 @@ def _lttb_fmt(p: Args, a: Args) -> str:
     # row from the -If fold arrives as a struct of NULL fields — filter
     # both out before sorting (NULLs would sort first and corrupt the
     # endpoint selection)
-    arr = (
+    arr = _guard_fold(
         f"array_sort(filter(collect_list(named_struct("
         f"'x', CAST(({a[0]}) AS DOUBLE), 'y', CAST(({a[1]}) AS DOUBLE))), "
-        f"_n -> _n.x IS NOT NULL AND _n.y IS NOT NULL))"
+        f"_n -> _n.x IS NOT NULL AND _n.y IS NOT NULL))",
+        "largestTriangleThreeBuckets",
     )
     if n == 0:
         return arr  # CH: n = 0 -> no downsampling
@@ -5377,8 +5494,40 @@ def _lttb_fmt(p: Args, a: Args) -> str:
     )
 
 
+def _uniq_combined_fmt(p: Args, a: Args) -> str:
+    """uniqCombined(HLL_precision)(x...) — the precision parameter maps
+    onto approx_count_distinct's relative standard deviation via the
+    HLL bound rsd = 1.04 / sqrt(2^precision) (wave 35; CH accepts
+    12..20, default 17)."""
+    try:
+        prec = int(str(p[0]).strip())
+    except ValueError:
+        raise UntranslatableFunctionError(
+            "uniqCombined(precision)(x): the precision must be an "
+            "integer literal (CH accepts 12..20)"
+        ) from None
+    if not 12 <= prec <= 20:
+        raise UntranslatableFunctionError(
+            f"uniqCombined precision {prec}: ClickHouse accepts 12..20"
+        )
+    target = a[0] if len(a) == 1 else f"struct({', '.join(a)})"
+    if prec >= 19:
+        # CH packs 2^p 6-bit registers (~786 KB at p=20); Spark's
+        # HLL++ buffer at the equivalent rsd is several MB PER
+        # AGGREGATION BUFFER — a memory hazard at per-group scale. The
+        # exact count is a value superset of any precision (the
+        # quantileDD -> exact percentile precedent), so p >= 19 maps
+        # to exact rather than a multi-MB sketch.
+        return f"count(DISTINCT {target})"
+    rsd = 1.04 / (2 ** (prec / 2.0))
+    return f"approx_count_distinct({target}, {rsd:.8f})"
+
+
 _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "sumMapFiltered": _sum_map_filtered_fmt,
+    # HLL precision parameter -> relative-SD (wave 35)
+    "uniqCombined": _uniq_combined_fmt,
+    "uniqCombined64": _uniq_combined_fmt,
     "largestTriangleThreeBuckets": _lttb_fmt,
     "lttb": _lttb_fmt,
     # the -Resample combinator over the common bases (wave 33)
@@ -6004,6 +6153,44 @@ _SETTINGS_TAIL_RE = re.compile(r"(?i)(?<![.\w])SETTINGS\s+[^;]*$")
 _SPLITBY_STATE = {"includes_remaining": False}
 _TRANSLATE_DEPTH = [0]
 
+#: round-10 (VERDICT r9 task #5): the point-statistic fold contract.
+#: Collect-fold aggregates (rankCorr, LTTB, deltaSumTimestamp,
+#: maxIntersections, entropy, intervalLengthSum, the EMA aggregate
+#: form, -Resample, sumMap/minMap/maxMap SQL folds) hold ONE array per
+#: group — the same state class ClickHouse's implementations hold —
+#: but a group that isn't human-scale silently builds an unbounded
+#: executor array. This promotes the SCALE.md prose fence to an
+#: ENFORCED contract (the ivf max_query_rows precedent): the emitted
+#: SQL size-guards the collected array and raises with the operator
+#: recipe past the limit. Default generous (10M rows per group ~ the
+#: memory CH itself would burn); SET-able per statement via
+#: `SETTINGS max_fold_group_rows = n` (engine extension, documented)
+#: or session-wide through the SET shim's namespaced conf.
+_FOLD_LIMIT_STATE = {"max_rows": 10_000_000}
+
+
+def set_max_fold_group_rows(n: int) -> None:
+    """Statement/session-scoped override for the point-statistic fold
+    group-size contract (engine extension max_fold_group_rows)."""
+    _FOLD_LIMIT_STATE["max_rows"] = max(int(n), 1)
+
+
+def _guard_fold(arr_expr: str, op: str) -> str:
+    """Wrap a point-statistic fold's collected array with the
+    group-size contract: raise_error naming the operator and the
+    recipe instead of silently materializing an unbounded array."""
+    n = _FOLD_LIMIT_STATE["max_rows"]
+    msg = (
+        f"{op}: group exceeds max_fold_group_rows ({n}) — this is a "
+        "per-group POINT STATISTIC holding one array per group; bound "
+        "the group (filter or bucket the key) or raise the limit with "
+        "SETTINGS max_fold_group_rows = <n>"
+    )
+    return (
+        f"(CASE WHEN size({arr_expr}) > {n} THEN "
+        f"raise_error('{msg}') ELSE {arr_expr} END)"
+    )
+
 
 def set_splitby_includes_remaining(flag: bool) -> None:
     """Statement-scoped override for splitBy* remainder semantics
@@ -6091,6 +6278,23 @@ def _check_semantic_settings(clause: str) -> bool:
             # honored, not stripped: flips splitBy* to the legacy
             # remainder-in-last mode for THIS statement
             _SPLITBY_STATE["includes_remaining"] = v in ("1", "true")
+            continue
+        if k == "formatdatetime_parsedatetime_m_is_month_name":
+            # honored (wave 35): %M = month name (modern default) vs
+            # the legacy minutes reading, for THIS statement
+            _FORMATDT_STATE["m_is_month_name"] = v in ("1", "true")
+            continue
+        if k == "max_fold_group_rows":
+            # honored (round-10 task #5, engine extension): the
+            # point-statistic fold group-size contract for THIS
+            # statement
+            try:
+                set_max_fold_group_rows(int(v))
+            except ValueError:
+                raise UntranslatableFunctionError(
+                    f"SETTINGS max_fold_group_rows = {v}: needs an "
+                    "integer row limit"
+                ) from None
             continue
         known = _SEMANTIC_SETTINGS.get(k)
         if known and v not in known[0]:
@@ -6879,11 +7083,12 @@ def _rewrite_exp_decay(sql: str) -> str:
                         "takes two arguments"
                     )
                 v, t = args
-                arr = (
+                arr = _guard_fold(
                     f"filter(collect_list(named_struct('t', "
                     f"CAST(({t}) AS DOUBLE), 'v', CAST(({v}) AS "
                     f"DOUBLE))), _n -> _n.t IS NOT NULL AND "
-                    f"_n.v IS NOT NULL)"
+                    f"_n.v IS NOT NULL)",
+                    "exponentialMovingAverage",
                 )
                 repl = (
                     f"(element_at(transform(array(array_max(transform("
@@ -7688,6 +7893,8 @@ def translate_ch_sql(sql: str, allow_hash_substitution: bool = False) -> str:
         _TRANSLATE_DEPTH[0] -= 1
         if _TRANSLATE_DEPTH[0] == 0:
             _SPLITBY_STATE["includes_remaining"] = False
+            _FORMATDT_STATE["m_is_month_name"] = True
+            _FOLD_LIMIT_STATE["max_rows"] = 10_000_000
 
 
 def _translate_ch_sql_impl(sql: str, allow_hash_substitution: bool = False) -> str:

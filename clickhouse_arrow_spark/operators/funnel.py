@@ -31,16 +31,33 @@ def window_funnel(
     """Returns (user_col, funnel_level): max step index (1-based; 0 =
     no first step) reached in order within the time window.
 
-    Per-user timeline sorted by (ts, step), folded with one declarative
-    `aggregate()` — matching ClickHouse windowFunnel semantics.
-    `modes` accepts any combination of ClickHouse's modifiers:
+    Round-10 rework to ClickHouse's EXACT per-level algorithm
+    (AggregateFunctionWindowFunnel.h::getEventLevel): the scan keeps,
+    for every level k, the chain-start timestamp of the best chain that
+    reached k, and a cond-1 event ALWAYS re-anchors level 1 — so later
+    chains are found even after an earlier chain stalled (the round-9
+    single-anchor fold returned 1 for [cond1@0, cond1@100, cond2@105]
+    with window 10, where CH returns 2; caught by the wave-35 probe).
+    Per-user timeline sorted by (ts, step) — CH's stable timestamp sort
+    with an explicit step tie-break, documented: same-second ordering
+    is insertion-order-dependent in CH and not reproducible on any
+    distributed engine. An event matching SEVERAL conditions
+    contributes one timeline entry per matching condition, like CH's
+    per-condition add().
 
-    - ``strict_order``: an interleaved event of any OTHER tracked
-      condition freezes the chain at its current level;
-    - ``strict_dedup``: two consecutive events matching the SAME
-      condition freeze the chain;
+    `modes` accepts any combination of ClickHouse's modifiers, with the
+    reference implementation's exact readings:
+
+    - ``strict_order``: an event matching NO tracked condition, seen
+      after the first chain event, terminates the scan (the chain keeps
+      its level). Tracked out-of-order events do NOT break — CH only
+      breaks on the no-condition rows it collects under this mode.
+    - ``strict_dedup``: an event repeating a condition k >= 2 whose
+      level was ALREADY reached stops processing and returns k — even
+      when a deeper level had been reached (CH returns event_idx + 1
+      right there).
     - ``strict_increase``: a chain event must have a strictly greater
-      timestamp than the previous chain event.
+      timestamp than the previous event of ITS chain.
     """
     bad = set(modes) - set(_FUNNEL_MODES)
     if bad:
@@ -49,83 +66,118 @@ def window_funnel(
     strict_dedup = "strict_dedup" in modes
     strict_increase = "strict_increase" in modes
 
-    n_steps = len(step_conds)
-    step_expr = F.lit(0)
-    for idx in range(n_steps, 0, -1):
-        step_expr = F.when(step_conds[idx - 1], F.lit(idx)).otherwise(step_expr)
-
-    events = (
-        df.select(
-            F.col(user_col),
-            # via TIMESTAMP: TIMESTAMP_NTZ has no direct DOUBLE cast, and the
-            # session tz is UTC so epoch seconds match DuckDB's epoch().
-            F.col(ts_col).cast("timestamp").cast("double").alias("_t"),
-            step_expr.alias("_step"),
+    n = len(step_conds)
+    # one timeline entry per MATCHING condition; under strict_order,
+    # rows matching no condition enter as step 0 (scan terminators)
+    t_expr = F.col(ts_col).cast("timestamp").cast("double")
+    per_cond = [
+        F.when(step_conds[i],
+               F.struct(t_expr.alias("_t"), F.lit(i + 1).alias("_step")))
+        for i in range(n)
+    ]
+    entry_arr = F.filter(F.array(*per_cond), lambda x: x.isNotNull())
+    if strict_order:
+        entry_arr = F.when(
+            F.size(entry_arr) > 0, entry_arr
+        ).otherwise(F.array(
+            F.struct(t_expr.alias("_t"), F.lit(0).alias("_step"))
+        ))
+        events = df.select(F.col(user_col), entry_arr.alias("_ea"))
+    else:
+        events = df.select(F.col(user_col), entry_arr.alias("_ea")).where(
+            F.size(F.col("_ea")) > 0
         )
-        .where(F.col("_step") > 0)
-    )
-    # per-user ordered timeline (struct sort: by time, then step)
     timeline = events.groupBy(user_col).agg(
-        F.array_sort(
-            F.collect_list(F.struct(F.col("_t"), F.col("_step")))
-        ).alias("_tl")
+        F.array_sort(F.flatten(F.collect_list(F.col("_ea")))).alias("_tl")
     )
 
-    # fold state: (level, start time, last matched time, last seen step,
-    # dead). `dead` latches a strict-mode interruption — the chain keeps
-    # the level it reached, matching CH's "stops counting".
+    # fold state mirrors CH's events_timestamp vector: per level, the
+    # chain-start time (`firsts`, NULL = unset) and the last chain
+    # event's time (`lasts`, for strict_increase); `stopped` latches
+    # the strict_dedup immediate return; `broken` latches the
+    # strict_order scan termination; `seen1` = CH's first_event.
+    null_d = F.lit(None).cast("double")
     init = F.struct(
-        F.lit(0).alias("level"),
-        F.lit(0.0).cast("double").alias("start"),
-        F.lit(0.0).cast("double").alias("lastm"),
-        F.lit(0).alias("lastseen"),
-        F.lit(False).alias("dead"),
+        F.array(*[null_d for _ in range(n)]).alias("firsts"),
+        F.array(*[null_d for _ in range(n)]).alias("lasts"),
+        F.lit(0).alias("stopped"),
+        F.lit(False).alias("broken"),
+        F.lit(False).alias("seen1"),
     )
+
+    def set_at(arr, idx, val):
+        # idx is a 1-BASED level column; transform's i is 0-based
+        return F.transform(
+            arr, lambda x, i: F.when(i == idx - 1, val).otherwise(x)
+        )
 
     def transition(acc, e):
-        level = acc.getField("level")
-        start = acc.getField("start")
-        lastm = acc.getField("lastm")
+        firsts = acc.getField("firsts")
+        lasts = acc.getField("lasts")
         t = e.getField("_t")
         s = e.getField("_step")
-        within = (level == 0) | (t - start <= window_seconds)
-        inc_ok = (
-            ((level == 0) | (t > lastm)) if strict_increase else F.lit(True)
+        prev_first = F.element_at(firsts, F.greatest(s - 1, F.lit(1)))
+        prev_last = F.element_at(lasts, F.greatest(s - 1, F.lit(1)))
+        own_first = F.element_at(firsts, F.greatest(s, F.lit(1)))
+        inc_ok = (prev_last < t) if strict_increase else F.lit(True)
+        extend = (
+            prev_first.isNotNull()
+            & (t <= prev_first + F.lit(float(window_seconds)))
+            & inc_ok
         )
-        advance = (s == level + 1) & within & inc_ok
-        dedup_break = (
-            (s == acc.getField("lastseen")) & (level >= 1)
-            if strict_dedup
-            else F.lit(False)
+        anchored = F.struct(
+            set_at(firsts, s, t).alias("firsts"),
+            set_at(lasts, s, t).alias("lasts"),
+            F.lit(0).alias("stopped"),
+            F.lit(False).alias("broken"),
+            F.lit(True).alias("seen1"),
         )
-        order_break = (
-            (s != level + 1) & (level >= 1) if strict_order else F.lit(False)
+        extended = F.struct(
+            set_at(firsts, s, prev_first).alias("firsts"),
+            set_at(lasts, s, t).alias("lasts"),
+            F.lit(0).alias("stopped"),
+            F.lit(False).alias("broken"),
+            acc.getField("seen1").alias("seen1"),
         )
-        advanced = F.struct(
-            (level + 1).alias("level"),
-            F.when(level == 0, t).otherwise(start).alias("start"),
-            t.alias("lastm"),
-            s.alias("lastseen"),
-            F.lit(False).alias("dead"),
+        dedup_stop = F.struct(
+            firsts.alias("firsts"), lasts.alias("lasts"),
+            s.alias("stopped"), F.lit(False).alias("broken"),
+            acc.getField("seen1").alias("seen1"),
         )
-        frozen = F.struct(
-            level.alias("level"), start.alias("start"), lastm.alias("lastm"),
-            s.alias("lastseen"), F.lit(True).alias("dead"),
+        order_break = F.struct(
+            firsts.alias("firsts"), lasts.alias("lasts"),
+            F.lit(0).alias("stopped"), F.lit(True).alias("broken"),
+            acc.getField("seen1").alias("seen1"),
         )
-        kept = F.struct(
-            level.alias("level"), start.alias("start"), lastm.alias("lastm"),
-            s.alias("lastseen"), F.lit(False).alias("dead"),
+        # CH returns the moment the LAST level is reached (event_idx +
+        # 1 == events_size) — not just an optimization: the early
+        # return shields the result from a later strict_dedup stop, so
+        # [A,B,C,B] under strict_dedup is 3 only when C came first
+        done = F.element_at(firsts, F.lit(n)).isNotNull()
+        chain = F.when(
+            (acc.getField("stopped") > 0) | acc.getField("broken") | done,
+            acc,
         )
-        return (
-            F.when(acc.getField("dead"), acc)
-            .when(dedup_break | order_break, frozen)
-            .when(advance, advanced)
-            .otherwise(kept)
-        )
+        if strict_order:
+            chain = chain.when(
+                (s == 0) & acc.getField("seen1"), order_break
+            ).when(s == 0, acc)
+        chain = chain.when(s == 1, anchored)
+        if strict_dedup:
+            chain = chain.when(own_first.isNotNull(), dedup_stop)
+        return chain.when(extend, extended).otherwise(acc)
 
     fold = F.aggregate(F.col("_tl"), init, transition)
+    max_level = F.array_max(
+        F.transform(
+            fold.getField("firsts"),
+            lambda x, i: F.when(x.isNotNull(), i + 1).otherwise(0),
+        )
+    )
+    level = F.when(fold.getField("stopped") > 0, fold.getField("stopped")) \
+        .otherwise(F.coalesce(max_level, F.lit(0)))
     return timeline.select(
-        F.col(user_col), fold.getField("level").alias("funnel_level")
+        F.col(user_col), level.cast("int").alias("funnel_level")
     )
 
 
@@ -244,11 +296,13 @@ def ch_sequence_pattern_to_regex(pattern: str, n_conds: int) -> str:
     return "".join(out)
 
 
-def _match_sequence(events, atoms, start, count_mode=False):
+def _match_sequence(events, atoms, start, count_mode=False, collect=False):
     """Backtracking matcher over `events` = [(bitmask, t), ...] sorted
     by time. Tries to match `atoms` beginning exactly at event index
     `start`. Returns the exclusive end index of the first (leftmost-
-    biased) match, or -1.
+    biased) match, or -1; with ``collect=True`` returns
+    ``(end, chain)`` where chain is the tuple of timestamps consumed
+    by the ``(?N)`` event atoms (sequenceMatchEvents' output).
 
     Time-constraint semantics (ClickHouse docs): `(?1)(?t>N)(?2)`
     matches a cond1 event and a LATER cond2 event whose timestamp gap
@@ -257,19 +311,21 @@ def _match_sequence(events, atoms, start, count_mode=False):
     the gap measured between the two anchor events.
     """
 
-    def rec(ai, ei, last_t, pending, anchored):
+    def rec(ai, ei, last_t, pending, anchored, chain):
         # ai: atom index; ei: next event index; last_t: time of the last
         # event consumed by an event/any atom; pending: accumulated time
         # constraints to apply to the next consumed event; anchored:
         # False once a star/time atom allows skipping, after which the
-        # next atom may consume any later event.
+        # next atom may consume any later event; chain: timestamps of
+        # the (?N) atoms consumed so far (only built under `collect`).
         if ai == len(atoms):
-            return ei
+            return ei, chain
         atom = atoms[ai]
         if atom[0] == "star":
-            return rec(ai + 1, ei, last_t, pending, False)
+            return rec(ai + 1, ei, last_t, pending, False, chain)
         if atom[0] == "time":
-            return rec(ai + 1, ei, last_t, pending + [atom[1:]], False)
+            return rec(ai + 1, ei, last_t, pending + [atom[1:]], False,
+                       chain)
         # event / any
         candidates = range(ei, len(events)) if not anchored else (
             (ei,) if ei < len(events) else ()
@@ -278,7 +334,7 @@ def _match_sequence(events, atoms, start, count_mode=False):
             mask, t = events[k]
             if atom[0] == "event" and not (mask >> (atom[1] - 1)) & 1:
                 if anchored:
-                    return -1
+                    return -1, chain
                 continue
             ok = True
             for op, sec in pending:
@@ -297,16 +353,20 @@ def _match_sequence(events, atoms, start, count_mode=False):
                     break
             if not ok:
                 if anchored:
-                    return -1
+                    return -1, chain
                 continue
-            end = rec(ai + 1, k + 1, t, [], True)
+            nxt = chain + (t,) if collect and atom[0] == "event" else chain
+            end, got = rec(ai + 1, k + 1, t, [], True, nxt)
             if end >= 0:
-                return end
+                return end, got
             if anchored:
-                return -1
-        return -1
+                return -1, chain
+        return -1, chain
 
-    return rec(0, start, None, [], True)
+    end, got = rec(0, start, None, [], True, ())
+    if collect:
+        return end, got
+    return end
 
 
 def _run_sequence_py(events, atoms, count_mode):
@@ -447,6 +507,60 @@ def sequence_match(
         F.col(user_col),
         F.col("_symbols").rlike(regex).cast("int").alias("matched"),
     )
+
+
+def sequence_match_events(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    pattern: str,
+    conds: list[Column],
+    id_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse `sequenceMatchEvents(pattern)(ts, cond...)` (wave 35;
+    CH 24.x, AggregateFunctionSequenceMatch.h): the timestamps of the
+    events consumed by the pattern's ``(?N)`` conditions in the FIRST
+    (leftmost) match per user — empty array when the pattern does not
+    match. Returned as ``event_times array<double>`` (epoch seconds,
+    the matcher's time domain; cast back with timestamp_seconds()).
+
+    Same shape as the time-constrained sequence_match path: one keyed
+    shuffle into the Arrow-batched backtracking matcher (the chain
+    collection reuses the exact matcher sequenceMatch runs, so the
+    matched chain and the boolean can never disagree)."""
+    atoms = parse_sequence_pattern(pattern, len(conds))
+    mask_expr = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask_expr = term if mask_expr is None else mask_expr + term
+    order_cols = [F.col(ts_col).cast("timestamp").cast("double").alias("_t")]
+    if id_col:
+        order_cols.append(F.col(id_col).cast("double").alias("_id"))
+    else:
+        order_cols.append(F.lit(0.0).alias("_id"))
+    ev = (
+        df.select(F.col(user_col), *order_cols, mask_expr.alias("_mask"))
+        .where(F.col("_mask") > 0)
+    )
+    user_type = dict(df.dtypes)[user_col]
+    schema = f"{user_col} {user_type}, event_times array<double>"
+
+    def run(pdf):
+        import pandas as pd
+
+        pdf = pdf.sort_values(["_t", "_id"], kind="mergesort")
+        events = list(zip(pdf["_mask"].astype(int), pdf["_t"].astype(float)))
+        chain: tuple = ()
+        for s in range(len(events)):
+            end, got = _match_sequence(events, atoms, s, collect=True)
+            if end >= 0:
+                chain = got
+                break
+        return pd.DataFrame(
+            {user_col: [pdf[user_col].iloc[0]], "event_times": [list(chain)]}
+        )
+
+    return ev.groupBy(user_col).applyInPandas(run, schema=schema)
 
 
 def sequence_count(

@@ -580,6 +580,17 @@ CLASSES: dict[str, tuple[str, str]] = {
         "pinned-literal",
         "Spearman hand ranks, H3 published index layout, independent "
         "LTTB reference"),
+    "util_sweep_wave35": (
+        "pinned-literal",
+        "windowFunnel levels + sequenceMatchEvents + formatDateTime "
+        "corners hand-derived from the CH source/docs; the funnel "
+        "rework also pinned against a line-by-line CH replica "
+        "(tests/test_operators.py::test_window_funnel_matches_ch_"
+        "reference)"),
+    "core_remote_multishard": (
+        "independent-algorithm",
+        "oracle reads the whole parquet table; engine unions two "
+        "disjoint-slice HTTP shards + range-partitioned scan"),
     "uniq_approx_distinct": (
         "property-gate", "15% estimate envelope vs exact distinct"),
     "grouped_map_zscore": (

@@ -117,17 +117,20 @@ _GATE_ALIASES: dict[str, str] = {
         # SFs; see ROTATION.md), the deltaSumTimestamp/maxIntersections
         # oracle gate in
         "agg_delta_intersections",
-        # round-8 rotation #4: wave19 out (judge-verified r6/r7; see
-        # ROTATION.md), the CREATE FUNCTION macro gate in
-        "util_sql_udf_macro",
-        # round-8 rotation #5: wave20 out (judge-verified r7; see
-        # ROTATION.md), wave30 in (banker's rounding, cast wraparound,
-        # dateDiff boundary crossings — the biggest silent-divergence
-        # batch any probe has returned)
-        "util_sweep_wave30",
-        # round-8 rotation #6: wave21 out (judge-verified r7; see
-        # ROTATION.md), the intervalLengthSum union-sweep gate in
-        "agg_interval_union",
+        # round-10 rotation #1: util_sql_udf_macro out (judge-verified
+        # r9 at two SFs; see ROTATION.md), the multi-shard remote() +
+        # range-split gate in (VERDICT r9 task #6)
+        "core_remote_multishard",
+        # round-10 rotation #2: wave30 out (judge-verified r8/r9 at two
+        # SFs; see ROTATION.md), wave35 in (windowFunnel CH-exact
+        # rework + sequenceMatchEvents + formatDateTime modern %M +
+        # ISO splices + Date32 saturation + uniqCombined precision)
+        "util_sweep_wave35",
+        # round-10 rotation #3: agg_interval_union out (judge-verified
+        # r9 at two SFs; see ROTATION.md), events_funnel_family in —
+        # its windowFunnel semantics and oracle CHANGED this round
+        # (re-anchoring rework), so the driver attests the new reading
+        "events_funnel_family",
         "util_star_apply_join",
         "util_numbers_tvf",
         # engine semantics: FINAL folds, matview, mutations, dicts,

@@ -462,22 +462,27 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM events
       WHERE event_type IN ('view', 'click', 'purchase')
     ),
-    t1 AS (SELECT user_id, min(t) AS t1 FROM e WHERE step = 1 GROUP BY user_id),
-    t2 AS (SELECT e.user_id, min(e.t) AS t2 FROM e JOIN t1 ON e.user_id = t1.user_id
-           WHERE step = 2 AND e.t >= t1.t1 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
-    t3 AS (SELECT e.user_id, min(e.t) AS t3 FROM e
-           JOIN t1 ON e.user_id = t1.user_id JOIN t2 ON e.user_id = t2.user_id
-           WHERE step = 3 AND e.t >= t2.t2 AND e.t - t1.t1 <= 86400 GROUP BY e.user_id),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE step = 1),
+    l2 AS (
+      SELECT DISTINCT e1.user_id FROM e e1 JOIN e e2
+        ON e1.user_id = e2.user_id AND e1.step = 1 AND e2.step = 2
+       AND e2.t >= e1.t AND e2.t <= e1.t + 86400),
+    l3 AS (
+      SELECT DISTINCT e1.user_id FROM e e1
+      JOIN e e2 ON e1.user_id = e2.user_id AND e1.step = 1 AND e2.step = 2
+       AND e2.t >= e1.t AND e2.t <= e1.t + 86400
+      JOIN e e3 ON e3.user_id = e1.user_id AND e3.step = 3
+       AND e3.t >= e2.t AND e3.t <= e1.t + 86400),
     wf AS (
       SELECT u.user_id,
-             CASE WHEN t3.user_id IS NOT NULL THEN 3
-                  WHEN t2.user_id IS NOT NULL THEN 2
-                  WHEN t1.user_id IS NOT NULL THEN 1
+             CASE WHEN l3.user_id IS NOT NULL THEN 3
+                  WHEN l2.user_id IS NOT NULL THEN 2
+                  WHEN l1.user_id IS NOT NULL THEN 1
                   ELSE 0 END AS funnel_level
       FROM (SELECT DISTINCT user_id FROM e) u
-      LEFT JOIN t1 ON u.user_id = t1.user_id
-      LEFT JOIN t2 ON u.user_id = t2.user_id
-      LEFT JOIN t3 ON u.user_id = t3.user_id
+      LEFT JOIN l1 ON u.user_id = l1.user_id
+      LEFT JOIN l2 ON u.user_id = l2.user_id
+      LEFT JOIN l3 ON u.user_id = l3.user_id
     )
     SELECT conv.user_id, conv.first_signup, conv.first_purchase,
            conv.converted,
@@ -487,10 +492,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Funnel composite per user: signup->purchase conversion via "
     "conditional min AND ClickHouse windowFunnel(86400)(ts, view, "
-    "click, purchase) — deepest ordered step chain within 1 day of the "
-    "first step, computed by one keyed aggregation + an array fold "
-    "(operators/funnel.py) — formerly events_funnel / "
-    "events_window_funnel.",
+    "click, purchase) — one keyed aggregation + an array fold running "
+    "CH's exact per-level algorithm (operators/funnel.py, round-10 "
+    "wave-35 rework: cond-1 events re-anchor, per-level chain starts). "
+    "The oracle is the exists-subsequence formulation — provably equal "
+    "to CH's greedy scan in default mode (per-level chain-start is "
+    "monotone, so the greedy chain dominates) and INDEPENDENT of the "
+    "fold's derivation; the strict modes are pinned against a "
+    "line-by-line CH-algorithm replica in "
+    "tests/test_operators.py::test_window_funnel_matches_ch_reference.",
     tags=("events", "funnel", "window-funnel"),
 )
 def events_funnel_family(spark: SparkSession, sf_dir: str) -> DataFrame:

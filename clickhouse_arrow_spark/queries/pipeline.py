@@ -5444,6 +5444,68 @@ def q_core_remote_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "core_remote_multishard",
+    """
+    SELECT o_orderstatus,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+           CAST(4 AS BIGINT) AS range_parts
+    FROM orders WHERE o_orderkey < 5000
+    GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+    doc="Round-10 (VERDICT r9 task #6): the remote() MULTI-SHARD path "
+    "corpus-attested — two in-process CH-HTTP stubs (real sockets, "
+    "real Arrow IPC, auth enforced) each serve a DISJOINT parity slice "
+    "of orders, and remote('h:p1,h:p2', ...) UNION-ALLs one DSv2 scan "
+    "per shard; the per-status counts/sums only match the DuckDB "
+    "oracle over the whole table if both shards contribute exactly "
+    "once. range_parts additionally attests the range-partitioned "
+    "parallel scan (_plan_range_bounds): a partition_column/"
+    "num_partitions=4 read of one shard must plan exactly 4 input "
+    "partitions.",
+    tags=("source", "remote", "tvf", "shards"),
+)
+def q_core_remote_multishard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    from clickhouse_arrow_spark.builder import ClientBuilder
+    from clickhouse_arrow_spark.sources.ch_http_stub import ArrowHttpStub
+
+    t = pq.read_table(f"{sf_dir}/orders.parquet")
+    t = t.filter(pc.less(t["o_orderkey"], 5000))
+    parity = pc.bit_wise_and(t["o_orderkey"], 1)
+    even = t.filter(pc.equal(parity, 0))
+    odd = t.filter(pc.equal(parity, 1))
+    stub1 = ArrowHttpStub({"shard_orders": even}, user="r", password="p")
+    stub2 = ArrowHttpStub({"shard_orders": odd}, user="r", password="p")
+    url1, url2 = stub1.start(), stub2.start()
+    hp1 = url1.split("://", 1)[1].rstrip("/")
+    hp2 = url2.split("://", 1)[1].rstrip("/")
+    try:
+        client = ClientBuilder().with_session(spark).build()
+        out = client.query_ch(
+            "SELECT o_orderstatus, count() AS n, sum(o_orderkey) AS "
+            f"key_sum FROM remote('{hp1},{hp2}', default.shard_orders, "
+            "'r', 'p') GROUP BY o_orderstatus ORDER BY o_orderstatus"
+        ).toPandas()
+        ranged = client.read_remote(
+            "shard_orders", url=url1, user="r", password="p",
+            partition_column="o_orderkey", num_partitions=4,
+        )
+        n_parts = ranged.rdd.getNumPartitions()
+    finally:
+        stub1.stop()
+        stub2.stop()
+    df = spark.createDataFrame(
+        out, "o_orderstatus STRING, n BIGINT, key_sum BIGINT"
+    )
+    return df.withColumn(
+        "range_parts", F.lit(int(n_parts)).cast("bigint")
+    )
+
+
+@register(
     "util_sweep_wave33",
     """
     SELECT 0.9 AS rho,
@@ -5503,6 +5565,114 @@ def q_util_sweep_wave33(spark: SparkSession, sf_dir: str) -> DataFrame:
         "UNION ALL SELECT 3.0, 12.0 UNION ALL SELECT 4.0, 30.0 "
         "UNION ALL SELECT 5.0, 25.0 UNION ALL SELECT 6.0, 5.0)) "
         "AS lttb4"
+    )
+
+
+@register(
+    "util_sweep_wave35",
+    """
+    SELECT '2|3|2|2|3' AS funnel_modes,
+           '1,3,5' AS seq_events,
+           '2025|25|01|1|1|20' AS fmt_iso,
+           'March' AS fmt_m_modern,
+           '08' AS fmt_m_legacy,
+           '2024-12-30|2024-01-01' AS iso_year_start,
+           '2299-12-31|1900-01-01|2024-02-29' AS date32_sat,
+           TRUE AS uniq17_ok
+    """,
+    doc="Round-10 probe-sweep wave 35 (scripts/probe_wave35.py; exact "
+    "literal oracle): windowFunnel reworked to CH's exact per-level "
+    "algorithm (AggregateFunctionWindowFunnel.h — cond-1 re-anchoring, "
+    "strict_order breaking only on untracked rows, strict_dedup "
+    "mid-chain stop returning the repeated level, last-level early "
+    "return; pinned against a line-by-line CH replica in "
+    "tests/test_operators.py::test_window_funnel_matches_ch_reference), "
+    "sequenceMatchEvents (first match's (?N) timestamps, shared "
+    "backtracking matcher), formatDateTime modern %M month name + the "
+    "legacy setting + the %G/%V/%g/%u/%w/%C expression splices, "
+    "toStartOfISOYear, Date32 saturation, and uniqCombined precision "
+    "parameters.",
+    tags=("dialect", "sweep", "wave35"),
+)
+def q_util_sweep_wave35(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from clickhouse_arrow_spark.client import Client
+    from clickhouse_arrow_spark.operators.funnel import (
+        sequence_match_events,
+        window_funnel,
+    )
+
+    client = Client(spark)
+    conds = [F.col("e") == "A", F.col("e") == "B", F.col("e") == "C"]
+    cases = [
+        # (rows, modes, window) — expected levels 2,3,2,2,3
+        ([(0.0, "A"), (200.0, "A"), (205.0, "B")], (), 10),
+        ([(1.0, "A"), (2.0, "A"), (3.0, "B"), (4.0, "C")],
+         ("strict_order",), 100),
+        ([(1.0, "A"), (2.0, "B"), (3.0, "X"), (4.0, "C")],
+         ("strict_order",), 100),
+        ([(1.0, "A"), (2.0, "B"), (3.0, "B"), (4.0, "C")],
+         ("strict_dedup",), 100),
+        ([(1.0, "A"), (2.0, "B"), (3.0, "C"), (4.0, "B")],
+         ("strict_dedup",), 100),
+    ]
+    levels = []
+    for rows, modes, window in cases:
+        df = spark.createDataFrame(
+            [(1, t, e) for t, e in rows], "u long, t double, e string"
+        )
+        levels.append(
+            window_funnel(df, "u", "t", conds, window, modes=modes)
+            .select(F.col("funnel_level").cast("string").alias("lvl"))
+        )
+    funnel_df = levels[0]
+    for nxt in levels[1:]:
+        funnel_df = funnel_df.crossJoin(
+            nxt.withColumnRenamed("lvl", "lvl2")
+        ).select(
+            F.concat_ws("|", F.col("lvl"), F.col("lvl2")).alias("lvl")
+        )
+    funnel_df = funnel_df.select(F.col("lvl").alias("funnel_modes"))
+
+    seq_df = spark.createDataFrame(
+        [(1, 1.0, 1), (1, 2.0, 3), (1, 3.0, 2), (1, 4.0, 1), (1, 5.0, 4)],
+        "u long, t double, number int",
+    )
+    seq_out = sequence_match_events(
+        seq_df, "u", "t", "(?1).*(?2).*(?3)",
+        [F.col("number") == 1, F.col("number") == 2, F.col("number") == 4],
+    ).select(
+        F.array_join(
+            F.transform("event_times", lambda x: x.cast("int")), ","
+        ).alias("seq_events")
+    )
+
+    scalars = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-12-30 07:00:00', "
+        "'%G|%g|%V|%u|%w|%C') AS fmt_iso, "
+        "formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M') "
+        "AS fmt_m_modern, "
+        "concat(toString(toStartOfISOYear(toDate('2024-12-30'))), '|', "
+        "toString(toStartOfISOYear(toDate('2024-06-01')))) "
+        "AS iso_year_start, "
+        "concat(toString(toDate32('2300-06-01')), '|', "
+        "toString(toDate32('1899-06-01')), '|', "
+        "toString(toDate32('2024-02-29'))) AS date32_sat"
+    )
+    legacy = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M') "
+        "AS fmt_m_legacy "
+        "SETTINGS formatdatetime_parsedatetime_m_is_month_name = 0"
+    )
+    uniq = client.query_ch(
+        "SELECT abs(uniqCombined(14)(o_custkey) - "
+        "count(DISTINCT o_custkey)) <= 0.1 * count(DISTINCT o_custkey) "
+        "AS uniq17_ok FROM orders"
+    )
+    return (
+        funnel_df.crossJoin(seq_out).crossJoin(scalars)
+        .crossJoin(legacy).crossJoin(uniq)
     )
 
 

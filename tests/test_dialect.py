@@ -177,16 +177,39 @@ def test_uniq_state_merge_translation():
 
 
 def test_format_datetime_translation():
-    assert translate_ch_sql("SELECT formatDateTime(ts, '%Y-%m-%d %H:%M:%S')") == (
+    # %i is minutes; %M is the FULL MONTH NAME in modern CH (23.4+,
+    # wave 35) — the legacy minutes reading needs the setting
+    assert translate_ch_sql("SELECT formatDateTime(ts, '%Y-%m-%d %H:%i:%S')") == (
         "SELECT date_format(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    assert translate_ch_sql("SELECT formatDateTime(ts, '%M')") == (
+        "SELECT date_format(ts, 'MMMM')"
     )
 
 
 def test_format_datetime_values(client):
     row = client.query_ch(
-        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%M') AS f"
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%Y/%m/%d %H:%i') AS f"
     ).first()
     assert row["f"] == "2024/03/05 07:08"
+
+
+def test_format_datetime_month_name_modes(client):
+    # modern default: %M = month name; SETTINGS ...=0 restores minutes
+    row = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M') AS m"
+    ).first()
+    assert row["m"] == "March"
+    row = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M') AS m "
+        "SETTINGS formatdatetime_parsedatetime_m_is_month_name = 0"
+    ).first()
+    assert row["m"] == "08"
+    # statement scope: the next statement is back to the modern default
+    row = client.query_ch(
+        "SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', '%M') AS m"
+    ).first()
+    assert row["m"] == "March"
 
 
 def test_to_start_of_interval(client):
@@ -1234,7 +1257,7 @@ def test_fourth_wave_refusals():
         ("SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
          "'%Y-%m-%dT%H:%i:%S') AS x", "2024-03-05T07:08:09"),
         ("SELECT formatDateTime(TIMESTAMP '2024-03-05 07:08:09', "
-         "'%M minutes, %p') AS x", "08 minutes, AM"),  # CH: %M = minutes
+         "'%M, %p') AS x", "March, AM"),  # modern CH: %M = month name
         ("SELECT parseDateTime('2024-03-05 07:08', '%Y-%m-%d %H:%i') AS x",
          "2024-03-05 07:08:00"),
         ("SELECT parseDateTimeOrNull('garbage', '%Y-%m-%d') AS x", None),
@@ -1290,12 +1313,21 @@ def test_datetime_pattern_embedded_quote(spark):
     assert got == "07 o'clock"
 
 
-def test_week_based_specifiers_refused():
+def test_week_based_specifiers_spliced(spark):
+    # wave 35: %G/%V/%g/%u/%w/%C have no Java pattern letter Spark
+    # accepts — formatDateTime splices expressions instead of refusing.
+    # 2024-12-30 is a Monday in ISO week 1 of ISO year 2025.
+    got = spark.sql(translate_ch_sql(
+        "SELECT formatDateTime(TIMESTAMP '2024-12-30 07:00:00', "
+        "'%G-W%V-%u (%g) c%C w%w') AS x"
+    )).collect()[0]["x"]
+    assert got == "2025-W01-1 (25) c20 w1"
+    # parseDateTime still refuses them (no parse-side expression form)
     from clickhouse_arrow_spark.dialect import UntranslatableFunctionError
 
     for spec in ("%G", "%V"):
         with pytest.raises(UntranslatableFunctionError):
-            translate_ch_sql(f"SELECT formatDateTime(t, '{spec}')")
+            translate_ch_sql(f"SELECT parseDateTime(t, '{spec}')")
 
 
 def test_to_start_of_interval_pre_epoch(spark):

@@ -1072,6 +1072,110 @@ QUERIES = [
     ("SELECT sumResample(1992, 2000, 2)(o_totalprice, "
      "toYear(o_orderdate)) AS by_years FROM orders",
      (1, 1)),
+    # ---- round 10: ISO-week dashboards (wave-35 %G/%V/%u splices) ----
+    ("SELECT formatDateTime(o_orderdate, '%G-W%V') AS iso_week, "
+     "count() AS n FROM orders GROUP BY iso_week ORDER BY iso_week "
+     "LIMIT 20",
+     (1, 20)),
+    ("SELECT formatDateTime(o_orderdate, '%u') AS dow, count() AS n, "
+     "round(sum(o_totalprice), 2) AS rev FROM orders "
+     "GROUP BY dow ORDER BY dow",
+     (1, 7)),
+    ("SELECT formatDateTime(o_orderdate, '%M %Y') AS month_label, "
+     "count() AS n FROM orders WHERE toYear(o_orderdate) = 1996 "
+     "GROUP BY month_label ORDER BY month_label",
+     (1, 12)),
+    # legacy %M = minutes via the honored setting (statement-scoped)
+    ("SELECT formatDateTime(ts, '%H:%M') AS hm, count() AS n "
+     "FROM events GROUP BY hm ORDER BY hm LIMIT 10 "
+     "SETTINGS formatdatetime_parsedatetime_m_is_month_name = 0",
+     (1, 10)),
+    ("SELECT formatDateTime(o_orderdate, '%C') AS century, count() "
+     "AS n FROM orders GROUP BY century",
+     (1, 2)),
+    # ---- round 10: ISO-year bucketing ----
+    ("SELECT toStartOfISOYear(o_orderdate) AS iso_y, count() AS n "
+     "FROM orders GROUP BY iso_y ORDER BY iso_y",
+     (1, 12)),
+    ("SELECT toISOYear(o_orderdate) AS y, toISOWeek(o_orderdate) AS w, "
+     "count() AS n FROM orders GROUP BY y, w ORDER BY y, w LIMIT 30",
+     (1, 30)),
+    # ---- round 10: Date32 saturation pipelines ----
+    ("SELECT toDate32('2300-01-01') AS capped, "
+     "toDate32('1899-12-31') AS floored, count() AS n FROM orders",
+     (1, 1)),
+    ("SELECT count() AS n FROM orders WHERE o_orderdate "
+     "BETWEEN toDate32('1899-01-01') AND toDate32('2300-01-01')",
+     (1, 1)),
+    ("SELECT coalesce(toDate32OrNull('not-a-date'), "
+     "toDate32('1970-01-01')) AS d, count() AS n FROM orders",
+     (1, 1)),
+    # ---- round 10: uniqCombined precision monitoring ----
+    ("SELECT o_orderstatus, uniqCombined(14)(o_custkey) AS u14 "
+     "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     (1, 3)),
+    ("SELECT uniqCombined64(19)(o_custkey) AS exact_path, "
+     "uniqExact(o_custkey) AS exact FROM orders",
+     (1, 1)),
+    ("SELECT uniqCombined(12)(l_partkey) AS u12, uniq(l_partkey) AS "
+     "u_default FROM lineitem WHERE l_orderkey < 1000",
+     (1, 1)),
+    # ---- round 10: sub-hour bucketing family ----
+    ("SELECT toStartOfFiveMinutes(ts) AS b5, count() AS n FROM events "
+     "WHERE user_id < 5 GROUP BY b5 ORDER BY b5 LIMIT 25",
+     (1, 25)),
+    ("SELECT toStartOfFifteenMinutes(ts) AS b15, "
+     "round(sum(value), 2) AS v FROM events GROUP BY b15 "
+     "ORDER BY v DESC LIMIT 10",
+     (1, 10)),
+    # ---- round 10: long-span decay stays finite (max anchor) ----
+    ("SELECT o_orderstatus, round(max(ds), 2) AS peak FROM (SELECT "
+     "o_orderstatus, exponentialTimeDecayedSum(3600)(o_totalprice, "
+     "toUnixTimestamp(o_orderdate)) OVER (PARTITION BY o_orderstatus "
+     "ORDER BY o_orderdate, o_orderkey) AS ds FROM orders) "
+     "GROUP BY o_orderstatus ORDER BY o_orderstatus",
+     (1, 3)),
+    ("SELECT count() AS null_avgs FROM (SELECT "
+     "exponentialTimeDecayedAvg(86400)(value, toUnixTimestamp(ts)) "
+     "OVER (PARTITION BY user_id ORDER BY ts) AS da FROM events "
+     "WHERE user_id < 20) WHERE da IS NULL",
+     (1, 1)),
+    # ---- round 10: toTypeName word-boundary survivors ----
+    ("SELECT toTypeName(tuple(1, 'x')) AS t, "
+     "toTypeName([o_totalprice]) AS arr FROM orders LIMIT 1",
+     (1, 1)),
+    # ---- round 10: cluster() + precision sketch composition ----
+    ("SELECT uniqCombined(14)(c_custkey) AS u FROM "
+     "cluster('default', customer)",
+     (1, 1)),
+    # ---- round 10: ISO splice inside string pipelines ----
+    ("SELECT concat('wk-', formatDateTime(o_orderdate, '%g%V')) AS wk, "
+     "count() AS n FROM orders GROUP BY wk ORDER BY n DESC LIMIT 15",
+     (1, 15)),
+    ("SELECT formatDateTime(toStartOfISOYear(o_orderdate), "
+     "'%F (%W)') AS start_label, count() AS n FROM orders "
+     "GROUP BY start_label ORDER BY start_label",
+     (1, 12)),
+    # ---- round 10: remote-form parse coverage (db, table quoting) ----
+    ("SELECT count() AS n FROM cluster('default', 'default', 'orders')",
+     (1, 1)),
+    # ---- round 10: decay window + LIMIT BY dashboard ----
+    ("SELECT user_id, ts, round(dc, 4) AS dc FROM (SELECT user_id, ts, "
+     "exponentialTimeDecayedCount(7200)(toUnixTimestamp(ts)) OVER "
+     "(PARTITION BY user_id ORDER BY ts) AS dc FROM events "
+     "WHERE user_id < 8) ORDER BY user_id, ts DESC "
+     "LIMIT 2 BY user_id LIMIT 16",
+     (1, 16)),
+    # ---- round 10: EMA + quantile analyst report ----
+    ("SELECT round(quantile(0.9)(ema), 4) AS p90 FROM (SELECT "
+     "user_id, exponentialMovingAverage(1800)(value, "
+     "toUnixTimestamp(ts)) AS ema FROM events WHERE user_id < 40 "
+     "GROUP BY user_id)",
+     (1, 1)),
+    # ---- round 10: weekday-0 cohort (Sunday %w) ----
+    ("SELECT count() AS sunday_orders FROM orders "
+     "WHERE formatDateTime(o_orderdate, '%w') = '0'",
+     (1, 1)),
 ]
 
 

@@ -804,13 +804,32 @@ def test_window_funnel_strict_modes(spark):
         out = window_funnel(df, "u", "t", conds(), 100, modes=modes)
         return {r["u"]: r["funnel_level"] for r in out.collect()}
 
-    # default: interleaved tracked events don't break the chain
+    # default: interleaved tracked events don't break the chain; a
+    # repeated cond-1 event merely re-anchors (CH event_idx==0 branch)
     seq = [(1, 1.0, "A"), (1, 2.0, "A"), (1, 3.0, "B"), (1, 4.0, "C")]
     assert level(seq)[1] == 3
-    # strict_order: the repeated A (not the needed B) freezes at level 1
-    assert level(seq, ("strict_order",))[1] == 1
-    # strict_dedup: consecutive same-condition events freeze the chain
-    assert level(seq, ("strict_dedup",))[1] == 1
+    # strict_order (CH exact, wave-35): only events matching NO tracked
+    # condition break the scan — the repeated A is cond 1, so the chain
+    # completes; an untracked X after the first chain event terminates
+    assert level(seq, ("strict_order",))[1] == 3
+    broken = [(1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "X"), (1, 4.0, "C")]
+    assert level(broken)[1] == 3                      # default ignores X
+    assert level(broken, ("strict_order",))[1] == 2   # CH docs' A,B,D,C
+    pre = [(1, 1.0, "X"), (1, 2.0, "A"), (1, 3.0, "B"), (1, 4.0, "C")]
+    assert level(pre, ("strict_order",))[1] == 3      # X before chain: skip
+    # strict_dedup (CH exact, wave-35): cond-1 repeats re-anchor (the
+    # event_idx==0 branch precedes the dedup check), so seq completes;
+    # a repeat of an already-REACHED level k>=2 stops processing and
+    # returns k — even after a deeper level was reached
+    assert level(seq, ("strict_dedup",))[1] == 3
+    # a repeat AFTER the chain completed is shielded by CH's early
+    # return (event_idx+1 == events_size returns immediately)...
+    rep_after = [(1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "C"), (1, 4.0, "B")]
+    assert level(rep_after, ("strict_dedup",))[1] == 3
+    # ...but a MID-CHAIN repeat of a reached level stops and returns it
+    rep_mid = [(1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "B"), (1, 4.0, "C")]
+    assert level(rep_mid)[1] == 3
+    assert level(rep_mid, ("strict_dedup",))[1] == 2  # CH returns s there
     clean = [(1, 1.0, "A"), (1, 2.0, "B"), (1, 3.0, "C")]
     for m in ((), ("strict_order",), ("strict_dedup",), ("strict_increase",)):
         assert level(clean, m)[1] == 3, m
@@ -821,10 +840,107 @@ def test_window_funnel_strict_modes(spark):
     # window still applies in every mode
     late = [(1, 1.0, "A"), (1, 500.0, "B")]
     assert level(late, ("strict_order",))[1] == 1
+    # re-anchoring (wave-35 probe find): a later cond-1 event starts a
+    # fresh chain after the first one stalls outside the window
+    reanchor = [(1, 0.0, "A"), (1, 200.0, "A"), (1, 205.0, "B")]
+    assert level(reanchor)[1] == 2
     import pytest as _pytest
 
     with _pytest.raises(ValueError, match="unknown windowFunnel modes"):
         level(clean, ("bogus",))
+
+
+def _ch_window_funnel_reference(events, n_conds, window, strict_order=False,
+                                strict_dedup=False, strict_increase=False):
+    """Line-by-line Python replica of ClickHouse's
+    AggregateFunctionWindowFunnel.h::getEventLevel — the independent
+    oracle for the Spark fold. events = [(t, step)] with step 0 = no
+    condition matched (collected only under strict_order)."""
+    events = sorted(events)
+    ts = [None] * n_conds  # (chain_first, chain_last) per level
+    first_event = False
+    for t, s in events:
+        idx = s - 1
+        if strict_order and idx == -1:
+            if first_event:
+                break
+            continue
+        elif idx == 0:
+            ts[0] = (t, t)
+            first_event = True
+        elif strict_dedup and ts[idx] is not None:
+            return s
+        elif ts[idx - 1] is not None:
+            first, prev = ts[idx - 1]
+            if t <= first + window and (not strict_increase or prev < t):
+                ts[idx] = (first, t)
+                if idx + 1 == n_conds:
+                    return n_conds
+    for lvl in range(n_conds, 0, -1):
+        if ts[lvl - 1] is not None:
+            return lvl
+    return 0
+
+
+def test_window_funnel_matches_ch_reference(spark):
+    """wave-35 pin: the Spark fold equals the CH algorithm replica on a
+    deterministic battery of adversarial event sequences x all mode
+    combinations."""
+    import itertools
+
+    from clickhouse_arrow_spark.operators.funnel import window_funnel
+
+    conds = ["A", "B", "C"]
+    alphabet = ["A", "B", "C", "X"]
+    # deterministic pseudo-random sequences (affine generator, no RNG)
+    cases = []
+    for seed in range(24):
+        seq, state = [], seed * 2654435761 % 2147483647
+        for i in range(7):
+            state = (state * 1103515245 + 12345) % 2147483647
+            ev = alphabet[state % 4]
+            t = float((state >> 8) % 40)
+            seq.append((t, ev))
+        cases.append(seq)
+    cases += [
+        [(0.0, "A"), (200.0, "A"), (205.0, "B"), (206.0, "C")],
+        [(0.0, "A"), (1.0, "B"), (2.0, "C"), (3.0, "B")],
+        [(1.0, "A"), (1.0, "B"), (1.0, "C")],
+        [(0.0, "B"), (1.0, "C"), (2.0, "A")],
+    ]
+    mode_sets = [
+        (), ("strict_order",), ("strict_dedup",), ("strict_increase",),
+        ("strict_order", "strict_increase"),
+        ("strict_dedup", "strict_increase"),
+    ]
+    rows = []
+    for uid, seq in enumerate(cases):
+        rows += [(uid, t, ev) for t, ev in seq]
+    df = spark.createDataFrame(rows, "u long, t double, e string")
+    for modes in mode_sets:
+        got = {
+            r["u"]: r["funnel_level"]
+            for r in window_funnel(
+                df, "u", "t", [F.col("e") == c for c in conds], 100,
+                modes=modes,
+            ).collect()
+        }
+        for uid, seq in enumerate(cases):
+            # replicate the engine's (t, step) tie-sort: one entry per
+            # matching cond; step 0 rows only under strict_order
+            ev = []
+            for t, e in seq:
+                matched = [i + 1 for i, c in enumerate(conds) if e == c]
+                ev += [(t, s) for s in matched]
+                if not matched and "strict_order" in modes:
+                    ev.append((t, 0))
+            want = _ch_window_funnel_reference(
+                ev, len(conds), 100,
+                strict_order="strict_order" in modes,
+                strict_dedup="strict_dedup" in modes,
+                strict_increase="strict_increase" in modes,
+            )
+            assert got.get(uid, 0) == want, (uid, modes, seq)
 
 
 def test_png_roundtrip_all_filters():

@@ -208,7 +208,11 @@ _OPERATOR_BACKED: dict[str, str] = {
     "avgForEach": "operators.stats.foreach_agg(df, arr, 'avg' [, group_cols])",
     "countForEach": "operators.stats.foreach_agg(df, arr, 'count' [, group_cols])",
     "sequenceCount": "operators.funnel.sequence_count(df, user, ts, pattern, conds)",
-    "windowFunnel": "operators.funnel.window_funnel(df, user, ts, steps, window)",
+    "windowFunnel": (
+        "the parameterized SQL form windowFunnel(window[, 'mode'...])"
+        "(ts, cond1, ...) — IMPLEMENTED — or "
+        "operators.funnel.window_funnel(df, user, ts, steps, window)"
+    ),
     "histogram": "operators.stats.equi_histogram(df, col, n_bins)",
     "topK": "operators.frequency.topk_frequent(df, col, k)",
     "topKWeighted": "operators.frequency.topk_frequent(df, col, k, weight)",
@@ -5303,6 +5307,128 @@ def _best_effort_ts(x: str) -> str:
     return f"coalesce({tries})"
 
 
+def _window_funnel_fmt(p: Args, a: Args) -> str:
+    """`windowFunnel(window[, 'mode'...])(timestamp, cond1, ...)` as a
+    REAL SQL aggregate (round 10 — graduates the operator-naming
+    refusal now that the CH-exact per-level algorithm is pinned): the
+    emitted expression is the same fold operators/funnel.window_funnel
+    runs — one entry per MATCHING condition, (t, step) tie-sorted
+    timeline, per-level chain-start state with cond-1 re-anchoring,
+    strict_order/strict_dedup/strict_increase per
+    AggregateFunctionWindowFunnel.h, last-level early return. One
+    guarded collect per group riding the groupBy exchange (point-
+    statistic contract applies)."""
+    if len(a) < 2:
+        raise UntranslatableFunctionError(
+            "windowFunnel(window[, 'mode'...])(timestamp, cond1, ...) "
+            "needs a timestamp and at least one condition"
+        )
+    window = p[0].strip()
+    if not re.fullmatch(r"\d+", window):
+        raise UntranslatableFunctionError(
+            "windowFunnel: the window must be an integer-literal "
+            "number of time units (seconds for DateTime inputs)"
+        )
+    modes = []
+    for m in p[1:]:
+        mv = m.strip().strip("'").lower()
+        if mv not in ("strict_order", "strict_dedup", "strict_increase",
+                      "strict_deduplication"):
+            raise UntranslatableFunctionError(
+                f"windowFunnel mode {m.strip()}: ClickHouse accepts "
+                "'strict_order', 'strict_dedup', 'strict_increase'"
+            )
+        modes.append("strict_dedup" if mv == "strict_deduplication"
+                     else mv)
+    strict_order = "strict_order" in modes
+    strict_dedup = "strict_dedup" in modes
+    strict_increase = "strict_increase" in modes
+    ts, conds = a[0], a[1:]
+    n = len(conds)
+    t = f"CAST(CAST(({ts}) AS TIMESTAMP) AS DOUBLE)"
+    entries = ", ".join(
+        f"IF(CAST(({c}) AS BOOLEAN), "
+        f"named_struct('t', {t}, 's', {i + 1}), NULL)"
+        for i, c in enumerate(conds)
+    )
+    row_arr = f"filter(array({entries}), _x -> _x IS NOT NULL)"
+    if strict_order:
+        # rows matching NO condition enter as step 0: scan
+        # terminators. The trailing t-NULL filter drops rows whose
+        # timestamp is NULL — including rows the -If combinator
+        # excluded (its CASE nulls every argument): an If-filtered row
+        # must not become a step-0 breaker.
+        row_arr = (
+            f"filter(IF(size({row_arr}) > 0, {row_arr}, "
+            f"array(named_struct('t', {t}, 's', 0))), "
+            f"_x -> _x.t IS NOT NULL)"
+        )
+    tl = _guard_fold(
+        f"array_sort(flatten(collect_list({row_arr})))", "windowFunnel"
+    )
+    nulls = f"array_repeat(CAST(NULL AS DOUBLE), {n})"
+    init = (
+        f"named_struct('f', {nulls}, 'l', {nulls}, "
+        f"'st', 0, 'br', false, 'sn', false)"
+    )
+
+    def setat(arr: str, idx: str, val: str) -> str:
+        return (
+            f"transform({arr}, (_x, _i) -> "
+            f"IF(_i = ({idx}) - 1, {val}, _x))"
+        )
+
+    anchored = (
+        f"named_struct('f', {setat('_ac.f', '1', '_e.t')}, "
+        f"'l', {setat('_ac.l', '1', '_e.t')}, "
+        f"'st', 0, 'br', false, 'sn', true)"
+    )
+    extended = (
+        f"named_struct("
+        f"'f', {setat('_ac.f', '_e.s', 'element_at(_ac.f, _e.s - 1)')}, "
+        f"'l', {setat('_ac.l', '_e.s', '_e.t')}, "
+        f"'st', 0, 'br', false, 'sn', _ac.sn)"
+    )
+    inc = (
+        " AND element_at(_ac.l, _e.s - 1) < _e.t" if strict_increase
+        else ""
+    )
+    branches = [
+        f"WHEN _ac.st > 0 OR _ac.br OR "
+        f"element_at(_ac.f, {n}) IS NOT NULL THEN _ac"
+    ]
+    if strict_order:
+        branches.append(
+            "WHEN _e.s = 0 AND _ac.sn THEN named_struct('f', _ac.f, "
+            "'l', _ac.l, 'st', 0, 'br', true, 'sn', _ac.sn)"
+        )
+        branches.append("WHEN _e.s = 0 THEN _ac")
+    branches.append(f"WHEN _e.s = 1 THEN {anchored}")
+    if strict_dedup:
+        branches.append(
+            "WHEN element_at(_ac.f, _e.s) IS NOT NULL THEN "
+            "named_struct('f', _ac.f, 'l', _ac.l, 'st', _e.s, "
+            "'br', false, 'sn', _ac.sn)"
+        )
+    branches.append(
+        f"WHEN element_at(_ac.f, _e.s - 1) IS NOT NULL "
+        f"AND _e.t <= element_at(_ac.f, _e.s - 1) + {window}{inc} "
+        f"THEN {extended}"
+    )
+    step = f"CASE {' '.join(branches)} ELSE _ac END"
+    fold = f"aggregate({tl}, {init}, (_ac, _e) -> {step})"
+    max_level = (
+        f"array_max(transform(_fs.f, (_x, _i) -> "
+        f"IF(_x IS NOT NULL, _i + 1, 0)))"
+    )
+    # bind the fold once via a 1-element transform (the LTTB trick)
+    return (
+        f"element_at(transform(array({fold}), _fs -> CAST("
+        f"CASE WHEN _fs.st > 0 THEN _fs.st "
+        f"ELSE coalesce({max_level}, 0) END AS INT)), 1)"
+    )
+
+
 def _resample_fmt(base: str) -> Callable[[Args, Args], str]:
     """The -Resample combinator (wave 33): `fResample(start, end,
     step)(args..., key)` splits the group's rows into key-range buckets
@@ -5528,6 +5654,8 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # HLL precision parameter -> relative-SD (wave 35)
     "uniqCombined": _uniq_combined_fmt,
     "uniqCombined64": _uniq_combined_fmt,
+    # the CH-exact funnel fold as a real SQL aggregate (round 10)
+    "windowFunnel": _window_funnel_fmt,
     "largestTriangleThreeBuckets": _lttb_fmt,
     "lttb": _lttb_fmt,
     # the -Resample combinator over the common bases (wave 33)

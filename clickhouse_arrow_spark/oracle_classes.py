@@ -179,6 +179,14 @@ CLASSES: dict[str, tuple[str, str]] = {
     # ---- as-of / events -------------------------------------------------
     "asof_events_orders": ("duckdb-native", "DuckDB ASOF JOIN is the oracle"),
     "events_fill_gaps": ("standard-sql", "spine left-join densify"),
+    "events_window_funnel_sql": (
+        "reformulation",
+        "exists-subsequence oracle shares the default-mode reading "
+        "(provably equal to CH's greedy); pinned against the CH "
+        "replica tests/test_operators.py::"
+        "test_window_funnel_matches_ch_reference and the SQL-form "
+        "battery tests/test_sweep_wave35.py::"
+        "test_window_funnel_sql_matches_ch_reference"),
     "events_funnel_family": (
         "reformulation",
         "windowFunnel step semantics read identically on both sides; "

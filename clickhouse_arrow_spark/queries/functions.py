@@ -546,6 +546,60 @@ def events_funnel_family(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "events_window_funnel_sql",
+    """
+    WITH e AS (
+      SELECT user_id, epoch(ts) AS t,
+             CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+                  WHEN 'purchase' THEN 3 ELSE 0 END AS step
+      FROM events
+      WHERE event_type IN ('view', 'click', 'purchase')
+    ),
+    l1 AS (SELECT DISTINCT user_id FROM e WHERE step = 1),
+    l2 AS (
+      SELECT DISTINCT e1.user_id FROM e e1 JOIN e e2
+        ON e1.user_id = e2.user_id AND e1.step = 1 AND e2.step = 2
+       AND e2.t >= e1.t AND e2.t <= e1.t + 86400),
+    l3 AS (
+      SELECT DISTINCT e1.user_id FROM e e1
+      JOIN e e2 ON e1.user_id = e2.user_id AND e1.step = 1 AND e2.step = 2
+       AND e2.t >= e1.t AND e2.t <= e1.t + 86400
+      JOIN e e3 ON e3.user_id = e1.user_id AND e3.step = 3
+       AND e3.t >= e2.t AND e3.t <= e1.t + 86400)
+    SELECT u.user_id,
+           CAST(CASE WHEN l3.user_id IS NOT NULL THEN 3
+                WHEN l2.user_id IS NOT NULL THEN 2
+                WHEN l1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS INT) AS funnel_level
+    FROM (SELECT DISTINCT user_id FROM e) u
+    LEFT JOIN l1 ON u.user_id = l1.user_id
+    LEFT JOIN l2 ON u.user_id = l2.user_id
+    LEFT JOIN l3 ON u.user_id = l3.user_id
+    ORDER BY u.user_id
+    """,
+    doc="Round 10: windowFunnel(window)(ts, cond...) as a REAL SQL "
+    "aggregate through the dialect (dialect._window_funnel_fmt — the "
+    "CH-exact per-level fold emitted as one guarded collect + "
+    "aggregate() expression, same algorithm the operator runs). The "
+    "oracle is the exists-subsequence formulation, provably equal to "
+    "CH's greedy scan in default mode and independent of the fold's "
+    "derivation; strict modes are pinned against the CH-algorithm "
+    "replica in tests.",
+    tags=("events", "funnel", "window-funnel", "dialect"),
+)
+def events_window_funnel_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT user_id, windowFunnel(86400)(ts, "
+        "event_type = 'view', event_type = 'click', "
+        "event_type = 'purchase') AS funnel_level "
+        "FROM events WHERE event_type IN ('view', 'click', 'purchase') "
+        "GROUP BY user_id ORDER BY user_id"
+    )
+
+
+@register(
     "bind_params_query",
     """
     SELECT o_orderstatus, count(*) AS n, round(sum(o_totalprice), 2) AS total

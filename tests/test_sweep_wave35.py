@@ -26,10 +26,9 @@ def one(client, sql):
 # ---- sequenceMatchEvents ---------------------------------------------
 
 def test_sequence_match_events_docs_example(spark):
-    # CH docs: sequenceMatchEvents('(?1).*(?2).*(?3)')(time, number=1,
-    # number=2, number=4) over t=[1..5], number=[1,3,2,1,4] -> [1,3,5]
-    # wait: numbers at t1..t5 are 1,3,2,1,4 -> cond1 at t=1 (number=1),
-    # cond2 at t=3 (number=2), cond3 at t=5 (number=4)
+    # CH docs shape: sequenceMatchEvents('(?1).*(?2).*(?3)')(time,
+    # number=1, number=2, number=4) over t=[1..5], number=[1,3,2,1,4]:
+    # cond1 matches at t=1, cond2 at t=3, cond3 at t=5 -> [1, 3, 5]
     from clickhouse_arrow_spark.operators.funnel import (
         sequence_match_events,
     )
@@ -200,3 +199,109 @@ def test_date32_saturation(spark):
     assert str(got["mid"]) == "2024-02-29"
     assert str(got["hi_n"]) == "2299-12-31"
     assert got["bad"] is None
+
+
+# ---- windowFunnel as a REAL SQL aggregate -----------------------------
+
+def test_window_funnel_sql_matches_ch_reference(client, spark):
+    """The SQL-form fold equals the line-by-line CH replica (the same
+    battery the operator is pinned against)."""
+    from tests.test_operators import _ch_window_funnel_reference
+
+    conds = ["A", "B", "C"]
+    alphabet = ["A", "B", "C", "X"]
+    cases = []
+    for seed in range(16):
+        seq, state = [], seed * 2654435761 % 2147483647
+        for _ in range(7):
+            state = (state * 1103515245 + 12345) % 2147483647
+            seq.append((float((state >> 8) % 40), alphabet[state % 4]))
+        cases.append(seq)
+    cases += [
+        [(0.0, "A"), (200.0, "A"), (205.0, "B"), (206.0, "C")],
+        [(1.0, "A"), (2.0, "B"), (3.0, "B"), (4.0, "C")],
+        [(1.0, "A"), (1.0, "B"), (1.0, "C")],
+    ]
+    rows = []
+    for uid, seq in enumerate(cases):
+        rows += [(uid, t, e) for t, e in seq]
+    spark.createDataFrame(rows, "u long, t double, e string") \
+        .createOrReplaceTempView("wf_sql_battery")
+    for modes in ((), ("strict_order",), ("strict_dedup",),
+                  ("strict_increase",)):
+        mode_sql = "".join(f", '{m}'" for m in modes)
+        got = {
+            r["u"]: r["lvl"]
+            for r in client.query_ch(
+                f"SELECT u, windowFunnel(100{mode_sql})(t, e = 'A', "
+                "e = 'B', e = 'C') AS lvl FROM wf_sql_battery "
+                "GROUP BY u"
+            ).collect()
+        }
+        for uid, seq in enumerate(cases):
+            ev = []
+            for t, e in seq:
+                matched = [i + 1 for i, c in enumerate(conds) if e == c]
+                ev += [(t, s) for s in matched]
+                if not matched and "strict_order" in modes:
+                    ev.append((t, 0))
+            want = _ch_window_funnel_reference(
+                ev, 3, 100,
+                strict_order="strict_order" in modes,
+                strict_dedup="strict_dedup" in modes,
+                strict_increase="strict_increase" in modes,
+            )
+            assert got[uid] == want, (uid, modes, seq)
+
+
+def test_window_funnel_sql_refusals(client):
+    with pytest.raises(UntranslatableFunctionError, match="mode"):
+        client.query_ch(
+            "SELECT windowFunnel(10, 'bogus')(ts, value > 0) "
+            "FROM events GROUP BY user_id"
+        )
+    with pytest.raises(UntranslatableFunctionError,
+                       match="integer-literal"):
+        client.query_ch(
+            "SELECT windowFunnel(user_id)(ts, value > 0) "
+            "FROM events GROUP BY user_id"
+        )
+    # the bare (non-parameterized) spelling still names both recipes
+    with pytest.raises(UntranslatableFunctionError, match="IMPLEMENTED"):
+        client.query_ch(
+            "SELECT windowFunnel(ts, value > 0) FROM events "
+            "GROUP BY user_id"
+        )
+
+
+def test_window_funnel_sql_fold_contract(client, tables):
+    with pytest.raises(Exception, match="max_fold_group_rows"):
+        client.query_ch(
+            "SELECT windowFunnel(86400)(ts, value > 0, value > 1) "
+            "AS lvl FROM events GROUP BY user_id "
+            "SETTINGS max_fold_group_rows = 2"
+        ).collect()
+
+
+def test_window_funnel_if_strict_order(client, spark):
+    # the -If combinator EXCLUDES rows entirely: an If-filtered
+    # untracked row must not become a strict_order scan terminator,
+    # while an included one must
+    rows = [
+        (1, 1.0, "A", 1), (1, 2.0, "B", 1), (1, 3.0, "X", 0),
+        (1, 4.0, "C", 1),
+        (2, 1.0, "A", 1), (2, 2.0, "B", 1), (2, 3.0, "X", 1),
+        (2, 4.0, "C", 1),
+    ]
+    spark.createDataFrame(
+        rows, "u long, t double, e string, flag int"
+    ).createOrReplaceTempView("wf_if_view")
+    out = {
+        r["u"]: r["lvl"]
+        for r in client.query_ch(
+            "SELECT u, windowFunnelIf(100, 'strict_order')(t, e = 'A', "
+            "e = 'B', e = 'C', flag = 1) AS lvl FROM wf_if_view "
+            "GROUP BY u ORDER BY u"
+        ).collect()
+    }
+    assert out == {1: 3, 2: 2}

@@ -197,7 +197,11 @@ _OPERATOR_BACKED: dict[str, str] = {
     "groupArrayMovingAvg": (
         "operators.timeseries.group_array_moving(df, keys, order, value, n)"
     ),
-    "sequenceMatch": "operators.funnel.sequence_match(df, user, ts, pattern, conds)",
+    "sequenceMatch": (
+        "the parameterized SQL form sequenceMatch('pattern')(ts, "
+        "cond1, ...) — IMPLEMENTED for time-free patterns — or "
+        "operators.funnel.sequence_match(df, user, ts, pattern, conds)"
+    ),
     "sequenceMatchEvents": (
         "operators.funnel.sequence_match_events(df, user, ts, pattern, "
         "conds) — timestamps of the first match's (?N) events"
@@ -207,7 +211,11 @@ _OPERATOR_BACKED: dict[str, str] = {
     "maxForEach": "operators.stats.foreach_agg(df, arr, 'max' [, group_cols])",
     "avgForEach": "operators.stats.foreach_agg(df, arr, 'avg' [, group_cols])",
     "countForEach": "operators.stats.foreach_agg(df, arr, 'count' [, group_cols])",
-    "sequenceCount": "operators.funnel.sequence_count(df, user, ts, pattern, conds)",
+    "sequenceCount": (
+        "the parameterized SQL form sequenceCount('pattern')(ts, "
+        "cond1, ...) — IMPLEMENTED for time-free patterns — or "
+        "operators.funnel.sequence_count(df, user, ts, pattern, conds)"
+    ),
     "windowFunnel": (
         "the parameterized SQL form windowFunnel(window[, 'mode'...])"
         "(ts, cond1, ...) — IMPLEMENTED — or "
@@ -5307,6 +5315,77 @@ def _best_effort_ts(x: str) -> str:
     return f"coalesce({tries})"
 
 
+def _sequence_match_fmt(count_mode: bool) -> Callable[[Args, Args], str]:
+    """`sequenceMatch('(?1).*(?2)')(ts, cond1, ...)` /
+    `sequenceCount(...)` as REAL SQL aggregates (round 10): the
+    time-free pattern collapses each event to one symbol character and
+    the whole aggregate is one guarded collect + ordered array_join +
+    RLIKE/regexp_count — the exact expression
+    operators/funnel._symbol_strings builds, emitted inline so the CH
+    spelling works in any query. Patterns with `(?t...)` constraints
+    have no symbol-string form and keep the operator recipe (the
+    backtracking matcher needs per-event timestamps). Caveat shared
+    with the operator's fast path: an event matching SEVERAL
+    conditions gets the FIRST condition's symbol — overlapping
+    condition sets need operators/funnel.sequence_match(engine=
+    'pandas')."""
+
+    def fmt(p: Args, a: Args) -> str:
+        from clickhouse_arrow_spark.operators.funnel import (
+            _ALPHABET_START,
+            ch_sequence_pattern_to_regex,
+            parse_sequence_pattern,
+        )
+
+        fn = "sequenceCount" if count_mode else "sequenceMatch"
+        if len(p) != 1 or not (
+            p[0].strip().startswith("'") and p[0].strip().endswith("'")
+        ):
+            raise UntranslatableFunctionError(
+                f"{fn}('pattern')(ts, cond1, ...): the pattern must be "
+                "one string literal"
+            )
+        if len(a) < 2:
+            raise UntranslatableFunctionError(
+                f"{fn}: needs a timestamp and at least one condition"
+            )
+        pattern = p[0].strip()[1:-1].replace("''", "'")
+        n = len(a) - 1
+        if "(?t" in pattern.replace(" ", ""):
+            raise UntranslatableFunctionError(
+                f"{fn}: time-constrained patterns ((?t...)) need the "
+                "per-event timestamps — use operators.funnel."
+                f"{'sequence_count' if count_mode else 'sequence_match'}"
+                "(df, user, ts, pattern, conds) (the Arrow-batched "
+                "backtracking matcher)"
+            )
+        try:
+            parse_sequence_pattern(pattern, n)
+            regex = ch_sequence_pattern_to_regex(pattern, n)
+        except ValueError as e:
+            raise UntranslatableFunctionError(f"{fn}: {e}") from None
+        ts, conds = a[0], a[1:]
+        t = f"CAST(CAST(({ts}) AS TIMESTAMP) AS DOUBLE)"
+        sym = "CASE " + " ".join(
+            f"WHEN CAST(({c}) AS BOOLEAN) "
+            f"THEN '{chr(_ALPHABET_START + i)}'"
+            for i, c in enumerate(conds)
+        ) + " END"
+        arr = _guard_fold(
+            f"array_sort(filter(collect_list(named_struct("
+            f"'t', {t}, 's', {sym})), "
+            f"_x -> _x.s IS NOT NULL AND _x.t IS NOT NULL))",
+            fn,
+        )
+        s = f"array_join(transform({arr}, _x -> _x.s), '')"
+        sql_re = regex.replace("'", "''")
+        if count_mode:
+            return f"CAST(regexp_count({s}, '{sql_re}') AS INT)"
+        return f"CAST(({s} RLIKE '{sql_re}') AS INT)"
+
+    return fmt
+
+
 def _window_funnel_fmt(p: Args, a: Args) -> str:
     """`windowFunnel(window[, 'mode'...])(timestamp, cond1, ...)` as a
     REAL SQL aggregate (round 10 — graduates the operator-naming
@@ -5656,6 +5735,9 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     "uniqCombined64": _uniq_combined_fmt,
     # the CH-exact funnel fold as a real SQL aggregate (round 10)
     "windowFunnel": _window_funnel_fmt,
+    # symbol-string sequence aggregates (round 10; time-free patterns)
+    "sequenceMatch": _sequence_match_fmt(count_mode=False),
+    "sequenceCount": _sequence_match_fmt(count_mode=True),
     "largestTriangleThreeBuckets": _lttb_fmt,
     "lttb": _lttb_fmt,
     # the -Resample combinator over the common bases (wave 33)

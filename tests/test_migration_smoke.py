@@ -1176,6 +1176,29 @@ QUERIES = [
     ("SELECT count() AS sunday_orders FROM orders "
      "WHERE formatDateTime(o_orderdate, '%w') = '0'",
      (1, 1)),
+    # ---- round 10: funnel + sequence SQL aggregates ----
+    ("SELECT windowFunnel(86400)(ts, event_type = 'view', "
+     "event_type = 'click', event_type = 'purchase') AS lvl, "
+     "count() AS n FROM events GROUP BY user_id % 5 ORDER BY lvl",
+     (1, 5)),
+    ("SELECT user_id, windowFunnel(3600, 'strict_increase')(ts, "
+     "event_type = 'view', event_type = 'purchase') AS lvl "
+     "FROM events WHERE user_id < 12 GROUP BY user_id "
+     "HAVING lvl >= 1 ORDER BY user_id",
+     (0, 12)),
+    ("SELECT countIf(m = 1) AS converted FROM (SELECT user_id, "
+     "sequenceMatch('(?1).*(?2)')(ts, event_type = 'click', "
+     "event_type = 'purchase') AS m FROM events GROUP BY user_id)",
+     (1, 1)),
+    ("SELECT user_id, sequenceCount('(?1)(?2)')(ts, "
+     "event_type = 'view', event_type = 'click') AS vc_chains "
+     "FROM events WHERE user_id < 10 GROUP BY user_id "
+     "ORDER BY vc_chains DESC, user_id LIMIT 5",
+     (1, 5)),
+    ("SELECT quantile(0.9)(lvl * 1.0) AS p90_funnel FROM (SELECT "
+     "windowFunnel(86400)(ts, event_type = 'view', "
+     "event_type = 'click') AS lvl FROM events GROUP BY user_id)",
+     (1, 1)),
 ]
 
 

@@ -305,3 +305,75 @@ def test_window_funnel_if_strict_order(client, spark):
         ).collect()
     }
     assert out == {1: 3, 2: 2}
+
+
+# ---- sequenceMatch/sequenceCount as SQL aggregates ---------------------
+
+def test_sequence_match_sql_form(client, spark):
+    rows = [
+        (1, 1.0, "click"), (1, 2.0, "view"), (1, 3.0, "purchase"),
+        (2, 1.0, "purchase"), (2, 2.0, "click"),
+        (3, 1.0, "click"), (3, 2.0, "purchase"), (3, 3.0, "click"),
+        (3, 4.0, "purchase"),
+    ]
+    spark.createDataFrame(rows, "u long, t double, e string") \
+        .createOrReplaceTempView("seq_sql_view")
+    out = {
+        r["u"]: (r["m"], r["strict_m"], r["n"])
+        for r in client.query_ch(
+            "SELECT u, sequenceMatch('(?1).*(?2)')(t, e = 'click', "
+            "e = 'purchase') AS m, "
+            "sequenceMatch('(?1)(?2)')(t, e = 'click', "
+            "e = 'purchase') AS strict_m, "
+            "sequenceCount('(?1)(?2)')(t, e = 'click', "
+            "e = 'purchase') AS n "
+            "FROM seq_sql_view GROUP BY u ORDER BY u"
+        ).collect()
+    }
+    # events matching NO condition are EXCLUDED before the string is
+    # built (CH docs' 1,3,2 example) — user 1's interleaved 'view'
+    # does not break (?1)(?2) adjacency
+    assert out == {1: (1, 1, 1), 2: (0, 0, 0), 3: (1, 1, 2)}
+
+
+def test_sequence_match_sql_agrees_with_operator(client, spark, tables):
+    from clickhouse_arrow_spark.operators.funnel import sequence_match
+
+    got_sql = {
+        r["user_id"]: r["m"]
+        for r in client.query_ch(
+            "SELECT user_id, sequenceMatch('(?1).*(?2)')(ts, "
+            "event_type = 'click', event_type = 'purchase') AS m "
+            "FROM events GROUP BY user_id"
+        ).collect()
+    }
+    got_op = {
+        r["user_id"]: r["matched"]
+        for r in sequence_match(
+            spark.table("events"), "user_id", "ts", "(?1).*(?2)",
+            [F.col("event_type") == "click",
+             F.col("event_type") == "purchase"],
+        ).collect()
+    }
+    # the operator drops users with NO matching events; the SQL
+    # aggregate keeps every group (empty string -> no match)
+    for u, m in got_op.items():
+        assert got_sql[u] == m, u
+
+
+def test_sequence_match_sql_time_constraint_refused(client):
+    with pytest.raises(UntranslatableFunctionError,
+                       match="backtracking"):
+        client.query_ch(
+            "SELECT sequenceMatch('(?1)(?t<=600)(?2)')(ts, value > 0, "
+            "value < 0) FROM events GROUP BY user_id"
+        )
+
+
+def test_sequence_match_sql_fold_contract(client, tables):
+    with pytest.raises(Exception, match="max_fold_group_rows"):
+        client.query_ch(
+            "SELECT sequenceCount('(?1)(?2)')(ts, value > 0, "
+            "value <= 0) AS n FROM events GROUP BY user_id "
+            "SETTINGS max_fold_group_rows = 2"
+        ).collect()

@@ -369,8 +369,9 @@ _OPERATOR_BACKED: dict[str, str] = {
     ),
     "lttb": "operators.timeseries.lttb(df, x, y, n_buckets, keys)",
     "sparkbar": (
-        "operators.timeseries.sparkbar(df, keys, x, y, width) — keyed "
-        "slot aggregation + glyph render, no Python"
+        "the parameterized SQL form sparkbar(width[, min_x, max_x])"
+        "(x, y) — IMPLEMENTED — or operators.timeseries.sparkbar(df, "
+        "keys, x, y, width) (keyed slot aggregation + glyph render)"
     ),
     "replicate": (
         "internal to CH's array machinery; the user-facing shape is "
@@ -5386,6 +5387,84 @@ def _sequence_match_fmt(count_mode: bool) -> Callable[[Args, Args], str]:
     return fmt
 
 
+_SPARKBAR_GLYPHS_SQL = "▁▂▃▄▅▆▇█"
+
+
+def _sparkbar_fmt(p: Args, a: Args) -> str:
+    """`sparkbar(width[, min_x, max_x])(x, y)` as a REAL SQL aggregate
+    (round 10): one guarded collect + per-slot array folds + the glyph
+    ramp — the same bucket/scale/glyph arithmetic
+    operators/timeseries.sparkbar computes with two keyed exchanges,
+    emitted inline as ONE aggregate expression (O(width · n) slot
+    filters per group; width is a literal, capped at 256). Empty
+    slots render a space; an empty group renders ''."""
+    if len(p) not in (1, 3):
+        raise UntranslatableFunctionError(
+            "sparkbar(width[, min_x, max_x])(x, y): one or three "
+            "parameters"
+        )
+    if not re.fullmatch(r"\d+", p[0].strip()):
+        raise UntranslatableFunctionError(
+            "sparkbar: width must be an integer literal"
+        )
+    width = int(p[0].strip())
+    if not 1 <= width <= 256:
+        raise UntranslatableFunctionError(
+            f"sparkbar width {width}: 1..256 supported (each slot is "
+            "one array fold per group)"
+        )
+    if len(a) != 2:
+        raise UntranslatableFunctionError(
+            "sparkbar(width)(x, y) takes two arguments"
+        )
+    x, y = a
+    arr = _guard_fold(
+        f"filter(collect_list(named_struct('x', CAST(({x}) AS DOUBLE), "
+        f"'y', CAST(({y}) AS DOUBLE))), "
+        f"_p -> _p.x IS NOT NULL AND _p.y IS NOT NULL)",
+        "sparkbar",
+    )
+    if len(p) == 3:
+        lo = f"CAST(({p[1].strip()}) AS DOUBLE)"
+        hi = f"CAST(({p[2].strip()}) AS DOUBLE)"
+    else:
+        lo = "array_min(transform(_sb_a, _p -> _p.x))"
+        hi = "array_max(transform(_sb_a, _p -> _p.x))"
+    slot = (
+        f"IF(_sb_b.hi > _sb_b.lo, least({width - 1}, "
+        f"CAST(floor((_p.x - _sb_b.lo) / "
+        f"((_sb_b.hi - _sb_b.lo) / {width})) AS INT)), 0)"
+    )
+    inr = (
+        "filter(_sb_a, _p -> _p.x >= _sb_b.lo AND _p.x <= _sb_b.hi)"
+    )
+    slots = (
+        f"transform(sequence(0, {width - 1}), _i -> named_struct("
+        f"'v', aggregate(filter({inr}, _p -> {slot} = _i), "
+        f"CAST(0 AS DOUBLE), (_ac, _p) -> _ac + _p.y), "
+        f"'n', size(filter({inr}, _p -> {slot} = _i))))"
+    )
+    mx = (
+        "array_max(transform(_sb_s, _t -> "
+        "IF(_t.n > 0, _t.v, CAST(NULL AS DOUBLE))))"
+    )
+    glyph = (
+        f"array_join(transform(_sb_s, _t -> IF(_t.n = 0, ' ', "
+        f"substring('{_SPARKBAR_GLYPHS_SQL}', greatest(1, least(8, "
+        f"CAST(floor(_t.v * 8.0 / _sb_m) AS INT) + 1)), 1))), '')"
+    )
+    rendered = (
+        f"element_at(transform(array({slots}), _sb_s -> "
+        f"element_at(transform(array({mx}), _sb_m -> {glyph}), 1)), 1)"
+    )
+    return (
+        f"element_at(transform(array({arr}), _sb_a -> "
+        f"IF(size(_sb_a) = 0, '', "
+        f"element_at(transform(array(named_struct('lo', {lo}, "
+        f"'hi', {hi})), _sb_b -> {rendered}), 1))), 1)"
+    )
+
+
 def _window_funnel_fmt(p: Args, a: Args) -> str:
     """`windowFunnel(window[, 'mode'...])(timestamp, cond1, ...)` as a
     REAL SQL aggregate (round 10 — graduates the operator-naming
@@ -5738,6 +5817,8 @@ _PARAMETRIC: dict[str, Callable[[Args, Args], str]] = {
     # symbol-string sequence aggregates (round 10; time-free patterns)
     "sequenceMatch": _sequence_match_fmt(count_mode=False),
     "sequenceCount": _sequence_match_fmt(count_mode=True),
+    # glyph-ramp render as one aggregate expression (round 10)
+    "sparkbar": _sparkbar_fmt,
     "largestTriangleThreeBuckets": _lttb_fmt,
     "lttb": _lttb_fmt,
     # the -Resample combinator over the common bases (wave 33)

@@ -377,3 +377,55 @@ def test_sequence_match_sql_fold_contract(client, tables):
             "value <= 0) AS n FROM events GROUP BY user_id "
             "SETTINGS max_fold_group_rows = 2"
         ).collect()
+
+
+# ---- sparkbar as a SQL aggregate ---------------------------------------
+
+def test_sparkbar_sql_matches_operator(client, spark):
+    from clickhouse_arrow_spark.operators.timeseries import sparkbar
+
+    rows = [(1, float(x), float(y)) for x, y in
+            [(1, 10), (2, 40), (3, 12), (4, 30), (5, 25), (6, 5),
+             (8, 100)]]
+    rows += [(2, 1.0, 5.0), (2, 9.0, 3.0)]
+    df = spark.createDataFrame(rows, "k long, x double, y double")
+    df.createOrReplaceTempView("sparkbar_sql_view")
+    op = {r["k"]: r["sparkbar"]
+          for r in sparkbar(df, ["k"], "x", "y", 10).collect()}
+    got = {r["k"]: r["sb"] for r in client.query_ch(
+        "SELECT k, sparkbar(10)(x, y) AS sb FROM sparkbar_sql_view "
+        "GROUP BY k ORDER BY k").collect()}
+    assert got == op
+    # hand pin (the util_sparkbar oracle's glyph arithmetic): slot
+    # sums 10,40,12,30,25,5,_,100 over 10 slots scale to max 100
+    assert got[1] == "▁▄▁ ▃▃ ▁ █"
+    # bounded [min_x, max_x] form
+    opb = {r["k"]: r["sparkbar"]
+           for r in sparkbar(df, ["k"], "x", "y", 5, 0, 10).collect()}
+    gotb = {r["k"]: r["sb"] for r in client.query_ch(
+        "SELECT k, sparkbar(5, 0, 10)(x, y) AS sb "
+        "FROM sparkbar_sql_view GROUP BY k ORDER BY k").collect()}
+    assert gotb == opb
+
+
+def test_sparkbar_sql_refusals(client):
+    with pytest.raises(UntranslatableFunctionError, match="1..256"):
+        client.query_ch(
+            "SELECT sparkbar(0)(value, value) FROM events "
+            "GROUP BY user_id"
+        )
+    with pytest.raises(UntranslatableFunctionError,
+                       match="integer literal"):
+        client.query_ch(
+            "SELECT sparkbar(user_id)(value, value) FROM events "
+            "GROUP BY user_id"
+        )
+
+
+def test_sparkbar_sql_fold_contract(client, tables):
+    with pytest.raises(Exception, match="max_fold_group_rows"):
+        client.query_ch(
+            "SELECT sparkbar(8)(toUnixTimestamp(ts), value) AS sb "
+            "FROM events GROUP BY user_id "
+            "SETTINGS max_fold_group_rows = 2"
+        ).collect()

@@ -958,7 +958,8 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return expr
 
         return variant_element
-    if name in ("formatDateTime", "parseDateTime", "parseDateTimeOrNull"):
+    if name in ("formatDateTime", "parseDateTime", "parseDateTimeOrNull",
+                "parseDateTimeOrZero"):
         # CH specifiers (NOTE: %M and %i are BOTH minutes in CH, unlike
         # MySQL's %M month name) -> Spark datetime pattern. Literal
         # letters are quoted (Java patterns treat bare letters as
@@ -1019,6 +1020,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             sql_fmt = out_fmt.replace("'", "''")  # re-escape for the SQL literal
             if _name == "formatDateTime":
                 return f"date_format({a[0]}, '{sql_fmt}')"
+            if _name.endswith("OrZero"):
+                # CH OrZero: unparseable input -> epoch zero
+                return (
+                    f"coalesce(try_to_timestamp({a[0]}, '{sql_fmt}'), "
+                    f"TIMESTAMP '1970-01-01 00:00:00')"
+                )
             fn = "try_to_timestamp" if _name.endswith("OrNull") else "to_timestamp"
             return f"{fn}({a[0]}, '{sql_fmt}')"
 
@@ -3123,6 +3130,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return lambda a: f"to_timestamp({a[0]}, {a[1]})"
     if name in ("parseDateTimeInJodaSyntaxOrNull",):
         return lambda a: f"try_to_timestamp({a[0]}, {a[1]})"
+    if name == "parseDateTimeInJodaSyntaxOrZero":
+        # CH OrZero: unparseable input -> the epoch zero timestamp
+        return lambda a: (
+            f"coalesce(try_to_timestamp({a[0]}, {a[1]}), "
+            f"TIMESTAMP '1970-01-01 00:00:00')"
+        )
     if name == "fromUnixTimestampInJodaSyntax":
         return lambda a: f"date_format(timestamp_seconds({a[0]}), {a[1]})"
     if name == "toUTCTimestamp":

@@ -429,3 +429,16 @@ def test_sparkbar_sql_fold_contract(client, tables):
             "FROM events GROUP BY user_id "
             "SETTINGS max_fold_group_rows = 2"
         ).collect()
+
+
+def test_parse_datetime_or_zero_forms(spark):
+    r = spark.sql(translate_ch_sql(
+        "SELECT parseDateTimeOrZero('garbage', '%Y-%m-%d') AS a, "
+        "parseDateTimeOrZero('2024-03-05', '%Y-%m-%d') AS b, "
+        "parseDateTimeInJodaSyntaxOrZero('x', 'yyyy-MM-dd') AS c, "
+        "parseDateTimeInJodaSyntaxOrZero('2024-03-05', 'yyyy-MM-dd') AS d"
+    )).collect()[0]
+    assert str(r["a"]) == "1970-01-01 00:00:00"
+    assert str(r["b"]) == "2024-03-05 00:00:00"
+    assert str(r["c"]) == "1970-01-01 00:00:00"
+    assert str(r["d"]) == "2024-03-05 00:00:00"

@@ -684,6 +684,7 @@ def substring_dedup(
     id_col: str = "doc_id",
     min_tokens: int = 50,
     keep_text: bool = True,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Exact-substring deduplication (Lee et al. 2021, "Deduplicating
     Training Data Makes Language Models Better", §4.1 ExactSubstr):
@@ -707,7 +708,11 @@ def substring_dedup(
     4. optionally reassemble the cleaned text by filtering token
        indexes against the merged intervals.
 
-    Returns (id, n_tokens, n_removed [, text_clean]).
+    Returns (id, n_tokens, n_removed [, text_clean] [, *passthrough]) —
+    ``passthrough`` names extra input columns carried onto the output
+    unchanged (rides the existing per-doc frame; no extra join), so a
+    composed pipeline keeps e.g. lang/source flowing (round-11 e2e
+    composition gate).
 
     Scale: the window explode is the only size amplification
     (~n_tokens rows/doc, each a fixed 16-byte digest + two longs);
@@ -731,8 +736,9 @@ def substring_dedup(
         F.split(F.lower(F.trim(F.col(text_col))), r"\s+"),
         lambda w: w != "",
     )
-    toks = df.select(F.col(id_col), words.alias("_toks")).select(
-        id_col, "_toks", F.size("_toks").alias("n_tokens")
+    pt = [F.col(c) for c in passthrough]
+    toks = df.select(F.col(id_col), words.alias("_toks"), *pt).select(
+        id_col, "_toks", F.size("_toks").alias("n_tokens"), *passthrough
     )
     # guard: sequence(0, n-L) DESCENDS when n < L — emit zero windows
     starts = F.when(
@@ -790,9 +796,10 @@ def substring_dedup(
         F.coalesce(
             "_ivs", F.array().cast("array<struct<s:long,e:long>>")
         ).alias("_ivs"),
+        *passthrough,
     )
     if not keep_text:
-        return out.select(id_col, "n_tokens", "n_removed")
+        return out.select(id_col, "n_tokens", "n_removed", *passthrough)
     kept = F.filter(
         F.transform(
             F.col("_toks"),
@@ -810,11 +817,15 @@ def substring_dedup(
         F.array_join(
             F.transform(kept, lambda s: s["t"]), " "
         ).alias("text_clean"),
+        *passthrough,
     )
 
 
 def gopher_quality_filter(
-    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """Gopher quality rules (Rae et al. 2021, §A1.1 — the published
     heuristic battery most open-data pipelines reuse) as ONE projection:
@@ -827,7 +838,9 @@ def gopher_quality_filter(
     - >= 2 of the 8 required English stop words present
 
     Returns the per-rule booleans plus the conjunction (`keep`) so a
-    pipeline can both filter and audit which rule fired. Pure built-in
+    pipeline can both filter and audit which rule fired;
+    ``passthrough`` names extra input columns carried through
+    unchanged (e.g. the text itself, for a composed pipeline). Pure built-in
     expressions — codegen end-to-end, exact DuckDB oracle.
     """
     t = F.col(text_col)
@@ -880,6 +893,7 @@ def gopher_quality_filter(
         stop_hits.cast("int").alias("stop_hits"),
         *[v.alias(k) for k, v in rules.items()],
         keep.alias("keep"),
+        *[F.col(c) for c in passthrough],
     )
 
 
@@ -914,6 +928,7 @@ def c4_line_filter(
     id_col: str = "doc_id",
     min_line_words: int = 3,
     min_kept_lines: int = 1,
+    passthrough: tuple[str, ...] = (),
 ) -> DataFrame:
     """The C4 line-level cleaning rules (Raffel et al. 2020, the
     'Colossal Clean Crawled Corpus' heuristics) as ONE projection —
@@ -927,9 +942,10 @@ def c4_line_filter(
       (code/boilerplate tell), or when fewer than `min_kept_lines`
       lines survive.
 
-    Returns (id, clean_text, kept_lines, total_lines, page_kept) —
-    cleaned text is the surviving lines re-joined with newlines; the
-    caller filters on page_kept. All array/lambda expressions are
+    Returns (id, clean_text, kept_lines, total_lines, page_kept
+    [, *passthrough]) — cleaned text is the surviving lines re-joined
+    with newlines; the caller filters on page_kept; ``passthrough``
+    names extra input columns carried through unchanged. All array/lambda expressions are
     JVM-side (split/filter/array_join inside whole-stage codegen): no
     UDF, no shuffle, linear in corpus bytes — the 100 TB shape is one
     scan.
@@ -954,4 +970,5 @@ def c4_line_filter(
         F.size(kept).cast("int").alias("kept_lines"),
         F.size(lines).cast("int").alias("total_lines"),
         page_ok.alias("page_kept"),
+        *[F.col(c) for c in passthrough],
     )

@@ -14,7 +14,13 @@ from clickhouse_arrow_spark.dialect import translate_ch_sql
     "ch,expected",
     [
         ("SELECT toYYYYMM(d) FROM t", "SELECT CAST(year(d) * 100 + month(d) AS INT) FROM t"),
-        ("SELECT toStartOfMonth(d)", "SELECT date_trunc('month', d)"),
+        # month-and-coarser toStartOf* return Date in CH (wave-36 delta,
+        # closed r11); sub-day stays DateTime
+        ("SELECT toStartOfMonth(d)",
+         "SELECT CAST(date_trunc('month', d) AS DATE)"),
+        ("SELECT toStartOfQuarter(d)",
+         "SELECT CAST(date_trunc('quarter', d) AS DATE)"),
+        ("SELECT toStartOfDay(d)", "SELECT date_trunc('day', d)"),
         ("SELECT countIf(x > 1)", "SELECT count_if(x > 1)"),
         ("SELECT sumIf(v, x > 1)", "SELECT sum(CASE WHEN x > 1 THEN v ELSE 0 END)"),
         ("SELECT uniq(u)", "SELECT approx_count_distinct(u)"),

@@ -5239,27 +5239,39 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                     "implemented (CH's multi-column form hashes the "
                     "tuple; pass a tuple() explicitly)"
                 )
+            # LET-bind the sorted array (and the run-start index list)
+            # via transform(array(x), v -> body): Catalyst does NO
+            # common-subexpression elimination inside lambda bodies, so
+            # the original emission — element_at(<sort(collect)>, i)
+            # inside filter's lambda — re-sorted the whole group PER
+            # ELEMENT: O(n^2 log n), a 40-minute hang on sf0.1's 30k-row
+            # groups (round-11 find). Bound once, the fold is the
+            # documented O(n log n).
             s = _guard_fold(
                 f"array_sort(collect_list({a[0]}))", "entropy"
             )
+            v = "__cas_s"
             starts = (
-                f"filter(sequence(1, size({s})), __cas_i -> "
-                f"__cas_i = 1 OR element_at({s}, __cas_i) != "
-                f"element_at({s}, __cas_i - 1))"
+                f"filter(sequence(1, size({v})), __cas_i -> "
+                f"__cas_i = 1 OR element_at({v}, __cas_i) != "
+                f"element_at({v}, __cas_i - 1))"
             )
+            st = "__cas_st"
             counts = (
-                f"zip_with({starts}, concat(slice({starts}, 2, "
-                f"size({starts})), array(size({s}) + 1)), "
+                f"zip_with({st}, concat(slice({st}, 2, "
+                f"size({st})), array(size({v}) + 1)), "
                 f"(__cas_a, __cas_b) -> CAST(__cas_b - __cas_a "
                 f"AS DOUBLE))"
             )
-            n = f"CAST(size({s}) AS DOUBLE)"
-            return (
-                f"(CASE WHEN size({s}) > 0 THEN "
-                f"log2({n}) - aggregate({counts}, CAST(0 AS DOUBLE), "
+            n = f"CAST(size({v}) AS DOUBLE)"
+            body = (
+                f"CASE WHEN size({v}) > 0 THEN "
+                f"log2({n}) - element_at(transform(array({starts}), "
+                f"{st} -> aggregate({counts}, CAST(0 AS DOUBLE), "
                 f"(__cas_acc, __cas_c) -> __cas_acc "
-                f"+ __cas_c * log2(__cas_c)) / {n} END)"
+                f"+ __cas_c * log2(__cas_c))), 1) / {n} END"
             )
+            return f"element_at(transform(array({s}), {v} -> {body}), 1)"
 
         return entropy_fmt
     if name == "intervalLengthSum":

@@ -137,8 +137,14 @@ def llm_corpus_pipeline(
     )
 
     def keep(df: DataFrame) -> DataFrame:
-        df = df.persist(StorageLevel.MEMORY_AND_DISK)
-        return df
+        # localCheckpoint, not bare persist: each tier's ANALYZED plan
+        # embeds the full lineage of every tier before it, so a 10-tier
+        # composition grows the driver-side plan multiplicatively (the
+        # round-11 build hit a driver OOM at 1 GiB during plan analysis
+        # of tier 6). Checkpointing materializes the stage once (the
+        # summary scan needs it anyway) and restarts the lineage — the
+        # same pattern duplicate_survivors uses per CC round.
+        return df.localCheckpoint(eager=True)
 
     stages: list[tuple[str, DataFrame]] = []
     s0 = keep(synthesize_corpus(docs))
@@ -286,7 +292,7 @@ def stage_summary(stages: list[tuple[str, DataFrame]]) -> DataFrame:
     out = None
     for name, df in stages:
         row = df.agg(
-            F.count("*").alias("rows"),
+            F.count("*").alias("n_rows"),
             F.coalesce(F.sum(toks), F.lit(0)).cast("long").alias("toks"),
             F.count(F.when(
                 (F.col("doc_id") >= EXACT_OFFSET)

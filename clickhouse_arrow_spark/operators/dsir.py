@@ -83,10 +83,16 @@ def hashed_ngram_features(
     )
     grams = toks
     if bigrams:
+        # branch on size >= 2: Spark's sequence(1, 0) counts DOWN
+        # ([1, 0]), so a doc with <= 1 token would index element_at
+        # out of bounds (the _word_ngrams guard; round-11 find — a doc
+        # fully emptied by substring_dedup fed DSIR at sf0.1)
         two = F.expr(
-            "transform(sequence(1, greatest(size({t}) - 1, 0)), "
+            "CASE WHEN size({t}) >= 2 THEN "
+            "transform(sequence(1, size({t}) - 1), "
             "_i -> concat(element_at({t}, _i), ' ', "
-            "element_at({t}, _i + 1)))".format(
+            "element_at({t}, _i + 1))) "
+            "ELSE slice({t}, 1, 0) END".format(
                 t=f"regexp_extract_all(lower({text_col}), '[a-z0-9]+', 0)"
             )
         )

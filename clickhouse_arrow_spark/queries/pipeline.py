@@ -2058,30 +2058,30 @@ def q_core_url_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split_regex(lower(trim(text)), '\\s+'),
                          w -> w <> '') AS tokens
       FROM documents
-    ), win AS (
+    ), win AS MATERIALIZED (
       SELECT doc_id, i - 1 AS pos,
              doc_id * 1048576 + (i - 1) AS key,
              md5(array_to_string(tokens[i:i+7], ' ')) AS digest
       FROM toks, LATERAL (
         SELECT unnest(generate_series(1, greatest(len(tokens) - 7, 0)))
                AS i) g
-    ), dup AS (
+    ), dup AS MATERIALIZED (
       SELECT digest, min(key) AS first_key FROM win
       GROUP BY digest HAVING count(*) >= 2
-    ), marked AS (
+    ), marked AS MATERIALIZED (
       SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (digest)
       WHERE w.key > d.first_key
-    ), brks AS (
+    ), brks AS MATERIALIZED (
       SELECT doc_id, pos,
              CASE WHEN pos > lag(pos) OVER
                (PARTITION BY doc_id ORDER BY pos) + 8
              THEN 1 ELSE 0 END AS brk
       FROM marked
-    ), isl AS (
+    ), isl AS MATERIALIZED (
       SELECT doc_id, pos,
              SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
       FROM brks
-    ), ivs AS (
+    ), ivs AS MATERIALIZED (
       SELECT doc_id, isl_id, min(pos) AS s, max(pos) + 8 AS e
       FROM isl GROUP BY doc_id, isl_id
     )
@@ -4714,7 +4714,7 @@ def q_mix_epoch_expand(spark: SparkSession, sf_dir: str) -> DataFrame:
     ), alloc AS (
       SELECT source, least(cap, (SELECT theta FROM lvl)) AS allocation
       FROM flags
-    ), sel AS (
+    ), sel AS MATERIALIZED (
       SELECT d.source, d.n_chars, a.allocation,
              sum(CAST(d.n_chars AS DOUBLE)) OVER (PARTITION BY d.source
                ORDER BY d.doc_id
@@ -5160,7 +5160,7 @@ def q_util_sweep_wave27(spark: SparkSession, sf_dir: str) -> DataFrame:
                  THEN 1 ELSE 0 END)
              OVER (PARTITION BY k ORDER BY s, e) AS grp
       FROM m
-    ), isl AS (
+    ), isl AS MATERIALIZED (
       SELECT k, grp, MAX(e) - MIN(s) AS len FROM g GROUP BY k, grp
     )
     SELECT k, ROUND(SUM(len), 4) AS ils
@@ -5725,3 +5725,297 @@ def q_agg_delta_intersections(spark: SparkSession, sf_dir: str) -> DataFrame:
         "FROM events WHERE user_id < 50 "
         "GROUP BY user_id ORDER BY user_id"
     )
+
+
+# ---------------------------------------------------------------------------
+# Round 11: end-to-end LLM-pipeline composition gate (VERDICT r10 #2)
+# ---------------------------------------------------------------------------
+
+def _e2e_oracle_sql() -> str:
+    """DuckDB recomputation of the ENTIRE composed pipeline
+    (operators/corpus_pipeline.py) — every tier value-level, no engine
+    hash anywhere: the two hash-dependent tiers (LSH banding, Bloom)
+    are candidate generators whose exact verification makes the drop
+    sets equal the recomputable ground truth (LSH recall argument in
+    dedup_neardup_gate; Bloom has no false negatives)."""
+    from clickhouse_arrow_spark.operators import corpus_pipeline as cp
+
+    L = cp.SUBSTR_L
+    tok = ("len(list_filter(regexp_split_to_array(trim(text), '\\s+'), "
+           "w -> w <> ''))")
+    bucket = "('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT"
+    stop_case = " + ".join(
+        f"CASE WHEN regexp_matches(low, '\\b{w}\\b') THEN 1 ELSE 0 END"
+        for w in ("the", "be", "to", "of", "and", "that", "have", "with")
+    )
+
+    def summary(stage: str, cte: str, digest: str = "0") -> str:
+        return f"""
+  SELECT '{stage}' AS stage, count(*)::BIGINT AS n_rows,
+         coalesce(sum({tok}), 0)::BIGINT AS toks,
+         (count(*) FILTER (doc_id >= {cp.EXACT_OFFSET}
+            AND doc_id < {cp.NEAR_OFFSET}))::BIGINT AS exact_alive,
+         (count(*) FILTER (doc_id >= {cp.NEAR_OFFSET}))::BIGINT
+           AS near_alive,
+         (count(*) FILTER (contains(text, 'zqcontam')))::BIGINT
+           AS contam_alive,
+         (count(*) FILTER (contains(text, 'zqrun01')))::BIGINT
+           AS run_docs,
+         coalesce(sum({bucket}), 0)::BIGINT AS idsum,
+         ({digest})::BIGINT AS order_digest
+  FROM {cte}"""
+
+    shuffle_digest = """
+    SELECT coalesce(sum(rn * b), 0) FROM (
+      SELECT row_number() OVER (
+               ORDER BY md5(doc_id::VARCHAR || ':%(shuf)s'), doc_id) AS rn,
+             ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT AS b
+      FROM s8)""" % {"shuf": cp.SHUFFLE_SEED}
+
+    parts = " UNION ALL ".join([
+        summary("0_input", "corpus0"),
+        summary("1_c4", "s1"),
+        summary("2_gopher", "s2"),
+        summary("3_exact", "s3"),
+        summary("4_neardup", "s4"),
+        summary("5_substr", "s5"),
+        summary("6_decontam", "s6"),
+        summary("7_dsir", "s7"),
+        summary("8_pack", "s8"),
+        summary("9_shuffle", "s8", f"({shuffle_digest})"),
+    ])
+
+    return f"""
+WITH RECURSIVE raw AS MATERIALIZED (
+  SELECT doc_id, text, lang, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS wc_raw
+  FROM documents
+), pages AS MATERIALIZED (
+  SELECT doc_id,
+         text || '.' || chr(10) || '{cp.NOPUNCT_LINE}' || chr(10)
+         || '{cp.STOP_LINE}'
+         || CASE WHEN doc_id % {cp.CONTAM_MOD} = {cp.CONTAM_RES}
+              THEN chr(10) || '{cp.CONTAM_LINE}' ELSE '' END
+         || CASE WHEN doc_id % {cp.RUN_MOD} = {cp.RUN_RES}
+              THEN chr(10) || '{cp.RUN_LINE}' ELSE '' END AS text,
+         lang, source, wc_raw
+  FROM raw
+), corpus0 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM pages
+  UNION ALL
+  SELECT doc_id + {cp.EXACT_OFFSET}, text, lang, source FROM pages
+  WHERE doc_id % {cp.EXACT_MOD} = {cp.EXACT_RES}
+  UNION ALL
+  SELECT doc_id + {cp.NEAR_OFFSET},
+         text || chr(10) || '{cp.NEAR_TAIL}', lang, source
+  FROM pages
+  WHERE doc_id % {cp.NEAR_MOD} = {cp.NEAR_RES}
+    AND wc_raw >= {cp.NEAR_MIN_WORDS}
+), c4a AS MATERIALIZED (
+  SELECT doc_id, lang, source, text AS orig,
+         list_filter(string_split(text, chr(10)), l ->
+           regexp_matches(l, '[.!?][''"’”]?\\s*$')
+           AND len(list_filter(regexp_split_to_array(trim(l), '\\s+'),
+                               w -> w != '')) >= 3
+           AND NOT regexp_matches(lower(l), '\\bjavascript\\b')) AS kl
+  FROM corpus0
+), s1 AS MATERIALIZED (
+  SELECT doc_id, array_to_string(kl, chr(10)) AS text, lang, source
+  FROM c4a
+  WHERE NOT contains(lower(orig), 'lorem ipsum')
+    AND NOT contains(orig, '{{')
+    AND len(kl) >= 1
+), gp AS MATERIALIZED (
+  SELECT doc_id, text, lang, source,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS wc,
+         length(regexp_replace(text, '\\s+', '', 'g')) AS nonspace,
+         length(text) - length(replace(text, '#', '')) AS hashes,
+         (length(text) - length(replace(text, '...', ''))) / 3 AS ells,
+         regexp_split_to_array(trim(text), '\\s+') AS words,
+         string_split(text, chr(10)) AS lines,
+         lower(text) AS low
+  FROM s1
+), s2 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM gp
+  WHERE wc >= 50 AND wc <= 100000
+    AND nonspace / greatest(wc, 1) >= 3
+    AND nonspace / greatest(wc, 1) <= 10
+    AND (hashes + ells) / greatest(wc, 1) <= 0.1
+    AND len(list_filter(lines, x -> regexp_matches(x, '^\\s*[-*•]')))
+        / greatest(len(lines), 1) < 0.9
+    AND len(list_filter(lines, x -> regexp_matches(x, '\\.\\.\\.\\s*$')))
+        / greatest(len(lines), 1) < 0.3
+    AND len(list_filter(words, w -> regexp_matches(w, '[A-Za-z]')))
+        / greatest(wc, 1) >= 0.8
+    AND ({stop_case}) >= 2
+), s3 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM (
+    SELECT *, min(doc_id) OVER (PARTITION BY
+      regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS mid
+    FROM s2)
+  WHERE doc_id = mid
+), prof AS MATERIALIZED (
+  SELECT doc_id, grp, nlen,
+         list_distinct(list_transform(
+           range(1, greatest(len(toks) - 2, 1) + 1),
+           i -> array_to_string(toks[i:i+2], ' '))) AS sh
+  FROM (SELECT doc_id, lang AS grp, length(text) AS nlen,
+               string_split(regexp_replace(lower(trim(text)),
+                                           '\\s+', ' ', 'g'), ' ') AS toks
+        FROM s3)
+), nd_pairs AS MATERIALIZED (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id
+  FROM prof a JOIN prof b
+    ON a.grp = b.grp AND a.doc_id < b.doc_id
+   AND abs(a.nlen - b.nlen) <= 20
+  WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+        / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+), nd_edges AS MATERIALIZED (
+  SELECT a_id AS x, b_id AS y FROM nd_pairs
+  UNION SELECT b_id, a_id FROM nd_pairs
+), reach AS (
+  SELECT x, y FROM nd_edges
+  UNION
+  SELECT r.x, e.y FROM reach r JOIN nd_edges e ON r.y = e.x
+), s4 AS MATERIALIZED (
+  SELECT * FROM s3
+  WHERE doc_id NOT IN (SELECT DISTINCT x FROM reach WHERE y < x)
+), toks5 AS MATERIALIZED (
+  SELECT doc_id, lang, source,
+         list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                     w -> w <> '') AS tokens
+  FROM s4
+), win AS MATERIALIZED (
+  SELECT doc_id, i - 1 AS pos,
+         doc_id * 1048576 + (i - 1) AS key,
+         md5(array_to_string(tokens[i:i+{L - 1}], ' ')) AS digest
+  FROM toks5, LATERAL (
+    SELECT unnest(generate_series(1, greatest(len(tokens) - {L - 1}, 0)))
+           AS i) g
+), dup AS MATERIALIZED (
+  SELECT digest, min(key) AS first_key FROM win
+  GROUP BY digest HAVING count(*) >= 2
+), marked AS MATERIALIZED (
+  SELECT w.doc_id, w.pos FROM win w JOIN dup d USING (digest)
+  WHERE w.key > d.first_key
+), brks AS MATERIALIZED (
+  SELECT doc_id, pos,
+         CASE WHEN pos > lag(pos) OVER
+           (PARTITION BY doc_id ORDER BY pos) + {L}
+         THEN 1 ELSE 0 END AS brk
+  FROM marked
+), isl AS MATERIALIZED (
+  SELECT doc_id, pos,
+         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS isl_id
+  FROM brks
+), ivs AS MATERIALIZED (
+  SELECT doc_id, isl_id, min(pos) AS s, max(pos) + {L} AS e
+  FROM isl GROUP BY doc_id, isl_id
+), ivagg AS MATERIALIZED (
+  SELECT doc_id, list(struct_pack(s := s, e := e)) AS iv FROM ivs
+  GROUP BY doc_id
+), s5 AS MATERIALIZED (
+  SELECT t.doc_id,
+         array_to_string(
+           list_filter(t.tokens, (tk, i) ->
+             coalesce(len(list_filter(v.iv,
+               z -> (i - 1) >= z.s AND (i - 1) < z.e)), 0) = 0),
+           ' ') AS text,
+         t.lang, t.source
+  FROM toks5 t LEFT JOIN ivagg v USING (doc_id)
+), benchg AS MATERIALIZED (
+  SELECT DISTINCT array_to_string(bt[i:i+7], ' ') AS g
+  FROM (SELECT string_split(regexp_replace(lower(trim(
+          '{cp.CONTAM_LINE}')), '\\s+', ' ', 'g'), ' ') AS bt),
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(bt) - 7, 0)))
+                AS i) gg
+), contam_ids AS MATERIALIZED (
+  SELECT DISTINCT doc_id
+  FROM (SELECT doc_id, string_split(regexp_replace(lower(trim(text)),
+               '\\s+', ' ', 'g'), ' ') AS tk FROM s5) d,
+       LATERAL (SELECT unnest(generate_series(1, greatest(len(tk) - 7, 0)))
+                AS i) gg
+  WHERE array_to_string(tk[i:i+7], ' ') IN (SELECT g FROM benchg)
+), s6 AS MATERIALIZED (
+  SELECT * FROM s5 WHERE doc_id NOT IN (SELECT doc_id FROM contam_ids)
+), toks7 AS MATERIALIZED (
+  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS t
+  FROM s6
+), grams7 AS MATERIALIZED (
+  SELECT doc_id, source,
+         unnest(t || list_transform(range(1, len(t)),
+                                    i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks7
+), feats7 AS MATERIALIZED (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(g), 1, 8))::BIGINT % {cp.DSIR_BUCKETS}
+           AS bucket,
+         count(*) AS cnt
+  FROM grams7 GROUP BY 1, 2, 3
+), tc AS MATERIALIZED (
+  SELECT bucket, sum(cnt) AS t_cnt FROM feats7
+  WHERE source = '{cp.DSIR_TARGET_SOURCE}' GROUP BY 1
+), rc AS MATERIALIZED (
+  SELECT bucket, sum(cnt) AS r_cnt FROM feats7 GROUP BY 1
+), wts AS MATERIALIZED (
+  SELECT coalesce(t.bucket, r.bucket) AS bucket,
+         ln((coalesce(t_cnt, 0) + 1.0) /
+            ((SELECT coalesce(sum(t_cnt), 0) FROM tc)
+             + {cp.DSIR_BUCKETS}.0))
+       - ln((coalesce(r_cnt, 0) + 1.0) /
+            ((SELECT coalesce(sum(r_cnt), 0) FROM rc)
+             + {cp.DSIR_BUCKETS}.0)) AS logw
+  FROM tc t FULL OUTER JOIN rc r ON t.bucket = r.bucket
+), scored AS MATERIALIZED (
+  SELECT f.doc_id, sum(f.cnt * coalesce(w.logw, 0.0)) AS logw
+  FROM feats7 f LEFT JOIN wts w USING (bucket)
+  GROUP BY 1
+), sel AS MATERIALIZED (
+  SELECT doc_id, round(logw, 6) AS q
+  FROM (SELECT doc_id, logw,
+               logw - ln(-ln(
+                 (('0x' || substr(md5(doc_id::VARCHAR
+                     || ':{cp.DSIR_SEED}'), 1, 8))::BIGINT + 0.5)
+                 / 4294967296.0)) AS key
+        FROM scored)
+  ORDER BY key DESC, doc_id LIMIT {cp.DSIR_K}
+), s7 AS MATERIALIZED (
+  SELECT s.doc_id, s.text, s.lang, s.source, sel.q
+  FROM s6 s JOIN sel USING (doc_id)
+), c8 AS MATERIALIZED (
+  SELECT *, sum({tok.replace("text", "text")}) OVER (
+    ORDER BY q DESC, doc_id) AS cum
+  FROM s7
+), s8 AS MATERIALIZED (
+  SELECT doc_id, text, lang, source FROM c8
+  WHERE cum <= {cp.PACK_BUDGET}
+)
+{parts}
+ORDER BY stage
+"""
+
+
+@register(
+    "pipe_e2e_llm_corpus",
+    _e2e_oracle_sql(),
+    doc="End-to-end LLM training-corpus pipeline composition (round 11): "
+    "synthesized pages -> C4 line filter -> Gopher quality -> exact "
+    "dedup -> MinHash-LSH near-dup (exactly verified) -> exact-substring "
+    "dedup (L=50) -> Bloom decontaminate (exactly verified) -> DSIR "
+    "select (k=150) -> token-budget pack -> deterministic epoch shuffle, "
+    "ONE DataFrame flowing through operators/corpus_pipeline.py. The "
+    "result is a 10-row per-stage audit (rows, tokens, planted exact/"
+    "near/contaminated/shared-run survivor counts, an id checksum, and "
+    "an order-sensitive digest of the final permutation); the DuckDB "
+    "oracle recomputes EVERY stage value-for-value — the planted exact "
+    "dupes must die at tier 3, the planted near-dups at tier 4, the "
+    "planted 60-token shared run at tier 5, the planted contamination "
+    "at tier 6, and the budget/permutation must match bit-exact. This "
+    "is the interface-drift gate per-operator oracles cannot provide.",
+    tags=("pipeline", "dedup", "decontaminate", "dsir", "composition"),
+)
+def q_pipe_e2e_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.operators import corpus_pipeline as cp
+
+    stages = cp.llm_corpus_pipeline(spark, spark.table("documents"))
+    return cp.stage_summary(stages).orderBy("stage")

@@ -143,12 +143,20 @@ CLASSES: dict[str, tuple[str, str]] = {
     "ann_ivf_recall": (
         "property-gate",
         "recall floor vs exact brute force + exact-k + bucket-balance "
-        "invariants"),
+        "invariants; r11 value pin: the exact brute-force reference "
+        "side replicated by left-fold arithmetic in tests/"
+        "test_value_pins_r11.py::test_brute_force_topk_value_pin"),
     "ann_kmeans_gate": (
         "property-gate",
-        "Lloyd monotone-inertia + determinism invariants"),
+        "Lloyd monotone-inertia + determinism invariants; r11 value "
+        "pin: bucket sizes + refined centroids vs an independent numpy "
+        "replica tests/test_value_pins_r11.py::"
+        "test_kmeans_refine_value_pin"),
     "ann_quantize_gate": (
-        "property-gate", "int8 dequantized cosine within 0.02 of exact"),
+        "property-gate",
+        "int8 dequantized cosine within 0.02 of exact; r11 value pin: "
+        "exact int8 codes + scales vs a numpy round-half-away replica "
+        "tests/test_value_pins_r11.py::test_quantize_value_pin"),
     "vector_cluster_balanced": (
         "property-gate", "cap conservation + determinism invariants"),
     "vector_ivf_topk": (
@@ -157,7 +165,10 @@ CLASSES: dict[str, tuple[str, str]] = {
         "tests/test_zorder_kmeans.py"),
     "vector_pca_gate": (
         "property-gate",
-        "orthonormality/eigen-descent/variance-match invariants"),
+        "orthonormality/eigen-descent/variance-match invariants; r11 "
+        "value pin: top-8 eigenvalues + total variance vs numpy "
+        "cov+eigvalsh from raw rows tests/test_value_pins_r11.py::"
+        "test_pca_eigenvalue_pin"),
     "vector_pca_ivf_gate": (
         "property-gate", "reduced-space recall + variance share"),
     "vector_pca_variance": (
@@ -229,6 +240,16 @@ CLASSES: dict[str, tuple[str, str]] = {
         "applyInPandasWithState vs relational closed-session derivation"),
     # ---- dedup / documents ---------------------------------------------
     "dedup_exact": ("standard-sql", "groupBy on normalized text"),
+    "pipe_e2e_llm_corpus": (
+        "definition",
+        "round-11 composition gate: every tier recomputed stage-by-"
+        "stage in one DuckDB oracle from the published rules "
+        "(C4/Gopher/ExactSubstr/DSIR definitions, min-id survivor "
+        "rules, md5 permutation); the hash-dependent tiers (LSH, "
+        "Bloom) are candidate generators whose EXACT verification "
+        "makes the drop sets equal the recomputable ground truth, so "
+        "no engine hash reaches the audited values; planted artifacts "
+        "(exact/near/shared-run/contamination) pin each tier's kill"),
     "dedup_incremental_gate": (
         "property-gate", "clone-drop/survivor/store-append invariants"),
     "dedup_neardup_gate": (
@@ -300,7 +321,10 @@ CLASSES: dict[str, tuple[str, str]] = {
         "keyed affine-mod lottery is the engine-defined sampling rule"),
     "sample_deterministic": ("standard-sql", "plain key modulus"),
     "sample_kcenter_gate": (
-        "property-gate", "k/distinct/deterministic/seed invariants"),
+        "property-gate",
+        "k/distinct/deterministic/seed invariants; r11 value pin: the "
+        "exact 8-id pick sequence vs a pure-Python greedy replica "
+        "tests/test_value_pins_r11.py::test_kcenter_value_pin"),
     "sample_quality_weighted": (
         "contract",
         "quality formula + keyed lottery are engine-defined; oracle "
@@ -320,9 +344,18 @@ CLASSES: dict[str, tuple[str, str]] = {
     "pack_concat_chunks": (
         "independent-algorithm",
         "oracle = single-window cumsum; engine = two-phase prefix sum"),
+    "util_sweep_wave37": (
+        "pinned-literal",
+        "wave-37 exact literals: ngramSearch values hand-derived from "
+        "the CH docs formula (0.5 = 4 common of 8 needle grams), "
+        "classic soundex battery (CH docs A240 + census vector), "
+        "partial-sort contract instances, toStartOf* Date narrowing"),
     "pack_first_fit_gate": (
         "property-gate",
-        "exactly-once/token-conservation/capacity invariants vs raw table"),
+        "exactly-once/token-conservation/capacity invariants vs raw "
+        "table; r11 value pin: every (doc -> pack, seq) vs a pure-"
+        "Python best-fit-decreasing replica tests/"
+        "test_value_pins_r11.py::test_first_fit_value_pin"),
     "length_pow2_buckets": ("definition", "pow2 binning re-derived"),
     "topk_frequent_values": ("standard-sql", "count + rank top-k"),
     # ---- search ---------------------------------------------------------

@@ -109,14 +109,17 @@ _GATE_ALIASES: dict[str, str] = {
         # TVF gate and the exponential-decay window gate in
         "core_remote_tvf",
         "util_exp_decay",
-        # round-9 rotation #2: wave26 out (judge-verified r8 at two
-        # SFs; see ROTATION.md), wave33 in (rankCorr, -Resample, H3
-        # bit accessors)
-        "util_sweep_wave33",
-        # round-9 rotation #3: wave27 out (judge-verified r8 at two
-        # SFs; see ROTATION.md), the deltaSumTimestamp/maxIntersections
-        # oracle gate in
-        "agg_delta_intersections",
+        # round-11 rotation #1: util_sweep_wave33 out (judge-verified
+        # r9 AND r10 at two SFs; see ROTATION.md), the end-to-end
+        # LLM-pipeline composition gate in (VERDICT r10 task #2 —
+        # planted-artifact kills + permutation digest, full DuckDB
+        # oracle)
+        "pipe_e2e_llm_corpus",
+        # round-11 rotation #2: agg_delta_intersections out
+        # (judge-verified r9/r10 at two SFs; see ROTATION.md), wave37
+        # in (ngramSearch family, partial sorts, soundex pins,
+        # toStartOf* Date narrowing)
+        "util_sweep_wave37",
         # round-10 rotation #1: util_sql_udf_macro out (judge-verified
         # r9 at two SFs; see ROTATION.md), the multi-shard remote() +
         # range-split gate in (VERDICT r9 task #6)

@@ -6019,3 +6019,59 @@ def q_pipe_e2e_llm_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     stages = cp.llm_corpus_pipeline(spark, spark.table("documents"))
     return cp.stage_summary(stages).orderBy("stage")
+
+
+@register(
+    "util_sweep_wave37",
+    """
+    SELECT '0.5|1.0|1.0|0.0|1.0' AS ngram_search,
+           '0.0|0.5556' AS ngram_dist,
+           'a,b,c|c,b,a|3,2,1' AS partial_sorts,
+           'A240|R163|T522|H555' AS soundex_codes,
+           '2024-03-01|2024-07-01|Date|DateTime' AS tostartof_dates
+    """,
+    doc="Round-11 probe-sweep wave 37 (scripts/probe_wave37.py; exact "
+    "literal oracle): ngramSearch family (multiset needle-gram "
+    "containment — ('Hello World','World Hello') = 4 common of 8 "
+    "needle grams = 0.5, hand-derived from the CH docs formula), "
+    "ngramDistance case/UTF8 variants, mapPartialSort / "
+    "mapPartialReverseSort / arrayPartialReverseSort (full sort as the "
+    "only deterministic instance of the partial-sort contract), "
+    "soundex classic-value pins (CH docs example A240; census vector "
+    "incl. the vowel-doubling H555 and adjacent-collapse T522), and "
+    "the round-11 toStartOf{Month,Quarter} Date narrowing (wave-36's "
+    "single delta, closed — toTypeName now answers Date; the sub-day "
+    "family stays DateTime).",
+    tags=("dialect", "sweep", "wave37"),
+)
+def q_util_sweep_wave37(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT concat_ws('|', "
+        "toString(ngramSearch('Hello World', 'World Hello')), "
+        "toString(ngramSearch('ClickHouse', 'House')), "
+        "toString(ngramSearchCaseInsensitive('Hello World', 'HELLO')), "
+        "toString(ngramSearch('Hello World', 'xyzzy9')), "
+        "toString(ngramSearchUTF8('héllo wörld', 'wörld'))) "
+        "AS ngram_search, "
+        "concat_ws('|', "
+        "toString(ngramDistanceCaseInsensitive('ABC', 'abc')), "
+        "toString(round(ngramDistance('ClickHouse', 'House'), 4))) "
+        "AS ngram_dist, "
+        "concat_ws('|', "
+        "arrayStringConcat(mapKeys(mapPartialSort(2, "
+        "map('c', 3, 'a', 1, 'b', 2))), ','), "
+        "arrayStringConcat(mapKeys(mapPartialReverseSort(2, "
+        "map('c', 3, 'a', 1, 'b', 2))), ','), "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "arrayPartialReverseSort(2, [1, 3, 2])), ',')) "
+        "AS partial_sorts, "
+        "concat_ws('|', soundex('aksel'), soundex('Robert'), "
+        "soundex('Tymczak'), soundex('Honeyman')) AS soundex_codes, "
+        "concat_ws('|', "
+        "toString(toStartOfMonth(toDate('2024-03-15'))), "
+        "toString(toStartOfQuarter(toDate('2024-08-16'))), "
+        "toTypeName(toStartOfMonth(toDate('2024-03-15'))), "
+        "toTypeName(toStartOfDay(now()))) AS tostartof_dates"
+    )

@@ -1199,6 +1199,99 @@ QUERIES = [
      "windowFunnel(86400)(ts, event_type = 'view', "
      "event_type = 'click') AS lvl FROM events GROUP BY user_id)",
      (1, 1)),
+    # ---- round 11: strict-mode funnel dashboards ----
+    ("SELECT windowFunnel(86400, 'strict_order')(ts, "
+     "event_type = 'view', event_type = 'click', "
+     "event_type = 'purchase') AS lvl, uniq(user_id) AS users "
+     "FROM events GROUP BY user_id % 4 ORDER BY lvl, users",
+     (1, 4)),
+    ("SELECT countIf(lvl >= 2) AS deduped_pairs FROM (SELECT "
+     "windowFunnel(7200, 'strict_dedup')(ts, event_type = 'view', "
+     "event_type = 'click') AS lvl FROM events GROUP BY user_id)",
+     (1, 1)),
+    ("SELECT s.user_id, s.chains, f.lvl FROM "
+     "(SELECT user_id, sequenceCount('(?1).*(?2)')(ts, "
+     "event_type = 'click', event_type = 'error') AS chains "
+     "FROM events GROUP BY user_id) s JOIN "
+     "(SELECT user_id, windowFunnel(86400)(ts, event_type = 'click', "
+     "event_type = 'error') AS lvl FROM events GROUP BY user_id) f "
+     "ON s.user_id = f.user_id WHERE s.chains > 0 "
+     "ORDER BY s.chains DESC, s.user_id LIMIT 10",
+     (0, 10)),
+    # ---- round 11: max_fold_group_rows override (the fence is the
+    # point statistic contract; the raise side is a script test) ----
+    ("SELECT round(entropy(o_orderstatus), 4) AS h FROM orders "
+     "SETTINGS max_fold_group_rows = 100000",
+     (1, 1)),
+    ("SELECT o_orderpriority, round(entropy(o_orderstatus), 4) AS h "
+     "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority",
+     (1, 10)),
+    # ---- round 11: OrZero parse chains over dirty data ----
+    ("SELECT countIf(parseDateTimeOrZero(props, '%Y-%m-%d') = "
+     "toDateTime('1970-01-01 00:00:00')) AS unparsed, count() AS n "
+     "FROM events",
+     (1, 1)),
+    ("SELECT toYYYYMM(coalesce(parseDateTimeBestEffortOrNull(props), "
+     "o.o_orderdate)) AS m, count() AS n FROM events e JOIN orders o "
+     "ON e.user_id % 100 = o.o_orderkey % 100 GROUP BY m "
+     "ORDER BY n DESC LIMIT 5",
+     (1, 5)),
+    ("SELECT countIf(toDate32OrZero(props) = toDate32('1970-01-01')) "
+     "AS zeroed FROM events",
+     (1, 1)),
+    # ---- round 11: ISO-week %G/%V reports joined to toStartOfISOYear
+    # buckets ----
+    ("SELECT wk.iso_week, yr.n_year FROM "
+     "(SELECT formatDateTime(o_orderdate, '%G-W%V') AS iso_week, "
+     "toStartOfISOYear(o_orderdate) AS y, count() AS n FROM orders "
+     "GROUP BY iso_week, y) wk JOIN "
+     "(SELECT toStartOfISOYear(o_orderdate) AS y, count() AS n_year "
+     "FROM orders GROUP BY y) yr ON wk.y = yr.y "
+     "ORDER BY wk.iso_week LIMIT 20",
+     (1, 20)),
+    # ---- round 11: month-and-coarser toStartOf* are Date now ----
+    ("SELECT toStartOfQuarter(o_orderdate) AS q, "
+     "toTypeName(toStartOfQuarter(o_orderdate)) AS ty, "
+     "sum(o_totalprice) AS rev FROM orders GROUP BY q, ty "
+     "ORDER BY q",
+     (1, 40)),
+    ("SELECT toStartOfMonth(o_orderdate) AS m, "
+     "min(toStartOfWeek(o_orderdate)) AS first_sun FROM orders "
+     "GROUP BY m ORDER BY m LIMIT 24",
+     (1, 24)),
+    # ---- round 11: ngramSearch relevance scoring ----
+    ("SELECT o_orderpriority, round(ngramSearch(o_orderpriority, "
+     "'URGENT'), 4) AS rel FROM orders GROUP BY o_orderpriority "
+     "ORDER BY rel DESC, o_orderpriority",
+     (1, 10)),
+    ("SELECT count() AS hits FROM part "
+     "WHERE ngramSearchCaseInsensitive(p_name, 'GREEN') >= 0.99",
+     (1, 1)),
+    ("SELECT round(max(ngramDistanceCaseInsensitive(n_name, "
+     "'germany')), 4) AS worst FROM nation",
+     (1, 1)),
+    # ---- round 11: soundex cohorts ----
+    ("SELECT soundex(n_name) AS code, groupArray(n_name) AS names "
+     "FROM nation GROUP BY code ORDER BY code LIMIT 20",
+     (1, 20)),
+    # ---- round 11: map partial sorts in monitoring rollups ----
+    ("SELECT arrayStringConcat(mapKeys(mapPartialSort(3, "
+     "map('p95', 1, 'avg', 2, 'max', 3))), ',') AS metric_order",
+     (1, 1)),
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+     "arrayPartialReverseSort(3, groupArray(o_orderkey))), ',') "
+     "AS top_keys FROM orders WHERE o_orderkey < 50",
+     (1, 1)),
+    # ---- round 11: composed text pipeline shapes ----
+    ("SELECT multiIf(ngramSearch(p_name, 'tomato') >= 0.5, 'match', "
+     "ngramSearch(p_name, 'tomato') >= 0.2, 'weak', 'none') AS tier, "
+     "count() AS n FROM part GROUP BY tier ORDER BY tier",
+     (1, 3)),
+    ("SELECT m, lvl, count() AS n FROM (SELECT toStartOfMonth(ts) AS m, "
+     "user_id, windowFunnel(604800)(ts, event_type = 'signup', "
+     "event_type = 'purchase') AS lvl FROM events GROUP BY m, user_id) "
+     "GROUP BY m, lvl ORDER BY m, lvl LIMIT 30",
+     (1, 30)),
 ]
 
 
@@ -1445,3 +1538,42 @@ def test_migration_script_round8c_dictionary_enrichment(ch, spark):
     ).collect()[0].r
     assert [int(x) for x in chain] == [5, 2, 1]
     ch.execute_ch("DROP DATABASE mig8c SYNC")
+
+
+def test_migration_script_round11_fence(ch, spark):
+    """Round-11 ops-runbook composition: the point-statistic fence in a
+    migrating user's monitoring script — the default limit passes, a
+    deliberately tight statement-scoped SETTINGS row RAISES with the
+    recipe text, and the session-scoped SET override restores the
+    query; a follow-up statement confirms statement scoping did not
+    leak."""
+    import pytest as _pt
+
+    # default limit: the group fits, the fold runs
+    row = ch.query_ch(
+        "SELECT round(entropy(o_orderstatus), 4) AS h FROM orders"
+    ).collect()[0]
+    assert row["h"] is not None
+
+    # tight statement-scoped limit: the emitted SQL raise_errors with
+    # the operator name and the recipe
+    with _pt.raises(Exception, match="max_fold_group_rows"):
+        ch.query_ch(
+            "SELECT entropy(o_orderstatus) AS h FROM orders "
+            "SETTINGS max_fold_group_rows = 10"
+        ).collect()
+
+    # statement scope did NOT leak into the session
+    row = ch.query_ch(
+        "SELECT round(entropy(o_orderstatus), 4) AS h FROM orders"
+    ).collect()[0]
+    assert row["h"] is not None
+
+    # session-scoped SET override, then the tight group succeeds
+    ch.query_ch("SET max_fold_group_rows = 5000000")
+    row = ch.query_ch(
+        "SELECT o_orderpriority, round(entropy(o_orderstatus), 4) AS h "
+        "FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority"
+    ).collect()
+    assert len(row) >= 1
+    ch.query_ch("SET max_fold_group_rows = 10000000")

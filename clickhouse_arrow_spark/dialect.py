@@ -413,6 +413,80 @@ _OPERATOR_BACKED: dict[str, str] = {
         "no AES primitive in Spark SQL or the Python stdlib: run an "
         "external crypto lib in a mapInPandas stage"
     ),
+    # ---- wave 38 (round 11): discovery-sweep refusals --------------------
+    "toBFloat16": (
+        "CAST(x AS FLOAT) — Spark has no 16-bit float type; a float32 "
+        "cast keeps MORE precision than bfloat16's 8-bit mantissa, so "
+        "values would differ from CH's truncation"
+    ),
+    "toFloat16": (
+        "CAST(x AS FLOAT) — Spark has no 16-bit float type; float32 "
+        "keeps more precision than IEEE half, so values would differ "
+        "from CH's rounding"
+    ),
+    "arrayPartialShuffle": (
+        "shuffle(arr) — Spark's full shuffle; CH's seeded partial "
+        "shuffle has no seedable Spark analogue, so a rename would "
+        "return a different (still random) permutation"
+    ),
+    "IPv4ToIPv6": (
+        "concat('::ffff:', ip) over the engine's dotted-quad string "
+        "carrier — CH returns the 16-byte binary form, which the "
+        "string-carrier IP convention here does not use"
+    ),
+    "cutIPv6": (
+        "manipulate the textual address with regexp_replace — the "
+        "128-bit byte math CH applies has no BIGINT-safe Spark "
+        "expression"
+    ),
+    "IPv6CIDRToRange": (
+        "IPv4CIDRToRange for v4 ranges; v6 needs 128-bit arithmetic "
+        "Spark's BIGINT cannot hold — compute in a mapInPandas stage "
+        "with Python's ipaddress module"
+    ),
+    "tupleConcat": (
+        "struct(t1.*, t2.*) in a SELECT over aliased subqueries — "
+        "Spark cannot splice two structs' fields inside one expression "
+        "without knowing the field names"
+    ),
+    "arrayAUCPR": (
+        "arrayAUC/arrayROCAUC for ROC-AUC; precision-recall AUC: sort "
+        "the (score, label) pairs and fold precision deltas in a "
+        "DataFrame (operators/stats.auc is the ROC table form)"
+    ),
+    "regionToName": (
+        "a dictGet over your own regions dictionary — CH's embedded "
+        "geobase is licensed DATA the engine cannot re-derive (the h3 "
+        "base-cell precedent)"
+    ),
+    "regionToCity": (
+        "a dictGet over your own regions hierarchy dictionary — the "
+        "embedded geobase is data, not spec"
+    ),
+    "generateRandomStructure": (
+        "no server-side DDL fuzzer here: compose a schema string "
+        "client-side"
+    ),
+    "fuzzBits": (
+        "no fuzzing primitive: xor with a rand()-driven mask built via "
+        "transform(sequence(...)) if bit noise is genuinely needed"
+    ),
+    "getClientHTTPHeader": (
+        "the HTTP transport does not expose per-request headers to "
+        "SQL; read them in the client before submitting"
+    ),
+    "transactionID": (
+        "no multi-statement transactions in this engine (CH marks them "
+        "experimental); each statement commits atomically"
+    ),
+    "transactionLatestSnapshot": (
+        "no multi-statement transactions in this engine; see "
+        "transactionID"
+    ),
+    "zookeeperSessionUptime": (
+        "no ZooKeeper in a Spark deployment; system.parts/replication "
+        "surfaces are served from the catalog instead"
+    ),
 }
 
 # Wave 37: the FULL text-fingerprint family — every CaseInsensitive /
@@ -1268,7 +1342,12 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
     if name in ("position", "positionUTF8", "positionCaseInsensitive",
                 "positionCaseInsensitiveUTF8"):
         # CH position(haystack, needle); Spark locate(needle, haystack)
-        # — a silent wrong-answer trap if renamed without the swap
+        # — a silent wrong-answer trap if renamed without the swap.
+        # `locate` deliberately NOT routed here: modern CH (>= 24.3)
+        # gives locate the MySQL (needle, haystack) order — exactly
+        # Spark's — so the pass-through is value-correct (wave-27 pin
+        # locate('ca','abca') = 3; wave 38 re-confirmed the docs note
+        # and kept the adjudication).
         def position_fmt(a: Args, _ci: bool = "Insensitive" in name) -> str:
             h, n = a[0], a[1]
             # optional 3rd arg: search FROM that 1-based position, the
@@ -1336,9 +1415,9 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             return out
 
         return flatten_fmt
-    if name == "byteHammingDistance":
-        # differing bytes over the common prefix + the length surplus
-        # (CH mismatches-style semantics on unequal lengths)
+    if name in ("byteHammingDistance", "mismatches"):
+        # differing bytes over the common prefix + the length surplus;
+        # `mismatches` is CH's documented alias (wave 38)
         def bhd_fmt(a: Args) -> str:
             x, y = a[0], a[1]
             return (
@@ -2039,7 +2118,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
                 return f"{a[0]}.col{idx}"
             if idx.startswith("'") and idx.endswith("'"):
                 return f"{a[0]}.{idx[1:-1]}"
-            return f"tupleElement({', '.join(a)})"
+            # wave 38: the dynamic form previously passed through
+            # verbatim and leaked UNRESOLVED_ROUTINE
+            raise UntranslatableFunctionError(
+                "tupleElement: the index/name must be a literal — "
+                "dynamic tuple access has no Spark struct analogue; "
+                "branch with multiIf(n = 1, t.1, n = 2, t.2, ...)"
+            )
 
         return tuple_element
     if name == "transform":
@@ -4768,6 +4853,190 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             lambda a: f"transform({a[0]}, x -> CAST(x AS DOUBLE) / "
             f"sqrt(aggregate({a[0]}, CAST(0 AS DOUBLE), "
             f"(acc, v) -> acc + CAST(v AS DOUBLE) * v)))"
+        )
+    # ---- wave 38 (round 11): discovery-sweep leak closures ---------------
+    if name in ("sign", "sgn"):
+        # CH sign/sgn return Int8 (-1/0/1); Spark's sign returns DOUBLE
+        # — the bare pass-through rendered '-1.0' (wave-38 find)
+        return lambda a: f"CAST(sign({a[0]}) AS TINYINT)"
+    if name == "substringIndexUTF8":
+        # Spark strings are codepoint-based == CH's UTF8 variant
+        return lambda a: f"substring_index({', '.join(a)})"
+    if name == "normalizeL1":
+        return (
+            lambda a: f"transform({a[0]}, x -> CAST(x AS DOUBLE) / "
+            f"aggregate({a[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, v) -> acc + abs(CAST(v AS DOUBLE))))"
+        )
+    if name == "normalizeLinf":
+        return (
+            lambda a: f"transform({a[0]}, x -> CAST(x AS DOUBLE) / "
+            f"array_max(transform({a[0]}, v -> abs(CAST(v AS DOUBLE)))))"
+        )
+    if name == "arrayROCAUC":
+        # documented alias of arrayAUC
+        return lambda a: (
+            f"ch_array_auc(transform({a[0]}, x -> CAST(x AS DOUBLE)), "
+            f"transform({a[1]}, x -> CAST(x AS DOUBLE)))"
+        )
+    if name == "YYYYMMDDToDate32":
+        # same parse as YYYYMMDDToDate + Date32's saturation bounds
+        return lambda a: (
+            f"IF(to_date(CAST({a[0]} AS STRING), 'yyyyMMdd') IS NULL, "
+            f"CAST(NULL AS DATE), "
+            f"greatest(least(to_date(CAST({a[0]} AS STRING), 'yyyyMMdd'), "
+            f"DATE '2299-12-31'), DATE '1900-01-01'))"
+        )
+    if name in ("changeYear", "changeMonth", "changeDay",
+                "changeHour", "changeMinute", "changeSecond"):
+        # recompose the timestamp with ONE component replaced; invalid
+        # day-of-month SATURATES to the month's last day (CH clamps —
+        # changeYear('2020-02-29', 2021) = 2021-02-28). Returns
+        # TIMESTAMP even for Date input where CH's changeYear/Month/Day
+        # preserve Date — the documented bridge-widening class (the
+        # change{Hour,Minute,Second} forms return DateTime in CH too).
+        def change_component(a: Args, _n=name) -> str:
+            x, v = a[0], a[1]
+            comp = {
+                "changeYear": "year", "changeMonth": "month",
+                "changeDay": "day", "changeHour": "hour",
+                "changeMinute": "minute", "changeSecond": "second",
+            }
+            parts = {
+                c: (f"({v})" if _n == f"change{c.capitalize()}"
+                    else f"{c}({x})")
+                for c in ("year", "month", "day",
+                          "hour", "minute", "second")
+            }
+            # clamp day to the target (year, month)'s length
+            last = (f"day(last_day(make_date({parts['year']}, "
+                    f"{parts['month']}, 1)))")
+            parts["day"] = f"least({parts['day']}, {last})"
+            return (
+                f"make_timestamp({parts['year']}, {parts['month']}, "
+                f"{parts['day']}, {parts['hour']}, {parts['minute']}, "
+                f"{parts['second']})"
+            )
+
+        return change_component
+    if name == "UUIDv7ToDateTime":
+        # UUIDv7's first 48 bits are unix milliseconds
+        return lambda a: (
+            f"timestamp_millis(CAST(conv(substring(replace({a[0]}, '-', "
+            f"''), 1, 12), 16, 10) AS BIGINT))"
+        )
+    if name == "bitPositionsToArray":
+        # ascending positions of set bits, LSB = 0 (unsigned shift so
+        # negative inputs read as the type's two's-complement bits)
+        return lambda a: (
+            f"filter(sequence(0, 63), _b -> "
+            f"(shiftrightunsigned(CAST({a[0]} AS BIGINT), _b) % 2) = 1)"
+        )
+    if name in ("parseReadableSize", "parseReadableSizeOrNull",
+                "parseReadableSizeOrZero"):
+        # '1.5 KiB' -> bytes: decimal (KB = 1000^k) and binary
+        # (KiB = 1024^k) units; ceil like CH (round-trips
+        # formatReadableSize). Invalid input: error form raises via
+        # ANSI cast NULL..., OrNull -> NULL, OrZero -> 0.
+        def parse_readable(a: Args, _n=name) -> str:
+            # try_cast: an unparseable prefix extracts '' and must
+            # route to the per-variant fallback, not an ANSI cast error
+            num = (f"try_cast(regexp_extract(trim({a[0]}), "
+                   f"'^([0-9]+\\\\.?[0-9]*)', 1) AS DOUBLE)")
+            unit = (f"lower(regexp_extract(trim({a[0]}), "
+                    f"'([A-Za-z]+)\\\\s*$', 1))")
+            pairs = [("b", 1)]
+            for i, p in enumerate("kmgtpezyrq", start=1):
+                pairs.append((f"{p}b", 1000 ** i))
+                pairs.append((f"{p}ib", 1024 ** i))
+            whens = " ".join(
+                f"WHEN '{u}' THEN CAST({m} AS DOUBLE)" for u, m in pairs
+            )
+            mult = f"(CASE {unit} {whens} END)"
+            val = f"CAST(ceil({num} * {mult}) AS BIGINT)"
+            if _n.endswith("OrZero"):
+                return f"coalesce({val}, CAST(0 AS BIGINT))"
+            if _n.endswith("OrNull"):
+                return val
+            return (
+                f"coalesce({val}, CAST(raise_error('parseReadableSize: "
+                f"cannot parse ' || {a[0]}) AS BIGINT))"
+            )
+
+        return parse_readable
+    if name == "basename":
+        # everything after the last '/' or '\\' (CH semantics)
+        return lambda a: f"regexp_extract({a[0]}, '[^/\\\\\\\\]*$', 0)"
+    if name == "currentSchemas":
+        # postgres-compat shim: the single current database
+        return lambda a: "array(current_database())"
+    if name == "FQDN":
+        # same JVM-derived name as hostName(); the local engine IS its
+        # server, and the JVM's getLocalHost already resolves the
+        # canonical name where the resolver provides one
+        return lambda a: (
+            "substring_index(java_method('java.net.InetAddress', "
+            "'getLocalHost'), '/', 1)"
+        )
+    if name == "httpPort":
+        # the engine's HTTP endpoint (sources/http_transport) is the
+        # 8123-compatible surface
+        return lambda a: "CAST(8123 AS INT)"
+    if name == "getServerPort":
+        def server_port(a: Args) -> str:
+            arg = a[0].strip().strip("'\"")
+            if arg == "http_port":
+                return "CAST(8123 AS INT)"
+            raise UntranslatableFunctionError(
+                f"getServerPort({a[0]}): only 'http_port' (8123) exists "
+                "here — the native TCP endpoint is a permanent guided "
+                "refusal (HTTP/8123 is the wire surface)"
+            )
+
+        return server_port
+    if name == "tcpPort":
+        raise UntranslatableFunctionError(
+            "tcpPort(): no native TCP endpoint — the engine serves the "
+            "CH-HTTP surface on 8123 (httpPort())"
+        )
+    if name == "toIPv4OrZero":
+        # string-carrier convention (toIPv4/OrNull above): invalid ->
+        # the IPv4 type default, rendered '0.0.0.0'
+        def to_ipv4_or_zero(a: Args) -> str:
+            valid = (
+                f"({a[0]} RLIKE "
+                f"'^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){{3}}"
+                f"(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$')"
+            )
+            return f"(CASE WHEN {valid} THEN {a[0]} ELSE '0.0.0.0' END)"
+
+        return to_ipv4_or_zero
+    if name == "MACNumToString":
+        # six ':'-joined uppercase hex bytes, high byte first
+        def mac_num_to_string(a: Args) -> str:
+            octs = ", ".join(
+                f"lpad(hex((CAST({a[0]} AS BIGINT) div "
+                f"{1 << (8 * k)}) % 256), 2, '0')"
+                for k in (5, 4, 3, 2, 1, 0)
+            )
+            return f"concat_ws(':', {octs})"
+
+        return mac_num_to_string
+    if name == "MACStringToNum":
+        return lambda a: (
+            f"CAST(conv(replace({a[0]}, ':', ''), 16, 10) AS BIGINT)"
+        )
+    if name == "MACStringToOUI":
+        return lambda a: (
+            f"CAST(conv(substring(replace({a[0]}, ':', ''), 1, 6), "
+            f"16, 10) AS BIGINT)"
+        )
+    if name in ("randomFixedString", "randomPrintableASCII",
+                "randomStringUTF8"):
+        # random either way (randomString precedent): printable ASCII
+        return (
+            lambda a: f"concat_ws('', transform(sequence(1, {a[0]}), "
+            f"i -> char(CAST(rand() * 95 + 32 AS INT))))"
         )
     if name == "mapFilter":
         return lambda a: f"map_filter({a[1]}, {a[0]})"  # CH puts f first

@@ -1292,6 +1292,27 @@ QUERIES = [
      "event_type = 'purchase') AS lvl FROM events GROUP BY m, user_id) "
      "GROUP BY m, lvl ORDER BY m, lvl LIMIT 30",
      (1, 30)),
+    # ---- round 11 wave 38: calendar recomposition dashboards ----
+    ("SELECT toStartOfMonth(changeDay(o_orderdate, 1)) AS m, "
+     "count() AS n FROM orders GROUP BY m ORDER BY m LIMIT 12",
+     (1, 12)),
+    ("SELECT countIf(changeYear(o_orderdate, 2024) > "
+     "toDateTime('2024-06-01 00:00:00')) AS h2 FROM orders",
+     (1, 1)),
+    # ---- round 11 wave 38: ops capacity rows ----
+    ("SELECT sum(parseReadableSizeOrZero(concat(toString(o_orderkey % 9),"
+     " ' KiB'))) AS bytes FROM orders WHERE o_orderkey < 100",
+     (1, 1)),
+    ("SELECT sgn(o_totalprice - 150000) AS side, count() AS n "
+     "FROM orders GROUP BY side ORDER BY side",
+     (1, 3)),
+    ("SELECT basename(concat('/data/', o_orderpriority, '/f.parquet')) "
+     "AS f, uniq(o_orderkey) AS n FROM orders GROUP BY f ORDER BY f",
+     (1, 10)),
+    ("SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+     "bitPositionsToArray(o_orderkey)), ',') AS bits FROM orders "
+     "WHERE o_orderkey < 9 ORDER BY o_orderkey LIMIT 5",
+     (1, 5)),
 ]
 
 

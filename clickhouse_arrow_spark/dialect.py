@@ -4897,17 +4897,23 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         # change{Hour,Minute,Second} forms return DateTime in CH too).
         def change_component(a: Args, _n=name) -> str:
             x, v = a[0], a[1]
-            comp = {
-                "changeYear": "year", "changeMonth": "month",
-                "changeDay": "day", "changeHour": "hour",
-                "changeMinute": "minute", "changeSecond": "second",
+            # the replaced component SATURATES into its valid range
+            # (CH clamps out-of-range components rather than raising;
+            # ANSI make_timestamp would error on e.g. changeDay(x, 0)
+            # or changeMonth(x, 13) — a whole-job killer at scale)
+            bounds = {
+                "year": (1, 9999), "month": (1, 12), "day": (1, 31),
+                "hour": (0, 23), "minute": (0, 59), "second": (0, 59),
             }
-            parts = {
-                c: (f"({v})" if _n == f"change{c.capitalize()}"
-                    else f"{c}({x})")
-                for c in ("year", "month", "day",
-                          "hour", "minute", "second")
-            }
+            parts = {}
+            for c in ("year", "month", "day",
+                      "hour", "minute", "second"):
+                if _n == f"change{c.capitalize()}":
+                    lo, hi = bounds[c]
+                    parts[c] = (f"greatest(least(CAST(({v}) AS BIGINT),"
+                                f" {hi}), {lo})")
+                else:
+                    parts[c] = f"{c}({x})"
             # clamp day to the target (year, month)'s length
             last = (f"day(last_day(make_date({parts['year']}, "
                     f"{parts['month']}, 1)))")
@@ -4927,10 +4933,13 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         )
     if name == "bitPositionsToArray":
         # ascending positions of set bits, LSB = 0 (unsigned shift so
-        # negative inputs read as the type's two's-complement bits)
+        # negative inputs read as the type's two's-complement bits;
+        # test the bit with & 1 — Spark's % keeps the dividend sign, so
+        # `% 2 = 1` misses bit 0 of negatives where the shifted value
+        # is still negative)
         return lambda a: (
             f"filter(sequence(0, 63), _b -> "
-            f"(shiftrightunsigned(CAST({a[0]} AS BIGINT), _b) % 2) = 1)"
+            f"(shiftrightunsigned(CAST({a[0]} AS BIGINT), _b) & 1) = 1)"
         )
     if name in ("parseReadableSize", "parseReadableSizeOrNull",
                 "parseReadableSizeOrZero"):

@@ -27,8 +27,11 @@ value-for-value with no engine hash in sight.
 Scale shape (the audit `tests/test_corpus_pipeline.py` pins): no tier
 re-joins the corpus against itself on a non-key — the only exchanges
 are each tier's own (digest groupBy, band-bucket join, window-digest
-groupBy, feature groupBy); drop-sets and selected-sets are
-candidate-bounded and re-enter via BROADCAST anti-/semi-joins; the
+groupBy, feature groupBy); drop-sets and selected-sets re-enter via
+plain anti-/semi-joins with NO forced hint — AQE broadcasts them when
+candidate-bounded (the case here) and falls back to a shuffle
+anti-join when the drop-set is a constant fraction of a 100 TB corpus
+(a forced broadcast of tens of TB of ids would OOM the driver); the
 final pack + shuffle run on the k-bounded DSIR selection, never the
 corpus.
 """
@@ -182,7 +185,11 @@ def llm_corpus_pipeline(
     # candidates from banding (threshold 0.5 est), verified with TRUE
     # shingle Jaccard under the same (lang, length-band) blocking as
     # dedup.shingle_jaccard_pairs; survivors = min id per connected
-    # component. Drop-set is candidate-bounded -> broadcast anti-join.
+    # component. Drop-set re-entry is a plain anti-join: AQE broadcasts
+    # it when the set is small (as here, candidate-bounded), and falls
+    # back to a shuffle anti-join when near-dups are a constant
+    # fraction of a 100 TB corpus — never force the hint
+    # (dedup.py duplicate-removal precedent).
     cand = dedup.minhash_candidate_pairs(s3, threshold=0.5)
     prof = s3.select(
         "doc_id", F.col("lang").alias("grp"),
@@ -212,7 +219,7 @@ def llm_corpus_pipeline(
     )
     survivors = dedup.duplicate_survivors(paired, verified)
     drop_near = paired.join(survivors, "doc_id", "left_anti")
-    s4 = keep(s3.join(F.broadcast(drop_near), "doc_id", "left_anti"))
+    s4 = keep(s3.join(drop_near, "doc_id", "left_anti"))
     stages.append(("4_neardup", s4))
 
     # --- exact-substring dedup (text := cleaned, normalized) ----------
@@ -238,7 +245,7 @@ def llm_corpus_pipeline(
         text_ops.decontaminate(s5, bench, n=8).select("doc_id").distinct()
     )
     drop_contam = flagged.join(exact_contam, "doc_id")
-    s6 = keep(s5.join(F.broadcast(drop_contam), "doc_id", "left_anti"))
+    s6 = keep(s5.join(drop_contam, "doc_id", "left_anti"))
     stages.append(("6_decontam", s6))
 
     # --- DSIR select (fit on the CURRENT corpus, broadcast weights) ---
@@ -250,8 +257,7 @@ def llm_corpus_pipeline(
     sel = dsir.dsir_resample(scored, DSIR_K, DSIR_SEED)
     s7 = keep(
         s6.join(
-            F.broadcast(sel.select(
-                "doc_id", F.round("logw", 6).alias("q"))),
+            sel.select("doc_id", F.round("logw", 6).alias("q")),
             "doc_id",
         )
     )

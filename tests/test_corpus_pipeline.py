@@ -91,17 +91,19 @@ def test_shuffle_digest_deterministic(spark, tables, e2e):
 
 
 def test_drop_set_joins_are_broadcast(spark, tables):
-    """Plan audit: the near-dup and decontamination drop-sets re-enter
-    the corpus as BROADCAST anti-joins — no tier re-shuffles the corpus
-    against itself on a non-key."""
+    """Plan audit: drop-set re-entry joins carry NO forced broadcast
+    hint (round 12 — at 100 TB a near-dup drop-set is a constant
+    fraction of the corpus and a forced broadcast OOMs the driver);
+    for a candidate-bounded set it is AQE that picks the broadcast
+    anti-join at runtime."""
     from clickhouse_arrow_spark.operators import corpus_pipeline as cp
 
     s0 = cp.synthesize_corpus(spark.table("documents"))
     drop = s0.select("doc_id").limit(5)
-    plan = (
-        s0.join(F.broadcast(drop), "doc_id", "left_anti")
-        ._jdf.queryExecution().executedPlan().toString()
-    )
+    joined = s0.join(drop, "doc_id", "left_anti")
+    joined.count()  # materialize so AQE finalizes the adaptive plan
+    plan = joined._jdf.queryExecution().executedPlan().toString()
+    assert "AdaptiveSparkPlan" in plan
     assert "BroadcastHashJoin" in plan or "BroadcastNestedLoop" in plan
     assert "SortMergeJoin" not in plan
 
@@ -143,3 +145,35 @@ def test_entropy_large_group_linear(client):
     ).collect()[0]
     assert time.time() - t0 < 60
     assert row["h"] == pytest.approx(2.807348, abs=1e-5)
+
+
+def test_dsir_boundary_margins(spark, tables, e2e):
+    """Round-12 ADVICE: the gate's audited rows depend on (a) the
+    Gumbel-key cut between rank k and rank k+1 and (b) 6-dp rounding
+    of float-accumulated logw — both sensitive to the ~1e-13
+    partial-aggregation drift band between Spark and DuckDB. Pin that
+    the current data sits far from both cliffs, so a future data
+    rotation landing on a tie fails HERE (with a clear message) rather
+    than as a nondeterministic oracle mismatch."""
+    from clickhouse_arrow_spark.operators import corpus_pipeline as cp
+    from clickhouse_arrow_spark.operators import dsir
+
+    stages, _ = e2e
+    s6 = dict(stages)["6_decontam"]
+    weights = dsir.dsir_fit(
+        s6.where(F.col("source") == cp.DSIR_TARGET_SOURCE), s6,
+        n_buckets=cp.DSIR_BUCKETS,
+    )
+    scored = dsir.dsir_score(s6, weights, n_buckets=cp.DSIR_BUCKETS)
+    # rank k vs k+1 on the exact key dsir_resample orders by
+    keyed = dsir.dsir_resample(scored, cp.DSIR_K + 1, cp.DSIR_SEED)
+    keys = [r["gumbel_key"] for r in keyed.collect()]
+    assert len(keys) == cp.DSIR_K + 1
+    gap = keys[cp.DSIR_K - 1] - keys[cp.DSIR_K]
+    assert gap > 1e-9, f"Gumbel cut gap {gap} inside drift band"
+    # every selected q := round(logw, 6) sits > 1e-4 half-ulp units
+    # from its rounding boundary (drift 1e-13 ~ 1e-7 in these units)
+    logws = [r["logw"] for r in keyed.limit(cp.DSIR_K).collect()]
+    for lw in logws:
+        frac = abs((lw * 1e6) % 1.0 - 0.5)
+        assert frac > 1e-4, f"logw {lw} within drift of 6-dp boundary"

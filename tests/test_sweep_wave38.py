@@ -37,6 +37,18 @@ def one(client, sql):
          "2024-02-29 05:00:00"),
         ("toString(changeMinute(toDateTime('2024-01-01 05:06:07'), 0))",
          "2024-01-01 05:00:07"),
+        # out-of-range components SATURATE (CH clamps; ANSI
+        # make_timestamp would raise) — round-12 ADVICE pins
+        ("toString(changeDay(toDateTime('2024-03-15 10:00:00'), 0))",
+         "2024-03-01 10:00:00"),
+        ("toString(changeMonth(toDateTime('2024-01-15 05:00:00'), 13))",
+         "2024-12-15 05:00:00"),
+        ("toString(changeHour(toDateTime('2024-01-01 05:06:07'), 25))",
+         "2024-01-01 23:06:07"),
+        ("toString(changeSecond(toDateTime('2024-01-01 05:06:07'), -5))",
+         "2024-01-01 05:06:00"),
+        ("toString(changeDay(toDateTime('2024-02-10 00:30:00'), 31))",
+         "2024-02-29 00:30:00"),
         ("toString(UUIDv7ToDateTime("
          "'018f05af-f4a8-778f-86c2-3dbe0ee1f1d5'))",
          "2024-04-22 12:02:48.616"),
@@ -74,6 +86,21 @@ def test_wave38_normalize_l1(client):
     )
     assert row["l1"] == "0.25,0.75"
     assert row["bits"] == "1,3"
+
+
+def test_wave38_bit_positions_negative(client):
+    # two's-complement reads: -1 sets all 64 bits, -3 all but bit 1;
+    # pins bit 0 of negatives (`% 2 = 1` missed it — `& 1` does not)
+    row = one(
+        client,
+        "SELECT arrayStringConcat(arrayMap(x -> toString(x), "
+        "bitPositionsToArray(-1)), ',') AS all_bits, "
+        "arrayStringConcat(arrayMap(x -> toString(x), "
+        "bitPositionsToArray(-3)), ',') AS not_bit1",
+    )
+    assert row["all_bits"] == ",".join(str(i) for i in range(64))
+    assert row["not_bit1"] == "0," + ",".join(
+        str(i) for i in range(2, 64))
 
 
 def test_wave38_parse_readable_error_form_raises(client):

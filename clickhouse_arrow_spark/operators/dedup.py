@@ -294,6 +294,68 @@ def minhash_candidate_pairs(
     )
 
 
+def minhash_verified_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "lang",
+    est_threshold: float = 0.5,
+    verify_threshold: float = 0.9,
+    shingle_k: int = 3,
+    length_band: int = 20,
+    num_hashes: int = 64,
+    bands: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """MinHash-LSH as a CANDIDATE GENERATOR + exact Jaccard verification
+    (the e2e pipeline's tier-4 shape as a standalone operator).
+
+    LSH banding proposes pairs (est Jaccard >= ``est_threshold``); each
+    candidate is then verified with TRUE shingle-set Jaccard under the
+    same (group, length-band) blocking as :func:`shingle_jaccard_pairs`
+    and survives only at >= ``verify_threshold``. The result carries NO
+    engine hash, so a cross-engine oracle can recompute it value-for-
+    value from the Jaccard definition; at J >= 0.9 a 16-band/4-row LSH
+    miss has probability (1-J^4)^16 < 1e-7, deterministic for fixed
+    data + seed (the recall superset `dedup_neardup_gate` pins).
+
+    Scale: verification touches only the collision-bounded candidate
+    set — two keyed joins re-attach shingle profiles, never an
+    all-pairs scan. Returns (a_id, b_id, jaccard), a_id < b_id.
+    """
+    cand = minhash_candidate_pairs(
+        df, text_col, id_col, num_hashes, bands, shingle_k,
+        est_threshold, seed,
+    ).select("a_id", "b_id")
+    prof = _spread(df, id_col).select(
+        F.col(id_col),
+        F.col(group_col).alias("grp"),
+        F.length(text_col).alias("nlen"),
+        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    )
+    a = prof.select(
+        F.col(id_col).alias("a_id"), F.col("grp").alias("a_grp"),
+        F.col("nlen").alias("alen"), F.col("sh").alias("ash"),
+    )
+    b = prof.select(
+        F.col(id_col).alias("b_id"), F.col("grp").alias("b_grp"),
+        F.col("nlen").alias("blen"), F.col("sh").alias("bsh"),
+    )
+    jac = F.size(F.array_intersect("ash", "bsh")) / F.size(
+        F.array_union("ash", "bsh")
+    )
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .where(
+            (F.col("a_grp") == F.col("b_grp"))
+            & (F.abs(F.col("alen") - F.col("blen")) <= length_band)
+        )
+        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .where(F.col("jaccard") >= verify_threshold)
+    )
+
+
 def duplicate_survivors(
     ids: DataFrame,
     pairs: DataFrame,
@@ -395,6 +457,109 @@ def simhash_fingerprints(
         ).otherwise(F.lit(0).cast("long"))
         fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
     return _spread(df, id_col).select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def simhash_fingerprints_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """64-bit SimHash as two 32-bit halves, built on md5 token hashes.
+
+    Same Charikar construction as :func:`simhash_fingerprints`, but the
+    per-token hash is md5-derived (hex slices 1-8 / 9-16 parsed as two
+    32-bit words) instead of xxhash64 — md5 is implemented by BOTH
+    engines, so a DuckDB oracle recomputes the fingerprints, and
+    therefore the near-dup pair set, value-for-value (round-12
+    rows-only upgrade). Halves live in non-negative BIGINTs: no
+    sign-bit traps on shifts or cross-engine integer comparisons.
+    xxhash64 stays the 100 TB default (one JVM hash per token beats an
+    md5 + two hex parses); this variant is the verification path.
+    """
+    tokens = F.split(_normalize(F.col(text_col)), " ")
+    lo_hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
+    )
+    hi_hashes = F.transform(
+        tokens,
+        lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"),
+    )
+
+    def half_word(hashes):
+        # bit i of the half iff the ±1 token vote on bit i is positive
+        word = None
+        for i in range(32):
+            vote = F.aggregate(
+                hashes,
+                F.lit(0),
+                lambda acc, h: acc
+                + F.when(
+                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
+                ).otherwise(-1),
+            )
+            bit = F.when(
+                vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
+            ).otherwise(F.lit(0).cast("long"))
+            word = bit if word is None else word.bitwiseOR(bit)
+        return word
+
+    return _spread(df, id_col).select(
+        F.col(id_col),
+        half_word(hi_hashes).alias("sim_hi"),
+        half_word(lo_hashes).alias("sim_lo"),
+    )
+
+
+def simhash_near_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs within ``max_hamming`` bits of the PORTABLE
+    (md5-based) SimHash — same pigeonhole blocking as
+    :func:`simhash_near_pairs` (4 × 16-bit blocks: any pair within
+    Hamming distance < 4 agrees on at least one block, so the candidate
+    join is exact, not probabilistic), with the Hamming distance summed
+    over the two 32-bit halves. Cross-engine value-comparable end to
+    end. Returns (a_id, b_id, hamming), a_id < b_id.
+    """
+    fp = simhash_fingerprints_portable(df, text_col, id_col)
+    mask = (1 << 16) - 1
+    blocks = [
+        F.struct(
+            F.lit(b).alias("blk"),
+            F.shiftrightunsigned(half, shift)
+            .bitwiseAND(F.lit(mask))
+            .alias("blk_val"),
+        )
+        for b, (half, shift) in enumerate(
+            [(F.col("sim_lo"), 0), (F.col("sim_lo"), 16),
+             (F.col("sim_hi"), 0), (F.col("sim_hi"), 16)]
+        )
+    ]
+    exploded = fp.select(
+        F.col(id_col), "sim_hi", "sim_lo",
+        F.explode(F.array(*blocks)).alias("kb"),
+    ).select(id_col, "sim_hi", "sim_lo", "kb.blk", "kb.blk_val")
+    a = exploded.select(
+        "blk", "blk_val", F.col(id_col).alias("a_id"),
+        F.col("sim_hi").alias("a_hi"), F.col("sim_lo").alias("a_lo"),
+    )
+    b = exploded.select(
+        "blk", "blk_val", F.col(id_col).alias("b_id"),
+        F.col("sim_hi").alias("b_hi"), F.col("sim_lo").alias("b_lo"),
+    )
+    hamming = (
+        F.bit_count(F.col("a_hi").bitwiseXOR(F.col("b_hi")))
+        + F.bit_count(F.col("a_lo").bitwiseXOR(F.col("b_lo")))
+    ).cast("int")
+    return (
+        a.join(b, ["blk", "blk_val"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .dropDuplicates(["a_id", "b_id"])
+        .select("a_id", "b_id", hamming.alias("hamming"))
+        .where(F.col("hamming") <= max_hamming)
+    )
 
 
 def simhash_near_pairs(

@@ -160,9 +160,13 @@ CLASSES: dict[str, tuple[str, str]] = {
     "vector_cluster_balanced": (
         "property-gate", "cap conservation + determinism invariants"),
     "vector_ivf_topk": (
-        "rows-only",
-        "covered by ann_ivf_recall's recall/k gate and "
-        "tests/test_zorder_kmeans.py"),
+        "contract",
+        "r12 rows-only upgrade: the IVF probe rule (lowest-id seeding, "
+        "centroid-norm argmax, nprobe slice, 6-dp cosine tie-break) is "
+        "an engine-defined deterministic contract the oracle re-derives "
+        "end-to-end — neighbors, cosines and ranks value-compared; the "
+        "exact brute-force reference side is itself value-pinned in "
+        "tests/test_value_pins_r11.py::test_brute_force_topk_value_pin"),
     "vector_pca_gate": (
         "property-gate",
         "orthonormality/eigen-descent/variance-match invariants; r11 "
@@ -382,9 +386,13 @@ CLASSES: dict[str, tuple[str, str]] = {
         "physics invariants: exact dominant bin, RMS = A/sqrt(2), "
         "flatness ordering"),
     "multimodal_decode_features": (
-        "rows-only",
-        "decode plumbing; value behavior covered by binary_decode_gate "
-        "and tests/test_multimodal_property.py"),
+        "contract",
+        "r12 rows-only upgrade: the stub decoder's byte-fold "
+        "h=(h*131+b) mod 2^31 is the engine-defined spec; the oracle "
+        "recomputes it from the raw bytes in DuckDB (ASCII corpus) and "
+        "value-compares width/height/all 8 float32 features; the REAL "
+        "codec path stays covered by binary_decode_gate and "
+        "tests/test_multimodal_property.py"),
     "multimodal_frame_sample": ("standard-sql", "explode of a range"),
     "multimodal_resize_gate": (
         "property-gate",
@@ -459,12 +467,20 @@ CLASSES: dict[str, tuple[str, str]] = {
     "q9_product_type_profit": ("standard-sql", "TPC-H Q9 shape"),
     # ---- sampling/dedup pipelines already above --------------------------
     "shingle_minhash_lsh": (
-        "rows-only",
-        "engine-hash signatures have no cross-engine oracle; recall "
-        "gated by dedup_neardup_gate and tests/test_operators.py"),
+        "independent-algorithm",
+        "r12 rows-only upgrade (e2e tier-4 pattern): engine = LSH "
+        "candidate generation + exact Jaccard verification; oracle = "
+        "blocked TRUE-Jaccard pairs straight from the set definition — "
+        "no engine hash in the result; LSH recall superset additionally "
+        "gated by dedup_neardup_gate"),
     "simhash_neardup": (
-        "rows-only",
-        "engine-hash; recall/linearity gated by dedup_neardup_gate"),
+        "reformulation",
+        "r12 rows-only upgrade: both sides build the Charikar simhash "
+        "from the same md5 token hashes (shared construction), so the "
+        "loop is broken by an independent hashlib.md5 pure-Python "
+        "replica pin tests/test_operators.py::"
+        "test_simhash_portable_matches_hashlib_replica; pigeonhole "
+        "blocking is exact, so the pair set is deterministic"),
     # ---- stats ------------------------------------------------------------
     "stats_association": (
         "reformulation",

@@ -38,29 +38,107 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "shingle_minhash_lsh",
-    None,  # xxhash64-based signatures are engine-specific — rows-only
-    doc="MinHash(64)+LSH(16 bands) near-dup candidate pairs over word "
-    "shingles with estimated Jaccard >= 0.5. Exact duplicates must "
-    "appear with est_jaccard 1.0 (asserted in tests against "
-    "dedup_exact).",
+    """
+    WITH t AS (
+      SELECT doc_id, lang AS grp, length(text) AS nlen,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ), base AS (
+      SELECT doc_id, grp, nlen,
+             list_distinct(list_transform(
+               range(1, greatest(len(toks) - 2, 1) + 1),
+               i -> array_to_string(toks[i:i+2], ' '))) AS sh
+      FROM t
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           round(CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x)))
+                      AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))), 6) AS jaccard
+    FROM base a JOIN base b
+      ON a.grp = b.grp AND a.doc_id < b.doc_id
+     AND abs(a.nlen - b.nlen) <= 20
+    WHERE CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE)
+          / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.9
+    ORDER BY a_id, b_id
+    """,
+    doc="MinHash(64)+LSH(16 bands) as a CANDIDATE GENERATOR with exact "
+    "shingle-Jaccard verification (round-12 rows-only upgrade, the e2e "
+    "tier-4 pattern): candidates at est >= 0.5, survivors at TRUE "
+    "Jaccard >= 0.9 under (lang, length-band 20) blocking. No engine "
+    "hash reaches the result, so the oracle recomputes the pair set "
+    "and the Jaccard values from the set definition; at J >= 0.9 a "
+    "16-band/4-row LSH miss has probability (1-J^4)^16 < 1e-7.",
     headline=True,
     tags=("dedup", "minhash", "lsh"),
 )
 def q_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_candidate_pairs(
-        spark.table("documents"), threshold=0.5
+    return dedup.minhash_verified_pairs(
+        spark.table("documents"), est_threshold=0.5, verify_threshold=0.9
     ).orderBy("a_id", "b_id")
 
 
 @register(
     "simhash_neardup",
-    None,  # xxhash64-based — rows-only
-    doc="SimHash near-dup pairs within Hamming distance 3 "
-    "(pigeonhole-blocked candidate join, no all-pairs).",
+    """
+    WITH t AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                          ' ') AS toks
+      FROM documents
+    ),
+    hx AS (
+      SELECT doc_id,
+             list_transform(toks, tk ->
+               list_reduce(list_transform(range(1, 9),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(tk), i, 1))
+                           AS BIGINT) - 1),
+                 (a, b) -> a * 16 + b)) AS h_lo,
+             list_transform(toks, tk ->
+               list_reduce(list_transform(range(9, 17),
+                 i -> CAST(strpos('0123456789abcdef', substr(md5(tk), i, 1))
+                           AS BIGINT) - 1),
+                 (a, b) -> a * 16 + b)) AS h_hi
+      FROM t
+    ),
+    sims AS (
+      SELECT doc_id,
+             list_reduce(list_transform(range(0, 32), i ->
+               CASE WHEN list_reduce(list_transform(h_hi, h ->
+                      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END),
+                      (a, b) -> a + b) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END),
+               (a, b) -> a | b) AS sim_hi,
+             list_reduce(list_transform(range(0, 32), i ->
+               CASE WHEN list_reduce(list_transform(h_lo, h ->
+                      CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END),
+                      (a, b) -> a + b) > 0
+                    THEN (CAST(1 AS BIGINT) << i) ELSE 0 END),
+               (a, b) -> a | b) AS sim_lo
+      FROM hx
+    )
+    SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+           CAST(bit_count(xor(a.sim_hi, b.sim_hi))
+                + bit_count(xor(a.sim_lo, b.sim_lo)) AS INT) AS hamming
+    FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sim_hi, b.sim_hi))
+          + bit_count(xor(a.sim_lo, b.sim_lo)) <= 3
+    ORDER BY a_id, b_id
+    """,
+    doc="SimHash near-dup pairs within Hamming distance 3 on the "
+    "PORTABLE md5-based fingerprint (round-12 rows-only upgrade): the "
+    "oracle recomputes the Charikar construction from the same md5 "
+    "token hashes, so fingerprints and the full pair set are value-"
+    "compared cross-engine. Pigeonhole 4x16-bit blocking is EXACT "
+    "(any pair within Hamming < 4 shares a block) — recall 1.0 by "
+    "construction, not probabilistically. xxhash64 simhash_near_pairs "
+    "remains the 100 TB default path (tests/test_operators.py).",
     tags=("dedup", "simhash"),
 )
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.simhash_near_pairs(spark.table("documents")).orderBy("a_id", "b_id")
+    return dedup.simhash_near_pairs_portable(
+        spark.table("documents")
+    ).orderBy("a_id", "b_id")
 
 
 @register(
@@ -379,11 +457,81 @@ def q_ann_ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vector_ivf_topk",
-    None,  # approximate by design (probe pruning) — rows-only
+    """
+    WITH cent AS (
+      SELECT vec_id AS cid,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cvec
+      FROM embeddings ORDER BY vec_id LIMIT 16
+    ),
+    centn AS (
+      SELECT cid, cvec,
+             sqrt(list_reduce(list_transform(cvec, x -> x*x),
+                              (a, b) -> a + b)) AS cnorm
+      FROM cent
+    ),
+    c AS (
+      SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS cv
+      FROM embeddings
+    ),
+    assign AS (
+      SELECT vec_id, cv, cid FROM (
+        SELECT c.vec_id, c.cv, n.cid,
+               row_number() OVER (
+                 PARTITION BY c.vec_id
+                 ORDER BY -round(list_reduce(
+                            list_transform(range(1, len(cv) + 1),
+                                           i -> cv[i] * n.cvec[i]),
+                            (a, b) -> a + b) / n.cnorm, 6),
+                          n.cid) AS rn
+        FROM c CROSS JOIN centn n
+      ) WHERE rn = 1
+    ),
+    q AS (
+      SELECT vec_id AS query_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id < 5
+    ),
+    probes AS (
+      SELECT query_id, qv, cid FROM (
+        SELECT q.query_id, q.qv, n.cid,
+               row_number() OVER (
+                 PARTITION BY q.query_id
+                 ORDER BY -round(list_reduce(
+                            list_transform(range(1, len(qv) + 1),
+                                           i -> qv[i] * n.cvec[i]),
+                            (a, b) -> a + b) / n.cnorm, 6),
+                          n.cid) AS rn
+        FROM q CROSS JOIN centn n
+      ) WHERE rn <= 4
+    ),
+    scored AS (
+      SELECT p.query_id, a.vec_id,
+             round(list_reduce(list_transform(range(1, len(p.qv) + 1),
+                     i -> p.qv[i] * a.cv[i]), (x, y) -> x + y)
+                   / (sqrt(list_reduce(list_transform(p.qv, x -> x*x),
+                                       (x, y) -> x + y))
+                      * sqrt(list_reduce(list_transform(a.cv, x -> x*x),
+                                         (x, y) -> x + y))),
+                   6) AS cosine
+      FROM probes p JOIN assign a ON p.cid = a.cid
+    )
+    SELECT query_id, vec_id, cosine, rank FROM (
+      SELECT query_id, vec_id, cosine,
+             CAST(row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, vec_id) AS INT)
+               AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    ORDER BY query_id, rank
+    """,
     doc="IVF top-10: corpus bucketed by 16 deterministic centroids, "
     "queries probe 4 buckets — the 100 TB scale path (probe cost is "
     "nprobe/nlist of the corpus, bucket layout is writable as a "
-    "partitioned index).",
+    "partitioned index). Round-12 rows-only upgrade: the IVF contract "
+    "(lowest-id seeding, centroid-norm argmax with cid tie-break, "
+    "nprobe slice, 6-dp cosine with vec_id tie-break) is fully "
+    "deterministic, so the oracle re-derives the entire probe path and "
+    "value-compares neighbors, cosines AND ranks — not just recall.",
     tags=("similarity", "ann", "ivf"),
 )
 def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -890,17 +1038,52 @@ def q_multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_DECODE_FEATURE_COLS = ", ".join(
+    f"CAST(((hv >> {i * 3}) % 256) / 255.0 AS FLOAT) AS f{i}"
+    for i in range(8)
+)
+
 @register(
     "multimodal_decode_features",
-    None,  # Python decode stub — rows-only
+    """
+    WITH h AS (
+      SELECT doc_id,
+             CASE WHEN length(text) = 0 THEN 0
+                  ELSE list_reduce(
+                    list_transform(range(1, least(length(text), 64) + 1),
+                                   i -> CAST(ascii(substr(text, i, 1))
+                                             AS BIGINT)),
+                    (a, b) -> (a * 131 + b) % 2147483648)
+             END AS hv
+      FROM documents
+    )
+    SELECT doc_id, 'application/octet-stream' AS mime,
+           CAST(16 + hv % 1024 AS INT) AS width,
+           CAST(16 + (hv // 1024) % 1024 AS INT) AS height,
+    """ + _DECODE_FEATURE_COLS + """
+    FROM h ORDER BY doc_id
+    """,
     doc="mapInPandas decode plumbing: payload -> (width, height, "
     "features[8]) with a deterministic stub decoder; real codecs "
-    "register into DECODERS without plan changes.",
+    "register into DECODERS without plan changes. Round-12 rows-only "
+    "upgrade: the stub's byte-fold h = (h*131 + b) mod 2^31 over the "
+    "first 64 payload bytes is recomputed by the oracle from the raw "
+    "text (pure ASCII in this corpus, so ascii(char) == byte), and "
+    "width/height/all 8 feature values are value-compared cross-engine "
+    "(features as float32 on both sides — the mapInPandas schema "
+    "quantizes, so the oracle casts to FLOAT too).",
     tags=("multimodal", "decode", "pandas-udf"),
 )
 def q_multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     payloads = multimodal.attach_payload(spark.table("documents"))
-    return multimodal.decode_features(payloads).orderBy("doc_id")
+    return (
+        multimodal.decode_features(payloads)
+        .select(
+            "doc_id", "mime", "width", "height",
+            *[F.col("features")[i].alias(f"f{i}") for i in range(8)],
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

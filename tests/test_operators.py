@@ -73,6 +73,109 @@ def test_simhash_near_and_far(docs):
     assert (1, 2) in pairs and (1, 5) in pairs
 
 
+def test_simhash_portable_matches_hashlib_replica(docs):
+    """Definition-level pin for the portable (md5-based) simhash: the
+    expected fingerprints come from an independent pure-Python replica
+    built on hashlib.md5 — a different md5 implementation than the
+    JVM's — so a shared misreading of the construction cannot live on
+    both sides (the oracle-classes reformulation contract)."""
+    import hashlib
+    import re
+
+    from clickhouse_arrow_spark.operators.dedup import (
+        simhash_fingerprints_portable,
+    )
+
+    def replica(text):
+        toks = re.sub(r"\s+", " ", text.strip().lower()).split(" ")
+        los, his = [], []
+        for tok in toks:
+            h = hashlib.md5(tok.encode()).hexdigest()
+            los.append(int(h[0:8], 16))
+            his.append(int(h[8:16], 16))
+
+        def half(hs):
+            w = 0
+            for i in range(32):
+                vote = sum(1 if (h >> i) & 1 else -1 for h in hs)
+                if vote > 0:
+                    w |= 1 << i
+            return w
+
+        return half(his), half(los)
+
+    got = {
+        r["doc_id"]: (r["sim_hi"], r["sim_lo"])
+        for r in simhash_fingerprints_portable(docs).collect()
+    }
+    for doc_id, text in [(r["doc_id"], r["text"]) for r in docs.collect()]:
+        assert got[doc_id] == replica(text), f"doc {doc_id}"
+    # normalization still folds the case/whitespace dups together
+    assert got[1] == got[2] == got[5]
+
+
+def test_simhash_portable_pairs_pigeonhole_exact(docs):
+    """The 4x16-bit pigeonhole blocking must return EXACTLY the
+    brute-force Hamming<=3 pair set (deterministic, not probabilistic:
+    any pair within Hamming < 4 agrees on at least one block)."""
+    from clickhouse_arrow_spark.operators.dedup import (
+        simhash_fingerprints_portable,
+        simhash_near_pairs_portable,
+    )
+
+    fps = {
+        r["doc_id"]: (r["sim_hi"] << 32) | r["sim_lo"]
+        for r in simhash_fingerprints_portable(docs).collect()
+    }
+    ids = sorted(fps)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    got = {
+        (r["a_id"], r["b_id"])
+        for r in simhash_near_pairs_portable(docs, max_hamming=3).collect()
+    }
+    assert got == brute
+    assert (1, 2) in got and (1, 5) in got  # exact dups at Hamming 0
+
+
+def test_minhash_verified_pairs_equal_ground_truth(spark):
+    """LSH-candidates + exact-Jaccard verification must reproduce the
+    blocked TRUE-Jaccard pair set (the value-level contract behind the
+    upgraded shingle_minhash_lsh oracle)."""
+    from clickhouse_arrow_spark.operators.dedup import (
+        minhash_verified_pairs,
+        shingle_jaccard_pairs,
+    )
+
+    base = (
+        "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"
+    )
+    rows = [
+        (1, base, "en"),
+        (2, base, "en"),                       # exact dup
+        (3, base.replace("sigma", "sigmaX"), "en"),  # near dup
+        (4, "totally different words entirely here", "en"),
+        (5, base, "fr"),                       # same text, other group
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {
+        (r["a_id"], r["b_id"], r["jaccard"])
+        for r in minhash_verified_pairs(docs).collect()
+    }
+    want = {
+        (r["a_id"], r["b_id"], round(r["jaccard"], 6))
+        for r in shingle_jaccard_pairs(docs, threshold=0.9).collect()
+    }
+    assert got == want
+    assert (1, 2, 1.0) in got          # exact dup survives at J=1
+    assert not any(5 in (a, b) for a, b, _ in got)  # blocked by group
+
+
 def test_brute_force_topk_self_is_nearest(spark):
     import random
 

@@ -110,7 +110,10 @@ CLASSES: dict[str, tuple[str, str]] = {
     "agg_hll_sketch": (
         "property-gate",
         "exact distinct counts value-checked; est_ok pins the 5% sketch "
-        "accuracy contract (sketch bits are engine-specific)"),
+        "accuracy contract. No independent value pin is computable: the "
+        "estimate depends on Spark's internal HLL++ register layout "
+        "(dense/sparse switch, bias tables) with no published "
+        "closed-form expected value for arbitrary inputs"),
     "agg_interval_union": (
         "independent-algorithm",
         "oracle = DuckDB gaps-and-islands windows; engine = sorted-array "
@@ -158,7 +161,11 @@ CLASSES: dict[str, tuple[str, str]] = {
         "exact int8 codes + scales vs a numpy round-half-away replica "
         "tests/test_value_pins_r11.py::test_quantize_value_pin"),
     "vector_cluster_balanced": (
-        "property-gate", "cap conservation + determinism invariants"),
+        "property-gate",
+        "cap conservation + determinism invariants; r12 value pin: the "
+        "FULL kept vec_id set replicated independently (argmax "
+        "assignment + per-cluster lowest-10) in tests/"
+        "test_value_pins_r12.py::test_cluster_balanced_value_pin"),
     "vector_ivf_topk": (
         "contract",
         "r12 rows-only upgrade: the IVF probe rule (lowest-id seeding, "
@@ -174,7 +181,11 @@ CLASSES: dict[str, tuple[str, str]] = {
         "cov+eigvalsh from raw rows tests/test_value_pins_r11.py::"
         "test_pca_eigenvalue_pin"),
     "vector_pca_ivf_gate": (
-        "property-gate", "reduced-space recall + variance share"),
+        "property-gate",
+        "reduced-space recall + variance share; r12 value pin: the "
+        "reduced-space exact top-10 reference replicated with an "
+        "independent numpy PCA + left-fold cosines in tests/"
+        "test_value_pins_r12.py::test_pca_reduced_topk_value_pin"),
     "vector_pca_variance": (
         "independent-algorithm",
         "DuckDB two-pass per-dimension variances vs engine's one-pass "
@@ -255,7 +266,12 @@ CLASSES: dict[str, tuple[str, str]] = {
         "no engine hash reaches the audited values; planted artifacts "
         "(exact/near/shared-run/contamination) pin each tier's kill"),
     "dedup_incremental_gate": (
-        "property-gate", "clone-drop/survivor/store-append invariants"),
+        "property-gate",
+        "clone-drop/survivor/store-append invariants; the constructed "
+        "batch fully determines the survivor set, and the r12 pin "
+        "asserts the COMPLETE set equality ({100..109} + min-id 450): "
+        "tests/test_value_pins_r12.py::"
+        "test_incremental_dedup_survivor_set_pin"),
     "dedup_neardup_gate": (
         "independent-algorithm",
         "ground-truth Jaccard pairs recomputed from raw shingles in "
@@ -295,8 +311,10 @@ CLASSES: dict[str, tuple[str, str]] = {
     "text_bigram_logprob": ("definition", "bigram MLE from count joins"),
     "text_bpe_gate": (
         "property-gate",
-        "round-trip/determinism/compression invariants; merge order also "
-        "pinned in tests/test_bpe.py against hand-traced merges"),
+        "round-trip/determinism/compression invariants; value-pinned by "
+        "the independent naive-reference trainer comparison tests/"
+        "test_bpe.py::test_train_matches_naive_reference plus "
+        "hand-traced merge orders in the same file"),
     "text_chunking": ("standard-sql", "stride slicing"),
     "text_fuzzy_pairs": (
         "duckdb-native",
@@ -305,8 +323,12 @@ CLASSES: dict[str, tuple[str, str]] = {
     "text_pii_scrub": ("standard-sql", "same RE2 patterns, two regex engines"),
     "text_quality_model_gate": (
         "property-gate",
-        "held-out accuracy/probability-validity invariants of the "
-        "trained classifier"),
+        "held-out accuracy/probability-validity invariants; r12 value "
+        "pin: every held-out DECISION equals its constructed label "
+        "(tests/test_value_pins_r12.py::"
+        "test_quality_model_heldout_predictions_pin). The weight vector "
+        "itself is L-BFGS-iteration-path-dependent — no independent "
+        "bitwise pin is computable for the coefficients"),
     "text_repetition": ("definition", "top-bigram share re-derived"),
     "text_span_dedup": (
         "independent-algorithm",
@@ -334,7 +356,13 @@ CLASSES: dict[str, tuple[str, str]] = {
         "quality formula + keyed lottery are engine-defined; oracle "
         "re-derives both from the documented formula"),
     "sample_tablesample": (
-        "property-gate", "sampled fraction within 4% absolute of 10%"),
+        "property-gate",
+        "sampled fraction within 4% absolute of 10%. No value pin is "
+        "computable: TABLESAMPLE is per-run Bernoulli on Spark's "
+        "internal RNG stream (partition-seeded XORShift) — the drawn "
+        "set is intentionally non-deterministic; the DETERMINISTIC "
+        "sampling surface (SAMPLE BY) is value-pinned instead (see "
+        "util_sample_gate)"),
     "mix_epoch_expand": (
         "contract",
         "fractional-epoch lottery is the engine-defined affine-mod rule"),
@@ -383,8 +411,10 @@ CLASSES: dict[str, tuple[str, str]] = {
         "duckdb-native", "octet_length/sha256 are external standards"),
     "multimodal_audio_gate": (
         "property-gate",
-        "physics invariants: exact dominant bin, RMS = A/sqrt(2), "
-        "flatness ordering"),
+        "physics invariants that ARE definition-level value pins: the "
+        "440 Hz tone's dominant bin exactly 440, RMS = A/sqrt(2) "
+        "(closed-form signal theory, derived independently of the DSP "
+        "code), flatness ordering tone < noise"),
     "multimodal_decode_features": (
         "contract",
         "r12 rows-only upgrade: the stub decoder's byte-fold "
@@ -396,9 +426,15 @@ CLASSES: dict[str, tuple[str, str]] = {
     "multimodal_frame_sample": ("standard-sql", "explode of a range"),
     "multimodal_resize_gate": (
         "property-gate",
-        "dims/constant-preservation/dedup-stability invariants"),
+        "dims/constant-preservation/dedup-stability invariants; value "
+        "laws pinned in tests/test_multimodal_property.py (resize of a "
+        "constant image is that constant; resize to 1x1 is the global "
+        "mean — closed-form expected values, hypothesis-swept)"),
     "multimodal_video_gate": (
-        "property-gate", "container round-trip + composition invariants"),
+        "property-gate",
+        "container round-trip + composition invariants; byte-exact AVI "
+        "encode/decode round-trip value-pinned in tests/"
+        "test_multimodal_property.py::test_avi_round_trip"),
     "multimodal_video_survivors": (
         "pinned-literal",
         "expected survivor set derived by hand from the constructed "
@@ -573,10 +609,19 @@ CLASSES: dict[str, tuple[str, str]] = {
         "parts"),
     "util_numbers_tvf": ("standard-sql", "range TVF"),
     "util_query_cache_gate": (
-        "property-gate", "same-object/persisted/dropped invariants"),
+        "property-gate",
+        "same-object/persisted/dropped invariants. No value pin is "
+        "computable: the observable IS runtime identity behavior "
+        "(cache hit returns the same materialized object; drop "
+        "invalidates) — there is no external value to compare, only "
+        "the behavioral contract"),
     "util_sample_gate": (
         "property-gate",
-        "determinism/containment/disjointness invariants of SAMPLE BY"),
+        "determinism/containment/disjointness invariants of SAMPLE BY; "
+        "r12 value pin: the EXACT kept key set for SAMPLE 0.1/0.2 and "
+        "OFFSET slices replicated with an independent pure-Python "
+        "Murmur3 (published Appleby spec) in tests/"
+        "test_value_pins_r12.py::test_sample_by_bucket_value_pin"),
     "util_sparkbar": (
         "reformulation",
         "bucket/scale/glyph arithmetic shared; pinned by hand-derived "
@@ -590,7 +635,10 @@ CLASSES: dict[str, tuple[str, str]] = {
     "util_star_apply_join": ("standard-sql", "expanded over join scope"),
     "util_system_introspect": (
         "property-gate",
-        "catalog counts + parquet-footer row sum pinned to count(*)"),
+        "catalog counts + parquet-footer row sum pinned to count(*) — "
+        "the footer metadata is an independent on-disk artifact, so the "
+        "row-sum comparison is already a value pin against a source the "
+        "engine does not control"),
     "util_with_fill": (
         "reformulation",
         "CH fill-semantics reading shared (grid join); pinned by hand "
@@ -649,7 +697,11 @@ CLASSES: dict[str, tuple[str, str]] = {
         "oracle reads the whole parquet table; engine unions two "
         "disjoint-slice HTTP shards + range-partitioned scan"),
     "uniq_approx_distinct": (
-        "property-gate", "15% estimate envelope vs exact distinct"),
+        "property-gate",
+        "15% estimate envelope vs exact distinct. No independent value "
+        "pin is computable: same HLL++ engine-internal register "
+        "dependence as agg_hll_sketch (the exact-distinct side IS "
+        "value-oracled)"),
     "grouped_map_zscore": (
         "independent-algorithm",
         "engine applyInPandas vs pure-SQL window oracle"),

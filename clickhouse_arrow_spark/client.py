@@ -709,6 +709,18 @@ class Client:
         ch_sql = _re.sub(
             r"(?i)\bgetSetting\s*\(\s*'([^']+)'\s*\)", _get_setting, ch_sql
         )
+
+        # getSettingOrDefault('name', default): the default expression
+        # wins when the setting is unset/unknown (wave 39)
+        def _get_setting_or_default(mm):
+            val = _get_setting(mm)
+            return val if val != "''" else mm.group(2).strip()
+
+        ch_sql = _re.sub(
+            r"(?i)\bgetSettingOrDefault\s*\(\s*'([^']+)'\s*,"
+            r"\s*([^()]+?)\s*\)",
+            _get_setting_or_default, ch_sql,
+        )
         if _re.search(
             r"(?i)\b(?:FROM|JOIN)\s+(?:file|s3|urlCluster|url|merge|"
             r"generateRandom|remote|remoteSecure|cluster|"

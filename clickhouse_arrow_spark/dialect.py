@@ -487,6 +487,151 @@ _OPERATOR_BACKED: dict[str, str] = {
         "no ZooKeeper in a Spark deployment; system.parts/replication "
         "surfaces are served from the catalog instead"
     ),
+    # ---- wave 39 (round 12): residual-family discovery sweep -------------
+    "detectLanguage": (
+        "CH bundles CLD2 models; use the n-gram heuristic "
+        "operators/text.language_id(df) (a `lang` column), or run a "
+        "real model (fasttext) in a mapInPandas stage"
+    ),
+    "detectLanguageMixed": (
+        "CH bundles CLD2 models; operators/text.language_id gives the "
+        "dominant language — per-span mixtures need a real model in "
+        "mapInPandas"
+    ),
+    "detectLanguageUnknown": (
+        "CH bundles CLD2 models; see detectLanguage / "
+        "operators/text.language_id"
+    ),
+    "detectCharset": (
+        "charset detection needs CH's bundled models; the engine's "
+        "string carrier is always UTF-8 (parquet/Arrow contract)"
+    ),
+    "detectTonality": (
+        "sentiment needs CH's bundled dictionaries; run a model in a "
+        "mapInPandas stage over the text column"
+    ),
+    "detectProgrammingLanguage": (
+        "needs CH's bundled frequency dictionaries; a keyword-regex "
+        "CASE expression covers known languages deterministically"
+    ),
+    "lemmatize": (
+        "needs server-configured lemmatizer dictionaries; run spaCy/"
+        "NLTK in a mapInPandas stage (operators/text tokenizers give "
+        "the split)"
+    ),
+    "synonyms": (
+        "needs server-configured synonym extensions; broadcast a "
+        "synonym map and join, or array_contains over a literal map"
+    ),
+    "readWKTPoint": (
+        "no geo types here (h3/geobase adjudication, docs/PARITY.md): "
+        "parse coordinates textually — regexp_extract(s, "
+        r"'POINT\\\\(([-0-9.]+) ([-0-9.]+)\\\\)', n) per axis"
+    ),
+    "readWKTPolygon": (
+        "no geo types here (h3/geobase adjudication, docs/PARITY.md); "
+        "polygon math needs a geo library in a mapInPandas stage"
+    ),
+    "structureToCapnProtoSchema": (
+        "schema export to Cap'n Proto is out of scope; "
+        "df.schema.json() / DESCRIBE TABLE give the schema"
+    ),
+    "mysqlPort": (
+        "no MySQL wire protocol in this engine — HTTP/8123 is the wire "
+        "surface (httpPort())"
+    ),
+    "postgresqlPort": (
+        "no PostgreSQL wire protocol in this engine — HTTP/8123 is the "
+        "wire surface (httpPort())"
+    ),
+    "grpcPort": (
+        "no gRPC endpoint in this engine — HTTP/8123 is the wire "
+        "surface (httpPort())"
+    ),
+    "showCertificate": (
+        "no TLS termination inside the engine; certificates live on "
+        "whatever fronts the HTTP endpoint"
+    ),
+    "numericIndexedVectorBuild": (
+        "CH's experimental bit-sliced-index vector type has no "
+        "analogue; model sparse vectors as map<int,double> and use the "
+        "map*/transform builtins (mapApply-style pointwise math)"
+    ),
+    "numericIndexedVectorPointwiseAdd": (
+        "see numericIndexedVectorBuild — on map carriers: "
+        "map_zip_with(a, b, (k, x, y) -> coalesce(x, 0) + coalesce(y, 0))"
+    ),
+    "numericIndexedVectorGetValueImpl": (
+        "see numericIndexedVectorBuild — element_at(m, k) on the map "
+        "carrier"
+    ),
+    "toIPv6OrZero": (
+        "IPv6 needs 128-bit address math (no BIGINT-safe Spark "
+        "expression; same adjudication as toIPv6OrNull/IPv4ToIPv6) — "
+        "validate textually with the is_valid form and keep strings"
+    ),
+    "arrayLevenshteinDistanceWeighted": (
+        "arrayLevenshteinDistance(a, b) — the weighted variant's "
+        "per-element costs need a bespoke DP kernel; run it in a "
+        "pandas UDF if the weights matter"
+    ),
+    "arraySimilarity": (
+        "derived from arrayLevenshteinDistanceWeighted (same bespoke "
+        "weighted DP); arrayLevenshteinDistance covers the unweighted "
+        "distance"
+    ),
+    "sparseGrams": (
+        "CH-experimental: use ngrams(splitByChar('', s), n) / the "
+        "shingle ops in operators/dedup for deterministic n-grams"
+    ),
+    "sparseGramsUTF8": ("see sparseGrams"),
+    "sparseGramsHashes": (
+        "see sparseGrams — and hashes would be engine-specific anyway "
+        "(the xxHash64 adjudication)"
+    ),
+    "sparseGramsHashesUTF8": ("see sparseGramsHashes"),
+    "timeSeriesChangesToGrid": (
+        "CH-experimental PromQL regridding; "
+        "operators/timeseries (resample/fill/exp-decay) cover the "
+        "grid-alignment shapes"
+    ),
+    "timeSeriesDeltaToGrid": ("see timeSeriesChangesToGrid"),
+    "timeSeriesInstantRateToGrid": ("see timeSeriesChangesToGrid"),
+    "timeSeriesLastTwoSamples": ("see timeSeriesChangesToGrid"),
+    "estimateCompressionRatio": (
+        "server-side codec simulation; measure real ratios by writing "
+        "parquet with spark.sql.parquet.compression.codec variants"
+    ),
+    "globalVariable": (
+        "MySQL-compatibility shim with server-defined values; "
+        "getSetting('name') reads this engine's settings"
+    ),
+    "lowCardinalityIndices": (
+        "LowCardinality is a CH storage encoding; Spark's dictionary "
+        "encoding is internal to parquet — dense_rank() OVER "
+        "(ORDER BY x) gives an equivalent dictionary index"
+    ),
+    "lowCardinalityKeys": (
+        "see lowCardinalityIndices — SELECT DISTINCT x gives the "
+        "dictionary"
+    ),
+    "isDynamicElementInSharedData": (
+        "CH Dynamic-column internals; no Dynamic type here (the "
+        "variantType adjudication)"
+    ),
+    "arrayEnumerateDenseRanked": (
+        "arrayEnumerateDense(arr) for depth-1; the ranked multi-depth "
+        "form needs recursive flatten bookkeeping — flatten first, "
+        "then arrayEnumerateDense"
+    ),
+    "arrayEnumerateUniqRanked": (
+        "arrayEnumerateUniq(arr) for depth-1; flatten first for "
+        "deeper ranks (see arrayEnumerateDenseRanked)"
+    ),
+    "zookeeperPath": (
+        "no ZooKeeper in a Spark deployment (see "
+        "zookeeperSessionUptime)"
+    ),
 }
 
 # Wave 37: the FULL text-fingerprint family — every CaseInsensitive /
@@ -536,6 +681,13 @@ _ENGINE_HASHES = (
     "murmurHash3_128",
     "metroHash64",
     "gccMurmurHash",
+    # wave 39: remaining engine-hash discoveries
+    "sipHash128",
+    "sipHash128Keyed",
+    "sipHash64Keyed",
+    "intHash32",
+    "intHash64",
+    "wyHash64",
     # sipHash128 of the whitespace/literal-normalized query text
     "normalizedQueryHash",
     "normalizedQueryHashKeepNames",
@@ -4973,6 +5125,120 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
             )
 
         return parse_readable
+    # ---- wave 39 (round 12): residual-family fixes -----------------------
+    if name in ("base64URLEncode", "base64UrlEncode"):
+        # RFC 4648 §5: '+/' -> '-_', padding stripped (CH emits none)
+        return lambda a: (
+            f"replace(translate(base64(CAST({a[0]} AS BINARY)), "
+            f"'+/', '-_'), '=', '')"
+        )
+    if name in ("base64URLDecode", "base64UrlDecode", "tryBase64URLDecode",
+                "tryBase64UrlDecode"):
+        # re-pad to a multiple of 4, reverse the URL alphabet, decode.
+        # CH's error form raises on invalid input; unbase64 under ANSI
+        # raises too, so the contract carries; try* wraps in try_cast
+        def b64url_decode(a: Args, _try=name.startswith("try")) -> str:
+            padded = (
+                f"concat(translate({a[0]}, '-_', '+/'), "
+                f"repeat('=', (4 - length({a[0]}) % 4) % 4))"
+            )
+            expr = f"CAST(unbase64({padded}) AS STRING)"
+            if _try:
+                # tryBase64URLDecode -> '' on undecodable input (CH)
+                return (
+                    f"coalesce(try_cast(unbase64(try_cast({padded} "
+                    f"AS STRING)) AS STRING), '')"
+                )
+            return expr
+
+        return b64url_decode
+    if name == "stringJaccardIndexUTF8":
+        return _fmt("stringJaccardIndex")
+    if name == "toTimezone":  # lowercase-z alias of toTimeZone
+        return _fmt("toTimeZone")
+    if name == "overlayUTF8":  # Spark strings are UTF-8 code points
+        return lambda a: f"overlay({', '.join(a)})"
+    if name == "IPv4NumToStringClassC":
+        # dotted quad with the host octet masked as 'xxx'
+        def ipv4_class_c(a: Args) -> str:
+            n = a[0]
+            octs = [
+                f"CAST((({n}) div {d}) % 256 AS STRING)"
+                for d in (16777216, 65536, 256)
+            ]
+            return f"concat({octs[0]}, '.', {octs[1]}, '.', {octs[2]}, '.', 'xxx')"
+
+        return ipv4_class_c
+    if name in ("countSubstringsUTF8", "countSubstringsCaseInsensitiveUTF8"):
+        # Spark strings count code points natively
+        return _fmt(
+            "countSubstringsCaseInsensitive"
+            if "CaseInsensitive" in name else "countSubstrings"
+        )
+    if name in ("multiSearchFirstPositionCaseInsensitive",
+                "multiSearchFirstPositionUTF8",
+                "multiSearchFirstPositionCaseInsensitiveUTF8"):
+        if "CaseInsensitive" in name:
+            return lambda a: (
+                f"coalesce(array_min(filter(transform({a[1]}, "
+                f"_n -> locate(lower(_n), lower({a[0]}))), "
+                f"_p -> _p > 0)), 0)"
+            )
+        return _fmt("multiSearchFirstPosition")
+    if name == "icebergTruncate":
+        # Iceberg truncate transform: ints floor to width multiples
+        # (sign-correct via pmod), strings truncate to W chars. The
+        # branch is decided at TRANSLATE time from the argument text
+        # (a quoted literal -> string form) because a CASE over both
+        # would force a common string type onto numeric results.
+        def iceberg_truncate(a: Args) -> str:
+            w, v = a[0], a[1]
+            if v.lstrip().startswith("'"):
+                return f"substring({v}, 1, CAST({w} AS INT))"
+            return (
+                f"(CAST({v} AS BIGINT) - pmod(CAST({v} AS BIGINT), "
+                f"CAST({w} AS BIGINT)))"
+            )
+
+        return iceberg_truncate
+    if name == "subtractInterval":
+        return lambda a: f"({a[0]} - {a[1]})"
+    if name in ("stringBytesUniq", "stringBytesEntropy"):
+        # bytes of the UTF-8 encoding via hex pairs (hex() emits two
+        # chars per byte) — the let-binding idiom keeps the hex string
+        # computed once per element row, not per byte
+        def string_bytes(a: Args, _ent=name.endswith("Entropy")) -> str:
+            bytes_arr = (
+                f"transform(sequence(1, octet_length({a[0]})), "
+                f"_i -> substring(hex({a[0]}), 2 * _i - 1, 2))"
+            )
+            if not _ent:
+                return (
+                    f"CASE WHEN octet_length({a[0]}) = 0 THEN 0 ELSE "
+                    f"size(array_distinct({bytes_arr})) END"
+                )
+            # Shannon entropy over byte frequencies, log base 2:
+            # sum over distinct bytes of -(c/n) log2 (c/n)
+            return (
+                f"CASE WHEN octet_length({a[0]}) = 0 "
+                f"THEN CAST(0.0 AS DOUBLE) ELSE "
+                f"element_at(transform(array({a[0]}), _s -> "
+                f"aggregate(array_distinct(transform(sequence(1, "
+                f"octet_length(_s)), _i -> substring(hex(_s), "
+                f"2 * _i - 1, 2))), CAST(0.0 AS DOUBLE), (_acc, _b) -> "
+                f"_acc - (CAST(size(filter(transform(sequence(1, "
+                f"octet_length(_s)), _j -> substring(hex(_s), 2 * _j - 1, "
+                f"2)), _x -> _x = _b)) AS DOUBLE) / octet_length(_s)) "
+                f"* log2(CAST(size(filter(transform(sequence(1, "
+                f"octet_length(_s)), _j -> substring(hex(_s), 2 * _j - 1, "
+                f"2)), _x -> _x = _b)) AS DOUBLE) / octet_length(_s)))), "
+                f"1) END"
+            )
+
+        return string_bytes
+    if name == "toStringCutToZero":
+        # everything before the first zero byte (reinterpret family)
+        return lambda a: f"substring_index({a[0]}, chr(0), 1)"
     if name == "basename":
         # everything after the last '/' or '\\' (CH semantics)
         return lambda a: f"regexp_extract({a[0]}, '[^/\\\\\\\\]*$', 0)"

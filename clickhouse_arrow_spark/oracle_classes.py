@@ -382,6 +382,13 @@ CLASSES: dict[str, tuple[str, str]] = {
         "the CH docs formula (0.5 = 4 common of 8 needle grams), "
         "classic soundex battery (CH docs A240 + census vector), "
         "partial-sort contract instances, toStartOf* Date narrowing"),
+    "util_sweep_wave39": (
+        "pinned-literal",
+        "wave-39 exact literals: width_bucket PostgreSQL edge grid "
+        "(hand-computed), base64URL RFC 4648 §5 round-trips (CH docs "
+        "example), Iceberg truncate transform (published spec values), "
+        "stringBytes entropy H('aab') = 0.918296 by hand arithmetic, "
+        "overlay SQL-standard examples"),
     "pack_first_fit_gate": (
         "property-gate",
         "exactly-once/token-conservation/capacity invariants vs raw "

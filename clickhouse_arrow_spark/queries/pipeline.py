@@ -6258,3 +6258,55 @@ def q_util_sweep_wave37(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toTypeName(toStartOfMonth(toDate('2024-03-15'))), "
         "toTypeName(toStartOfDay(now()))) AS tostartof_dates"
     )
+
+
+@register(
+    "util_sweep_wave39",
+    """
+    SELECT '3|0|5|1' AS width_bucket_grid,
+           'aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ|https://clickhouse.com|'
+             AS base64url,
+           'Spark_SQL|Müxxhen2024' AS overlays,
+           '30|-10|ice' AS iceberg_truncate,
+           '4|2|0.918296' AS byte_stats,
+           '192.168.1.xxx|2|3|ab' AS variants
+    """,
+    doc="Round-12 probe-sweep wave 39 (scripts/probe_wave39.py; exact "
+    "literal oracle): width_bucket PostgreSQL edge grid (hand values "
+    "incl. below-min -> 0 and max-exclusive -> n+1), the base64URL "
+    "family (RFC 4648 §5 alphabet, unpadded like CH, try-form -> ''), "
+    "overlay/overlayUTF8 (SQL-standard passthrough confirmed), "
+    "icebergTruncate (published Iceberg transform spec: signed floor "
+    "to width / string prefix), stringBytesUniq/stringBytesEntropy "
+    "(UTF-8 byte statistics via hex pairs; H('aab') = 0.918296 by "
+    "hand), and the leftover family variants "
+    "(IPv4NumToStringClassC, countSubstringsCaseInsensitiveUTF8, "
+    "multiSearchFirstPositionCaseInsensitive, toStringCutToZero).",
+    tags=("dialect", "sweep", "wave39"),
+)
+def q_util_sweep_wave39(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from clickhouse_arrow_spark.client import Client
+
+    return Client(spark).query_ch(
+        "SELECT concat_ws('|', "
+        "toString(widthBucket(10.15, -8.6, 21, 4)), "
+        "toString(widthBucket(-10, -8.6, 21, 4)), "
+        "toString(widthBucket(21, -8.6, 21, 4)), "
+        "toString(widthBucket(-8.6, -8.6, 21, 4))) AS width_bucket_grid, "
+        "concat_ws('|', base64URLEncode('https://clickhouse.com'), "
+        "base64URLDecode('aHR0cHM6Ly9jbGlja2hvdXNlLmNvbQ'), "
+        "tryBase64URLDecode('####')) AS base64url, "
+        "concat_ws('|', overlay('Spark SQL', '_', 6), "
+        "overlayUTF8('München2024', 'xx', 3)) AS overlays, "
+        "concat_ws('|', toString(icebergTruncate(10, 37)), "
+        "toString(icebergTruncate(10, -7)), "
+        "icebergTruncate(3, 'iceberg')) AS iceberg_truncate, "
+        "concat_ws('|', toString(stringBytesUniq('hello')), "
+        "toString(stringBytesUniq('é')), "
+        "toString(round(stringBytesEntropy('aab'), 6))) AS byte_stats, "
+        "concat_ws('|', IPv4NumToStringClassC(3232235777), "
+        "toString(countSubstringsCaseInsensitiveUTF8('AbaBa', 'ba')), "
+        "toString(multiSearchFirstPositionCaseInsensitive('HeLLo', "
+        "['ll', 'xx'])), "
+        "toStringCutToZero(concat('ab', chr(0), 'cd'))) AS variants"
+    )

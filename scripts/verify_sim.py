@@ -114,7 +114,14 @@ def main() -> int:
         "documents embeddings".split()
     ):
         p = os.path.join(SF_DIR, f"{t}.parquet")
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-directory parquet (e.g. the persistent sf1 set):
+            # DuckDB needs the file glob, not the directory path
+            duck.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM "
+                f"read_parquet('{p}/*.parquet')"
+            )
+        elif os.path.exists(p):
             duck.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 
     qs = entrymod.queries()

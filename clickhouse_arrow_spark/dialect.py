@@ -5187,17 +5187,21 @@ def _fmt(name: str):  # formatters for arg-reordering / expression forms
         return _fmt("multiSearchFirstPosition")
     if name == "icebergTruncate":
         # Iceberg truncate transform: ints floor to width multiples
-        # (sign-correct via pmod), strings truncate to W chars. The
-        # branch is decided at TRANSLATE time from the argument text
-        # (a quoted literal -> string form) because a CASE over both
-        # would force a common string type onto numeric results.
+        # (sign-correct via pmod), strings truncate to W chars. A
+        # quoted literal gets the string form directly; otherwise the
+        # type is unknowable from text, so the expression carries BOTH
+        # branches and returns a STRING partition label (numeric-looking
+        # strings in string columns take the numeric branch — the
+        # documented carrier edge; partition labels, not quantities).
         def iceberg_truncate(a: Args) -> str:
             w, v = a[0], a[1]
             if v.lstrip().startswith("'"):
                 return f"substring({v}, 1, CAST({w} AS INT))"
             return (
-                f"(CAST({v} AS BIGINT) - pmod(CAST({v} AS BIGINT), "
-                f"CAST({w} AS BIGINT)))"
+                f"coalesce(CAST(try_cast({v} AS BIGINT) - "
+                f"pmod(try_cast({v} AS BIGINT), CAST({w} AS BIGINT)) "
+                f"AS STRING), "
+                f"substring(CAST({v} AS STRING), 1, CAST({w} AS INT)))"
             )
 
         return iceberg_truncate

@@ -128,7 +128,16 @@ def main() -> int:
     oracles = entrymod.oracle_sql()
     only = sys.argv[2:]
     if only:
-        qs = {k: v for k, v in qs.items() if any(s in k for s in only)}
+        # an arg that names a query EXACTLY selects only that query
+        # (substring matching would also pull in its aaa_gate_ alias —
+        # doubling expensive oracles in targeted sf1 runs); other args
+        # keep substring semantics
+        exact = [s for s in only if s in qs]
+        subs = [s for s in only if s not in qs]
+        qs = {
+            k: v for k, v in qs.items()
+            if k in exact or any(s in k for s in subs)
+        }
     print(f"== {len(qs)} queries, {len(oracles)} with oracles ==")
     failures = []
     for name, fn in qs.items():

@@ -1313,6 +1313,89 @@ QUERIES = [
      "bitPositionsToArray(o_orderkey)), ',') AS bits FROM orders "
      "WHERE o_orderkey < 9 ORDER BY o_orderkey LIMIT 5",
      (1, 5)),
+    # ---- round 12 wave 37 surface: ngramSearch relevance tiers ----
+    ("SELECT doc_id, round(ngramSearch(text, 'the quick brown'), 3) "
+     "AS rel FROM documents WHERE length(text) > 20 "
+     "ORDER BY rel DESC, doc_id LIMIT 10",
+     (1, 10)),
+    ("SELECT multiIf(ngramSearchCaseInsensitive(text, 'DATA') > 0.5, "
+     "'hit', ngramDistance(text, 'data') < 0.9, 'near', 'miss') AS tier, "
+     "count() AS n FROM documents GROUP BY tier ORDER BY tier",
+     (1, 3)),
+    # ---- round 12: dirty-data calendar ETL (saturating change*) ----
+    ("SELECT toString(changeDay(o_orderdate, o_orderkey % 40)) AS d "
+     "FROM orders WHERE o_orderkey < 20 ORDER BY o_orderkey LIMIT 10",
+     (1, 10)),
+    ("SELECT countIf(changeMonth(o_orderdate, o_orderkey % 15) >= "
+     "toDateTime('1997-01-01 00:00:00')) AS n FROM orders "
+     "WHERE o_orderkey < 200",
+     (1, 1)),
+    # ---- round 12: Date-narrowed toStartOf* joined to DateTime events
+    # (the wave-37 narrowing's join-type edge: Date keys vs DateTime) --
+    ("SELECT d.m, count() AS n FROM "
+     "(SELECT toStartOfMonth(toDate(ts)) AS m FROM events) d "
+     "JOIN (SELECT DISTINCT toStartOfMonth(o_orderdate) AS m "
+     "FROM orders) o ON d.m = o.m GROUP BY d.m ORDER BY d.m LIMIT 12",
+     (0, 12)),  # composition must EXECUTE; epochs may not overlap
+    ("SELECT toStartOfQuarter(toDate(ts)) AS q, "
+     "uniq(user_id) AS users FROM events GROUP BY q ORDER BY q LIMIT 8",
+     (1, 8)),
+    # ---- round 12 wave 39: base64URL-safe token ETL ----
+    ("SELECT base64URLDecode(base64URLEncode(substring(text, 1, 24))) "
+     "= substring(text, 1, 24) AS rt, count() AS n FROM documents "
+     "GROUP BY rt ORDER BY rt",
+     (1, 2)),
+    ("SELECT base64URLEncode(concat(lang, ':', toString(doc_id))) AS tok "
+     "FROM documents ORDER BY doc_id LIMIT 5",
+     (1, 5)),
+    # ---- round 12 wave 39: Iceberg-style partition-key dashboards ----
+    ("SELECT icebergTruncate(1000, o_orderkey) AS part, count() AS n, "
+     "round(sum(o_totalprice), 2) AS vol FROM orders GROUP BY part "
+     "ORDER BY part LIMIT 10",
+     (1, 10)),
+    ("SELECT icebergTruncate(2, lang) AS lp, uniq(doc_id) AS n "
+     "FROM documents GROUP BY lp ORDER BY lp LIMIT 10",
+     (1, 10)),
+    # ---- round 12 wave 39: byte-statistics quality screens ----
+    ("SELECT countIf(stringBytesEntropy(text) > 3.5) AS rich, "
+     "countIf(stringBytesUniq(text) < 10) AS thin FROM documents "
+     "WHERE length(text) > 0",
+     (1, 1)),
+    # ---- round 12 wave 39: histogram bucketing dashboards ----
+    ("SELECT widthBucket(o_totalprice, 0, 600000, 12) AS b, count() AS n "
+     "FROM orders GROUP BY b ORDER BY b",
+     (1, 14)),
+    ("SELECT widthBucket(l_discount, 0, 0.11, 11) AS b, "
+     "round(avg(l_extendedprice), 2) AS avg_price FROM lineitem "
+     "GROUP BY b ORDER BY b LIMIT 12",
+     (1, 12)),
+    # ---- round 12 wave 39: needle routing + masking ETL ----
+    ("SELECT multiSearchFirstPositionCaseInsensitive(text, "
+     "['error', 'warning', 'info']) AS pos, count() AS n "
+     "FROM documents GROUP BY pos ORDER BY pos LIMIT 20",
+     (1, 20)),
+    ("SELECT overlay(toString(o_orderkey * 1000000007), 'XXXX', 2) "
+     "AS masked FROM orders WHERE o_orderkey < 6 ORDER BY o_orderkey",
+     (1, 6)),
+    ("SELECT countSubstringsCaseInsensitive(text, 'the') AS hits, "
+     "count() AS docs FROM documents GROUP BY hits "
+     "ORDER BY hits DESC LIMIT 10",
+     (1, 10)),
+    # ---- round 12: fuzzy entity match (soundex + edit distance) ----
+    ("SELECT c_name, soundex(c_name) AS sx, "
+     "editDistance(c_name, 'Customer#000000001') AS ed FROM customer "
+     "WHERE editDistance(c_name, 'Customer#000000001') <= 2 "
+     "ORDER BY ed, c_name LIMIT 10",
+     (1, 10)),
+    # ---- round 12: settings-aware SELECT (getSettingOrDefault) ----
+    ("SELECT getSettingOrDefault('custom_shard_hint', 'none') AS hint, "
+     "count() AS n FROM orders GROUP BY hint",
+     (1, 1)),
+    # ---- round 12: 15-minute grid dashboard over the event stream ----
+    ("SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) AS grid, "
+     "count() AS n FROM events GROUP BY grid ORDER BY n DESC, grid "
+     "LIMIT 24",
+     (1, 24)),
 ]
 
 
@@ -1598,3 +1681,35 @@ def test_migration_script_round11_fence(ch, spark):
     ).collect()
     assert len(row) >= 1
     ch.query_ch("SET max_fold_group_rows = 10000000")
+
+
+def test_migration_script_round12_pipeline_api(ch, spark):
+    """Round-12 runbook: a migrating training-data team drives the
+    COMPOSED pipeline through the Python API on a synthetic corpus —
+    the 'switch your curation job to this engine' path. Asserts the
+    stage roster, row/token monotonicity, and that the SQL surface can
+    read the same documents the operators consumed (API + dialect in
+    one script, the two entry points a migration actually mixes)."""
+    from clickhouse_arrow_spark.operators import corpus_pipeline as cp
+
+    docs = spark.table("documents")
+    stages = cp.llm_corpus_pipeline(spark, docs)
+    names = [s for s, _ in stages]
+    assert names == [
+        "0_input", "1_c4", "2_gopher", "3_exact", "4_neardup",
+        "5_substr", "6_decontam", "7_dsir", "8_pack", "9_shuffle",
+    ]
+    summary = {
+        r["stage"]: r.asDict() for r in cp.stage_summary(stages).collect()
+    }
+    order = sorted(summary)
+    for prev, cur in zip(order, order[1:]):
+        assert summary[cur]["n_rows"] <= summary[prev]["n_rows"]
+        assert summary[cur]["toks"] <= summary[prev]["toks"]
+    # the dialect surface sees the same corpus the API consumed
+    n_sql = ch.query_ch(
+        "SELECT count() AS n FROM documents"
+    ).collect()[0]["n"]
+    assert n_sql == docs.count()
+    # and the selection is k-bounded exactly as configured
+    assert summary["7_dsir"]["n_rows"] <= cp.DSIR_K

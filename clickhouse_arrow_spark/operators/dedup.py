@@ -56,8 +56,12 @@ def dedup_exact(
     final min. The shuffle key is sha2(text) so hot texts cannot skew a
     partition beyond their group row (min combines map-side).
     Returns (id_col, n_copies) for every survivor.
+
+    The digest shuffles as 32 raw bytes (unhex), not the 64-char hex
+    string sha2() renders — identical grouping (unhex is injective on
+    hex), half the key bytes through the exchange (guide §2.3).
     """
-    digest = F.sha2(_normalize(F.col(text_col)), 256)
+    digest = F.unhex(F.sha2(_normalize(F.col(text_col)), 256))
     return (
         df.select(F.col(id_col), digest.alias("content_hash"))
         .groupBy("content_hash")
@@ -320,18 +324,48 @@ def minhash_verified_pairs(
     data + seed (the recall superset `dedup_neardup_gate` pins).
 
     Scale: verification touches only the collision-bounded candidate
-    set — two keyed joins re-attach shingle profiles, never an
-    all-pairs scan. Returns (a_id, b_id, jaccard), a_id < b_id.
+    set — the corpus is semi-join-pruned to candidate MEMBERS before
+    any verification tokenization happens (one full tokenize pass for
+    the signatures, candidate-members-only for the verify), then two
+    keyed joins re-attach the member profiles; never an all-pairs scan.
+    Returns (a_id, b_id, jaccard), a_id < b_id.
     """
+    from pyspark import StorageLevel
+
     cand = minhash_candidate_pairs(
         df, text_col, id_col, num_hashes, bands, shingle_k,
         est_threshold, seed,
     ).select("a_id", "b_id")
-    prof = _spread(df, id_col).select(
-        F.col(id_col),
-        F.col(group_col).alias("grp"),
-        F.length(text_col).alias("nlen"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+    # The candidate set feeds TWO consumers (the member-id semi-join
+    # below and the final verify join); persist it eagerly so the band
+    # join + distinct + est-filter pipeline runs once, not per consumer.
+    # It is collision-bounded (tiny vs the corpus) so the materialized
+    # footprint is negligible at any scale.
+    cand = cand.persist(StorageLevel.MEMORY_AND_DISK)
+    cand.count()
+    # Verification needs shingle profiles ONLY for documents that appear
+    # in some candidate pair (guide-§8 shape: decide with small rows —
+    # the signatures — then do the heavy per-document work only for the
+    # survivors). The previous formulation re-tokenized the ENTIRE
+    # corpus twice (once per join side); at 100 TB that is two full
+    # extra passes of regex+split+shingle compute to verify a candidate
+    # set that is orders of magnitude smaller. A semi-join keyed on the
+    # member ids (AQE broadcasts the tiny id set — no hint, the
+    # dedup.py:568 left_anti precedent) prunes the corpus BEFORE any
+    # tokenization happens, then the profile projection runs on
+    # candidate members only.
+    members = cand.select(
+        F.explode(F.array("a_id", "b_id")).alias(id_col)
+    ).distinct()
+    prof = (
+        df.join(members, id_col, "leftsemi")
+        .select(
+            F.col(id_col),
+            F.col(group_col).alias("grp"),
+            F.length(text_col).alias("nlen"),
+            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = prof.select(
         F.col(id_col).alias("a_id"), F.col("grp").alias("a_grp"),

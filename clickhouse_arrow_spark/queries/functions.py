@@ -432,10 +432,15 @@ def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     sessions = flagged.withColumn("session_id", F.sum("new_session").over(wsum))
+    # session_id is a dense cumulative counter 1..n per user (the first
+    # row always flags a new session), so max == count(DISTINCT) — but
+    # max skips the distinct pre-aggregation pass over (user_id,
+    # session_id) that countDistinct plans (round-12; the oracle keeps
+    # COUNT(DISTINCT), values identical).
     return (
         sessions.groupBy("user_id")
         .agg(
-            F.countDistinct("session_id").alias("n_sessions"),
+            F.max("session_id").alias("n_sessions"),
             F.count("*").alias("n_events"),
         )
         .orderBy("user_id")

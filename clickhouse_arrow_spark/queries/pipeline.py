@@ -986,10 +986,15 @@ def q_topk_frequent_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = spark.table("events").select("event_id", "user_id", "ts")
-    last_order = (
-        spark.table("orders")
-        .groupBy("o_custkey", "o_orderdate")
-        .agg(F.max("o_orderkey").alias("asof_orderkey"))
+    # The oracle's `max(o_orderkey) GROUP BY (o_custkey, o_orderdate)`
+    # pre-aggregation is folded into the as-of window's sort instead
+    # (`right_order` tie-break): (custkey, orderdate) is nearly unique
+    # in orders, so the groupBy reduced almost nothing while costing a
+    # full extra shuffle of the orders table (round-12: 3 Exchanges ->
+    # 2, identical result — at equal orderdate the window's last() now
+    # picks the max orderkey directly).
+    last_order = spark.table("orders").select(
+        "o_custkey", "o_orderdate", F.col("o_orderkey").alias("asof_orderkey")
     )
     return (
         asof.asof_join(
@@ -1000,6 +1005,7 @@ def q_asof_events_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             left_time="ts",
             right_time="o_orderdate",
             value_cols=["asof_orderkey"],
+            right_order=["asof_orderkey"],
         )
         .select("event_id", "user_id", "asof_orderkey")
         .orderBy("event_id")

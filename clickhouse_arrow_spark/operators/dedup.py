@@ -93,6 +93,18 @@ def _shingles(text_col, k: int) -> "F.Column":
     return grams
 
 
+def _shingles_sql(text_expr: str, k: int) -> str:
+    """SQL-string form of :func:`_shingles` over a column NAME — one
+    py4j round trip via F.expr instead of ~15 Column-builder calls per
+    plan construction (round-12; parses to the identical tree)."""
+    norm = rf"regexp_replace(lower(trim({text_expr})), '\\s+', ' ')"
+    toks = f"split({norm}, ' ')"
+    return (
+        f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
+        f"i -> array_join(slice({toks}, i, {k}), ' '))"
+    )
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -114,30 +126,32 @@ def minhash_signatures(
     coeffs = [
         (rng.randrange(1, _P), rng.randrange(0, _P)) for _ in range(num_hashes)
     ]
-    base = F.transform(
-        _shingles(F.col(text_col), shingle_k),
-        lambda s: F.abs(F.xxhash64(s)) % F.lit(_P),
-    )
     # Explode distinct shingle hashes to rows, then take the 64 permuted
     # mins as aggregates. Two wins over a nested-expression formulation:
     # the base hash is computed once (CollapseProject would otherwise
     # inline it into all 64 permutations), and the mins combine map-side,
     # so the shuffle carries one 64-long row per (partition, doc).
     exploded = _spread(df, id_col).select(
-        F.col(id_col), F.explode(F.array_distinct(base)).alias("h")
+        F.col(id_col),
+        F.expr(
+            f"explode(array_distinct(transform("
+            f"{_shingles_sql(text_col, shingle_k)}, "
+            f"s -> abs(xxhash64(s)) % {_P}L))) AS h"
+        ),
     )
-    mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"m{i}")
-        for i, (a, b) in enumerate(coeffs)
-    ]
-    return (
-        exploded.groupBy(id_col)
-        .agg(*mins)
-        .select(
-            F.col(id_col),
-            F.array(*[F.col(f"m{i}") for i in range(num_hashes)]).alias("signature"),
-        )
+    # ONE expr() string for the whole signature instead of 64 separate
+    # Column builds (round-12, guide §4's boundary lesson applied to
+    # PLAN CONSTRUCTION): each F.min((col*lit+lit)%lit) costs ~6 py4j
+    # round trips, and this constructor runs on every fresh plan build
+    # — ~400 round trips ≈ 0.5-1 s of driver time per repeat query at
+    # any scale. A single SQL string is one round trip; the parsed
+    # expression tree (and the signature VALUES) are identical.
+    sig_expr = F.expr(
+        "array(" + ",".join(
+            f"min((h * {a}L + {b}L) % {_P}L)" for a, b in coeffs
+        ) + ") AS signature"
     )
+    return exploded.groupBy(id_col).agg(sig_expr)
 
 
 def shingle_jaccard_pairs(
@@ -233,23 +247,18 @@ def minhash_candidate_pairs(
     sigs = sigs.persist(StorageLevel.MEMORY_AND_DISK)
     sigs.count()
 
+    # single expr() string for the 16 band structs — one py4j round
+    # trip instead of ~7 per band on every plan build (round-12; see
+    # minhash_signatures)
     band_entries = sigs.select(
         F.col(id_col),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.xxhash64(
-                            F.slice(F.col("signature"), b * rows + 1, rows).cast(
-                                "string"
-                            )
-                        ).alias("band_hash"),
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("bk"),
+        F.expr(
+            "explode(array(" + ",".join(
+                f"struct({b} AS band, xxhash64(cast(slice(signature, "
+                f"{b * rows + 1}, {rows}) AS string)) AS band_hash)"
+                for b in range(bands)
+            ) + ")) AS bk"
+        ),
     ).select(id_col, "bk.band", "bk.band_hash")
 
     left = band_entries.select(
@@ -280,20 +289,15 @@ def minhash_candidate_pairs(
             "b_id",
         )
     )
-    est = (
-        F.aggregate(
-            F.zip_with(
-                F.col("a_sig"), F.col("b_sig"), lambda a, b: (a == b).cast("int")
-            ),
-            F.lit(0),
-            lambda acc, x: acc + x,
-        ).cast("double")
-        / F.lit(float(num_hashes))
+    # one expr() round trip for the position-match fold (round-12; the
+    # SQL lambda parses to the identical zip_with/aggregate tree)
+    est = F.expr(
+        "round(cast(aggregate(zip_with(a_sig, b_sig, "
+        "(a, b) -> cast(a = b AS int)), 0, (acc, x) -> acc + x) "
+        f"AS double) / {float(num_hashes)}, 6) AS est_jaccard"
     )
     return (
-        pairs.select(
-            "a_id", "b_id", F.round(est, 6).alias("est_jaccard")
-        )
+        pairs.select("a_id", "b_id", est)
         .where(F.col("est_jaccard") >= threshold)
     )
 
@@ -363,7 +367,9 @@ def minhash_verified_pairs(
             F.col(id_col),
             F.col(group_col).alias("grp"),
             F.length(text_col).alias("nlen"),
-            F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+            F.expr(
+                f"array_distinct({_shingles_sql(text_col, shingle_k)}) AS sh"
+            ),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
@@ -375,8 +381,9 @@ def minhash_verified_pairs(
         F.col(id_col).alias("b_id"), F.col("grp").alias("b_grp"),
         F.col("nlen").alias("blen"), F.col("sh").alias("bsh"),
     )
-    jac = F.size(F.array_intersect("ash", "bsh")) / F.size(
-        F.array_union("ash", "bsh")
+    jac = F.expr(
+        "round(size(array_intersect(ash, bsh)) / "
+        "size(array_union(ash, bsh)), 6) AS jaccard"
     )
     return (
         cand.join(a, "a_id")
@@ -385,7 +392,7 @@ def minhash_verified_pairs(
             (F.col("a_grp") == F.col("b_grp"))
             & (F.abs(F.col("alen") - F.col("blen")) <= length_band)
         )
-        .select("a_id", "b_id", F.round(jac, 6).alias("jaccard"))
+        .select("a_id", "b_id", jac)
         .where(F.col("jaccard") >= verify_threshold)
     )
 

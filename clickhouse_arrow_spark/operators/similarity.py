@@ -118,6 +118,14 @@ def brute_force_topk(
             query_id, query_vec, _norm(F.col(query_vec)).alias("_qn")
         )
     )
+    # Scale-adaptive spread (round-12): a small corpus often arrives as
+    # ONE parquet split, serializing every per-pair cosine fold onto a
+    # single core. Repartition only when the scan has fewer splits than
+    # the session's parallelism — at real scale the input already has
+    # more and this is a no-op (no constant tuned to local mode).
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism)
     c = corpus.select(
         corpus_id, corpus_vec, _norm(F.col(corpus_vec)).alias("_cn")
     )

@@ -761,17 +761,25 @@ def substring_dedup(
     key = (F.col(id_col).cast("long") * F.lit(1 << 20)
            + F.col("pos")).alias("_key")
     wins = wins.select(id_col, "pos", "_digest", key)
-    dup = wins.groupBy("_digest").agg(
-        F.count("*").alias("_cnt"), F.min("_key").alias("_first_key")
-    ).where(F.col("_cnt") >= 2)
+    # duplicate test as ONE digest-partitioned window instead of
+    # groupBy + self-join (round-12): the join formulation computed the
+    # O(n_tokens * L) md5 window pass TWICE (once into the aggregation,
+    # once into the join probe side) and shuffled the window table
+    # twice — mostly-unique digests mean the partial aggregation
+    # shrinks nothing map-side. The window form pays one md5 pass and
+    # one exchange; digest groups are tiny (dup counts), so the
+    # window's per-group buffer is bounded.
+    from pyspark.sql.window import Window
+
+    w_dig = Window.partitionBy("_digest")
     marked = (
-        wins.join(dup, "_digest")
-        .where(F.col("_key") > F.col("_first_key"))
+        wins.withColumn("_cnt", F.count("*").over(w_dig))
+        .withColumn("_first_key", F.min("_key").over(w_dig))
+        .where((F.col("_cnt") >= 2) & (F.col("_key") > F.col("_first_key")))
         .select(id_col, "pos")
     )
     # gaps-and-islands over marked positions (equal interval length L:
     # a strict gap needs pos > prev + L)
-    from pyspark.sql.window import Window
 
     w_doc = Window.partitionBy(id_col).orderBy("pos")
     isl = marked.withColumn(

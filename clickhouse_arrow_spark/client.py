@@ -2998,12 +2998,23 @@ class Client:
         mask = _scan_mask(ch_sql)
         out: list[str] = []
         last = 0
-        for m in _SYSTEM_SQL_RE.finditer(ch_sql):
-            if mask[m.start()][1]:
-                continue  # inside a string literal
-            out.append(ch_sql[last : m.start()])
-            out.append(self._system_relation(m.group(1).lower()))
-            last = m.end()
+        # Per-rewrite memo for the expensive catalog scans (round-12):
+        # one query referencing system.tables AND system.parts built the
+        # full listDatabases/listTables inventory twice (~3 s of py4j
+        # catalog chatter each at 10 temp views). Scoping the memo to a
+        # single rewrite also gives every relation in the query the
+        # SAME point-in-time catalog snapshot — the semantics a
+        # multi-subquery introspection statement wants.
+        self.__dict__["_sysrel_memo"] = {}
+        try:
+            for m in _SYSTEM_SQL_RE.finditer(ch_sql):
+                if mask[m.start()][1]:
+                    continue  # inside a string literal
+                out.append(ch_sql[last : m.start()])
+                out.append(self._system_relation(m.group(1).lower()))
+                last = m.end()
+        finally:
+            self.__dict__.pop("_sysrel_memo", None)
         if not out:
             return ch_sql
         out.append(ch_sql[last:])
@@ -3372,6 +3383,9 @@ class Client:
         return out
 
     def _system_tables_df(self) -> DataFrame:
+        memo = self.__dict__.get("_sysrel_memo")
+        if memo is not None and "tables_df" in memo:
+            return memo["tables_df"]
         rows = []
         seen = set()
         for db in self.fetch_schemas():
@@ -3396,10 +3410,13 @@ class Client:
                     except Exception:
                         engine = str(t.tableType or "Parquet")
                 rows.append((database, t.name, engine, bool(t.isTemporary)))
-        return self.spark.createDataFrame(
+        df = self.spark.createDataFrame(
             rows,
             "database string, name string, engine string, is_temporary boolean",
         )
+        if memo is not None:
+            memo["tables_df"] = df
+        return df
 
     def _ensure_variant_udf(self) -> None:
         """Register the `ch_variant_type` helper once per client.

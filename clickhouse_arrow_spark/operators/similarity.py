@@ -153,18 +153,22 @@ def _centroid_literal(centroids, centroid_id: str = "centroid_id",
     else:
         rows = centroids
     rows = sorted(rows, key=lambda r: r[0])
+    # ONE F.expr string instead of nlist x (dim + 2) F.lit() calls
+    # (round-12): each lit is a py4j round trip — 16 centroids x dim 64
+    # was ~1000 round trips (~1-2 s of driver time) per plan build, and
+    # ivf_topk builds this literal twice per query. `repr(float)` is
+    # shortest-roundtrip and the D-suffixed SQL literal parses to the
+    # identical double (verified against F.lit bit-for-bit).
     entries = []
     for r in rows:
         vec = [float(x) for x in r[1]]
         norm = math.sqrt(sum(x * x for x in vec)) or 1e-30
+        vec_sql = ",".join(f"{x!r}D" for x in vec)
         entries.append(
-            F.struct(
-                F.lit(int(r[0])).cast("long").alias("cid"),
-                F.array(*[F.lit(x).cast("double") for x in vec]).alias("cvec"),
-                F.lit(norm).cast("double").alias("cnorm"),
-            )
+            f"named_struct('cid', {int(r[0])}L, "
+            f"'cvec', array({vec_sql}), 'cnorm', {norm!r}D)"
         )
-    return F.array(*entries)
+    return F.expr("array(" + ",".join(entries) + ")")
 
 
 def ivf_assign(
@@ -506,6 +510,12 @@ def embedding_near_duplicates(
     threshold ~0.95 near-dups almost always share the nearest centroid).
     """
     cents = deterministic_centroids(corpus, nlist, corpus_id, corpus_vec)
+    # scale-adaptive spread (round-12, same rationale as
+    # brute_force_topk): single-split corpora otherwise run every
+    # within-bucket cosine fold on one core; no-op at real scale
+    sc = corpus.sparkSession.sparkContext
+    if corpus.rdd.getNumPartitions() < sc.defaultParallelism:
+        corpus = corpus.repartition(sc.defaultParallelism, corpus_id)
     b = ivf_assign(corpus, cents, corpus_id, corpus_vec)
     # per-side norms computed below the pair join — one fold per ROW
     # instead of two folds per candidate PAIR

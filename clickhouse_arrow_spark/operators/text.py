@@ -522,16 +522,35 @@ def fuzzy_edit_distance_pairs(
         F.length(text_col).alias("_nlen"),
         F.substring(F.col(text_col), 1, prefix_len).alias("_pfx"),
     )
+    # The length band is part of the JOIN KEY, not a post-join filter
+    # (round-12, guide §3): keyed on group alone, every within-group
+    # pair paid the O(prefix_len²) Levenshtein DP before the band
+    # filter could drop it — O(n²/groups) kernel calls. With band id
+    # floor(len/length_band) in the key (a-side exploded to band±1,
+    # which exactly covers |Δlen| <= length_band; b's band is unique so
+    # no pair matches twice), the DP runs only on band-neighborhood
+    # candidates. The exact |Δlen| filter below is unchanged, so the
+    # pair set is identical. 31.9 s -> see OPTIMIZATION_r12.md.
+    # Scale-adaptive spread (round-12): a single-file corpus scans as
+    # ONE split, so the broadcast band-join's probe side — and every
+    # Levenshtein DP — ran on one core. No-op when the scan already has
+    # >= session parallelism splits (i.e. at real scale).
+    sc = df.sparkSession.sparkContext
+    if base.rdd.getNumPartitions() < sc.defaultParallelism:
+        base = base.repartition(sc.defaultParallelism, id_col)
+    bnd = F.floor(F.col("_nlen") / F.lit(length_band))
     a = base.select(
         F.col(id_col).alias("a_id"), "_grp",
         F.col("_nlen").alias("_alen"), F.col("_pfx").alias("_apfx"),
+        F.explode(F.array(bnd - 1, bnd, bnd + 1)).alias("_band"),
     )
     b = base.select(
         F.col(id_col).alias("b_id"), "_grp",
         F.col("_nlen").alias("_blen"), F.col("_pfx").alias("_bpfx"),
+        bnd.alias("_band"),
     )
     pairs = (
-        a.join(b, "_grp")
+        a.join(b, ["_grp", "_band"])
         .where(
             (F.col("a_id") < F.col("b_id"))
             & (F.abs(F.col("_alen") - F.col("_blen")) <= length_band)

@@ -266,11 +266,19 @@ def llm_corpus_pipeline(
     stages.append(("6_decontam", s6))
 
     # --- DSIR select (fit on the CURRENT corpus, broadcast weights) ---
+    # featurize s6 once for fit + score (raw_features contract;
+    # round-12 — same double-featurization fix as doc_dsir_select)
+    s6_feats = dsir.hashed_ngram_features(s6, n_buckets=DSIR_BUCKETS).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    s6_feats.count()
     weights = dsir.dsir_fit(
         s6.where(F.col("source") == DSIR_TARGET_SOURCE), s6,
-        n_buckets=DSIR_BUCKETS,
+        n_buckets=DSIR_BUCKETS, raw_features=s6_feats,
     )
-    scored = dsir.dsir_score(s6, weights, n_buckets=DSIR_BUCKETS)
+    scored = dsir.dsir_score(
+        s6, weights, n_buckets=DSIR_BUCKETS, raw_features=s6_feats
+    )
     sel = dsir.dsir_resample(scored, DSIR_K, DSIR_SEED)
     s7 = keep(
         s6.join(

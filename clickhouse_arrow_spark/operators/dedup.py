@@ -177,26 +177,40 @@ def shingle_jaccard_pairs(
         F.col(id_col),
         F.col(group_col).alias("grp"),
         F.length(text_col).alias("nlen"),
-        F.array_distinct(_shingles(F.col(text_col), shingle_k)).alias("sh"),
+        F.expr(
+            f"array_distinct({_shingles_sql(text_col, shingle_k)}) AS sh"
+        ),
     )
+    # Length band in the JOIN KEY, not a post-join filter (round-12,
+    # same fix as text.fuzzy_edit_distance_pairs): keyed on group
+    # alone, the join degenerates to one task per language and every
+    # within-group pair pays the shingle-set intersect/union before the
+    # band filter drops it. Band id floor(nlen/length_band) with the
+    # a-side exploded to band±1 exactly covers |Δlen| <= length_band
+    # (b's band is unique, so no pair matches twice); the exact filter
+    # below keeps the pair set identical.
+    bnd = F.floor(F.col("nlen") / F.lit(length_band))
     a = base.select(
         F.col(id_col).alias("a_id"), "grp",
         F.col("nlen").alias("alen"), F.col("sh").alias("ash"),
+        F.explode(F.array(bnd - 1, bnd, bnd + 1)).alias("band"),
     )
     b = base.select(
         F.col(id_col).alias("b_id"), "grp",
         F.col("nlen").alias("blen"), F.col("sh").alias("bsh"),
+        bnd.alias("band"),
     )
-    jac = F.size(F.array_intersect("ash", "bsh")) / F.size(
-        F.array_union("ash", "bsh")
+    jac = F.expr(
+        "size(array_intersect(ash, bsh)) / size(array_union(ash, bsh)) "
+        "AS jaccard"
     )
     return (
-        a.join(b, "grp")
+        a.join(b, ["grp", "band"])
         .where(
             (F.col("a_id") < F.col("b_id"))
             & (F.abs(F.col("alen") - F.col("blen")) <= length_band)
         )
-        .select("a_id", "b_id", jac.alias("jaccard"))
+        .select("a_id", "b_id", jac)
         .where(F.col("jaccard") >= threshold)
     )
 

@@ -1945,12 +1945,23 @@ def q_doc_epoch_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("documents", "dsir", "sampling", "pipeline"),
 )
 def q_doc_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark import StorageLevel
+
     from clickhouse_arrow_spark.operators import dsir
 
     docs = spark.table("documents")
     target = docs.filter(F.col("source") == "src13")
-    w = dsir.dsir_fit(target, docs, n_buckets=1024)
-    scored = dsir.dsir_score(docs, w, n_buckets=1024)
+    # featurize the raw corpus ONCE for fit + score (the operator's own
+    # raw_features contract; round-12 — the double featurization was
+    # most of this query's cost, exactly as the dsir_fit docstring's
+    # 1M-doc probe predicted). Eager so the two consumers cannot race
+    # the cache.
+    feats = dsir.hashed_ngram_features(docs, n_buckets=1024).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    feats.count()
+    w = dsir.dsir_fit(target, docs, n_buckets=1024, raw_features=feats)
+    scored = dsir.dsir_score(docs, w, n_buckets=1024, raw_features=feats)
     sel = dsir.dsir_resample(scored, 50, 42)
     return sel.select(
         "doc_id",

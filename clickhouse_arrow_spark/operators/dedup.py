@@ -93,12 +93,16 @@ def _shingles(text_col, k: int) -> "F.Column":
     return grams
 
 
+def _normalize_sql(text_expr: str) -> str:
+    """SQL-string form of :func:`_normalize` (round-12 expr-ification)."""
+    return rf"regexp_replace(lower(trim({text_expr})), '\\s+', ' ')"
+
+
 def _shingles_sql(text_expr: str, k: int) -> str:
     """SQL-string form of :func:`_shingles` over a column NAME — one
     py4j round trip via F.expr instead of ~15 Column-builder calls per
     plan construction (round-12; parses to the identical tree)."""
-    norm = rf"regexp_replace(lower(trim({text_expr})), '\\s+', ' ')"
-    toks = f"split({norm}, ' ')"
+    toks = f"split({_normalize_sql(text_expr)}, ' ')"
     return (
         f"transform(sequence(1, greatest(size({toks}) - {k - 1}, 1)), "
         f"i -> array_join(slice({toks}, i, {k}), ' '))"
@@ -491,27 +495,24 @@ def simhash_fingerprints(
     Implementation is one projection (transform + aggregate over the
     token array) — no explode, no shuffle, fully codegen'd.
     """
-    tokens = F.split(_normalize(F.col(text_col)), " ")
-    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
-
-    def bit_vote(i: int):
-        # sum over tokens of +1/-1 depending on hash bit i
-        return F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1),
-        )
-
-    fingerprint = None
-    for i in range(64):
-        # shiftleft is a bitwise op (no ANSI overflow check) — bit 63 wraps
-        # into the sign bit deliberately.
-        bit = F.when(
-            bit_vote(i) > 0, F.shiftleft(F.lit(1).cast("long"), i)
-        ).otherwise(F.lit(0).cast("long"))
-        fingerprint = bit if fingerprint is None else fingerprint.bitwiseOR(bit)
-    return _spread(df, id_col).select(F.col(id_col), fingerprint.alias("simhash"))
+    # ONE expr() string for all 64 bit votes (round-12; each bit_vote
+    # Column build cost ~10 py4j round trips — the LSH signature
+    # lesson). The parsed tree is identical to the old builder-chain:
+    # 64 aggregate folds OR'd together; shiftleft(1L, 63) wraps into
+    # the sign bit deliberately (bitwise, no ANSI overflow check).
+    hashes_sql = (
+        f"transform(split({_normalize_sql(text_col)}, ' '), "
+        "t -> xxhash64(t))"
+    )
+    bits = [
+        f"(CASE WHEN aggregate({hashes_sql}, 0, (acc, h) -> acc + "
+        f"(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END)) > 0 "
+        f"THEN shiftleft(1L, {i}) ELSE 0L END)"
+        for i in range(64)
+    ]
+    return _spread(df, id_col).select(
+        F.col(id_col), F.expr(" | ".join(bits) + " AS simhash")
+    )
 
 
 def simhash_fingerprints_portable(
@@ -529,38 +530,24 @@ def simhash_fingerprints_portable(
     xxhash64 stays the 100 TB default (one JVM hash per token beats an
     md5 + two hex parses); this variant is the verification path.
     """
-    tokens = F.split(_normalize(F.col(text_col)), " ")
-    lo_hashes = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("long"),
-    )
-    hi_hashes = F.transform(
-        tokens,
-        lambda t: F.conv(F.substring(F.md5(t), 9, 8), 16, 10).cast("long"),
-    )
-
-    def half_word(hashes):
-        # bit i of the half iff the ±1 token vote on bit i is positive
-        word = None
-        for i in range(32):
-            vote = F.aggregate(
-                hashes,
-                F.lit(0),
-                lambda acc, h: acc
-                + F.when(
-                    F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, 1
-                ).otherwise(-1),
-            )
-            bit = F.when(
-                vote > 0, F.shiftleft(F.lit(1).cast("long"), i)
-            ).otherwise(F.lit(0).cast("long"))
-            word = bit if word is None else word.bitwiseOR(bit)
-        return word
+    # expr-string construction (round-12) — see simhash_fingerprints
+    def half_word_sql(start: int) -> str:
+        hashes_sql = (
+            f"transform(split({_normalize_sql(text_col)}, ' '), "
+            f"t -> cast(conv(substring(md5(t), {start}, 8), 16, 10) "
+            "AS bigint))"
+        )
+        return " | ".join(
+            f"(CASE WHEN aggregate({hashes_sql}, 0, (acc, h) -> acc + "
+            f"(CASE WHEN (shiftright(h, {i}) & 1) = 1 THEN 1 ELSE -1 END))"
+            f" > 0 THEN shiftleft(1L, {i}) ELSE 0L END)"
+            for i in range(32)
+        )
 
     return _spread(df, id_col).select(
         F.col(id_col),
-        half_word(hi_hashes).alias("sim_hi"),
-        half_word(lo_hashes).alias("sim_lo"),
+        F.expr(half_word_sql(9) + " AS sim_hi"),
+        F.expr(half_word_sql(1) + " AS sim_lo"),
     )
 
 

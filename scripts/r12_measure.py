@@ -36,19 +36,29 @@ def plan_summary(df) -> str:
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
     plan = buf.getvalue()
-    lines = []
-    n_ex = plan.count("Exchange ")
-    n_bhj = plan.count("BroadcastHashJoin")
-    n_smj = plan.count("SortMergeJoin")
-    n_shj = plan.count("ShuffledHashJoin")
-    n_py = plan.count("BatchEvalPython") + plan.count("ArrowEvalPython")
-    n_mip = plan.count("MapInPandas") + plan.count("MapInArrow")
-    n_wsc = plan.count("WholeStageCodegen")
-    lines.append(
-        f"# shape: Exchange={n_ex} BHJ={n_bhj} SMJ={n_smj} SHJ={n_shj} "
-        f"PyEval={n_py} MapInPandas={n_mip} WSCG={n_wsc}"
+    # count DISTINCT numbered operators `(N) OpName`: InMemoryRelation
+    # nodes re-print their cached subplans (same numbers), so deduping
+    # by (N, name) counts each physical node once
+    import re
+
+    nodes = set(re.findall(r"\((\d+)\) ([A-Za-z]+)", plan))
+    names = [n for _, n in nodes]
+
+    def cnt(tok: str) -> int:
+        return sum(1 for n in names if tok in n)
+
+    n_ex = cnt("Exchange")  # incl. BroadcastExchange
+    n_bhj = cnt("BroadcastHashJoin")
+    n_smj = cnt("SortMergeJoin")
+    n_shj = cnt("ShuffledHashJoin")
+    n_py = cnt("BatchEvalPython") + cnt("ArrowEvalPython")
+    n_mip = cnt("MapInPandas") + cnt("MapInArrow")
+    line = (
+        f"# shape (distinct numbered nodes; cached-subplan reprints "
+        f"deduped): Exchange={n_ex} BHJ={n_bhj} SMJ={n_smj} SHJ={n_shj} "
+        f"PyEval={n_py} MapInPandas={n_mip}"
     )
-    return "\n".join(lines) + "\n\n" + plan
+    return line + "\n\n" + plan
 
 
 def main() -> int:

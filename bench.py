@@ -247,7 +247,14 @@ def main() -> int:
                 # below include ambient machine load, read SCALE.md's
                 # quiet-machine history instead of diffing these
                 "noisy": not quiet_at_start,
-                "cpus": os.cpu_count(),
+                # resolved core count the session actually ran with
+                # (round-13: the r12 8-core scaling artifact said
+                # "cpus": 32 inside its own JSON because this reported
+                # os.cpu_count() instead of $SPARK_GRAFT_CPUS)
+                "cpus": int(
+                    os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8)
+                ),
+                "cpus_machine": os.cpu_count(),
             }
         )
     )

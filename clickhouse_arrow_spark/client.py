@@ -3004,23 +3004,23 @@ class Client:
         # catalog chatter each at 10 temp views). Scoping the memo to a
         # single rewrite also gives every relation in the query the
         # SAME point-in-time catalog snapshot — the semantics a
-        # multi-subquery introspection statement wants.
-        self.__dict__["_sysrel_memo"] = {}
-        try:
-            for m in _SYSTEM_SQL_RE.finditer(ch_sql):
-                if mask[m.start()][1]:
-                    continue  # inside a string literal
-                out.append(ch_sql[last : m.start()])
-                out.append(self._system_relation(m.group(1).lower()))
-                last = m.end()
-        finally:
-            self.__dict__.pop("_sysrel_memo", None)
+        # multi-subquery introspection statement wants. The memo is a
+        # LOCAL passed down the call chain (round-13, ADVICE r12): an
+        # instance-dict stash was not safe under concurrent or
+        # re-entrant rewrites on the same Client.
+        memo: dict = {}
+        for m in _SYSTEM_SQL_RE.finditer(ch_sql):
+            if mask[m.start()][1]:
+                continue  # inside a string literal
+            out.append(ch_sql[last : m.start()])
+            out.append(self._system_relation(m.group(1).lower(), memo))
+            last = m.end()
         if not out:
             return ch_sql
         out.append(ch_sql[last:])
         return "".join(out)
 
-    def _system_relation(self, name: str) -> str:
+    def _system_relation(self, name: str, memo: dict | None = None) -> str:
         if name in ("numbers", "numbers_mt"):
             # 2^62 rows ~= unbounded; range's per-partition iterators
             # are lazy so LIMIT n touches n rows total
@@ -3037,7 +3037,7 @@ class Client:
                 rows, "name string, engine string, comment string, data_path string"
             )
         elif name == "tables":
-            df = self._system_tables_df()
+            df = self._system_tables_df(memo)
         elif name == "columns":
             parts = [
                 self.system_columns(db)
@@ -3061,7 +3061,7 @@ class Client:
             # global form: one row per parquet part across every table
             # the session can see (the per-table system_parts, unioned)
             dfs = []
-            for r in self._system_tables_df().collect():
+            for r in self._system_tables_df(memo).collect():
                 qualified = (
                     r["name"]
                     if r["is_temporary"]
@@ -3382,8 +3382,7 @@ class Client:
                 continue
         return out
 
-    def _system_tables_df(self) -> DataFrame:
-        memo = self.__dict__.get("_sysrel_memo")
+    def _system_tables_df(self, memo: dict | None = None) -> DataFrame:
         if memo is not None and "tables_df" in memo:
             return memo["tables_df"]
         rows = []

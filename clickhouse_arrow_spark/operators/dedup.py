@@ -93,6 +93,14 @@ def _shingles(text_col, k: int) -> "F.Column":
     return grams
 
 
+def _qident(name: str) -> str:
+    """Backtick-quote a column NAME for splicing into generated SQL
+    (round-13, ADVICE r12): names with spaces, dots or reserved words
+    that work via F.col() would otherwise fail to parse or resolve the
+    wrong column inside the expr-string constructors."""
+    return "`" + name.replace("`", "``") + "`"
+
+
 def _normalize_sql(text_expr: str) -> str:
     """SQL-string form of :func:`_normalize` (round-12 expr-ification)."""
     return rf"regexp_replace(lower(trim({text_expr})), '\\s+', ' ')"
@@ -139,7 +147,7 @@ def minhash_signatures(
         F.col(id_col),
         F.expr(
             f"explode(array_distinct(transform("
-            f"{_shingles_sql(text_col, shingle_k)}, "
+            f"{_shingles_sql(_qident(text_col), shingle_k)}, "
             f"s -> abs(xxhash64(s)) % {_P}L))) AS h"
         ),
     )
@@ -182,7 +190,7 @@ def shingle_jaccard_pairs(
         F.col(group_col).alias("grp"),
         F.length(text_col).alias("nlen"),
         F.expr(
-            f"array_distinct({_shingles_sql(text_col, shingle_k)}) AS sh"
+            f"array_distinct({_shingles_sql(_qident(text_col), shingle_k)}) AS sh"
         ),
     )
     # Length band in the JOIN KEY, not a post-join filter (round-12,
@@ -193,6 +201,10 @@ def shingle_jaccard_pairs(
     # a-side exploded to band±1 exactly covers |Δlen| <= length_band
     # (b's band is unique, so no pair matches twice); the exact filter
     # below keeps the pair set identical.
+    if length_band < 1:
+        # floor(len/0) -> NULL band keys would silently drop every pair
+        # (round-13, ADVICE r12; same guard as fuzzy_edit_distance_pairs)
+        raise ValueError(f"length_band must be >= 1, got {length_band}")
     bnd = F.floor(F.col("nlen") / F.lit(length_band))
     a = base.select(
         F.col(id_col).alias("a_id"), "grp",
@@ -386,7 +398,7 @@ def minhash_verified_pairs(
             F.col(group_col).alias("grp"),
             F.length(text_col).alias("nlen"),
             F.expr(
-                f"array_distinct({_shingles_sql(text_col, shingle_k)}) AS sh"
+                f"array_distinct({_shingles_sql(_qident(text_col), shingle_k)}) AS sh"
             ),
         )
         .persist(StorageLevel.MEMORY_AND_DISK)
@@ -501,7 +513,7 @@ def simhash_fingerprints(
     # 64 aggregate folds OR'd together; shiftleft(1L, 63) wraps into
     # the sign bit deliberately (bitwise, no ANSI overflow check).
     hashes_sql = (
-        f"transform(split({_normalize_sql(text_col)}, ' '), "
+        f"transform(split({_normalize_sql(_qident(text_col))}, ' '), "
         "t -> xxhash64(t))"
     )
     bits = [
@@ -533,7 +545,7 @@ def simhash_fingerprints_portable(
     # expr-string construction (round-12) — see simhash_fingerprints
     def half_word_sql(start: int) -> str:
         hashes_sql = (
-            f"transform(split({_normalize_sql(text_col)}, ' '), "
+            f"transform(split({_normalize_sql(_qident(text_col))}, ' '), "
             f"t -> cast(conv(substring(md5(t), {start}, 8), 16, 10) "
             "AS bigint))"
         )

@@ -162,6 +162,14 @@ def _centroid_literal(centroids, centroid_id: str = "centroid_id",
     entries = []
     for r in rows:
         vec = [float(x) for x in r[1]]
+        # `{x!r}D` renders NaN/Inf as unparseable SQL (nanD / infD) —
+        # fail here with a clear message instead of an opaque parse
+        # error at plan build (round-13, ADVICE r12)
+        if not all(math.isfinite(x) for x in vec):
+            raise ValueError(
+                f"centroid {r[0]!r} has non-finite components — "
+                "cannot render as SQL double literals"
+            )
         norm = math.sqrt(sum(x * x for x in vec)) or 1e-30
         vec_sql = ",".join(f"{x!r}D" for x in vec)
         entries.append(

@@ -535,6 +535,12 @@ def fuzzy_edit_distance_pairs(
     # ONE split, so the broadcast band-join's probe side — and every
     # Levenshtein DP — ran on one core. No-op when the scan already has
     # >= session parallelism splits (i.e. at real scale).
+    if length_band < 1:
+        # floor(len/0) yields NULL band keys (non-ANSI division), which
+        # would silently drop EVERY pair; the pre-band formulation
+        # degraded gracefully to exact-length matching (round-13,
+        # ADVICE r12)
+        raise ValueError(f"length_band must be >= 1, got {length_band}")
     sc = df.sparkSession.sparkContext
     if base.rdd.getNumPartitions() < sc.defaultParallelism:
         base = base.repartition(sc.defaultParallelism, id_col)

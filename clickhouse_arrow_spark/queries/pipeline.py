@@ -2008,9 +2008,32 @@ def q_doc_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from clickhouse_arrow_spark.operators import bloom
     from clickhouse_arrow_spark.operators.text import decontaminate
 
-    m_bits, k = 1 << 21, 4
+    m_floor, k = 1 << 21, 4
     docs = spark.table("documents")
     bench = docs.filter(F.col("source") == "src0")
+    # Size the filter to the BLOCKLIST (round-13, found by the sf1
+    # campaign): a fixed m saturates once the benchmark outgrows it —
+    # at sf1 the 10x benchmark drove kn/m to ~0.7 per probe and fp_ok
+    # FALSE. ~84 bits/gram is the original sf0.01 design point
+    # (2^21 bits / ~25k grams -> per-doc fp ~1e-3), kept constant by
+    # construction at every SF; the 2^21 floor preserves the driver-SF
+    # filter bit-for-bit. Costs one tiny aggregate over the SMALL side
+    # (the blocklist) — the production sizing contract.
+    import math
+
+    n_grams = (
+        bench.select(
+            F.sum(
+                F.greatest(
+                    F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+                    - F.lit(7),
+                    F.lit(0),
+                )
+            ).alias("g")
+        ).first()["g"]
+        or 1
+    )
+    m_bits = max(m_floor, 1 << math.ceil(math.log2(84 * n_grams)))
     exact_ids = (
         decontaminate(
             docs,
@@ -5817,23 +5840,38 @@ def q_util_sweep_wave35(spark: SparkSession, sf_dir: str) -> DataFrame:
         ([(1.0, "A"), (2.0, "B"), (3.0, "C"), (4.0, "B")],
          ("strict_dedup",), 100),
     ]
-    levels = []
-    for rows, modes, window in cases:
+    # One window_funnel call per (modes, window) GROUP, with the case
+    # index as the funnel's user key (round-13, VERDICT r12 #7): the
+    # per-user fold computes every case of a group in one plan, so the
+    # battery builds 3 funnel plans instead of 5 and drops the 4-deep
+    # crossJoin chain — the per-case results are provably independent
+    # (window_funnel folds each user's timeline separately). Level
+    # string assembly preserves the original case order.
+    groups: dict[tuple, list[tuple[int, list]]] = {}
+    for idx, (rows, modes, window) in enumerate(cases):
+        groups.setdefault((modes, window), []).append((idx, rows))
+    parts = []
+    for (modes, window), members in groups.items():
         df = spark.createDataFrame(
-            [(1, t, e) for t, e in rows], "u long, t double, e string"
+            [(idx, t, e) for idx, rows in members for t, e in rows],
+            "u long, t double, e string",
         )
-        levels.append(
+        parts.append(
             window_funnel(df, "u", "t", conds, window, modes=modes)
-            .select(F.col("funnel_level").cast("string").alias("lvl"))
+            .select(F.col("u"), F.col("funnel_level").cast("int").alias("lvl"))
         )
-    funnel_df = levels[0]
-    for nxt in levels[1:]:
-        funnel_df = funnel_df.crossJoin(
-            nxt.withColumnRenamed("lvl", "lvl2")
-        ).select(
-            F.concat_ws("|", F.col("lvl"), F.col("lvl2")).alias("lvl")
-        )
-    funnel_df = funnel_df.select(F.col("lvl").alias("funnel_modes"))
+    all_levels = parts[0]
+    for nxt in parts[1:]:
+        all_levels = all_levels.unionByName(nxt)
+    funnel_df = all_levels.agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("u", "lvl"))),
+                lambda s: s.getField("lvl").cast("string"),
+            ),
+            "|",
+        ).alias("funnel_modes")
+    )
 
     seq_df = spark.createDataFrame(
         [(1, 1.0, 1), (1, 2.0, 3), (1, 3.0, 2), (1, 4.0, 1), (1, 5.0, 4)],

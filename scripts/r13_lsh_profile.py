@@ -41,7 +41,12 @@ def main() -> int:
         t0 = time.perf_counter()
         df.write.format("noop").mode("overwrite").save()
         t["execute"] = time.perf_counter() - t0
-        spark.catalog.clearCache()
+        # bench.py's steady series does NOT clear the cache between
+        # reps (only between queries) — identical persisted plans hit
+        # the CacheManager across reps. KEEPCACHE=0 measures the
+        # cold-per-rep shape instead.
+        if os.environ.get("KEEPCACHE", "1") != "1":
+            spark.catalog.clearCache()
         return t
 
     # warmups

@@ -69,8 +69,23 @@ def main() -> int:
         # every query here keys on user_id, so a post-filter equals a
         # pre-filter (per-user computations see complete streams)
         sdf = sdf.where(f"user_id % {MOD} = 0")
-        spark_rows = canonical(sdf.toPandas())
-        oracle_rows = canonical(duck.execute(oracles[name]).fetchdf())
+
+        def _naive(pdf):
+            # the synthesized sf1 parquet is Spark-written, i.e.
+            # UTC-ADJUSTED timestamps: DuckDB reads them tz-aware
+            # ("+00:00" suffix) while Spark session-renders naive —
+            # identical instants, different strings. Strip tz on both
+            # sides (the driver's real testdata is naive, so its gate
+            # never sees this).
+            for c in pdf.columns:
+                if str(pdf[c].dtype).startswith("datetime64[") and getattr(
+                    pdf[c].dtype, "tz", None
+                ) is not None:
+                    pdf[c] = pdf[c].dt.tz_localize(None)
+            return pdf
+
+        spark_rows = canonical(_naive(sdf.toPandas()))
+        oracle_rows = canonical(_naive(duck.execute(oracles[name]).fetchdf()))
         dt = time.perf_counter() - t0
         ok = spark_rows == oracle_rows
         print(

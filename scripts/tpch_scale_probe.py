@@ -76,12 +76,26 @@ def scale_table(spark, src_dir: str, dst_dir: str, table: str, replicas: int):
         out = out.withColumn(k, F.col(k) + F.col("_r") * F.lit(KEY_SHIFT))
     if salt_col:
         # constant near-dup density: replicas are distinct documents,
-        # not nine extra exact copies of every original
+        # not nine extra near-copies of every original. Round-13: the
+        # old tail suffix (" replica N") only changed the LAST 2-3
+        # shingles, so every long doc's 10 replicas were still a
+        # 10-clique of TRUE near-dups (shingle Jaccard ~0.97 >= 0.9) —
+        # super-linear pair growth that broke the neardup gate's
+        # linear-candidate premise at sf1 and exploded its oracle.
+        # Tagging every 7th word changes ~3/7 of the 3-shingles
+        # (J ~= 0.4) and ~1/7 of the word set (J ~= 0.78), so replicas
+        # are near-dups under NEITHER tier's threshold — density is
+        # genuinely constant at every SF.
+        salted = F.concat_ws(
+            " ",
+            F.expr(
+                f"transform(split({salt_col}, ' '), (w, i) -> "
+                f"IF(i % 7 = 0, concat(w, '0r', _r), w))"
+            ),
+        )
         out = out.withColumn(
             salt_col,
-            F.when(F.col("_r") == 0, F.col(salt_col)).otherwise(
-                F.concat(F.col(salt_col), F.lit(" replica "), F.col("_r"))
-            ),
+            F.when(F.col("_r") == 0, F.col(salt_col)).otherwise(salted),
         )
     vec_col = VEC_RULES.get(table)
     if vec_col:

@@ -111,12 +111,21 @@ def test_ivf_prunes_with_join_on_centroid(spark, tables):
 
 def test_ann_topk_has_no_per_query_window(spark, tables):
     # The scale contract for the ANN family: top-k must NOT be a
-    # Window.partitionBy(query_id) (parallelism would collapse to the
-    # query count at 100× corpus). Two-phase slice/array_sort top-k and
-    # the single-projection ivf argmax leave NO window operator at all.
+    # Window partitioned by query_id ALONE (parallelism would collapse
+    # to the query count at 100× corpus). The round-13 topk_per_key
+    # DOES use a window — partitioned by (spark_partition_id, key), so
+    # parallelism follows the corpus partitioning and the rank-limit
+    # pushes below the exchange (WindowGroupLimit) — so the pin is:
+    # every window partition spec must include the _pid column.
+    import re
+
     for name in ("ann_brute_force_topk", "vector_ivf_topk"):
         plan = plan_of(spark, name)
-        assert "Window" not in plan, f"{name} still uses a window top-k"
+        for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", plan):
+            assert "_pid" in spec, (
+                f"{name} has a window partitioned without the "
+                f"partition-id salt (parallelism collapse): {spec}"
+            )
 
 
 def test_ivf_assign_is_single_projection(spark, tables):

@@ -332,3 +332,67 @@ def test_asof_right_order_tie_break_equals_preagg(spark):
     )
     key = lambda r: (r["k"], r["lt"], r["val"])  # noqa: E731
     assert sorted(got.collect(), key=key) == sorted(want.collect(), key=key)
+
+
+# ---------------------------------------------------------------------------
+# topk_per_key rewrite (VERDICT r12 #4)
+# ---------------------------------------------------------------------------
+
+
+def test_topk_per_key_matches_window_formulation(spark):
+    """The two-phase rank-window top-k must equal the reference
+    Window.partitionBy(key) formulation (score desc, id asc) exactly,
+    including the rank column."""
+    from pyspark.sql.window import Window
+
+    from clickhouse_arrow_spark.operators.similarity import topk_per_key
+
+    rng = random.Random(29)
+    rows = [
+        (q, i, round(rng.uniform(-1, 1), 6))
+        for q in range(7)
+        for i in range(500)
+    ]
+    # plant exact score ties to exercise the id tie-break
+    rows += [(q, 1000 + j, 0.5) for q in range(7) for j in range(5)]
+    scored = spark.createDataFrame(
+        rows, "query_id long, vec_id long, cosine double"
+    ).repartition(8)
+
+    got = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in topk_per_key(
+            scored, 10, key="query_id", id_col="vec_id"
+        ).collect()
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("vec_id")
+    )
+    want = sorted(
+        (r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+        for r in scored.withColumn(
+            "rank", F.row_number().over(w).cast("int")
+        )
+        .where(F.col("rank") <= 10)
+        .collect()
+    )
+    assert got == want
+
+
+def test_topk_per_key_no_collect_list_before_first_exchange(spark):
+    """Plan pin: phase 1 is Sort+Window+Filter (spillable), not an
+    ObjectHashAggregate collecting whole groups."""
+    from clickhouse_arrow_spark.operators.similarity import topk_per_key
+
+    scored = spark.range(1000).select(
+        (F.col("id") % 3).alias("k"),
+        F.col("id").alias("v"),
+        (F.col("id") % 97).cast("double").alias("cosine"),
+    )
+    plan = topk_per_key(
+        scored, 5, key="k", id_col="v"
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # exactly ONE collect_list aggregate pair (the k-bounded merge), so
+    # no whole-group collect on the exchange input side
+    assert plan.count("collect_list") <= 2
